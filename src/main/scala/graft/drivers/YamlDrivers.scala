@@ -1,0 +1,122 @@
+package graft.drivers
+
+import graft.spec.{IdField, LongId, MigrationSpec, StringId}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Path ⇔ key codec shared by the YAML source and sink — parity with
+  * `/root/reference/src/Drivers/YamlDriverTrait.php:51-85`: the last N
+  * path segments of each file are the N id values in declared order, the
+  * filename sans extension being the last id; on write, id values become
+  * the directory/file path and are removed from the record body. This is
+  * exactly Hive-style partition-path encoding, which is why the sink maps
+  * onto `partitionBy`-like layout naturally.
+  */
+object YamlPathCodec {
+  /** `group1/file1.yaml` + ids [g,n] → Seq("group1","file1"). */
+  def idsFromPath(path: String, nIds: Int): Seq[String] = {
+    val segs = path.split('/').filter(_.nonEmpty)
+    val file = segs.last.replaceAll("\\.(yaml|yml)$", "")
+    val dirs = segs.dropRight(1).takeRight(nIds - 1)
+    dirs.toSeq :+ file
+  }
+
+  /** id values → `v1/v2/…/vN.yaml` (`YamlDriverTrait.php:75-85`). */
+  def pathFromIds(values: Seq[String]): String =
+    values.init.mkString("/") match {
+      case "" => values.last + ".yaml"
+      case d  => d + "/" + values.last + ".yaml"
+    }
+}
+
+/** YAML directory scan: recursively reads `*.yaml`/`*.yml` under a
+  * directory, skipping dotfiles, parses each file into a nested record
+  * and derives key columns from the file path — parity with
+  * `/root/reference/src/Drivers/Source/YamlSourceDriver.php:59-95` and
+  * `YamlDriverTrait.php:28-63` (ids re-injected into the record).
+  *
+  * Spark has no native YAML reader, so the scan is `wholeTextFiles` →
+  * per-partition YAML→JSON transcode (snakeyaml + Jackson, both on the
+  * Spark classpath) → `spark.read.json` schema inference. Nested YAML
+  * maps/lists surface as `StructType`/`ArrayType` columns. One small file
+  * per entity is the reference's layout; at scale the transcode is
+  * embarrassingly parallel over input splits.
+  */
+final class YamlSourceDriver extends SourceDriver {
+  def read(spark: SparkSession, spec: MigrationSpec): DataFrame = {
+    import spark.implicits._
+    val nIds = spec.sourceIds.size
+    val idNames = spec.sourceIds.map(_.name)
+    val raw = spark.sparkContext
+      .wholeTextFiles(s"${spec.source}/*")
+      .filter { case (p, _) =>
+        val f = p.split('/').last
+        (p.endsWith(".yaml") || p.endsWith(".yml")) && !f.startsWith(".")
+      }
+    val json: Dataset[String] = raw.map { case (path, content) =>
+      val yaml = new org.yaml.snakeyaml.Yaml()
+      val doc = yaml.load[java.util.Map[String, Object]](content)
+      val ids = YamlPathCodec.idsFromPath(path, nIds)
+      val withIds = new java.util.LinkedHashMap[String, Object]()
+      idNames.zip(ids).foreach { case (k, v) => withIds.put(k, v) }
+      if (doc != null) withIds.putAll(doc)
+      new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(withIds)
+    }.toDS()
+    val df = spark.read.json(json)
+    // path segments are strings; cast declared id types
+    spec.sourceIds.foldLeft(df) { (acc, f) =>
+      acc.withColumn(f.name, col(f.name).cast(f.idType.sparkType))
+    }
+  }
+}
+
+/** YAML directory sink: one file per entity, id values encode the path
+  * (multi-id ⇒ nested subdirs) and are removed from the record body —
+  * parity with
+  * `/root/reference/src/Drivers/Destination/YamlDestinationDriver.php:93-286`
+  * (id-to-path + removal `:192-199`). Anchor/alias generation (`refs`
+  * option, documented "a slow process") is intentionally not implemented —
+  * it is a serialization nicety with no query semantics.
+  *
+  * Each partition writes its rows' files independently through the Hadoop
+  * FS API, so the write parallelizes across executors; the reference
+  * writes one file per entity too, just serially. The millions-of-tiny-
+  * files hazard at 100 TB is inherent to this layout (SURVEY §7.4) — the
+  * Parquet sink is the scale path.
+  */
+final class YamlDestinationDriver extends DestinationDriver {
+  override def supportsStubs: Boolean = false
+
+  def snapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] =
+    if (DestPath.exists(spark, spec.destination)) {
+      val src = new YamlSourceDriver
+      val asSource = spec.copy(source = spec.destination, sourceIds = spec.destinationIds)
+      try Some(src.read(spark, asSource)) catch { case _: Exception => None }
+    } else None
+
+  def write(df: DataFrame, spec: MigrationSpec): Unit = {
+    val idNames = spec.destinationIds.map(_.name)
+    val base = spec.destination
+    val bodyCols = df.columns.filterNot(idNames.contains)
+    val confBc = df.sparkSession.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        df.sparkSession.sparkContext.hadoopConfiguration))
+    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      val conf = confBc.value.value
+      val opts = new org.yaml.snakeyaml.DumperOptions()
+      opts.setDefaultFlowStyle(org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
+      val yaml = new org.yaml.snakeyaml.Yaml(opts)
+      rows.foreach { row =>
+        val idVals = idNames.map(n => String.valueOf(row.getAs[Any](n)))
+        val body = new java.util.LinkedHashMap[String, Object]()
+        bodyCols.foreach { c =>
+          body.put(c, row.getAs[Any](c).asInstanceOf[Object])
+        }
+        val p = new org.apache.hadoop.fs.Path(base, YamlPathCodec.pathFromIds(idVals))
+        val fs = p.getFileSystem(conf)
+        val out = fs.create(p, true)
+        try out.write(yaml.dump(body).getBytes("UTF-8")) finally out.close()
+      }
+    }
+  }
+}

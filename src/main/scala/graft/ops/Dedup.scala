@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: every method is shuffle-bounded by key cardinality —
+  * exact dedup shuffles on the fingerprint hash; MinHash/SimHash shuffle
+  * on (band, bucket) keys so only genuinely-similar documents ever meet;
+  * nothing is quadratic in corpus size except inside a bucket (bounded by
+  * construction). No collects, no driver-side state.
+  */
+object Dedup {
+
+  /** Exact dedup by canonical fingerprint: keep the smallest id per
+    * group. One hash-shuffle; window instead of self-join.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
+    df.withColumn("fp", TextOps.fingerprint(col(textCol)))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("group_size", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("fp"), col("group_size"))
+  }
+
+  /** One row per distinct k-token shingle per document. */
+  def shingleTable(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    df.select(col(idCol), explode(TextOps.shingles(col(textCol), k)).as("shingle"))
+      .distinct()
+
+  /** Exact n-gram Jaccard near-dup pairs ≥ `minJaccard`: candidate pairs
+    * via shared shingles (inverted-index self-join — the shuffle key is
+    * the shingle, so only co-occurring docs pair up), then exact
+    * |∩| / |∪| from distinct-shingle counts. Integer intersection/union
+    * with one final double division keeps results engine-exact.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int, minJaccard: Double): DataFrame = {
+    val sh = shingleTable(df, textCol, idCol, k).persist()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val a = sh.select(col(idCol).as("a"), col("shingle"))
+    val b = sh.select(col(idCol).as("b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    val out = inter
+      .join(sizes.select(col(idCol).as("a"), col("n_shingles").as("na")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("n_shingles").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("jaccard"))
+    out
+  }
+
+  /** MinHash parameters: `bands * rowsPerBand` hash functions; a pair is
+    * a candidate iff all `rowsPerBand` minhashes agree in ≥1 band —
+    * the classic s-curve with threshold ≈ (1/bands)^(1/rowsPerBand).
+    */
+  final case class MinHashParams(bands: Int = 16, rowsPerBand: Int = 8, seed: Long = 42L) {
+    val numHashes: Int = bands * rowsPerBand
+  }
+
+  // 31-bit Mersenne prime field: coefficients and folded shingle hashes
+  // stay < 2^31, so a·x + b < 2^62 — no int64 overflow under ANSI mode.
+  private val MersennePrime = (1L << 31) - 1
+
+  /** Per-band bucket keys for each document: MinHash signature computed
+    * from shingle xxhash64s via k universal-hash permutations
+    * h_i(x) = (a_i·x + b_i) mod (2^31−1) over 31-bit-folded shingle
+    * hashes, folded per band into one
+    * bucket hash. Output: (id, band, bucket). The whole computation is a
+    * single projection per document (no shuffle until the bucket
+    * group-by) — signatures never materialize as 128 columns.
+    */
+  def minHashBands(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int, p: MinHashParams): DataFrame = {
+    val rnd = new java.util.Random(p.seed)
+    val as = Array.fill(p.numHashes)(math.abs(rnd.nextLong()) % MersennePrime + 1)
+    val bs = Array.fill(p.numHashes)(math.abs(rnd.nextLong()) % MersennePrime)
+    val hashes = col("hashes")
+    // min over shingles of (a*x+b) mod p, for each of numHashes fns;
+    // aggregate() is codegen'd — one pass over the shingle array per fn.
+    def minhash(i: Int): Column =
+      aggregate(hashes, lit(Long.MaxValue),
+        (acc, x) => least(acc,
+          pmod(lit(as(i)) * x.bitwiseAND(lit(MersennePrime)) + lit(bs(i)), lit(MersennePrime))))
+    val bandCols = (0 until p.bands).map { b =>
+      val sig = (0 until p.rowsPerBand).map(r => minhash(b * p.rowsPerBand + r))
+      struct(lit(b).as("band"), xxhash64(sig: _*).as("bucket")).as(s"band_$b")
+    }
+    df.select(col(idCol), TextOps.shingleHashes(col(textCol), shingleK).as("hashes"))
+      .filter(size(col("hashes")) > 0)
+      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate near-dup pairs from LSH buckets (distinct across bands). */
+  def minHashCandidates(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 5, p: MinHashParams = MinHashParams()): DataFrame = {
+    val bands = minHashBands(df, textCol, idCol, shingleK, p)
+    val l = bands.select(col(idCol).as("a"), col("band"), col("bucket"))
+    val r = bands.select(col(idCol).as("b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** MinHash+LSH with exact verification: candidates from the banded
+    * signatures, then true Jaccard on just those pairs — the standard
+    * two-stage filter that keeps the exact step linear in candidates.
+    */
+  def minHashVerifiedPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 5, minJaccard: Double = 0.8,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    val cand = minHashCandidates(df, textCol, idCol, shingleK, p)
+    val sh = shingleTable(df, textCol, idCol, shingleK).persist()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col(idCol).as("a"), col("shingle")), Seq("a"))
+      .join(sh.select(col(idCol).as("b"), col("shingle").as("shingle_b")), Seq("b"))
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("n").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash from token xxhash64s: sign of the per-bit weighted
+    * sum. Computed as one expression chain per document.
+    */
+  def simHash(text: Column): Column = {
+    val tokenHashes = transform(TextOps.tokens(text), t => xxhash64(t))
+    // For each bit j: +1 if set else -1, summed over tokens; bit j of the
+    // simhash = (sum > 0). Folded via aggregate into a single long.
+    val bits = (0 until 64).map { j =>
+      val votes = aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup candidates: band the 64-bit hash into 4×16-bit
+    * chunks; Hamming-distance ≤ 3 pairs must agree on ≥1 chunk
+    * (pigeonhole), so the bucket join finds them without any pairwise
+    * scan; verified by exact popcount on the XOR.
+    */
+  def simHashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol), simHash(col(textCol)).as("sh"))
+    val banded = sh.select(col(idCol), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("bc"))
+      .select(col(idCol), col("sh"), col("bc.band"), col("bc.chunk"))
+    val l = banded.select(col(idCol).as("a"), col("sh").as("sha"), col("band"), col("chunk"))
+    val r = banded.select(col(idCol).as("b"), col("sh").as("shb"), col("band"), col("chunk"))
+    l.join(r, Seq("band", "chunk")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sha"), col("shb")).distinct()
+      .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` composition —
+  * whole-stage-codegen'd column expressions, no UDFs — so the operators
+  * run at scan speed and survive a 100 TB corpus: each is an
+  * embarrassingly parallel per-row projection with no shuffle.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (single-space corpus convention). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alnum runs + standalone punctuation, the
+    * usual pre-tokenizer regex shape.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), c => length(c) > 0))
+
+  val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  def stopwordCount(text: Column, stops: Seq[String] = DefaultStopwords): Column =
+    size(filter(tokens(text), t => t.isInCollection(stops)))
+
+  /** Quality scoring: token/char stats with ratios as one final double
+    * division of exact integers (deterministic across engines).
+    */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val n = tokenCount(text)
+    val chars = length(text)
+    val stops = stopwordCount(text)
+    val uniq = size(array_distinct(tokens(text)))
+    Seq(
+      "n_tokens" -> n,
+      "n_chars" -> chars,
+      "n_stopwords" -> stops,
+      "n_unique_tokens" -> uniq,
+      "stopword_ratio" -> stops.cast("double") / n,
+      "type_token_ratio" -> uniq.cast("double") / n,
+      "avg_token_len" -> (chars - n + 1).cast("double") / n)
+  }
+
+  /** Language-ID heuristic: script-range detection first (CJK ⇒ zh-ish,
+    * Cyrillic ⇒ ru-ish, accented Latin ⇒ romance), then stopword-profile
+    * ratio for Latin text — the standard cheap n-gram/stopword cascade.
+    * Pure codegen'd expression; no model, no UDF.
+    */
+  def langIdHeuristic(text: Column): Column = {
+    val t = lower(text)
+    when(t.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(t.rlike("[\\u0400-\\u04ff]"), "ru")
+      .when(t.rlike("[áéíóúñ¿¡]"), "es")
+      .when(stopwordCount(t).cast("double") / tokenCount(t) > 0.02, "en")
+      .otherwise("unknown")
+  }
+
+  /** Canonical-form document fingerprint: md5 of the lowercased,
+    * whitespace-collapsed text. Stable across engines (DuckDB md5 ==
+    * Spark md5), the basis for exact dedup.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Rolling (Karp-Rabin-style) shingle fingerprints: xxhash64 of each
+    * k-token window. One row per shingle after explode; the raw material
+    * for MinHash signatures and n-gram Jaccard.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    // windows [i, i+k) for i in 0 .. n-k  (sequence() is codegen'd)
+    filter(
+      transform(sequence(lit(0), greatest(n - k, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))),
+      s => length(s) > 0)
+  }
+
+  def shingleHashes(text: Column, k: Int): Column =
+    transform(shingles(text, k), s => xxhash64(s))
+}

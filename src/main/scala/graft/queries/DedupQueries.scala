@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+/** Deduplication queries over `documents`. The corpus has planted
+  * near-duplicate pairs (word-level Jaccard ≥ 0.97), so the fuzzy
+  * methods have real positives to find.
+  */
+object DedupQueries {
+  import Tables._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup by canonical md5 fingerprint (hash-groupBy; keeps the
+    // smallest doc_id per group).
+    QueryDef("dedup_exact",
+      (spark, sf) => Dedup.exact(load(spark, sf, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id")),
+      Some("""WITH fp AS (
+             |  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+             |  FROM documents),
+             |g AS (SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS group_size
+             |      FROM fp GROUP BY fp)
+             |SELECT doc_id, fp, group_size FROM g ORDER BY doc_id""".stripMargin)),
+
+    // Exact n-gram Jaccard near-dup pairs (5-token shingles, τ=0.8):
+    // inverted-index candidate join + integer-exact |∩|/|∪|.
+    QueryDef("dedup_ngram_jaccard",
+      (spark, sf) => Dedup.ngramJaccardPairs(
+          load(spark, sf, "documents"), "text", "doc_id", k = 5, minJaccard = 0.8)
+        .orderBy(col("a"), col("b")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+             |idx AS (SELECT doc_id, unnest(range(len(t)-4)) i, t FROM toks WHERE len(t) >= 5),
+             |sh0 AS (SELECT doc_id, list_aggregate(t[i+1:i+5], 'string_agg', ' ') s FROM idx),
+             |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+             |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT s1.doc_id a, s2.doc_id b, COUNT(*) inter
+             |  FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT a, b, CAST(inter AS BIGINT) AS inter,
+             |  CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+             |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+             |FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+             |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+             |ORDER BY a, b""".stripMargin),
+      bench = true),
+
+    // MinHash + LSH banding (16 bands × 8 rows over 5-shingle xxhash64s)
+    // with exact-Jaccard verification of candidates. The custom hash
+    // family is not SQL-portable → pair set is checked against the exact
+    // n-gram query in tests; here rows-only.
+    QueryDef("dedup_minhash_lsh",
+      (spark, sf) => Dedup.minHashVerifiedPairs(
+          load(spark, sf, "documents"), "text", "doc_id",
+          shingleK = 5, minJaccard = 0.8)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("a"), col("b")),
+      None,
+      bench = true),
+
+    // SimHash (64-bit, 4×16 banding, Hamming ≤ 12 verified).
+    QueryDef("dedup_simhash",
+      (spark, sf) => Dedup.simHashPairs(
+          load(spark, sf, "documents"), "text", "doc_id", maxHamming = 12)
+        .orderBy(col("a"), col("b")),
+      None),
+  )
+}

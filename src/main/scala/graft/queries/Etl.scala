@@ -1,0 +1,340 @@
+package graft.queries
+
+import graft.drivers._
+import graft.exec._
+import graft.mapper.MappingStore
+import graft.spec._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** ETL/migration operator parity queries (SURVEY §2.1–2.3): each runs the
+  * real library surface — drivers, mapping store, executor, reference
+  * store, stubber — against scratch dirs, producing a result that is also
+  * expressible as plain SQL over the input parquet for the DuckDB oracle.
+  * This makes the correctness gate an *end-to-end* check of the engine,
+  * not just of Spark built-ins.
+  */
+object Etl {
+  import Tables._
+
+  /** customer-derived upsert scenario used by several queries:
+    * existing snapshot = custkey % 3 == 0 (marker 'old'),
+    * incoming         = custkey % 2 == 0 (marker 'new').
+    */
+  private def upsertSpec(dest: String, mapping: String) = MigrationSpec(
+    name = "cust_upsert",
+    source = "", sourceDriver = "inline",
+    destination = dest, destinationDriver = "parquet",
+    sourceIds = Seq(IdField("c_custkey", LongId)),
+    destinationIds = Seq(IdField("id", LongId)))
+
+  private def runUpsertScenario(spark: SparkSession, sf: String): (MigrationResult, MigrationExecutor, MappingStore, MigrationSpec) = {
+    val base = scratch("graft_upsert")
+    val spec = upsertSpec(s"$base/dest", s"$base/map")
+    val mapper = new MappingStore(s"$base/map")
+    val refs = new ReferenceStore(mapper)
+    val exec = new MigrationExecutor(mapper, refs, KeepOrphans)
+    val dest = new ParquetDestinationDriver
+    val cust = load(spark, sf, "customer")
+    // seed the pre-existing destination snapshot (custkey % 3 == 0)
+    dest.write(
+      cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("id"), upper(col("c_name")).as("name_upper"),
+          lit("old").as("marker")),
+      spec)
+    val source = new SourceDriver {
+      def read(s: SparkSession, sp: MigrationSpec): DataFrame =
+        load(s, sf, "customer").filter(col("c_custkey") % 2 === 0)
+    }
+    val theSpec = spec
+    val migration = new Migration {
+      def spec: MigrationSpec = theSpec
+      def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+        src.select(col("c_custkey"), col("c_custkey").as("id"),
+          upper(col("c_name")).as("name_upper"), lit("new").as("marker"))
+    }
+    (exec.execute(spark, migration, source, dest), exec, mapper, spec)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // §2.3 upsert merge: full-outer semantics with incoming-wins — the
+    // heart of the engine (`DataMigrationExecutor.php:211-221` +
+    // `DataMigrationMapper.php:90-135`), run twice-in-one (pre-seeded
+    // snapshot) through the real executor.
+    QueryDef("etl_upsert_merge",
+      (spark, sf) => {
+        val (res, _, _, _) = runUpsertScenario(spark, sf)
+        res.finalSnapshot.select(col("id"), col("name_upper"), col("marker"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH existing AS (
+             |  SELECT c_custkey AS id, UPPER(c_name) AS name_upper, 'old' AS marker
+             |  FROM customer WHERE c_custkey % 3 = 0),
+             |incoming AS (
+             |  SELECT c_custkey AS id, UPPER(c_name) AS name_upper, 'new' AS marker
+             |  FROM customer WHERE c_custkey % 2 = 0)
+             |SELECT COALESCE(i.id, e.id) AS id,
+             |  COALESCE(i.name_upper, e.name_upper) AS name_upper,
+             |  COALESCE(i.marker, e.marker) AS marker
+             |FROM incoming i FULL OUTER JOIN existing e ON i.id = e.id
+             |ORDER BY id""".stripMargin),
+      bench = true),
+
+    // §2.3 orphan detection (left_anti): destination rows whose source
+    // disappeared (`DataMigrationExecutor.php:368-382`).
+    QueryDef("etl_orphan_detect",
+      (spark, sf) => {
+        val (res, _, _, _) = runUpsertScenario(spark, sf)
+        res.orphans.select(col("id"), col("marker")).orderBy(col("id"))
+      },
+      Some("""SELECT c_custkey AS id, 'old' AS marker FROM customer
+             |WHERE c_custkey % 3 = 0 AND c_custkey % 2 <> 0
+             |ORDER BY id""".stripMargin)),
+
+    // §2.3 mapping table: persisted sourceIds↔destIds rows with status
+    // (`DataMigrationMapper.php:90-135`; orphan-keep rows have NULL
+    // source ids, `DataMigrationExecutor.php:320-326`).
+    QueryDef("etl_mapping_table",
+      (spark, sf) => {
+        val (_, _, mapper, spec) = runUpsertScenario(spark, sf)
+        mapper.load(spark, spec).get
+          .select(col("source_c_custkey"), col("dest_id"), col("status"))
+          .orderBy(col("dest_id"), col("source_c_custkey"))
+      },
+      Some("""SELECT c_custkey AS source_c_custkey, c_custkey AS dest_id,
+             |  'migrated' AS status
+             |FROM customer WHERE c_custkey % 2 = 0
+             |UNION ALL
+             |SELECT NULL AS source_c_custkey, c_custkey AS dest_id, 'migrated' AS status
+             |FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 2 <> 0
+             |ORDER BY dest_id, source_c_custkey""".stripMargin)),
+
+    // §2.3 mapping lookup as a broadcast join (the set-wise
+    // `getDestIdsFromSourceIds`, `DataMigrationMapper.php:433-475`):
+    // unmapped rows yield NULL dest ids.
+    QueryDef("etl_mapping_lookup",
+      (spark, sf) => {
+        val (_, _, mapper, spec) = runUpsertScenario(spark, sf)
+        val allCust = load(spark, sf, "customer").select(col("c_custkey"))
+        mapper.lookupDest(allCust, spec)
+          .select(col("c_custkey"), col("dest_id"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+             |  CASE WHEN c_custkey % 2 = 0 THEN c_custkey ELSE NULL END AS dest_id
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // §2.1 CSV scan + §2.2 CSV sink: header semantics + atomic-commit
+    // write, round-tripped (`CsvSourceDriver.php:39-72`,
+    // `CsvDestinationDriver.php:61-203`).
+    QueryDef("etl_csv_roundtrip",
+      (spark, sf) => {
+        val base = scratch("graft_csv")
+        val spec = MigrationSpec("csv_rt", source = s"$base/out", sourceDriver = "csv",
+          destination = s"$base/out", destinationDriver = "csv",
+          sourceIds = Seq(IdField("n_nationkey", LongId)),
+          destinationIds = Seq(IdField("n_nationkey", LongId)))
+        val nation = load(spark, sf, "nation")
+          .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+        new CsvDestinationDriver().write(nation, spec)
+        new CsvSourceDriver(Some(nation.schema)).read(spark, spec)
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+             |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // §2.1 YAML directory scan + §2.2 YAML sink: path⇔key codec — id
+    // values become the directory/file path, are removed from the body on
+    // write and re-derived+re-injected on read
+    // (`YamlDriverTrait.php:28-85`).
+    QueryDef("etl_yaml_roundtrip",
+      (spark, sf) => {
+        val base = scratch("graft_yaml")
+        val spec = MigrationSpec("yaml_rt", source = s"$base/out", sourceDriver = "yaml",
+          destination = s"$base/out", destinationDriver = "yaml",
+          sourceIds = Seq(IdField("n_regionkey", LongId), IdField("n_nationkey", LongId)),
+          destinationIds = Seq(IdField("n_regionkey", LongId), IdField("n_nationkey", LongId)))
+        val nation = load(spark, sf, "nation")
+          .select(col("n_regionkey").cast("long"), col("n_nationkey").cast("long"), col("n_name"))
+        new YamlDestinationDriver().write(nation, spec)
+        new YamlSourceDriver().read(spark, spec)
+          .select(col("n_regionkey"), col("n_nationkey"), col("n_name"))
+          .orderBy(col("n_regionkey"), col("n_nationkey"))
+      },
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+             |  CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+             |FROM nation ORDER BY n_regionkey, n_nationkey""".stripMargin)),
+
+    // §2.1 arbitrary-SQL scan (DBAL-source parity): user-supplied SQL *is*
+    // the row stream (`DbalSourceDriver.php:105-113`), here executed by
+    // Catalyst over registered views.
+    QueryDef("etl_sql_scan",
+      (spark, sf) => {
+        Tables.registerViews(spark, sf)
+        val stmt =
+          """SELECT o_orderpriority, COUNT(*) AS n_orders
+            |FROM orders WHERE o_totalprice > 100000
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        new SqlSourceDriver(stmt).read(spark,
+          MigrationSpec("sql_scan", source = "spark-sql", sourceDriver = "sql",
+            destination = "none", destinationDriver = "console",
+            sourceIds = Seq(IdField("o_orderpriority", StringId)),
+            destinationIds = Seq(IdField("o_orderpriority", StringId))))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_orders
+             |FROM orders WHERE o_totalprice > 100000
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // §2.3 cross-migration reference lookup: per-row RPC-style
+    // `referenceStore.get(...)` (`MigrationReferenceStore.php:65-120`)
+    // becomes one broadcast join against the referenced migration's
+    // mapping⋈snapshot relation.
+    QueryDef("etl_reference_lookup",
+      (spark, sf) => {
+        val base = scratch("graft_ref")
+        val mapper = new MappingStore(s"$base/map")
+        val refs = new ReferenceStore(mapper)
+        val exec = new MigrationExecutor(mapper, refs, KeepOrphans)
+        val custSpec = MigrationSpec("cust_mig", source = "", sourceDriver = "inline",
+          destination = s"$base/cust", destinationDriver = "parquet",
+          sourceIds = Seq(IdField("c_custkey", LongId)),
+          destinationIds = Seq(IdField("id", LongId)))
+        val dest = new ParquetDestinationDriver
+        exec.execute(spark,
+          new Migration {
+            def spec: MigrationSpec = custSpec
+            def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+              src.select(col("c_custkey"), (col("c_custkey") + 1000000L).as("id"),
+                col("c_name"))
+          },
+          new SourceDriver {
+            def read(s: SparkSession, sp: MigrationSpec): DataFrame = load(s, sf, "customer")
+          },
+          dest)
+        refs.register(custSpec, dest)
+        val orders = load(spark, sf, "orders").filter(col("o_orderkey") % 10 === 0)
+        refs.resolve(orders, "cust_mig",
+            keyMap = Map("o_custkey" -> "c_custkey"),
+            select = Seq("id" -> "customer_dest_id"))
+          .select(col("o_orderkey"), col("customer_dest_id"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, c_custkey + 1000000 AS customer_dest_id
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin)),
+
+    // §2.3 stub creation, two-phase set job (`Stubber.php:34-48`,
+    // write-ahead `DataMigrationExecutor.php:194-209`): only even custkeys
+    // are "migrated"; orders referencing odd custkeys force stubs with
+    // deterministic defaults and status='stub'.
+    QueryDef("etl_stub_create",
+      (spark, sf) => {
+        val base = scratch("graft_stub")
+        val mapper = new MappingStore(s"$base/map")
+        val refs = new ReferenceStore(mapper)
+        val exec = new MigrationExecutor(mapper, refs, KeepOrphans)
+        val custSpec = MigrationSpec("cust_stub", source = "", sourceDriver = "inline",
+          destination = s"$base/cust", destinationDriver = "parquet",
+          sourceIds = Seq(IdField("c_custkey", LongId)),
+          destinationIds = Seq(IdField("c_custkey", LongId)))
+        val dest = new ParquetDestinationDriver(stubs = true)
+        exec.execute(spark,
+          new Migration {
+            def spec: MigrationSpec = custSpec
+            def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+              src.filter(col("c_custkey") % 2 === 0)
+                .select(col("c_custkey"), col("c_name"))
+          },
+          new SourceDriver {
+            def read(s: SparkSession, sp: MigrationSpec): DataFrame = load(s, sf, "customer")
+          },
+          dest)
+        val stubber = new Stubber(mapper)
+        val referring = load(spark, sf, "orders")
+        val missing = stubber.missingKeys(referring, custSpec, Map("o_custkey" -> "c_custkey"))
+        stubber.writeStubs(spark, custSpec, dest, missing, Map("c_name" -> "STUB"))
+        mapper.load(spark, custSpec).get
+          .filter(col("status") === MappingStore.StatusStub)
+          .select(col("source_c_custkey"), col("dest_c_custkey"), col("status"))
+          .orderBy(col("source_c_custkey"))
+      },
+      Some("""SELECT DISTINCT o_custkey AS source_c_custkey,
+             |  o_custkey AS dest_c_custkey, 'stub' AS status
+             |FROM orders WHERE o_custkey % 2 <> 0
+             |ORDER BY source_c_custkey""".stripMargin)),
+
+    // §2.3 dependency DAG: three chained migrations resolved in topo
+    // order (`DataMigrationManager.php:271-326`), the last one consuming
+    // the previous two through the reference store.
+    QueryDef("etl_dag_pipeline",
+      (spark, sf) => {
+        val base = scratch("graft_dag")
+        val mapper = new MappingStore(s"$base/map")
+        val refs = new ReferenceStore(mapper)
+        val exec = new MigrationExecutor(mapper, refs, KeepOrphans)
+        val dest = new ParquetDestinationDriver
+        def spec(n: String, srcId: String, deps: Seq[String]) = MigrationSpec(n, source = "",
+          sourceDriver = "inline", destination = s"$base/$n", destinationDriver = "parquet",
+          sourceIds = Seq(IdField(srcId, LongId)), destinationIds = Seq(IdField("sid", LongId)),
+          depends = deps)
+        val regionSpec = spec("m_region", "r_regionkey", Nil)
+        val nationSpec = spec("m_nation", "n_nationkey", Seq("m_region"))
+        val custSpec = spec("m_cust", "c_custkey", Seq("m_nation"))
+        val migs = Seq(
+          new Migration {
+            def spec: MigrationSpec = custSpec
+            def transform(src: DataFrame, ctx: TransformContext): DataFrame = {
+              val n = ctx.references.entitiesBySourceIds(ctx.spark, "m_nation")
+                .select(col("sid").as("nk"), col("n_name"), col("r_name"))
+              src.join(broadcast(n), src("c_nationkey") === n("nk"))
+                .select(col("c_custkey"), col("c_custkey").as("sid"),
+                  col("c_name"), col("n_name"), col("r_name"))
+            }
+          },
+          new Migration {
+            def spec: MigrationSpec = nationSpec
+            def transform(src: DataFrame, ctx: TransformContext): DataFrame = {
+              val r = ctx.references.entitiesBySourceIds(ctx.spark, "m_region")
+                .select(col("sid").as("rk"), col("r_name"))
+              src.join(broadcast(r), src("n_regionkey") === r("rk"))
+                .select(col("n_nationkey"), col("n_nationkey").as("sid"),
+                  col("n_name"), col("r_name"))
+            }
+          },
+          new Migration {
+            def spec: MigrationSpec = regionSpec
+            def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+              src.select(col("r_regionkey"), col("r_regionkey").as("sid"), col("r_name"))
+          })
+        // deliberately unordered input; executeAll topo-sorts and registers
+        val srcTables = Map("m_region" -> "region", "m_nation" -> "nation", "m_cust" -> "customer")
+        val results = new MigrationExecutor(mapper, refs, KeepOrphans).executeAll(spark, migs,
+          m => new SourceDriver {
+            def read(s: SparkSession, sp: MigrationSpec): DataFrame =
+              load(s, sf, srcTables(sp.name))
+          },
+          m => { refs.register(m.spec, dest); dest })
+        results("m_cust").finalSnapshot
+          .select(col("sid"), col("n_name"), col("r_name"))
+          .orderBy(col("sid"))
+      },
+      Some("""SELECT c_custkey AS sid, n_name, r_name
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |ORDER BY sid""".stripMargin)),
+
+    // §2.3 key extraction + cast (`DataMigrationExecutor.php:340-356`):
+    // declared id columns cast per IdField type, null keys rejected.
+    QueryDef("etl_key_cast",
+      (spark, sf) => load(spark, sf, "nation")
+        .select(col("n_nationkey").cast("long").as("key_long"),
+          col("n_name").cast("string").as("key_string"))
+        .filter(col("key_long").isNotNull && col("key_string").isNotNull)
+        .orderBy(col("key_long")),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS key_long, n_name AS key_string
+             |FROM nation WHERE n_nationkey IS NOT NULL AND n_name IS NOT NULL
+             |ORDER BY key_long""".stripMargin)),
+  )
+}

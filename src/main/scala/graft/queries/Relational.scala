@@ -1,0 +1,310 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Relational capability surface (SURVEY §2.4): the reference delegates
+  * all relational algebra to the database it scans (arbitrary SQL via
+  * `DbalSourceDriver::setStatement`,
+  * `/root/reference/src/Drivers/Source/DbalSourceDriver.php:105-113`);
+  * in our engine the same capabilities are native Catalyst plans. Each
+  * query here is written with the DataFrame API (codegen'd, pushdown-
+  * friendly) and verified against a DuckDB oracle.
+  */
+object Relational {
+  import Tables._
+
+  /** Integer cents: exact, order-independent sums in both engines. */
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1 shape: scan-heavy grouped aggregation with pushed filter.
+    QueryDef("q1_pricing_summary",
+      (spark, sf) => {
+        val li = load(spark, sf, "lineitem")
+        li.filter(col("l_shipdate") <= lit("1998-09-02"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+            sum(cents(col("l_extendedprice")) * (lit(100) - round(col("l_discount") * 100).cast("long"))).as("sum_disc_e4"),
+            sum(cents(col("l_extendedprice")) * (lit(100) - round(col("l_discount") * 100).cast("long"))
+              * (lit(100) + round(col("l_tax") * 100).cast("long"))).as("sum_charge_e6"),
+            (sum(col("l_quantity").cast("long")).cast("double") / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_e4,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) * (100 + CAST(ROUND(l_tax*100) AS BIGINT))) AS BIGINT) AS sum_charge_e6,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+             |  COUNT(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      bench = true),
+
+    // TPC-H Q3 shape: 3-way join + grouped agg + top-k. customer is the
+    // small side → broadcast; orders⋈lineitem shuffles on orderkey once.
+    QueryDef("q3_shipping_priority",
+      (spark, sf) => {
+        val c = load(spark, sf, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = load(spark, sf, "orders").filter(col("o_orderdate") < lit("2000-03-15"))
+        val l = load(spark, sf, "lineitem").filter(col("l_shipdate") > lit("1995-03-15"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(sum(cents(col("l_extendedprice")) * (lit(100) - round(col("l_discount") * 100).cast("long"))).as("revenue_e4"))
+          .select(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+            col("revenue_e4"))
+          .orderBy(col("revenue_e4").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '2000-03-15'
+             |  AND l_shipdate > TIMESTAMP '1995-03-15'
+             |GROUP BY l_orderkey, o_orderdate
+             |ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""".stripMargin),
+      bench = true),
+
+    // 5-way star join: dims all broadcast; single shuffle for the agg.
+    QueryDef("q_star_join",
+      (spark, sf) => {
+        val l = load(spark, sf, "lineitem")
+        val s = load(spark, sf, "supplier")
+        val n = load(spark, sf, "nation")
+        val r = load(spark, sf, "region")
+        l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+          .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(cents(col("l_extendedprice"))).as("volume_cents"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""SELECT r_name, n_name,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS volume_cents,
+             |  COUNT(*) AS n_items
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
+      bench = true),
+
+    // Window functions: rank within partition + running sum.
+    QueryDef("q_window_rank",
+      (spark, sf) => {
+        val o = load(spark, sf, "orders")
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        o.select(col("o_custkey"), col("o_orderkey"),
+            cents(col("o_totalprice")).as("price_cents"),
+            row_number().over(w).as("rn"),
+            sum(cents(col("o_totalprice"))).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("running_cents"))
+          .filter(col("rn") <= 3)
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+             |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+             |  FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
+      bench = true),
+
+    // Sort + limit (top-k): Spark's TakeOrderedAndProject, no full sort.
+    QueryDef("q_topk_orders",
+      (spark, sf) => load(spark, sf, "orders")
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+        .orderBy(col("price_cents").desc, col("o_orderkey"))
+        .limit(25),
+      Some("""SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
+             |FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 25""".stripMargin)),
+
+    // Set operations: UNION / INTERSECT / EXCEPT.
+    QueryDef("q_set_ops",
+      (spark, sf) => {
+        val o = load(spark, sf, "orders")
+        val big = o.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+        val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+        val both = big.intersect(urgent).withColumn("tag", lit("both"))
+        val onlyBig = big.except(urgent).withColumn("tag", lit("only_big"))
+        both.unionByName(onlyBig).orderBy(col("tag"), col("o_custkey"))
+      },
+      Some("""WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000),
+             |urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+             |SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM big INTERSECT SELECT * FROM urgent)
+             |UNION ALL
+             |SELECT o_custkey, 'only_big' AS tag FROM (SELECT * FROM big EXCEPT SELECT * FROM urgent)
+             |ORDER BY tag, o_custkey""".stripMargin)),
+
+    // Grouping sets via ROLLUP (region → nation → total).
+    QueryDef("q_rollup",
+      (spark, sf) => {
+        val c = load(spark, sf, "customer")
+        val n = load(spark, sf, "nation")
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .rollup(col("n_name"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(cents(col("c_acctbal"))).as("bal_cents"))
+          .select(coalesce(col("n_name"), lit("ALL")).as("n_name"),
+            col("n_customers"), col("bal_cents"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT COALESCE(n_name, 'ALL') AS n_name, COUNT(*) AS n_customers,
+             |  CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY ROLLUP(n_name) ORDER BY n_name""".stripMargin)),
+
+    // Distinct aggregation.
+    QueryDef("q_distinct_agg",
+      (spark, sf) => load(spark, sf, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+          countDistinct(col("l_suppkey")).as("distinct_supps"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts,
+             |  COUNT(DISTINCT l_suppkey) AS distinct_supps, COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Scalar function library: string/date/math, row-level.
+    QueryDef("q_scalar_funcs",
+      (spark, sf) => load(spark, sf, "part")
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          (col("p_size") % 7).as("size_mod"),
+          abs(col("p_size") - 25).as("size_dist"),
+          when(col("p_retailprice") > 1500, "premium").otherwise("standard").as("tier"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, UPPER(p_name) AS name_upper,
+             |  CAST(LENGTH(p_name) AS INT) AS name_len, SUBSTR(p_type, 1, 5) AS type5,
+             |  CONCAT_WS('-', p_brand, p_type) AS brand_type,
+             |  CAST(p_size % 7 AS INT) AS size_mod, CAST(ABS(p_size - 25) AS INT) AS size_dist,
+             |  CASE WHEN p_retailprice > 1500 THEN 'premium' ELSE 'standard' END AS tier
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Semi/anti joins (EXISTS / NOT EXISTS).
+    QueryDef("q_semi_anti",
+      (spark, sf) => {
+        val c = load(spark, sf, "customer")
+        val o = load(spark, sf, "orders")
+        val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey")).withColumn("status", lit("active"))
+        val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey")).withColumn("status", lit("inactive"))
+        withOrders.unionByName(without).orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, 'active' AS status FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |UNION ALL
+             |SELECT c_custkey, 'inactive' AS status FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // JSON extraction from the events.props payload column.
+    QueryDef("q_json_extract",
+      (spark, sf) => load(spark, sf, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") > 90)
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+             |ORDER BY event_id""".stripMargin)),
+
+    // Lateral explode (Generator): words per document.
+    QueryDef("q_explode_words",
+      (spark, sf) => load(spark, sf, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 20)
+        .orderBy(col("word")),
+      Some("""SELECT word, COUNT(*) AS n FROM (
+             |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+             |  FROM documents WHERE doc_id < 50) t
+             |GROUP BY word HAVING COUNT(*) >= 20 ORDER BY word""".stripMargin)),
+
+    // Event-time hourly tumbling window over the events table — the batch
+    // shape of the streaming windowed aggregation (§streaming).
+    QueryDef("q_time_window",
+      (spark, sf) => load(spark, sf, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .orderBy(col("hour"), col("event_type")),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+             |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+      bench = true),
+
+    // Sessionization: lag-gap > 30 min starts a new session per user.
+    QueryDef("q_sessionize",
+      (spark, sf) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        load(spark, sf, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1).otherwise(0))
+          .withColumn("session_id", sum(col("new_session")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy(col("user_id"))
+          .agg(max(col("session_id")).cast("long").as("n_sessions"),
+            max(col("n_events")).as("max_session_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN LAG(ts) OVER w IS NULL
+             |      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id,
+             |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM marked),
+             |per_sess AS (
+             |  SELECT user_id, session_id, COUNT(*) AS n_events FROM sess GROUP BY 1, 2)
+             |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+             |  MAX(n_events) AS max_session_events
+             |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Correlated scalar-subquery shape: customers above their nation's avg
+    // balance. Expressed as join-with-aggregate (decorrelated by hand —
+    // identical to what Catalyst's RewriteCorrelatedScalarSubquery does).
+    QueryDef("q_above_nation_avg",
+      (spark, sf) => {
+        val c = load(spark, sf, "customer")
+        val natAvg = c.groupBy(col("c_nationkey").as("nk"))
+          .agg((sum(cents(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal_cents"))
+        c.join(broadcast(natAvg), c("c_nationkey") === natAvg("nk"))
+          .filter(cents(col("c_acctbal")).cast("double") > col("avg_bal_cents"))
+          .select(col("c_custkey"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH nat AS (
+             |  SELECT c_nationkey AS nk,
+             |    CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)/COUNT(*) AS avg_bal_cents
+             |  FROM customer GROUP BY 1)
+             |SELECT c_custkey FROM customer JOIN nat ON c_nationkey = nk
+             |WHERE CAST(CAST(ROUND(c_acctbal*100) AS BIGINT) AS DOUBLE) > avg_bal_cents
+             |ORDER BY c_custkey""".stripMargin)),
+  )
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.ops.{Multimodal, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + multimodal queries over the `documents` table. */
+object TextQueries {
+  import Tables._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Token counting (whitespace) — exact integer stats per doc.
+    QueryDef("text_token_count",
+      (spark, sf) => load(spark, sf, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_obs"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |  CAST(LENGTH(text) AS BIGINT) AS n_chars_obs
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: exact integer counts + single-division ratios.
+    QueryDef("text_quality",
+      (spark, sf) => {
+        val d = load(spark, sf, "documents")
+        val cols = TextOps.qualityColumns(col("text"))
+        d.select(col("doc_id") +: cols.map { case (n, c) =>
+          (if (n.endsWith("_ratio") || n.startsWith("avg_")) c else c.cast("long")).as(n)
+        }: _*).orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             |  CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             |  CAST(len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','and','to','in'], t))) AS BIGINT) AS n_stopwords,
+             |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_unique_tokens,
+             |  CAST(len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE) / len(string_split(text,' ')) AS stopword_ratio,
+             |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) AS type_token_ratio,
+             |  CAST(LENGTH(text) - len(string_split(text,' ')) + 1 AS DOUBLE) / len(string_split(text,' ')) AS avg_token_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID heuristic (script ranges + stopword cascade). The
+    // cascade is SQL-expressible, so it gets a full oracle.
+    QueryDef("text_langid",
+      (spark, sf) => load(spark, sf, "documents")
+        .select(col("doc_id"), TextOps.langIdHeuristic(col("text")).as("predicted_lang"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CASE
+             |    WHEN regexp_matches(lower(text), '[一-鿿]') THEN 'zh'
+             |    WHEN regexp_matches(lower(text), '[Ѐ-ӿ]') THEN 'ru'
+             |    WHEN regexp_matches(lower(text), '[áéíóúñ¿¡]') THEN 'es'
+             |    WHEN CAST(len(list_filter(string_split(lower(text),' '), t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE) / len(string_split(lower(text),' ')) > 0.02 THEN 'en'
+             |    ELSE 'unknown' END AS predicted_lang
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Document fingerprinting: md5 canonical-form hash (engine-stable).
+    QueryDef("text_fingerprint",
+      (spark, sf) => load(spark, sf, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Corpus stats rollup by (lang, source).
+    QueryDef("text_corpus_stats",
+      (spark, sf) => load(spark, sf, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"))
+        .orderBy(col("lang"), col("source")),
+      Some("""SELECT lang, source, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens
+             |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+
+    // Multimodal payload plumbing: opaque binary + typed metadata.
+    QueryDef("mm_payload_meta",
+      (spark, sf) => {
+        val d = Multimodal.asPayload(load(spark, sf, "documents"), "text", "text")
+        d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_payloads"),
+            sum(col("meta.byte_len")).as("total_bytes"),
+            countDistinct(col("meta.content_hash")).as("distinct_hashes"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_payloads,
+             |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+             |  COUNT(DISTINCT md5(text)) AS distinct_hashes
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Multimodal feature extraction: stubbed decode behind real
+    // partition-parallel plumbing — no SQL equivalent (rows-only check).
+    QueryDef("mm_feature_extract",
+      (spark, sf) => {
+        val d = Multimodal.asPayload(
+          load(spark, sf, "documents").select(col("doc_id"), col("text")), "text", "image")
+        Multimodal.extractFeatures(d, "doc_id").orderBy(col("doc_id"))
+      },
+      None),
+  )
+}

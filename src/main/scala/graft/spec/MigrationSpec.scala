@@ -1,0 +1,51 @@
+package graft.spec
+
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+
+/** Key-column type universe.
+  *
+  * The reference restricts id columns to int|string
+  * (`/root/reference/src/Annotations/IdField.php:26-47`). We widen int to
+  * Spark `LongType` for 100 TB-scale key spaces.
+  */
+sealed trait IdType { def sparkType: DataType }
+case object LongId extends IdType { val sparkType: DataType = LongType }
+case object StringId extends IdType { val sparkType: DataType = StringType }
+
+/** One declared id column (`/root/reference/src/Annotations/IdField.php`). */
+final case class IdField(name: String, idType: IdType = LongId)
+
+/** Declarative migration definition — the engine's whole "logical plan"
+  * format, mirroring the reference's `@DataMigration` annotation
+  * (`/root/reference/src/Annotations/DataMigration.php:15-113`):
+  * source/destination URIs + driver keys, key columns, group, DAG edges,
+  * flush mode and `extends` second-pass linkage.
+  */
+final case class MigrationSpec(
+    name: String,
+    source: String,
+    sourceDriver: String,
+    destination: String,
+    destinationDriver: String,
+    sourceIds: Seq[IdField],
+    destinationIds: Seq[IdField],
+    group: String = "default",
+    depends: Seq[String] = Nil,
+    flush: Boolean = false,
+    extendsMigration: Option[String] = None) {
+  require(name.nonEmpty, "migration name must be non-empty")
+  require(sourceIds.nonEmpty, "at least one source id field required")
+  require(destinationIds.nonEmpty, "at least one destination id field required")
+
+  /** Mapping-table key: extensions share the parent's mapping table
+    * (`/root/reference/src/DataMigration/DataMigrationExecutor.php:172-175`).
+    */
+  def mappingKey: String = extendsMigration.getOrElse(name)
+}
+
+class CircularDependencyException(msg: String) extends RuntimeException(msg)
+class MissingMigrationException(msg: String) extends RuntimeException(msg)
+class ExtendsMismatchException(msg: String) extends RuntimeException(msg)
+class EmptySourceException(msg: String) extends RuntimeException(msg)
+class NonUniqueKeyException(msg: String) extends RuntimeException(msg)
+class NoMappingForIdsException(msg: String) extends RuntimeException(msg)
