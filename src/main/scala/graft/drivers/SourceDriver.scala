@@ -71,7 +71,7 @@ final class JdbcSourceDriver(
       case Some(sql) =>
         val r = spark.read.format("jdbc").option("url", spec.source).option("query", sql)
         properties.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }
-          .load().head().getLong(0)
+          .load().head().get(0).asInstanceOf[Number].longValue()
       case None => read(spark, spec).count()
     }
 }

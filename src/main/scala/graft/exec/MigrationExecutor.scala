@@ -15,6 +15,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 sealed trait OrphanPolicy
 case object KeepOrphans extends OrphanPolicy
 case object PruneOrphans extends OrphanPolicy
+/** Incremental/streaming merges: the source is a *delta*, not the full
+  * universe, so "existing key absent from this batch" means nothing —
+  * existing rows are retained and no orphan bookkeeping happens. Without
+  * this mode a micro-batch ingest would mark every previously-ingested
+  * key as an orphan (and PruneOrphans would destroy data).
+  */
+case object IgnoreOrphans extends OrphanPolicy
 
 /** User-facing migration: declarative spec + a whole-DataFrame transform.
   *
@@ -121,7 +128,9 @@ final class MigrationExecutor(
       }
 
     // 4. orphans: existing dest keys with no surviving incoming row —
-    //    exact `left_anti` parity with `Executor.php:368-382`.
+    //    exact `left_anti` parity with `Executor.php:368-382`. (Under
+    //    IgnoreOrphans the anti-join still feeds the merge as survivors,
+    //    but is not *reported* as orphans.)
     val orphans = snapshot match {
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -138,7 +147,8 @@ final class MigrationExecutor(
       case None => body
       case Some(snap) =>
         val survivors = orphanPolicy match {
-          case KeepOrphans  => orphans.select(body.columns.map(c => col(c)): _*)
+          case KeepOrphans | IgnoreOrphans =>
+            orphans.select(body.columns.map(c => col(c)): _*)
           case PruneOrphans => orphans.limit(0).select(body.columns.map(c => col(c)): _*)
         }
         body.unionByName(survivors)
@@ -154,7 +164,8 @@ final class MigrationExecutor(
       spec.sourceIds.map(f => col(f.name).as(s"${MappingStore.SourcePrefix}${f.name}")) ++
         spec.destinationIds.map(f => col(f.name).as(s"${MappingStore.DestPrefix}${f.name}")): _*)
     mapper.record(spark, spec, mappingRows, MappingStore.StatusMigrated)
-    val orphansPersisted = orphans.persist()
+    val reported = if (orphanPolicy == IgnoreOrphans) orphans.limit(0) else orphans
+    val orphansPersisted = reported.persist()
     val orphanCount = orphansPersisted.count()
     if (orphanPolicy == KeepOrphans && orphanCount > 0) {
       mapper.recordOrphansKept(spark, spec,
@@ -202,11 +213,14 @@ final class MigrationExecutor(
         case r if r.isNullAt(0) => 0L
         case r                  => r.getLong(0)
       }).getOrElse(0L)
-    // NOTE: a global row_number window funnels new rows through one
-    // partition. New-row batches are typically ≪ snapshot size; for huge
-    // initial loads prefer natural keys. monotonically_increasing_id is
-    // not used because ids must stay dense and stable across re-runs.
-    val w = Window.orderBy(spec.sourceIds.map(f => col(f.name)): _*)
+    // Number ONLY the still-unmapped rows (mapped rows keep their ids
+    // across re-runs). NOTE: the row_number window funnels new rows
+    // through one partition — new-row batches are typically ≪ snapshot
+    // size; for huge initial loads prefer natural keys.
+    // monotonically_increasing_id is not used because ids must stay
+    // dense and stable across re-runs.
+    val w = Window.partitionBy(col(destCol).isNull)
+      .orderBy(spec.sourceIds.map(f => col(f.name)): _*)
     mapped
       .withColumn(idCol,
         coalesce(col(destCol),

@@ -73,7 +73,7 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      dim: Int, bands: Int = 4, bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+      dim: Int, bands: Int = 16, bitsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(dim, bands * bitsPerBand, seed)
     def banded(df: DataFrame, id: String, vec: String): DataFrame = {
       val sig = lshSignature(col(vec), planes)

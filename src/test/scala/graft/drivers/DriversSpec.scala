@@ -1,0 +1,107 @@
+package graft.drivers
+
+import graft.SparkSpec
+import graft.spec._
+import org.apache.spark.sql.functions._
+
+class DriversSpec extends SparkSpec {
+  private def mkSpec(src: String, dst: String, srcIds: Seq[IdField] = Seq(IdField("id")),
+      dstIds: Seq[IdField] = Seq(IdField("id"))) =
+    MigrationSpec("t", source = src, sourceDriver = "x", destination = dst,
+      destinationDriver = "x", sourceIds = srcIds, destinationIds = dstIds)
+
+  test("CSV source errors on empty and header-only files (reference parity)") {
+    import java.nio.file.{Files, Paths}
+    val dir = scratchDir("csv_empty")
+    Files.writeString(Paths.get(dir, "empty.csv"), "")
+    Files.writeString(Paths.get(dir, "header_only.csv"), "id,field1\n")
+    assertThrows[EmptySourceException](
+      new CsvSourceDriver().read(spark, mkSpec(s"$dir/header_only.csv", "n/a")))
+  }
+
+  test("CSV sink writes header and round-trips through CSV source") {
+    import spark.implicits._
+    val dir = scratchDir("csv_rt")
+    val df = Seq((1L, "Test", "Data"), (2L, "Other", "Row"))
+      .toDF("id", "field1", "field2")
+    val s = mkSpec(s"$dir/out", s"$dir/out")
+    new CsvDestinationDriver().write(df, s)
+    val back = new CsvSourceDriver(Some(df.schema)).read(spark, s)
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
+      df.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("parquet sink generation pointer: snapshot survives overwrite-in-flight") {
+    import spark.implicits._
+    val dir = scratchDir("pq_gen")
+    val s = mkSpec("n/a", s"$dir/out")
+    val d = new ParquetDestinationDriver
+    d.write(Seq((1L, "a")).toDF("id", "v"), s)
+    d.write(Seq((1L, "b"), (2L, "c")).toDF("id", "v"), s)
+    val snap = d.snapshot(spark, s).get.orderBy("id").collect()
+    assert(snap.map(_.getString(1)).toSeq == Seq("b", "c"))
+    // both generations exist on disk; pointer names the latest
+    assert(new java.io.File(s"$dir/out/gen0").exists())
+    assert(new java.io.File(s"$dir/out/gen1").exists())
+  }
+
+  test("YAML path codec: ids from path segments, filename is last id") {
+    assert(YamlPathCodec.idsFromPath("/base/group1/file1.yaml", 2) == Seq("group1", "file1"))
+    assert(YamlPathCodec.idsFromPath("/base/x/y/z.yml", 3) == Seq("x", "y", "z"))
+    assert(YamlPathCodec.idsFromPath("/base/solo.yaml", 1) == Seq("solo"))
+    assert(YamlPathCodec.pathFromIds(Seq("g", "f")) == "g/f.yaml")
+    assert(YamlPathCodec.pathFromIds(Seq("f")) == "f.yaml")
+  }
+
+  test("YAML sink writes one file per entity, ids in path not body; source re-injects ids") {
+    import spark.implicits._
+    val dir = scratchDir("yaml_rt")
+    val ids = Seq(IdField("grp", StringId), IdField("name", StringId))
+    val s = mkSpec(s"$dir/out", s"$dir/out", ids, ids)
+    val df = Seq(("group1", "file1", "Test", 1L), ("group1", "file2", "Test", 2L),
+      ("group2", "file3", "Test", 3L))
+      .toDF("grp", "name", "field1", "field2")
+    new YamlDestinationDriver().write(df, s)
+    val f = new java.io.File(s"$dir/out/group1/file1.yaml")
+    assert(f.exists(), "per-entity file at id-derived path")
+    val body = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    assert(!body.contains("grp"), "id columns removed from body")
+    assert(body.contains("field1"))
+    val back = new YamlSourceDriver().read(spark, s)
+    assert(back.count() == 3)
+    assert(back.columns.toSet == Set("grp", "name", "field1", "field2"))
+    assert(back.filter(col("grp") === "group2").select("name").head().getString(0) == "file3")
+  }
+
+  test("destination keyed read errors on duplicate keys (uniqueness guard)") {
+    import spark.implicits._
+    val dir = scratchDir("dup_keys")
+    val s = mkSpec("n/a", s"$dir/out")
+    val d = new ParquetDestinationDriver
+    d.write(Seq((1L, "a"), (1L, "b")).toDF("id", "v"), s)
+    assertThrows[NonUniqueKeyException](d.readByIds(spark, s, Map("id" -> 1L)))
+  }
+
+  test("JDBC source+sink round-trip through embedded Derby with pushed-down query") {
+    import spark.implicits._
+    val db = scratchDir("derby") + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+      "createTableColumnTypes" -> "name VARCHAR(64)")
+    val df = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "name")
+    val sinkSpec = mkSpec("n/a", url)
+    new JdbcDestinationDriver("people", props).write(df, sinkSpec)
+    // arbitrary-SQL scan parity: user SQL is the row stream
+    val srcSpec = mkSpec(url, "n/a")
+    val back = new JdbcSourceDriver(
+      """SELECT "id", "name" FROM people WHERE "id" >= 2""",
+      Some("""SELECT COUNT(*) AS "c" FROM people WHERE "id" >= 2"""),
+      Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")).read(spark, srcSpec)
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1).trim)).toSeq ==
+      Seq((2L, "beta"), (3L, "gamma")))
+    assert(new JdbcSourceDriver("SELECT * FROM people",
+      Some("""SELECT COUNT(*) AS "c" FROM people"""),
+      Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+      .count(spark, srcSpec) == 3L)
+  }
+}

@@ -1,0 +1,234 @@
+package graft.exec
+
+import graft.SparkSpec
+import graft.drivers._
+import graft.mapper.MappingStore
+import graft.spec._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+class ExecutorSpec extends SparkSpec {
+
+  private def fixture(policy: OrphanPolicy = KeepOrphans) = {
+    val base = scratchDir("exec")
+    val mapper = new MappingStore(s"$base/map")
+    val refs = new ReferenceStore(mapper)
+    (base, mapper, refs, new MigrationExecutor(mapper, refs, policy))
+  }
+
+  private def inlineSource(f: SparkSession => DataFrame): SourceDriver = new SourceDriver {
+    def read(s: SparkSession, sp: MigrationSpec): DataFrame = f(s)
+  }
+
+  private def mkSpec(base: String, name: String = "m") = MigrationSpec(name,
+    source = "", sourceDriver = "inline", destination = s"$base/$name",
+    destinationDriver = "parquet", sourceIds = Seq(IdField("src_id")),
+    destinationIds = Seq(IdField("id")))
+
+  private def natural(sp: MigrationSpec): Migration = new Migration {
+    def spec: MigrationSpec = sp
+    def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+      src.select(col("src_id"), col("src_id").as("id"), upper(col("v")).as("v"))
+  }
+
+  test("re-running the same migration is idempotent (upsert, not duplicate)") {
+    import spark.implicits._
+    val (base, mapper, _, exec) = fixture()
+    val sp = mkSpec(base)
+    val dest = new ParquetDestinationDriver
+    val src = inlineSource(s => {
+      import s.implicits._
+      Seq((1L, "a"), (2L, "b")).toDF("src_id", "v")
+    })
+    val r1 = exec.execute(spark, natural(sp), src, dest)
+    val r2 = exec.execute(spark, natural(sp), src, dest)
+    assert(r1.migrated == 2 && r2.migrated == 2)
+    val snap = dest.snapshot(spark, sp).get
+    assert(snap.count() == 2, "no duplicates after re-run")
+    val mapping = mapper.load(spark, sp).get
+    assert(mapping.count() == 2, "mapping rows upserted, not appended")
+    assert(mapping.filter(col("status") === "migrated").count() == 2)
+  }
+
+  test("second run sees updates; orphans detected, kept under KeepOrphans") {
+    import spark.implicits._
+    val (base, mapper, _, exec) = fixture()
+    val sp = mkSpec(base)
+    val dest = new ParquetDestinationDriver
+    exec.execute(spark, natural(sp), inlineSource(s => {
+      import s.implicits._
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("src_id", "v")
+    }), dest)
+    // row 3 disappears from the source; row 1 changes
+    val r2 = exec.execute(spark, natural(sp), inlineSource(s => {
+      import s.implicits._
+      Seq((1L, "a2"), (2L, "b")).toDF("src_id", "v")
+    }), dest)
+    assert(r2.orphanCount == 1)
+    assert(r2.orphans.select("id").head().getLong(0) == 3L)
+    val snap = dest.snapshot(spark, sp).get.orderBy("id").collect()
+    assert(snap.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), "orphan kept")
+    assert(snap(0).getString(1) == "A2", "update applied")
+    // kept orphan recorded with null source ids
+    val nullSrc = mapper.load(spark, sp).get
+      .filter(col("source_src_id").isNull)
+    assert(nullSrc.count() == 1 && nullSrc.head().getAs[Long]("dest_id") == 3L)
+  }
+
+  test("PruneOrphans drops vanished rows from the final snapshot") {
+    import spark.implicits._
+    val (base, _, _, exec) = fixture(PruneOrphans)
+    val sp = mkSpec(base)
+    val dest = new ParquetDestinationDriver
+    exec.execute(spark, natural(sp), inlineSource(s => {
+      import s.implicits._
+      Seq((1L, "a"), (2L, "b")).toDF("src_id", "v")
+    }), dest)
+    exec.execute(spark, natural(sp), inlineSource(s => {
+      import s.implicits._
+      Seq((1L, "a")).toDF("src_id", "v")
+    }), dest)
+    assert(dest.snapshot(spark, sp).get.count() == 1)
+  }
+
+  test("row-skip: transform filtering drops rows (null-transform parity)") {
+    import spark.implicits._
+    val (base, _, _, exec) = fixture()
+    val sp = mkSpec(base)
+    val dest = new ParquetDestinationDriver
+    val skipping = new Migration {
+      def spec: MigrationSpec = sp
+      def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+        src.filter(col("src_id") =!= 2L)
+          .select(col("src_id"), col("src_id").as("id"), col("v"))
+    }
+    val r = exec.execute(spark, skipping, inlineSource(s => {
+      import s.implicits._
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("src_id", "v")
+    }), dest)
+    assert(r.migrated == 2)
+    assert(dest.snapshot(spark, sp).get.count() == 2)
+  }
+
+  test("generated destination ids: max(existing) + dense row_number, stable on re-run") {
+    import spark.implicits._
+    val (base, mapper, _, exec) = fixture()
+    val sp = mkSpec(base)
+    val dest = new ParquetDestinationDriver
+    val gen: Migration = new Migration {
+      def spec: MigrationSpec = sp
+      def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+        src.select(col("src_id"), col("v")) // no dest id → executor assigns
+    }
+    exec.execute(spark, gen, inlineSource(s => {
+      import s.implicits._
+      Seq((10L, "a"), (20L, "b")).toDF("src_id", "v")
+    }), dest)
+    val ids1 = dest.snapshot(spark, sp).get.orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(ids1 == Seq(1L, 2L))
+    // re-run with one new row: existing rows keep their mapped ids
+    exec.execute(spark, gen, inlineSource(s => {
+      import s.implicits._
+      Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("src_id", "v")
+    }), dest)
+    val m = mapper.load(spark, sp).get.orderBy("source_src_id").collect()
+    assert(m.map(r => (r.getAs[Long]("source_src_id"), r.getAs[Long]("dest_id"))).toSeq ==
+      Seq((10L, 1L), (20L, 2L), (30L, 3L)), "prior ids stable, new row appended")
+  }
+
+  test("currentFor exposes existing destination entity to transforms (update path)") {
+    import spark.implicits._
+    val (base, mapper, _, exec) = fixture()
+    val sp = mkSpec(base)
+    val dest = new ParquetDestinationDriver
+    exec.execute(spark, natural(sp), inlineSource(s => {
+      import s.implicits._
+      Seq((1L, "a")).toDF("src_id", "v")
+    }), dest)
+    // transform that appends to the current value (needs dest read-back)
+    val appending = new Migration {
+      def spec: MigrationSpec = sp
+      def transform(src: DataFrame, ctx: TransformContext): DataFrame = {
+        val withIds = mapper.lookupDest(src, sp)
+        ctx.currentFor(withIds)
+          .select(col("src_id"), coalesce(col("dest_id"), col("src_id")).as("id"),
+            concat(coalesce(col("v__current"), lit("")), upper(col("v"))).as("v"))
+      }
+    }
+    exec.execute(spark, appending, inlineSource(s => {
+      import s.implicits._
+      Seq((1L, "b")).toDF("src_id", "v")
+    }), dest)
+    assert(dest.snapshot(spark, sp).get.head().getString(1) == "AB")
+  }
+
+  test("stubber: missing references stubbed ahead, real migration overwrites") {
+    import spark.implicits._
+    val (base, mapper, _, exec) = fixture()
+    val sp = MigrationSpec("target", source = "", sourceDriver = "inline",
+      destination = s"$base/target", destinationDriver = "parquet",
+      sourceIds = Seq(IdField("src_id")), destinationIds = Seq(IdField("src_id")))
+    val dest = new ParquetDestinationDriver(stubs = true)
+    // migrate only id=1
+    exec.execute(spark, new Migration {
+      def spec: MigrationSpec = sp
+      def transform(src: DataFrame, ctx: TransformContext): DataFrame = src
+    }, inlineSource(s => {
+      import s.implicits._
+      Seq((1L, "real1")).toDF("src_id", "v")
+    }), dest)
+    // referring rows point at 1,2,3 → stubs for 2,3
+    val stubber = new Stubber(mapper)
+    val referring = Seq(1L, 2L, 3L, 3L).toDF("fk")
+    val missing = stubber.missingKeys(referring, sp, Map("fk" -> "src_id"))
+    assert(missing.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    val n = stubber.writeStubs(spark, sp, dest, missing, Map("v" -> "STUB"))
+    assert(n == 2)
+    val m = mapper.load(spark, sp).get
+    assert(m.filter(col("status") === MappingStore.StatusStub).count() == 2)
+    // the real migration of 2 and 3 later flips them to migrated
+    exec.execute(spark, new Migration {
+      def spec: MigrationSpec = sp
+      def transform(src: DataFrame, ctx: TransformContext): DataFrame = src
+    }, inlineSource(s => {
+      import s.implicits._
+      Seq((1L, "real1"), (2L, "real2"), (3L, "real3")).toDF("src_id", "v")
+    }), dest)
+    val after = mapper.load(spark, sp).get
+    assert(after.filter(col("status") === MappingStore.StatusStub).count() == 0)
+    val snap = dest.snapshot(spark, sp).get.orderBy("src_id").collect()
+    assert(snap.map(_.getString(1)).toSeq == Seq("real1", "real2", "real3"))
+  }
+
+  test("stub write requires a stub-capable destination") {
+    import spark.implicits._
+    val (base, mapper, _, _) = fixture()
+    val sp = mkSpec(base)
+    val stubber = new Stubber(mapper)
+    assertThrows[IllegalArgumentException](
+      stubber.writeStubs(spark, sp, new ParquetDestinationDriver(stubs = false),
+        Seq(1L).toDF("src_id"), Map.empty))
+  }
+
+  test("reference store resolves via mapping ⋈ snapshot; unresolved → null") {
+    import spark.implicits._
+    val (base, _, refs, exec) = fixture()
+    val sp = mkSpec(base, "ref_target")
+    val dest = new ParquetDestinationDriver
+    exec.execute(spark, new Migration {
+      def spec: MigrationSpec = sp
+      def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+        src.select(col("src_id"), (col("src_id") + 100L).as("id"), col("v"))
+    }, inlineSource(s => {
+      import s.implicits._
+      Seq((1L, "x"), (2L, "y")).toDF("src_id", "v")
+    }), dest)
+    refs.register(sp, dest)
+    val referring = Seq((10L, 1L), (11L, 2L), (12L, 9L)).toDF("rid", "fk")
+    val resolved = refs.resolve(referring, "ref_target",
+      Map("fk" -> "src_id"), Seq("id" -> "target_id"))
+      .orderBy("rid").collect()
+    assert(resolved.map(r => Option(r.getAs[Any]("target_id"))).toSeq ==
+      Seq(Some(101L), Some(102L), None))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  private lazy val docs = spark.read.parquet(s"$Sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+
+  test("exact dedup keeps one row per fingerprint") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    assert(out.groupBy("fp").count().filter(col("count") > 1).count() == 0)
+    assert(out.count() <= docs.count())
+  }
+
+  test("minhash LSH recovers every exact-Jaccard pair at tau=0.8 (recall) and verifies (precision)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 5, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashVerifiedPairs(docs, "text", "doc_id", 5, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus has planted near-dups")
+    assert(lsh == exact, s"LSH+verify must equal exact pairs; missing=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("simhash: near-dup pairs have small hamming distance; candidates contain planted dups") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 5, 0.9)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 12)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(sim.contains).toDouble / math.max(exact.size, 1)
+    assert(recall >= 0.9, s"simhash recall $recall over ${exact.size} pairs")
+  }
+
+  test("brute-force cosine: self-similarity is 1, results ranked, k respected") {
+    val out = Similarity.bruteForceTopK(emb, emb.limit(3), "vec_id", "embedding", 4)
+    val rows = out.collect()
+    assert(rows.length == 12)
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rs =>
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y }, "descending by sim")
+      assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+    }
+  }
+
+  test("LSH ANN: recall@5 >= 0.5 vs brute force on the test corpus") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5, dim = 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall@5 = $recall")
+  }
+
+  test("multimodal payload: schema, metadata integrity, distributed feature extract") {
+    val p = Multimodal.asPayload(docs.select(col("doc_id"), col("text")), "text", "image")
+    assert(p.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
+    val meta = p.select(col("meta.byte_len"), length(col("text"))).collect()
+    meta.foreach(r => assert(r.getLong(0) >= r.getInt(1), "byte_len >= char len"))
+    val feats = Multimodal.extractFeatures(p, "doc_id")
+    assert(feats.count() == docs.count())
+    // deterministic stub: same input → same features
+    val f1 = feats.orderBy("doc_id").collect().map(_.toSeq)
+    val f2 = Multimodal.extractFeatures(p, "doc_id").orderBy("doc_id").collect().map(_.toSeq)
+    assert(f1.toSeq == f2.toSeq)
+  }
+
+  test("text ops: token counts exact, langid deterministic, fingerprint collision-free here") {
+    import spark.implicits._
+    val t = Seq((1L, "the quick brown fox"), (2L, "the the the a of and to in x"))
+      .toDF("id", "text")
+    val counts = t.select(col("id"), TextOps.tokenCount(col("text")).as("n"),
+      TextOps.stopwordCount(col("text")).as("stops")).orderBy("id").collect()
+    assert(counts(0).getInt(1) == 4 && counts(0).getInt(2) == 1)
+    assert(counts(1).getInt(1) == 9 && counts(1).getInt(2) == 8)
+    val langs = t.select(TextOps.langIdHeuristic(col("text"))).collect().map(_.getString(0))
+    assert(langs.forall(_ == "en"))
+    val zh = Seq((1L, "你好 世界")).toDF("id", "text")
+      .select(TextOps.langIdHeuristic(col("text"))).head().getString(0)
+    assert(zh == "zh")
+  }
+}

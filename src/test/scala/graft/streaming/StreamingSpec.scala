@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.drivers.ParquetDestinationDriver
+import graft.exec._
+import graft.mapper.MappingStore
+import graft.spec.{IdField, MigrationSpec}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Encoders}
+
+class StreamingSpec extends SparkSpec {
+
+  test("windowed aggregation over a memory stream matches batch computation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)](
+      Encoders.product[(java.sql.Timestamp, String, Double)], spark)
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    input.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0), (ts(31), "view", 3.0))
+    val agg = StreamingIngest.windowedCounts(
+      input.toDF().toDF("ts", "event_type", "value"), "ts", "10 minutes", "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("win_counts")
+      .orderBy("window_start", "event_type").collect()
+    assert(rows.map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq(("click", 2L, 300L), ("view", 1L, 300L)))
+  }
+
+  test("foreachBatch upsert: two micro-batches upsert through the batch executor") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = scratchDir("stream_upsert")
+    val mapper = new MappingStore(s"$base/map")
+    val refs = new ReferenceStore(mapper)
+    val exec = new MigrationExecutor(mapper, refs, IgnoreOrphans)
+    val dest = new ParquetDestinationDriver
+    val sp = MigrationSpec("stream_m", source = "", sourceDriver = "stream",
+      destination = s"$base/dest", destinationDriver = "parquet",
+      sourceIds = Seq(IdField("src_id")), destinationIds = Seq(IdField("id")))
+    val migration = new Migration {
+      def spec: MigrationSpec = sp
+      def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+        src.select(col("src_id"), col("src_id").as("id"), upper(col("v")).as("v"))
+    }
+    val input = MemoryStream[(Long, String)](Encoders.product[(Long, String)], spark)
+
+    val q = StreamingIngest.upsertStream(input.toDF().toDF("src_id", "v"),
+      migration, dest, mapper, exec, s"$base/ckpt",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(dest.snapshot(spark, sp).get.count() == 2)
+
+      // second micro-batch updates key 1 and adds key 3 — upsert, not append
+      input.addData((1L, "a2"), (3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val snap = dest.snapshot(spark, sp).get.orderBy("id").collect()
+    assert(snap.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "A2"), (2L, "B"), (3L, "C")))
+    assert(mapper.load(spark, sp).get.count() == 3)
+  }
+}
