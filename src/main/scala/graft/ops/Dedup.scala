@@ -28,7 +28,8 @@ object Dedup {
 
   /** One row per distinct k-token shingle per document. */
   def shingleTable(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
-    df.select(col(idCol), explode(TextOps.shingles(col(textCol), k)).as("shingle"))
+    ensureParallelism(df)
+      .select(col(idCol), explode(TextOps.shingles(col(textCol), k)).as("shingle"))
       .distinct()
 
   /** Exact n-gram Jaccard near-dup pairs ≥ `minJaccard`: candidate pairs
@@ -39,8 +40,9 @@ object Dedup {
     */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
-      k: Int, minJaccard: Double): DataFrame = {
-    val sh = shingleTable(df, textCol, idCol, k).persist()
+      k: Int, minJaccard: Double,
+      precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val sh = precomputedShingles.getOrElse(shingleTable(df, textCol, idCol, k).persist())
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
     val a = sh.select(col(idCol).as("a"), col("shingle"))
     val b = sh.select(col(idCol).as("b"), col("shingle"))
@@ -82,21 +84,41 @@ object Dedup {
     val rnd = new java.util.Random(p.seed)
     val as = Array.fill(p.numHashes)(math.abs(rnd.nextLong()) % MersennePrime + 1)
     val bs = Array.fill(p.numHashes)(math.abs(rnd.nextLong()) % MersennePrime)
-    val hashes = col("hashes")
-    // min over shingles of (a*x+b) mod p, for each of numHashes fns;
-    // aggregate() is codegen'd — one pass over the shingle array per fn.
-    def minhash(i: Int): Column =
-      aggregate(hashes, lit(Long.MaxValue),
-        (acc, x) => least(acc,
-          pmod(lit(as(i)) * x.bitwiseAND(lit(MersennePrime)) + lit(bs(i)), lit(MersennePrime))))
-    val bandCols = (0 until p.bands).map { b =>
-      val sig = (0 until p.rowsPerBand).map(r => minhash(b * p.rowsPerBand + r))
-      struct(lit(b).as("band"), xxhash64(sig: _*).as("bucket")).as(s"band_$b")
-    }
-    df.select(col(idCol), TextOps.shingleHashes(col(textCol), shingleK).as("hashes"))
-      .filter(size(col("hashes")) > 0)
-      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val nH = p.numHashes
+    val rpb = p.rowsPerBand
+    val nBands = p.bands
+    val spark = df.sparkSession
+    import spark.implicits._
+    // One typed pass: all k permutations update while streaming the
+    // shingle hashes once per document. (A k-wide Catalyst aggregate()
+    // tree for this blows up whole-stage codegen — 128 nested lambda
+    // aggregates took >20s to plan+run on 500 docs; this runs in ms.)
+    ensureParallelism(df)
+      .select(col(idCol).cast("long"), TextOps.shingleHashes(col(textCol), shingleK))
+      .as[(Long, Array[Long])]
+      .flatMap { case (id, hashes) =>
+        if (hashes.isEmpty) Iterator.empty
+        else {
+          val sig = Array.fill(nH)(Long.MaxValue)
+          var s = 0
+          while (s < hashes.length) {
+            val x = hashes(s) & MersennePrime
+            var i = 0
+            while (i < nH) {
+              val v = (as(i) * x + bs(i)) % MersennePrime
+              if (v < sig(i)) sig(i) = v
+              i += 1
+            }
+            s += 1
+          }
+          Iterator.tabulate(nBands) { b =>
+            var acc = 1125899906842597L // FNV-style fold of the band's rows
+            var r = 0
+            while (r < rpb) { acc = acc * 31 + sig(b * rpb + r); r += 1 }
+            (id, b, acc)
+          }
+        }
+      }.toDF(idCol, "band", "bucket")
   }
 
   /** Candidate near-dup pairs from LSH buckets (distinct across bands). */
@@ -117,9 +139,10 @@ object Dedup {
   def minHashVerifiedPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 5, minJaccard: Double = 0.8,
-      p: MinHashParams = MinHashParams()): DataFrame = {
+      p: MinHashParams = MinHashParams(),
+      precomputedShingles: Option[DataFrame] = None): DataFrame = {
     val cand = minHashCandidates(df, textCol, idCol, shingleK, p)
-    val sh = shingleTable(df, textCol, idCol, shingleK).persist()
+    val sh = precomputedShingles.getOrElse(shingleTable(df, textCol, idCol, shingleK).persist())
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select(col(idCol).as("a"), col("shingle")), Seq("a"))
@@ -135,19 +158,39 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash from token xxhash64s: sign of the per-bit weighted
-    * sum. Computed as one expression chain per document.
+  /** FNV-1a 64-bit — deterministic token hash for SimHash bits. */
+  private def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** 64-bit SimHash per document: sign of the per-bit token-vote sum,
+    * computed in one typed pass (a 64-expression Catalyst aggregate tree
+    * here is a codegen blow-up, like MinHash above). Output: (id, sh).
     */
-  def simHash(text: Column): Column = {
-    val tokenHashes = transform(TextOps.tokens(text), t => xxhash64(t))
-    // For each bit j: +1 if set else -1, summed over tokens; bit j of the
-    // simhash = (sum > 0). Folded via aggregate into a single long.
-    val bits = (0 until 64).map { j =>
-      val votes = aggregate(tokenHashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+  def simHashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    ensureParallelism(df)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val votes = new Array[Int](64)
+        text.split(' ').foreach { tok =>
+          val h = fnv1a64(tok)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+            j += 1
+          }
+        }
+        var sh = 0L
+        var j = 0
+        while (j < 64) { if (votes(j) > 0) sh |= (1L << j); j += 1 }
+        (id, sh)
+      }.toDF(idCol, "sh")
   }
 
   /** SimHash near-dup candidates: band the 64-bit hash into 4×16-bit
@@ -156,7 +199,7 @@ object Dedup {
     * scan; verified by exact popcount on the XOR.
     */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol), simHash(col(textCol)).as("sh"))
+    val sh = simHashSignatures(df, textCol, idCol)
     val banded = sh.select(col(idCol), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

@@ -64,7 +64,7 @@ object Multimodal {
       StructField("feature_norm", DoubleType)))
     val idIdx = df.schema.fieldIndex(idCol)
     val payloadIdx = df.schema.fieldIndex("payload")
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = ensureParallelism(df).rdd.mapPartitions { rows =>
       // per-partition decoder init would happen here
       rows.map { r =>
         val f = decodeStub(r.getAs[Array[Byte]](payloadIdx))

