@@ -176,6 +176,79 @@ final class MigrationExecutor(
     MigrationResult(migratedCount, orphansPersisted, orphanCount, merged)
   }
 
+  /** Chunked execution — the set-oriented form of the reference's
+    * `flush=true` per-row flushing
+    * (`/root/reference/src/Annotations/DataMigration.php:96-105`,
+    * `DataMigrationExecutor.php:212-214`), which exists so
+    * self-referencing datasets can observe rows written earlier in the
+    * same run. Here the source is split into `numChunks` ordered chunks
+    * (ntile over the source keys) and merged sequentially: chunk i's
+    * transform sees a snapshot containing chunks < i. Orphans are
+    * computed once against the pre-run snapshot, exactly like the
+    * single-pass path.
+    *
+    * The ordering window funnels the source through one partition to
+    * assign chunks — inherent to "process in declared order" semantics;
+    * datasets needing flush mode are by nature modest (the reference
+    * warns of "massive performance issues" for the same reason).
+    */
+  def executeChunked(
+      spark: SparkSession,
+      migration: Migration,
+      source: SourceDriver,
+      dest: DestinationDriver,
+      numChunks: Int): MigrationResult = {
+    import org.apache.spark.sql.expressions.Window
+    val spec = migration.spec
+    val destIdCols = spec.destinationIds.map(_.name)
+    // generation pointers make this a stable pre-run view even as chunk
+    // writes land new generations
+    val pre = dest.snapshot(spark, spec)
+    val keyed = spec.sourceIds.foldLeft(source.read(spark, spec))((df, f) =>
+      df.withColumn(f.name, col(f.name).cast(f.idType.sparkType)))
+    val w = Window.orderBy(spec.sourceIds.map(f => col(f.name)): _*)
+    val chunked = keyed.withColumn("__chunk", ntile(numChunks).over(w)).persist()
+    val inner = new MigrationExecutor(mapper, references, IgnoreOrphans)
+    var migrated = 0L
+    (1 to numChunks).foreach { c =>
+      val chunkDf = chunked.filter(col("__chunk") === c).drop("__chunk")
+      val chunkSource = new SourceDriver {
+        def read(s: SparkSession, sp: MigrationSpec): DataFrame = chunkDf
+      }
+      migrated += inner.execute(spark, migration, chunkSource, dest).migrated
+    }
+    chunked.unpersist()
+    // one orphan pass against the pre-run snapshot, as the single-pass
+    // path does (`Executor.php:119,130-135`)
+    val post = dest.snapshot(spark, spec).get
+    val mapping = mapper.load(spark, spec).get
+    val runKeys = mapping.filter(
+      spec.sourceIds.map(f => col(s"${MappingStore.SourcePrefix}${f.name}").isNotNull).reduce(_ && _))
+      .select(spec.destinationIds.map(f =>
+        col(s"${MappingStore.DestPrefix}${f.name}").as(f.name)): _*)
+    val orphans = pre match {
+      case None => post.limit(0)
+      case Some(p) =>
+        p.join(runKeys, destIdCols.map(k => p(k) <=> runKeys(k)).reduce(_ && _), "left_anti")
+    }
+    val orphansPersisted = orphans.persist()
+    val orphanCount = orphansPersisted.count()
+    val finalSnap = orphanPolicy match {
+      case PruneOrphans if orphanCount > 0 =>
+        val pruned = post.join(orphansPersisted,
+          destIdCols.map(k => post(k) <=> orphansPersisted(k)).reduce(_ && _), "left_anti")
+        dest.write(pruned, spec)
+        pruned
+      case KeepOrphans if orphanCount > 0 =>
+        mapper.recordOrphansKept(spark, spec,
+          orphansPersisted.select(spec.destinationIds.map(f =>
+            col(f.name).as(s"${MappingStore.DestPrefix}${f.name}")): _*))
+        post
+      case _ => post
+    }
+    MigrationResult(migrated, orphansPersisted, orphanCount, finalSnap)
+  }
+
   /** Run a set of migrations in dependency order
     * (`DataMigrationManager.php:271-326` + `MigrateCommand.php:181-205`).
     */

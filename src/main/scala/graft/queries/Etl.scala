@@ -332,6 +332,200 @@ object Etl {
              |JOIN region ON n_regionkey = r_regionkey
              |ORDER BY sid""".stripMargin)),
 
+    // §2.2 JDBC (database) sink + §2.1 JDBC source: write through the
+    // JDBC destination driver into embedded Derby, read back via the
+    // arbitrary-SQL JDBC source — the DbalSourceDriver /
+    // DoctrineDestinationDriver pairing end-to-end.
+    QueryDef("etl_jdbc_roundtrip",
+      (spark, sf) => {
+        val db = scratch("graft_derby") + "/db"
+        val url = s"jdbc:derby:$db;create=true"
+        val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+          "createTableColumnTypes" -> "r_name VARCHAR(64)")
+        val spec = MigrationSpec("jdbc_rt", source = url, sourceDriver = "jdbc",
+          destination = url, destinationDriver = "jdbc",
+          sourceIds = Seq(IdField("r_regionkey", LongId)),
+          destinationIds = Seq(IdField("r_regionkey", LongId)))
+        val region = load(spark, sf, "region")
+          .select(col("r_regionkey").cast("long"), col("r_name"))
+        new JdbcDestinationDriver("region_t", props).write(region, spec)
+        new JdbcSourceDriver(
+          """SELECT "r_regionkey", "r_name" FROM region_t""",
+          None, Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+          .read(spark, spec)
+          .select(col("r_regionkey"), trim(col("r_name")).as("r_name"))
+          .orderBy(col("r_regionkey"))
+      },
+      Some("""SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+             |FROM region ORDER BY r_regionkey""".stripMargin)),
+
+    // §2.2 Debug sink / --simulate (`DebugDestinationDriver.php:50-100`,
+    // `MigrateCommand.php:192-195`): the destination is swapped for a
+    // console dump and nothing persists — the returned rows are what
+    // would have been written.
+    QueryDef("etl_simulate",
+      (spark, sf) => {
+        val base = scratch("graft_sim")
+        val theSpec = MigrationSpec("sim", source = "", sourceDriver = "inline",
+          destination = "console", destinationDriver = "console",
+          sourceIds = Seq(IdField("n_nationkey", LongId)),
+          destinationIds = Seq(IdField("id", LongId)))
+        val mapper = new MappingStore(s"$base/map")
+        val exec = new MigrationExecutor(mapper, new ReferenceStore(mapper), KeepOrphans)
+        val res = exec.execute(spark,
+          new Migration {
+            def spec: MigrationSpec = theSpec
+            def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+              src.select(col("n_nationkey"), col("n_nationkey").as("id"),
+                lower(col("n_name")).as("name_lower"))
+          },
+          new SourceDriver {
+            def read(s: SparkSession, sp: MigrationSpec): DataFrame = load(s, sf, "nation")
+          },
+          new ConsoleDestinationDriver(numRows = 5))
+        res.finalSnapshot.select(col("id"), col("name_lower")).orderBy(col("id"))
+      },
+      Some("""SELECT n_nationkey AS id, LOWER(n_name) AS name_lower
+             |FROM nation ORDER BY id""".stripMargin)),
+
+    // §2.3 destination read-back: the transform's second argument
+    // (current dest entity, `DataMigrationExecutor.php:177-189`) as a
+    // ctx.currentFor left join; insert path sees nulls → defaultResult
+    // via coalesce.
+    QueryDef("etl_current_readback",
+      (spark, sf) => {
+        val base = scratch("graft_cur")
+        val theSpec = MigrationSpec("cur", source = "", sourceDriver = "inline",
+          destination = s"$base/dest", destinationDriver = "parquet",
+          sourceIds = Seq(IdField("c_custkey", LongId)),
+          destinationIds = Seq(IdField("id", LongId)))
+        val mapper = new MappingStore(s"$base/map")
+        val exec = new MigrationExecutor(mapper, new ReferenceStore(mapper), KeepOrphans)
+        val dest = new ParquetDestinationDriver
+        val mig = new Migration {
+          def spec: MigrationSpec = theSpec
+          def transform(src: DataFrame, ctx: TransformContext): DataFrame = {
+            val withIds = mapper.lookupDest(src, theSpec)
+            val cur = ctx.currentFor(withIds)
+            // insert path (first run): no snapshot yet, so the __current
+            // column is absent — the set-wise defaultResult()
+            val prevSeen =
+              if (cur.columns.contains("times_seen__current")) col("times_seen__current")
+              else lit(null).cast("long")
+            cur.select(
+              col("c_custkey"),
+              coalesce(col("dest_id"), col("c_custkey")).as("id"),
+              (coalesce(prevSeen, lit(0L)) + 1L).as("times_seen"))
+          }
+        }
+        val source = new SourceDriver {
+          def read(s: SparkSession, sp: MigrationSpec): DataFrame =
+            load(s, sf, "customer").filter(col("c_custkey") % 4 === 0)
+        }
+        exec.execute(spark, mig, source, dest)  // run 1: all times_seen=1
+        exec.execute(spark, mig, source, dest)  // run 2: update path → 2
+        dest.snapshot(spark, theSpec).get.select(col("id"), col("times_seen"))
+          .orderBy(col("id"))
+      },
+      Some("""SELECT c_custkey AS id, CAST(2 AS BIGINT) AS times_seen
+             |FROM customer WHERE c_custkey % 4 = 0 ORDER BY id""".stripMargin)),
+
+    // §2.3 orphan disposition = prune (`MigrateCommand.php:124-133`,
+    // `DataMigrationExecutor.php:275-328`): vanished rows dropped from
+    // the final snapshot.
+    QueryDef("etl_orphan_prune",
+      (spark, sf) => {
+        val base = scratch("graft_prune")
+        val spec = upsertSpec(s"$base/dest", s"$base/map")
+        val mapper = new MappingStore(s"$base/map")
+        val exec = new MigrationExecutor(mapper, new ReferenceStore(mapper), PruneOrphans)
+        val dest = new ParquetDestinationDriver
+        val cust = load(spark, sf, "customer")
+        dest.write(
+          cust.filter(col("c_custkey") % 3 === 0)
+            .select(col("c_custkey").as("id"), upper(col("c_name")).as("name_upper"),
+              lit("old").as("marker")), spec)
+        val theSpec = spec
+        val res = exec.execute(spark,
+          new Migration {
+            def spec: MigrationSpec = theSpec
+            def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+              src.select(col("c_custkey"), col("c_custkey").as("id"),
+                upper(col("c_name")).as("name_upper"), lit("new").as("marker"))
+          },
+          new SourceDriver {
+            def read(s: SparkSession, sp: MigrationSpec): DataFrame =
+              load(s, sf, "customer").filter(col("c_custkey") % 2 === 0)
+          }, dest)
+        res.finalSnapshot.select(col("id"), col("marker")).orderBy(col("id"))
+      },
+      Some("""SELECT c_custkey AS id, 'new' AS marker FROM customer
+             |WHERE c_custkey % 2 = 0 ORDER BY id""".stripMargin)),
+
+    // §2.3 `extends`: a second-pass migration shares the parent's mapping
+    // table (`Annotations/DataMigration.php:107-113`,
+    // `DataMigrationExecutor.php:172-175`) — after parent (even keys) and
+    // extension (odd keys) run, one mapping table holds both.
+    QueryDef("etl_extends",
+      (spark, sf) => {
+        val base = scratch("graft_ext")
+        val mapper = new MappingStore(s"$base/map")
+        val exec = new MigrationExecutor(mapper, new ReferenceStore(mapper), IgnoreOrphans)
+        val dest = new ParquetDestinationDriver
+        def mkSpec(n: String, ext: Option[String]) = MigrationSpec(n, source = "",
+          sourceDriver = "inline", destination = s"$base/shared", destinationDriver = "parquet",
+          sourceIds = Seq(IdField("c_custkey", LongId)),
+          destinationIds = Seq(IdField("c_custkey", LongId)), extendsMigration = ext)
+        val parentSpec = mkSpec("ext_parent", None)
+        val childSpec = mkSpec("ext_child", Some("ext_parent"))
+        def mig(sp: MigrationSpec, parity: Int) = new Migration {
+          def spec: MigrationSpec = sp
+          def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+            src.filter(col("c_custkey") % 2 === parity)
+              .select(col("c_custkey"), col("c_name"))
+        }
+        val source = new SourceDriver {
+          def read(s: SparkSession, sp: MigrationSpec): DataFrame = load(s, sf, "customer")
+        }
+        exec.execute(spark, mig(parentSpec, 0), source, dest)
+        exec.execute(spark, mig(childSpec, 1), source, dest)
+        assert(childSpec.mappingKey == "ext_parent")
+        mapper.load(spark, parentSpec).get
+          .select(col("source_c_custkey"), col("dest_c_custkey"))
+          .orderBy(col("source_c_custkey"))
+      },
+      Some("""SELECT c_custkey AS source_c_custkey, c_custkey AS dest_c_custkey
+             |FROM customer ORDER BY source_c_custkey""".stripMargin)),
+
+    // §2.3 flush control: chunked sequential merges (the set-oriented
+    // `flush=true`, `Annotations/DataMigration.php:96-105`) — result must
+    // equal the single-pass migration for non-self-referencing data.
+    QueryDef("etl_flush_chunks",
+      (spark, sf) => {
+        val base = scratch("graft_flush")
+        val spec = MigrationSpec("flush_m", source = "", sourceDriver = "inline",
+          destination = s"$base/dest", destinationDriver = "parquet",
+          sourceIds = Seq(IdField("n_nationkey", LongId)),
+          destinationIds = Seq(IdField("n_nationkey", LongId)), flush = true)
+        val mapper = new MappingStore(s"$base/map")
+        val exec = new MigrationExecutor(mapper, new ReferenceStore(mapper), KeepOrphans)
+        val theSpec = spec
+        val res = exec.executeChunked(spark,
+          new Migration {
+            def spec: MigrationSpec = theSpec
+            def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+              src.select(col("n_nationkey"), upper(col("n_name")).as("name_upper"))
+          },
+          new SourceDriver {
+            def read(s: SparkSession, sp: MigrationSpec): DataFrame = load(s, sf, "nation")
+          },
+          new ParquetDestinationDriver, numChunks = 4)
+        res.finalSnapshot.select(col("n_nationkey"), col("name_upper"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey, UPPER(n_name) AS name_upper
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
     // §2.3 key extraction + cast (`DataMigrationExecutor.php:340-356`):
     // declared id columns cast per IdField type, null keys rejected.
     QueryDef("etl_key_cast",
