@@ -25,7 +25,11 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Native fused-loop Catalyst expression (see [[graft.functions.CosineSim]]);
+    * same double-precision semantics as `dot/(norm*norm)` but one array
+    * traversal instead of three.
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSim(a, b)
 
   /** Exact top-k cosine neighbors for each query vector. `queries` and
     * `corpus` both carry (`idCol`, `vecCol`); queries ≪ corpus, so the

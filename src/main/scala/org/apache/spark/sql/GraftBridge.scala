@@ -1,0 +1,19 @@
+/* Bridge into Spark's private[sql] Column internals.
+ *
+ * Spark 4 made `Column` implementation-agnostic (ColumnNode-based); the
+ * classic Expression<->Column converters live behind private[sql]. Like
+ * many Spark extension libraries, we place one tiny accessor in the
+ * org.apache.spark.sql package to lift custom Catalyst Expressions into
+ * Columns and back. No Spark behavior is modified.
+ */
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+object GraftBridge {
+  /** Wrap a Catalyst Expression as a user-facing Column. */
+  def column(e: Expression): Column = Column(classic.ExpressionColumnNode(e))
+
+  /** Resolve a Column back to its Catalyst Expression (classic engine). */
+  def expression(c: Column): Expression = classic.ColumnConversions.expression(c)
+}
