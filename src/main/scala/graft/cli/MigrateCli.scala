@@ -1,0 +1,138 @@
+package graft.cli
+
+import graft.drivers._
+import graft.exec._
+import graft.mapper.MappingStore
+import graft.spec.{MigrationRegistry, MigrationSpec}
+import org.apache.spark.sql.SparkSession
+
+/** Driver-key → driver resolution, the engine-side replacement for the
+  * reference's DI-tag driver registry
+  * (`/root/reference/src/DependencyInjection/A2BExtension.php:84-112`):
+  * well-known keys for the built-ins, any other key treated as a
+  * fully-qualified class name (the "custom drivers" extension point,
+  * `doc/index.rst`).
+  */
+object DriverRegistry {
+  def source(key: String): SourceDriver = key match {
+    case "parquet" => new ParquetSourceDriver
+    case "csv" => new CsvSourceDriver()
+    case "yaml" => new YamlSourceDriver
+    case k if k.startsWith("sql:") => new SqlSourceDriver(k.stripPrefix("sql:"))
+    case fqcn =>
+      Class.forName(fqcn).getDeclaredConstructor().newInstance().asInstanceOf[SourceDriver]
+  }
+
+  def destination(key: String): DestinationDriver = key match {
+    case "parquet" => new ParquetDestinationDriver()
+    case "parquet+stubs" => new ParquetDestinationDriver(stubs = true)
+    case "csv" => new CsvDestinationDriver
+    case "yaml" => new YamlDestinationDriver
+    case "console" => new ConsoleDestinationDriver()
+    case fqcn =>
+      Class.forName(fqcn).getDeclaredConstructor().newInstance().asInstanceOf[DestinationDriver]
+  }
+}
+
+/** `a2b-spark migrate` — CLI parity with the reference's single entry
+  * point (`/root/reference/src/Command/MigrateCommand.php:108-144`):
+  *
+  * {{{
+  * migrate [FQCN…] [--group g]… [--simulate] [--prune|--preserve]
+  *         [--no-deps] [--mapping-dir path] [--chunks n]
+  * }}}
+  *
+  * Migrations are user classes implementing [[graft.exec.Migration]],
+  * loaded by FQCN (the reflection-free Spark analogue of annotation
+  * scanning). `--simulate` swaps every destination for the console sink
+  * (`MigrateCommand.php:192-195`); `--prune` ⊕ `--preserve` is enforced
+  * (`:174-178`); the interactive orphan "ask" default becomes
+  * preserve-unless-flagged (a batch engine cannot prompt per entity);
+  * `--no-deps` skips dependency expansion (`:134-138`).
+  */
+object MigrateCli {
+
+  final case class Args(
+      migrations: Seq[String] = Nil,
+      groups: Set[String] = Set.empty,
+      simulate: Boolean = false,
+      prune: Boolean = false,
+      preserve: Boolean = false,
+      noDeps: Boolean = false,
+      mappingDir: String = "a2b_mappings",
+      chunks: Int = 1)
+
+  def parse(argv: Seq[String]): Args = {
+    def loop(rest: List[String], acc: Args): Args = rest match {
+      case Nil => acc
+      case "--group" :: g :: t => loop(t, acc.copy(groups = acc.groups + g))
+      case "--simulate" :: t => loop(t, acc.copy(simulate = true))
+      case "--prune" :: t => loop(t, acc.copy(prune = true))
+      case "--preserve" :: t => loop(t, acc.copy(preserve = true))
+      case "--no-deps" :: t => loop(t, acc.copy(noDeps = true))
+      case "--mapping-dir" :: d :: t => loop(t, acc.copy(mappingDir = d))
+      case "--chunks" :: n :: t => loop(t, acc.copy(chunks = n.toInt))
+      case fqcn :: t => loop(t, acc.copy(migrations = acc.migrations :+ fqcn))
+    }
+    val a = loop(argv.toList, Args())
+    // `MigrateCommand.php:174-178`
+    require(!(a.prune && a.preserve), "--prune and --preserve are mutually exclusive")
+    a
+  }
+
+  def instantiate(fqcn: String): Migration =
+    Class.forName(fqcn).getDeclaredConstructor().newInstance().asInstanceOf[Migration]
+
+  /** Resolve, order and execute; returns per-migration results. */
+  def run(spark: SparkSession, args: Args,
+      loaded: Seq[Migration] = Nil): Map[String, MigrationResult] = {
+    val explicit = args.migrations.map(instantiate)
+    val candidates = (loaded ++ explicit).distinctBy(_.spec.name)
+    val selected =
+      if (args.groups.nonEmpty) candidates.filter(m => args.groups.contains(m.spec.group))
+      else candidates
+    require(selected.nonEmpty, "no migrations selected")
+
+    val registry = new MigrationRegistry
+    candidates.foreach(m => registry.add(m.spec))
+    val (ordered, implicitAdds) =
+      registry.resolveOrder(selected.map(_.spec.name), noDeps = args.noDeps)
+    if (implicitAdds.nonEmpty)
+      System.err.println(s"[a2b-spark] implicitly added dependencies: ${implicitAdds.mkString(", ")}")
+
+    val byName = candidates.map(m => m.spec.name -> m).toMap
+    val mapper = new MappingStore(args.mappingDir)
+    val refs = new ReferenceStore(mapper)
+    val policy = if (args.prune) PruneOrphans else KeepOrphans
+    val executor = new MigrationExecutor(mapper, refs, policy)
+
+    ordered.map { spec =>
+      val m = byName(spec.name)
+      val source = m.configureSource(DriverRegistry.source(spec.sourceDriver))
+      val dest0 =
+        if (args.simulate) new ConsoleDestinationDriver() // MigrateCommand.php:192-195
+        else DriverRegistry.destination(spec.destinationDriver)
+      val dest = m.configureDestination(dest0)
+      refs.register(spec, dest)
+      val result =
+        if (spec.flush || args.chunks > 1)
+          executor.executeChunked(spark, m, source, dest, math.max(args.chunks, 2))
+        else executor.execute(spark, m, source, dest)
+      System.err.println(
+        s"[a2b-spark] ${spec.name}: migrated=${result.migrated} orphans=${result.orphanCount}")
+      spec.name -> result
+    }.toMap
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parse(argv.toIndexedSeq)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${Runtime.getRuntime.availableProcessors}]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    try run(spark, args) finally spark.stop()
+  }
+}

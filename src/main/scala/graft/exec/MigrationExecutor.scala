@@ -37,6 +37,16 @@ case object IgnoreOrphans extends OrphanPolicy
 trait Migration {
   def spec: MigrationSpec
   def transform(source: DataFrame, ctx: TransformContext): DataFrame
+
+  /** Per-migration driver configuration hooks — parity with the
+    * reference's `configureSource`/`configureDestination` (e.g. setting
+    * the SQL statement on a DBAL source;
+    * `/root/reference/src/Command/MigrateCommand.php:197-202`,
+    * `doc/usage/creating_migrations.rst` "Configuration"). Default:
+    * driver used as resolved.
+    */
+  def configureSource(driver: SourceDriver): SourceDriver = driver
+  def configureDestination(driver: DestinationDriver): DestinationDriver = driver
 }
 
 /** Context handed to transforms: the destination snapshot (update path)

@@ -1,0 +1,101 @@
+package graft.cli
+
+import graft.SparkSpec
+import graft.drivers.{ParquetDestinationDriver, SourceDriver}
+import graft.exec.{Migration, TransformContext}
+import graft.spec.{IdField, LongId, MigrationSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture migrations wired through system properties (the CLI loads by
+  * FQCN, so fixtures must be no-arg-constructible).
+  */
+class NationFixtureMigration extends Migration {
+  def spec: MigrationSpec = MigrationSpec(
+    name = "nation_fix",
+    source = sys.props("graft.test.src"),
+    sourceDriver = "parquet",
+    destination = sys.props("graft.test.dst") + "/nation",
+    destinationDriver = "parquet",
+    sourceIds = Seq(IdField("n_nationkey", LongId)),
+    destinationIds = Seq(IdField("n_nationkey", LongId)),
+    group = "fixtures")
+  def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+    src.select(col("n_nationkey"), upper(col("n_name")).as("name_upper"))
+}
+
+class DependentFixtureMigration extends Migration {
+  def spec: MigrationSpec = MigrationSpec(
+    name = "dependent_fix",
+    source = sys.props("graft.test.src2"),
+    sourceDriver = "parquet",
+    destination = sys.props("graft.test.dst") + "/region",
+    destinationDriver = "parquet",
+    sourceIds = Seq(IdField("r_regionkey", LongId)),
+    destinationIds = Seq(IdField("r_regionkey", LongId)),
+    group = "fixtures",
+    depends = Seq("nation_fix"))
+  def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+    src.select(col("r_regionkey"), col("r_name"))
+}
+
+class MigrateCliSpec extends SparkSpec {
+
+  private def setProps(): String = {
+    val base = scratchDir("cli")
+    sys.props("graft.test.src") = s"$Sf/nation.parquet"
+    sys.props("graft.test.src2") = s"$Sf/region.parquet"
+    sys.props("graft.test.dst") = base
+    base
+  }
+
+  test("flag parsing: groups, simulate, exclusivity, no-deps") {
+    val a = MigrateCli.parse(Seq("--group", "g1", "--group", "g2", "--simulate",
+      "--no-deps", "--chunks", "3", "x.Y"))
+    assert(a.groups == Set("g1", "g2") && a.simulate && a.noDeps
+      && a.chunks == 3 && a.migrations == Seq("x.Y"))
+    assertThrows[IllegalArgumentException](MigrateCli.parse(Seq("--prune", "--preserve")))
+  }
+
+  test("explicit FQCN run end-to-end with dependency expansion in topo order") {
+    val base = setProps()
+    val results = MigrateCli.run(spark,
+      MigrateCli.Args(
+        migrations = Seq("graft.cli.DependentFixtureMigration",
+          "graft.cli.NationFixtureMigration"),
+        mappingDir = s"$base/map"))
+    assert(results.keySet == Set("nation_fix", "dependent_fix"))
+    assert(results("nation_fix").migrated == 25)
+    assert(results("dependent_fix").migrated == 5)
+    val out = spark.read.parquet(s"$base/nation/gen0")
+    assert(out.columns.toSet == Set("n_nationkey", "name_upper"))
+  }
+
+  test("dependency pulled in implicitly when only the dependent is requested") {
+    val base = setProps()
+    val results = MigrateCli.run(spark,
+      MigrateCli.Args(migrations = Seq("graft.cli.DependentFixtureMigration"),
+        mappingDir = s"$base/map"),
+      loaded = Seq(new NationFixtureMigration))
+    assert(results.keySet == Set("nation_fix", "dependent_fix"))
+  }
+
+  test("--simulate writes nothing") {
+    val base = setProps()
+    MigrateCli.run(spark,
+      MigrateCli.Args(migrations = Seq("graft.cli.NationFixtureMigration"),
+        simulate = true, mappingDir = s"$base/map"))
+    assert(!new java.io.File(s"$base/nation").exists(), "console sink leaves no files")
+  }
+
+  test("group selection picks only tagged migrations") {
+    val base = setProps()
+    val results = MigrateCli.run(spark,
+      MigrateCli.Args(groups = Set("fixtures"), mappingDir = s"$base/map"),
+      loaded = Seq(new NationFixtureMigration, new DependentFixtureMigration))
+    assert(results.keySet == Set("nation_fix", "dependent_fix"))
+    assertThrows[IllegalArgumentException](
+      MigrateCli.run(spark, MigrateCli.Args(groups = Set("nope"), mappingDir = s"$base/map"),
+        loaded = Seq(new NationFixtureMigration)))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan assertions: the scale properties the engine is designed
+  * around must be visible in the plans, not assumed — filters/projection
+  * reach the parquet scan, small dimensions broadcast, top-k never sorts
+  * globally, hot paths stay inside WholeStageCodegen.
+  */
+class PlanSpec extends SparkSpec {
+  private def planOf(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, Sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: filter and column pruning pushed into the parquet scan") {
+    val p = planOf("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter must reach the scan:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("l_orderkey"),
+      "unused columns must be pruned from the scan")
+  }
+
+  test("q3: dimension table broadcast, no shuffle of customer") {
+    val p = planOf("q3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"customer side must broadcast:\n$p")
+  }
+
+  test("star join: all three dims broadcast") {
+    val p = planOf("q_star_join")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3,
+      s"supplier/nation/region must all broadcast:\n$p")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = planOf("q_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("scan-heavy aggregation stays inside WholeStageCodegen") {
+    // AQE only labels codegen spans in the final plan — execute first
+    val df = graft.SparkEntry.queries("q1_pricing_summary")(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // `*(n)` is the compact WholeStageCodegen marker; scan, filter,
+    // project and partial aggregate must share span *(1)
+    assert("""\*\(1\) HashAggregate""".r.findFirstIn(p).isDefined &&
+      """\*\(1\) Filter""".r.findFirstIn(p).isDefined,
+      s"expected fused codegen span over filter+partial agg:\n$p")
+  }
+
+  test("mapping lookup joins broadcast the mapping table") {
+    val df = graft.SparkEntry.queries("etl_mapping_lookup")(spark, Sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"mapping lookup must broadcast:\n$p")
+  }
+}
