@@ -72,6 +72,30 @@ object DedupQueries {
       None,
       bench = true),
 
+    // Embedding-cosine near-dup pairs: exact all-pairs with the native
+    // CosineSim expression. (The corpus has no planted embedding dups,
+    // so τ=0.4 exercises the tail; at scale the LSH bucketing of
+    // sim_ann_lsh is the prefilter.)
+    QueryDef("dedup_embedding_cosine",
+      (spark, sf) => {
+        val e = load(spark, sf, "embeddings")
+        val a = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
+        a.crossJoin(b).filter(col("a") < col("b"))
+          .withColumn("sim", graft.ops.Similarity.cosine(col("va"), col("vb")))
+          .filter(col("sim") >= 0.4)
+          .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+             |SELECT a.vec_id AS a, b.vec_id AS b,
+             |  ROUND(list_dot_product(a.v, b.v) /
+             |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+             |FROM c a JOIN c b ON a.vec_id < b.vec_id
+             |WHERE list_dot_product(a.v, b.v) /
+             |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+             |ORDER BY a, b""".stripMargin)),
+
     // SimHash (64-bit, 4×16 banding, Hamming ≤ 12 verified).
     QueryDef("dedup_simhash",
       (spark, sf) => Dedup.simHashPairs(

@@ -286,6 +286,53 @@ object Relational {
              |  MAX(n_events) AS max_session_events
              |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // As-of join (operator Spark lacks): for each error event, the most
+    // recent signup of the same user at-or-before its timestamp —
+    // union + windowed last-value (one shuffle, linear), never a
+    // quadratic range join. Oracle uses DuckDB's native ASOF JOIN, so
+    // two independent formulations must agree.
+    QueryDef("q_asof_join",
+      (spark, sf) => {
+        val ev = load(spark, sf, "events")
+        graft.ops.Joins.asof(
+            left = ev.filter(col("event_type") === "error")
+              .select(col("event_id"), col("user_id"), col("ts")),
+            right = ev.filter(col("event_type") === "signup")
+              .select(col("user_id"), col("ts"), col("event_id").as("sid")),
+            partitionKey = "user_id", leftTime = "ts", rightTime = "ts",
+            valueCols = Map("sid" -> "signup_id"))
+          .select(col("event_id"), col("user_id"), col("signup_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT e.event_id, e.user_id, s.sid AS signup_id
+             |FROM events e ASOF LEFT JOIN
+             |  (SELECT user_id, ts, event_id AS sid FROM events
+             |   WHERE event_type = 'signup') s
+             |  ON e.user_id = s.user_id AND e.ts >= s.ts
+             |WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin),
+      bench = true),
+
+    // Skew-safe salted join: hot keys spread over salt sub-keys, small
+    // side replicated — results must equal the plain join.
+    QueryDef("q_skew_salted_join",
+      (spark, sf) => {
+        val ev = load(spark, sf, "events")
+        val users = ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("user_events"))
+        graft.ops.Joins.saltedJoin(
+            ev.select(col("event_id"), col("user_id"), col("event_type")),
+            users, "user_id", saltBuckets = 8)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("user_events")).as("sum_user_events"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH users AS (
+             |  SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY user_id)
+             |SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(user_events) AS BIGINT) AS sum_user_events
+             |FROM events JOIN users USING (user_id)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Correlated scalar-subquery shape: customers above their nation's avg
     // balance. Expressed as join-with-aggregate (decorrelated by hand —
     // identical to what Catalyst's RewriteCorrelatedScalarSubquery does).
