@@ -89,6 +89,72 @@ object Similarity {
       }.toDF(idAs, vecAs, "sig")
   }
 
+  /** ANN via IVF (inverted file index): corpus clustered into `nlist`
+    * centroid lists with a few Lloyd iterations (seeded deterministic
+    * init from hash-ordered corpus vectors); each query exhaustively
+    * scans only its `nprobe` nearest lists and re-ranks exactly.
+    *
+    * Scale shape: centroids are tiny (nlist × dim doubles — collected to
+    * the driver and broadcast by design), assignment is one typed pass
+    * per iteration, and the probe join shuffles on the cluster id, so
+    * per-query work is corpus/nlist × nprobe instead of a full scan.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iterations: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = ensureParallelism(
+      corpus.select(col(idCol).cast("long"), col(vecCol)))
+      .as[(Long, Array[Float])].persist()
+
+    def nearest(v: Array[Float], cents: Array[Array[Double]], n: Int): Seq[Int] = {
+      val d2 = cents.map { c =>
+        var s = 0.0; var j = 0
+        while (j < c.length && j < v.length) { val d = v(j) - c(j); s += d * d; j += 1 }
+        s
+      }
+      d2.zipWithIndex.sortBy { case (dd, i) => (dd, i) }.take(n).map(_._2).toSeq
+    }
+
+    // deterministic init: nlist vectors in xxhash64(id) order
+    var centroids: Array[Array[Double]] = vecs
+      .toDF(idCol, "v").orderBy(xxhash64(col(idCol)))
+      .limit(nlist).as[(Long, Array[Float])]
+      .collect().map(_._2.map(_.toDouble))
+
+    (1 to iterations).foreach { _ =>
+      val cents = centroids
+      centroids = vecs
+        .map { case (_, v) => (nearest(v, cents, 1).head, (v.map(_.toDouble), 1L)) }
+        .rdd.reduceByKey(
+          (a: (Array[Double], Long), b: (Array[Double], Long)) => {
+            var j = 0; while (j < a._1.length) { a._1(j) += b._1(j); j += 1 }
+            (a._1, a._2 + b._2)
+          })
+        .collect().sortBy(_._1)
+        .map { case (_, (sum, n)) => sum.map(_ / n) }
+    }
+
+    val cents = centroids
+    val assigned = vecs.map { case (id, v) => (id, v, nearest(v, cents, 1).head) }
+      .toDF("neighbor_id", "cv", "list")
+    val probes = ensureParallelism(
+      queries.select(col(idCol).cast("long"), col(vecCol)))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) => nearest(v, cents, nprobe).map(l => (id, v, l)) }
+      .toDF("query_id", "qv", "list")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    assigned.join(probes, Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** ANN top-k via LSH bucketing: corpus rows pair with queries sharing
     * any signature band (multi-probe across `bands` bands of
     * `bitsPerBand` bits), exact cosine re-ranks within candidates. Recall

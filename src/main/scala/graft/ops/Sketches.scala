@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+
+import scala.collection.mutable
+
+/** Sketch aggregations — the custom-`Aggregator` tier of the operator
+  * ladder (SURVEY §7.3 "Extension aggregates"), for metrics where exact
+  * computation shuffles too much state at 100 TB.
+  *
+  * Space-saving top-k: bounded-memory heavy hitters. Each partition
+  * keeps at most `capacity` counters (Metwally et al.'s space-saving,
+  * public algorithm); merge sums counters and re-prunes. With capacity ≫
+  * k the frequent items' counts are exact (standard guarantee: error ≤
+  * N/capacity), so well-separated heavy hitters come out identical to an
+  * exact groupBy count — at a fraction of the shuffle (capacity rows per
+  * partition instead of one per distinct key).
+  */
+object Sketches {
+
+  final case class TopK(items: Seq[(String, Long)])
+
+  final class SpaceSavingTopK(capacity: Int, k: Int)
+      extends Aggregator[String, mutable.Map[String, Long], Seq[(String, Long)]] {
+
+    def zero: mutable.Map[String, Long] = mutable.Map.empty
+
+    def reduce(buf: mutable.Map[String, Long], item: String): mutable.Map[String, Long] = {
+      if (buf.contains(item) || buf.size < capacity) {
+        buf(item) = buf.getOrElse(item, 0L) + 1
+      } else {
+        // evict the minimum counter, inherit its count (space-saving)
+        val (minK, minV) = buf.minBy(_._2)
+        buf.remove(minK)
+        buf(item) = minV + 1
+      }
+      buf
+    }
+
+    def merge(a: mutable.Map[String, Long], b: mutable.Map[String, Long]): mutable.Map[String, Long] = {
+      b.foreach { case (k2, v) => a(k2) = a.getOrElse(k2, 0L) + v }
+      if (a.size > capacity) {
+        val keep = a.toSeq.sortBy { case (key, v) => (-v, key) }.take(capacity)
+        a.clear(); keep.foreach { case (key, v) => a(key) = v }
+      }
+      a
+    }
+
+    def finish(buf: mutable.Map[String, Long]): Seq[(String, Long)] =
+      buf.toSeq.sortBy { case (key, v) => (-v, key) }.take(k)
+
+    def bufferEncoder: Encoder[mutable.Map[String, Long]] =
+      Encoders.kryo[mutable.Map[String, Long]]
+    def outputEncoder: Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Untyped-DataFrame form: `df.agg(topKUdaf(256, 10)(col("word")))`. */
+  def topKUdaf(capacity: Int, k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new SpaceSavingTopK(capacity, k))
+}

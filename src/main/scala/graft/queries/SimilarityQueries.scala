@@ -36,6 +36,20 @@ object SimilarityQueries {
              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
       bench = true),
 
+    // ANN via IVF (inverted-file index): k-means lists + nprobe probing,
+    // exact re-rank — the second scale path next to LSH. Clustering is
+    // seeded-deterministic but not SQL-portable → rows-only; recall vs
+    // the exact query is spec-tested.
+    QueryDef("sim_ann_ivf",
+      (spark, sf) => Similarity.ivfTopK(
+          load(spark, sf, "embeddings"),
+          load(spark, sf, "embeddings").filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rank")),
+      None),
+
     // ANN via random-hyperplane LSH (4 bands × 8 bits, seeded
     // hyperplanes): the scale path — per-query cost drops from a full
     // scan to bucket-sized. Hyperplane sampling is not SQL-portable →

@@ -75,6 +75,32 @@ object TextQueries {
              |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens
              |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
 
+    // Heavy hitters via the custom space-saving Aggregator: bounded
+    // memory per partition (capacity counters), shuffle = capacity rows
+    // per partition. capacity (256) ≥ vocabulary here ⇒ exact counts,
+    // so the DuckDB oracle applies; the eviction path is spec-tested.
+    QueryDef("text_heavy_hitters",
+      (spark, sf) => {
+        val words = load(spark, sf, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+        words.agg(graft.ops.Sketches.topKUdaf(256, 10)(col("word")).as("topk"))
+          .select(explode(col("topk")).as("kv"))
+          .select(col("kv._1").as("word"), col("kv._2").as("cnt"))
+          .orderBy(col("cnt").desc, col("word"))
+      },
+      Some("""SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+             |  SELECT UNNEST(string_split(text, ' ')) AS word FROM documents) t
+             |GROUP BY word ORDER BY cnt DESC, word LIMIT 10""".stripMargin)),
+
+    // Approximate distinct (HLL): sketch tier for 100 TB cardinalities —
+    // engines' sketches differ, so rows-only; error bound is spec-tested.
+    QueryDef("q_approx_distinct",
+      (spark, sf) => load(spark, sf, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy(col("l_returnflag")),
+      None),
+
     // Multimodal payload plumbing: opaque binary + typed metadata.
     QueryDef("mm_payload_meta",
       (spark, sf) => {

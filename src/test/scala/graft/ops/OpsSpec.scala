@@ -55,6 +55,41 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"ANN recall@5 = $recall")
   }
 
+  test("IVF ANN: recall@5 >= 0.4 vs brute force; deterministic across runs") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ivf1 = run()
+    val recall = exact.count { case (q, n) => ivf1.exists(t => t._1 == q && t._3 == n) }
+      .toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall@5 = $recall")
+    assert(run() == ivf1, "seeded clustering must be deterministic")
+  }
+
+  test("space-saving sketch: exact when capacity >= cardinality; bounded when under") {
+    import spark.implicits._
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+    val exact = words.groupBy("word").count()
+      .orderBy(col("count").desc, col("word")).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val sketch = words.agg(Sketches.topKUdaf(256, 5)(col("word")))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(sketch == exact, "capacity >= vocabulary => exact heavy hitters")
+    // eviction path: capacity smaller than cardinality still surfaces the
+    // dominant item with count within N/capacity overestimate
+    val skewed = (Seq.fill(500)("hot") ++ (1 to 400).map(i => s"cold_$i")).toDF("w")
+    val out = skewed.agg(Sketches.topKUdaf(16, 1)(col("w")))
+      .head().getSeq[org.apache.spark.sql.Row](0).head
+    assert(out.getString(0) == "hot")
+    val n = 900.0
+    assert(out.getLong(1) >= 500 && out.getLong(1) <= 500 + n / 16)
+  }
+
   test("multimodal payload: schema, metadata integrity, distributed feature extract") {
     val p = Multimodal.asPayload(docs.select(col("doc_id"), col("text")), "text", "image")
     assert(p.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
