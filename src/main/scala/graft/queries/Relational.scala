@@ -19,6 +19,20 @@ object Relational {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
 
+  private val partitionedCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** events written once per sfDir as a date-partitioned table (Hive
+    * layout) — the input for the partition-pruning query.
+    */
+  private[queries] def partitionedEventsDir(spark: SparkSession, sf: String): String =
+    partitionedCache.getOrElseUpdate(sf, {
+      val base = Tables.scratch("graft_part") + "/events_by_date"
+      load(spark, sf, "events")
+        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.partitionBy("event_date").parquet(base)
+      base
+    })
+
   val defs: Seq[QueryDef] = Seq(
 
     // TPC-H Q1 shape: scan-heavy grouped aggregation with pushed filter.
@@ -285,6 +299,25 @@ object Relational {
              |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
              |  MAX(n_events) AS max_session_events
              |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Partition pruning: a date-partitioned copy of events is scanned
+    // with a partition predicate — the plan must prune to one partition
+    // directory (asserted in PlanSpec), the result must match the
+    // unpartitioned SQL filter.
+    QueryDef("q_partition_pruning",
+      (spark, sf) => {
+        val base = partitionedEventsDir(spark, sf)
+        spark.read.parquet(base)
+          .filter(col("event_date") === "2024-01-03")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("value_cents"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+             |FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-03'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // As-of join (operator Spark lacks): for each error event, the most
     // recent signup of the same user at-or-before its timestamp —

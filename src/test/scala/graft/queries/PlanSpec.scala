@@ -50,6 +50,13 @@ class PlanSpec extends SparkSpec {
       s"expected fused codegen span over filter+partial agg:\n$p")
   }
 
+  test("partition predicate prunes to one date directory") {
+    val df = graft.SparkEntry.queries("q_partition_pruning")(spark, Sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(event_date"),
+      s"expected partition filters in scan:\n$p")
+  }
+
   test("mapping lookup joins broadcast the mapping table") {
     val df = graft.SparkEntry.queries("etl_mapping_lookup")(spark, Sf)
     val p = df.queryExecution.executedPlan.toString
