@@ -127,13 +127,21 @@ final class ConsoleDestinationDriver(numRows: Int = 20) extends DestinationDrive
 /** JDBC sink with MERGE-style upsert semantics, the set-oriented
   * equivalent of the Doctrine ORM sink's persist+flush-per-100 batching
   * (`/root/reference/src/Drivers/Destination/DoctrineDestinationDriver.php:156-173`).
-  * Append uses Spark's JDBC writer (`batchsize` ≙ the reference's
-  * batch-100); upsert runs a MERGE per partition batch.
+  *
+  * Two write modes:
+  *   - `merge = false` (default): snapshot overwrite through Spark's JDBC
+  *     writer (`batchsize` ≙ the reference's batch-100);
+  *   - `merge = true`: incremental `MERGE INTO` per partition batch —
+  *     only the incoming rows travel to the database, keyed on the
+  *     spec's destination ids. At 100 TB the merge mode is the only
+  *     viable shape: a truncate-rewrite of a large destination is
+  *     O(destination), the merge is O(batch).
   */
 final class JdbcDestinationDriver(
     table: String,
     properties: Map[String, String] = Map.empty,
-    batchSize: Int = 100)
+    batchSize: Int = 100,
+    merge: Boolean = false)
     extends DestinationDriver {
   override def supportsStubs: Boolean = true
 
@@ -147,11 +155,93 @@ final class JdbcDestinationDriver(
     try Some(reader(spark, spec).load())
     catch { case _: Exception => None } // table absent yet
 
-  def write(df: DataFrame, spec: MigrationSpec): Unit = {
-    val w = df.write.format("jdbc")
-      .option("url", spec.destination).option("dbtable", table)
-      .option("batchsize", batchSize.toString)
-      .mode(SaveMode.Overwrite).option("truncate", "true")
-    properties.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }.save()
+  def write(df: DataFrame, spec: MigrationSpec): Unit =
+    if (merge) mergeWrite(df, spec)
+    else {
+      val w = df.write.format("jdbc")
+        .option("url", spec.destination).option("dbtable", table)
+        .option("batchsize", batchSize.toString)
+        .mode(SaveMode.Overwrite).option("truncate", "true")
+      properties.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }.save()
+    }
+
+  private def sqlType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "BIGINT"
+      case IntegerType => "INT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "REAL"
+      case BooleanType => "BOOLEAN"
+      case TimestampType => "TIMESTAMP"
+      case DateType => "DATE"
+      case _ => "VARCHAR(1024)"
+    }
+  }
+
+  /** Per-partition batched `MERGE INTO` (ANSI, Derby-compatible single-
+    * row source form), creating the table on first contact. Executors
+    * open their own connections — the standard distributed JDBC sink
+    * shape; `batchSize` rows per round trip.
+    */
+  private def mergeWrite(df: DataFrame, spec: MigrationSpec): Unit = {
+    val url = spec.destination
+    val keyCols = spec.destinationIds.map(_.name)
+    val cols = df.schema.fields.map(_.name).toSeq
+    val nonKeys = cols.filterNot(keyCols.contains)
+    val driverClass = properties.get("driver")
+    // ensure table exists (driver-side, once)
+    locally {
+      driverClass.foreach(Class.forName)
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val ddlCols = df.schema.fields
+          .map(f => s""""${f.name}" ${sqlType(f.dataType)}""").mkString(", ")
+        val st = conn.createStatement()
+        try st.execute(s"""CREATE TABLE $table ($ddlCols, PRIMARY KEY (${keyCols.map(k => s""""$k"""").mkString(", ")}))""")
+        catch { case _: java.sql.SQLException => () } // exists
+        finally st.close()
+      } finally conn.close()
+    }
+    val mergeSql = {
+      val on = keyCols.map(k => s"""t."$k" = ?""").mkString(" AND ")
+      val set = nonKeys.map(c => s""""$c" = ?""").mkString(", ")
+      val insCols = cols.map(c => s""""$c"""").mkString(", ")
+      val insVals = cols.map(_ => "?").mkString(", ")
+      val matched = if (nonKeys.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $set " else ""
+      s"""MERGE INTO $table t USING SYSIBM.SYSDUMMY1 ON ($on) """ +
+        matched + s"""WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)"""
+    }
+    val schema = df.schema
+    val bs = batchSize
+    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      if (rows.nonEmpty) {
+        driverClass.foreach(Class.forName)
+        val conn = java.sql.DriverManager.getConnection(url)
+        conn.setAutoCommit(false)
+        try {
+          val ps = conn.prepareStatement(mergeSql)
+          var n = 0
+          rows.foreach { row =>
+            var p = 1
+            def bind(c: String): Unit = {
+              val v = row.getAs[Any](c)
+              if (v == null) ps.setNull(p, java.sql.Types.NULL)
+              else ps.setObject(p, v)
+              p += 1
+            }
+            keyCols.foreach(bind)    // ON
+            nonKeys.foreach(bind)    // UPDATE SET
+            cols.foreach(bind)       // INSERT VALUES
+            ps.addBatch()
+            n += 1
+            if (n % bs == 0) ps.executeBatch()
+          }
+          ps.executeBatch()
+          conn.commit()
+          ps.close()
+        } finally conn.close()
+      }
+    }
   }
 }

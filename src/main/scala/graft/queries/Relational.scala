@@ -19,6 +19,27 @@ object Relational {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
 
+  private val bucketedCache = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** orders + lineitem written once per sfDir as bucketed/sorted tables
+    * on the join key (8 buckets) — co-located storage for the
+    * shuffle-free join query.
+    */
+  private[queries] def bucketedTables(spark: SparkSession, sf: String): (String, String) =
+    bucketedCache.getOrElseUpdate(sf, {
+      val tag = math.abs(sf.hashCode).toString
+      val base = Tables.scratch("graft_bucketed")
+      val ordersT = s"orders_b_$tag"
+      val liT = s"lineitem_b_$tag"
+      load(spark, sf, "orders").write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/orders").saveAsTable(ordersT)
+      load(spark, sf, "lineitem").write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/lineitem").saveAsTable(liT)
+      (ordersT, liT)
+    })
+
   private val partitionedCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** events written once per sfDir as a date-partitioned table (Hive
@@ -299,6 +320,27 @@ object Relational {
              |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
              |  MAX(n_events) AS max_session_events
              |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Bucketed co-located join: both fact tables written bucketed+sorted
+    // on the join key, so the join needs NO shuffle of either side
+    // (asserted in PlanSpec) — the pre-partitioning strategy that makes
+    // repeated big-table joins viable at 100 TB.
+    QueryDef("q_bucketed_join",
+      (spark, sf) => {
+        val (ordersT, liT) = bucketedTables(spark, sf)
+        val o = spark.table(ordersT)
+        val l = spark.table(liT)
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_items,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      bench = true),
 
     // Partition pruning: a date-partitioned copy of events is scanned
     // with a partition predicate — the plan must prune to one partition

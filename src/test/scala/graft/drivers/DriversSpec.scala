@@ -3,6 +3,7 @@ package graft.drivers
 import graft.SparkSpec
 import graft.spec._
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
 
 class DriversSpec extends SparkSpec {
   private def mkSpec(src: String, dst: String, srcIds: Seq[IdField] = Seq(IdField("id")),
@@ -80,6 +81,60 @@ class DriversSpec extends SparkSpec {
     val d = new ParquetDestinationDriver
     d.write(Seq((1L, "a"), (1L, "b")).toDF("id", "v"), s)
     assertThrows[NonUniqueKeyException](d.readByIds(spark, s, Map("id" -> 1L)))
+  }
+
+  test("JDBC MERGE upsert: incremental writes update-or-insert by key") {
+    import spark.implicits._
+    val db = scratchDir("derby_merge") + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val s = mkSpec("n/a", url)
+    val d = new JdbcDestinationDriver("items", props, merge = true)
+    d.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), s)
+    // second merge: update key 1, insert key 3; key 2 untouched
+    d.write(Seq((1L, "a2"), (3L, "c")).toDF("id", "v"), s)
+    val back = d.snapshot(spark, s).get.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back == Seq((1L, "a2"), (2L, "b"), (3L, "c")))
+  }
+
+  test("self-referencing dataset resolves through chunked (flush) mode") {
+    import spark.implicits._
+    import graft.exec._
+    import graft.mapper.MappingStore
+    // employees reference managers with lower ids; a single-pass run sees
+    // an empty snapshot, chunked execution sees earlier chunks' writes —
+    // the reason flush=true exists in the reference
+    val base = scratchDir("selfref")
+    val theSpec = MigrationSpec("emp", source = "", sourceDriver = "inline",
+      destination = s"$base/dest", destinationDriver = "parquet",
+      sourceIds = Seq(IdField("id")), destinationIds = Seq(IdField("id")),
+      flush = true)
+    val mapper = new MappingStore(s"$base/map")
+    val exec = new MigrationExecutor(mapper, new ReferenceStore(mapper), KeepOrphans)
+    val employees = Seq((1L, None, "ceo"), (2L, Some(1L), "vp"),
+      (3L, Some(2L), "eng"), (4L, Some(2L), "ops")).toDF("id", "manager_id", "name")
+    val mig = new Migration {
+      def spec: MigrationSpec = theSpec
+      def transform(src: DataFrame, ctx: TransformContext): DataFrame = {
+        val mgr = ctx.snapshot match {
+          case Some(snap) => src.join(
+            snap.select(col("id").as("mid"), col("name").as("manager_name")),
+            src("manager_id") === col("mid"), "left").drop("mid")
+          case None => src.withColumn("manager_name", lit(null).cast("string"))
+        }
+        mgr.select(col("id"), col("name"), col("manager_name"))
+      }
+    }
+    val source = new graft.drivers.SourceDriver {
+      def read(sp: org.apache.spark.sql.SparkSession, m: MigrationSpec): DataFrame = employees
+    }
+    val res = exec.executeChunked(spark, mig, source,
+      new ParquetDestinationDriver, numChunks = 4)
+    val out = res.finalSnapshot.orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)))).toSeq
+    assert(out == Seq((1L, None), (2L, Some("ceo")), (3L, Some("vp")), (4L, Some("vp"))),
+      s"chunked run must see earlier chunks' writes: ${out.mkString(",")}")
   }
 
   test("JDBC source+sink round-trip through embedded Derby with pushed-down query") {

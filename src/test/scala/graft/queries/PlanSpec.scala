@@ -57,6 +57,22 @@ class PlanSpec extends SparkSpec {
       s"expected partition filters in scan:\n$p")
   }
 
+  test("bucketed co-located join has no shuffle on either side") {
+    // tiny test tables would broadcast (also shuffle-free); force the
+    // non-broadcast path to prove bucket co-location carries the join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df = try graft.SparkEntry.queries("q_bucketed_join")(spark, Sf)
+    finally {}
+    df.collect()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey") &&
+      !p.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed join must not shuffle the fact tables:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"expected a non-broadcast join:\n$p")
+  }
+
   test("mapping lookup joins broadcast the mapping table") {
     val df = graft.SparkEntry.queries("etl_mapping_lookup")(spark, Sf)
     val p = df.queryExecution.executedPlan.toString
