@@ -526,6 +526,37 @@ object Etl {
       Some("""SELECT n_nationkey, UPPER(n_name) AS name_upper
              |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
+    // §2.3 DB-generated destination ids, set-wise
+    // (`DoctrineDestinationDriver.php:156-173`, SURVEY §7.4): transforms
+    // that emit no dest id get max(existing) + dense row_number over the
+    // source order — reproducible as SQL ROW_NUMBER.
+    QueryDef("etl_generated_ids",
+      (spark, sf) => {
+        val base = scratch("graft_genid")
+        val theSpec = MigrationSpec("genid", source = "", sourceDriver = "inline",
+          destination = s"$base/dest", destinationDriver = "parquet",
+          sourceIds = Seq(IdField("n_nationkey", LongId)),
+          destinationIds = Seq(IdField("id", LongId)))
+        val mapper = new MappingStore(s"$base/map")
+        val exec = new MigrationExecutor(mapper, new ReferenceStore(mapper), KeepOrphans)
+        exec.execute(spark,
+          new Migration {
+            def spec: MigrationSpec = theSpec
+            def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+              src.select(col("n_nationkey"), col("n_name")) // no dest id
+          },
+          new SourceDriver {
+            def read(s: SparkSession, sp: MigrationSpec): DataFrame = load(s, sf, "nation")
+          },
+          new ParquetDestinationDriver)
+        mapper.load(spark, theSpec).get
+          .select(col("source_n_nationkey"), col("dest_id"))
+          .orderBy(col("source_n_nationkey"))
+      },
+      Some("""SELECT n_nationkey AS source_n_nationkey,
+             |  ROW_NUMBER() OVER (ORDER BY n_nationkey) AS dest_id
+             |FROM nation ORDER BY source_n_nationkey""".stripMargin)),
+
     // §2.3 key extraction + cast (`DataMigrationExecutor.php:340-356`):
     // declared id columns cast per IdField type, null keys rejected.
     QueryDef("etl_key_cast",

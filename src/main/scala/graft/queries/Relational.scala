@@ -321,6 +321,41 @@ object Relational {
              |  MAX(n_events) AS max_session_events
              |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // CUBE grouping sets over two dimensions.
+    QueryDef("q_cube",
+      (spark, sf) => {
+        val o = load(spark, sf, "orders")
+        o.cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("o_totalprice"))).as("total_cents"))
+          .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+            col("n"), col("total_cents"))
+          .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+      },
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+             |  COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
+
+    // Pivot (explicit value list ⇒ stable output columns; the oracle is
+    // the portable conditional-aggregation formulation).
+    QueryDef("q_pivot",
+      (spark, sf) => load(spark, sf, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count().na.fill(0L)
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+             |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Bucketed co-located join: both fact tables written bucketed+sorted
     // on the join key, so the join needs NO shuffle of either side
     // (asserted in PlanSpec) — the pre-partitioning strategy that makes
