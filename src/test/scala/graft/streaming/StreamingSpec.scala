@@ -29,6 +29,46 @@ class StreamingSpec extends SparkSpec {
       Seq(("click", 2L, 300L), ("view", 1L, 300L)))
   }
 
+  test("transformWithState sessionization: gap splits sessions, timers close trailing ones") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)](
+      Encoders.product[(java.sql.Timestamp, Long, Double)], spark)
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: two bursts separated by > 30 min gap; user 2: one burst
+    input.addData(
+      (ts(0), 1L, 1.0), (ts(1), 1L, 2.0),
+      (ts(40), 1L, 3.0),
+      (ts(5), 2L, 4.0))
+    val sessions = StreamingIngest.sessionize(
+      input.toDF().toDF("ts", "user_id", "value"), "ts", "user_id", "value",
+      gapSeconds = 1800, stateTimeoutMs = 1000L)
+    // NOTE: poll the sink rather than processAllAvailable() — with
+    // recurring triggers + registered timers the latter never quiesces
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L)).start()
+    try {
+      val deadline = System.currentTimeMillis + 60000
+      var all = Array.empty[StreamingIngest.SessionOut]
+      while (all.length < 3 && System.currentTimeMillis < deadline) {
+        Thread.sleep(300)
+        all = spark.table("sess_out").as[StreamingIngest.SessionOut].collect()
+      }
+      assert(all.length == 3, s"expected 3 sessions, got ${all.toSeq}")
+      // gap-split burst closes with exact event-time aggregates
+      assert(all.exists(s => s.userId == 1L && s.nEvents == 2 && s.valueCentsSum == 300))
+      // timer-closed trailing sessions
+      assert(all.exists(s => s.userId == 1L && s.nEvents == 1 && s.valueCentsSum == 300))
+      assert(all.exists(s => s.userId == 2L && s.nEvents == 1 && s.valueCentsSum == 400))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("foreachBatch upsert: two micro-batches upsert through the batch executor") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
