@@ -193,17 +193,24 @@ object Dedup {
       }.toDF(idCol, "sh")
   }
 
-  /** SimHash near-dup candidates: band the 64-bit hash into 4×16-bit
-    * chunks; Hamming-distance ≤ 3 pairs must agree on ≥1 chunk
-    * (pigeonhole), so the bucket join finds them without any pairwise
-    * scan; verified by exact popcount on the XOR.
+  /** SimHash near-dup candidates: band the 64-bit hash into
+    * `maxHamming + 1` chunks — by pigeonhole, any pair within the Hamming
+    * budget shares ≥1 unchanged chunk, so the bucket join finds *every*
+    * qualifying pair without a pairwise scan (guaranteed recall, unlike
+    * fixed-width banding); verified by exact popcount on the XOR.
     */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val nBands = math.min(maxHamming + 1, 32)
+    // contiguous bit ranges covering all 64 bits, sizes differing by ≤1
+    val bounds = (0 to nBands).map(b => b * 64 / nBands)
     val sh = simHashSignatures(df, textCol, idCol)
     val banded = sh.select(col(idCol), col("sh"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until nBands).map { b =>
+        val lo = bounds(b); val width = bounds(b + 1) - lo
+        val mask = if (width >= 64) -1L else (1L << width) - 1
         struct(lit(b).as("band"),
-          shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("bc"))
+          shiftright(col("sh"), lo).bitwiseAND(mask).as("chunk"))
+      }: _*)).as("bc"))
       .select(col(idCol), col("sh"), col("bc.band"), col("bc.chunk"))
     val l = banded.select(col(idCol).as("a"), col("sh").as("sha"), col("band"), col("chunk"))
     val r = banded.select(col(idCol).as("b"), col("sh").as("shb"), col("band"), col("chunk"))
