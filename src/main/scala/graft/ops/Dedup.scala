@@ -144,10 +144,12 @@ object Dedup {
     val cand = minHashCandidates(df, textCol, idCol, shingleK, p)
     val sh = precomputedShingles.getOrElse(shingleTable(df, textCol, idCol, shingleK).persist())
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    // Intersection size: attach a's shingles, then equi-join on
+    // (b, shingle) so only SHARED shingles survive — never the
+    // |A|×|B| per-pair shingle cross-product.
     val inter = cand
       .join(sh.select(col(idCol).as("a"), col("shingle")), Seq("a"))
-      .join(sh.select(col(idCol).as("b"), col("shingle").as("shingle_b")), Seq("b"))
-      .filter(col("shingle") === col("shingle_b"))
+      .join(sh.select(col(idCol).as("b"), col("shingle")), Seq("b", "shingle"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col(idCol).as("a"), col("n").as("na")), Seq("a"))

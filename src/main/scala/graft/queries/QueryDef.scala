@@ -44,4 +44,14 @@ object Tables {
   /** Fresh scratch dir for ETL queries that exercise real sinks. */
   def scratch(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Stable scratch dir reused across sessions — for ingest-time storage
+    * layouts (bucketed/partitioned copies) that are written once per
+    * dataset, the way a real deployment lays out tables at ingest.
+    */
+  def stableScratch(name: String): String = {
+    val d = new java.io.File(System.getProperty("java.io.tmpdir"), name)
+    d.mkdirs()
+    d.toString
+  }
 }

@@ -23,34 +23,51 @@ object Relational {
 
   /** orders + lineitem written once per sfDir as bucketed/sorted tables
     * on the join key (8 buckets) — co-located storage for the
-    * shuffle-free join query.
+    * shuffle-free join query. Bucketing is an ingest-time layout
+    * decision: the files live at a stable path and are re-registered
+    * (not rewritten) by later sessions; the write itself is spread over
+    * 8 tasks by pre-partitioning on the bucket key.
     */
   private[queries] def bucketedTables(spark: SparkSession, sf: String): (String, String) =
     bucketedCache.getOrElseUpdate(sf, {
       val tag = math.abs(sf.hashCode).toString
-      val base = Tables.scratch("graft_bucketed")
       val ordersT = s"orders_b_$tag"
       val liT = s"lineitem_b_$tag"
-      load(spark, sf, "orders").write
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$base/orders").saveAsTable(ordersT)
-      load(spark, sf, "lineitem").write
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$base/lineitem").saveAsTable(liT)
+      def ensure(table: String, src: String, key: String): Unit = {
+        val dir = s"${Tables.stableScratch(s"graft_bucketed_$tag")}/$src"
+        if (new java.io.File(dir, "_SUCCESS").exists()) {
+          val schema = spark.read.parquet(dir).schema.toDDL
+          spark.sql(s"DROP TABLE IF EXISTS $table")
+          spark.sql(
+            s"""CREATE TABLE $table ($schema) USING parquet
+               |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+               |LOCATION '$dir'""".stripMargin)
+        } else
+          load(spark, sf, src).repartition(8, col(key)).write
+            .mode("overwrite")
+            .bucketBy(8, key).sortBy(key)
+            .option("path", dir).saveAsTable(table)
+      }
+      ensure(ordersT, "orders", "o_orderkey")
+      ensure(liT, "lineitem", "l_orderkey")
       (ordersT, liT)
     })
 
   private val partitionedCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** events written once per sfDir as a date-partitioned table (Hive
-    * layout) — the input for the partition-pruning query.
+    * layout) — the input for the partition-pruning query. Stable path,
+    * reused across sessions; write parallelized across dates.
     */
   private[queries] def partitionedEventsDir(spark: SparkSession, sf: String): String =
     partitionedCache.getOrElseUpdate(sf, {
-      val base = Tables.scratch("graft_part") + "/events_by_date"
-      load(spark, sf, "events")
-        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
-        .write.partitionBy("event_date").parquet(base)
+      val tag = math.abs(sf.hashCode).toString
+      val base = Tables.stableScratch(s"graft_part_$tag") + "/events_by_date"
+      if (!new java.io.File(base, "_SUCCESS").exists())
+        load(spark, sf, "events")
+          .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+          .repartition(col("event_date"))
+          .write.mode("overwrite").partitionBy("event_date").parquet(base)
       base
     })
 
