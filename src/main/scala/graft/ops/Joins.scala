@@ -49,6 +49,41 @@ object Joins {
       .select(leftCols.map(col) ++ valueCols.values.map(col): _*)
   }
 
+  /** Range (interval) join: every left "point" row paired with every
+    * right interval row satisfying `start <= point < end`, with NO
+    * equi-key required. A naive `points.join(intervals, pt >= lo && pt <
+    * hi)` plans as a broadcast-nested-loop / cartesian product —
+    * quadratic and undistributable. Here both sides are binned into
+    * fixed-width buckets of `binSize` (same unit as the point column):
+    * each interval explodes into every bin it covers, each point lands
+    * in exactly one bin, and a bucket equi-join + residual predicate
+    * finds each qualifying pair exactly once (a pair can only meet in
+    * the point's own bin — no distinct pass needed). The shuffle is
+    * keyed on the bin, so parallelism follows the value/time domain;
+    * `binSize` should be on the order of the typical interval width so
+    * intervals explode into O(1) bins. Optional `equiKeys` (columns
+    * present on both sides) tighten the join key further.
+    *
+    * Both range columns and the point column must be numeric (callers
+    * convert timestamps via `unix_micros`). End is exclusive; empty
+    * intervals (end <= start) are dropped.
+    */
+  def rangeJoin(
+      points: DataFrame, pointCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      binSize: Long, equiKeys: Seq[String] = Nil): DataFrame = {
+    require(binSize > 0, "binSize must be positive")
+    val p = points.withColumn("__bin", floor(col(pointCol) / binSize))
+    val iv = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bin",
+        explode(sequence(floor(col(startCol) / binSize),
+          floor((col(endCol) - 1) / binSize))))
+    p.join(iv, Seq("__bin") ++ equiKeys)
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bin")
+  }
+
   /** Skew-safe equi-join of a skewed big side against a smaller (but not
     * broadcastable) side: the big side's hot keys are spread over
     * `saltBuckets` sub-keys and the small side replicated across them,

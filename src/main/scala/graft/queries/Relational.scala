@@ -439,6 +439,52 @@ object Relational {
              |WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin),
       bench = true),
 
+    // Range (interval) join without an equi key — the shape that
+    // degenerates to a broadcast-nested-loop if written naively: every
+    // error event paired with every signup (any user) it trails within
+    // 15 minutes. Binned bucket join (ops.Joins.rangeJoin) keeps it an
+    // equi-join on the time bin; PlanSpec asserts no BNLJ/cartesian.
+    QueryDef("q_range_join",
+      (spark, sf) => {
+        val ev = load(spark, sf, "events")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), unix_micros(col("ts")).as("t"))
+        val win = 900L * 1000000L // 15 min in µs
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"),
+            unix_micros(col("ts")).as("lo"),
+            (unix_micros(col("ts")) + win).as("hi"))
+        graft.ops.Joins.rangeJoin(errors, "t", signups, "lo", "hi", binSize = win)
+          .select(col("event_id"), col("signup_id"))
+          .orderBy(col("event_id"), col("signup_id"))
+      },
+      Some("""SELECT e.event_id, s.event_id AS signup_id
+             |FROM events e JOIN events s
+             |  ON e.ts >= s.ts AND e.ts < s.ts + INTERVAL 15 MINUTE
+             |WHERE e.event_type = 'error' AND s.event_type = 'signup'
+             |ORDER BY e.event_id, signup_id""".stripMargin),
+      bench = true),
+
+    // Exact percentiles (continuous interpolation) per group. p ∈
+    // {.25,.5,.75} over integer cents interpolates exactly in double on
+    // both engines (rank = p·(n−1), fraction ∈ {0,.25,.5,.75}), so the
+    // oracle matches bit-for-bit.
+    QueryDef("q_percentiles",
+      (spark, sf) => load(spark, sf, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.25)").as("p25_cents"),
+          expr("percentile(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.5)").as("median_cents"),
+          expr("percentile(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.75)").as("p75_cents"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.25) AS p25_cents,
+             |  quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.5) AS median_cents,
+             |  quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.75) AS p75_cents,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Skew-safe salted join: hot keys spread over salt sub-keys, small
     // side replicated — results must equal the plain join.
     QueryDef("q_skew_salted_join",

@@ -90,6 +90,24 @@ class OpsSpec extends SparkSpec {
     assert(out.getLong(1) >= 500 && out.getLong(1) <= 500 + n / 16)
   }
 
+  test("range join: binned bucket join equals the naive quadratic join") {
+    import spark.implicits._
+    // points 0..199; intervals of mixed widths incl. multi-bin spans,
+    // bin-boundary-straddling and empty (dropped) ones
+    val points = (0L until 200L).map(p => (p, p)).toDF("pid", "t")
+    val intervals = Seq(
+      (1L, 0L, 10L), (2L, 5L, 75L), (3L, 63L, 64L), (4L, 100L, 100L),
+      (5L, 99L, 161L), (6L, 150L, 300L), (7L, 42L, 42L)
+    ).toDF("iid", "lo", "hi")
+    val binned = Joins.rangeJoin(points, "t", intervals, "lo", "hi", binSize = 64L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.crossJoin(intervals)
+      .filter(col("t") >= col("lo") && col("t") < col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned == naive, s"missing=${naive -- binned} extra=${binned -- naive}")
+    assert(!binned.exists(_._2 == 4L) && !binned.exists(_._2 == 7L), "empty intervals dropped")
+  }
+
   test("multimodal payload: schema, metadata integrity, distributed feature extract") {
     val p = Multimodal.asPayload(docs.select(col("doc_id"), col("text")), "text", "image")
     assert(p.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)

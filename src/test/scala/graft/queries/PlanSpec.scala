@@ -73,6 +73,15 @@ class PlanSpec extends SparkSpec {
       s"expected a non-broadcast join:\n$p")
   }
 
+  test("range join plans as an equi-join on the bin, never nested-loop") {
+    val df = graft.SparkEntry.queries("q_range_join")(spark, Sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must not degenerate to a quadratic join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected a hash/merge equi-join on the bin:\n$p")
+  }
+
   test("mapping lookup joins broadcast the mapping table") {
     val df = graft.SparkEntry.queries("etl_mapping_lookup")(spark, Sf)
     val p = df.queryExecution.executedPlan.toString
