@@ -77,5 +77,41 @@ object StreamingQueries {
              |    ORDER BY doc_id) AS rn
              |  FROM documents) t WHERE rn = 1
              |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Stream-stream interval join with event-time bounds + watermarks
+    // (the streaming twin of the batch q_range_join, same oracle): error
+    // events joined to signups they trail within 15 min. The time-range
+    // condition bounds join state — each side's buffer is GC'd once the
+    // other side's watermark passes, the property that keeps an
+    // unbounded 100 TB/day stream join in fixed memory.
+    QueryDef("stream_interval_join",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "events")).schema
+        def stream = {
+          val raw = spark.readStream.schema(schema).parquet(stagedDir(spark, sf, "events"))
+          if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          else raw
+        }
+        val errors = stream.filter(col("event_type") === "error")
+          .select(col("event_id"), col("ts"))
+          .withWatermark("ts", "1 hour")
+        val signups = stream.filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("ts").as("s_ts"))
+          .withWatermark("s_ts", "1 hour")
+        val joined = errors.join(signups,
+          expr("ts >= s_ts AND ts < s_ts + interval 15 minutes"))
+        val table = s"stream_ij_${counter.incrementAndGet()}"
+        val q = joined.select(col("event_id"), col("signup_id"))
+          .writeStream.format("memory").queryName(table)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        spark.table(table).orderBy(col("event_id"), col("signup_id"))
+      },
+      Some("""SELECT e.event_id, s.event_id AS signup_id
+             |FROM events e JOIN events s
+             |  ON e.ts >= s.ts AND e.ts < s.ts + INTERVAL 15 MINUTE
+             |WHERE e.event_type = 'error' AND s.event_type = 'signup'
+             |ORDER BY e.event_id, signup_id""".stripMargin)),
   )
 }

@@ -125,5 +125,39 @@ object TextQueries {
         Multimodal.extractFeatures(d, "doc_id").orderBy(col("doc_id"))
       },
       None),
+
+    // Multimodal resize: payload→payload with metadata recomputed. The
+    // stub's output size is a pure function of target dims, so schema +
+    // row-shape oracle in SQL; byte-content determinism is spec-tested.
+    QueryDef("mm_resize",
+      (spark, sf) => {
+        val d = Multimodal.asPayload(
+          load(spark, sf, "documents").select(col("doc_id"), col("text")), "text", "image")
+        Multimodal.resize(d, "doc_id", targetW = 96, targetH = 96)
+          .select(col("doc_id"), col("width"), col("height"), col("meta.byte_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, 96 AS width, 96 AS height,
+             |  CAST(144 AS BIGINT) AS byte_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Multimodal frame sampling: one video row → n frame rows with
+    // deterministic frame offsets (stub duration = payload_bytes/8
+    // frames) — the row-exploding decode shape. Frame timing arithmetic
+    // is integer-exact and reproduced in the oracle; frame bytes are
+    // spec-tested.
+    QueryDef("mm_frame_sample",
+      (spark, sf) => {
+        val d = Multimodal.asPayload(
+          load(spark, sf, "documents").select(col("doc_id"), col("text")), "text", "video")
+        Multimodal.frameSample(d, "doc_id", nFrames = 4)
+          .select(col("doc_id"), col("frame_idx"), col("frame_ms"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""SELECT doc_id, CAST(i AS INT) AS frame_idx,
+             |  CAST(FLOOR(i * (GREATEST(4, octet_length(encode(text)) // 8) // 4)
+             |    * 1000 / 30.0) AS BIGINT) AS frame_ms
+             |FROM documents, UNNEST(range(4)) AS t(i)
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
   )
 }

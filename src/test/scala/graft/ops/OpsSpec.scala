@@ -121,6 +121,25 @@ class OpsSpec extends SparkSpec {
     assert(f1.toSeq == f2.toSeq)
   }
 
+  test("multimodal resize + frame sampling: deterministic, shape-correct, distinct inputs stay distinct") {
+    val p = Multimodal.asPayload(docs.select(col("doc_id"), col("text")).limit(50), "text", "image")
+    val r1 = Multimodal.resize(p, "doc_id", 96, 96)
+    val rows = r1.select("doc_id", "meta.byte_len", "meta.content_hash").collect()
+    assert(rows.forall(_.getLong(1) == 96L * 96 / 64), "stub size follows target area")
+    assert(rows.map(_.getString(2)).distinct.length > 1, "distinct inputs → distinct resized bytes")
+    val r2 = Multimodal.resize(p, "doc_id", 96, 96)
+      .select("doc_id", "meta.content_hash").collect().map(_.toSeq).toSet
+    assert(r1.select("doc_id", "meta.content_hash").collect().map(_.toSeq).toSet == r2,
+      "resize is deterministic")
+    val frames = Multimodal.frameSample(p, "doc_id", nFrames = 4)
+    assert(frames.count() == 50 * 4)
+    val perDoc = frames.groupBy("doc_id")
+      .agg(countDistinct(col("frame_idx")).as("n"), countDistinct(md5(col("frame"))).as("d"))
+      .collect()
+    assert(perDoc.forall(r => r.getLong(1) == 4 && r.getLong(2) == 4),
+      "4 distinct frames per document")
+  }
+
   test("text ops: token counts exact, langid deterministic, fingerprint collision-free here") {
     import spark.implicits._
     val t = Seq((1L, "the quick brown fox"), (2L, "the the the a of and to in x"))
