@@ -31,6 +31,17 @@ trait DestinationDriver {
   /** Overwrite the destination with the merged snapshot. */
   def write(df: DataFrame, spec: MigrationSpec): Unit
 
+  /** Whether `write` may safely consume a plan that still reads this
+    * destination's current contents (the executor's merged snapshot
+    * always does on an update run). Sinks that stage into a fresh
+    * location and swap a pointer/directory last (parquet generations,
+    * CSV stage+rename) or that never truncate what they read (JDBC
+    * merge mode, console) return true; anything that overwrites its own
+    * input in place must return false so the executor materializes the
+    * plan first.
+    */
+  def overwriteIsReadSafe: Boolean = false
+
   /** Whether stub rows may be written ahead of their real migration
     * (`/root/reference/src/Annotations/Driver.php:24-42`; only the
     * Doctrine sink declares true in the reference).
@@ -66,6 +77,7 @@ private[drivers] object DestPath {
   */
 final class ParquetDestinationDriver(stubs: Boolean = false) extends DestinationDriver {
   override def supportsStubs: Boolean = stubs
+  override def overwriteIsReadSafe: Boolean = true // generation pointer
 
   private def currentFile(spark: SparkSession, base: String) =
     new org.apache.hadoop.fs.Path(base, "_CURRENT")
@@ -98,20 +110,35 @@ final class ParquetDestinationDriver(stubs: Boolean = false) extends Destination
   }
 }
 
-/** CSV sink: header row, atomic commit via Spark's FileCommitProtocol —
-  * parity with `CsvDestinationDriver.php:61-203` (header-once `:109-112`,
-  * temp+swap `:78-79,198-203`). Uniqueness of keys is asserted by the
-  * executor before write (the reference errors lazily on keyed read,
-  * `:135-139`).
+/** CSV sink: header row, atomic commit — parity with
+  * `CsvDestinationDriver.php:61-203` (header-once `:109-112`, temp+swap
+  * `:78-79,198-203`). The write stages into a sibling directory and
+  * swaps it in last, the same shape as the reference's temp file +
+  * atomic copy: an update run's plan can keep reading the current
+  * directory while its replacement is written, and readers never see a
+  * half-written output. Uniqueness of keys is asserted by the executor
+  * before write (the reference errors lazily on keyed read, `:135-139`).
   */
 final class CsvDestinationDriver extends DestinationDriver {
+  override def overwriteIsReadSafe: Boolean = true // stage + swap below
+
   def snapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] =
     if (DestPath.exists(spark, spec.destination))
       Some(spark.read.option("header", "true").csv(spec.destination))
     else None
 
-  def write(df: DataFrame, spec: MigrationSpec): Unit =
-    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(spec.destination)
+  def write(df: DataFrame, spec: MigrationSpec): Unit = {
+    val spark = df.sparkSession
+    val dest = new org.apache.hadoop.fs.Path(spec.destination)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(
+      dest.getParent, s".${dest.getName}__stage")
+    if (fs.exists(stage)) fs.delete(stage, true)
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(stage.toString)
+    fs.delete(dest, true)
+    if (!fs.rename(stage, dest))
+      throw new java.io.IOException(s"failed to commit CSV output to $dest")
+  }
 }
 
 /** Debug/console sink used by `--simulate`
@@ -119,6 +146,7 @@ final class CsvDestinationDriver extends DestinationDriver {
   * wired by `MigrateCommand.php:192-195`): dumps records, reads nothing.
   */
 final class ConsoleDestinationDriver(numRows: Int = 20) extends DestinationDriver {
+  override def overwriteIsReadSafe: Boolean = true // reads nothing back
   def snapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] = None
   def write(df: DataFrame, spec: MigrationSpec): Unit =
     df.show(numRows, truncate = false)
@@ -144,6 +172,12 @@ final class JdbcDestinationDriver(
     merge: Boolean = false)
     extends DestinationDriver {
   override def supportsStubs: Boolean = true
+
+  /** merge mode never truncates what it reads (per-key MERGE only);
+    * overwrite mode truncates the table an update-run plan is still
+    * lazily reading → the executor must materialize first.
+    */
+  override def overwriteIsReadSafe: Boolean = merge
 
   private def reader(spark: SparkSession, spec: MigrationSpec) = {
     val r = spark.read.format("jdbc")

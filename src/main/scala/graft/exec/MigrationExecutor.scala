@@ -79,7 +79,14 @@ final case class MigrationResult(
     migrated: Long,
     orphans: DataFrame,
     orphanCount: Long,
-    finalSnapshot: DataFrame)
+    finalSnapshot: DataFrame,
+    /** Destination-key tuples of this run's incoming rows — what
+      * [[MigrationExecutor.executeChunked]] unions across chunks so its
+      * orphan pass compares the pre snapshot against *this run's* keys,
+      * not against the whole persistent mapping table (which still holds
+      * keys from prior runs).
+      */
+    incomingKeys: DataFrame)
 
 /** The per-migration pipeline of `DataMigrationExecutor::execute`
   * (`/root/reference/src/DataMigration/DataMigrationExecutor.php:108-135`),
@@ -166,8 +173,16 @@ final class MigrationExecutor(
 
     // 6. write destination, then record mappings (status=migrated), and
     //    all-NULL-source rows for kept orphans (`Executor.php:320-326`).
+    //    When the sink overwrites the very location `snapshot` reads from
+    //    (CSV dir, JDBC truncate+overwrite), the merged plan MUST be fully
+    //    materialized first — otherwise the write truncates its own lazy
+    //    input (silently dropping kept orphans) or Spark rejects the
+    //    overwrite-while-reading outright. Generation-pointer sinks
+    //    (parquet) and merge-mode JDBC declare themselves read-safe and
+    //    skip the materialization.
     val persistedMerged = merged.persist()
     val migratedCount = body.count()
+    if (snapshot.nonEmpty && !dest.overwriteIsReadSafe) persistedMerged.count()
     dest.write(persistedMerged, spec)
 
     val mappingRows = incoming.select(
@@ -183,7 +198,8 @@ final class MigrationExecutor(
           col(f.name).as(s"${MappingStore.DestPrefix}${f.name}")): _*))
     }
     persistedMerged.unpersist()
-    MigrationResult(migratedCount, orphansPersisted, orphanCount, merged)
+    MigrationResult(migratedCount, orphansPersisted, orphanCount, merged,
+      incoming.select(destIdCols.map(col): _*))
   }
 
   /** Chunked execution — the set-oriented form of the reference's
@@ -192,15 +208,18 @@ final class MigrationExecutor(
     * `DataMigrationExecutor.php:212-214`), which exists so
     * self-referencing datasets can observe rows written earlier in the
     * same run. Here the source is split into `numChunks` ordered chunks
-    * (ntile over the source keys) and merged sequentially: chunk i's
-    * transform sees a snapshot containing chunks < i. Orphans are
-    * computed once against the pre-run snapshot, exactly like the
-    * single-pass path.
+    * and merged sequentially: chunk i's transform sees a snapshot
+    * containing chunks < i. Orphans are computed once against the
+    * pre-run snapshot, exactly like the single-pass path, using *this
+    * run's* incoming keys (a key mapped in a prior run but absent from
+    * this source is still an orphan).
     *
-    * The ordering window funnels the source through one partition to
-    * assign chunks — inherent to "process in declared order" semantics;
-    * datasets needing flush mode are by nature modest (the reference
-    * warns of "massive performance issues" for the same reason).
+    * Chunk labels are assigned without a global single-partition window:
+    * a range repartition on the source keys plus sort-within-partitions
+    * yields a total order, and `zipWithIndex` turns that into global
+    * ranks via per-partition counts + a driver-side prefix sum — fully
+    * parallel, so an ordered chunking of a 100 TB source never funnels
+    * through one task.
     */
   def executeChunked(
       spark: SparkSession,
@@ -208,7 +227,8 @@ final class MigrationExecutor(
       source: SourceDriver,
       dest: DestinationDriver,
       numChunks: Int): MigrationResult = {
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spec = migration.spec
     val destIdCols = spec.destinationIds.map(_.name)
     // generation pointers make this a stable pre-run view even as chunk
@@ -216,47 +236,62 @@ final class MigrationExecutor(
     val pre = dest.snapshot(spark, spec)
     val keyed = spec.sourceIds.foldLeft(source.read(spark, spec))((df, f) =>
       df.withColumn(f.name, col(f.name).cast(f.idType.sparkType)))
-    val w = Window.orderBy(spec.sourceIds.map(f => col(f.name)): _*)
-    val chunked = keyed.withColumn("__chunk", ntile(numChunks).over(w)).persist()
+    val srcCols = spec.sourceIds.map(f => col(f.name))
+    val ordered = keyed.repartitionByRange(srcCols: _*).sortWithinPartitions(srcCols: _*)
+    val total = math.max(ordered.count(), 1L)
+    val nC = numChunks.toLong
+    val chunkSchema = StructType(ordered.schema.fields :+ StructField("__chunk", LongType))
+    val chunked = spark.createDataFrame(
+      ordered.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i * nC / total) },
+      chunkSchema).persist()
     val inner = new MigrationExecutor(mapper, references, IgnoreOrphans)
     var migrated = 0L
-    (1 to numChunks).foreach { c =>
+    var runKeys: Option[DataFrame] = None
+    var simulatedOut: Option[DataFrame] = None
+    (0L until nC).foreach { c =>
       val chunkDf = chunked.filter(col("__chunk") === c).drop("__chunk")
       val chunkSource = new SourceDriver {
         def read(s: SparkSession, sp: MigrationSpec): DataFrame = chunkDf
       }
-      migrated += inner.execute(spark, migration, chunkSource, dest).migrated
+      val res = inner.execute(spark, migration, chunkSource, dest)
+      migrated += res.migrated
+      runKeys = Some(runKeys.fold(res.incomingKeys)(_.unionByName(res.incomingKeys)))
+      simulatedOut = Some(simulatedOut.fold(res.finalSnapshot)(_.unionByName(res.finalSnapshot)))
     }
-    chunked.unpersist()
     // one orphan pass against the pre-run snapshot, as the single-pass
-    // path does (`Executor.php:119,130-135`)
-    val post = dest.snapshot(spark, spec).get
-    val mapping = mapper.load(spark, spec).get
-    val runKeys = mapping.filter(
-      spec.sourceIds.map(f => col(s"${MappingStore.SourcePrefix}${f.name}").isNotNull).reduce(_ && _))
-      .select(spec.destinationIds.map(f =>
-        col(s"${MappingStore.DestPrefix}${f.name}").as(f.name)): _*)
+    // path does (`Executor.php:119,130-135`), keyed on the union of this
+    // run's incoming keys — NOT the persistent mapping table, which still
+    // carries keys from prior runs that must be reported as orphans.
+    val thisRun = runKeys.get.persist()
     val orphans = pre match {
-      case None => post.limit(0)
+      case None => thisRun.limit(0)
       case Some(p) =>
-        p.join(runKeys, destIdCols.map(k => p(k) <=> runKeys(k)).reduce(_ && _), "left_anti")
+        p.join(thisRun, destIdCols.map(k => p(k) <=> thisRun(k)).reduce(_ && _), "left_anti")
     }
     val orphansPersisted = orphans.persist()
     val orphanCount = orphansPersisted.count()
-    val finalSnap = orphanPolicy match {
-      case PruneOrphans if orphanCount > 0 =>
-        val pruned = post.join(orphansPersisted,
-          destIdCols.map(k => post(k) <=> orphansPersisted(k)).reduce(_ && _), "left_anti")
+    // a snapshot-less sink (console / --simulate) has no post state to
+    // prune or read back; the simulated output is the union of chunk
+    // merges
+    val post = dest.snapshot(spark, spec)
+    val finalSnap = (orphanPolicy, post) match {
+      case (PruneOrphans, Some(ps)) if orphanCount > 0 =>
+        val pruned = ps.join(orphansPersisted,
+          destIdCols.map(k => ps(k) <=> orphansPersisted(k)).reduce(_ && _), "left_anti")
+          .persist()
+        if (!dest.overwriteIsReadSafe) pruned.count() // see execute() step 6
         dest.write(pruned, spec)
         pruned
-      case KeepOrphans if orphanCount > 0 =>
+      case (KeepOrphans, _) if orphanCount > 0 =>
         mapper.recordOrphansKept(spark, spec,
           orphansPersisted.select(spec.destinationIds.map(f =>
             col(f.name).as(s"${MappingStore.DestPrefix}${f.name}")): _*))
-        post
-      case _ => post
+        post.orElse(simulatedOut).get
+      case _ => post.orElse(simulatedOut).get
     }
-    MigrationResult(migrated, orphansPersisted, orphanCount, finalSnap)
+    chunked.unpersist()
+    thisRun.unpersist()
+    MigrationResult(migrated, orphansPersisted, orphanCount, finalSnap, thisRun)
   }
 
   /** Run a set of migrations in dependency order
@@ -281,34 +316,46 @@ final class MigrationExecutor(
     keys.map(k => l(k) <=> r(k)).reduce(_ && _)
 
   /** DB-generated ids, set-wise: rows with no mapped dest id get
-    * `max(existing) + dense row_number` — one window over the new rows,
-    * no per-row ORM round trips (SURVEY §7.4 hard part).
+    * `max(existing) + <dense global rank by source key>` — no per-row ORM
+    * round trips (SURVEY §7.4 hard part), and no single-partition window:
+    * a `Window.orderBy` with no partition key would funnel the *entire
+    * first load* through one task (every row is unmapped on an initial
+    * 100 TB load — exactly when this path runs). Instead the unmapped
+    * rows are range-repartitioned + sorted on the source keys (a total
+    * order across partitions) and ranked with `zipWithIndex`, which is
+    * per-partition counts + a driver prefix sum — dense, stable across
+    * re-runs (same key order ⇒ same rank), and fully parallel.
+    * `monotonically_increasing_id` is not used because ids must stay
+    * dense and stable across re-runs.
     */
-  private def assignGeneratedIds(
+  private[exec] def assignGeneratedIds(
       mapped: DataFrame, spec: MigrationSpec, snapshot: Option[DataFrame]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     require(spec.destinationIds.size == 1,
       "generated ids supported for single-column destination keys")
-    val idCol = spec.destinationIds.head.name
-    val destCol = s"${MappingStore.DestPrefix}${spec.destinationIds.head.name}"
+    val idField = spec.destinationIds.head
+    val idCol = idField.name
+    val destCol = s"${MappingStore.DestPrefix}$idCol"
+    val spark = mapped.sparkSession
     val maxExisting: Long = snapshot
       .map(_.agg(max(col(idCol)).cast("long")).head() match {
         case r if r.isNullAt(0) => 0L
         case r                  => r.getLong(0)
       }).getOrElse(0L)
-    // Number ONLY the still-unmapped rows (mapped rows keep their ids
-    // across re-runs). NOTE: the row_number window funnels new rows
-    // through one partition — new-row batches are typically ≪ snapshot
-    // size; for huge initial loads prefer natural keys.
-    // monotonically_increasing_id is not used because ids must stay
-    // dense and stable across re-runs.
-    val w = Window.partitionBy(col(destCol).isNull)
-      .orderBy(spec.sourceIds.map(f => col(f.name)): _*)
-    mapped
-      .withColumn(idCol,
-        coalesce(col(destCol),
-          (row_number().over(w) + lit(maxExisting)).cast(spec.destinationIds.head.idType.sparkType)))
-      .drop(destCol)
+    // mapped rows keep their ids across re-runs; only unmapped rows rank
+    val have = mapped.filter(col(destCol).isNotNull)
+      .withColumn(idCol, col(destCol).cast(idField.idType.sparkType))
+    val srcCols = spec.sourceIds.map(f => col(f.name))
+    val ordered = mapped.filter(col(destCol).isNull)
+      .repartitionByRange(srcCols: _*).sortWithinPartitions(srcCols: _*)
+    val needSchema = StructType(ordered.schema.fields :+ StructField(idCol, LongType))
+    val need = spark.createDataFrame(
+      ordered.rdd.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (maxExisting + 1L + i)) },
+      needSchema)
+      .withColumn(idCol, col(idCol).cast(idField.idType.sparkType))
+    have.unionByName(need).drop(destCol)
   }
 
   private def transformedValueCols(df: DataFrame, spec: MigrationSpec): Seq[String] =
