@@ -42,6 +42,19 @@ trait DestinationDriver {
     */
   def overwriteIsReadSafe: Boolean = false
 
+  /** Whether a `snapshot` DataFrame obtained BEFORE a `write` remains
+    * evaluable AFTER it. Distinct from [[overwriteIsReadSafe]]: a CSV
+    * stage+swap can safely *consume* a plan reading the destination (the
+    * plan drains while staging), but the swap deletes the files backing
+    * any other lazy plan over the old snapshot — evaluating it later
+    * throws FileNotFoundException; a JDBC in-place write silently re-reads
+    * post-write state. Only sinks that keep old generations readable
+    * (parquet generation pointers) or have no snapshot at all (console)
+    * return true; the executor materializes all snapshot-derived results
+    * before writing otherwise.
+    */
+  def snapshotIsStableAcrossWrites: Boolean = false
+
   /** Whether stub rows may be written ahead of their real migration
     * (`/root/reference/src/Annotations/Driver.php:24-42`; only the
     * Doctrine sink declares true in the reference).
@@ -78,6 +91,7 @@ private[drivers] object DestPath {
 final class ParquetDestinationDriver(stubs: Boolean = false) extends DestinationDriver {
   override def supportsStubs: Boolean = stubs
   override def overwriteIsReadSafe: Boolean = true // generation pointer
+  override def snapshotIsStableAcrossWrites: Boolean = true // old gens survive
 
   private def currentFile(spark: SparkSession, base: String) =
     new org.apache.hadoop.fs.Path(base, "_CURRENT")
@@ -129,17 +143,65 @@ final class CsvDestinationDriver extends DestinationDriver {
 
   def write(df: DataFrame, spec: MigrationSpec): Unit = {
     val spark = df.sparkSession
+    validateColumns(df, spec)
     val dest = new org.apache.hadoop.fs.Path(spec.destination)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new org.apache.hadoop.fs.Path(
       dest.getParent, s".${dest.getName}__stage")
     if (fs.exists(stage)) fs.delete(stage, true)
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(stage.toString)
-    fs.delete(dest, true)
-    if (!fs.rename(stage, dest))
-      throw new java.io.IOException(s"failed to commit CSV output to $dest")
+    // Commit by rename-aside, not delete-then-rename: a crash between a
+    // delete and a rename would leave NO destination (data only in the
+    // hidden stage dir). Moving the current output aside first means every
+    // failure point leaves either the old or the new data in place, and
+    // the error names the stage path for manual recovery.
+    val old = new org.apache.hadoop.fs.Path(dest.getParent, s".${dest.getName}__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    val hadDest = fs.exists(dest)
+    if (hadDest && !fs.rename(dest, old))
+      throw new java.io.IOException(
+        s"failed to move current CSV output aside ($dest -> $old); staged output left at $stage")
+    if (!fs.rename(stage, dest)) {
+      if (hadDest) fs.rename(old, dest) // restore the previous output
+      throw new java.io.IOException(
+        s"failed to commit CSV output to $dest; staged output left at $stage")
+    }
+    if (hadDest) fs.delete(old, true)
+  }
+
+  /** Write-time column-consistency validator — parity with the reference's
+    * per-row column-count check (`CsvDestinationDriver.php:80`,
+    * `ROW_COLUMN_MISMATCH`). A Spark schema fixes the column *count*, but
+    * `unionByName(allowMissingColumns)` and user transforms can still
+    * inject silently-null drift columns; an entirely-null column in a
+    * non-empty output is the set-wise signature of that drift. One
+    * aggregate pass over the (already executor-persisted) frame; disable
+    * via `graft.csv.validateColumns=false` for writes where all-null
+    * columns are legitimate.
+    */
+  private def validateColumns(df: DataFrame, spec: MigrationSpec): Unit = {
+    val enabled = df.sparkSession.conf
+      .getOption("graft.csv.validateColumns").forall(_.toBoolean)
+    if (enabled && df.columns.nonEmpty) {
+      val counts = df.agg(
+        count(lit(1)).as("__rows"),
+        df.columns.map(c => count(col(c)).as(c)): _*).head()
+      val total = counts.getAs[Long]("__rows")
+      if (total > 0) {
+        val drifted = df.columns.filter(c => counts.getAs[Long](c) == 0L)
+        if (drifted.nonEmpty)
+          throw new ColumnDriftException(
+            s"CSV write to ${spec.destination}: column(s) ${drifted.mkString(", ")} " +
+              s"are null in all $total rows — column set drifted from the data " +
+              "(set graft.csv.validateColumns=false to allow)")
+      }
+    }
   }
 }
+
+/** Thrown by the CSV sink's write-time column validator (parity with the
+  * reference's `ROW_COLUMN_MISMATCH`, `CsvDestinationDriver.php:80`). */
+final class ColumnDriftException(msg: String) extends RuntimeException(msg)
 
 /** Debug/console sink used by `--simulate`
   * (`/root/reference/src/Drivers/Destination/DebugDestinationDriver.php:50-100`,
@@ -147,6 +209,7 @@ final class CsvDestinationDriver extends DestinationDriver {
   */
 final class ConsoleDestinationDriver(numRows: Int = 20) extends DestinationDriver {
   override def overwriteIsReadSafe: Boolean = true // reads nothing back
+  override def snapshotIsStableAcrossWrites: Boolean = true // no snapshot at all
   def snapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] = None
   def write(df: DataFrame, spec: MigrationSpec): Unit =
     df.show(numRows, truncate = false)

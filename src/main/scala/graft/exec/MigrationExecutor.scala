@@ -137,12 +137,23 @@ final class MigrationExecutor(
     //    ids (the set-wise replacement for ORM-populated auto ids,
     //    `DoctrineDestinationDriver.php:156-173`, SURVEY §7.4).
     val hasNaturalIds = destIdCols.forall(transformed.columns.contains)
-    val incoming =
+    val incoming0 =
       if (hasNaturalIds) transformed
       else {
         val mapped = mapper.lookupDest(transformed, spec)
         assignGeneratedIds(mapped, spec, snapshot)
       }
+    // If this sink's write invalidates the pre-write snapshot (CSV swap
+    // deletes the backing files; JDBC mutates the table in place), every
+    // snapshot-derived plan evaluated after the write — mapping rows from
+    // a ctx.currentFor transform, orphans, the returned finalSnapshot —
+    // would read deleted files or post-write state. Checkpoint `incoming`
+    // (a real disk barrier: persist()+count() is best-effort, evicted
+    // partitions recompute from the mutated destination) so everything
+    // downstream derives from stable data. Generation-pointer sinks keep
+    // old snapshots readable and skip all of this.
+    val snapshotUnstable = snapshot.nonEmpty && !dest.snapshotIsStableAcrossWrites
+    val incoming = if (snapshotUnstable) MigrationExecutor.barrier(incoming0) else incoming0
 
     // 4. orphans: existing dest keys with no surviving incoming row —
     //    exact `left_anti` parity with `Executor.php:368-382`. (Under
@@ -155,18 +166,27 @@ final class MigrationExecutor(
       case Some(snap) =>
         snap.join(incoming, joinCond(snap, incoming, destIdCols), "left_anti")
     }
+    // Materialized BEFORE the write — the orphan plan reads the pre-write
+    // snapshot directly, and the survivors union below must not re-read it
+    // after the write either.
+    val orphansPersisted =
+      if (snapshotUnstable) MigrationExecutor.barrier(orphans) else orphans.persist()
+    val orphanCount = orphansPersisted.count()
 
     // 5. merge: incoming wins over existing on key equality; kept orphans
-    //    ride along under KeepOrphans, vanish under PruneOrphans.
+    //    ride along under KeepOrphans, vanish under PruneOrphans. Built
+    //    from the materialized orphans so the merged plan (returned as
+    //    finalSnapshot) stays evaluable after the write.
     val body = incoming.select(
       (destIdCols ++ transformedValueCols(incoming, spec)).map(col): _*)
     val merged = snapshot match {
       case None => body
-      case Some(snap) =>
+      case Some(_) =>
         val survivors = orphanPolicy match {
           case KeepOrphans | IgnoreOrphans =>
-            orphans.select(body.columns.map(c => col(c)): _*)
-          case PruneOrphans => orphans.limit(0).select(body.columns.map(c => col(c)): _*)
+            orphansPersisted.select(body.columns.map(c => col(c)): _*)
+          case PruneOrphans =>
+            orphansPersisted.limit(0).select(body.columns.map(c => col(c)): _*)
         }
         body.unionByName(survivors)
     }
@@ -174,32 +194,30 @@ final class MigrationExecutor(
     // 6. write destination, then record mappings (status=migrated), and
     //    all-NULL-source rows for kept orphans (`Executor.php:320-326`).
     //    When the sink overwrites the very location `snapshot` reads from
-    //    (CSV dir, JDBC truncate+overwrite), the merged plan MUST be fully
-    //    materialized first — otherwise the write truncates its own lazy
-    //    input (silently dropping kept orphans) or Spark rejects the
-    //    overwrite-while-reading outright. Generation-pointer sinks
-    //    (parquet) and merge-mode JDBC declare themselves read-safe and
-    //    skip the materialization.
-    val persistedMerged = merged.persist()
+    //    (JDBC truncate+overwrite), the merged plan MUST be fully
+    //    materialized first through a reliable barrier — a cached plan
+    //    whose partitions are evicted mid-write would recompute from the
+    //    already-truncated table.
+    val persistedMerged =
+      if (snapshot.nonEmpty && !dest.overwriteIsReadSafe) MigrationExecutor.barrier(merged)
+      else merged.persist()
     val migratedCount = body.count()
-    if (snapshot.nonEmpty && !dest.overwriteIsReadSafe) persistedMerged.count()
     dest.write(persistedMerged, spec)
 
     val mappingRows = incoming.select(
       spec.sourceIds.map(f => col(f.name).as(s"${MappingStore.SourcePrefix}${f.name}")) ++
         spec.destinationIds.map(f => col(f.name).as(s"${MappingStore.DestPrefix}${f.name}")): _*)
     mapper.record(spark, spec, mappingRows, MappingStore.StatusMigrated)
-    val reported = if (orphanPolicy == IgnoreOrphans) orphans.limit(0) else orphans
-    val orphansPersisted = reported.persist()
-    val orphanCount = orphansPersisted.count()
+    val reported =
+      if (orphanPolicy == IgnoreOrphans) orphansPersisted.limit(0) else orphansPersisted
     if (orphanPolicy == KeepOrphans && orphanCount > 0) {
       mapper.recordOrphansKept(spark, spec,
         orphansPersisted.select(spec.destinationIds.map(f =>
           col(f.name).as(s"${MappingStore.DestPrefix}${f.name}")): _*))
     }
-    persistedMerged.unpersist()
-    MigrationResult(migratedCount, orphansPersisted, orphanCount, merged,
-      incoming.select(destIdCols.map(col): _*))
+    MigrationResult(migratedCount, reported,
+      if (orphanPolicy == IgnoreOrphans) 0L else orphanCount,
+      persistedMerged, incoming.select(destIdCols.map(col): _*))
   }
 
   /** Chunked execution — the set-oriented form of the reference's
@@ -229,11 +247,16 @@ final class MigrationExecutor(
       numChunks: Int): MigrationResult = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(numChunks >= 1, s"numChunks must be >= 1, got $numChunks")
     val spec = migration.spec
     val destIdCols = spec.destinationIds.map(_.name)
-    // generation pointers make this a stable pre-run view even as chunk
-    // writes land new generations
-    val pre = dest.snapshot(spark, spec)
+    // The final orphan pass compares against the PRE-run snapshot. With
+    // generation pointers that view stays readable as chunk writes land
+    // new generations; sinks without stable snapshots (CSV swap deletes
+    // the old files, JDBC re-reads post-chunk state as "pre") need the
+    // pre view checkpointed to disk before the first chunk writes.
+    val pre = dest.snapshot(spark, spec).map(p =>
+      if (dest.snapshotIsStableAcrossWrites) p else MigrationExecutor.barrier(p))
     val keyed = spec.sourceIds.foldLeft(source.read(spark, spec))((df, f) =>
       df.withColumn(f.name, col(f.name).cast(f.idType.sparkType)))
     val srcCols = spec.sourceIds.map(f => col(f.name))
@@ -276,10 +299,13 @@ final class MigrationExecutor(
     val post = dest.snapshot(spark, spec)
     val finalSnap = (orphanPolicy, post) match {
       case (PruneOrphans, Some(ps)) if orphanCount > 0 =>
-        val pruned = ps.join(orphansPersisted,
+        val pruned0 = ps.join(orphansPersisted,
           destIdCols.map(k => ps(k) <=> orphansPersisted(k)).reduce(_ && _), "left_anti")
-          .persist()
-        if (!dest.overwriteIsReadSafe) pruned.count() // see execute() step 6
+        // the pruned plan reads the post snapshot this very write replaces
+        // — reliable barrier, not best-effort persist (see execute step 6)
+        val pruned =
+          if (dest.overwriteIsReadSafe && dest.snapshotIsStableAcrossWrites) pruned0.persist()
+          else MigrationExecutor.barrier(pruned0)
         dest.write(pruned, spec)
         pruned
       case (KeepOrphans, _) if orphanCount > 0 =>
@@ -290,7 +316,9 @@ final class MigrationExecutor(
       case _ => post.orElse(simulatedOut).get
     }
     chunked.unpersist()
-    thisRun.unpersist()
+    // thisRun stays persisted: it is returned (orphans + incomingKeys
+    // derive from it) and unpersisting here would make callers recompute
+    // the whole chunk pipeline against mutated destination state.
     MigrationResult(migrated, orphansPersisted, orphanCount, finalSnap, thisRun)
   }
 
@@ -361,4 +389,27 @@ final class MigrationExecutor(
   private def transformedValueCols(df: DataFrame, spec: MigrationSpec): Seq[String] =
     df.columns.filterNot(spec.destinationIds.map(_.name).contains)
       .filterNot(spec.sourceIds.map(_.name).contains).toSeq
+}
+
+object MigrationExecutor {
+  /** Reliable materialization barrier. `persist()+count()` is best-effort:
+    * if cached partitions are evicted (or an executor is lost) while a
+    * non-read-safe sink truncates/overwrites the destination, Spark
+    * recomputes them from the already-mutated table — silent corruption.
+    * An eager `checkpoint()` writes the result to the checkpoint FS and
+    * truncates lineage, so later evaluation can never touch the
+    * destination again. Checkpoint dir: `graft.checkpoint.dir` conf if
+    * set (point it at a shared FS on a real cluster), else a session
+    * temp dir.
+    */
+  private[graft] def barrier(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty) {
+      val dir = spark.conf.getOption("graft.checkpoint.dir").getOrElse(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      sc.setCheckpointDir(dir)
+    }
+    df.checkpoint()
+  }
 }

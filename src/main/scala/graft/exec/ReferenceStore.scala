@@ -66,7 +66,10 @@ final class ReferenceStore(mapper: MappingStore) {
     val cond = keyMap.map { case (fk, srcId) =>
       df(fk) <=> ref(s"${MappingStore.SourcePrefix}$srcId")
     }.reduce(_ && _)
-    val picked = select.foldLeft(df.join(broadcast(ref), cond, "left")) {
+    // No broadcast hint: `ref` is mapping ⋈ full destination snapshot —
+    // unbounded at the 100 TB design point. Catalyst/AQE broadcasts when
+    // its size estimate allows and sort-merges otherwise.
+    val picked = select.foldLeft(df.join(ref, cond, "left")) {
       case (acc, (refCol, asCol)) => acc.withColumn(asCol, ref(refCol))
     }
     picked.drop(ref.columns.filterNot(select.map(_._2).contains): _*)

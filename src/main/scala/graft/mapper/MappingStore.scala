@@ -37,9 +37,10 @@ final class MappingStore(basePath: String) {
   /** Left-join `df` (carrying the source id columns) against the mapping
     * table, adding `dest_*` columns (null where unmapped) — the set-wise
     * form of `getDestIdsFromSourceIds` (`DataMigrationMapper.php:433-475`).
-    * Mapping tables are orders of magnitude smaller than fact data, so the
-    * join is broadcast; null-safe equality mirrors the reference's
-    * `IS NULL` special-casing (`:394-401`).
+    * The mapping table has one row per migrated entity, so it is NOT
+    * guaranteed small: no broadcast hint — Catalyst/AQE broadcasts when the
+    * size estimate allows and falls back to sort-merge otherwise. Null-safe
+    * equality mirrors the reference's `IS NULL` special-casing (`:394-401`).
     */
   def lookupDest(df: DataFrame, spec: MigrationSpec): DataFrame =
     load(df.sparkSession, spec) match {
@@ -52,7 +53,7 @@ final class MappingStore(basePath: String) {
         val cond = spec.sourceIds
           .map(f => df(f.name) <=> mapped(s"$SourcePrefix${f.name}"))
           .reduce(_ && _)
-        df.join(broadcast(mapped), cond, "left")
+        df.join(mapped, cond, "left")
           .drop(spec.sourceIds.map(f => s"$SourcePrefix${f.name}"): _*)
     }
 

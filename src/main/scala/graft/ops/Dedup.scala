@@ -37,17 +37,45 @@ object Dedup {
     * the shingle, so only co-occurring docs pair up), then exact
     * |∩| / |∪| from distinct-shingle counts. Integer intersection/union
     * with one final double division keeps results engine-exact.
+    *
+    * `maxShingleDf`: the standard df-cut. A stop-phrase shingle occurring
+    * in d documents contributes O(d²) rows to the inverted-index
+    * self-join — one hot shingle at 100× scale is a single-bucket
+    * quadratic blow-up. With the cut, shingles with document frequency
+    * > maxShingleDf are dropped from CANDIDATE generation only; the
+    * Jaccard for every surfaced pair is still computed exactly over the
+    * full shingle table, so semantics are exact for any pair sharing at
+    * least one sub-threshold shingle (at τ ≥ 0.8 a qualifying pair
+    * shares nearly all shingles, overwhelmingly rare ones).
     */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       k: Int, minJaccard: Double,
-      precomputedShingles: Option[DataFrame] = None): DataFrame = {
+      precomputedShingles: Option[DataFrame] = None,
+      maxShingleDf: Option[Int] = None): DataFrame = {
     val sh = precomputedShingles.getOrElse(shingleTable(df, textCol, idCol, k).persist())
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
-    val a = sh.select(col(idCol).as("a"), col("shingle"))
-    val b = sh.select(col(idCol).as("b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle")).filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    val inter = maxShingleDf match {
+      case None =>
+        val a = sh.select(col(idCol).as("a"), col("shingle"))
+        val b = sh.select(col(idCol).as("b"), col("shingle"))
+        a.join(b, Seq("shingle")).filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      case Some(m) =>
+        val rare = sh.join(
+          sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+            .filter(col("df") > m).select(col("shingle")),
+          Seq("shingle"), "left_anti")
+        val a = rare.select(col(idCol).as("a"), col("shingle"))
+        val b = rare.select(col(idCol).as("b"), col("shingle"))
+        val cand = a.join(b, Seq("shingle")).filter(col("a") < col("b"))
+          .select(col("a"), col("b")).distinct()
+        // exact intersection over the FULL table, like minHashVerifiedPairs
+        cand
+          .join(sh.select(col(idCol).as("a"), col("shingle")), Seq("a"))
+          .join(sh.select(col(idCol).as("b"), col("shingle")), Seq("b", "shingle"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    }
     val out = inter
       .join(sizes.select(col(idCol).as("a"), col("n_shingles").as("na")), Seq("a"))
       .join(sizes.select(col(idCol).as("b"), col("n_shingles").as("nb")), Seq("b"))

@@ -155,6 +155,42 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Embedding near-duplicate pairs above `minSim`: random-hyperplane LSH
+    * band candidates + exact [[cosine]] verify — the bucketed replacement
+    * for an all-pairs crossJoin (O(N²) in corpus size, the textbook
+    * scale-killer). Shuffle is keyed on (band, bucket), so only documents
+    * sharing a signature band ever meet.
+    *
+    * The default 32 bands × 2 bits is tuned for a LOW threshold
+    * (τ≈0.4 ⇒ per-hyperplane collision prob ≈0.63 ⇒ per-pair miss
+    * (1−0.63²)³² ≈ 9e-8): low thresholds are inherently LSH-hostile, so
+    * per-band pruning is coarse (4 buckets/band). Genuine dedup
+    * thresholds (τ ≥ 0.8, collision prob ≥ 0.9) should raise
+    * `bitsPerBand` to 6–8, which shrinks candidate sets to true
+    * bucket size at the same recall.
+    */
+  def cosinePairs(
+      corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      minSim: Double, bands: Int = 32, bitsPerBand: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    require(bands * bitsPerBand <= 64, "signature must pack into one long")
+    val planes = hyperplanes(dim, bands * bitsPerBand, seed)
+    val banded = signatures(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, planes)
+      .select(col(idCol), col(vecCol),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * bitsPerBand)
+              .bitwiseAND((1L << bitsPerBand) - 1).as("bucket"))): _*)).as("bb"))
+      .select(col(idCol), col(vecCol), col("bb.band"), col("bb.bucket"))
+    val l = banded.select(col(idCol).as("a"), col(vecCol).as("va"), col("band"), col("bucket"))
+    val r = banded.select(col(idCol).as("b"), col(vecCol).as("vb"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("va"), col("vb")).distinct()
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= minSim)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
   /** ANN top-k via LSH bucketing: corpus rows pair with queries sharing
     * any signature band (multi-probe across `bands` bands of
     * `bitsPerBand` bits), exact cosine re-ranks within candidates. Recall

@@ -74,11 +74,17 @@ object TextOps {
   def shingles(text: Column, k: Int): Column = {
     val toks = tokens(text)
     val n = size(toks)
-    // windows [i, i+k) for i in 0 .. n-k  (sequence() is codegen'd)
-    filter(
-      transform(sequence(lit(0), greatest(n - k, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))),
-      s => length(s) > 0)
+    // windows [i, i+k) for i in 0 .. n-k  (sequence() is codegen'd).
+    // A document shorter than k tokens has NO k-shingle: without the
+    // n >= k gate it would emit its whole text as one "shingle", making
+    // two identical 3-token docs jaccard-1 near-dups that any k=5 oracle
+    // excludes.
+    when(n >= k,
+      filter(
+        transform(sequence(lit(0), n - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))),
+        s => length(s) > 0))
+      .otherwise(array().cast("array<string>"))
   }
 
   def shingleHashes(text: Column, k: Int): Column =

@@ -39,7 +39,8 @@ object DedupQueries {
     QueryDef("dedup_ngram_jaccard",
       (spark, sf) => Dedup.ngramJaccardPairs(
           load(spark, sf, "documents"), "text", "doc_id", k = 5, minJaccard = 0.8,
-          precomputedShingles = Some(sharedShingles(spark, sf)))
+          precomputedShingles = Some(sharedShingles(spark, sf)),
+          maxShingleDf = Some(100))
         .orderBy(col("a"), col("b")),
       Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
              |idx AS (SELECT doc_id, unnest(range(len(t)-4)) i, t FROM toks WHERE len(t) >= 5),
@@ -72,21 +73,16 @@ object DedupQueries {
       None,
       bench = true),
 
-    // Embedding-cosine near-dup pairs: exact all-pairs with the native
-    // CosineSim expression. (The corpus has no planted embedding dups,
-    // so τ=0.4 exercises the tail; at scale the LSH bucketing of
-    // sim_ann_lsh is the prefilter.)
+    // Embedding-cosine near-dup pairs: LSH-band candidates (32 bands ×
+    // 2-bit random-hyperplane signatures — per-pair miss ≈9e-8 at τ=0.4)
+    // + exact native-CosineSim verify, against the same exact all-pairs
+    // DuckDB oracle. Bucketed, never a crossJoin (PlanSpec-asserted).
     QueryDef("dedup_embedding_cosine",
-      (spark, sf) => {
-        val e = load(spark, sf, "embeddings")
-        val a = e.select(col("vec_id").as("a"), col("embedding").as("va"))
-        val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
-        a.crossJoin(b).filter(col("a") < col("b"))
-          .withColumn("sim", graft.ops.Similarity.cosine(col("va"), col("vb")))
-          .filter(col("sim") >= 0.4)
-          .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
-          .orderBy(col("a"), col("b"))
-      },
+      (spark, sf) => graft.ops.Similarity.cosinePairs(
+          load(spark, sf, "embeddings"), "vec_id", "embedding",
+          dim = 64, minSim = 0.4)
+        .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("a"), col("b")),
       Some("""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
              |SELECT a.vec_id AS a, b.vec_id AS b,
              |  ROUND(list_dot_product(a.v, b.v) /

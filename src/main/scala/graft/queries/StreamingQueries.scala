@@ -80,10 +80,17 @@ object StreamingQueries {
 
     // Stream-stream interval join with event-time bounds + watermarks
     // (the streaming twin of the batch q_range_join, same oracle): error
-    // events joined to signups they trail within 15 min. The time-range
-    // condition bounds join state — each side's buffer is GC'd once the
-    // other side's watermark passes, the property that keeps an
-    // unbounded 100 TB/day stream join in fixed memory.
+    // events joined to signups they trail within 15 min. Spark refuses a
+    // stream-stream join with no equality predicate
+    // (streamJoinStreamWithoutEqualityPredicateUnsupportedError — a
+    // range-only condition can't key the join state store), so the range
+    // is binned exactly like the batch q_range_join: signups key on their
+    // 15-min bucket, errors explode to the two buckets a qualifying
+    // signup can occupy, and the exact range predicate filters within
+    // the bucket-equal pairs — same result set, and the equality key
+    // makes the state store hash-partitioned while watermarks GC both
+    // buffers, the property that keeps an unbounded 100 TB/day stream
+    // join in fixed memory.
     QueryDef("stream_interval_join",
       (spark, sf) => {
         val schema = spark.read.parquet(path(sf, "events")).schema
@@ -95,12 +102,16 @@ object StreamingQueries {
         }
         val errors = stream.filter(col("event_type") === "error")
           .select(col("event_id"), col("ts"))
+          .withColumn("bucket", explode(array(
+            floor(unix_timestamp(col("ts")) / 900),
+            floor(unix_timestamp(col("ts")) / 900) - 1)))
           .withWatermark("ts", "1 hour")
         val signups = stream.filter(col("event_type") === "signup")
           .select(col("event_id").as("signup_id"), col("ts").as("s_ts"))
+          .withColumn("s_bucket", floor(unix_timestamp(col("s_ts")) / 900))
           .withWatermark("s_ts", "1 hour")
         val joined = errors.join(signups,
-          expr("ts >= s_ts AND ts < s_ts + interval 15 minutes"))
+          expr("bucket = s_bucket AND ts >= s_ts AND ts < s_ts + interval 15 minutes"))
         val table = s"stream_ij_${counter.incrementAndGet()}"
         val q = joined.select(col("event_id"), col("signup_id"))
           .writeStream.format("memory").queryName(table)

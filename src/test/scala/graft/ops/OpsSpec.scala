@@ -22,6 +22,48 @@ class OpsSpec extends SparkSpec {
     assert(lsh == exact, s"LSH+verify must equal exact pairs; missing=${exact -- lsh} extra=${lsh -- exact}")
   }
 
+  test("shingles: docs shorter than k tokens emit NO shingle (no whole-text fallback)") {
+    import spark.implicits._
+    val t = Seq((1L, "one two three"), (2L, "one two three"), (3L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val sh = t.select(col("doc_id"), TextOps.shingles(col("text"), 5).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L).isEmpty && sh(2L).isEmpty, "sub-k docs must have no k-shingle")
+    assert(sh(3L) == Seq("a b c d e", "b c d e f"))
+    // two identical 3-token docs must NOT become a jaccard pair at k=5:
+    // before the n >= k gate they shared one whole-text "shingle" => 1.0
+    val withShort = docs.select(col("doc_id"), col("text")).unionByName(
+      Seq((900001L, "tiny dup doc"), (900002L, "tiny dup doc")).toDF("doc_id", "text"))
+    val pairs = Dedup.ngramJaccardPairs(withShort, "text", "doc_id", 5, 0.8)
+      .filter(col("a") >= 900000L || col("b") >= 900000L)
+    assert(pairs.count() == 0, "short-doc pair must not surface at k=5")
+  }
+
+  test("ngram jaccard: df-cut candidate pruning equals the uncut exact pairs") {
+    val uncut = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 5, 0.8)
+      .select("a", "b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cut = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 5, 0.8,
+        maxShingleDf = Some(100))
+      .select("a", "b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(uncut.nonEmpty, "corpus has planted near-dups")
+    assert(cut == uncut, s"missing=${uncut -- cut} extra=${cut -- uncut}")
+  }
+
+  test("embedding cosine pairs: LSH-bucketed equals exact all-pairs at tau=0.4") {
+    val a = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    val exact = a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= 0.4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosinePairs(emb, "vec_id", "embedding", dim = 64, minSim = 0.4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact, s"missing=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
   test("simhash: near-dup pairs have small hamming distance; candidates contain planted dups") {
     val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 5, 0.9)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -82,10 +82,32 @@ class PlanSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), s"expected a hash/merge equi-join on the bin:\n$p")
   }
 
-  test("mapping lookup joins broadcast the mapping table") {
-    val df = graft.SparkEntry.queries("etl_mapping_lookup")(spark, Sf)
+  test("embedding-cosine dedup is LSH-bucketed, never a cartesian product") {
+    val df = graft.SparkEntry.queries("dedup_embedding_cosine")(spark, Sf)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
-      s"mapping lookup must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"embedding dedup must join on (band,bucket), not all-pairs:\n$p")
+  }
+
+  test("mapping lookup broadcasts when small but is NOT forced: SMJ/SHJ when disabled") {
+    // Catalyst must own the decision: a small mapping table auto-broadcasts,
+    // but with broadcast disabled the plan degrades to a shuffled join
+    // instead of OOMing a forced broadcast (the 100 TB mapping table has one
+    // row per migrated entity — it is not a dim table).
+    val small = graft.SparkEntry.queries("etl_mapping_lookup")(spark, Sf)
+    val pSmall = small.queryExecution.executedPlan.toString
+    assert(pSmall.contains("BroadcastExchange") || pSmall.contains("BroadcastHashJoin"),
+      s"small mapping table should auto-broadcast:\n$pSmall")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = graft.SparkEntry.queries("etl_mapping_lookup")(spark, Sf)
+      big.collect()
+      val pBig = big.queryExecution.executedPlan.toString
+      assert(!pBig.contains("BroadcastHashJoin"),
+        s"with broadcast disabled the mapping join must not broadcast:\n$pBig")
+      assert(pBig.contains("SortMergeJoin") || pBig.contains("ShuffledHashJoin"),
+        s"expected a shuffled join under autoBroadcastJoinThreshold=-1:\n$pBig")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 }
