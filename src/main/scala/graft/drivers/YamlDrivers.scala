@@ -35,10 +35,13 @@ object YamlPathCodec {
   * `/root/reference/src/Drivers/Source/YamlSourceDriver.php:59-95` and
   * `YamlDriverTrait.php:28-63` (ids re-injected into the record).
   *
-  * Spark has no native YAML reader, so the scan is `wholeTextFiles` →
+  * Spark has no native YAML reader, so the scan is a recursive
+  * `binaryFile` source (arbitrary-depth id trees — the reference's
+  * Finder recurses to any depth, `YamlSourceDriver.php:69`) →
   * per-partition YAML→JSON transcode (snakeyaml + Jackson, both on the
   * Spark classpath) → `spark.read.json` schema inference. Nested YAML
-  * maps/lists surface as `StructType`/`ArrayType` columns. One small file
+  * maps/lists surface as `StructType`/`ArrayType` columns. Dotfiles are
+  * excluded by Spark's hidden-path file-listing rule. One small file
   * per entity is the reference's layout; at scale the transcode is
   * embarrassingly parallel over input splits.
   */
@@ -47,21 +50,21 @@ final class YamlSourceDriver extends SourceDriver {
     import spark.implicits._
     val nIds = spec.sourceIds.size
     val idNames = spec.sourceIds.map(_.name)
-    val raw = spark.sparkContext
-      .wholeTextFiles(s"${spec.source}/*")
-      .filter { case (p, _) =>
-        val f = p.split('/').last
-        (p.endsWith(".yaml") || p.endsWith(".yml")) && !f.startsWith(".")
-      }
+    val raw = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.{yaml,yml}")
+      .load(spec.source)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
     val json: Dataset[String] = raw.map { case (path, content) =>
       val yaml = new org.yaml.snakeyaml.Yaml()
-      val doc = yaml.load[java.util.Map[String, Object]](content)
+      val doc = yaml.load[java.util.Map[String, Object]](new String(content, "UTF-8"))
       val ids = YamlPathCodec.idsFromPath(path, nIds)
       val withIds = new java.util.LinkedHashMap[String, Object]()
       idNames.zip(ids).foreach { case (k, v) => withIds.put(k, v) }
       if (doc != null) withIds.putAll(doc)
       new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(withIds)
-    }.toDS()
+    }
     val df = spark.read.json(json)
     // path segments are strings; cast declared id types
     spec.sourceIds.foldLeft(df) { (acc, f) =>

@@ -359,6 +359,46 @@ object Etl {
       Some("""SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
              |FROM region ORDER BY r_regionkey""".stripMargin)),
 
+    // §2.2 Doctrine/database sink, MERGE mode — the only scale-viable
+    // JDBC write path (O(batch) per-partition `MERGE INTO`, not a
+    // truncate-rewrite of the whole destination;
+    // `DoctrineDestinationDriver.php:156-173` batches the same way).
+    // Update-then-insert through two incremental merges; oracle is the
+    // equivalent plain-SQL upsert state.
+    QueryDef("etl_jdbc_merge",
+      (spark, sf) => {
+        val db = scratch("graft_derby_merge") + "/db"
+        val url = s"jdbc:derby:$db;create=true"
+        val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+        val spec = MigrationSpec("jdbc_merge", source = url, sourceDriver = "jdbc",
+          destination = url, destinationDriver = "jdbc",
+          sourceIds = Seq(IdField("id", LongId)),
+          destinationIds = Seq(IdField("id", LongId)))
+        val nation = load(spark, sf, "nation")
+          .select(col("n_nationkey").cast("long").as("id"), col("n_name").as("name"))
+        val d = new JdbcDestinationDriver("nation_m", props, merge = true)
+        d.write(nation, spec)
+        // second merge: UPDATE keys < 10 (lowercase), INSERT keys +100
+        val delta = nation.filter(col("id") < 10)
+          .select(col("id"), lower(col("name")).as("name"))
+          .unionByName(nation.filter(col("id") < 5)
+            .select((col("id") + 100).as("id"), upper(col("name")).as("name")))
+        d.write(delta, spec)
+        new JdbcSourceDriver(
+          """SELECT "id", "name" FROM nation_m""",
+          None, props)
+          .read(spark, spec)
+          .select(col("id"), trim(col("name")).as("name"))
+          .orderBy(col("id"))
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS id,
+             |  CASE WHEN n_nationkey < 10 THEN lower(n_name) ELSE n_name END AS name
+             |FROM nation
+             |UNION ALL
+             |SELECT CAST(n_nationkey + 100 AS BIGINT), upper(n_name)
+             |FROM nation WHERE n_nationkey < 5
+             |ORDER BY id""".stripMargin)),
+
     // §2.2 Debug sink / --simulate (`DebugDestinationDriver.php:50-100`,
     // `MigrateCommand.php:192-195`): the destination is swapped for a
     // console dump and nothing persists — the returned rows are what

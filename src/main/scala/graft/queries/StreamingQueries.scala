@@ -78,6 +78,94 @@ object StreamingQueries {
              |  FROM documents) t WHERE rn = 1
              |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Streaming sessionization through the transformWithState
+    // StatefulProcessor (RocksDB state store) — stream/batch parity with
+    // q_sessionize's oracle on the same events. Trailing sessions are
+    // closed deterministically: a far-future sentinel row per user splits
+    // the last real session on INPUT (gap rule), so the gate never waits
+    // on the processing-time idle timer (which exists for genuinely
+    // unbounded streams).
+    QueryDef("stream_sessionize",
+      (spark, sf) => {
+        import org.apache.spark.sql.types.LongType
+        val schema = spark.read.parquet(path(sf, "events")).schema
+        val isLong = schema("ts").dataType == LongType
+        def fixTs(df: DataFrame): DataFrame =
+          if (isLong) df.withColumn("ts", expr("timestamp_micros(ts div 1000)")) else df
+        val batchEvents = fixTs(spark.read.parquet(path(sf, "events")))
+        val maxTs = batchEvents.agg(max(col("ts"))).head().getTimestamp(0)
+        val sentinelDir = java.nio.file.Files
+          .createTempDirectory("graft_stream_sentinel").toString
+        batchEvents.select(col("user_id")).distinct()
+          .withColumn("ts", lit(maxTs) + expr("interval 3650 days"))
+          .withColumn("value", lit(0.0))
+          .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
+        val real = fixTs(spark.readStream.schema(schema)
+            .parquet(stagedDir(spark, sf, "events")))
+          .select(col("user_id"), col("ts"), col("value"))
+        val sentinels = spark.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id", LongType),
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.DoubleType))))
+          .parquet(sentinelDir)
+        val prevProvider = spark.conf
+          .getOption("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          // Huge idle timeout: the sentinel closes every real session in
+          // the data batch itself, so the timer never needs to fire here
+          // (and with registered timers awaitTermination/
+          // processAllAvailable never quiesce — see StreamingSpec).
+          val sessions = graft.streaming.StreamingIngest.sessionize(
+            real.unionByName(sentinels), "ts", "user_id", "value",
+            gapSeconds = 1800, stateTimeoutMs = 3600L * 1000)
+          val table = s"stream_sess_${counter.incrementAndGet()}"
+          val q = sessions.toDF().writeStream.format("memory").queryName(table)
+            .outputMode("append")
+            .trigger(Trigger.ProcessingTime(100L)).start()
+          try {
+            // all files fit one micro-batch; poll the sink until the batch
+            // lands and the count is stable
+            val deadline = System.currentTimeMillis + 120000
+            var n = -1L
+            var stable = 0
+            while (stable < 3 && System.currentTimeMillis < deadline) {
+              Thread.sleep(300)
+              val c = spark.table(table).count()
+              if (c > 0 && c == n) stable += 1 else { stable = 0; n = c }
+            }
+          } finally q.stop()
+          spark.table(table)
+            .filter(col("sessionStart") <= lit(maxTs)) // real sessions only
+            .groupBy(col("userId"))
+            .agg(count(lit(1)).as("n_sessions"), max(col("nEvents")).as("max_session_events"))
+            .select(col("userId").as("user_id"), col("n_sessions"),
+              col("max_session_events"))
+            .orderBy(col("user_id"))
+        } finally prevProvider match {
+          case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN LAG(ts) OVER w IS NULL
+             |      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id,
+             |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM marked),
+             |per_sess AS (
+             |  SELECT user_id, session_id, COUNT(*) AS n_events FROM sess GROUP BY 1, 2)
+             |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+             |  MAX(n_events) AS max_session_events
+             |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Stream-stream interval join with event-time bounds + watermarks
     // (the streaming twin of the batch q_range_join, same oracle): error
     // events joined to signups they trail within 15 min. Spark refuses a

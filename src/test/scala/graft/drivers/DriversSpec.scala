@@ -74,6 +74,40 @@ class DriversSpec extends SparkSpec {
     assert(back.filter(col("grp") === "group2").select("name").head().getString(0) == "file3")
   }
 
+  test("YAML 3-id layouts round-trip (recursive directory scan, reference Finder parity)") {
+    import spark.implicits._
+    val dir = scratchDir("yaml_deep")
+    val ids = Seq(IdField("region", StringId), IdField("grp", StringId), IdField("name", StringId))
+    val s = mkSpec(s"$dir/out", s"$dir/out", ids, ids)
+    val df = Seq(("emea", "group1", "file1", "A"), ("emea", "group2", "file2", "B"),
+      ("apac", "group1", "file3", "C"))
+      .toDF("region", "grp", "name", "field1")
+    new YamlDestinationDriver().write(df, s)
+    assert(new java.io.File(s"$dir/out/emea/group1/file1.yaml").exists(),
+      "3-id entity lands at a 3-level path")
+    val back = new YamlSourceDriver().read(spark, s)
+    assert(back.count() == 3, "recursive scan must reach 3-level files")
+    assert(back.orderBy("name").collect().map(r =>
+      (r.getAs[String]("region"), r.getAs[String]("grp"),
+        r.getAs[String]("name"), r.getAs[String]("field1"))).toSeq ==
+      Seq(("emea", "group1", "file1", "A"), ("emea", "group2", "file2", "B"),
+        ("apac", "group1", "file3", "C")).sortBy(_._3))
+  }
+
+  test("CSV write-time column validator flags all-null drift columns") {
+    import spark.implicits._
+    val dir = scratchDir("csv_drift")
+    val s = mkSpec(s"$dir/out", s"$dir/out")
+    val drifted = Seq((1L, "a"), (2L, "b")).toDF("id", "field1")
+      .withColumn("ghost", lit(null).cast("string"))
+    assertThrows[ColumnDriftException](new CsvDestinationDriver().write(drifted, s))
+    // disabled => writes fine
+    spark.conf.set("graft.csv.validateColumns", "false")
+    try new CsvDestinationDriver().write(drifted, s)
+    finally spark.conf.unset("graft.csv.validateColumns")
+    assert(new java.io.File(s"$dir/out").exists())
+  }
+
   test("destination keyed read errors on duplicate keys (uniqueness guard)") {
     import spark.implicits._
     val dir = scratchDir("dup_keys")
