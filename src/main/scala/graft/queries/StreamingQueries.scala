@@ -133,8 +133,8 @@ object StreamingQueries {
             val deadline = System.currentTimeMillis + 120000
             var n = -1L
             var stable = 0
-            while (stable < 3 && System.currentTimeMillis < deadline) {
-              Thread.sleep(300)
+            while (stable < 2 && System.currentTimeMillis < deadline) {
+              Thread.sleep(150)
               val c = spark.table(table).count()
               if (c > 0 && c == n) stable += 1 else { stable = 0; n = c }
             }
