@@ -91,6 +91,104 @@ class ExecutorSpec extends SparkSpec {
     assert(dest.snapshot(spark, sp).get.count() == 1)
   }
 
+  test("CSV update run with orphans: snapshot-derived plans survive the swap write") {
+    // Regression: the CSV commit deletes the files backing the pre-write
+    // snapshot; orphans/mapping plans evaluated after the write used to
+    // throw FileNotFoundException (or silently lose kept orphans). The
+    // executor now checkpoints snapshot-derived plans before writing to
+    // any sink without stable snapshots.
+    import spark.implicits._
+    val (base, mapper, _, exec) = fixture()
+    val sp = MigrationSpec("csvm", source = "", sourceDriver = "inline",
+      destination = s"$base/csvm", destinationDriver = "csv",
+      sourceIds = Seq(IdField("src_id", StringId)),
+      destinationIds = Seq(IdField("id", StringId)))
+    val dest = new CsvDestinationDriver
+    val mig = new Migration {
+      def spec: MigrationSpec = sp
+      def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+        src.select(col("src_id"), col("src_id").as("id"), upper(col("v")).as("v"))
+    }
+    exec.execute(spark, mig, inlineSource(s => {
+      import s.implicits._
+      Seq(("1", "a"), ("2", "b"), ("3", "c")).toDF("src_id", "v")
+    }), dest)
+    val r2 = exec.execute(spark, mig, inlineSource(s => {
+      import s.implicits._
+      Seq(("1", "a2"), ("2", "b")).toDF("src_id", "v")
+    }), dest)
+    assert(r2.orphanCount == 1, "orphan must be computed against the PRE-write snapshot")
+    assert(r2.orphans.select("id").head().getString(0) == "3")
+    val snap = dest.snapshot(spark, sp).get.orderBy("id").collect()
+    assert(snap.map(_.getString(0)).toSeq == Seq("1", "2", "3"), "orphan kept through swap")
+    assert(snap(0).getAs[String]("v") == "A2", "update applied")
+    assert(mapper.load(spark, sp).get.filter(col("source_src_id").isNull).count() == 1)
+  }
+
+  test("JDBC truncate-overwrite prune run: orphans counted before the table is rewritten") {
+    // Regression: with an in-place JDBC overwrite, a lazy orphan plan
+    // evaluated post-write re-reads the rewritten table → orphanCount=0
+    // under PruneOrphans and nothing pruned.
+    import spark.implicits._
+    val (base, _, _, exec) = fixture(PruneOrphans)
+    val db = scratchDir("derby_ovr") + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+      "createTableColumnTypes" -> "v VARCHAR(64)")
+    val sp = MigrationSpec("jm", source = "", sourceDriver = "inline",
+      destination = url, destinationDriver = "jdbc",
+      sourceIds = Seq(IdField("src_id")), destinationIds = Seq(IdField("id")))
+    val dest = new JdbcDestinationDriver("ovr_t", props)
+    val mig = new Migration {
+      def spec: MigrationSpec = sp
+      def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+        src.select(col("src_id"), col("src_id").as("id"), col("v"))
+    }
+    exec.execute(spark, mig, inlineSource(s => {
+      import s.implicits._
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("src_id", "v")
+    }), dest)
+    val r2 = exec.execute(spark, mig, inlineSource(s => {
+      import s.implicits._
+      Seq((1L, "a"), (2L, "b")).toDF("src_id", "v")
+    }), dest)
+    assert(r2.orphanCount == 1, "orphan seen against the pre-overwrite table")
+    assert(dest.snapshot(spark, sp).get.count() == 2, "orphan pruned from rewrite")
+  }
+
+  test("chunked execution over a CSV sink: pre-run snapshot stays stable across chunk swaps") {
+    import spark.implicits._
+    val (base, _, _, exec) = fixture()
+    val sp = MigrationSpec("csvc", source = "", sourceDriver = "inline",
+      destination = s"$base/csvc", destinationDriver = "csv",
+      sourceIds = Seq(IdField("src_id", StringId)),
+      destinationIds = Seq(IdField("id", StringId)))
+    val dest = new CsvDestinationDriver
+    val mig = new Migration {
+      def spec: MigrationSpec = sp
+      def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+        src.select(col("src_id"), col("src_id").as("id"), col("v"))
+    }
+    exec.execute(spark, mig, inlineSource(s => {
+      import s.implicits._
+      Seq(("1", "a"), ("9", "orphan")).toDF("src_id", "v")
+    }), dest)
+    // chunked re-run without row 9: every chunk write swaps the CSV dir,
+    // yet the final orphan pass must still see the pre-run snapshot
+    val r = exec.executeChunked(spark, mig, inlineSource(s => {
+      import s.implicits._
+      Seq(("1", "a2"), ("2", "b"), ("3", "c"), ("4", "d")).toDF("src_id", "v")
+    }), dest, numChunks = 2)
+    assert(r.migrated == 4)
+    assert(r.orphanCount == 1)
+    assert(r.orphans.select("id").head().getString(0) == "9")
+    assertThrows[IllegalArgumentException](
+      exec.executeChunked(spark, mig, inlineSource(s => {
+        import s.implicits._
+        Seq(("1", "x")).toDF("src_id", "v")
+      }), dest, numChunks = 0))
+  }
+
   test("row-skip: transform filtering drops rows (null-transform parity)") {
     import spark.implicits._
     val (base, _, _, exec) = fixture()
