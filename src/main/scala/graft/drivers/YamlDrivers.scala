@@ -77,9 +77,20 @@ final class YamlSourceDriver extends SourceDriver {
   * (multi-id ⇒ nested subdirs) and are removed from the record body —
   * parity with
   * `/root/reference/src/Drivers/Destination/YamlDestinationDriver.php:93-286`
-  * (id-to-path + removal `:192-199`). Anchor/alias generation (`refs`
-  * option, documented "a slow process") is intentionally not implemented —
-  * it is a serialization nicety with no query semantics.
+  * (id-to-path + removal `:192-199`).
+  *
+  * Options, mirroring the reference's `setOption` surface (`:221-247`):
+  *   - `indent`: block indentation width;
+  *   - `refs`: anchor/alias generation — structurally identical non-scalar
+  *     subtrees within a document are emitted once as `&anchor` and
+  *     referenced as `*anchor` thereafter (the reference builds the same
+  *     thing via a full value scan per document and documents it as "a
+  *     slow process"; here it is one post-order hash pass per record).
+  *     The reference's include/exclude regex filters are not modeled —
+  *     refs is all-or-nothing per driver instance.
+  *
+  * Nested Spark values (struct/array/map columns) serialize as nested
+  * YAML maps/lists, matching what the source reads back.
   *
   * Each partition writes its rows' files independently through the Hadoop
   * FS API, so the write parallelizes across executors; the reference
@@ -87,7 +98,8 @@ final class YamlSourceDriver extends SourceDriver {
   * files hazard at 100 TB is inherent to this layout (SURVEY §7.4) — the
   * Parquet sink is the scale path.
   */
-final class YamlDestinationDriver extends DestinationDriver {
+final class YamlDestinationDriver(indent: Int = 2, refs: Boolean = false)
+    extends DestinationDriver {
   override def supportsStubs: Boolean = false
 
   def snapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] =
@@ -101,6 +113,8 @@ final class YamlDestinationDriver extends DestinationDriver {
     val idNames = spec.destinationIds.map(_.name)
     val base = spec.destination
     val bodyCols = df.columns.filterNot(idNames.contains)
+    val ind = indent
+    val shareRefs = refs
     val confBc = df.sparkSession.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         df.sparkSession.sparkContext.hadoopConfiguration))
@@ -108,18 +122,64 @@ final class YamlDestinationDriver extends DestinationDriver {
       val conf = confBc.value.value
       val opts = new org.yaml.snakeyaml.DumperOptions()
       opts.setDefaultFlowStyle(org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
+      opts.setIndent(ind)
       val yaml = new org.yaml.snakeyaml.Yaml(opts)
       rows.foreach { row =>
         val idVals = idNames.map(n => String.valueOf(row.getAs[Any](n)))
         val body = new java.util.LinkedHashMap[String, Object]()
-        bodyCols.foreach { c =>
-          body.put(c, row.getAs[Any](c).asInstanceOf[Object])
-        }
+        bodyCols.foreach(c => body.put(c, YamlDestinationDriver.toJava(row.getAs[Any](c))))
+        val doc: Object =
+          if (shareRefs)
+            YamlDestinationDriver.shareSubtrees(body, new java.util.HashMap[Object, Object]())
+          else body
         val p = new org.apache.hadoop.fs.Path(base, YamlPathCodec.pathFromIds(idVals))
         val fs = p.getFileSystem(conf)
         val out = fs.create(p, true)
-        try out.write(yaml.dump(body).getBytes("UTF-8")) finally out.close()
+        try out.write(yaml.dump(doc).getBytes("UTF-8")) finally out.close()
       }
     }
+  }
+}
+
+object YamlDestinationDriver {
+  /** Spark row values → plain Java structures snakeyaml serializes as
+    * nested YAML (struct ⇒ map, array ⇒ list, map ⇒ map).
+    */
+  private[drivers] def toJava(v: Any): Object = v match {
+    case null => null
+    case r: org.apache.spark.sql.Row =>
+      val m = new java.util.LinkedHashMap[String, Object]()
+      r.schema.fieldNames.zipWithIndex.foreach { case (n, i) => m.put(n, toJava(r.get(i))) }
+      m
+    case s: scala.collection.Seq[_] =>
+      val l = new java.util.ArrayList[Object]()
+      s.foreach(x => l.add(toJava(x)))
+      l
+    case m: scala.collection.Map[_, _] =>
+      val jm = new java.util.LinkedHashMap[String, Object]()
+      m.foreach { case (k, x) => jm.put(String.valueOf(k), toJava(x)) }
+      jm
+    case other => other.asInstanceOf[Object]
+  }
+
+  /** Post-order canonicalization: structurally equal non-scalar subtrees
+    * become the same object instance, which makes snakeyaml emit one
+    * `&anchor` and `*alias` references — the set-wise equivalent of the
+    * reference's per-document repeated-value scan
+    * (`YamlDestinationDriver.php:221-247`).
+    */
+  private[drivers] def shareSubtrees(
+      v: Object, pool: java.util.HashMap[Object, Object]): Object = v match {
+    case m: java.util.Map[_, _] =>
+      val nm = new java.util.LinkedHashMap[String, Object]()
+      m.forEach((k, x) => nm.put(String.valueOf(k), shareSubtrees(x.asInstanceOf[Object], pool)))
+      val prev = pool.get(nm)
+      if (prev != null) prev else { pool.put(nm, nm); nm }
+    case l: java.util.List[_] =>
+      val nl = new java.util.ArrayList[Object]()
+      l.forEach(x => nl.add(shareSubtrees(x.asInstanceOf[Object], pool)))
+      val prev = pool.get(nl)
+      if (prev != null) prev else { pool.put(nl, nl); nl }
+    case other => other
   }
 }

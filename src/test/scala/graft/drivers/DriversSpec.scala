@@ -94,6 +94,28 @@ class DriversSpec extends SparkSpec {
         ("apac", "group1", "file3", "C")).sortBy(_._3))
   }
 
+  test("YAML sink options: indent width and anchor/alias refs for repeated subtrees") {
+    import spark.implicits._
+    val dir = scratchDir("yaml_refs")
+    val ids = Seq(IdField("name", StringId))
+    val s = mkSpec(s"$dir/out", s"$dir/out", ids, ids)
+    // two struct columns with identical content → one anchor + one alias
+    val df = Seq(("doc1", ("x", 1L), ("x", 1L), "plain"))
+      .toDF("name", "meta_a", "meta_b", "note")
+    new YamlDestinationDriver(indent = 4, refs = true).write(df, s)
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/out/doc1.yaml")), "UTF-8")
+    assert(body.contains("&id") && body.contains("*id"),
+      s"repeated subtree must anchor+alias:\n$body")
+    assert(body.linesIterator.exists(_.startsWith("    _1")),
+      s"nested keys must use the 4-space indent option:\n$body")
+    // aliases resolve on read: both struct columns come back equal
+    val back = new YamlSourceDriver().read(spark, s).head()
+    assert(back.getAs[org.apache.spark.sql.Row]("meta_a") ==
+      back.getAs[org.apache.spark.sql.Row]("meta_b"))
+    assert(back.getAs[String]("note") == "plain")
+  }
+
   test("CSV write-time column validator flags all-null drift columns") {
     import spark.implicits._
     val dir = scratchDir("csv_drift")
