@@ -134,6 +134,15 @@ final class YamlDestinationDriver(indent: Int = 2, refs: Boolean = false)
           else body
         val p = new org.apache.hadoop.fs.Path(base, YamlPathCodec.pathFromIds(idVals))
         val fs = p.getFileSystem(conf)
+        // yaml/yml double-match guard (`YamlDestinationDriver.php:156-163`):
+        // a sibling .yml for the same ids would make the recursive source
+        // read two rows with identical keys — fail the write instead.
+        val twin = new org.apache.hadoop.fs.Path(
+          p.getParent, p.getName.stripSuffix(".yaml") + ".yml")
+        if (fs.exists(twin))
+          throw new graft.spec.NonUniqueKeyException(
+            s"both ${p.getName} and ${twin.getName} would exist for ids " +
+              s"${idVals.mkString("/")} under $base")
         val out = fs.create(p, true)
         try out.write(yaml.dump(doc).getBytes("UTF-8")) finally out.close()
       }

@@ -324,20 +324,41 @@ final class MigrationExecutor(
 
   /** Run a set of migrations in dependency order
     * (`DataMigrationManager.php:271-326` + `MigrateCommand.php:181-205`).
+    *
+    * `parallelism > 1` runs independent DAG branches as concurrent Spark
+    * jobs: migrations are grouped into dependency levels and each level's
+    * members submit their jobs from a bounded thread pool (Spark's
+    * scheduler interleaves them across the cluster). The reference runs
+    * strictly serially; on a 1000-executor cluster serializing independent
+    * migrations leaves most of the cluster idle between shuffles.
     */
   def executeAll(
       spark: SparkSession,
       migrations: Seq[Migration],
       sources: Migration => SourceDriver,
-      dests: Migration => DestinationDriver): Map[String, MigrationResult] = {
+      dests: Migration => DestinationDriver,
+      parallelism: Int = 1): Map[String, MigrationResult] = {
     val registry = new graft.spec.MigrationRegistry
     migrations.foreach(m => registry.add(m.spec))
-    val (ordered, _) = registry.resolveOrder(migrations.map(_.spec.name))
     val byName = migrations.map(m => m.spec.name -> m).toMap
-    ordered.map { spec =>
+    def run(spec: MigrationSpec): (String, MigrationResult) = {
       val m = byName(spec.name)
       spec.name -> execute(spark, m, sources(m), dests(m))
-    }.toMap
+    }
+    if (parallelism <= 1) {
+      val (ordered, _) = registry.resolveOrder(migrations.map(_.spec.name))
+      ordered.map(run).toMap
+    } else {
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val (levels, _) = registry.resolveLevels(migrations.map(_.spec.name))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try levels.flatMap { level =>
+        Await.result(Future.sequence(level.map(s => Future(run(s)))), Duration.Inf)
+      }.toMap
+      finally pool.shutdown()
+    }
   }
 
   private def joinCond(l: DataFrame, r: DataFrame, keys: Seq[String]): Column =

@@ -6,8 +6,6 @@ import graft.spec.{MigrationSpec, NoMappingForIdsException}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import scala.collection.mutable
-
 /** Cross-migration reference lookups — the declarative replacement for
   * `MigrationReferenceStore::get(migrationId, sourceIds)`
   * (`/root/reference/src/DataMigration/MigrationReferenceStore.php:65-120`),
@@ -22,8 +20,11 @@ import scala.collection.mutable
   * when small, sort-merge when not; Catalyst decides.
   */
 final class ReferenceStore(mapper: MappingStore) {
-  private val registry = mutable.Map.empty[String, (MigrationSpec, DestinationDriver)]
-  private val memo = mutable.Map.empty[String, DataFrame]
+  // concurrent: executeAll(parallelism > 1) resolves references from
+  // multiple migration threads
+  private val registry = scala.collection.concurrent.TrieMap
+    .empty[String, (MigrationSpec, DestinationDriver)]
+  private val memo = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   def register(spec: MigrationSpec, dest: DestinationDriver): Unit =
     registry(spec.name) = (spec, dest)

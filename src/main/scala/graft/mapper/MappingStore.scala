@@ -63,20 +63,24 @@ final class MappingStore(basePath: String) {
     * set-wise parity with `addMapping` (`DataMigrationMapper.php:90-135`).
     * `incoming` must carry `source_*` and `dest_*` columns.
     */
-  def record(spark: SparkSession, spec: MigrationSpec, incoming: DataFrame, status: String): Unit = {
-    val stamped = incoming
-      .withColumn(UpdatedCol, current_timestamp())
-      .withColumn(StatusCol, lit(status))
-    val merged = load(spark, spec) match {
-      case None => stamped
-      case Some(existing) =>
-        val keys: Seq[Column] = spec.sourceIds.map(f =>
-          existing(s"$SourcePrefix${f.name}") <=> stamped(s"$SourcePrefix${f.name}"))
-        val keep = existing.join(stamped, keys.reduce(_ && _), "left_anti")
-        keep.unionByName(stamped)
+  def record(spark: SparkSession, spec: MigrationSpec, incoming: DataFrame, status: String): Unit =
+    // serialize read-merge-write per mapping table: `extends` siblings
+    // share the parent's table and may run concurrently under
+    // executeAll(parallelism > 1)
+    MappingStore.lockFor(tablePath(spec)).synchronized {
+      val stamped = incoming
+        .withColumn(UpdatedCol, current_timestamp())
+        .withColumn(StatusCol, lit(status))
+      val merged = load(spark, spec) match {
+        case None => stamped
+        case Some(existing) =>
+          val keys: Seq[Column] = spec.sourceIds.map(f =>
+            existing(s"$SourcePrefix${f.name}") <=> stamped(s"$SourcePrefix${f.name}"))
+          val keep = existing.join(stamped, keys.reduce(_ && _), "left_anti")
+          keep.unionByName(stamped)
+      }
+      writeGen(spark, spec, merged)
     }
-    writeGen(spark, spec, merged)
-  }
 
   /** Orphan-keep bookkeeping: mapping rows whose source ids are all NULL
     * (`DataMigrationExecutor.php:320-326`). */
@@ -104,6 +108,9 @@ final class MappingStore(basePath: String) {
 }
 
 object MappingStore {
+  private val locks = scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def lockFor(path: String): Object = locks.getOrElseUpdate(path, new Object)
+
   val SourcePrefix = "source_"
   val DestPrefix = "dest_"
   val UpdatedCol = "updated"

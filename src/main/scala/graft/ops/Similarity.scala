@@ -182,10 +182,17 @@ object Similarity {
             shiftright(col("sig"), b * bitsPerBand)
               .bitwiseAND((1L << bitsPerBand) - 1).as("bucket"))): _*)).as("bb"))
       .select(col(idCol), col(vecCol), col("bb.band"), col("bb.bucket"))
-    val l = banded.select(col(idCol).as("a"), col(vecCol).as("va"), col("band"), col("bucket"))
-    val r = banded.select(col(idCol).as("b"), col(vecCol).as("vb"), col("band"), col("bucket"))
-    l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("va"), col("vb")).distinct()
+    // dedupe candidates on the id pair alone (cheap longs), then attach
+    // vectors once per surviving pair — shuffling 64-float arrays through
+    // the across-band distinct would dominate the join cost
+    val l = banded.select(col(idCol).as("a"), col("band"), col("bucket"))
+    val r = banded.select(col(idCol).as("b"), col("band"), col("bucket"))
+    val cand = l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    cand
+      .join(vecs.select(col(idCol).as("a"), col(vecCol).as("va")), Seq("a"))
+      .join(vecs.select(col(idCol).as("b"), col(vecCol).as("vb")), Seq("b"))
       .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") >= minSim)
       .select(col("a"), col("b"), col("sim"))

@@ -308,6 +308,39 @@ class ExecutorSpec extends SparkSpec {
         Seq(1L).toDF("src_id"), Map.empty))
   }
 
+  test("parallel executeAll: diamond DAG runs levels concurrently, same results as serial") {
+    import spark.implicits._
+    def mig(base: String, name: String, deps: Seq[String]): Migration = new Migration {
+      def spec: MigrationSpec = MigrationSpec(name, source = "", sourceDriver = "inline",
+        destination = s"$base/$name", destinationDriver = "parquet",
+        sourceIds = Seq(IdField("src_id")), destinationIds = Seq(IdField("id")),
+        depends = deps)
+      def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+        src.select(col("src_id"), col("src_id").as("id"),
+          concat(lit(name), lit(":"), col("v")).as("v"))
+    }
+    def runAll(parallelism: Int): Map[String, Seq[(Long, String)]] = {
+      val (base, _, _, exec) = fixture()
+      // diamond: root -> (left, right) -> sink
+      val ms = Seq(mig(base, "root", Nil), mig(base, "left", Seq("root")),
+        mig(base, "right", Seq("root")), mig(base, "sink", Seq("left", "right")))
+      val res = exec.executeAll(spark, ms,
+        m => inlineSource(s => {
+          import s.implicits._
+          Seq((1L, "a"), (2L, "b")).toDF("src_id", "v")
+        }),
+        _ => new ParquetDestinationDriver, parallelism = parallelism)
+      res.map { case (n, r) =>
+        n -> r.finalSnapshot.orderBy("id").collect()
+          .map(row => (row.getLong(0), row.getString(1))).toSeq
+      }
+    }
+    val serial = runAll(1)
+    val parallel = runAll(4)
+    assert(parallel.keySet == Set("root", "left", "right", "sink"))
+    assert(parallel == serial, "parallel levels must produce identical outputs")
+  }
+
   test("reference store resolves via mapping ⋈ snapshot; unresolved → null") {
     import spark.implicits._
     val (base, _, refs, exec) = fixture()
