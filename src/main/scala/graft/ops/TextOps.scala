@@ -89,4 +89,18 @@ object TextOps {
 
   def shingleHashes(text: Column, k: Int): Column =
     transform(shingles(text, k), s => xxhash64(s))
+
+  /** Repetition ratio: fraction of k-token shingles that are repeats of
+    * an earlier shingle in the same document (1 − distinct/total) — the
+    * standard boilerplate/template-text signal in corpus quality
+    * filtering. 0.0 for docs with no k-shingle. Pure codegen'd column
+    * expression: no shuffle, runs at scan speed.
+    */
+  def repetitionRatio(text: Column, k: Int = 3): Column = {
+    val sh = shingles(text, k)
+    val total = size(sh)
+    when(total > 0,
+      round(lit(1.0) - size(array_distinct(sh)).cast("double") / total, 6))
+      .otherwise(lit(0.0))
+  }
 }

@@ -92,6 +92,45 @@ object TextQueries {
              |  SELECT UNNEST(string_split(text, ' ')) AS word FROM documents) t
              |GROUP BY word ORDER BY cnt DESC, word LIMIT 10""".stripMargin)),
 
+    // Repetition ratio: repeated 3-shingle fraction per doc (boilerplate
+    // signal) — one codegen'd projection, no shuffle.
+    QueryDef("text_repetition",
+      (spark, sf) => load(spark, sf, "documents")
+        .select(col("doc_id"), TextOps.repetitionRatio(col("text"), 3).as("rep_ratio"))
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+             |idx AS (SELECT doc_id, unnest(range(len(t)-2)) i, t FROM toks WHERE len(t) >= 3),
+             |sh AS (SELECT doc_id, list_aggregate(t[i+1:i+3], 'string_agg', ' ') s FROM idx),
+             |agg AS (SELECT doc_id, COUNT(*) total, COUNT(DISTINCT s) uniq FROM sh GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  COALESCE(ROUND(1 - CAST(uniq AS DOUBLE)/total, 6), 0.0) AS rep_ratio
+             |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Token-distribution Shannon entropy per doc (lexical-diversity
+    // quality signal): explode → (doc, token) counts → one aggregation.
+    // Shuffles on doc_id only; rounded to 6 dp so summation order is
+    // engine-independent.
+    QueryDef("text_token_entropy",
+      (spark, sf) => {
+        val tf = load(spark, sf, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        val n = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+        tf.join(n, Seq("doc_id"))
+          .withColumn("p", col("c").cast("double") / col("n"))
+          .groupBy(col("doc_id"))
+          .agg(round(-sum(col("p") * log(col("p"))), 6).as("entropy"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
+             |tf AS (SELECT doc_id, tok, COUNT(*) c FROM toks GROUP BY 1, 2),
+             |n AS (SELECT doc_id, SUM(c) n FROM tf GROUP BY 1)
+             |SELECT tf.doc_id,
+             |  ROUND(-SUM((CAST(c AS DOUBLE)/n) * ln(CAST(c AS DOUBLE)/n)), 6) AS entropy
+             |FROM tf JOIN n ON tf.doc_id = n.doc_id
+             |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin)),
+
     // Approximate distinct (HLL): sketch tier for 100 TB cardinalities —
     // engines' sketches differ, so rows-only; error bound is spec-tested.
     QueryDef("q_approx_distinct",
