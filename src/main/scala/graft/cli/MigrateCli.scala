@@ -39,7 +39,7 @@ object DriverRegistry {
   *
   * {{{
   * migrate [FQCN…] [--group g]… [--simulate] [--prune|--preserve]
-  *         [--no-deps] [--mapping-dir path] [--chunks n]
+  *         [--no-deps] [--mapping-dir path] [--chunks n] [--parallel n]
   * }}}
   *
   * Migrations are user classes implementing [[graft.exec.Migration]],
@@ -60,7 +60,8 @@ object MigrateCli {
       preserve: Boolean = false,
       noDeps: Boolean = false,
       mappingDir: String = "a2b_mappings",
-      chunks: Int = 1)
+      chunks: Int = 1,
+      parallel: Int = 1)
 
   def parse(argv: Seq[String]): Args = {
     def loop(rest: List[String], acc: Args): Args = rest match {
@@ -72,6 +73,7 @@ object MigrateCli {
       case "--no-deps" :: t => loop(t, acc.copy(noDeps = true))
       case "--mapping-dir" :: d :: t => loop(t, acc.copy(mappingDir = d))
       case "--chunks" :: n :: t => loop(t, acc.copy(chunks = n.toInt))
+      case "--parallel" :: n :: t => loop(t, acc.copy(parallel = n.toInt))
       case fqcn :: t => loop(t, acc.copy(migrations = acc.migrations :+ fqcn))
     }
     val a = loop(argv.toList, Args())
@@ -106,7 +108,9 @@ object MigrateCli {
     val policy = if (args.prune) PruneOrphans else KeepOrphans
     val executor = new MigrationExecutor(mapper, refs, policy)
 
-    ordered.map { spec =>
+    // wire drivers + register every reference target before any run (a
+    // parallel level may resolve references into a sibling branch's spec)
+    val wired = ordered.map { spec =>
       val m = byName(spec.name)
       val source = m.configureSource(DriverRegistry.source(spec.sourceDriver))
       val dest0 =
@@ -114,6 +118,10 @@ object MigrateCli {
         else DriverRegistry.destination(spec.destinationDriver)
       val dest = m.configureDestination(dest0)
       refs.register(spec, dest)
+      spec.name -> ((m, source, dest))
+    }.toMap
+    def runOne(spec: MigrationSpec): (String, MigrationResult) = {
+      val (m, source, dest) = wired(spec.name)
       val result =
         if (spec.flush || args.chunks > 1)
           executor.executeChunked(spark, m, source, dest, math.max(args.chunks, 2))
@@ -121,7 +129,20 @@ object MigrateCli {
       System.err.println(
         s"[a2b-spark] ${spec.name}: migrated=${result.migrated} orphans=${result.orphanCount}")
       spec.name -> result
-    }.toMap
+    }
+    if (args.parallel <= 1) ordered.map(runOne).toMap
+    else {
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val (levels, _) =
+        registry.resolveLevels(selected.map(_.spec.name), noDeps = args.noDeps)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(args.parallel)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try levels.flatMap { level =>
+        Await.result(Future.sequence(level.map(s => Future(runOne(s)))), Duration.Inf)
+      }.toMap
+      finally pool.shutdown()
+    }
   }
 
   def main(argv: Array[String]): Unit = {

@@ -51,10 +51,22 @@ class MigrateCliSpec extends SparkSpec {
 
   test("flag parsing: groups, simulate, exclusivity, no-deps") {
     val a = MigrateCli.parse(Seq("--group", "g1", "--group", "g2", "--simulate",
-      "--no-deps", "--chunks", "3", "x.Y"))
+      "--no-deps", "--chunks", "3", "--parallel", "4", "x.Y"))
     assert(a.groups == Set("g1", "g2") && a.simulate && a.noDeps
-      && a.chunks == 3 && a.migrations == Seq("x.Y"))
+      && a.chunks == 3 && a.parallel == 4 && a.migrations == Seq("x.Y"))
     assertThrows[IllegalArgumentException](MigrateCli.parse(Seq("--prune", "--preserve")))
+  }
+
+  test("--parallel run matches serial results and respects dependency levels") {
+    val base = setProps()
+    val results = MigrateCli.run(spark,
+      MigrateCli.Args(
+        migrations = Seq("graft.cli.DependentFixtureMigration",
+          "graft.cli.NationFixtureMigration"),
+        mappingDir = s"$base/map", parallel = 4))
+    assert(results.keySet == Set("nation_fix", "dependent_fix"))
+    assert(results("nation_fix").migrated == 25)
+    assert(results("dependent_fix").migrated == 5)
   }
 
   test("explicit FQCN run end-to-end with dependency expansion in topo order") {
