@@ -78,6 +78,40 @@ object StreamingQueries {
              |  FROM documents) t WHERE rn = 1
              |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Micro-batch keyed ingestion through the BATCH executor
+    // (foreachBatch → upsert merge + mapping table): a stream and a
+    // backfill produce byte-identical destination snapshots, proven here
+    // against the plain-SQL transform of the same events.
+    QueryDef("stream_upsert",
+      (spark, sf) => {
+        import graft.exec._
+        import graft.mapper.MappingStore
+        import graft.spec.{IdField, LongId, MigrationSpec}
+        val schema = spark.read.parquet(path(sf, "events")).schema
+        val raw = spark.readStream.schema(schema).parquet(stagedDir(spark, sf, "events"))
+        val base = java.nio.file.Files.createTempDirectory("graft_stream_upsert").toString
+        val theSpec = MigrationSpec("stream_upsert", source = "", sourceDriver = "stream",
+          destination = s"$base/dest", destinationDriver = "parquet",
+          sourceIds = Seq(IdField("event_id", LongId)),
+          destinationIds = Seq(IdField("event_id", LongId)))
+        val mapper = new MappingStore(s"$base/map")
+        val exec = new MigrationExecutor(mapper, new ReferenceStore(mapper), IgnoreOrphans)
+        val mig = new Migration {
+          def spec: MigrationSpec = theSpec
+          def transform(src: org.apache.spark.sql.DataFrame, ctx: TransformContext) =
+            src.select(col("event_id"), col("event_type"),
+              round(col("value") * 100).cast("long").as("value_cents"))
+        }
+        val dest = new graft.drivers.ParquetDestinationDriver
+        val q = graft.streaming.StreamingIngest.upsertStream(
+          raw, mig, dest, mapper, exec, checkpointDir = s"$base/ckpt")
+        try q.awaitTermination() finally q.stop()
+        dest.snapshot(spark, theSpec).get.orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, event_type,
+             |  CAST(ROUND(value*100) AS BIGINT) AS value_cents
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // Streaming sessionization through the transformWithState
     // StatefulProcessor (RocksDB state store) — stream/batch parity with
     // q_sessionize's oracle on the same events. Trailing sessions are
