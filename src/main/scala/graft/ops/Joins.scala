@@ -10,12 +10,22 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Joins {
 
+  /** Match direction for [[asof]]: backward = latest right row at or
+    * before the left time (tick-data "prevailing quote"); forward =
+    * earliest right row at or after it ("next event").
+    */
+  sealed trait AsofDirection
+  case object AsofBackward extends AsofDirection
+  case object AsofForward extends AsofDirection
+
   /** As-of join: for every left row, the latest right row with
-    * `rightTime <= leftTime` within the same `partitionKey`.
+    * `rightTime <= leftTime` (backward, default) — or the earliest with
+    * `rightTime >= leftTime` (forward) — within the same `partitionKey`.
     *
     * Implementation is the union + windowed last-value pattern, NOT a
     * range join: tag both sides, union them, sort within each key by
-    * (time, side) and carry the most recent right payload forward with
+    * (time, side) — time descending for the forward direction — and
+    * carry the most recent right payload forward with
     * `last(ignoreNulls)`. One shuffle on the key, linear in rows —
     * where a naive `l.join(r, l.t >= r.t)` range join is quadratic and
     * a per-key collect is driver-bound. This is how as-of joins stay
@@ -26,7 +36,8 @@ object Joins {
   def asof(
       left: DataFrame, right: DataFrame,
       partitionKey: String, leftTime: String, rightTime: String,
-      valueCols: Map[String, String]): DataFrame = {
+      valueCols: Map[String, String],
+      direction: AsofDirection = AsofBackward): DataFrame = {
     val leftCols = left.columns.toSeq
     val lTagged = left
       .withColumn("__t", col(leftTime))
@@ -39,8 +50,12 @@ object Joins {
     }
     val unioned = lTagged.unionByName(
       rTagged, allowMissingColumns = true)
+    val timeOrder = direction match {
+      case AsofBackward => col("__t").asc
+      case AsofForward  => col("__t").desc
+    }
     val w = Window.partitionBy(col(partitionKey))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(timeOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = valueCols.values.foldLeft(unioned) { (df, to) =>
       df.withColumn(to, last(col(s"__v_$to"), ignoreNulls = true).over(w))

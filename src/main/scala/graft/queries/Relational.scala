@@ -439,6 +439,31 @@ object Relational {
              |WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin),
       bench = true),
 
+    // Forward as-of: each error matched to the EARLIEST signup at or
+    // after it per user (the "next event" direction) — same union +
+    // window shape, time order reversed; verified against DuckDB's
+    // native ASOF with the inequality flipped.
+    QueryDef("q_asof_forward",
+      (spark, sf) => {
+        val ev = load(spark, sf, "events")
+        graft.ops.Joins.asof(
+            left = ev.filter(col("event_type") === "error")
+              .select(col("event_id"), col("user_id"), col("ts")),
+            right = ev.filter(col("event_type") === "signup")
+              .select(col("user_id"), col("ts"), col("event_id").as("sid")),
+            partitionKey = "user_id", leftTime = "ts", rightTime = "ts",
+            valueCols = Map("sid" -> "next_signup_id"),
+            direction = graft.ops.Joins.AsofForward)
+          .select(col("event_id"), col("user_id"), col("next_signup_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT e.event_id, e.user_id, s.sid AS next_signup_id
+             |FROM events e ASOF LEFT JOIN
+             |  (SELECT user_id, ts, event_id AS sid FROM events
+             |   WHERE event_type = 'signup') s
+             |  ON e.user_id = s.user_id AND e.ts <= s.ts
+             |WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin)),
+
     // Range (interval) join without an equi key — the shape that
     // degenerates to a broadcast-nested-loop if written naively: every
     // error event paired with every signup (any user) it trails within
