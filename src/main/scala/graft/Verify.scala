@@ -17,9 +17,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // comma-separated substring filter, e.g. GRAFT_QUERY_FILTER=q_asof,stream_
     val filter = sys.env.get("GRAFT_QUERY_FILTER")
     SparkEntry.queries
-      .filter { case (name, _) => filter.forall(name.contains) }
+      .filter { case (name, _) =>
+        filter.forall(_.split(',').exists(f => f.nonEmpty && name.contains(f))) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

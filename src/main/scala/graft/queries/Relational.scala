@@ -439,6 +439,26 @@ object Relational {
              |WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin),
       bench = true),
 
+    // Rolling window frame: 3-order moving sum of spend per customer in
+    // order-date order — the rowsBetween frame tier of the window
+    // surface (rank/lag are covered by q_window_rank/q_sessionize).
+    QueryDef("q_rolling_sum",
+      (spark, sf) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(-2, org.apache.spark.sql.expressions.Window.currentRow)
+        load(spark, sf, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            sum(cents(col("o_totalprice"))).over(w).as("rolling_cents"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_cents
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // Forward as-of: each error matched to the EARLIEST signup at or
     // after it per user (the "next event" direction) — same union +
     // window shape, time order reversed; verified against DuckDB's
