@@ -60,9 +60,11 @@ object DedupQueries {
       bench = true),
 
     // MinHash + LSH banding (16 bands × 8 rows over 5-shingle xxhash64s)
-    // with exact-Jaccard verification of candidates. The custom hash
-    // family is not SQL-portable → pair set is checked against the exact
-    // n-gram query in tests; here rows-only.
+    // with exact-Jaccard verification of candidates. The hash family is
+    // not SQL-portable, but the OUTPUT is exact: banding is only a
+    // candidate prefilter and every surviving pair carries true Jaccard,
+    // so the exact-Jaccard SQL is a legitimate oracle (recall is also
+    // asserted against the exact pair set in OpsSpec).
     QueryDef("dedup_minhash_lsh",
       (spark, sf) => Dedup.minHashVerifiedPairs(
           load(spark, sf, "documents"), "text", "doc_id",
@@ -70,7 +72,20 @@ object DedupQueries {
           precomputedShingles = Some(sharedShingles(spark, sf)))
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("a"), col("b")),
-      None,
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+             |idx AS (SELECT doc_id, unnest(range(len(t)-4)) i, t FROM toks WHERE len(t) >= 5),
+             |sh0 AS (SELECT doc_id, list_aggregate(t[i+1:i+5], 'string_agg', ' ') s FROM idx),
+             |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+             |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT s1.doc_id a, s2.doc_id b, COUNT(*) inter
+             |  FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT a, b,
+             |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+             |FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+             |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+             |ORDER BY a, b""".stripMargin),
       bench = true),
 
     // Embedding-cosine near-dup pairs: LSH-band candidates (32 bands ×
