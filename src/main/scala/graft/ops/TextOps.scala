@@ -17,11 +17,13 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword count: alnum runs + standalone punctuation, the
-    * usual pre-tokenizer regex shape.
+  /** BPE-ish subword count: alnum runs + standalone punctuation (one
+    * unit per non-alnum, non-space character), the usual pre-tokenizer
+    * regex shape. Whitespace separates but is not itself a unit.
     */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), c => length(c) > 0))
+    size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+      c => length(trim(c)) > 0))
 
   val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 

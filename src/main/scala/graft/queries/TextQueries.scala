@@ -10,13 +10,19 @@ object TextQueries {
   val defs: Seq[QueryDef] = Seq(
 
     // Token counting (whitespace) — exact integer stats per doc.
+    // Subword oracle: the pre-tokenizer split yields exactly the alnum
+    // runs plus one unit per non-alnum non-space char (RE2 in DuckDB has
+    // no lookarounds, so the oracle counts those two classes directly).
     QueryDef("text_token_count",
       (spark, sf) => load(spark, sf, "documents")
         .select(col("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextOps.subwordCount(col("text")).cast("long").as("n_subwords"),
           length(col("text")).cast("long").as("n_chars_obs"))
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+             |    + len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_subwords,
              |  CAST(LENGTH(text) AS BIGINT) AS n_chars_obs
              |FROM documents ORDER BY doc_id""".stripMargin)),
 

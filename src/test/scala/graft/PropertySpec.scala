@@ -1,0 +1,86 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based coverage for the pure codecs and for operator
+  * equivalences against naive reference implementations (the reference
+  * repo has no property tests at all — SURVEY §5 upgrades the oracle).
+  * Raw ScalaCheck generators with deterministic seeds (the
+  * scalatest-scalacheck bridge is not on the offline classpath).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long = 42L): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(seed + i)))
+
+  private val idSeg: Gen[String] = for {
+    n <- Gen.choose(1, 12)
+    cs <- Gen.listOfN(n, Gen.alphaNumChar)
+  } yield cs.mkString
+
+  test("property: YAML path codec round-trips any id tuple at any depth") {
+    val gen = Gen.choose(1, 5).flatMap(k => Gen.listOfN(k, idSeg))
+    samples(gen, 50).foreach { ids =>
+      val path = graft.drivers.YamlPathCodec.pathFromIds(ids)
+      assert(graft.drivers.YamlPathCodec.idsFromPath(s"/base/$path", ids.size) == ids,
+        s"ids=$ids path=$path")
+    }
+  }
+
+  test("property: as-of join equals the naive quadratic definition (both directions)") {
+    import graft.ops.Joins
+    import spark.implicits._
+    val gen = for {
+      nl <- Gen.choose(1, 30)
+      nr <- Gen.choose(0, 30)
+      lefts <- Gen.listOfN(nl, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 50L)))
+      rights0 <- Gen.listOfN(nr, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 50L)))
+      // duplicate (key, time) right rows make the window tie-break
+      // nondeterministic by design — keep distinct sort keys
+    } yield (lefts, rights0.distinct)
+    samples(gen, 8).foreach { case (lefts, rights) =>
+      val l = lefts.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val r = rights.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("rid", "k", "rt")
+      def naive(forward: Boolean): Map[Long, Option[Long]] =
+        lefts.zipWithIndex.map { case ((k, t), i) =>
+          val cand = rights.zipWithIndex
+            .filter { case ((rk, rt), _) => rk == k && (if (forward) rt >= t else rt <= t) }
+          val best =
+            if (cand.isEmpty) None
+            else {
+              val extremeT =
+                if (forward) cand.map(_._1._2).min else cand.map(_._1._2).max
+              cand.find(_._1._2 == extremeT).map(_._2.toLong)
+            }
+          i.toLong -> best
+        }.toMap
+      for (forward <- Seq(false, true)) {
+        val dir = if (forward) Joins.AsofForward else Joins.AsofBackward
+        val got = Joins.asof(l, r, "k", "t", "rt", Map("rid" -> "matched"), dir)
+          .select("lid", "matched").collect()
+          .map(row => row.getLong(0) -> Option(row.get(1)).map(_.asInstanceOf[Long]))
+          .toMap
+        assert(got == naive(forward), s"forward=$forward lefts=$lefts rights=$rights")
+      }
+    }
+  }
+
+  test("property: exact dedup keeps exactly one survivor per fingerprint group") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val docGen = Gen.listOfN(40, Gen.zip(Gen.choose(0, 8), Gen.alphaLowerStr))
+    samples(docGen, 5).foreach { docs =>
+      // duplicate texts drawn from a small pool force real collisions
+      val df = docs.zipWithIndex
+        .map { case ((pool, salt), i) => (i.toLong, s"doc pool $pool ${salt.take(2)}") }
+        .toDF("doc_id", "text")
+      val out = Dedup.exact(df, "text", "doc_id").collect()
+      val byFp = out.groupBy(_.getString(1))
+      assert(byFp.values.forall(_.length == 1), "one survivor per fingerprint")
+      assert(out.map(_.getLong(2)).sum == docs.size, "group sizes partition the corpus")
+    }
+  }
+}
