@@ -107,13 +107,54 @@ object DedupQueries {
              |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
              |ORDER BY a, b""".stripMargin)),
 
-    // SimHash (64-bit, 4×16 banding). Hamming ≤ 8 captures every planted
-    // near-dup on this corpus (measured: true pairs at 0-8, noise
-    // exploding above) while keeping the candidate set tight.
+    // SimHash (64-bit, pigeonhole banding). Hamming ≤ 8 captures every
+    // planted near-dup on this corpus (measured: true pairs at 0-8,
+    // noise exploding above) while keeping the candidate set tight.
+    // Fully oracled: the FNV-1a-64 token hash is reproduced in DuckDB
+    // with HUGEINT mod-2^64 arithmetic (the 16-bit-xor decomposition
+    // avoids needing a 64-bit unsigned xor), bit votes and the banded
+    // join's guaranteed-recall pair set follow exactly.
     QueryDef("dedup_simhash",
       (spark, sf) => Dedup.simHashPairs(
           load(spark, sf, "documents"), "text", "doc_id", maxHamming = 8)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("a"), col("b")),
-      None),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+             |),
+             |hashed AS (
+             |  SELECT doc_id,
+             |    CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS hs
+             |  FROM (
+             |    SELECT doc_id,
+             |      list_reduce(
+             |        list_prepend(CAST(14695981039346656037 AS HUGEINT),
+             |          [CAST(unicode(c) AS BIGINT) FOR c IN string_split_regex(t, '')]),
+             |        (acc, c) -> ((acc - (acc % 65536) +
+             |            CAST(xor(CAST(acc % 65536 AS BIGINT), c) AS HUGEINT))
+             |            * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+             |      ) AS h
+             |    FROM tok
+             |  )
+             |),
+             |votes AS (
+             |  SELECT doc_id, j,
+             |    SUM(CASE WHEN ((hs >> CAST(j AS BIGINT)) & 1) = 1 THEN 1 ELSE -1 END) AS v
+             |  FROM hashed, range(64) r(j)
+             |  GROUP BY doc_id, j
+             |),
+             |sigs AS (
+             |  SELECT doc_id,
+             |    CAST(SUM(CASE WHEN v > 0 THEN
+             |      CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+             |           ELSE CAST(CAST(1 AS BIGINT) << CAST(j AS BIGINT) AS HUGEINT) END
+             |      ELSE 0 END) AS BIGINT) AS sh
+             |  FROM votes GROUP BY doc_id
+             |)
+             |SELECT s1.doc_id a, s2.doc_id b,
+             |  CAST(bit_count(xor(s1.sh, s2.sh)) AS BIGINT) hamming
+             |FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id
+             |WHERE bit_count(xor(s1.sh, s2.sh)) <= 8
+             |ORDER BY a, b""".stripMargin)),
   )
 }
