@@ -163,13 +163,38 @@ object TextQueries {
 
     // Multimodal feature extraction: stubbed decode behind real
     // partition-parallel plumbing — no SQL equivalent (rows-only check).
+    // The decode stub is Arrays.hashCode over the UTF-8 payload —
+    // reproduced in SQL (hex byte decomposition + 32-bit wrapping
+    // arithmetic), so even the stubbed tier is cross-engine verified.
     QueryDef("mm_feature_extract",
       (spark, sf) => {
         val d = Multimodal.asPayload(
           load(spark, sf, "documents").select(col("doc_id"), col("text")), "text", "image")
         Multimodal.extractFeatures(d, "doc_id").orderBy(col("doc_id"))
       },
-      None),
+      Some("""WITH hx AS (
+             |  SELECT doc_id, hex(encode(text)) AS hs FROM documents
+             |),
+             |bytes AS (
+             |  SELECT doc_id,
+             |    [CAST((strpos('123456789ABCDEF', substr(hs, 2*i+1, 1))) * 16
+             |        + (strpos('123456789ABCDEF', substr(hs, 2*i+2, 1))) AS BIGINT)
+             |     FOR i IN range(CAST(len(hs)/2 AS BIGINT))] AS bs
+             |  FROM hx
+             |),
+             |hashed AS (
+             |  SELECT doc_id,
+             |    list_reduce(
+             |      list_prepend(CAST(1 AS BIGINT),
+             |        [CASE WHEN b > 127 THEN b - 256 ELSE b END FOR b IN bs]),
+             |      (acc, b) -> ((31*acc + b + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648
+             |    ) AS h
+             |  FROM bytes
+             |)
+             |SELECT doc_id, CAST(64 + abs(h % 193) AS INT) width,
+             |  CAST(64 + abs(CAST(trunc(CAST(h AS DOUBLE)/193) AS BIGINT) % 193) AS INT) height,
+             |  3 channels, CAST(abs(h) % 10000 AS DOUBLE)/100.0 feature_norm
+             |FROM hashed ORDER BY doc_id""".stripMargin)),
 
     // Multimodal resize: payload→payload with metadata recomputed. The
     // stub's output size is a pure function of target dims, so schema +
