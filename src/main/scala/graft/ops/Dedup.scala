@@ -86,6 +86,45 @@ object Dedup {
     out
   }
 
+  /** Duplicate-cluster resolution: near-dup PAIRS → connected components,
+    * labeling every member with the minimum doc id of its component (the
+    * canonical representative a dedup pipeline keeps). Hash-min label
+    * propagation: start with label = own id, repeatedly take the min
+    * label over neighbors, stop when no label changes. Each iteration is
+    * one shuffle keyed on the doc id and the loop runs O(component
+    * diameter) times — near-dup clusters are shallow (pairs/chains), so
+    * this converges in a handful of passes even at corpus scale, where a
+    * driver-side union-find over billions of edges would be impossible.
+    *
+    * `pairs` carries columns (`a`, `b`); output: (idCol, `rep`), one row
+    * per distinct doc appearing in any pair.
+    */
+  def clusters(pairs: DataFrame, idCol: String = "doc_id", maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
+      .distinct().persist()
+    var labels = edges.select(col("u")).distinct()
+      .select(col("u"), col("u").as("rep")).persist()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIterations) {
+      // candidate label per node: min over own label and neighbors' labels
+      val viaNeighbors = edges
+        .join(labels.select(col("u").as("v"), col("rep")), Seq("v"))
+        .select(col("u"), col("rep"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("u")).agg(min(col("rep")).as("rep"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("rep", "prev"), Seq("u"))
+        .filter(col("rep") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("u").as(idCol), col("rep")).orderBy(col(idCol))
+  }
+
   /** MinHash parameters: `bands * rowsPerBand` hash functions; a pair is
     * a candidate iff all `rowsPerBand` minhashes agree in ≥1 band —
     * the classic s-curve with threshold ≈ (1/bands)^(1/rowsPerBand).

@@ -107,6 +107,37 @@ object DedupQueries {
              |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
              |ORDER BY a, b""".stripMargin)),
 
+    // Duplicate clusters: near-dup pairs (exact n-gram Jaccard ≥ 0.8)
+    // resolved to connected components via hash-min label propagation —
+    // each member labeled with its component's minimum doc id (the
+    // representative a dedup pipeline keeps). Oracle: recursive-CTE
+    // transitive closure with MIN over reachable nodes.
+    QueryDef("dedup_clusters",
+      (spark, sf) => Dedup.clusters(
+        Dedup.ngramJaccardPairs(
+          load(spark, sf, "documents"), "text", "doc_id", k = 5, minJaccard = 0.8,
+          precomputedShingles = Some(sharedShingles(spark, sf)))),
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+             |idx AS (SELECT doc_id, unnest(range(len(t)-4)) i, t FROM toks WHERE len(t) >= 5),
+             |sh0 AS (SELECT doc_id, list_aggregate(t[i+1:i+5], 'string_agg', ' ') s FROM idx),
+             |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+             |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT s1.doc_id a, s2.doc_id b, COUNT(*) inter
+             |  FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT a, b FROM inter
+             |  JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+             |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+             |edges AS (SELECT a u, b v FROM pairs UNION SELECT b, a FROM pairs),
+             |reach AS (
+             |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+             |  UNION
+             |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+             |SELECT u AS doc_id, MIN(v) AS rep FROM reach GROUP BY u
+             |ORDER BY doc_id""".stripMargin)),
+
     // SimHash (64-bit, pigeonhole banding). Hamming ≤ 8 captures every
     // planted near-dup on this corpus (measured: true pairs at 0-8,
     // noise exploding above) while keeping the candidate set tight.

@@ -439,6 +439,21 @@ object Relational {
              |WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin),
       bench = true),
 
+    // Approximate quantiles (GK sketch): the bounded-memory tier for
+    // 100 TB percentile queries — a sketch's merge order is
+    // engine/partitioning-specific, so rows-only here; the rank-error
+    // bound vs the exact q_percentiles is asserted in OpsSpec.
+    QueryDef("q_approx_quantile",
+      (spark, sf) => load(spark, sf, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_percentile(cents(col("l_extendedprice")), lit(0.5), lit(10000))
+            .as("approx_median_cents"),
+          approx_percentile(cents(col("l_extendedprice")), lit(0.95), lit(10000))
+            .as("approx_p95_cents"))
+        .orderBy(col("l_returnflag")),
+      None),
+
     // Rolling window frame: 3-order moving sum of spend per customer in
     // order-date order — the rowsBetween frame tier of the window
     // surface (rank/lag are covered by q_window_rank/q_sessionize).

@@ -51,6 +51,16 @@ class OpsSpec extends SparkSpec {
     assert(cut == uncut, s"missing=${uncut -- cut} extra=${cut -- uncut}")
   }
 
+  test("dedup clusters: chains collapse to one component labeled by min id") {
+    import spark.implicits._
+    // components: {1,2,3} via chain 1-2, 2-3; {7,9}; singleton-free (only
+    // docs in pairs appear)
+    val pairs = Seq((2L, 3L), (1L, 2L), (7L, 9L)).toDF("a", "b")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("embedding cosine pairs: LSH-bucketed equals exact all-pairs at tau=0.4") {
     val a = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
     val b = emb.select(col("vec_id").as("b"), col("embedding").as("vb"))
@@ -110,6 +120,23 @@ class OpsSpec extends SparkSpec {
       .toDouble / exact.size
     assert(recall >= 0.4, s"IVF recall@5 = $recall")
     assert(run() == ivf1, "seeded clustering must be deterministic")
+  }
+
+  test("approx quantile sketch stays within its rank-error bound of the exact percentile") {
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .select((col("l_extendedprice") * 100).cast("long").as("cents"))
+    val acc = 10000 // rank error <= n/acc
+    val n = li.count()
+    val eps = n.toDouble / acc / n // relative rank tolerance
+    for (q <- Seq(0.5, 0.95)) {
+      val approx = li.agg(approx_percentile(col("cents"), lit(q), lit(acc)))
+        .head().getLong(0)
+      // exact values at the rank-tolerance edges bracket the sketch output
+      val Array(lo, hi) = li.stat.approxQuantile("cents",
+        Array(math.max(0.0, q - 2 * eps), math.min(1.0, q + 2 * eps)), 0.0)
+      assert(approx >= lo && approx <= hi,
+        s"q=$q approx=$approx outside exact bracket [$lo, $hi]")
+    }
   }
 
   test("space-saving sketch: exact when capacity >= cardinality; bounded when under") {
