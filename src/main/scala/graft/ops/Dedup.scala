@@ -121,6 +121,11 @@ object Dedup {
       labels = next
       i += 1
     }
+    if (changed > 0)
+      System.err.println(
+        s"[graft] Dedup.clusters: not converged after $maxIterations iterations " +
+          s"($changed labels still moving) — component diameter exceeds the cap; " +
+          "labels are an upper approximation. Raise maxIterations.")
     edges.unpersist()
     labels.select(col("u").as(idCol), col("rep")).orderBy(col(idCol))
   }

@@ -98,6 +98,36 @@ object TextQueries {
              |  SELECT UNNEST(string_split(text, ' ')) AS word FROM documents) t
              |GROUP BY word ORDER BY cnt DESC, word LIMIT 10""".stripMargin)),
 
+    // Token-id encoding: vocab built from the corpus by frequency rank
+    // (count desc, token asc — dense ids from 1), documents re-emitted
+    // as (doc_id, pos, token_id) rows — the string→int encoding step a
+    // training pipeline runs before batching. The vocab rank is a window
+    // over the (small, aggregated) vocabulary only, never over the
+    // corpus; the encode itself is a broadcast-friendly join keyed on
+    // the token.
+    QueryDef("text_token_ids",
+      (spark, sf) => {
+        val toks = load(spark, sf, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .withColumn("token_id", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("cnt").desc, col("tok"))))
+        toks.join(vocab.select(col("tok"), col("token_id")), Seq("tok"))
+          .select(col("doc_id"), col("pos"), col("token_id"))
+          .orderBy(col("doc_id"), col("pos"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+             |    generate_subscripts(string_split(text,' '), 1) - 1 AS pos
+             |  FROM documents),
+             |vocab AS (
+             |  SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS token_id
+             |  FROM toks GROUP BY tok)
+             |SELECT t.doc_id, CAST(t.pos AS INT) AS pos, CAST(v.token_id AS INT) AS token_id
+             |FROM toks t JOIN vocab v USING (tok)
+             |ORDER BY doc_id, pos""".stripMargin)),
+
     // Repetition ratio: repeated 3-shingle fraction per doc (boilerplate
     // signal) — one codegen'd projection, no shuffle.
     QueryDef("text_repetition",
