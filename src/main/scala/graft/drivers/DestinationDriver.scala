@@ -88,7 +88,15 @@ private[drivers] object DestPath {
   * written — the set-oriented analogue of the reference's temp-file +
   * atomic-swap flush (`CsvDestinationDriver.php:78-79,198-203`).
   */
-final class ParquetDestinationDriver(stubs: Boolean = false) extends DestinationDriver {
+/** @param keepGenerations opt-in vacuum: every write deletes all but the
+  *   newest N generation dirs. Only safe when N exceeds the writes that
+  *   can land while an older snapshot is still lazily referenced (chunked
+  *   runs reference the pre-run generation across `numChunks` writes, so
+  *   N must be > numChunks there); unbounded growth otherwise.
+  */
+final class ParquetDestinationDriver(
+    stubs: Boolean = false,
+    keepGenerations: Option[Int] = None) extends DestinationDriver {
   override def supportsStubs: Boolean = stubs
   override def overwriteIsReadSafe: Boolean = true // generation pointer
   override def snapshotIsStableAcrossWrites: Boolean = true // old gens survive
@@ -121,6 +129,8 @@ final class ParquetDestinationDriver(stubs: Boolean = false) extends Destination
     val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(f, true)
     try out.write(next.getBytes("UTF-8")) finally out.close()
+    keepGenerations.foreach(k => graft.mapper.GenerationVacuum.vacuum(
+      fs, new org.apache.hadoop.fs.Path(spec.destination), k))
   }
 }
 

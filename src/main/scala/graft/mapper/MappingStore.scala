@@ -17,7 +17,14 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
   * trips. Tables are plain Parquet keyed by migration name ("extends"
   * shares the parent's table via `MigrationSpec.mappingKey`).
   */
-final class MappingStore(basePath: String) {
+/** @param keepGenerations when set, every write vacuums all but the
+  *   newest N generation directories. Off by default: a vacuum is only
+  *   safe when N exceeds the number of writes that can land while an
+  *   older snapshot is still lazily referenced (e.g. `numChunks + 1`
+  *   for chunked runs) — generation storage is otherwise unbounded,
+  *   which is the operational trade a deployment must pick explicitly.
+  */
+final class MappingStore(basePath: String, keepGenerations: Option[Int] = None) {
   import MappingStore._
 
   def tablePath(spec: MigrationSpec): String = s"$basePath/${spec.mappingKey}"
@@ -104,6 +111,21 @@ final class MappingStore(basePath: String) {
     df.write.mode(SaveMode.Overwrite).parquet(s"${tablePath(spec)}/$next")
     val out = fs.create(cur, true)
     try out.write(next.getBytes("UTF-8")) finally out.close()
+    keepGenerations.foreach(k =>
+      GenerationVacuum.vacuum(fs, new org.apache.hadoop.fs.Path(tablePath(spec)), k))
+  }
+}
+
+/** Shared generation-directory vacuum for generation-pointer stores. */
+private[graft] object GenerationVacuum {
+  def vacuum(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path, keep: Int): Unit = {
+    require(keep >= 1, "must keep at least the current generation")
+    val gens = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen"))
+      .map(s => (s.getPath.getName.stripPrefix("gen").toLong, s.getPath))
+      .sortBy(_._1)
+    gens.dropRight(keep).foreach { case (_, p) => fs.delete(p, true) }
   }
 }
 

@@ -46,6 +46,18 @@ class DriversSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/out/gen1").exists())
   }
 
+  test("generation vacuum keeps the newest N dirs; snapshot still reads after") {
+    import spark.implicits._
+    val dir = scratchDir("pq_vac")
+    val s = mkSpec("n/a", s"$dir/out")
+    val d = new ParquetDestinationDriver(keepGenerations = Some(2))
+    (0 until 4).foreach(i => d.write(Seq((1L, s"v$i")).toDF("id", "v"), s))
+    val gens = new java.io.File(s"$dir/out").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen")).map(_.getName).sorted
+    assert(gens.toSeq == Seq("gen2", "gen3"), s"older generations vacuumed: ${gens.toSeq}")
+    assert(d.snapshot(spark, s).get.head().getString(1) == "v3")
+  }
+
   test("YAML path codec: ids from path segments, filename is last id") {
     assert(YamlPathCodec.idsFromPath("/base/group1/file1.yaml", 2) == Seq("group1", "file1"))
     assert(YamlPathCodec.idsFromPath("/base/x/y/z.yml", 3) == Seq("x", "y", "z"))
