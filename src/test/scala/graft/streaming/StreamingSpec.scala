@@ -69,6 +69,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join: watermark drops late rows (bounded state observable)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val errIn = MemoryStream[(Long, java.sql.Timestamp)](
+      Encoders.product[(Long, java.sql.Timestamp)], spark)
+    val sigIn = MemoryStream[(Long, java.sql.Timestamp)](
+      Encoders.product[(Long, java.sql.Timestamp)], spark)
+    // same shape as the stream_interval_join gate query: 15-min bucket
+    // equality key + exact range predicate, 10-min watermarks both sides
+    val errors = errIn.toDF().toDF("event_id", "ts")
+      .withColumn("bucket", explode(array(
+        floor(unix_timestamp(col("ts")) / 900),
+        floor(unix_timestamp(col("ts")) / 900) - 1)))
+      .withWatermark("ts", "10 minutes")
+    val signups = sigIn.toDF().toDF("signup_id", "s_ts")
+      .withColumn("s_bucket", floor(unix_timestamp(col("s_ts")) / 900))
+      .withWatermark("s_ts", "10 minutes")
+    val joined = errors.join(signups,
+      expr("bucket = s_bucket AND ts >= s_ts AND ts < s_ts + interval 15 minutes"))
+      .select(col("event_id"), col("signup_id"))
+    val q = joined.writeStream.format("memory").queryName("ij_late")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)).start()
+    try {
+      // batch 1: two matching pairs; both sides' max event time reaches
+      // 12:05, so the query watermark advances to ~11:55
+      sigIn.addData((100L, ts(10, 0)), (200L, ts(12, 0)))
+      errIn.addData((1L, ts(10, 5)), (2L, ts(12, 5)))
+      q.processAllAvailable()
+      // empty batch to propagate the watermark from batch 1's event times
+      sigIn.addData(); errIn.addData()
+      q.processAllAvailable()
+      val afterB1 = spark.table("ij_late").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterB1 == Set((1L, 100L), (2L, 200L)), s"got $afterB1")
+      // batch 2: an error at 10:07 is far behind the ~11:55 watermark —
+      // it must be DROPPED, not joined against signup 100 (whose state
+      // is GC-eligible); this is the property that bounds join state
+      errIn.addData((3L, ts(10, 7)))
+      q.processAllAvailable()
+      val afterB2 = spark.table("ij_late").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterB2 == afterB1, s"late row must not emit: ${afterB2 -- afterB1}")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert: two micro-batches upsert through the batch executor") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
