@@ -119,4 +119,26 @@ object Joins {
   private def spread(small: DataFrame, saltBuckets: Int): DataFrame =
     small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1)).cast("array<int>")))
+
+  /** Bloom-prefiltered equi-join: when `small` is selective but too big
+    * to broadcast as a hash relation, build a Bloom filter over its join
+    * keys (one pass, fixed bits) and prefilter `big` BEFORE the shuffle —
+    * at the 100 TB design point this is the difference between shuffling
+    * the whole fact table and shuffling only the ~matching slice (plus
+    * the false-positive margin `fpp`). No false negatives, so the final
+    * equi-join result is byte-identical to the unfiltered join; the
+    * filter evaluates inside the scan stage, pushdown-adjacent.
+    */
+  def bloomPrefilteredJoin(
+      big: DataFrame, small: DataFrame, key: String,
+      expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    // bloom_filter_agg yields a null buffer over zero rows (NPE in
+    // BloomFilter.readFrom) — an empty small side means an empty join
+    if (small.isEmpty) return big.limit(0).join(small, Seq(key))
+    val bloom = small.stat.bloomFilter(key, expectedKeys, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    big.filter(mightContain(col(key))).join(small, Seq(key))
+  }
 }

@@ -439,6 +439,29 @@ object Relational {
              |WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin),
       bench = true),
 
+    // Bloom-prefiltered join: the fact side is filtered by a Bloom
+    // filter over the selective dimension's keys BEFORE the shuffle —
+    // at 100 TB the difference between shuffling the whole fact table
+    // and shuffling the matching slice. No false negatives ⇒ identical
+    // result to the plain join, which is exactly what the oracle checks.
+    QueryDef("q_bloom_join",
+      (spark, sf) => {
+        val li = load(spark, sf, "lineitem")
+          .select(col("l_suppkey"), cents(col("l_extendedprice")).as("cents"))
+        val supp = load(spark, sf, "supplier").filter(col("s_nationkey") === 0)
+          .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+        graft.ops.Joins.bloomPrefilteredJoin(li, supp, "l_suppkey",
+            expectedKeys = 100000L)
+          .groupBy(col("l_suppkey"), col("s_name"))
+          .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("total_cents"))
+          .orderBy(col("l_suppkey"))
+      },
+      Some("""SELECT l_suppkey, s_name, COUNT(*) AS n_items,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE s_nationkey = 0
+             |GROUP BY l_suppkey, s_name ORDER BY l_suppkey""".stripMargin)),
+
     // Approximate quantiles (GK sketch): the bounded-memory tier for
     // 100 TB percentile queries — a sketch's merge order is
     // engine/partitioning-specific, so rows-only here; the rank-error

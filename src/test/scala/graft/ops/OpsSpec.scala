@@ -159,6 +159,20 @@ class OpsSpec extends SparkSpec {
     assert(out.getLong(1) >= 500 && out.getLong(1) <= 500 + n / 16)
   }
 
+  test("bloom-prefiltered join equals the plain join (no false negatives)") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet").select("l_suppkey", "l_orderkey")
+    val suppAll = spark.read.parquet(s"$Sf/supplier.parquet")
+    val nation = suppAll.selectExpr("CAST(s_nationkey AS LONG)").head().getLong(0)
+    val supp = suppAll.filter(col("s_nationkey") === nation)
+      .select(col("s_suppkey").as("l_suppkey"))
+    val plain = li.join(supp, Seq("l_suppkey")).count()
+    val bloom = Joins.bloomPrefilteredJoin(li, supp, "l_suppkey").count()
+    assert(plain > 0 && bloom == plain)
+    // empty small side: empty result, no NPE from the null agg buffer
+    assert(Joins.bloomPrefilteredJoin(li, supp.limit(0), "l_suppkey").count() == 0)
+  }
+
   test("range join: binned bucket join equals the naive quadratic join") {
     import spark.implicits._
     // points 0..199; intervals of mixed widths incl. multi-bin spans,
