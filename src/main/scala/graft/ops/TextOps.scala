@@ -92,6 +92,31 @@ object TextOps {
   def shingleHashes(text: Column, k: Int): Column =
     transform(shingles(text, k), s => xxhash64(s))
 
+  // PII patterns chosen to behave identically under Java regex (Spark)
+  // and RE2 (DuckDB): no lookarounds, no backrefs.
+  val UrlPattern = "https?://[^ ]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII/safety scrubbing: URLs, email addresses and IPv4 literals
+    * replaced with typed placeholders — the standard pre-training
+    * redaction pass. URL first (emails/IPs inside URLs vanish with the
+    * URL), then email, then IP. Pure codegen'd regexp_replace chain.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlPattern, "[URL]"),
+        EmailPattern, "[EMAIL]"),
+      Ipv4Pattern, "[IP]")
+
+  /** Per-category PII hit counts (on the raw text, independent of
+    * redaction order). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_urls" -> size(regexp_extract_all(text, lit(UrlPattern), lit(0))).cast("long"),
+    "n_emails" -> size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long"),
+    "n_ips" -> size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))).cast("long"))
+
   /** Repetition ratio: fraction of k-token shingles that are repeats of
     * an earlier shingle in the same document (1 − distinct/total) — the
     * standard boilerplate/template-text signal in corpus quality

@@ -98,6 +98,29 @@ object TextQueries {
              |  SELECT UNNEST(string_split(text, ' ')) AS word FROM documents) t
              |GROUP BY word ORDER BY cnt DESC, word LIMIT 10""".stripMargin)),
 
+    // PII scrubbing: URL/email/IPv4 redaction + per-category counts —
+    // the pre-training safety pass, verified cross-engine (patterns are
+    // Java-regex/RE2 compatible; behavior on PII-bearing text is
+    // spec-tested with synthetic rows).
+    QueryDef("text_redact_pii",
+      (spark, sf) => {
+        val counts = TextOps.piiCounts(col("text"))
+        load(spark, sf, "documents")
+          .select(col("doc_id") +:
+            md5(TextOps.redactPii(col("text"))).as("redacted_fp") +:
+            counts.map { case (n, c) => c.as(n) }: _*)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+             |    'https?://[^ ]+', '[URL]', 'g'),
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[IP]', 'g')) AS redacted_fp,
+             |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ips
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Token-id encoding: vocab built from the corpus by frequency rank
     // (count desc, token asc — dense ids from 1), documents re-emitted
     // as (doc_id, pos, token_id) rows — the string→int encoding step a

@@ -223,6 +223,24 @@ class OpsSpec extends SparkSpec {
       "4 distinct frames per document")
   }
 
+  test("pii redaction: urls, emails, ips replaced with typed placeholders; counts exact") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, "contact me at alice.smith+x@example.co.uk or 10.0.0.1 today"),
+      (2L, "see https://example.com/a?user=bob@example.com and 192.168.1.255"),
+      (3L, "clean text with no identifiers at all")).toDF("id", "text")
+    val out = t.select(col("id"), TextOps.redactPii(col("text")).as("r"),
+        struct(TextOps.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*).as("c"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "contact me at [EMAIL] or [IP] today")
+    // the email inside the URL is swallowed by the URL redaction...
+    assert(out(1).getString(1) == "see [URL] and [IP]")
+    // ...but raw-text counts see both
+    assert(out(1).getStruct(2).toSeq == Seq(1L, 1L, 1L))
+    assert(out(2).getString(1) == "clean text with no identifiers at all")
+    assert(out(2).getStruct(2).toSeq == Seq(0L, 0L, 0L))
+  }
+
   test("text ops: token counts exact, langid deterministic, fingerprint collision-free here") {
     import spark.implicits._
     val t = Seq((1L, "the quick brown fox"), (2L, "the the the a of and to in x"))
