@@ -61,7 +61,8 @@ object MigrateCli {
       noDeps: Boolean = false,
       mappingDir: String = "a2b_mappings",
       chunks: Int = 1,
-      parallel: Int = 1)
+      parallel: Int = 1,
+      orphanReport: Option[String] = None)
 
   def parse(argv: Seq[String]): Args = {
     def loop(rest: List[String], acc: Args): Args = rest match {
@@ -74,6 +75,7 @@ object MigrateCli {
       case "--mapping-dir" :: d :: t => loop(t, acc.copy(mappingDir = d))
       case "--chunks" :: n :: t => loop(t, acc.copy(chunks = n.toInt))
       case "--parallel" :: n :: t => loop(t, acc.copy(parallel = n.toInt))
+      case "--orphan-report" :: d :: t => loop(t, acc.copy(orphanReport = Some(d)))
       case fqcn :: t => loop(t, acc.copy(migrations = acc.migrations :+ fqcn))
     }
     val a = loop(argv.toList, Args())
@@ -128,6 +130,12 @@ object MigrateCli {
         else executor.execute(spark, m, source, dest)
       System.err.println(
         s"[a2b-spark] ${spec.name}: migrated=${result.migrated} orphans=${result.orphanCount}")
+      // the batch replacement for the reference's interactive per-orphan
+      // "ask": an auditable report of what keep/prune acted on
+      args.orphanReport.foreach { dir =>
+        if (result.orphanCount > 0)
+          result.orphans.write.mode("overwrite").parquet(s"$dir/${spec.name}")
+      }
       spec.name -> result
     }
     if (args.parallel <= 1) ordered.map(runOne).toMap

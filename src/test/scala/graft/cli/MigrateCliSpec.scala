@@ -57,6 +57,25 @@ class MigrateCliSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](MigrateCli.parse(Seq("--prune", "--preserve")))
   }
 
+  test("--orphan-report writes pruned/kept orphans for audit") {
+    val base = setProps()
+    // run 1 populates; run 2 re-runs with 5 source rows filtered away so
+    // those destinations become orphans and land in the report
+    val m1 = new NationFixtureMigration
+    MigrateCli.run(spark, MigrateCli.Args(mappingDir = s"$base/map",
+      groups = Set("fixtures")), loaded = Seq(m1))
+    val shrunk = new Migration {
+      def spec: MigrationSpec = m1.spec
+      def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+        m1.transform(src.filter(col("n_nationkey") < 20), ctx)
+    }
+    MigrateCli.run(spark, MigrateCli.Args(mappingDir = s"$base/map",
+      groups = Set("fixtures"), orphanReport = Some(s"$base/orphans")),
+      loaded = Seq(shrunk))
+    val report = spark.read.parquet(s"$base/orphans/nation_fix")
+    assert(report.count() == 5, "5 vanished nations reported")
+  }
+
   test("--parallel run matches serial results and respects dependency levels") {
     val base = setProps()
     val results = MigrateCli.run(spark,
