@@ -92,6 +92,48 @@ object TextOps {
   def shingleHashes(text: Column, k: Int): Column =
     transform(shingles(text, k), s => xxhash64(s))
 
+  /** Sequence packing (sample packing): assign documents to training
+    * "bins" of at most `maxTokens` tokens, greedily in id order — the
+    * step that turns a filtered corpus into fixed-budget context
+    * windows. Packing is inherently sequential, so it runs
+    * partition-locally after a range repartition on the id: each
+    * partition packs its contiguous id range independently and bin ids
+    * are (partition << 32 | local bin), giving a deterministic
+    * assignment for a fixed partitioning with zero cross-partition
+    * coordination — the only scalable shape for packing 100 TB (a
+    * global greedy pass would be a single-task bottleneck; the cost is
+    * at most one under-filled bin per partition boundary). A document
+    * larger than `maxTokens` gets a bin of its own.
+    *
+    * Output: (`idCol`, bin_id, doc_tokens).
+    */
+  def packSequences(
+      df: org.apache.spark.sql.DataFrame, idCol: String, tokenCol: String,
+      maxTokens: Long): org.apache.spark.sql.DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val parted = df.select(col(idCol).cast("long"), col(tokenCol).cast("long"))
+      .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
+    val out = parted.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      var bin = 0L
+      var used = 0L
+      var first = true
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = r.getLong(1)
+        if (!first && used + n > maxTokens) { bin += 1; used = 0L }
+        first = false
+        used += n
+        Row(id, (pid.toLong << 32) | bin, n)
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField(idCol, LongType), StructField("bin_id", LongType),
+      StructField("doc_tokens", LongType))))
+  }
+
   // PII patterns chosen to behave identically under Java regex (Spark)
   // and RE2 (DuckDB): no lookarounds, no backrefs.
   val UrlPattern = "https?://[^ ]+"

@@ -190,6 +190,19 @@ object TextQueries {
              |FROM tf JOIN n ON tf.doc_id = n.doc_id
              |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin)),
 
+    // Sequence packing into 512-token training bins: partition-local
+    // greedy assignment (bin boundaries depend on the partitioning, so
+    // rows-only; the packing invariants — every doc exactly once, no
+    // bin over budget, contiguity — are spec-asserted).
+    QueryDef("text_pack_sequences",
+      (spark, sf) => {
+        val withTokens = load(spark, sf, "documents")
+          .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        TextOps.packSequences(withTokens, "doc_id", "n_tokens", maxTokens = 512)
+          .orderBy(col("doc_id"))
+      },
+      None),
+
     // Approximate distinct (HLL): sketch tier for 100 TB cardinalities —
     // engines' sketches differ, so rows-only; error bound is spec-tested.
     QueryDef("q_approx_distinct",
