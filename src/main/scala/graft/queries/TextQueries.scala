@@ -124,18 +124,23 @@ object TextQueries {
     // Token-id encoding: vocab built from the corpus by frequency rank
     // (count desc, token asc — dense ids from 1), documents re-emitted
     // as (doc_id, pos, token_id) rows — the string→int encoding step a
-    // training pipeline runs before batching. The vocab rank is a window
-    // over the (small, aggregated) vocabulary only, never over the
-    // corpus; the encode itself is a broadcast-friendly join keyed on
-    // the token.
+    // training pipeline runs before batching. The rank is computed with
+    // range-repartition + zipWithIndex (per-partition counts + a driver
+    // prefix sum), NOT a partitionless row_number window — a web-scale
+    // vocabulary is 10^8 tokens and a global window would funnel it
+    // through one task. The encode itself is a join keyed on the token.
     QueryDef("text_token_ids",
       (spark, sf) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
         val toks = load(spark, sf, "documents")
           .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-          .withColumn("token_id", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("cnt").desc, col("tok"))))
+        val vocab0 = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .repartitionByRange(col("cnt").desc, col("tok").asc)
+          .sortWithinPartitions(col("cnt").desc, col("tok").asc)
+        val vocab = spark.createDataFrame(
+          vocab0.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1).toInt) },
+          StructType(vocab0.schema.fields :+ StructField("token_id", IntegerType)))
         toks.join(vocab.select(col("tok"), col("token_id")), Seq("tok"))
           .select(col("doc_id"), col("pos"), col("token_id"))
           .orderBy(col("doc_id"), col("pos"))
