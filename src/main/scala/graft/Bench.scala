@@ -22,7 +22,19 @@ object Bench {
       org.apache.spark.sql.functions.col("a") === org.apache.spark.sql.functions.col("b"))
       .count()
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // shared ingest-time layouts get their own timed entry — charged to
+    // neither the first dedup query (arbitrary) nor hidden in warmup
+    // (flattering): total stays honest, per-query times stay comparable
+    val layoutEntry = {
+      val t0 = System.nanoTime()
+      try graft.queries.DedupQueries.warmSharedLayouts(spark, sfDir)
+      catch { case e: Throwable =>
+        failed += "layout_shared_shingles"
+        System.err.println(s"[bench] layout_shared_shingles FAILED: ${e.getMessage}")
+      }
+      "layout_shared_shingles" -> (System.nanoTime() - t0) / 1e9
+    }
+    val results = layoutEntry +: SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>

@@ -20,6 +20,14 @@ object DedupQueries {
     shingleCache.getOrElseUpdate(sf,
       graft.ops.Dedup.shingleTable(load(spark, sf, "documents"), "text", "doc_id", 5).persist())
 
+  /** Materialize the shared shingle layout eagerly. Bench times this as
+    * its own named entry so the one-time ingest-layout cost is never
+    * silently attributed to whichever dedup query happens to run first
+    * (the source of two rounds of phantom "regressions").
+    */
+  def warmSharedLayouts(spark: org.apache.spark.sql.SparkSession, sf: String): Long =
+    sharedShingles(spark, sf).count()
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup by canonical md5 fingerprint (hash-groupBy; keeps the
