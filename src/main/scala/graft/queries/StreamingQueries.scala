@@ -78,6 +78,33 @@ object StreamingQueries {
              |  FROM documents) t WHERE rn = 1
              |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Stream-static join: the unbounded stream enriched against a static
+    // dimension (customer) — Catalyst broadcasts the dim into every
+    // micro-batch, no state store involved; the third join class after
+    // batch joins and stream-stream joins, verified against the plain
+    // batch SQL.
+    QueryDef("stream_static_join",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "events")).schema
+        val raw = spark.readStream.schema(schema).parquet(stagedDir(spark, sf, "events"))
+        val dim = spark.read.parquet(path(sf, "customer"))
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        val agg = raw.join(dim, Seq("user_id"))
+          .groupBy(col("c_mktsegment"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        val table = s"stream_sj_${counter.incrementAndGet()}"
+        val q = agg.writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        spark.table(table).orderBy(col("c_mktsegment"), col("event_type"))
+      },
+      Some("""SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY c_mktsegment, event_type
+             |ORDER BY c_mktsegment, event_type""".stripMargin)),
+
     // Micro-batch keyed ingestion through the BATCH executor
     // (foreachBatch → upsert merge + mapping table): a stream and a
     // backfill produce byte-identical destination snapshots, proven here
