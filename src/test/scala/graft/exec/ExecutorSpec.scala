@@ -308,6 +308,52 @@ class ExecutorSpec extends SparkSpec {
         Seq(1L).toDF("src_id"), Map.empty))
   }
 
+  test("empty source on an update run: every destination row becomes an orphan") {
+    import spark.implicits._
+    val (base, _, _, exec) = fixture()
+    val sp = mkSpec(base)
+    val dest = new ParquetDestinationDriver
+    exec.execute(spark, natural(sp), inlineSource(s => {
+      import s.implicits._
+      Seq((1L, "a"), (2L, "b")).toDF("src_id", "v")
+    }), dest)
+    val r = exec.execute(spark, natural(sp), inlineSource(s => {
+      import s.implicits._
+      Seq.empty[(Long, String)].toDF("src_id", "v")
+    }), dest)
+    assert(r.migrated == 0 && r.orphanCount == 2)
+    assert(dest.snapshot(spark, sp).get.count() == 2, "KeepOrphans retains them")
+  }
+
+  test("composite destination keys: upsert, mapping and orphans on two-column ids") {
+    import spark.implicits._
+    val (base, mapper, _, exec) = fixture()
+    val sp = MigrationSpec("multi", source = "", sourceDriver = "inline",
+      destination = s"$base/multi", destinationDriver = "parquet",
+      sourceIds = Seq(IdField("g", StringId), IdField("n")),
+      destinationIds = Seq(IdField("g", StringId), IdField("n")))
+    val dest = new ParquetDestinationDriver
+    val mig = new Migration {
+      def spec: MigrationSpec = sp
+      def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+        src.select(col("g"), col("n"), upper(col("v")).as("v"))
+    }
+    exec.execute(spark, mig, inlineSource(s => {
+      import s.implicits._
+      Seq(("x", 1L, "a"), ("x", 2L, "b"), ("y", 1L, "c")).toDF("g", "n", "v")
+    }), dest)
+    val r2 = exec.execute(spark, mig, inlineSource(s => {
+      import s.implicits._
+      Seq(("x", 1L, "a2"), ("y", 1L, "c")).toDF("g", "n", "v")
+    }), dest)
+    assert(r2.orphanCount == 1)
+    assert(r2.orphans.select("g", "n").head().toSeq == Seq("x", 2L))
+    val snap = dest.snapshot(spark, sp).get.orderBy("g", "n").collect()
+    assert(snap.map(_.toSeq).toSeq == Seq(
+      Seq("x", 1L, "A2"), Seq("x", 2L, "B"), Seq("y", 1L, "C")))
+    assert(mapper.load(spark, sp).get.count() == 3 + 1, "3 mapped + 1 kept-orphan row")
+  }
+
   test("parallel executeAll: diamond DAG runs levels concurrently, same results as serial") {
     import spark.implicits._
     def mig(base: String, name: String, deps: Seq[String]): Migration = new Migration {
