@@ -275,6 +275,67 @@ object Etl {
     // §2.3 dependency DAG: three chained migrations resolved in topo
     // order (`DataMigrationManager.php:271-326`), the last one consuming
     // the previous two through the reference store.
+    // Diamond DAG under executeAll(parallelism=4): m_nation roots, the
+    // customer and supplier migrations run CONCURRENTLY in level 2 (both
+    // resolve references into the nation output), and the result is
+    // oracle-verified — the parallel scheduling path through the gate,
+    // not just specs.
+    QueryDef("etl_parallel_pipeline",
+      (spark, sf) => {
+        val base = scratch("graft_par")
+        val mapper = new MappingStore(s"$base/map")
+        val refs = new ReferenceStore(mapper)
+        val dest = new ParquetDestinationDriver
+        def spec(n: String, srcId: String, deps: Seq[String]) = MigrationSpec(n, source = "",
+          sourceDriver = "inline", destination = s"$base/$n", destinationDriver = "parquet",
+          sourceIds = Seq(IdField(srcId, LongId)), destinationIds = Seq(IdField("sid", LongId)),
+          depends = deps)
+        val nationSpec = spec("m_nation", "n_nationkey", Nil)
+        val custSpec = spec("m_cust", "c_custkey", Seq("m_nation"))
+        val suppSpec = spec("m_supp", "s_suppkey", Seq("m_nation"))
+        def leaf(theSpec: MigrationSpec, fk: String, keep: String) = new Migration {
+          def spec: MigrationSpec = theSpec
+          def transform(src: DataFrame, ctx: TransformContext): DataFrame = {
+            val n = ctx.references.entitiesBySourceIds(ctx.spark, "m_nation")
+              .select(col("sid").as("nk"), col("n_name"))
+            src.join(n, src(fk) === n("nk"))
+              .select(col(theSpec.sourceIds.head.name),
+                col(theSpec.sourceIds.head.name).as("sid"), col(keep), col("n_name"))
+          }
+        }
+        val migs = Seq(
+          leaf(custSpec, "c_nationkey", "c_name"),
+          leaf(suppSpec, "s_nationkey", "s_name"),
+          new Migration {
+            def spec: MigrationSpec = nationSpec
+            def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+              src.select(col("n_nationkey"), col("n_nationkey").as("sid"), col("n_name"))
+          })
+        val srcTables = Map("m_nation" -> "nation", "m_cust" -> "customer", "m_supp" -> "supplier")
+        val results = new MigrationExecutor(mapper, refs, KeepOrphans).executeAll(spark, migs,
+          m => new SourceDriver {
+            def read(s: SparkSession, sp: MigrationSpec): DataFrame =
+              load(s, sf, srcTables(sp.name))
+          },
+          m => { refs.register(m.spec, dest); dest },
+          parallelism = 4)
+        val nation = results("m_nation").finalSnapshot.select(col("n_name"))
+        val nc = results("m_cust").finalSnapshot
+          .groupBy(col("n_name")).agg(count(lit(1)).as("n_custs"))
+        val ns = results("m_supp").finalSnapshot
+          .groupBy(col("n_name")).agg(count(lit(1)).as("n_supps"))
+        nation.join(nc, Seq("n_name"), "left").join(ns, Seq("n_name"), "left")
+          .select(col("n_name"),
+            coalesce(col("n_custs"), lit(0L)).as("n_custs"),
+            coalesce(col("n_supps"), lit(0L)).as("n_supps"))
+          .orderBy(col("n_name"))
+      },
+      Some("""WITH c AS (SELECT c_nationkey k, COUNT(*) nc FROM customer GROUP BY 1),
+             |s AS (SELECT s_nationkey k, COUNT(*) ns FROM supplier GROUP BY 1)
+             |SELECT n_name, COALESCE(nc, 0) AS n_custs, COALESCE(ns, 0) AS n_supps
+             |FROM nation LEFT JOIN c ON n_nationkey = c.k LEFT JOIN s ON n_nationkey = s.k
+             |ORDER BY n_name""".stripMargin)),
+
     QueryDef("etl_dag_pipeline",
       (spark, sf) => {
         val base = scratch("graft_dag")
