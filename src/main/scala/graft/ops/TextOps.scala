@@ -134,6 +134,19 @@ object TextOps {
       StructField("doc_tokens", LongType))))
   }
 
+  /** Deterministic sampling predicate: keep a row iff the md5 of its key
+    * (+ salt) falls below the rate threshold in hex space. Unlike
+    * `df.sample(seed)` this is engine- and partitioning-independent —
+    * the same rows are selected on any cluster, any engine with md5, any
+    * re-run — which is what reproducible training-data subsets require.
+    * Rate is quantized to 2^-32; `salt` varies the draw.
+    */
+  def deterministicSample(key: Column, rate: Double, salt: String = ""): Column = {
+    require(rate >= 0.0 && rate <= 1.0, "rate must be in [0, 1]")
+    val threshold = f"${math.round(rate * 0xFFFFFFFFL)}%08x"
+    substring(md5(concat(key.cast("string"), lit(salt))), 1, 8) < lit(threshold)
+  }
+
   // PII patterns chosen to behave identically under Java regex (Spark)
   // and RE2 (DuckDB): no lookarounds, no backrefs.
   val UrlPattern = "https?://[^ ]+"

@@ -195,6 +195,22 @@ object TextQueries {
              |FROM tf JOIN n ON tf.doc_id = n.doc_id
              |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin)),
 
+    // Deterministic ~20% corpus sample: md5-threshold selection is
+    // partitioning/engine-independent (unlike seed-based sample()), so
+    // the exact same subset reproduces anywhere — DuckDB agrees row for
+    // row, which is the whole point.
+    QueryDef("text_sample",
+      (spark, sf) => load(spark, sf, "documents")
+        .filter(TextOps.deterministicSample(col("doc_id"), 0.2, salt = "r3"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")),
+      Some {
+        val thr = f"${math.round(0.2 * 0xFFFFFFFFL)}%08x"
+        s"""SELECT doc_id, source FROM documents
+           |WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'r3'), 1, 8) < '$thr'
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // Sequence packing into 512-token training bins: partition-local
     // greedy assignment (bin boundaries depend on the partitioning, so
     // rows-only; the packing invariants — every doc exactly once, no

@@ -223,6 +223,22 @@ class OpsSpec extends SparkSpec {
       "4 distinct frames per document")
   }
 
+  test("deterministic sample: stable across runs, rate-accurate, salt-sensitive") {
+    import spark.implicits._
+    val ids = (1L to 20000L).toDF("id")
+    def pick(salt: String) = ids
+      .filter(TextOps.deterministicSample(col("id"), 0.2, salt))
+      .collect().map(_.getLong(0)).toSet
+    val a = pick("s1")
+    assert(a == pick("s1"), "same salt => identical subset")
+    assert(a != pick("s2"), "different salt => different draw")
+    val rate = a.size / 20000.0
+    assert(rate > 0.18 && rate < 0.22, s"empirical rate $rate")
+    assert(pick("") == ids.repartition(7)
+      .filter(TextOps.deterministicSample(col("id"), 0.2, "")).collect()
+      .map(_.getLong(0)).toSet, "partitioning-independent")
+  }
+
   test("sequence packing: every doc once, bins within budget, contiguous in id order") {
     import spark.implicits._
     val docs = ((1L to 50L).map(i => (i, i % 7 * 40 + 10)) :+ (99L, 5000L)) // one oversized
