@@ -146,6 +146,52 @@ object DedupQueries {
              |SELECT u AS doc_id, MIN(v) AS rep FROM reach GROUP BY u
              |ORDER BY doc_id""".stripMargin)),
 
+    // End-to-end deduplicated corpus — the pipeline's actual product:
+    // exact-dup survivors (min doc id per fingerprint) minus
+    // non-representative members of near-dup clusters. Composes the
+    // already-verified stages; the oracle re-derives the same set in SQL.
+    QueryDef("dedup_corpus",
+      (spark, sf) => {
+        val docs = load(spark, sf, "documents")
+        val exactSurvivors = Dedup.exact(docs, "text", "doc_id").select(col("doc_id"))
+        val fuzzyDrops = Dedup.clusters(
+            Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 5, minJaccard = 0.8,
+              precomputedShingles = Some(sharedShingles(spark, sf))))
+          .filter(col("doc_id") =!= col("rep")).select(col("doc_id"))
+        docs.join(exactSurvivors, Seq("doc_id"), "left_semi")
+          .join(fuzzyDrops, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE fp AS (
+             |  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+             |  FROM documents),
+             |exact_survivors AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+             |toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+             |idx AS (SELECT doc_id, unnest(range(len(t)-4)) i, t FROM toks WHERE len(t) >= 5),
+             |sh0 AS (SELECT doc_id, list_aggregate(t[i+1:i+5], 'string_agg', ' ') s FROM idx),
+             |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+             |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT s1.doc_id a, s2.doc_id b, COUNT(*) inter
+             |  FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT a, b FROM inter
+             |  JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+             |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+             |edges AS (SELECT a u, b v FROM pairs UNION SELECT b, a FROM pairs),
+             |reach AS (
+             |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+             |  UNION
+             |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+             |fuzzy_drops AS (
+             |  SELECT u AS doc_id FROM reach GROUP BY u HAVING u <> MIN(v))
+             |SELECT d.doc_id, d.source FROM documents d
+             |WHERE d.doc_id IN (SELECT doc_id FROM exact_survivors)
+             |  AND d.doc_id NOT IN (SELECT doc_id FROM fuzzy_drops)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // SimHash (64-bit, pigeonhole banding). Hamming ≤ 8 captures every
     // planted near-dup on this corpus (measured: true pairs at 0-8,
     // noise exploding above) while keeping the candidate set tight.
