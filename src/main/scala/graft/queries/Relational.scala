@@ -439,6 +439,38 @@ object Relational {
              |WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin),
       bench = true),
 
+    // Outer-join semantics: customers FULL OUTER their orders — null
+    // sides surviving on both ends, aggregated to presence classes.
+    QueryDef("q_outer_join",
+      (spark, sf) => {
+        // both sides restricted so BOTH null classes genuinely occur:
+        // even-keyed customers vs orders of low-keyed customers
+        val c = load(spark, sf, "customer")
+          .filter(col("c_custkey") % 2 === 0).select(col("c_custkey"))
+        val o = load(spark, sf, "orders")
+          .filter(col("o_custkey") < 700)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+          .select(
+            when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "both")
+              .when(col("c_custkey").isNotNull, "customer_only")
+              .otherwise("orders_only").as("presence"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+          .groupBy(col("presence"))
+          .agg(count(lit(1)).as("n"), sum(col("n_orders")).as("total_orders"))
+          .orderBy(col("presence"))
+      },
+      Some("""WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0),
+             |o AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+             |      WHERE o_custkey < 700 GROUP BY 1)
+             |SELECT CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both'
+             |            WHEN c_custkey IS NOT NULL THEN 'customer_only'
+             |            ELSE 'orders_only' END AS presence,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS total_orders
+             |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+             |GROUP BY 1 ORDER BY presence""".stripMargin)),
+
     // Bloom-prefiltered join: the fact side is filtered by a Bloom
     // filter over the selective dimension's keys BEFORE the shuffle —
     // at 100 TB the difference between shuffling the whole fact table
