@@ -17,6 +17,7 @@ object DriverRegistry {
   def source(key: String): SourceDriver = key match {
     case "parquet" => new ParquetSourceDriver
     case "csv" => new CsvSourceDriver()
+    case "json" => new JsonSourceDriver()
     case "yaml" => new YamlSourceDriver
     case k if k.startsWith("sql:") => new SqlSourceDriver(k.stripPrefix("sql:"))
     case fqcn =>
@@ -27,6 +28,7 @@ object DriverRegistry {
     case "parquet" => new ParquetDestinationDriver()
     case "parquet+stubs" => new ParquetDestinationDriver(stubs = true)
     case "csv" => new CsvDestinationDriver
+    case "json" => new JsonDestinationDriver
     case "yaml" => new YamlDestinationDriver
     case "console" => new ConsoleDestinationDriver()
     case fqcn =>

@@ -213,6 +213,39 @@ final class CsvDestinationDriver extends DestinationDriver {
   * reference's `ROW_COLUMN_MISMATCH`, `CsvDestinationDriver.php:80`). */
 final class ColumnDriftException(msg: String) extends RuntimeException(msg)
 
+/** JSON-lines sink with the same stage + rename-aside commit as the CSV
+  * sink (engine-native breadth; nested columns serialize as nested JSON).
+  */
+final class JsonDestinationDriver extends DestinationDriver {
+  override def overwriteIsReadSafe: Boolean = true // stage + swap
+
+  def snapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] =
+    if (DestPath.exists(spark, spec.destination))
+      Some(spark.read.json(spec.destination))
+    else None
+
+  def write(df: DataFrame, spec: MigrationSpec): Unit = {
+    val spark = df.sparkSession
+    val dest = new org.apache.hadoop.fs.Path(spec.destination)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(dest.getParent, s".${dest.getName}__stage")
+    if (fs.exists(stage)) fs.delete(stage, true)
+    df.write.mode(SaveMode.Overwrite).json(stage.toString)
+    val old = new org.apache.hadoop.fs.Path(dest.getParent, s".${dest.getName}__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    val hadDest = fs.exists(dest)
+    if (hadDest && !fs.rename(dest, old))
+      throw new java.io.IOException(
+        s"failed to move current JSON output aside ($dest -> $old); staged output left at $stage")
+    if (!fs.rename(stage, dest)) {
+      if (hadDest) fs.rename(old, dest)
+      throw new java.io.IOException(
+        s"failed to commit JSON output to $dest; staged output left at $stage")
+    }
+    if (hadDest) fs.delete(old, true)
+  }
+}
+
 /** Debug/console sink used by `--simulate`
   * (`/root/reference/src/Drivers/Destination/DebugDestinationDriver.php:50-100`,
   * wired by `MigrateCommand.php:192-195`): dumps records, reads nothing.

@@ -85,3 +85,17 @@ final class SqlSourceDriver(statement: String) extends SourceDriver {
   def read(spark: SparkSession, spec: MigrationSpec): DataFrame =
     spark.sql(statement)
 }
+
+/** JSON-lines scan (file or directory, recursive) — engine-native breadth
+  * beyond the reference's format set; nested objects surface as
+  * struct/array columns like the YAML source.
+  *
+  * @param schema optional declared schema (preferred at scale — skips the
+  *               inference pass and pins types across drifting files)
+  */
+final class JsonSourceDriver(schema: Option[StructType] = None) extends SourceDriver {
+  def read(spark: SparkSession, spec: MigrationSpec): DataFrame = {
+    val base = spark.read.option("recursiveFileLookup", "true")
+    schema.fold(base)(s => base.schema(s)).json(spec.source)
+  }
+}

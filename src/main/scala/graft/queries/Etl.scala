@@ -420,6 +420,31 @@ object Etl {
       Some("""SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
              |FROM region ORDER BY r_regionkey""".stripMargin)),
 
+    // JSON roundtrip (engine-native format breadth): nation written
+    // through the staged JSON sink with a NESTED struct column, read
+    // back through the recursive JSON source, nested fields re-flattened
+    // — proving nested serialization survives the trip.
+    QueryDef("etl_json_roundtrip",
+      (spark, sf) => {
+        val dir = scratch("graft_json") + "/out"
+        val spec = MigrationSpec("json_rt", source = dir, sourceDriver = "json",
+          destination = dir, destinationDriver = "json",
+          sourceIds = Seq(IdField("n_nationkey", LongId)),
+          destinationIds = Seq(IdField("n_nationkey", LongId)))
+        val nation = load(spark, sf, "nation")
+          .select(col("n_nationkey").cast("long"), col("n_name"),
+            struct(col("n_regionkey").cast("long").as("rk"),
+              lower(col("n_name")).as("lname")).as("meta"))
+        new JsonDestinationDriver().write(nation, spec)
+        new JsonSourceDriver().read(spark, spec)
+          .select(col("n_nationkey"), col("n_name"),
+            col("meta.rk").as("rk"), col("meta.lname").as("lname"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+             |  CAST(n_regionkey AS BIGINT) AS rk, lower(n_name) AS lname
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
     // §2.2 Doctrine/database sink, MERGE mode — the only scale-viable
     // JDBC write path (O(batch) per-partition `MERGE INTO`, not a
     // truncate-rewrite of the whole destination;
