@@ -125,6 +125,32 @@ class ExecutorSpec extends SparkSpec {
     assert(mapper.load(spark, sp).get.filter(col("source_src_id").isNull).count() == 1)
   }
 
+  test("JSON sink update run with orphans: same barrier guarantees as CSV") {
+    import spark.implicits._
+    val (base, _, _, exec) = fixture()
+    val sp = MigrationSpec("jsonm", source = "", sourceDriver = "inline",
+      destination = s"$base/jsonm", destinationDriver = "json",
+      sourceIds = Seq(IdField("src_id")), destinationIds = Seq(IdField("id")))
+    val dest = new JsonDestinationDriver
+    val mig = new Migration {
+      def spec: MigrationSpec = sp
+      def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+        src.select(col("src_id"), col("src_id").as("id"), upper(col("v")).as("v"))
+    }
+    exec.execute(spark, mig, inlineSource(s => {
+      import s.implicits._
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("src_id", "v")
+    }), dest)
+    val r2 = exec.execute(spark, mig, inlineSource(s => {
+      import s.implicits._
+      Seq((1L, "a2"), (2L, "b")).toDF("src_id", "v")
+    }), dest)
+    assert(r2.orphanCount == 1)
+    val snap = dest.snapshot(spark, sp).get.orderBy("id").collect()
+    assert(snap.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L, 3L), "orphan kept through swap")
+    assert(snap(0).getAs[String]("v") == "A2", "update applied")
+  }
+
   test("JDBC truncate-overwrite prune run: orphans counted before the table is rewritten") {
     // Regression: with an in-place JDBC overwrite, a lazy orphan plan
     // evaluated post-write re-reads the rewritten table → orphanCount=0
