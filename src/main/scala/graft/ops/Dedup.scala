@@ -98,11 +98,44 @@ object Dedup {
     *
     * `pairs` carries columns (`a`, `b`); output: (idCol, `rep`), one row
     * per distinct doc appearing in any pair.
+    *
+    * Hybrid execution (the IVF-centroid precedent): a pair set below
+    * `collectThreshold` is union-found on the driver in one pass —
+    * near-dup graphs are tiny relative to their corpus, and a handful
+    * of rows should not pay ten Spark jobs of label propagation. Above
+    * the threshold (billions of pairs at the 100 TB design point) the
+    * distributed iterative path runs; both produce the identical
+    * min-id labeling.
     */
-  def clusters(pairs: DataFrame, idCol: String = "doc_id", maxIterations: Int = 20): DataFrame = {
+  def clusters(
+      pairs: DataFrame, idCol: String = "doc_id", maxIterations: Int = 20,
+      collectThreshold: Long = 10000000L): DataFrame = {
     val edges = pairs.select(col("a").as("u"), col("b").as("v"))
       .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
       .distinct().persist()
+    val nEdges = edges.count()
+    if (nEdges <= collectThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("u").cast("long"), col("v").cast("long"))
+        .as[(Long, Long)].collect()
+      edges.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (u, v) =>
+        parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv) // min id wins
+      }
+      return parent.keys.toSeq.map(u => (u, find(u))).toDF(idCol, "rep")
+        .orderBy(col(idCol))
+    }
     var labels = edges.select(col("u")).distinct()
       .select(col("u"), col("u").as("rep")).persist()
     var changed = 1L

@@ -51,14 +51,20 @@ class OpsSpec extends SparkSpec {
     assert(cut == uncut, s"missing=${uncut -- cut} extra=${cut -- uncut}")
   }
 
-  test("dedup clusters: chains collapse to one component labeled by min id") {
+  test("dedup clusters: chains collapse to one component labeled by min id (both paths)") {
     import spark.implicits._
     // components: {1,2,3} via chain 1-2, 2-3; {7,9}; singleton-free (only
     // docs in pairs appear)
     val pairs = Seq((2L, 3L), (1L, 2L), (7L, 9L)).toDF("a", "b")
-    val out = Dedup.clusters(pairs).collect()
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+    val fast = Dedup.clusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    assert(fast == expected)
+    // threshold 0 forces the distributed label-propagation path — must
+    // produce the identical labeling
+    val dist = Dedup.clusters(pairs, collectThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expected)
   }
 
   test("embedding cosine pairs: LSH-bucketed equals exact all-pairs at tau=0.4") {

@@ -49,9 +49,10 @@ def norm(v):
     return str(v)
 
 fails, passes, skips = [], [], []
+filters = [f for f in FILT.split(",") if f] if FILT else []
 names = sorted(set([os.path.basename(p) for p in glob.glob(f"{OUT}/*") if os.path.isdir(p)]))
 for name in names:
-    if FILT and FILT not in name: continue
+    if filters and not any(f in name for f in filters): continue
     try:
         spark_rel = con.execute(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
         scols = [d[0] for d in spark_rel.description]
