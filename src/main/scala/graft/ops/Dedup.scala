@@ -114,7 +114,14 @@ object Dedup {
       .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
       .distinct().persist()
     val nEdges = edges.count()
-    if (nEdges <= collectThreshold) {
+    // the driver fast path collects ids as longs; non-integral id types
+    // stay on the (type-generic) distributed path
+    val integralIds = pairs.schema("a").dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (nEdges <= collectThreshold && integralIds) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val es = edges.select(col("u").cast("long"), col("v").cast("long"))
