@@ -439,6 +439,28 @@ object Relational {
              |WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin),
       bench = true),
 
+    // Latest-record-per-key (the SCD "current snapshot" pattern):
+    // each user's most recent event via a keyed row_number — one shuffle
+    // on the key, no self-join against a max-ts aggregate.
+    QueryDef("q_latest_per_key",
+      (spark, sf) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        load(spark, sf, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_type"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, event_id AS last_event_id, event_type AS last_type
+             |FROM (SELECT user_id, event_id, event_type,
+             |        ROW_NUMBER() OVER (PARTITION BY user_id
+             |          ORDER BY ts DESC, event_id DESC) AS rn
+             |      FROM events) t
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
     // Outer-join semantics: customers FULL OUTER their orders — null
     // sides surviving on both ends, aggregated to presence classes.
     QueryDef("q_outer_join",
