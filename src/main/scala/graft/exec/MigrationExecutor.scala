@@ -265,7 +265,7 @@ final class MigrationExecutor(
     val nC = numChunks.toLong
     val chunkSchema = StructType(ordered.schema.fields :+ StructField("__chunk", LongType))
     val chunked = spark.createDataFrame(
-      ordered.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i * nC / total) },
+      ordered.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i * nC / total) },
       chunkSchema).persist()
     val inner = new MigrationExecutor(mapper, references, IgnoreOrphans)
     var migrated = 0L
@@ -400,7 +400,7 @@ final class MigrationExecutor(
       .repartitionByRange(srcCols: _*).sortWithinPartitions(srcCols: _*)
     val needSchema = StructType(ordered.schema.fields :+ StructField(idCol, LongType))
     val need = spark.createDataFrame(
-      ordered.rdd.zipWithIndex.map { case (r, i) =>
+      ordered.rdd.zipWithIndex().map { case (r, i) =>
         Row.fromSeq(r.toSeq :+ (maxExisting + 1L + i)) },
       needSchema)
       .withColumn(idCol, col(idCol).cast(idField.idType.sparkType))

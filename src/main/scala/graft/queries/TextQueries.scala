@@ -139,7 +139,7 @@ object TextQueries {
           .repartitionByRange(col("cnt").desc, col("tok").asc)
           .sortWithinPartitions(col("cnt").desc, col("tok").asc)
         val vocab = spark.createDataFrame(
-          vocab0.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1).toInt) },
+          vocab0.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1).toInt) },
           StructType(vocab0.schema.fields :+ StructField("token_id", IntegerType)))
         toks.join(vocab.select(col("tok"), col("token_id")), Seq("tok"))
           .select(col("doc_id"), col("pos"), col("token_id"))

@@ -76,7 +76,7 @@ object StreamingIngest {
         timerValues: TimerValues): Iterator[SessionOut] = {
       val gapUs = gapSeconds * 1000000L
       var closed = List.empty[SessionOut]
-      var cur = if (state.exists) Some(state.get()) else None
+      var cur = if (state.exists()) Some(state.get()) else None
       rows.toSeq.sortBy(_._2).foreach { case (_, ts, cents) =>
         cur match {
           case Some(s) if ts - s.lastSeen <= gapUs =>
@@ -99,7 +99,7 @@ object StreamingIngest {
     override def handleExpiredTimer(
         userId: Long, timerValues: TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] =
-      if (state.exists) {
+      if (state.exists()) {
         val s = state.get()
         state.clear()
         Iterator.single(closeOut(userId, s))
