@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -66,6 +67,60 @@ class PropertySpec extends SparkSpec {
         assert(got == naive(forward), s"forward=$forward lefts=$lefts rights=$rights")
       }
     }
+  }
+
+  test("property: binned range join equals the naive quadratic join on random intervals") {
+    import graft.ops.Joins
+    import spark.implicits._
+    val gen = for {
+      np <- Gen.choose(1, 40)
+      ni <- Gen.choose(1, 15)
+      points <- Gen.listOfN(np, Gen.choose(0L, 200L))
+      ivs <- Gen.listOfN(ni, Gen.zip(Gen.choose(0L, 200L), Gen.choose(0L, 80L)))
+      bin <- Gen.oneOf(1L, 7L, 64L, 128L)
+    } yield (points, ivs.map { case (lo, w) => (lo, lo + w) }, bin)
+    samples(gen, 8).foreach { case (points, ivs, bin) =>
+      val p = points.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("pid", "t")
+      val iv = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("iid", "lo", "hi")
+      val binned = Joins.rangeJoin(p, "t", iv, "lo", "hi", binSize = bin)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = (for {
+        (t, pi) <- points.zipWithIndex
+        ((lo, hi), ii) <- ivs.zipWithIndex
+        if t >= lo && t < hi
+      } yield (pi.toLong, ii.toLong)).toSet
+      assert(binned == naive,
+        s"bin=$bin missing=${naive -- binned} extra=${binned -- naive}")
+    }
+  }
+
+  test("property: deterministic sampling is monotone in rate and bounded") {
+    import graft.ops.TextOps
+    import spark.implicits._
+    val ids = (1L to 5000L).toDF("id")
+    def pick(rate: Double) = ids.filter(TextOps.deterministicSample(col("id"), rate, "p"))
+      .collect().map(_.getLong(0)).toSet
+    val r0 = pick(0.0); val r1 = pick(0.1); val r3 = pick(0.3); val all = pick(1.0)
+    assert(r0.isEmpty)
+    assert(r1.subsetOf(r3), "lower rate must select a subset of higher rate")
+    assert(r3.subsetOf(all))
+    assert(all.size >= 4999, "rate 1.0 keeps (essentially) everything")
+  }
+
+  test("property: repetition ratio bounded in [0,1); 0 for distinct shingles, high for loops") {
+    import graft.ops.TextOps
+    import spark.implicits._
+    val t = Seq(
+      (1L, (1 to 30).map(i => s"w$i").mkString(" ")), // all distinct
+      (2L, Seq.fill(30)("la").mkString(" ")),          // maximal repetition
+      (3L, "a b")                                       // sub-k
+    ).toDF("id", "text")
+    val rr = t.select(col("id"), TextOps.repetitionRatio(col("text"), 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rr(1L) == 0.0)
+    assert(rr(2L) > 0.9 && rr(2L) < 1.0)
+    assert(rr(3L) == 0.0)
   }
 
   test("property: exact dedup keeps exactly one survivor per fingerprint group") {
