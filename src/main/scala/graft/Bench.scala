@@ -36,7 +36,12 @@ object Bench {
     }
     val results = layoutEntry +: SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      // Evaluate every output column: under a bare count() Catalyst prunes
+      // the projection to nothing (a regex-redaction query times as a
+      // parquet row-count). foreach over the executed plan's rows keeps the
+      // full projection in the measured work without collecting to the
+      // driver.
+      try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
       catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

@@ -12,8 +12,20 @@ import org.apache.spark.sql.SparkSession
   * well-known keys for the built-ins, any other key treated as a
   * fully-qualified class name (the "custom drivers" extension point,
   * `doc/index.rst`).
+  *
+  * When a spec declares NO driver key, the driver is resolved from the
+  * source/destination URI *scheme* — the reference's scheme-addressed
+  * model (`NoDriverForSchemeException`/`UnclearDriverException`,
+  * `/root/reference/src/Exception/`): `csv://dir`, `yaml:///abs/dir`,
+  * `sqlite:///db.sqlite`, `jdbc:h2:…` all pick their driver without a
+  * declaration. Custom drivers register schemes via
+  * [[registerSourceScheme]]/[[registerDestinationScheme]]; a scheme
+  * claimed by more than one driver fails resolution with the ambiguous
+  * driver list, exactly as the reference prescribes.
   */
 object DriverRegistry {
+  import graft.spec.{BadUriException, NoDriverForSchemeException, UnclearDriverException}
+
   def source(key: String): SourceDriver = key match {
     case "parquet" => new ParquetSourceDriver
     case "csv" => new CsvSourceDriver()
@@ -34,6 +46,79 @@ object DriverRegistry {
     case fqcn =>
       Class.forName(fqcn).getDeclaredConstructor().newInstance().asInstanceOf[DestinationDriver]
   }
+
+  // scheme → (driver display name, factory); JDBC database schemes map to
+  // drivers that still need per-migration config (SQL statement / table),
+  // supplied via Migration.configureSource/configureDestination — the same
+  // two-phase shape as the reference's scheme-resolved DBAL drivers.
+  private val jdbcSchemes = Seq("jdbc", "sqlite", "mysql", "mariadb", "postgresql", "h2")
+  private val builtinSourceSchemes: Map[String, Seq[(String, () => SourceDriver)]] =
+    Map(
+      "parquet" -> Seq("parquet" -> (() => new ParquetSourceDriver)),
+      "csv" -> Seq("csv" -> (() => new CsvSourceDriver())),
+      "json" -> Seq("json" -> (() => new JsonSourceDriver())),
+      "jsonl" -> Seq("json" -> (() => new JsonSourceDriver())),
+      "yaml" -> Seq("yaml" -> (() => new YamlSourceDriver)),
+      "yml" -> Seq("yaml" -> (() => new YamlSourceDriver))) ++
+      jdbcSchemes.map(s => s -> Seq("jdbc" -> (() => new JdbcSourceDriver(""): SourceDriver)))
+  private val builtinDestinationSchemes: Map[String, Seq[(String, () => DestinationDriver)]] =
+    Map(
+      "parquet" -> Seq("parquet" -> (() => new ParquetDestinationDriver())),
+      "csv" -> Seq("csv" -> (() => new CsvDestinationDriver)),
+      "json" -> Seq("json" -> (() => new JsonDestinationDriver)),
+      "jsonl" -> Seq("json" -> (() => new JsonDestinationDriver)),
+      "yaml" -> Seq("yaml" -> (() => new YamlDestinationDriver)),
+      "yml" -> Seq("yaml" -> (() => new YamlDestinationDriver)),
+      "console" -> Seq("console" -> (() => new ConsoleDestinationDriver()))) ++
+      jdbcSchemes.map(s => s -> Seq("jdbc" -> (() => new JdbcDestinationDriver(""): DestinationDriver)))
+
+  private val customSourceSchemes =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, () => SourceDriver)]]
+  private val customDestinationSchemes =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, () => DestinationDriver)]]
+
+  /** Claim `scheme` for a custom source driver (the reference's `@Driver`
+    * scheme declaration). Claiming an already-claimed scheme makes it
+    * ambiguous — resolution then fails with [[UnclearDriverException]].
+    */
+  def registerSourceScheme(scheme: String, driverName: String, factory: () => SourceDriver): Unit =
+    customSourceSchemes.updateWith(scheme.toLowerCase) {
+      case Some(xs) => Some(xs :+ (driverName -> factory))
+      case None     => Some(Seq(driverName -> factory))
+    }
+
+  def registerDestinationScheme(
+      scheme: String, driverName: String, factory: () => DestinationDriver): Unit =
+    customDestinationSchemes.updateWith(scheme.toLowerCase) {
+      case Some(xs) => Some(xs :+ (driverName -> factory))
+      case None     => Some(Seq(driverName -> factory))
+    }
+
+  private[cli] def unregisterSourceScheme(scheme: String): Unit =
+    customSourceSchemes.remove(scheme.toLowerCase)
+  private[cli] def unregisterDestinationScheme(scheme: String): Unit =
+    customDestinationSchemes.remove(scheme.toLowerCase)
+
+  private def resolve[D](
+      uri: String,
+      builtin: Map[String, Seq[(String, () => D)]],
+      custom: scala.collection.Map[String, Seq[(String, () => D)]]): D = {
+    val scheme = UriSchemes.schemeOf(uri).getOrElse(throw new BadUriException(uri))
+    val candidates = builtin.getOrElse(scheme, Nil) ++ custom.getOrElse(scheme, Nil)
+    candidates match {
+      case Seq() => throw new NoDriverForSchemeException(scheme)
+      case Seq((_, f)) => f()
+      case many => throw new UnclearDriverException(scheme, many.map(_._1))
+    }
+  }
+
+  /** Resolve a source driver from a URI's scheme (no driver declared). */
+  def sourceForUri(uri: String): SourceDriver =
+    resolve(uri, builtinSourceSchemes, customSourceSchemes)
+
+  /** Resolve a destination driver from a URI's scheme. */
+  def destinationForUri(uri: String): DestinationDriver =
+    resolve(uri, builtinDestinationSchemes, customDestinationSchemes)
 }
 
 /** `a2b-spark migrate` — CLI parity with the reference's single entry
@@ -116,10 +201,15 @@ object MigrateCli {
     // parallel level may resolve references into a sibling branch's spec)
     val wired = ordered.map { spec =>
       val m = byName(spec.name)
-      val source = m.configureSource(DriverRegistry.source(spec.sourceDriver))
+      // explicit driver key wins; an empty key resolves from the URI
+      // scheme (reference DriverManager model)
+      val source = m.configureSource(
+        if (spec.sourceDriver.nonEmpty) DriverRegistry.source(spec.sourceDriver)
+        else DriverRegistry.sourceForUri(spec.source))
       val dest0 =
         if (args.simulate) new ConsoleDestinationDriver() // MigrateCommand.php:192-195
-        else DriverRegistry.destination(spec.destinationDriver)
+        else if (spec.destinationDriver.nonEmpty) DriverRegistry.destination(spec.destinationDriver)
+        else DriverRegistry.destinationForUri(spec.destination)
       val dest = m.configureDestination(dest0)
       refs.register(spec, dest)
       spec.name -> ((m, source, dest))

@@ -115,22 +115,25 @@ final class ParquetDestinationDriver(
     }
   }
 
-  def snapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] =
-    currentGen(spark, spec.destination).map(g => spark.read.parquet(s"${spec.destination}/$g"))
+  def snapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] = {
+    val base = UriSchemes.path(spec.destination)
+    currentGen(spark, base).map(g => spark.read.parquet(s"$base/$g"))
+  }
 
   def write(df: DataFrame, spec: MigrationSpec): Unit = {
     val spark = df.sparkSession
-    val next = currentGen(spark, spec.destination) match {
+    val base = UriSchemes.path(spec.destination)
+    val next = currentGen(spark, base) match {
       case Some(g) => s"gen${g.stripPrefix("gen").toLong + 1}"
       case None    => "gen0"
     }
-    df.write.mode(SaveMode.Overwrite).parquet(s"${spec.destination}/$next")
-    val f = currentFile(spark, spec.destination)
+    df.write.mode(SaveMode.Overwrite).parquet(s"$base/$next")
+    val f = currentFile(spark, base)
     val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(f, true)
     try out.write(next.getBytes("UTF-8")) finally out.close()
     keepGenerations.foreach(k => graft.mapper.GenerationVacuum.vacuum(
-      fs, new org.apache.hadoop.fs.Path(spec.destination), k))
+      fs, new org.apache.hadoop.fs.Path(base), k))
   }
 }
 
@@ -146,15 +149,17 @@ final class ParquetDestinationDriver(
 final class CsvDestinationDriver extends DestinationDriver {
   override def overwriteIsReadSafe: Boolean = true // stage + swap below
 
-  def snapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] =
-    if (DestPath.exists(spark, spec.destination))
-      Some(spark.read.option("header", "true").csv(spec.destination))
+  def snapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] = {
+    val base = UriSchemes.path(spec.destination)
+    if (DestPath.exists(spark, base))
+      Some(spark.read.option("header", "true").csv(base))
     else None
+  }
 
   def write(df: DataFrame, spec: MigrationSpec): Unit = {
     val spark = df.sparkSession
     validateColumns(df, spec)
-    val dest = new org.apache.hadoop.fs.Path(spec.destination)
+    val dest = new org.apache.hadoop.fs.Path(UriSchemes.path(spec.destination))
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new org.apache.hadoop.fs.Path(
       dest.getParent, s".${dest.getName}__stage")
@@ -219,14 +224,16 @@ final class ColumnDriftException(msg: String) extends RuntimeException(msg)
 final class JsonDestinationDriver extends DestinationDriver {
   override def overwriteIsReadSafe: Boolean = true // stage + swap
 
-  def snapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] =
-    if (DestPath.exists(spark, spec.destination))
-      Some(spark.read.json(spec.destination))
+  def snapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] = {
+    val base = UriSchemes.path(spec.destination)
+    if (DestPath.exists(spark, base))
+      Some(spark.read.json(base))
     else None
+  }
 
   def write(df: DataFrame, spec: MigrationSpec): Unit = {
     val spark = df.sparkSession
-    val dest = new org.apache.hadoop.fs.Path(spec.destination)
+    val dest = new org.apache.hadoop.fs.Path(UriSchemes.path(spec.destination))
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new org.apache.hadoop.fs.Path(dest.getParent, s".${dest.getName}__stage")
     if (fs.exists(stage)) fs.delete(stage, true)
@@ -285,25 +292,36 @@ final class JdbcDestinationDriver(
     */
   override def overwriteIsReadSafe: Boolean = merge
 
+  private def requireTable(spec: MigrationSpec): Unit =
+    require(table.nonEmpty,
+      s"JDBC destination for ${spec.destination} has no table name — a scheme-" +
+        "resolved JDBC destination must be configured via " +
+        "Migration.configureDestination returning new JdbcDestinationDriver(table)")
+
   private def reader(spark: SparkSession, spec: MigrationSpec) = {
+    requireTable(spec)
     val r = spark.read.format("jdbc")
-      .option("url", spec.destination).option("dbtable", table)
+      .option("url", UriSchemes.jdbcUrl(spec.destination)).option("dbtable", table)
     properties.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }
   }
 
-  def snapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] =
+  def snapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] = {
+    requireTable(spec) // outside the catch-all: misconfiguration must not read as "table absent"
     try Some(reader(spark, spec).load())
     catch { case _: Exception => None } // table absent yet
+  }
 
-  def write(df: DataFrame, spec: MigrationSpec): Unit =
+  def write(df: DataFrame, spec: MigrationSpec): Unit = {
+    requireTable(spec)
     if (merge) mergeWrite(df, spec)
     else {
       val w = df.write.format("jdbc")
-        .option("url", spec.destination).option("dbtable", table)
+        .option("url", UriSchemes.jdbcUrl(spec.destination)).option("dbtable", table)
         .option("batchsize", batchSize.toString)
         .mode(SaveMode.Overwrite).option("truncate", "true")
       properties.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }.save()
     }
+  }
 
   private def sqlType(dt: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._
@@ -325,7 +343,7 @@ final class JdbcDestinationDriver(
     * shape; `batchSize` rows per round trip.
     */
   private def mergeWrite(df: DataFrame, spec: MigrationSpec): Unit = {
-    val url = spec.destination
+    val url = UriSchemes.jdbcUrl(spec.destination)
     val keyCols = spec.destinationIds.map(_.name)
     val cols = df.schema.fields.map(_.name).toSeq
     val nonKeys = cols.filterNot(keyCols.contains)

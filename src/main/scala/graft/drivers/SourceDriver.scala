@@ -24,7 +24,7 @@ trait SourceDriver {
   */
 final class ParquetSourceDriver extends SourceDriver {
   def read(spark: SparkSession, spec: MigrationSpec): DataFrame =
-    spark.read.parquet(spec.source)
+    spark.read.parquet(UriSchemes.path(spec.source))
 }
 
 /** CSV scan: first row = header, error on empty/header-only file —
@@ -37,7 +37,7 @@ final class ParquetSourceDriver extends SourceDriver {
 final class CsvSourceDriver(schema: Option[StructType] = None) extends SourceDriver {
   def read(spark: SparkSession, spec: MigrationSpec): DataFrame = {
     val base = spark.read.option("header", "true")
-    val df = schema.fold(base)(s => base.schema(s)).csv(spec.source)
+    val df = schema.fold(base)(s => base.schema(s)).csv(UriSchemes.path(spec.source))
     // ≤ header-only ⇒ BadUriException in the reference (:51-54). head(1)
     // scans a single partition split — cheap even on huge inputs.
     if (df.head(1).isEmpty)
@@ -60,8 +60,12 @@ final class JdbcSourceDriver(
     properties: Map[String, String] = Map.empty)
     extends SourceDriver {
   def read(spark: SparkSession, spec: MigrationSpec): DataFrame = {
+    require(statement.nonEmpty,
+      s"JDBC source for ${spec.source} has no SQL statement — a scheme-resolved " +
+        "JDBC source must be configured via Migration.configureSource returning " +
+        "new JdbcSourceDriver(sql) (reference parity: DbalSourceDriver::setStatement)")
     val r = spark.read.format("jdbc")
-      .option("url", spec.source)
+      .option("url", UriSchemes.jdbcUrl(spec.source))
       .option("query", statement)
     properties.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
   }
@@ -69,7 +73,8 @@ final class JdbcSourceDriver(
   override def count(spark: SparkSession, spec: MigrationSpec): Long =
     countStatement match {
       case Some(sql) =>
-        val r = spark.read.format("jdbc").option("url", spec.source).option("query", sql)
+        val r = spark.read.format("jdbc")
+          .option("url", UriSchemes.jdbcUrl(spec.source)).option("query", sql)
         properties.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }
           .load().head().get(0).asInstanceOf[Number].longValue()
       case None => read(spark, spec).count()
@@ -96,6 +101,6 @@ final class SqlSourceDriver(statement: String) extends SourceDriver {
 final class JsonSourceDriver(schema: Option[StructType] = None) extends SourceDriver {
   def read(spark: SparkSession, spec: MigrationSpec): DataFrame = {
     val base = spark.read.option("recursiveFileLookup", "true")
-    schema.fold(base)(s => base.schema(s)).json(spec.source)
+    schema.fold(base)(s => base.schema(s)).json(UriSchemes.path(spec.source))
   }
 }

@@ -53,7 +53,7 @@ final class YamlSourceDriver extends SourceDriver {
     val raw = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*.{yaml,yml}")
-      .load(spec.source)
+      .load(UriSchemes.path(spec.source))
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
     val json: Dataset[String] = raw.map { case (path, content) =>
@@ -85,9 +85,14 @@ final class YamlSourceDriver extends SourceDriver {
   *     subtrees within a document are emitted once as `&anchor` and
   *     referenced as `*anchor` thereafter (the reference builds the same
   *     thing via a full value scan per document and documents it as "a
-  *     slow process"; here it is one post-order hash pass per record).
-  *     The reference's include/exclude regex filters are not modeled —
-  *     refs is all-or-nothing per driver instance.
+  *     slow process"; here it is one post-order hash pass per record);
+  *   - `refsInclude`/`refsExclude`: per-path regex filters on which
+  *     subtrees may anchor (`YamlDestinationDriver.php:221-247`, exercised
+  *     by `tests/src/Drivers/Destination/YamlDestinationDriverTest.php:375-440`):
+  *     a subtree's dotted key path (`mapping_field.inner_field`) must
+  *     full-match an include pattern (empty include ⇒ all paths) and no
+  *     exclude pattern. Non-matching subtrees serialize inline even when
+  *     repeated; their children are still considered independently.
   *
   * Nested Spark values (struct/array/map columns) serialize as nested
   * YAML maps/lists, matching what the source reads back.
@@ -98,12 +103,14 @@ final class YamlSourceDriver extends SourceDriver {
   * files hazard at 100 TB is inherent to this layout (SURVEY §7.4) — the
   * Parquet sink is the scale path.
   */
-final class YamlDestinationDriver(indent: Int = 2, refs: Boolean = false)
+final class YamlDestinationDriver(
+    indent: Int = 2, refs: Boolean = false,
+    refsInclude: Seq[String] = Nil, refsExclude: Seq[String] = Nil)
     extends DestinationDriver {
   override def supportsStubs: Boolean = false
 
   def snapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] =
-    if (DestPath.exists(spark, spec.destination)) {
+    if (DestPath.exists(spark, UriSchemes.path(spec.destination))) {
       val src = new YamlSourceDriver
       val asSource = spec.copy(source = spec.destination, sourceIds = spec.destinationIds)
       try Some(src.read(spark, asSource)) catch { case _: Exception => None }
@@ -111,10 +118,12 @@ final class YamlDestinationDriver(indent: Int = 2, refs: Boolean = false)
 
   def write(df: DataFrame, spec: MigrationSpec): Unit = {
     val idNames = spec.destinationIds.map(_.name)
-    val base = spec.destination
+    val base = UriSchemes.path(spec.destination)
     val bodyCols = df.columns.filterNot(idNames.contains)
     val ind = indent
     val shareRefs = refs
+    val incRes = refsInclude
+    val excRes = refsExclude
     val confBc = df.sparkSession.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         df.sparkSession.sparkContext.hadoopConfiguration))
@@ -124,13 +133,16 @@ final class YamlDestinationDriver(indent: Int = 2, refs: Boolean = false)
       opts.setDefaultFlowStyle(org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
       opts.setIndent(ind)
       val yaml = new org.yaml.snakeyaml.Yaml(opts)
+      val inc = incRes.map(java.util.regex.Pattern.compile)
+      val exc = excRes.map(java.util.regex.Pattern.compile)
       rows.foreach { row =>
         val idVals = idNames.map(n => String.valueOf(row.getAs[Any](n)))
         val body = new java.util.LinkedHashMap[String, Object]()
         bodyCols.foreach(c => body.put(c, YamlDestinationDriver.toJava(row.getAs[Any](c))))
         val doc: Object =
           if (shareRefs)
-            YamlDestinationDriver.shareSubtrees(body, new java.util.HashMap[Object, Object]())
+            YamlDestinationDriver.shareSubtrees(
+              body, new java.util.HashMap[Object, Object](), "", inc, exc)
           else body
         val p = new org.apache.hadoop.fs.Path(base, YamlPathCodec.pathFromIds(idVals))
         val fs = p.getFileSystem(conf)
@@ -176,19 +188,42 @@ object YamlDestinationDriver {
     * `&anchor` and `*alias` references — the set-wise equivalent of the
     * reference's per-document repeated-value scan
     * (`YamlDestinationDriver.php:221-247`).
+    *
+    * `path` is the dotted key path of `v` (list elements append their
+    * index); a subtree is pooled — i.e. may become an anchor or alias —
+    * only when its path full-matches the include/exclude filters.
     */
   private[drivers] def shareSubtrees(
-      v: Object, pool: java.util.HashMap[Object, Object]): Object = v match {
-    case m: java.util.Map[_, _] =>
-      val nm = new java.util.LinkedHashMap[String, Object]()
-      m.forEach((k, x) => nm.put(String.valueOf(k), shareSubtrees(x.asInstanceOf[Object], pool)))
-      val prev = pool.get(nm)
-      if (prev != null) prev else { pool.put(nm, nm); nm }
-    case l: java.util.List[_] =>
-      val nl = new java.util.ArrayList[Object]()
-      l.forEach(x => nl.add(shareSubtrees(x.asInstanceOf[Object], pool)))
-      val prev = pool.get(nl)
-      if (prev != null) prev else { pool.put(nl, nl); nl }
-    case other => other
+      v: Object, pool: java.util.HashMap[Object, Object], path: String,
+      include: Seq[java.util.regex.Pattern] = Nil,
+      exclude: Seq[java.util.regex.Pattern] = Nil): Object = {
+    def eligible: Boolean =
+      (include.isEmpty || include.exists(_.matcher(path).matches())) &&
+        !exclude.exists(_.matcher(path).matches())
+    def childPath(k: String): String = if (path.isEmpty) k else path + "." + k
+    def pooled(nv: Object): Object =
+      if (!eligible) nv
+      else {
+        val prev = pool.get(nv)
+        if (prev != null) prev else { pool.put(nv, nv); nv }
+      }
+    v match {
+      case m: java.util.Map[_, _] =>
+        val nm = new java.util.LinkedHashMap[String, Object]()
+        m.forEach((k, x) => nm.put(String.valueOf(k),
+          shareSubtrees(x.asInstanceOf[Object], pool, childPath(String.valueOf(k)),
+            include, exclude)))
+        pooled(nm)
+      case l: java.util.List[_] =>
+        val nl = new java.util.ArrayList[Object]()
+        var i = 0
+        l.forEach { x =>
+          nl.add(shareSubtrees(x.asInstanceOf[Object], pool, childPath(i.toString),
+            include, exclude))
+          i += 1
+        }
+        pooled(nl)
+      case other => other
+    }
   }
 }

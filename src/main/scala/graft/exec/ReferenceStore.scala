@@ -76,6 +76,41 @@ final class ReferenceStore(mapper: MappingStore) {
     picked.drop(ref.columns.filterNot(select.map(_._2).contains): _*)
   }
 
+  /** [[resolve]] with transparent stub creation for unresolved references
+    * — the one-call composition of the reference's
+    * `referenceStore->get(…, stub=true)`
+    * (`/root/reference/src/DataMigration/MigrationReferenceStore.php:65-120`):
+    * FK tuples with no mapping row in the target are stubbed (write-ahead
+    * entities + `status='stub'` mapping rows) BEFORE the join, so a
+    * forward/self reference resolves in the same pass; the target's own
+    * run later overwrites by key and flips status to migrated.
+    *
+    * Gating mirrors the reference (`:86-90`): a destination that does not
+    * support stubs silently downgrades the request — this behaves as
+    * plain [[resolve]] (missing references stay null) rather than
+    * erroring.
+    *
+    * @param defaults values for the target's required non-key fields on
+    *                 stub rows (the reference random-fills; deterministic
+    *                 values keep re-runs idempotent)
+    */
+  def resolveOrStub(
+      df: DataFrame,
+      migrationName: String,
+      keyMap: Map[String, String],
+      select: Seq[(String, String)],
+      defaults: Map[String, Any] = Map.empty): DataFrame = {
+    val (spec, dest) = registry.getOrElse(migrationName,
+      throw new NoMappingForIdsException(s"migration not registered: $migrationName"))
+    if (dest.supportsStubs) {
+      val stubber = new Stubber(mapper)
+      val missing = stubber.missingKeys(df, spec, keyMap)
+      val stubbed = stubber.writeStubs(df.sparkSession, spec, dest, missing, defaults)
+      if (stubbed > 0) invalidate(migrationName) // memo now stale: re-join below sees the stubs
+    }
+    resolve(df, migrationName, keyMap, select)
+  }
+
   def invalidate(migrationName: String): Unit =
     memo.remove(migrationName).foreach(_.unpersist())
 }

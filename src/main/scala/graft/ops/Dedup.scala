@@ -105,11 +105,17 @@ object Dedup {
     * of rows should not pay ten Spark jobs of label propagation. Above
     * the threshold (billions of pairs at the 100 TB design point) the
     * distributed iterative path runs; both produce the identical
-    * min-id labeling.
+    * min-id labeling. The default cutoff is 1 M edges (~16 MB of
+    * (Long, Long) rows — negligible on any driver); deployments with
+    * roomy drivers can raise it via the `graft.clusters.collectThreshold`
+    * conf, which takes precedence over the parameter.
     */
   def clusters(
       pairs: DataFrame, idCol: String = "doc_id", maxIterations: Int = 20,
-      collectThreshold: Long = 10000000L): DataFrame = {
+      collectThreshold: Long = 1000000L): DataFrame = {
+    val confThreshold = pairs.sparkSession.conf
+      .getOption("graft.clusters.collectThreshold").map(_.toLong)
+      .getOrElse(collectThreshold)
     val edges = pairs.select(col("a").as("u"), col("b").as("v"))
       .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
       .distinct().persist()
@@ -121,7 +127,7 @@ object Dedup {
            org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
       case _ => false
     }
-    if (nEdges <= collectThreshold && integralIds) {
+    if (nEdges <= confThreshold && integralIds) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val es = edges.select(col("u").cast("long"), col("v").cast("long"))

@@ -136,9 +136,19 @@ object Joins {
     // BloomFilter.readFrom) — an empty small side means an empty join
     if (small.isEmpty) return big.limit(0).join(small, Seq(key))
     val bloom = small.stat.bloomFilter(key, expectedKeys, fpp)
-    val bc = big.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain =
-      udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    big.filter(mightContain(col(key))).join(small, Seq(key))
+    val bytes = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bytes)
+    // Native BloomFilterMightContain (SQL `might_contain`) instead of a
+    // Scala UDF: the expression codegens to a direct mightContainLong call
+    // inside the scan's WholeStageCodegen span — a UDF at this exact spot
+    // breaks codegen fusion at the point whose whole purpose is scan
+    // throughput. The filter travels as a constant binary literal, the
+    // same shape Spark's own InjectRuntimeFilter produces.
+    val mightContain = org.apache.spark.sql.GraftBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bytes.toByteArray, org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.GraftBridge.expression(col(key).cast("long"))))
+    big.filter(mightContain).join(small, Seq(key))
   }
 }

@@ -272,6 +272,79 @@ object Etl {
              |FROM orders WHERE o_custkey % 2 <> 0
              |ORDER BY source_c_custkey""".stripMargin)),
 
+    // §2.3 auto-stub-on-miss reference resolution — the one-call
+    // `referenceStore->get(…, stub=true)` composition
+    // (`MigrationReferenceStore.php:65-120`): a partially-run customer
+    // migration (evens only), then an ORDERS TRANSFORM that calls
+    // resolveOrStub — odd custkeys are stubbed transparently mid-
+    // transform and resolve to the stub entity ('STUB') — and finally
+    // the full customer run flips every stub's mapping status to
+    // migrated. The output carries both proofs: cust_name shows which
+    // rows resolved via stubs, status shows the post-run flip.
+    QueryDef("etl_stub_resolve",
+      (spark, sf) => {
+        val base = scratch("graft_stubres")
+        val mapper = new MappingStore(s"$base/map")
+        val refs = new ReferenceStore(mapper)
+        val exec = new MigrationExecutor(mapper, refs, KeepOrphans)
+        val custSpec = MigrationSpec("cust_sr", source = "", sourceDriver = "inline",
+          destination = s"$base/cust", destinationDriver = "parquet",
+          sourceIds = Seq(IdField("c_custkey", LongId)),
+          destinationIds = Seq(IdField("c_custkey", LongId)))
+        val custDest = new ParquetDestinationDriver(stubs = true)
+        val custSource = new SourceDriver {
+          def read(s: SparkSession, sp: MigrationSpec): DataFrame = load(s, sf, "customer")
+        }
+        def custMigration(onlyEven: Boolean) = new Migration {
+          def spec: MigrationSpec = custSpec
+          def transform(src: DataFrame, ctx: TransformContext): DataFrame = {
+            val in = if (onlyEven) src.filter(col("c_custkey") % 2 === 0) else src
+            in.select(col("c_custkey"), col("c_name"))
+          }
+        }
+        exec.execute(spark, custMigration(onlyEven = true), custSource, custDest)
+        refs.register(custSpec, custDest)
+        // orders migration: resolveOrStub INSIDE the transform — odd
+        // custkeys have no mapping yet, get stubbed write-ahead, and the
+        // re-resolve joins them to the just-written stub entities
+        val ordersSpec = MigrationSpec("orders_sr", source = "", sourceDriver = "inline",
+          destination = s"$base/orders", destinationDriver = "parquet",
+          sourceIds = Seq(IdField("o_orderkey", LongId)),
+          destinationIds = Seq(IdField("o_orderkey", LongId)))
+        val ordersRes = exec.execute(spark,
+          new Migration {
+            def spec: MigrationSpec = ordersSpec
+            def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+              ctx.references.resolveOrStub(
+                src.filter(col("o_orderkey") % 10 === 0),
+                "cust_sr",
+                keyMap = Map("o_custkey" -> "c_custkey"),
+                select = Seq("c_name" -> "cust_name"),
+                defaults = Map("c_name" -> "STUB"))
+                .select(col("o_orderkey"), col("o_custkey"), col("cust_name"))
+          },
+          new SourceDriver {
+            def read(s: SparkSession, sp: MigrationSpec): DataFrame = load(s, sf, "orders")
+          },
+          new ParquetDestinationDriver)
+        // the real (full) customer migration overwrites the stubs by key
+        // and flips their mapping status stub → migrated
+        exec.execute(spark, custMigration(onlyEven = false), custSource, custDest)
+        val mapping = mapper.load(spark, custSpec).get
+          .select(col(s"${MappingStore.SourcePrefix}c_custkey").as("o_custkey"),
+            col(MappingStore.StatusCol))
+        ordersRes.finalSnapshot
+          .select(col("o_orderkey"), col("o_custkey"), col("cust_name"))
+          .join(mapping, Seq("o_custkey"))
+          .select(col("o_orderkey"), col("cust_name"), col("status"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_custkey % 2 = 0 THEN c_name ELSE 'STUB' END AS cust_name,
+             |  'migrated' AS status
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin)),
+
     // §2.3 dependency DAG: three chained migrations resolved in topo
     // order (`DataMigrationManager.php:271-326`), the last one consuming
     // the previous two through the reference store.

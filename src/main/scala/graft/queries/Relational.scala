@@ -546,9 +546,9 @@ object Relational {
           .orderBy(col("o_orderkey"))
       },
       Some("""SELECT o_orderkey, o_custkey,
-             |  SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+             |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
              |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_cents
+             |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_cents
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
     // Forward as-of: each error matched to the EARLIEST signup at or

@@ -24,9 +24,14 @@ final case class IdField(name: String, idType: IdType = LongId)
 final case class MigrationSpec(
     name: String,
     source: String,
-    sourceDriver: String,
+    /** Driver key/FQCN; empty ⇒ resolved from the `source` URI scheme
+      * (reference parity: migrations may omit the driver and declare
+      * `csv://…`/`sqlite://…` URIs — `DriverManager` resolution model).
+      */
+    sourceDriver: String = "",
     destination: String,
-    destinationDriver: String,
+    /** Empty ⇒ resolved from the `destination` URI scheme. */
+    destinationDriver: String = "",
     sourceIds: Seq[IdField],
     destinationIds: Seq[IdField],
     group: String = "default",
@@ -49,3 +54,21 @@ class ExtendsMismatchException(msg: String) extends RuntimeException(msg)
 class EmptySourceException(msg: String) extends RuntimeException(msg)
 class NonUniqueKeyException(msg: String) extends RuntimeException(msg)
 class NoMappingForIdsException(msg: String) extends RuntimeException(msg)
+
+/** No registered driver claims the URI's scheme — parity with
+  * `/root/reference/src/Exception/NoDriverForSchemeException.php:1`. */
+class NoDriverForSchemeException(val scheme: String)
+  extends RuntimeException(s"""No driver was found for the scheme "$scheme".""")
+
+/** More than one driver claims the scheme — parity with
+  * `/root/reference/src/Exception/UnclearDriverException.php:1`. */
+class UnclearDriverException(val scheme: String, val driverNames: Seq[String])
+  extends RuntimeException(
+    s"""More than one driver implements the scheme "$scheme": """ +
+      driverNames.mkString(", ") + ". Specify the driver explicitly via " +
+      "sourceDriver/destinationDriver in the MigrationSpec.")
+
+/** Scheme resolution was requested but the URI has no scheme — parity
+  * with `/root/reference/src/Exception/BadUriException.php:1`. */
+class BadUriException(val uri: String)
+  extends RuntimeException(s"""The URI "$uri" is not valid.""")

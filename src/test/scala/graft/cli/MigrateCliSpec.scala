@@ -119,6 +119,55 @@ class MigrateCliSpec extends SparkSpec {
     assert(!new java.io.File(s"$base/nation").exists(), "console sink leaves no files")
   }
 
+  test("URI-scheme driver resolution: dispatch, unknown scheme, ambiguity, bad URI") {
+    import graft.drivers._
+    import graft.spec.{BadUriException, NoDriverForSchemeException, UnclearDriverException}
+    // dispatch by scheme
+    assert(DriverRegistry.sourceForUri("parquet:///data/x").isInstanceOf[ParquetSourceDriver])
+    assert(DriverRegistry.sourceForUri("csv://dir/x.csv").isInstanceOf[CsvSourceDriver])
+    assert(DriverRegistry.sourceForUri("yml:///y").isInstanceOf[YamlSourceDriver])
+    assert(DriverRegistry.sourceForUri("sqlite:///db.sqlite").isInstanceOf[JdbcSourceDriver])
+    assert(DriverRegistry.destinationForUri("yaml://out").isInstanceOf[YamlDestinationDriver])
+    assert(DriverRegistry.destinationForUri("jdbc:h2:mem:t").isInstanceOf[JdbcDestinationDriver])
+    // unknown scheme / no scheme — reference NoDriverForScheme/BadUri parity
+    val noDriver = intercept[NoDriverForSchemeException](
+      DriverRegistry.sourceForUri("gopher://x"))
+    assert(noDriver.getMessage.contains("\"gopher\""))
+    assertThrows[BadUriException](DriverRegistry.sourceForUri("/plain/path"))
+    // a second driver claiming an existing scheme makes it ambiguous
+    DriverRegistry.registerSourceScheme("csv", "custom-csv", () => new CsvSourceDriver())
+    try {
+      val unclear = intercept[UnclearDriverException](
+        DriverRegistry.sourceForUri("csv://dir/x.csv"))
+      assert(unclear.getMessage.contains("csv") && unclear.getMessage.contains("custom-csv"))
+    } finally DriverRegistry.unregisterSourceScheme("csv")
+    // custom scheme registration resolves after the conflict is removed
+    DriverRegistry.registerDestinationScheme("mysink", "my-sink", () => new ConsoleDestinationDriver())
+    try assert(DriverRegistry.destinationForUri("mysink://out")
+      .isInstanceOf[ConsoleDestinationDriver])
+    finally DriverRegistry.unregisterDestinationScheme("mysink")
+  }
+
+  test("spec with no driver keys runs end-to-end via scheme-resolved drivers") {
+    val base = setProps()
+    // parquet source/destination resolved purely from URI schemes; the
+    // format scheme is stripped before the path reaches Spark
+    val m = new Migration {
+      def spec: MigrationSpec = MigrationSpec(
+        name = "scheme_fix",
+        source = "parquet://" + sys.props("graft.test.src"),
+        destination = "parquet://" + sys.props("graft.test.dst") + "/scheme_nation",
+        sourceIds = Seq(IdField("n_nationkey", LongId)),
+        destinationIds = Seq(IdField("n_nationkey", LongId)))
+      def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+        src.select(col("n_nationkey"), upper(col("n_name")).as("name_upper"))
+    }
+    val results = MigrateCli.run(spark,
+      MigrateCli.Args(mappingDir = s"$base/map"), loaded = Seq(m))
+    assert(results("scheme_fix").migrated == 25)
+    assert(spark.read.parquet(s"$base/scheme_nation/gen0").count() == 25)
+  }
+
   test("group selection picks only tagged migrations") {
     val base = setProps()
     val results = MigrateCli.run(spark,

@@ -128,6 +128,38 @@ class DriversSpec extends SparkSpec {
     assert(back.getAs[String]("note") == "plain")
   }
 
+  test("YAML refs include/exclude path filters gate which subtrees anchor") {
+    import spark.implicits._
+    val ids = Seq(IdField("name", StringId))
+    // meta_a == meta_b and data_a == data_b: unfiltered refs would anchor
+    // both pairs; the filters decide which pair actually shares
+    val df = Seq(("doc1", ("x", 1L), ("x", 1L), ("y", 2L), ("y", 2L)))
+      .toDF("name", "meta_a", "meta_b", "data_a", "data_b")
+    def write(dir: String, include: Seq[String], exclude: Seq[String]): String = {
+      val s = mkSpec(s"$dir/out", s"$dir/out", ids, ids)
+      new YamlDestinationDriver(refs = true,
+        refsInclude = include, refsExclude = exclude).write(df, s)
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/out/doc1.yaml")), "UTF-8")
+    }
+    def anchors(body: String): Int = body.sliding(3).count(_ == "&id")
+    // include: only meta_* may anchor → exactly one anchor (meta pair),
+    // data pair serializes inline twice (reference 'build included refs')
+    val inc = write(scratchDir("yaml_inc"), include = Seq("meta_.*"), exclude = Nil)
+    assert(anchors(inc) == 1, s"one anchor for the meta pair only:\n$inc")
+    assert(inc.contains("data_b:\n"), s"data_b must inline, not alias:\n$inc")
+    // exclude: meta_* may NOT anchor → the data pair anchors instead
+    // (reference 'build excluded refs')
+    val exc = write(scratchDir("yaml_exc"), include = Nil, exclude = Seq("meta_.*"))
+    assert(anchors(exc) == 1, s"one anchor for the data pair only:\n$exc")
+    assert(exc.contains("meta_b:\n"), s"meta_b must inline, not alias:\n$exc")
+    // exclude wins over include (reference 'build complex refs')
+    val both = write(scratchDir("yaml_both"),
+      include = Seq("meta_.*", "data_.*"), exclude = Seq("data_.*"))
+    assert(anchors(both) == 1 && both.contains("data_b:\n"),
+      s"include+exclude: only meta anchors:\n$both")
+  }
+
   test("CSV write-time column validator flags all-null drift columns") {
     import spark.implicits._
     val dir = scratchDir("csv_drift")

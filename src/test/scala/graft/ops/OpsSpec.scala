@@ -65,6 +65,14 @@ class OpsSpec extends SparkSpec {
     val dist = Dedup.clusters(pairs, collectThreshold = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist == expected)
+    // graft.clusters.collectThreshold conf overrides the parameter: 0
+    // forces the distributed path even though the param default is 1M
+    spark.conf.set("graft.clusters.collectThreshold", "0")
+    try {
+      val viaConf = Dedup.clusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaConf == expected)
+    } finally spark.conf.unset("graft.clusters.collectThreshold")
   }
 
   test("embedding cosine pairs: LSH-bucketed equals exact all-pairs at tau=0.4") {
