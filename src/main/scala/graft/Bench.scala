@@ -22,19 +22,27 @@ object Bench {
       org.apache.spark.sql.functions.col("a") === org.apache.spark.sql.functions.col("b"))
       .count()
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // comma-separated substring filter (same contract as Verify) — for
+    // ad-hoc timing of a query subset; the driver runs unfiltered
+    val filter = sys.env.get("GRAFT_QUERY_FILTER")
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      filter.forall(_.split(',').exists(f => f.nonEmpty && name.contains(f))) }
     // shared ingest-time layouts get their own timed entry — charged to
     // neither the first dedup query (arbitrary) nor hidden in warmup
-    // (flattering): total stays honest, per-query times stay comparable
-    val layoutEntry = {
-      val t0 = System.nanoTime()
-      try graft.queries.DedupQueries.warmSharedLayouts(spark, sfDir)
-      catch { case e: Throwable =>
-        failed += "layout_shared_shingles"
-        System.err.println(s"[bench] layout_shared_shingles FAILED: ${e.getMessage}")
+    // (flattering): total stays honest, per-query times stay comparable.
+    // Skipped when a filter selects no dedup queries (nothing would read it).
+    val layoutEntries =
+      if (!selected.exists(_._1.startsWith("dedup"))) Seq.empty
+      else Seq {
+        val t0 = System.nanoTime()
+        try graft.queries.DedupQueries.warmSharedLayouts(spark, sfDir)
+        catch { case e: Throwable =>
+          failed += "layout_shared_shingles"
+          System.err.println(s"[bench] layout_shared_shingles FAILED: ${e.getMessage}")
+        }
+        "layout_shared_shingles" -> (System.nanoTime() - t0) / 1e9
       }
-      "layout_shared_shingles" -> (System.nanoTime() - t0) / 1e9
-    }
-    val results = layoutEntry +: SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = layoutEntries ++ selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Evaluate every output column: under a bare count() Catalyst prunes
       // the projection to nothing (a regex-redaction query times as a

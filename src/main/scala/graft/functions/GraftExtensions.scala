@@ -48,7 +48,14 @@ object GraftFunctions {
       colFn(TextOps.langIdHeuristic)),
     ("graft_token_count",
       info("graft_token_count", "graft_token_count(text) - whitespace token count"),
-      colFn(c => TextOps.tokenCount(c).cast("long"))))
+      colFn(c => TextOps.tokenCount(c).cast("long"))),
+    ("repetition_ratio",
+      info("repetition_ratio", "repetition_ratio(text, k) - repeated k-shingle fraction"),
+      (es: Seq[Expression]) => RepetitionRatio(es.head, es match {
+        case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(v, _)) =>
+          v.asInstanceOf[Number].intValue()
+        case _ => 3
+      })))
 
   /** Column-level helpers (no registration needed). */
   def cosine_sim(a: Column, b: Column): Column = CosineSim(a, b)

@@ -177,12 +177,12 @@ object TextOps {
     * standard boilerplate/template-text signal in corpus quality
     * filtering. 0.0 for docs with no k-shingle. Pure codegen'd column
     * expression: no shuffle, runs at scan speed.
+    *
+    * Delegates to the native [[graft.functions.RepetitionRatio]]
+    * expression: one pass over the raw bytes, no token/slice/hash arrays
+    * per document — the composed `transform`+`array_distinct` form spent
+    * its time allocating per-window slices (9–12 s vs ~1 s at sf0.1).
     */
-  def repetitionRatio(text: Column, k: Int = 3): Column = {
-    val sh = shingles(text, k)
-    val total = size(sh)
-    when(total > 0,
-      round(lit(1.0) - size(array_distinct(sh)).cast("double") / total, 6))
-      .otherwise(lit(0.0))
-  }
+  def repetitionRatio(text: Column, k: Int = 3): Column =
+    graft.functions.RepetitionRatio(text, k)
 }

@@ -610,10 +610,16 @@ object Relational {
       (spark, sf) => load(spark, sf, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("percentile(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.25)").as("p25_cents"),
-          expr("percentile(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.5)").as("median_cents"),
-          expr("percentile(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.75)").as("p75_cents"),
+          // one percentile aggregate with an array of percentages: three
+          // scalar percentile() calls each buffer the whole group's value
+          // multiset independently (3× the memory and merge work for the
+          // same answer — measured ~5 s → ~2 s at sf0.1)
+          expr("percentile(CAST(ROUND(l_extendedprice*100) AS BIGINT), " +
+            "array(0.25D, 0.5D, 0.75D))").as("ps"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("ps").getItem(0).as("p25_cents"),
+          col("ps").getItem(1).as("median_cents"), col("ps").getItem(2).as("p75_cents"),
+          col("n"))
         .orderBy(col("l_returnflag")),
       Some("""SELECT l_returnflag,
              |  quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.25) AS p25_cents,

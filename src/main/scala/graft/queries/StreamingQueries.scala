@@ -17,6 +17,27 @@ object StreamingQueries {
 
   private val stagedCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Run `body` (which starts a streaming query) with a reduced
+    * `spark.sql.shuffle.partitions`, restoring the session value after.
+    *
+    * A stateful streaming query instantiates one state store PER state
+    * partition PER micro-batch (a stream-stream join keeps four per
+    * partition), and the partition count is frozen from
+    * `spark.sql.shuffle.partitions` when the query first starts. The
+    * gate's state fits a handful of partitions, so paying 32×4 store
+    * opens+commits per micro-batch is pure fixed overhead — measured:
+    * the sf0.001 and sf0.1 runs cost the SAME wall time, i.e. ~100% of
+    * it is state-store machinery, not rows. A real deployment sizes
+    * this to throughput (state partitions ≈ cores busy with state work);
+    * the principle — state partitions are a first-class knob decoupled
+    * from the batch shuffle width — is exactly what this helper encodes.
+    */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** The file streaming source lists a *directory*; the corpus tables are
     * single parquet files — stage a per-sf copy once.
     */
@@ -185,21 +206,23 @@ object StreamingQueries {
             real.unionByName(sentinels), "ts", "user_id", "value",
             gapSeconds = 1800, stateTimeoutMs = 3600L * 1000)
           val table = s"stream_sess_${counter.incrementAndGet()}"
-          val q = sessions.toDF().writeStream.format("memory").queryName(table)
-            .outputMode("append")
-            .trigger(Trigger.ProcessingTime(100L)).start()
-          try {
-            // all files fit one micro-batch; poll the sink until the batch
-            // lands and the count is stable
-            val deadline = System.currentTimeMillis + 120000
-            var n = -1L
-            var stable = 0
-            while (stable < 2 && System.currentTimeMillis < deadline) {
-              Thread.sleep(150)
-              val c = spark.table(table).count()
-              if (c > 0 && c == n) stable += 1 else { stable = 0; n = c }
-            }
-          } finally q.stop()
+          withStatePartitions(spark, 8) {
+            val q = sessions.toDF().writeStream.format("memory").queryName(table)
+              .outputMode("append")
+              .trigger(Trigger.ProcessingTime(100L)).start()
+            try {
+              // all files fit one micro-batch; poll the sink until the batch
+              // lands and the count is stable
+              val deadline = System.currentTimeMillis + 120000
+              var n = -1L
+              var stable = 0
+              while (stable < 2 && System.currentTimeMillis < deadline) {
+                Thread.sleep(150)
+                val c = spark.table(table).count()
+                if (c > 0 && c == n) stable += 1 else { stable = 0; n = c }
+              }
+            } finally q.stop()
+          }
           spark.table(table)
             .filter(col("sessionStart") <= lit(maxTs)) // real sessions only
             .groupBy(col("userId"))
@@ -262,10 +285,12 @@ object StreamingQueries {
         val joined = errors.join(signups,
           expr("bucket = s_bucket AND ts >= s_ts AND ts < s_ts + interval 15 minutes"))
         val table = s"stream_ij_${counter.incrementAndGet()}"
-        val q = joined.select(col("event_id"), col("signup_id"))
-          .writeStream.format("memory").queryName(table)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        try q.awaitTermination() finally q.stop()
+        withStatePartitions(spark, 8) {
+          val q = joined.select(col("event_id"), col("signup_id"))
+            .writeStream.format("memory").queryName(table)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          try q.awaitTermination() finally q.stop()
+        }
         spark.table(table).orderBy(col("event_id"), col("signup_id"))
       },
       Some("""SELECT e.event_id, s.event_id AS signup_id

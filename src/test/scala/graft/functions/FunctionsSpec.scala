@@ -40,6 +40,51 @@ class FunctionsSpec extends SparkSpec {
     // by the runtime-registration SQL test above (same builders)
   }
 
+  test("repetition_ratio native expression matches the composed column formula") {
+    import spark.implicits._
+    val docs = Seq(
+      "a b c a b c a b c",          // heavy 3-shingle repetition
+      "one two three four five six", // all distinct
+      "x y",                         // shorter than k => 0.0
+      "",                            // empty => 0.0
+      "a  b a  b a  b",              // double spaces => empty tokens, still split-consistent
+      "spam spam spam spam spam spam spam spam"
+    ).zipWithIndex.map(_.swap).toDF("id", "text")
+    // composed reference: hash each k-window of the token array, distinct
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val sh = transform(sequence(lit(0), n - 3),
+      i => xxhash64(slice(toks, i + 1, lit(3))))
+    val composed = when(n >= 3,
+      round(lit(1.0) - size(array_distinct(sh)).cast("double") / (n - lit(2)), 6))
+      .otherwise(lit(0.0))
+    val rows = docs.select(col("id"),
+      graft.ops.TextOps.repetitionRatio(col("text"), 3).as("native"),
+      composed.as("composed")).orderBy("id").collect()
+    rows.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+      s"id=${r.getInt(0)} native=${r.getDouble(1)} composed=${r.getDouble(2)}"))
+    // spot values: 9 tokens of period 3 => 7 windows, 3 distinct => 1-3/7
+    assert(rows(0).getDouble(1) == math.BigDecimal(1.0 - 3.0 / 7.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(rows(1).getDouble(1) == 0.0 && rows(2).getDouble(1) == 0.0)
+    // null text => null (expression is null-intolerant like the builtins)
+    val nul = Seq((1L, Option.empty[String])).toDF("id", "text")
+      .select(graft.ops.TextOps.repetitionRatio(col("text"), 3).as("r")).head()
+    assert(nul.isNullAt(0))
+  }
+
+  test("repetition_ratio callable from SQL with explicit k") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, "a b a b a b a b")).toDF("id", "text")
+      .createOrReplaceTempView("rep_fn_test")
+    // 8 tokens, k=2 => 7 windows, 2 distinct ("a b","b a")
+    val r = spark.sql(
+      "SELECT repetition_ratio(text, 2) AS r FROM rep_fn_test").head()
+    assert(r.getDouble(0) == math.BigDecimal(1.0 - 2.0 / 7.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("null and mixed-type inputs") {
     import spark.implicits._
     val df = Seq(

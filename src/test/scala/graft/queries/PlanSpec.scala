@@ -89,6 +89,23 @@ class PlanSpec extends SparkSpec {
       s"embedding dedup must join on (band,bucket), not all-pairs:\n$p")
   }
 
+  test("bloom prefilter is the native codegen'd might_contain, not a UDF") {
+    // q_bloom_join's small side is empty at sf0.001 (its empty-side fast
+    // path collapses to a LocalTableScan) — build a non-empty instance
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet").select(col("l_suppkey"))
+    val supp = spark.read.parquet(s"$Sf/supplier.parquet")
+      .filter(col("s_suppkey") % 2 === 0)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    val df = graft.ops.Joins.bloomPrefilteredJoin(li, supp, "l_suppkey")
+    assert(df.count() > 0, "prefilter path must be exercised")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+      s"prefilter must be the native BloomFilterMightContain expression:\n$p")
+    assert(!p.contains("UDF"),
+      s"no Scala UDF may sit in the prefilter path (breaks codegen fusion):\n$p")
+  }
+
   test("mapping lookup broadcasts when small but is NOT forced: SMJ/SHJ when disabled") {
     // Catalyst must own the decision: a small mapping table auto-broadcasts,
     // but with broadcast disabled the plan degrades to a shuffled join
