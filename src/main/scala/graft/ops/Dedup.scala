@@ -86,6 +86,50 @@ object Dedup {
     out
   }
 
+  /** Exact substring-duplicate pairs: documents sharing ANY identical
+    * k-token window (the window-fingerprint formulation of exact
+    * substring dedup from the "Deduplicating Training Data Makes
+    * Language Models Better" line of work — two docs overlap in a
+    * verbatim k-token span ⟺ they share a window). Each document
+    * explodes into its distinct window hashes (xxhash64 over the
+    * token-array slice — no window strings are materialized), and an
+    * inverted-index self-join keyed on the hash surfaces the pairs:
+    * the shuffle key is the window, so only docs with verbatim overlap
+    * ever meet, and nothing is quadratic in corpus size.
+    *
+    * `maxWindowDf` is the standard hot-window cut (license headers,
+    * boilerplate): windows present in more than that many documents are
+    * excluded from pairing — at 100 TB one boilerplate window is a
+    * single-bucket O(d²) blow-up, and dropping it is the *intended*
+    * semantics (boilerplate overlap is not duplication). The gate
+    * verifies the uncut form against the oracle; the cut form is
+    * spec-tested.
+    *
+    * Output: (`a`, `b`, `shared_windows`), a < b.
+    */
+  def substringPairs(
+      df: DataFrame, textCol: String, idCol: String, k: Int = 20,
+      maxWindowDf: Option[Long] = None): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val n = size(toks)
+    val winHashes = when(n >= k,
+      transform(sequence(lit(0), n - k), i => xxhash64(slice(toks, i + 1, lit(k)))))
+      .otherwise(array().cast("array<bigint>"))
+    val wins = ensureParallelism(df)
+      .select(col(idCol).as("__id"), explode(winHashes).as("w"))
+      .distinct()
+    val kept = maxWindowDf.fold(wins) { cap =>
+      wins.join(
+        wins.groupBy(col("w")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("w")),
+        Seq("w"), "left_anti")
+    }
+    kept.select(col("__id").as("a"), col("w"))
+      .join(kept.select(col("__id").as("b"), col("w")), Seq("w"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared_windows"))
+  }
+
   /** Duplicate-cluster resolution: near-dup PAIRS → connected components,
     * labeling every member with the minimum doc id of its component (the
     * canonical representative a dedup pipeline keeps). Hash-min label

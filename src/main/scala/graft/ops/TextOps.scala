@@ -147,6 +147,27 @@ object TextOps {
     substring(md5(concat(key.cast("string"), lit(salt))), 1, 8) < lit(threshold)
   }
 
+  /** Stratified deterministic sampling — the dataset-mixing primitive: a
+    * per-stratum keep rate (e.g. up-sample books, down-sample crawl)
+    * applied with the same engine-independent md5 draw as
+    * [[deterministicSample]], so a mixing recipe reproduces row-for-row
+    * on any cluster or engine. Unknown strata fall back to
+    * `defaultRate`. Rates are quantized to 2^-32; the per-stratum
+    * thresholds fold into one codegen'd CASE — no join, no shuffle,
+    * evaluated at scan speed.
+    */
+  def stratifiedSample(
+      key: Column, strata: Column, rates: Map[String, Double],
+      defaultRate: Double = 0.0, salt: String = ""): Column = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rates must be in [0, 1], got $r"))
+    def thr(r: Double) = f"${math.round(r * 0xFFFFFFFFL)}%08x"
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(thr(defaultRate))) {
+      case (acc, (s, r)) => when(strata === s, lit(thr(r))).otherwise(acc)
+    }
+    substring(md5(concat(key.cast("string"), lit(salt))), 1, 8) < threshold
+  }
+
   // PII patterns chosen to behave identically under Java regex (Spark)
   // and RE2 (DuckDB): no lookarounds, no backrefs.
   val UrlPattern = "https?://[^ ]+"

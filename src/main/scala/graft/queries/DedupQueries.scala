@@ -67,6 +67,21 @@ object DedupQueries {
              |ORDER BY a, b""".stripMargin),
       bench = true),
 
+    // Exact substring dedup (window fingerprints): pairs sharing ANY
+    // verbatim 20-token window — the Lee-et-al exact-substring
+    // formulation. Inverted-index join on the window hash; the oracle
+    // reproduces pairs from the actual window strings.
+    QueryDef("dedup_substring",
+      (spark, sf) => Dedup.substringPairs(
+          load(spark, sf, "documents"), "text", "doc_id", k = 20)
+        .orderBy(col("a"), col("b")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+             |idx AS (SELECT doc_id, unnest(range(len(t) - 19)) i, t FROM toks WHERE len(t) >= 20),
+             |w AS (SELECT DISTINCT doc_id, list_aggregate(t[i+1:i+20], 'string_agg', ' ') s FROM idx)
+             |SELECT w1.doc_id AS a, w2.doc_id AS b, COUNT(*) AS shared_windows
+             |FROM w w1 JOIN w w2 ON w1.s = w2.s AND w1.doc_id < w2.doc_id
+             |GROUP BY 1, 2 ORDER BY a, b""".stripMargin)),
+
     // MinHash + LSH banding (16 bands × 8 rows over 5-shingle xxhash64s)
     // with exact-Jaccard verification of candidates. The hash family is
     // not SQL-portable, but the OUTPUT is exact: banding is only a

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Multimodal, TextOps}
+import graft.ops.{Dedup, Multimodal, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + multimodal queries over the `documents` table. */
@@ -208,6 +208,73 @@ object TextQueries {
         val thr = f"${math.round(0.2 * 0xFFFFFFFFL)}%08x"
         s"""SELECT doc_id, source FROM documents
            |WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'r3'), 1, 8) < '$thr'
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // Stratified deterministic sampling — the dataset-mixing primitive:
+    // per-source keep rates (up-sample src0, down-sample the rest)
+    // applied via the same engine-independent md5 draw as text_sample;
+    // one codegen'd CASE, no join, and DuckDB reproduces the subset
+    // row for row.
+    QueryDef("text_stratified_sample",
+      (spark, sf) => load(spark, sf, "documents")
+        .filter(TextOps.stratifiedSample(col("doc_id"), col("source"),
+          rates = Map("src0" -> 0.5, "src1" -> 0.25), defaultRate = 0.1, salt = "mix"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")),
+      Some {
+        def thr(r: Double) = f"${math.round(r * 0xFFFFFFFFL)}%08x"
+        s"""SELECT doc_id, source FROM documents
+           |WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8) <
+           |  CASE source WHEN 'src0' THEN '${thr(0.5)}'
+           |    WHEN 'src1' THEN '${thr(0.25)}' ELSE '${thr(0.1)}' END
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // End-to-end corpus curation — the operators composed the way a
+    // training-data pipeline actually chains them: quality gate (length
+    // + lexical diversity) → language filter → exact-dedup survivors →
+    // deterministic 50% sample. Every stage is SQL-expressible, so the
+    // whole composition gets one oracle.
+    QueryDef("corpus_curation",
+      (spark, sf) => {
+        val d = load(spark, sf, "documents")
+        val quality = TextOps.qualityColumns(col("text")).toMap
+        val filtered = d
+          .withColumn("n_tokens", quality("n_tokens").cast("long"))
+          .withColumn("ttr", quality("type_token_ratio"))
+          .filter(col("n_tokens") >= 30 && col("ttr") >= 0.3)
+          .filter(TextOps.langIdHeuristic(col("text")) === "en")
+        val survivors = Dedup.exact(filtered, "text", "doc_id").select(col("doc_id"))
+        filtered.join(survivors, Seq("doc_id"))
+          .filter(TextOps.deterministicSample(col("doc_id"), 0.5, salt = "curate"))
+          .select(col("doc_id"), col("source"), col("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val thr = f"${math.round(0.5 * 0xFFFFFFFFL)}%08x"
+        s"""WITH q AS (
+           |  SELECT doc_id, source, text,
+           |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+           |      / len(string_split(text,' ')) AS ttr
+           |  FROM documents),
+           |f AS (
+           |  SELECT * FROM q WHERE n_tokens >= 30 AND ttr >= 0.3
+           |    AND (CASE
+           |      WHEN regexp_matches(lower(text), '[一-鿿]') THEN 'zh'
+           |      WHEN regexp_matches(lower(text), '[Ѐ-ӿ]') THEN 'ru'
+           |      WHEN regexp_matches(lower(text), '[áéíóúñ¿¡]') THEN 'es'
+           |      WHEN CAST(len(list_filter(string_split(lower(text),' '), t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE) / len(string_split(lower(text),' ')) > 0.02 THEN 'en'
+           |      ELSE 'unknown' END) = 'en'),
+           |s AS (
+           |  SELECT *, ROW_NUMBER() OVER (
+           |    PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+           |    ORDER BY doc_id) AS rn
+           |  FROM f)
+           |SELECT doc_id, source, n_tokens FROM s
+           |WHERE rn = 1
+           |  AND substr(md5(CAST(doc_id AS VARCHAR) || 'curate'), 1, 8) < '$thr'
            |ORDER BY doc_id""".stripMargin
       }),
 

@@ -39,6 +39,53 @@ class OpsSpec extends SparkSpec {
     assert(pairs.count() == 0, "short-doc pair must not surface at k=5")
   }
 
+  test("substring pairs: shared-window semantics, hot-window cut, short docs") {
+    import spark.implicits._
+    val t = Seq(
+      // docs 1/2 share a verbatim 5-token window; 3 shares none
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "prefix alpha beta gamma delta epsilon trailer"),
+      (3L, "one two three four five six seven"),
+      (4L, "tiny doc"), // shorter than k => no window, never pairs
+      // 5/6/7 share a boilerplate window that the df-cut must drop
+      (5L, "LICENSE HEADER COMMON TO ALL FILES x"),
+      (6L, "LICENSE HEADER COMMON TO ALL FILES y"),
+      (7L, "LICENSE HEADER COMMON TO ALL FILES z")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.substringPairs(t, "text", "doc_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 1-2 share exactly "alpha beta gamma delta epsilon"; 5/6/7 share
+    // the 3 license windows pairwise ("LICENSE...FILES" spans 7 tokens
+    // => windows at offsets 0..2 are common)
+    assert(pairs.contains((1L, 2L, 1L)), s"got $pairs")
+    assert(pairs.filter(p => p._1 >= 5L).map(p => (p._1, p._2)) ==
+      Set((5L, 6L), (5L, 7L), (6L, 7L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // hot-window cut: windows in >2 docs dropped => license trio vanishes,
+    // the 1-2 pair (df=2) survives
+    val cut = Dedup.substringPairs(t, "text", "doc_id", k = 5, maxWindowDf = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cut == Set((1L, 2L)), s"got $cut")
+  }
+
+  test("stratified sampling: deterministic, per-stratum rates honored, subsets nest") {
+    val rates = Map("src0" -> 0.5, "src1" -> 0.25)
+    def sample(defaultRate: Double) = docs.filter(TextOps.stratifiedSample(
+        col("doc_id"), col("source"), rates, defaultRate, salt = "t"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = sample(0.1)
+    val s2 = sample(0.1)
+    assert(s1 == s2, "same salt+rates must select identical rows")
+    // raising only the default rate must nest: every previously-selected
+    // row is still selected (threshold monotonicity)
+    val s3 = sample(0.3)
+    assert(s1.subsetOf(s3), "higher default rate must be a superset")
+    // a zero default keeps ONLY the named strata
+    val onlyNamed = docs.filter(TextOps.stratifiedSample(
+        col("doc_id"), col("source"), rates, defaultRate = 0.0, salt = "t"))
+    assert(onlyNamed.filter(!col("source").isin("src0", "src1")).count() == 0)
+  }
+
   test("ngram jaccard: df-cut candidate pruning equals the uncut exact pairs") {
     val uncut = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 5, 0.8)
       .select("a", "b", "jaccard").collect()
