@@ -130,6 +130,35 @@ object Dedup {
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared_windows"))
   }
 
+  /** Benchmark decontamination: corpus documents that share ANY verbatim
+    * k-token window with a benchmark/eval set — the standard test-set
+    * contamination check run before training. Same window-hash
+    * inverted-index shape as [[substringPairs]], but cross-table and
+    * asymmetric: the (usually tiny) benchmark side's distinct window
+    * hashes are the join key, so the shuffle carries only corpus windows
+    * that could possibly match (and Catalyst broadcasts the benchmark
+    * windows outright when small — the common case: benchmarks are KBs,
+    * corpora are TBs). Output: one row per contaminated corpus doc with
+    * the number of distinct benchmark windows it contains.
+    */
+  def contaminatedDocs(
+      corpus: DataFrame, corpusTextCol: String, corpusIdCol: String,
+      benchmark: DataFrame, benchTextCol: String, k: Int = 20): DataFrame = {
+    def windows(df: DataFrame, textCol: String, out: Seq[Column]): DataFrame = {
+      val toks = TextOps.tokens(col(textCol))
+      val n = size(toks)
+      val winHashes = when(n >= k,
+        transform(sequence(lit(0), n - k), i => xxhash64(slice(toks, i + 1, lit(k)))))
+        .otherwise(array().cast("array<bigint>"))
+      df.select(out :+ explode(winHashes).as("w"): _*).distinct()
+    }
+    val corpusWins = windows(ensureParallelism(corpus), corpusTextCol, Seq(col(corpusIdCol)))
+    val benchWins = windows(benchmark, benchTextCol, Seq.empty) // distinct w only
+    corpusWins.join(benchWins, Seq("w"))
+      .groupBy(col(corpusIdCol))
+      .agg(count(lit(1)).as("n_contaminated_windows"))
+  }
+
   /** Duplicate-cluster resolution: near-dup PAIRS → connected components,
     * labeling every member with the minimum doc id of its component (the
     * canonical representative a dedup pipeline keeps). Hash-min label

@@ -82,6 +82,27 @@ object DedupQueries {
              |FROM w w1 JOIN w w2 ON w1.s = w2.s AND w1.doc_id < w2.doc_id
              |GROUP BY 1, 2 ORDER BY a, b""".stripMargin)),
 
+    // Benchmark decontamination: corpus docs sharing any verbatim
+    // 20-token window with a (pseudo) eval set — every 10th doc plays
+    // the benchmark; the rest are the corpus. Asymmetric inverted-index
+    // join: the tiny benchmark window set is the join key (broadcast in
+    // practice), so only corpus windows that could match ever shuffle.
+    QueryDef("dedup_decontaminate",
+      (spark, sf) => {
+        val docs = load(spark, sf, "documents")
+        Dedup.contaminatedDocs(
+            docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id",
+            docs.filter(col("doc_id") % 10 === 0), "text", k = 20)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+             |idx AS (SELECT doc_id, unnest(range(len(t) - 19)) i, t FROM toks WHERE len(t) >= 20),
+             |w AS (SELECT DISTINCT doc_id, list_aggregate(t[i+1:i+20], 'string_agg', ' ') s FROM idx),
+             |bw AS (SELECT DISTINCT s FROM w WHERE doc_id % 10 = 0)
+             |SELECT cw.doc_id, COUNT(*) AS n_contaminated_windows
+             |FROM (SELECT * FROM w WHERE doc_id % 10 <> 0) cw JOIN bw USING (s)
+             |GROUP BY cw.doc_id ORDER BY doc_id""".stripMargin)),
+
     // MinHash + LSH banding (16 bands × 8 rows over 5-shingle xxhash64s)
     // with exact-Jaccard verification of candidates. The hash family is
     // not SQL-portable, but the OUTPUT is exact: banding is only a

@@ -211,6 +211,33 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // Corpus-level unigram LM quality score (the CCNet-style signal):
+    // token probabilities estimated from the corpus itself, each doc
+    // scored by mean token log-probability — low scores flag gibberish /
+    // rare-token soup. Two shuffles (vocab count, tok⋈prob join);
+    // rounded to 6 dp so double-summation order is engine-independent
+    // (the text_token_entropy precedent).
+    QueryDef("text_unigram_score",
+      (spark, sf) => {
+        val toks = load(spark, sf, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val total = toks.count()
+        val probs = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        toks.join(probs, Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(round(avg(log(col("c").cast("double") / total)), 6).as("mean_logp"),
+            count(lit(1)).as("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
+             |tot AS (SELECT COUNT(*) n FROM toks),
+             |c AS (SELECT tok, COUNT(*) c FROM toks GROUP BY tok)
+             |SELECT doc_id,
+             |  ROUND(AVG(LN(CAST(c AS DOUBLE) / (SELECT n FROM tot))), 6) AS mean_logp,
+             |  COUNT(*) AS n_tokens
+             |FROM toks JOIN c USING (tok)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Stratified deterministic sampling — the dataset-mixing primitive:
     // per-source keep rates (up-sample src0, down-sample the rest)
     // applied via the same engine-independent md5 draw as text_sample;

@@ -18,7 +18,13 @@ class PlanAudit extends SparkSpec {
     "dedup_embedding_cosine" -> 10,
     "dedup_ngram_jaccard" -> 40, // full lineage incl. uncached shared-shingle subplans
     "q_bloom_join" -> 6,
-    "q_outer_join" -> 6)
+    "q_outer_join" -> 6,
+    // round-4 additions
+    "dedup_substring" -> 8,      // window explode + inverted-index self-join + pair agg
+    "dedup_decontaminate" -> 8,  // asymmetric window join (bench side broadcastable)
+    "text_stratified_sample" -> 2, // pure scan-speed predicate; orderBy only
+    "text_unigram_score" -> 8,   // vocab count + tok⋈prob join + per-doc agg
+    "corpus_curation" -> 8)      // filter chain + dedup window + survivor join
 
   test("plan audit: no quadratic joins; shuffle counts within pinned ceilings") {
     for ((q, ceiling) <- ExchangeCeilings.toSeq.sortBy(_._1)) {
