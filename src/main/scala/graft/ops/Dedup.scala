@@ -107,16 +107,24 @@ object Dedup {
     *
     * Output: (`a`, `b`, `shared_windows`), a < b.
     */
+  /** xxhash64 of every k-token window of `textCol`, as an array column —
+    * the window-fingerprint primitive shared by [[substringPairs]],
+    * [[contaminatedDocs]] and the streaming decontamination query. No
+    * window strings are materialized (hash over the token-array slice).
+    */
+  def windowHashes(textCol: Column, k: Int): Column = {
+    val toks = TextOps.tokens(textCol)
+    val n = size(toks)
+    when(n >= k,
+      transform(sequence(lit(0), n - k), i => xxhash64(slice(toks, i + 1, lit(k)))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   def substringPairs(
       df: DataFrame, textCol: String, idCol: String, k: Int = 20,
       maxWindowDf: Option[Long] = None): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    val n = size(toks)
-    val winHashes = when(n >= k,
-      transform(sequence(lit(0), n - k), i => xxhash64(slice(toks, i + 1, lit(k)))))
-      .otherwise(array().cast("array<bigint>"))
     val wins = ensureParallelism(df)
-      .select(col(idCol).as("__id"), explode(winHashes).as("w"))
+      .select(col(idCol).as("__id"), explode(windowHashes(col(textCol), k)).as("w"))
       .distinct()
     val kept = maxWindowDf.fold(wins) { cap =>
       wins.join(
@@ -144,14 +152,8 @@ object Dedup {
   def contaminatedDocs(
       corpus: DataFrame, corpusTextCol: String, corpusIdCol: String,
       benchmark: DataFrame, benchTextCol: String, k: Int = 20): DataFrame = {
-    def windows(df: DataFrame, textCol: String, out: Seq[Column]): DataFrame = {
-      val toks = TextOps.tokens(col(textCol))
-      val n = size(toks)
-      val winHashes = when(n >= k,
-        transform(sequence(lit(0), n - k), i => xxhash64(slice(toks, i + 1, lit(k)))))
-        .otherwise(array().cast("array<bigint>"))
-      df.select(out :+ explode(winHashes).as("w"): _*).distinct()
-    }
+    def windows(df: DataFrame, textCol: String, out: Seq[Column]): DataFrame =
+      df.select(out :+ explode(windowHashes(col(textCol), k)).as("w"): _*).distinct()
     val corpusWins = windows(ensureParallelism(corpus), corpusTextCol, Seq(col(corpusIdCol)))
     val benchWins = windows(benchmark, benchTextCol, Seq.empty) // distinct w only
     corpusWins.join(benchWins, Seq("w"))

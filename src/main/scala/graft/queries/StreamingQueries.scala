@@ -250,6 +250,45 @@ object StreamingQueries {
              |  MAX(n_events) AS max_session_events
              |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Streaming decontamination: documents arriving on a stream checked
+    // against a STATIC benchmark window set — the online form of
+    // dedup_decontaminate (same oracle: stream/batch parity). The
+    // benchmark's distinct window hashes are a static relation joined
+    // into every micro-batch (broadcast in practice — benchmarks are
+    // KBs); per-doc window dedup + the count aggregate are the stateful
+    // parts. This is the shape of an ingest pipeline that must reject
+    // eval-set contamination before data lands in the training corpus.
+    QueryDef("stream_decontaminate",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "documents")).schema
+        val k = 20
+        val docs = spark.readStream.schema(schema)
+          .parquet(stagedDir(spark, sf, "documents"))
+        val bench = spark.read.parquet(path(sf, "documents"))
+          .filter(col("doc_id") % 10 === 0)
+          .select(explode(graft.ops.Dedup.windowHashes(col("text"), k)).as("w"))
+          .distinct()
+        val corpusWins = docs.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"), explode(graft.ops.Dedup.windowHashes(col("text"), k)).as("w"))
+          .dropDuplicates("doc_id", "w")
+        val agg = corpusWins.join(bench, Seq("w"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated_windows"))
+        val table = s"stream_dc_${counter.incrementAndGet()}"
+        withStatePartitions(spark, 8) {
+          val q = agg.writeStream.format("memory").queryName(table)
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          try q.awaitTermination() finally q.stop()
+        }
+        spark.table(table).orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+             |idx AS (SELECT doc_id, unnest(range(len(t) - 19)) i, t FROM toks WHERE len(t) >= 20),
+             |w AS (SELECT DISTINCT doc_id, list_aggregate(t[i+1:i+20], 'string_agg', ' ') s FROM idx),
+             |bw AS (SELECT DISTINCT s FROM w WHERE doc_id % 10 = 0)
+             |SELECT cw.doc_id, COUNT(*) AS n_contaminated_windows
+             |FROM (SELECT * FROM w WHERE doc_id % 10 <> 0) cw JOIN bw USING (s)
+             |GROUP BY cw.doc_id ORDER BY doc_id""".stripMargin)),
+
     // Stream-stream interval join with event-time bounds + watermarks
     // (the streaming twin of the batch q_range_join, same oracle): error
     // events joined to signups they trail within 15 min. Spark refuses a

@@ -123,6 +123,34 @@ class PropertySpec extends SparkSpec {
     assert(rr(3L) == 0.0)
   }
 
+  test("property: native repetition ratio equals brute-force string-window distinctness") {
+    import graft.ops.TextOps
+    import spark.implicits._
+    // small vocab maximizes window collisions; empty tokens simulate the
+    // double-space edge the byte scanner must honor like split(' ')
+    val tok: Gen[String] = Gen.frequency(
+      6 -> Gen.oneOf("a", "b", "c", "dog", "cat"), 1 -> Gen.const(""))
+    (1 to 5).foreach { k =>
+      val gen = Gen.choose(0, 60).flatMap(n => Gen.listOfN(n, tok)).map(_.mkString(" "))
+      val texts = samples(gen, 30, seed = 1000L + k).zipWithIndex.map(_.swap)
+      val got = texts.toDF("id", "text")
+        .select(col("id"), TextOps.repetitionRatio(col("text"), k).as("r"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      texts.foreach { case (id, text) =>
+        val toks = text.split(" ", -1).toSeq // -1: keep trailing empties, like Spark split
+        val expected =
+          if (toks.size < k) 0.0
+          else {
+            val wins = toks.sliding(k).toSeq
+            BigDecimal(1.0 - wins.distinct.size.toDouble / wins.size)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
+        assert(got(id) == expected,
+          s"k=$k id=$id text='$text' got=${got(id)} expected=$expected")
+      }
+    }
+  }
+
   test("property: exact dedup keeps exactly one survivor per fingerprint group") {
     import graft.ops.Dedup
     import spark.implicits._

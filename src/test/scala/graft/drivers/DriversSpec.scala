@@ -160,6 +160,26 @@ class DriversSpec extends SparkSpec {
       s"include+exclude: only meta anchors:\n$both")
   }
 
+  test("format-scheme URIs round-trip through CSV and YAML drivers (path stripping)") {
+    import spark.implicits._
+    // reference-style csv://<path> and yaml://<path> URIs must reach the
+    // filesystem with the format scheme stripped, on both read and write
+    val csvDir = scratchDir("scheme_csv")
+    val csvSpec = mkSpec(s"csv://$csvDir/out", s"csv://$csvDir/out")
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "field1")
+    new CsvDestinationDriver().write(df, csvSpec)
+    assert(new java.io.File(s"$csvDir/out").isDirectory, "csv:// stripped to a real path")
+    assert(new CsvSourceDriver(Some(df.schema)).read(spark, csvSpec).count() == 2)
+
+    val yamlDir = scratchDir("scheme_yaml")
+    val ids = Seq(IdField("name", StringId))
+    val yamlSpec = mkSpec(s"yaml://$yamlDir/out", s"yaml://$yamlDir/out", ids, ids)
+    new YamlDestinationDriver().write(
+      Seq(("doc1", "v")).toDF("name", "field1"), yamlSpec)
+    assert(new java.io.File(s"$yamlDir/out/doc1.yaml").exists())
+    assert(new YamlSourceDriver().read(spark, yamlSpec).count() == 1)
+  }
+
   test("CSV write-time column validator flags all-null drift columns") {
     import spark.implicits._
     val dir = scratchDir("csv_drift")
