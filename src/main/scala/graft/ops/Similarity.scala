@@ -155,6 +155,123 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** ANN via product quantization (PQ) with asymmetric distance
+    * computation (ADC) and exact re-rank — the memory-bound tier of
+    * similarity search: each corpus vector is stored as `m` small codes
+    * (one per subspace, `ksub` centroids each, codebook trained by
+    * per-subspace k-means), so a billion-vector corpus fits in RAM at
+    * `m` bytes/vector instead of `4·dim`. Scoring a pair is `m` table
+    * lookups + adds (the per-query table is dot(q_sub, centroid) for
+    * every subspace×centroid — `m·ksub` doubles, built once per query)
+    * instead of a `dim`-wide dot product; the approximate top
+    * `k·rerankFactor` shortlist is re-ranked with exact cosine, so
+    * emitted sims are exact. Codebook is tiny (m·ksub·dim/m doubles)
+    * and driver-collected by design, like the IVF centroids; at full
+    * scale PQ composes with IVF (scan only probed lists) — here the
+    * scan is the whole corpus, scored at O(m) per pair.
+    *
+    * Deterministic: seeded hash-order init, fixed Lloyd iterations.
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, ksub: Int = 16, iterations: Int = 3,
+      rerankFactor: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = ensureParallelism(corpus.select(col(idCol).cast("long"), col(vecCol)))
+      .as[(Long, Array[Float])].persist()
+    val dim = vecs.head()._2.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+
+    def sub(v: Array[Float], s: Int): Array[Double] = {
+      val out = new Array[Double](dsub)
+      var j = 0; while (j < dsub) { out(j) = v(s * dsub + j).toDouble; j += 1 }
+      out
+    }
+    def nearestSub(v: Array[Float], s: Int, cents: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val ct = cents(c); var d = 0.0; var j = 0
+        while (j < dsub) { val x = v(s * dsub + j) - ct(j); d += x * x; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    // deterministic init: ksub sample vectors in hash order seed every
+    // subspace's codebook
+    val sample = vecs.toDF(idCol, "v").orderBy(xxhash64(col(idCol)))
+      .limit(ksub).as[(Long, Array[Float])].collect().map(_._2)
+    var codebook: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => sample.map(v => sub(v, s)))
+
+    (1 to iterations).foreach { _ =>
+      val cb = codebook
+      val sums = vecs.flatMap { case (_, v) =>
+        (0 until m).map(s => ((s, nearestSub(v, s, cb(s))), (sub(v, s), 1L)))
+      }.rdd.reduceByKey { (a, b) =>
+        var j = 0; while (j < a._1.length) { a._1(j) += b._1(j); j += 1 }
+        (a._1, a._2 + b._2)
+      }.collect()
+      val next = codebook.map(_.clone()) // empty clusters keep their centroid
+      sums.foreach { case ((s, c), (vsum, n)) => next(s)(c) = vsum.map(_ / n) }
+      codebook = next
+    }
+
+    val cb = codebook
+    val encoded = vecs.map { case (id, v) =>
+      (id, v, (0 until m).map(s => nearestSub(v, s, cb(s))).toArray)
+    }.toDF("neighbor_id", "cv", "code")
+
+    // per-centroid squared norms (corpus-side ADC norm term) — a literal
+    val csq: Seq[Double] = (0 until m * ksub).map { i =>
+      val ct = cb(i / ksub)(i % ksub); var s2 = 0.0; var j = 0
+      while (j < dsub) { s2 += ct(j) * ct(j); j += 1 }; s2
+    }
+    // per-query ADC table: dot(q_sub, centroid) for every subspace×centroid
+    val qdf = ensureParallelism(queries.select(col(idCol).cast("long"), col(vecCol)))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val tab = new Array[Double](m * ksub)
+        var s = 0
+        while (s < m) {
+          var c = 0
+          while (c < ksub) {
+            val ct = cb(s)(c); var d = 0.0; var j = 0
+            while (j < dsub) { d += v(s * dsub + j) * ct(j); j += 1 }
+            tab(s * ksub + c) = d; c += 1
+          }
+          s += 1
+        }
+        var n2 = 0.0; var j = 0
+        while (j < v.length) { n2 += v(j).toDouble * v(j); j += 1 }
+        (id, v, tab, math.sqrt(n2))
+      }.toDF("query_id", "qv", "qtab", "qnorm")
+
+    // ADC scoring: O(m) element_at lookups per pair, all codegen'd
+    val idxs = (0 until m).map(s =>
+      (element_at(col("code"), s + 1) + lit(s * ksub) + 1).cast("int"))
+    val qdot = idxs.map(i => element_at(col("qtab"), i)).reduce(_ + _)
+    val cn2 = idxs.map(i => element_at(typedLit(csq), i)).reduce(_ + _)
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_sim").desc, col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    encoded.crossJoin(broadcast(qdf))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_sim", qdot / (col("qnorm") * sqrt(cn2)))
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= k * rerankFactor)
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** Embedding near-duplicate pairs above `minSim`: random-hyperplane LSH
     * band candidates + exact [[cosine]] verify — the bucketed replacement
     * for an all-pairs crossJoin (O(N²) in corpus size, the textbook

@@ -63,5 +63,20 @@ object SimilarityQueries {
           round(col("sim"), 6).as("sim"))
         .orderBy(col("query_id"), col("rank")),
       None),
+
+    // ANN via product quantization + ADC + exact re-rank: the
+    // memory-bound tier (m bytes per vector instead of 4·dim; pair
+    // scoring is m table lookups). Codebook training is seeded
+    // k-means — not SQL-portable → rows-only; recall vs the exact
+    // query is spec-tested like the other ANN methods.
+    QueryDef("sim_ann_pq",
+      (spark, sf) => Similarity.pqTopK(
+          load(spark, sf, "embeddings"),
+          load(spark, sf, "embeddings").filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rank")),
+      None),
   )
 }

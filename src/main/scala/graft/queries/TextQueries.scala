@@ -211,6 +211,48 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // Bigram PMI corpus statistics (collocation mining — the classic
+    // phrase-detection signal for tokenizer/vocab work). Bigrams are
+    // built WITHOUT a positional self-join: zip two shifted slices of
+    // the token array and explode — per-row projection, no shuffle until
+    // the count aggregates. PMI from exact integer counts with one
+    // final log, rounded to 6 dp.
+    QueryDef("text_bigram_pmi",
+      (spark, sf) => {
+        val arr = split(col("text"), " ")
+        val bi = load(spark, sf, "documents")
+          .select(explode(arrays_zip(
+            slice(arr, lit(1), size(arr) - 1).as("x"),
+            slice(arr, lit(2), size(arr) - 1).as("y"))).as("p"))
+          .select(col("p.x").as("x"), col("p.y").as("y"))
+        val n = bi.count()
+        val lx = bi.groupBy(col("x")).agg(count(lit(1)).as("cx"))
+        val ry = bi.groupBy(col("y")).agg(count(lit(1)).as("cy"))
+        bi.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 5)
+          .join(lx, Seq("x")).join(ry, Seq("y"))
+          .select(col("x"), col("y"), col("c"),
+            round(log(col("c").cast("double") * n /
+              (col("cx").cast("double") * col("cy"))), 6).as("pmi"))
+          .orderBy(col("x"), col("y"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text,' ')) tok,
+             |    generate_subscripts(string_split(text,' '), 1) pos
+             |  FROM documents),
+             |bi AS (
+             |  SELECT a.tok x, b.tok y FROM toks a JOIN toks b
+             |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+             |n AS (SELECT COUNT(*) nn FROM bi),
+             |lx AS (SELECT x, COUNT(*) cx FROM bi GROUP BY x),
+             |ry AS (SELECT y, COUNT(*) cy FROM bi GROUP BY y),
+             |bc AS (SELECT x, y, COUNT(*) c FROM bi GROUP BY 1, 2)
+             |SELECT x, y, c,
+             |  ROUND(LN(CAST(c AS DOUBLE) * (SELECT nn FROM n)
+             |    / (CAST(cx AS DOUBLE) * cy)), 6) AS pmi
+             |FROM bc JOIN lx USING (x) JOIN ry USING (y)
+             |WHERE c >= 5 ORDER BY x, y""".stripMargin)),
+
     // Corpus-level unigram LM quality score (the CCNet-style signal):
     // token probabilities estimated from the corpus itself, each doc
     // scored by mean token log-probability — low scores flag gibberish /

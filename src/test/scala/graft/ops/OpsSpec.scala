@@ -183,6 +183,29 @@ class OpsSpec extends SparkSpec {
     assert(run() == ivf1, "seeded clustering must be deterministic")
   }
 
+  test("PQ ANN: recall@5 vs brute force; deterministic; exact sims on output") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val exactSet = exact.map(_._1).toSet
+    def run() = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val pq1 = run()
+    val recall = exactSet.count { case (q, n) => pq1.exists(t => t._1 == q && t._3 == n) }
+      .toDouble / exactSet.size
+    assert(recall >= 0.4, s"PQ recall@5 = $recall")
+    assert(run() == pq1, "seeded codebook training must be deterministic")
+    // re-rank emits EXACT cosine: any (query, neighbor) also in the exact
+    // result must carry the identical similarity
+    val exactSim = exact.toMap
+    pq1.foreach { case (q, _, n, s) =>
+      exactSim.get((q, n)).foreach(es =>
+        assert(math.abs(es - s) < 1e-12, s"sim mismatch for ($q,$n): $s vs $es"))
+    }
+  }
+
   test("approx quantile sketch stays within its rank-error bound of the exact percentile") {
     val li = spark.read.parquet(s"$Sf/lineitem.parquet")
       .select((col("l_extendedprice") * 100).cast("long").as("cents"))
