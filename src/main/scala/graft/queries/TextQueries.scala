@@ -211,6 +211,62 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // Rule-based quality filtering (the MassiveText/Gopher-style gate a
+    // real pipeline runs before training): document length, mean word
+    // length, stopword diversity and repeated-token dominance, each
+    // emitted as a flag plus the overall keep decision. Every rule is an
+    // integer-exact comparison (bounds cross-multiplied, ratio as
+    // max_count·5 ≤ n) so the oracle matches without any float
+    // tolerance. One explode+groupBy for the dominance rule — linear,
+    // shuffles on doc_id only.
+    QueryDef("text_quality_filters",
+      (spark, sf) => {
+        val d = load(spark, sf, "documents")
+        val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val maxFreq = toks.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as("max_tok"))
+        val base = d.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(array_distinct(filter(split(col("text"), " "),
+            t => t.isInCollection(graft.ops.TextOps.DefaultStopwords))))
+            .cast("long").as("n_distinct_stops"))
+        base.join(maxFreq, Seq("doc_id"))
+          .select(col("doc_id"),
+            (col("n_tokens") >= 50 && col("n_tokens") <= 100000L).as("ok_len"),
+            // 3 <= (chars - n + 1)/n <= 10, integer-exact
+            (col("n_chars") - col("n_tokens") + 1 >= col("n_tokens") * 3 &&
+              col("n_chars") - col("n_tokens") + 1 <= col("n_tokens") * 10).as("ok_word_len"),
+            (col("n_distinct_stops") >= 2).as("ok_stops"),
+            // dominant token <= 20% of tokens, integer-exact
+            (col("max_tok") * 5 <= col("n_tokens")).as("ok_dominance"))
+          .withColumn("keep",
+            col("ok_len") && col("ok_word_len") && col("ok_stops") && col("ok_dominance"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) n,
+             |    CAST(LENGTH(text) AS BIGINT) ch,
+             |    CAST(len(list_distinct(list_filter(string_split(text,' '),
+             |      t -> list_contains(['the','a','of','and','to','in'], t)))) AS BIGINT) ds
+             |  FROM documents),
+             |mf AS (
+             |  SELECT doc_id, MAX(c) max_tok FROM (
+             |    SELECT doc_id, tok, COUNT(*) c
+             |    FROM (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents) t
+             |    GROUP BY doc_id, tok) g
+             |  GROUP BY doc_id)
+             |SELECT doc_id,
+             |  n >= 50 AND n <= 100000 AS ok_len,
+             |  ch - n + 1 >= n * 3 AND ch - n + 1 <= n * 10 AS ok_word_len,
+             |  ds >= 2 AS ok_stops,
+             |  max_tok * 5 <= n AS ok_dominance,
+             |  (n >= 50 AND n <= 100000) AND (ch - n + 1 >= n * 3 AND ch - n + 1 <= n * 10)
+             |    AND ds >= 2 AND max_tok * 5 <= n AS keep
+             |FROM base JOIN mf USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // Bigram PMI corpus statistics (collocation mining — the classic
     // phrase-detection signal for tokenizer/vocab work). Bigrams are
     // built WITHOUT a positional self-join: zip two shifted slices of
