@@ -149,7 +149,8 @@ object MigrateCli {
       mappingDir: String = "a2b_mappings",
       chunks: Int = 1,
       parallel: Int = 1,
-      orphanReport: Option[String] = None)
+      orphanReport: Option[String] = None,
+      progress: Boolean = false)
 
   def parse(argv: Seq[String]): Args = {
     def loop(rest: List[String], acc: Args): Args = rest match {
@@ -163,6 +164,7 @@ object MigrateCli {
       case "--chunks" :: n :: t => loop(t, acc.copy(chunks = n.toInt))
       case "--parallel" :: n :: t => loop(t, acc.copy(parallel = n.toInt))
       case "--orphan-report" :: d :: t => loop(t, acc.copy(orphanReport = Some(d)))
+      case "--progress" :: t => loop(t, acc.copy(progress = true))
       case fqcn :: t => loop(t, acc.copy(migrations = acc.migrations :+ fqcn))
     }
     val a = loop(argv.toList, Args())
@@ -216,10 +218,15 @@ object MigrateCli {
     }.toMap
     def runOne(spec: MigrationSpec): (String, MigrationResult) = {
       val (m, source, dest) = wired(spec.name)
-      val result =
+      def exec() =
         if (spec.flush || args.chunks > 1)
           executor.executeChunked(spark, m, source, dest, math.max(args.chunks, 2))
         else executor.execute(spark, m, source, dest)
+      // `--progress`: scheduler-level task progress per migration — the
+      // distributed form of the reference's per-row console bar
+      val result =
+        if (args.progress) MigrationProgress.withProgress(spark, spec.name)(exec())
+        else exec()
       System.err.println(
         s"[a2b-spark] ${spec.name}: migrated=${result.migrated} orphans=${result.orphanCount}")
       // the batch replacement for the reference's interactive per-orphan

@@ -119,6 +119,21 @@ class MigrateCliSpec extends SparkSpec {
     assert(!new java.io.File(s"$base/nation").exists(), "console sink leaves no files")
   }
 
+  test("--progress reports scheduler task progress and a final summary per migration") {
+    val base = setProps()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    // exercise the listener directly (the CLI flag wires the same helper)
+    val result = graft.exec.MigrationProgress.withProgress(
+        spark, "nation_fix", everyMs = 0L, out = l => lines.synchronized { lines += l }) {
+      MigrateCli.run(spark, MigrateCli.Args(mappingDir = s"$base/map",
+        groups = Set("fixtures"), progress = true), loaded = Seq(new NationFixtureMigration))
+    }
+    assert(result("nation_fix").migrated == 25)
+    assert(lines.exists(_.contains("tasks")), s"throttle-free run must emit progress: $lines")
+    assert(lines.last.contains("done —"), s"final summary expected: $lines")
+    assert(MigrateCli.parse(Seq("--progress", "x.Y")).progress)
+  }
+
   test("URI-scheme driver resolution: dispatch, unknown scheme, ambiguity, bad URI") {
     import graft.drivers._
     import graft.spec.{BadUriException, NoDriverForSchemeException, UnclearDriverException}
