@@ -123,6 +123,22 @@ class PropertySpec extends SparkSpec {
     assert(rr(3L) == 0.0)
   }
 
+  test("property: single-stratum stratified sampling equals deterministic sampling") {
+    import graft.ops.TextOps
+    import spark.implicits._
+    // a mixing recipe with one uniform rate must select EXACTLY the rows
+    // the flat sampler selects (same hash, same threshold quantization)
+    val rows = (1L to 3000L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
+    Seq(0.05, 0.3, 0.77).foreach { rate =>
+      val flat = rows.filter(TextOps.deterministicSample(col("id"), rate, "eq"))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val strat = rows.filter(TextOps.stratifiedSample(col("id"), col("stratum"),
+          rates = Map("s0" -> rate, "s1" -> rate, "s2" -> rate), salt = "eq"))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(strat == flat, s"rate=$rate diff=${(strat diff flat) ++ (flat diff strat)}")
+    }
+  }
+
   test("property: native repetition ratio equals brute-force string-window distinctness") {
     import graft.ops.TextOps
     import spark.implicits._
