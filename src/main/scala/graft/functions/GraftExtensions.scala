@@ -20,10 +20,13 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
   * pipeline as an expression tree (still fully codegen'd).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // the engine's own physical operators (grouped top-k)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+  }
 }
 
 object GraftFunctions {

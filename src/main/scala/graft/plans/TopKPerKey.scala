@@ -1,0 +1,126 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.{DataFrame, GraftBridge}
+
+/** Grouped top-k as a first-class operator — rung (c) of the
+  * custom-operator ladder (`LogicalPlan` + `SparkStrategy` + `SparkPlan`),
+  * used where composition genuinely loses: the standard
+  * `row_number().over(Window.partitionBy(key).orderBy(ord)) <= k`
+  * formulation SORTS EVERY GROUP IN FULL and shuffles every row to do it.
+  * This operator keeps a bounded heap of k rows per key:
+  *
+  *   - a PARTIAL pass runs before the exchange, reducing each input
+  *     partition to ≤ k rows per key — at the 100 TB design point the
+  *     shuffle then carries `k × keys × partitions` rows instead of the
+  *     whole fact table (the same partial-aggregation shape Spark gives
+  *     `max()`, applied to "k best rows");
+  *   - a FINAL pass after a hash exchange on the key merges the
+  *     partials exactly.
+  *
+  * Top-k is a semilattice reduction (merge of per-partition top-ks is
+  * the global top-k), so the two-phase split is exact, not approximate.
+  * Ties are broken by the caller-supplied sort columns; supply a unique
+  * tie-breaker (e.g. the row id) for fully deterministic output.
+  */
+final case class TopKPerKey(
+    groupExprs: Seq[Expression],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+final case class TopKPerKeyExec(
+    groupExprs: Seq[Expression],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    isPartial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (isPartial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(groupExprs))
+
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val out = child.output
+    val keyExprs = groupExprs
+    val so = sortOrder
+    val kk = k
+    child.execute().mapPartitions({ rows =>
+      val keyProj = UnsafeProjection.create(keyExprs, out)
+      val ord = RowOrdering.create(so, out)
+      // heap head = the WORST kept row (largest under the sort order):
+      // evict it when a better row arrives and the heap is full
+      val rev: java.util.Comparator[InternalRow] = ord.reverse
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (rows.hasNext) {
+        val r = rows.next()
+        val key = keyProj(r)
+        var h = heaps.get(key)
+        if (h == null) {
+          h = new java.util.PriorityQueue[InternalRow](kk + 1, rev)
+          heaps.put(key.copy(), h)
+        }
+        if (h.size < kk) h.offer(r.copy())
+        else if (ord.compare(r, h.peek()) < 0) { h.poll(); h.offer(r.copy()) }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Plans [[TopKPerKey]] as partial → (exchange via required
+  * distribution) → final.
+  */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, child) =>
+      val partial = TopKPerKeyExec(keys, order, k, isPartial = true, planLater(child))
+      TopKPerKeyExec(keys, order, k, isPartial = false, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Library entry point: top `k` rows per key group under `orderBy`
+  * (`(column, ascending)`), registered on the session's experimental
+  * strategies on first use (also injectable cluster-wide through
+  * `graft.functions.GraftExtensions`).
+  */
+object GroupedTopK {
+  def apply(
+      df: DataFrame, keys: Seq[String],
+      orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+    require(keys.nonEmpty && orderBy.nonEmpty)
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!spark.experimental.extraStrategies.exists(_ eq TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    val child = df.queryExecution.analyzed
+    def attr(n: String): Attribute = child.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $n not among ${child.output.map(_.name).mkString(", ")}"))
+    val sorts = orderBy.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending)
+    }
+    GraftBridge.dataset(spark, TopKPerKey(keys.map(attr), sorts, k, child))
+  }
+}

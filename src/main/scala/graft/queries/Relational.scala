@@ -182,6 +182,32 @@ object Relational {
       Some("""SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
              |FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 25""".stripMargin)),
 
+    // Grouped top-k through the engine's OWN physical operator
+    // (plans.TopKPerKey: LogicalPlan + SparkStrategy + two-phase
+    // SparkPlan): top-3 orders per customer by price. The window
+    // formulation sorts every customer's orders in full and shuffles
+    // every row; the operator keeps a bounded heap of 3 per key and its
+    // partial phase reduces each partition BEFORE the exchange, so the
+    // shuffle carries at most 3·customers·partitions rows. Exact — the
+    // oracle is the plain ROW_NUMBER form.
+    QueryDef("q_topk_per_key",
+      (spark, sf) => graft.plans.GroupedTopK(
+          load(spark, sf, "orders")
+            .select(col("o_custkey"), col("o_orderkey"),
+              cents(col("o_totalprice")).as("price_cents")),
+          keys = Seq("o_custkey"),
+          orderBy = Seq(("price_cents", false), ("o_orderkey", true)),
+          k = 3)
+        .orderBy(col("o_custkey"), col("price_cents").desc, col("o_orderkey")),
+      Some("""SELECT o_custkey, o_orderkey, price_cents FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |      ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3
+             |ORDER BY o_custkey, price_cents DESC, o_orderkey""".stripMargin)),
+
     // Set operations: UNION / INTERSECT / EXCEPT.
     QueryDef("q_set_ops",
       (spark, sf) => {

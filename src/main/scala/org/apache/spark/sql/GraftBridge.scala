@@ -16,4 +16,10 @@ object GraftBridge {
 
   /** Resolve a Column back to its Catalyst Expression (classic engine). */
   def expression(c: Column): Expression = classic.ColumnConversions.expression(c)
+
+  /** Wrap a LogicalPlan as a DataFrame (for custom logical operators). */
+  def dataset(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -106,6 +106,39 @@ class PlanSpec extends SparkSpec {
       s"no Scala UDF may sit in the prefilter path (breaks codegen fusion):\n$p")
   }
 
+  test("grouped top-k plans as partial+final TopKPerKeyExec, no Window, no per-group sort") {
+    val df = graft.SparkEntry.queries("q_topk_per_key")(spark, Sf)
+    df.collect() // materialize through the custom exec
+    val p = df.queryExecution.executedPlan.toString
+    // the exec node prints without the Exec suffix; partial prints its
+    // isPartial=true flag, final false — both must appear (in the final
+    // AQE plan they show once each plus once in the initial plan)
+    assert("TopKPerKey \\[".r.findAllIn(p).size >= 2,
+      s"expected partial + final custom exec nodes:\n$p")
+    assert(p.contains(", true") && p.contains(", false"),
+      s"both the partial and the final phase must be planned:\n$p")
+    assert(p.contains("Exchange"),
+      s"final phase must hash-cluster on the key between the phases:\n$p")
+    assert(!p.contains("Window"),
+      s"the operator exists to avoid the full-sort window form:\n$p")
+    // results equal the window formulation exactly
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val orders = spark.read.parquet(s"$Sf/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+    val viaWindow = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .collect().map(_.toSeq).toSet
+    val viaOperator = graft.plans.GroupedTopK(orders, Seq("o_custkey"),
+        Seq(("price_cents", false), ("o_orderkey", true)), 3)
+      .collect().map(_.toSeq).toSet
+    assert(viaOperator == viaWindow,
+      s"diff=${(viaOperator diff viaWindow) ++ (viaWindow diff viaOperator)}")
+  }
+
   test("mapping lookup broadcasts when small but is NOT forced: SMJ/SHJ when disabled") {
     // Catalyst must own the decision: a small mapping table auto-broadcasts,
     // but with broadcast disabled the plan degrades to a shuffled join
