@@ -139,6 +139,28 @@ class PlanSpec extends SparkSpec {
       s"diff=${(viaOperator diff viaWindow) ++ (viaWindow diff viaOperator)}")
   }
 
+  test("grouped top-k edge cases: null keys/orders, multi-column keys, k > group size") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String, java.lang.Long, Long)](
+      (1L, "x", 10L, 1L), (1L, "x", 30L, 2L), (1L, "x", 20L, 3L), (1L, "x", 30L, 4L),
+      (1L, "y", 5L, 5L),                       // different second key
+      (null, "x", 7L, 6L), (null, "x", 9L, 7L), // null group key forms its own group
+      (2L, "x", null, 8L), (2L, "x", 1L, 9L),  // null order value
+      (3L, "z", 42L, 10L)                       // singleton group, k > size
+    ).toDF("k1", "k2", "v", "id")
+    val w = Window.partitionBy(col("k1"), col("k2"))
+      .orderBy(col("v").desc_nulls_last, col("id"))
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn").collect().map(_.toSeq).toSet
+    val viaOp = graft.plans.GroupedTopK(df, Seq("k1", "k2"),
+        Seq(("v", false), ("id", true)), 2)
+      .collect().map(_.toSeq).toSet
+    assert(viaOp == viaWindow,
+      s"diff=${(viaOp diff viaWindow) ++ (viaWindow diff viaOp)}")
+  }
+
   test("mapping lookup broadcasts when small but is NOT forced: SMJ/SHJ when disabled") {
     // Catalyst must own the decision: a small mapping table auto-broadcasts,
     // but with broadcast disabled the plan degrades to a shuffled join
