@@ -31,6 +31,25 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column = graft.functions.CosineSim(a, b)
 
+  /** Per-query top-k of a scored candidate frame, ranked. Runs through
+    * the engine's grouped-top-k physical operator
+    * ([[graft.plans.GroupedTopK]]): the `row_number` window formulation
+    * fully sorts every query's candidate set (the whole corpus for the
+    * brute-force path) — the operator keeps a k-bounded heap per query
+    * and its partial phase reduces before the shuffle. The rank column
+    * is then assigned by a window over ≤ k rows per query, which is
+    * negligible. Tie-break on neighbor_id keeps output deterministic.
+    */
+  private def topKRanked(scored: DataFrame, k: Int): DataFrame = {
+    val top = graft.plans.GroupedTopK(
+      scored.select(col("query_id"), col("neighbor_id"), col("sim")),
+      keys = Seq("query_id"), orderBy = Seq(("sim", false), ("neighbor_id", true)), k = k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector. `queries` and
     * `corpus` both carry (`idCol`, `vecCol`); queries ≪ corpus, so the
     * cross join broadcasts the queries and the only shuffle is the
@@ -44,11 +63,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    topKRanked(scored, k)
   }
 
   /** `nBits` seeded random hyperplanes of dimension `dim`, as a literal
@@ -145,14 +160,10 @@ object Similarity {
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) => nearest(v, cents, nprobe).map(l => (id, v, l)) }
       .toDF("query_id", "qv", "list")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    assigned.join(probes, Seq("list"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    topKRanked(
+      assigned.join(probes, Seq("list"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", cosine(col("qv"), col("cv"))), k)
   }
 
   /** ANN via product quantization (PQ) with asymmetric distance
@@ -257,19 +268,17 @@ object Similarity {
       (element_at(col("code"), s + 1) + lit(s * ksub) + 1).cast("int"))
     val qdot = idxs.map(i => element_at(col("qtab"), i)).reduce(_ + _)
     val cn2 = idxs.map(i => element_at(typedLit(csq), i)).reduce(_ + _)
-    val wA = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_sim").desc, col("neighbor_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    encoded.crossJoin(broadcast(qdf))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("approx_sim", qdot / (col("qnorm") * sqrt(cn2)))
-      .withColumn("arank", row_number().over(wA))
-      .filter(col("arank") <= k * rerankFactor)
-      .withColumn("sim", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    // approximate shortlist through the grouped-top-k operator (bounded
+    // heaps instead of a full per-query sort of the whole corpus), then
+    // exact re-rank of the ≤ k·rerankFactor survivors
+    val shortlist = graft.plans.GroupedTopK(
+      encoded.crossJoin(broadcast(qdf))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("approx_sim", qdot / (col("qnorm") * sqrt(cn2))),
+      keys = Seq("query_id"),
+      orderBy = Seq(("approx_sim", false), ("neighbor_id", true)),
+      k = k * rerankFactor)
+    topKRanked(shortlist.withColumn("sim", cosine(col("qv"), col("cv"))), k)
   }
 
   /** Embedding near-duplicate pairs above `minSim`: random-hyperplane LSH
@@ -340,11 +349,6 @@ object Similarity {
     val cand = c.join(q, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv")).distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    cand.withColumn("sim", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    topKRanked(cand.withColumn("sim", cosine(col("qv"), col("cv"))), k)
   }
 }
