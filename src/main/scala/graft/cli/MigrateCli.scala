@@ -181,9 +181,18 @@ object MigrateCli {
       loaded: Seq[Migration] = Nil): Map[String, MigrationResult] = {
     val explicit = args.migrations.map(instantiate)
     val candidates = (loaded ++ explicit).distinctBy(_.spec.name)
+    // selection parity with `MigrateCommand::getMigrations`
+    // (`/root/reference/src/Command/MigrateCommand.php:228-241` + the
+    // `--group` default `['default']` at `:112-117`): explicitly named
+    // migrations run regardless of group; otherwise the group filter
+    // applies, defaulting to the "default" group — a bare run does NOT
+    // sweep up specially-grouped migrations.
     val selected =
-      if (args.groups.nonEmpty) candidates.filter(m => args.groups.contains(m.spec.group))
-      else candidates
+      if (explicit.nonEmpty) explicit
+      else {
+        val gs = if (args.groups.nonEmpty) args.groups else Set("default")
+        candidates.filter(m => gs.contains(m.spec.group))
+      }
     require(selected.nonEmpty, "no migrations selected")
 
     val registry = new MigrationRegistry

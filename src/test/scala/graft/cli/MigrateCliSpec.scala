@@ -183,6 +183,21 @@ class MigrateCliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/scheme_nation/gen0").count() == 25)
   }
 
+  test("bare run selects group 'default' only; explicit names ignore groups (reference parity)") {
+    val base = setProps()
+    // fixtures declare group "fixtures": a bare run (no names, no
+    // --group) must select nothing, like the reference's default
+    // --group=['default']
+    assertThrows[IllegalArgumentException](
+      MigrateCli.run(spark, MigrateCli.Args(mappingDir = s"$base/map"),
+        loaded = Seq(new NationFixtureMigration)))
+    // explicitly named migrations run regardless of their group
+    val results = MigrateCli.run(spark,
+      MigrateCli.Args(migrations = Seq("graft.cli.NationFixtureMigration"),
+        groups = Set("some-other-group"), mappingDir = s"$base/map"))
+    assert(results("nation_fix").migrated == 25)
+  }
+
   test("group selection picks only tagged migrations") {
     val base = setProps()
     val results = MigrateCli.run(spark,
