@@ -64,6 +64,27 @@ final class MappingStore(basePath: String, keepGenerations: Option[Int] = None) 
           .drop(spec.sourceIds.map(f => s"$SourcePrefix${f.name}"): _*)
     }
 
+  /** Reverse lookup: left-join `df` (carrying the DESTINATION id
+    * columns) against the mapping table, adding `source_*` columns
+    * (null where unmapped) — the set-wise form of
+    * `getSourceIdsFromDestIds` (`DataMigrationMapper.php:477-519`),
+    * used when auditing destination rows back to their origin.
+    */
+  def lookupSource(df: DataFrame, spec: MigrationSpec): DataFrame =
+    load(df.sparkSession, spec) match {
+      case None => spec.sourceIds.foldLeft(df)((acc, f) =>
+        acc.withColumn(s"$SourcePrefix${f.name}", lit(null).cast(f.idType.sparkType)))
+      case Some(m) =>
+        val mapped = m.select(
+          spec.destinationIds.map(f => col(s"$DestPrefix${f.name}")) ++
+            spec.sourceIds.map(f => col(s"$SourcePrefix${f.name}")): _*)
+        val cond = spec.destinationIds
+          .map(f => df(f.name) <=> mapped(s"$DestPrefix${f.name}"))
+          .reduce(_ && _)
+        df.join(mapped, cond, "left")
+          .drop(spec.destinationIds.map(f => s"$DestPrefix${f.name}"): _*)
+    }
+
   /** Insert-or-update a batch of mappings in one merge: rows in `incoming`
     * replace existing rows with the same source-id tuple (null-safely),
     * everything else is preserved; `updated` is stamped and `status` set —

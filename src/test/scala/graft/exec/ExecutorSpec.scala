@@ -434,4 +434,24 @@ class ExecutorSpec extends SparkSpec {
     assert(resolved.map(r => Option(r.getAs[Any]("target_id"))).toSeq ==
       Seq(Some(101L), Some(102L), None))
   }
+
+  test("mapping reverse lookup: dest ids back to source ids (getSourceIdsFromDestIds parity)") {
+    import spark.implicits._
+    val (base, mapper, _, exec) = fixture()
+    val sp = mkSpec(base, "rev")
+    exec.execute(spark, new Migration {
+      def spec: MigrationSpec = sp
+      def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+        src.select(col("src_id"), (col("src_id") + 500L).as("id"), col("v"))
+    }, inlineSource(s => {
+      import s.implicits._
+      Seq((1L, "a"), (2L, "b")).toDF("src_id", "v")
+    }), new ParquetDestinationDriver)
+    // forward: src 1 -> dest 501; reverse must invert it, null for unmapped
+    val back = mapper.lookupSource(
+        Seq(501L, 502L, 999L).toDF("id"), sp)
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Any]("source_src_id"))).toMap
+    assert(back == Map(501L -> Some(1L), 502L -> Some(2L), 999L -> None))
+  }
 }
