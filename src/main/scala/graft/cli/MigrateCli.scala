@@ -26,14 +26,23 @@ import org.apache.spark.sql.SparkSession
 object DriverRegistry {
   import graft.spec.{BadUriException, NoDriverForSchemeException, UnclearDriverException}
 
+  // unknown key AND not a loadable class → the reference's
+  // NonexistentDriverException shape (`DriverManager.php:84-88`)
+  private def loadDriver[D](key: String, kind: String): D =
+    try Class.forName(key).getDeclaredConstructor().newInstance().asInstanceOf[D]
+    catch {
+      case _: ClassNotFoundException =>
+        throw new IllegalArgumentException(
+          s"""The requested $kind driver "$key" does not exist (not a built-in key, not a loadable class).""")
+    }
+
   def source(key: String): SourceDriver = key match {
     case "parquet" => new ParquetSourceDriver
     case "csv" => new CsvSourceDriver()
     case "json" => new JsonSourceDriver()
     case "yaml" => new YamlSourceDriver
     case k if k.startsWith("sql:") => new SqlSourceDriver(k.stripPrefix("sql:"))
-    case fqcn =>
-      Class.forName(fqcn).getDeclaredConstructor().newInstance().asInstanceOf[SourceDriver]
+    case fqcn => loadDriver[SourceDriver](fqcn, "source")
   }
 
   def destination(key: String): DestinationDriver = key match {
@@ -43,8 +52,7 @@ object DriverRegistry {
     case "json" => new JsonDestinationDriver
     case "yaml" => new YamlDestinationDriver
     case "console" => new ConsoleDestinationDriver()
-    case fqcn =>
-      Class.forName(fqcn).getDeclaredConstructor().newInstance().asInstanceOf[DestinationDriver]
+    case fqcn => loadDriver[DestinationDriver](fqcn, "destination")
   }
 
   // scheme → (driver display name, factory); JDBC database schemes map to

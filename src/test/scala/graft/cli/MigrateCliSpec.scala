@@ -148,6 +148,9 @@ class MigrateCliSpec extends SparkSpec {
     val noDriver = intercept[NoDriverForSchemeException](
       DriverRegistry.sourceForUri("gopher://x"))
     assert(noDriver.getMessage.contains("\"gopher\""))
+    // unknown driver KEY — NonexistentDriverException parity
+    val badKey = intercept[IllegalArgumentException](DriverRegistry.source("no.such.Driver"))
+    assert(badKey.getMessage.contains("does not exist"))
     assertThrows[BadUriException](DriverRegistry.sourceForUri("/plain/path"))
     // a second driver claiming an existing scheme makes it ambiguous
     DriverRegistry.registerSourceScheme("csv", "custom-csv", () => new CsvSourceDriver())
