@@ -59,7 +59,7 @@ object DriverRegistry {
   // drivers that still need per-migration config (SQL statement / table),
   // supplied via Migration.configureSource/configureDestination — the same
   // two-phase shape as the reference's scheme-resolved DBAL drivers.
-  private val jdbcSchemes = Seq("jdbc", "sqlite", "mysql", "mariadb", "postgresql", "h2")
+  private val jdbcSchemes = Seq("jdbc", "sqlite", "mysql", "mariadb", "postgresql", "h2", "derby")
   private val builtinSourceSchemes: Map[String, Seq[(String, () => SourceDriver)]] =
     Map(
       "parquet" -> Seq("parquet" -> (() => new ParquetSourceDriver)),

@@ -279,4 +279,27 @@ class DriversSpec extends SparkSpec {
       Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
       .count(spark, srcSpec) == 3L)
   }
+
+  test("reference-style database URI (no jdbc: prefix) normalizes and reads end-to-end") {
+    import spark.implicits._
+    val db = scratchDir("derby_uri") + "/db"
+    // seed through the explicit jdbc: form
+    val url = s"jdbc:derby:$db;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+      "createTableColumnTypes" -> "name VARCHAR(64)")
+    new JdbcDestinationDriver("people", props).write(
+      Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name"), mkSpec("n/a", url))
+    // read back through a DriverManager-style scheme URI: `derby:...`
+    // (UriSchemes.jdbcUrl adds the jdbc: prefix the Spark source needs)
+    val schemeSpec = mkSpec(s"derby:$db", "n/a")
+    val driver = graft.cli.DriverRegistry.sourceForUri(schemeSpec.source)
+    assert(driver.isInstanceOf[JdbcSourceDriver], "derby scheme resolves to the JDBC driver")
+    // scheme-resolved JDBC drivers need their SQL via configureSource:
+    // unconfigured read must fail with the explanatory error
+    val err = intercept[IllegalArgumentException](driver.read(spark, schemeSpec))
+    assert(err.getMessage.contains("configureSource"))
+    val configured = new JdbcSourceDriver("""SELECT "id", "name" FROM people""",
+      properties = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+    assert(configured.read(spark, schemeSpec).count() == 2)
+  }
 }
