@@ -56,11 +56,19 @@ final case class TopKPerKeyExec(
   override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
     child.outputPartitioning
 
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of key groups"))
+
   protected override def doExecute(): RDD[InternalRow] = {
     val out = child.output
     val keyExprs = groupExprs
     val so = sortOrder
     val kk = k
+    val outputRows = longMetric("numOutputRows")
+    val groups = longMetric("numGroups")
     child.execute().mapPartitions({ rows =>
       val keyProj = UnsafeProjection.create(keyExprs, out)
       val ord = RowOrdering.create(so, out)
@@ -80,7 +88,11 @@ final case class TopKPerKeyExec(
         else if (ord.compare(r, h.peek()) < 0) { h.poll(); h.offer(r.copy()) }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      groups += heaps.size().toLong
+      heaps.values().iterator().asScala.flatMap { h =>
+        outputRows += h.size().toLong
+        h.iterator().asScala
+      }
     }, preservesPartitioning = true)
   }
 

@@ -24,7 +24,8 @@ class PlanAudit extends SparkSpec {
     "dedup_decontaminate" -> 8,  // asymmetric window join (bench side broadcastable)
     "text_stratified_sample" -> 2, // pure scan-speed predicate; orderBy only
     "text_unigram_score" -> 8,   // vocab count + tok⋈prob join + per-doc agg
-    "corpus_curation" -> 8)      // filter chain + dedup window + survivor join
+    "corpus_curation" -> 8,      // filter chain + dedup window + survivor join
+    "q_topk_per_key" -> 3)       // partial → key exchange → final → orderBy range exchange
 
   test("plan audit: no quadratic joins; shuffle counts within pinned ceilings") {
     for ((q, ceiling) <- ExchangeCeilings.toSeq.sortBy(_._1)) {
