@@ -123,9 +123,12 @@ object Dedup {
   def substringPairs(
       df: DataFrame, textCol: String, idCol: String, k: Int = 20,
       maxWindowDf: Option[Long] = None): DataFrame = {
+    // per-doc window dedup INSIDE the row (array_distinct) — a
+    // distinct() after the explode would shuffle the whole exploded
+    // window table just to drop same-doc repeats
     val wins = ensureParallelism(df)
-      .select(col(idCol).as("__id"), explode(windowHashes(col(textCol), k)).as("w"))
-      .distinct()
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(windowHashes(col(textCol), k))).as("w"))
     val kept = maxWindowDf.fold(wins) { cap =>
       wins.join(
         wins.groupBy(col("w")).agg(count(lit(1)).as("df"))
@@ -152,10 +155,14 @@ object Dedup {
   def contaminatedDocs(
       corpus: DataFrame, corpusTextCol: String, corpusIdCol: String,
       benchmark: DataFrame, benchTextCol: String, k: Int = 20): DataFrame = {
-    def windows(df: DataFrame, textCol: String, out: Seq[Column]): DataFrame =
-      df.select(out :+ explode(windowHashes(col(textCol), k)).as("w"): _*).distinct()
-    val corpusWins = windows(ensureParallelism(corpus), corpusTextCol, Seq(col(corpusIdCol)))
-    val benchWins = windows(benchmark, benchTextCol, Seq.empty) // distinct w only
+    // corpus side: per-doc dedup inside the row (no shuffle); benchmark
+    // side: cross-doc distinct on the (small) window set is still needed
+    val corpusWins = ensureParallelism(corpus)
+      .select(col(corpusIdCol),
+        explode(array_distinct(windowHashes(col(corpusTextCol), k))).as("w"))
+    val benchWins = benchmark
+      .select(explode(array_distinct(windowHashes(col(benchTextCol), k))).as("w"))
+      .distinct()
     corpusWins.join(benchWins, Seq("w"))
       .groupBy(col(corpusIdCol))
       .agg(count(lit(1)).as("n_contaminated_windows"))

@@ -266,11 +266,16 @@ object StreamingQueries {
           .parquet(stagedDir(spark, sf, "documents"))
         val bench = spark.read.parquet(path(sf, "documents"))
           .filter(col("doc_id") % 10 === 0)
-          .select(explode(graft.ops.Dedup.windowHashes(col("text"), k)).as("w"))
+          .select(explode(array_distinct(
+            graft.ops.Dedup.windowHashes(col("text"), k))).as("w"))
           .distinct()
+        // per-doc window dedup happens INSIDE the row (array_distinct),
+        // so the stream stays stateless until the final count aggregate
+        // — a dropDuplicates here would grow unbounded state on a real
+        // unbounded stream
         val corpusWins = docs.filter(col("doc_id") % 10 =!= 0)
-          .select(col("doc_id"), explode(graft.ops.Dedup.windowHashes(col("text"), k)).as("w"))
-          .dropDuplicates("doc_id", "w")
+          .select(col("doc_id"), explode(array_distinct(
+            graft.ops.Dedup.windowHashes(col("text"), k))).as("w"))
         val agg = corpusWins.join(bench, Seq("w"))
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated_windows"))
         val table = s"stream_dc_${counter.incrementAndGet()}"

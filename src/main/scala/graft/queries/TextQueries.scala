@@ -281,11 +281,14 @@ object TextQueries {
             slice(arr, lit(1), size(arr) - 1).as("x"),
             slice(arr, lit(2), size(arr) - 1).as("y"))).as("p"))
           .select(col("p.x").as("x"), col("p.y").as("y"))
-        val n = bi.count()
-        val lx = bi.groupBy(col("x")).agg(count(lit(1)).as("cx"))
-        val ry = bi.groupBy(col("y")).agg(count(lit(1)).as("cy"))
-        bi.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
-          .filter(col("c") >= 5)
+        // aggregate the exploded bigrams ONCE; total and both marginals
+        // derive from the (much smaller) count table, so the corpus is
+        // scanned and exploded a single time instead of four
+        val bc = bi.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c")).persist()
+        val n = bc.agg(sum(col("c"))).head().getLong(0)
+        val lx = bc.groupBy(col("x")).agg(sum(col("c")).as("cx"))
+        val ry = bc.groupBy(col("y")).agg(sum(col("c")).as("cy"))
+        bc.filter(col("c") >= 5)
           .join(lx, Seq("x")).join(ry, Seq("y"))
           .select(col("x"), col("y"), col("c"),
             round(log(col("c").cast("double") * n /
