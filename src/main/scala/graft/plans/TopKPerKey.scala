@@ -32,19 +32,46 @@ final case class TopKPerKey(
     groupExprs: Seq[Expression],
     sortOrder: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    maxKeysInMemory: Int = TopKPerKey.DefaultMaxKeysInMemory) extends UnaryNode {
   require(k > 0, "k must be positive")
+  require(maxKeysInMemory > 0, "maxKeysInMemory must be positive")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
 }
 
+object TopKPerKey {
+  /** Keys held in memory per partition before the operator flushes its
+    * heaps downstream (see [[TopKPerKeyExec]]). Override per session via
+    * `graft.topk.maxKeysPerPartition`.
+    */
+  val DefaultMaxKeysInMemory: Int = 1 << 20
+}
+
+/** Bounded-memory execution, different strategy per phase:
+  *
+  *   - PARTIAL (pre-exchange): per-partition key→heap map capped at
+  *     `maxKeysInMemory` keys — when a high-cardinality key space
+  *     exceeds it, the current heaps are EMITTED downstream and the map
+  *     resets (the same reason Spark's hash aggregate spills). A flushed
+  *     partial may emit more than k rows for a key from one partition;
+  *     the exchange re-clusters them and the final phase merges exactly.
+  *     The flush path is spec-covered with maxKeysInMemory = 1.
+  *   - FINAL (post-exchange): SORT-BASED streaming — required child
+  *     ordering on (keys, sort order) means rows of one key arrive
+  *     adjacent and already ranked, so the operator just emits the
+  *     first k per key group in O(1) memory; the sort itself runs over
+  *     the pre-reduced partials through Spark's spill-safe external
+  *     sort. No unbounded state in either phase.
+  */
 final case class TopKPerKeyExec(
     groupExprs: Seq[Expression],
     sortOrder: Seq[SortOrder],
     k: Int,
     isPartial: Boolean,
+    maxKeysInMemory: Int,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -53,8 +80,16 @@ final case class TopKPerKeyExec(
     if (isPartial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(groupExprs))
 
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (isPartial) Seq(Nil)
+    else Seq(groupExprs.map(SortOrder(_, Ascending)) ++ sortOrder)
+
   override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
     child.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    if (isPartial) Nil
+    else groupExprs.map(SortOrder(_, Ascending)) ++ sortOrder
 
   override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
@@ -62,36 +97,84 @@ final case class TopKPerKeyExec(
     "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of key groups"))
 
-  protected override def doExecute(): RDD[InternalRow] = {
+  protected override def doExecute(): RDD[InternalRow] =
+    if (isPartial) doExecutePartial() else doExecuteFinal()
+
+  private def doExecutePartial(): RDD[InternalRow] = {
     val out = child.output
     val keyExprs = groupExprs
     val so = sortOrder
     val kk = k
+    val maxKeys = maxKeysInMemory
     val outputRows = longMetric("numOutputRows")
-    val groups = longMetric("numGroups")
     child.execute().mapPartitions({ rows =>
       val keyProj = UnsafeProjection.create(keyExprs, out)
       val ord = RowOrdering.create(so, out)
       // heap head = the WORST kept row (largest under the sort order):
       // evict it when a better row arrives and the heap is full
       val rev: java.util.Comparator[InternalRow] = ord.reverse
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (rows.hasNext) {
-        val r = rows.next()
-        val key = keyProj(r)
-        var h = heaps.get(key)
-        if (h == null) {
-          h = new java.util.PriorityQueue[InternalRow](kk + 1, rev)
-          heaps.put(key.copy(), h)
+      new Iterator[InternalRow] {
+        private var heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+        private var pending: Iterator[InternalRow] = Iterator.empty
+
+        private def drain(): Iterator[InternalRow] = {
+          import scala.jdk.CollectionConverters._
+          val h = heaps
+          heaps = new java.util.HashMap()
+          h.values().iterator().asScala.flatMap { q =>
+            outputRows += q.size().toLong
+            q.iterator().asScala
+          }
         }
-        if (h.size < kk) h.offer(r.copy())
-        else if (ord.compare(r, h.peek()) < 0) { h.poll(); h.offer(r.copy()) }
+
+        private def refill(): Unit =
+          while (!pending.hasNext && (rows.hasNext || !heaps.isEmpty)) {
+            var flushed = false
+            while (!flushed && rows.hasNext) {
+              val r = rows.next()
+              val key = keyProj(r)
+              var h = heaps.get(key)
+              if (h == null) {
+                h = new java.util.PriorityQueue[InternalRow](kk + 1, rev)
+                heaps.put(key.copy(), h)
+              }
+              if (h.size < kk) h.offer(r.copy())
+              else if (ord.compare(r, h.peek()) < 0) { h.poll(); h.offer(r.copy()) }
+              if (heaps.size() >= maxKeys) { pending = drain(); flushed = true }
+            }
+            if (!flushed && !rows.hasNext) pending = drain()
+          }
+
+        override def hasNext: Boolean = { if (!pending.hasNext) refill(); pending.hasNext }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          pending.next()
+        }
       }
-      import scala.jdk.CollectionConverters._
-      groups += heaps.size().toLong
-      heaps.values().iterator().asScala.flatMap { h =>
-        outputRows += h.size().toLong
-        h.iterator().asScala
+    }, preservesPartitioning = true)
+  }
+
+  private def doExecuteFinal(): RDD[InternalRow] = {
+    val out = child.output
+    val keyExprs = groupExprs
+    val kk = k
+    val outputRows = longMetric("numOutputRows")
+    val groups = longMetric("numGroups")
+    child.execute().mapPartitions({ rows =>
+      val keyProj = UnsafeProjection.create(keyExprs, out)
+      // input is clustered AND sorted by (keys, order): stream key
+      // groups, emit the first k rows of each
+      var currentKey: UnsafeRow = null
+      var emitted = 0
+      rows.flatMap { r =>
+        val key = keyProj(r)
+        if (currentKey == null || key != currentKey) {
+          currentKey = key.copy()
+          emitted = 0
+          groups += 1
+        }
+        if (emitted < kk) { emitted += 1; outputRows += 1; Some(r) }
+        else None
       }
     }, preservesPartitioning = true)
   }
@@ -105,9 +188,9 @@ final case class TopKPerKeyExec(
   */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, child) =>
-      val partial = TopKPerKeyExec(keys, order, k, isPartial = true, planLater(child))
-      TopKPerKeyExec(keys, order, k, isPartial = false, partial) :: Nil
+    case TopKPerKey(keys, order, k, child, maxKeys) =>
+      val partial = TopKPerKeyExec(keys, order, k, isPartial = true, maxKeys, planLater(child))
+      TopKPerKeyExec(keys, order, k, isPartial = false, maxKeys, partial) :: Nil
     case _ => Nil
   }
 }
@@ -133,6 +216,8 @@ object GroupedTopK {
     val sorts = orderBy.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }
-    GraftBridge.dataset(spark, TopKPerKey(keys.map(attr), sorts, k, child))
+    val maxKeys = spark.conf.getOption("graft.topk.maxKeysPerPartition")
+      .map(_.toInt).getOrElse(TopKPerKey.DefaultMaxKeysInMemory)
+    GraftBridge.dataset(spark, TopKPerKey(keys.map(attr), sorts, k, child, maxKeys))
   }
 }

@@ -161,6 +161,29 @@ class PlanSpec extends SparkSpec {
       s"diff=${(viaOp diff viaWindow) ++ (viaWindow diff viaOp)}")
   }
 
+  test("grouped top-k bounded-memory flush path (maxKeysPerPartition=1) stays exact") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val orders = spark.read.parquet(s"$Sf/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+    val viaWindow = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn").collect().map(_.toSeq).toSet
+    // flush after every key: the partial phase emits per-key heaps many
+    // times per partition; the exchange + sorted final must still merge
+    // to the exact answer
+    spark.conf.set("graft.topk.maxKeysPerPartition", "1")
+    try {
+      val viaOp = graft.plans.GroupedTopK(orders, Seq("o_custkey"),
+          Seq(("price_cents", false), ("o_orderkey", true)), 3)
+        .collect().map(_.toSeq).toSet
+      assert(viaOp == viaWindow,
+        s"diff=${(viaOp diff viaWindow) ++ (viaWindow diff viaOp)}")
+    } finally spark.conf.unset("graft.topk.maxKeysPerPartition")
+  }
+
   test("mapping lookup broadcasts when small but is NOT forced: SMJ/SHJ when disabled") {
     // Catalyst must own the decision: a small mapping table auto-broadcasts,
     // but with broadcast disabled the plan degrades to a shuffled join
