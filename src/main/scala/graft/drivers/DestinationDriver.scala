@@ -94,9 +94,16 @@ private[drivers] object DestPath {
   *   runs reference the pre-run generation across `numChunks` writes, so
   *   N must be > numChunks there); unbounded growth otherwise.
   */
+/** @param writePartitions opt-in compaction: coalesce the merged
+  *   snapshot to N files per generation — the small-files control for a
+  *   sink whose upstream merge ran at shuffle width (without it a
+  *   1000-partition merge writes 1000 files per generation forever).
+  *   `coalesce`, not `repartition`: narrows the last stage, no shuffle.
+  */
 final class ParquetDestinationDriver(
     stubs: Boolean = false,
-    keepGenerations: Option[Int] = None) extends DestinationDriver {
+    keepGenerations: Option[Int] = None,
+    writePartitions: Option[Int] = None) extends DestinationDriver {
   override def supportsStubs: Boolean = stubs
   override def overwriteIsReadSafe: Boolean = true // generation pointer
   override def snapshotIsStableAcrossWrites: Boolean = true // old gens survive
@@ -127,7 +134,8 @@ final class ParquetDestinationDriver(
       case Some(g) => s"gen${g.stripPrefix("gen").toLong + 1}"
       case None    => "gen0"
     }
-    df.write.mode(SaveMode.Overwrite).parquet(s"$base/$next")
+    writePartitions.fold(df)(df.coalesce)
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/$next")
     val f = currentFile(spark, base)
     val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(f, true)

@@ -46,6 +46,18 @@ class DriversSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/out/gen1").exists())
   }
 
+  test("writePartitions compacts each generation to N files") {
+    import spark.implicits._
+    val dir = scratchDir("pq_compact")
+    val s = mkSpec("n/a", s"$dir/out")
+    val wide = (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v").repartition(16)
+    new ParquetDestinationDriver(writePartitions = Some(2)).write(wide, s)
+    val files = new java.io.File(s"$dir/out/gen0").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 2, s"expected 2 compacted files, got ${files.length}")
+    assert(spark.read.parquet(s"$dir/out/gen0").count() == 200)
+  }
+
   test("generation vacuum keeps the newest N dirs; snapshot still reads after") {
     import spark.implicits._
     val dir = scratchDir("pq_vac")
