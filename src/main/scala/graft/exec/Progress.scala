@@ -1,6 +1,6 @@
 package graft.exec
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Live migration progress — the distributed replacement for the
@@ -10,42 +10,57 @@ import org.apache.spark.sql.SparkSession
   *
   * A per-row bar is meaningless on a cluster (rows stream through many
   * executors inside fused stages), so the honest signal is scheduler
-  * progress: tasks completed / tasks submitted across every job the
-  * migration triggers, throttled to one line per `everyMs`. The
-  * reference's up-front `count()` survives as `SourceDriver.count`
-  * (pushed down to the database where the driver supports a user COUNT
-  * statement) and can be printed alongside by the caller.
+  * progress: tasks completed / tasks submitted across the jobs the
+  * migration triggers, throttled to one line per `everyMs`. Counting is
+  * scoped by a JOB GROUP: [[MigrationProgress.withProgress]] tags the
+  * calling thread with a unique group id and the listener counts only
+  * stages of jobs carrying that id — so concurrent migrations under
+  * `executeAll(parallelism > 1)` (or any unrelated session activity)
+  * never inflate each other's numbers. With `jobGroup = None` the
+  * listener counts everything (whole-session mode).
+  *
+  * Totals come from each job's planned stages, so skipped/reused stages
+  * can make the denominator an over-estimate — progress may finish
+  * "early", never late.
   *
   * Scale note: listener callbacks run on the driver's listener bus —
-  * O(1) work per task event, no executor involvement, safe at any
-  * cluster size.
+  * O(1) work per event, no executor involvement, safe at any cluster
+  * size.
   */
 final class MigrationProgressListener(
     label: String,
     everyMs: Long = 2000L,
-    out: String => Unit = s => System.err.println(s)) extends SparkListener {
+    out: String => Unit = s => System.err.println(s),
+    jobGroup: Option[String] = None) extends SparkListener {
   private val tasksDone = new java.util.concurrent.atomic.AtomicLong
   private val tasksTotal = new java.util.concurrent.atomic.AtomicLong
   private val lastPrint = new java.util.concurrent.atomic.AtomicLong(0L)
   private val startedAt = System.currentTimeMillis
+  private val myStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
   def done: Long = tasksDone.get
   def total: Long = tasksTotal.get
 
-  override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit = {
-    tasksTotal.addAndGet(s.stageInfo.numTasks.toLong)
-    ()
-  }
-
-  override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-    val d = tasksDone.incrementAndGet()
-    val now = System.currentTimeMillis
-    val prev = lastPrint.get
-    if (now - prev >= everyMs && lastPrint.compareAndSet(prev, now)) {
-      val t = math.max(tasksTotal.get, d)
-      out(f"[a2b-spark] $label: tasks $d/$t (${d * 100 / t}%%), ${(now - startedAt) / 1000}s")
+  override def onJobStart(j: SparkListenerJobStart): Unit = {
+    val grp = Option(j.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+    if (jobGroup.forall(_ == grp)) {
+      j.stageInfos.foreach { si =>
+        myStages.add(si.stageId)
+        tasksTotal.addAndGet(si.numTasks.toLong)
+      }
     }
   }
+
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+    if (jobGroup.isEmpty || myStages.contains(e.stageId)) {
+      val d = tasksDone.incrementAndGet()
+      val now = System.currentTimeMillis
+      val prev = lastPrint.get
+      if (now - prev >= everyMs && lastPrint.compareAndSet(prev, now)) {
+        val t = math.max(tasksTotal.get, d)
+        out(f"[a2b-spark] $label: tasks $d/$t (${d * 100 / t}%%), ${(now - startedAt) / 1000}s")
+      }
+    }
 
   /** Final summary line (always printed, regardless of throttle). */
   def summary(): String =
@@ -53,18 +68,28 @@ final class MigrationProgressListener(
 }
 
 object MigrationProgress {
-  /** Run `body` with a progress listener attached for `label`; always
-    * detaches, prints a final summary through `out`.
+  private val seq = new java.util.concurrent.atomic.AtomicLong
+
+  /** Run `body` with a progress listener attached for `label`, counting
+    * only the Spark jobs submitted from this thread inside `body` (a
+    * unique job-group id is set for the duration and restored after —
+    * nesting-safe). Always detaches the listener and prints a final
+    * summary through `out`.
     */
   def withProgress[T](
       spark: SparkSession, label: String,
       everyMs: Long = 2000L,
       out: String => Unit = s => System.err.println(s))(body: => T): T = {
-    val l = new MigrationProgressListener(label, everyMs, out)
-    spark.sparkContext.addSparkListener(l)
+    val sc = spark.sparkContext
+    val group = s"a2b-progress-$label-${seq.incrementAndGet()}"
+    val l = new MigrationProgressListener(label, everyMs, out, Some(group))
+    sc.addSparkListener(l)
+    val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
+    sc.setLocalProperty("spark.jobGroup.id", group)
     try body
     finally {
-      spark.sparkContext.removeSparkListener(l)
+      sc.setLocalProperty("spark.jobGroup.id", prevGroup)
+      sc.removeSparkListener(l)
       out(l.summary())
     }
   }

@@ -53,12 +53,20 @@ object GraftFunctions {
       info("graft_token_count", "graft_token_count(text) - whitespace token count"),
       colFn(c => TextOps.tokenCount(c).cast("long"))),
     ("repetition_ratio",
-      info("repetition_ratio", "repetition_ratio(text, k) - repeated k-shingle fraction"),
-      (es: Seq[Expression]) => RepetitionRatio(es.head, es match {
-        case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(v, _)) =>
-          v.asInstanceOf[Number].intValue()
-        case _ => 3
-      })))
+      info("repetition_ratio", "repetition_ratio(text[, k]) - repeated k-shingle fraction"),
+      (es: Seq[Expression]) => es match {
+        // k must be a foldable integer (it shapes the generated code);
+        // reject anything else loudly rather than silently computing k=3
+        case Seq(text) => RepetitionRatio(text, 3)
+        case Seq(text, org.apache.spark.sql.catalyst.expressions.Literal(v: Number,
+            org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType)) =>
+          RepetitionRatio(text, v.intValue())
+        case Seq(_, other) => throw new IllegalArgumentException(
+          s"repetition_ratio: k must be an integer literal, got $other")
+        case other => throw new IllegalArgumentException(
+          s"repetition_ratio expects (text[, k]), got ${other.size} arguments")
+      }))
 
   /** Column-level helpers (no registration needed). */
   def cosine_sim(a: Column, b: Column): Column = CosineSim(a, b)

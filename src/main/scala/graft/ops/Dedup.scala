@@ -126,9 +126,14 @@ object Dedup {
     // per-doc window dedup INSIDE the row (array_distinct) — a
     // distinct() after the explode would shuffle the whole exploded
     // window table just to drop same-doc repeats
-    val wins = ensureParallelism(df)
+    val wins0 = ensureParallelism(df)
       .select(col(idCol).as("__id"),
         explode(array_distinct(windowHashes(col(textCol), k))).as("w"))
+    // the self-join's two sides share one shuffle via ReuseExchange; the
+    // hot-window count is a DIFFERENT subplan shape, so with the cut
+    // enabled the window table is persisted to avoid re-exploding the
+    // corpus for it (the ngramJaccardPairs precedent)
+    val wins = if (maxWindowDf.isDefined) wins0.persist() else wins0
     val kept = maxWindowDf.fold(wins) { cap =>
       wins.join(
         wins.groupBy(col("w")).agg(count(lit(1)).as("df"))

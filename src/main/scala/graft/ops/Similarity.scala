@@ -160,6 +160,10 @@ object Similarity {
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) => nearest(v, cents, nprobe).map(l => (id, v, l)) }
       .toDF("query_id", "qv", "list")
+    // clustering (the per-iteration collects) is done with the cache;
+    // release it rather than pinning a corpus copy for the session —
+    // the returned plan recomputes vecs once when evaluated
+    vecs.unpersist()
     topKRanked(
       assigned.join(probes, Seq("list"))
         .filter(col("query_id") =!= col("neighbor_id"))
@@ -213,10 +217,13 @@ object Similarity {
       best
     }
 
-    // deterministic init: ksub sample vectors in hash order seed every
-    // subspace's codebook
+    // deterministic init: up to ksub sample vectors in hash order seed
+    // every subspace's codebook; a corpus smaller than ksub just trains
+    // a smaller codebook (indexing with the declared ksub would crash)
     val sample = vecs.toDF(idCol, "v").orderBy(xxhash64(col(idCol)))
       .limit(ksub).as[(Long, Array[Float])].collect().map(_._2)
+    require(sample.nonEmpty, "pqTopK requires a non-empty corpus")
+    val ksubEff = sample.length
     var codebook: Array[Array[Array[Double]]] =
       Array.tabulate(m)(s => sample.map(v => sub(v, s)))
 
@@ -239,22 +246,22 @@ object Similarity {
     }.toDF("neighbor_id", "cv", "code")
 
     // per-centroid squared norms (corpus-side ADC norm term) — a literal
-    val csq: Seq[Double] = (0 until m * ksub).map { i =>
-      val ct = cb(i / ksub)(i % ksub); var s2 = 0.0; var j = 0
+    val csq: Seq[Double] = (0 until m * ksubEff).map { i =>
+      val ct = cb(i / ksubEff)(i % ksubEff); var s2 = 0.0; var j = 0
       while (j < dsub) { s2 += ct(j) * ct(j); j += 1 }; s2
     }
     // per-query ADC table: dot(q_sub, centroid) for every subspace×centroid
     val qdf = ensureParallelism(queries.select(col(idCol).cast("long"), col(vecCol)))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
-        val tab = new Array[Double](m * ksub)
+        val tab = new Array[Double](m * ksubEff)
         var s = 0
         while (s < m) {
           var c = 0
-          while (c < ksub) {
+          while (c < ksubEff) {
             val ct = cb(s)(c); var d = 0.0; var j = 0
             while (j < dsub) { d += v(s * dsub + j) * ct(j); j += 1 }
-            tab(s * ksub + c) = d; c += 1
+            tab(s * ksubEff + c) = d; c += 1
           }
           s += 1
         }
@@ -265,7 +272,7 @@ object Similarity {
 
     // ADC scoring: O(m) element_at lookups per pair, all codegen'd
     val idxs = (0 until m).map(s =>
-      (element_at(col("code"), s + 1) + lit(s * ksub) + 1).cast("int"))
+      (element_at(col("code"), s + 1) + lit(s * ksubEff) + 1).cast("int"))
     val qdot = idxs.map(i => element_at(col("qtab"), i)).reduce(_ + _)
     val cn2 = idxs.map(i => element_at(typedLit(csq), i)).reduce(_ + _)
     // approximate shortlist through the grouped-top-k operator (bounded
@@ -278,6 +285,10 @@ object Similarity {
       keys = Seq("query_id"),
       orderBy = Seq(("approx_sim", false), ("neighbor_id", true)),
       k = k * rerankFactor)
+    // training (the collect-heavy loops) is done with the cache; release
+    // it rather than pinning a corpus copy for the session lifetime —
+    // the returned plan recomputes vecs once when evaluated
+    vecs.unpersist()
     topKRanked(shortlist.withColumn("sim", cosine(col("qv"), col("cv"))), k)
   }
 

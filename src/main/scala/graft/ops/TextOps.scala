@@ -203,6 +203,13 @@ object TextOps {
     * expression: one pass over the raw bytes, no token/slice/hash arrays
     * per document — the composed `transform`+`array_distinct` form spent
     * its time allocating per-window slices (9–12 s vs ~1 s at sf0.1).
+    *
+    * BEHAVIOR CHANGE vs the pre-native composed form: null text now
+    * yields null (standard null-intolerant expression semantics, like
+    * `length`/`split`), where the old `when(...).otherwise(0.0)` shape
+    * returned 0.0. Callers filtering on the ratio over corpora with
+    * null text should `coalesce(ratio, lit(0.0))` if they relied on
+    * the old behavior.
     */
   def repetitionRatio(text: Column, k: Int = 3): Column =
     graft.functions.RepetitionRatio(text, k)

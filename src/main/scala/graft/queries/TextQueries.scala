@@ -282,9 +282,12 @@ object TextQueries {
             slice(arr, lit(2), size(arr) - 1).as("y"))).as("p"))
           .select(col("p.x").as("x"), col("p.y").as("y"))
         // aggregate the exploded bigrams ONCE; total and both marginals
-        // derive from the (much smaller) count table, so the corpus is
-        // scanned and exploded a single time instead of four
-        val bc = bi.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c")).persist()
+        // derive from the (much smaller) count table. No persist: the
+        // three consumers share the identical bc subplan, so
+        // ReuseExchange serves them from one shuffle — a persist here
+        // would pin a cached table per invocation with no release point
+        // in a lazy query-returning function
+        val bc = bi.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
         val n = bc.agg(sum(col("c"))).head().getLong(0)
         val lx = bc.groupBy(col("x")).agg(sum(col("c")).as("cx"))
         val ry = bc.groupBy(col("y")).agg(sum(col("c")).as("cy"))

@@ -119,19 +119,31 @@ class MigrateCliSpec extends SparkSpec {
     assert(!new java.io.File(s"$base/nation").exists(), "console sink leaves no files")
   }
 
-  test("--progress reports scheduler task progress and a final summary per migration") {
+  test("--progress reports scheduler task progress scoped to the migration's own jobs") {
     val base = setProps()
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-    // exercise the listener directly (the CLI flag wires the same helper)
-    val result = graft.exec.MigrationProgress.withProgress(
-        spark, "nation_fix", everyMs = 0L, out = l => lines.synchronized { lines += l }) {
-      MigrateCli.run(spark, MigrateCli.Args(mappingDir = s"$base/map",
-        groups = Set("fixtures"), progress = true), loaded = Seq(new NationFixtureMigration))
+    val n = graft.exec.MigrationProgress.withProgress(
+        spark, "probe", everyMs = 0L, out = l => lines.synchronized { lines += l }) {
+      spark.range(100000L).repartition(8).count()
     }
-    assert(result("nation_fix").migrated == 25)
+    assert(n == 100000L)
     assert(lines.exists(_.contains("tasks")), s"throttle-free run must emit progress: $lines")
     assert(lines.last.contains("done —"), s"final summary expected: $lines")
+    // job-group scoping: a listener for group A must not count jobs run
+    // under another group (the --parallel isolation property)
+    val other = new graft.exec.MigrationProgressListener(
+      "other", 0L, _ => (), jobGroup = Some("some-other-group"))
+    spark.sparkContext.addSparkListener(other)
+    try {
+      spark.range(50000L).repartition(4).count()
+      Thread.sleep(1000) // listener bus is async; give events time to drain
+      assert(other.done == 0L, s"scoped listener must ignore ungrouped jobs, saw ${other.done}")
+    } finally spark.sparkContext.removeSparkListener(other)
+    // the CLI flag parses and a --progress run completes normally
     assert(MigrateCli.parse(Seq("--progress", "x.Y")).progress)
+    val result = MigrateCli.run(spark, MigrateCli.Args(mappingDir = s"$base/map",
+      groups = Set("fixtures"), progress = true), loaded = Seq(new NationFixtureMigration))
+    assert(result("nation_fix").migrated == 25)
   }
 
   test("URI-scheme driver resolution: dispatch, unknown scheme, ambiguity, bad URI") {

@@ -83,6 +83,14 @@ class FunctionsSpec extends SparkSpec {
       "SELECT repetition_ratio(text, 2) AS r FROM rep_fn_test").head()
     assert(r.getDouble(0) == math.BigDecimal(1.0 - 2.0 / 7.0)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // a non-literal / non-integral k must fail loudly at analysis, not
+    // silently compute with the default k
+    val err = intercept[Exception](
+      spark.sql("SELECT repetition_ratio(text, id) FROM rep_fn_test").head())
+    assert(err.getMessage.contains("integer literal"), err.getMessage)
+    val err2 = intercept[Exception](
+      spark.sql("SELECT repetition_ratio(text, '3') FROM rep_fn_test").head())
+    assert(err2.getMessage.contains("integer literal"), err2.getMessage)
   }
 
   test("null and mixed-type inputs") {
