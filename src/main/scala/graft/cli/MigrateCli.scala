@@ -38,6 +38,7 @@ object DriverRegistry {
 
   def source(key: String): SourceDriver = key match {
     case "parquet" => new ParquetSourceDriver
+    case "orc" => new OrcSourceDriver
     case "csv" => new CsvSourceDriver()
     case "json" => new JsonSourceDriver()
     case "yaml" => new YamlSourceDriver
@@ -48,6 +49,7 @@ object DriverRegistry {
   def destination(key: String): DestinationDriver = key match {
     case "parquet" => new ParquetDestinationDriver()
     case "parquet+stubs" => new ParquetDestinationDriver(stubs = true)
+    case "orc" => new OrcDestinationDriver
     case "csv" => new CsvDestinationDriver
     case "json" => new JsonDestinationDriver
     case "yaml" => new YamlDestinationDriver
@@ -63,6 +65,7 @@ object DriverRegistry {
   private val builtinSourceSchemes: Map[String, Seq[(String, () => SourceDriver)]] =
     Map(
       "parquet" -> Seq("parquet" -> (() => new ParquetSourceDriver)),
+      "orc" -> Seq("orc" -> (() => new OrcSourceDriver)),
       "csv" -> Seq("csv" -> (() => new CsvSourceDriver())),
       "json" -> Seq("json" -> (() => new JsonSourceDriver())),
       "jsonl" -> Seq("json" -> (() => new JsonSourceDriver())),
@@ -72,6 +75,7 @@ object DriverRegistry {
   private val builtinDestinationSchemes: Map[String, Seq[(String, () => DestinationDriver)]] =
     Map(
       "parquet" -> Seq("parquet" -> (() => new ParquetDestinationDriver())),
+      "orc" -> Seq("orc" -> (() => new OrcDestinationDriver)),
       "csv" -> Seq("csv" -> (() => new CsvDestinationDriver)),
       "json" -> Seq("json" -> (() => new JsonDestinationDriver)),
       "jsonl" -> Seq("json" -> (() => new JsonDestinationDriver)),

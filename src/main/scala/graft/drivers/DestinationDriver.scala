@@ -82,6 +82,38 @@ private[drivers] object DestPath {
   }
 }
 
+/** Staged rename-aside commit shared by the file sinks (CSV/JSON/ORC) —
+  * the set-oriented analogue of the reference's temp-file + atomic-copy
+  * flush (`CsvDestinationDriver.php:78-79,198-203`). The write stages into
+  * a hidden sibling directory, the current output is moved aside (never
+  * deleted first — a crash between a delete and a rename would leave NO
+  * destination), the stage is renamed into place, and only then is the old
+  * output dropped. Every failure point leaves either the old or the new
+  * data in place, and errors name the stage path for manual recovery.
+  */
+private[drivers] object StagedCommit {
+  def swap(spark: SparkSession, destPath: String, label: String)(
+      writeStage: String => Unit): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(destPath)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(dest.getParent, s".${dest.getName}__stage")
+    if (fs.exists(stage)) fs.delete(stage, true)
+    writeStage(stage.toString)
+    val old = new org.apache.hadoop.fs.Path(dest.getParent, s".${dest.getName}__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    val hadDest = fs.exists(dest)
+    if (hadDest && !fs.rename(dest, old))
+      throw new java.io.IOException(
+        s"failed to move current $label output aside ($dest -> $old); staged output left at $stage")
+    if (!fs.rename(stage, dest)) {
+      if (hadDest) fs.rename(old, dest) // restore the previous output
+      throw new java.io.IOException(
+        s"failed to commit $label output to $dest; staged output left at $stage")
+    }
+    if (hadDest) fs.delete(old, true)
+  }
+}
+
 /** Parquet sink: snapshot-overwrite model. Writes go to a fresh
   * generation directory and the `current` pointer flips last, so a
   * snapshot can be read (for merge) while its replacement is being
@@ -165,31 +197,10 @@ final class CsvDestinationDriver extends DestinationDriver {
   }
 
   def write(df: DataFrame, spec: MigrationSpec): Unit = {
-    val spark = df.sparkSession
     validateColumns(df, spec)
-    val dest = new org.apache.hadoop.fs.Path(UriSchemes.path(spec.destination))
-    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stage = new org.apache.hadoop.fs.Path(
-      dest.getParent, s".${dest.getName}__stage")
-    if (fs.exists(stage)) fs.delete(stage, true)
-    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(stage.toString)
-    // Commit by rename-aside, not delete-then-rename: a crash between a
-    // delete and a rename would leave NO destination (data only in the
-    // hidden stage dir). Moving the current output aside first means every
-    // failure point leaves either the old or the new data in place, and
-    // the error names the stage path for manual recovery.
-    val old = new org.apache.hadoop.fs.Path(dest.getParent, s".${dest.getName}__old")
-    if (fs.exists(old)) fs.delete(old, true)
-    val hadDest = fs.exists(dest)
-    if (hadDest && !fs.rename(dest, old))
-      throw new java.io.IOException(
-        s"failed to move current CSV output aside ($dest -> $old); staged output left at $stage")
-    if (!fs.rename(stage, dest)) {
-      if (hadDest) fs.rename(old, dest) // restore the previous output
-      throw new java.io.IOException(
-        s"failed to commit CSV output to $dest; staged output left at $stage")
+    StagedCommit.swap(df.sparkSession, UriSchemes.path(spec.destination), "CSV") { stage =>
+      df.write.mode(SaveMode.Overwrite).option("header", "true").csv(stage)
     }
-    if (hadDest) fs.delete(old, true)
   }
 
   /** Write-time column-consistency validator — parity with the reference's
@@ -239,26 +250,29 @@ final class JsonDestinationDriver extends DestinationDriver {
     else None
   }
 
-  def write(df: DataFrame, spec: MigrationSpec): Unit = {
-    val spark = df.sparkSession
-    val dest = new org.apache.hadoop.fs.Path(UriSchemes.path(spec.destination))
-    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stage = new org.apache.hadoop.fs.Path(dest.getParent, s".${dest.getName}__stage")
-    if (fs.exists(stage)) fs.delete(stage, true)
-    df.write.mode(SaveMode.Overwrite).json(stage.toString)
-    val old = new org.apache.hadoop.fs.Path(dest.getParent, s".${dest.getName}__old")
-    if (fs.exists(old)) fs.delete(old, true)
-    val hadDest = fs.exists(dest)
-    if (hadDest && !fs.rename(dest, old))
-      throw new java.io.IOException(
-        s"failed to move current JSON output aside ($dest -> $old); staged output left at $stage")
-    if (!fs.rename(stage, dest)) {
-      if (hadDest) fs.rename(old, dest)
-      throw new java.io.IOException(
-        s"failed to commit JSON output to $dest; staged output left at $stage")
+  def write(df: DataFrame, spec: MigrationSpec): Unit =
+    StagedCommit.swap(df.sparkSession, UriSchemes.path(spec.destination), "JSON") { stage =>
+      df.write.mode(SaveMode.Overwrite).json(stage)
     }
-    if (hadDest) fs.delete(old, true)
+}
+
+/** ORC sink (engine-native breadth — ORC ships in spark-sql, so a lake
+  * standardized on ORC gets the same staged-swap columnar sink as
+  * parquet users; Avro is deliberately absent: the `spark-avro`
+  * datasource module is not on this classpath).
+  */
+final class OrcDestinationDriver extends DestinationDriver {
+  override def overwriteIsReadSafe: Boolean = true // stage + swap
+
+  def snapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] = {
+    val base = UriSchemes.path(spec.destination)
+    if (DestPath.exists(spark, base)) Some(spark.read.orc(base)) else None
   }
+
+  def write(df: DataFrame, spec: MigrationSpec): Unit =
+    StagedCommit.swap(df.sparkSession, UriSchemes.path(spec.destination), "ORC") { stage =>
+      df.write.mode(SaveMode.Overwrite).orc(stage)
+    }
 }
 
 /** Debug/console sink used by `--simulate`

@@ -91,6 +91,15 @@ final class SqlSourceDriver(statement: String) extends SourceDriver {
     spark.sql(statement)
 }
 
+/** ORC scan — engine-native columnar breadth (ORC support ships inside
+  * spark-sql; no extra jars). Same lazy declarative-scan contract as the
+  * parquet source: filters and column pruning push into the reader.
+  */
+final class OrcSourceDriver extends SourceDriver {
+  def read(spark: SparkSession, spec: MigrationSpec): DataFrame =
+    spark.read.orc(UriSchemes.path(spec.source))
+}
+
 /** JSON-lines scan (file or directory, recursive) — engine-native breadth
   * beyond the reference's format set; nested objects surface as
   * struct/array columns like the YAML source.

@@ -14,7 +14,7 @@ object UriSchemes {
     * filesystem; these are stripped by [[path]] before a file driver
     * hands the location to Spark.
     */
-  private[graft] val FormatSchemes = Set("parquet", "csv", "json", "jsonl", "yaml", "yml")
+  private[graft] val FormatSchemes = Set("parquet", "orc", "csv", "json", "jsonl", "yaml", "yml")
 
   /** Lowercased scheme of a URI, if it has one. */
   def schemeOf(uri: String): Option[String] =

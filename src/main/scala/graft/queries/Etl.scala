@@ -518,6 +518,31 @@ object Etl {
              |  CAST(n_regionkey AS BIGINT) AS rk, lower(n_name) AS lname
              |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
+    // §2.1/2.2 engine-native ORC breadth, resolved from the `orc://` URI
+    // scheme (no declared driver key) — exercises scheme dispatch AND the
+    // columnar staged-swap sink/scan pair in one end-to-end pass. Money
+    // survives the trip as integer cents (the corpus-wide numeric
+    // discipline), long/string/timestamp-free columns round-trip exactly.
+    QueryDef("etl_orc_roundtrip",
+      (spark, sf) => {
+        val uri = "orc://" + scratch("graft_orc") + "/out"
+        val spec = MigrationSpec("orc_rt", source = uri, sourceDriver = "",
+          destination = uri, destinationDriver = "",
+          sourceIds = Seq(IdField("s_suppkey", LongId)),
+          destinationIds = Seq(IdField("s_suppkey", LongId)))
+        val supplier = load(spark, sf, "supplier")
+          .select(col("s_suppkey").cast("long"), col("s_name"),
+            expr("CAST(ROUND(s_acctbal*100) AS BIGINT)").as("acctbal_cents"),
+            col("s_nationkey").cast("long"))
+        graft.cli.DriverRegistry.destinationForUri(uri).write(supplier, spec)
+        graft.cli.DriverRegistry.sourceForUri(uri).read(spark, spec)
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+             |  CAST(ROUND(s_acctbal*100) AS BIGINT) AS acctbal_cents,
+             |  CAST(s_nationkey AS BIGINT) AS s_nationkey
+             |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
     // §2.2 Doctrine/database sink, MERGE mode — the only scale-viable
     // JDBC write path (O(batch) per-partition `MERGE INTO`, not a
     // truncate-rewrite of the whole destination;

@@ -32,6 +32,30 @@ class DriversSpec extends SparkSpec {
       df.orderBy("id").collect().map(_.toSeq).toSeq)
   }
 
+  test("ORC sink round-trips nested columns; update run swaps atomically") {
+    import spark.implicits._
+    val dir = scratchDir("orc_rt")
+    val s = mkSpec(s"$dir/out", s"$dir/out")
+    val d = new OrcDestinationDriver
+    val v1 = Seq((1L, "a", Seq(1, 2)), (2L, "b", Seq(3))).toDF("id", "v", "xs")
+    d.write(v1, s)
+    // second write consumes a plan reading the current output (the
+    // executor's update-run shape) — staged swap must not break it
+    val merged = d.snapshot(spark, s).get.withColumn("v", upper(col("v")))
+    d.write(merged, s)
+    val back = new OrcSourceDriver().read(spark, s).orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1), r.getSeq[Int](2))).toSeq ==
+      Seq((1L, "A", Seq(1, 2)), (2L, "B", Seq(3))))
+    // no stage/old residue after commit
+    assert(!new java.io.File(s"$dir/.out__stage").exists())
+    assert(!new java.io.File(s"$dir/.out__old").exists())
+  }
+
+  test("orc:// scheme resolves the ORC driver pair") {
+    assert(graft.cli.DriverRegistry.sourceForUri("orc:///d/x").isInstanceOf[OrcSourceDriver])
+    assert(graft.cli.DriverRegistry.destinationForUri("orc:///d/x").isInstanceOf[OrcDestinationDriver])
+  }
+
   test("parquet sink generation pointer: snapshot survives overwrite-in-flight") {
     import spark.implicits._
     val dir = scratchDir("pq_gen")
