@@ -3,8 +3,8 @@ package graft.cli
 import graft.drivers._
 import graft.exec._
 import graft.mapper.MappingStore
-import graft.spec.{MigrationRegistry, MigrationSpec}
-import org.apache.spark.sql.SparkSession
+import graft.spec.{ConnectionRegistry, MigrationRegistry, MigrationSpec}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-key → driver resolution, the engine-side replacement for the
   * reference's DI-tag driver registry
@@ -188,11 +188,35 @@ object MigrateCli {
   def instantiate(fqcn: String): Migration =
     Class.forName(fqcn).getDeclaredConstructor().newInstance().asInstanceOf[Migration]
 
+  /** A migration whose spec went through [[ConnectionRegistry.resolveSpec]]
+    * — the engine's form of the reference resolving named connections and
+    * `%param%` placeholders at registration time
+    * (`DataMigrationManager::addMigration`, `:127-129`). Transform and
+    * driver-configuration hooks delegate to the user's class untouched.
+    */
+  private final class ResolvedMigration(underlying: Migration, resolved: MigrationSpec)
+      extends Migration {
+    def spec: MigrationSpec = resolved
+    def transform(source: DataFrame, ctx: TransformContext): DataFrame =
+      underlying.transform(source, ctx)
+    override def configureSource(driver: SourceDriver): SourceDriver =
+      underlying.configureSource(driver)
+    override def configureDestination(driver: DestinationDriver): DestinationDriver =
+      underlying.configureDestination(driver)
+  }
+
+  private def resolveConnections(m: Migration): Migration = {
+    val resolved = ConnectionRegistry.resolveSpec(m.spec)
+    if (resolved eq m.spec) m else new ResolvedMigration(m, resolved)
+  }
+
   /** Resolve, order and execute; returns per-migration results. */
   def run(spark: SparkSession, args: Args,
       loaded: Seq[Migration] = Nil): Map[String, MigrationResult] = {
     val explicit = args.migrations.map(instantiate)
-    val candidates = (loaded ++ explicit).distinctBy(_.spec.name)
+    // named-connection + %param% resolution happens once, at registration
+    // (reference `addMigration` → `resolveDefinitionProperty`)
+    val candidates = (loaded ++ explicit).distinctBy(_.spec.name).map(resolveConnections)
     // selection parity with `MigrateCommand::getMigrations`
     // (`/root/reference/src/Command/MigrateCommand.php:228-241` + the
     // `--group` default `['default']` at `:112-117`): explicitly named

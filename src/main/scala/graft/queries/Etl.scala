@@ -152,6 +152,34 @@ object Etl {
              |  CAST(n_regionkey AS BIGINT) AS n_regionkey
              |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
+    // §2 named connections: the migration spec says `source = "shared_db"`
+    // and the registry supplies URI + driver, with `%param%` placeholder
+    // substitution in the URI — config shape
+    // (`/root/reference/src/DependencyInjection/Configuration.php:31-54`)
+    // resolved per-migration in `DataMigrationManager.php:155-183`. The
+    // round-trip below exercises the full chain: name → connection →
+    // placeholder expansion → scheme-consistent driver → read-back.
+    QueryDef("etl_named_connection",
+      (spark, sf) => {
+        val base = scratch("graft_namedconn")
+        ConnectionRegistry.setParameter("graft.scratch_root", base)
+        ConnectionRegistry.addSource("shared_store", "csv://%graft.scratch_root%/conn", "csv")
+        ConnectionRegistry.addDestination("shared_store", "csv://%graft.scratch_root%/conn", "csv")
+        val spec = ConnectionRegistry.resolveSpec(MigrationSpec("named_conn",
+          source = "shared_store", destination = "shared_store",
+          sourceIds = Seq(IdField("r_regionkey", LongId)),
+          destinationIds = Seq(IdField("r_regionkey", LongId))))
+        assert(spec.source == s"csv://$base/conn" && spec.sourceDriver == "csv",
+          s"named connection did not resolve: $spec")
+        val region = load(spark, sf, "region")
+          .select(col("r_regionkey").cast("long"), col("r_name"))
+        graft.cli.DriverRegistry.destination(spec.destinationDriver).write(region, spec)
+        new CsvSourceDriver(Some(region.schema)).read(spark, spec)
+          .orderBy(col("r_regionkey"))
+      },
+      Some("""SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+             |FROM region ORDER BY r_regionkey""".stripMargin)),
+
     // §2.1 YAML directory scan + §2.2 YAML sink: path⇔key codec — id
     // values become the directory/file path, are removed from the body on
     // write and re-derived+re-injected on read

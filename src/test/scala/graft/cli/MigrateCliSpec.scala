@@ -3,7 +3,7 @@ package graft.cli
 import graft.SparkSpec
 import graft.drivers.{ParquetDestinationDriver, SourceDriver}
 import graft.exec.{Migration, TransformContext}
-import graft.spec.{IdField, LongId, MigrationSpec}
+import graft.spec.{ConnectionRegistry, IdField, LongId, MigrationSpec}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -222,5 +222,64 @@ class MigrateCliSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       MigrateCli.run(spark, MigrateCli.Args(groups = Set("nope"), mappingDir = s"$base/map"),
         loaded = Seq(new NationFixtureMigration)))
+  }
+
+  // --- named connections + %param% substitution -------------------------
+  // (reference `DataMigrationManager.php:155-183`, `Configuration.php:31-54`)
+
+  private def connSpec(src: String, dst: String) = MigrationSpec("conn_fix",
+    source = src, destination = dst,
+    sourceIds = Seq(IdField("k", LongId)), destinationIds = Seq(IdField("k", LongId)))
+
+  test("named connection hit substitutes both URI and driver") {
+    ConnectionRegistry.addSource("cli_spec_db", "jdbc:h2:mem:shared", "jdbc")
+    ConnectionRegistry.addDestination("cli_spec_out", "parquet:///tmp/out", "parquet")
+    val r = ConnectionRegistry.resolveSpec(connSpec("cli_spec_db", "cli_spec_out"))
+    assert(r.source == "jdbc:h2:mem:shared" && r.sourceDriver == "jdbc")
+    assert(r.destination == "parquet:///tmp/out" && r.destinationDriver == "parquet")
+    // first registration wins (`addSource`'s !isset guard)
+    ConnectionRegistry.addSource("cli_spec_db", "csv://other", "csv")
+    val again = ConnectionRegistry.resolveSpec(connSpec("cli_spec_db", "cli_spec_out"))
+    assert(again.source == "jdbc:h2:mem:shared" && again.sourceDriver == "jdbc")
+  }
+
+  test("unknown name falls through to URI/scheme resolution untouched") {
+    val r = ConnectionRegistry.resolveSpec(connSpec("csv://some/dir", "yaml:///out"))
+    assert(r.source == "csv://some/dir" && r.sourceDriver.isEmpty)
+    assert(r.destination == "yaml:///out" && r.destinationDriver.isEmpty)
+  }
+
+  test("%param% placeholders expand recursively, %% escapes, unknown throws") {
+    ConnectionRegistry.setParameter("cli_spec.root", "/data/%cli_spec.env%")
+    ConnectionRegistry.setParameter("cli_spec.env", "prod")
+    assert(ConnectionRegistry.resolveValue("csv://%cli_spec.root%/x") == "csv:///data/prod/x")
+    assert(ConnectionRegistry.resolveValue("100%% organic") == "100% organic")
+    val ex = intercept[graft.spec.UnknownParameterException](
+      ConnectionRegistry.resolveValue("%cli_spec.never_set%"))
+    assert(ex.parameter == "cli_spec.never_set")
+    // placeholders inside a *named connection's* URI expand on resolve
+    ConnectionRegistry.addSource("cli_spec_param_db", "csv://%cli_spec.root%/conn", "csv")
+    val r = ConnectionRegistry.resolveSpec(connSpec("cli_spec_param_db", "parquet:///o"))
+    assert(r.source == "csv:///data/prod/conn" && r.sourceDriver == "csv")
+  }
+
+  test("CLI run resolves a named connection end-to-end") {
+    val base = setProps()
+    ConnectionRegistry.setParameter("cli_spec.base", base)
+    ConnectionRegistry.addSource("cli_spec_nation_src", s"$Sf/nation.parquet", "parquet")
+    ConnectionRegistry.addDestination("cli_spec_nation_dst",
+      "parquet://%cli_spec.base%/named_nation", "parquet")
+    val m = new Migration {
+      def spec: MigrationSpec = MigrationSpec("named_fix",
+        source = "cli_spec_nation_src", destination = "cli_spec_nation_dst",
+        sourceIds = Seq(IdField("n_nationkey", LongId)),
+        destinationIds = Seq(IdField("n_nationkey", LongId)))
+      def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+        src.select(col("n_nationkey"), col("n_name"))
+    }
+    val results = MigrateCli.run(spark,
+      MigrateCli.Args(mappingDir = s"$base/map"), loaded = Seq(m))
+    assert(results("named_fix").migrated == 25)
+    assert(spark.read.parquet(s"$base/named_nation/gen0").count() == 25)
   }
 }
