@@ -1,26 +1,40 @@
 package graft.ops
 
+import java.awt.image.{BufferedImage, DataBufferByte}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * payloads with typed metadata, plus batched decode/feature-extract
   * plumbing.
   *
-  * The heavy decode step (image decode, resampling, frame sampling) is
-  * STUBBED with a deterministic fake — the decode libraries are not in
-  * this container — but the Spark-side contract is real and tested:
-  * schema, partition-parallel batch processing via `mapPartitions`, and
-  * the metadata struct shape a 100 TB media pipeline needs. Swapping the
-  * stub for a real decoder changes one function body, not the plumbing.
+  * The IMAGE path is real: PNG/JPEG/BMP/GIF decode via the JDK's
+  * `javax.imageio.ImageIO`, nearest-neighbor rescale over the decoded
+  * raster, PNG re-encode — no extra libraries, works headless, runs
+  * per-partition on executors. VIDEO frame *sampling* keeps a
+  * deterministic synthetic decoder (the JDK ships no video or audio
+  * codecs), disclosed at [[frameSample]]; its row-exploding shape,
+  * schema and partition-parallelism are the real contract.
   */
 object Multimodal {
+
+  // never spill decode scratch to disk-backed ImageIO cache files on
+  // executors — object init runs once per JVM that touches this path
+  ImageIO.setUseCache(false)
 
   val MetadataType: StructType = StructType(Seq(
     StructField("modality", StringType, nullable = false),
     StructField("byte_len", LongType, nullable = false),
     StructField("content_hash", StringType, nullable = false)))
+
+  private def metaFor(modality: String): Column = struct(
+    lit(modality).as("modality"),
+    octet_length(col("payload")).cast("long").as("byte_len"),
+    md5(col("payload")).as("content_hash"))
 
   /** Wrap a value column as an opaque binary payload + typed metadata —
     * the canonical multimodal row shape (payload stays opaque to SQL;
@@ -28,52 +42,96 @@ object Multimodal {
     */
   def asPayload(df: DataFrame, valueCol: String, modality: String): DataFrame =
     df.withColumn("payload", encode(col(valueCol), "UTF-8"))
-      .withColumn("meta", struct(
-        lit(modality).as("modality"),
-        octet_length(col("payload")).cast("long").as("byte_len"),
-        md5(col("payload")).as("content_hash")))
+      .withColumn("meta", metaFor(modality))
 
   final case class Feature(width: Int, height: Int, channels: Int, featureNorm: Double)
 
-  /** STUB decode: a real implementation would decode the payload
-    * (image/audio codec) here. The deterministic fake derives pseudo
-    * dimensions from the payload hash so tests exercise the full
-    * distributed path with stable outputs.
+  // --- real image codec path (JDK ImageIO) -------------------------------
+
+  /** Decode an image payload and measure it: dimensions and channel count
+    * from the decoded raster, `featureNorm` = mean sample value over all
+    * pixels and bands (a trivial but *real* pixel statistic — the slot a
+    * production embedding/feature model plugs into).
     */
-  private def decodeStub(payload: Array[Byte]): Feature = {
-    val h = java.util.Arrays.hashCode(payload)
-    Feature(
-      width = 64 + math.abs(h % 193),
-      height = 64 + math.abs((h / 193) % 193),
-      channels = 3,
-      featureNorm = (math.abs(h) % 10000) / 100.0)
+  def decodeImage(payload: Array[Byte]): Feature = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val raster = img.getRaster
+    val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+    var sum = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    Feature(w, h, bands, sum / (w.toLong * h * bands))
   }
 
-  /** STUB resize: a real implementation would decode, scale to
-    * `targetW`×`targetH`, and re-encode. The fake derives the output
-    * bytes deterministically from (input hash, target dims) so the
-    * plumbing — payload in, payload out, metadata recomputed — is
-    * exercised end-to-end with stable results.
+  /** Decode, nearest-neighbor rescale to `targetW`×`targetH`, re-encode
+    * as PNG. The sampling loop is explicit (no `Graphics2D` rendering
+    * hints) so the output raster is bit-deterministic across JVMs.
     */
-  private def resizeStub(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
-    val h = java.util.Arrays.hashCode(payload)
-    // fake "resized" bytes: size proportional to target area, content
-    // seeded by the input hash — distinct inputs stay distinct
-    val out = new Array[Byte](math.max(16, targetW * targetH / 64))
-    var x = h.toLong * 6364136223846793005L + targetW * 1442695040888963407L + targetH
-    var i = 0
-    while (i < out.length) {
-      x = x * 6364136223846793005L + 1442695040888963407L
-      out(i) = (x >>> 56).toByte
-      i += 1
+  def resizeImage(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val src = ImageIO.read(new ByteArrayInputStream(payload))
+    require(src != null, "payload is not a decodable image")
+    val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_3BYTE_BGR)
+    val (sw, sh) = (src.getWidth, src.getHeight)
+    var y = 0
+    while (y < targetH) {
+      val sy = (y.toLong * sh / targetH).toInt
+      var x = 0
+      while (x < targetW) {
+        out.setRGB(x, y, src.getRGB((x.toLong * sw / targetW).toInt, sy))
+        x += 1
+      }
+      y += 1
     }
-    out
+    encodePng(out)
+  }
+
+  private def encodePng(img: BufferedImage): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Deterministic synthetic PNG fixture for id `id`: a solid-gray
+    * `(8 + id%13) × (8 + id%7)` 3-channel image with every sample equal
+    * to `id % 256`. Real PNG bytes through the real codec, but with
+    * decoded dimensions and mean-pixel statistics that are closed-form in
+    * `id` — so a SQL oracle with no image library can verify the decode.
+    */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val img = new BufferedImage(
+      8 + (id % 13).toInt, 8 + (id % 7).toInt, BufferedImage.TYPE_3BYTE_BGR)
+    val data = img.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
+    java.util.Arrays.fill(data, (id % 256).toByte)
+    encodePng(img)
+  }
+
+  /** Materialize a synthetic image corpus keyed by `idCol` — the test
+    * stand-in for a real media table, generated partition-parallel on
+    * executors (never on the driver).
+    */
+  def syntheticImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = ensureParallelism(df).rdd.mapPartitions { rows =>
+      rows.map { r => val id = r.getLong(idIdx); Row(id, syntheticPng(id)) }
+    }
+    spark.createDataFrame(rdd, outSchema).withColumn("meta", metaFor("image"))
   }
 
   /** Resize transform: payload → payload (same row count), metadata
-    * recomputed from the new bytes. Runs per-partition like
-    * `extractFeatures`; swapping `resizeStub` for a real scaler is the
-    * only change a production pipeline needs.
+    * recomputed from the new bytes. Decode + rescale + re-encode runs
+    * per-partition; one codec context per executor core, rows streamed.
     */
   def resize(df: DataFrame, idCol: String, targetW: Int, targetH: Int): DataFrame = {
     val spark = df.sparkSession
@@ -86,20 +144,59 @@ object Multimodal {
     val payloadIdx = df.schema.fieldIndex("payload")
     val rdd = ensureParallelism(df).rdd.mapPartitions { rows =>
       rows.map { r =>
-        val resized = resizeStub(r.getAs[Array[Byte]](payloadIdx), targetW, targetH)
+        val resized = resizeImage(r.getAs[Array[Byte]](payloadIdx), targetW, targetH)
         Row(r.getLong(idIdx), resized, targetW, targetH)
       }
     }
+    spark.createDataFrame(rdd, outSchema).withColumn("meta", metaFor("image"))
+  }
+
+  /** Batched per-partition decode/feature-extract — the Scala analogue of
+    * an Arrow-batched decode UDF: decode through the JDK codec, rows
+    * streamed per partition, output schema declared up front.
+    */
+  def extractFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("feature_norm", DoubleType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = ensureParallelism(df).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val f = decodeImage(r.getAs[Array[Byte]](payloadIdx))
+        Row(r.getLong(idIdx), f.width, f.height, f.channels, f.featureNorm)
+      }
+    }
     spark.createDataFrame(rdd, outSchema)
-      .withColumn("meta", struct(
-        lit("image").as("modality"),
-        octet_length(col("payload")).cast("long").as("byte_len"),
-        md5(col("payload")).as("content_hash")))
+  }
+
+  // --- video frame sampling (synthetic decoder — JDK has no video codec) -
+
+  /** Deterministic synthetic frame bytes, seeded by (payload hash, frame
+    * number, dims). Stands in for a video-codec frame grab: the JDK ships
+    * no video (or audio) decoder, so unlike the image path this one stays
+    * synthetic by necessity, not convenience.
+    */
+  private def syntheticFrame(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val h = java.util.Arrays.hashCode(payload)
+    val out = new Array[Byte](math.max(16, targetW * targetH / 64))
+    var x = h.toLong * 6364136223846793005L + targetW * 1442695040888963407L + targetH
+    var i = 0
+    while (i < out.length) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      out(i) = (x >>> 56).toByte
+      i += 1
+    }
+    out
   }
 
   /** Frame sampling: one video payload row → `nFrames` frame rows
     * (frame_idx, frame payload, timestamp offset). The decode is the
-    * deterministic stub; the row-exploding shape — flatMap over
+    * synthetic stand-in above; the row-exploding shape — flatMap over
     * partitions, output schema declared, frame count bounded — is the
     * real contract a video pipeline needs. Output rows = input × nFrames,
     * partition-parallel, never materialized per-video on the driver.
@@ -117,39 +214,14 @@ object Multimodal {
       rows.flatMap { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
         val id = r.getLong(idIdx)
-        // stub "duration": derived from payload size, ≥ nFrames frames
+        // synthetic "duration": derived from payload size, ≥ nFrames frames
         val totalFrames = math.max(nFrames, payload.length / 8)
         val stride = totalFrames / nFrames
         Iterator.tabulate(nFrames) { i =>
           val frameNo = i * stride
           Row(id, i, (frameNo * 1000 / fps).toLong,
-            resizeStub(payload :+ frameNo.toByte, 32, 32))
+            syntheticFrame(payload :+ frameNo.toByte, 32, 32))
         }
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
-
-  /** Batched per-partition decode/feature-extract — the Scala analogue of
-    * an Arrow-batched decode UDF: one decoder instantiation per
-    * partition, rows streamed through it, output schema declared up
-    * front. This is where a real codec/library handle would live.
-    */
-  def extractFeatures(df: DataFrame, idCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType),
-      StructField("width", IntegerType),
-      StructField("height", IntegerType),
-      StructField("channels", IntegerType),
-      StructField("feature_norm", DoubleType)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val payloadIdx = df.schema.fieldIndex("payload")
-    val rdd = ensureParallelism(df).rdd.mapPartitions { rows =>
-      // per-partition decoder init would happen here
-      rows.map { r =>
-        val f = decodeStub(r.getAs[Array[Byte]](payloadIdx))
-        Row(r.getLong(idIdx), f.width, f.height, f.channels, f.featureNorm)
       }
     }
     spark.createDataFrame(rdd, outSchema)

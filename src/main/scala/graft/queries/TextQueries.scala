@@ -446,54 +446,36 @@ object TextQueries {
              |  COUNT(DISTINCT md5(text)) AS distinct_hashes
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
-    // Multimodal feature extraction: stubbed decode behind real
-    // partition-parallel plumbing — no SQL equivalent (rows-only check).
-    // The decode stub is Arrays.hashCode over the UTF-8 payload —
-    // reproduced in SQL (hex byte decomposition + 32-bit wrapping
-    // arithmetic), so even the stubbed tier is cross-engine verified.
+    // Multimodal feature extraction: REAL image decode (JDK ImageIO)
+    // behind partition-parallel plumbing. The fixtures are genuine PNG
+    // bytes encoded executor-side with closed-form dimensions and a
+    // solid-gray fill (`Multimodal.syntheticPng`), so the DuckDB oracle —
+    // which has no image codec — verifies the decoded width/height/
+    // channels/mean-pixel against the generating formulas.
     QueryDef("mm_feature_extract",
       (spark, sf) => {
-        val d = Multimodal.asPayload(
-          load(spark, sf, "documents").select(col("doc_id"), col("text")), "text", "image")
+        val d = Multimodal.syntheticImages(
+          load(spark, sf, "documents").select(col("doc_id")), "doc_id")
         Multimodal.extractFeatures(d, "doc_id").orderBy(col("doc_id"))
       },
-      Some("""WITH hx AS (
-             |  SELECT doc_id, hex(encode(text)) AS hs FROM documents
-             |),
-             |bytes AS (
-             |  SELECT doc_id,
-             |    [CAST((strpos('123456789ABCDEF', substr(hs, 2*i+1, 1))) * 16
-             |        + (strpos('123456789ABCDEF', substr(hs, 2*i+2, 1))) AS BIGINT)
-             |     FOR i IN range(CAST(len(hs)/2 AS BIGINT))] AS bs
-             |  FROM hx
-             |),
-             |hashed AS (
-             |  SELECT doc_id,
-             |    list_reduce(
-             |      list_prepend(CAST(1 AS BIGINT),
-             |        [CASE WHEN b > 127 THEN b - 256 ELSE b END FOR b IN bs]),
-             |      (acc, b) -> ((31*acc + b + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648
-             |    ) AS h
-             |  FROM bytes
-             |)
-             |SELECT doc_id, CAST(64 + abs(h % 193) AS INT) width,
-             |  CAST(64 + abs(CAST(trunc(CAST(h AS DOUBLE)/193) AS BIGINT) % 193) AS INT) height,
-             |  3 channels, CAST(abs(h) % 10000 AS DOUBLE)/100.0 feature_norm
-             |FROM hashed ORDER BY doc_id""".stripMargin)),
+      Some("""SELECT doc_id, CAST(8 + doc_id % 13 AS INT) AS width,
+             |  CAST(8 + doc_id % 7 AS INT) AS height, 3 AS channels,
+             |  CAST(doc_id % 256 AS DOUBLE) AS feature_norm
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // Multimodal resize: payload→payload with metadata recomputed. The
-    // stub's output size is a pure function of target dims, so schema +
-    // row-shape oracle in SQL; byte-content determinism is spec-tested.
+    // Multimodal resize: decode → nearest-neighbor rescale → PNG
+    // re-encode, then re-decode and measure. Constant-fill fixtures make
+    // the round-trip SQL-verifiable: dimensions become the target, the
+    // mean pixel value survives nearest-neighbor resampling exactly.
     QueryDef("mm_resize",
       (spark, sf) => {
-        val d = Multimodal.asPayload(
-          load(spark, sf, "documents").select(col("doc_id"), col("text")), "text", "image")
-        Multimodal.resize(d, "doc_id", targetW = 96, targetH = 96)
-          .select(col("doc_id"), col("width"), col("height"), col("meta.byte_len"))
-          .orderBy(col("doc_id"))
+        val d = Multimodal.syntheticImages(
+          load(spark, sf, "documents").select(col("doc_id")), "doc_id")
+        val resized = Multimodal.resize(d, "doc_id", targetW = 96, targetH = 96)
+        Multimodal.extractFeatures(resized, "doc_id").orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id, 96 AS width, 96 AS height,
-             |  CAST(144 AS BIGINT) AS byte_len
+      Some("""SELECT doc_id, 96 AS width, 96 AS height, 3 AS channels,
+             |  CAST(doc_id % 256 AS DOUBLE) AS feature_norm
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Multimodal frame sampling: one video row → n frame rows with

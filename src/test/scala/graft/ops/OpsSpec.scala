@@ -276,28 +276,46 @@ class OpsSpec extends SparkSpec {
   }
 
   test("multimodal payload: schema, metadata integrity, distributed feature extract") {
-    val p = Multimodal.asPayload(docs.select(col("doc_id"), col("text")), "text", "image")
+    val p = Multimodal.asPayload(docs.select(col("doc_id"), col("text")), "text", "text")
     assert(p.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
     val meta = p.select(col("meta.byte_len"), length(col("text"))).collect()
     meta.foreach(r => assert(r.getLong(0) >= r.getInt(1), "byte_len >= char len"))
-    val feats = Multimodal.extractFeatures(p, "doc_id")
+    // real ImageIO decode over real PNG fixtures, partition-parallel
+    val imgs = Multimodal.syntheticImages(docs.select(col("doc_id")), "doc_id")
+    val feats = Multimodal.extractFeatures(imgs, "doc_id")
     assert(feats.count() == docs.count())
-    // deterministic stub: same input → same features
+    feats.collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 8 + (id % 13).toInt && r.getInt(2) == 8 + (id % 7).toInt)
+      assert(r.getInt(3) == 3 && r.getDouble(4) == (id % 256).toDouble)
+    }
     val f1 = feats.orderBy("doc_id").collect().map(_.toSeq)
-    val f2 = Multimodal.extractFeatures(p, "doc_id").orderBy("doc_id").collect().map(_.toSeq)
+    val f2 = Multimodal.extractFeatures(imgs, "doc_id").orderBy("doc_id").collect().map(_.toSeq)
     assert(f1.toSeq == f2.toSeq)
   }
 
+  test("image decode/resize: pixel-exact through the JDK codec") {
+    // encode → decode round-trip on a known fixture
+    val f = Multimodal.decodeImage(Multimodal.syntheticPng(7))
+    assert(f == Multimodal.Feature(15, 8, 3, 7.0)) // 8+7%13, 8+7%7, gray=7
+    // nearest-neighbor downscale of a constant image preserves the mean
+    val r = Multimodal.decodeImage(Multimodal.resizeImage(Multimodal.syntheticPng(7), 4, 4))
+    assert(r == Multimodal.Feature(4, 4, 3, 7.0))
+    // non-image bytes are rejected, not silently faked
+    assertThrows[IllegalArgumentException](Multimodal.decodeImage("not a png".getBytes))
+  }
+
   test("multimodal resize + frame sampling: deterministic, shape-correct, distinct inputs stay distinct") {
-    val p = Multimodal.asPayload(docs.select(col("doc_id"), col("text")).limit(50), "text", "image")
-    val r1 = Multimodal.resize(p, "doc_id", 96, 96)
+    val imgs = Multimodal.syntheticImages(docs.select(col("doc_id")).limit(50), "doc_id")
+    val r1 = Multimodal.resize(imgs, "doc_id", 96, 96)
     val rows = r1.select("doc_id", "meta.byte_len", "meta.content_hash").collect()
-    assert(rows.forall(_.getLong(1) == 96L * 96 / 64), "stub size follows target area")
     assert(rows.map(_.getString(2)).distinct.length > 1, "distinct inputs → distinct resized bytes")
-    val r2 = Multimodal.resize(p, "doc_id", 96, 96)
+    val r2 = Multimodal.resize(imgs, "doc_id", 96, 96)
       .select("doc_id", "meta.content_hash").collect().map(_.toSeq).toSet
     assert(r1.select("doc_id", "meta.content_hash").collect().map(_.toSeq).toSet == r2,
       "resize is deterministic")
+    val p = Multimodal.asPayload(
+      docs.select(col("doc_id"), col("text")).limit(50), "text", "video")
     val frames = Multimodal.frameSample(p, "doc_id", nFrames = 4)
     assert(frames.count() == 50 * 4)
     val perDoc = frames.groupBy("doc_id")
