@@ -23,23 +23,63 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
   *   older snapshot is still lazily referenced (e.g. `numChunks + 1`
   *   for chunked runs) — generation storage is otherwise unbounded,
   *   which is the operational trade a deployment must pick explicitly.
+  * @param buckets opt-in 100 TB layout: when set, each generation is
+  *   written `bucketBy(n, source-id columns)` + sorted, and reads
+  *   re-attach the bucket metadata — so the upsert's mapping join and the
+  *   merge's replace-by-key anti-join need NO exchange (and no sort) on
+  *   the mapping side. Without it every run re-shuffles the whole
+  *   accumulated mapping table, which grows with total migrated rows, not
+  *   with the increment.
   */
-final class MappingStore(basePath: String, keepGenerations: Option[Int] = None) {
+final class MappingStore(
+    basePath: String,
+    keepGenerations: Option[Int] = None,
+    buckets: Option[Int] = None) {
   import MappingStore._
 
   def tablePath(spec: MigrationSpec): String = s"$basePath/${spec.mappingKey}"
 
-  def load(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] = {
+  private def currentGen(spark: SparkSession, spec: MigrationSpec): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(tablePath(spec), "_CURRENT")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      val gen = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-      finally in.close()
-      Some(spark.read.parquet(s"${tablePath(spec)}/$gen"))
+      Some(try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+      finally in.close())
     }
   }
+
+  /** Stable catalog identifier for one generation of one mapping table
+    * (bucket metadata lives in the session catalog; the path keeps the
+    * data portable either way).
+    */
+  private def catalogName(spec: MigrationSpec, gen: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(tablePath(spec).getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"graft_map_${spec.mappingKey.replaceAll("[^A-Za-z0-9_]", "_")}_${digest}_$gen"
+  }
+
+  def load(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] =
+    currentGen(spark, spec).map { gen =>
+      val dir = s"${tablePath(spec)}/$gen"
+      buckets match {
+        case None => spark.read.parquet(dir)
+        case Some(n) =>
+          val table = catalogName(spec, gen)
+          if (!spark.catalog.tableExists(table)) {
+            // re-attach bucket metadata to an existing generation (e.g.
+            // written by a previous session) — data files are unchanged
+            val schema = spark.read.parquet(dir).schema.toDDL
+            val keys = spec.sourceIds.map(f => s"$SourcePrefix${f.name}").mkString(", ")
+            spark.sql(
+              s"""CREATE TABLE $table ($schema) USING parquet
+                 |CLUSTERED BY ($keys) SORTED BY ($keys) INTO $n BUCKETS
+                 |LOCATION '$dir'""".stripMargin)
+          }
+          spark.table(table)
+      }
+    }
 
   /** Left-join `df` (carrying the source id columns) against the mapping
     * table, adding `dest_*` columns (null where unmapped) — the set-wise
@@ -57,8 +97,17 @@ final class MappingStore(basePath: String, keepGenerations: Option[Int] = None) 
         val mapped = m.select(
           spec.sourceIds.map(f => col(s"$SourcePrefix${f.name}")) ++
             spec.destinationIds.map(f => col(s"$DestPrefix${f.name}")): _*)
+        // bucketed layout: plain equality keeps the join keys identical to
+        // the bucket partitioning columns, so the mapping-side exchange
+        // (and sort) are elided. Null-safe equality would compile to
+        // composite join keys (coalesce+isnull) that no bucket layout can
+        // satisfy. The semantic delta only touches degenerate null-keyed
+        // probe rows: under `===` they map to nothing instead of matching
+        // orphan bookkeeping rows — ids are key columns, so real probes
+        // are non-null.
         val cond = spec.sourceIds
-          .map(f => df(f.name) <=> mapped(s"$SourcePrefix${f.name}"))
+          .map(f => if (buckets.isDefined) df(f.name) === mapped(s"$SourcePrefix${f.name}")
+                    else df(f.name) <=> mapped(s"$SourcePrefix${f.name}"))
           .reduce(_ && _)
         df.join(mapped, cond, "left")
           .drop(spec.sourceIds.map(f => s"$SourcePrefix${f.name}"): _*)
@@ -102,10 +151,32 @@ final class MappingStore(basePath: String, keepGenerations: Option[Int] = None) 
       val merged = load(spark, spec) match {
         case None => stamped
         case Some(existing) =>
-          val keys: Seq[Column] = spec.sourceIds.map(f =>
-            existing(s"$SourcePrefix${f.name}") <=> stamped(s"$SourcePrefix${f.name}"))
-          val keep = existing.join(stamped, keys.reduce(_ && _), "left_anti")
-          keep.unionByName(stamped)
+          // Replace-by-key must distinguish the two row classes the table
+          // holds: keyed mappings (non-null source ids, replaced when the
+          // same source tuple re-arrives) and orphan bookkeeping rows
+          // (null source ids, `DataMigrationExecutor.php:320-326`) which
+          // all share the "key" NULL — a null-safe anti-join on source
+          // ids alone would let ONE incoming orphan row wipe EVERY
+          // previously-kept orphan. Orphan rows are identified by their
+          // destination ids instead. Both anti-joins are plain equality,
+          // which the bucketed layout serves without an exchange.
+          val srcKeyed: Column = spec.sourceIds
+            .map(f => col(s"$SourcePrefix${f.name}").isNotNull).reduce(_ && _)
+          val existKeyed = existing.filter(srcKeyed)
+          val existOrphan = existing.filter(!srcKeyed)
+          val newKeyed = stamped.filter(srcKeyed)
+          val newOrphan = stamped.filter(!srcKeyed)
+          val keepKeyed = existKeyed.join(newKeyed,
+            spec.sourceIds.map(f =>
+              existKeyed(s"$SourcePrefix${f.name}") === newKeyed(s"$SourcePrefix${f.name}"))
+              .reduce(_ && _),
+            "left_anti")
+          val keepOrphan = existOrphan.join(newOrphan,
+            spec.destinationIds.map(f =>
+              existOrphan(s"$DestPrefix${f.name}") === newOrphan(s"$DestPrefix${f.name}"))
+              .reduce(_ && _),
+            "left_anti")
+          keepKeyed.unionByName(keepOrphan).unionByName(stamped)
       }
       writeGen(spark, spec, merged)
     }
@@ -121,17 +192,30 @@ final class MappingStore(basePath: String, keepGenerations: Option[Int] = None) 
   private def writeGen(spark: SparkSession, spec: MigrationSpec, df: DataFrame): Unit = {
     val cur = new org.apache.hadoop.fs.Path(tablePath(spec), "_CURRENT")
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next =
-      if (!fs.exists(cur)) "gen0"
-      else {
-        val in = fs.open(cur)
-        val g = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-        finally in.close()
-        s"gen${g.stripPrefix("gen").toLong + 1}"
-      }
-    df.write.mode(SaveMode.Overwrite).parquet(s"${tablePath(spec)}/$next")
+    val prev = currentGen(spark, spec)
+    val next = prev match {
+      case None => "gen0"
+      case Some(g) => s"gen${g.stripPrefix("gen").toLong + 1}"
+    }
+    buckets match {
+      case None =>
+        df.write.mode(SaveMode.Overwrite).parquet(s"${tablePath(spec)}/$next")
+      case Some(n) =>
+        val keys = spec.sourceIds.map(f => s"$SourcePrefix${f.name}")
+        // pre-partition on the bucket key so the write itself is spread
+        // over n parallel tasks emitting one file per bucket
+        df.repartition(n, keys.map(col): _*)
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(n, keys.head, keys.tail: _*).sortBy(keys.head, keys.tail: _*)
+          .option("path", s"${tablePath(spec)}/$next")
+          .saveAsTable(catalogName(spec, next))
+    }
     val out = fs.create(cur, true)
     try out.write(next.getBytes("UTF-8")) finally out.close()
+    // the superseded generation's catalog entry is metadata-only (external
+    // table): drop it; its data files stay for lazy readers until vacuum
+    if (buckets.isDefined)
+      prev.foreach(g => spark.sql(s"DROP TABLE IF EXISTS ${catalogName(spec, g)}"))
     keepGenerations.foreach(k =>
       GenerationVacuum.vacuum(fs, new org.apache.hadoop.fs.Path(tablePath(spec)), k))
   }

@@ -35,10 +35,20 @@ object Etl {
   private def upsertScenario(spark: SparkSession, sf: String) =
     scenarioCache.getOrElseUpdate(sf, runUpsertScenario(spark, sf))
 
-  private def runUpsertScenario(spark: SparkSession, sf: String): (MigrationResult, MigrationExecutor, MappingStore, MigrationSpec) = {
-    val base = scratch("graft_upsert")
+  /** Same scenario through the opt-in hash-bucketed mapping layout
+    * (mapping joins shuffle-free on the mapping side).
+    */
+  private def bucketedScenario(spark: SparkSession, sf: String) =
+    scenarioCache.getOrElseUpdate(s"bucketed:$sf",
+      runUpsertScenario(spark, sf, "graft_upsert_bucketed", buckets = Some(8)))
+
+  private def runUpsertScenario(
+      spark: SparkSession, sf: String,
+      tag: String = "graft_upsert",
+      buckets: Option[Int] = None): (MigrationResult, MigrationExecutor, MappingStore, MigrationSpec) = {
+    val base = scratch(tag)
     val spec = upsertSpec(s"$base/dest", s"$base/map")
-    val mapper = new MappingStore(s"$base/map")
+    val mapper = new MappingStore(s"$base/map", buckets = buckets)
     val refs = new ReferenceStore(mapper)
     val exec = new MigrationExecutor(mapper, refs, KeepOrphans)
     val dest = new ParquetDestinationDriver
@@ -123,6 +133,24 @@ object Etl {
     QueryDef("etl_mapping_lookup",
       (spark, sf) => {
         val (_, _, mapper, spec) = upsertScenario(spark, sf)
+        val allCust = load(spark, sf, "customer").select(col("c_custkey"))
+        mapper.lookupDest(allCust, spec)
+          .select(col("c_custkey"), col("dest_id"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+             |  CASE WHEN c_custkey % 2 = 0 THEN c_custkey ELSE NULL END AS dest_id
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // §2.3 + SURVEY §7.1 100 TB layout: the same upsert flow through the
+    // hash-bucketed mapping store — generations written
+    // `bucketBy(8, source ids)`, so the mapping side of every lookup and
+    // merge join carries its partitioning from the files (no exchange; a
+    // PlanSpec test pins that). Result must be identical to the plain
+    // layout, byte for byte.
+    QueryDef("etl_bucketed_mapping",
+      (spark, sf) => {
+        val (_, _, mapper, spec) = bucketedScenario(spark, sf)
         val allCust = load(spark, sf, "customer").select(col("c_custkey"))
         mapper.lookupDest(allCust, spec)
           .select(col("c_custkey"), col("dest_id"))

@@ -454,4 +454,53 @@ class ExecutorSpec extends SparkSpec {
       .map(r => r.getLong(0) -> Option(r.getAs[Any]("source_src_id"))).toMap
     assert(back == Map(501L -> Some(1L), 502L -> Some(2L), 999L -> None))
   }
+
+  test("repeated orphan-keep runs accumulate distinct orphan rows, never wipe earlier ones") {
+    import spark.implicits._
+    val (base, mapper, _, _) = fixture()
+    val sp = mkSpec(base, "orph_acc")
+    mapper.record(spark, sp,
+      Seq((1L, 1L)).toDF("source_src_id", "dest_id"), MappingStore.StatusMigrated)
+    mapper.recordOrphansKept(spark, sp, Seq(10L).toDF("dest_id"))
+    mapper.recordOrphansKept(spark, sp, Seq(11L).toDF("dest_id"))
+    // re-keeping an already-kept orphan replaces, not duplicates
+    mapper.recordOrphansKept(spark, sp, Seq(10L).toDF("dest_id"))
+    val rows = mapper.load(spark, sp).get
+      .select(col("source_src_id"), col("dest_id")).collect()
+      .map(r => Option(r.getAs[Any]("source_src_id")) -> r.getLong(1)).toSeq
+    assert(rows.sortBy(_._2) == Seq(Some(1L) -> 1L, None -> 10L, None -> 11L),
+      s"orphan bookkeeping must accumulate by dest id: $rows")
+  }
+
+  test("bucketed mapping store: identical results, no exchange on the mapping side of lookups") {
+    import spark.implicits._
+    val base = scratchDir("exec_bucketed")
+    val mapper = new MappingStore(s"$base/map", buckets = Some(8))
+    val refs = new ReferenceStore(mapper)
+    val exec = new MigrationExecutor(mapper, refs, KeepOrphans)
+    val sp = mkSpec(base, "bm")
+    val src = inlineSource(s => {
+      import s.implicits._
+      (1L to 500L).map(i => (i, s"v$i")).toDF("src_id", "v")
+    })
+    val r1 = exec.execute(spark, natural(sp), src, new ParquetDestinationDriver)
+    val r2 = exec.execute(spark, natural(sp), src, new ParquetDestinationDriver)
+    assert(r1.migrated == 500 && r2.migrated == 500)
+    assert(mapper.load(spark, sp).get.count() == 500, "bucketed merge upserts, not appends")
+    // the bucketed generation holds exactly 8 bucket files
+    val gen = mapper.load(spark, sp).get.inputFiles
+    assert(gen.length == 8, s"expected 8 bucket files, got ${gen.length}")
+    // lookup join: mapping side must carry partitioning from the buckets
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = (1L to 100L).toDF("src_id")
+      val looked = mapper.lookupDest(probe, sp)
+      looked.collect()
+      val p = looked.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning\\(source_src_id".r.findFirstIn(p).isEmpty,
+        s"mapping side of the lookup must not shuffle:\n$p")
+      assert("Exchange hashpartitioning\\(src_id".r.findFirstIn(p).isDefined,
+        s"probe side alone re-partitions to the bucket count:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
 }
