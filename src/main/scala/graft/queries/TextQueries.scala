@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Dedup, Multimodal, TextOps}
+import graft.ops.{Dedup, Multimodal, Subword, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + multimodal queries over the `documents` table. */
@@ -155,6 +155,53 @@ object TextQueries {
              |SELECT t.doc_id, CAST(t.pos AS INT) AS pos, CAST(v.token_id AS INT) AS token_id
              |FROM toks t JOIN vocab v USING (tok)
              |ORDER BY doc_id, pos""".stripMargin)),
+
+    // Subword (WordPiece) tokenization: greedy longest-match against a
+    // broadcast vocabulary — zero shuffles; the matcher streams each
+    // partition through one shared hash set. The oracle replays the
+    // greedy loop as a recursive CTE whose VALUES list is generated from
+    // the very same `Subword.DefaultVocab`, so Spark and DuckDB agree on
+    // pieces AND ids by construction.
+    QueryDef("text_wordpiece",
+      (spark, sf) => Subword.wordpiece(
+          load(spark, sf, "documents").filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", Subword.DefaultVocab)
+        .orderBy(col("doc_id"), col("pos"), col("piece_pos")),
+      Some {
+        val values = Subword.DefaultVocab.zipWithIndex
+          .map { case (p, i) => s"(${i + 1},'$p')" }.mkString(",")
+        s"""WITH RECURSIVE vocab(piece_id, piece) AS (
+           |  SELECT * FROM (VALUES $values) v(piece_id, piece)
+           |),
+           |toks AS (
+           |  SELECT doc_id,
+           |    generate_subscripts(regexp_split_to_array(lower(text), '[^a-z]+'), 1) - 1 AS pos,
+           |    unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+           |  FROM documents WHERE doc_id % 10 = 0
+           |),
+           |seg(doc_id, pos, word, off, piece_pos, piece) AS (
+           |  SELECT doc_id, pos, word, 0, -1, CAST(NULL AS VARCHAR) FROM toks WHERE word <> ''
+           |  UNION ALL
+           |  SELECT s.doc_id, s.pos, s.word,
+           |    s.off + len(m.piece) - CASE WHEN s.off > 0 THEN 2 ELSE 0 END,
+           |    s.piece_pos + 1, m.piece
+           |  FROM seg s, LATERAL (
+           |    SELECT v.piece FROM vocab v
+           |    WHERE CASE WHEN s.off = 0
+           |      THEN v.piece NOT LIKE '##%' AND v.piece = substr(s.word, 1, len(v.piece))
+           |      ELSE v.piece LIKE '##%'
+           |        AND substr(v.piece, 3) = substr(s.word, s.off + 1, len(v.piece) - 2)
+           |    END
+           |    ORDER BY len(v.piece) DESC, v.piece LIMIT 1
+           |  ) m
+           |  WHERE s.off < len(s.word)
+           |)
+           |SELECT s.doc_id, CAST(s.pos AS INT) AS pos, CAST(s.piece_pos AS INT) AS piece_pos,
+           |  CAST(v.piece_id AS INT) AS piece_id, s.piece
+           |FROM seg s JOIN vocab v ON s.piece = v.piece
+           |WHERE s.piece IS NOT NULL
+           |ORDER BY doc_id, pos, piece_pos""".stripMargin
+      }),
 
     // Repetition ratio: repeated 3-shingle fraction per doc (boilerplate
     // signal) — one codegen'd projection, no shuffle.

@@ -294,6 +294,34 @@ class OpsSpec extends SparkSpec {
     assert(f1.toSeq == f2.toSeq)
   }
 
+  test("wordpiece: greedy longest-match, round-trip, UNK on untokenizable") {
+    val vocab = Subword.DefaultVocab
+    val set = vocab.toSet
+    val maxLen = vocab.map(_.length).max
+    // longest-match beats left-to-right shorter pieces
+    assert(Subword.encodeWord("the", set, maxLen, "[UNK]") == Seq("the"))
+    assert(Subword.encodeWord("prozing", set, maxLen, "[UNK]") ==
+      Seq("pro", "##z", "##ing"))
+    // property: stripping '##' and concatenating reconstructs the word
+    val words = Seq("unexterminated", "alphabet", "zzz", "a", "questionably")
+    words.foreach { w =>
+      val pieces = Subword.encodeWord(w, set, maxLen, "[UNK]")
+      assert(pieces.map(_.stripPrefix("##")).mkString == w, s"round-trip failed for $w")
+      assert(pieces.tail.forall(_.startsWith("##")), "continuations carry ##")
+      assert(!pieces.head.startsWith("##"), "head piece is bare")
+    }
+    // a character outside the vocab collapses the whole word to UNK
+    assert(Subword.encodeWord("naïve", set, maxLen, "[UNK]") == Seq("[UNK]"))
+    // distributed shape: one row per piece, ids match vocab positions
+    val df = spark.createDataFrame(Seq((1L, "The prozing"))).toDF("doc_id", "text")
+    val out = Subword.wordpiece(df, "doc_id", "text", vocab)
+      .orderBy("pos", "piece_pos").collect()
+    assert(out.map(_.getString(4)).toSeq == Seq("the", "pro", "##z", "##ing"))
+    assert(out.map(_.getInt(3)).toSeq ==
+      Seq(vocab.indexOf("the") + 1, vocab.indexOf("pro") + 1,
+        vocab.indexOf("##z") + 1, vocab.indexOf("##ing") + 1))
+  }
+
   test("image decode/resize: pixel-exact through the JDK codec") {
     // encode → decode round-trip on a known fixture
     val f = Multimodal.decodeImage(Multimodal.syntheticPng(7))
