@@ -38,45 +38,67 @@ object SimilarityQueries {
 
     // ANN via IVF (inverted-file index): k-means lists + nprobe probing,
     // exact re-rank — the second scale path next to LSH. Clustering is
-    // seeded-deterministic but not SQL-portable → rows-only; recall vs
-    // the exact query is spec-tested.
+    // seeded-deterministic but not SQL-portable, so the gate emits the
+    // recall self-check (below) rather than the rankings; the rankings'
+    // determinism is spec-tested.
     QueryDef("sim_ann_ivf",
-      (spark, sf) => Similarity.ivfTopK(
-          load(spark, sf, "embeddings"),
-          load(spark, sf, "embeddings").filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          round(col("sim"), 6).as("sim"))
-        .orderBy(col("query_id"), col("rank")),
-      None),
+      (spark, sf) => recallGate(spark, sf, k = 5, bound = 0.4)(
+        (corpus, queries) => Similarity.ivfTopK(
+          corpus, queries, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)),
+      Some(RecallGateOracle)),
 
     // ANN via random-hyperplane LSH (4 bands × 8 bits, seeded
     // hyperplanes): the scale path — per-query cost drops from a full
-    // scan to bucket-sized. Hyperplane sampling is not SQL-portable →
-    // rows-only here; recall vs the exact query is asserted in tests.
+    // scan to bucket-sized.
     QueryDef("sim_ann_lsh",
-      (spark, sf) => Similarity.lshTopK(
-          load(spark, sf, "embeddings"),
-          load(spark, sf, "embeddings").filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, dim = 64)
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          round(col("sim"), 6).as("sim"))
-        .orderBy(col("query_id"), col("rank")),
-      None),
+      (spark, sf) => recallGate(spark, sf, k = 5, bound = 0.5)(
+        (corpus, queries) => Similarity.lshTopK(
+          corpus, queries, "vec_id", "embedding", k = 5, dim = 64)),
+      Some(RecallGateOracle)),
 
     // ANN via product quantization + ADC + exact re-rank: the
     // memory-bound tier (m bytes per vector instead of 4·dim; pair
-    // scoring is m table lookups). Codebook training is seeded
-    // k-means — not SQL-portable → rows-only; recall vs the exact
-    // query is spec-tested like the other ANN methods.
+    // scoring is m table lookups).
     QueryDef("sim_ann_pq",
-      (spark, sf) => Similarity.pqTopK(
-          load(spark, sf, "embeddings"),
-          load(spark, sf, "embeddings").filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          round(col("sim"), 6).as("sim"))
-        .orderBy(col("query_id"), col("rank")),
-      None),
+      (spark, sf) => recallGate(spark, sf, k = 5, bound = 0.4)(
+        (corpus, queries) => Similarity.pqTopK(
+          corpus, queries, "vec_id", "embedding", k = 5)),
+      Some(RecallGateOracle)),
   )
+
+  /** Driver-checkable ANN self-check: run the ANN tier, score recall@k
+    * per query against the in-query exact brute-force top-k, and emit one
+    * `(query_id, k)` row per query ONLY when the mean recall clears the
+    * tier's bound. The oracle lists every query unconditionally — so a
+    * recall regression drops rows and flips the driver's `rows_match`/
+    * `hash_match` to false. This turns the three previously
+    * oracle-less ANN rows into real gate rows without asking SQL to
+    * reproduce seeded hyperplanes/k-means.
+    */
+  private def recallGate(spark: org.apache.spark.sql.SparkSession, sf: String,
+      k: Int, bound: Double)(
+      ann: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
+        org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val corpus = load(spark, sf, "embeddings")
+    val queries = corpus.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k)
+    val hits = ann(corpus, queries)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    val meanRecall = queries.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .agg(avg(coalesce(col("n_hits"), lit(0)) / k).as("mean_recall"))
+    queries.select(col("vec_id").as("query_id"))
+      .crossJoin(meanRecall)
+      .filter(col("mean_recall") >= bound)
+      .select(col("query_id"), lit(k).as("k"))
+      .orderBy(col("query_id"))
+  }
+
+  // a def, not a val: `defs` above initializes first in declaration order
+  private def RecallGateOracle: String =
+    """SELECT vec_id AS query_id, 5 AS k FROM embeddings
+      |WHERE vec_id < 10 ORDER BY query_id""".stripMargin
 }
