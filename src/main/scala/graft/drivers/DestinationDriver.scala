@@ -131,11 +131,19 @@ private[drivers] object StagedCommit {
   *   sink whose upstream merge ran at shuffle width (without it a
   *   1000-partition merge writes 1000 files per generation forever).
   *   `coalesce`, not `repartition`: narrows the last stage, no shuffle.
+  * @param buckets opt-in 100 TB layout (exclusive with writePartitions):
+  *   each generation is written `bucketBy(n, destination ids)` + sorted,
+  *   and `snapshot` re-attaches the bucket metadata — so the snapshot
+  *   side of the executor's orphan anti-join and update read-back joins
+  *   carries its partitioning from the files, no exchange, no sort.
   */
 final class ParquetDestinationDriver(
     stubs: Boolean = false,
     keepGenerations: Option[Int] = None,
-    writePartitions: Option[Int] = None) extends DestinationDriver {
+    writePartitions: Option[Int] = None,
+    buckets: Option[Int] = None) extends DestinationDriver {
+  require(writePartitions.isEmpty || buckets.isEmpty,
+    "bucketed generations already fix the file count at the bucket count")
   override def supportsStubs: Boolean = stubs
   override def overwriteIsReadSafe: Boolean = true // generation pointer
   override def snapshotIsStableAcrossWrites: Boolean = true // old gens survive
@@ -154,24 +162,59 @@ final class ParquetDestinationDriver(
     }
   }
 
+  private def catalogName(base: String, gen: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(base.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"graft_dest_${digest}_$gen"
+  }
+
   def snapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] = {
     val base = UriSchemes.path(spec.destination)
-    currentGen(spark, base).map(g => spark.read.parquet(s"$base/$g"))
+    currentGen(spark, base).map { g =>
+      val dir = s"$base/$g"
+      buckets match {
+        case None => spark.read.parquet(dir)
+        case Some(n) =>
+          val table = catalogName(base, g)
+          if (!spark.catalog.tableExists(table)) {
+            val schema = spark.read.parquet(dir).schema.toDDL
+            val keys = spec.destinationIds.map(_.name).mkString(", ")
+            spark.sql(
+              s"""CREATE TABLE $table ($schema) USING parquet
+                 |CLUSTERED BY ($keys) SORTED BY ($keys) INTO $n BUCKETS
+                 |LOCATION '$dir'""".stripMargin)
+          }
+          spark.table(table)
+      }
+    }
   }
 
   def write(df: DataFrame, spec: MigrationSpec): Unit = {
     val spark = df.sparkSession
     val base = UriSchemes.path(spec.destination)
-    val next = currentGen(spark, base) match {
+    val prev = currentGen(spark, base)
+    val next = prev match {
       case Some(g) => s"gen${g.stripPrefix("gen").toLong + 1}"
       case None    => "gen0"
     }
-    writePartitions.fold(df)(df.coalesce)
-      .write.mode(SaveMode.Overwrite).parquet(s"$base/$next")
+    buckets match {
+      case None =>
+        writePartitions.fold(df)(df.coalesce)
+          .write.mode(SaveMode.Overwrite).parquet(s"$base/$next")
+      case Some(n) =>
+        val keys = spec.destinationIds.map(_.name)
+        df.repartition(n, keys.map(org.apache.spark.sql.functions.col): _*)
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(n, keys.head, keys.tail: _*).sortBy(keys.head, keys.tail: _*)
+          .option("path", s"$base/$next")
+          .saveAsTable(catalogName(base, next))
+    }
     val f = currentFile(spark, base)
     val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(f, true)
     try out.write(next.getBytes("UTF-8")) finally out.close()
+    if (buckets.isDefined)
+      prev.foreach(g => spark.sql(s"DROP TABLE IF EXISTS ${catalogName(base, g)}"))
     keepGenerations.foreach(k => graft.mapper.GenerationVacuum.vacuum(
       fs, new org.apache.hadoop.fs.Path(base), k))
   }

@@ -68,8 +68,12 @@ final class TransformContext(
     case None => df
     case Some(snap) =>
       val renamed = snap.columns.foldLeft(snap)((a, c) => a.withColumnRenamed(c, c + "__current"))
+      // `===`: dest ids are non-null key columns (IdField int|string);
+      // unmapped incoming rows carry NULL dest ids and must match nothing
+      // (insert path) — plain equality gives exactly that, and lets a
+      // bucketed snapshot serve this join without an exchange.
       val cond = spec.destinationIds
-        .map(f => df(s"${MappingStore.DestPrefix}${f.name}") <=> renamed(f.name + "__current"))
+        .map(f => df(s"${MappingStore.DestPrefix}${f.name}") === renamed(f.name + "__current"))
         .reduce(_ && _)
       df.join(renamed, cond, "left")
   }
@@ -361,8 +365,15 @@ final class MigrationExecutor(
     }
   }
 
+  // Plain equality, deliberately: destination ids are key columns the
+  // reference's IdField contract types as int|string (never null), and
+  // the uniqueness guard rejects degenerate keys before any write. `===`
+  // keeps the join keys identical to a bucketed destination's layout
+  // columns, so the snapshot side of the orphan anti-join carries its
+  // partitioning from the files; `<=>` would compile to composite keys
+  // no bucket layout can serve.
   private def joinCond(l: DataFrame, r: DataFrame, keys: Seq[String]): Column =
-    keys.map(k => l(k) <=> r(k)).reduce(_ && _)
+    keys.map(k => l(k) === r(k)).reduce(_ && _)
 
   /** DB-generated ids, set-wise: rows with no mapped dest id get
     * `max(existing) + <dense global rank by source key>` — no per-row ORM

@@ -472,6 +472,38 @@ class ExecutorSpec extends SparkSpec {
       s"orphan bookkeeping must accumulate by dest id: $rows")
   }
 
+  test("bucketed parquet destination: upsert/orphan flow intact, snapshot join carries bucket partitioning") {
+    import spark.implicits._
+    val base = scratchDir("exec_bucketed_dest")
+    val (_, mapper, refs, _) = fixture()
+    val exec = new MigrationExecutor(mapper, refs, KeepOrphans)
+    val sp = mkSpec(base, "bd")
+    val dest = new ParquetDestinationDriver(buckets = Some(8))
+    def src(n: Int) = inlineSource(s => {
+      import s.implicits._
+      (1L to n.toLong).map(i => (i, s"v$i")).toDF("src_id", "v")
+    })
+    val r1 = exec.execute(spark, natural(sp), src(500), dest)
+    // second run shrinks the source: 100 orphans, kept
+    val r2 = exec.execute(spark, natural(sp), src(400), dest)
+    assert(r1.migrated == 500 && r2.migrated == 400 && r2.orphanCount == 100)
+    val snap = dest.snapshot(spark, sp).get
+    assert(snap.count() == 500, "kept orphans remain in the merged snapshot")
+    assert(snap.inputFiles.length == 8, "one file per bucket")
+    // the snapshot side of a dest-id join must not re-shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = (1L to 50L).toDF("id")
+      val joined = snap.join(probe, Seq("id"))
+      joined.collect()
+      // AQE prints Final + Initial sections; assert on the final plan only
+      val p = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(p.contains("Bucketed: true"), s"snapshot scan must be bucketed:\n$p")
+      assert("Exchange hashpartitioning\\(id#\\d+L, 8\\)".r.findAllIn(p).size <= 1,
+        s"only the probe side may repartition to the bucket count:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("bucketed mapping store: identical results, no exchange on the mapping side of lookups") {
     import spark.implicits._
     val base = scratchDir("exec_bucketed")
