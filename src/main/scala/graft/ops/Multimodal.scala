@@ -15,10 +15,11 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
   * The IMAGE path is real: PNG/JPEG/BMP/GIF decode via the JDK's
   * `javax.imageio.ImageIO`, nearest-neighbor rescale over the decoded
   * raster, PNG re-encode — no extra libraries, works headless, runs
-  * per-partition on executors. VIDEO frame *sampling* keeps a
-  * deterministic synthetic decoder (the JDK ships no video or audio
-  * codecs), disclosed at [[frameSample]]; its row-exploding shape,
-  * schema and partition-parallelism are the real contract.
+  * per-partition on executors. The AUDIO path is real too: WAV/PCM
+  * decode via `javax.sound.sampled`. VIDEO frame *sampling* keeps a
+  * deterministic synthetic decoder (the JDK ships no video codec),
+  * disclosed at [[frameSample]]; its row-exploding shape, schema and
+  * partition-parallelism are the real contract.
   */
 object Multimodal {
 
@@ -169,6 +170,99 @@ object Multimodal {
       rows.map { r =>
         val f = decodeImage(r.getAs[Array[Byte]](payloadIdx))
         Row(r.getLong(idIdx), f.width, f.height, f.channels, f.featureNorm)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  // --- real audio codec path (JDK javax.sound.sampled, WAV/PCM) ---------
+
+  final case class AudioFeature(
+      sampleRate: Int, channels: Int, nSamples: Long, meanAbsAmplitude: Double)
+
+  /** Decode a WAV payload and measure it: format from the header, mean
+    * absolute 16-bit sample amplitude from the decoded PCM stream — the
+    * real JDK codec (`javax.sound.sampled`), same contract shape as
+    * [[decodeImage]]. Little-endian signed 16-bit PCM only, which is what
+    * [[syntheticWav]] emits and what WAV overwhelmingly carries.
+    */
+  def decodeWav(payload: Array[Byte]): AudioFeature = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(payload))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"expected 16-bit little-endian PCM, got $fmt")
+      val bytes = in.readAllBytes()
+      var sum = 0.0
+      var i = 0
+      while (i + 1 < bytes.length) {
+        val s = ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+        sum += math.abs(s.toInt)
+        i += 2
+      }
+      val nFrames = bytes.length / (2L * fmt.getChannels)
+      AudioFeature(fmt.getSampleRate.toInt, fmt.getChannels, nFrames,
+        if (bytes.length < 2) 0.0 else sum / (bytes.length / 2))
+    } finally in.close()
+  }
+
+  /** Deterministic synthetic WAV fixture for id `id`: mono 16-bit PCM at
+    * 8 kHz, `1000 + id%512` frames of the constant amplitude `id % 1000`.
+    * Real RIFF/WAV bytes through the real encoder, with closed-form
+    * decoded statistics — the audio twin of [[syntheticPng]].
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = 1000 + (id % 512).toInt
+    val amp = (id % 1000).toShort
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      pcm(2 * i) = (amp & 0xff).toByte
+      pcm(2 * i + 1) = ((amp >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Materialize a synthetic WAV corpus keyed by `idCol`, generated
+    * partition-parallel on executors — the audio twin of
+    * [[syntheticImages]].
+    */
+  def syntheticAudio(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = ensureParallelism(df).rdd.mapPartitions { rows =>
+      rows.map { r => val id = r.getLong(idIdx); Row(id, syntheticWav(id)) }
+    }
+    spark.createDataFrame(rdd, outSchema).withColumn("meta", metaFor("audio"))
+  }
+
+  /** Batched per-partition WAV decode/feature-extract, mirroring
+    * [[extractFeatures]] for the audio modality.
+    */
+  def extractAudioFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("mean_abs_amplitude", DoubleType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = ensureParallelism(df).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val f = decodeWav(r.getAs[Array[Byte]](payloadIdx))
+        Row(r.getLong(idIdx), f.sampleRate, f.channels, f.nSamples, f.meanAbsAmplitude)
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -525,6 +525,21 @@ object TextQueries {
              |  CAST(doc_id % 256 AS DOUBLE) AS feature_norm
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Multimodal audio feature extraction: REAL WAV/PCM decode (JDK
+    // javax.sound.sampled) over synthetic constant-amplitude fixtures
+    // whose decoded header fields and mean amplitude are closed-form in
+    // the id — the audio twin of mm_feature_extract.
+    QueryDef("mm_audio_features",
+      (spark, sf) => {
+        val d = Multimodal.syntheticAudio(
+          load(spark, sf, "documents").select(col("doc_id")), "doc_id")
+        Multimodal.extractAudioFeatures(d, "doc_id").orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
+             |  CAST(1000 + doc_id % 512 AS BIGINT) AS n_samples,
+             |  CAST(doc_id % 1000 AS DOUBLE) AS mean_abs_amplitude
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Multimodal frame sampling: one video row → n frame rows with
     // deterministic frame offsets (stub duration = payload_bytes/8
     // frames) — the row-exploding decode shape. Frame timing arithmetic

@@ -333,6 +333,20 @@ class OpsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Multimodal.decodeImage("not a png".getBytes))
   }
 
+  test("audio decode: WAV round-trip exact through the JDK codec") {
+    val f = Multimodal.decodeWav(Multimodal.syntheticWav(42))
+    assert(f == Multimodal.AudioFeature(8000, 1, 1000 + 42 % 512, 42.0))
+    // non-audio bytes are rejected
+    intercept[Exception](Multimodal.decodeWav("not a wav".getBytes))
+    // distributed: decoded stats match the generating formulas
+    val d = Multimodal.syntheticAudio(docs.select(col("doc_id")).limit(40), "doc_id")
+    Multimodal.extractAudioFeatures(d, "doc_id").collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 8000 && r.getInt(2) == 1)
+      assert(r.getLong(3) == 1000 + id % 512 && r.getDouble(4) == (id % 1000).toDouble)
+    }
+  }
+
   test("multimodal resize + frame sampling: deterministic, shape-correct, distinct inputs stay distinct") {
     val imgs = Multimodal.syntheticImages(docs.select(col("doc_id")).limit(50), "doc_id")
     val r1 = Multimodal.resize(imgs, "doc_id", 96, 96)
