@@ -14,8 +14,9 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
   * biggest scalability cliff. Here every lookup is a join and every
   * insert-vs-update decision (`:366-383`) is one set-wise merge, so a
   * 100 TB run does O(1) shuffles per migration instead of O(rows) round
-  * trips. Tables are plain Parquet keyed by migration name ("extends"
-  * shares the parent's table via `MigrationSpec.mappingKey`).
+  * trips. Tables are Parquet generations keyed by migration name
+  * ("extends" shares the parent's table via `MigrationSpec.mappingKey`),
+  * optionally hash-bucketed on the source ids (`buckets`).
   */
 /** @param keepGenerations when set, every write vacuums all but the
   *   newest N generation directories. Off by default: a vacuum is only

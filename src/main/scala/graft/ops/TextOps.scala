@@ -92,6 +92,24 @@ object TextOps {
   def shingleHashes(text: Column, k: Int): Column =
     transform(shingles(text, k), s => xxhash64(s))
 
+  /** Sliding-window chunking: word-window starts every `stride` tokens,
+    * each chunk = up to `window` tokens from its start — the step that
+    * turns long documents into overlapping context-window pieces. Pure
+    * codegen'd expressions (`sequence`/`slice`), no shuffle, no UDF;
+    * chunk count per doc is ceil(len/stride) so output size is linear in
+    * corpus token count. Returns an array of (start, chunk-text) structs
+    * to be `posexplode`d by the caller.
+    */
+  def chunkWindows(text: Column, window: Int, stride: Int): Column = {
+    require(window >= 1 && stride >= 1, "window and stride must be positive")
+    val toks = tokens(text)
+    transform(
+      sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
+      start => struct(
+        start.as("start"),
+        concat_ws(" ", slice(toks, start + 1, lit(window))).as("chunk")))
+  }
+
   /** Sequence packing (sample packing): assign documents to training
     * "bins" of at most `maxTokens` tokens, greedily in id order — the
     * step that turns a filtered corpus into fixed-budget context

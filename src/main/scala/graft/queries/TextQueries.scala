@@ -203,6 +203,99 @@ object TextQueries {
            |ORDER BY doc_id, pos, piece_pos""".stripMargin
       }),
 
+    // Sliding-window chunking: long documents → overlapping 64-word
+    // context windows every 48 words. Pure codegen'd sequence/slice
+    // expressions, zero shuffle — output is linear in corpus tokens, the
+    // only acceptable cost for a 100 TB chunking pass. Chunks exported as
+    // md5 hashes to keep gate rows narrow.
+    QueryDef("text_chunking",
+      (spark, sf) => load(spark, sf, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          posexplode(TextOps.chunkWindows(col("text"), window = 64, stride = 48))
+            .as(Seq("chunk_idx", "c")))
+        .select(col("doc_id"), col("chunk_idx"),
+          col("c.start").cast("int").as("start"),
+          size(split(col("c.chunk"), " ")).cast("int").as("n_words"),
+          md5(col("c.chunk")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks
+             |  FROM documents WHERE doc_id % 5 = 0
+             |),
+             |starts AS (
+             |  SELECT doc_id, toks,
+             |    unnest(range(0, len(toks), 48)) AS start,
+             |    generate_subscripts(range(0, len(toks), 48), 1) - 1 AS chunk_idx
+             |  FROM w
+             |),
+             |chunks AS (
+             |  SELECT doc_id, chunk_idx, start,
+             |    array_to_string(toks[start+1 : start+64], ' ') AS chunk
+             |  FROM starts
+             |)
+             |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             |  CAST(start AS INT) AS start,
+             |  CAST(len(string_split(chunk, ' ')) AS INT) AS n_words,
+             |  md5(chunk) AS chunk_hash
+             |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // BM25 retrieval scoring: the classic probabilistic ranking function
+    // (Robertson/Sparck Jones idf, k1=1.2, b=0.75) for a fixed query term
+    // set — the relevance-scoring step of a retrieval-augmented data
+    // pipeline. Scale shape: tf is one partial-agg shuffle keyed
+    // (doc, term) pre-filtered to query terms at the scan; df (|terms|
+    // rows) and the corpus stats (1 row) broadcast; the final top-20 is
+    // TakeOrderedAndProject, never a global sort.
+    QueryDef("text_bm25",
+      (spark, sf) => {
+        val qTerms = Seq("data", "model", "system", "learning")
+        val (k1, b) = (1.2, 0.75)
+        val docs = load(spark, sf, "documents")
+          .select(col("doc_id"),
+            filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("toks"))
+        val dl = docs.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+        val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+        val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+          .filter(col("term").isInCollection(qTerms))
+          .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+        tf.join(broadcast(dfreq), Seq("term"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .withColumn("contrib",
+            log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+              col("tf") * (k1 + 1) /
+              (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .groupBy("doc_id").agg(round(sum("contrib"), 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+             |                t -> t <> '') AS toks
+             |  FROM documents
+             |),
+             |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM docs),
+             |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+             |tf AS (
+             |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+             |  FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+             |  WHERE term IN ('data','model','system','learning')
+             |  GROUP BY doc_id, term
+             |),
+             |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+             |scored AS (
+             |  SELECT t.doc_id,
+             |    ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) * t.tf * 2.2 /
+             |      (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS contrib
+             |  FROM tf t JOIN dfreq d USING (term) JOIN dl l USING (doc_id)
+             |  CROSS JOIN stats s
+             |)
+             |SELECT doc_id, ROUND(SUM(contrib), 6) AS bm25
+             |FROM scored GROUP BY doc_id
+             |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
+
     // Repetition ratio: repeated 3-shingle fraction per doc (boilerplate
     // signal) — one codegen'd projection, no shuffle.
     QueryDef("text_repetition",

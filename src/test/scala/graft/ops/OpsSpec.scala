@@ -294,6 +294,22 @@ class OpsSpec extends SparkSpec {
     assert(f1.toSeq == f2.toSeq)
   }
 
+  test("chunk windows: full coverage, stride overlap, linear output") {
+    import spark.implicits._
+    val text = (1 to 150).map(i => s"w$i").mkString(" ")
+    val out = Seq((1L, text)).toDF("doc_id", "text")
+      .select(col("doc_id"), posexplode(TextOps.chunkWindows(col("text"), 64, 48)).as(Seq("idx", "c")))
+      .select(col("idx"), col("c.start"), col("c.chunk")).orderBy("idx").collect()
+    // starts advance by the stride until the token count is exceeded
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 48, 96, 144))
+    // every token is covered, consecutive chunks overlap by window-stride
+    val chunks = out.map(_.getString(2).split(" ").toSeq)
+    assert(chunks.head.take(3) == Seq("w1", "w2", "w3"))
+    assert(chunks(0).takeRight(16) == chunks(1).take(16), "64-48=16 token overlap")
+    assert(chunks.flatten.distinct.length == 150, "all tokens appear")
+    assert(chunks.last == Seq("w145", "w146", "w147", "w148", "w149", "w150"))
+  }
+
   test("wordpiece: greedy longest-match, round-trip, UNK on untokenizable") {
     val vocab = Subword.DefaultVocab
     val set = vocab.toSet
