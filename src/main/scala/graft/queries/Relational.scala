@@ -543,19 +543,41 @@ object Relational {
              |GROUP BY l_suppkey, s_name ORDER BY l_suppkey""".stripMargin)),
 
     // Approximate quantiles (GK sketch): the bounded-memory tier for
-    // 100 TB percentile queries — a sketch's merge order is
-    // engine/partitioning-specific, so rows-only here; the rank-error
-    // bound vs the exact q_percentiles is asserted in OpsSpec.
+    // 100 TB percentile queries. A sketch's merge order is engine/
+    // partitioning-specific so the sketch value has no SQL oracle;
+    // instead the gate asserts the sketch's own guarantee in-query — the
+    // GK rank error at accuracy 10000 is ≤ 1e-4, checked here with 50×
+    // slack by ranking each approximate quantile against the actual
+    // per-group multiset — and emits the exactly-reproducible group
+    // counts. A sketch drifting past its bound drops rows and flips the
+    // driver's rows/hash check (same bound-gate shape as the ANN gates).
     QueryDef("q_approx_quantile",
-      (spark, sf) => load(spark, sf, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          approx_percentile(cents(col("l_extendedprice")), lit(0.5), lit(10000))
-            .as("approx_median_cents"),
-          approx_percentile(cents(col("l_extendedprice")), lit(0.95), lit(10000))
-            .as("approx_p95_cents"))
-        .orderBy(col("l_returnflag")),
-      None),
+      (spark, sf) => {
+        val li = load(spark, sf, "lineitem")
+          .select(col("l_returnflag"), cents(col("l_extendedprice")).as("v"))
+        val approx = li.groupBy(col("l_returnflag"))
+          .agg(
+            approx_percentile(col("v"), lit(0.5), lit(10000)).as("a50"),
+            approx_percentile(col("v"), lit(0.95), lit(10000)).as("a95"))
+        val eps = 0.005
+        li.join(broadcast(approx), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("v") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+            sum(when(col("v") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+            sum(when(col("v") < col("a95"), 1L).otherwise(0L)).as("lt95"),
+            sum(when(col("v") <= col("a95"), 1L).otherwise(0L)).as("le95"))
+          .filter(
+            col("lt50") <= col("n") * (0.5 + eps) &&
+            col("le50") >= col("n") * (0.5 - eps) &&
+            col("lt95") <= col("n") * (0.95 + eps) &&
+            col("le95") >= col("n") * (0.95 - eps))
+          .select(col("l_returnflag"), col("n").as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // Rolling window frame: 3-order moving sum of spend per customer in
     // order-date order — the rowsBetween frame tier of the window

@@ -562,14 +562,25 @@ object TextQueries {
       },
       None),
 
-    // Approximate distinct (HLL): sketch tier for 100 TB cardinalities —
-    // engines' sketches differ, so rows-only; error bound is spec-tested.
+    // Approximate distinct (HLL): sketch tier for 100 TB cardinalities.
+    // Engines' HLL sketches differ, so the sketch value itself has no SQL
+    // oracle — instead the gate runs both the sketch and the exact count,
+    // asserts the sketch's error bound in-query (rsd=0.02, 5σ slack) and
+    // emits the exact side, which DuckDB reproduces. A sketch regression
+    // drops rows and flips the driver's rows/hash check (the same
+    // bound-gate shape as the ANN recall gates).
     QueryDef("q_approx_distinct",
       (spark, sf) => load(spark, sf, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .filter(abs(col("approx_parts") - col("exact_parts"))
+          <= col("exact_parts") * 0.1)
+        .select(col("l_returnflag"), col("exact_parts"))
         .orderBy(col("l_returnflag")),
-      None),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // Multimodal payload plumbing: opaque binary + typed metadata.
     QueryDef("mm_payload_meta",
