@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Vector-column preparation operators for an embedding pipeline: L2
+  * normalization, int8 scalar quantization, and signed random projection
+  * (Johnson–Lindenstrauss flavored dimensionality reduction).
+  *
+  * All three are pure codegen'd array expressions (`transform` /
+  * `aggregate` higher-order functions) — no UDF, no shuffle, evaluated at
+  * scan speed, so they compose into an ingest projection that a
+  * 1000-executor job applies while writing the table.
+  *
+  * Cross-engine determinism discipline (the reason these oracle exactly):
+  * every operation is either pure integer arithmetic or one of the
+  * IEEE-754 correctly-rounded primitives (`sqrt`, `*`, `/`) applied in
+  * identical order, so Spark and any other engine produce bit-equal
+  * values. Order-dependent double folds (e.g. summing normalized
+  * components) are avoided in favor of min/max/integer sums.
+  */
+object Embeddings {
+
+  /** Euclidean norm of a float/double array column, computed in double
+    * with a sequential fold (matches DuckDB's `list_dot_product` order).
+    */
+  def l2Norm(vec: Column): Column = Similarity.norm(vec)
+
+  /** The vector scaled to unit L2 norm (double components). A zero
+    * vector normalizes to all-zero rather than NaN, so downstream cosine
+    * treats it as orthogonal-to-everything.
+    */
+  def l2Normalize(vec: Column): Column = {
+    val n = l2Norm(vec)
+    transform(vec, x => when(n === 0.0, lit(0.0)).otherwise(x.cast("double") / n))
+  }
+
+  /** Symmetric per-vector int8 quantization: `q_i = round(127·v_i /
+    * max|v|)`, the standard storage tier that cuts an embedding table to
+    * a quarter of float32 (the per-vector `max|v| / 127` scale, see
+    * [[int8Scale]], dequantizes). Zero vectors quantize to all-zero.
+    * |q_i| ≤ 127 by construction — `127·|v_i|/max|v| ≤ 127` and
+    * half-up rounding cannot exceed it.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val m = maxAbs(vec)
+    transform(vec, x =>
+      when(m === 0.0, lit(0)).otherwise(
+        round(x.cast("double") * 127.0 / m).cast("int")))
+  }
+
+  /** Dequantization scale paired with [[quantizeInt8]]: `v_i ≈ q_i · scale`. */
+  def int8Scale(vec: Column): Column = maxAbs(vec) / 127.0
+
+  private def maxAbs(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double"))))
+
+  /** Signed random projection to `outDim` dimensions over integer-
+    * quantized components — the JL-style dimensionality reduction that
+    * preserves angular structure at a fraction of the width (sign-pattern
+    * matrix instead of Gaussian, per Achlioptas' database-friendly
+    * construction).
+    *
+    * Components are first quantized to integers at `scale` (default
+    * 1e4 — four decimal digits, well past float32 embedding precision),
+    * then folded with a deterministic ±1 hash of `(output row j, input
+    * index i)`, so the whole projection is exact 64-bit integer
+    * arithmetic: bit-identical on any engine, partitioning, or platform.
+    * Output is an `array<long>` of length `outDim`; callers wanting the
+    * conventional double projection divide by `scale·sqrt(outDim)`.
+    */
+  def projectSigned(vec: Column, outDim: Int, scale: Int = 10000): Column =
+    array((0 until outDim).map { j =>
+      aggregate(
+        transform(vec, (x, i) => {
+          val q = round(x.cast("double") * scale).cast("long")
+          val positive =
+            (lit(j.toLong * 2654435761L) + i.cast("long") * 40503L) % 97 < 48
+          when(positive, q).otherwise(-q)
+        }),
+        lit(0L), (acc, y) => acc + y)
+    }: _*)
+}

@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.ops.Embeddings
+import org.apache.spark.sql.functions._
+
+/** Embedding-preparation queries over `embeddings` (64-dim float
+  * vectors): the ingest-time vector transforms a training pipeline runs
+  * before similarity search / semantic dedup. All are pure array
+  * expressions — zero shuffle, scan-speed, fully oracled (the operators'
+  * arithmetic is restricted to integer math and correctly-rounded IEEE
+  * primitives precisely so DuckDB reproduces them bit-for-bit).
+  */
+object EmbeddingQueries {
+  import Tables._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // L2 normalization: emit the norm and the extreme unit components
+    // (min/max pick single elements, so no order-dependent double fold
+    // ever reaches the output).
+    QueryDef("emb_normalize",
+      (spark, sf) => {
+        val unit = Embeddings.l2Normalize(col("embedding"))
+        load(spark, sf, "embeddings").select(
+            col("vec_id"),
+            round(Embeddings.l2Norm(col("embedding")), 6).as("norm"),
+            round(array_max(unit), 6).as("max_unit"),
+            round(array_min(unit), 6).as("min_unit"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+             |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) nrm FROM v)
+             |SELECT vec_id, ROUND(nrm, 6) AS norm,
+             |  ROUND(list_max(list_transform(e,
+             |    x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END)), 6) AS max_unit,
+             |  ROUND(list_min(list_transform(e,
+             |    x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END)), 6) AS min_unit
+             |FROM n ORDER BY vec_id""".stripMargin)),
+
+    // Symmetric int8 quantization (the 4x storage tier): integer
+    // summaries of the quantized vector — sum, extremes, saturation
+    // count — are exact in both engines; reconstruction quality is
+    // spec-asserted (OpsSpec: dequantized cosine ≥ 0.999).
+    QueryDef("emb_quantize_int8",
+      (spark, sf) => {
+        val q = Embeddings.quantizeInt8(col("embedding"))
+        load(spark, sf, "embeddings").select(
+            col("vec_id"),
+            aggregate(q, lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+            array_min(q).cast("long").as("q_min"),
+            array_max(q).cast("long").as("q_max"),
+            size(filter(q, x => abs(x) === 127)).cast("long").as("n_sat"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+             |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) ma FROM v),
+             |q AS (SELECT vec_id, list_transform(e, x ->
+             |    CASE WHEN ma = 0 THEN 0 ELSE CAST(round(x * 127.0 / ma) AS BIGINT) END) ql
+             |  FROM m)
+             |SELECT vec_id, CAST(list_sum(ql) AS BIGINT) AS q_sum,
+             |  CAST(list_min(ql) AS BIGINT) AS q_min,
+             |  CAST(list_max(ql) AS BIGINT) AS q_max,
+             |  CAST(len(list_filter(ql, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // Signed random projection 64 → 16 dims over 1e4-quantized
+    // components: the whole projection is 64-bit integer arithmetic, so
+    // every projected coordinate is oracled exactly (not via a bound).
+    QueryDef("emb_random_projection",
+      (spark, sf) => load(spark, sf, "embeddings")
+        .select(col("vec_id"),
+          posexplode(Embeddings.projectSigned(col("embedding"), outDim = 16)))
+        .toDF("vec_id", "j", "proj")
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("proj"))
+        .orderBy(col("vec_id"), col("j")),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+             |cell AS (
+             |  SELECT vec_id, j, i,
+             |    (CASE WHEN (j * 2654435761 + i * 40503) % 97 < 48 THEN 1 ELSE -1 END) *
+             |      CAST(round(e[i + 1] * 10000) AS BIGINT) AS q
+             |  FROM v, range(16) r(j), range(64) s(i))
+             |SELECT vec_id, j, CAST(SUM(q) AS BIGINT) AS proj
+             |FROM cell GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin)),
+  )
+}

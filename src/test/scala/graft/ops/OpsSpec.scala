@@ -452,4 +452,45 @@ class OpsSpec extends SparkSpec {
       .select(TextOps.langIdHeuristic(col("text"))).head().getString(0)
     assert(zh == "zh")
   }
+
+  test("embeddings: normalize yields unit norm; zero vector stays zero") {
+    import spark.implicits._
+    val norms = emb.select(
+        Similarity.norm(Embeddings.l2Normalize(col("embedding"))).as("n"))
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-9))
+    val z = Seq((1L, Array(0f, 0f, 0f))).toDF("id", "embedding")
+      .select(Embeddings.l2Normalize(col("embedding"))).head().getSeq[Double](0)
+    assert(z == Seq(0.0, 0.0, 0.0))
+  }
+
+  test("embeddings: int8 quantization bounded and faithful (dequant cosine >= 0.999)") {
+    val q = emb.select(col("embedding"),
+      Embeddings.quantizeInt8(col("embedding")).as("q"),
+      Embeddings.int8Scale(col("embedding")).as("s"))
+    val bad = q.filter(exists(col("q"), x => abs(x) > 127)).count()
+    assert(bad == 0, "|q_i| must be <= 127")
+    val dequant = transform(col("q"), x => x.cast("double") * col("s"))
+    val cosines = q.select(Similarity.cosine(col("embedding"), dequant))
+      .collect().map(_.getDouble(0))
+    assert(cosines.forall(_ >= 0.999), s"worst dequant cosine ${cosines.min}")
+  }
+
+  test("embeddings: signed projection matches the sign hash on unit vectors, is deterministic") {
+    import spark.implicits._
+    // e_i projects to sign(j, i) * scale in every output row j
+    val dim = 8
+    val rows = (0 until dim).map(i =>
+      (i.toLong, Array.tabulate(dim)(k => if (k == i) 1.0f else 0.0f)))
+    val proj = rows.toDF("id", "embedding")
+      .select(col("id"), Embeddings.projectSigned(col("embedding"), outDim = 4))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for (i <- 0 until dim; j <- 0 until 4) {
+      val expected = if ((j.toLong * 2654435761L + i.toLong * 40503L) % 97 < 48) 10000L else -10000L
+      assert(proj(i.toLong)(j) == expected, s"e_$i row $j")
+    }
+    val a = emb.select(Embeddings.projectSigned(col("embedding"), 16)).collect().toSeq
+    val b = emb.select(Embeddings.projectSigned(col("embedding"), 16)).collect().toSeq
+    assert(a == b)
+  }
 }
