@@ -114,29 +114,31 @@ object Similarity {
     * per iteration, and the probe join shuffles on the cluster id, so
     * per-query work is corpus/nlist × nprobe instead of a full scan.
     */
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iterations: Int = 3): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val vecs = ensureParallelism(
-      corpus.select(col(idCol).cast("long"), col(vecCol)))
-      .as[(Long, Array[Float])].persist()
-
-    def nearest(v: Array[Float], cents: Array[Array[Double]], n: Int): Seq[Int] = {
-      val d2 = cents.map { c =>
-        var s = 0.0; var j = 0
-        while (j < c.length && j < v.length) { val d = v(j) - c(j); s += d * d; j += 1 }
-        s
-      }
-      d2.zipWithIndex.sortBy { case (dd, i) => (dd, i) }.take(n).map(_._2).toSeq
+  /** Indexes of the `n` nearest centroids to `v` (squared-L2, index
+    * tie-break) — the assignment step shared by IVF and semantic dedup.
+    */
+  private[ops] def nearest(
+      v: Array[Float], cents: Array[Array[Double]], n: Int): Seq[Int] = {
+    val d2 = cents.map { c =>
+      var s = 0.0; var j = 0
+      while (j < c.length && j < v.length) { val d = v(j) - c(j); s += d * d; j += 1 }
+      s
     }
+    d2.zipWithIndex.sortBy { case (dd, i) => (dd, i) }.take(n).map(_._2).toSeq
+  }
 
-    // deterministic init: nlist vectors in xxhash64(id) order
+  /** Deterministic Lloyd k-means over a (cached) id→vector dataset:
+    * seeded hash-order init, fixed iteration count, map-side-combined
+    * centroid sums. Only `k × dim` doubles ever reach the driver.
+    */
+  private[ops] def kmeansCentroids(
+      vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      k: Int, iterations: Int): Array[Array[Double]] = {
+    import vecs.sparkSession.implicits._
+    // deterministic init: k vectors in xxhash64(id) order
     var centroids: Array[Array[Double]] = vecs
-      .toDF(idCol, "v").orderBy(xxhash64(col(idCol)))
-      .limit(nlist).as[(Long, Array[Float])]
+      .toDF("id", "v").orderBy(xxhash64(col("id")))
+      .limit(k).as[(Long, Array[Float])]
       .collect().map(_._2.map(_.toDouble))
 
     (1 to iterations).foreach { _ =>
@@ -151,8 +153,20 @@ object Similarity {
         .collect().sortBy(_._1)
         .map { case (_, (sum, n)) => sum.map(_ / n) }
     }
+    centroids
+  }
 
-    val cents = centroids
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iterations: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = ensureParallelism(
+      corpus.select(col(idCol).cast("long"), col(vecCol)))
+      .as[(Long, Array[Float])].persist()
+
+    val cents = kmeansCentroids(vecs, nlist, iterations)
     val assigned = vecs.map { case (id, v) => (id, v, nearest(v, cents, 1).head) }
       .toDF("neighbor_id", "cv", "list")
     val probes = ensureParallelism(
@@ -361,5 +375,47 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv")).distinct()
     topKRanked(cand.withColumn("sim", cosine(col("qv"), col("cv"))), k)
+  }
+
+  /** Semantic dedup pairs, SemDeDup-style (Abbas et al. 2023): k-means
+    * the corpus embeddings, then compare ONLY within each cluster with
+    * exact cosine — the clustering turns an O(N²) all-pairs problem into
+    * per-cluster quadratics of size ≈ N/k, and at 100 TB `nClusters`
+    * scales with the corpus so cluster size stays bounded. Emitted pairs
+    * carry exact sims (never an approximation), so precision is 1 by
+    * construction; recall is what clustering trades away, and the gate
+    * query asserts it against the exact all-pairs set.
+    *
+    * One shuffle on the cluster id; centroids (k × dim doubles) are the
+    * only driver-side data, as in [[ivfTopK]].
+    */
+  def semanticPairs(
+      corpus: DataFrame, idCol: String, vecCol: String, minSim: Double,
+      nClusters: Int = 16, nProbe: Int = 2, iterations: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = ensureParallelism(corpus.select(col(idCol).cast("long"), col(vecCol)))
+      .as[(Long, Array[Float])].persist()
+    val cents = kmeansCentroids(vecs, nClusters, iterations)
+    // soft assignment: each vector lands in its nProbe nearest clusters,
+    // recovering pairs that straddle a cluster boundary (the classic
+    // single-assignment recall leak) at nProbe× the candidate cost
+    val assigned = vecs
+      .flatMap { case (id, v) => nearest(v, cents, nProbe).map(c => (id, c)) }
+      .toDF("id", "cluster")
+    vecs.unpersist()
+    // candidates on cheap (id, id) longs first, vectors attached once per
+    // surviving pair — same shape as cosinePairs' LSH candidate join
+    val cand = assigned.select(col("id").as("a"), col("cluster"))
+      .join(assigned.select(col("id").as("b"), col("cluster")), Seq("cluster"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val v = corpus.select(col(idCol).cast("long"), col(vecCol))
+    cand
+      .join(v.select(col(idCol).as("a"), col(vecCol).as("va")), Seq("a"))
+      .join(v.select(col(idCol).as("b"), col(vecCol).as("vb")), Seq("b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= minSim)
+      .select(col("a"), col("b"), col("sim"))
   }
 }

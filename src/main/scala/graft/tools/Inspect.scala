@@ -39,19 +39,18 @@ object Prof {
       .config("spark.sql.shuffle.partitions", "32").config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.ops.{Dedup, TextOps}
+    import graft.ops.Similarity
     import org.apache.spark.sql.functions._
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    def t(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", dim = 64, minSim = 0.4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"tau=0.4 exact pairs: ${exact.size}")
+    for (k <- Seq(8, 16); p <- Seq(1, 2, 3)) {
+      val sem = Similarity.semanticPairs(emb, "vec_id", "embedding", minSim = 0.4,
+          nClusters = k, nProbe = p)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"  nClusters=$k%3d nProbe=$p: pairs=${sem.size}%4d recall=${sem.intersect(exact).size.toDouble / exact.size}%.3f subset=${sem.subsetOf(exact)}")
     }
-    t("warm read")(docs.count())
-    t("shingleHashes")(docs.select(col("doc_id"), TextOps.shingleHashes(col("text"), 5)).count())
-    t("minHashBands")(Dedup.minHashBands(docs, "text", "doc_id", 5, Dedup.MinHashParams()).count())
-    t("candidates")(Dedup.minHashCandidates(docs, "text", "doc_id").count())
-    t("verified")(Dedup.minHashVerifiedPairs(docs, "text", "doc_id").count())
-    t("verified again")(Dedup.minHashVerifiedPairs(docs, "text", "doc_id").count())
     spark.stop()
   }
 }

@@ -453,6 +453,23 @@ class OpsSpec extends SparkSpec {
     assert(zh == "zh")
   }
 
+  test("semantic dedup: cluster-scoped pairs are a subset of exact pairs; multi-probe lifts recall") {
+    val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", dim = 64, minSim = 0.4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    def run(probe: Int) = Similarity.semanticPairs(
+        emb, "vec_id", "embedding", minSim = 0.4, nClusters = 16, nProbe = probe)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = run(1)
+    val multi = run(3)
+    assert(single.subsetOf(exact) && multi.subsetOf(exact),
+      "verified pairs must be exact-threshold pairs")
+    assert(single.subsetOf(multi), "probing more clusters only adds candidates")
+    assert(multi.size.toDouble / exact.size >= 0.8,
+      s"nProbe=3 recall ${multi.size.toDouble / exact.size}")
+    assert(run(3) == multi, "seeded clustering is deterministic")
+  }
+
   test("embeddings: normalize yields unit norm; zero vector stays zero") {
     import spark.implicits._
     val norms = emb.select(
