@@ -365,8 +365,10 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** FNV-1a 64-bit — deterministic token hash for SimHash bits. */
-  private def fnv1a64(s: String): Long = {
+  /** FNV-1a 64-bit — deterministic token hash for SimHash bits and the
+    * hashed-feature classifier ([[TextOps.hashedLinearScore]]).
+    */
+  private[ops] def fnv1a64(s: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }

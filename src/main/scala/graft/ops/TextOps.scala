@@ -231,4 +231,51 @@ object TextOps {
     */
   def repetitionRatio(text: Column, k: Int = 3): Column =
     graft.functions.RepetitionRatio(text, k)
+
+  /** Stand-in weight vector for [[hashedLinearScore]]: a deterministic
+    * integer ramp over the bucket index. A production pipeline replaces
+    * this with trained (quantized) weights; everything else — hashing,
+    * scoring, the keep threshold — is the deployment-shaped scorer.
+    */
+  val DefaultClassifierWeights: Array[Int] =
+    Array.tabulate(64)(b => (b * 37) % 21 - 10)
+
+  /** Hashed-feature linear quality classifier — the fastText-style
+    * model-based filter tier that complements the rule-based Gopher
+    * gate: each token hashes (FNV-1a 64) into one of `weights.length`
+    * buckets (power of two, so the bucket is a mask of the hash) and the
+    * document's score is the integer sum of its tokens' bucket weights;
+    * `keep` is score > 0. Integer weights keep the score exact on any
+    * engine or partitioning — a trained float model quantizes its
+    * weights the same way int8 embeddings do.
+    *
+    * One typed pass per document (the hash loop doesn't decompose into
+    * codegen-friendly expressions — same trade as SimHash signatures),
+    * no shuffle: at 100 TB this runs embarrassingly parallel at scan
+    * speed. Output: (id, n_tokens, score, keep 0/1).
+    */
+  def hashedLinearScore(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      weights: Array[Int] = DefaultClassifierWeights): org.apache.spark.sql.DataFrame = {
+    val nB = weights.length
+    require(nB > 0 && (nB & (nB - 1)) == 0, "bucket count must be a power of two")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights
+    graft.ops.ensureParallelism(df)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(' ')
+        var score = 0L
+        var i = 0
+        while (i < toks.length) {
+          score += w((Dedup.fnv1a64(toks(i)) & (nB - 1)).toInt)
+          i += 1
+        }
+        (id, toks.length.toLong, score)
+      }
+      .toDF(idCol, "n_tokens", "score")
+      .withColumn("keep", (col("score") > 0).cast("int"))
+  }
 }

@@ -407,6 +407,39 @@ object TextQueries {
              |    AND ds >= 2 AND max_tok * 5 <= n AS keep
              |FROM base JOIN mf USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // Hashed-feature linear quality classifier (the fastText-style
+    // model-scoring tier next to the rule-based gate above): FNV-1a
+    // token hash → 64 buckets → integer weight sum → keep threshold.
+    // Fully oracled — DuckDB replays the identical hash (the HUGEINT
+    // mod-2^64 FNV construction proven by dedup_simhash) and the same
+    // literal weight ramp, so scores match exactly.
+    QueryDef("text_quality_classifier",
+      (spark, sf) => TextOps.hashedLinearScore(
+          load(spark, sf, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+             |),
+             |hashed AS (
+             |  SELECT doc_id,
+             |    CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS hs
+             |  FROM (
+             |    SELECT doc_id,
+             |      list_reduce(
+             |        list_prepend(CAST(14695981039346656037 AS HUGEINT),
+             |          [CAST(unicode(c) AS BIGINT) FOR c IN string_split_regex(t, '')]),
+             |        (acc, c) -> ((acc - (acc % 65536) +
+             |            CAST(xor(CAST(acc % 65536 AS BIGINT), c) AS HUGEINT))
+             |            * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+             |      ) AS h
+             |    FROM tok
+             |  )
+             |)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |  CAST(SUM(((hs & 63) * 37) % 21 - 10) AS BIGINT) AS score,
+             |  CAST(CAST(SUM(((hs & 63) * 37) % 21 - 10) AS BIGINT) > 0 AS INT) AS keep
+             |FROM hashed GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Bigram PMI corpus statistics (collocation mining — the classic
     // phrase-detection signal for tokenizer/vocab work). Bigrams are
     // built WITHOUT a positional self-join: zip two shifted slices of

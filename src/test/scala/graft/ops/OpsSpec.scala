@@ -453,6 +453,17 @@ class OpsSpec extends SparkSpec {
     assert(zh == "zh")
   }
 
+  test("hashed linear classifier: score is the exact bucket-weight sum") {
+    import spark.implicits._
+    val t = Seq((1L, "alpha beta alpha"), (2L, "solo")).toDF("doc_id", "text")
+    val out = TextOps.hashedLinearScore(t, "text", "doc_id").orderBy("doc_id").collect()
+    def w(tok: String) =
+      TextOps.DefaultClassifierWeights((Dedup.fnv1a64(tok) & 63).toInt).toLong
+    assert(out(0).getLong(1) == 3 && out(0).getLong(2) == 2 * w("alpha") + w("beta"))
+    assert(out(1).getLong(1) == 1 && out(1).getLong(2) == w("solo"))
+    assert(out(0).getInt(3) == (if (2 * w("alpha") + w("beta") > 0) 1 else 0))
+  }
+
   test("semantic dedup: cluster-scoped pairs are a subset of exact pairs; multi-probe lifts recall") {
     val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", dim = 64, minSim = 0.4)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
