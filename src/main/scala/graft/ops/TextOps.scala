@@ -186,6 +186,41 @@ object TextOps {
     substring(md5(concat(key.cast("string"), lit(salt))), 1, 8) < threshold
   }
 
+  /** Temperature-based dataset mixture sampling — the multilingual /
+    * multi-source rebalancing step of a training-data pipeline: with
+    * per-stratum keep rate `min(1, scale/sqrt(n_s))` the sampled mix
+    * follows `n_s^0.5` (temperature α = 0.5 — rare strata up-weighted
+    * relative to their share, dominant strata capped), the draw being
+    * the same engine/partitioning-independent md5 threshold as
+    * [[deterministicSample]]. Unlike [[stratifiedSample]]'s literal
+    * recipe, the rates here are DATA-DEPENDENT (derived from the
+    * observed stratum counts in the same query), so re-mixing after an
+    * upstream filter needs no recipe recomputation.
+    *
+    * α is fixed at 0.5 because every step — sqrt, divide, multiply,
+    * round — is an IEEE-754 correctly-rounded primitive, making the
+    * per-stratum threshold (and therefore the sampled set) bit-identical
+    * on any engine; a general `pow(n, α-1)` is not correctly rounded and
+    * would make the cut row-dependent on libm.
+    *
+    * One count aggregate + a broadcast of (stratum → threshold); the
+    * filter itself is a codegen'd scan-speed predicate.
+    */
+  def temperatureMixSample(
+      df: org.apache.spark.sql.DataFrame, keyCol: String, strataCol: String,
+      scale: Double = 3.0, salt: String = ""): org.apache.spark.sql.DataFrame = {
+    require(scale > 0.0, "scale must be positive")
+    val thresholds = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+      .select(col(strataCol),
+        format_string("%08x",
+          round(least(lit(1.0), lit(scale) / sqrt(col("_n"))) * 4294967295.0)
+            .cast("long")).as("_thr"))
+    df.join(broadcast(thresholds), Seq(strataCol))
+      .filter(substring(md5(concat(col(keyCol).cast("string"), lit(salt))), 1, 8)
+        < col("_thr"))
+      .drop("_thr")
+  }
+
   // PII patterns chosen to behave identically under Java regex (Spark)
   // and RE2 (DuckDB): no lookarounds, no backrefs.
   val UrlPattern = "https?://[^ ]+"

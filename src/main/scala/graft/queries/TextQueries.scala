@@ -535,6 +535,27 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // Temperature-based mixture sampling (α=0.5): per-lang keep rates
+    // derived from the observed stratum counts in the same query (rare
+    // langs keep a larger share, the dominant one is capped), applied
+    // through the engine-independent md5 draw. Every arithmetic step is
+    // a correctly-rounded IEEE primitive, so DuckDB derives the
+    // identical thresholds from its own counts and reproduces the
+    // sampled set row for row.
+    QueryDef("text_mixture_sample",
+      (spark, sf) => TextOps.temperatureMixSample(
+          load(spark, sf, "documents"), "doc_id", "lang",
+          scale = 3.0, salt = "mix7")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+      Some("""WITH n AS (SELECT lang, COUNT(*) c FROM documents GROUP BY lang),
+             |r AS (SELECT lang, printf('%08x',
+             |    CAST(round(LEAST(1.0, 3.0/sqrt(c)) * 4294967295) AS BIGINT)) thr
+             |  FROM n)
+             |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+             |WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix7'), 1, 8) < thr
+             |ORDER BY doc_id""".stripMargin)),
+
     // End-to-end corpus curation — the operators composed the way a
     // training-data pipeline actually chains them: quality gate (length
     // + lexical diversity) → language filter → exact-dedup survivors →

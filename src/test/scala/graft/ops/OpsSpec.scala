@@ -453,6 +453,22 @@ class OpsSpec extends SparkSpec {
     assert(zh == "zh")
   }
 
+  test("temperature mixture sampling: rare strata keep a larger share, deterministic, capped at 1") {
+    import spark.implicits._
+    // 400 common rows vs 9 rare rows: keep rates 3/sqrt(400)=0.15 and
+    // min(1, 3/3)=1.0 — the rare stratum survives whole
+    val t = ((1 to 400).map(i => (i.toLong, "common")) ++
+      (401 to 409).map(i => (i.toLong, "rare"))).toDF("id", "strata")
+    val out = TextOps.temperatureMixSample(t, "id", "strata", scale = 3.0, salt = "s")
+    val byStrata = out.groupBy("strata").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStrata("rare") == 9, "rate capped at 1.0 keeps every rare row")
+    val commonFrac = byStrata("common").toDouble / 400
+    assert(commonFrac > 0.05 && commonFrac < 0.25, s"~0.15 expected, got $commonFrac")
+    assert(out.collect().toSet ==
+      TextOps.temperatureMixSample(t, "id", "strata", scale = 3.0, salt = "s").collect().toSet)
+  }
+
   test("hashed linear classifier: score is the exact bucket-weight sum") {
     import spark.implicits._
     val t = Seq((1L, "alpha beta alpha"), (2L, "solo")).toDF("doc_id", "text")
