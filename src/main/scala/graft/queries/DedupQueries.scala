@@ -320,5 +320,78 @@ object DedupQueries {
              |FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id
              |WHERE bit_count(xor(s1.sh, s2.sh)) <= 8
              |ORDER BY a, b""".stripMargin)),
+
+    // End-to-end SEMANTIC curation — the embedding-era twin of
+    // corpus_curation, composed across both tables: model-based quality
+    // gate (hashed linear classifier) → embedding-cosine near-dup
+    // clusters over the kept docs' vectors (documents ⋈ embeddings on
+    // id) → min-id representative survivors → temperature-0.5 mixture
+    // rebalance by lang. Every stage is individually oracled elsewhere;
+    // this gate oracles the whole composition in one DuckDB statement
+    // (FNV classifier replay + exact cosine pairs + recursive-CTE
+    // closure + count-derived mixture thresholds).
+    QueryDef("corpus_curation_semantic",
+      (spark, sf) => {
+        val d = load(spark, sf, "documents")
+        val kept = graft.ops.TextOps.hashedLinearScore(d, "text", "doc_id")
+          .filter(col("keep") === 1).select(col("doc_id"))
+        val keptEmb = load(spark, sf, "embeddings")
+          .join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+        val pairs = graft.ops.Similarity.cosinePairs(
+          keptEmb, "vec_id", "embedding", dim = 64, minSim = 0.4)
+        val drops = Dedup.clusters(pairs.select(col("a"), col("b")))
+          .filter(col("doc_id") =!= col("rep")).select(col("doc_id"))
+        val survivors = d.join(kept, Seq("doc_id"))
+          .join(drops, Seq("doc_id"), "left_anti")
+        graft.ops.TextOps.temperatureMixSample(
+            survivors, "doc_id", "lang", scale = 3.0, salt = "cur7")
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+             |),
+             |hashed AS (
+             |  SELECT doc_id,
+             |    CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS hs
+             |  FROM (
+             |    SELECT doc_id,
+             |      list_reduce(
+             |        list_prepend(CAST(14695981039346656037 AS HUGEINT),
+             |          [CAST(unicode(c) AS BIGINT) FOR c IN string_split_regex(t, '')]),
+             |        (acc, c) -> ((acc - (acc % 65536) +
+             |            CAST(xor(CAST(acc % 65536 AS BIGINT), c) AS HUGEINT))
+             |            * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+             |      ) AS h
+             |    FROM tok
+             |  )
+             |),
+             |kept AS (
+             |  SELECT doc_id FROM hashed GROUP BY doc_id
+             |  HAVING CAST(SUM(((hs & 63) * 37) % 21 - 10) AS BIGINT) > 0),
+             |c AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+             |  WHERE vec_id IN (SELECT doc_id FROM kept)),
+             |pairs AS (
+             |  SELECT a.vec_id a, b.vec_id b FROM c a JOIN c b ON a.vec_id < b.vec_id
+             |  WHERE list_dot_product(a.v, b.v) /
+             |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+             |edges AS (SELECT a u, b v FROM pairs UNION SELECT b, a FROM pairs),
+             |reach AS (
+             |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+             |  UNION
+             |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+             |drops AS (SELECT u AS doc_id FROM reach GROUP BY u HAVING u <> MIN(v)),
+             |surv AS (
+             |  SELECT d.doc_id, d.lang FROM documents d
+             |  WHERE d.doc_id IN (SELECT doc_id FROM kept)
+             |    AND d.doc_id NOT IN (SELECT doc_id FROM drops)),
+             |n AS (SELECT lang, COUNT(*) cnt FROM surv GROUP BY lang),
+             |r AS (SELECT lang, printf('%08x',
+             |    CAST(round(LEAST(1.0, 3.0/sqrt(cnt)) * 4294967295) AS BIGINT)) thr
+             |  FROM n)
+             |SELECT s.doc_id, s.lang FROM surv s JOIN r USING (lang)
+             |WHERE substr(md5(CAST(s.doc_id AS VARCHAR) || 'cur7'), 1, 8) < thr
+             |ORDER BY doc_id""".stripMargin)),
   )
 }
