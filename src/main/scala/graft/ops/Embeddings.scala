@@ -26,14 +26,24 @@ object Embeddings {
     */
   def l2Norm(vec: Column): Column = Similarity.norm(vec)
 
+  /** Let-binding for a per-row scalar used inside a per-element lambda:
+    * higher-order array functions are interpreted (no codegen), so an
+    * O(d) scalar like `maxAbs` referenced in a `transform` body would
+    * re-evaluate per element — O(d²) per row. Wrapping the scalar in a
+    * one-element array and binding it as the outer lambda variable
+    * evaluates it exactly once.
+    */
+  private def bindScalar(scalar: Column)(body: Column => Column): Column =
+    element_at(transform(array(scalar), body), 1)
+
   /** The vector scaled to unit L2 norm (double components). A zero
     * vector normalizes to all-zero rather than NaN, so downstream cosine
     * treats it as orthogonal-to-everything.
     */
-  def l2Normalize(vec: Column): Column = {
-    val n = l2Norm(vec)
-    transform(vec, x => when(n === 0.0, lit(0.0)).otherwise(x.cast("double") / n))
-  }
+  def l2Normalize(vec: Column): Column =
+    bindScalar(l2Norm(vec)) { n =>
+      transform(vec, x => when(n === 0.0, lit(0.0)).otherwise(x.cast("double") / n))
+    }
 
   /** Symmetric per-vector int8 quantization: `q_i = round(127·v_i /
     * max|v|)`, the standard storage tier that cuts an embedding table to
@@ -42,12 +52,12 @@ object Embeddings {
     * |q_i| ≤ 127 by construction — `127·|v_i|/max|v| ≤ 127` and
     * half-up rounding cannot exceed it.
     */
-  def quantizeInt8(vec: Column): Column = {
-    val m = maxAbs(vec)
-    transform(vec, x =>
-      when(m === 0.0, lit(0)).otherwise(
-        round(x.cast("double") * 127.0 / m).cast("int")))
-  }
+  def quantizeInt8(vec: Column): Column =
+    bindScalar(maxAbs(vec)) { m =>
+      transform(vec, x =>
+        when(m === 0.0, lit(0)).otherwise(
+          round(x.cast("double") * 127.0 / m).cast("int")))
+    }
 
   /** Dequantization scale paired with [[quantizeInt8]]: `v_i ≈ q_i · scale`. */
   def int8Scale(vec: Column): Column = maxAbs(vec) / 127.0
