@@ -66,6 +66,20 @@ object GraftFunctions {
           s"repetition_ratio: k must be an integer literal, got $other")
         case other => throw new IllegalArgumentException(
           s"repetition_ratio expects (text[, k]), got ${other.size} arguments")
+      }),
+    ("signed_projection",
+      info("signed_projection",
+        "signed_projection(vec, outDim, scale) - integer signed random projection"),
+      (es: Seq[Expression]) => es match {
+        // outDim/scale shape the generated code, so they must be
+        // foldable integer literals, like repetition_ratio's k
+        case Seq(vec,
+            org.apache.spark.sql.catalyst.expressions.Literal(d: Number, _),
+            org.apache.spark.sql.catalyst.expressions.Literal(s: Number, _)) =>
+          SignedProjection(vec, d.intValue(), s.intValue())
+        case other => throw new IllegalArgumentException(
+          "signed_projection expects (vec, outDim literal, scale literal), " +
+            s"got ${other.size} arguments")
       }))
 
   /** Column-level helpers (no registration needed). */

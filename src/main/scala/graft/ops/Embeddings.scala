@@ -78,16 +78,13 @@ object Embeddings {
     * arithmetic: bit-identical on any engine, partitioning, or platform.
     * Output is an `array<long>` of length `outDim`; callers wanting the
     * conventional double projection divide by `scale·sqrt(outDim)`.
+    *
+    * Delegates to the native [[graft.functions.SignedProjection]]
+    * expression (fused codegen loop: components quantize once, then
+    * `outDim × d` integer adds) — the composed
+    * `array(aggregate(transform(...)))` form ran interpreted and
+    * re-walked the input per output row.
     */
   def projectSigned(vec: Column, outDim: Int, scale: Int = 10000): Column =
-    array((0 until outDim).map { j =>
-      aggregate(
-        transform(vec, (x, i) => {
-          val q = round(x.cast("double") * scale).cast("long")
-          val positive =
-            (lit(j.toLong * 2654435761L) + i.cast("long") * 40503L) % 97 < 48
-          when(positive, q).otherwise(-q)
-        }),
-        lit(0L), (acc, y) => acc + y)
-    }: _*)
+    graft.functions.SignedProjection(vec, outDim, scale)
 }

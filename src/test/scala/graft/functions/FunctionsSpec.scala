@@ -34,6 +34,35 @@ class FunctionsSpec extends SparkSpec {
     assert(t.getLong(0) == 7L && t.getString(1) == "en" && t.getString(2).length == 32)
   }
 
+  test("native SignedProjection equals the interpreted array composition; SQL-callable") {
+    // the composed form the native expression replaced — kept here as the
+    // semantic reference: quantize per element, signed fold per output row
+    def composed(vec: org.apache.spark.sql.Column, outDim: Int, scale: Int) =
+      array((0 until outDim).map { j =>
+        aggregate(
+          transform(vec, (x, i) => {
+            val q = round(x.cast("double") * scale).cast("long")
+            when((lit(j.toLong * 2654435761L) + i.cast("long") * 40503L) % 97 < 48, q)
+              .otherwise(-q)
+          }),
+          lit(0L), (acc, y) => acc + y)
+      }: _*)
+    val rows = emb.select(
+        SignedProjection(col("embedding"), 16, 10000).as("native"),
+        composed(col("embedding"), 16, 10000).as("composed")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    GraftFunctions.register(spark)
+    emb.createOrReplaceTempView("emb_fn_test")
+    val viaSql = spark.sql(
+      "SELECT signed_projection(embedding, 16, 10000) AS p FROM emb_fn_test ORDER BY vec_id")
+      .collect().map(_.getSeq[Long](0)).toSeq
+    val viaCol = emb.orderBy("vec_id")
+      .select(graft.ops.Embeddings.projectSigned(col("embedding"), 16))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    assert(viaSql == viaCol)
+  }
+
   test("GraftExtensions injects functions through SparkSessionExtensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)   // must not throw; wiring is covered
