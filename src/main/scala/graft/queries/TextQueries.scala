@@ -515,6 +515,42 @@ object TextQueries {
              |FROM toks JOIN c USING (tok)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Bigram-LM quality score: per-doc mean log P(w_i | w_{i-1}) from
+    // corpus-estimated conditional probabilities — the conditional tier
+    // above text_unigram_score (CCNet-style LM filtering without
+    // shipping a model). No smoothing needed: every scored bigram
+    // exists in the corpus by construction, so probabilities are ratios
+    // of exact integer counts with one final log. Bigrams via the same
+    // zip-shifted-slices projection as text_bigram_pmi (no positional
+    // self-join); docs under two tokens drop out identically in both
+    // engines.
+    QueryDef("text_bigram_lm",
+      (spark, sf) => {
+        val arr = split(col("text"), " ")
+        val bi = load(spark, sf, "documents")
+          .select(col("doc_id"), explode(arrays_zip(
+            slice(arr, lit(1), size(arr) - 1).as("x"),
+            slice(arr, lit(2), size(arr) - 1).as("y"))).as("p"))
+          .select(col("doc_id"), col("p.x").as("x"), col("p.y").as("y"))
+        val bc = bi.groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+        val cx = bc.groupBy(col("x")).agg(sum(col("cxy")).as("cx"))
+        bi.join(bc, Seq("x", "y")).join(cx, Seq("x"))
+          .groupBy(col("doc_id"))
+          .agg(round(avg(log(col("cxy").cast("double") / col("cx"))), 6).as("mean_logp"),
+            count(lit(1)).as("n_bigrams"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+             |idx AS (SELECT doc_id, unnest(range(len(t)-1)) i, t FROM toks WHERE len(t) >= 2),
+             |b AS (SELECT doc_id, t[i+1] x, t[i+2] y FROM idx),
+             |bc AS (SELECT x, y, COUNT(*) cxy FROM b GROUP BY x, y),
+             |cx AS (SELECT x, SUM(cxy) cx FROM bc GROUP BY x)
+             |SELECT doc_id,
+             |  ROUND(AVG(LN(CAST(cxy AS DOUBLE) / cx)), 6) AS mean_logp,
+             |  COUNT(*) AS n_bigrams
+             |FROM b JOIN bc USING (x, y) JOIN cx USING (x)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Stratified deterministic sampling — the dataset-mixing primitive:
     // per-source keep rates (up-sample src0, down-sample the rest)
     // applied via the same engine-independent md5 draw as text_sample;
