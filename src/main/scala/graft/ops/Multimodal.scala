@@ -175,6 +175,98 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** 64-bit average hash (aHash) of an image payload — the perceptual
+    * fingerprint tier of image dedup: decode (real codec), nearest-
+    * neighbor downsample to 8×8 (same index mapping as [[resizeImage]]),
+    * threshold each sample against the 8×8 mean (strict >; 64 is a power
+    * of two so the mean is an exact double), one bit per cell in
+    * row-major order. Near-duplicate images agree on most bits, so a
+    * banded-Hamming join like SimHash's finds them without all-pairs.
+    */
+  def averageHash(payload: Array[Byte]): Long = {
+    val src = ImageIO.read(new ByteArrayInputStream(payload))
+    require(src != null, "payload is not a decodable image")
+    val raster = src.getRaster
+    val (sw, sh) = (src.getWidth, src.getHeight)
+    val g = new Array[Int](64)
+    var sum = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = (y.toLong * sh / 8).toInt
+      var x = 0
+      while (x < 8) {
+        val v = raster.getSample((x.toLong * sw / 8).toInt, sy, 0)
+        g(y * 8 + x) = v
+        sum += v
+        x += 1
+      }
+      y += 1
+    }
+    val mean = sum / 64.0
+    var h = 0L
+    var i = 0
+    while (i < 64) { if (g(i) > mean) h |= (1L << i); i += 1 }
+    h
+  }
+
+  /** Per-partition aHash extraction; the hash is emitted as two unsigned
+    * 32-bit halves so integer-exact SQL oracles never touch bit 63's
+    * sign.
+    */
+  def imageHashes(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("ahash_hi", LongType),
+      StructField("ahash_lo", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = ensureParallelism(df).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val h = averageHash(r.getAs[Array[Byte]](payloadIdx))
+        Row(r.getLong(idIdx), h >>> 32, h & 0xFFFFFFFFL)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Gradient twin of [[syntheticPng]]: same `(8 + id%13) × (8 + id%7)`
+    * geometry, but sample value `(id + 7x + 13y) % 256` at pixel (x, y)
+    * on every channel — non-constant content, so downstream perceptual
+    * hashes have real bit structure while staying closed-form in
+    * `(id, x, y)` for a codec-less SQL oracle.
+    */
+  def syntheticGradientPng(id: Long): Array[Byte] = {
+    val w = 8 + (id % 13).toInt
+    val h = 8 + (id % 7).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((id + 7L * x + 13L * y) % 256).toInt
+        var b = 0
+        while (b < 3) { raster.setSample(x, y, b, v); b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  /** Gradient-fixture corpus, like [[syntheticImages]]. */
+  def syntheticGradientImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = ensureParallelism(df).rdd.mapPartitions { rows =>
+      rows.map { r => val id = r.getLong(idIdx); Row(id, syntheticGradientPng(id)) }
+    }
+    spark.createDataFrame(rdd, outSchema).withColumn("meta", metaFor("image"))
+  }
+
   // --- real audio codec path (JDK javax.sound.sampled, WAV/PCM) ---------
 
   final case class AudioFeature(

@@ -704,6 +704,33 @@ object TextQueries {
              |  CAST(doc_id % 256 AS DOUBLE) AS feature_norm
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Image perceptual hashing (64-bit average hash): decode through the
+    // real JDK codec, 8×8 nearest-neighbor downsample, threshold against
+    // the exact block mean — the image-dedup fingerprint. Gradient
+    // fixtures give the hash real bit structure; the oracle recomputes
+    // every sampled pixel from the generating formula (same floor-index
+    // mapping) with integer-exact arithmetic, the hash emitted as two
+    // unsigned 32-bit halves so SQL never touches bit 63's sign.
+    QueryDef("mm_image_ahash",
+      (spark, sf) => {
+        val d = Multimodal.syntheticGradientImages(
+          load(spark, sf, "documents").select(col("doc_id")), "doc_id")
+        Multimodal.imageHashes(d, "doc_id").orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT d.doc_id, y*8 + x AS idx,
+             |    (d.doc_id + 7*((x*(8 + d.doc_id%13))//8)
+             |       + 13*((y*(8 + d.doc_id%7))//8)) % 256 AS v
+             |  FROM documents d, range(8) r1(x), range(8) r2(y)),
+             |m AS (SELECT doc_id, SUM(v)/64.0 mean FROM g GROUP BY doc_id)
+             |SELECT g.doc_id,
+             |  CAST(SUM(CASE WHEN v > mean AND idx >= 32
+             |    THEN (CAST(1 AS BIGINT) << (idx - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+             |  CAST(SUM(CASE WHEN v > mean AND idx < 32
+             |    THEN (CAST(1 AS BIGINT) << idx) ELSE 0 END) AS BIGINT) AS ahash_lo
+             |FROM g JOIN m USING (doc_id)
+             |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)),
+
     // Multimodal resize: decode → nearest-neighbor rescale → PNG
     // re-encode, then re-decode and measure. Constant-fill fixtures make
     // the round-trip SQL-verifiable: dimensions become the target, the

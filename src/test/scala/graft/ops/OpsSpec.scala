@@ -453,6 +453,22 @@ class OpsSpec extends SparkSpec {
     assert(zh == "zh")
   }
 
+  test("image average hash: matches the closed form on an 8x8 identity case; equal images collide") {
+    // id = 91: 91%13 == 0 and 91%7 == 0 → an 8×8 image, so the
+    // downsample is the identity and the hash is computable directly
+    val id = 91L
+    val vals = for (y <- 0 until 8; x <- 0 until 8) yield ((id + 7 * x + 13 * y) % 256).toInt
+    val mean = vals.sum / 64.0
+    var expected = 0L
+    vals.zipWithIndex.foreach { case (v, i) => if (v > mean) expected |= (1L << i) }
+    val h = Multimodal.averageHash(Multimodal.syntheticGradientPng(id))
+    assert(h == expected)
+    assert(Multimodal.averageHash(Multimodal.syntheticGradientPng(id)) == h,
+      "hash is deterministic")
+    assert(Multimodal.averageHash(Multimodal.syntheticPng(id)) == 0L,
+      "constant image has no above-mean samples (strict threshold)")
+  }
+
   test("temperature mixture sampling: rare strata keep a larger share, deterministic, capped at 1") {
     import spark.implicits._
     // 400 common rows vs 9 rare rows: keep rates 3/sqrt(400)=0.15 and
