@@ -297,7 +297,11 @@ object TextOps {
     val spark = df.sparkSession
     import spark.implicits._
     val w = weights
-    graft.ops.ensureParallelism(df)
+    // streaming inputs can't consult .rdd for the parallelism check (and
+    // micro-batch parallelism is the source's concern); batch inputs get
+    // the usual small-file spread
+    val base = if (df.isStreaming) df else graft.ops.ensureParallelism(df)
+    base
       .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, text) =>

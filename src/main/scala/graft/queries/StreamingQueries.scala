@@ -342,5 +342,54 @@ object StreamingQueries {
              |  ON e.ts >= s.ts AND e.ts < s.ts + INTERVAL 15 MINUTE
              |WHERE e.event_type = 'error' AND s.event_type = 'signup'
              |ORDER BY e.event_id, signup_id""".stripMargin)),
+
+    // Streaming quality classification: the hashed linear classifier's
+    // typed map runs unchanged inside micro-batches (stateless row
+    // transform — no state store), proving the model-scoring tier is
+    // stream/batch-parity like the rest of the streaming surface. The
+    // stream aggregates per keep flag; the oracle scores the same corpus
+    // in batch SQL via the FNV replay.
+    QueryDef("stream_quality_classifier",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "documents")).schema
+        val docs = spark.readStream.schema(schema)
+          .parquet(stagedDir(spark, sf, "documents"))
+        val scored = graft.ops.TextOps.hashedLinearScore(docs, "text", "doc_id")
+        val agg = scored.groupBy(col("keep"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("score")).as("total_score"),
+            sum(col("n_tokens")).as("total_tokens"))
+        val table = s"stream_qc_${counter.incrementAndGet()}"
+        val q = agg.writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        spark.table(table).orderBy(col("keep"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+             |),
+             |hashed AS (
+             |  SELECT doc_id,
+             |    CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS hs
+             |  FROM (
+             |    SELECT doc_id,
+             |      list_reduce(
+             |        list_prepend(CAST(14695981039346656037 AS HUGEINT),
+             |          [CAST(unicode(c) AS BIGINT) FOR c IN string_split_regex(t, '')]),
+             |        (acc, c) -> ((acc - (acc % 65536) +
+             |            CAST(xor(CAST(acc % 65536 AS BIGINT), c) AS HUGEINT))
+             |            * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+             |      ) AS h
+             |    FROM tok
+             |  )
+             |),
+             |scored AS (
+             |  SELECT doc_id, COUNT(*) AS n_tokens,
+             |    CAST(SUM(((hs & 63) * 37) % 21 - 10) AS BIGINT) AS score
+             |  FROM hashed GROUP BY doc_id)
+             |SELECT CAST(score > 0 AS INT) AS keep, COUNT(*) AS n_docs,
+             |  CAST(SUM(score) AS BIGINT) AS total_score,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+             |FROM scored GROUP BY 1 ORDER BY keep""".stripMargin)),
   )
 }

@@ -42,14 +42,19 @@ object Prof {
     import graft.ops.Similarity
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", dim = 64, minSim = 0.4)
-      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    println(s"tau=0.4 exact pairs: ${exact.size}")
-    for (k <- Seq(8, 16); p <- Seq(1, 2, 3)) {
-      val sem = Similarity.semanticPairs(emb, "vec_id", "embedding", minSim = 0.4,
-          nClusters = k, nProbe = p)
-        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      println(f"  nClusters=$k%3d nProbe=$p: pairs=${sem.size}%4d recall=${sem.intersect(exact).size.toDouble / exact.size}%.3f subset=${sem.subsetOf(exact)}")
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val e = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val queries = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      for ((m, ksub, rf) <- Seq((8, 16, 4), (8, 32, 8), (16, 32, 8), (8, 16, 16))) {
+        val pq = Similarity.pqTopK(e, queries, "vec_id", "embedding", k = 5,
+            m = m, ksub = ksub, rerankFactor = rf)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"$sf m=$m ksub=$ksub rf=$rf: recall=${pq.intersect(exact).size.toDouble / exact.size}%.3f")
+      }
     }
     spark.stop()
   }
