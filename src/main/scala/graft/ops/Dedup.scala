@@ -429,4 +429,41 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
   }
+
+  /** Fuzzy vocabulary join: every pair of distinct corpus terms within
+    * Levenshtein distance 1, found SymSpell-style — each term is blocked
+    * under itself plus its 1-character-deletion variants, candidates meet
+    * by an equality join on the variant key, and `levenshtein` verifies
+    * exactly. Two distance-≤1 terms always share a key (equal-length
+    * substitution pairs share a same-position deletion; insert/delete
+    * pairs share the shorter term itself), so recall is exact.
+    *
+    * Scale: a variant key k can only be produced by k itself or by terms
+    * made by inserting ONE character into k, so a bucket holds at most
+    * |Σ|·(len+1)+1 terms *regardless of corpus size* — candidate
+    * generation is linear in vocabulary, never quadratic, with no hot-key
+    * cut needed. The distinct-vocab aggregation is the only full shuffle.
+    * `minLen` keeps trigram-sized stop words (whose distance-1
+    * neighborhoods are dense and semantically meaningless) out of the
+    * pair set.
+    */
+  def fuzzyTermPairs(df: DataFrame, textCol: String, idCol: String,
+      minLen: Int = 4): DataFrame = {
+    val vocab = ensureParallelism(df)
+      .select(col(idCol), explode(TextOps.tokens(lower(col(textCol)))).as("term"))
+      .filter(length(col("term")) >= minLen && col("term").rlike("^[a-z]+$"))
+      .groupBy(col("term")).agg(count_distinct(col(idCol)).as("df"))
+    // the term itself + its 1-deletion variants, deduped before explode
+    // (repeated letters collapse: "aa" deletes to "a" twice)
+    val keyed = vocab.withColumn("k",
+      explode(array_distinct(concat(array(col("term")), expr(
+        """transform(sequence(1, length(term)),
+          |  i -> concat(substring(term, 1, i - 1),
+          |              substring(term, i + 1, length(term) - i)))""".stripMargin)))))
+    val l = keyed.select(col("term").as("term_a"), col("df").as("df_a"), col("k"))
+    val r = keyed.select(col("term").as("term_b"), col("df").as("df_b"), col("k"))
+    l.join(r, Seq("k")).filter(col("term_a") < col("term_b"))
+      .select("term_a", "term_b", "df_a", "df_b").distinct()
+      .filter(levenshtein(col("term_a"), col("term_b")) <= 1)
+  }
 }

@@ -393,5 +393,44 @@ object DedupQueries {
              |SELECT s.doc_id, s.lang FROM surv s JOIN r USING (lang)
              |WHERE substr(md5(CAST(s.doc_id AS VARCHAR) || 'cur7'), 1, 8) < thr
              |ORDER BY doc_id""".stripMargin)),
+
+    // Fuzzy vocabulary join (typo clustering): term pairs within edit
+    // distance 1, SymSpell deletion-neighborhood blocking + exact
+    // levenshtein verify. The clean synthetic vocabulary contains no
+    // distance-1 pairs, so the gate plants a deterministic typo channel
+    // (every 7th doc loses the final letter of its ≥5-letter words) and
+    // the op must recover each clipped/original pair. The oracle
+    // brute-forces all pairs (fine at oracle scale); the engine side
+    // never goes quadratic — the PlanAudit no-cartesian assertion
+    // covers it.
+    QueryDef("dedup_fuzzy_terms",
+      (spark, sf) => {
+        val noisy = load(spark, sf, "documents").withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            regexp_replace(col("text"), "([a-z]{4})[a-z]( |$)", "$1$2"))
+          .otherwise(col("text")))
+        Dedup.fuzzyTermPairs(noisy, "text", "doc_id", minLen = 4)
+          .orderBy(col("term_a"), col("term_b"))
+      },
+      Some("""WITH noisy AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0
+             |      THEN regexp_replace(text, '([a-z]{4})[a-z]( |$)', '\1\2', 'g')
+             |      ELSE text END AS text
+             |  FROM documents),
+             |tok AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+             |  FROM noisy),
+             |v AS (
+             |  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+             |  FROM tok
+             |  WHERE length(term) >= 4 AND regexp_matches(term, '^[a-z]+$')
+             |  GROUP BY term)
+             |SELECT a.term AS term_a, b.term AS term_b, a.df AS df_a, b.df AS df_b
+             |FROM v a JOIN v b
+             |  ON a.term < b.term
+             | AND abs(length(a.term) - length(b.term)) <= 1
+             | AND levenshtein(a.term, b.term) <= 1
+             |ORDER BY term_a, term_b""".stripMargin)),
   )
 }

@@ -144,6 +144,34 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"simhash recall $recall over ${exact.size} pairs")
   }
 
+  test("fuzzy term pairs: deletion-blocking equals brute force; all three edit kinds found") {
+    val spark2 = spark
+    import spark2.implicits._
+    // substitution (cat/cot), deletion (cats/cat via insert), insertion
+    // (table/tables), plus distance-2 decoys that must NOT pair
+    val df = Seq(
+      (1L, "cats cat table"), (2L, "cot cat tables"),
+      (3L, "table cart cost"), (4L, "mouse moose house")
+    ).toDF("doc_id", "text")
+    val got = Dedup.fuzzyTermPairs(df, "text", "doc_id", minLen = 3)
+      .select("term_a", "term_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val vocab = df.select(explode(split(lower(col("text")), " ")).as("t"))
+      .filter(length(col("t")) >= 3).distinct().as[String].collect()
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for { a <- vocab; b <- vocab if a < b && lev(a, b) <= 1 } yield (a, b)).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+    assert(got.contains(("cat", "cot")) && got.contains(("cat", "cats"))
+      && got.contains(("table", "tables")))
+    assert(!got.contains(("cart", "cost")), "distance-2 decoy must not pair")
+  }
+
   test("brute-force cosine: self-similarity is 1, results ranked, k respected") {
     val out = Similarity.bruteForceTopK(emb, emb.limit(3), "vec_id", "embedding", 4)
     val rows = out.collect()

@@ -33,7 +33,8 @@ class PlanAudit extends SparkSpec {
     "text_quality_classifier" -> 3, // typed pass (+ ensureParallelism) + orderBy
     "text_mixture_sample" -> 4,  // stratum count agg + broadcast threshold join
     "dedup_semantic" -> 24,      // exact-pair lineage + cluster-probe join + recall gate
-    "corpus_curation_semantic" -> 30) // classifier + pair join + survivors + mixture
+    "corpus_curation_semantic" -> 30, // classifier + pair join + survivors + mixture
+    "dedup_fuzzy_terms" -> 8)    // vocab agg + deletion-variant self-join + distinct
 
   // Queries whose ONLY nested-loop join is the recall/bound gate's
   // crossJoin against a one-row aggregate (a broadcast of a scalar —
