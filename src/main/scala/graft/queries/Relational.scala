@@ -717,5 +717,39 @@ object Relational {
              |SELECT c_custkey FROM customer JOIN nat ON c_nationkey = nk
              |WHERE CAST(CAST(ROUND(c_acctbal*100) AS BIGINT) AS DOUBLE) > avg_bal_cents
              |ORDER BY c_custkey""".stripMargin)),
+
+    // Z-order (Morton) layout clustering: lineitem laid out by the
+    // interleaved bits of (partkey, suppkey), then audited per fixed-width
+    // z-range bucket — min/max of BOTH dimensions stay bounded per bucket,
+    // which is exactly the property that makes parquet footer stats prune
+    // files for predicates on either dimension at 100 TB. The z-value is a
+    // pure codegen'd expression; the oracle recomputes the interleave in
+    // closed form (32 arithmetic terms, generated below).
+    QueryDef("q_zorder_cluster",
+      (spark, sf) => {
+        val li = graft.ops.Layout.zOrderLayout(
+          load(spark, sf, "lineitem"), col("l_partkey"), col("l_suppkey"),
+          numFiles = 32, bits = 16)
+        li.withColumn("z_bucket", shiftright(col("zval"), 16))
+          .groupBy(col("z_bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+            min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"),
+            sum(col("zval")).as("z_sum"))
+          .orderBy(col("z_bucket"))
+      },
+      Some {
+        val terms = (0 until 16).flatMap { i =>
+          Seq(s"((l_partkey // ${1L << i}) % 2) * ${1L << (2 * i)}",
+            s"((l_suppkey // ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+        }.mkString(" + ")
+        s"""WITH z AS (
+           |  SELECT l_partkey, l_suppkey, $terms AS zval FROM lineitem)
+           |SELECT zval // 65536 AS z_bucket, COUNT(*) AS n,
+           |  MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+           |  MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk,
+           |  SUM(zval) AS z_sum
+           |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
+      }),
   )
 }

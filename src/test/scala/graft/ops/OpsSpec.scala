@@ -144,6 +144,35 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"simhash recall $recall over ${exact.size} pairs")
   }
 
+  test("z-order layout: per-partition min/max spans bounded on BOTH dims; z-value interleave exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    // dense 64x64 grid: every (x, y) pair once — locality is measurable
+    val grid = spark.range(64 * 64)
+      .select((col("id") / 64).cast("long").as("x"), (col("id") % 64).cast("long").as("y"))
+    // interleave correctness against a bit-twiddling reference
+    def zRef(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val zs = grid.withColumn("z", Layout.zValue(col("x"), col("y")))
+      .as[(Long, Long, Long)].collect()
+    zs.foreach { case (x, y, z) => assert(z == zRef(x, y), s"z($x,$y)") }
+
+    // z-layout in 16 partitions: BOTH dims' average span must be far below
+    // the global span (a single-dim sort leaves the other dim's span full)
+    val nPart = 16
+    def spans(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val rows = df.withColumn("p", spark_partition_id())
+        .groupBy("p").agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+        .select("sx", "sy").as[(Long, Long)].collect()
+      (rows.map(_._1).sum.toDouble / rows.length, rows.map(_._2).sum.toDouble / rows.length)
+    }
+    val (zx, zy) = spans(Layout.zOrderLayout(grid, col("x"), col("y"), nPart))
+    val (sx, sy) = spans(grid.repartitionByRange(nPart, col("x")).sortWithinPartitions("x"))
+    assert(zx < 32 && zy < 32, s"z-layout spans ($zx, $zy) should bound both dims (global 63)")
+    assert(sy > 55, s"x-sorted layout leaves y unbounded (got $sy)")
+    assert(zx < sx / 1.5 || zy < sy / 1.5, "z-layout beats single-dim sort on the non-sorted dim")
+  }
+
   test("fuzzy term pairs: deletion-blocking equals brute force; all three edit kinds found") {
     val spark2 = spark
     import spark2.implicits._
