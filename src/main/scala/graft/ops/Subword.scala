@@ -91,4 +91,132 @@ object Subword {
         "the", "and", "ing", "ion", "ent", "her", "for", "tha", "est",
         "##ing", "##ion", "##ed", "##er", "##es", "##ly", "##ent", "##al", "##ous",
         "re", "un", "in", "de", "co", "pro", "ex")
+
+  // --------------------------------------------------------------------
+  // Byte-pair encoding (Sennrich et al. 2016, public algorithm)
+  // --------------------------------------------------------------------
+
+  /** One BPE merge application over a symbol sequence: a single
+    * left-to-right non-overlapping pass replacing every adjacent
+    * (`l`, `r`) with the concatenation. Single-pass-per-merge is the
+    * DEFINED semantics here (not iterate-to-fixpoint) so a SQL oracle
+    * can replay it exactly with one string `replace` per merge.
+    */
+  def mergePass(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Encode one word with a ranked merge list: start from single
+    * characters, apply each merge in rank order (one pass each). */
+  def encodeBpe(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Seq[String] = word.map(_.toString)
+    merges.foreach { case (l, r) => if (syms.length > 1) syms = mergePass(syms, l, r) }
+    syms
+  }
+
+  /** Learn `numMerges` BPE merges from a corpus, distributed the way a
+    * 100 TB tokenizer-training job has to be: the corpus collapses ONCE
+    * into a distinct-word frequency table (Heaps' law: vocabulary grows
+    * ~O(corpus^0.5), so this table is orders of magnitude smaller than
+    * the corpus and is the only thing the iterations ever touch), then
+    * each merge round is one map-side-combined pair-count aggregation
+    * over that table plus a one-row argmax. Only the argmax row — the
+    * chosen pair — ever reaches the driver (bounded by design, the same
+    * budget as the IVF centroids); the corpus itself is never rescanned.
+    *
+    * Tie-break is total and engine-independent: count DESC, then left
+    * and right symbol ascending. Returns (rank, left, right, count).
+    */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): Seq[(Int, String, String, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = df
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w.map(_.toString): Seq[String], f) }
+      .toDF("syms", "freq")
+      .persist()
+    words.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val best = words
+        .filter(size(col("syms")) > 1)
+        .select(col("freq"), explode(expr(
+          "transform(slice(syms, 1, size(syms) - 1), (s, i) -> struct(s AS l, syms[i + 1] AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(desc("cnt"), col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank, l, r, cnt))
+        val next = words.as[(Seq[String], Long)]
+          .map { case (syms, f) => (mergePass(syms, l, r), f) }
+          .toDF("syms", "freq")
+          .persist()
+        next.count()
+        words.unpersist()
+        words = next
+        rank += 1
+      }
+    }
+    words.unpersist()
+    merges.toSeq
+  }
+
+  /** Tokenize `textCol` with a ranked BPE merge list (broadcast once per
+    * executor, zero shuffle — the same scale shape as [[wordpiece]]).
+    * Emits one row per piece: `(idCol, pos, piece_pos, piece)`.
+    */
+  def bpeEncode(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    val words = df.select(
+      col(idCol).cast("long").as(idCol),
+      posexplode(split(lower(col(textCol)), "[^a-z]+")).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("pos", IntegerType),
+      StructField("piece_pos", IntegerType),
+      StructField("piece", StringType)))
+    val bMerges = spark.sparkContext.broadcast(merges)
+    val rdd = words.rdd.mapPartitions { rows =>
+      val ms = bMerges.value
+      rows.flatMap { r =>
+        val (id, pos, word) = (r.getLong(0), r.getInt(1), r.getString(2))
+        encodeBpe(word, ms).iterator.zipWithIndex.map {
+          case (piece, i) => Row(id, pos, i, piece)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** A fixed, literal merge list (as produced by an offline [[bpeTrain]]
+    * run) for the oracled encode gate — plausible English digraph merges,
+    * rank order significant. Literal so the SQL oracle can embed the
+    * identical list as nested single-pass `replace` calls.
+    */
+  val DefaultMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "r"), ("r", "e"), ("s", "t"), ("a", "t"),
+    ("e", "n"), ("o", "n"), ("o", "u"), ("a", "r"), ("in", "g"),
+    ("s", "p"), ("sp", "ar"), ("spar", "k"), ("t", "a"), ("ta", "b"),
+    ("l", "e"), ("tab", "le"), ("q", "u"), ("qu", "er"), ("quer", "y"))
 }

@@ -203,6 +203,84 @@ object TextQueries {
            |ORDER BY doc_id, pos, piece_pos""".stripMargin
       }),
 
+    // BPE tokenizer TRAINING (Sennrich et al.), fully oracled: the corpus
+    // collapses once into a distinct-word frequency table; each merge
+    // round is one map-side-combined pair-count aggregation plus a
+    // one-row argmax (count DESC, pair ASC — total order). The DuckDB
+    // oracle replays the identical algorithm as a generated chain of
+    // word-table → pair-count → argmax CTE stages, each merge applied
+    // with one single-pass string replace over the double-space-delimited
+    // symbol string — so every learned merge and its count is verified
+    // end-to-end, iteration by iteration.
+    QueryDef("text_bpe_train",
+      (spark, sf) => {
+        val merges = Subword.bpeTrain(load(spark, sf, "documents"), "text", 12)
+        import spark.implicits._
+        merges.toDF("rank", "l", "r", "cnt").orderBy(col("rank"))
+      },
+      Some {
+        // AS MATERIALIZED: each stage references its predecessor more
+        // than once (directly + through both argmax scalar subqueries);
+        // inlined CTEs would re-evaluate the whole prefix chain
+        // exponentially.
+        val n = 12
+        val stages = (0 until n).flatMap { k =>
+          val pair = s"""p$k AS MATERIALIZED (
+            |  SELECT t[i] AS l, t[i + 1] AS r, SUM(freq) AS c FROM (
+            |    SELECT string_split(trim(s), '  ') AS t, freq,
+            |      unnest(range(1, len(string_split(trim(s), '  ')))) AS i
+            |    FROM w$k)
+            |  GROUP BY 1, 2),
+            |b$k AS MATERIALIZED (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
+          val next = if (k == n - 1) Nil else Seq(s"""w${k + 1} AS MATERIALIZED (
+            |  SELECT replace(s, (SELECT ' ' || l || '  ' || r || ' ' FROM b$k),
+            |    (SELECT ' ' || l || r || ' ' FROM b$k)) AS s, freq FROM w$k)""".stripMargin)
+          Seq(pair) ++ next
+        }
+        val out = (0 until n)
+          .map(k => s"SELECT $k AS rank, l, r, c FROM b$k").mkString("\nUNION ALL\n")
+        s"""WITH w0 AS MATERIALIZED (
+           |  SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS s,
+           |    COUNT(*) AS freq
+           |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+           |        FROM documents)
+           |  WHERE word <> '' GROUP BY 1),
+           |${stages.mkString(",\n")}
+           |SELECT CAST(rank AS INT) AS rank, l, r, CAST(c AS BIGINT) AS cnt
+           |FROM (${out})
+           |ORDER BY rank""".stripMargin
+      }),
+
+    // BPE encode with a fixed (offline-trained) literal merge list: the
+    // scale shape of wordpiece — merges broadcast once, one typed pass,
+    // zero shuffle. The oracle replays the ranked merges as nested
+    // single-pass replaces over the identical literal list.
+    QueryDef("text_bpe_encode",
+      (spark, sf) => Subword.bpeEncode(
+          load(spark, sf, "documents").filter(col("doc_id") % 10 === 3),
+          "doc_id", "text", Subword.DefaultMerges)
+        .orderBy(col("doc_id"), col("pos"), col("piece_pos")),
+      Some {
+        val spaced = "regexp_replace(word, '(.)', ' \\1 ', 'g')"
+        val replaced = Subword.DefaultMerges.foldLeft(spaced) { case (acc, (l, r)) =>
+          s"replace($acc, ' $l  $r ', ' $l$r ')"
+        }
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    generate_subscripts(regexp_split_to_array(lower(text), '[^a-z]+'), 1) - 1 AS pos,
+           |    unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+           |  FROM documents WHERE doc_id % 10 = 3
+           |),
+           |enc AS (
+           |  SELECT doc_id, pos, string_split(trim($replaced), '  ') AS pieces
+           |  FROM toks WHERE word <> ''
+           |)
+           |SELECT doc_id, CAST(pos AS INT) AS pos,
+           |  CAST(generate_subscripts(pieces, 1) - 1 AS INT) AS piece_pos,
+           |  unnest(pieces) AS piece
+           |FROM enc ORDER BY doc_id, pos, piece_pos""".stripMargin
+      }),
+
     // Sliding-window chunking: long documents → overlapping 64-word
     // context windows every 48 words. Pure codegen'd sequence/slice
     // expressions, zero shuffle — output is linear in corpus tokens, the
