@@ -59,4 +59,65 @@ object Sketches {
   /** Untyped-DataFrame form: `df.agg(topKUdaf(256, 10)(col("word")))`. */
   def topKUdaf(capacity: Int, k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new SpaceSavingTopK(capacity, k))
+
+  /** Count-min sketch (Cormode & Muthukrishnan, public algorithm):
+    * fixed `depth`×`width` counter grid, point estimate = min over rows.
+    * The merge is element-wise addition — fully commutative/associative,
+    * so unlike HLL register states the estimate is identical under any
+    * partitioning (deterministic cross-run). Guarantee: estimate ≥ exact,
+    * and ≤ exact + εN with probability 1−δ where ε = e/width, δ = e^−depth.
+    *
+    * Shuffle shape at 100 TB: one partial aggregate per partition (a
+    * fixed depth·width·8-byte buffer), one merge — counter traffic is
+    * O(partitions), never O(distinct keys); the whole point of the
+    * sketch tier vs an exact groupBy.
+    *
+    * `queryItems` (bounded, driver-supplied) is the point-query set the
+    * `finish` evaluates — the sketch itself never leaves the executors.
+    * Row hashes are Kirsch–Mitzenmacher double hashing over the same
+    * FNV-1a-64 the engine already replays in SQL elsewhere.
+    */
+  final class CountMin(depth: Int, width: Int, queryItems: Seq[String])
+      extends Aggregator[String, Array[Long], Seq[(String, Long)]] {
+
+    private def bucket(item: String, row: Int): Int = {
+      val h = Dedup.fnv1a64(item)
+      val h2 = java.lang.Long.rotateLeft(h, 31) | 1L // odd => full-period step
+      val idx = (h + row.toLong * h2) % width
+      (if (idx < 0) idx + width else idx).toInt
+    }
+
+    def zero: Array[Long] = new Array[Long](depth * width)
+
+    def reduce(buf: Array[Long], item: String): Array[Long] = {
+      var r = 0
+      while (r < depth) { buf(r * width + bucket(item, r)) += 1; r += 1 }
+      buf
+    }
+
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    def finish(buf: Array[Long]): Seq[(String, Long)] =
+      queryItems.map { item =>
+        var est = Long.MaxValue
+        var r = 0
+        while (r < depth) {
+          est = math.min(est, buf(r * width + bucket(item, r))); r += 1
+        }
+        item -> est
+      }
+
+    def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+    def outputEncoder: Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Untyped-DataFrame form of [[CountMin]]. */
+  def countMinUdaf(depth: Int, width: Int, queryItems: Seq[String])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new CountMin(depth, width, queryItems))
 }

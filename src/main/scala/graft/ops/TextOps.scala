@@ -165,6 +165,18 @@ object TextOps {
     substring(md5(concat(key.cast("string"), lit(salt))), 1, 8) < lit(threshold)
   }
 
+  /** Deterministic 16-way shard assignment from the same engine-
+    * independent md5 draw as [[deterministicSample]]: one hex digit of
+    * the salted key hash. Shard membership reproduces on any cluster,
+    * any engine, any re-run — the property a training-shard layout needs
+    * so that re-materializing shard 11 tomorrow yields the same
+    * documents. Uniform to md5 quality, evaluated at scan speed, and the
+    * downstream write is one hash-shuffle on a 16-value key.
+    */
+  def hexShard(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 8, 1), 16, 10)
+      .cast("int")
+
   /** Stratified deterministic sampling — the dataset-mixing primitive: a
     * per-stratum keep rate (e.g. up-sample books, down-sample crawl)
     * applied with the same engine-independent md5 draw as

@@ -750,6 +750,89 @@ object TextQueries {
       Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Count-min sketch point counts (the third sketch tier next to HLL
+    // cardinality and GK quantiles): fixed 4×1024 counter grid, merge =
+    // element-wise add, so traffic is O(partitions) not O(distinct
+    // tokens). Engines' sketches aren't comparable, so the gate shape is
+    // the q_approx_distinct one: estimate the top-20 tokens' counts from
+    // the sketch, assert the CM guarantee in-query (exact ≤ est ≤ exact
+    // + 3εN, ε = e/width), and emit the exact side, which DuckDB
+    // reproduces. The top-20 token list is the only thing collected —
+    // bounded by construction, the IVF-centroid budget.
+    QueryDef("text_countmin",
+      (spark, sf) => {
+        val toks = load(spark, sf, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+        val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+        val top = exact.orderBy(desc("exact_cnt"), col("tok")).limit(20)
+        val words = top.collect().map(_.getString(0)).toSeq
+        val ests = toks
+          .agg(graft.ops.Sketches.countMinUdaf(4, 1024, words)(col("tok")).as("ests"))
+          .select(explode(col("ests")).as("e"))
+          .select(col("e._1").as("tok"), col("e._2").as("est_cnt"))
+        val total = exact.agg(sum(col("exact_cnt")).as("n_total"))
+        top.join(ests, Seq("tok"))
+          .crossJoin(broadcast(total))
+          .filter(col("est_cnt") >= col("exact_cnt") &&
+            col("est_cnt") <= col("exact_cnt") +
+              ceil(col("n_total") * (3.0 * math.E / 1024)).cast("long"))
+          .select(col("tok"), col("exact_cnt"))
+          .orderBy(desc("exact_cnt"), col("tok"))
+      },
+      Some("""SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+             |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |GROUP BY tok ORDER BY exact_cnt DESC, tok LIMIT 20""".stripMargin)),
+
+    // Corpus-level boilerplate detection: a 3-token shingle's document
+    // frequency marks it as template text (nav bars, license headers);
+    // each doc reports how much of its distinct-shingle mass is
+    // boilerplate. One shingle-keyed shuffle for the df table, one join
+    // back — the decontaminate shape, linear in corpus shingles.
+    // Integer counts only, so the oracle is exact.
+    QueryDef("text_boilerplate",
+      (spark, sf) => {
+        val sh = Dedup.shingleTable(load(spark, sf, "documents"), "text", "doc_id", 3)
+        val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        sh.join(dfc, Seq("shingle"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("df") >= 10, 1L).otherwise(0L)).as("n_boiler"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+             |idx AS (SELECT doc_id, unnest(range(len(t) - 2)) i, t
+             |        FROM toks WHERE len(t) >= 3),
+             |w AS (SELECT DISTINCT doc_id,
+             |        list_aggregate(t[i+1:i+3], 'string_agg', ' ') s FROM idx),
+             |dfc AS (SELECT s, COUNT(*) AS df FROM w GROUP BY s)
+             |SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             |  CAST(SUM(CASE WHEN dfc.df >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+             |FROM w JOIN dfc USING (s)
+             |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic training-shard assignment: every doc lands in one of
+    // 16 shards via an engine-independent md5 digit, and the gate emits
+    // the per-shard manifest (sizes, token mass, id range) a shard
+    // writer would publish. Reproducible placement is the point: shard
+    // 11 re-materialized next week contains byte-identical documents.
+    QueryDef("text_shard_assign",
+      (spark, sf) => load(spark, sf, "documents")
+        .select(TextOps.hexShard(col("doc_id"), salt = "shards").as("shard"),
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard")),
+      Some("""SELECT CAST(strpos('0123456789abcdef',
+             |    substr(md5(CAST(doc_id AS VARCHAR) || 'shards'), 8, 1)) - 1 AS INT) AS shard,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+             |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin)),
+
     // Multimodal payload plumbing: opaque binary + typed metadata.
     QueryDef("mm_payload_meta",
       (spark, sf) => {
