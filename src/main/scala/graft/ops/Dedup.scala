@@ -466,4 +466,39 @@ object Dedup {
       .select("term_a", "term_b", "df_a", "df_b").distinct()
       .filter(levenshtein(col("term_a"), col("term_b")) <= 1)
   }
+
+  /** Leading-window fingerprint: md5 of the first `k` whitespace tokens —
+    * the cheap prefix signature crawl pipelines key incremental dedup on
+    * (near-identical boilerplate pages share prefixes long before they
+    * share full bodies).
+    */
+  def prefixFingerprint(textCol: Column, k: Int): Column =
+    md5(concat_ws(" ", slice(split(textCol, " "), 1, k)))
+
+  /** Incremental dedup of a new batch against an already-ingested history
+    * WITHOUT re-shuffling the history: a Bloom filter over the history's
+    * fingerprints (one scan, fixed bits) prefilters the batch down to the
+    * plausible-duplicate slice, and only that slice joins history for
+    * exact verification. At the 100 TB design point this is the whole
+    * game — the nightly increment is GBs, the history is the 100 TB, and
+    * the history-side work stays one sequential scan feeding a
+    * fixed-size filter (no shuffle of the history at all; the verify
+    * join's history side is scan+filter, its shuffle carries only rows
+    * whose fingerprint hash passed the Bloom probe). False positives are
+    * killed by the exact equi-join on the full fingerprint; false
+    * negatives don't exist, so the result is byte-identical to the plain
+    * join. Returns (idCol, n_history_matches) for batch docs that
+    * duplicate history.
+    */
+  def incrementalDups(
+      history: DataFrame, batch: DataFrame, textCol: String, idCol: String,
+      prefixK: Int = 16, expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val fp = prefixFingerprint(col(textCol), prefixK)
+    val batchFp = batch.select(col(idCol), fp.as("fp_b"), xxhash64(fp).as("fpk"))
+    val histKeyed = history.select(fp.as("fp_h"), xxhash64(fp).as("fpk"))
+    Joins.bloomPrefilteredJoin(batchFp, histKeyed, "fpk", expectedKeys, fpp)
+      .filter(col("fp_b") === col("fp_h")) // kill 64-bit hash collisions
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_history_matches"))
+  }
 }

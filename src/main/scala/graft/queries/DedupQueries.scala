@@ -432,5 +432,29 @@ object DedupQueries {
              | AND abs(length(a.term) - length(b.term)) <= 1
              | AND levenshtein(a.term, b.term) <= 1
              |ORDER BY term_a, term_b""".stripMargin)),
+
+    // Incremental dedup: tonight's batch (doc_id % 5 = 4) against the
+    // already-ingested history (the rest) — Bloom filter over history
+    // fingerprints prefilters the batch before the verify join, so the
+    // history side is scans only, never a full shuffle (the 100 TB
+    // increment pattern). Bloom FPs die in the exact fingerprint join,
+    // so the result is byte-identical to the plain join the oracle runs.
+    QueryDef("dedup_incremental",
+      (spark, sf) => {
+        val docs = load(spark, sf, "documents")
+        Dedup.incrementalDups(
+            docs.filter(col("doc_id") % 5 =!= 4),
+            docs.filter(col("doc_id") % 5 === 4),
+            "text", "doc_id", prefixK = 16, expectedKeys = 100000L)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH fp AS (
+             |  SELECT doc_id,
+             |    md5(array_to_string(string_split(text, ' ')[1:16], ' ')) AS fp
+             |  FROM documents)
+             |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_history_matches
+             |FROM fp b JOIN fp h ON b.fp = h.fp
+             |WHERE b.doc_id % 5 = 4 AND h.doc_id % 5 <> 4
+             |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)),
   )
 }
