@@ -751,5 +751,34 @@ object Relational {
            |  SUM(zval) AS z_sum
            |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
       }),
+
+    // Recursive-query capability (Spark has no recursive CTE): generic
+    // semi-naive transitive closure as a driver-side fixpoint loop over
+    // executor-resident data — per round only the NEW pairs shuffle
+    // (frontier), never the whole closure. The part-key decimal trie
+    // (parent = key div 10, depth ≤ ~6) gives a real multi-level
+    // hierarchy; the DuckDB oracle replays it as an actual recursive
+    // CTE with BFS-minimal depth.
+    QueryDef("q_transitive_closure",
+      (spark, sf) => {
+        val edges = Tables.load(spark, sf, "part")
+          .filter(col("p_partkey") > 0)
+          .select(col("p_partkey").as("node"), expr("p_partkey div 10").as("parent"))
+        graft.ops.Graphs.transitiveClosure(edges)
+          .filter(col("node") % 97 === 0)
+          .select(col("node"), col("ancestor"), col("depth").cast("int").as("depth"))
+          .orderBy(col("node"), col("depth"))
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT p_partkey AS node, p_partkey // 10 AS parent
+             |  FROM part WHERE p_partkey > 0),
+             |c(node, ancestor, depth) AS (
+             |  SELECT node, parent, 1 FROM e
+             |  UNION
+             |  SELECT c.node, e.parent, c.depth + 1
+             |  FROM c JOIN e ON c.ancestor = e.node)
+             |SELECT node, ancestor, CAST(MIN(depth) AS INT) AS depth
+             |FROM c WHERE node % 97 = 0
+             |GROUP BY node, ancestor ORDER BY node, depth""".stripMargin)),
   )
 }

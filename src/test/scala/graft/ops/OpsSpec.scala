@@ -610,4 +610,80 @@ class OpsSpec extends SparkSpec {
     val b = emb.select(Embeddings.projectSigned(col("embedding"), 16)).collect().toSeq
     assert(a == b)
   }
+
+  test("BPE: single-pass merge semantics, encode round-trip, training golden") {
+    // single left-to-right non-overlapping pass (the defined semantics)
+    assert(Subword.mergePass(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(Subword.mergePass(Seq("b", "a", "b"), "a", "b") == Seq("b", "ab"))
+    assert(Subword.encodeBpe("the", Seq(("t", "h"), ("th", "e"))) == Seq("the"))
+    // concatenating pieces always reconstructs the word
+    Seq("spark", "tables", "queryable", "x", "zzz").foreach { w =>
+      assert(Subword.encodeBpe(w, Subword.DefaultMerges).mkString == w)
+    }
+    // training golden: corpus {aa:2, ab:3} → merge (a,b,3) then (a,a,2),
+    // then exhaustion stops early even with budget left
+    val df = spark.createDataFrame(
+      Seq((1L, "aa ab"), (2L, "ab aa"), (3L, "ab"))).toDF("doc_id", "text")
+    val merges = Subword.bpeTrain(df, "text", numMerges = 5)
+    assert(merges == Seq((0, "a", "b", 3L), (1, "a", "a", 2L)))
+    // distributed encode matches the local encoder row for row
+    val enc = Subword.bpeEncode(df, "doc_id", "text", Seq(("a", "b")))
+      .orderBy("doc_id", "pos", "piece_pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    assert(enc == Seq(
+      (1L, 0, 0, "a"), (1L, 0, 1, "a"), (1L, 1, 0, "ab"),
+      (2L, 0, 0, "ab"), (2L, 1, 0, "a"), (2L, 1, 1, "a"),
+      (3L, 0, 0, "ab")))
+  }
+
+  test("count-min sketch: overestimate-only, error bound, partition-invariant") {
+    import spark.implicits._
+    val items = (1 to 50).flatMap(i => Seq.fill(i)(s"w$i"))
+    val query = Seq("w1", "w25", "w50", "absent")
+    def estimates(parts: Int): Map[String, Long] =
+      items.toDF("tok").repartition(parts)
+        .agg(Sketches.countMinUdaf(4, 256, query)(col("tok")))
+        .head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = estimates(7)
+    val n = items.size.toLong
+    query.foreach { q =>
+      val exact = if (q == "absent") 0L else q.drop(1).toLong
+      assert(est(q) >= exact, s"$q under-estimated")
+      assert(est(q) <= exact + (3 * math.E / 256 * n).ceil.toLong, s"$q over bound")
+    }
+    // merge is element-wise add: estimates don't depend on partitioning
+    assert(estimates(1) == est)
+  }
+
+  test("transitive closure: BFS-min depth on multi-path, cycle terminates") {
+    val edges = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), // diamond: 1→3 direct and via 2
+      (4L, 5L), (5L, 4L) // 2-cycle
+    )).toDF("node", "parent")
+    val out = Graphs.transitiveClosure(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out == Map(
+      (1L, 2L) -> 1, (1L, 3L) -> 1, (2L, 3L) -> 1, // direct edge wins over the 2-hop path
+      (4L, 5L) -> 1, (5L, 4L) -> 1, (4L, 4L) -> 2, (5L, 5L) -> 2))
+  }
+
+  test("incremental dedup: bloom prefilter + verify equals the plain join") {
+    val mk = (id: Long, t: String) => (id, t)
+    // 16-token prefix fingerprints: 11 duplicates 1 (same prefix), 12 is novel
+    val body = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val hist = spark.createDataFrame(Seq(
+      mk(1, s"$body tailA"), mk(2, s"other $body"), mk(3, s"$body tailB")))
+      .toDF("doc_id", "text")
+    val batch = spark.createDataFrame(Seq(
+      mk(11, s"$body tailC"), mk(12, s"novel $body")))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDups(hist, batch, "text", "doc_id", prefixK = 16,
+        expectedKeys = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 11 matches history docs 1 and 3 (shared 16-token prefix), not 2
+    assert(out == Map(11L -> 2L))
+    // empty history → empty result (bloom over zero rows must not NPE)
+    assert(Dedup.incrementalDups(hist.limit(0), batch, "text", "doc_id").count() == 0)
+  }
 }
