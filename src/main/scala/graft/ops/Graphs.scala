@@ -18,20 +18,23 @@ object Graphs {
     * depth (the frontier is anti-joined against everything already
     * derived before it expands again).
     *
-    * Each round materializes frontier + accumulator (persist + count —
-    * the count is the emptiness probe, the only thing the driver ever
-    * sees) and unpersists the previous generation, keeping lineage flat;
-    * a cluster deployment would checkpoint every ~10 rounds for the same
-    * reason. `maxIters` bounds runaway cycles (cycles are fine
-    * semantically — anything already derived is anti-joined away, so a
-    * cycle just stops producing new pairs).
+    * Each round TRUNCATES LINEAGE with an eager local checkpoint —
+    * without it the accumulator's plan is a union-of-joins tree that
+    * grows exponentially with depth (observed: 600+ exchanges in the
+    * compiled plan by round 6), which is both a planner blow-up and a
+    * recomputation bomb on executor loss. The emptiness probe (a count)
+    * is the only thing the driver ever sees. A cluster deployment would
+    * swap `localCheckpoint` for reliable `checkpoint` to survive
+    * executor loss; the shape is identical. `maxIters` bounds runaway
+    * cycles (cycles are fine semantically — anything already derived is
+    * anti-joined away, so a cycle just stops producing new pairs).
     *
     * `edges` columns: (node, parent). Output: (node, ancestor, depth).
     */
   def transitiveClosure(edges: DataFrame, maxIters: Int = 30): DataFrame = {
     val e = edges.select(col("node"), col("parent")).persist()
     var acc = e.select(col("node"), col("parent").as("ancestor"), lit(1).as("depth"))
-      .distinct().persist()
+      .distinct().localCheckpoint(true)
     var frontier = acc
     var iter = 1
     var frontierSize = frontier.count()
@@ -41,13 +44,10 @@ object Graphs {
         .select(col("node"), col("next").as("ancestor"), (col("depth") + 1).as("depth"))
         .distinct()
       val fresh = step.join(acc.select("node", "ancestor"), Seq("node", "ancestor"),
-        "left_anti").persist()
-      val nextAcc = acc.unionByName(fresh).persist()
+        "left_anti").localCheckpoint(true)
+      acc = acc.unionByName(fresh).localCheckpoint(true)
       frontierSize = fresh.count()
-      frontier.unpersist()
-      acc.unpersist()
       frontier = fresh
-      acc = nextAcc
       iter += 1
     }
     e.unpersist()

@@ -786,14 +786,16 @@ object TextQueries {
     // Corpus-level boilerplate detection: a 3-token shingle's document
     // frequency marks it as template text (nav bars, license headers);
     // each doc reports how much of its distinct-shingle mass is
-    // boilerplate. One shingle-keyed shuffle for the df table, one join
-    // back — the decontaminate shape, linear in corpus shingles.
-    // Integer counts only, so the oracle is exact.
+    // boilerplate. Single-pass shape: the df is an unordered window
+    // count over the shingle key — ONE shingle-keyed shuffle and one
+    // computation of the (exploded) shingle table, where the textbook
+    // agg-then-join-back both recomputes the explode and shuffles it
+    // twice. Integer counts only, so the oracle is exact.
     QueryDef("text_boilerplate",
       (spark, sf) => {
         val sh = Dedup.shingleTable(load(spark, sf, "documents"), "text", "doc_id", 3)
-        val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        sh.join(dfc, Seq("shingle"))
+        sh.withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_shingles"),
             sum(when(col("df") >= 10, 1L).otherwise(0L)).as("n_boiler"))

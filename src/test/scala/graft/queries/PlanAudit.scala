@@ -34,13 +34,21 @@ class PlanAudit extends SparkSpec {
     "text_mixture_sample" -> 4,  // stratum count agg + broadcast threshold join
     "dedup_semantic" -> 24,      // exact-pair lineage + cluster-probe join + recall gate
     "corpus_curation_semantic" -> 30, // classifier + pair join + survivors + mixture
-    "dedup_fuzzy_terms" -> 8)    // vocab agg + deletion-variant self-join + distinct
+    "dedup_fuzzy_terms" -> 8,    // vocab agg + deletion-variant self-join + distinct
+    // BPE/sketch/closure round additions (text_bpe_train is all
+    // LocalRelation output — nothing to audit)
+    "text_bpe_encode" -> 3,      // scan + typed pass; orderBy only
+    "text_countmin" -> 8,        // exact agg + top-k + sketch agg + gate joins
+    "text_boilerplate" -> 6,     // shingle df agg + join back + per-doc agg
+    "text_shard_assign" -> 3,    // one 16-key agg + orderBy
+    "dedup_incremental" -> 6,    // bloom-prefiltered verify join + per-doc agg
+    "q_transitive_closure" -> 6) // persisted closure + subset filter + orderBy
 
   // Queries whose ONLY nested-loop join is the recall/bound gate's
   // crossJoin against a one-row aggregate (a broadcast of a scalar —
   // constant cost at any scale, not a quadratic join). Everything else
   // stays strictly nested-loop-free.
-  private val ScalarGateJoins = Set("dedup_semantic")
+  private val ScalarGateJoins = Set("dedup_semantic", "text_countmin")
 
   test("plan audit: no quadratic joins; shuffle counts within pinned ceilings") {
     for ((q, ceiling) <- ExchangeCeilings.toSeq.sortBy(_._1)) {
