@@ -180,32 +180,28 @@ object Subword {
 
   /** Tokenize `textCol` with a ranked BPE merge list (broadcast once per
     * executor, zero shuffle — the same scale shape as [[wordpiece]]).
-    * Emits one row per piece: `(idCol, pos, piece_pos, piece)`.
+    * Emits one row per piece: `(idCol, pos, piece_pos, piece)`. A typed
+    * flatMap rather than an RDD pass, so the identical operator runs
+    * unchanged inside Structured Streaming micro-batches (stream/batch
+    * parity for the tokenizer).
     */
   def bpeEncode(
       df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val spark = df.sparkSession
-    val words = df.select(
-      col(idCol).cast("long").as(idCol),
-      posexplode(split(lower(col(textCol)), "[^a-z]+")).as(Seq("pos", "word")))
-      .filter(col("word") =!= "")
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType),
-      StructField("pos", IntegerType),
-      StructField("piece_pos", IntegerType),
-      StructField("piece", StringType)))
+    import spark.implicits._
     val bMerges = spark.sparkContext.broadcast(merges)
-    val rdd = words.rdd.mapPartitions { rows =>
-      val ms = bMerges.value
-      rows.flatMap { r =>
-        val (id, pos, word) = (r.getLong(0), r.getInt(1), r.getString(2))
-        encodeBpe(word, ms).iterator.zipWithIndex.map {
-          case (piece, i) => Row(id, pos, i, piece)
+    df.select(
+        col(idCol).cast("long").as("id"),
+        posexplode(split(lower(col(textCol)), "[^a-z]+")).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+      .as[(Long, Int, String)]
+      .flatMap { case (id, pos, word) =>
+        encodeBpe(word, bMerges.value).iterator.zipWithIndex.map {
+          case (piece, i) => (id, pos, i, piece)
         }
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+      .toDF(idCol, "pos", "piece_pos", "piece")
   }
 
   /** A fixed, literal merge list (as produced by an offline [[bpeTrain]]

@@ -391,5 +391,45 @@ object StreamingQueries {
              |  CAST(SUM(score) AS BIGINT) AS total_score,
              |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
              |FROM scored GROUP BY 1 ORDER BY keep""".stripMargin)),
+
+    // Streaming twin of the BPE encoder: the identical typed flatMap
+    // (merges broadcast once) runs unchanged inside micro-batches —
+    // tokenize-as-data-arrives, the ingestion-time shape of a training
+    // pipeline. Stateless transform + one complete-mode per-piece
+    // aggregate; the oracle re-derives the piece stream in batch SQL
+    // via the same nested single-pass replaces as text_bpe_encode.
+    QueryDef("stream_bpe_encode",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "documents")).schema
+        val docs = spark.readStream.schema(schema)
+          .parquet(stagedDir(spark, sf, "documents"))
+          .filter(col("doc_id") % 10 === 3)
+        val pieces = graft.ops.Subword.bpeEncode(
+          docs, "doc_id", "text", graft.ops.Subword.DefaultMerges)
+        val agg = pieces.groupBy(col("piece"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("doc_id_sum"))
+        val table = s"stream_bpe_${counter.incrementAndGet()}"
+        val q = agg.writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        spark.table(table).orderBy(col("piece"))
+      },
+      Some {
+        val spaced = "regexp_replace(word, '(.)', ' \\1 ', 'g')"
+        val replaced = graft.ops.Subword.DefaultMerges.foldLeft(spaced) {
+          case (acc, (l, r)) => s"replace($acc, ' $l  $r ', ' $l$r ')"
+        }
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+           |  FROM documents WHERE doc_id % 10 = 3
+           |),
+           |enc AS (
+           |  SELECT doc_id, unnest(string_split(trim($replaced), '  ')) AS piece
+           |  FROM toks WHERE word <> ''
+           |)
+           |SELECT piece, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+           |FROM enc GROUP BY piece ORDER BY piece""".stripMargin
+      }),
   )
 }
