@@ -137,20 +137,27 @@ object Subword {
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): Seq[(Int, String, String, Long)] = {
     val spark = df.sparkSession
     import spark.implicits._
-    var words = df
+    val base = df
       .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .as[(String, Long)]
-      .map { case (w, f) => (w.map(_.toString): Seq[String], f) }
-      .toDF("syms", "freq")
       .persist()
-    words.count()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 0
     var exhausted = false
     while (rank < numMerges && !exhausted) {
-      val best = words
+      // Re-segment from the cached word table with ALL merges so far in
+      // one broadcast pass: constant lineage depth and exactly one job
+      // per round (the argmax), instead of a per-round persist+count
+      // materialization whose fixed job latency dominates at any scale
+      // where the word table fits the cache. Re-applying k short merge
+      // passes per word is arithmetic noise next to a job's scheduling.
+      val soFar = merges.map(m => (m._2, m._3)).toSeq
+      val bMerges = spark.sparkContext.broadcast(soFar)
+      val best = base
+        .map { case (w, f) => (encodeBpe(w, bMerges.value), f) }
+        .toDF("syms", "freq")
         .filter(size(col("syms")) > 1)
         .select(col("freq"), explode(expr(
           "transform(slice(syms, 1, size(syms) - 1), (s, i) -> struct(s AS l, syms[i + 1] AS r))"))
@@ -162,19 +169,11 @@ object Subword {
         .collect()
       if (best.isEmpty) exhausted = true
       else {
-        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((rank, l, r, cnt))
-        val next = words.as[(Seq[String], Long)]
-          .map { case (syms, f) => (mergePass(syms, l, r), f) }
-          .toDF("syms", "freq")
-          .persist()
-        next.count()
-        words.unpersist()
-        words = next
+        merges += ((rank, best(0).getString(0), best(0).getString(1), best(0).getLong(2)))
         rank += 1
       }
     }
-    words.unpersist()
+    base.unpersist()
     merges.toSeq
   }
 
