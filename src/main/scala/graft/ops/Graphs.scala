@@ -53,4 +53,44 @@ object Graphs {
     e.unpersist()
     acc
   }
+
+  /** Fixed-iteration PageRank in INTEGER micro-units (rank 1.0 =
+    * 1,000,000): every step is integer division and integer sums, so the
+    * result is bit-identical on any engine and any aggregation order —
+    * what lets an iterative float-y algorithm carry an exact SQL oracle.
+    * Update rule: r' = 0.15 + 0.85 · Σ (r_in div out_deg), all in
+    * micro-units with floor division (documented, deterministic
+    * truncation). Overflow bound: 850000 · Σ ranks must stay under 2^63
+    * — fine below ~10^12 total rank micro-units; past that, scale ranks
+    * down or widen to decimal.
+    *
+    * Scale shape per round: one join of the rank table with the edge
+    * list (both partitioned by the join key; edges dominate and their
+    * partitioning is reusable every round), one dst-keyed partial-agg
+    * shuffle, one left join back to the node set. Lineage is truncated
+    * per round like [[transitiveClosure]]. Dangling nodes (no
+    * out-edges) simply contribute nothing — the simplified formulation.
+    *
+    * `edges` columns: (src, dst). Output: (node, rank) for all nodes.
+    */
+  def pageRankInt(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")).persist()
+    var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"), expr("rank div out_deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) +
+            expr("850000 * coalesce(in_sum, 0L) div 1000000")).as("rank"))
+        .localCheckpoint(true)
+    }
+    e.unpersist(); nodes.unpersist(); deg.unpersist()
+    ranks
+  }
 }

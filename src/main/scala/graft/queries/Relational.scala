@@ -752,6 +752,36 @@ object Relational {
            |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
       }),
 
+    // Arbitrary GROUPING SETS (the general form next to q_rollup/q_cube):
+    // an asymmetric set list — (priority, segment), (segment), grand
+    // total — planned as one Expand + single aggregate, not three
+    // scans. Non-null dims let COALESCE labels disambiguate the sets
+    // without relying on engine-specific grouping_id bit orders.
+    QueryDef("q_grouping_sets",
+      (spark, sf) => {
+        val o = load(spark, sf, "orders")
+        val c = load(spark, sf, "customer")
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupingSets(
+            Seq(Seq(col("o_orderpriority"), col("c_mktsegment")),
+              Seq(col("c_mktsegment")), Seq.empty),
+            col("o_orderpriority"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents(col("o_totalprice"))).as("price_cents"))
+          .select(coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+            coalesce(col("c_mktsegment"), lit("ALL")).as("c_mktsegment"),
+            col("n_orders"), col("price_cents"))
+          .orderBy(col("o_orderpriority"), col("c_mktsegment"))
+      },
+      Some("""SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+             |  COALESCE(c_mktsegment, 'ALL') AS c_mktsegment,
+             |  COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY GROUPING SETS ((o_orderpriority, c_mktsegment),
+             |  (c_mktsegment), ())
+             |ORDER BY o_orderpriority, c_mktsegment""".stripMargin)),
+
     // Recursive-query capability (Spark has no recursive CTE): generic
     // semi-naive transitive closure as a driver-side fixpoint loop over
     // executor-resident data — per round only the NEW pairs shuffle
@@ -780,5 +810,43 @@ object Relational {
              |SELECT node, ancestor, CAST(MIN(depth) AS INT) AS depth
              |FROM c WHERE node % 97 = 0
              |GROUP BY node, ancestor ORDER BY node, depth""".stripMargin)),
+
+    // Iterative PageRank over the part⇄supplier sourcing graph (who-
+    // supplies-what from lineitem; ids disambiguated onto disjoint
+    // even/odd ranges). Integer micro-unit arithmetic makes a float-y
+    // iterative algorithm EXACTLY oracle-able: floor division and
+    // integer sums are order-independent, so DuckDB replays the three
+    // unrolled iterations bit-identically.
+    QueryDef("q_pagerank",
+      (spark, sf) => {
+        val edges = load(spark, sf, "lineitem")
+          .select((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        graft.ops.Graphs.pageRankInt(edges, iters = 3)
+          .filter(col("node") % 31 === 0)
+          .orderBy(col("node"))
+      },
+      Some {
+        def round(k: Int) =
+          s"""r$k AS (
+             |  SELECT n.node,
+             |    CAST(150000 + (850000 * COALESCE(s.in_sum, 0)) // 1000000 AS BIGINT) AS rank
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst AS node, SUM(r.rank // d.out_deg) AS in_sum
+             |    FROM e JOIN r${k - 1} r ON e.src = r.node
+             |           JOIN deg d ON e.src = d.src
+             |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+        s"""WITH e AS (
+           |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM lineitem),
+           |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+           |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)}
+           |SELECT node, rank FROM r3 WHERE node % 31 = 0 ORDER BY node""".stripMargin
+      }),
   )
 }

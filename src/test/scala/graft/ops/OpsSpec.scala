@@ -668,6 +668,15 @@ class OpsSpec extends SparkSpec {
       (4L, 5L) -> 1, (5L, 4L) -> 1, (4L, 4L) -> 2, (5L, 5L) -> 2))
   }
 
+  test("integer PageRank: hand-computed two rounds, bit-exact") {
+    val edges = spark.createDataFrame(Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+      .toDF("src", "dst")
+    val out = Graphs.pageRankInt(edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r1: (150000, 575000, 1425000); r2 from those, floor division
+    assert(out == Map(1L -> 150000L, 2L -> 213750L, 3L -> 702500L))
+  }
+
   test("incremental dedup: bloom prefilter + verify equals the plain join") {
     val mk = (id: Long, t: String) => (id, t)
     // 16-token prefix fingerprints: 11 duplicates 1 (same prefix), 12 is novel

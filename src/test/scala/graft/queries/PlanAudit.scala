@@ -42,7 +42,9 @@ class PlanAudit extends SparkSpec {
     "text_boilerplate" -> 6,     // shingle df agg + join back + per-doc agg
     "text_shard_assign" -> 3,    // one 16-key agg + orderBy
     "dedup_incremental" -> 6,    // bloom-prefiltered verify join + per-doc agg
-    "q_transitive_closure" -> 6) // persisted closure + subset filter + orderBy
+    "q_transitive_closure" -> 6, // persisted closure + subset filter + orderBy
+    "q_grouping_sets" -> 3,      // one Expand + single agg (broadcast dim join)
+    "q_pagerank" -> 3)           // checkpointed final ranks + filter + orderBy
 
   // Queries whose ONLY nested-loop join is the recall/bound gate's
   // crossJoin against a one-row aggregate (a broadcast of a scalar —
