@@ -599,6 +599,32 @@ object Relational {
              |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_cents
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // Time-RANGE window frame (the value-range sibling of the ROWS
+    // frame above): a true trailing 30-day window per customer —
+    // frame membership depends on the ORDER BY value, not row offsets,
+    // so ties and gaps behave correctly. Spark gets the interval as an
+    // epoch-second range; DuckDB as a native INTERVAL RANGE frame.
+    QueryDef("q_range_frame",
+      (spark, sf) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          // NTZ → UTC timestamp → epoch seconds (session TZ pinned UTC)
+          .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+          .rangeBetween(-30L * 86400, 0)
+        load(spark, sf, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            count(lit(1)).over(w).as("n_last_30d"),
+            sum(cents(col("o_totalprice"))).over(w).as("cents_30d"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  CAST(COUNT(*) OVER w AS BIGINT) AS n_last_30d,
+             |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER w AS BIGINT) AS cents_30d
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Forward as-of: each error matched to the EARLIEST signup at or
     // after it per user (the "next event" direction) — same union +
     // window shape, time order reversed; verified against DuckDB's

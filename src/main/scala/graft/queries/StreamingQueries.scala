@@ -392,6 +392,44 @@ object StreamingQueries {
              |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
              |FROM scored GROUP BY 1 ORDER BY keep""".stripMargin)),
 
+    // Streaming twin of the count-min sketch: the same Aggregator runs
+    // as a complete-mode streaming aggregate, monitoring the live token
+    // stream's counts for a watchlist derived from the historical
+    // (batch) top-20 — the standard sketch-on-stream deployment. Same
+    // in-query error-bound gate as text_countmin; the oracle is the
+    // batch-exact side.
+    QueryDef("stream_countmin",
+      (spark, sf) => {
+        val batchToks = spark.read.parquet(path(sf, "documents"))
+          .select(explode(split(col("text"), " ")).as("tok"))
+        val exact = batchToks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+        val top = exact.orderBy(desc("exact_cnt"), col("tok")).limit(20)
+        val words = top.collect().map(_.getString(0)).toSeq
+        val schema = spark.read.parquet(path(sf, "documents")).schema
+        val stream = spark.readStream.schema(schema)
+          .parquet(stagedDir(spark, sf, "documents"))
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .agg(graft.ops.Sketches.countMinUdaf(4, 1024, words)(col("tok")).as("ests"))
+        val table = s"stream_cm_${counter.incrementAndGet()}"
+        val q = stream.writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        val ests = spark.table(table)
+          .select(explode(col("ests")).as("e"))
+          .select(col("e._1").as("tok"), col("e._2").as("est_cnt"))
+        val total = exact.agg(sum(col("exact_cnt")).as("n_total"))
+        top.join(ests, Seq("tok"))
+          .crossJoin(broadcast(total))
+          .filter(col("est_cnt") >= col("exact_cnt") &&
+            col("est_cnt") <= col("exact_cnt") +
+              ceil(col("n_total") * (3.0 * math.E / 1024)).cast("long"))
+          .select(col("tok"), col("exact_cnt"))
+          .orderBy(desc("exact_cnt"), col("tok"))
+      },
+      Some("""SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+             |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |GROUP BY tok ORDER BY exact_cnt DESC, tok LIMIT 20""".stripMargin)),
+
     // Streaming twin of the BPE encoder: the identical typed flatMap
     // (merges broadcast once) runs unchanged inside micro-batches —
     // tokenize-as-data-arrives, the ingestion-time shape of a training
