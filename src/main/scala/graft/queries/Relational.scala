@@ -599,6 +599,44 @@ object Relational {
              |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_cents
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // Running DISTINCT count per window — Spark (like most engines)
+    // rejects COUNT(DISTINCT) OVER, so the engine composes it: a lag
+    // over (customer, ORDER BY priority, date) flags the time-earliest
+    // row of each priority, then a running sum of flags in time order.
+    // Both windows partition on o_custkey alone — deliberately NOT
+    // (custkey, priority) row_number, which would force a second
+    // exchange: here the two window operators differ only in sort, so
+    // they share ONE shuffle. DuckDB replays the identical composition.
+    QueryDef("q_running_distinct",
+      (spark, sf) => {
+        val byPrio = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderpriority"), col("o_orderdate"), col("o_orderkey"))
+        val running = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        load(spark, sf, "orders")
+          .withColumn("first_seen",
+            when(lag(col("o_orderpriority"), 1).over(byPrio).isNull ||
+              lag(col("o_orderpriority"), 1).over(byPrio) =!= col("o_orderpriority"),
+              1L).otherwise(0L))
+          .select(col("o_orderkey"), col("o_custkey"),
+            sum(col("first_seen")).over(running).as("distinct_priorities_so_far"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH flagged AS (
+             |  SELECT o_orderkey, o_custkey, o_orderdate,
+             |    CASE WHEN LAG(o_orderpriority) OVER w IS NULL
+             |           OR LAG(o_orderpriority) OVER w <> o_orderpriority
+             |      THEN 1 ELSE 0 END AS first_seen
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_custkey
+             |    ORDER BY o_orderpriority, o_orderdate, o_orderkey))
+             |SELECT o_orderkey, o_custkey,
+             |  CAST(SUM(first_seen) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS distinct_priorities_so_far
+             |FROM flagged ORDER BY o_orderkey""".stripMargin)),
+
     // Time-RANGE window frame (the value-range sibling of the ROWS
     // frame above): a true trailing 30-day window per customer —
     // frame membership depends on the ORDER BY value, not row offsets,
