@@ -87,4 +87,37 @@ object Embeddings {
     */
   def projectSigned(vec: Column, outDim: Int, scale: Int = 10000): Column =
     graft.functions.SignedProjection(vec, outDim, scale)
+
+  /** Element-wise vector sum as a typed Aggregator — the grouped
+    * "centroid numerator" primitive (per-label/per-cluster mean = sum
+    * div count). The aggregation state is ONE long[] per group per
+    * partition, so shuffle traffic is groups × d longs; the textbook
+    * posexplode+groupBy formulation multiplies every row by d before
+    * the exchange — a 64× row blow-up at embedding widths. Integer
+    * input (e.g. [[quantizeInt8]] vectors) keeps the sums
+    * aggregation-order-independent, hence exactly oracle-able.
+    */
+  final class SumIntVectors
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Int], Array[Long], Seq[Long]] {
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(b: Array[Long], v: Seq[Int]): Array[Long] = {
+      val a = if (b.length == 0) new Array[Long](v.length) else b
+      var i = 0
+      while (i < v.length && i < a.length) { a(i) += v(i); i += 1 }
+      a
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      if (a.length == 0) b
+      else if (b.length == 0) a
+      else { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a }
+    def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.Encoders.kryo[Array[Long]]
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Untyped-DataFrame form of [[SumIntVectors]]. */
+  def sumIntVectorsUdaf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new SumIntVectors)
 }

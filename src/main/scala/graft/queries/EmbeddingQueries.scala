@@ -81,5 +81,36 @@ object EmbeddingQueries {
              |  FROM v, range(16) r(j), range(64) s(i))
              |SELECT vec_id, j, CAST(SUM(q) AS BIGINT) AS proj
              |FROM cell GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin)),
+
+    // Grouped centroid sums (the per-label mean-embedding numerator):
+    // int8-quantized vectors summed element-wise by a typed Aggregator
+    // whose state is one long[64] per group per partition — shuffle
+    // traffic is groups × d longs where the posexplode+groupBy textbook
+    // form would multiply every row by d BEFORE the exchange. The final
+    // posexplode runs on the handful of aggregated rows. Integer sums
+    // are order-independent, so DuckDB replays the quantization and
+    // per-(label, dim) sums exactly.
+    QueryDef("emb_label_centroids",
+      (spark, sf) => {
+        val q = Embeddings.quantizeInt8(col("embedding"))
+        load(spark, sf, "embeddings")
+          .select(col("label"), q.as("qv"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            Embeddings.sumIntVectorsUdaf(col("qv")).as("sums"))
+          .select(col("label"), col("n_vecs"),
+            posexplode(col("sums")).as(Seq("dim", "sum_q")))
+          .orderBy(col("label"), col("dim"))
+      },
+      Some("""WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+             |m AS (SELECT label, e, list_max(list_transform(e, x -> abs(x))) ma FROM v),
+             |q AS (SELECT label, list_transform(e, x ->
+             |    CASE WHEN ma = 0 THEN 0 ELSE CAST(round(x * 127.0 / ma) AS BIGINT) END) ql
+             |  FROM m),
+             |cell AS (SELECT label, i AS dim, ql[i + 1] AS qval
+             |  FROM q, range(64) r(i))
+             |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs, CAST(dim AS INT) AS dim,
+             |  CAST(SUM(qval) AS BIGINT) AS sum_q
+             |FROM cell GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
   )
 }

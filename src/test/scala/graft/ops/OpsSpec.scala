@@ -668,6 +668,20 @@ class OpsSpec extends SparkSpec {
       (4L, 5L) -> 1, (5L, 4L) -> 1, (4L, 4L) -> 2, (5L, 5L) -> 2))
   }
 
+  test("vector-sum aggregator equals the explode formulation, any partitioning") {
+    val q = Embeddings.quantizeInt8(col("embedding"))
+    def viaAgg(parts: Int) = emb.repartition(parts)
+      .select(col("label"), q.as("qv"))
+      .groupBy("label").agg(Embeddings.sumIntVectorsUdaf(col("qv")).as("s"))
+      .select(col("label"), posexplode(col("s")).as(Seq("dim", "sum_q")))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val viaExplode = emb.select(col("label"), posexplode(q).as(Seq("dim", "qv")))
+      .groupBy("label", "dim").agg(sum(col("qv")).as("sum_q"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(viaAgg(5) == viaExplode)
+    assert(viaAgg(1) == viaExplode)
+  }
+
   test("integer PageRank: hand-computed two rounds, bit-exact") {
     val edges = spark.createDataFrame(Seq((1L, 2L), (1L, 3L), (2L, 3L)))
       .toDF("src", "dst")

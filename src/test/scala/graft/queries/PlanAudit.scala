@@ -46,7 +46,8 @@ class PlanAudit extends SparkSpec {
     "q_grouping_sets" -> 3,      // one Expand + single agg (broadcast dim join)
     "q_pagerank" -> 3,           // checkpointed final ranks + filter + orderBy
     "q_range_frame" -> 3,        // one window exchange + orderBy
-    "q_running_distinct" -> 3)   // two sorts, ONE shared custkey exchange + orderBy
+    "q_running_distinct" -> 3,   // two sorts, ONE shared custkey exchange + orderBy
+    "emb_label_centroids" -> 3)  // one label agg exchange (explode AFTER agg) + orderBy
 
   // Queries whose ONLY nested-loop join is the recall/bound gate's
   // crossJoin against a one-row aggregate (a broadcast of a scalar —
