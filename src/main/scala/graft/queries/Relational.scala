@@ -599,6 +599,47 @@ object Relational {
              |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_cents
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // SCD type-2 history construction: collapse a change-event stream
+    // (each order carries the customer's then-current priority) into
+    // versioned dimension rows with [valid_from, valid_to) intervals —
+    // change detection by lag, interval close by lead, version by
+    // row_number. All three windows hash on the customer key alone
+    // (they differ only in the post-filter), so the plan carries ONE
+    // exchange; the latest-per-key query is the degenerate single-
+    // version case of this shape.
+    QueryDef("q_scd2_history",
+      (spark, sf) => {
+        val byTime = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val changes = load(spark, sf, "orders")
+          .withColumn("prev", lag(col("o_orderpriority"), 1).over(byTime))
+          .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+        val byVersion = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        changes
+          .select(col("o_custkey"), col("o_orderpriority").as("priority"),
+            col("o_orderdate").cast("timestamp").as("valid_from"),
+            lead(col("o_orderdate"), 1).over(byVersion).cast("timestamp").as("valid_to"),
+            row_number().over(byVersion).as("version"))
+          .orderBy(col("o_custkey"), col("version"))
+      },
+      Some("""WITH changes AS (
+             |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+             |  FROM (
+             |    SELECT *, LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS prev
+             |    FROM orders)
+             |  WHERE prev IS NULL OR prev <> o_orderpriority)
+             |SELECT o_custkey, o_orderpriority AS priority,
+             |  o_orderdate AS valid_from,
+             |  LEAD(o_orderdate) OVER w AS valid_to,
+             |  CAST(ROW_NUMBER() OVER w AS INT) AS version
+             |FROM changes
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, version""".stripMargin)),
+
     // Running DISTINCT count per window — Spark (like most engines)
     // rejects COUNT(DISTINCT) OVER, so the engine composes it: a lag
     // over (customer, ORDER BY priority, date) flags the time-earliest
