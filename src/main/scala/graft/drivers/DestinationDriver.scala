@@ -189,6 +189,32 @@ final class ParquetDestinationDriver(
     }
   }
 
+  /** Time travel: read a specific retained generation directly —
+    * generation directories survive until an explicit vacuum, and the
+    * `_CURRENT` pointer only names the newest, so every older snapshot
+    * stays readable at zero storage cost beyond what the sink already
+    * keeps. The lakehouse pattern: audits and incremental diffs read
+    * `gen N-1` while writers append `gen N+1`.
+    */
+  def snapshotAt(spark: SparkSession, spec: MigrationSpec, gen: Long): Option[DataFrame] = {
+    val base = UriSchemes.path(spec.destination)
+    val dir = new org.apache.hadoop.fs.Path(base, s"gen$gen")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) Some(spark.read.parquet(dir.toString)) else None
+  }
+
+  /** Retained generation numbers, oldest first. */
+  def generations(spark: SparkSession, spec: MigrationSpec): Seq[Long] = {
+    val base = new org.apache.hadoop.fs.Path(UriSchemes.path(spec.destination))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("gen\\d+"))
+      .map(_.stripPrefix("gen").toLong)
+      .sorted
+  }
+
   def write(df: DataFrame, spec: MigrationSpec): Unit = {
     val spark = df.sparkSession
     val base = UriSchemes.path(spec.destination)

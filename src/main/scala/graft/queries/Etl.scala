@@ -98,6 +98,41 @@ object Etl {
              |ORDER BY id""".stripMargin),
       bench = true),
 
+    // Generation time travel (engine-native lakehouse extension): the
+    // parquet sink's retained generations stay readable after the
+    // pointer flips, so an audit can read the pre-run snapshot (gen0),
+    // the post-run snapshot (gen1) and their keyed diff — without any
+    // extra storage beyond what the sink already keeps. The diff join
+    // identifies exactly the upsert-updated rows.
+    QueryDef("etl_time_travel",
+      (spark, sf) => {
+        val (_, _, _, spec) = upsertScenario(spark, sf)
+        val dest = new ParquetDestinationDriver
+        val g0 = dest.snapshotAt(spark, spec, 0).get
+        val g1 = dest.snapshotAt(spark, spec, 1).get
+        val stats = (df: DataFrame, tag: String) => df.agg(
+          lit(tag).as("tag"), count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+        val updated = g0.select(col("id"), col("marker").as("m0"))
+          .join(g1.select(col("id"), col("marker").as("m1")), "id")
+          .filter(col("m0") =!= col("m1"))
+        stats(g0, "gen0")
+          .unionByName(stats(g1, "gen1"))
+          .unionByName(stats(updated, "updated"))
+          .orderBy(col("tag"))
+      },
+      Some("""WITH g0 AS (
+             |  SELECT c_custkey AS id FROM customer WHERE c_custkey % 3 = 0),
+             |g1 AS (
+             |  SELECT c_custkey AS id FROM customer
+             |  WHERE c_custkey % 2 = 0 OR c_custkey % 3 = 0),
+             |updated AS (
+             |  SELECT c_custkey AS id FROM customer WHERE c_custkey % 6 = 0)
+             |SELECT 'gen0' AS tag, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(id) AS BIGINT) AS id_sum FROM g0
+             |UNION ALL SELECT 'gen1', COUNT(*), CAST(SUM(id) AS BIGINT) FROM g1
+             |UNION ALL SELECT 'updated', COUNT(*), CAST(SUM(id) AS BIGINT) FROM updated
+             |ORDER BY tag""".stripMargin)),
+
     // §2.3 orphan detection (left_anti): destination rows whose source
     // disappeared (`DataMigrationExecutor.php:368-382`).
     QueryDef("etl_orphan_detect",
