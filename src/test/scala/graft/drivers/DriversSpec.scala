@@ -68,6 +68,11 @@ class DriversSpec extends SparkSpec {
     // both generations exist on disk; pointer names the latest
     assert(new java.io.File(s"$dir/out/gen0").exists())
     assert(new java.io.File(s"$dir/out/gen1").exists())
+    // time travel: the pre-overwrite snapshot stays readable by number
+    assert(d.generations(spark, s) == Seq(0L, 1L))
+    val g0 = d.snapshotAt(spark, s, 0).get.collect()
+    assert(g0.map(_.getString(1)).toSeq == Seq("a"))
+    assert(d.snapshotAt(spark, s, 7).isEmpty)
   }
 
   test("writePartitions compacts each generation to N files") {
