@@ -182,4 +182,41 @@ class PropertySpec extends SparkSpec {
       assert(out.map(_.getLong(2)).sum == docs.size, "group sizes partition the corpus")
     }
   }
+
+  test("property: BPE encode reconstructs the word and never exceeds its length") {
+    import graft.ops.Subword
+    val wordGen = for {
+      n <- Gen.choose(1, 24)
+      cs <- Gen.listOfN(n, Gen.alphaLowerChar)
+    } yield cs.mkString
+    samples(wordGen, 200).foreach { w =>
+      val pieces = Subword.encodeBpe(w, Subword.DefaultMerges)
+      assert(pieces.mkString == w, s"round-trip failed for $w")
+      assert(pieces.nonEmpty && pieces.size <= w.length)
+      // merges only ever concatenate adjacent pieces: every piece is a
+      // contiguous substring of the word at its own offset
+      val offsets = pieces.scanLeft(0)(_ + _.length)
+      pieces.zip(offsets).foreach { case (p, off) =>
+        assert(w.substring(off, off + p.length) == p)
+      }
+    }
+  }
+
+  test("property: hex shard is stable, in [0,16), and salt-sensitive") {
+    import graft.ops.TextOps
+    import spark.implicits._
+    val ids = samples(Gen.choose(0L, 1000000L), 300).distinct
+    val df = ids.toDF("id")
+    val s1 = df.select(col("id"), TextOps.hexShard(col("id"), "a").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val s2 = df.repartition(7)
+      .select(col("id"), TextOps.hexShard(col("id"), "a").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(s1 == s2, "placement is partitioning-independent")
+    assert(s1.values.forall(s => s >= 0 && s < 16))
+    assert(s1.values.toSet.size > 8, "spread over most shards")
+    val salted = df.select(col("id"), TextOps.hexShard(col("id"), "b").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(salted != s1, "salt changes the draw")
+  }
 }
