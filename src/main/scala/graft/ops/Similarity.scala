@@ -201,6 +201,97 @@ object Similarity {
     *
     * Deterministic: seeded hash-order init, fixed Lloyd iterations.
     */
+  private[ops] def pqSub(v: Array[Float], s: Int, dsub: Int): Array[Double] = {
+    val out = new Array[Double](dsub)
+    var j = 0; while (j < dsub) { out(j) = v(s * dsub + j).toDouble; j += 1 }
+    out
+  }
+
+  private[ops] def pqNearestSub(
+      v: Array[Float], s: Int, dsub: Int, cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c); var d = 0.0; var j = 0
+      while (j < dsub) { val x = v(s * dsub + j) - ct(j); d += x * x; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Per-subspace Lloyd training of the PQ codebook (m × ksubEff × dsub).
+    * Deterministic init: up to `ksub` sample vectors in hash order seed
+    * every subspace's codebook; a corpus smaller than `ksub` just trains
+    * a smaller codebook (indexing with the declared ksub would crash).
+    * One distributed pass per iteration; only codebook-sized state
+    * reaches the driver.
+    */
+  private[ops] def trainPqCodebook(
+      vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])], idCol: String,
+      m: Int, ksub: Int, iterations: Int, dsub: Int): Array[Array[Array[Double]]] = {
+    import vecs.sparkSession.implicits._
+    val sample = vecs.toDF(idCol, "v").orderBy(xxhash64(col(idCol)))
+      .limit(ksub).as[(Long, Array[Float])].collect().map(_._2)
+    require(sample.nonEmpty, "PQ training requires a non-empty corpus")
+    var codebook: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => sample.map(v => pqSub(v, s, dsub)))
+    (1 to iterations).foreach { _ =>
+      val cb = codebook
+      val sums = vecs.flatMap { case (_, v) =>
+        (0 until m).map(s => ((s, pqNearestSub(v, s, dsub, cb(s))), (pqSub(v, s, dsub), 1L)))
+      }.rdd.reduceByKey { (a, b) =>
+        var j = 0; while (j < a._1.length) { a._1(j) += b._1(j); j += 1 }
+        (a._1, a._2 + b._2)
+      }.collect()
+      val next = codebook.map(_.clone()) // empty clusters keep their centroid
+      sums.foreach { case ((s, c), (vsum, n)) => next(s)(c) = vsum.map(_ / n) }
+      codebook = next
+    }
+    codebook
+  }
+
+  /** Per-query ADC table (`dot(q_sub, centroid)` for every
+    * subspace×centroid — m·ksubEff doubles, built once per query) plus
+    * the query norm.
+    */
+  private[ops] def adcQueryTab(
+      v: Array[Float], cb: Array[Array[Array[Double]]],
+      m: Int, ksubEff: Int, dsub: Int): (Array[Double], Double) = {
+    val tab = new Array[Double](m * ksubEff)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ksubEff) {
+        val ct = cb(s)(c); var d = 0.0; var j = 0
+        while (j < dsub) { d += v(s * dsub + j) * ct(j); j += 1 }
+        tab(s * ksubEff + c) = d; c += 1
+      }
+      s += 1
+    }
+    var n2 = 0.0; var j = 0
+    while (j < v.length) { n2 += v(j).toDouble * v(j); j += 1 }
+    (tab, math.sqrt(n2))
+  }
+
+  /** Codegen'd ADC approximate-cosine column over rows carrying `code`
+    * (corpus PQ codes), `qtab` and `qnorm`: O(m) `element_at` lookups
+    * per pair instead of a dim-wide dot product.
+    */
+  private def adcSim(cb: Array[Array[Array[Double]]],
+      m: Int, ksubEff: Int, dsub: Int): Column = {
+    // per-centroid squared norms (corpus-side ADC norm term) — a literal
+    val csq: Seq[Double] = (0 until m * ksubEff).map { i =>
+      val ct = cb(i / ksubEff)(i % ksubEff); var s2 = 0.0; var j = 0
+      while (j < dsub) { s2 += ct(j) * ct(j); j += 1 }; s2
+    }
+    val idxs = (0 until m).map(s =>
+      (element_at(col("code"), s + 1) + lit(s * ksubEff) + 1).cast("int"))
+    val qdot = idxs.map(i => element_at(col("qtab"), i)).reduce(_ + _)
+    val cn2 = idxs.map(i => element_at(typedLit(csq), i)).reduce(_ + _)
+    qdot / (col("qnorm") * sqrt(cn2))
+  }
+
   def pqTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
@@ -213,95 +304,84 @@ object Similarity {
     val dim = vecs.head()._2.length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val dsub = dim / m
+    val cb = trainPqCodebook(vecs, idCol, m, ksub, iterations, dsub)
+    val ksubEff = cb(0).length
 
-    def sub(v: Array[Float], s: Int): Array[Double] = {
-      val out = new Array[Double](dsub)
-      var j = 0; while (j < dsub) { out(j) = v(s * dsub + j).toDouble; j += 1 }
-      out
-    }
-    def nearestSub(v: Array[Float], s: Int, cents: Array[Array[Double]]): Int = {
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cents.length) {
-        val ct = cents(c); var d = 0.0; var j = 0
-        while (j < dsub) { val x = v(s * dsub + j) - ct(j); d += x * x; j += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-
-    // deterministic init: up to ksub sample vectors in hash order seed
-    // every subspace's codebook; a corpus smaller than ksub just trains
-    // a smaller codebook (indexing with the declared ksub would crash)
-    val sample = vecs.toDF(idCol, "v").orderBy(xxhash64(col(idCol)))
-      .limit(ksub).as[(Long, Array[Float])].collect().map(_._2)
-    require(sample.nonEmpty, "pqTopK requires a non-empty corpus")
-    val ksubEff = sample.length
-    var codebook: Array[Array[Array[Double]]] =
-      Array.tabulate(m)(s => sample.map(v => sub(v, s)))
-
-    (1 to iterations).foreach { _ =>
-      val cb = codebook
-      val sums = vecs.flatMap { case (_, v) =>
-        (0 until m).map(s => ((s, nearestSub(v, s, cb(s))), (sub(v, s), 1L)))
-      }.rdd.reduceByKey { (a, b) =>
-        var j = 0; while (j < a._1.length) { a._1(j) += b._1(j); j += 1 }
-        (a._1, a._2 + b._2)
-      }.collect()
-      val next = codebook.map(_.clone()) // empty clusters keep their centroid
-      sums.foreach { case ((s, c), (vsum, n)) => next(s)(c) = vsum.map(_ / n) }
-      codebook = next
-    }
-
-    val cb = codebook
     val encoded = vecs.map { case (id, v) =>
-      (id, v, (0 until m).map(s => nearestSub(v, s, cb(s))).toArray)
+      (id, v, (0 until m).map(s => pqNearestSub(v, s, dsub, cb(s))).toArray)
     }.toDF("neighbor_id", "cv", "code")
-
-    // per-centroid squared norms (corpus-side ADC norm term) — a literal
-    val csq: Seq[Double] = (0 until m * ksubEff).map { i =>
-      val ct = cb(i / ksubEff)(i % ksubEff); var s2 = 0.0; var j = 0
-      while (j < dsub) { s2 += ct(j) * ct(j); j += 1 }; s2
-    }
-    // per-query ADC table: dot(q_sub, centroid) for every subspace×centroid
     val qdf = ensureParallelism(queries.select(col(idCol).cast("long"), col(vecCol)))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
-        val tab = new Array[Double](m * ksubEff)
-        var s = 0
-        while (s < m) {
-          var c = 0
-          while (c < ksubEff) {
-            val ct = cb(s)(c); var d = 0.0; var j = 0
-            while (j < dsub) { d += v(s * dsub + j) * ct(j); j += 1 }
-            tab(s * ksubEff + c) = d; c += 1
-          }
-          s += 1
-        }
-        var n2 = 0.0; var j = 0
-        while (j < v.length) { n2 += v(j).toDouble * v(j); j += 1 }
-        (id, v, tab, math.sqrt(n2))
+        val (tab, norm) = adcQueryTab(v, cb, m, ksubEff, dsub)
+        (id, v, tab, norm)
       }.toDF("query_id", "qv", "qtab", "qnorm")
 
-    // ADC scoring: O(m) element_at lookups per pair, all codegen'd
-    val idxs = (0 until m).map(s =>
-      (element_at(col("code"), s + 1) + lit(s * ksubEff) + 1).cast("int"))
-    val qdot = idxs.map(i => element_at(col("qtab"), i)).reduce(_ + _)
-    val cn2 = idxs.map(i => element_at(typedLit(csq), i)).reduce(_ + _)
     // approximate shortlist through the grouped-top-k operator (bounded
     // heaps instead of a full per-query sort of the whole corpus), then
     // exact re-rank of the ≤ k·rerankFactor survivors
     val shortlist = graft.plans.GroupedTopK(
       encoded.crossJoin(broadcast(qdf))
         .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("approx_sim", qdot / (col("qnorm") * sqrt(cn2))),
+        .withColumn("approx_sim", adcSim(cb, m, ksubEff, dsub)),
       keys = Seq("query_id"),
       orderBy = Seq(("approx_sim", false), ("neighbor_id", true)),
       k = k * rerankFactor)
     // training (the collect-heavy loops) is done with the cache; release
     // it rather than pinning a corpus copy for the session lifetime —
     // the returned plan recomputes vecs once when evaluated
+    vecs.unpersist()
+    topKRanked(shortlist.withColumn("sim", cosine(col("qv"), col("cv"))), k)
+  }
+
+  /** IVF + PQ composite — the FAISS-shaped index at full scale: the
+    * coarse quantizer (IVF k-means lists) bounds WHICH vectors are
+    * scored (only `nprobe` of `nlist` lists per query — the join is
+    * keyed on the list id, never a crossJoin), and PQ-ADC bounds HOW
+    * MUCH each scoring costs (m table lookups per pair); the shortlist
+    * re-ranks with exact cosine, so emitted sims are exact. Codes here
+    * quantize the raw vectors rather than list residuals: residual ADC
+    * tables are per-(query, probed list) — nprobe× the table-build
+    * work — while raw-vector tables build once per query and share
+    * across every probed list; at dedup-grade recall bounds the
+    * simpler table wins. Both trainings reuse one cached corpus pass
+    * structure; driver traffic stays centroid/codebook-sized.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16, iterations: Int = 3,
+      rerankFactor: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = ensureParallelism(corpus.select(col(idCol).cast("long"), col(vecCol)))
+      .as[(Long, Array[Float])].persist()
+    val dim = vecs.head()._2.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val cents = kmeansCentroids(vecs, nlist, iterations)
+    val cb = trainPqCodebook(vecs, idCol, m, ksub, iterations, dsub)
+    val ksubEff = cb(0).length
+
+    val encoded = vecs.map { case (id, v) =>
+      (id, v, nearest(v, cents, 1).head,
+        (0 until m).map(s => pqNearestSub(v, s, dsub, cb(s))).toArray)
+    }.toDF("neighbor_id", "cv", "list", "code")
+    val qdf = ensureParallelism(queries.select(col(idCol).cast("long"), col(vecCol)))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val (tab, norm) = adcQueryTab(v, cb, m, ksubEff, dsub)
+        nearest(v, cents, nprobe).map(l => (id, v, tab, norm, l))
+      }.toDF("query_id", "qv", "qtab", "qnorm", "list")
+
+    val shortlist = graft.plans.GroupedTopK(
+      encoded.join(qdf, Seq("list"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("approx_sim", adcSim(cb, m, ksubEff, dsub)),
+      keys = Seq("query_id"),
+      orderBy = Seq(("approx_sim", false), ("neighbor_id", true)),
+      k = k * rerankFactor)
     vecs.unpersist()
     topKRanked(shortlist.withColumn("sim", cosine(col("qv"), col("cv"))), k)
   }

@@ -70,6 +70,21 @@ object SimilarityQueries {
           corpus, queries, "vec_id", "embedding", k = 5,
           m = 16, ksub = 32, rerankFactor = 8)),
       Some(RecallGateOracle)),
+
+    // IVF + PQ composite (the FAISS shape): the coarse quantizer bounds
+    // WHICH vectors get scored (list-keyed join, nprobe of nlist lists —
+    // never a crossJoin), PQ-ADC bounds WHAT each score costs (m table
+    // lookups), exact re-rank on the shortlist. The recall bound sits
+    // below the pure-PQ tier's because the probe restriction compounds
+    // quantization loss — that compounding is the price of the only
+    // configuration whose per-query cost stays sublinear AND
+    // memory-bound at a billion vectors.
+    QueryDef("sim_ann_ivfpq",
+      (spark, sf) => recallGate(spark, sf, k = 5, bound = 0.4)(
+        (corpus, queries) => Similarity.ivfPqTopK(
+          corpus, queries, "vec_id", "embedding", k = 5,
+          nlist = 16, nprobe = 6, m = 16, ksub = 32, rerankFactor = 8)),
+      Some(RecallGateOracle)),
   )
 
   /** Driver-checkable ANN self-check: run the ANN tier, score recall@k
