@@ -626,6 +626,8 @@ class OpsSpec extends SparkSpec {
       Seq((1L, "aa ab"), (2L, "ab aa"), (3L, "ab"))).toDF("doc_id", "text")
     val merges = Subword.bpeTrain(df, "text", numMerges = 5)
     assert(merges == Seq((0, "a", "b", 3L), (1, "a", "a", 2L)))
+    // empty corpus → no merges (argmax finds no pairs on round one)
+    assert(Subword.bpeTrain(df.limit(0), "text", numMerges = 5).isEmpty)
     // distributed encode matches the local encoder row for row
     val enc = Subword.bpeEncode(df, "doc_id", "text", Seq(("a", "b")))
       .orderBy("doc_id", "pos", "piece_pos").collect()

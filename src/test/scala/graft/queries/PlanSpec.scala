@@ -106,6 +106,19 @@ class PlanSpec extends SparkSpec {
       s"no Scala UDF may sit in the prefilter path (breaks codegen fusion):\n$p")
   }
 
+  test("incremental dedup probes the bloom before the shuffle, history never force-broadcast") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val out = graft.ops.Dedup.incrementalDups(
+      docs.filter(col("doc_id") % 5 =!= 4), docs.filter(col("doc_id") % 5 === 4),
+      "text", "doc_id", prefixK = 16, expectedKeys = 100000L)
+    val p = out.queryExecution.executedPlan.toString
+    // the batch side carries the native bloom probe (pre-shuffle prune)
+    assert(p.contains("might_contain"), s"bloom probe missing from the batch scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no quadratic join in the verify path:\n$p")
+  }
+
   test("grouped top-k plans as partial+final TopKPerKeyExec, no Window, no per-group sort") {
     val df = graft.SparkEntry.queries("q_topk_per_key")(spark, Sf)
     df.collect() // materialize through the custom exec
