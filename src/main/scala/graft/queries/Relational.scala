@@ -599,6 +599,27 @@ object Relational {
              |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_cents
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // Explicit join-strategy control (the tuning surface a 100 TB join
+    // needs when the planner's default is wrong): SHUFFLE_HASH hints
+    // both sides into a shuffled-hash join — no sort of either side,
+    // the win over sort-merge when the build side fits executor memory
+    // but is too big to broadcast. Results are strategy-invariant (the
+    // oracle is the plain join); PlanSpec pins the chosen operator.
+    QueryDef("q_join_hints",
+      (spark, sf) => {
+        val li = load(spark, sf, "lineitem")
+        val o = load(spark, sf, "orders").hint("shuffle_hash")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("long")).as("total_qty"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_items,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // SCD type-2 history construction: collapse a change-event stream
     // (each order carries the customer's then-current priority) into
     // versioned dimension rows with [valid_from, valid_to) intervals —

@@ -783,6 +783,39 @@ object TextQueries {
              |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
              |GROUP BY tok ORDER BY exact_cnt DESC, tok LIMIT 20""".stripMargin)),
 
+    // Per-document top terms by the integer tf-idf surrogate (tf DESC,
+    // df ASC, term ASC): "most frequent rare term" ranks exactly like
+    // tf·idf without a float in sight, so the oracle is exact — and the
+    // grouped ranking runs through the engine's own TopKPerKey physical
+    // operator (bounded heaps before the exchange, no per-doc window
+    // sort). One tf aggregation, one broadcast-friendly df join.
+    QueryDef("text_top_terms",
+      (spark, sf) => {
+        val toks = load(spark, sf, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dfreq = toks.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        graft.plans.GroupedTopK(
+            tf.join(dfreq, Seq("term")),
+            keys = Seq("doc_id"),
+            orderBy = Seq(("tf", false), ("df", true), ("term", true)), k = 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"))
+          .orderBy(col("doc_id"), desc("tf"), col("df"), col("term"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             |       FROM toks GROUP BY doc_id, term),
+             |dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+             |          FROM toks GROUP BY term),
+             |ranked AS (
+             |  SELECT doc_id, term, tf, df, ROW_NUMBER() OVER (
+             |    PARTITION BY doc_id ORDER BY tf DESC, df, term) AS rn
+             |  FROM tf JOIN dfreq USING (term))
+             |SELECT doc_id, term, tf, df FROM ranked WHERE rn <= 3
+             |ORDER BY doc_id, tf DESC, df, term""".stripMargin)),
+
     // Corpus-level boilerplate detection: a 3-token shingle's document
     // frequency marks it as template text (nav bars, license headers);
     // each doc reports how much of its distinct-shingle mass is

@@ -106,6 +106,14 @@ class PlanSpec extends SparkSpec {
       s"no Scala UDF may sit in the prefilter path (breaks codegen fusion):\n$p")
   }
 
+  test("join hint selects the shuffled-hash strategy (no sort of either side)") {
+    val df = graft.SparkEntry.queries("q_join_hints")(spark, Sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"),
+      s"SHUFFLE_HASH hint must produce a shuffled-hash join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"hint must override sort-merge:\n$p")
+  }
+
   test("incremental dedup probes the bloom before the shuffle, history never force-broadcast") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
