@@ -48,7 +48,9 @@ class PlanAudit extends SparkSpec {
     "q_range_frame" -> 3,        // one window exchange + orderBy
     "q_running_distinct" -> 3,   // two sorts, ONE shared custkey exchange + orderBy
     "emb_label_centroids" -> 3,  // one label agg exchange (explode AFTER agg) + orderBy
-    "q_scd2_history" -> 3)       // three windows, ONE custkey exchange + orderBy
+    "q_scd2_history" -> 3,       // three windows, ONE custkey exchange + orderBy
+    "text_top_terms" -> 8,       // tf agg + df agg + join + TopKPerKey + orderBy
+    "q_join_hints" -> 4)         // two hash-join exchanges + agg + orderBy
 
   // Queries whose ONLY nested-loop join is the recall/bound gate's
   // crossJoin against a one-row aggregate (a broadcast of a scalar —
