@@ -599,6 +599,90 @@ object Relational {
              |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_cents
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // Statistical outlier detection (z-score per group) with exact
+    // cross-engine determinism: mean and variance derive from INTEGER
+    // cent sums (mean = Σx/n, n²σ² = n·Σx² − (Σx)² — both single
+    // correctly-rounded double ops on identical integers), so the
+    // |x − mean| > 1.5σ comparison evaluates bit-identically in any
+    // engine. Two passes over one grouped aggregate — the profiling
+    // shape, no window needed.
+    QueryDef("q_outlier_zscore",
+      (spark, sf) => {
+        val o = load(spark, sf, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            cents(col("o_totalprice")).as("cents"))
+        // Σx² and n·Σx² − (Σx)² exceed 64 bits — compute them in
+        // decimal(38) (DuckDB: HUGEINT), still exact integers, and
+        // convert to double only for the final comparison.
+        val cdec = col("cents").cast("decimal(19,0)")
+        val stats = o.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+            sum(cdec * cdec).as("s2"))
+        o.join(broadcast(stats), Seq("o_orderpriority"))
+          .filter(
+            abs(col("cents") * col("n") - col("s")).cast("double") >
+              lit(1.5) * sqrt(
+                (col("n").cast("decimal(38,0)") * col("s2") -
+                  col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)"))
+                  .cast("double")))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_outliers"), sum(col("cents")).as("outlier_cents"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_orderpriority,
+             |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+             |stats AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(cents) AS BIGINT) AS s,
+             |    SUM(CAST(cents AS HUGEINT) * cents) AS s2
+             |  FROM o GROUP BY o_orderpriority)
+             |SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_outliers,
+             |  CAST(SUM(cents) AS BIGINT) AS outlier_cents
+             |FROM o JOIN stats USING (o_orderpriority)
+             |WHERE CAST(abs(cents*n - s) AS DOUBLE) >
+             |  1.5 * sqrt(CAST(CAST(n AS HUGEINT)*s2 - CAST(s AS HUGEINT)*s AS DOUBLE))
+             |GROUP BY o.o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Column-profile summary (the data-quality report a pipeline runs
+    // before training): per column null count, distinct count, and
+    // integer min/max — one pass, one aggregate row per column via a
+    // stack unpivot of the per-column aggregates.
+    QueryDef("q_profile_stats",
+      (spark, sf) => {
+        val e = load(spark, sf, "events")
+        val agg = e.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("user_id").isNull.cast("long")).as("nulls_user"),
+          countDistinct(col("user_id")).as("distinct_user"),
+          min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
+          sum(col("event_type").isNull.cast("long")).as("nulls_type"),
+          countDistinct(col("event_type")).as("distinct_type"),
+          sum(col("value").isNull.cast("long")).as("nulls_value"),
+          countDistinct(col("event_id")).as("distinct_event"))
+        agg.select(expr(
+          """stack(3,
+            |  'user_id', n_rows, nulls_user, distinct_user, min_user, max_user,
+            |  'event_type', n_rows, nulls_type, distinct_type, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+            |  'event_id', n_rows, nulls_value, distinct_event, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))
+            |AS (col_name, n_rows, n_nulls, n_distinct, min_val, max_val)""".stripMargin))
+          .orderBy(col("col_name"))
+      },
+      Some("""WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) n_rows,
+             |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) nu,
+             |  CAST(COUNT(DISTINCT user_id) AS BIGINT) du,
+             |  MIN(user_id) minu, MAX(user_id) maxu,
+             |  CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) nt,
+             |  CAST(COUNT(DISTINCT event_type) AS BIGINT) dt,
+             |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) nv,
+             |  CAST(COUNT(DISTINCT event_id) AS BIGINT) de
+             |  FROM events)
+             |SELECT 'event_id' AS col_name, n_rows, nv AS n_nulls, de AS n_distinct,
+             |  CAST(NULL AS BIGINT) AS min_val, CAST(NULL AS BIGINT) AS max_val FROM a
+             |UNION ALL
+             |SELECT 'event_type', n_rows, nt, dt, NULL, NULL FROM a
+             |UNION ALL
+             |SELECT 'user_id', n_rows, nu, du, minu, maxu FROM a
+             |ORDER BY col_name""".stripMargin)),
+
     // Explicit join-strategy control (the tuning surface a 100 TB join
     // needs when the planner's default is wrong): SHUFFLE_HASH hints
     // both sides into a shuffled-hash join — no sort of either side,

@@ -50,7 +50,9 @@ class PlanAudit extends SparkSpec {
     "emb_label_centroids" -> 3,  // one label agg exchange (explode AFTER agg) + orderBy
     "q_scd2_history" -> 3,       // three windows, ONE custkey exchange + orderBy
     "text_top_terms" -> 8,       // tf agg + df agg + join + TopKPerKey + orderBy
-    "q_join_hints" -> 4)         // two hash-join exchanges + agg + orderBy
+    "q_join_hints" -> 4,         // two hash-join exchanges + agg + orderBy
+    "q_outlier_zscore" -> 5,     // stats agg + broadcast join back + outlier agg
+    "q_profile_stats" -> 4)      // one multi-distinct aggregate + unpivot
 
   // Queries whose ONLY nested-loop join is the recall/bound gate's
   // crossJoin against a one-row aggregate (a broadcast of a scalar —
