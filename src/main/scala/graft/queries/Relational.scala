@@ -656,13 +656,14 @@ object Relational {
           min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
           sum(col("event_type").isNull.cast("long")).as("nulls_type"),
           countDistinct(col("event_type")).as("distinct_type"),
-          sum(col("value").isNull.cast("long")).as("nulls_value"),
-          countDistinct(col("event_id")).as("distinct_event"))
+          sum(col("event_id").isNull.cast("long")).as("nulls_event"),
+          countDistinct(col("event_id")).as("distinct_event"),
+          min(col("event_id")).as("min_event"), max(col("event_id")).as("max_event"))
         agg.select(expr(
           """stack(3,
             |  'user_id', n_rows, nulls_user, distinct_user, min_user, max_user,
             |  'event_type', n_rows, nulls_type, distinct_type, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-            |  'event_id', n_rows, nulls_value, distinct_event, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))
+            |  'event_id', n_rows, nulls_event, distinct_event, min_event, max_event)
             |AS (col_name, n_rows, n_nulls, n_distinct, min_val, max_val)""".stripMargin))
           .orderBy(col("col_name"))
       },
@@ -672,11 +673,12 @@ object Relational {
              |  MIN(user_id) minu, MAX(user_id) maxu,
              |  CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) nt,
              |  CAST(COUNT(DISTINCT event_type) AS BIGINT) dt,
-             |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) nv,
-             |  CAST(COUNT(DISTINCT event_id) AS BIGINT) de
+             |  CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) ne,
+             |  CAST(COUNT(DISTINCT event_id) AS BIGINT) de,
+             |  MIN(event_id) mine, MAX(event_id) maxe
              |  FROM events)
-             |SELECT 'event_id' AS col_name, n_rows, nv AS n_nulls, de AS n_distinct,
-             |  CAST(NULL AS BIGINT) AS min_val, CAST(NULL AS BIGINT) AS max_val FROM a
+             |SELECT 'event_id' AS col_name, n_rows, ne AS n_nulls, de AS n_distinct,
+             |  mine AS min_val, maxe AS max_val FROM a
              |UNION ALL
              |SELECT 'event_type', n_rows, nt, dt, NULL, NULL FROM a
              |UNION ALL
