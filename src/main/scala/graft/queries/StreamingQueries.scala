@@ -392,6 +392,52 @@ object StreamingQueries {
              |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
              |FROM scored GROUP BY 1 ORDER BY keep""".stripMargin)),
 
+    // Streaming twin of the z-score outlier gate — the live-monitoring
+    // deployment: per-type mean/σ come from the historical (batch) side
+    // in exact integer milli-units, broadcast into every micro-batch,
+    // and the stream flags arriving events beyond 1.5σ. Same 128-bit
+    // integer discipline as q_outlier_zscore, so the oracle is exact.
+    QueryDef("stream_outlier",
+      (spark, sf) => {
+        val milli = (c: org.apache.spark.sql.Column) =>
+          round(c * 1000).cast("long")
+        val batch = spark.read.parquet(path(sf, "events"))
+          .select(col("event_type"), milli(col("value")).as("v"))
+        val vdec = col("v").cast("decimal(19,0)")
+        val stats = batch.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+            sum(vdec * vdec).as("s2"))
+        val schema = spark.read.parquet(path(sf, "events")).schema
+        val stream = spark.readStream.schema(schema)
+          .parquet(stagedDir(spark, sf, "events"))
+          .select(col("event_type"), milli(col("value")).as("v"))
+          .join(broadcast(stats), Seq("event_type"))
+          .filter(
+            abs(col("v") * col("n") - col("s")).cast("double") >
+              lit(1.5) * sqrt(
+                (col("n").cast("decimal(38,0)") * col("s2") -
+                  col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)"))
+                  .cast("double")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_outliers"), sum(col("v")).as("outlier_milli"))
+        val table = s"stream_out_${counter.incrementAndGet()}"
+        val q = stream.writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        spark.table(table).orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(ROUND(value*1000) AS BIGINT) AS v FROM events),
+             |stats AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(v) AS BIGINT) AS s, SUM(CAST(v AS HUGEINT)*v) AS s2
+             |  FROM e GROUP BY event_type)
+             |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_outliers,
+             |  CAST(SUM(v) AS BIGINT) AS outlier_milli
+             |FROM e JOIN stats USING (event_type)
+             |WHERE CAST(abs(v*n - s) AS DOUBLE) >
+             |  1.5 * sqrt(CAST(CAST(n AS HUGEINT)*s2 - CAST(s AS HUGEINT)*s AS DOUBLE))
+             |GROUP BY e.event_type ORDER BY event_type""".stripMargin)),
+
     // Streaming twin of the count-min sketch: the same Aggregator runs
     // as a complete-mode streaming aggregate, monitoring the live token
     // stream's counts for a watchlist derived from the historical
