@@ -67,6 +67,10 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"repetition_ratio expects (text[, k]), got ${other.size} arguments")
       }),
+    ("within_edit1",
+      info("within_edit1",
+        "within_edit1(a, b) - true iff levenshtein(a, b) <= 1, in one linear walk"),
+      (es: Seq[Expression]) => WithinEdit1(es(0), es(1))),
     ("signed_projection",
       info("signed_projection",
         "signed_projection(vec, outDim, scale) - integer signed random projection"),

@@ -464,7 +464,9 @@ object Dedup {
     val r = keyed.select(col("term").as("term_b"), col("df").as("df_b"), col("k"))
     l.join(r, Seq("k")).filter(col("term_a") < col("term_b"))
       .select("term_a", "term_b", "df_a", "df_b").distinct()
-      .filter(levenshtein(col("term_a"), col("term_b")) <= 1)
+      // native one-walk bounded check instead of the full O(n·m)
+      // Levenshtein DP compared to 1 afterwards — identical semantics
+      .filter(graft.functions.WithinEdit1(col("term_a"), col("term_b")))
   }
 
   /** Leading-window fingerprint: md5 of the first `k` whitespace tokens —

@@ -132,4 +132,28 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12)
     assert(out(1).isNullAt(0))
   }
+
+  test("within_edit1 equals levenshtein <= 1 on exhaustive pairs incl. multibyte; SQL-callable") {
+    import spark.implicits._
+    // exhaustive small alphabet: every pair of strings over {a,b,é} up
+    // to length 3 (é is 2 UTF-8 bytes — exercises the non-ASCII fallback)
+    val alphabet = Seq("a", "b", "é")
+    val strings = "" +: (1 to 3).flatMap(n =>
+      Seq.fill(n)(alphabet).foldLeft(Seq(""))((acc, cs) =>
+        acc.flatMap(p => cs.map(p + _))))
+    val pairs = for (x <- strings; y <- strings) yield (x, y)
+    val df = pairs.toDF("x", "y")
+    val out = df.select(col("x"), col("y"),
+        WithinEdit1(col("x"), col("y")).as("fast"),
+        (levenshtein(col("x"), col("y")) <= 1).as("exact"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getBoolean(2) == r.getBoolean(3),
+        s"mismatch for ('${r.getString(0)}', '${r.getString(1)}')")
+    }
+    graft.functions.GraftFunctions.register(spark)
+    df.limit(1).createOrReplaceTempView("we1_test")
+    assert(!spark.sql("SELECT within_edit1('abc', 'bbd')").head().getBoolean(0))
+    assert(spark.sql("SELECT within_edit1('abc', 'abcd')").head().getBoolean(0))
+  }
 }
