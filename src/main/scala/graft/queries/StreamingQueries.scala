@@ -392,6 +392,32 @@ object StreamingQueries {
              |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
              |FROM scored GROUP BY 1 ORDER BY keep""".stripMargin)),
 
+    // Streaming twin of the space-saving heavy hitters: the bounded-
+    // memory top-k Aggregator runs as a complete-mode streaming
+    // aggregate over the live token stream — with capacity ≫ k the
+    // frequent items' counts are exact (error ≤ N/capacity), so the
+    // result hash-matches the batch-exact oracle like its batch twin.
+    QueryDef("stream_heavy_hitters",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "documents")).schema
+        val words = spark.readStream.schema(schema)
+          .parquet(stagedDir(spark, sf, "documents"))
+          .select(explode(split(col("text"), " ")).as("word"))
+        val agg = words.agg(
+          graft.ops.Sketches.topKUdaf(256, 10)(col("word")).as("topk"))
+        val table = s"stream_hh_${counter.incrementAndGet()}"
+        val q = agg.writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        spark.table(table)
+          .select(explode(col("topk")).as("kv"))
+          .select(col("kv._1").as("word"), col("kv._2").as("cnt"))
+          .orderBy(col("cnt").desc, col("word"))
+      },
+      Some("""SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+             |  SELECT UNNEST(string_split(text, ' ')) AS word FROM documents) t
+             |GROUP BY word ORDER BY cnt DESC, word LIMIT 10""".stripMargin)),
+
     // Streaming twin of the z-score outlier gate — the live-monitoring
     // deployment: per-type mean/σ come from the historical (batch) side
     // in exact integer milli-units, broadcast into every micro-batch,
