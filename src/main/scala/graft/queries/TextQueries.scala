@@ -927,6 +927,26 @@ object TextQueries {
              |FROM g JOIN m USING (doc_id)
              |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Video-shaped frame sampling over a REAL multi-frame codec: the JDK
+    // ships no MP4 decoder, but its GIF reader is a genuine animated
+    // container codec — synthetic multi-frame GIFs round-trip exactly
+    // (palette, constant frames), so strided frame extraction runs
+    // decode-for-real with closed-form per-frame oracles, upgrading the
+    // last synthetic-only modality to a real codec path.
+    QueryDef("mm_gif_frames",
+      (spark, sf) => {
+        val d = Multimodal.syntheticVideos(
+          load(spark, sf, "documents").filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id")), "doc_id")
+        Multimodal.gifFrameSample(d, "doc_id", stride = 2)
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""SELECT d.doc_id, CAST(f AS INT) AS frame_idx, 8 AS width, 8 AS height,
+             |  CAST((d.doc_id*17 + f*40) % 256 AS DOUBLE) AS mean_pixel
+             |FROM documents d, range(6) r(f)
+             |WHERE d.doc_id % 3 = 0 AND f < 2 + d.doc_id % 4 AND f % 2 = 0
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // Multimodal resize: decode → nearest-neighbor rescale → PNG
     // re-encode, then re-decode and measure. Constant-fill fixtures make
     // the round-trip SQL-verifiable: dimensions become the target, the

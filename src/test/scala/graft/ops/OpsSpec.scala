@@ -670,6 +670,24 @@ class OpsSpec extends SparkSpec {
       (4L, 5L) -> 1, (5L, 4L) -> 1, (4L, 4L) -> 2, (5L, 5L) -> 2))
   }
 
+  test("animated GIF: multi-frame round-trip exact through the JDK codec") {
+    val frames = Multimodal.decodeGifFrames(Multimodal.syntheticGif(7))
+    assert(frames.size == 2 + 7 % 4)
+    frames.foreach { f =>
+      assert(f.width == 8 && f.height == 8)
+      assert(f.meanPixel == ((7 * 17 + f.frameIdx * 40) % 256).toDouble)
+    }
+    // non-GIF bytes are rejected, not silently faked
+    intercept[Exception](Multimodal.decodeGifFrames("not a gif".getBytes))
+    // strided sampling keeps exactly the even frames
+    val df = Multimodal.syntheticVideos(
+      docs.select(col("doc_id")).limit(20), "doc_id")
+    Multimodal.gifFrameSample(df, "doc_id", stride = 2).collect().foreach { r =>
+      assert(r.getInt(1) % 2 == 0)
+      assert(r.getDouble(4) == ((r.getLong(0) * 17 + r.getInt(1) * 40) % 256).toDouble)
+    }
+  }
+
   test("vector-sum aggregator equals the explode formulation, any partitioning") {
     val q = Embeddings.quantizeInt8(col("embedding"))
     def viaAgg(parts: Int) = emb.repartition(parts)
