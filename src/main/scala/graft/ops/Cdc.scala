@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Change-data-capture apply: compact an I/U/D operation log and merge
+  * it into a keyed snapshot — the Debezium-consumer shape, and the
+  * explicit-delete complement to the executor's orphan INFERENCE (an
+  * op log states deletes; orphan detection derives them from absence).
+  *
+  * Scale shape: one key-shuffled window compacts the log to its latest
+  * op per key (at 100 TB the log is hours of changes — small next to
+  * the snapshot), then ONE full-outer merge on the same key applies it;
+  * with a bucketed snapshot layout the merge side carries its
+  * partitioning from the files. No driver-side state.
+  */
+object Cdc {
+
+  /** Apply `log` to `snapshot`. `log` columns: `key`, the `seqCols`
+    * (commit order — latest wins, ties broken by the later seq column),
+    * `opCol` with values I/U/D, and the snapshot's payload columns
+    * (ignored for D). I and U are both upserts (insert-or-replace, the
+    * standard consumer simplification); D removes the key. Rows of the
+    * snapshot untouched by the log pass through unchanged.
+    */
+  def applyLog(
+      snapshot: DataFrame, log: DataFrame, key: String,
+      opCol: String, seqCols: Seq[String]): DataFrame = {
+    require(seqCols.nonEmpty, "need at least one sequence column")
+    val payload = snapshot.columns.filterNot(_ == key).toSeq
+    val w = Window.partitionBy(col(key)).orderBy(seqCols.map(c => col(c).desc): _*)
+    val latest = log
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col(key) +: col(opCol).as("__op") +:
+        payload.map(c => col(c).as(s"__new_$c")): _*)
+    snapshot.join(latest, Seq(key), "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(col(key) +: payload.map { c =>
+        when(col("__op").isNotNull, col(s"__new_$c")).otherwise(col(c)).as(c)
+      }: _*)
+  }
+}

@@ -670,6 +670,20 @@ class OpsSpec extends SparkSpec {
       (4L, 5L) -> 1, (5L, 4L) -> 1, (4L, 4L) -> 2, (5L, 5L) -> 2))
   }
 
+  test("CDC apply: latest op wins, deletes remove, inserts add, rest untouched") {
+    val snap = spark.createDataFrame(Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      .toDF("id", "v")
+    val log = spark.createDataFrame(Seq(
+      (2L, 1L, "U", "b2"), (2L, 2L, "D", null), // delete wins over earlier update
+      (3L, 1L, "U", "c2"), // plain update
+      (4L, 1L, "I", "d"), // insert of a new key
+      (9L, 1L, "D", null) // delete of an absent key is a no-op
+    )).toDF("id", "seq", "op", "v")
+    val out = graft.ops.Cdc.applyLog(snap, log, "id", "op", Seq("seq"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 3L -> "c2", 4L -> "d"))
+  }
+
   test("animated GIF: multi-frame round-trip exact through the JDK codec") {
     val frames = Multimodal.decodeGifFrames(Multimodal.syntheticGif(7))
     assert(frames.size == 2 + 7 % 4)

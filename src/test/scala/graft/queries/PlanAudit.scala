@@ -52,7 +52,8 @@ class PlanAudit extends SparkSpec {
     "text_top_terms" -> 8,       // tf agg + df agg + join + TopKPerKey + orderBy
     "q_join_hints" -> 4,         // two hash-join exchanges + agg + orderBy
     "q_outlier_zscore" -> 5,     // stats agg + broadcast join back + outlier agg
-    "q_profile_stats" -> 4)      // one multi-distinct aggregate + unpivot
+    "q_profile_stats" -> 4,      // one multi-distinct aggregate + unpivot
+    "etl_cdc_apply" -> 5)        // log-compaction window + full-outer merge, one key
 
   // Queries whose ONLY nested-loop join is the recall/bound gate's
   // crossJoin against a one-row aggregate (a broadcast of a scalar —
