@@ -392,6 +392,62 @@ object StreamingQueries {
              |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
              |FROM scored GROUP BY 1 ORDER BY keep""".stripMargin)),
 
+    // Streaming twin of CDC apply: the op log arrives as a stream and
+    // each micro-batch folds into the generation-pointer sink through
+    // the same compaction+merge operator — read current snapshot, apply,
+    // flip a new generation (restart-safe: the checkpoint replays into
+    // idempotent generation writes). Sequential batches preserve CDC
+    // semantics — a later batch's op wins over an earlier batch's, and
+    // within a batch the sequence-number window decides.
+    QueryDef("stream_cdc_apply",
+      (spark, sf) => {
+        import graft.spec.{IdField, LongId, MigrationSpec}
+        val c = spark.read.parquet(path(sf, "customer"))
+        val cents = (x: org.apache.spark.sql.Column) => round(x * 100).cast("long")
+        val snapshot = c.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey").as("id"),
+            cents(col("c_acctbal")).as("bal_cents"), lit("old").as("marker"))
+        val logDf = c.filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey").as("id"), lit(1L).as("seq"), lit("U").as("op"),
+            (cents(col("c_acctbal")) + 100L).as("bal_cents"), lit("updated").as("marker"))
+          .unionByName(c.filter(col("c_custkey") % 10 === 0)
+            .select(col("c_custkey").as("id"), lit(2L).as("seq"), lit("D").as("op"),
+              lit(null).cast("long").as("bal_cents"), lit(null).cast("string").as("marker")))
+        val logDir = java.nio.file.Files.createTempDirectory("graft_cdc_log").toString
+        logDf.coalesce(1).write.mode("overwrite").parquet(logDir)
+        val base = java.nio.file.Files.createTempDirectory("graft_stream_cdc").toString
+        val theSpec = MigrationSpec("stream_cdc", source = "", sourceDriver = "stream",
+          destination = s"$base/dest", destinationDriver = "parquet",
+          sourceIds = Seq(IdField("id", LongId)),
+          destinationIds = Seq(IdField("id", LongId)))
+        val dest = new graft.drivers.ParquetDestinationDriver
+        dest.write(snapshot, theSpec) // gen0: the pre-stream snapshot
+        val stream = spark.readStream.schema(logDf.schema).parquet(logDir)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val cur = dest.snapshot(spark, theSpec).get
+            dest.write(
+              graft.ops.Cdc.applyLog(cur, batch, "id", "op", Seq("seq")), theSpec)
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        dest.snapshot(spark, theSpec).get.orderBy(col("id"))
+      },
+      Some("""WITH snap AS (
+             |  SELECT c_custkey AS id, CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal,
+             |    'old' AS marker
+             |  FROM customer WHERE c_custkey % 3 = 0),
+             |upd AS (
+             |  SELECT c_custkey AS id, CAST(ROUND(c_acctbal*100) AS BIGINT) + 100 AS bal
+             |  FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 10 <> 0)
+             |SELECT COALESCE(u.id, s.id) AS id,
+             |  COALESCE(u.bal, s.bal) AS bal_cents,
+             |  CASE WHEN u.id IS NOT NULL THEN 'updated' ELSE s.marker END AS marker
+             |FROM snap s FULL OUTER JOIN upd u ON s.id = u.id
+             |WHERE COALESCE(u.id, s.id) % 10 <> 0
+             |ORDER BY id""".stripMargin)),
+
     // Streaming twin of the space-saving heavy hitters: the bounded-
     // memory top-k Aggregator runs as a complete-mode streaming
     // aggregate over the live token stream — with capacity ≫ k the
