@@ -30,9 +30,14 @@ object Cdc {
     require(seqCols.nonEmpty, "need at least one sequence column")
     val payload = snapshot.columns.filterNot(_ == key).toSeq
     val w = Window.partitionBy(col(key)).orderBy(seqCols.map(c => col(c).desc): _*)
+    // the contract is exactly I/U/D — a malformed op code applied as an
+    // upsert would silently null out the key's payload, so fail loudly
+    val validatedOp = when(col(opCol).isin("I", "U", "D"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit("Cdc.applyLog: unknown op code '"), col(opCol), lit("' (expected I/U/D)"))))
     val latest = log
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .select(col(key) +: col(opCol).as("__op") +:
+      .select(col(key) +: validatedOp.as("__op") +:
         payload.map(c => col(c).as(s"__new_$c")): _*)
     snapshot.join(latest, Seq(key), "full_outer")
       .filter(col("__op").isNull || col("__op") =!= "D")

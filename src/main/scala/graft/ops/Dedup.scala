@@ -478,19 +478,20 @@ object Dedup {
     md5(concat_ws(" ", slice(split(textCol, " "), 1, k)))
 
   /** Incremental dedup of a new batch against an already-ingested history
-    * WITHOUT re-shuffling the history: a Bloom filter over the history's
-    * fingerprints (one scan, fixed bits) prefilters the batch down to the
-    * plausible-duplicate slice, and only that slice joins history for
-    * exact verification. At the 100 TB design point this is the whole
-    * game — the nightly increment is GBs, the history is the 100 TB, and
-    * the history-side work stays one sequential scan feeding a
-    * fixed-size filter (no shuffle of the history at all; the verify
-    * join's history side is scan+filter, its shuffle carries only rows
-    * whose fingerprint hash passed the Bloom probe). False positives are
-    * killed by the exact equi-join on the full fingerprint; false
-    * negatives don't exist, so the result is byte-identical to the plain
-    * join. Returns (idCol, n_history_matches) for batch docs that
-    * duplicate history.
+    * WITHOUT re-shuffling the history: a Bloom filter over the BATCH's
+    * fingerprints (the nightly increment — the side that actually fits a
+    * fixed-size filter) prefilters the history scan down to the
+    * plausible-duplicate slice BEFORE any exchange, and only that slice
+    * joins the batch for exact verification. At the 100 TB design point
+    * this is the whole game — the increment is GBs, the history is the
+    * 100 TB, and the history-side work is one sequential scan through a
+    * codegen'd `might_contain` probe (the shuffle carries only history
+    * rows whose fingerprint hash passed it). False positives are killed
+    * by the exact equi-join on the full fingerprint; false negatives
+    * don't exist, so the result is byte-identical to the plain join.
+    * `expectedKeys` sizes the filter for the BATCH's cardinality.
+    * Returns (idCol, n_history_matches) for batch docs that duplicate
+    * history.
     */
   def incrementalDups(
       history: DataFrame, batch: DataFrame, textCol: String, idCol: String,
@@ -498,7 +499,8 @@ object Dedup {
     val fp = prefixFingerprint(col(textCol), prefixK)
     val batchFp = batch.select(col(idCol), fp.as("fp_b"), xxhash64(fp).as("fpk"))
     val histKeyed = history.select(fp.as("fp_h"), xxhash64(fp).as("fpk"))
-    Joins.bloomPrefilteredJoin(batchFp, histKeyed, "fpk", expectedKeys, fpp)
+    // big = history (bloom-probed at scan speed), small = batch (blooms)
+    Joins.bloomPrefilteredJoin(histKeyed, batchFp, "fpk", expectedKeys, fpp)
       .filter(col("fp_b") === col("fp_h")) // kill 64-bit hash collisions
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_history_matches"))

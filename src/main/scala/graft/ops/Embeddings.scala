@@ -102,14 +102,22 @@ object Embeddings {
     def zero: Array[Long] = Array.emptyLongArray
     def reduce(b: Array[Long], v: Seq[Int]): Array[Long] = {
       val a = if (b.length == 0) new Array[Long](v.length) else b
+      // ragged inputs would otherwise truncate silently (or blow up at
+      // merge) — a wrong centroid is worse than a loud failure
+      require(v.length == a.length,
+        s"SumIntVectors: ragged vector widths in one group (${v.length} vs ${a.length})")
       var i = 0
-      while (i < v.length && i < a.length) { a(i) += v(i); i += 1 }
+      while (i < v.length) { a(i) += v(i); i += 1 }
       a
     }
     def merge(a: Array[Long], b: Array[Long]): Array[Long] =
       if (a.length == 0) b
       else if (b.length == 0) a
-      else { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a }
+      else {
+        require(a.length == b.length,
+          s"SumIntVectors: ragged vector widths across partitions (${a.length} vs ${b.length})")
+        var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+      }
     def finish(b: Array[Long]): Seq[Long] = b.toSeq
     def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
       org.apache.spark.sql.Encoders.kryo[Array[Long]]

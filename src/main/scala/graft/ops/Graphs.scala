@@ -36,9 +36,9 @@ object Graphs {
     var acc = e.select(col("node"), col("parent").as("ancestor"), lit(1).as("depth"))
       .distinct().localCheckpoint(true)
     var frontier = acc
-    var iter = 1
+    var rounds = 0
     var frontierSize = frontier.count()
-    while (frontierSize > 0 && iter < maxIters) {
+    while (frontierSize > 0 && rounds < maxIters) {
       val step = frontier
         .join(e.select(col("parent").as("next"), col("node").as("ancestor")), "ancestor")
         .select(col("node"), col("next").as("ancestor"), (col("depth") + 1).as("depth"))
@@ -48,8 +48,13 @@ object Graphs {
       acc = acc.unionByName(fresh).localCheckpoint(true)
       frontierSize = fresh.count()
       frontier = fresh
-      iter += 1
+      rounds += 1
     }
+    if (frontierSize > 0)
+      System.err.println(
+        s"[graft] Graphs.transitiveClosure: frontier still non-empty after $maxIters " +
+          s"rounds ($frontierSize new pairs pending) — result is truncated at depth " +
+          s"${maxIters + 1}. Raise maxIters.")
     e.unpersist()
     acc
   }

@@ -426,19 +426,20 @@ object Multimodal {
     val writer = ImageIO.getImageWritersByFormatName("gif").next()
     val bos = new ByteArrayOutputStream()
     val ios = ImageIO.createImageOutputStream(bos)
-    writer.setOutput(ios)
-    writer.prepareWriteSequence(null)
-    val n = 2 + (id % 4).toInt
-    (0 until n).foreach { f =>
-      val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
-      val v = ((id * 17 + f * 40) % 256).toInt
-      val rgb = (v << 16) | (v << 8) | v
-      var y = 0
-      while (y < 8) { var x = 0; while (x < 8) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
-      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-    }
-    writer.endWriteSequence()
-    ios.close(); writer.dispose()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val n = 2 + (id % 4).toInt
+      (0 until n).foreach { f =>
+        val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+        val v = ((id * 17 + f * 40) % 256).toInt
+        val rgb = (v << 16) | (v << 8) | v
+        var y = 0
+        while (y < 8) { var x = 0; while (x < 8) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
     bos.toByteArray
   }
 
@@ -463,11 +464,17 @@ object Multimodal {
         var y = 0
         while (y < img.getHeight) {
           var x = 0
-          while (x < img.getWidth) { sum += (img.getRGB(x, y) & 0xFF); x += 1 }
+          while (x < img.getWidth) {
+            // mean over ALL THREE channels, not just blue — equal to the
+            // fill value on gray fixtures, and still correct on color
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            x += 1
+          }
           y += 1
         }
         FrameFeature(f, img.getWidth, img.getHeight,
-          sum.toDouble / (img.getWidth * img.getHeight))
+          sum.toDouble / (3L * img.getWidth * img.getHeight))
       }
     } finally { reader.dispose(); iis.close() }
   }

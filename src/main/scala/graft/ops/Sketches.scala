@@ -80,8 +80,9 @@ object Sketches {
   final class CountMin(depth: Int, width: Int, queryItems: Seq[String])
       extends Aggregator[String, Array[Long], Seq[(String, Long)]] {
 
-    private def bucket(item: String, row: Int): Int = {
-      val h = Dedup.fnv1a64(item)
+    // Kirsch–Mitzenmacher: hash the item ONCE, derive every row's bucket
+    // from (h, h2) — re-hashing per row would walk the string depth times
+    private def bucket(h: Long, row: Int): Int = {
       val h2 = java.lang.Long.rotateLeft(h, 31) | 1L // odd => full-period step
       val idx = (h + row.toLong * h2) % width
       (if (idx < 0) idx + width else idx).toInt
@@ -90,8 +91,9 @@ object Sketches {
     def zero: Array[Long] = new Array[Long](depth * width)
 
     def reduce(buf: Array[Long], item: String): Array[Long] = {
+      val h = Dedup.fnv1a64(item)
       var r = 0
-      while (r < depth) { buf(r * width + bucket(item, r)) += 1; r += 1 }
+      while (r < depth) { buf(r * width + bucket(h, r)) += 1; r += 1 }
       buf
     }
 
@@ -103,10 +105,11 @@ object Sketches {
 
     def finish(buf: Array[Long]): Seq[(String, Long)] =
       queryItems.map { item =>
+        val h = Dedup.fnv1a64(item)
         var est = Long.MaxValue
         var r = 0
         while (r < depth) {
-          est = math.min(est, buf(r * width + bucket(item, r))); r += 1
+          est = math.min(est, buf(r * width + bucket(h, r))); r += 1
         }
         item -> est
       }

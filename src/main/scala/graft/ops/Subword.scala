@@ -155,18 +155,22 @@ object Subword {
       // passes per word is arithmetic noise next to a job's scheduling.
       val soFar = merges.map(m => (m._2, m._3)).toSeq
       val bMerges = spark.sparkContext.broadcast(soFar)
-      val best = base
-        .map { case (w, f) => (encodeBpe(w, bMerges.value), f) }
-        .toDF("syms", "freq")
-        .filter(size(col("syms")) > 1)
-        .select(col("freq"), explode(expr(
-          "transform(slice(syms, 1, size(syms) - 1), (s, i) -> struct(s AS l, syms[i + 1] AS r))"))
-          .as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("cnt"))
-        .orderBy(desc("cnt"), col("l"), col("r"))
-        .limit(1)
-        .collect()
+      val best =
+        try base
+          .map { case (w, f) => (encodeBpe(w, bMerges.value), f) }
+          .toDF("syms", "freq")
+          .filter(size(col("syms")) > 1)
+          .select(col("freq"), explode(expr(
+            "transform(slice(syms, 1, size(syms) - 1), (s, i) -> struct(s AS l, syms[i + 1] AS r))"))
+            .as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(desc("cnt"), col("l"), col("r"))
+          .limit(1)
+          .collect()
+        // the round's collect is the broadcast's last use — destroy it,
+        // or a long training accumulates one live broadcast per round
+        finally bMerges.destroy()
       if (best.isEmpty) exhausted = true
       else {
         merges += ((rank, best(0).getString(0), best(0).getString(1), best(0).getLong(2)))

@@ -107,35 +107,11 @@ object Etl {
     // win over it.
     QueryDef("etl_cdc_apply",
       (spark, sf) => {
-        val c = load(spark, sf, "customer")
-        val cents = (x: org.apache.spark.sql.Column) =>
-          round(x * 100).cast("long")
-        val snapshot = c.filter(col("c_custkey") % 3 === 0)
-          .select(col("c_custkey").as("id"),
-            cents(col("c_acctbal")).as("bal_cents"), lit("old").as("marker"))
-        val updates = c.filter(col("c_custkey") % 2 === 0)
-          .select(col("c_custkey").as("id"), lit(1L).as("seq"), lit("U").as("op"),
-            (cents(col("c_acctbal")) + 100L).as("bal_cents"), lit("updated").as("marker"))
-        val deletes = c.filter(col("c_custkey") % 10 === 0)
-          .select(col("c_custkey").as("id"), lit(2L).as("seq"), lit("D").as("op"),
-            lit(null).cast("long").as("bal_cents"), lit(null).cast("string").as("marker"))
-        graft.ops.Cdc.applyLog(snapshot, updates.unionByName(deletes),
-            "id", "op", Seq("seq"))
+        val (snapshot, log) = Shared.cdcScenario(spark, sf)
+        graft.ops.Cdc.applyLog(snapshot, log, "id", "op", Seq("seq"))
           .orderBy(col("id"))
       },
-      Some("""WITH snap AS (
-             |  SELECT c_custkey AS id, CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal,
-             |    'old' AS marker
-             |  FROM customer WHERE c_custkey % 3 = 0),
-             |upd AS (
-             |  SELECT c_custkey AS id, CAST(ROUND(c_acctbal*100) AS BIGINT) + 100 AS bal
-             |  FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 10 <> 0)
-             |SELECT COALESCE(u.id, s.id) AS id,
-             |  COALESCE(u.bal, s.bal) AS bal_cents,
-             |  CASE WHEN u.id IS NOT NULL THEN 'updated' ELSE s.marker END AS marker
-             |FROM snap s FULL OUTER JOIN upd u ON s.id = u.id
-             |WHERE COALESCE(u.id, s.id) % 10 <> 0
-             |ORDER BY id""".stripMargin)),
+      Some(Shared.CdcOracle)),
 
     // Generation time travel (engine-native lakehouse extension): the
     // parquet sink's retained generations stay readable after the

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Pieces shared by a batch gate and its streaming twin — one
+  * definition, so the two can't silently diverge (bound constants,
+  * scenario derivations, oracle SQL).
+  */
+object Shared {
+
+  /** Integer-cents money convention (matches the oracle's
+    * `CAST(ROUND(x*100) AS BIGINT)`).
+    */
+  def cents(x: Column): Column = round(x * 100).cast("long")
+
+  // ---- count-min gate (text_countmin / stream_countmin) --------------
+
+  /** The exact per-token counts of the documents corpus, PERSISTED —
+    * the gate consumes it three ways (top-20 collect, join side, total
+    * mass) and without the cache each consumption would re-run the
+    * corpus explode+shuffle.
+    */
+  def exactTokenCounts(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .persist()
+
+  /** Assemble the count-min error-bound gate around an estimates frame
+    * `(tok, est_cnt)`: emit the top-20 exact side only while every
+    * estimate satisfies exact ≤ est ≤ exact + 3εN (ε = e/width).
+    */
+  def countMinGate(exact: DataFrame, top: DataFrame, ests: DataFrame,
+      width: Int): DataFrame = {
+    val total = exact.agg(sum(col("exact_cnt")).as("n_total"))
+    top.join(ests, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .filter(col("est_cnt") >= col("exact_cnt") &&
+        col("est_cnt") <= col("exact_cnt") +
+          ceil(col("n_total") * (3.0 * math.E / width)).cast("long"))
+      .select(col("tok"), col("exact_cnt"))
+      .orderBy(desc("exact_cnt"), col("tok"))
+  }
+
+  /** One oracle for both count-min gates: the exact top-20. */
+  val CountMinOracle: String =
+    """SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |GROUP BY tok ORDER BY exact_cnt DESC, tok LIMIT 20""".stripMargin
+
+  // ---- CDC scenario (etl_cdc_apply / stream_cdc_apply) ----------------
+
+  /** The CDC fixture both twins apply: snapshot = custkey%3==0; log =
+    * an update for every even key (seq 1) plus a LATER delete for every
+    * 10th (seq 2) that must win over it. Returns (snapshot, log).
+    */
+  def cdcScenario(spark: SparkSession, sf: String): (DataFrame, DataFrame) = {
+    val c = Tables.load(spark, sf, "customer")
+    val snapshot = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("id"),
+        cents(col("c_acctbal")).as("bal_cents"), lit("old").as("marker"))
+    val log = c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("id"), lit(1L).as("seq"), lit("U").as("op"),
+        (cents(col("c_acctbal")) + 100L).as("bal_cents"), lit("updated").as("marker"))
+      .unionByName(c.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey").as("id"), lit(2L).as("seq"), lit("D").as("op"),
+          lit(null).cast("long").as("bal_cents"), lit(null).cast("string").as("marker")))
+    (snapshot, log)
+  }
+
+  /** One oracle for both CDC gates. */
+  val CdcOracle: String =
+    """WITH snap AS (
+      |  SELECT c_custkey AS id, CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal,
+      |    'old' AS marker
+      |  FROM customer WHERE c_custkey % 3 = 0),
+      |upd AS (
+      |  SELECT c_custkey AS id, CAST(ROUND(c_acctbal*100) AS BIGINT) + 100 AS bal
+      |  FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 10 <> 0)
+      |SELECT COALESCE(u.id, s.id) AS id,
+      |  COALESCE(u.bal, s.bal) AS bal_cents,
+      |  CASE WHEN u.id IS NOT NULL THEN 'updated' ELSE s.marker END AS marker
+      |FROM snap s FULL OUTER JOIN upd u ON s.id = u.id
+      |WHERE COALESCE(u.id, s.id) % 10 <> 0
+      |ORDER BY id""".stripMargin
+}

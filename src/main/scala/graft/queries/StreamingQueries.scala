@@ -402,17 +402,7 @@ object StreamingQueries {
     QueryDef("stream_cdc_apply",
       (spark, sf) => {
         import graft.spec.{IdField, LongId, MigrationSpec}
-        val c = spark.read.parquet(path(sf, "customer"))
-        val cents = (x: org.apache.spark.sql.Column) => round(x * 100).cast("long")
-        val snapshot = c.filter(col("c_custkey") % 3 === 0)
-          .select(col("c_custkey").as("id"),
-            cents(col("c_acctbal")).as("bal_cents"), lit("old").as("marker"))
-        val logDf = c.filter(col("c_custkey") % 2 === 0)
-          .select(col("c_custkey").as("id"), lit(1L).as("seq"), lit("U").as("op"),
-            (cents(col("c_acctbal")) + 100L).as("bal_cents"), lit("updated").as("marker"))
-          .unionByName(c.filter(col("c_custkey") % 10 === 0)
-            .select(col("c_custkey").as("id"), lit(2L).as("seq"), lit("D").as("op"),
-              lit(null).cast("long").as("bal_cents"), lit(null).cast("string").as("marker")))
+        val (snapshot, logDf) = Shared.cdcScenario(spark, sf)
         val logDir = java.nio.file.Files.createTempDirectory("graft_cdc_log").toString
         logDf.coalesce(1).write.mode("overwrite").parquet(logDir)
         val base = java.nio.file.Files.createTempDirectory("graft_stream_cdc").toString
@@ -434,19 +424,7 @@ object StreamingQueries {
         try q.awaitTermination() finally q.stop()
         dest.snapshot(spark, theSpec).get.orderBy(col("id"))
       },
-      Some("""WITH snap AS (
-             |  SELECT c_custkey AS id, CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal,
-             |    'old' AS marker
-             |  FROM customer WHERE c_custkey % 3 = 0),
-             |upd AS (
-             |  SELECT c_custkey AS id, CAST(ROUND(c_acctbal*100) AS BIGINT) + 100 AS bal
-             |  FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 10 <> 0)
-             |SELECT COALESCE(u.id, s.id) AS id,
-             |  COALESCE(u.bal, s.bal) AS bal_cents,
-             |  CASE WHEN u.id IS NOT NULL THEN 'updated' ELSE s.marker END AS marker
-             |FROM snap s FULL OUTER JOIN upd u ON s.id = u.id
-             |WHERE COALESCE(u.id, s.id) % 10 <> 0
-             |ORDER BY id""".stripMargin)),
+      Some(Shared.CdcOracle)),
 
     // Streaming twin of the space-saving heavy hitters: the bounded-
     // memory top-k Aggregator runs as a complete-mode streaming
@@ -528,9 +506,7 @@ object StreamingQueries {
     // batch-exact side.
     QueryDef("stream_countmin",
       (spark, sf) => {
-        val batchToks = spark.read.parquet(path(sf, "documents"))
-          .select(explode(split(col("text"), " ")).as("tok"))
-        val exact = batchToks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+        val exact = Shared.exactTokenCounts(spark, sf)
         val top = exact.orderBy(desc("exact_cnt"), col("tok")).limit(20)
         val words = top.collect().map(_.getString(0)).toSeq
         val schema = spark.read.parquet(path(sf, "documents")).schema
@@ -545,18 +521,9 @@ object StreamingQueries {
         val ests = spark.table(table)
           .select(explode(col("ests")).as("e"))
           .select(col("e._1").as("tok"), col("e._2").as("est_cnt"))
-        val total = exact.agg(sum(col("exact_cnt")).as("n_total"))
-        top.join(ests, Seq("tok"))
-          .crossJoin(broadcast(total))
-          .filter(col("est_cnt") >= col("exact_cnt") &&
-            col("est_cnt") <= col("exact_cnt") +
-              ceil(col("n_total") * (3.0 * math.E / 1024)).cast("long"))
-          .select(col("tok"), col("exact_cnt"))
-          .orderBy(desc("exact_cnt"), col("tok"))
+        Shared.countMinGate(exact, top, ests, width = 1024)
       },
-      Some("""SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt
-             |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-             |GROUP BY tok ORDER BY exact_cnt DESC, tok LIMIT 20""".stripMargin)),
+      Some(Shared.CountMinOracle)),
 
     // Streaming twin of the BPE encoder: the identical typed flatMap
     // (merges broadcast once) runs unchanged inside micro-batches —

@@ -761,27 +761,17 @@ object TextQueries {
     // bounded by construction, the IVF-centroid budget.
     QueryDef("text_countmin",
       (spark, sf) => {
-        val toks = load(spark, sf, "documents")
-          .select(explode(split(col("text"), " ")).as("tok"))
-        val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+        val exact = Shared.exactTokenCounts(spark, sf)
         val top = exact.orderBy(desc("exact_cnt"), col("tok")).limit(20)
         val words = top.collect().map(_.getString(0)).toSeq
-        val ests = toks
+        val ests = load(spark, sf, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
           .agg(graft.ops.Sketches.countMinUdaf(4, 1024, words)(col("tok")).as("ests"))
           .select(explode(col("ests")).as("e"))
           .select(col("e._1").as("tok"), col("e._2").as("est_cnt"))
-        val total = exact.agg(sum(col("exact_cnt")).as("n_total"))
-        top.join(ests, Seq("tok"))
-          .crossJoin(broadcast(total))
-          .filter(col("est_cnt") >= col("exact_cnt") &&
-            col("est_cnt") <= col("exact_cnt") +
-              ceil(col("n_total") * (3.0 * math.E / 1024)).cast("long"))
-          .select(col("tok"), col("exact_cnt"))
-          .orderBy(desc("exact_cnt"), col("tok"))
+        Shared.countMinGate(exact, top, ests, width = 1024)
       },
-      Some("""SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt
-             |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-             |GROUP BY tok ORDER BY exact_cnt DESC, tok LIMIT 20""".stripMargin)),
+      Some(Shared.CountMinOracle)),
 
     // Per-document top terms by the integer tf-idf surrogate (tf DESC,
     // df ASC, term ASC): "most frequent rare term" ranks exactly like
