@@ -936,7 +936,10 @@ object Relational {
     // which is exactly the property that makes parquet footer stats prune
     // files for predicates on either dimension at 100 TB. The z-value is a
     // pure codegen'd expression; the oracle recomputes the interleave in
-    // closed form (32 arithmetic terms, generated below).
+    // closed form (32 arithmetic terms, generated below). z_sum must be
+    // CAST to BIGINT in the oracle: DuckDB's SUM(BIGINT) widens to
+    // HUGEINT, which hashes differently from Spark's long in the
+    // driver harness even when values are equal.
     QueryDef("q_zorder_cluster",
       (spark, sf) => {
         val li = graft.ops.Layout.zOrderLayout(
@@ -960,7 +963,7 @@ object Relational {
            |SELECT zval // 65536 AS z_bucket, COUNT(*) AS n,
            |  MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
            |  MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk,
-           |  SUM(zval) AS z_sum
+           |  CAST(SUM(zval) AS BIGINT) AS z_sum
            |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
       }),
 

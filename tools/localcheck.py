@@ -66,10 +66,27 @@ for name in names:
         drel = con.execute(oracle[name])
         dcols = [d[0] for d in drel.description]
         drows = drel.fetchall()
+        dtypes = [str(t) for t in con.sql(oracle[name]).types]
     except Exception as e:
         fails.append((name, f"oracle SQL error: {e}")); continue
     if sorted(scols) != sorted(dcols):
         fails.append((name, f"schema mismatch: spark={sorted(scols)} duck={sorted(dcols)}")); continue
+    # The driver harness hashes values through a type-sensitive path:
+    # DuckDB HUGEINT (what SUM(BIGINT) widens to) and wide DECIMALs
+    # hash differently from Spark's long/double even when values are
+    # numerically equal (seen: q_zorder_cluster r7 — local PASS, driver
+    # FAIL). Fail loudly on any such output column so a local PASS
+    # implies a driver PASS; fix is CAST(... AS BIGINT/DOUBLE) in the
+    # oracle (and decimal-free output on the Spark side).
+    stypes = [str(t) for t in con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").types]
+    unsafe = [(c, t, "oracle") for c, t in zip(dcols, dtypes)
+              if "HUGEINT" in t or t.startswith("DECIMAL")]
+    unsafe += [(c, t, "spark") for c, t in zip(scols, stypes)
+               if "HUGEINT" in t or t.startswith("DECIMAL")]
+    if unsafe:
+        fails.append((name, "driver-hash-unsafe output type(s): " +
+                      ", ".join(f"{side}.{c}:{t}" for c, t, side in unsafe) +
+                      " — cast to BIGINT/DOUBLE in final output")); continue
     sidx = [scols.index(c) for c in sorted(scols)]
     didx = [dcols.index(c) for c in sorted(dcols)]
     snorm = sorted([tuple(norm(r[i]) for i in sidx) for r in srows])
