@@ -111,45 +111,55 @@ object TextOps {
   }
 
   /** Sequence packing (sample packing): assign documents to training
-    * "bins" of at most `maxTokens` tokens, greedily in id order — the
-    * step that turns a filtered corpus into fixed-budget context
-    * windows. Packing is inherently sequential, so it runs
-    * partition-locally after a range repartition on the id: each
-    * partition packs its contiguous id range independently and bin ids
-    * are (partition << 32 | local bin), giving a deterministic
-    * assignment for a fixed partitioning with zero cross-partition
-    * coordination — the only scalable shape for packing 100 TB (a
-    * global greedy pass would be a single-task bottleneck; the cost is
-    * at most one under-filled bin per partition boundary). A document
-    * larger than `maxTokens` gets a bin of its own.
+    * "bins" of at most `maxTokens` tokens — the step that turns a
+    * filtered corpus into fixed-budget context windows. Packing is
+    * inherently sequential, so it is sharded: documents split into
+    * `numShards` shards by a salted md5 draw on the id (the
+    * [[hexShard]] family), then pack next-fit in md5 order within each
+    * shard. Shard and order derive only from (id, salt) — never from
+    * the physical partitioning — so the same bins materialize on any
+    * cluster, any input layout, any engine with md5, which is what
+    * makes a 100 TB packing run replayable (and oracle-able in SQL).
+    * Parallelism is numShards (pick ≈ cluster cores at scale; one hash
+    * shuffle on the shard key, then an O(shard rows) fold per shard
+    * with zero cross-shard coordination). A document larger than
+    * `maxTokens` overflows whatever bin is open and gets a bin of its
+    * own. bin_id = shard << 32 | per-shard bin index.
     *
     * Output: (`idCol`, bin_id, doc_tokens).
     */
   def packSequences(
       df: org.apache.spark.sql.DataFrame, idCol: String, tokenCol: String,
-      maxTokens: Long): org.apache.spark.sql.DataFrame = {
+      maxTokens: Long, numShards: Int = 16, salt: String = "pack")
+      : org.apache.spark.sql.DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(numShards > 0 && numShards <= (1 << 20), "numShards in (0, 2^20]")
     val spark = df.sparkSession
-    val parted = df.select(col(idCol).cast("long"), col(tokenCol).cast("long"))
-      .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
-    val out = parted.rdd.mapPartitionsWithIndex { (pid, rows) =>
-      var bin = 0L
-      var used = 0L
-      var first = true
-      rows.map { r =>
-        val id = r.getLong(0)
-        val n = r.getLong(1)
-        if (!first && used + n > maxTokens) { bin += 1; used = 0L }
-        first = false
-        used += n
-        Row(id, (pid.toLong << 32) | bin, n)
+    import spark.implicits._
+    val ord = md5(concat(col(idCol).cast("string"), lit(salt)))
+    val keyed = df.select(
+      col(idCol).cast("long").as("_id"), col(tokenCol).cast("long").as("_n"),
+      (conv(substring(ord, 1, 8), 16, 10).cast("long") % numShards)
+        .cast("int").as("_shard"),
+      ord.as("_ord"))
+    // Several shards may hash into one partition; the fold resets its
+    // state on every shard-key change, so correctness never depends on
+    // the shard→partition placement. Typed mapPartitions (not .rdd)
+    // keeps the pass inside the Dataset planner and stream-reusable.
+    keyed
+      .repartition(col("_shard"))
+      .sortWithinPartitions(col("_shard"), col("_ord"), col("_id"))
+      .as[(Long, Long, Int, String)]
+      .mapPartitions { rows =>
+        var cur = -1L; var bin = 0L; var used = 0L
+        rows.map { case (id, n, shard, _) =>
+          if (shard.toLong != cur) { cur = shard.toLong; bin = 0L; used = n }
+          else if (used + n > maxTokens) { bin += 1; used = n }
+          else used += n
+          (id, (shard.toLong << 32) | bin, n)
+        }
       }
-    }
-    spark.createDataFrame(out, StructType(Seq(
-      StructField(idCol, LongType), StructField("bin_id", LongType),
-      StructField("doc_tokens", LongType))))
+      .toDF(idCol, "bin_id", "doc_tokens")
   }
 
   /** Deterministic sampling predicate: keep a row iff the md5 of its key

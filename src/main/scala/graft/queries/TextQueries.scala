@@ -717,10 +717,11 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
-    // Sequence packing into 512-token training bins: partition-local
-    // greedy assignment (bin boundaries depend on the partitioning, so
-    // rows-only; the packing invariants — every doc exactly once, no
-    // bin over budget, contiguity — are spec-asserted).
+    // Sequence packing into 512-token training bins: md5-sharded,
+    // md5-ordered next-fit, so the assignment is engine- and
+    // partitioning-independent and fully hash-oracled — the DuckDB
+    // replay walks each shard's md5 order with a recursive CTE
+    // carrying the (bin, used) fold state one row per step.
     QueryDef("text_pack_sequences",
       (spark, sf) => {
         val withTokens = load(spark, sf, "documents")
@@ -728,7 +729,29 @@ object TextQueries {
         TextOps.packSequences(withTokens, "doc_id", "n_tokens", maxTokens = 512)
           .orderBy(col("doc_id"))
       },
-      None),
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             |    md5(CAST(doc_id AS VARCHAR) || 'pack') AS ord
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, n, ord,
+             |    CAST(CAST('0x' || substr(ord, 1, 8) AS BIGINT) % 16 AS INT) AS shard
+             |  FROM d),
+             |s AS (
+             |  SELECT doc_id, n, ord, shard,
+             |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS rn
+             |  FROM sh),
+             |pack AS (
+             |  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS bin, n AS used
+             |  FROM s WHERE rn = 1
+             |  UNION ALL
+             |  SELECT s.shard, s.rn, s.doc_id, s.n,
+             |    CASE WHEN p.used + s.n > 512 THEN p.bin + 1 ELSE p.bin END,
+             |    CASE WHEN p.used + s.n > 512 THEN s.n ELSE p.used + s.n END
+             |  FROM pack p JOIN s ON s.shard = p.shard AND s.rn = p.rn + 1)
+             |SELECT doc_id, shard * 4294967296 + bin AS bin_id, n AS doc_tokens
+             |FROM pack ORDER BY doc_id""".stripMargin)),
 
     // Approximate distinct (HLL): sketch tier for 100 TB cardinalities.
     // Engines' HLL sketches differ, so the sketch value itself has no SQL

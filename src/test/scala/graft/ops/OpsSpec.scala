@@ -456,25 +456,28 @@ class OpsSpec extends SparkSpec {
       .map(_.getLong(0)).toSet, "partitioning-independent")
   }
 
-  test("sequence packing: every doc once, bins within budget, contiguous in id order") {
+  test("sequence packing: every doc once, bins within budget, partitioning-independent") {
     import spark.implicits._
     val docs = ((1L to 50L).map(i => (i, i % 7 * 40 + 10)) :+ (99L, 5000L)) // one oversized
       .toDF("doc_id", "n_tokens")
     val packed = TextOps.packSequences(docs, "doc_id", "n_tokens", maxTokens = 512)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(packed.map(_._1).sorted.toSeq == ((1L to 50L) :+ 99L).toSeq, "every doc exactly once")
-    val byBin = packed.groupBy(_._2)
-    byBin.foreach { case (bin, rows) =>
+    packed.groupBy(_._2).foreach { case (bin, rows) =>
       val total = rows.map(_._3).sum
       assert(total <= 512 || rows.length == 1,
         s"bin $bin over budget with ${rows.length} docs / $total tokens")
     }
-    // bins partition contiguous id ranges: sorting by (bin, id) must give
-    // the same doc order as sorting by id within each partition
-    byBin.values.foreach { rows =>
-      val ids = rows.map(_._1).sorted
-      assert(ids.last - ids.head < 1000, "bin spans a contiguous local range")
-    }
+    // the defining property: bin assignment derives from (id, salt)
+    // only, never from the physical input layout
+    val re = TextOps.packSequences(docs.repartition(13), "doc_id", "n_tokens", maxTokens = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(re.toSet == packed.toSet, "same bins from any input partitioning")
+    // salt varies the draw: a different salt reshuffles shard membership
+    val salted = TextOps.packSequences(docs, "doc_id", "n_tokens",
+      maxTokens = 512, salt = "other")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(salted.toSet != packed.toSet, "different salt => different packing")
   }
 
   test("pii redaction: urls, emails, ips replaced with typed placeholders; counts exact") {
