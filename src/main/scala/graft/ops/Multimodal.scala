@@ -6,7 +6,7 @@ import javax.imageio.ImageIO
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * payloads with typed metadata, plus batched decode/feature-extract
@@ -121,35 +121,30 @@ object Multimodal {
     */
   def syntheticImages(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType), StructField("payload", BinaryType)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val rdd = ensureParallelism(df).rdd.mapPartitions { rows =>
-      rows.map { r => val id = r.getLong(idIdx); Row(id, syntheticPng(id)) }
-    }
-    spark.createDataFrame(rdd, outSchema).withColumn("meta", metaFor("image"))
+    import spark.implicits._
+    ensureParallelism(df)
+      .select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(ids => ids.map(id => (id, syntheticPng(id))))
+      .toDF(idCol, "payload")
+      .withColumn("meta", metaFor("image"))
   }
 
   /** Resize transform: payload → payload (same row count), metadata
     * recomputed from the new bytes. Decode + rescale + re-encode runs
     * per-partition; one codec context per executor core, rows streamed.
+    * Typed mapPartitions (not .rdd): the pass stays a Dataset operator,
+    * so the same transform composes with Structured Streaming.
     */
   def resize(df: DataFrame, idCol: String, targetW: Int, targetH: Int): DataFrame = {
     val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType),
-      StructField("payload", BinaryType),
-      StructField("width", IntegerType),
-      StructField("height", IntegerType)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val payloadIdx = df.schema.fieldIndex("payload")
-    val rdd = ensureParallelism(df).rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val resized = resizeImage(r.getAs[Array[Byte]](payloadIdx), targetW, targetH)
-        Row(r.getLong(idIdx), resized, targetW, targetH)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema).withColumn("meta", metaFor("image"))
+    import spark.implicits._
+    ensureParallelism(df)
+      .select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        (id, resizeImage(payload, targetW, targetH), targetW, targetH)
+      })
+      .toDF(idCol, "payload", "width", "height")
+      .withColumn("meta", metaFor("image"))
   }
 
   /** Batched per-partition decode/feature-extract — the Scala analogue of
@@ -158,21 +153,14 @@ object Multimodal {
     */
   def extractFeatures(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType),
-      StructField("width", IntegerType),
-      StructField("height", IntegerType),
-      StructField("channels", IntegerType),
-      StructField("feature_norm", DoubleType)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val payloadIdx = df.schema.fieldIndex("payload")
-    val rdd = ensureParallelism(df).rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val f = decodeImage(r.getAs[Array[Byte]](payloadIdx))
-        Row(r.getLong(idIdx), f.width, f.height, f.channels, f.featureNorm)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    import spark.implicits._
+    ensureParallelism(df)
+      .select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val f = decodeImage(payload)
+        (id, f.width, f.height, f.channels, f.featureNorm)
+      })
+      .toDF(idCol, "width", "height", "channels", "feature_norm")
   }
 
   /** 64-bit average hash (aHash) of an image payload — the perceptual
@@ -215,19 +203,14 @@ object Multimodal {
     */
   def imageHashes(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType),
-      StructField("ahash_hi", LongType),
-      StructField("ahash_lo", LongType)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val payloadIdx = df.schema.fieldIndex("payload")
-    val rdd = ensureParallelism(df).rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val h = averageHash(r.getAs[Array[Byte]](payloadIdx))
-        Row(r.getLong(idIdx), h >>> 32, h & 0xFFFFFFFFL)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    import spark.implicits._
+    ensureParallelism(df)
+      .select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val h = averageHash(payload)
+        (id, h >>> 32, h & 0xFFFFFFFFL)
+      })
+      .toDF(idCol, "ahash_hi", "ahash_lo")
   }
 
   /** Gradient twin of [[syntheticPng]]: same `(8 + id%13) × (8 + id%7)`
@@ -258,13 +241,12 @@ object Multimodal {
   /** Gradient-fixture corpus, like [[syntheticImages]]. */
   def syntheticGradientImages(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType), StructField("payload", BinaryType)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val rdd = ensureParallelism(df).rdd.mapPartitions { rows =>
-      rows.map { r => val id = r.getLong(idIdx); Row(id, syntheticGradientPng(id)) }
-    }
-    spark.createDataFrame(rdd, outSchema).withColumn("meta", metaFor("image"))
+    import spark.implicits._
+    ensureParallelism(df)
+      .select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(ids => ids.map(id => (id, syntheticGradientPng(id))))
+      .toDF(idCol, "payload")
+      .withColumn("meta", metaFor("image"))
   }
 
   // --- real audio codec path (JDK javax.sound.sampled, WAV/PCM) ---------
@@ -329,13 +311,12 @@ object Multimodal {
     */
   def syntheticAudio(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType), StructField("payload", BinaryType)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val rdd = ensureParallelism(df).rdd.mapPartitions { rows =>
-      rows.map { r => val id = r.getLong(idIdx); Row(id, syntheticWav(id)) }
-    }
-    spark.createDataFrame(rdd, outSchema).withColumn("meta", metaFor("audio"))
+    import spark.implicits._
+    ensureParallelism(df)
+      .select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(ids => ids.map(id => (id, syntheticWav(id))))
+      .toDF(idCol, "payload")
+      .withColumn("meta", metaFor("audio"))
   }
 
   /** Batched per-partition WAV decode/feature-extract, mirroring
@@ -343,21 +324,14 @@ object Multimodal {
     */
   def extractAudioFeatures(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType),
-      StructField("sample_rate", IntegerType),
-      StructField("channels", IntegerType),
-      StructField("n_samples", LongType),
-      StructField("mean_abs_amplitude", DoubleType)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val payloadIdx = df.schema.fieldIndex("payload")
-    val rdd = ensureParallelism(df).rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val f = decodeWav(r.getAs[Array[Byte]](payloadIdx))
-        Row(r.getLong(idIdx), f.sampleRate, f.channels, f.nSamples, f.meanAbsAmplitude)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    import spark.implicits._
+    ensureParallelism(df)
+      .select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val f = decodeWav(payload)
+        (id, f.sampleRate, f.channels, f.nSamples, f.meanAbsAmplitude)
+      })
+      .toDF(idCol, "sample_rate", "channels", "n_samples", "mean_abs_amplitude")
   }
 
   // --- video frame sampling (synthetic decoder — JDK has no video codec) -
@@ -389,28 +363,20 @@ object Multimodal {
     */
   def frameSample(df: DataFrame, idCol: String, nFrames: Int, fps: Double = 30.0): DataFrame = {
     val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType),
-      StructField("frame_idx", IntegerType),
-      StructField("frame_ms", LongType),
-      StructField("frame", BinaryType)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val payloadIdx = df.schema.fieldIndex("payload")
-    val rdd = ensureParallelism(df).rdd.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val payload = r.getAs[Array[Byte]](payloadIdx)
-        val id = r.getLong(idIdx)
+    import spark.implicits._
+    ensureParallelism(df)
+      .select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
         // synthetic "duration": derived from payload size, ≥ nFrames frames
         val totalFrames = math.max(nFrames, payload.length / 8)
         val stride = totalFrames / nFrames
         Iterator.tabulate(nFrames) { i =>
           val frameNo = i * stride
-          Row(id, i, (frameNo * 1000 / fps).toLong,
+          (id, i, (frameNo * 1000 / fps).toLong,
             syntheticFrame(payload :+ frameNo.toByte, 32, 32))
         }
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+      })
+      .toDF(idCol, "frame_idx", "frame_ms", "frame")
   }
 
   // --- real animated-container codec path (JDK GIF reader/writer) ------
@@ -484,13 +450,12 @@ object Multimodal {
     */
   def syntheticVideos(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType), StructField("payload", BinaryType)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val rdd = ensureParallelism(df).rdd.mapPartitions { rows =>
-      rows.map { r => val id = r.getLong(idIdx); Row(id, syntheticGif(id)) }
-    }
-    spark.createDataFrame(rdd, outSchema).withColumn("meta", metaFor("video"))
+    import spark.implicits._
+    ensureParallelism(df)
+      .select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(ids => ids.map(id => (id, syntheticGif(id))))
+      .toDF(idCol, "payload")
+      .withColumn("meta", metaFor("video"))
   }
 
   /** Strided frame sampling over a REAL multi-frame codec: decode the
@@ -502,22 +467,14 @@ object Multimodal {
   def gifFrameSample(df: DataFrame, idCol: String, stride: Int): DataFrame = {
     require(stride >= 1, "stride must be >= 1")
     val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType),
-      StructField("frame_idx", IntegerType),
-      StructField("width", IntegerType),
-      StructField("height", IntegerType),
-      StructField("mean_pixel", DoubleType)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val payloadIdx = df.schema.fieldIndex("payload")
-    val rdd = ensureParallelism(df).rdd.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val id = r.getLong(idIdx)
-        decodeGifFrames(r.getAs[Array[Byte]](payloadIdx))
+    import spark.implicits._
+    ensureParallelism(df)
+      .select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeGifFrames(payload)
           .filter(_.frameIdx % stride == 0)
-          .map(f => Row(id, f.frameIdx, f.width, f.height, f.meanPixel))
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+          .map(f => (id, f.frameIdx, f.width, f.height, f.meanPixel))
+      })
+      .toDF(idCol, "frame_idx", "width", "height", "mean_pixel")
   }
 }

@@ -12,6 +12,10 @@ package object ops {
     * parallel per row.
     */
   private[ops] def ensureParallelism(df: DataFrame): DataFrame = {
+    // Streaming plans can't be probed via .rdd (and micro-batch
+    // parallelism is the source's business) — pass them through so the
+    // codec ops compose with readStream.
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -564,5 +564,40 @@ object StreamingQueries {
            |  CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
            |FROM enc GROUP BY piece ORDER BY piece""".stripMargin
       }),
+
+    // Streaming multimodal: REAL image decode + perceptual hash (JDK
+    // ImageIO, 8×8 aHash) running INSIDE micro-batches — the ingest-time
+    // shape of a multimodal pipeline (hash media as it lands, join
+    // against a dedup index downstream). The codec passes are typed
+    // Dataset.mapPartitions, so the exact batch operators compose with
+    // readStream unchanged; stateless transform, append mode. Oracle =
+    // mm_image_ahash's closed-form pixel replay (stream/batch parity).
+    QueryDef("stream_image_features",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "documents")).schema
+        val docs = spark.readStream.schema(schema)
+          .parquet(stagedDir(spark, sf, "documents"))
+          .select(col("doc_id"))
+        val hashed = graft.ops.Multimodal.imageHashes(
+          graft.ops.Multimodal.syntheticGradientImages(docs, "doc_id"), "doc_id")
+        val table = s"stream_mm_${counter.incrementAndGet()}"
+        val q = hashed.writeStream.format("memory").queryName(table)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        spark.table(table).orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT d.doc_id, y*8 + x AS idx,
+             |    (d.doc_id + 7*((x*(8 + d.doc_id%13))//8)
+             |       + 13*((y*(8 + d.doc_id%7))//8)) % 256 AS v
+             |  FROM documents d, range(8) r1(x), range(8) r2(y)),
+             |m AS (SELECT doc_id, SUM(v)/64.0 mean FROM g GROUP BY doc_id)
+             |SELECT g.doc_id,
+             |  CAST(SUM(CASE WHEN v > mean AND idx >= 32
+             |    THEN (CAST(1 AS BIGINT) << (idx - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+             |  CAST(SUM(CASE WHEN v > mean AND idx < 32
+             |    THEN (CAST(1 AS BIGINT) << idx) ELSE 0 END) AS BIGINT) AS ahash_lo
+             |FROM g JOIN m USING (doc_id)
+             |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -55,7 +55,11 @@ class PlanAudit extends SparkSpec {
     "q_join_hints" -> 4,         // two hash-join exchanges + agg + orderBy
     "q_outlier_zscore" -> 5,     // stats agg + broadcast join back + outlier agg
     "q_profile_stats" -> 4,      // one multi-distinct aggregate + unpivot
-    "etl_cdc_apply" -> 5)        // log-compaction window + full-outer merge, one key
+    "etl_cdc_apply" -> 5,        // log-compaction window + full-outer merge, one key
+    // round-8 additions
+    "text_pack_sequences" -> 4,  // shard exchange + per-shard fold + orderBy
+    "mm_image_ahash" -> 4,       // typed codec passes (ensureParallelism) + orderBy
+    "mm_resize" -> 4)            // decode→rescale→re-encode→re-decode chain + orderBy
 
   // Queries whose ONLY nested-loop join is the recall/bound gate's
   // crossJoin against a one-row aggregate (a broadcast of a scalar —
