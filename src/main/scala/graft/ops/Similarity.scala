@@ -274,9 +274,20 @@ object Similarity {
     (tab, math.sqrt(n2))
   }
 
-  /** Codegen'd ADC approximate-cosine column over rows carrying `code`
-    * (corpus PQ codes), `qtab` and `qnorm`: O(m) `element_at` lookups
-    * per pair instead of a dim-wide dot product.
+  /** Codegen'd ADC table-lookup sum Σ_s qtab[code_s] over rows carrying
+    * `code` (corpus PQ codes) and `qtab`: O(m) `element_at` lookups per
+    * pair instead of a dim-wide dot product — the shared kernel of both
+    * the raw-vector and residual ADC scores.
+    */
+  private def adcDotLookup(m: Int, ksubEff: Int): Column =
+    (0 until m)
+      .map(s => (element_at(col("code"), s + 1) + lit(s * ksubEff) + 1).cast("int"))
+      .map(i => element_at(col("qtab"), i))
+      .reduce(_ + _)
+
+  /** Codegen'd ADC approximate-cosine column over rows carrying `code`,
+    * `qtab` and `qnorm` (raw-vector codes: the corpus norm is itself
+    * approximated from per-centroid squared norms).
     */
   private def adcSim(cb: Array[Array[Array[Double]]],
       m: Int, ksubEff: Int, dsub: Int): Column = {
@@ -287,9 +298,8 @@ object Similarity {
     }
     val idxs = (0 until m).map(s =>
       (element_at(col("code"), s + 1) + lit(s * ksubEff) + 1).cast("int"))
-    val qdot = idxs.map(i => element_at(col("qtab"), i)).reduce(_ + _)
     val cn2 = idxs.map(i => element_at(typedLit(csq), i)).reduce(_ + _)
-    qdot / (col("qnorm") * sqrt(cn2))
+    adcDotLookup(m, ksubEff) / (col("qnorm") * sqrt(cn2))
   }
 
   def pqTopK(
@@ -339,20 +349,32 @@ object Similarity {
     * scored (only `nprobe` of `nlist` lists per query — the join is
     * keyed on the list id, never a crossJoin), and PQ-ADC bounds HOW
     * MUCH each scoring costs (m table lookups per pair); the shortlist
-    * re-ranks with exact cosine, so emitted sims are exact. Codes here
-    * quantize the raw vectors rather than list residuals: residual ADC
-    * tables are per-(query, probed list) — nprobe× the table-build
-    * work — while raw-vector tables build once per query and share
-    * across every probed list; at dedup-grade recall bounds the
-    * simpler table wins. Both trainings reuse one cached corpus pass
-    * structure; driver traffic stays centroid/codebook-sized.
+    * re-ranks with exact cosine, so emitted sims are exact.
+    *
+    * `residual = false` quantizes raw vectors (one shared ADC table per
+    * query); `residual = true` is the FAISS `IndexIVFPQ` semantics —
+    * codes quantize v − c_list, so codebook resolution concentrates on
+    * within-list variation and recall holds as nlist grows. The
+    * inner-product decomposition q·v ≈ q·c_list + q·r̂ keeps the
+    * residual path cheap: the ADC table (q against the RESIDUAL
+    * codebook) still builds ONCE per query and is shared across probed
+    * lists; only the scalar q·c_list is per-(query, probed list). Only
+    * L2-metric residual ADC needs per-list tables. The corpus norm is
+    * carried exactly (one double per vector, computed at encode time),
+    * so the denominator of the approximate cosine is exact.
+    *
+    * Trainings (the collect-bounded loops) run against one cached
+    * corpus pass; the cache is released before returning, so the lazy
+    * result plan recomputes the corpus scan once at action time — the
+    * deliberate trade against pinning a corpus-sized cache for the
+    * caller's lifetime. Driver traffic stays centroid/codebook-sized.
     */
   def ivfPqTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
       m: Int = 8, ksub: Int = 16, iterations: Int = 3,
-      rerankFactor: Int = 4): DataFrame = {
+      rerankFactor: Int = 4, residual: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val vecs = ensureParallelism(corpus.select(col(idCol).cast("long"), col(vecCol)))
@@ -361,29 +383,78 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val dsub = dim / m
     val cents = kmeansCentroids(vecs, nlist, iterations)
-    val cb = trainPqCodebook(vecs, idCol, m, ksub, iterations, dsub)
+
+    def residualOf(v: Array[Float], list: Int): Array[Float] = {
+      val c = cents(list)
+      val r = new Array[Float](v.length)
+      var j = 0
+      while (j < v.length) { r(j) = (v(j) - c(j)).toFloat; j += 1 }
+      r
+    }
+    // codebook trains on what the codes will quantize
+    val cb =
+      if (residual)
+        trainPqCodebook(
+          vecs.map { case (id, v) => (id, residualOf(v, nearest(v, cents, 1).head)) },
+          idCol, m, ksub, iterations, dsub)
+      else trainPqCodebook(vecs, idCol, m, ksub, iterations, dsub)
     val ksubEff = cb(0).length
 
-    val encoded = vecs.map { case (id, v) =>
-      (id, v, nearest(v, cents, 1).head,
-        (0 until m).map(s => pqNearestSub(v, s, dsub, cb(s))).toArray)
-    }.toDF("neighbor_id", "cv", "list", "code")
-    val qdf = ensureParallelism(queries.select(col(idCol).cast("long"), col(vecCol)))
-      .as[(Long, Array[Float])]
-      .flatMap { case (id, v) =>
-        val (tab, norm) = adcQueryTab(v, cb, m, ksubEff, dsub)
-        nearest(v, cents, nprobe).map(l => (id, v, tab, norm, l))
-      }.toDF("query_id", "qv", "qtab", "qnorm", "list")
-
-    val shortlist = graft.plans.GroupedTopK(
-      encoded.join(qdf, Seq("list"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("approx_sim", adcSim(cb, m, ksubEff, dsub)),
-      keys = Seq("query_id"),
-      orderBy = Seq(("approx_sim", false), ("neighbor_id", true)),
-      k = k * rerankFactor)
+    val result =
+      if (!residual) {
+        val encoded = vecs.map { case (id, v) =>
+          (id, v, nearest(v, cents, 1).head,
+            (0 until m).map(s => pqNearestSub(v, s, dsub, cb(s))).toArray)
+        }.toDF("neighbor_id", "cv", "list", "code")
+        val qdf = ensureParallelism(queries.select(col(idCol).cast("long"), col(vecCol)))
+          .as[(Long, Array[Float])]
+          .flatMap { case (id, v) =>
+            val (tab, norm) = adcQueryTab(v, cb, m, ksubEff, dsub)
+            nearest(v, cents, nprobe).map(l => (id, v, tab, norm, l))
+          }.toDF("query_id", "qv", "qtab", "qnorm", "list")
+        graft.plans.GroupedTopK(
+          encoded.join(qdf, Seq("list"))
+            .filter(col("query_id") =!= col("neighbor_id"))
+            .withColumn("approx_sim", adcSim(cb, m, ksubEff, dsub)),
+          keys = Seq("query_id"),
+          orderBy = Seq(("approx_sim", false), ("neighbor_id", true)),
+          k = k * rerankFactor)
+      } else {
+        val encoded = vecs.map { case (id, v) =>
+          val l = nearest(v, cents, 1).head
+          val r = residualOf(v, l)
+          var n2 = 0.0
+          var j = 0
+          while (j < v.length) { n2 += v(j).toDouble * v(j); j += 1 }
+          (id, v, l,
+            (0 until m).map(s => pqNearestSub(r, s, dsub, cb(s))).toArray,
+            math.sqrt(n2))
+        }.toDF("neighbor_id", "cv", "list", "code", "cnorm")
+        val qdf = ensureParallelism(queries.select(col(idCol).cast("long"), col(vecCol)))
+          .as[(Long, Array[Float])]
+          .flatMap { case (id, v) =>
+            // tab = q · residual-centroids: list-independent, built once
+            val (tab, norm) = adcQueryTab(v, cb, m, ksubEff, dsub)
+            nearest(v, cents, nprobe).map { l =>
+              val c = cents(l)
+              var qc = 0.0
+              var j = 0
+              while (j < v.length) { qc += v(j) * c(j); j += 1 }
+              (id, v, tab, norm, qc, l)
+            }
+          }.toDF("query_id", "qv", "qtab", "qnorm", "qdotc", "list")
+        graft.plans.GroupedTopK(
+          encoded.join(qdf, Seq("list"))
+            .filter(col("query_id") =!= col("neighbor_id"))
+            .withColumn("approx_sim",
+              (col("qdotc") + adcDotLookup(m, ksubEff)) /
+                (col("qnorm") * col("cnorm"))),
+          keys = Seq("query_id"),
+          orderBy = Seq(("approx_sim", false), ("neighbor_id", true)),
+          k = k * rerankFactor)
+      }
     vecs.unpersist()
-    topKRanked(shortlist.withColumn("sim", cosine(col("qv"), col("cv"))), k)
+    topKRanked(result.withColumn("sim", cosine(col("qv"), col("cv"))), k)
   }
 
   /** Embedding near-duplicate pairs above `minSim`: random-hyperplane LSH

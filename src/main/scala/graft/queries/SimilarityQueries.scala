@@ -85,6 +85,20 @@ object SimilarityQueries {
           corpus, queries, "vec_id", "embedding", k = 5,
           nlist = 16, nprobe = 6, m = 16, ksub = 32, rerankFactor = 8)),
       Some(RecallGateOracle)),
+
+    // Residual IVF+PQ (FAISS IndexIVFPQ semantics): codes quantize
+    // v − c_list, concentrating codebook resolution on within-list
+    // variation — the property that keeps recall from sagging as nlist
+    // grows. Gated at nlist = 64 (4× the raw-code tier's) to exercise
+    // exactly that regime; the inner-product decomposition keeps the
+    // ADC table per-query (only the q·c_list scalar is per-probe).
+    QueryDef("sim_ann_ivfpq_res",
+      (spark, sf) => recallGate(spark, sf, k = 5, bound = 0.4)(
+        (corpus, queries) => Similarity.ivfPqTopK(
+          corpus, queries, "vec_id", "embedding", k = 5,
+          nlist = 64, nprobe = 12, m = 16, ksub = 32, rerankFactor = 8,
+          residual = true)),
+      Some(RecallGateOracle)),
   )
 
   /** Driver-checkable ANN self-check: run the ANN tier, score recall@k
