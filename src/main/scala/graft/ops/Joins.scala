@@ -120,6 +120,36 @@ object Joins {
     small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1)).cast("array<int>")))
 
+  /** Run `body` with AQE's skew-join split reachable at test scale: the
+    * default skewed-partition thresholds target ~256 MB shuffle
+    * partitions, which nothing at validation scale ever trips, so the
+    * adaptive path would go permanently unexercised. Lowers the byte
+    * thresholds, disables broadcast so the join stays sort-merge (the
+    * only shape OptimizeSkewedJoin rewrites), and forces the split even
+    * when it adds a downstream shuffle. Every touched conf is restored
+    * after. At production scale the DEFAULTS are right — this helper
+    * exists so the adaptive first line of defense (before explicit
+    * [[saltedJoin]]) can be asserted in gates, not just trusted.
+    */
+  def withSkewTunedAqe[T](spark: org.apache.spark.sql.SparkSession,
+      thresholdBytes: Long = 65536)(body: => T): T = {
+    val tuned = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> thresholdBytes.toString,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> (thresholdBytes / 4).toString,
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** Bloom-prefiltered equi-join: when `small` is selective but too big
     * to broadcast as a hash relation, build a Bloom filter over its join
     * keys (one pass, fixed bits) and prefilter `big` BEFORE the shuffle —
