@@ -83,6 +83,40 @@ object DedupQueries {
              |ORDER BY a, b""".stripMargin),
       bench = true),
 
+    // The df-cut form with a cut that BITES (this corpus' hottest
+    // shingle df is 3, so the cap of 2 actually drops candidates —
+    // dedup_ngram_jaccard's cap of 100 never does): candidate pairs
+    // must share a df ≤ 2 shingle, intersection still exact over the
+    // FULL shingle table. The oracle replays the identical cut in SQL,
+    // so the 100 TB path — bounded hot-shingle buckets — is itself
+    // driver-verified, not just spec-asserted.
+    QueryDef("dedup_ngram_jaccard_cut",
+      (spark, sf) => Dedup.ngramJaccardPairs(
+          load(spark, sf, "documents"), "text", "doc_id", k = 5, minJaccard = 0.8,
+          precomputedShingles = Some(sharedShingles(spark, sf)),
+          maxShingleDf = Some(2))
+        .orderBy(col("a"), col("b")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+             |idx AS (SELECT doc_id, unnest(range(len(t)-4)) i, t FROM toks WHERE len(t) >= 5),
+             |sh0 AS (SELECT doc_id, list_aggregate(t[i+1:i+5], 'string_agg', ' ') s FROM idx),
+             |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+             |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+             |dfc AS (SELECT s, COUNT(*) df FROM sh GROUP BY s),
+             |rare AS (SELECT doc_id, s FROM sh JOIN dfc USING (s) WHERE df <= 2),
+             |cand AS (SELECT DISTINCT r1.doc_id a, r2.doc_id b
+             |  FROM rare r1 JOIN rare r2 ON r1.s = r2.s AND r1.doc_id < r2.doc_id),
+             |inter AS (
+             |  SELECT a, b, COUNT(*) inter
+             |  FROM cand JOIN sh s1 ON s1.doc_id = cand.a
+             |    JOIN sh s2 ON s2.doc_id = cand.b AND s2.s = s1.s
+             |  GROUP BY 1, 2)
+             |SELECT a, b, CAST(inter AS BIGINT) AS inter,
+             |  CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+             |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+             |FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+             |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+             |ORDER BY a, b""".stripMargin)),
+
     // Exact substring dedup (window fingerprints): pairs sharing ANY
     // verbatim 20-token window — the Lee-et-al exact-substring
     // formulation. Inverted-index join on the window hash; the oracle
@@ -96,6 +130,26 @@ object DedupQueries {
              |w AS (SELECT DISTINCT doc_id, list_aggregate(t[i+1:i+20], 'string_agg', ' ') s FROM idx)
              |SELECT w1.doc_id AS a, w2.doc_id AS b, COUNT(*) AS shared_windows
              |FROM w w1 JOIN w w2 ON w1.s = w2.s AND w1.doc_id < w2.doc_id
+             |GROUP BY 1, 2 ORDER BY a, b""".stripMargin)),
+
+    // The hot-window-cut form, with a cap that BITES here (hottest
+    // window df is 3): windows in more than 2 documents are dropped
+    // from pairing entirely — boilerplate overlap is not duplication —
+    // and shared_windows counts KEPT windows only. The oracle replays
+    // the same cap, driver-verifying the single-bucket-blow-up guard
+    // that is the actual 100 TB configuration.
+    QueryDef("dedup_substring_cut",
+      (spark, sf) => Dedup.substringPairs(
+          load(spark, sf, "documents"), "text", "doc_id", k = 20,
+          maxWindowDf = Some(2L))
+        .orderBy(col("a"), col("b")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+             |idx AS (SELECT doc_id, unnest(range(len(t) - 19)) i, t FROM toks WHERE len(t) >= 20),
+             |w AS (SELECT DISTINCT doc_id, list_aggregate(t[i+1:i+20], 'string_agg', ' ') s FROM idx),
+             |wdf AS (SELECT s, COUNT(*) df FROM w GROUP BY s),
+             |kept AS (SELECT doc_id, s FROM w JOIN wdf USING (s) WHERE df <= 2)
+             |SELECT k1.doc_id AS a, k2.doc_id AS b, COUNT(*) AS shared_windows
+             |FROM kept k1 JOIN kept k2 ON k1.s = k2.s AND k1.doc_id < k2.doc_id
              |GROUP BY 1, 2 ORDER BY a, b""".stripMargin)),
 
     // Benchmark decontamination: corpus docs sharing any verbatim
@@ -434,11 +488,13 @@ object DedupQueries {
              |ORDER BY term_a, term_b""".stripMargin)),
 
     // Incremental dedup: tonight's batch (doc_id % 5 = 4) against the
-    // already-ingested history (the rest) — Bloom filter over history
-    // fingerprints prefilters the batch before the verify join, so the
-    // history side is scans only, never a full shuffle (the 100 TB
-    // increment pattern). Bloom FPs die in the exact fingerprint join,
-    // so the result is byte-identical to the plain join the oracle runs.
+    // already-ingested history (the rest) — Bloom filter over the
+    // BATCH's fingerprints prefilters the history scan before the
+    // verify join (the batch is the small side; blooming the unbounded
+    // history would invert the 100 TB economics), so history is
+    // scan+probe only, never a full shuffle. Bloom FPs die in the
+    // exact fingerprint join, so the result is byte-identical to the
+    // plain join the oracle runs.
     QueryDef("dedup_incremental",
       (spark, sf) => {
         val docs = load(spark, sf, "documents")

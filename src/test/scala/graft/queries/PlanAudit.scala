@@ -59,7 +59,9 @@ class PlanAudit extends SparkSpec {
     // round-8 additions
     "text_pack_sequences" -> 4,  // shard exchange + per-shard fold + orderBy
     "mm_image_ahash" -> 4,       // typed codec passes (ensureParallelism) + orderBy
-    "mm_resize" -> 4)            // decode→rescale→re-encode→re-decode chain + orderBy
+    "mm_resize" -> 4,            // decode→rescale→re-encode→re-decode chain + orderBy
+    "dedup_ngram_jaccard_cut" -> 50, // shares dedup_ngram_jaccard's cache-state band
+    "dedup_substring_cut" -> 12) // + df-count subplan over the persisted window table
 
   // Queries whose ONLY nested-loop join is the recall/bound gate's
   // crossJoin against a one-row aggregate (a broadcast of a scalar —
