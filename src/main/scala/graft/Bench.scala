@@ -42,19 +42,29 @@ object Bench {
         }
         "layout_shared_shingles" -> (System.nanoTime() - t0) / 1e9
       }
+    // Best-of-N (default 2): this shared VM's run-to-run noise reaches
+    // 1.7× (BENCH_NOTES), so a single sample regularly reads as a
+    // phantom regression. The min of two back-to-back runs is the
+    // honest steady-state figure; a genuinely slower plan is slower in
+    // BOTH runs. One-time layout warming stays single-run above (its
+    // second run would just time the cache).
+    val runs = sys.env.getOrElse("GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val results = layoutEntries ++ selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // Evaluate every output column: under a bare count() Catalyst prunes
-      // the projection to nothing (a regex-redaction query times as a
-      // parquet row-count). foreach over the executed plan's rows keeps the
-      // full projection in the measured work without collecting to the
-      // driver.
-      try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        // Evaluate every output column: under a bare count() Catalyst
+        // prunes the projection to nothing (a regex-redaction query
+        // times as a parquet row-count). foreach over the executed
+        // plan's rows keeps the full projection in the measured work
+        // without collecting to the driver.
+        try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
+        catch { case e: Throwable =>
+          if (!failed.contains(name)) failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -29,12 +29,21 @@ object Cdc {
       opCol: String, seqCols: Seq[String]): DataFrame = {
     require(seqCols.nonEmpty, "need at least one sequence column")
     val payload = snapshot.columns.filterNot(_ == key).toSeq
-    val w = Window.partitionBy(col(key)).orderBy(seqCols.map(c => col(c).desc): _*)
     // the contract is exactly I/U/D — a malformed op code applied as an
-    // upsert would silently null out the key's payload, so fail loudly
+    // upsert would silently null out the key's payload, so fail loudly.
+    // Validation is a sort key of the compaction window (below), so it
+    // evaluates on EVERY log row, superseded ones included — a bad op
+    // code anywhere in the log is a broken producer, not just a bad
+    // final state.
     val validatedOp = when(col(opCol).isin("I", "U", "D"), col(opCol))
       .otherwise(raise_error(concat(
         lit("Cdc.applyLog: unknown op code '"), col(opCol), lit("' (expected I/U/D)"))))
+    // fully-tied seqCols would otherwise pick a nondeterministic
+    // row_number winner: break first by the validated op, then by a
+    // hash of the whole row, so replays compact identically
+    val w = Window.partitionBy(col(key)).orderBy(
+      (seqCols.map(c => col(c).desc) :+ validatedOp.asc :+
+        xxhash64(log.columns.map(col).toSeq: _*).asc): _*)
     val latest = log
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col(key) +: validatedOp.as("__op") +:

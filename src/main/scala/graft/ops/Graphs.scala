@@ -31,7 +31,8 @@ object Graphs {
     *
     * `edges` columns: (node, parent). Output: (node, ancestor, depth).
     */
-  def transitiveClosure(edges: DataFrame, maxIters: Int = 30): DataFrame = {
+  def transitiveClosure(
+      edges: DataFrame, maxIters: Int = 30, strict: Boolean = true): DataFrame = {
     val e = edges.select(col("node"), col("parent")).persist()
     var acc = e.select(col("node"), col("parent").as("ancestor"), lit(1).as("depth"))
       .distinct().localCheckpoint(true)
@@ -50,12 +51,18 @@ object Graphs {
       frontier = fresh
       rounds += 1
     }
-    if (frontierSize > 0)
-      System.err.println(
-        s"[graft] Graphs.transitiveClosure: frontier still non-empty after $maxIters " +
-          s"rounds ($frontierSize new pairs pending) — result is truncated at depth " +
-          s"${maxIters + 1}. Raise maxIters.")
     e.unpersist()
+    if (frontierSize > 0) {
+      // a silently truncated closure is a wrong answer, not a warning —
+      // programmatic callers can't see stderr. strict=false opts into
+      // best-effort (the partial closure IS correct up to its depth).
+      val msg =
+        s"Graphs.transitiveClosure: frontier still non-empty after $maxIters " +
+          s"rounds ($frontierSize new pairs pending) — result is truncated at depth " +
+          s"${maxIters + 1}. Raise maxIters (or pass strict = false for best-effort)."
+      if (strict) throw new IllegalStateException(msg)
+      else System.err.println(s"[graft] $msg")
+    }
     acc
   }
 

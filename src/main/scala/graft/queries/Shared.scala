@@ -16,16 +16,22 @@ object Shared {
 
   // ---- count-min gate (text_countmin / stream_countmin) --------------
 
-  /** The exact per-token counts of the documents corpus, PERSISTED —
-    * the gate consumes it three ways (top-20 collect, join side, total
-    * mass) and without the cache each consumption would re-run the
-    * corpus explode+shuffle.
+  /** The exact per-token counts of the documents corpus, persisted ONCE
+    * per sfDir and shared by both count-min gates — each gate consumes
+    * it three ways (top-20 collect, join side, total mass), and a
+    * per-call persist leaked one cached copy per gate per run (neither
+    * caller could safely unpersist what the other might still need).
+    * The shared-layout TrieMap is the DedupQueries.sharedShingles
+    * precedent: one deliberate corpus-keyed cache entry, bounded.
     */
+  private val tokenCountsCache = scala.collection.concurrent.TrieMap
+    .empty[String, DataFrame]
   def exactTokenCounts(spark: SparkSession, sf: String): DataFrame =
-    Tables.load(spark, sf, "documents")
-      .select(explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
-      .persist()
+    tokenCountsCache.getOrElseUpdate(sf,
+      Tables.load(spark, sf, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+        .persist())
 
   /** Assemble the count-min error-bound gate around an estimates frame
     * `(tok, est_cnt)`: emit the top-20 exact side only while every

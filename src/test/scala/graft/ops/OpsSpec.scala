@@ -687,6 +687,37 @@ class OpsSpec extends SparkSpec {
     assert(out == Map(1L -> "a", 3L -> "c2", 4L -> "d"))
   }
 
+  test("CDC apply: malformed op anywhere fails loudly; full seq ties compact deterministically") {
+    val snap = spark.createDataFrame(Seq((1L, "a"))).toDF("id", "v")
+    // the bad op is SUPERSEDED by a later valid delete — it must still throw
+    val badLog = spark.createDataFrame(Seq(
+      (1L, 1L, "X", "boom"), (1L, 2L, "D", null))).toDF("id", "seq", "op", "v")
+    intercept[Exception] {
+      graft.ops.Cdc.applyLog(snap, badLog, "id", "op", Seq("seq")).collect()
+    }
+    // two rows fully tied on seq: winner is deterministic across
+    // partitionings (op asc, then row hash)
+    val tied = spark.createDataFrame(Seq(
+      (1L, 1L, "U", "u1"), (1L, 1L, "U", "u2"))).toDF("id", "seq", "op", "v")
+    def apply(parts: Int) =
+      graft.ops.Cdc.applyLog(snap, tied.repartition(parts), "id", "op", Seq("seq"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(apply(1) == apply(7), "tie winner must not depend on partitioning")
+  }
+
+  test("transitive closure: strict mode throws on maxIters truncation") {
+    val chain = spark.createDataFrame((1L to 10L).map(i => (i, i + 1)))
+      .toDF("node", "parent")
+    val e = intercept[IllegalStateException] {
+      Graphs.transitiveClosure(chain, maxIters = 3)
+    }
+    assert(e.getMessage.contains("truncated"))
+    // best-effort mode returns the partial closure (correct to its depth)
+    val partial = Graphs.transitiveClosure(chain, maxIters = 3, strict = false)
+    assert(partial.agg(org.apache.spark.sql.functions.max(col("depth")))
+      .head().getInt(0) <= 4)
+  }
+
   test("animated GIF: multi-frame round-trip exact through the JDK codec") {
     val frames = Multimodal.decodeGifFrames(Multimodal.syntheticGif(7))
     assert(frames.size == 2 + 7 % 4)
