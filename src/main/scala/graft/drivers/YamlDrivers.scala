@@ -35,41 +35,49 @@ object YamlPathCodec {
   * `/root/reference/src/Drivers/Source/YamlSourceDriver.php:59-95` and
   * `YamlDriverTrait.php:28-63` (ids re-injected into the record).
   *
-  * Spark has no native YAML reader, so the scan is a recursive
-  * `binaryFile` source (arbitrary-depth id trees — the reference's
-  * Finder recurses to any depth, `YamlSourceDriver.php:69`) →
-  * per-partition YAML→JSON transcode (snakeyaml + Jackson, both on the
-  * Spark classpath) → `spark.read.json` schema inference. Nested YAML
-  * maps/lists surface as `StructType`/`ArrayType` columns. Dotfiles are
-  * excluded by Spark's hidden-path file-listing rule. One small file
-  * per entity is the reference's layout; at scale the transcode is
-  * embarrassingly parallel over input splits.
+  * Spark has no native YAML reader. The scan is a proper file-source
+  * relation ([[graft.sources.YamlRelation]]): a custom `FileIndex`
+  * exposes the path⇔key codec as typed PARTITION COLUMNS (the
+  * reference's `group/file.yaml` layout is Hive-style partition-path
+  * encoding with the filename carrying the last key), so predicates on
+  * id columns prune the file listing at plan time — no byte of a
+  * non-matching entity is ever opened; a whole-file `FileFormat` then
+  * parses each body (snakeyaml → JSON transcode → Spark's own
+  * JacksonParser against the pruned required schema). Nested YAML
+  * maps/lists surface as `StructType`/`ArrayType` columns. The body
+  * schema is inferred once from a distributed transcode pass
+  * (arbitrary-depth id trees — the reference's Finder recurses to any
+  * depth, `YamlSourceDriver.php:69`); ids never live in bodies (the
+  * sink strips them on write), so body and partition schemas are
+  * disjoint by construction.
   */
 final class YamlSourceDriver extends SourceDriver {
   def read(spark: SparkSession, spec: MigrationSpec): DataFrame = {
     import spark.implicits._
-    val nIds = spec.sourceIds.size
     val idNames = spec.sourceIds.map(_.name)
+    val root = UriSchemes.path(spec.source)
+    // one distributed transcode pass to infer the BODY schema (ids are
+    // path metadata, not body fields — exclude id-named keys in case a
+    // foreign writer left them in)
     val raw = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*.{yaml,yml}")
-      .load(UriSchemes.path(spec.source))
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-    val json: Dataset[String] = raw.map { case (path, content) =>
+      .load(root)
+      .select(col("content"))
+      .as[Array[Byte]]
+    val bodyJson: Dataset[String] = raw.map { content =>
       val yaml = new org.yaml.snakeyaml.Yaml()
       val doc = yaml.load[java.util.Map[String, Object]](new String(content, "UTF-8"))
-      val ids = YamlPathCodec.idsFromPath(path, nIds)
-      val withIds = new java.util.LinkedHashMap[String, Object]()
-      idNames.zip(ids).foreach { case (k, v) => withIds.put(k, v) }
-      if (doc != null) withIds.putAll(doc)
-      new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(withIds)
+      val body = new java.util.LinkedHashMap[String, Object]()
+      if (doc != null) body.putAll(doc)
+      new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(body)
     }
-    val df = spark.read.json(json)
-    // path segments are strings; cast declared id types
-    spec.sourceIds.foldLeft(df) { (acc, f) =>
-      acc.withColumn(f.name, col(f.name).cast(f.idType.sparkType))
-    }
+    val idNameSet = idNames.toSet
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      spark.read.json(bodyJson).schema.filterNot(f => idNameSet.contains(f.name)))
+    val df = graft.sources.YamlRelation.read(spark, root, spec.sourceIds, dataSchema)
+    // ids first, body after — the column order the executor and sinks see
+    df.select((idNames.map(col) ++ dataSchema.map(f => col(f.name))): _*)
   }
 }
 

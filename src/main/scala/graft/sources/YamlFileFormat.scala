@@ -1,0 +1,174 @@
+package graft.sources
+
+import graft.drivers.YamlPathCodec
+import graft.spec.IdField
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Expression, Predicate}
+import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JSONOptions, JacksonParser}
+import org.apache.spark.sql.execution.datasources.{FileFormat, FileIndex, HadoopFsRelation, LogicalRelation, OutputWriterFactory, PartitionDirectory, PartitionedFile}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** File-source integration for the YAML directory layout (SURVEY §7.3's
+  * "DSv2 later"): the earlier `binaryFile` scan was distributed but
+  * opaque — every query read EVERY file because Spark had no idea the
+  * path encodes the keys. Here the path⇔key codec
+  * ([[graft.drivers.YamlPathCodec]]) is surfaced as a partition schema
+  * through a custom [[FileIndex]], so a filter on an id column prunes
+  * the FILE LISTING before a single byte is opened — Hive-style
+  * partition pruning over the reference's `group/file.yaml` layout,
+  * where the FILENAME (not just directories) carries the last key.
+  *
+  * Scale shape: pruning happens at plan time against file metadata
+  * (the listing), reads are whole-file per entity and embarrassingly
+  * parallel, and the body parse reuses Spark's own JacksonParser after
+  * a snakeyaml→JSON transcode, so nested YAML surfaces as native
+  * struct/array columns with column pruning applied inside the parser
+  * (requiredSchema, not the full document).
+  */
+object YamlRelation {
+
+  /** Build the pruned-listing YAML DataFrame: ids from paths as typed
+    * partition columns, body fields parsed per-file. `dataSchema` is
+    * the body-only schema (id-named fields excluded — the sink strips
+    * ids from bodies on write, so a roundtrip never carries them).
+    */
+  def read(
+      spark: SparkSession, root: String, idFields: Seq[IdField],
+      dataSchema: StructType): DataFrame = {
+    val index = new YamlFileIndex(spark, root, idFields)
+    val relation = HadoopFsRelation(
+      index, index.partitionSchema, dataSchema, None, new YamlFileFormat, Map.empty)(spark)
+    GraftBridge.dataset(spark, LogicalRelation(relation, isStreaming = false))
+  }
+}
+
+/** Listing + path⇔key partition metadata for a YAML entity tree. Each
+  * file is its own partition (the last id IS the filename), so
+  * `listFiles` evaluates partition filters per file — the pruning
+  * granularity the layout actually has.
+  */
+final class YamlFileIndex(
+    spark: SparkSession, root: String, idFields: Seq[IdField]) extends FileIndex {
+
+  private val rootPath = new Path(root)
+
+  private def listYamlFiles(): Seq[FileStatus] = {
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def recurse(p: Path): Seq[FileStatus] =
+      fs.listStatus(p).toSeq
+        .filterNot { s =>
+          val n = s.getPath.getName
+          n.startsWith(".") || n.startsWith("_")
+        }
+        .flatMap { s =>
+          if (s.isDirectory) recurse(s.getPath)
+          else if (s.getPath.getName.matches("(?i).*\\.(yaml|yml)$")) Seq(s)
+          else Nil
+        }
+    recurse(rootPath)
+  }
+
+  @volatile private var cachedFiles: Seq[FileStatus] = listYamlFiles()
+
+  override def rootPaths: Seq[Path] = Seq(rootPath)
+
+  override val partitionSchema: StructType =
+    StructType(idFields.map(f => StructField(f.name, f.idType.sparkType, nullable = false)))
+
+  private def idValues(f: FileStatus): InternalRow = {
+    val ids = YamlPathCodec.idsFromPath(f.getPath.toUri.getPath, idFields.size)
+    InternalRow.fromSeq(idFields.zip(ids).map { case (fld, s) =>
+      fld.idType.sparkType match {
+        case LongType    => s.toLong
+        case IntegerType => s.toInt
+        case _           => UTF8String.fromString(s)
+      }
+    })
+  }
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val all = cachedFiles.map(f => idValues(f) -> f)
+    val kept =
+      if (partitionFilters.isEmpty) all
+      else {
+        // bind id attributes to their slot in the per-file values row,
+        // the same interpreted-predicate shape Spark's own
+        // PartitioningAwareFileIndex uses for directory pruning
+        val bound = Predicate.createInterpreted(
+          partitionFilters.reduce(And).transform {
+            case a: AttributeReference =>
+              val i = partitionSchema.indexWhere(_.name.equalsIgnoreCase(a.name))
+              require(i >= 0, s"unknown partition column ${a.name}")
+              BoundReference(i, partitionSchema(i).dataType, nullable = true)
+          })
+        all.filter { case (values, _) => bound.eval(values) }
+      }
+    kept.map { case (values, f) => PartitionDirectory(values, Array(f)) }
+  }
+
+  override def inputFiles: Array[String] = cachedFiles.map(_.getPath.toString).toArray
+  override def refresh(): Unit = cachedFiles = listYamlFiles()
+  override def sizeInBytes: Long = cachedFiles.map(_.getLen).sum
+}
+
+/** Whole-file YAML reader: snakeyaml parse → JSON transcode → Spark's
+  * JacksonParser against the REQUIRED schema (pruned columns never
+  * materialize). Never splitable — one YAML document is one row.
+  */
+final class YamlFileFormat extends FileFormat with Serializable {
+
+  override def inferSchema(
+      sparkSession: SparkSession, options: Map[String, String],
+      files: Seq[FileStatus]): Option[StructType] = None // caller supplies
+
+  override def prepareWrite(
+      sparkSession: SparkSession, job: org.apache.hadoop.mapreduce.Job,
+      options: Map[String, String], dataSchema: StructType): OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      "YAML writes go through YamlDestinationDriver (path⇔key layout)")
+
+  override def isSplitable(
+      sparkSession: SparkSession, options: Map[String, String], path: Path): Boolean =
+    false
+
+  override def buildReader(
+      sparkSession: SparkSession,
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      requiredSchema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      options: Map[String, String],
+      hadoopConf: org.apache.hadoop.conf.Configuration)
+      : PartitionedFile => Iterator[InternalRow] = {
+    val confBroadcast =
+      sparkSession.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
+    val timeZone = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    (file: PartitionedFile) => {
+      val path = file.toPath
+      val fs = path.getFileSystem(confBroadcast.value.value)
+      val in = fs.open(path)
+      val bytes =
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](65536)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          out.toByteArray
+        } finally in.close()
+      val doc = new org.yaml.snakeyaml.Yaml()
+        .load[java.util.Map[String, Object]](new String(bytes, "UTF-8"))
+      val json = new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(
+        if (doc == null) new java.util.LinkedHashMap[String, Object]() else doc)
+      val parser = new JacksonParser(
+        requiredSchema, new JSONOptions(Map.empty[String, String], timeZone), true, Nil)
+      parser.parse[String](json, CreateJacksonParser.string, UTF8String.fromString).iterator
+    }
+  }
+}

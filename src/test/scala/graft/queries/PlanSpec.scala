@@ -226,4 +226,33 @@ class PlanSpec extends SparkSpec {
         s"expected a shuffled join under autoBroadcastJoinThreshold=-1:\n$pBig")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
+
+  test("YAML source: id predicate prunes the file listing, not just rows") {
+    import org.apache.spark.sql.functions.col
+    val base = Tables.scratch("graft_yaml_prune")
+    val spec = graft.spec.MigrationSpec("yaml_prune",
+      source = s"$base/out", sourceDriver = "yaml",
+      destination = s"$base/out", destinationDriver = "yaml",
+      sourceIds = Seq(graft.spec.IdField("n_regionkey", graft.spec.LongId),
+        graft.spec.IdField("n_nationkey", graft.spec.LongId)),
+      destinationIds = Seq(graft.spec.IdField("n_regionkey", graft.spec.LongId),
+        graft.spec.IdField("n_nationkey", graft.spec.LongId)))
+    val nation = spark.read.parquet(s"$Sf/nation.parquet")
+      .select(col("n_regionkey").cast("long"), col("n_nationkey").cast("long"),
+        col("n_name"))
+    new graft.drivers.YamlDestinationDriver().write(nation, spec)
+    val all = new graft.drivers.YamlSourceDriver().read(spark, spec)
+    val total = all.count() // 25 nations = 25 files
+
+    val one = all.filter(col("n_nationkey") === 7L && col("n_regionkey") === 2L)
+    one.collect()
+    val scan = one.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail(s"no file scan in:\n${one.queryExecution.executedPlan}"))
+    assert(scan.metadata("PartitionFilters").contains("n_nationkey"),
+      s"id predicate must reach PartitionFilters:\n${scan.metadata}")
+    val filesRead = scan.metrics("numFiles").value
+    assert(filesRead == 1,
+      s"listing must prune to the one matching file, read $filesRead of $total")
+  }
 }
