@@ -280,6 +280,31 @@ object Etl {
              |  CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
              |FROM nation ORDER BY n_regionkey, n_nationkey""".stripMargin)),
 
+    // Pruned read through the YAML file-source relation: an id-column
+    // predicate travels to the custom FileIndex's PartitionFilters and
+    // prunes the FILE LISTING (one region's files opened, the rest
+    // never touched — PlanSpec pins files-read=1 for a point lookup).
+    // This gate verifies the pruned path returns exactly the right
+    // rows, not just the right plan.
+    QueryDef("etl_yaml_pruned_read",
+      (spark, sf) => {
+        val base = scratch("graft_yaml_pr")
+        val spec = MigrationSpec("yaml_pr", source = s"$base/out", sourceDriver = "yaml",
+          destination = s"$base/out", destinationDriver = "yaml",
+          sourceIds = Seq(IdField("n_regionkey", LongId), IdField("n_nationkey", LongId)),
+          destinationIds = Seq(IdField("n_regionkey", LongId), IdField("n_nationkey", LongId)))
+        val nation = load(spark, sf, "nation")
+          .select(col("n_regionkey").cast("long"), col("n_nationkey").cast("long"), col("n_name"))
+        new YamlDestinationDriver().write(nation, spec)
+        new YamlSourceDriver().read(spark, spec)
+          .filter(col("n_regionkey") === 2L)
+          .select(col("n_regionkey"), col("n_nationkey"), col("n_name"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+             |  CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+             |FROM nation WHERE n_regionkey = 2 ORDER BY n_nationkey""".stripMargin)),
+
     // §2.1 arbitrary-SQL scan (DBAL-source parity): user-supplied SQL *is*
     // the row stream (`DbalSourceDriver.php:105-113`), here executed by
     // Catalyst over registered views.
