@@ -50,21 +50,27 @@ object Bench {
     // second run would just time the cache).
     val runs = sys.env.getOrElse("GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val results = layoutEntries ++ selected.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      val attempts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // Evaluate every output column: under a bare count() Catalyst
         // prunes the projection to nothing (a regex-redaction query
         // times as a parquet row-count). foreach over the executed
         // plan's rows keeps the full projection in the measured work
         // without collecting to the driver.
-        try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
-        catch { case e: Throwable =>
-          if (!failed.contains(name)) failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
+          catch { case e: Throwable =>
+            if (!failed.contains(name)) failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
+      // a fail-fast attempt's elapsed time is not a measurement — the
+      // min is over SUCCESSFUL runs only (all-failed keeps the raw min
+      // so the entry stays visible next to its failed[] marker)
+      val good = attempts.collect { case (t, true) => t }
+      name -> (if (good.nonEmpty) good.min else attempts.map(_._1).min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

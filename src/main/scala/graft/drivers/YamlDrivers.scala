@@ -13,10 +13,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * onto `partitionBy`-like layout naturally.
   */
 object YamlPathCodec {
-  /** `group1/file1.yaml` + ids [g,n] → Seq("group1","file1"). */
+  /** `group1/file1.yaml` + ids [g,n] → Seq("group1","file1"). The
+    * extension strips case-insensitively so an uppercase `.YML` never
+    * leaks into an id value (listing itself is case-sensitive — see
+    * [[graft.sources.YamlFileIndex]] — this is defense in depth).
+    */
   def idsFromPath(path: String, nIds: Int): Seq[String] = {
     val segs = path.split('/').filter(_.nonEmpty)
-    val file = segs.last.replaceAll("\\.(yaml|yml)$", "")
+    val file = segs.last.replaceAll("(?i)\\.(yaml|yml)$", "")
     val dirs = segs.dropRight(1).takeRight(nIds - 1)
     dirs.toSeq :+ file
   }
@@ -56,29 +60,46 @@ final class YamlSourceDriver extends SourceDriver {
     import spark.implicits._
     val idNames = spec.sourceIds.map(_.name)
     val root = UriSchemes.path(spec.source)
-    // one distributed transcode pass to infer the BODY schema (ids are
-    // path metadata, not body fields — exclude id-named keys in case a
-    // foreign writer left them in)
-    val raw = spark.read.format("binaryFile")
-      .option("recursiveFileLookup", "true")
-      .option("pathGlobFilter", "*.{yaml,yml}")
-      .load(root)
-      .select(col("content"))
-      .as[Array[Byte]]
-    val bodyJson: Dataset[String] = raw.map { content =>
-      val yaml = new org.yaml.snakeyaml.Yaml()
-      val doc = yaml.load[java.util.Map[String, Object]](new String(content, "UTF-8"))
-      val body = new java.util.LinkedHashMap[String, Object]()
-      if (doc != null) body.putAll(doc)
-      new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(body)
-    }
-    val idNameSet = idNames.toSet
-    val dataSchema = org.apache.spark.sql.types.StructType(
-      spark.read.json(bodyJson).schema.filterNot(f => idNameSet.contains(f.name)))
-    val df = graft.sources.YamlRelation.read(spark, root, spec.sourceIds, dataSchema)
+    val index = new graft.sources.YamlFileIndex(spark, root, spec.sourceIds)
+    // Body-schema inference needs a full transcode pass (YAML has no
+    // footer metadata to prune on) — cache it per tree STATE (listing
+    // fingerprint: paths+sizes+mtimes), so repeated reads of an
+    // unchanged tree, including a pruned point lookup, never re-scan
+    // the corpus just to re-learn the schema. A rewrite under the same
+    // root changes the fingerprint and re-infers. The declared-schema
+    // path (a schema registry) is the 100 TB endgame; fingerprint-
+    // cached inference is its honest stand-in.
+    val dataSchema = YamlSourceDriver.schemaCache.getOrElseUpdate(
+      (root, index.fingerprint), {
+        val raw = spark.read.format("binaryFile")
+          .option("recursiveFileLookup", "true")
+          .option("pathGlobFilter", "*.{yaml,yml}")
+          .load(root)
+          .select(col("content"))
+          .as[Array[Byte]]
+        val bodyJson: Dataset[String] = raw.map { content =>
+          val yaml = new org.yaml.snakeyaml.Yaml()
+          val doc = yaml.load[java.util.Map[String, Object]](new String(content, "UTF-8"))
+          val body = new java.util.LinkedHashMap[String, Object]()
+          if (doc != null) body.putAll(doc)
+          new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(body)
+        }
+        // ids are path metadata, not body fields — exclude id-named
+        // keys in case a foreign writer left them in
+        val idNameSet = idNames.toSet
+        org.apache.spark.sql.types.StructType(
+          spark.read.json(bodyJson).schema.filterNot(f => idNameSet.contains(f.name)))
+      })
+    val df = graft.sources.YamlRelation.read(spark, index, dataSchema)
     // ids first, body after — the column order the executor and sinks see
     df.select((idNames.map(col) ++ dataSchema.map(f => col(f.name))): _*)
   }
+}
+
+object YamlSourceDriver {
+  /** (root, listing fingerprint) → inferred body schema. */
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.types.StructType]
 }
 
 /** YAML directory sink: one file per entity, id values encode the path

@@ -40,10 +40,22 @@ object Cdc {
         lit("Cdc.applyLog: unknown op code '"), col(opCol), lit("' (expected I/U/D)"))))
     // fully-tied seqCols would otherwise pick a nondeterministic
     // row_number winner: break first by the validated op, then by a
-    // hash of the whole row, so replays compact identically
+    // hash of the row, so replays compact identically. Map-typed
+    // columns are excluded from the hash — Spark rejects hashing maps
+    // (key order is undefined), and a log that differs only inside a
+    // map payload at identical (seq, op) has no principled winner
+    // anyway.
+    def hashable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case m: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val hashCols = log.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    val tieBreak: Seq[org.apache.spark.sql.Column] =
+      if (hashCols.isEmpty) Nil else Seq(xxhash64(hashCols.toSeq: _*).asc)
     val w = Window.partitionBy(col(key)).orderBy(
-      (seqCols.map(c => col(c).desc) :+ validatedOp.asc :+
-        xxhash64(log.columns.map(col).toSeq: _*).asc): _*)
+      (seqCols.map(c => col(c).desc) :+ validatedOp.asc) ++ tieBreak: _*)
     val latest = log
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col(key) +: validatedOp.as("__op") +:

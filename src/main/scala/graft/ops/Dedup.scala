@@ -120,20 +120,34 @@ object Dedup {
       .otherwise(array().cast("array<bigint>"))
   }
 
+  /** Distinct (id, window-hash) table — the shareable layout for
+    * [[substringPairs]] callers that run it more than once (the
+    * `precomputedShingles` precedent: persist ONCE at the query layer
+    * instead of leaking one per-call cache entry that the returned
+    * lazy plan pins forever).
+    */
+  def windowTable(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    ensureParallelism(df)
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(windowHashes(col(textCol), k))).as("w"))
+
   def substringPairs(
       df: DataFrame, textCol: String, idCol: String, k: Int = 20,
-      maxWindowDf: Option[Long] = None): DataFrame = {
+      maxWindowDf: Option[Long] = None,
+      precomputedWindows: Option[DataFrame] = None): DataFrame = {
     // per-doc window dedup INSIDE the row (array_distinct) — a
     // distinct() after the explode would shuffle the whole exploded
     // window table just to drop same-doc repeats
-    val wins0 = ensureParallelism(df)
-      .select(col(idCol).as("__id"),
-        explode(array_distinct(windowHashes(col(textCol), k))).as("w"))
+    val wins0 = precomputedWindows.getOrElse(windowTable(df, textCol, idCol, k))
     // the self-join's two sides share one shuffle via ReuseExchange; the
     // hot-window count is a DIFFERENT subplan shape, so with the cut
-    // enabled the window table is persisted to avoid re-exploding the
-    // corpus for it (the ngramJaccardPairs precedent)
-    val wins = if (maxWindowDf.isDefined) wins0.persist() else wins0
+    // enabled an UNSHARED window table is persisted to avoid
+    // re-exploding the corpus for it — callers that invoke this
+    // repeatedly should pass precomputedWindows (persisted at their
+    // layer) instead, since the returned lazy plan pins this cache
+    // entry for the session
+    val wins =
+      if (maxWindowDf.isDefined && precomputedWindows.isEmpty) wins0.persist() else wins0
     val kept = maxWindowDf.fold(wins) { cap =>
       wins.join(
         wins.groupBy(col("w")).agg(count(lit(1)).as("df"))

@@ -391,13 +391,21 @@ object Similarity {
       while (j < v.length) { r(j) = (v(j) - c(j)).toFloat; j += 1 }
       r
     }
-    // codebook trains on what the codes will quantize
+    // codebook trains on what the codes will quantize. The residual
+    // dataset is persisted across the training passes (sample + each
+    // Lloyd iteration would otherwise redo the O(nlist·dim) coarse
+    // assignment per corpus vector per pass) and released right after —
+    // training's collects are its only consumers; the encode stage
+    // recomputes the assignment once at action time, per the
+    // cache-release trade documented above.
     val cb =
-      if (residual)
-        trainPqCodebook(
-          vecs.map { case (id, v) => (id, residualOf(v, nearest(v, cents, 1).head)) },
-          idCol, m, ksub, iterations, dsub)
-      else trainPqCodebook(vecs, idCol, m, ksub, iterations, dsub)
+      if (residual) {
+        val residuals = vecs
+          .map { case (id, v) => (id, residualOf(v, nearest(v, cents, 1).head)) }
+          .persist()
+        try trainPqCodebook(residuals, idCol, m, ksub, iterations, dsub)
+        finally residuals.unpersist()
+      } else trainPqCodebook(vecs, idCol, m, ksub, iterations, dsub)
     val ksubEff = cb(0).length
 
     val result =

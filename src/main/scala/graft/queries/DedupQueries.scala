@@ -35,14 +35,25 @@ object DedupQueries {
         load(spark, sf, "documents"), "text", "doc_id", k = 5, minJaccard = 0.8,
         precomputedShingles = Some(sharedShingles(spark, sf))).persist())
 
-  /** Materialize the shared layouts eagerly: the shingle table AND the
-    * near-dup pair set. Bench times this as its own named entry so the
-    * one-time per-corpus costs are never silently attributed to
-    * whichever dedup query happens to run first (the source of two
-    * rounds of phantom "regressions").
+  /** 20-token window-hash table per sfDir, persisted and shared by the
+    * substring gates (uncut + cut) — one corpus explode, not one per
+    * gate per run.
+    */
+  private val windowCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.DataFrame]
+  private def sharedWindows(spark: org.apache.spark.sql.SparkSession, sf: String) =
+    windowCache.getOrElseUpdate(sf,
+      Dedup.windowTable(load(spark, sf, "documents"), "text", "doc_id", 20).persist())
+
+  /** Materialize the shared layouts eagerly: the shingle table, the
+    * near-dup pair set, and the window table. Bench times this as its
+    * own named entry so the one-time per-corpus costs are never
+    * silently attributed to whichever dedup query happens to run first
+    * (the source of two rounds of phantom "regressions").
     */
   def warmSharedLayouts(spark: org.apache.spark.sql.SparkSession, sf: String): Long =
-    sharedShingles(spark, sf).count() + sharedPairs(spark, sf).count()
+    sharedShingles(spark, sf).count() + sharedPairs(spark, sf).count() +
+      sharedWindows(spark, sf).count()
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -123,7 +134,8 @@ object DedupQueries {
     // reproduces pairs from the actual window strings.
     QueryDef("dedup_substring",
       (spark, sf) => Dedup.substringPairs(
-          load(spark, sf, "documents"), "text", "doc_id", k = 20)
+          load(spark, sf, "documents"), "text", "doc_id", k = 20,
+          precomputedWindows = Some(sharedWindows(spark, sf)))
         .orderBy(col("a"), col("b")),
       Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
              |idx AS (SELECT doc_id, unnest(range(len(t) - 19)) i, t FROM toks WHERE len(t) >= 20),
@@ -141,7 +153,8 @@ object DedupQueries {
     QueryDef("dedup_substring_cut",
       (spark, sf) => Dedup.substringPairs(
           load(spark, sf, "documents"), "text", "doc_id", k = 20,
-          maxWindowDf = Some(2L))
+          maxWindowDf = Some(2L),
+          precomputedWindows = Some(sharedWindows(spark, sf)))
         .orderBy(col("a"), col("b")),
       Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
              |idx AS (SELECT doc_id, unnest(range(len(t) - 19)) i, t FROM toks WHERE len(t) >= 20),

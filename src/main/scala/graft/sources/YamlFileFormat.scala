@@ -38,9 +38,8 @@ object YamlRelation {
     * ids from bodies on write, so a roundtrip never carries them).
     */
   def read(
-      spark: SparkSession, root: String, idFields: Seq[IdField],
+      spark: SparkSession, index: YamlFileIndex,
       dataSchema: StructType): DataFrame = {
-    val index = new YamlFileIndex(spark, root, idFields)
     val relation = HadoopFsRelation(
       index, index.partitionSchema, dataSchema, None, new YamlFileFormat, Map.empty)(spark)
     GraftBridge.dataset(spark, LogicalRelation(relation, isStreaming = false))
@@ -66,8 +65,12 @@ final class YamlFileIndex(
           n.startsWith(".") || n.startsWith("_")
         }
         .flatMap { s =>
+          // case-SENSITIVE, matching the schema-inference scan's
+          // `*.{yaml,yml}` glob exactly — the two passes must agree on
+          // which files exist (a file only one of them sees is either
+          // a crash or a silent schema hole)
           if (s.isDirectory) recurse(s.getPath)
-          else if (s.getPath.getName.matches("(?i).*\\.(yaml|yml)$")) Seq(s)
+          else if (s.getPath.getName.matches(".*\\.(yaml|yml)$")) Seq(s)
           else Nil
         }
     recurse(rootPath)
@@ -116,6 +119,18 @@ final class YamlFileIndex(
   override def inputFiles: Array[String] = cachedFiles.map(_.getPath.toString).toArray
   override def refresh(): Unit = cachedFiles = listYamlFiles()
   override def sizeInBytes: Long = cachedFiles.map(_.getLen).sum
+
+  /** Content fingerprint of the current listing (paths, sizes, mtimes)
+    * — the key that lets schema-inference results be cached per tree
+    * STATE, not just per path, so a rewrite under the same root is
+    * never served a stale schema.
+    */
+  def fingerprint: String = {
+    val h = cachedFiles
+      .map(f => s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
+      .sorted.mkString("\n").hashCode
+    s"${cachedFiles.size}/$h"
+  }
 }
 
 /** Whole-file YAML reader: snakeyaml parse → JSON transcode → Spark's
@@ -149,7 +164,8 @@ final class YamlFileFormat extends FileFormat with Serializable {
       : PartitionedFile => Iterator[InternalRow] = {
     val confBroadcast =
       sparkSession.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
-    val timeZone = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    val holder = new YamlFileFormat.TaskState(
+      requiredSchema, org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     (file: PartitionedFile) => {
       val path = file.toPath
       val fs = path.getFileSystem(confBroadcast.value.value)
@@ -162,13 +178,30 @@ final class YamlFileFormat extends FileFormat with Serializable {
           while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
           out.toByteArray
         } finally in.close()
+      // snakeyaml's Yaml is NOT thread-safe and cheap to build — per
+      // file; the mapper and the schema-compiled JacksonParser are
+      // expensive and shared across every file the task reads
       val doc = new org.yaml.snakeyaml.Yaml()
         .load[java.util.Map[String, Object]](new String(bytes, "UTF-8"))
-      val json = new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(
+      val json = holder.mapper.writeValueAsString(
         if (doc == null) new java.util.LinkedHashMap[String, Object]() else doc)
-      val parser = new JacksonParser(
-        requiredSchema, new JSONOptions(Map.empty[String, String], timeZone), true, Nil)
-      parser.parse[String](json, CreateJacksonParser.string, UTF8String.fromString).iterator
+      holder.parser
+        .parse[String](json, CreateJacksonParser.string, UTF8String.fromString).iterator
     }
+  }
+}
+
+object YamlFileFormat {
+  /** Per-task parse machinery: the closure is deserialized once per
+    * task, so these `@transient lazy val`s initialize once per task
+    * (single-threaded) and amortize across every tiny file it reads —
+    * the one-file-per-entity layout makes per-file construction of an
+    * ObjectMapper/JacksonParser the dominant read cost otherwise.
+    */
+  private final class TaskState(schema: StructType, timeZone: String)
+      extends Serializable {
+    @transient lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    @transient lazy val parser =
+      new JacksonParser(schema, new JSONOptions(Map.empty[String, String], timeZone), true, Nil)
   }
 }
