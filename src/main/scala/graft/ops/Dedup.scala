@@ -120,6 +120,40 @@ object Dedup {
       .otherwise(array().cast("array<bigint>"))
   }
 
+  /** Source-level verbatim-overlap matrix: for every pair of groups
+    * (data sources), the number of distinct k-shingles present in BOTH
+    * — the corpus-analytics view of contamination ("did books leak
+    * into crawl?", "how much does v2 repeat v1?"), one level above
+    * per-document dedup. `containment` = shared / min(|A|, |B|), the
+    * standard asymmetric-size overlap metric.
+    *
+    * Scale shape: the heavy object is the distinct (group, shingle)
+    * projection — one shuffle, scan-sized; the self-join is keyed on
+    * the shingle and fans out at most |groups|² rows PER SHINGLE
+    * (distinct-by-group bounds it), so unlike document-level pairing
+    * no df-cut is needed — group cardinality, not corpus size, caps
+    * the quadratic term.
+    */
+  def sourceOverlap(
+      df: DataFrame, textCol: String, idCol: String, groupCol: String, k: Int,
+      precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val sh = precomputedShingles.getOrElse(shingleTable(df, textCol, idCol, k))
+    val ss = sh.join(df.select(col(idCol), col(groupCol)), Seq(idCol))
+      .select(col(groupCol).as("g"), col("shingle")).distinct()
+    val sizes = ss.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    ss.select(col("g").as("source_a"), col("shingle"))
+      .join(ss.select(col("g").as("source_b"), col("shingle")), Seq("shingle"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .join(sizes.select(col("g").as("source_a"), col("n").as("na")), Seq("source_a"))
+      .join(sizes.select(col("g").as("source_b"), col("n").as("nb")), Seq("source_b"))
+      .withColumn("containment",
+        col("shared_shingles").cast("double") / least(col("na"), col("nb")))
+      .select(col("source_a"), col("source_b"), col("shared_shingles"),
+        col("na"), col("nb"), col("containment"))
+  }
+
   /** Distinct (id, window-hash) table — the shareable layout for
     * [[substringPairs]] callers that run it more than once (the
     * `precomputedShingles` precedent: persist ONCE at the query layer

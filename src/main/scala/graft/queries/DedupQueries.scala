@@ -165,6 +165,37 @@ object DedupQueries {
              |FROM kept k1 JOIN kept k2 ON k1.s = k2.s AND k1.doc_id < k2.doc_id
              |GROUP BY 1, 2 ORDER BY a, b""".stripMargin)),
 
+    // Source-level contamination matrix: distinct 5-shingles shared
+    // between every pair of data sources, with containment =
+    // shared/min(|A|,|B|) — the corpus-analytics level above
+    // per-document dedup (which source leaked into which). Runs over
+    // the shared shingle layout; the pair fan-out is bounded by
+    // |sources|² per shingle, so no df-cut is needed at this
+    // granularity.
+    QueryDef("dedup_source_overlap",
+      (spark, sf) => Dedup.sourceOverlap(
+          load(spark, sf, "documents"), "text", "doc_id", "source", k = 5,
+          precomputedShingles = Some(sharedShingles(spark, sf)))
+        .orderBy(col("source_a"), col("source_b")),
+      Some("""WITH toks AS (SELECT doc_id, source, string_split(text,' ') t FROM documents),
+             |idx AS (SELECT doc_id, source, unnest(range(len(t)-4)) i, t
+             |  FROM toks WHERE len(t) >= 5),
+             |sh AS (SELECT DISTINCT doc_id, source,
+             |  list_aggregate(t[i+1:i+5], 'string_agg', ' ') s FROM idx),
+             |ss AS (SELECT DISTINCT source, s FROM sh),
+             |sizes AS (SELECT source, COUNT(*) n FROM ss GROUP BY source),
+             |shared AS (
+             |  SELECT x.source source_a, y.source source_b, COUNT(*) shared_shingles
+             |  FROM ss x JOIN ss y ON x.s = y.s AND x.source < y.source
+             |  GROUP BY 1, 2)
+             |SELECT source_a, source_b,
+             |  CAST(shared_shingles AS BIGINT) AS shared_shingles,
+             |  CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+             |  CAST(shared_shingles AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+             |FROM shared JOIN sizes sa ON source_a = sa.source
+             |  JOIN sizes sb ON source_b = sb.source
+             |ORDER BY source_a, source_b""".stripMargin)),
+
     // Benchmark decontamination: corpus docs sharing any verbatim
     // 20-token window with a (pseudo) eval set — every 10th doc plays
     // the benchmark; the rest are the corpus. Asymmetric inverted-index
