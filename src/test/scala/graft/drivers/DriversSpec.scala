@@ -145,6 +145,15 @@ class DriversSpec extends SparkSpec {
         r.getAs[String]("name"), r.getAs[String]("field1"))).toSeq ==
       Seq(("emea", "group1", "file1", "A"), ("emea", "group2", "file2", "B"),
         ("apac", "group1", "file3", "C")).sortBy(_._3))
+    // string ids prune too: a top-level id predicate on the 3-deep tree
+    // must open only the matching subtree's files
+    val emea = back.filter(org.apache.spark.sql.functions.col("region") === "emea")
+    emea.collect()
+    val scan = emea.queryExecution.executedPlan.collectFirst {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }.getOrElse(fail("no file scan in pruned plan"))
+    assert(scan.metrics("numFiles").value == 2,
+      s"region=emea must read exactly its 2 files, read ${scan.metrics("numFiles").value}")
   }
 
   test("YAML sink options: indent width and anchor/alias refs for repeated subtrees") {
