@@ -120,6 +120,48 @@ object Dedup {
       .otherwise(array().cast("array<bigint>"))
   }
 
+  /** Chunk-level exact dedup WITH REMOVAL (the cleanup step of the
+    * exact-substring line of work — [[substringPairs]] only detects
+    * duplication, this drops it): documents split into disjoint
+    * `window`-token chunks, every chunk occurrence after the
+    * corpus-wide first (ordered by doc id, then chunk position) is
+    * dropped, and the surviving chunks reassemble into the cleaned
+    * document in original order. The keep-first rule makes removal
+    * deterministic and engine-replayable — the paragraph-dedup shape
+    * of the Dolma/C4 pipelines, on token chunks since this corpus has
+    * no paragraph separators.
+    *
+    * Scale shape: one shuffle partitioned by the chunk text (the
+    * keep-first window is per-chunk-key, never a global sort), one
+    * per-doc aggregate; output is linear in corpus tokens. Documents
+    * whose every chunk was seen earlier disappear (fully-duplicated
+    * docs — exactly what removal means).
+    *
+    * Output: (`idCol`, clean_text, n_kept).
+    */
+  def chunkDedup(
+      df: DataFrame, textCol: String, idCol: String, window: Int): DataFrame = {
+    require(window >= 1, "window must be positive")
+    val chunks = ensureParallelism(df)
+      .select(col(idCol).as("__id"),
+        explode(TextOps.chunkWindows(col(textCol), window, window)).as("c"))
+      .select(col("__id"), col("c.start").as("start"), col("c.chunk").as("chunk"))
+    val keepFirst = Window.partitionBy(col("chunk"))
+      .orderBy(col("__id"), col("start"))
+    chunks
+      .withColumn("__rn", row_number().over(keepFirst))
+      .filter(col("__rn") === 1)
+      .groupBy(col("__id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("start"), col("chunk")))),
+            s => s.getField("chunk")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .select(col("__id").as(idCol), col("clean_text"), col("n_kept"))
+  }
+
   /** Source-level verbatim-overlap matrix: for every pair of groups
     * (data sources), the number of distinct k-shingles present in BOTH
     * — the corpus-analytics view of contamination ("did books leak

@@ -165,6 +165,32 @@ object DedupQueries {
              |FROM kept k1 JOIN kept k2 ON k1.s = k2.s AND k1.doc_id < k2.doc_id
              |GROUP BY 1, 2 ORDER BY a, b""".stripMargin)),
 
+    // Chunk-level exact dedup WITH REMOVAL (dedup_substring detects;
+    // this cleans): disjoint 20-token chunks, keep the corpus-wide
+    // first occurrence of each chunk (by doc_id, then position), drop
+    // the rest, reassemble surviving chunks in order — the
+    // paragraph-dedup step of the Dolma/C4 pipelines on a corpus with
+    // no paragraph separators. Keep-first is deterministic, so the
+    // oracle replays removal AND reassembly exactly.
+    QueryDef("dedup_chunk_removal",
+      (spark, sf) => Dedup.chunkDedup(
+          load(spark, sf, "documents"), "text", "doc_id", window = 20)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+             |chunks AS (
+             |  SELECT doc_id, s AS start,
+             |    list_aggregate(t[s+1 : s+20], 'string_agg', ' ') AS chunk
+             |  FROM toks, UNNEST(range(0, len(t), 20)) r(s)),
+             |ranked AS (
+             |  SELECT doc_id, start, chunk,
+             |    ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, start) rn
+             |  FROM chunks)
+             |SELECT doc_id,
+             |  string_agg(chunk, ' ' ORDER BY start) AS clean_text,
+             |  CAST(COUNT(*) AS BIGINT) AS n_kept
+             |FROM ranked WHERE rn = 1
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Source-level contamination matrix: distinct 5-shingles shared
     // between every pair of data sources, with containment =
     // shared/min(|A|,|B|) — the corpus-analytics level above
