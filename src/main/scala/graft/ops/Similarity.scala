@@ -66,6 +66,30 @@ object Similarity {
     topKRanked(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for every query
+    * vector, the k most-similar corpus vectors carrying a DIFFERENT
+    * label — maximally-confusing negatives, the standard upgrade over
+    * random in-batch negatives. Exact form: broadcast queries, one
+    * corpus scan, bounded GroupedTopK heaps (the [[bruteForceTopK]]
+    * economics, plus the label predicate evaluated inside the scan
+    * stage). At full scale the same predicate drops unchanged into the
+    * IVF probe join ([[ivfTopK]]'s list-keyed shape) — negatives only
+    * need to be hard, not provably hardest.
+    */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("qlabel"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("clabel"))
+    topKRanked(
+      c.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("neighbor_id") &&
+          !(col("clabel") <=> col("qlabel")))
+        .withColumn("sim", cosine(col("qv"), col("cv"))), k)
+  }
+
   /** `nBits` seeded random hyperplanes of dimension `dim`, as a literal
     * array-of-arrays column (broadcast with the plan).
     */

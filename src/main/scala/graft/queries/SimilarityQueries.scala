@@ -36,6 +36,36 @@ object SimilarityQueries {
              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
       bench = true),
 
+    // Hard-negative mining (contrastive-training data prep): per query,
+    // the 5 most-similar vectors with a DIFFERENT label — the
+    // sim_cosine_topk shape plus a label predicate inside the scan, so
+    // the oracle stays a full hash oracle (exact sims, rounded), not a
+    // recall gate.
+    QueryDef("sim_hard_negatives",
+      (spark, sf) => Similarity.hardNegatives(
+          load(spark, sf, "embeddings"),
+          load(spark, sf, "embeddings").filter(col("vec_id") < 10),
+          "vec_id", "embedding", "label", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rank")),
+      Some("""WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+             |          CAST(embedding AS DOUBLE[]) qv
+             |          FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS neighbor_id, label AS clabel,
+             |      CAST(embedding AS DOUBLE[]) cv FROM embeddings),
+             |scored AS (
+             |  SELECT query_id, neighbor_id,
+             |    list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+             |  FROM c CROSS JOIN q
+             |  WHERE query_id <> neighbor_id AND clabel IS DISTINCT FROM qlabel),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, sim,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ROUND(sim, 6) AS sim
+             |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // ANN via IVF (inverted-file index): k-means lists + nprobe probing,
     // exact re-rank — the second scale path next to LSH. Clustering is
     // seeded-deterministic but not SQL-portable, so the gate emits the
