@@ -142,7 +142,10 @@ object Dedup {
   def chunkDedup(
       df: DataFrame, textCol: String, idCol: String, window: Int): DataFrame = {
     require(window >= 1, "window must be positive")
-    val chunks = ensureParallelism(df)
+    // null text drops the document entirely (the shingle/window-hash
+    // convention; chunkWindows would otherwise resurrect it as one
+    // empty chunk that competes in keep-first with real empty docs)
+    val chunks = ensureParallelism(df.filter(col(textCol).isNotNull))
       .select(col(idCol).as("__id"),
         explode(TextOps.chunkWindows(col(textCol), window, window)).as("c"))
       .select(col("__id"), col("c.start").as("start"), col("c.chunk").as("chunk"))
@@ -179,7 +182,11 @@ object Dedup {
   def sourceOverlap(
       df: DataFrame, textCol: String, idCol: String, groupCol: String, k: Int,
       precomputedShingles: Option[DataFrame] = None): DataFrame = {
-    val sh = precomputedShingles.getOrElse(shingleTable(df, textCol, idCol, k))
+    // the derived (group, shingle) frame feeds three consumers (two
+    // self-join sides + the sizes aggregate) — persist the fallback
+    // like ngramJaccardPairs so a direct call never pays the corpus
+    // explode thrice; repeated callers pass precomputedShingles
+    val sh = precomputedShingles.getOrElse(shingleTable(df, textCol, idCol, k).persist())
     val ss = sh.join(df.select(col(idCol), col(groupCol)), Seq(idCol))
       .select(col(groupCol).as("g"), col("shingle")).distinct()
     val sizes = ss.groupBy(col("g")).agg(count(lit(1)).as("n"))

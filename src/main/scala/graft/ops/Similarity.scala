@@ -55,16 +55,26 @@ object Similarity {
     * cross join broadcasts the queries and the only shuffle is the
     * per-query top-k window.
     */
+  /** Shared broadcast-queries cosine scoring: one corpus scan, queries
+    * broadcast, self-pairs dropped, bounded-heap top-k. The single
+    * place the exact tier's economics and tie-break contract live —
+    * [[bruteForceTopK]] and [[hardNegatives]] differ only in the
+    * candidate predicate.
+    */
+  private def cosineTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      candidateFilter: Column = lit(true)): DataFrame =
+    topKRanked(
+      corpus.crossJoin(broadcast(queries))
+        .filter(col("query_id") =!= col("neighbor_id") && candidateFilter)
+        .withColumn("sim", cosine(col("qv"), col("cv"))), k)
+
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
-    topKRanked(scored, k)
-  }
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    cosineTopK(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), k)
 
   /** Hard-negative mining for contrastive training: for every query
     * vector, the k most-similar corpus vectors carrying a DIFFERENT
@@ -78,17 +88,13 @@ object Similarity {
     */
   def hardNegatives(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      col(labelCol).as("qlabel"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      col(labelCol).as("clabel"))
-    topKRanked(
-      c.crossJoin(broadcast(q))
-        .filter(col("query_id") =!= col("neighbor_id") &&
-          !(col("clabel") <=> col("qlabel")))
-        .withColumn("sim", cosine(col("qv"), col("cv"))), k)
-  }
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame =
+    cosineTopK(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col(labelCol).as("clabel")),
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col(labelCol).as("qlabel")),
+      k, candidateFilter = !(col("clabel") <=> col("qlabel")))
 
   /** `nBits` seeded random hyperplanes of dimension `dim`, as a literal
     * array-of-arrays column (broadcast with the plan).

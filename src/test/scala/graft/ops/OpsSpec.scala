@@ -705,6 +705,19 @@ class OpsSpec extends SparkSpec {
     assert(apply(1) == apply(7), "tie winner must not depend on partitioning")
   }
 
+  test("chunk dedup: keep-first removal + in-order reassembly; null text drops the doc") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y a b c d"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "text", "doc_id", window = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, "a b c d", 2L), // first occurrence keeps everything
+      (3L, "x y", 1L)))    // its "a b"/"c d" chunks were seen in doc 1
+    // doc 2 (fully duplicated) and doc 4 (null text) are gone entirely
+  }
+
   test("transitive closure: strict mode throws on maxIters truncation") {
     val chain = spark.createDataFrame((1L to 10L).map(i => (i, i + 1)))
       .toDF("node", "parent")
