@@ -120,6 +120,30 @@ object Dedup {
       .otherwise(array().cast("array<bigint>"))
   }
 
+  /** Quality-aware cluster representative selection — the curation
+    * upgrade over "keep the smallest id": within each near-dup cluster
+    * keep the member maximizing `scoreCol` (ties: smaller id) — e.g.
+    * the longest or highest-quality document, which is what real
+    * curation keeps. `clusters`: (`idCol`, rep) as produced by
+    * [[clusters]]; `scores`: (`idCol`, `scoreCol`). One window over
+    * the cluster key — cluster count bounds the shuffle, nothing is
+    * corpus-quadratic. Output: (rep, best_doc, best_score,
+    * cluster_size).
+    */
+  def clusterBest(
+      clusters: DataFrame, scores: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val byCluster = Window.partitionBy(col("rep"))
+    val joined = clusters.join(scores, Seq(idCol))
+    joined
+      .withColumn("__rn", row_number().over(
+        byCluster.orderBy(col(scoreCol).desc, col(idCol))))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .filter(col("__rn") === 1)
+      .select(col("rep"), col(idCol).as("best_doc"),
+        col(scoreCol).as("best_score"), col("cluster_size"))
+  }
+
   /** Chunk-level exact dedup WITH REMOVAL (the cleanup step of the
     * exact-substring line of work — [[substringPairs]] only detects
     * duplication, this drops it): documents split into disjoint

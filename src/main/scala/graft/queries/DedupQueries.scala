@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.Dedup
+import graft.ops.{Dedup, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Deduplication queries over `documents`. The corpus has planted
@@ -350,6 +350,50 @@ object DedupQueries {
              |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
              |SELECT u AS doc_id, MIN(v) AS rep FROM reach GROUP BY u
              |ORDER BY doc_id""".stripMargin)),
+
+    // Quality-aware representative selection: per near-dup cluster,
+    // keep the LONGEST member (ties: smaller id) — what real curation
+    // keeps, vs dedup_corpus's min-id convention. One window over the
+    // cluster key on top of the shared pair layout; the oracle extends
+    // the dedup_clusters closure with the same argmax.
+    QueryDef("dedup_best_of_cluster",
+      (spark, sf) => {
+        val scores = load(spark, sf, "documents")
+          .select(col("doc_id"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        Dedup.clusterBest(
+            Dedup.clusters(sharedPairs(spark, sf)), scores, "doc_id", "n_tokens")
+          .orderBy(col("rep"))
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+             |idx AS (SELECT doc_id, unnest(range(len(t)-4)) i, t FROM toks WHERE len(t) >= 5),
+             |sh0 AS (SELECT doc_id, list_aggregate(t[i+1:i+5], 'string_agg', ' ') s FROM idx),
+             |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+             |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT s1.doc_id a, s2.doc_id b, COUNT(*) inter
+             |  FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT a, b FROM inter
+             |  JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+             |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+             |edges AS (SELECT a u, b v FROM pairs UNION SELECT b, a FROM pairs),
+             |reach AS (
+             |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+             |  UNION
+             |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+             |cl AS (SELECT u AS doc_id, MIN(v) AS rep FROM reach GROUP BY u),
+             |scored AS (
+             |  SELECT cl.rep, cl.doc_id,
+             |    CAST(len(string_split(d.text,' ')) AS BIGINT) AS n,
+             |    ROW_NUMBER() OVER (PARTITION BY cl.rep
+             |      ORDER BY len(string_split(d.text,' ')) DESC, cl.doc_id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY cl.rep) AS cluster_size
+             |  FROM cl JOIN documents d USING (doc_id))
+             |SELECT rep, doc_id AS best_doc, n AS best_score,
+             |  CAST(cluster_size AS BIGINT) AS cluster_size
+             |FROM scored WHERE rn = 1 ORDER BY rep""".stripMargin)),
 
     // End-to-end deduplicated corpus — the pipeline's actual product:
     // exact-dup survivors (min doc id per fingerprint) minus

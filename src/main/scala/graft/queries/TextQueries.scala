@@ -796,6 +796,39 @@ object TextQueries {
       },
       Some(Shared.CountMinOracle)),
 
+    // Out-of-vocabulary rate per source against a top-V vocabulary —
+    // the tokenizer-ablation report (what fraction of each source's
+    // tokens would map to <unk> under a size-V vocab). Vocab = top-16
+    // tokens by (count DESC, token), a deterministic total order in
+    // both engines; vocab is driver-bounded (TakeOrdered over the
+    // shared token-count layout) and broadcast into the scan-side
+    // membership probe, so the only shuffle is the per-source
+    // aggregate. oov_rate is one exact-integer division.
+    QueryDef("text_oov_rate",
+      (spark, sf) => {
+        val toks = load(spark, sf, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        val vocab = Shared.exactTokenCounts(spark, sf)
+          .orderBy(desc("exact_cnt"), col("tok")).limit(16)
+          .select(col("tok"), lit(1).as("__in"))
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("__in").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+          .withColumn("oov_rate", col("oov_tokens").cast("double") / col("n_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |cnt AS (SELECT tok, COUNT(*) c FROM toks GROUP BY tok),
+             |vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 16)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |  CAST(COUNT(*) FILTER (tok NOT IN (SELECT tok FROM vocab)) AS BIGINT)
+             |    AS oov_tokens,
+             |  CAST(COUNT(*) FILTER (tok NOT IN (SELECT tok FROM vocab)) AS DOUBLE)
+             |    / COUNT(*) AS oov_rate
+             |FROM toks GROUP BY source ORDER BY source""".stripMargin)),
+
     // Per-document top terms by the integer tf-idf surrogate (tf DESC,
     // df ASC, term ASC): "most frequent rare term" ranks exactly like
     // tf·idf without a float in sight, so the oracle is exact — and the
