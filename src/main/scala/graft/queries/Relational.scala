@@ -1081,6 +1081,43 @@ object Relational {
              |FROM c WHERE node % 97 = 0
              |GROUP BY node, ancestor ORDER BY node, depth""".stripMargin)),
 
+    // The same ancestor closure through the engine's native RECURSIVE
+    // SQL surface (Spark 4 WITH RECURSIVE) — a user can write the
+    // fixpoint declaratively and get the planner's UnionLoop instead
+    // of hand-rolling iteration. The hand-built semi-naive operator
+    // (q_transitive_closure) stays the scale path — frontier-only
+    // iteration with checkpoint-truncated lineage — while this row
+    // pins that the SQL surface computes the identical answer (same
+    // oracle; the part hierarchy is a DAG, so UNION ALL exploration +
+    // MIN(depth) equals the set-fixpoint result).
+    QueryDef("q_recursive_cte",
+      (spark, sf) => {
+        Tables.registerViews(spark, sf)
+        spark.sql(
+          """WITH RECURSIVE c(node, ancestor, depth) AS (
+            |  SELECT p_partkey, p_partkey div 10, 1 FROM part WHERE p_partkey > 0
+            |  UNION ALL
+            |  SELECT c.node, e.parent, c.depth + 1
+            |  FROM c JOIN (
+            |    SELECT p_partkey AS node, p_partkey div 10 AS parent
+            |    FROM part WHERE p_partkey > 0) e
+            |    ON c.ancestor = e.node)
+            |SELECT node, ancestor, CAST(MIN(depth) AS INT) AS depth
+            |FROM c WHERE node % 97 = 0
+            |GROUP BY node, ancestor ORDER BY node, depth""".stripMargin)
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT p_partkey AS node, p_partkey // 10 AS parent
+             |  FROM part WHERE p_partkey > 0),
+             |c(node, ancestor, depth) AS (
+             |  SELECT node, parent, 1 FROM e
+             |  UNION
+             |  SELECT c.node, e.parent, c.depth + 1
+             |  FROM c JOIN e ON c.ancestor = e.node)
+             |SELECT node, ancestor, CAST(MIN(depth) AS INT) AS depth
+             |FROM c WHERE node % 97 = 0
+             |GROUP BY node, ancestor ORDER BY node, depth""".stripMargin)),
+
     // Iterative PageRank over the part⇄supplier sourcing graph (who-
     // supplies-what from lineitem; ids disambiguated onto disjoint
     // even/odd ranges). Integer micro-unit arithmetic makes a float-y
