@@ -134,7 +134,11 @@ object Dedup {
       clusters: DataFrame, scores: DataFrame,
       idCol: String, scoreCol: String): DataFrame = {
     val byCluster = Window.partitionBy(col("rep"))
-    val joined = clusters.join(scores, Seq(idCol))
+    // LEFT join: a member missing from `scores` must neither shrink
+    // cluster_size nor silently vanish (a fully-unscored cluster still
+    // elects a deterministic representative) — unscored members sort
+    // last (desc puts nulls last) and lose to any scored member
+    val joined = clusters.join(scores, Seq(idCol), "left")
     joined
       .withColumn("__rn", row_number().over(
         byCluster.orderBy(col(scoreCol).desc, col(idCol))))

@@ -55,6 +55,33 @@ object DedupQueries {
     sharedShingles(spark, sf).count() + sharedPairs(spark, sf).count() +
       sharedWindows(spark, sf).count()
 
+  /** Shared oracle fragment: 5-shingle τ≥0.8 near-dup pairs and their
+    * connected-component fixpoint (`edges`/`reach`) — ONE definition
+    * for every oracle that consumes the cluster structure
+    * (dedup_clusters, dedup_corpus, dedup_best_of_cluster), so the
+    * shingle width and Jaccard threshold can never drift apart across
+    * oracles while the Spark side reads them from sharedPairs.
+    */
+  private val ClosureOracleCtes: String =
+    """toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+      |idx AS (SELECT doc_id, unnest(range(len(t)-4)) i, t FROM toks WHERE len(t) >= 5),
+      |sh0 AS (SELECT doc_id, list_aggregate(t[i+1:i+5], 'string_agg', ' ') s FROM idx),
+      |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT s1.doc_id a, s2.doc_id b, COUNT(*) inter
+      |  FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a, b FROM inter
+      |  JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+      |edges AS (SELECT a u, b v FROM pairs UNION SELECT b, a FROM pairs),
+      |reach AS (
+      |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup by canonical md5 fingerprint (hash-groupBy; keeps the
@@ -330,24 +357,7 @@ object DedupQueries {
     // transitive closure with MIN over reachable nodes.
     QueryDef("dedup_clusters",
       (spark, sf) => Dedup.clusters(sharedPairs(spark, sf)),
-      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
-             |idx AS (SELECT doc_id, unnest(range(len(t)-4)) i, t FROM toks WHERE len(t) >= 5),
-             |sh0 AS (SELECT doc_id, list_aggregate(t[i+1:i+5], 'string_agg', ' ') s FROM idx),
-             |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
-             |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
-             |inter AS (
-             |  SELECT s1.doc_id a, s2.doc_id b, COUNT(*) inter
-             |  FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id
-             |  GROUP BY 1, 2),
-             |pairs AS (
-             |  SELECT a, b FROM inter
-             |  JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
-             |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
-             |edges AS (SELECT a u, b v FROM pairs UNION SELECT b, a FROM pairs),
-             |reach AS (
-             |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
-             |  UNION
-             |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+      Some("WITH RECURSIVE " + ClosureOracleCtes + """
              |SELECT u AS doc_id, MIN(v) AS rep FROM reach GROUP BY u
              |ORDER BY doc_id""".stripMargin)),
 
@@ -365,24 +375,7 @@ object DedupQueries {
             Dedup.clusters(sharedPairs(spark, sf)), scores, "doc_id", "n_tokens")
           .orderBy(col("rep"))
       },
-      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
-             |idx AS (SELECT doc_id, unnest(range(len(t)-4)) i, t FROM toks WHERE len(t) >= 5),
-             |sh0 AS (SELECT doc_id, list_aggregate(t[i+1:i+5], 'string_agg', ' ') s FROM idx),
-             |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
-             |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
-             |inter AS (
-             |  SELECT s1.doc_id a, s2.doc_id b, COUNT(*) inter
-             |  FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id
-             |  GROUP BY 1, 2),
-             |pairs AS (
-             |  SELECT a, b FROM inter
-             |  JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
-             |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
-             |edges AS (SELECT a u, b v FROM pairs UNION SELECT b, a FROM pairs),
-             |reach AS (
-             |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
-             |  UNION
-             |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+      Some("WITH RECURSIVE " + ClosureOracleCtes + """,
              |cl AS (SELECT u AS doc_id, MIN(v) AS rep FROM reach GROUP BY u),
              |scored AS (
              |  SELECT cl.rep, cl.doc_id,
@@ -414,24 +407,7 @@ object DedupQueries {
              |  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
              |  FROM documents),
              |exact_survivors AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
-             |toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
-             |idx AS (SELECT doc_id, unnest(range(len(t)-4)) i, t FROM toks WHERE len(t) >= 5),
-             |sh0 AS (SELECT doc_id, list_aggregate(t[i+1:i+5], 'string_agg', ' ') s FROM idx),
-             |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
-             |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
-             |inter AS (
-             |  SELECT s1.doc_id a, s2.doc_id b, COUNT(*) inter
-             |  FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id
-             |  GROUP BY 1, 2),
-             |pairs AS (
-             |  SELECT a, b FROM inter
-             |  JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
-             |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
-             |edges AS (SELECT a u, b v FROM pairs UNION SELECT b, a FROM pairs),
-             |reach AS (
-             |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
-             |  UNION
-             |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+             |""".stripMargin + ClosureOracleCtes + """,
              |fuzzy_drops AS (
              |  SELECT u AS doc_id FROM reach GROUP BY u HAVING u <> MIN(v))
              |SELECT d.doc_id, d.source FROM documents d

@@ -1052,13 +1052,16 @@ object Relational {
              |  (c_mktsegment), ())
              |ORDER BY o_orderpriority, c_mktsegment""".stripMargin)),
 
-    // Recursive-query capability (Spark has no recursive CTE): generic
-    // semi-naive transitive closure as a driver-side fixpoint loop over
+    // Recursive-query capability, the SCALE path: generic semi-naive
+    // transitive closure as a driver-side fixpoint loop over
     // executor-resident data — per round only the NEW pairs shuffle
-    // (frontier), never the whole closure. The part-key decimal trie
-    // (parent = key div 10, depth ≤ ~6) gives a real multi-level
-    // hierarchy; the DuckDB oracle replays it as an actual recursive
-    // CTE with BFS-minimal depth.
+    // (frontier), never the whole closure, with checkpoint-truncated
+    // lineage. (Spark 4's native WITH RECURSIVE exists — q_recursive_cte
+    // below pins it to the same answer — but exposes no frontier/
+    // checkpoint control.) The part-key decimal trie (parent = key div
+    // 10, depth ≤ ~6) gives a real multi-level hierarchy; the DuckDB
+    // oracle replays it as an actual recursive CTE with BFS-minimal
+    // depth.
     QueryDef("q_transitive_closure",
       (spark, sf) => {
         val edges = Tables.load(spark, sf, "part")

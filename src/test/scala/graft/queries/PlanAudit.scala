@@ -67,7 +67,8 @@ class PlanAudit extends SparkSpec {
     // (measured 24 alone, 32 after suites that warm the pair cache)
     "dedup_chunk_removal" -> 5,  // chunk-key window + per-doc agg + orderBy
     "dedup_best_of_cluster" -> 12, // cluster window over the cached pair layout
-    "text_oov_rate" -> 8)        // vocab TakeOrdered + broadcast probe + source agg
+    "text_oov_rate" -> 8,        // vocab TakeOrdered + broadcast probe + source agg
+    "q_recursive_cte" -> 4)      // UnionLoop iterations share the anchor exchange
 
   // Queries whose ONLY nested-loop join is the recall/bound gate's
   // crossJoin against a one-row aggregate (a broadcast of a scalar —
