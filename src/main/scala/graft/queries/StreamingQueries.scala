@@ -565,6 +565,43 @@ object StreamingQueries {
            |FROM enc GROUP BY piece ORDER BY piece""".stripMargin
       }),
 
+    // Streaming OOV monitoring: the text_oov_rate report computed as
+    // data arrives — a static top-V vocabulary (driver-bounded, built
+    // once from the reference corpus) broadcast into each micro-batch,
+    // per-source counters in complete mode. The ingest-time shape of a
+    // tokenizer-drift monitor; oracle = the batch twin's.
+    QueryDef("stream_oov_rate",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "documents")).schema
+        val docs = spark.readStream.schema(schema)
+          .parquet(stagedDir(spark, sf, "documents"))
+        val vocab = Shared.exactTokenCounts(spark, sf)
+          .orderBy(desc("exact_cnt"), col("tok")).limit(16)
+          .select(col("tok"), lit(1).as("__in"))
+        val agg = docs
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("__in").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+          .withColumn("oov_rate", col("oov_tokens").cast("double") / col("n_tokens"))
+        val table = s"stream_oov_${counter.incrementAndGet()}"
+        val q = agg.writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        spark.table(table).orderBy(col("source"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |cnt AS (SELECT tok, COUNT(*) c FROM toks GROUP BY tok),
+             |vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 16)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |  CAST(COUNT(*) FILTER (tok NOT IN (SELECT tok FROM vocab)) AS BIGINT)
+             |    AS oov_tokens,
+             |  CAST(COUNT(*) FILTER (tok NOT IN (SELECT tok FROM vocab)) AS DOUBLE)
+             |    / COUNT(*) AS oov_rate
+             |FROM toks GROUP BY source ORDER BY source""".stripMargin)),
+
     // Streaming multimodal: REAL image decode + perceptual hash (JDK
     // ImageIO, 8×8 aHash) running INSIDE micro-batches — the ingest-time
     // shape of a multimodal pipeline (hash media as it lands, join
