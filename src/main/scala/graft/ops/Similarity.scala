@@ -495,48 +495,84 @@ object Similarity {
     topKRanked(result.withColumn("sim", cosine(col("qv"), col("cv"))), k)
   }
 
-  /** Embedding near-duplicate pairs above `minSim`: random-hyperplane LSH
-    * band candidates + exact [[cosine]] verify — the bucketed replacement
-    * for an all-pairs crossJoin (O(N²) in corpus size, the textbook
-    * scale-killer). Shuffle is keyed on (band, bucket), so only documents
-    * sharing a signature band ever meet.
+  /** LSH band candidate pairs: each vector signs `bands × bitsPerBand`
+    * seeded hyperplanes; ids sharing a band's bit-pattern become a
+    * candidate `(a, b)` pair (a < b, distinct across bands). This is the
+    * CANDIDATE stage of [[cosinePairs]], public so callers can gate the
+    * candidate ECONOMICS in-query — `count(candidates) / (N·(N−1)/2)` is
+    * the measurable all-pairs-avoidance ratio (the df-cut precedent from
+    * n-gram dedup, applied to embeddings).
     *
-    * The default 32 bands × 2 bits is tuned for a LOW threshold
-    * (τ≈0.4 ⇒ per-hyperplane collision prob ≈0.63 ⇒ per-pair miss
-    * (1−0.63²)³² ≈ 9e-8): low thresholds are inherently LSH-hostile, so
-    * per-band pruning is coarse (4 buckets/band). Genuine dedup
-    * thresholds (τ ≥ 0.8, collision prob ≥ 0.9) should raise
-    * `bitsPerBand` to 6–8, which shrinks candidate sets to true
-    * bucket size at the same recall.
+    * Shuffle is keyed on (band, bucket) over id longs only — vectors
+    * never ride the candidate join.
     */
-  def cosinePairs(
+  def bandCandidates(
       corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
-      minSim: Double, bands: Int = 32, bitsPerBand: Int = 2,
-      seed: Long = 42L): DataFrame = {
+      bands: Int, bitsPerBand: Int, seed: Long = 42L): DataFrame = {
     require(bands * bitsPerBand <= 64, "signature must pack into one long")
     val planes = hyperplanes(dim, bands * bitsPerBand, seed)
     val banded = signatures(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, planes)
-      .select(col(idCol), col(vecCol),
+      .select(col(idCol),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("sig"), b * bitsPerBand)
               .bitwiseAND((1L << bitsPerBand) - 1).as("bucket"))): _*)).as("bb"))
-      .select(col(idCol), col(vecCol), col("bb.band"), col("bb.bucket"))
-    // dedupe candidates on the id pair alone (cheap longs), then attach
-    // vectors once per surviving pair — shuffling 64-float arrays through
-    // the across-band distinct would dominate the join cost
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    // dedupe candidates on the id pair alone (cheap longs) — vectors are
+    // attached once per surviving pair in the verify stage; shuffling
+    // float arrays through the across-band distinct would dominate
     val l = banded.select(col(idCol).as("a"), col("band"), col("bucket"))
     val r = banded.select(col(idCol).as("b"), col("band"), col("bucket"))
-    val cand = l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
+    l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
+  }
+
+  /** Exact-cosine verify of a candidate `(a, b)` pair set: attach both
+    * vectors (one join per side), score with the fused [[cosine]]
+    * expression, keep pairs ≥ `minSim`. Emitted sims are always exact —
+    * candidates only ever bound WHICH pairs get scored.
+    */
+  def verifyPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      candidates: DataFrame, minSim: Double): DataFrame = {
     val vecs = corpus.select(col(idCol), col(vecCol))
-    cand
+    candidates
       .join(vecs.select(col(idCol).as("a"), col(vecCol).as("va")), Seq("a"))
       .join(vecs.select(col(idCol).as("b"), col(vecCol).as("vb")), Seq("b"))
       .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") >= minSim)
       .select(col("a"), col("b"), col("sim"))
   }
+
+  /** Embedding near-duplicate pairs above `minSim`: random-hyperplane LSH
+    * band candidates ([[bandCandidates]]) + exact [[cosine]] verify
+    * ([[verifyPairs]]). Shuffle is keyed on (band, bucket), so only
+    * documents sharing a signature band ever meet.
+    *
+    * == The default banding is the VERIFICATION tier, not the scale path ==
+    * 32 bands × 2 bits recovers essentially every pair at a LOW threshold
+    * (τ≈0.4 ⇒ per-hyperplane collision prob ≈0.63 ⇒ per-pair miss
+    * (1−0.63²)³² ≈ 9e-8) — but only 4 buckets/band means a random pair
+    * collides in ≥1 band with prob ≈ 1−0.75³² ≈ 0.9999: the candidate
+    * set IS economically all-pairs. That is the correct configuration
+    * for small-scale exact verification (the DuckDB-oracle gate), and
+    * the wrong one for 100 TB. Low thresholds are inherently LSH-hostile
+    * (measured on this corpus at τ=0.4: 10×6-bit bands → candidate
+    * ratio ≈ 0.15 at recall ≈ 0.5; data-dependent k-means scoping
+    * trades no better) — production low-τ mining must accept a
+    * recall-gated coarse banding (the `dedup_embedding_cosine_cut` gate
+    * shape: candidate-ratio bound + recall bound, both measured
+    * in-query) or route through [[semanticPairs]] cluster scoping.
+    * Genuine dedup thresholds (τ ≥ 0.8, collision prob ≥ 0.9) get both:
+    * `bitsPerBand` 6–8 shrinks candidates to true bucket size at
+    * near-perfect recall.
+    */
+  def cosinePairs(
+      corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      minSim: Double, bands: Int = 32, bitsPerBand: Int = 2,
+      seed: Long = 42L): DataFrame =
+    verifyPairs(corpus, idCol, vecCol,
+      bandCandidates(corpus, idCol, vecCol, dim, bands, bitsPerBand, seed), minSim)
 
   /** ANN top-k via LSH bucketing: corpus rows pair with queries sharing
     * any signature band (multi-probe across `bands` bands of

