@@ -79,15 +79,34 @@ object MigrationProgress {
   def withProgress[T](
       spark: SparkSession, label: String,
       everyMs: Long = 2000L,
-      out: String => Unit = s => System.err.println(s))(body: => T): T = {
+      out: String => Unit = s => System.err.println(s))(body: => T): T =
+    withProgressCounters(spark, label, everyMs, out)(body)._1
+
+  /** [[withProgress]], additionally returning the listener's final
+    * (tasksDone, tasksTotal) so programmatic callers — and the
+    * correctness gate — can assert on the counters instead of parsing
+    * console lines. Invariants on a completed body: done > 0 for any
+    * body that ran a job, and done ≤ total (totals come from planned
+    * stages, so skipped/reused stages make the denominator an
+    * over-estimate — progress finishes "early", never late).
+    */
+  def withProgressCounters[T](
+      spark: SparkSession, label: String,
+      everyMs: Long = 2000L,
+      out: String => Unit = s => System.err.println(s))(body: => T): (T, Long, Long) = {
     val sc = spark.sparkContext
     val group = s"a2b-progress-$label-${seq.incrementAndGet()}"
     val l = new MigrationProgressListener(label, everyMs, out, Some(group))
     sc.addSparkListener(l)
     val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
     sc.setLocalProperty("spark.jobGroup.id", group)
-    try body
-    finally {
+    try {
+      val r = body
+      // listener-bus events are asynchronous — drain before reading
+      // the counters so a fast body can't observe a stale zero
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+      (r, l.done, l.total)
+    } finally {
       sc.setLocalProperty("spark.jobGroup.id", prevGroup)
       sc.removeSparkListener(l)
       out(l.summary())

@@ -923,5 +923,98 @@ object Etl {
       Some("""SELECT CAST(n_nationkey AS BIGINT) AS key_long, n_name AS key_string
              |FROM nation WHERE n_nationkey IS NOT NULL AND n_name IS NOT NULL
              |ORDER BY key_long""".stripMargin)),
+
+    // §2.3 group / selection filter (`DataMigrationManager.php:256-266`,
+    // `MigrateCommand.php --group`): a three-migration registry spanning
+    // two groups is filtered through MigrationRegistry.byGroups and ONLY
+    // the selected group's migrations execute; the output unions every
+    // executed migration's snapshot under its name. If the filter ever
+    // selected the wrong set, extra (or missing) rows flip the driver's
+    // row/hash check — the CLI surface's semantics, gated end-to-end.
+    QueryDef("etl_group_filter",
+      (spark, sf) => {
+        val base = scratch("graft_grp")
+        val mapper = new MappingStore(s"$base/map")
+        val refs = new ReferenceStore(mapper)
+        val dest = new ParquetDestinationDriver
+        def mkSpec(n: String, srcId: String, grp: String) = MigrationSpec(n,
+          source = "", sourceDriver = "inline",
+          destination = s"$base/$n", destinationDriver = "parquet",
+          sourceIds = Seq(IdField(srcId, LongId)),
+          destinationIds = Seq(IdField("sid", LongId)), group = grp)
+        def mkMig(theSpec: MigrationSpec, name: String) = new Migration {
+          def spec: MigrationSpec = theSpec
+          def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+            src.select(col(theSpec.sourceIds.head.name),
+              col(theSpec.sourceIds.head.name).as("sid"), col(name))
+        }
+        val migs = Seq(
+          mkMig(mkSpec("m_nation", "n_nationkey", "dims"), "n_name"),
+          mkMig(mkSpec("m_region", "r_regionkey", "dims"), "r_name"),
+          mkMig(mkSpec("m_cust", "c_custkey", "facts"), "c_name"))
+        val registry = new MigrationRegistry
+        migs.foreach(m => registry.add(m.spec))
+        val selected = registry.byGroups(Set("dims")).map(_.name).toSet
+        val srcTables = Map("m_nation" -> "nation", "m_region" -> "region",
+          "m_cust" -> "customer")
+        val results = new MigrationExecutor(mapper, refs, KeepOrphans)
+          .executeAll(spark, migs.filter(m => selected(m.spec.name)),
+            m => new SourceDriver {
+              def read(s: SparkSession, sp: MigrationSpec): DataFrame =
+                load(s, sf, srcTables(sp.name))
+            },
+            m => dest)
+        results.toSeq.sortBy(_._1).map { case (name, res) =>
+          res.finalSnapshot.select(lit(name).as("migration"), col("sid"),
+            col(if (name == "m_nation") "n_name" else "r_name").as("entity_name"))
+        }.reduce(_ unionByName _).orderBy(col("migration"), col("sid"))
+      },
+      Some("""SELECT 'm_nation' AS migration, n_nationkey AS sid, n_name AS entity_name
+             |FROM nation
+             |UNION ALL
+             |SELECT 'm_region', r_regionkey, r_name FROM region
+             |ORDER BY migration, sid""".stripMargin)),
+
+    // §2.3 count / progress (`MigrateCommand.php:186` pre-counts the
+    // source and advances a bar per row): the distributed replacement is
+    // scheduler-truth — a job-group-scoped listener counting tasks
+    // done/planned. The gate runs a real migration under
+    // withProgressCounters and emits its snapshot count ONLY when the
+    // counters hold the invariants (done > 0, done ≤ total — totals are
+    // planned stages, so reuse can only over-estimate). A listener
+    // regression (zero counts, group leakage inflating done past total)
+    // empties the result and fails the driver check; the closed-form
+    // oracle is the migrated row count.
+    QueryDef("etl_progress",
+      (spark, sf) => {
+        val base = scratch("graft_prog")
+        val mapper = new MappingStore(s"$base/map")
+        val refs = new ReferenceStore(mapper)
+        val theSpec = MigrationSpec("m_prog", source = "", sourceDriver = "inline",
+          destination = s"$base/dest", destinationDriver = "parquet",
+          sourceIds = Seq(IdField("n_nationkey", LongId)),
+          destinationIds = Seq(IdField("sid", LongId)))
+        val (nRows, done, total) = MigrationProgress.withProgressCounters(
+            spark, "etl_progress", out = _ => ()) {
+          val res = new MigrationExecutor(mapper, refs, KeepOrphans).execute(spark,
+            new Migration {
+              def spec: MigrationSpec = theSpec
+              def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+                src.select(col("n_nationkey"), col("n_nationkey").as("sid"),
+                  col("n_name"))
+            },
+            new SourceDriver {
+              def read(s: SparkSession, sp: MigrationSpec): DataFrame =
+                load(s, sf, "nation")
+            },
+            new ParquetDestinationDriver)
+          res.finalSnapshot.count()
+        }
+        spark.range(1)
+          .select(lit("m_prog").as("migration"), lit(nRows).as("n_rows"))
+          .filter(lit(done) > 0L && lit(done) <= lit(total))
+      },
+      Some("""SELECT 'm_prog' AS migration, COUNT(*) AS n_rows
+             |FROM nation""".stripMargin)),
   )
 }

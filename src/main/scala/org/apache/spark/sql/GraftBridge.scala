@@ -17,6 +17,13 @@ object GraftBridge {
   /** Resolve a Column back to its Catalyst Expression (classic engine). */
   def expression(c: Column): Expression = classic.ColumnConversions.expression(c)
 
+  /** Block until the listener bus has delivered every queued event —
+    * lets callers read SparkListener-maintained counters right after an
+    * action without racing the asynchronous bus.
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Wrap a LogicalPlan as a DataFrame (for custom logical operators). */
   def dataset(
       spark: SparkSession,
