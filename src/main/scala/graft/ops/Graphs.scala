@@ -9,6 +9,44 @@ import org.apache.spark.sql.DataFrame
   */
 object Graphs {
 
+  /** Conf key (session-level) naming a RELIABLE checkpoint directory for
+    * the fixpoint loops — the SAME key [[graft.exec.MigrationExecutor]]'s
+    * write barrier honors, so one setting covers every checkpoint the
+    * engine takes. The `GRAFT_CHECKPOINT_DIR` env var is the equivalent
+    * process-level switch.
+    */
+  val CheckpointDirKey = "graft.checkpoint.dir"
+
+  // last directory this process registered with setCheckpointDir — makes
+  // the registration idempotent per configured value while still winning
+  // over a checkpoint dir some earlier code path happened to set
+  private val registeredDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** Per-round lineage truncation for driver-side fixpoint loops.
+    *
+    * Default: eager `localCheckpoint(true)` — correct and fast in local
+    * mode, but local checkpoint blocks live on executors and die with
+    * them, so on a real cluster an executor loss aborts the whole
+    * iteration. Setting [[CheckpointDirKey]] (or `GRAFT_CHECKPOINT_DIR`)
+    * to an HDFS/object-store path switches every loop to RELIABLE
+    * `checkpoint()` — files survive executor loss, at the price of a
+    * write+read per round. That price is the 1000-executor deployment's
+    * insurance premium, and flipping it is configuration, not a code
+    * edit. The SparkContext checkpoint dir is registered on first use
+    * per configured value.
+    */
+  private def truncate(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val dir = spark.conf.getOption(CheckpointDirKey)
+      .orElse(sys.env.get("GRAFT_CHECKPOINT_DIR")).filter(_.nonEmpty)
+    dir match {
+      case Some(d) =>
+        if (registeredDir.getAndSet(d) != d) spark.sparkContext.setCheckpointDir(d)
+        df.checkpoint()
+      case None => df.localCheckpoint(true)
+    }
+  }
+
   /** Transitive closure of an edge table by semi-naive (datalog)
     * evaluation: each round joins only the NEW pairs (the frontier)
     * against the edge table, so per-round shuffle traffic is the
@@ -18,14 +56,13 @@ object Graphs {
     * depth (the frontier is anti-joined against everything already
     * derived before it expands again).
     *
-    * Each round TRUNCATES LINEAGE with an eager local checkpoint —
-    * without it the accumulator's plan is a union-of-joins tree that
-    * grows exponentially with depth (observed: 600+ exchanges in the
-    * compiled plan by round 6), which is both a planner blow-up and a
+    * Each round TRUNCATES LINEAGE with an eager checkpoint ([[truncate]]
+    * — local by default, RELIABLE under [[CheckpointDirKey]]) — without
+    * it the accumulator's plan is a union-of-joins tree that grows
+    * exponentially with depth (observed: 600+ exchanges in the compiled
+    * plan by round 6), which is both a planner blow-up and a
     * recomputation bomb on executor loss. The emptiness probe (a count)
-    * is the only thing the driver ever sees. A cluster deployment would
-    * swap `localCheckpoint` for reliable `checkpoint` to survive
-    * executor loss; the shape is identical. `maxIters` bounds runaway
+    * is the only thing the driver ever sees. `maxIters` bounds runaway
     * cycles (cycles are fine semantically — anything already derived is
     * anti-joined away, so a cycle just stops producing new pairs).
     *
@@ -34,8 +71,9 @@ object Graphs {
   def transitiveClosure(
       edges: DataFrame, maxIters: Int = 30, strict: Boolean = true): DataFrame = {
     val e = edges.select(col("node"), col("parent")).persist()
-    var acc = e.select(col("node"), col("parent").as("ancestor"), lit(1).as("depth"))
-      .distinct().localCheckpoint(true)
+    var acc = truncate(
+      e.select(col("node"), col("parent").as("ancestor"), lit(1).as("depth"))
+        .distinct())
     var frontier = acc
     var rounds = 0
     var frontierSize = frontier.count()
@@ -44,9 +82,9 @@ object Graphs {
         .join(e.select(col("parent").as("next"), col("node").as("ancestor")), "ancestor")
         .select(col("node"), col("next").as("ancestor"), (col("depth") + 1).as("depth"))
         .distinct()
-      val fresh = step.join(acc.select("node", "ancestor"), Seq("node", "ancestor"),
-        "left_anti").localCheckpoint(true)
-      acc = acc.unionByName(fresh).localCheckpoint(true)
+      val fresh = truncate(
+        step.join(acc.select("node", "ancestor"), Seq("node", "ancestor"), "left_anti"))
+      acc = truncate(acc.unionByName(fresh))
       frontierSize = fresh.count()
       frontier = fresh
       rounds += 1
@@ -96,11 +134,10 @@ object Graphs {
         .join(deg, "src")
         .select(col("dst").as("node"), expr("rank div out_deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      ranks = truncate(nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) +
-            expr("850000 * coalesce(in_sum, 0L) div 1000000")).as("rank"))
-        .localCheckpoint(true)
+            expr("850000 * coalesce(in_sum, 0L) div 1000000")).as("rank")))
     }
     e.unpersist(); nodes.unpersist(); deg.unpersist()
     ranks

@@ -772,6 +772,34 @@ class OpsSpec extends SparkSpec {
     assert(out == Map(1L -> 150000L, 2L -> 213750L, 3L -> 702500L))
   }
 
+  test("reliable-checkpoint flag: same fixpoint results, files actually land") {
+    val ckpt = scratchDir("graft_ckpt")
+    val edges = spark.createDataFrame(Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+      .toDF("src", "dst")
+    val local = Graphs.pageRankInt(edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tc = spark.createDataFrame(Seq((2L, 1L), (3L, 2L), (4L, 3L)))
+      .toDF("node", "parent")
+    val tcLocal = Graphs.transitiveClosure(tc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    spark.conf.set(Graphs.CheckpointDirKey, ckpt)
+    try {
+      val reliable = Graphs.pageRankInt(edges, iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local)
+      val tcReliable = Graphs.transitiveClosure(tc)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(tcReliable == tcLocal)
+      // the flag must have produced real checkpoint files, not fallen
+      // back to executor-local blocks
+      def countFiles(d: java.io.File): Int =
+        Option(d.listFiles).toSeq.flatten
+          .map(f => if (f.isDirectory) countFiles(f) else 1).sum
+      assert(countFiles(new java.io.File(ckpt)) > 0,
+        s"no reliable checkpoint files under $ckpt")
+    } finally spark.conf.unset(Graphs.CheckpointDirKey)
+  }
+
   test("incremental dedup: bloom prefilter + verify equals the plain join") {
     val mk = (id: Long, t: String) => (id, t)
     // 16-token prefix fingerprints: 11 duplicates 1 (same prefix), 12 is novel
