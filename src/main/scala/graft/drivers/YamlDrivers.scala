@@ -69,8 +69,15 @@ final class YamlSourceDriver extends SourceDriver {
     // root changes the fingerprint and re-infers. The declared-schema
     // path (a schema registry) is the 100 TB endgame; fingerprint-
     // cached inference is its honest stand-in.
+    // one live entry per root: a rewrite changes the fingerprint, and
+    // keeping the superseded tree-state's schema around would grow the
+    // cache for the session lifetime (every rewrite adds an entry)
+    val cacheKey = (root, index.fingerprint)
+    YamlSourceDriver.schemaCache.keys
+      .filter(k => k._1 == root && k != cacheKey)
+      .foreach(YamlSourceDriver.schemaCache.remove)
     val dataSchema = YamlSourceDriver.schemaCache.getOrElseUpdate(
-      (root, index.fingerprint), {
+      cacheKey, {
         val raw = spark.read.format("binaryFile")
           .option("recursiveFileLookup", "true")
           .option("pathGlobFilter", "*.{yaml,yml}")

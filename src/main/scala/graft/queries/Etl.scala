@@ -305,6 +305,33 @@ object Etl {
              |  CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
              |FROM nation WHERE n_regionkey = 2 ORDER BY n_nationkey""".stripMargin)),
 
+    // Range + IN-list pruning through the same relation: the FileIndex
+    // evaluates ARBITRARY interpreted predicates over the path-encoded
+    // id columns per file, so BETWEEN and IN prune the listing exactly
+    // like equality (PlanSpec pins files-read == 5 for this range and
+    // == 3 for an IN-list; a stray non-entity YAML dropped into the
+    // tree is skipped at listing time, also spec-covered). This gate
+    // verifies the range-pruned read returns exactly the right rows.
+    QueryDef("etl_yaml_range_read",
+      (spark, sf) => {
+        val base = scratch("graft_yaml_rg")
+        val spec = MigrationSpec("yaml_rg", source = s"$base/out", sourceDriver = "yaml",
+          destination = s"$base/out", destinationDriver = "yaml",
+          sourceIds = Seq(IdField("n_regionkey", LongId), IdField("n_nationkey", LongId)),
+          destinationIds = Seq(IdField("n_regionkey", LongId), IdField("n_nationkey", LongId)))
+        val nation = load(spark, sf, "nation")
+          .select(col("n_regionkey").cast("long"), col("n_nationkey").cast("long"), col("n_name"))
+        new YamlDestinationDriver().write(nation, spec)
+        new YamlSourceDriver().read(spark, spec)
+          .filter(col("n_nationkey").between(5L, 9L))
+          .select(col("n_regionkey"), col("n_nationkey"), col("n_name"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+             |  CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+             |FROM nation WHERE n_nationkey BETWEEN 5 AND 9
+             |ORDER BY n_nationkey""".stripMargin)),
+
     // §2.1 arbitrary-SQL scan (DBAL-source parity): user-supplied SQL *is*
     // the row stream (`DbalSourceDriver.php:105-113`), here executed by
     // Catalyst over registered views.

@@ -56,7 +56,49 @@ final class YamlFileIndex(
 
   private val rootPath = new Path(root)
 
-  private def listYamlFiles(): Seq[FileStatus] = {
+  /** Ids decoded from a file's path, or None when the file is not a
+    * well-formed entity of this tree — wrong depth below the root
+    * (`group/file.yaml` trees have exactly one path segment per id) or
+    * a segment that doesn't parse as the declared id type. A tree can
+    * legitimately contain stray YAML (editor backups, a README.yaml);
+    * crashing the whole read at listing time over one of them turns a
+    * cosmetic mess into an outage, so such files are SKIPPED with a
+    * warning instead (the old binaryFile path cast them to null
+    * per-row — same policy, now at listing granularity).
+    */
+  private def idValuesOf(f: FileStatus): Option[InternalRow] = {
+    // scheme-insensitive relative path (the listing yields file:-qualified
+    // paths while the root is usually a bare local path)
+    val rootStr = rootPath.toUri.getPath.stripSuffix("/")
+    val fileStr = f.getPath.toUri.getPath
+    val rel =
+      if (fileStr.startsWith(rootStr + "/")) fileStr.substring(rootStr.length + 1)
+      else fileStr
+    val depth = rel.split('/').count(_.nonEmpty)
+    if (depth != idFields.size) {
+      System.err.println(
+        s"[graft] YamlFileIndex: skipping ${f.getPath} — depth $depth below " +
+          s"root, expected ${idFields.size} (one path segment per id)")
+      return None
+    }
+    val ids = YamlPathCodec.idsFromPath(f.getPath.toUri.getPath, idFields.size)
+    try Some(InternalRow.fromSeq(idFields.zip(ids).map { case (fld, s) =>
+      fld.idType.sparkType match {
+        case LongType    => s.toLong
+        case IntegerType => s.toInt
+        case _           => UTF8String.fromString(s)
+      }
+    }))
+    catch {
+      case _: NumberFormatException =>
+        System.err.println(
+          s"[graft] YamlFileIndex: skipping ${f.getPath} — path segment does " +
+            s"not parse as the declared id type")
+        None
+    }
+  }
+
+  private def listYamlFiles(): Seq[(InternalRow, FileStatus)] = {
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def recurse(p: Path): Seq[FileStatus] =
       fs.listStatus(p).toSeq
@@ -73,31 +115,20 @@ final class YamlFileIndex(
           else if (s.getPath.getName.matches(".*\\.(yaml|yml)$")) Seq(s)
           else Nil
         }
-    recurse(rootPath)
+    recurse(rootPath).flatMap(f => idValuesOf(f).map(_ -> f))
   }
 
-  @volatile private var cachedFiles: Seq[FileStatus] = listYamlFiles()
+  @volatile private var cachedFiles: Seq[(InternalRow, FileStatus)] = listYamlFiles()
 
   override def rootPaths: Seq[Path] = Seq(rootPath)
 
   override val partitionSchema: StructType =
     StructType(idFields.map(f => StructField(f.name, f.idType.sparkType, nullable = false)))
 
-  private def idValues(f: FileStatus): InternalRow = {
-    val ids = YamlPathCodec.idsFromPath(f.getPath.toUri.getPath, idFields.size)
-    InternalRow.fromSeq(idFields.zip(ids).map { case (fld, s) =>
-      fld.idType.sparkType match {
-        case LongType    => s.toLong
-        case IntegerType => s.toInt
-        case _           => UTF8String.fromString(s)
-      }
-    })
-  }
-
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val all = cachedFiles.map(f => idValues(f) -> f)
+    val all = cachedFiles
     val kept =
       if (partitionFilters.isEmpty) all
       else {
@@ -116,20 +147,24 @@ final class YamlFileIndex(
     kept.map { case (values, f) => PartitionDirectory(values, Array(f)) }
   }
 
-  override def inputFiles: Array[String] = cachedFiles.map(_.getPath.toString).toArray
+  override def inputFiles: Array[String] = cachedFiles.map(_._2.getPath.toString).toArray
   override def refresh(): Unit = cachedFiles = listYamlFiles()
-  override def sizeInBytes: Long = cachedFiles.map(_.getLen).sum
+  override def sizeInBytes: Long = cachedFiles.map(_._2.getLen).sum
 
   /** Content fingerprint of the current listing (paths, sizes, mtimes)
     * — the key that lets schema-inference results be cached per tree
     * STATE, not just per path, so a rewrite under the same root is
-    * never served a stale schema.
+    * never served a stale schema. SHA-256 over the sorted listing: a
+    * 32-bit hashCode across tree states collides often enough to serve
+    * a stale schema in a long session.
     */
   def fingerprint: String = {
-    val h = cachedFiles
-      .map(f => s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
-      .sorted.mkString("\n").hashCode
-    s"${cachedFiles.size}/$h"
+    val listing = cachedFiles
+      .map { case (_, f) => s"${f.getPath}:${f.getLen}:${f.getModificationTime}" }
+      .sorted.mkString("\n")
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(listing.getBytes("UTF-8"))
+    s"${cachedFiles.size}/${digest.map("%02x".format(_)).mkString}"
   }
 }
 

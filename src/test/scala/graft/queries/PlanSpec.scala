@@ -255,4 +255,45 @@ class PlanSpec extends SparkSpec {
     assert(filesRead == 1,
       s"listing must prune to the one matching file, read $filesRead of $total")
   }
+
+  test("YAML source: range and IN-list predicates prune the listing; stray files skipped") {
+    import org.apache.spark.sql.functions.col
+    val base = Tables.scratch("graft_yaml_range")
+    val spec = graft.spec.MigrationSpec("yaml_range",
+      source = s"$base/out", sourceDriver = "yaml",
+      destination = s"$base/out", destinationDriver = "yaml",
+      sourceIds = Seq(graft.spec.IdField("n_regionkey", graft.spec.LongId),
+        graft.spec.IdField("n_nationkey", graft.spec.LongId)),
+      destinationIds = Seq(graft.spec.IdField("n_regionkey", graft.spec.LongId),
+        graft.spec.IdField("n_nationkey", graft.spec.LongId)))
+    val nation = spark.read.parquet(s"$Sf/nation.parquet")
+      .select(col("n_regionkey").cast("long"), col("n_nationkey").cast("long"),
+        col("n_name"))
+    new graft.drivers.YamlDestinationDriver().write(nation, spec)
+    // stray YAML that is NOT an entity of this tree: wrong depth and a
+    // non-numeric name at the right depth — the listing must skip both
+    // instead of crashing the read (ADVICE r8)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/out/README.yaml"),
+      "note: not an entity\n".getBytes)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/out/2/backup-copy.yaml"),
+      "n_name: STRAY\n".getBytes)
+
+    def scanOf(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      df.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail(s"no file scan in:\n${df.queryExecution.executedPlan}"))
+    }
+    val all = new graft.drivers.YamlSourceDriver().read(spark, spec)
+    assert(all.count() == 25, "stray files must be skipped, not read as entities")
+
+    val range = all.filter(col("n_nationkey").between(5L, 9L))
+    assert(scanOf(range).metrics("numFiles").value == 5,
+      "a BETWEEN predicate must prune the listing to the 5 matching files")
+    val inList = all.filter(col("n_nationkey").isin(2L, 11L, 17L))
+    assert(scanOf(inList).metrics("numFiles").value == 3,
+      "an IN-list predicate must prune the listing to its 3 files")
+  }
 }
