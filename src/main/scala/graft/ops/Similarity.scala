@@ -186,32 +186,72 @@ object Similarity {
     centroids
   }
 
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iterations: Int = 3): DataFrame = {
+  /** Train the IVF index for a corpus: a few deterministic Lloyd
+    * iterations, then every vector assigned to its nearest list.
+    * Returns the assigned corpus frame (`neighbor_id`, `cv`, `list`)
+    * and the centroids (nlist × dim doubles — driver-collected and tiny
+    * by design, so callers can BROADCAST them into per-row probe logic,
+    * including a Structured Streaming micro-batch: the index is the
+    * static side, queries are the moving side).
+    */
+  def ivfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, iterations: Int = 3): (DataFrame, Array[Array[Double]]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val vecs = ensureParallelism(
       corpus.select(col(idCol).cast("long"), col(vecCol)))
       .as[(Long, Array[Float])].persist()
-
     val cents = kmeansCentroids(vecs, nlist, iterations)
     val assigned = vecs.map { case (id, v) => (id, v, nearest(v, cents, 1).head) }
       .toDF("neighbor_id", "cv", "list")
-    val probes = ensureParallelism(
-      queries.select(col(idCol).cast("long"), col(vecCol)))
-      .as[(Long, Array[Float])]
-      .flatMap { case (id, v) => nearest(v, cents, nprobe).map(l => (id, v, l)) }
-      .toDF("query_id", "qv", "list")
     // clustering (the per-iteration collects) is done with the cache;
     // release it rather than pinning a corpus copy for the session —
     // the returned plan recomputes vecs once when evaluated
     vecs.unpersist()
-    topKRanked(
-      assigned.join(probes, Seq("list"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("sim", cosine(col("qv"), col("cv"))), k)
+    (assigned, cents)
+  }
+
+  /** Expand queries into their `nprobe` nearest-list probes
+    * (`query_id`, `qv`, `list`). Works unchanged on a STREAMING query
+    * frame — the flatMap is stateless per row and the centroids ride
+    * the closure — which is what makes the probe side of IVF a
+    * micro-batch operation.
+    */
+  def ivfProbes(
+      queries: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    ensureParallelism(queries.select(col(idCol).cast("long"), col(vecCol)))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) => nearest(v, cents, nprobe).map(l => (id, v, l)) }
+      .toDF("query_id", "qv", "list")
+  }
+
+  /** Score probes against the assigned corpus: the list-keyed equi-join
+    * (per-query work = corpus/nlist × nprobe, never a crossJoin) + exact
+    * cosine. Stream-static safe: `probes` may be a streaming frame.
+    */
+  def ivfScore(assigned: DataFrame, probes: DataFrame): DataFrame =
+    probes.join(assigned, Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+
+  /** Ranked top-k of a scored candidate frame (`query_id`,
+    * `neighbor_id`, `sim`) — public for callers that score candidates
+    * out-of-band (e.g. the streaming probe twin ranks its micro-batch
+    * sink's accumulated scores).
+    */
+  def rankTopK(scored: DataFrame, k: Int): DataFrame = topKRanked(scored, k)
+
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iterations: Int = 3): DataFrame = {
+    val (assigned, cents) = ivfIndex(corpus, idCol, vecCol, nlist, iterations)
+    topKRanked(ivfScore(assigned,
+      ivfProbes(queries, idCol, vecCol, cents, nprobe)), k)
   }
 
   /** ANN via product quantization (PQ) with asymmetric distance

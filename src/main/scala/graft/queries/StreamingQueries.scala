@@ -636,5 +636,64 @@ object StreamingQueries {
              |    THEN (CAST(1 AS BIGINT) << idx) ELSE 0 END) AS BIGINT) AS ahash_lo
              |FROM g JOIN m USING (doc_id)
              |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Streaming twin of the ANN tier — the online-serving shape: the
+    // IVF index (k-means lists + centroids) is trained ONCE in batch
+    // and becomes the static side; queries arrive as a STREAM and each
+    // micro-batch probes its nprobe nearest lists through the same
+    // ivfProbes/ivfScore operators the batch path uses (stateless typed
+    // flatMap + stream-static equi-join on the list id — never a scan
+    // of the whole corpus per query). Scored candidates append to the
+    // sink; ranking is a batch top-k over the accumulated scores. The
+    // gate emits one (query_id, k) row per query ONLY when (a) the
+    // stream-side ranking is IDENTICAL to the batch ivfTopK rankings —
+    // stream/batch parity on the same deterministic index — and (b)
+    // recall against the in-query exact brute-force top-k clears the
+    // IVF tier's bound (0.4, sim_ann_ivf's). The oracle lists every
+    // query unconditionally, so a parity break or recall collapse
+    // empties the result and fails the driver check.
+    QueryDef("stream_ann_probe",
+      (spark, sf) => {
+        import graft.ops.Similarity
+        val corpus = spark.read.parquet(path(sf, "embeddings"))
+        val (assigned, cents) = Similarity.ivfIndex(
+          corpus, "vec_id", "embedding", nlist = 16, iterations = 3)
+        val schema = corpus.schema
+        val qStream = spark.readStream.schema(schema)
+          .parquet(stagedDir(spark, sf, "embeddings"))
+          .filter(col("vec_id") < 10)
+        val scored = Similarity.ivfScore(assigned,
+            Similarity.ivfProbes(qStream, "vec_id", "embedding", cents, nprobe = 4))
+          .select(col("query_id"), col("neighbor_id"), col("sim"))
+        val table = s"stream_ann_${counter.incrementAndGet()}"
+        val q = scored.writeStream.format("memory").queryName(table)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+
+        val streamTopK = Similarity.rankTopK(spark.table(table), 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+        val queries = corpus.filter(col("vec_id") < 10)
+        val batchTopK = Similarity.ivfTopK(corpus, queries,
+            "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+        val parity = streamTopK.exceptAll(batchTopK)
+          .unionAll(batchTopK.exceptAll(streamTopK))
+          .agg(count(lit(1)).as("n_diff"))
+        val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+        val hits = streamTopK.select(col("query_id"), col("neighbor_id"))
+          .join(exact.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+        val meanRecall = queries.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .agg(avg(coalesce(col("n_hits"), lit(0)) / 5).as("mean_recall"))
+        queries.select(col("vec_id").as("query_id"))
+          .crossJoin(parity).crossJoin(meanRecall)
+          .filter(col("n_diff") === 0 && col("mean_recall") >= 0.4)
+          .select(col("query_id"), lit(5).as("k"))
+          .orderBy(col("query_id"))
+      },
+      Some("""SELECT vec_id AS query_id, 5 AS k FROM embeddings
+             |WHERE vec_id < 10 ORDER BY query_id""".stripMargin)),
   )
 }
