@@ -914,26 +914,27 @@ object Relational {
     // (split the oversized shuffle partition by map-index range,
     // replicate the other side's rows), with explicit salting the
     // deterministic fallback. Skew is synthesized in-query (80% of
-    // events collapse onto one key) and the join runs eagerly under
-    // test-scale skew thresholds (Joins.withSkewTunedAqe — conf
-    // restored after); rows are emitted ONLY if the final adaptive
-    // plan shows a skew=true sort-merge join, so a regression in the
-    // adaptive path drops rows and flips the driver's match — the
-    // recall-gate shape, applied to a plan property. Three shapes the
-    // rule demands, learned by probe (tools/SkewProbe): the dim side
-    // must be a plain scan (a Sort-over-aggregate child breaks the
-    // rule's Sort-over-shuffle pattern match); the fact side needs >1
-    // upstream map task (splits are map-index ranges — one mapper is
-    // unsplittable, so the tiny single-file test scan gets an explicit
-    // repartition(16) that a real multi-split input has for free); and
-    // the hot rows must not compress away (a constant-key partition
-    // LZ4-compresses far better than mixed ones, collapsing the
-    // SIZE ratio skew detection keys on — the md5 pad, kept alive
-    // through the shuffle by max(pad) in the aggregate, makes shuffle
-    // bytes track row counts like real payloads do).
+    // events collapse onto one key); the gate query itself is LAZY and
+    // collect-free — it verifies the join's RESULT against the oracle
+    // like every other gate — and the PLAN property (the adaptive
+    // rewrite actually splitting the hot partition) is asserted
+    // structurally in PlanAudit: the same plan re-executes under
+    // Joins.withSkewTunedAqe's test-scale thresholds and the final
+    // adaptive plan must contain a SortMergeJoinExec with
+    // isSkewJoin=true. Three shapes the rule demands, learned by probe
+    // (tools/SkewProbe): the dim side must be a plain scan (a
+    // Sort-over-aggregate child breaks the rule's Sort-over-shuffle
+    // pattern match); the fact side needs >1 upstream map task (splits
+    // are map-index ranges — one mapper is unsplittable, so the tiny
+    // single-file test scan gets an explicit repartition(16) that a
+    // real multi-split input has for free); and the hot rows must not
+    // compress away (a constant-key partition LZ4-compresses far
+    // better than mixed ones, collapsing the SIZE ratio skew detection
+    // keys on — the md5 pad, kept alive through the shuffle by
+    // max(pad) in the aggregate, makes shuffle bytes track row counts
+    // like real payloads do).
     QueryDef("q_skew_aqe_join",
       (spark, sf) => {
-        import spark.implicits._
         val ev = load(spark, sf, "events")
           .select(col("event_id"),
             when(col("event_id") % 5 =!= 0, lit(0L))
@@ -942,17 +943,11 @@ object Relational {
             md5(col("event_id").cast("string")).as("pad"))
         val dim = load(spark, sf, "nation")
           .select(col("n_nationkey").cast("long").as("skew_key"), col("n_regionkey"))
-        val agg = ev.repartition(16).join(dim, Seq("skew_key"))
+        ev.repartition(16).join(dim, Seq("skew_key"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("n_regionkey")).as("sum_region"),
             max(col("pad")).as("max_pad"))
-        val (rows, skewFired) = graft.ops.Joins.withSkewTunedAqe(spark, thresholdBytes = 1024) {
-          val collected = agg.collect()
-            .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
-          (collected, agg.queryExecution.executedPlan.toString.contains("skew=true"))
-        }
-        val out = rows.toDF("event_type", "n", "sum_region", "max_pad")
-        (if (skewFired) out else out.limit(0)).orderBy(col("event_type"))
+          .orderBy(col("event_type"))
       },
       Some("""WITH ev AS (
              |  SELECT CASE WHEN event_id % 5 <> 0 THEN 0 ELSE user_id % 25 END AS skew_key,

@@ -85,6 +85,35 @@ class PlanAudit extends SparkSpec {
     // one-row-×-one-row (n_cand × n) join
     "dedup_embedding_cosine_cut" -> 3, "corpus_curation_semantic" -> 3)
 
+  test("q_skew_aqe_join: AQE splits the hot partition (structural isSkewJoin)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // the gate query is lazy and collect-free; the plan property lives
+    // here — execute it under test-scale skew thresholds and demand the
+    // final adaptive plan contains a skew-split sort-merge join,
+    // detected structurally (isSkewJoin), not by substring match
+    val df = graft.SparkEntry.queries("q_skew_aqe_join")(spark, Sf)
+    graft.ops.Joins.withSkewTunedAqe(spark, thresholdBytes = 1024) {
+      df.collect()
+      val adaptive = df.queryExecution.executedPlan.collectFirst {
+        case a: AdaptiveSparkPlanExec => a
+      }.getOrElse(fail(s"expected an adaptive plan:\n${df.queryExecution.executedPlan}"))
+      // QueryStageExec nodes are tree LEAVES whose materialized plan
+      // hangs off `.plan`, not `.children` — a plain collect stops at
+      // the stage boundary and never sees the join
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          p +: allNodes(q.plan)
+        case _ => p +: p.children.flatMap(allNodes)
+      }
+      val smjs = allNodes(adaptive.executedPlan)
+        .collect { case j: SortMergeJoinExec => j }
+      assert(smjs.exists(_.isSkewJoin),
+        s"no skew-split sort-merge join in the final adaptive plan:\n${adaptive.executedPlan}")
+    }
+  }
+
   test("plan audit: no quadratic joins; shuffle counts within pinned ceilings") {
     for ((q, ceiling) <- ExchangeCeilings.toSeq.sortBy(_._1)) {
       val df = graft.SparkEntry.queries(q)(spark, Sf)
