@@ -22,6 +22,7 @@ object Bench {
       org.apache.spark.sql.functions.col("a") === org.apache.spark.sql.functions.col("b"))
       .count()
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    val flaky = scala.collection.mutable.ListBuffer.empty[String]
     // comma-separated substring filter (same contract as Verify) — for
     // ad-hoc timing of a query subset; the driver runs unfiltered
     val filter = sys.env.get("GRAFT_QUERY_FILTER")
@@ -68,16 +69,22 @@ object Bench {
       }
       // a fail-fast attempt's elapsed time is not a measurement — the
       // min is over SUCCESSFUL runs only (all-failed keeps the raw min
-      // so the entry stays visible next to its failed[] marker)
+      // so the entry stays visible next to its failed[] marker). A
+      // query that failed one attempt but succeeded another is NOT
+      // failed — its timing is real — but the flakiness must not
+      // disappear either: it moves to the flaky[] list instead of
+      // sitting ambiguously in failed[] next to a normal-looking time.
       val good = attempts.collect { case (t, true) => t }
+      if (good.nonEmpty && failed.contains(name)) { failed -= name; flaky += name }
       name -> (if (good.nonEmpty) good.min else attempts.map(_._1).min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fl = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // a timed exception is not a measurement — surface failures explicitly
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"flaky":$fl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

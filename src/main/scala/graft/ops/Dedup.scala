@@ -211,10 +211,16 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String, groupCol: String, k: Int,
       precomputedShingles: Option[DataFrame] = None): DataFrame = {
     // the derived (group, shingle) frame feeds three consumers (two
-    // self-join sides + the sizes aggregate) — persist the fallback
-    // like ngramJaccardPairs so a direct call never pays the corpus
-    // explode thrice; repeated callers pass precomputedShingles
-    val sh = precomputedShingles.getOrElse(shingleTable(df, textCol, idCol, k).persist())
+    // self-join sides + the sizes aggregate). NO self-persist fallback:
+    // a persist() here would be pinned by the returned lazy plan for as
+    // long as the caller holds it — a corpus-sized cache entry with no
+    // owner to unpersist it. A direct call pays the explode at most
+    // twice (the self-join's two sides share one shuffle via
+    // ReuseExchange; only the sizes aggregate re-derives); callers that
+    // run this repeatedly pass precomputedShingles persisted at THEIR
+    // layer, where the lifetime has an owner (the sharedShingles
+    // precedent).
+    val sh = precomputedShingles.getOrElse(shingleTable(df, textCol, idCol, k))
     val ss = sh.join(df.select(col(idCol), col(groupCol)), Seq(idCol))
       .select(col(groupCol).as("g"), col("shingle")).distinct()
     val sizes = ss.groupBy(col("g")).agg(count(lit(1)).as("n"))
