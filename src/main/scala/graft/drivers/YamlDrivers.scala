@@ -78,10 +78,16 @@ final class YamlSourceDriver extends SourceDriver {
       .foreach(YamlSourceDriver.schemaCache.remove)
     val dataSchema = YamlSourceDriver.schemaCache.getOrElseUpdate(
       cacheKey, {
+        // infer from the index's OWN accepted listing — not a second
+        // recursive glob — so the file set feeding the schema is exactly
+        // the file set the read will parse (a stray README.yaml the
+        // index skips must not contribute columns, and the fingerprint,
+        // computed over that same listing, then keys the cache honestly)
+        val accepted = index.inputFiles
+        if (accepted.isEmpty) org.apache.spark.sql.types.StructType(Nil)
+        else {
         val raw = spark.read.format("binaryFile")
-          .option("recursiveFileLookup", "true")
-          .option("pathGlobFilter", "*.{yaml,yml}")
-          .load(root)
+          .load(accepted.toIndexedSeq: _*)
           .select(col("content"))
           .as[Array[Byte]]
         val bodyJson: Dataset[String] = raw.map { content =>
@@ -96,6 +102,7 @@ final class YamlSourceDriver extends SourceDriver {
         val idNameSet = idNames.toSet
         org.apache.spark.sql.types.StructType(
           spark.read.json(bodyJson).schema.filterNot(f => idNameSet.contains(f.name)))
+        }
       })
     val df = graft.sources.YamlRelation.read(spark, index, dataSchema)
     // ids first, body after — the column order the executor and sinks see

@@ -52,7 +52,12 @@ final class MigrationProgressListener(
   }
 
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
-    if (jobGroup.isEmpty || myStages.contains(e.stageId)) {
+    // successful completions only: a failed attempt emits a TaskEnd too,
+    // and counting it would push `done` past the planned total on any
+    // retry (tasksTotal counts each planned task once) — progress must
+    // track work finished, not attempts made
+    if (e.reason == org.apache.spark.Success &&
+        (jobGroup.isEmpty || myStages.contains(e.stageId))) {
       val d = tasksDone.incrementAndGet()
       val now = System.currentTimeMillis
       val prev = lastPrint.get
@@ -86,9 +91,11 @@ object MigrationProgress {
     * (tasksDone, tasksTotal) so programmatic callers — and the
     * correctness gate — can assert on the counters instead of parsing
     * console lines. Invariants on a completed body: done > 0 for any
-    * body that ran a job, and done ≤ total (totals come from planned
-    * stages, so skipped/reused stages make the denominator an
-    * over-estimate — progress finishes "early", never late).
+    * body that ran a job, and done ≤ total (only successful task
+    * completions count — a retried task still lands once — and totals
+    * come from planned stages, so skipped/reused stages make the
+    * denominator an over-estimate: progress finishes "early", never
+    * late).
     */
   def withProgressCounters[T](
       spark: SparkSession, label: String,

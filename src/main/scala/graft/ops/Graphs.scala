@@ -47,6 +47,58 @@ object Graphs {
     }
   }
 
+  /** Round-scoped garbage collection for RELIABLE checkpoints.
+    *
+    * `checkpoint()` files are never deleted by Spark itself
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints` defaults to
+    * false, and relies on driver GC even when on) — so a fixpoint loop
+    * that truncates every round would otherwise leave
+    * O(rounds × |state|) bytes in the checkpoint dir for the life of
+    * the directory. Each loop owns one of these: `track` records the
+    * checkpoint file a `truncate` produced (no-op in local mode),
+    * `sweep()` — called once per round AFTER the round's new
+    * checkpoints have materialized (eager) — deletes the files recorded
+    * before the previous sweep (a round-N checkpoint is last read while
+    * materializing round N+1, so files are deleted exactly one sweep
+    * after they are superseded), and `finish(keep)` deletes everything
+    * still tracked except the returned frame's own files. Net: at most
+    * two rounds of checkpoints live at any instant, one at exit.
+    */
+  private final class CheckpointGC {
+    private var pending: List[String] = Nil // superseded at next sweep
+    private var current: List[String] = Nil // created since last sweep
+
+    private def fileOf(df: DataFrame): Option[String] =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getCheckpointFile
+      }.flatten
+
+    private def delete(spark: org.apache.spark.sql.SparkSession, paths: List[String]): Unit =
+      paths.foreach { s =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(s)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: java.io.IOException => () } // best-effort cleanup
+      }
+
+    def track(df: DataFrame): DataFrame = {
+      fileOf(df).foreach(f => current ::= f)
+      df
+    }
+
+    def sweep(spark: org.apache.spark.sql.SparkSession): Unit = {
+      delete(spark, pending)
+      pending = current
+      current = Nil
+    }
+
+    def finish(spark: org.apache.spark.sql.SparkSession, keep: DataFrame): Unit = {
+      val keepFile = fileOf(keep)
+      delete(spark, (pending ++ current).filterNot(keepFile.contains))
+      pending = Nil; current = Nil
+    }
+  }
+
   /** Transitive closure of an edge table by semi-naive (datalog)
     * evaluation: each round joins only the NEW pairs (the frontier)
     * against the edge table, so per-round shuffle traffic is the
@@ -70,10 +122,12 @@ object Graphs {
     */
   def transitiveClosure(
       edges: DataFrame, maxIters: Int = 30, strict: Boolean = true): DataFrame = {
+    val spark = edges.sparkSession
+    val gc = new CheckpointGC
     val e = edges.select(col("node"), col("parent")).persist()
-    var acc = truncate(
+    var acc = gc.track(truncate(
       e.select(col("node"), col("parent").as("ancestor"), lit(1).as("depth"))
-        .distinct())
+        .distinct()))
     var frontier = acc
     var rounds = 0
     var frontierSize = frontier.count()
@@ -82,14 +136,16 @@ object Graphs {
         .join(e.select(col("parent").as("next"), col("node").as("ancestor")), "ancestor")
         .select(col("node"), col("next").as("ancestor"), (col("depth") + 1).as("depth"))
         .distinct()
-      val fresh = truncate(
-        step.join(acc.select("node", "ancestor"), Seq("node", "ancestor"), "left_anti"))
-      acc = truncate(acc.unionByName(fresh))
+      val fresh = gc.track(truncate(
+        step.join(acc.select("node", "ancestor"), Seq("node", "ancestor"), "left_anti")))
+      acc = gc.track(truncate(acc.unionByName(fresh)))
       frontierSize = fresh.count()
       frontier = fresh
       rounds += 1
+      gc.sweep(spark)
     }
     e.unpersist()
+    gc.finish(spark, acc)
     if (frontierSize > 0) {
       // a silently truncated closure is a wrong answer, not a warning —
       // programmatic callers can't see stderr. strict=false opts into
@@ -124,6 +180,8 @@ object Graphs {
     * `edges` columns: (src, dst). Output: (node, rank) for all nodes.
     */
   def pageRankInt(edges: DataFrame, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val gc = new CheckpointGC
     val e = edges.select(col("src"), col("dst")).persist()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().persist()
@@ -134,12 +192,14 @@ object Graphs {
         .join(deg, "src")
         .select(col("dst").as("node"), expr("rank div out_deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
-      ranks = truncate(nodes.join(contrib, Seq("node"), "left")
+      ranks = gc.track(truncate(nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) +
-            expr("850000 * coalesce(in_sum, 0L) div 1000000")).as("rank")))
+            expr("850000 * coalesce(in_sum, 0L) div 1000000")).as("rank"))))
+      gc.sweep(spark)
     }
     e.unpersist(); nodes.unpersist(); deg.unpersist()
+    gc.finish(spark, ranks)
     ranks
   }
 }

@@ -555,7 +555,13 @@ object DedupQueries {
         graft.ops.TextOps.temperatureMixSample(
             survivors, "doc_id", "lang", scale = 3.0, salt = "cur7")
           .crossJoin(recall).crossJoin(ratio)
-          .filter(col("recall") >= 0.35 && col("cand_ratio") <= 0.25)
+          // vacuous truth, not NULL: zero exact pairs makes recall an
+          // avg over no rows (NULL), and ≤1 kept vector makes the ratio
+          // 0/0 (NULL) — both mean the economics bound holds trivially,
+          // and a NULL-propagating filter would empty a result the
+          // oracle still populates
+          .filter(coalesce(col("recall"), lit(1.0)) >= 0.35 &&
+            coalesce(col("cand_ratio"), lit(0.0)) <= 0.25)
           .select(col("doc_id"), col("lang"))
           .orderBy(col("doc_id"))
       },

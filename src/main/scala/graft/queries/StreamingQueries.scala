@@ -673,8 +673,16 @@ object StreamingQueries {
         val streamTopK = Similarity.rankTopK(spark.table(table), 5)
           .select(col("query_id"), col("rank"), col("neighbor_id"))
         val queries = corpus.filter(col("vec_id") < 10)
-        val batchTopK = Similarity.ivfTopK(corpus, queries,
-            "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        // batch side reuses the SAME trained index (assigned, cents) the
+        // stream probed — not ivfTopK, which would retrain: k-means sums
+        // floats in shuffle-fetch order, so two independent trainings
+        // can differ in low-order bits, flip a list assignment, and
+        // break the parity gate flakily. One training also saves the
+        // second full k-means pass.
+        val batchTopK = Similarity.rankTopK(
+            Similarity.ivfScore(assigned,
+              Similarity.ivfProbes(queries, "vec_id", "embedding", cents, nprobe = 4)),
+            5)
           .select(col("query_id"), col("rank"), col("neighbor_id"))
         val parity = streamTopK.exceptAll(batchTopK)
           .unionAll(batchTopK.exceptAll(streamTopK))

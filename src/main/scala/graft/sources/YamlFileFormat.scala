@@ -56,6 +56,16 @@ final class YamlFileIndex(
 
   private val rootPath = new Path(root)
 
+  // FileSystem-qualified root: the listing yields fully-qualified
+  // absolute paths, so the relative-path computation in [[idValuesOf]]
+  // must compare against the SAME qualified form — a bare relative root
+  // ("out/dir", the documented UriSchemes.path shape) would otherwise
+  // never prefix-match and every entity file would be skipped as
+  // wrong-depth, silently reading the tree as empty.
+  private lazy val qualifiedRootStr: String = rootPath
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    .makeQualified(rootPath).toUri.getPath.stripSuffix("/")
+
   /** Ids decoded from a file's path, or None when the file is not a
     * well-formed entity of this tree — wrong depth below the root
     * (`group/file.yaml` trees have exactly one path segment per id) or
@@ -68,8 +78,8 @@ final class YamlFileIndex(
     */
   private def idValuesOf(f: FileStatus): Option[InternalRow] = {
     // scheme-insensitive relative path (the listing yields file:-qualified
-    // paths while the root is usually a bare local path)
-    val rootStr = rootPath.toUri.getPath.stripSuffix("/")
+    // paths while the root may be a bare — even relative — local path)
+    val rootStr = qualifiedRootStr
     val fileStr = f.getPath.toUri.getPath
     val rel =
       if (fileStr.startsWith(rootStr + "/")) fileStr.substring(rootStr.length + 1)

@@ -19,10 +19,16 @@ object GraftBridge {
 
   /** Block until the listener bus has delivered every queued event —
     * lets callers read SparkListener-maintained counters right after an
-    * action without racing the asynchronous bus.
+    * action without racing the asynchronous bus. Best-effort with a
+    * bounded wait: `waitUntilEmpty` waits on EVERY queue of the shared
+    * bus (UI, event log, unrelated listeners), so on a busy session it
+    * can time out long after the caller's own events landed — and a
+    * drain hiccup must never fail work that already completed. Callers
+    * read marginally-stale counters in that case, nothing worse.
     */
-  def drainListenerBus(spark: SparkSession): Unit =
-    spark.sparkContext.listenerBus.waitUntilEmpty()
+  def drainListenerBus(spark: SparkSession, timeoutMs: Long = 10000L): Unit =
+    try spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: java.util.concurrent.TimeoutException => () }
 
   /** Wrap a LogicalPlan as a DataFrame (for custom logical operators). */
   def dataset(

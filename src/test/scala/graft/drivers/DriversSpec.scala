@@ -127,6 +127,50 @@ class DriversSpec extends SparkSpec {
     assert(back.filter(col("grp") === "group2").select("name").head().getString(0) == "file3")
   }
 
+  test("YAML source reads a RELATIVE root (UriSchemes path shape)") {
+    // regression: the depth check must compare against the FS-qualified
+    // root — a bare relative root never prefix-matched the qualified
+    // listing paths, so every file was "wrong depth" and the tree
+    // silently read as empty
+    import spark.implicits._
+    val rel = s"target/yaml_rel_${System.nanoTime()}"
+    try {
+      val ids = Seq(IdField("grp", StringId), IdField("name", StringId))
+      val s = mkSpec(s"$rel/out", s"$rel/out", ids, ids)
+      val df = Seq(("g1", "f1", "A"), ("g2", "f2", "B")).toDF("grp", "name", "field1")
+      new YamlDestinationDriver().write(df, s)
+      val back = new YamlSourceDriver().read(spark, s)
+      assert(back.count() == 2, "relative root must not silently read as empty")
+      assert(back.columns.toSet == Set("grp", "name", "field1"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).toSeq.flatten.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(rel))
+    }
+  }
+
+  test("stray YAML files are skipped by the listing AND by schema inference") {
+    // regression: inference used to run its own recursive glob, so a
+    // stray README.yaml the index skips still contributed columns —
+    // same tree, different schema depending on cache state
+    import spark.implicits._
+    val dir = scratchDir("yaml_stray")
+    val ids = Seq(IdField("grp", StringId), IdField("name", StringId))
+    val s = mkSpec(s"$dir/out", s"$dir/out", ids, ids)
+    val df = Seq(("g1", "f1", "A"), ("g1", "f2", "B")).toDF("grp", "name", "field1")
+    new YamlDestinationDriver().write(df, s)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/out/README.yaml"), "note: stray\n")
+    new java.io.File(s"$dir/out/g1/deep").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/out/g1/deep/x.yaml"), "hidden: 1\n")
+    val back = new YamlSourceDriver().read(spark, s)
+    assert(back.count() == 2, "strays must not surface as rows")
+    assert(!back.columns.contains("note") && !back.columns.contains("hidden"),
+      "schema inference must not read files the listing skips")
+  }
+
   test("YAML 3-id layouts round-trip (recursive directory scan, reference Finder parity)") {
     import spark.implicits._
     val dir = scratchDir("yaml_deep")

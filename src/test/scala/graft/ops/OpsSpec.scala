@@ -797,6 +797,16 @@ class OpsSpec extends SparkSpec {
           .map(f => if (f.isDirectory) countFiles(f) else 1).sum
       assert(countFiles(new java.io.File(ckpt)) > 0,
         s"no reliable checkpoint files under $ckpt")
+      // ...and superseded rounds must have been swept: each loop keeps
+      // only its RETURNED frame's checkpoint (pageRank would otherwise
+      // leave `iters` rdd dirs and the closure 2·rounds+1 — here 9 total)
+      def rddDirs(d: java.io.File): Int =
+        Option(d.listFiles).toSeq.flatten.map { f =>
+          (if (f.isDirectory && f.getName.startsWith("rdd-")) 1 else 0) +
+            (if (f.isDirectory) rddDirs(f) else 0)
+        }.sum
+      val live = rddDirs(new java.io.File(ckpt))
+      assert(live <= 2, s"checkpoint GC left $live rdd dirs under $ckpt (want ≤2)")
     } finally spark.conf.unset(Graphs.CheckpointDirKey)
   }
 
