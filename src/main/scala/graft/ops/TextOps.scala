@@ -243,6 +243,51 @@ object TextOps {
       .drop("_thr")
   }
 
+  /** Epoch-mixture materialization — the REPLICATION half of dataset
+    * mixing, which sampling cannot express: a recipe of per-stratum
+    * epoch FACTORS (books ×2.5, crawl ×0.3 — the standard way a
+    * training mix up-weights scarce high-quality sources across
+    * epochs) expands each document into `floor(f)` copies plus one
+    * more iff its salted md5 draw falls below `frac(f)`, every copy
+    * carrying a 1-based `epoch` index. A stratum's expected output is
+    * exactly `f·n_s`, and the fractional draw is the same
+    * engine/partitioning-independent md5 threshold as
+    * [[deterministicSample]], so the materialized mix reproduces
+    * row-for-row on any cluster or engine. Unknown strata fall back to
+    * `defaultFactor`; a factor of 0 drops the stratum.
+    *
+    * Scale shape: no shuffle, no join — two codegen'd CASE chains pick
+    * the whole/fractional parts and one `explode(sequence)`
+    * materializes the copies at scan speed. Output size is the
+    * recipe's own Σ f_s·n_s (the intended training-set size); at
+    * 100 TB the expansion is usually fused straight into the shard
+    * writer ([[hexShard]]) so replicas never exist as an intermediate.
+    */
+  def epochExpand(
+      df: org.apache.spark.sql.DataFrame, keyCol: String, strataCol: String,
+      factors: Map[String, Double], defaultFactor: Double = 1.0,
+      salt: String = ""): org.apache.spark.sql.DataFrame = {
+    (factors.values.toSeq :+ defaultFactor).foreach(f =>
+      require(f >= 0.0, s"factors must be non-negative, got $f"))
+    def whole(f: Double): Long = math.floor(f).toLong
+    def thr(f: Double): String =
+      f"${math.round((f - math.floor(f)) * 0xFFFFFFFFL)}%08x"
+    val ordered = factors.toSeq.sortBy(_._1)
+    val base = ordered.foldLeft(lit(whole(defaultFactor))) {
+      case (acc, (s, f)) => when(col(strataCol) === s, lit(whole(f))).otherwise(acc)
+    }
+    val fracThr = ordered.foldLeft(lit(thr(defaultFactor))) {
+      case (acc, (s, f)) => when(col(strataCol) === s, lit(thr(f))).otherwise(acc)
+    }
+    val extra = when(
+      substring(md5(concat(col(keyCol).cast("string"), lit(salt))), 1, 8) < fracThr,
+      lit(1L)).otherwise(lit(0L))
+    df.withColumn("_n_epochs", base.cast("long") + extra)
+      .filter(col("_n_epochs") >= 1L)
+      .withColumn("epoch", explode(sequence(lit(1L), col("_n_epochs"))))
+      .drop("_n_epochs")
+  }
+
   // PII patterns chosen to behave identically under Java regex (Spark)
   // and RE2 (DuckDB): no lookarounds, no backrefs.
   val UrlPattern = "https?://[^ ]+"

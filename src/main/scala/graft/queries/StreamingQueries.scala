@@ -637,6 +637,47 @@ object StreamingQueries {
              |FROM g JOIN m USING (doc_id)
              |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Streaming twin of epoch-mixture materialization: the expansion is
+    // a stateless per-row CASE + explode, so it runs unchanged on a
+    // micro-batch — the shape of an ingest pipeline that replicates
+    // scarce-source documents into the training mix as they arrive.
+    // Same recipe, same md5 draw, same oracle as text_mix_epochs:
+    // stream/batch parity by construction.
+    QueryDef("stream_mix_epochs",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "documents")).schema
+        val docs = spark.readStream.schema(schema)
+          .parquet(stagedDir(spark, sf, "documents"))
+        val expanded = graft.ops.TextOps.epochExpand(
+            docs, "doc_id", "source",
+            factors = Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0),
+            defaultFactor = 1.25, salt = "mix9")
+          .select(col("doc_id"), col("source"), col("epoch"))
+        val table = s"stream_mix_${counter.incrementAndGet()}"
+        val q = expanded.writeStream.format("memory").queryName(table)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        spark.table(table).orderBy(col("doc_id"), col("epoch"))
+      },
+      Some {
+        def thr(f: Double) =
+          f"${math.round((f - math.floor(f)) * 0xFFFFFFFFL)}%08x"
+        s"""WITH f AS (
+           |  SELECT doc_id, source,
+           |    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+           |      WHEN 'src2' THEN 0 ELSE 1 END
+           |    + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'mix9'), 1, 8) <
+           |        CASE source WHEN 'src0' THEN '${thr(2.5)}'
+           |          WHEN 'src1' THEN '${thr(0.4)}'
+           |          WHEN 'src2' THEN '${thr(0.0)}'
+           |          ELSE '${thr(1.25)}' END
+           |      THEN 1 ELSE 0 END AS n
+           |  FROM documents)
+           |SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+           |FROM f, LATERAL unnest(range(1, n + 1)) t(e)
+           |ORDER BY doc_id, epoch""".stripMargin
+      }),
+
     // Streaming twin of the ANN tier — the online-serving shape: the
     // IVF index (k-means lists + centroids) is trained ONCE in batch
     // and becomes the static side; queries arrive as a STREAM and each

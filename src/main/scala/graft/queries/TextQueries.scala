@@ -670,6 +670,39 @@ object TextQueries {
              |WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix7'), 1, 8) < thr
              |ORDER BY doc_id""".stripMargin)),
 
+    // Epoch-mixture materialization — the REPLICATION half of dataset
+    // mixing (sampling can only drop; a training mix also UP-samples
+    // scarce sources across epochs): per-source factors expand each doc
+    // into floor(f) copies + one more iff its md5 draw < frac(f), each
+    // copy carrying its epoch index. No shuffle, no join — CASE +
+    // explode(sequence) at scan speed; DuckDB replays the same md5
+    // threshold and range() expansion row for row.
+    QueryDef("text_mix_epochs",
+      (spark, sf) => TextOps.epochExpand(
+          load(spark, sf, "documents"), "doc_id", "source",
+          factors = Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0),
+          defaultFactor = 1.25, salt = "mix9")
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch")),
+      Some {
+        def thr(f: Double) =
+          f"${math.round((f - math.floor(f)) * 0xFFFFFFFFL)}%08x"
+        s"""WITH f AS (
+           |  SELECT doc_id, source,
+           |    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+           |      WHEN 'src2' THEN 0 ELSE 1 END
+           |    + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'mix9'), 1, 8) <
+           |        CASE source WHEN 'src0' THEN '${thr(2.5)}'
+           |          WHEN 'src1' THEN '${thr(0.4)}'
+           |          WHEN 'src2' THEN '${thr(0.0)}'
+           |          ELSE '${thr(1.25)}' END
+           |      THEN 1 ELSE 0 END AS n
+           |  FROM documents)
+           |SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+           |FROM f, LATERAL unnest(range(1, n + 1)) t(e)
+           |ORDER BY doc_id, epoch""".stripMargin
+      }),
+
     // End-to-end corpus curation — the operators composed the way a
     // training-data pipeline actually chains them: quality gate (length
     // + lexical diversity) → language filter → exact-dedup survivors →

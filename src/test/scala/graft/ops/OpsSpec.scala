@@ -545,6 +545,36 @@ class OpsSpec extends SparkSpec {
       TextOps.temperatureMixSample(t, "id", "strata", scale = 3.0, salt = "s").collect().toSet)
   }
 
+  test("epoch expansion: floor copies + md5-fractional extra, zero drops, default applies") {
+    import spark.implicits._
+    val t = ((1 to 100).map(i => (i.toLong, "up")) ++
+      (101 to 200).map(i => (i.toLong, "down")) ++
+      (201 to 300).map(i => (i.toLong, "gone")) ++
+      (301 to 400).map(i => (i.toLong, "other"))).toDF("id", "strata")
+    val out = TextOps.epochExpand(t, "id", "strata",
+      factors = Map("up" -> 2.5, "down" -> 0.4, "gone" -> 0.0),
+      defaultFactor = 1.0, salt = "e")
+    val byStrata = out.groupBy("strata").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // up: 2 or 3 copies each — between 200 and 300, ~250 expected
+    assert(byStrata("up") >= 200 && byStrata("up") <= 300, s"got ${byStrata("up")}")
+    assert(byStrata("up") > 220 && byStrata("up") < 280, s"~250 expected, got ${byStrata("up")}")
+    // down: 0 or 1 copies, ~40 expected
+    assert(byStrata("down") > 25 && byStrata("down") < 55, s"~40 expected, got ${byStrata("down")}")
+    assert(!byStrata.contains("gone"), "factor 0 drops the stratum")
+    assert(byStrata("other") == 100, "integer default factor replicates exactly")
+    // per-doc epoch indices are dense 1..n
+    val epochs = out.filter(col("strata") === "up").groupBy("id")
+      .agg(count(lit(1)).as("n"), max(col("epoch")).as("mx"), min(col("epoch")).as("mn"))
+      .collect()
+    assert(epochs.forall(r => r.getLong(2) == r.getLong(1) && r.getLong(3) == 1L),
+      "epoch must run dense from 1 to the copy count")
+    // deterministic across runs
+    assert(out.collect().toSet == TextOps.epochExpand(t, "id", "strata",
+      factors = Map("up" -> 2.5, "down" -> 0.4, "gone" -> 0.0),
+      defaultFactor = 1.0, salt = "e").collect().toSet)
+  }
+
   test("hashed linear classifier: score is the exact bucket-weight sum") {
     import spark.implicits._
     val t = Seq((1L, "alpha beta alpha"), (2L, "solo")).toDF("doc_id", "text")

@@ -72,8 +72,9 @@ class PlanAudit extends SparkSpec {
     "text_oov_rate" -> 8,        // vocab TakeOrdered + broadcast probe + source agg
     "q_recursive_cte" -> 4,      // UnionLoop iterations share the anchor exchange
     // round-9 additions
-    "dedup_embedding_cosine_cut" -> 35) // exact-tier lineage + coarse candidate
+    "dedup_embedding_cosine_cut" -> 35, // exact-tier lineage + coarse candidate
     // join + verify joins + the two scalar gate aggregates (measured 29)
+    "text_mix_epochs" -> 2)      // pure scan-speed CASE + explode; orderBy only
 
   // Queries whose only nested-loop joins are the recall/bound gates'
   // crossJoins against one-row aggregates (a broadcast of a scalar —
