@@ -288,6 +288,45 @@ object TextOps {
       .drop("_n_epochs")
   }
 
+  /** Deterministic training-order materialization — curriculum
+    * ordering: a global position for every document, sorted by a
+    * difficulty bucket first (easy → hard across training) and a
+    * salted md5 draw within the bucket (so same-difficulty docs are
+    * shuffled, reproducibly), plus a round-robin shard stripe so each
+    * shard preserves the curriculum. The order key ends with the id,
+    * making the order TOTAL — the same (pos, shard) on any cluster,
+    * any partitioning, any re-run.
+    *
+    * The usual way to materialize a global rank —
+    * `row_number() OVER (ORDER BY …)` — funnels the whole corpus
+    * through ONE window task. This instead uses a range repartition +
+    * sort-within-partitions (a total order across range-ordered
+    * partitions) and `zipWithIndex` (per-partition counts + a
+    * driver-side prefix sum — O(partitions) driver work), the same
+    * fully-parallel rank machinery as the executor's ordered chunking
+    * (`MigrationExecutor.executeChunked`). Batch-only by nature: a
+    * global order needs the whole corpus (and rides `.rdd`).
+    */
+  def trainOrder(
+      df: org.apache.spark.sql.DataFrame, idCol: String, difficulty: Column,
+      numShards: Int, salt: String = ""): org.apache.spark.sql.DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val keyed = df.select(col(idCol), difficulty.cast("long").as("bucket"),
+      md5(concat(col(idCol).cast("string"), lit(salt))).as("_ord"))
+    val ordered = keyed
+      .repartitionByRange(col("bucket"), col("_ord"), col(idCol))
+      .sortWithinPartitions(col("bucket"), col("_ord"), col(idCol))
+    val schema = StructType(ordered.schema.fields :+ StructField("pos", LongType))
+    spark.createDataFrame(
+        ordered.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+        schema)
+      .withColumn("shard", (col("pos") % numShards).cast("int"))
+      .drop("_ord")
+  }
+
   // PII patterns chosen to behave identically under Java regex (Spark)
   // and RE2 (DuckDB): no lookarounds, no backrefs.
   val UrlPattern = "https?://[^ ]+"

@@ -703,6 +703,26 @@ object TextQueries {
            |ORDER BY doc_id, epoch""".stripMargin
       }),
 
+    // Curriculum training order — a TOTAL global position (easy→hard by
+    // length bucket, md5-shuffled within a bucket, id tiebreak) plus a
+    // round-robin shard stripe, materialized WITHOUT the one-task
+    // row_number window: range repartition + within-partition sort +
+    // zipWithIndex (per-partition counts + driver prefix sum). DuckDB
+    // replays the same total order with an actual window — small-scale
+    // oracle for the scale-safe rank machinery.
+    QueryDef("text_train_order",
+      (spark, sf) => TextOps.trainOrder(
+          load(spark, sf, "documents"), "doc_id",
+          difficulty = expr("n_chars div 64"), numShards = 8, salt = "cur9")
+        .select(col("doc_id"), col("bucket"), col("pos"), col("shard"))
+        .orderBy(col("pos")),
+      Some("""SELECT doc_id, bucket, pos, CAST(pos % 8 AS INT) AS shard FROM (
+             |  SELECT doc_id, n_chars // 64 AS bucket,
+             |    row_number() OVER (ORDER BY n_chars // 64,
+             |      md5(CAST(doc_id AS VARCHAR) || 'cur9'), doc_id) - 1 AS pos
+             |  FROM documents)
+             |ORDER BY pos""".stripMargin)),
+
     // End-to-end corpus curation — the operators composed the way a
     // training-data pipeline actually chains them: quality gate (length
     // + lexical diversity) → language filter → exact-dedup survivors →

@@ -575,6 +575,25 @@ class OpsSpec extends SparkSpec {
       defaultFactor = 1.0, salt = "e").collect().toSet)
   }
 
+  test("train order: total, dense, bucket-monotone, partitioning-independent") {
+    import spark.implicits._
+    val t = (1 to 500).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "diff")
+    val out = TextOps.trainOrder(t, "id", col("diff"), numShards = 4, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.map(_._3).sorted.toSeq == (0L until 500L), "positions dense 0..n-1")
+    val byPos = out.sortBy(_._3)
+    assert(byPos.map(_._2).toSeq == byPos.map(_._2).sorted.toSeq,
+      "easier buckets must come first")
+    assert(byPos.forall { case (_, _, pos, shard) => shard == pos % 4 },
+      "round-robin shard stripe")
+    // same order under a different input partitioning
+    val re = TextOps.trainOrder(t.repartition(13), "id", col("diff"),
+        numShards = 4, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out.forall { case (id, _, pos, _) => re(id) == pos },
+      "global position must not depend on input partitioning")
+  }
+
   test("hashed linear classifier: score is the exact bucket-weight sum") {
     import spark.implicits._
     val t = Seq((1L, "alpha beta alpha"), (2L, "solo")).toDF("doc_id", "text")

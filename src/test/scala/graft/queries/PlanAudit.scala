@@ -74,7 +74,9 @@ class PlanAudit extends SparkSpec {
     // round-9 additions
     "dedup_embedding_cosine_cut" -> 35, // exact-tier lineage + coarse candidate
     // join + verify joins + the two scalar gate aggregates (measured 29)
-    "text_mix_epochs" -> 2)      // pure scan-speed CASE + explode; orderBy only
+    "text_mix_epochs" -> 2,      // pure scan-speed CASE + explode; orderBy only
+    "text_train_order" -> 3)     // ONE range exchange for the total order
+    // (zipWithIndex adds no shuffle) + final orderBy
 
   // Queries whose only nested-loop joins are the recall/bound gates'
   // crossJoins against one-row aggregates (a broadcast of a scalar —
