@@ -148,6 +148,50 @@ object Dedup {
         col(scoreCol).as("best_score"), col("cluster_size"))
   }
 
+  /** Leak-proof train/val/test split: assignment keyed on the near-dup
+    * CLUSTER representative, not the document id — the reason a pipeline
+    * dedups BEFORE splitting. Hashing each document independently leaks
+    * near-duplicates across the train/eval boundary (the model is then
+    * evaluated on paraphrases of its own training set); hashing the
+    * cluster representative puts every member of a connected component
+    * on the same side by construction. Documents in no pair (the
+    * overwhelming majority of a deduped corpus) are their own group.
+    *
+    * The draw is the same engine-independent md5 threshold as
+    * [[graft.ops.TextOps.deterministicSample]] — quantized to 2^-32,
+    * reproducible row-for-row on any engine or partitioning. Split
+    * fractions are honored in expectation over GROUPS (a 40-member
+    * cluster moves together — the necessary price of leak-proofness).
+    *
+    * One cluster labeling over the pair set (shuffles bounded by EDGE
+    * count, see [[clusters]]) + one left join of the label map onto the
+    * corpus (label map ≪ corpus: only docs appearing in some pair) + a
+    * scan-speed CASE. At 100 TB the label map is broadcastable at
+    * typical near-dup rates, else it hash-joins on the id; nothing here
+    * is corpus-quadratic.
+    *
+    * Output: (idCol, group_id, split ∈ train|val|test), one row per
+    * input document.
+    */
+  def leakproofSplit(
+      docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+      valRate: Double = 0.1, testRate: Double = 0.1,
+      salt: String = ""): DataFrame = {
+    require(valRate >= 0 && testRate >= 0 && valRate + testRate <= 1.0,
+      "val/test rates must be non-negative and sum to at most 1")
+    def thr(r: Double) = f"${math.round(r * 0xFFFFFFFFL)}%08x"
+    val labelMap = clusters(pairs, idCol).withColumnRenamed("rep", "__rep")
+    val draw = substring(
+      md5(concat(col("group_id").cast("string"), lit(salt))), 1, 8)
+    docs.select(col(idCol))
+      .join(labelMap, Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("__rep"), col(idCol)))
+      .select(col(idCol), col("group_id"),
+        when(draw < lit(thr(testRate)), lit("test"))
+          .when(draw < lit(thr(testRate + valRate)), lit("val"))
+          .otherwise(lit("train")).as("split"))
+  }
+
   /** Chunk-level exact dedup WITH REMOVAL (the cleanup step of the
     * exact-substring line of work — [[substringPairs]] only detects
     * duplication, this drops it): documents split into disjoint

@@ -432,6 +432,44 @@ object DedupQueries {
              |  CAST(cluster_size AS BIGINT) AS cluster_size
              |FROM scored WHERE rn = 1 ORDER BY rep""".stripMargin)),
 
+    // Leak-proof train/val/test split: the split draw hashes the
+    // near-dup CLUSTER representative (coalesced to the own id for
+    // singletons), so no near-dup pair can straddle the train/eval
+    // boundary — the reason real pipelines dedup before splitting.
+    // Emission is gated on the invariant itself: a scalar count of
+    // straddling pairs must be exactly 0 (one broadcast of a one-row
+    // aggregate — the recall-gate precedent). The oracle replays the
+    // closure + COALESCE + md5 CASE verbatim.
+    QueryDef("corpus_split_leakproof",
+      (spark, sf) => {
+        val assign = Dedup.leakproofSplit(
+          load(spark, sf, "documents"), sharedPairs(spark, sf),
+          valRate = 0.1, testRate = 0.1, salt = "split9")
+        val leaks = sharedPairs(spark, sf)
+          .join(assign.select(col("doc_id").as("a"), col("split").as("__sa")), Seq("a"))
+          .join(assign.select(col("doc_id").as("b"), col("split").as("__sb")), Seq("b"))
+          .filter(col("__sa") =!= col("__sb"))
+          .agg(count(lit(1)).as("__leaks"))
+        assign.crossJoin(broadcast(leaks))
+          .filter(col("__leaks") === 0).drop("__leaks")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def thr(r: Double) = f"${math.round(r * 0xFFFFFFFFL)}%08x"
+        "WITH RECURSIVE " + ClosureOracleCtes + s""",
+           |cl AS (SELECT u AS doc_id, MIN(v) AS rep FROM reach GROUP BY u),
+           |g AS (SELECT d.doc_id, COALESCE(cl.rep, d.doc_id) AS group_id
+           |      FROM documents d LEFT JOIN cl USING (doc_id)),
+           |drawn AS (SELECT doc_id, group_id,
+           |    substr(md5(CAST(group_id AS VARCHAR) || 'split9'), 1, 8) AS h
+           |  FROM g)
+           |SELECT doc_id, group_id,
+           |  CASE WHEN h < '${thr(0.1)}' THEN 'test'
+           |       WHEN h < '${thr(0.1 + 0.1)}' THEN 'val'
+           |       ELSE 'train' END AS split
+           |FROM drawn ORDER BY doc_id""".stripMargin
+      }),
+
     // End-to-end deduplicated corpus — the pipeline's actual product:
     // exact-dup survivors (min doc id per fingerprint) minus
     // non-representative members of near-dup clusters. Composes the

@@ -122,6 +122,36 @@ class OpsSpec extends SparkSpec {
     } finally spark.conf.unset("graft.clusters.collectThreshold")
   }
 
+  test("leakproof split: cluster members move together; total, deterministic, partition-independent") {
+    import spark.implicits._
+    val docs = spark.range(1, 101).select(col("id").as("doc_id"))
+    val pairs = Seq((2L, 3L), (1L, 2L), (7L, 9L)).toDF("a", "b")
+    val out = Dedup.leakproofSplit(docs, pairs, valRate = 0.2, testRate = 0.2,
+      salt = "s1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // total: exactly one row per input doc
+    assert(out.map(_._1).toSet == (1L to 100L).toSet && out.length == 100)
+    val byId = out.map(t => t._1 -> t).toMap
+    // cluster members share group AND side — the leak-proof property
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(byId(_)._3).distinct.length == 1)
+    assert(Seq(7L, 9L).map(byId(_)._2).distinct == Seq(7L))
+    assert(Seq(7L, 9L).map(byId(_)._3).distinct.length == 1)
+    // singletons group as themselves
+    assert(byId(50L)._2 == 50L)
+    // at 40% held out over 100 groups, every side is populated
+    assert(out.map(_._3).toSet == Set("train", "val", "test"))
+    // identical assignment under any input partitioning
+    val repart = Dedup.leakproofSplit(docs.repartition(7), pairs.repartition(3),
+      valRate = 0.2, testRate = 0.2, salt = "s1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(repart == out.toSet)
+    // the salt moves the draw (different salt → different assignment)
+    val other = Dedup.leakproofSplit(docs, pairs, valRate = 0.2, testRate = 0.2,
+      salt = "s2").collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(other != out.map(t => (t._1, t._3)).toSet)
+  }
+
   test("embedding cosine pairs: LSH-bucketed equals exact all-pairs at tau=0.4") {
     val a = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
     val b = emb.select(col("vec_id").as("b"), col("embedding").as("vb"))

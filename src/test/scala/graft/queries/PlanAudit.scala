@@ -75,8 +75,11 @@ class PlanAudit extends SparkSpec {
     "dedup_embedding_cosine_cut" -> 35, // exact-tier lineage + coarse candidate
     // join + verify joins + the two scalar gate aggregates (measured 29)
     "text_mix_epochs" -> 2,      // pure scan-speed CASE + explode; orderBy only
-    "text_train_order" -> 3)     // ONE range exchange for the total order
+    "text_train_order" -> 3,     // ONE range exchange for the total order
     // (zipWithIndex adds no shuffle) + final orderBy
+    "corpus_split_leakproof" -> 60) // docs ⋈ label map + the leak-gate's two
+    // probe joins re-reference the assignment lineage; shares
+    // dedup_ngram_jaccard's shared-pair cache-state variance band
 
   // Queries whose only nested-loop joins are the recall/bound gates'
   // crossJoins against one-row aggregates (a broadcast of a scalar —
@@ -86,7 +89,9 @@ class PlanAudit extends SparkSpec {
     "dedup_semantic" -> 1, "text_countmin" -> 1,
     // recall gate + candidate-ratio gate + the ratio's own
     // one-row-×-one-row (n_cand × n) join
-    "dedup_embedding_cosine_cut" -> 3, "corpus_curation_semantic" -> 3)
+    "dedup_embedding_cosine_cut" -> 3, "corpus_curation_semantic" -> 3,
+    // the straddling-pair count gate (one-row aggregate broadcast)
+    "corpus_split_leakproof" -> 1)
 
   test("q_skew_aqe_join: AQE splits the hot partition (structural isSkewJoin)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
