@@ -327,6 +327,61 @@ object TextOps {
       .drop("_ord")
   }
 
+  /** Quality-budget data selection — the data-constrained-scaling
+    * primitive ("train on the best N tokens"): keep documents in
+    * descending `score` order (salted md5 then id as tiebreaks, making
+    * the order TOTAL and the selection engine-reproducible) while the
+    * inclusive running `weight` sum stays within `budget`.
+    *
+    * The global running sum uses the same fully-parallel machinery as
+    * [[trainOrder]]: range repartition on the order key + in-partition
+    * sort, then per-partition weight totals (O(partitions) rows to the
+    * driver) prefix-summed into partition offsets, each partition
+    * accumulating locally from its offset. Two scale properties beyond
+    * correctness: a partition whose offset already exceeds the budget
+    * emits NOTHING without deserializing a row, and in-partition
+    * accumulation stops at the first overflow (weights are
+    * non-negative, so the running sum is monotone) — post-shuffle work
+    * scales with the KEPT prefix, not the corpus. Batch-only (a global
+    * order needs the whole corpus; rides `.rdd` like [[trainOrder]]).
+    *
+    * Null weights count as 0; weights must be non-negative (token
+    * counts are) — a negative weight would break the monotone
+    * early-stop. Callers supply a non-null `score`.
+    * Output: (idCol, score, n_tokens, cum_tokens), cum_tokens ≤ budget.
+    */
+  def budgetSelect(
+      df: org.apache.spark.sql.DataFrame, idCol: String,
+      score: Column, weight: Column, budget: Long,
+      salt: String = ""): org.apache.spark.sql.DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val keyed = df.select(col(idCol), score.cast("long").as("score"),
+      coalesce(weight.cast("long"), lit(0L)).as("n_tokens"),
+      md5(concat(col(idCol).cast("string"), lit(salt))).as("_ord"))
+    val ordered = keyed
+      .repartitionByRange(col("score").desc, col("_ord"), col(idCol))
+      .sortWithinPartitions(col("score").desc, col("_ord"), col(idCol))
+    val rdd = ordered.rdd
+    // pass 1: per-partition totals (the shuffle is reused by pass 2)
+    val sums = rdd.mapPartitionsWithIndex { case (pi, it) =>
+      var s = 0L; it.foreach(s += _.getLong(2)); Iterator(pi -> s)
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(sums.scanLeft(0L)(_ + _))
+    val b = budget
+    val schema = StructType(ordered.schema.fields :+ StructField("cum_tokens", LongType))
+    spark.createDataFrame(
+        rdd.mapPartitionsWithIndex { case (pi, it) =>
+          var acc = offsets.value(pi)
+          if (acc > b) Iterator.empty
+          else it.map { r => acc += r.getLong(2); Row.fromSeq(r.toSeq :+ acc) }
+            .takeWhile(_.getLong(4) <= b)
+        }, schema)
+      .drop("_ord")
+  }
+
   // PII patterns chosen to behave identically under Java regex (Spark)
   // and RE2 (DuckDB): no lookarounds, no backrefs.
   val UrlPattern = "https?://[^ ]+"

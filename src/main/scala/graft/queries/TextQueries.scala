@@ -723,6 +723,35 @@ object TextQueries {
              |  FROM documents)
              |ORDER BY pos""".stripMargin)),
 
+    // Quality-budget selection ("train on the best 20k tokens"): docs
+    // kept in descending lexical-richness order while the inclusive
+    // running token sum fits the budget. The order is total (score →
+    // salted md5 → id), so DuckDB's actual window cumsum replays the
+    // identical greedy prefix; the distributed side never funnels
+    // through a one-task window (range repartition + per-partition
+    // offsets, work ∝ kept prefix). Budget 20000 cuts ~28% at sf0.001
+    // and ~99% at sf0.1 — non-trivial at every gate SF.
+    QueryDef("text_budget_select",
+      (spark, sf) => TextOps.budgetSelect(
+          load(spark, sf, "documents"), "doc_id",
+          score = size(array_distinct(split(col("text"), " "))),
+          weight = TextOps.tokenCount(col("text")),
+          budget = 20000L, salt = "bud9")
+        .orderBy(col("doc_id")),
+      Some("""WITH scored AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS score,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |runs AS (
+             |  SELECT doc_id, score, n_tokens,
+             |    SUM(n_tokens) OVER (ORDER BY score DESC,
+             |      md5(CAST(doc_id AS VARCHAR) || 'bud9'), doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             |  FROM scored)
+             |SELECT doc_id, score, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+             |FROM runs WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin)),
+
     // End-to-end corpus curation — the operators composed the way a
     // training-data pipeline actually chains them: quality gate (length
     // + lexical diversity) → language filter → exact-dedup survivors →

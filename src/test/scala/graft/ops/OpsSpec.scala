@@ -624,6 +624,46 @@ class OpsSpec extends SparkSpec {
       "global position must not depend on input partitioning")
   }
 
+  test("budget select: greedy best-first prefix, exact running sums, partitioning-independent") {
+    import spark.implicits._
+    // weight = id, score = id % 10: selection must follow score desc
+    // (md5/id tiebreak), never weight
+    val t = (1 to 200).map(i => (i.toLong, (i % 10).toLong, i.toLong))
+      .toDF("id", "s", "w")
+    val out = TextOps.budgetSelect(t, "id", col("s"), col("w"),
+        budget = 3000L, salt = "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty && out.forall(_._4 <= 3000L), "budget is a hard cap")
+    // replay the greedy prefix locally over the same total order
+    val order = (1 to 200).map { i =>
+      val id = i.toLong
+      (id, (i % 10).toLong,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest((id.toString + "b").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+    }.sortBy { case (id, s, h) => (-s, h, id) }
+    var acc = 0L
+    val expected = order.flatMap { case (id, s, _) =>
+      acc += id // weight = id
+      if (acc <= 3000L) Some((id, s, id, acc)) else None
+    }.toSet
+    // monotone weights make the greedy prefix exactly the cum<=budget set
+    assert(out.toSet == expected,
+      s"missing=${expected -- out.toSet} extra=${out.toSet -- expected}")
+    // null weight counts 0 (kept for free), zero budget keeps only
+    // zero-weight heads
+    val withNull = Seq((1L, 5L, java.lang.Long.valueOf(7L)),
+      (2L, 9L, null.asInstanceOf[java.lang.Long])).toDF("id", "s", "w")
+    val nOut = TextOps.budgetSelect(withNull, "id", col("s"), col("w"),
+      budget = 0L).collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(nOut.toSeq == Seq((2L, 0L)), "null weight is free; 7-weight doc busts budget 0")
+    // identical selection under any input partitioning
+    val re = TextOps.budgetSelect(t.repartition(13), "id", col("s"), col("w"),
+        budget = 3000L, salt = "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(re == out.toSet)
+  }
+
   test("hashed linear classifier: score is the exact bucket-weight sum") {
     import spark.implicits._
     val t = Seq((1L, "alpha beta alpha"), (2L, "solo")).toDF("doc_id", "text")

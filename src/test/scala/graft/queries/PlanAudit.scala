@@ -77,6 +77,8 @@ class PlanAudit extends SparkSpec {
     "text_mix_epochs" -> 2,      // pure scan-speed CASE + explode; orderBy only
     "text_train_order" -> 3,     // ONE range exchange for the total order
     // (zipWithIndex adds no shuffle) + final orderBy
+    "text_budget_select" -> 3,   // ONE range exchange for the total order
+    // (prefix-sum passes add no shuffle) + final orderBy
     "corpus_split_leakproof" -> 60) // docs ⋈ label map + the leak-gate's two
     // probe joins re-reference the assignment lineage; shares
     // dedup_ngram_jaccard's shared-pair cache-state variance band
