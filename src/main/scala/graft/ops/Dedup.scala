@@ -680,4 +680,50 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_history_matches"))
   }
+
+  /** Incremental NEAR-dup detection of a new batch against an ingested
+    * history — [[incrementalDups]]' fuzzy sibling, the nightly-crawl
+    * shape: find (history doc `a`, batch doc `b`) pairs with n-gram
+    * Jaccard ≥ `minJaccard`, WITHOUT comparing history to itself and
+    * without re-shuffling the full history. A Bloom filter over the
+    * BATCH's shingle hashes (the increment — the side that fits a
+    * fixed-size filter) prefilters the history shingle scan down to
+    * shingles the batch actually contains BEFORE any exchange; only
+    * that slice enters the inverted-index join, so the pair stage is
+    * bounded by the batch's shingle vocabulary however large the
+    * history is. False positives die at the exact string equality +
+    * exact |∩|/|∪| verification; false negatives don't exist, so the
+    * result equals the plain cross-side join restriction of
+    * [[ngramJaccardPairs]].
+    *
+    * The history-side distinct-shingle counts (`na`, needed for the
+    * exact union size) partial-aggregate map-side — the shuffle
+    * carries (doc, count) rows, never history shingles.
+    *
+    * Output: (a, b, inter, na, nb, jaccard) — `a` from history, `b`
+    * from the batch.
+    */
+  def incrementalNearDups(
+      history: DataFrame, batch: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, minJaccard: Double = 0.8,
+      expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val hSh = shingleTable(history, textCol, idCol, k)
+    val bSh = shingleTable(batch, textCol, idCol, k)
+    val hKeyed = hSh.select(col(idCol).as("a"), col("shingle").as("shingle_h"),
+      xxhash64(col("shingle")).as("shk"))
+    val bKeyed = bSh.select(col(idCol).as("b"), col("shingle"),
+      xxhash64(col("shingle")).as("shk"))
+    val inter = Joins.bloomPrefilteredJoin(hKeyed, bKeyed, "shk", expectedKeys, fpp)
+      .filter(col("shingle_h") === col("shingle")) // kill 64-bit hash collisions
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(hSh.groupBy(col(idCol)).agg(count(lit(1)).as("na"))
+        .select(col(idCol).as("a"), col("na")), Seq("a"))
+      .join(bSh.groupBy(col(idCol)).agg(count(lit(1)).as("nb"))
+        .select(col(idCol).as("b"), col("nb")), Seq("b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("jaccard"))
+  }
 }

@@ -947,4 +947,33 @@ class OpsSpec extends SparkSpec {
     // empty history → empty result (bloom over zero rows must not NPE)
     assert(Dedup.incrementalDups(hist.limit(0), batch, "text", "doc_id").count() == 0)
   }
+
+  test("incremental near-dup: equals the cross-side restriction of the symmetric join") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),                              // history
+      (2L, base + " x"),                       // history near-dup of 1
+      (3L, (31 to 60).map(i => s"w$i").mkString(" ")), // history, unrelated
+      (11L, base + " y"),                      // batch near-dup of 1 and 2
+      (12L, (61 to 90).map(i => s"v$i").mkString(" ")) // batch, novel
+    ).toDF("doc_id", "text")
+    val hist = docs.filter(col("doc_id") < 10)
+    val batch = docs.filter(col("doc_id") >= 10)
+    val inc = Dedup.incrementalNearDups(hist, batch, "text", "doc_id",
+        k = 5, minJaccard = 0.5, expectedKeys = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    // the symmetric pair set over everything, restricted to cross pairs
+    val sym = Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 5, minJaccard = 0.5)
+      .filter(col("a") < 10 && col("b") >= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(inc.toSet == sym.toSet,
+      s"missing=${sym.toSet -- inc.toSet} extra=${inc.toSet -- sym.toSet}")
+    assert(inc.map(t => (t._1, t._2)).toSet == Set((1L, 11L), (2L, 11L)),
+      "batch doc 11 pairs with history 1 and 2 only; history 1-2 never compared")
+    // no history-history or batch-batch pair can appear by construction
+    assert(inc.forall { case (a, b, _, _) => a < 10 && b >= 10 })
+    // empty batch → empty result (bloom over zero rows must not NPE)
+    assert(Dedup.incrementalNearDups(hist, batch.limit(0), "text", "doc_id").count() == 0)
+  }
 }
