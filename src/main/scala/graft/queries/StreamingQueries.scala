@@ -294,6 +294,66 @@ object StreamingQueries {
              |FROM (SELECT * FROM w WHERE doc_id % 10 <> 0) cw JOIN bw USING (s)
              |GROUP BY cw.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Streaming twin of dedup_incremental_fuzzy: the nightly crawl as a
+    // stream — micro-batched new docs join the STATIC history shingle
+    // index (a stream-static join is stateless), with both Jaccard
+    // denominators attached statelessly (na pre-joined onto the static
+    // index rows, nb computed INSIDE the row via array_distinct), so the
+    // only stateful node is the (history, batch) pair count aggregate.
+    // The finishing arithmetic (exact |∩|/|∪| + threshold) runs in batch
+    // on the materialized pair table — the shape of an ingest loop that
+    // flags near-dups of the corpus before data lands. No bloom here:
+    // the filter would have to cover the STREAM side, unknowable ahead
+    // of the micro-batch; production prunes the static index at setup
+    // instead. Same oracle as the batch twin — identical result set.
+    QueryDef("stream_incremental_fuzzy",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "documents")).schema
+        val history = spark.read.parquet(path(sf, "documents"))
+          .filter(col("doc_id") % 5 =!= 4)
+        val histSh = graft.ops.Dedup.shingleTable(history, "text", "doc_id", 5)
+        val histIdx = histSh
+          .join(histSh.groupBy(col("doc_id")).agg(count(lit(1)).as("na")), Seq("doc_id"))
+          .select(col("doc_id").as("a"), col("shingle"), col("na"))
+        val docs = spark.readStream.schema(schema)
+          .parquet(stagedDir(spark, sf, "documents"))
+        val batchSh = docs.filter(col("doc_id") % 5 === 4)
+          .withColumn("__sh", array_distinct(graft.ops.TextOps.shingles(col("text"), 5)))
+          .select(col("doc_id").as("b"), size(col("__sh")).as("nb"),
+            explode(col("__sh")).as("shingle"))
+        val inter = batchSh.join(histIdx, Seq("shingle"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("inter"), max(col("na")).as("na"), max(col("nb")).as("nb"))
+        val table = s"stream_if_${counter.incrementAndGet()}"
+        withStatePartitions(spark, 8) {
+          val q = inter.writeStream.format("memory").queryName(table)
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          try q.awaitTermination() finally q.stop()
+        }
+        spark.table(table)
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("jaccard"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+             |idx AS (SELECT doc_id, unnest(range(len(t)-4)) i, t FROM toks WHERE len(t) >= 5),
+             |sh0 AS (SELECT doc_id, list_aggregate(t[i+1:i+5], 'string_agg', ' ') s FROM idx),
+             |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+             |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT h.doc_id a, b.doc_id b, COUNT(*) inter
+             |  FROM sh h JOIN sh b ON h.s = b.s
+             |  WHERE h.doc_id % 5 <> 4 AND b.doc_id % 5 = 4
+             |  GROUP BY 1, 2)
+             |SELECT a, b, CAST(inter AS BIGINT) AS inter,
+             |  CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+             |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+             |FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+             |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+             |ORDER BY a, b""".stripMargin)),
+
     // Stream-stream interval join with event-time bounds + watermarks
     // (the streaming twin of the batch q_range_join, same oracle): error
     // events joined to signups they trail within 15 min. Spark refuses a
