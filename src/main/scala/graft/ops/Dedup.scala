@@ -696,9 +696,25 @@ object Dedup {
     * result equals the plain cross-side join restriction of
     * [[ngramJaccardPairs]].
     *
+    * `expectedKeys` sizes the Bloom filter for the batch's DISTINCT
+    * SHINGLE count — two to three orders of magnitude above the batch's
+    * document count (an undersized filter saturates and the history
+    * prefilter silently passes everything; correctness survives the
+    * exact verify, the scale property doesn't). The default budgets
+    * 10 M keys ≈ 12 MB at fpp 0.01 — broadcast-friendly.
+    *
     * The history-side distinct-shingle counts (`na`, needed for the
-    * exact union size) partial-aggregate map-side — the shuffle
-    * carries (doc, count) rows, never history shingles.
+    * exact union size) are the one term the Bloom filter cannot prune
+    * — a per-doc DISTINCT count needs every history shingle once, so
+    * the fallback aggregation here shuffles the history shingle table.
+    * At the 100 TB design point pass `precomputedHistSizes`
+    * ((idCol, na) — per-doc distinct-shingle counts, natural ingest
+    * metadata maintained alongside the corpus) and the history-side
+    * cost drops to the bloom-probed scan the nightly loop wants. The
+    * batch shingle table is persisted — it is read by the filter
+    * build, the probe side, and the `nb` aggregate, and it is
+    * increment-sized (the [[ngramJaccardPairs]] fallback precedent),
+    * not corpus-sized.
     *
     * Output: (a, b, inter, na, nb, jaccard) — `a` from history, `b`
     * from the batch.
@@ -706,9 +722,10 @@ object Dedup {
   def incrementalNearDups(
       history: DataFrame, batch: DataFrame, textCol: String, idCol: String,
       k: Int = 5, minJaccard: Double = 0.8,
-      expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+      expectedKeys: Long = 10000000L, fpp: Double = 0.01,
+      precomputedHistSizes: Option[DataFrame] = None): DataFrame = {
     val hSh = shingleTable(history, textCol, idCol, k)
-    val bSh = shingleTable(batch, textCol, idCol, k)
+    val bSh = shingleTable(batch, textCol, idCol, k).persist()
     val hKeyed = hSh.select(col(idCol).as("a"), col("shingle").as("shingle_h"),
       xxhash64(col("shingle")).as("shk"))
     val bKeyed = bSh.select(col(idCol).as("b"), col("shingle"),
@@ -716,9 +733,10 @@ object Dedup {
     val inter = Joins.bloomPrefilteredJoin(hKeyed, bKeyed, "shk", expectedKeys, fpp)
       .filter(col("shingle_h") === col("shingle")) // kill 64-bit hash collisions
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    val histSizes = precomputedHistSizes.getOrElse(
+      hSh.groupBy(col(idCol)).agg(count(lit(1)).as("na")))
     inter
-      .join(hSh.groupBy(col(idCol)).agg(count(lit(1)).as("na"))
-        .select(col(idCol).as("a"), col("na")), Seq("a"))
+      .join(histSizes.select(col(idCol).as("a"), col("na")), Seq("a"))
       .join(bSh.groupBy(col(idCol)).agg(count(lit(1)).as("nb"))
         .select(col(idCol).as("b"), col("nb")), Seq("b"))
       .withColumn("jaccard",

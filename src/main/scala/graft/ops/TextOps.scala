@@ -345,9 +345,13 @@ object TextOps {
     * scales with the KEPT prefix, not the corpus. Batch-only (a global
     * order needs the whole corpus; rides `.rdd` like [[trainOrder]]).
     *
-    * Null weights count as 0; weights must be non-negative (token
-    * counts are) — a negative weight would break the monotone
-    * early-stop. Callers supply a non-null `score`.
+    * `score` is used AS GIVEN, any orderable type — a fractional
+    * classifier probability keeps its full precision in the order (no
+    * silent integer quantization; [[trainOrder]]'s long cast is a
+    * deliberate bucket, this is a rank). Null weights count as 0;
+    * weights must be non-negative (token counts are) — a negative
+    * weight would break the monotone early-stop. Callers supply a
+    * non-null `score`.
     * Output: (idCol, score, n_tokens, cum_tokens), cum_tokens ≤ budget.
     */
   def budgetSelect(
@@ -358,7 +362,7 @@ object TextOps {
     val spark = df.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val keyed = df.select(col(idCol), score.cast("long").as("score"),
+    val keyed = df.select(col(idCol), score.as("score"),
       coalesce(weight.cast("long"), lit(0L)).as("n_tokens"),
       md5(concat(col(idCol).cast("string"), lit(salt))).as("_ord"))
     val ordered = keyed

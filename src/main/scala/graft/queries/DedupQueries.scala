@@ -730,21 +730,6 @@ object DedupQueries {
             "text", "doc_id", k = 5, minJaccard = 0.8, expectedKeys = 100000L)
           .orderBy(col("a"), col("b"))
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
-             |idx AS (SELECT doc_id, unnest(range(len(t)-4)) i, t FROM toks WHERE len(t) >= 5),
-             |sh0 AS (SELECT doc_id, list_aggregate(t[i+1:i+5], 'string_agg', ' ') s FROM idx),
-             |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
-             |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
-             |inter AS (
-             |  SELECT h.doc_id a, b.doc_id b, COUNT(*) inter
-             |  FROM sh h JOIN sh b ON h.s = b.s
-             |  WHERE h.doc_id % 5 <> 4 AND b.doc_id % 5 = 4
-             |  GROUP BY 1, 2)
-             |SELECT a, b, CAST(inter AS BIGINT) AS inter,
-             |  CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
-             |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
-             |FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
-             |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
-             |ORDER BY a, b""".stripMargin)),
+      Some(Shared.IncrementalFuzzyOracle)),
   )
 }

@@ -55,6 +55,32 @@ object Shared {
       |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
       |GROUP BY tok ORDER BY exact_cnt DESC, tok LIMIT 20""".stripMargin
 
+  // ---- incremental near-dup (dedup_incremental_fuzzy /
+  //      stream_incremental_fuzzy) ------------------------------------
+
+  /** One oracle for both incremental near-dup twins: the cross-side
+    * restriction (history = doc_id%5≠4, batch = %5=4) of the symmetric
+    * 5-shingle τ≥0.8 Jaccard pair join — the twins must stay
+    * result-identical, so the threshold/shingle width live here once.
+    */
+  val IncrementalFuzzyOracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+      |idx AS (SELECT doc_id, unnest(range(len(t)-4)) i, t FROM toks WHERE len(t) >= 5),
+      |sh0 AS (SELECT doc_id, list_aggregate(t[i+1:i+5], 'string_agg', ' ') s FROM idx),
+      |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT h.doc_id a, b.doc_id b, COUNT(*) inter
+      |  FROM sh h JOIN sh b ON h.s = b.s
+      |  WHERE h.doc_id % 5 <> 4 AND b.doc_id % 5 = 4
+      |  GROUP BY 1, 2)
+      |SELECT a, b, CAST(inter AS BIGINT) AS inter,
+      |  CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+      |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+      |ORDER BY a, b""".stripMargin
+
   // ---- CDC scenario (etl_cdc_apply / stream_cdc_apply) ----------------
 
   /** The CDC fixture both twins apply: snapshot = custkey%3==0; log =

@@ -319,7 +319,7 @@ object StreamingQueries {
           .parquet(stagedDir(spark, sf, "documents"))
         val batchSh = docs.filter(col("doc_id") % 5 === 4)
           .withColumn("__sh", array_distinct(graft.ops.TextOps.shingles(col("text"), 5)))
-          .select(col("doc_id").as("b"), size(col("__sh")).as("nb"),
+          .select(col("doc_id").as("b"), size(col("__sh")).cast("long").as("nb"),
             explode(col("__sh")).as("shingle"))
         val inter = batchSh.join(histIdx, Seq("shingle"))
           .groupBy(col("a"), col("b"))
@@ -337,22 +337,7 @@ object StreamingQueries {
           .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("jaccard"))
           .orderBy(col("a"), col("b"))
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
-             |idx AS (SELECT doc_id, unnest(range(len(t)-4)) i, t FROM toks WHERE len(t) >= 5),
-             |sh0 AS (SELECT doc_id, list_aggregate(t[i+1:i+5], 'string_agg', ' ') s FROM idx),
-             |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
-             |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
-             |inter AS (
-             |  SELECT h.doc_id a, b.doc_id b, COUNT(*) inter
-             |  FROM sh h JOIN sh b ON h.s = b.s
-             |  WHERE h.doc_id % 5 <> 4 AND b.doc_id % 5 = 4
-             |  GROUP BY 1, 2)
-             |SELECT a, b, CAST(inter AS BIGINT) AS inter,
-             |  CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
-             |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
-             |FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
-             |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
-             |ORDER BY a, b""".stripMargin)),
+      Some(Shared.IncrementalFuzzyOracle)),
 
     // Stream-stream interval join with event-time bounds + watermarks
     // (the streaming twin of the batch q_range_join, same oracle): error

@@ -734,7 +734,7 @@ object TextQueries {
     QueryDef("text_budget_select",
       (spark, sf) => TextOps.budgetSelect(
           load(spark, sf, "documents"), "doc_id",
-          score = size(array_distinct(split(col("text"), " "))),
+          score = size(array_distinct(split(col("text"), " "))).cast("long"),
           weight = TextOps.tokenCount(col("text")),
           budget = 20000L, salt = "bud9")
         .orderBy(col("doc_id")),
