@@ -332,6 +332,35 @@ object Relational {
       bench = true),
 
     // Sessionization: lag-gap > 30 min starts a new session per user.
+    // Forward-fill / gap-fill (last_value IGNORE NULLS): sparse
+    // sensor-style readings (value observed only on 'purchase' events)
+    // carried forward per user in event-time order — the SAME-stream
+    // fill the as-of join family doesn't cover (that's a cross-stream
+    // lookup). Integer cents keep the filled reading engine-exact; one
+    // window = one hash exchange on user_id, no global sort — at 100 TB
+    // this is embarrassingly parallel per user key.
+    QueryDef("q_gap_fill",
+      (spark, sf) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        load(spark, sf, "events")
+          .withColumn("reading_cents",
+            when(col("event_type") === "purchase", Shared.cents(col("value"))))
+          .select(col("event_id"), col("user_id"), col("reading_cents"),
+            last(col("reading_cents"), ignoreNulls = true).over(w).as("filled_cents"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH r AS (
+             |  SELECT event_id, user_id, ts,
+             |    CASE WHEN event_type = 'purchase'
+             |      THEN CAST(ROUND(value*100) AS BIGINT) END AS reading_cents
+             |  FROM events)
+             |SELECT event_id, user_id, reading_cents,
+             |  LAST_VALUE(reading_cents IGNORE NULLS) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+             |FROM r ORDER BY event_id""".stripMargin)),
+
     QueryDef("q_sessionize",
       (spark, sf) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

@@ -81,6 +81,7 @@ class PlanAudit extends SparkSpec {
     "text_mix_epochs" -> 2,      // pure scan-speed CASE + explode; orderBy only
     "text_train_order" -> 3,     // ONE range exchange for the total order
     // (zipWithIndex adds no shuffle) + final orderBy
+    "q_gap_fill" -> 3,           // ONE user_id window exchange + orderBy
     "text_budget_select" -> 3,   // ONE range exchange for the total order
     // (prefix-sum passes add no shuffle) + final orderBy
     "corpus_split_leakproof" -> 60) // docs ⋈ label map + the leak-gate's two
