@@ -393,6 +393,125 @@ object Relational {
              |  MAX(n_events) AS max_session_events
              |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Conversion funnel (signup → view → click → purchase, in event-time
+    // order per user). The classic formulation is a per-stage self-join
+    // (one shuffle PER stage); here running window flags compute
+    // "reached stage k by this row" in ONE hash exchange on user_id —
+    // the four same-spec window passes chain on each other's flag but
+    // share the single partition sort, the per-user reduce reuses the
+    // window's partitioning, and only the final one-row stage report
+    // crosses the wire. Linear in events at 100 TB, no stage joins.
+    QueryDef("q_funnel",
+      (spark, sf) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        def reached(t: String, prevFlag: Option[String]) = {
+          val cond = prevFlag
+            .map(p => col("event_type") === t && col(p) === 1)
+            .getOrElse(col("event_type") === t)
+          max(when(cond, 1).otherwise(0)).over(w)
+        }
+        load(spark, sf, "events")
+          .withColumn("f1", reached("signup", None))
+          .withColumn("f2", reached("view", Some("f1")))
+          .withColumn("f3", reached("click", Some("f2")))
+          .withColumn("f4", reached("purchase", Some("f3")))
+          .groupBy(col("user_id"))
+          .agg(max("f1").as("u1"), max("f2").as("u2"),
+            max("f3").as("u3"), max("f4").as("u4"))
+          .agg(sum("u1").as("users_signup"), sum("u2").as("users_view"),
+            sum("u3").as("users_click"), sum("u4").as("users_purchase"))
+      },
+      Some("""WITH f1 AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER w AS f1
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |f2 AS (
+             |  SELECT *, MAX(CASE WHEN event_type = 'view' AND f1 = 1 THEN 1 ELSE 0 END) OVER w AS f2
+             |  FROM f1
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |f3 AS (
+             |  SELECT *, MAX(CASE WHEN event_type = 'click' AND f2 = 1 THEN 1 ELSE 0 END) OVER w AS f3
+             |  FROM f2
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |f4 AS (
+             |  SELECT *, MAX(CASE WHEN event_type = 'purchase' AND f3 = 1 THEN 1 ELSE 0 END) OVER w AS f4
+             |  FROM f3
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |pu AS (
+             |  SELECT user_id, MAX(f1) u1, MAX(f2) u2, MAX(f3) u3, MAX(f4) u4
+             |  FROM f4 GROUP BY user_id)
+             |SELECT CAST(SUM(u1) AS BIGINT) AS users_signup,
+             |  CAST(SUM(u2) AS BIGINT) AS users_view,
+             |  CAST(SUM(u3) AS BIGINT) AS users_click,
+             |  CAST(SUM(u4) AS BIGINT) AS users_purchase
+             |FROM pu""".stripMargin)),
+
+    // Cohort retention: cohort = integer week of a user's FIRST activity
+    // (week index is pure date arithmetic off a fixed epoch — identical
+    // in both engines, no locale-dependent week truncation); a cell
+    // (cohort_week, week_offset) counts users from that cohort active
+    // offset weeks later. Two key-local shuffles: (user, week) distinct
+    // → per-user min (same user_id partitioning, join co-located) →
+    // cohort-cell agg. No window, no self-join — at 100 TB the distinct
+    // is the only pass over raw events.
+    QueryDef("q_cohort_retention",
+      (spark, sf) => {
+        val weeks = load(spark, sf, "events")
+          .select(col("user_id"),
+            floor(datediff(col("ts").cast("date"),
+              lit("2024-01-01").cast("date")) / 7).as("week"))
+          .distinct()
+        val cohorts = weeks.groupBy(col("user_id"))
+          .agg(min(col("week")).as("cohort_week"))
+        weeks.join(cohorts, "user_id")
+          .groupBy(col("cohort_week"),
+            (col("week") - col("cohort_week")).as("week_offset"))
+          .agg(count(lit(1)).as("active_users")) // (user, week) already distinct
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""WITH weeks AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(FLOOR(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week
+             |  FROM events),
+             |cohorts AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY 1)
+             |SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+             |  COUNT(*) AS active_users
+             |FROM weeks w JOIN cohorts c USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Market-basket pair mining: parts co-purchased in the same order,
+    // kept at support ≥ 2. The per-order self-join is the textbook
+    // candidate generator and is scale-safe HERE because its blow-up is
+    // bounded by basket size (≤ 7 items/order in this corpus → ≤ 21
+    // pairs/order), not by corpus size: one co-partitioned shuffle on
+    // l_orderkey, then a pair-key agg. For corpora with pathological
+    // baskets the df-cut precedent applies (cap basket size before
+    // pairing); the support filter itself can't push below the agg.
+    QueryDef("q_basket_pairs",
+      (spark, sf) => {
+        val items = load(spark, sf, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        items.as("a").join(items.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .orderBy(desc("support"), col("p1"), col("p2"))
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+             |SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS support
+             |FROM items a JOIN items b
+             |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+             |ORDER BY support DESC, p1, p2""".stripMargin)),
+
     // CUBE grouping sets over two dimensions.
     QueryDef("q_cube",
       (spark, sf) => {

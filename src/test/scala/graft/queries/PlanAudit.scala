@@ -82,6 +82,13 @@ class PlanAudit extends SparkSpec {
     "text_train_order" -> 3,     // ONE range exchange for the total order
     // (zipWithIndex adds no shuffle) + final orderBy
     "q_gap_fill" -> 3,           // ONE user_id window exchange + orderBy
+    "q_funnel" -> 4,             // ONE user_id window exchange (4 chained
+    // same-spec flag passes share it; per-user reduce reuses it) + the
+    // one-row stage report
+    "q_cohort_retention" -> 7,   // (user,week) distinct + per-user min +
+    // co-located join + cohort-cell agg + orderBy
+    "q_basket_pairs" -> 7,       // item distinct + co-partitioned order
+    // self-join + pair agg + orderBy
     "text_budget_select" -> 3,   // ONE range exchange for the total order
     // (prefix-sum passes add no shuffle) + final orderBy
     "corpus_split_leakproof" -> 60) // docs ⋈ label map + the leak-gate's two
