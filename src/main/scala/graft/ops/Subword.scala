@@ -218,4 +218,82 @@ object Subword {
     ("e", "n"), ("o", "n"), ("o", "u"), ("a", "r"), ("in", "g"),
     ("s", "p"), ("sp", "ar"), ("spar", "k"), ("t", "a"), ("ta", "b"),
     ("l", "e"), ("tab", "le"), ("q", "u"), ("qu", "er"), ("quer", "y"))
+
+  // --------------------------------------------------------------------
+  // Unigram language-model tokenizer (Kudo 2018, public algorithm) —
+  // the third major subword family next to BPE and WordPiece: pieces
+  // carry -log-probabilities and a word's tokenization is the MIN-COST
+  // segmentation (Viterbi), not a greedy or merge-ordered one.
+  // --------------------------------------------------------------------
+
+  /** Derive a unigram piece vocabulary with integer micro-unit costs
+    * from a distinct-word frequency table: count every substring of
+    * length 1..`maxPieceLen` weighted by word frequency (one map-side-
+    * combined aggregation over the word table — the corpus itself is
+    * never rescanned, the same Heaps'-law budget as [[bpeTrain]]), keep
+    * ALL single characters (segmentation stays total) plus the
+    * `topMulti` heaviest multi-character pieces under a total
+    * deterministic order (count DESC, piece ASC), and price each kept
+    * piece at `round(-ln(count/total) * 1e6)` — integer micro-costs so
+    * DP sums compare exactly in both engines. Only the bounded vocab
+    * (charset + topMulti rows) reaches the driver.
+    */
+  def unigramVocabCosts(
+      wordFreq: DataFrame, maxPieceLen: Int, topMulti: Int): Seq[(String, Long)] = {
+    val pieces = wordFreq
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("word"), col("freq"), col("i"),
+        explode(sequence(lit(1), lit(maxPieceLen))).as("l"))
+      .filter(col("i") + col("l") - lit(1) <= length(col("word")))
+      .select(expr("substr(word, i, l)").as("piece"), col("freq"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+    val chars = pieces.filter(length(col("piece")) === 1)
+      .orderBy(col("piece"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val multi = pieces.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece")).limit(topMulti)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val kept = chars ++ multi
+    val total = kept.map(_._2).sum.toDouble
+    kept.toSeq.map { case (p, c) =>
+      p -> math.round(-math.log(c.toDouble / total) * 1e6)
+    }
+  }
+
+  /** Min-cost (Viterbi) segmentation of one word under micro-unit piece
+    * costs: `dp[j]` = cheapest way to cover the first `j` characters.
+    * Ties on cost break to FEWER pieces, making the optimum value pair
+    * unique so a SQL path-enumeration oracle reproduces it exactly.
+    * Returns (total cost, piece count); single characters in the vocab
+    * guarantee feasibility.
+    */
+  def viterbiSegment(
+      word: String, costs: Map[String, Long], maxPieceLen: Int): (Long, Int) = {
+    val n = word.length
+    val Inf = Long.MaxValue
+    val dpCost = Array.fill(n + 1)(Inf)
+    val dpPieces = Array.fill(n + 1)(Int.MaxValue)
+    dpCost(0) = 0L
+    dpPieces(0) = 0
+    var j = 1
+    while (j <= n) {
+      var l = 1
+      while (l <= math.min(maxPieceLen, j)) {
+        if (dpCost(j - l) != Inf) {
+          costs.get(word.substring(j - l, j)).foreach { c =>
+            val nc = dpCost(j - l) + c
+            val np = dpPieces(j - l) + 1
+            if (nc < dpCost(j) || (nc == dpCost(j) && np < dpPieces(j))) {
+              dpCost(j) = nc
+              dpPieces(j) = np
+            }
+          }
+        }
+        l += 1
+      }
+      j += 1
+    }
+    (dpCost(n), dpPieces(n))
+  }
 }

@@ -89,6 +89,8 @@ class PlanAudit extends SparkSpec {
     // co-located join + cohort-cell agg + orderBy
     "q_basket_pairs" -> 7,       // item distinct + co-partitioned order
     // self-join + pair agg + orderBy
+    "text_unigram_viterbi" -> 5, // word-freq agg (DP pass reuses its
+    // partitioning, segmented words broadcast back) + doc agg + orderBy
     "text_budget_select" -> 3,   // ONE range exchange for the total order
     // (prefix-sum passes add no shuffle) + final orderBy
     "corpus_split_leakproof" -> 60) // docs ⋈ label map + the leak-gate's two
