@@ -81,6 +81,60 @@ object Shared {
       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
       |ORDER BY a, b""".stripMargin
 
+  // ---- unigram-LM Viterbi tokenizer (text_unigram_viterbi /
+  //      stream_unigram_encode) ----------------------------------------
+
+  /** One oracle for both unigram-tokenizer twins: derive the vocab
+    * (all single chars + top-16 multi-char substrings ≤ 4 by count
+    * DESC, piece ASC) with micro-unit -ln(count/total) costs, then
+    * replay the min-cost DP by recursive path enumeration with the
+    * same (cost, then fewer-pieces) lexicographic tie-break. The twins
+    * must stay result-identical, so the vocab parameters live here
+    * once.
+    */
+  val UnigramViterbiOracle: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tw AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+      |wf AS (SELECT word, COUNT(*) AS freq FROM tw GROUP BY 1),
+      |pos AS (SELECT word, freq, unnest(range(1, len(word) + 1)) AS i FROM wf),
+      |pl AS (SELECT word, freq, i, unnest([1, 2, 3, 4]) AS l FROM pos),
+      |pieces AS (
+      |  SELECT substr(word, i, l) AS piece, SUM(freq) AS cnt
+      |  FROM pl WHERE i + l - 1 <= len(word) GROUP BY 1),
+      |vocab AS (
+      |  SELECT piece, cnt FROM pieces WHERE len(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, cnt FROM (
+      |    SELECT piece, cnt FROM pieces WHERE len(piece) > 1
+      |    ORDER BY cnt DESC, piece LIMIT 16)),
+      |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM vocab),
+      |vc AS (
+      |  SELECT piece,
+      |    CAST(ROUND(-LN(CAST(cnt AS DOUBLE) / (SELECT t FROM tot)) * 1000000) AS BIGINT) AS cost
+      |  FROM vocab),
+      |dw AS (SELECT DISTINCT word FROM wf),
+      |p(word, pos, cost, np) AS (
+      |  SELECT word, 0, CAST(0 AS BIGINT), 0 FROM dw
+      |  UNION ALL
+      |  SELECT p.word, p.pos + len(v.piece), p.cost + v.cost, p.np + 1
+      |  FROM p JOIN vc v
+      |    ON substr(p.word, p.pos + 1, len(v.piece)) = v.piece
+      |  WHERE p.pos < len(p.word)),
+      |bestc AS (
+      |  SELECT word, MIN(cost) AS w_cost FROM p
+      |  WHERE pos = len(word) GROUP BY 1),
+      |best AS (
+      |  SELECT p.word, b.w_cost, MIN(p.np) AS w_pieces
+      |  FROM p JOIN bestc b
+      |    ON p.word = b.word AND p.pos = len(p.word) AND p.cost = b.w_cost
+      |  GROUP BY 1, 2)
+      |SELECT t.doc_id,
+      |  CAST(SUM(b.w_pieces) AS BIGINT) AS n_pieces,
+      |  CAST(SUM(b.w_cost) AS BIGINT) AS cost_micro
+      |FROM tw t JOIN best b USING (word)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- CDC scenario (etl_cdc_apply / stream_cdc_apply) ----------------
 
   /** The CDC fixture both twins apply: snapshot = custkey%3==0; log =

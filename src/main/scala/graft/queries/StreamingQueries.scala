@@ -610,6 +610,47 @@ object StreamingQueries {
            |FROM enc GROUP BY piece ORDER BY piece""".stripMargin
       }),
 
+    // Streaming unigram-LM encode: the text_unigram_viterbi tokenizer
+    // at ingest. Piece costs come from the STATIC reference corpus (the
+    // batch vocab builder — bounded driver collect, same budget as
+    // bpeTrain) and are broadcast once; each micro-batch row then
+    // segments through the identical typed Viterbi pass — per
+    // OCCURRENCE here rather than per distinct word, which sums
+    // identically because the DP is a pure function of the word.
+    // Complete-mode per-doc totals; oracle = the batch twin's
+    // (stream/batch parity, Shared.UnigramViterbiOracle).
+    QueryDef("stream_unigram_encode",
+      (spark, sf) => {
+        import spark.implicits._
+        val schema = spark.read.parquet(path(sf, "documents")).schema
+        val wf = spark.read.parquet(path(sf, "documents"))
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        val costs = graft.ops.Subword.unigramVocabCosts(wf, maxPieceLen = 4, topMulti = 16)
+        val bCosts = spark.sparkContext.broadcast(costs.toMap)
+        val docs = spark.readStream.schema(schema)
+          .parquet(stagedDir(spark, sf, "documents"))
+        val seg = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .as[(Long, String)]
+          .map { case (id, w) =>
+            val (c, n) = graft.ops.Subword.viterbiSegment(w, bCosts.value, maxPieceLen = 4)
+            (id, c, n.toLong)
+          }
+          .toDF("doc_id", "w_cost", "w_pieces")
+        val agg = seg.groupBy(col("doc_id"))
+          .agg(sum(col("w_pieces")).as("n_pieces"),
+            sum(col("w_cost")).as("cost_micro"))
+        val table = s"stream_unigram_${counter.incrementAndGet()}"
+        val q = agg.writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        spark.table(table).orderBy(col("doc_id"))
+      },
+      Some(Shared.UnigramViterbiOracle)),
+
     // Streaming OOV monitoring: the text_oov_rate report computed as
     // data arrives — a static top-V vocabulary (driver-bounded, built
     // once from the reference corpus) broadcast into each micro-batch,
