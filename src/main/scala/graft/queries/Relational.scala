@@ -512,6 +512,102 @@ object Relational {
              |GROUP BY 1, 2 HAVING COUNT(*) >= 2
              |ORDER BY support DESC, p1, p2""".stripMargin)),
 
+    // Triangle counting on the co-purchase graph (edges = q_basket_pairs'
+    // support ≥ 2 pairs), per-vertex. Degree-ordered orientation — every
+    // edge directed from its lower-(degree, id) endpoint — makes each
+    // triangle enumerable exactly once from its unique apex AND bounds
+    // the wedge blow-up to O(m^1.5) regardless of hub skew (a raw
+    // id-ordered orientation lets one celebrity vertex emit deg²
+    // wedges; degree ordering is the standard fix and THE reason this
+    // survives a 100 TB power-law graph). Three hash joins, no window,
+    // no cartesian.
+    QueryDef("q_triangle_count",
+      (spark, sf) => {
+        val items = load(spark, sf, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val e = items.as("a").join(items.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .select(col("p1"), col("p2"))
+        val deg = e.select(col("p1").as("part"))
+          .unionAll(e.select(col("p2").as("part")))
+          .groupBy(col("part")).agg(count(lit(1)).as("d"))
+        val lower = col("d1.d") < col("d2.d") ||
+          (col("d1.d") === col("d2.d") && col("p1") < col("p2"))
+        val o = e
+          .join(deg.as("d1"), col("p1") === col("d1.part"))
+          .join(deg.as("d2"), col("p2") === col("d2.part"))
+          .select(
+            when(lower, col("p1")).otherwise(col("p2")).as("u"),
+            when(lower, col("p2")).otherwise(col("p1")).as("v"),
+            when(lower, col("d2.d")).otherwise(col("d1.d")).as("dv"))
+        val w = o.as("o1").join(o.as("o2"),
+            col("o1.u") === col("o2.u") &&
+              (col("o1.dv") < col("o2.dv") ||
+                (col("o1.dv") === col("o2.dv") && col("o1.v") < col("o2.v"))))
+          .select(col("o1.u").as("tu"), col("o1.v").as("ta"), col("o2.v").as("tb"))
+        val tri = w.join(o.as("o3"),
+          col("ta") === col("o3.u") && col("tb") === col("o3.v"))
+        tri.select(explode(array(col("tu"), col("ta"), col("tb"))).as("part"))
+          .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
+          .orderBy(col("part"))
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (
+             |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+             |  FROM items a JOIN items b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |deg AS (
+             |  SELECT part, COUNT(*) AS d FROM (
+             |    SELECT p1 AS part FROM e UNION ALL SELECT p2 FROM e)
+             |  GROUP BY 1),
+             |o AS (
+             |  SELECT
+             |    CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.p1 < e.p2)
+             |      THEN e.p1 ELSE e.p2 END AS u,
+             |    CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.p1 < e.p2)
+             |      THEN e.p2 ELSE e.p1 END AS v,
+             |    CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.p1 < e.p2)
+             |      THEN d2.d ELSE d1.d END AS dv
+             |  FROM e JOIN deg d1 ON e.p1 = d1.part JOIN deg d2 ON e.p2 = d2.part),
+             |w AS (
+             |  SELECT o1.u, o1.v AS a, o2.v AS b
+             |  FROM o o1 JOIN o o2 ON o1.u = o2.u
+             |  WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)),
+             |tri AS (
+             |  SELECT w.u, w.a, w.b FROM w JOIN o ON o.u = w.a AND o.v = w.b)
+             |SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+             |  SELECT u AS part FROM tri
+             |  UNION ALL SELECT a FROM tri
+             |  UNION ALL SELECT b FROM tri)
+             |GROUP BY 1 ORDER BY part""".stripMargin)),
+
+    // Per-user behavioral transition matrix (first-order Markov counts):
+    // lag(event_type) in event-time order per user, then one global
+    // (prev, cur) aggregation — one user_id window exchange + one
+    // 25-cell agg, linear in events at any scale.
+    QueryDef("q_event_transitions",
+      (spark, sf) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        load(spark, sf, "events")
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("cur_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("prev_type"), col("cur_type"))
+      },
+      Some("""WITH t AS (
+             |  SELECT user_id, event_type,
+             |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             |  FROM events)
+             |SELECT prev_type, event_type AS cur_type, COUNT(*) AS n
+             |FROM t WHERE prev_type IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // CUBE grouping sets over two dimensions.
     QueryDef("q_cube",
       (spark, sf) => {

@@ -91,6 +91,13 @@ class PlanAudit extends SparkSpec {
     // self-join + pair agg + orderBy
     "text_unigram_viterbi" -> 5, // word-freq agg (DP pass reuses its
     // partitioning, segmented words broadcast back) + doc agg + orderBy
+    "q_triangle_count" -> 85,    // the oriented edge list's lineage
+    // (item distinct + pair agg + degree joins) prints once per textual
+    // reference — the wedge self-join + closing join reference it 3×
+    // (measured 78); at RUNTIME AQE collapses the identical subtrees
+    // (measured 10 ReusedExchange in the post-execution plan)
+    "q_event_transitions" -> 4,  // ONE user_id window exchange + the
+    // 25-cell transition agg + orderBy
     "text_budget_select" -> 3,   // ONE range exchange for the total order
     // (prefix-sum passes add no shuffle) + final orderBy
     "corpus_split_leakproof" -> 60) // docs ⋈ label map + the leak-gate's two
