@@ -422,35 +422,7 @@ object Relational {
           .agg(sum("u1").as("users_signup"), sum("u2").as("users_view"),
             sum("u3").as("users_click"), sum("u4").as("users_purchase"))
       },
-      Some("""WITH f1 AS (
-             |  SELECT user_id, ts, event_id, event_type,
-             |    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER w AS f1
-             |  FROM events
-             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-             |f2 AS (
-             |  SELECT *, MAX(CASE WHEN event_type = 'view' AND f1 = 1 THEN 1 ELSE 0 END) OVER w AS f2
-             |  FROM f1
-             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-             |f3 AS (
-             |  SELECT *, MAX(CASE WHEN event_type = 'click' AND f2 = 1 THEN 1 ELSE 0 END) OVER w AS f3
-             |  FROM f2
-             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-             |f4 AS (
-             |  SELECT *, MAX(CASE WHEN event_type = 'purchase' AND f3 = 1 THEN 1 ELSE 0 END) OVER w AS f4
-             |  FROM f3
-             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-             |pu AS (
-             |  SELECT user_id, MAX(f1) u1, MAX(f2) u2, MAX(f3) u3, MAX(f4) u4
-             |  FROM f4 GROUP BY user_id)
-             |SELECT CAST(SUM(u1) AS BIGINT) AS users_signup,
-             |  CAST(SUM(u2) AS BIGINT) AS users_view,
-             |  CAST(SUM(u3) AS BIGINT) AS users_click,
-             |  CAST(SUM(u4) AS BIGINT) AS users_purchase
-             |FROM pu""".stripMargin)),
+      Some(Shared.FunnelOracle)),
 
     // Cohort retention: cohort = integer week of a user's FIRST activity
     // (week index is pure date arithmetic off a fixed epoch — identical

@@ -81,6 +81,45 @@ object Shared {
       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
       |ORDER BY a, b""".stripMargin
 
+  // ---- ordered conversion funnel (q_funnel / stream_funnel) ----------
+
+  /** One oracle for both funnel twins: chained running window flags
+    * (stage k counts only at or after the first stage-k-1 event in
+    * (ts, event_id) order), per-user max, one-row stage totals. The
+    * stage list and ordering semantics live here once so the batch
+    * window form and the streaming state machine cannot drift apart.
+    */
+  val FunnelOracle: String =
+    """WITH f1 AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER w AS f1
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |f2 AS (
+      |  SELECT *, MAX(CASE WHEN event_type = 'view' AND f1 = 1 THEN 1 ELSE 0 END) OVER w AS f2
+      |  FROM f1
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |f3 AS (
+      |  SELECT *, MAX(CASE WHEN event_type = 'click' AND f2 = 1 THEN 1 ELSE 0 END) OVER w AS f3
+      |  FROM f2
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |f4 AS (
+      |  SELECT *, MAX(CASE WHEN event_type = 'purchase' AND f3 = 1 THEN 1 ELSE 0 END) OVER w AS f4
+      |  FROM f3
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |pu AS (
+      |  SELECT user_id, MAX(f1) u1, MAX(f2) u2, MAX(f3) u3, MAX(f4) u4
+      |  FROM f4 GROUP BY user_id)
+      |SELECT CAST(SUM(u1) AS BIGINT) AS users_signup,
+      |  CAST(SUM(u2) AS BIGINT) AS users_view,
+      |  CAST(SUM(u3) AS BIGINT) AS users_click,
+      |  CAST(SUM(u4) AS BIGINT) AS users_purchase
+      |FROM pu""".stripMargin
+
   // ---- unigram-LM Viterbi tokenizer (text_unigram_viterbi /
   //      stream_unigram_encode) ----------------------------------------
 

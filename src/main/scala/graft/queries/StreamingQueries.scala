@@ -610,6 +610,65 @@ object StreamingQueries {
            |FROM enc GROUP BY piece ORDER BY piece""".stripMargin
       }),
 
+    // Streaming ordered funnel: q_funnel's stage report computed at
+    // ingest by the FunnelProcessor state machine — four monotone
+    // booleans per user in RocksDB (O(active users) state, no timers:
+    // nothing ever closes). The processor re-emits a key's current
+    // flags each batch; the batch-side max-per-user before the stage
+    // totals is exact for any emission count. Oracle = the batch
+    // twin's (Shared.FunnelOracle — stream/batch parity).
+    QueryDef("stream_funnel",
+      (spark, sf) => {
+        import org.apache.spark.sql.types.LongType
+        val schema = spark.read.parquet(path(sf, "events")).schema
+        val isLong = schema("ts").dataType == LongType
+        def fixTs(df: DataFrame): DataFrame =
+          if (isLong) df.withColumn("ts", expr("timestamp_micros(ts div 1000)")) else df
+        val real = fixTs(spark.readStream.schema(schema)
+            .parquet(stagedDir(spark, sf, "events")))
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        val prevProvider = spark.conf
+          .getOption("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val flags = graft.streaming.StreamingIngest.funnelFlags(
+            real, "ts", "user_id", "event_id", "event_type",
+            Seq("signup", "view", "click", "purchase"))
+          val table = s"stream_funnel_${counter.incrementAndGet()}"
+          withStatePartitions(spark, 8) {
+            // transformWithState queries do not quiesce under
+            // awaitTermination (see StreamingSpec / stream_sessionize):
+            // run a short-period trigger and poll the sink until the
+            // batch lands and the row count is stable
+            val q = flags.toDF().writeStream.format("memory").queryName(table)
+              .outputMode("append").trigger(Trigger.ProcessingTime(100L)).start()
+            try {
+              val deadline = System.currentTimeMillis + 120000
+              var n = -1L
+              var stable = 0
+              while (stable < 2 && System.currentTimeMillis < deadline) {
+                Thread.sleep(150)
+                val c = spark.table(table).count()
+                if (c > 0 && c == n) stable += 1 else { stable = 0; n = c }
+              }
+            } finally q.stop()
+          }
+          spark.table(table)
+            .groupBy(col("userId"))
+            .agg(max(col("f1")).as("u1"), max(col("f2")).as("u2"),
+              max(col("f3")).as("u3"), max(col("f4")).as("u4"))
+            .agg(sum(col("u1")).cast("long").as("users_signup"),
+              sum(col("u2")).cast("long").as("users_view"),
+              sum(col("u3")).cast("long").as("users_click"),
+              sum(col("u4")).cast("long").as("users_purchase"))
+        } finally prevProvider match {
+          case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      },
+      Some(Shared.FunnelOracle)),
+
     // Streaming unigram-LM encode: the text_unigram_viterbi tokenizer
     // at ingest. Piece costs come from the STATIC reference corpus (the
     // batch vocab builder — bounded driver collect, same budget as

@@ -106,6 +106,85 @@ object StreamingIngest {
       } else Iterator.empty
   }
 
+  /** Per-user cumulative funnel flags (one per stage, `fk` = "reached
+    * stage k"). Emitted after every input batch for the key. */
+  final case class FunnelOut(userId: Long, f1: Int, f2: Int, f3: Int, f4: Int)
+
+  /** Internal per-key state (public: Spark encoders need an accessible
+    * constructor for the state serializer). */
+  final case class FunnelState(f1: Boolean, f2: Boolean, f3: Boolean, f4: Boolean)
+
+  /** Ordered-funnel state machine (stage k counts only after stage k-1
+    * was reached by an EARLIER event): the second per-key
+    * `StatefulProcessor` next to [[SessionProcessor]], and a simpler
+    * one — flags are MONOTONE, so there is nothing to close and no
+    * timer to register; the processor re-emits the key's current flags
+    * after each batch and a downstream max-per-key is exact however
+    * many times a key emits. State is four booleans per user — at
+    * 100 TB the store is O(active users), not O(events). Rows are
+    * event-time-sorted within each batch; cross-batch stragglers that
+    * arrive AFTER a later stage's event was processed are the
+    * documented approximation (exact late-data handling would buffer
+    * per key until a watermark — the sessionize sentinel pattern —
+    * which the gate's single-batch AvailableNow replay never needs).
+    */
+  final class FunnelProcessor(stages: Seq[String])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long, Long, String), FunnelOut] {
+    require(stages.length == 4, "FunnelState carries exactly four stages")
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var state: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[FunnelState]("funnel",
+        E.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[(Long, Long, Long, String)],
+        timerValues: TimerValues): Iterator[FunnelOut] = {
+      val s = if (state.exists()) state.get() else FunnelState(false, false, false, false)
+      val flags = Array(s.f1, s.f2, s.f3, s.f4)
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, tpe) =>
+        val i = stages.indexOf(tpe)
+        if (i == 0 || (i > 0 && flags(i - 1))) flags(i) = true
+      }
+      state.update(FunnelState(flags(0), flags(1), flags(2), flags(3)))
+      def b(x: Boolean) = if (x) 1 else 0
+      Iterator.single(FunnelOut(userId, b(flags(0)), b(flags(1)), b(flags(2)), b(flags(3))))
+    }
+
+    override def handleExpiredTimer(
+        userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[FunnelOut] =
+      Iterator.empty
+  }
+
+  /** Streaming ordered-funnel flags via the [[FunnelProcessor]].
+    * Requires the RocksDB state store, which `transformWithState`
+    * mandates. Events whose type is not a funnel stage are filtered
+    * before the shuffle — they cannot change any flag.
+    */
+  def funnelFlags(
+      events: DataFrame,
+      tsCol: String,
+      userCol: String,
+      eventIdCol: String,
+      typeCol: String,
+      stages: Seq[String]): Dataset[FunnelOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .filter(col(typeCol).isin(stages: _*))
+      .select(col(userCol).cast("long"), unix_micros(col(tsCol)),
+        col(eventIdCol).cast("long"), col(typeCol))
+      .as[(Long, Long, Long, String)]
+    typed.groupByKey(_._1)
+      .transformWithState(new FunnelProcessor(stages),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Streaming session windows with inactivity gap via the
     * [[SessionProcessor]]. Requires the RocksDB state store
     * (`spark.sql.streaming.stateStore.providerClass`), which
