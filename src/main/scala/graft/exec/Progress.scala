@@ -37,6 +37,11 @@ final class MigrationProgressListener(
   private val lastPrint = new java.util.concurrent.atomic.AtomicLong(0L)
   private val startedAt = System.currentTimeMillis
   private val myStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  // distinct (stageId, partition index) completions: under speculative
+  // execution BOTH successful attempts of one task emit a Success
+  // TaskEnd (likewise a task re-run by a stage re-attempt), and raw
+  // increments would push `done` past the planned total
+  private val doneTasks = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
 
   def done: Long = tasksDone.get
   def total: Long = tasksTotal.get
@@ -55,9 +60,12 @@ final class MigrationProgressListener(
     // successful completions only: a failed attempt emits a TaskEnd too,
     // and counting it would push `done` past the planned total on any
     // retry (tasksTotal counts each planned task once) — progress must
-    // track work finished, not attempts made
+    // track work finished, not attempts made. Success alone is not
+    // enough: a speculative duplicate attempt ALSO ends in Success, so
+    // completions are deduplicated on (stageId, partition index).
     if (e.reason == org.apache.spark.Success &&
-        (jobGroup.isEmpty || myStages.contains(e.stageId))) {
+        (jobGroup.isEmpty || myStages.contains(e.stageId)) &&
+        doneTasks.add((e.stageId.toLong << 32) | (e.taskInfo.index.toLong & 0xffffffffL))) {
       val d = tasksDone.incrementAndGet()
       val now = System.currentTimeMillis
       val prev = lastPrint.get
@@ -91,11 +99,11 @@ object MigrationProgress {
     * (tasksDone, tasksTotal) so programmatic callers — and the
     * correctness gate — can assert on the counters instead of parsing
     * console lines. Invariants on a completed body: done > 0 for any
-    * body that ran a job, and done ≤ total (only successful task
-    * completions count — a retried task still lands once — and totals
-    * come from planned stages, so skipped/reused stages make the
-    * denominator an over-estimate: progress finishes "early", never
-    * late).
+    * body that ran a job, and done ≤ total (successful task completions
+    * are deduplicated on (stage, partition), so a retried OR
+    * speculatively duplicated task lands once, and totals come from
+    * planned stages, so skipped/reused stages make the denominator an
+    * over-estimate: progress finishes "early", never late).
     */
   def withProgressCounters[T](
       spark: SparkSession, label: String,

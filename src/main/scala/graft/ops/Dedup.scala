@@ -723,9 +723,16 @@ object Dedup {
       history: DataFrame, batch: DataFrame, textCol: String, idCol: String,
       k: Int = 5, minJaccard: Double = 0.8,
       expectedKeys: Long = 10000000L, fpp: Double = 0.01,
-      precomputedHistSizes: Option[DataFrame] = None): DataFrame = {
+      precomputedHistSizes: Option[DataFrame] = None,
+      precomputedBatchShingles: Option[DataFrame] = None): DataFrame = {
     val hSh = shingleTable(history, textCol, idCol, k)
-    val bSh = shingleTable(batch, textCol, idCol, k).persist()
+    // The nightly-loop caller should pass `precomputedBatchShingles`
+    // ((idCol, shingle), typically a filter over an already-persisted
+    // corpus shingle layout) so the cache lifetime has an owner — the
+    // fallback persist below is increment-sized but pins one storage
+    // entry per call for the session lifetime (ADVICE r9).
+    val bSh = precomputedBatchShingles.getOrElse(
+      shingleTable(batch, textCol, idCol, k).persist())
     val hKeyed = hSh.select(col(idCol).as("a"), col("shingle").as("shingle_h"),
       xxhash64(col("shingle")).as("shk"))
     val bKeyed = bSh.select(col(idCol).as("b"), col("shingle"),

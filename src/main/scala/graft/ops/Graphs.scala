@@ -78,7 +78,11 @@ object Graphs {
         try {
           val p = new org.apache.hadoop.fs.Path(s)
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-        } catch { case _: java.io.IOException => () } // best-effort cleanup
+          // best-effort cleanup: Path construction / FileSystem
+          // resolution can throw RuntimeExceptions too (bad URI,
+          // missing scheme) — none may abort a fixpoint loop whose
+          // result is already computed
+        } catch { case scala.util.control.NonFatal(_) => () }
       }
 
     def track(df: DataFrame): DataFrame = {

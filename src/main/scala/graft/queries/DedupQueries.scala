@@ -724,10 +724,15 @@ object DedupQueries {
     QueryDef("dedup_incremental_fuzzy",
       (spark, sf) => {
         val docs = load(spark, sf, "documents")
+        // batch shingles = a filter over the persisted shared shingle
+        // layout (shingling commutes with a doc_id predicate): no
+        // per-call persist, the layout cache stays the single owner
         Dedup.incrementalNearDups(
             docs.filter(col("doc_id") % 5 =!= 4),
             docs.filter(col("doc_id") % 5 === 4),
-            "text", "doc_id", k = 5, minJaccard = 0.8, expectedKeys = 100000L)
+            "text", "doc_id", k = 5, minJaccard = 0.8, expectedKeys = 100000L,
+            precomputedBatchShingles =
+              Some(sharedShingles(spark, sf).filter(col("doc_id") % 5 === 4)))
           .orderBy(col("a"), col("b"))
       },
       Some(Shared.IncrementalFuzzyOracle)),

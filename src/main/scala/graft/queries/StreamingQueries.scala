@@ -644,14 +644,31 @@ object StreamingQueries {
             val q = flags.toDF().writeStream.format("memory").queryName(table)
               .outputMode("append").trigger(Trigger.ProcessingTime(100L)).start()
             try {
+              // completeness anchor: every stage-typed user must have
+              // reached the sink before the flags are aggregated — two
+              // equal counts 150 ms apart can both be sampled between
+              // micro-batches, so count stability alone is not proof
+              val expectedUsers = fixTs(spark.read.parquet(path(sf, "events")))
+                .filter(col("event_type")
+                  .isin("signup", "view", "click", "purchase"))
+                .select(col("user_id")).distinct().count()
               val deadline = System.currentTimeMillis + 120000
               var n = -1L
               var stable = 0
-              while (stable < 2 && System.currentTimeMillis < deadline) {
+              var users = -1L
+              while ((stable < 2 || users != expectedUsers) &&
+                  System.currentTimeMillis < deadline) {
                 Thread.sleep(150)
                 val c = spark.table(table).count()
                 if (c > 0 && c == n) stable += 1 else { stable = 0; n = c }
+                if (stable >= 2)
+                  users = spark.table(table).select(col("userId")).distinct().count()
               }
+              // a partial sink must fail loudly, not surface later as
+              // an opaque oracle hash mismatch
+              if (users != expectedUsers) throw new IllegalStateException(
+                s"stream_funnel sink incomplete after 120s: " +
+                  s"$users of $expectedUsers users present")
             } finally q.stop()
           }
           spark.table(table)
