@@ -26,8 +26,23 @@ object Bench {
     // comma-separated substring filter (same contract as Verify) — for
     // ad-hoc timing of a query subset; the driver runs unfiltered
     val filter = sys.env.get("GRAFT_QUERY_FILTER")
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       filter.forall(_.split(',').exists(f => f.nonEmpty && name.contains(f))) }
+    // GRAFT_BENCH_ORDER=reverse runs the suite Z→A: a second pass in
+    // reversed order separates "this tier is slow" from "whatever runs
+    // at the END of a 170-query suite is slow" (accumulated JVM/storage
+    // state, time-localized host contention) — the r9 text-tier
+    // inflation was undiagnosable from one alphabetical run.
+    val selected =
+      if (sys.env.get("GRAFT_BENCH_ORDER").contains("reverse")) ordered.reverse
+      else ordered
+    // per-query diagnostics: wall-clock start offset (seconds since
+    // bench epoch — makes time-localized noise self-diagnosing) and the
+    // persistent-RDD count after the query (makes storage accumulation
+    // across the run visible in the artifact itself)
+    val benchEpoch = System.nanoTime()
+    val starts = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val persisted = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     // shared ingest-time layouts get their own timed entry — charged to
     // neither the first dedup query (arbitrary) nor hidden in warmup
     // (flattering): total stays honest, per-query times stay comparable.
@@ -36,11 +51,13 @@ object Bench {
       if (!selected.exists(_._1.startsWith("dedup"))) Seq.empty
       else Seq {
         val t0 = System.nanoTime()
+        starts("layout_shared_shingles") = (t0 - benchEpoch) / 1e9
         try graft.queries.DedupQueries.warmSharedLayouts(spark, sfDir)
         catch { case e: Throwable =>
           failed += "layout_shared_shingles"
           System.err.println(s"[bench] layout_shared_shingles FAILED: ${e.getMessage}")
         }
+        persisted("layout_shared_shingles") = spark.sparkContext.getPersistentRDDs.size
         "layout_shared_shingles" -> (System.nanoTime() - t0) / 1e9
       }
     // Best-of-N (default 2): this shared VM's run-to-run noise reaches
@@ -51,6 +68,7 @@ object Bench {
     // second run would just time the cache).
     val runs = sys.env.getOrElse("GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val results = layoutEntries ++ selected.map { case (name, fn) =>
+      starts(name) = (System.nanoTime() - benchEpoch) / 1e9
       val attempts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // Evaluate every output column: under a bare count() Catalyst
@@ -76,15 +94,20 @@ object Bench {
       // sitting ambiguously in failed[] next to a normal-looking time.
       val good = attempts.collect { case (t, true) => t }
       if (good.nonEmpty && failed.contains(name)) { failed -= name; flaky += name }
+      persisted(name) = spark.sparkContext.getPersistentRDDs.size
       name -> (if (good.nonEmpty) good.min else attempts.map(_._1).min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fl = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val st = starts.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
+      .mkString("{", ",", "}")
+    val pr = persisted.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // a timed exception is not a measurement — surface failures explicitly
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"flaky":$fl,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"flaky":$fl,"starts":$st,"persisted_rdds":$pr,"order":"${if (sys.env.get("GRAFT_BENCH_ORDER").contains("reverse")) "reverse" else "alpha"}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

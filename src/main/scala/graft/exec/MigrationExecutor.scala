@@ -115,6 +115,28 @@ final class MigrationExecutor(
     references: ReferenceStore,
     orphanPolicy: OrphanPolicy = KeepOrphans) {
 
+  // Every plain `.persist()` this executor issues, so the caller can
+  // release them once a run's results have been consumed (`release()`).
+  // Barriered frames (reliable checkpoint, lineage truncated) are
+  // deliberately NOT tracked: unpersisting one would lose the only copy.
+  // Thread-safe — executeAll runs independent DAG branches concurrently.
+  private val pinned = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private def pin(df: DataFrame): DataFrame = { pinned.add(df); df }
+
+  /** Unpersist every frame this executor pinned. Safe at any point after
+    * the run's eager work (counts, destination writes, mapping records)
+    * has completed: plain persists are only taken on paths whose inputs
+    * stay re-readable (stable snapshots / deterministic sources), so a
+    * released result frame recomputes correctly — the persists are
+    * caches, the barriers are the correctness mechanism. Long-lived
+    * callers (the nightly-loop shape) should release after each run or
+    * pinned storage accumulates for the session lifetime.
+    */
+  def release(): Unit = {
+    var df = pinned.poll()
+    while (df != null) { df.unpersist(); df = pinned.poll() }
+  }
+
   def execute(
       spark: SparkSession,
       migration: Migration,
@@ -174,7 +196,7 @@ final class MigrationExecutor(
     // snapshot directly, and the survivors union below must not re-read it
     // after the write either.
     val orphansPersisted =
-      if (snapshotUnstable) MigrationExecutor.barrier(orphans) else orphans.persist()
+      if (snapshotUnstable) MigrationExecutor.barrier(orphans) else pin(orphans.persist())
     val orphanCount = orphansPersisted.count()
 
     // 5. merge: incoming wins over existing on key equality; kept orphans
@@ -204,7 +226,7 @@ final class MigrationExecutor(
     //    already-truncated table.
     val persistedMerged =
       if (snapshot.nonEmpty && !dest.overwriteIsReadSafe) MigrationExecutor.barrier(merged)
-      else merged.persist()
+      else pin(merged.persist())
     val migratedCount = body.count()
     dest.write(persistedMerged, spec)
 
@@ -289,13 +311,13 @@ final class MigrationExecutor(
     // path does (`Executor.php:119,130-135`), keyed on the union of this
     // run's incoming keys — NOT the persistent mapping table, which still
     // carries keys from prior runs that must be reported as orphans.
-    val thisRun = runKeys.get.persist()
+    val thisRun = pin(runKeys.get.persist())
     val orphans = pre match {
       case None => thisRun.limit(0)
       case Some(p) =>
         p.join(thisRun, destIdCols.map(k => p(k) <=> thisRun(k)).reduce(_ && _), "left_anti")
     }
-    val orphansPersisted = orphans.persist()
+    val orphansPersisted = pin(orphans.persist())
     val orphanCount = orphansPersisted.count()
     // a snapshot-less sink (console / --simulate) has no post state to
     // prune or read back; the simulated output is the union of chunk
@@ -308,7 +330,7 @@ final class MigrationExecutor(
         // the pruned plan reads the post snapshot this very write replaces
         // — reliable barrier, not best-effort persist (see execute step 6)
         val pruned =
-          if (dest.overwriteIsReadSafe && dest.snapshotIsStableAcrossWrites) pruned0.persist()
+          if (dest.overwriteIsReadSafe && dest.snapshotIsStableAcrossWrites) pin(pruned0.persist())
           else MigrationExecutor.barrier(pruned0)
         dest.write(pruned, spec)
         pruned
@@ -320,9 +342,13 @@ final class MigrationExecutor(
       case _ => post.orElse(simulatedOut).get
     }
     chunked.unpersist()
-    // thisRun stays persisted: it is returned (orphans + incomingKeys
-    // derive from it) and unpersisting here would make callers recompute
-    // the whole chunk pipeline against mutated destination state.
+    // the inner per-chunk executor's pins are caches over data already
+    // written + recorded; release them here so a chunked run leaves only
+    // this executor's own pins behind
+    inner.release()
+    // thisRun stays pinned until the caller releases: it is returned
+    // (orphans + incomingKeys derive from it) and eagerly unpersisting
+    // here would force every consumer through a chunk-pipeline recompute.
     MigrationResult(migrated, orphansPersisted, orphanCount, finalSnap, thisRun)
   }
 

@@ -113,4 +113,12 @@ final class ReferenceStore(mapper: MappingStore) {
 
   def invalidate(migrationName: String): Unit =
     memo.remove(migrationName).foreach(_.unpersist())
+
+  /** Drop every memoized entity cache (each entry re-materializes from
+    * the mapping + snapshot parquet on next use). Callers that outlive
+    * a migration run — or gate queries handing lazy results out —
+    * release here so the memo's persists don't pin storage for the
+    * session lifetime.
+    */
+  def release(): Unit = memo.keys.toSeq.foreach(invalidate)
 }

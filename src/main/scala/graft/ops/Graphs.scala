@@ -47,7 +47,8 @@ object Graphs {
     }
   }
 
-  /** Round-scoped garbage collection for RELIABLE checkpoints.
+  /** Round-scoped garbage collection for fixpoint checkpoints — reliable
+    * checkpoint FILES and local-checkpoint BLOCKS both.
     *
     * `checkpoint()` files are never deleted by Spark itself
     * (`spark.cleaner.referenceTracking.cleanCheckpoints` defaults to
@@ -67,6 +68,19 @@ object Graphs {
   private final class CheckpointGC {
     private var pending: List[String] = Nil // superseded at next sweep
     private var current: List[String] = Nil // created since last sweep
+    // the LOCAL-checkpoint twin of the file lists: localCheckpoint(true)
+    // pins its blocks in the block manager (that IS the checkpoint), and
+    // nothing ever unpins a superseded round — the storage-accumulation
+    // leak the r9 bench tail exposed. Same two-phase discipline: a
+    // round-N checkpoint is last read while round N+1 materializes, so
+    // its blocks are dropped one sweep after supersession.
+    private var pendingRdds: List[org.apache.spark.rdd.RDD[_]] = Nil
+    private var currentRdds: List[org.apache.spark.rdd.RDD[_]] = Nil
+
+    private def rddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
 
     private def fileOf(df: DataFrame): Option[String] =
       df.queryExecution.analyzed.collectFirst {
@@ -87,19 +101,27 @@ object Graphs {
 
     def track(df: DataFrame): DataFrame = {
       fileOf(df).foreach(f => current ::= f)
+      rddOf(df).filter(_.getStorageLevel.isValid).foreach(r => currentRdds ::= r)
       df
     }
 
     def sweep(spark: org.apache.spark.sql.SparkSession): Unit = {
       delete(spark, pending)
+      pendingRdds.foreach(_.unpersist(blocking = false))
       pending = current
       current = Nil
+      pendingRdds = currentRdds
+      currentRdds = Nil
     }
 
     def finish(spark: org.apache.spark.sql.SparkSession, keep: DataFrame): Unit = {
       val keepFile = fileOf(keep)
       delete(spark, (pending ++ current).filterNot(keepFile.contains))
+      val keepRdd = rddOf(keep).map(_.id)
+      (pendingRdds ++ currentRdds).filterNot(r => keepRdd.contains(r.id))
+        .foreach(_.unpersist(blocking = false))
       pending = Nil; current = Nil
+      pendingRdds = Nil; currentRdds = Nil
     }
   }
 

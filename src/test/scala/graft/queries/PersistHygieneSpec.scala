@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Storage-hygiene audit (the r9 bench-tail lesson): per-query persists
+  * must not outlive their query. Each representative query — the ones
+  * whose operators persist internally (executor runs, fixpoints,
+  * similarity codebooks, incremental dedup) — is run once to warm any
+  * lazily-created shared layouts (TrieMap caches, memoized scenarios:
+  * those are intentional, counted owners), then run again; at steady
+  * state a query may not grow `getPersistentRDDs` at all. A regression
+  * here is exactly the shape that inflated the r9 driver bench: one
+  * pinned entry per run, times 173 queries, evicting execution memory
+  * at the tail of the suite.
+  */
+class PersistHygieneSpec extends SparkSpec {
+
+  // one per query group with internal persists; streaming excluded
+  // (fixed micro-batch startup dominates; its state lives in RocksDB,
+  // not block-manager storage)
+  private val representatives = Seq(
+    "etl_stub_resolve",      // three executor runs + reference memo
+    "etl_flush_chunks",      // executeChunked inner executor
+    "etl_dag_pipeline",      // executeAll + two reference memos
+    "etl_reference_lookup",  // reference store memo
+    "etl_upsert_merge",      // memoized scenario (shared — warmed pass 1)
+    "q_transitive_closure",  // fixpoint with lineage truncation
+    "q_pagerank",            // fixpoint with lineage truncation
+    "dedup_incremental_fuzzy", // bloom-probed join over shared shingles
+    "dedup_best_of_cluster", // shared pair layout consumer
+    "sim_ann_ivfpq",         // trained codebooks (op-internal persists)
+    "text_bpe_train"         // iterative merge training
+  )
+
+  test("steady state: a second run of a query adds no persistent RDDs") {
+    for (name <- representatives) {
+      val fn = graft.SparkEntry.queries(name)
+      // pass 1: warm shared layouts this query creates lazily (TrieMap
+      // caches / memoized scenarios) — those have owners and stay
+      fn(spark, Sf).queryExecution.toRdd.foreach(_ => ())
+      val baseline = spark.sparkContext.getPersistentRDDs.keySet
+      // pass 2: steady state — anything NEW pinned now has no owner
+      fn(spark, Sf).queryExecution.toRdd.foreach(_ => ())
+      val after = spark.sparkContext.getPersistentRDDs.keySet
+      val leaked = after -- baseline
+      info(s"$name: baseline=${baseline.size} after=${after.size}")
+      assert(leaked.isEmpty,
+        s"$name leaked ${leaked.size} persistent RDD(s) on its second " +
+          s"run (ids ${leaked.mkString(",")}) — a per-query persist " +
+          "without an unpersist owner")
+    }
+  }
+}
