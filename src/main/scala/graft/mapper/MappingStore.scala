@@ -64,7 +64,7 @@ final class MappingStore(
   def load(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] =
     currentGen(spark, spec).map { gen =>
       val dir = s"${tablePath(spec)}/$gen"
-      buckets match {
+      val raw = buckets match {
         case None => spark.read.parquet(dir)
         case Some(n) =>
           val table = catalogName(spec, gen)
@@ -80,7 +80,47 @@ final class MappingStore(
           }
           spark.table(table)
       }
+      conform(spec, raw)
     }
+
+  /** Schema conform — the reference's `conformMappingTable`
+    * (`/root/reference/src/DataMigration/DataMigrationMapper.php:189-257`,
+    * diff-based CREATE/ALTER run before every migration): align the
+    * stored generation with the spec-declared id columns at READ time.
+    *
+    *  - An id column the spec declares but the generation lacks (a user
+    *    added an id field between runs) is WIDENED in: added as a typed
+    *    NULL — the exact effect of the reference's nullable
+    *    `ALTER TABLE ADD COLUMN` (`conformMappingColumn`, `:271-300`),
+    *    made durable by the next generation write (the merge unions the
+    *    conformed view with the new rows).
+    *  - An id column present with a DIFFERENT type is an explicit
+    *    [[MappingSchemaMismatchException]] — the reference would issue a
+    *    lossy ALTER here; a distributed engine must not silently rewrite
+    *    petabytes of mapping state, so the incompatible change fails
+    *    loudly with both types named instead of surfacing later as an
+    *    unreadable generation.
+    *  - Extra columns (id fields REMOVED from the spec) are preserved
+    *    untouched, like the reference (conform only ever adds).
+    */
+  private def conform(spec: MigrationSpec, existing: DataFrame): DataFrame = {
+    val want: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      spec.sourceIds.map(f => (s"$SourcePrefix${f.name}", f.idType.sparkType)) ++
+        spec.destinationIds.map(f => (s"$DestPrefix${f.name}", f.idType.sparkType))
+    val have = existing.schema.map(f => f.name -> f.dataType).toMap
+    want.foreach { case (name, t) =>
+      have.get(name).filter(_ != t).foreach { stored =>
+        throw new MappingSchemaMismatchException(
+          s"mapping table ${spec.mappingKey}: id column $name is $stored " +
+            s"in the current generation but the spec declares $t — an " +
+            "in-place type change is not conformable; migrate the " +
+            "mapping table explicitly (or restore the old id type)")
+      }
+    }
+    want.foldLeft(existing) { case (df, (name, t)) =>
+      if (have.contains(name)) df else df.withColumn(name, lit(null).cast(t))
+    }
+  }
 
   /** Left-join `df` (carrying the source id columns) against the mapping
     * table, adding `dest_*` columns (null where unmapped) — the set-wise
@@ -234,6 +274,12 @@ private[graft] object GenerationVacuum {
     gens.dropRight(keep).foreach { case (_, p) => fs.delete(p, true) }
   }
 }
+
+/** An id column's stored type contradicts the spec's declaration — the
+  * one mapping-schema change `conform` refuses to apply implicitly.
+  */
+final class MappingSchemaMismatchException(msg: String)
+  extends RuntimeException(msg)
 
 object MappingStore {
   private val locks = scala.collection.concurrent.TrieMap.empty[String, Object]

@@ -1069,5 +1069,63 @@ object Etl {
       },
       Some("""SELECT 'm_prog' AS migration, COUNT(*) AS n_rows
              |FROM nation""".stripMargin)),
+
+    // §2.3 mapping-table schema conform
+    // (`DataMigrationMapper.php:189-257` — diff-based CREATE/ALTER run
+    // before every migration): run once, then WIDEN the spec (a second
+    // source id column, the "user added an id field between runs" case)
+    // and run again against the same mapping table. The conform step
+    // aligns the old generation at read time — the added column appears
+    // as a typed NULL on the pre-widening rows, the reference's nullable
+    // ADD COLUMN — so the second run's merge unions cleanly and the new
+    // generation is durably widened. Without conform this second run
+    // dies inside unionByName with a column-resolution error.
+    // (The companion incompatible-change path — same column, different
+    // declared type — throws MappingSchemaMismatchException; pinned in
+    // MapperSpec, not expressible as a result set.)
+    QueryDef("etl_schema_conform",
+      (spark, sf) => {
+        val base = scratch("graft_conform")
+        def mkSpec(srcIds: Seq[IdField]) = MigrationSpec("cust_conform",
+          source = "", sourceDriver = "inline",
+          destination = s"$base/dest", destinationDriver = "parquet",
+          sourceIds = srcIds, destinationIds = Seq(IdField("id", LongId)))
+        val spec1 = mkSpec(Seq(IdField("c_custkey", LongId)))
+        val spec2 = mkSpec(Seq(IdField("c_custkey", LongId),
+          IdField("c_nationkey", LongId)))
+        val mapper = new MappingStore(s"$base/map")
+        val exec = new MigrationExecutor(mapper, new ReferenceStore(mapper),
+          IgnoreOrphans)
+        val dest = new ParquetDestinationDriver
+        def mig(theSpec: MigrationSpec, parity: Int, withNation: Boolean) =
+          new Migration {
+            def spec: MigrationSpec = theSpec
+            def transform(src: DataFrame, ctx: TransformContext): DataFrame = {
+              val rows = src.filter(col("c_custkey") % 3 === parity)
+              val ids = Seq(col("c_custkey")) ++
+                (if (withNation) Seq(col("c_nationkey")) else Nil)
+              rows.select(ids ++ Seq(col("c_custkey").as("id"),
+                upper(col("c_name")).as("name_upper")): _*)
+            }
+          }
+        val source = new SourceDriver {
+          def read(s: SparkSession, sp: MigrationSpec): DataFrame =
+            load(s, sf, "customer")
+        }
+        exec.execute(spark, mig(spec1, 0, withNation = false), source, dest)
+        exec.execute(spark, mig(spec2, 1, withNation = true), source, dest)
+        releasing(exec)(mapper.load(spark, spec2).get
+          .select(col("source_c_custkey"), col("source_c_nationkey"),
+            col("dest_id"))
+          .orderBy(col("source_c_custkey")))
+      },
+      Some("""SELECT c_custkey AS source_c_custkey,
+             |  CAST(NULL AS BIGINT) AS source_c_nationkey,
+             |  c_custkey AS dest_id
+             |FROM customer WHERE c_custkey % 3 = 0
+             |UNION ALL
+             |SELECT c_custkey, c_nationkey, c_custkey
+             |FROM customer WHERE c_custkey % 3 = 1
+             |ORDER BY source_c_custkey""".stripMargin)),
   )
 }

@@ -472,6 +472,44 @@ class ExecutorSpec extends SparkSpec {
       s"orphan bookkeeping must accumulate by dest id: $rows")
   }
 
+  test("mapping conform: a spec-added id column widens in as a typed NULL") {
+    import spark.implicits._
+    val (base, mapper, _, _) = fixture()
+    val sp1 = mkSpec(base, "conform_w")
+    mapper.record(spark, sp1,
+      Seq((1L, 1L), (2L, 2L)).toDF("source_src_id", "dest_id"),
+      MappingStore.StatusMigrated)
+    // user adds a second source id field between runs
+    val sp2 = sp1.copy(sourceIds =
+      Seq(IdField("src_id"), IdField("region", StringId)))
+    val conformed = mapper.load(spark, sp2).get
+    assert(conformed.schema("source_region").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(conformed.filter(col("source_region").isNull).count() == 2,
+      "pre-widening rows carry NULL in the added column")
+    // the next record() merges cleanly and durably widens the generation
+    mapper.record(spark, sp2,
+      Seq((3L, "emea", 3L)).toDF("source_src_id", "source_region", "dest_id"),
+      MappingStore.StatusMigrated)
+    val after = mapper.load(spark, sp2).get
+    assert(after.count() == 3)
+    assert(after.filter(col("source_region") === "emea").count() == 1)
+  }
+
+  test("mapping conform: an id-column TYPE change fails loudly, not at some later read") {
+    import spark.implicits._
+    val (base, mapper, _, _) = fixture()
+    val sp1 = mkSpec(base, "conform_t")
+    mapper.record(spark, sp1,
+      Seq((1L, 1L)).toDF("source_src_id", "dest_id"), MappingStore.StatusMigrated)
+    val sp2 = sp1.copy(destinationIds = Seq(IdField("id", StringId)))
+    val e = intercept[graft.mapper.MappingSchemaMismatchException] {
+      mapper.load(spark, sp2).get.collect()
+    }
+    assert(e.getMessage.contains("dest_id"), e.getMessage)
+    assert(e.getMessage.contains("LongType"), e.getMessage)
+  }
+
   test("bucketed parquet destination: upsert/orphan flow intact, snapshot join carries bucket partitioning") {
     import spark.implicits._
     val base = scratchDir("exec_bucketed_dest")
