@@ -427,16 +427,7 @@ object Relational {
             last(col("reading_cents"), ignoreNulls = true).over(w).as("filled_cents"))
           .orderBy(col("event_id"))
       },
-      Some("""WITH r AS (
-             |  SELECT event_id, user_id, ts,
-             |    CASE WHEN event_type = 'purchase'
-             |      THEN CAST(ROUND(value*100) AS BIGINT) END AS reading_cents
-             |  FROM events)
-             |SELECT event_id, user_id, reading_cents,
-             |  LAST_VALUE(reading_cents IGNORE NULLS) OVER (
-             |    PARTITION BY user_id ORDER BY ts, event_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
-             |FROM r ORDER BY event_id""".stripMargin)),
+      Some(Shared.GapFillOracle)),
 
     QueryDef("q_sessionize",
       (spark, sf) => {

@@ -83,6 +83,23 @@ object Shared {
 
   // ---- ordered conversion funnel (q_funnel / stream_funnel) ----------
 
+  /** One oracle for both gap-fill twins (`q_gap_fill` batch window,
+    * `stream_gap_fill` keyed state machine): per-event forward fill of
+    * the purchase reading in (ts, event_id) order — the fill semantics
+    * live here once so the two forms cannot drift apart.
+    */
+  val GapFillOracle: String =
+    """WITH r AS (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN event_type = 'purchase'
+      |      THEN CAST(ROUND(value*100) AS BIGINT) END AS reading_cents
+      |  FROM events)
+      |SELECT event_id, user_id, reading_cents,
+      |  LAST_VALUE(reading_cents IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+      |FROM r ORDER BY event_id""".stripMargin
+
   /** One oracle for both funnel twins: chained running window flags
     * (stage k counts only at or after the first stage-k-1 event in
     * (ts, event_id) order), per-user max, one-row stage totals. The

@@ -686,6 +686,63 @@ object StreamingQueries {
       },
       Some(Shared.FunnelOracle)),
 
+    // Streaming gap fill: q_gap_fill's LAST_VALUE IGNORE NULLS computed
+    // at ingest by the GapFillProcessor — one (long, bool) carry per
+    // user in RocksDB, O(active users) state, no timers. Exactly one
+    // output row per input event (append mode), so the completeness
+    // anchor is exact: the sink must hold precisely |events| rows
+    // before aggregating. Oracle = the batch twin's
+    // (Shared.GapFillOracle — stream/batch parity).
+    QueryDef("stream_gap_fill",
+      (spark, sf) => {
+        import org.apache.spark.sql.types.LongType
+        val schema = spark.read.parquet(path(sf, "events")).schema
+        val isLong = schema("ts").dataType == LongType
+        def fixTs(df: DataFrame): DataFrame =
+          if (isLong) df.withColumn("ts", expr("timestamp_micros(ts div 1000)")) else df
+        val real = fixTs(spark.readStream.schema(schema)
+            .parquet(stagedDir(spark, sf, "events")))
+          .withColumn("reading_cents",
+            when(col("event_type") === "purchase", Shared.cents(col("value"))))
+          .select(col("user_id"), col("ts"), col("event_id"), col("reading_cents"))
+        val prevProvider = spark.conf
+          .getOption("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val filled = graft.streaming.StreamingIngest.gapFill(
+            real, "ts", "user_id", "event_id", "reading_cents")
+          val table = s"stream_gf_${counter.incrementAndGet()}"
+          withStatePartitions(spark, 8) {
+            // transformWithState queries do not quiesce under
+            // awaitTermination (see stream_funnel): short-period
+            // trigger + poll, anchored on the exact expected row count
+            val expected = spark.read.parquet(path(sf, "events")).count()
+            val q = filled.toDF().writeStream.format("memory").queryName(table)
+              .outputMode("append").trigger(Trigger.ProcessingTime(100L)).start()
+            try {
+              val deadline = System.currentTimeMillis + 120000
+              var n = -1L
+              while (n != expected && System.currentTimeMillis < deadline) {
+                Thread.sleep(150)
+                n = spark.table(table).count()
+              }
+              if (n != expected) throw new IllegalStateException(
+                s"stream_gap_fill sink incomplete after 120s: $n of $expected rows")
+            } finally q.stop()
+          }
+          spark.table(table).select(
+            col("eventId").as("event_id"), col("userId").as("user_id"),
+            col("readingCents").as("reading_cents"),
+            col("filledCents").as("filled_cents"))
+            .orderBy(col("event_id"))
+        } finally prevProvider match {
+          case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      },
+      Some(Shared.GapFillOracle)),
+
     // Streaming unigram-LM encode: the text_unigram_viterbi tokenizer
     // at ingest. Piece costs come from the STATIC reference corpus (the
     // batch vocab builder — bounded driver collect, same budget as

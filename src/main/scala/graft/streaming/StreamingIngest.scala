@@ -106,6 +106,81 @@ object StreamingIngest {
       } else Iterator.empty
   }
 
+  /** One output row per input event: the raw (nullable) reading and the
+    * forward-filled value. */
+  final case class GapFillOut(eventId: Long, userId: Long,
+      readingCents: Option[Long], filledCents: Option[Long])
+
+  /** Per-key carry state: last known reading (public for the state
+    * encoder). `has` distinguishes "no reading yet" from a real 0. */
+  final case class GapFillState(last: Long, has: Boolean)
+
+  /** Streaming forward-fill (`LAST_VALUE IGNORE NULLS` at ingest): the
+    * classic last-known-value gap fill as a keyed `StatefulProcessor` —
+    * state is ONE (long, bool) per user, O(active users) at 100 TB, no
+    * timers (a carry never closes). Rows are event-time-sorted within
+    * each batch and the carry crosses batches through the value state;
+    * like [[FunnelProcessor]], cross-batch stragglers arriving after a
+    * later event was processed are the documented approximation (the
+    * gate's single-file AvailableNow replay never splits a user's
+    * timeline out of order).
+    */
+  final class GapFillProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, Option[Long]), GapFillOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var state: ValueState[GapFillState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[GapFillState]("gapfill",
+        E.product[GapFillState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[(Long, Long, Long, Option[Long])],
+        timerValues: TimerValues): Iterator[GapFillOut] = {
+      var (last, has) =
+        if (state.exists()) { val s = state.get(); (s.last, s.has) }
+        else (0L, false)
+      val out = rows.toSeq.sortBy(r => (r._2, r._3)).map {
+        case (_, _, eventId, reading) =>
+          reading.foreach { v => last = v; has = true }
+          GapFillOut(eventId, userId, reading, if (has) Some(last) else None)
+      }
+      state.update(GapFillState(last, has))
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[GapFillOut] =
+      Iterator.empty
+  }
+
+  /** Streaming gap fill via the [[GapFillProcessor]]. `readingCol` must
+    * already be the nullable long to carry forward (null = gap).
+    * Requires the RocksDB state store, which `transformWithState`
+    * mandates.
+    */
+  def gapFill(
+      events: DataFrame,
+      tsCol: String,
+      userCol: String,
+      eventIdCol: String,
+      readingCol: String): Dataset[GapFillOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(
+        col(userCol).cast("long"), unix_micros(col(tsCol)),
+        col(eventIdCol).cast("long"), col(readingCol).cast("long"))
+      .as[(Long, Long, Long, Option[Long])]
+    typed.groupByKey(_._1)
+      .transformWithState(new GapFillProcessor,
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Per-user cumulative funnel flags (one per stage, `fk` = "reached
     * stage k"). Emitted after every input batch for the key. */
   final case class FunnelOut(userId: Long, f1: Int, f2: Int, f3: Int, f4: Int)
