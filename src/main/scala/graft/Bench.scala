@@ -101,7 +101,10 @@ object Bench {
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fl = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val st = starts.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
+    // Double.toString is locale-independent; f"%.1f" is NOT (a
+    // comma-decimal default locale emits "3,1" and the whole line stops
+    // being JSON — exactly what nulled the driver's BENCH_r10 parse).
+    val st = starts.map { case (k, v) => "\"" + k + "\":" + (math.round(v * 10) / 10.0) }
       .mkString("{", ",", "}")
     val pr = persisted.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
