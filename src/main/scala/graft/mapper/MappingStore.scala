@@ -62,25 +62,38 @@ final class MappingStore(
   }
 
   def load(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] =
+    loadRaw(spark, spec).map(raw => conform(spec, raw))
+
+  /** Current generation WITHOUT conform — record() needs the raw schema
+    * to know which id columns conform is about to widen in.
+    */
+  private def loadRaw(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] =
     currentGen(spark, spec).map { gen =>
       val dir = s"${tablePath(spec)}/$gen"
-      val raw = buckets match {
+      buckets match {
         case None => spark.read.parquet(dir)
         case Some(n) =>
           val table = catalogName(spec, gen)
-          if (!spark.catalog.tableExists(table)) {
-            // re-attach bucket metadata to an existing generation (e.g.
-            // written by a previous session) — data files are unchanged
-            val schema = spark.read.parquet(dir).schema.toDDL
-            val keys = spec.sourceIds.map(f => s"$SourcePrefix${f.name}").mkString(", ")
-            spark.sql(
-              s"""CREATE TABLE $table ($schema) USING parquet
-                 |CLUSTERED BY ($keys) SORTED BY ($keys) INTO $n BUCKETS
-                 |LOCATION '$dir'""".stripMargin)
+          val parquetSchema = spark.read.parquet(dir).schema
+          val keyNames = spec.sourceIds.map(f => s"$SourcePrefix${f.name}")
+          if (keyNames.exists(k => !parquetSchema.fieldNames.contains(k))) {
+            // generation predates a spec widening: its bucket layout hashes
+            // the OLD key set and the new key column isn't even in the data
+            // files, so CLUSTERED BY the spec keys would both lie and fail.
+            // Read plain; the next writeGen re-buckets on the full keys.
+            spark.read.parquet(dir)
+          } else {
+            if (!spark.catalog.tableExists(table)) {
+              // re-attach bucket metadata to an existing generation (e.g.
+              // written by a previous session) — data files are unchanged
+              spark.sql(
+                s"""CREATE TABLE $table (${parquetSchema.toDDL}) USING parquet
+                   |CLUSTERED BY (${keyNames.mkString(", ")}) SORTED BY (${keyNames.mkString(", ")}) INTO $n BUCKETS
+                   |LOCATION '$dir'""".stripMargin)
+            }
+            spark.table(table)
           }
-          spark.table(table)
       }
-      conform(spec, raw)
     }
 
   /** Schema conform — the reference's `conformMappingTable`
@@ -189,28 +202,43 @@ final class MappingStore(
       val stamped = incoming
         .withColumn(UpdatedCol, current_timestamp())
         .withColumn(StatusCol, lit(status))
-      val merged = load(spark, spec) match {
+      val merged = loadRaw(spark, spec) match {
         case None => stamped
-        case Some(existing) =>
+        case Some(raw) =>
+          // id columns conform is widening in THIS merge: pre-widening
+          // keyed rows carry NULL there, and the replace-by-key match
+          // must treat that NULL as "recorded before the column existed"
+          // (matches any incoming value), or a re-arriving source key
+          // would be appended next to its own stale row forever.
+          val widenedSrc = spec.sourceIds.map(f => s"$SourcePrefix${f.name}")
+            .filterNot(raw.columns.contains).toSet
+          val existing = conform(spec, raw)
           // Replace-by-key must distinguish the two row classes the table
-          // holds: keyed mappings (non-null source ids, replaced when the
-          // same source tuple re-arrives) and orphan bookkeeping rows
-          // (null source ids, `DataMigrationExecutor.php:320-326`) which
-          // all share the "key" NULL — a null-safe anti-join on source
-          // ids alone would let ONE incoming orphan row wipe EVERY
-          // previously-kept orphan. Orphan rows are identified by their
-          // destination ids instead. Both anti-joins are plain equality,
-          // which the bucketed layout serves without an exchange.
+          // holds: keyed mappings (replaced when the same source tuple
+          // re-arrives) and orphan bookkeeping rows (ALL-null source ids —
+          // the recordOrphansKept invariant, `DataMigrationExecutor.php:
+          // 320-326`) which all share the "key" NULL — a null-safe
+          // anti-join on source ids alone would let ONE incoming orphan
+          // row wipe EVERY previously-kept orphan. Orphan rows are
+          // identified by their destination ids instead. "Keyed" means AT
+          // LEAST ONE non-null source id, NOT all non-null: a row recorded
+          // before a spec widening has NULL in the added column but is
+          // still a keyed mapping, not orphan bookkeeping. The anti-joins
+          // are plain equality (bucket-layout-served, no exchange) except
+          // in the one merge that widens, where the added column's stored
+          // NULL acts as a wildcard.
           val srcKeyed: Column = spec.sourceIds
-            .map(f => col(s"$SourcePrefix${f.name}").isNotNull).reduce(_ && _)
+            .map(f => col(s"$SourcePrefix${f.name}").isNotNull).reduce(_ || _)
           val existKeyed = existing.filter(srcKeyed)
           val existOrphan = existing.filter(!srcKeyed)
           val newKeyed = stamped.filter(srcKeyed)
           val newOrphan = stamped.filter(!srcKeyed)
           val keepKeyed = existKeyed.join(newKeyed,
-            spec.sourceIds.map(f =>
-              existKeyed(s"$SourcePrefix${f.name}") === newKeyed(s"$SourcePrefix${f.name}"))
-              .reduce(_ && _),
+            spec.sourceIds.map { f =>
+              val c = s"$SourcePrefix${f.name}"
+              val eq = existKeyed(c) === newKeyed(c)
+              if (widenedSrc.contains(c)) eq || existKeyed(c).isNull else eq
+            }.reduce(_ && _),
             "left_anti")
           val keepOrphan = existOrphan.join(newOrphan,
             spec.destinationIds.map(f =>
