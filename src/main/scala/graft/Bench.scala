@@ -109,8 +109,28 @@ object Bench {
     val pr = persisted.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val order =
+      if (sys.env.get("GRAFT_BENCH_ORDER").contains("reverse")) "reverse" else "alpha"
+    // The driver's capture retains only a ~2.3 KB stdout TAIL — twelve
+    // rounds of BENCH_r*.json came back "parsed": null because the one
+    // emitted line grew past the window and the tail landed mid-map. So:
+    // every O(#queries) diagnostic map goes on an EARLIER line (still one
+    // JSON object, greppable from the full log), and the FINAL line is a
+    // compact summary — total, failure markers, and only the top-15
+    // slowest per-query times — sized to fit any tail window.
+    println(s"""{"diag":"bench_full","queries":$qs,"starts":$st,"persisted_rdds":$pr,"failed":$fj,"flaky":$fl,"order":"$order","sf":"$sfDir"}""")
+    val slowest = results.sortBy(-_._2).take(15)
+      .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
+      .mkString("{", ",", "}")
+    // failure lists are capped on the final line (full lists live on the
+    // diag line) so a catastrophic round can't push the summary out of
+    // the tail window either
+    def capped(l: Seq[String]): String =
+      (l.take(20).map("\"" + _ + "\"") ++
+        (if (l.size > 20) Seq("\"...+" + (l.size - 20) + "\"") else Nil))
+        .mkString("[", ",", "]")
     // a timed exception is not a measurement — surface failures explicitly
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"flaky":$fl,"starts":$st,"persisted_rdds":$pr,"order":"${if (sys.env.get("GRAFT_BENCH_ORDER").contains("reverse")) "reverse" else "alpha"}","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"queries":$slowest,"failed":${capped(failed.toSeq)},"flaky":${capped(flaky.toSeq)},"order":"$order","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,12 +26,29 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(path(sfDir, name))
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as
-    // long (spark.sql.legacy.parquet.nanosAsLong) — convert to a real
-    // timestamp at µs precision (integer division, no fp loss).
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") normalizeTs(df) else df
+  }
+
+  /** Normalize `events.ts` to TimestampType across the three parquet
+    * encodings the driver has shipped over time:
+    *   - TIMESTAMP(NANOS), which Spark only reads as long under
+    *     `spark.sql.legacy.parquet.nanosAsLong` — converted at µs
+    *     precision (integer division, no fp loss);
+    *   - `timestamp[us]` with no isAdjustedToUTC flag, which Spark 4
+    *     reads as TIMESTAMP_NTZ — a value-preserving relabel under the
+    *     pinned UTC session timezone (DuckDB reads the same file as a
+    *     naive timestamp, so oracle parity holds by construction);
+    *   - plain TIMESTAMP — already right.
+    * Works on batch and streaming DataFrames alike.
+    */
+  def normalizeTs(df: DataFrame, c: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(c).dataType match {
+      case LongType         => df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case _                => df
+    }
   }
 
   /** Register every test table as a temp view (idempotent) so SQL-driver

@@ -56,10 +56,7 @@ object StreamingQueries {
       (spark, sf) => {
         val schema = spark.read.parquet(path(sf, "events")).schema
         val raw = spark.readStream.schema(schema).parquet(stagedDir(spark, sf, "events"))
-        val events =
-          if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-          else raw
+        val events = Tables.normalizeTs(raw)
         val agg = graft.streaming.StreamingIngest.windowedCounts(
             events, "ts", watermarkDelay = "1 hour", windowLen = "1 hour")
           .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
@@ -169,11 +166,8 @@ object StreamingQueries {
     // unbounded streams).
     QueryDef("stream_sessionize",
       (spark, sf) => {
-        import org.apache.spark.sql.types.LongType
         val schema = spark.read.parquet(path(sf, "events")).schema
-        val isLong = schema("ts").dataType == LongType
-        def fixTs(df: DataFrame): DataFrame =
-          if (isLong) df.withColumn("ts", expr("timestamp_micros(ts div 1000)")) else df
+        def fixTs(df: DataFrame): DataFrame = Tables.normalizeTs(df)
         val batchEvents = fixTs(spark.read.parquet(path(sf, "events")))
         val maxTs = batchEvents.agg(max(col("ts"))).head().getTimestamp(0)
         val sentinelDir = java.nio.file.Files
@@ -187,7 +181,8 @@ object StreamingQueries {
           .select(col("user_id"), col("ts"), col("value"))
         val sentinels = spark.readStream
           .schema(org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("user_id", LongType),
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("ts",
               org.apache.spark.sql.types.TimestampType),
             org.apache.spark.sql.types.StructField("value",
@@ -355,12 +350,9 @@ object StreamingQueries {
     QueryDef("stream_interval_join",
       (spark, sf) => {
         val schema = spark.read.parquet(path(sf, "events")).schema
-        def stream = {
-          val raw = spark.readStream.schema(schema).parquet(stagedDir(spark, sf, "events"))
-          if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-          else raw
-        }
+        def stream =
+          Tables.normalizeTs(
+            spark.readStream.schema(schema).parquet(stagedDir(spark, sf, "events")))
         val errors = stream.filter(col("event_type") === "error")
           .select(col("event_id"), col("ts"))
           .withColumn("bucket", explode(array(
@@ -619,11 +611,8 @@ object StreamingQueries {
     // twin's (Shared.FunnelOracle — stream/batch parity).
     QueryDef("stream_funnel",
       (spark, sf) => {
-        import org.apache.spark.sql.types.LongType
         val schema = spark.read.parquet(path(sf, "events")).schema
-        val isLong = schema("ts").dataType == LongType
-        def fixTs(df: DataFrame): DataFrame =
-          if (isLong) df.withColumn("ts", expr("timestamp_micros(ts div 1000)")) else df
+        def fixTs(df: DataFrame): DataFrame = Tables.normalizeTs(df)
         val real = fixTs(spark.readStream.schema(schema)
             .parquet(stagedDir(spark, sf, "events")))
           .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -695,11 +684,8 @@ object StreamingQueries {
     // (Shared.GapFillOracle — stream/batch parity).
     QueryDef("stream_gap_fill",
       (spark, sf) => {
-        import org.apache.spark.sql.types.LongType
         val schema = spark.read.parquet(path(sf, "events")).schema
-        val isLong = schema("ts").dataType == LongType
-        def fixTs(df: DataFrame): DataFrame =
-          if (isLong) df.withColumn("ts", expr("timestamp_micros(ts div 1000)")) else df
+        def fixTs(df: DataFrame): DataFrame = Tables.normalizeTs(df)
         val real = fixTs(spark.readStream.schema(schema)
             .parquet(stagedDir(spark, sf, "events")))
           .withColumn("reading_cents",
