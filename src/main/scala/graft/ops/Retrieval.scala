@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Hybrid sparse+dense retrieval with reciprocal-rank fusion — the
+  * retrieval-augmented-pipeline step that combines a lexical ranker and
+  * an embedding ranker into one candidate list (RRF: Cormack/Clarke/
+  * Buettcher, SIGIR'09: `score(d) = Σ_lists 1/(k + rank_list(d))`).
+  *
+  * Scale shape (the probe set is ≪ the corpus — the serving/eval case):
+  *   - the probe list, probe term table, restricted document frequencies
+  *     and probe vectors are all O(|probes|·terms-per-doc) and travel by
+  *     BROADCAST; the corpus is only ever scanned or partially
+  *     aggregated — no corpus-sized shuffle anywhere;
+  *   - dense scoring is one corpus pass against the broadcast probe
+  *     vectors (the exact tier; at higher probe counts the IVF/PQ tiers
+  *     in [[Similarity]] replace it — the fusion below is ranker-
+  *     agnostic);
+  *   - sparse scoring joins the exploded term table against the
+  *     broadcast probe terms, so only rows matching a probe term
+  *     survive the scan, then partial-aggregates per (probe, doc);
+  *   - per-probe top-k runs through the engine's bounded-heap
+  *     [[graft.plans.GroupedTopK]] operator (partial phase before the
+  *     exchange), never a full window sort of every candidate;
+  *   - document frequencies are computed for PROBE terms only
+  *     (broadcast-semi-joined scan), not the full vocabulary.
+  *
+  * Determinism/oracle discipline: both rankers order by their score
+  * ROUNDED to 6 decimals with a doc-id tie-break (1-ulp summation-order
+  * noise collapses at 6 dp); the RRF sum of ≤ 2 reciprocal terms is
+  * order-independent IEEE addition, so ranks and fused scores replay
+  * exactly in DuckDB.
+  */
+object Retrieval {
+
+  /** Per-probe ranked top-k of a scored frame via the bounded-heap
+    * grouped-top-k operator; the rank window then runs over ≤ k rows
+    * per probe.
+    */
+  private def rankTopK(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    val top = graft.plans.GroupedTopK(
+      scored, keys = Seq("probe_id"),
+      orderBy = Seq((scoreCol, false), ("doc_id", true)), k = k)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col(scoreCol).desc, col("doc_id"))
+    top.withColumn("r", row_number().over(w))
+  }
+
+  /** Tokenize to the distinct lowercase alpha terms of each document. */
+  private def distinctTerms(docs: DataFrame, docCol: String, textCol: String): DataFrame =
+    docs.select(col(docCol).as("doc_id"),
+      explode(array_distinct(
+        filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= ""))).as("term"))
+
+  /** Dense ranker: exact cosine of every corpus vector against the
+    * broadcast probe vectors, per-probe top-k. Self-matches dropped.
+    */
+  def denseTopK(
+      emb: DataFrame, probes: DataFrame, k: Int,
+      docCol: String = "doc_id", vecCol: String = "embedding"): DataFrame = {
+    val corpus = emb.select(col(docCol).as("doc_id"), col(vecCol).as("cv"))
+    val probeVecs = emb.select(col(docCol).as("probe_id"), col(vecCol).as("pv"))
+      .join(broadcast(probes.select(col("probe_id"))), Seq("probe_id"))
+    val scored = corpus.crossJoin(broadcast(probeVecs))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("doc_id"),
+        round(Similarity.cosine(col("pv"), col("cv")), 6).as("sim"))
+    rankTopK(scored, "sim", k)
+  }
+
+  /** Sparse ranker: idf-weighted distinct-term overlap (BM25's idf with
+    * saturated tf — the lexical score that needs no per-doc length
+    * normalization), per-probe top-k. Only corpus rows matching a probe
+    * term survive the broadcast semi-join; df is computed for probe
+    * terms only.
+    */
+  def sparseTopK(
+      docs: DataFrame, probes: DataFrame, k: Int,
+      docCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val terms = distinctTerms(docs, docCol, textCol)
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val probeTerms = terms
+      .join(broadcast(probes.select(col("probe_id"))),
+        terms("doc_id") === col("probe_id"))
+      .select(col("probe_id"), col("term"))
+    val dfreq = terms
+      .join(broadcast(probeTerms.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val scored = terms
+      .join(broadcast(probeTerms), Seq("term"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(round(sum(log(col("n_docs") / col("df"))), 6).as("score"))
+    rankTopK(scored, "score", k)
+  }
+
+  /** Fuse any two ranked lists (`probe_id`, `doc_id`, `r`) by RRF and
+    * keep the top `topOut` per probe with both source ranks attached
+    * (0 = not retrieved by that ranker).
+    */
+  def rrfFuse(dense: DataFrame, sparse: DataFrame, kFuse: Int, topOut: Int): DataFrame = {
+    val d = dense.select(col("probe_id"), col("doc_id"), col("r").as("dr"))
+    val s = sparse.select(
+      col("probe_id").as("sp"), col("doc_id").as("sd"), col("r").as("sr"))
+    val fused = d
+      .join(s, col("probe_id") === col("sp") && col("doc_id") === col("sd"),
+        "full_outer")
+      .select(
+        coalesce(col("probe_id"), col("sp")).as("probe_id"),
+        coalesce(col("doc_id"), col("sd")).as("doc_id"),
+        (coalesce(lit(1.0) / (lit(kFuse) + col("dr")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kFuse) + col("sr")), lit(0.0))).as("rrf"),
+        coalesce(col("dr"), lit(0)).cast("int").as("dense_rank"),
+        coalesce(col("sr"), lit(0)).cast("int").as("sparse_rank"))
+    rankTopK(fused, "rrf", topOut)
+      .select(col("probe_id"), col("r").cast("int").as("fused_rank"),
+        col("doc_id"), round(col("rrf"), 6).as("rrf"),
+        col("dense_rank"), col("sparse_rank"))
+  }
+
+  /** End-to-end hybrid retrieval: lexical idf-overlap + exact cosine,
+    * RRF-fused. `probeIds` must be a small frame with a `probe_id`
+    * column (it is broadcast into every stage).
+    */
+  def hybridRrf(
+      docs: DataFrame, emb: DataFrame, probeIds: DataFrame,
+      k: Int = 20, kFuse: Int = 60, topOut: Int = 10): DataFrame =
+    rrfFuse(denseTopK(emb, probeIds, k), sparseTopK(docs, probeIds, k),
+      kFuse, topOut)
+}
