@@ -35,11 +35,12 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Retrieval {
 
-  /** Per-probe ranked top-k of a scored frame via the bounded-heap
-    * grouped-top-k operator; the rank window then runs over ≤ k rows
-    * per probe.
+  /** Per-probe ranked top-k of a scored frame (`probe_id`, `doc_id`,
+    * score) via the bounded-heap grouped-top-k operator; the rank window
+    * then runs over ≤ k rows per probe. Public so streaming twins can
+    * rank their sink tables with the identical tie-break contract.
     */
-  private def rankTopK(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+  def rankTopK(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
     val top = graft.plans.GroupedTopK(
       scored, keys = Seq("probe_id"),
       orderBy = Seq((scoreCol, false), ("doc_id", true)), k = k)

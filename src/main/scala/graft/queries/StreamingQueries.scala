@@ -949,5 +949,94 @@ object StreamingQueries {
       },
       Some("""SELECT vec_id AS query_id, 5 AS k FROM embeddings
              |WHERE vec_id < 10 ORDER BY query_id""".stripMargin)),
+
+    // Streaming twin of the hybrid-RRF retrieval tier: probes arrive as
+    // micro-batches (their vectors on one stream, their text on
+    // another), each scored against STATIC corpus-side structures — the
+    // dense ranker is a stateless stream-static non-equi join against
+    // the embedding corpus, the sparse ranker a stream-static equi-join
+    // of exploded probe terms against the inverted term index (df and
+    // |corpus| precomputed batch-side, the way a serving deployment
+    // refreshes its index offline) with one stateful (probe, doc) sum.
+    // Ranking + RRF fusion run batch-side on the sinks through the SAME
+    // Retrieval operators as the batch twin, and emission is gated on
+    // exact stream/batch parity (exceptAll both ways = 0), so the
+    // shared oracle replays the output exactly.
+    QueryDef("stream_hybrid_rrf",
+      (spark, sf) => {
+        import graft.ops.{Retrieval, Similarity}
+        val docs = Tables.load(spark, sf, "documents")
+        val emb = Tables.load(spark, sf, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        // static index side (offline-refreshed in a deployment)
+        val corpus = emb.select(col("doc_id"), col("embedding").as("cv"))
+        def explodeTerms(df: DataFrame, idAs: String): DataFrame =
+          df.select(col(idAs),
+            explode(array_distinct(
+              filter(split(lower(col("text")), "[^a-z]+"), t => t =!= ""))).as("term"))
+        val terms = explodeTerms(
+          docs.select(col("doc_id"), col("text")).withColumnRenamed("doc_id", "doc_id"), "doc_id")
+        val nDocsV = docs.count().toDouble
+        val probeTermSet = terms
+          .join(emb.select(col("doc_id").as("probe_id")).filter(col("probe_id") % 100 === 7),
+            terms("doc_id") === col("probe_id"))
+          .select("term").distinct()
+        val dfreq = terms.join(broadcast(probeTermSet), Seq("term"))
+          .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+        // dense: probe vectors stream against the static corpus
+        val eSchema = spark.read.parquet(path(sf, "embeddings")).schema
+        val probeVecStream = spark.readStream.schema(eSchema)
+          .parquet(stagedDir(spark, sf, "embeddings"))
+          .filter(col("vec_id") % 100 === 7)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+        val denseScored = probeVecStream
+          .join(corpus, col("doc_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("doc_id"),
+            round(Similarity.cosine(col("pv"), col("cv")), 6).as("sim"))
+        val dTable = s"stream_hrrf_d_${counter.incrementAndGet()}"
+        val q1 = denseScored.writeStream.format("memory").queryName(dTable)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q1.awaitTermination() finally q1.stop()
+        // sparse: probe text streams, terms explode statelessly, join the
+        // static inverted index, one stateful per-(probe, doc) idf sum.
+        // The probe set is defined by the EMBEDDINGS table (the batch
+        // twin's and the oracle's contract) — the corpora can differ in
+        // extent (at sf0.1 documents outnumber embeddings), so the
+        // streamed document ids are semi-joined against the static
+        // embedding-derived probe list, not just modulo-filtered.
+        val probeIdsStatic = emb.select(col("doc_id").as("probe_id"))
+          .filter(col("probe_id") % 100 === 7)
+        val dSchema = spark.read.parquet(path(sf, "documents")).schema
+        val probeTermStream = explodeTerms(
+          spark.readStream.schema(dSchema)
+            .parquet(stagedDir(spark, sf, "documents"))
+            .filter(col("doc_id") % 100 === 7)
+            .select(col("doc_id").as("probe_id"), col("text"))
+            .join(broadcast(probeIdsStatic), Seq("probe_id")), "probe_id")
+        val sparseScored = probeTermStream
+          .join(terms.join(broadcast(dfreq), Seq("term")), Seq("term"))
+          .filter(col("doc_id") =!= col("probe_id"))
+          .groupBy(col("probe_id"), col("doc_id"))
+          .agg(round(sum(log(lit(nDocsV) / col("df"))), 6).as("score"))
+        val sTable = s"stream_hrrf_s_${counter.incrementAndGet()}"
+        val q2 = sparseScored.writeStream.format("memory").queryName(sTable)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q2.awaitTermination() finally q2.stop()
+        // rank + fuse through the SAME operators as the batch twin
+        val fusedStream = Retrieval.rrfFuse(
+          Retrieval.rankTopK(spark.table(dTable), "sim", 20),
+          Retrieval.rankTopK(spark.table(sTable), "score", 20),
+          kFuse = 60, topOut = 10)
+        val fusedBatch = Retrieval.hybridRrf(docs, emb,
+          emb.select(col("doc_id").as("probe_id")).filter(col("probe_id") % 100 === 7))
+        val parity = fusedStream.exceptAll(fusedBatch)
+          .unionAll(fusedBatch.exceptAll(fusedStream))
+          .agg(count(lit(1)).as("n_diff"))
+        fusedStream.crossJoin(parity).filter(col("n_diff") === 0)
+          .select(col("probe_id"), col("fused_rank"), col("doc_id"),
+            col("rrf"), col("dense_rank"), col("sparse_rank"))
+          .orderBy(col("probe_id"), col("fused_rank"))
+      },
+      Some(Shared.HybridRrfOracle)),
   )
 }

@@ -1183,80 +1183,6 @@ object TextQueries {
         graft.ops.Retrieval.hybridRrf(docs, emb, probes)
           .orderBy(col("probe_id"), col("fused_rank"))
       },
-      Some("""WITH docs AS (
-             |  SELECT doc_id,
-             |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
-             |                t -> t <> '') AS toks
-             |  FROM documents
-             |),
-             |probes AS (
-             |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
-             |  FROM embeddings WHERE vec_id % 100 = 7
-             |),
-             |corpus AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS cv
-             |           FROM embeddings),
-             |dense_scored AS (
-             |  SELECT p.probe_id, c.doc_id,
-             |    ROUND(list_dot_product(p.pv, c.cv) /
-             |      (sqrt(list_dot_product(p.pv, p.pv)) *
-             |       sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
-             |  FROM probes p JOIN corpus c ON c.doc_id <> p.probe_id
-             |),
-             |dense_top AS (
-             |  SELECT * FROM (
-             |    SELECT probe_id, doc_id,
-             |      ROW_NUMBER() OVER (PARTITION BY probe_id
-             |                         ORDER BY sim DESC, doc_id) AS r
-             |    FROM dense_scored) WHERE r <= 20
-             |),
-             |terms AS (
-             |  SELECT doc_id, unnest(list_distinct(toks)) AS term FROM docs
-             |),
-             |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM docs),
-             |probe_terms AS (
-             |  SELECT p.probe_id, t.term
-             |  FROM (SELECT probe_id FROM probes) p
-             |  JOIN terms t ON t.doc_id = p.probe_id
-             |),
-             |pdf AS (
-             |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM terms
-             |  WHERE term IN (SELECT term FROM probe_terms) GROUP BY term
-             |),
-             |sparse_scored AS (
-             |  SELECT pt.probe_id, t.doc_id,
-             |    ROUND(SUM(ln(n.n_docs / pdf.df)), 6) AS score
-             |  FROM probe_terms pt
-             |  JOIN terms t USING (term)
-             |  JOIN pdf USING (term)
-             |  CROSS JOIN n
-             |  WHERE t.doc_id <> pt.probe_id
-             |  GROUP BY pt.probe_id, t.doc_id
-             |),
-             |sparse_top AS (
-             |  SELECT * FROM (
-             |    SELECT probe_id, doc_id,
-             |      ROW_NUMBER() OVER (PARTITION BY probe_id
-             |                         ORDER BY score DESC, doc_id) AS r
-             |    FROM sparse_scored) WHERE r <= 20
-             |),
-             |fused AS (
-             |  SELECT COALESCE(d.probe_id, s.probe_id) AS probe_id,
-             |    COALESCE(d.doc_id, s.doc_id) AS doc_id,
-             |    COALESCE(1.0 / (60 + d.r), 0) + COALESCE(1.0 / (60 + s.r), 0) AS rrf,
-             |    COALESCE(d.r, 0) AS dense_rank,
-             |    COALESCE(s.r, 0) AS sparse_rank
-             |  FROM dense_top d
-             |  FULL OUTER JOIN sparse_top s
-             |    ON d.probe_id = s.probe_id AND d.doc_id = s.doc_id
-             |)
-             |SELECT probe_id, CAST(fr AS INT) AS fused_rank, doc_id,
-             |  ROUND(rrf, 6) AS rrf,
-             |  CAST(dense_rank AS INT) AS dense_rank,
-             |  CAST(sparse_rank AS INT) AS sparse_rank
-             |FROM (
-             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
-             |                               ORDER BY rrf DESC, doc_id) AS fr
-             |  FROM fused)
-             |WHERE fr <= 10 ORDER BY probe_id, fused_rank""".stripMargin)),
+      Some(Shared.HybridRrfOracle)),
   )
 }

@@ -37,25 +37,85 @@ object Prof {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32").config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.ops.Similarity
+    import graft.ops.{Retrieval, Similarity}
     import org.apache.spark.sql.functions._
-    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    for (sf <- Seq("sf0.01", "sf0.1")) {
-      val e = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
-      val queries = e.filter(col("vec_id") < 10)
-      val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", 5)
-        .select("query_id", "neighbor_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      for ((m, ksub, rf) <- Seq((8, 16, 4), (8, 32, 8), (16, 32, 8), (8, 16, 16))) {
-        val pq = Similarity.pqTopK(e, queries, "vec_id", "embedding", k = 5,
-            m = m, ksub = ksub, rerankFactor = rf)
-          .select("query_id", "neighbor_id").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet
-        println(f"$sf m=$m ksub=$ksub rf=$rf: recall=${pq.intersect(exact).size.toDouble / exact.size}%.3f")
-      }
+    import org.apache.spark.sql.streaming.Trigger
+    val sf = "/root/testdata/sf0.1"
+    val docs = graft.queries.Tables.load(spark, sf, "documents")
+    val emb = graft.queries.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val probes = emb.select(col("doc_id").as("probe_id")).filter(col("probe_id") % 100 === 7)
+    val corpus = emb.select(col("doc_id"), col("embedding").as("cv"))
+    val terms = docs.select(col("doc_id"),
+      explode(array_distinct(filter(split(lower(col("text")), "[^a-z]+"), t => t =!= ""))).as("term"))
+    val nDocsV = docs.count().toDouble
+    val probeTermSet = terms.join(probes, terms("doc_id") === col("probe_id")).select("term").distinct()
+    val dfreq = terms.join(broadcast(probeTermSet), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    // stage dirs (same trick as StreamingQueries)
+    def staged(table: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"prof_$table")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/$table.parquet"), dir.resolve(s"$table.parquet"))
+      dir.toString
     }
+    val eSchema = spark.read.parquet(s"$sf/embeddings.parquet").schema
+    val probeVecStream = spark.readStream.schema(eSchema).parquet(staged("embeddings"))
+      .filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val denseScored = probeVecStream
+      .join(corpus, col("doc_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("doc_id"),
+        round(Similarity.cosine(col("pv"), col("cv")), 6).as("sim"))
+    val q1 = denseScored.writeStream.format("memory").queryName("pd")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q1.awaitTermination() finally q1.stop()
+    val dSchema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val probeTermStream = spark.readStream.schema(dSchema).parquet(staged("documents"))
+      .filter(col("doc_id") % 100 === 7)
+      .select(col("doc_id").as("probe_id"),
+        explode(array_distinct(filter(split(lower(col("text")), "[^a-z]+"), t => t =!= ""))).as("term"))
+    val sparseScored = probeTermStream
+      .join(terms.join(broadcast(dfreq), Seq("term")), Seq("term"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(round(sum(log(lit(nDocsV) / col("df"))), 6).as("score"))
+    val q2 = sparseScored.writeStream.format("memory").queryName("ps")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try q2.awaitTermination() finally q2.stop()
+    println("dense sink rows: " + spark.table("pd").count())
+    println("sparse sink rows: " + spark.table("ps").count())
+    // compare sinks to batch-side scored frames
+    val denseBatch = corpus.crossJoin(broadcast(
+        emb.select(col("doc_id").as("probe_id"), col("embedding").as("pv"))
+          .join(broadcast(probes.select(col("probe_id"))), Seq("probe_id"))))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("doc_id"),
+        round(Similarity.cosine(col("pv"), col("cv")), 6).as("sim"))
+    println("dense scored diff: " + spark.table("pd").exceptAll(denseBatch)
+      .unionAll(denseBatch.exceptAll(spark.table("pd"))).count())
+    val probeTerms2 = terms.join(probes, terms("doc_id") === col("probe_id"))
+      .select(col("probe_id"), col("term"))
+    val sparseBatch = probeTerms2
+      .join(terms.join(broadcast(dfreq), Seq("term")), Seq("term"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(round(sum(log(lit(nDocsV) / col("df"))), 6).as("score"))
+    val sdiff = spark.table("ps").exceptAll(sparseBatch)
+      .unionAll(sparseBatch.exceptAll(spark.table("ps")))
+    println("sparse scored diff: " + sdiff.count())
+    sdiff.orderBy("probe_id", "doc_id").show(30, false)
+    val fusedStream = Retrieval.rrfFuse(
+      Retrieval.rankTopK(spark.table("pd"), "sim", 20),
+      Retrieval.rankTopK(spark.table("ps"), "score", 20), 60, 10)
+    val fusedBatch = Retrieval.hybridRrf(docs, emb, probes)
+    val fdiff = fusedStream.exceptAll(fusedBatch).withColumn("side", lit("stream"))
+      .unionAll(fusedBatch.exceptAll(fusedStream).withColumn("side", lit("batch")))
+    println("fused diff: " + fdiff.count())
+    fdiff.orderBy("probe_id", "fused_rank", "side").show(40, false)
     spark.stop()
   }
 }
