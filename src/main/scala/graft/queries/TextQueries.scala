@@ -796,6 +796,55 @@ object TextQueries {
     // + lexical diversity) → language filter → exact-dedup survivors →
     // deterministic 50% sample. Every stage is SQL-expressible, so the
     // whole composition gets one oracle.
+    // Corpus integrity audit: the docs↔embeddings consistency report a
+    // multi-table pipeline needs BEFORE joining the two corpora —
+    // missing embeddings, orphan embeddings, degenerate vectors
+    // (zero-norm or NaN), wrong dimensionality. One full-outer join on
+    // the id (single shuffle, single aggregate pass); every check is a
+    // counting expression inside the same aggregate, so the audit costs
+    // one scan of each table at any scale. Motivated concretely: at
+    // sf0.1 documents outnumber embeddings, which silently broke a
+    // modulo-derived probe set (see stream_hybrid_rrf) — this query is
+    // the canary for that class of extent drift.
+    QueryDef("corpus_integrity_audit",
+      (spark, sf) => {
+        val docs = load(spark, sf, "documents").select(col("doc_id"))
+        val emb = load(spark, sf, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        docs.join(emb, docs("doc_id") === emb("vec_id"), "full_outer")
+          .agg(
+            count(col("doc_id")).as("n_docs"),
+            count(col("vec_id")).as("n_embeddings"),
+            sum(when(col("vec_id").isNull, 1L).otherwise(0L))
+              .as("n_docs_missing_embedding"),
+            sum(when(col("doc_id").isNull, 1L).otherwise(0L))
+              .as("n_orphan_embeddings"),
+            sum(when(col("vec_id").isNotNull &&
+                (exists(col("embedding"), x => isnan(x)) ||
+                  aggregate(col("embedding"), lit(0.0),
+                    (a, x) => a + x * x) === 0.0), 1L).otherwise(0L))
+              .as("n_zero_or_nan_vectors"),
+            sum(when(col("vec_id").isNotNull && size(col("embedding")) =!= 64,
+              1L).otherwise(0L)).as("n_wrong_dim"))
+      },
+      Some("""SELECT
+             |  CAST(COUNT(d.doc_id) AS BIGINT) AS n_docs,
+             |  CAST(COUNT(e.vec_id) AS BIGINT) AS n_embeddings,
+             |  CAST(SUM(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_docs_missing_embedding,
+             |  CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_orphan_embeddings,
+             |  CAST(SUM(CASE WHEN e.vec_id IS NOT NULL AND (
+             |      list_aggregate(list_transform(CAST(e.embedding AS DOUBLE[]),
+             |        x -> CASE WHEN isnan(x) THEN 1 ELSE 0 END), 'sum') > 0
+             |      OR list_dot_product(CAST(e.embedding AS DOUBLE[]),
+             |                          CAST(e.embedding AS DOUBLE[])) = 0)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_or_nan_vectors,
+             |  CAST(SUM(CASE WHEN e.vec_id IS NOT NULL AND len(e.embedding) <> 64
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim
+             |FROM documents d FULL OUTER JOIN embeddings e
+             |  ON d.doc_id = e.vec_id""".stripMargin)),
+
     QueryDef("corpus_curation",
       (spark, sf) => {
         val d = load(spark, sf, "documents")
