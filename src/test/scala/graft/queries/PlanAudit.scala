@@ -59,6 +59,11 @@ class PlanAudit extends SparkSpec {
     "q_scd2_history" -> 3,       // three windows, ONE custkey exchange + orderBy
     "text_top_terms" -> 8,       // tf agg + df agg + join + TopKPerKey + orderBy
     "q_join_hints" -> 4,         // two hash-join exchanges + agg + orderBy
+    // round-13 additions
+    "text_hybrid_rrf" -> 20,     // 3 × TopKPerKey final exchanges + rank
+    // windows + sparse (probe-df, idf-sum) aggs + fusion SMJ + orderBy
+    // (measured 18 under the 4-partition test session)
+    "corpus_integrity_audit" -> 5, // full-outer id join + single agg + orderBy
     "q_outlier_zscore" -> 5,     // stats agg + broadcast join back + outlier agg
     "q_profile_stats" -> 4,      // one multi-distinct aggregate + unpivot
     "etl_cdc_apply" -> 5,        // log-compaction window + full-outer merge, one key
@@ -119,7 +124,12 @@ class PlanAudit extends SparkSpec {
     "corpus_split_leakproof" -> 1,
     // the hot-basket dropped-fraction emission gate, applied ONCE to
     // each query's final post-aggregation output
-    "q_basket_pairs" -> 1, "q_triangle_count" -> 1)
+    "q_basket_pairs" -> 1, "q_triangle_count" -> 1,
+    // hybrid RRF: one scalar n_docs attach + the exact-tier dense
+    // scoring fan-out (broadcast of the ≪-corpus probe set against the
+    // corpus scan — the deliberate serving shape, work bounded by
+    // |probes|·|corpus|, same economics as sim_cosine_topk's exact tier)
+    "text_hybrid_rrf" -> 2)
 
   test("q_skew_aqe_join: AQE splits the hot partition (structural isSkewJoin)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

@@ -89,6 +89,22 @@ class PlanSpec extends SparkSpec {
       s"embedding dedup must join on (band,bucket), not all-pairs:\n$p")
   }
 
+  test("hybrid RRF: bounded-heap top-k per ranker, corpus side never sort-merged") {
+    val df = graft.SparkEntry.queries("text_hybrid_rrf")(spark, Sf)
+    val p = df.queryExecution.executedPlan.toString
+    // three GroupedTopK sites (dense, sparse, fusion) × partial+final
+    val topk = "TopKPerKey".r.findAllIn(p).size
+    assert(topk >= 6, s"expected 6 TopKPerKey phases (3 ops × 2), got $topk:\n$p")
+    // the ONLY sort-merge join allowed is the full-outer fusion of two
+    // ≤ k·|probes| ranked lists; every corpus-sized join must broadcast
+    val smj = "SortMergeJoin".r.findAllIn(p).size
+    assert(smj <= 1, s"corpus-side join degenerated to sort-merge ($smj found):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"dense scoring must be a broadcast nested-loop, not a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe-term / df joins must broadcast:\n$p")
+  }
+
   test("bloom prefilter is the native codegen'd might_contain, not a UDF") {
     // q_bloom_join's small side is empty at sf0.001 (its empty-side fast
     // path collapses to a LocalTableScan) — build a non-empty instance
