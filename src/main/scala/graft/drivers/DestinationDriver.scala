@@ -406,13 +406,29 @@ final class JdbcDestinationDriver(
     requireTable(spec)
     if (merge) mergeWrite(df, spec)
     else {
-      val w = df.write.format("jdbc")
-        .option("url", UriSchemes.jdbcUrl(spec.destination)).option("dbtable", table)
+      val url = UriSchemes.jdbcUrl(spec.destination)
+      val w = singleWriterIfEmbedded(df, url).write.format("jdbc")
+        .option("url", url).option("dbtable", table)
         .option("batchsize", batchSize.toString)
         .mode(SaveMode.Overwrite).option("truncate", "true")
       properties.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }.save()
     }
   }
+
+  /** Embedded Derby (`jdbc:derby:<path>`, no network host) is an
+    * in-process single-node store whose background page-cache observer
+    * chain races under concurrent batch DML from multiple connections —
+    * an internal Derby NPE (`BaseContainerHandle.deleteObserver` on a
+    * null owner) surfaced flakily under full-suite load. One writer
+    * connection is the honest shape there: in-process, extra
+    * connections buy no parallel I/O. Server endpoints (including
+    * Derby client/server `jdbc:derby://host/...`) keep the standard
+    * per-partition parallel connections.
+    */
+  private def singleWriterIfEmbedded(df: DataFrame, url: String): DataFrame =
+    if (url.startsWith("jdbc:derby:") && !url.startsWith("jdbc:derby://"))
+      df.coalesce(1)
+    else df
 
   private def sqlType(dt: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._
@@ -463,7 +479,7 @@ final class JdbcDestinationDriver(
     }
     val schema = df.schema
     val bs = batchSize
-    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+    singleWriterIfEmbedded(df, url).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.nonEmpty) {
         driverClass.foreach(Class.forName)
         val conn = java.sql.DriverManager.getConnection(url)
