@@ -99,6 +99,50 @@ object Retrieval {
     rankTopK(scored, "score", k)
   }
 
+  /** Full per-probe BM25 ranker (Robertson idf, tf saturation k1,
+    * length normalization b) — the dynamic-query form of the fixed-term
+    * BM25 in the text tier: every probe document's term set is the
+    * query. Same broadcast economics as [[sparseTopK]] — the corpus
+    * token stream is semi-joined against the broadcast probe terms at
+    * the scan, so tf aggregation only ever sees matching rows; df, dl
+    * stats and probe terms travel by broadcast.
+    */
+  def bm25TopK(
+      docs: DataFrame, probes: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      docCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(docCol).as("doc_id"),
+      filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= "").as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg("dl").as("avgdl"))
+    val terms = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+    val probeTerms = terms
+      .join(broadcast(probes.select(col("probe_id"))),
+        terms("doc_id") === col("probe_id"))
+      .select(col("probe_id"), col("term")).distinct()
+    // df on the distinct-term table, probe terms only
+    val dfreq = terms.select(col("doc_id"), col("term")).distinct()
+      .join(broadcast(probeTerms.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val tf = terms
+      .join(broadcast(probeTerms), Seq("term"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          col("tf") * (k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(round(sum("contrib"), 6).as("score"))
+    rankTopK(scored, "score", k)
+  }
+
   /** Fuse any two ranked lists (`probe_id`, `doc_id`, `r`) by RRF and
     * keep the top `topOut` per probe with both source ranks attached
     * (0 = not retrieved by that ranker).

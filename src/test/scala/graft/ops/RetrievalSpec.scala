@@ -63,6 +63,19 @@ class RetrievalSpec extends SparkSpec {
     assert(out(2)._3 === 1 && out(2)._4 === 0) // doc2: sparse-absent
   }
 
+  test("per-probe BM25: rare-term docs outrank ubiquitous-term docs, probe excluded, symmetric docs tie") {
+    val r = Retrieval.bm25TopK(docs, probe, k = 6)
+      .orderBy("r").select("doc_id", "r", "score").as[(Long, Int, Double)].collect()
+    // probe 0 terms {the, zebra, runs, fast}: doc1 {the, zebra} and
+    // doc3 {the, runs} are structurally symmetric (same dl=3, zebra and
+    // runs both df=2) → equal scores, doc_id tie-break; docs 2/4/5
+    // share only "the" (df=6 → smallest idf) and rank below.
+    assert(r.map(_._1).take(2).toSeq === Seq(1L, 3L))
+    assert(r(0)._3 === r(1)._3)
+    assert(!r.map(_._1).contains(0L)) // self excluded
+    assert(r.drop(2).forall(_._3 < r(0)._3))
+  }
+
   test("hybrid output is partitioning-independent") {
     val base = Retrieval.hybridRrf(docs, emb, probe).collect().toSeq
     val repart = Retrieval.hybridRrf(

@@ -64,6 +64,9 @@ class PlanAudit extends SparkSpec {
     // windows + sparse (probe-df, idf-sum) aggs + fusion SMJ + orderBy
     // (measured 18 under the 4-partition test session)
     "corpus_integrity_audit" -> 5, // full-outer id join + single agg + orderBy
+    "text_probe_bm25" -> 18,     // probe-term distinct + df distinct + tf agg
+    // + per-(probe,doc) agg + dl join + TopKPerKey final + rank window +
+    // orderBy (measured 16 under the 4-partition test session)
     "q_outlier_zscore" -> 5,     // stats agg + broadcast join back + outlier agg
     "q_profile_stats" -> 4,      // one multi-distinct aggregate + unpivot
     "etl_cdc_apply" -> 5,        // log-compaction window + full-outer merge, one key
@@ -129,7 +132,9 @@ class PlanAudit extends SparkSpec {
     // scoring fan-out (broadcast of the ≪-corpus probe set against the
     // corpus scan — the deliberate serving shape, work bounded by
     // |probes|·|corpus|, same economics as sim_cosine_topk's exact tier)
-    "text_hybrid_rrf" -> 2)
+    "text_hybrid_rrf" -> 2,
+    // the one-row (n_docs, avgdl) stats attach
+    "text_probe_bm25" -> 1)
 
   test("q_skew_aqe_join: AQE splits the hot partition (structural isSkewJoin)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
