@@ -312,4 +312,57 @@ object Shared {
       |                               ORDER BY rrf DESC, doc_id) AS fr
       |  FROM fused)
       |WHERE fr <= 10 ORDER BY probe_id, fused_rank""".stripMargin
+
+  /** One oracle for both per-probe BM25 twins (`text_probe_bm25` batch,
+    * `stream_probe_bm25` streaming probes against the precomputed
+    * impact-indexed posting list): full BM25 (k1=1.2, b=0.75) of every
+    * probe document's term set, top-20 per probe, 6-dp rank keys.
+    */
+  val ProbeBm25Oracle: String =
+    """WITH docs AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+             |                t -> t <> '') AS toks
+             |  FROM documents
+             |),
+             |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM docs),
+             |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             |                 AVG(dl) AS avgdl FROM dl),
+             |terms AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+             |probes AS (SELECT vec_id AS probe_id FROM embeddings
+             |           WHERE vec_id % 100 = 7),
+             |probe_terms AS (
+             |  SELECT DISTINCT p.probe_id, t.term
+             |  FROM probes p JOIN terms t ON t.doc_id = p.probe_id
+             |),
+             |dfreq AS (
+             |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+             |  FROM (SELECT DISTINCT doc_id, term FROM terms)
+             |  WHERE term IN (SELECT DISTINCT term FROM probe_terms)
+             |  GROUP BY term
+             |),
+             |tf AS (
+             |  SELECT pt.probe_id, t.doc_id, t.term,
+             |    CAST(COUNT(*) AS DOUBLE) AS tf
+             |  FROM terms t JOIN probe_terms pt USING (term)
+             |  WHERE t.doc_id <> pt.probe_id
+             |  GROUP BY pt.probe_id, t.doc_id, t.term
+             |),
+             |scored AS (
+             |  SELECT f.probe_id, f.doc_id,
+             |    ROUND(SUM(
+             |      ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) * f.tf * 2.2 /
+             |      (f.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))), 6) AS score
+             |  FROM tf f
+             |  JOIN dfreq d USING (term)
+             |  JOIN dl l ON l.doc_id = f.doc_id
+             |  CROSS JOIN stats s
+             |  GROUP BY f.probe_id, f.doc_id
+             |)
+             |SELECT probe_id, CAST(r AS INT) AS r, doc_id, score FROM (
+             |  SELECT probe_id, doc_id, score,
+             |    ROW_NUMBER() OVER (PARTITION BY probe_id
+             |                       ORDER BY score DESC, doc_id) AS r
+             |  FROM scored)
+             |WHERE r <= 20 ORDER BY probe_id, r""".stripMargin
 }

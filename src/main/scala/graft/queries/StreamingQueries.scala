@@ -1029,14 +1029,105 @@ object StreamingQueries {
           kFuse = 60, topOut = 10)
         val fusedBatch = Retrieval.hybridRrf(docs, emb,
           emb.select(col("doc_id").as("probe_id")).filter(col("probe_id") % 100 === 7))
-        val parity = fusedStream.exceptAll(fusedBatch)
-          .unionAll(fusedBatch.exceptAll(fusedStream))
-          .agg(count(lit(1)).as("n_diff"))
-        fusedStream.crossJoin(parity).filter(col("n_diff") === 0)
+        // Evaluated ONCE per side (see stream_probe_bm25's gate note):
+        // a lazy exceptAll gate re-evaluates the batch fusion per leg,
+        // and float-rounding-boundary values can differ between
+        // independent evaluations. Both fused lists are ≤ topOut·|probes|
+        // rows — one bounded driver-side compare of the rank structure.
+        val sKeys = fusedStream
+          .select(col("probe_id"), col("fused_rank"), col("doc_id"),
+            col("dense_rank"), col("sparse_rank"))
+          .collect().map(r =>
+            (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4))).toSet
+        val bKeys = fusedBatch
+          .select(col("probe_id"), col("fused_rank"), col("doc_id"),
+            col("dense_rank"), col("sparse_rank"))
+          .collect().map(r =>
+            (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4))).toSet
+        val gated = if (sKeys == bKeys && sKeys.nonEmpty) fusedStream
+          else fusedStream.limit(0)
+        gated
           .select(col("probe_id"), col("fused_rank"), col("doc_id"),
             col("rrf"), col("dense_rank"), col("sparse_rank"))
           .orderBy(col("probe_id"), col("fused_rank"))
       },
       Some(Shared.HybridRrfOracle)),
+
+    // Streaming twin of per-probe BM25 — the classic serving shape: the
+    // posting list is IMPACT-INDEXED offline (per-(term, doc) BM25
+    // contribution precomputed from tf/df/dl/corpus stats, the static
+    // side a deployment refreshes with the index build), and arriving
+    // probes just explode to their distinct terms, semi-join the posting
+    // list (stream-static equi join, stateless), and fold one stateful
+    // (probe, doc) sum. Ranking runs batch-side on the sink through the
+    // same rankTopK; emission is gated on exact stream/batch parity with
+    // the batch operator, so the shared oracle replays exactly.
+    QueryDef("stream_probe_bm25",
+      (spark, sf) => {
+        import graft.ops.Retrieval
+        val docs = Tables.load(spark, sf, "documents")
+        val probes = Tables.load(spark, sf, "embeddings")
+          .select(col("vec_id").as("probe_id"))
+          .filter(col("probe_id") % 100 === 7)
+        // offline impact index: per-(term, doc) BM25 contribution
+        val (k1, b) = (1.2, 0.75)
+        val toks = docs.select(col("doc_id"),
+          filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("toks"))
+        val dl = toks.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+        val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+          avg("dl").as("avgdl"))
+        val terms = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+        val tf = terms.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).cast("double").as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+        val postings = tf.join(dfreq, Seq("term")).join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .select(col("term"), col("doc_id"),
+            (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+              col("tf") * (k1 + 1) /
+              (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+              .as("contrib"))
+        // probes stream: distinct terms of each arriving probe document
+        val dSchema = spark.read.parquet(path(sf, "documents")).schema
+        val probeTermStream = spark.readStream.schema(dSchema)
+          .parquet(stagedDir(spark, sf, "documents"))
+          .filter(col("doc_id") % 100 === 7)
+          .select(col("doc_id").as("probe_id"),
+            explode(array_distinct(
+              filter(split(lower(col("text")), "[^a-z]+"), t => t =!= ""))).as("term"))
+          .join(broadcast(probes), Seq("probe_id"))
+        val scored = probeTermStream
+          .join(postings, Seq("term"))
+          .filter(col("doc_id") =!= col("probe_id"))
+          .groupBy(col("probe_id"), col("doc_id"))
+          .agg(round(sum(col("contrib")), 6).as("score"))
+        val table = s"stream_pbm25_${counter.incrementAndGet()}"
+        val q = scored.writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        val streamRanked = Retrieval.rankTopK(spark.table(table), "score", 20)
+          .select(col("probe_id"), col("r"), col("doc_id"), col("score"))
+        val batchRanked = Retrieval.bm25TopK(docs, probes, k = 20)
+          .select(col("probe_id"), col("r"), col("doc_id"), col("score"))
+        // Parity gate, evaluated ONCE per side: a lazy exceptAll gate
+        // re-evaluates the batch ranking inside each leg of the compare,
+        // and independent evaluations of a float aggregate can disagree
+        // in the 6th decimal on a rounding-boundary value (partial-agg
+        // summation order), tripping the gate spuriously. Both ranked
+        // lists are ≤ k·|probes| rows by construction, so one bounded
+        // driver-side compare of the rank structure is the honest,
+        // deterministic form (the stream_ann_probe precedent).
+        val sKeys = streamRanked.select(col("probe_id"), col("r"), col("doc_id"))
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        val bKeys = batchRanked.select(col("probe_id"), col("r"), col("doc_id"))
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        val gated = if (sKeys == bKeys && sKeys.nonEmpty) streamRanked
+          else streamRanked.limit(0)
+        gated
+          .select(col("probe_id"), col("r").cast("int").as("r"),
+            col("doc_id"), col("score"))
+          .orderBy(col("probe_id"), col("r"))
+      },
+      Some(Shared.ProbeBm25Oracle)),
   )
 }

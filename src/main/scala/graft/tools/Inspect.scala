@@ -35,87 +35,66 @@ object Inspect {
 /** Stage-level profiling scratchpad (edit as needed per investigation). */
 object Prof {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32").config("spark.ui.enabled", "false")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8").config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.ops.{Retrieval, Similarity}
+    import graft.ops.Retrieval
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.streaming.Trigger
-    val sf = "/root/testdata/sf0.1"
+    val sf = "/root/testdata/sf0.001"
     val docs = graft.queries.Tables.load(spark, sf, "documents")
-    val emb = graft.queries.Tables.load(spark, sf, "embeddings")
-      .select(col("vec_id").as("doc_id"), col("embedding"))
-    val probes = emb.select(col("doc_id").as("probe_id")).filter(col("probe_id") % 100 === 7)
-    val corpus = emb.select(col("doc_id"), col("embedding").as("cv"))
-    val terms = docs.select(col("doc_id"),
-      explode(array_distinct(filter(split(lower(col("text")), "[^a-z]+"), t => t =!= ""))).as("term"))
-    val nDocsV = docs.count().toDouble
-    val probeTermSet = terms.join(probes, terms("doc_id") === col("probe_id")).select("term").distinct()
-    val dfreq = terms.join(broadcast(probeTermSet), Seq("term"))
-      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    // stage dirs (same trick as StreamingQueries)
-    def staged(table: String): String = {
-      val dir = java.nio.file.Files.createTempDirectory(s"prof_$table")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$sf/$table.parquet"), dir.resolve(s"$table.parquet"))
-      dir.toString
-    }
-    val eSchema = spark.read.parquet(s"$sf/embeddings.parquet").schema
-    val probeVecStream = spark.readStream.schema(eSchema).parquet(staged("embeddings"))
-      .filter(col("vec_id") % 100 === 7)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    val denseScored = probeVecStream
-      .join(corpus, col("doc_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("doc_id"),
-        round(Similarity.cosine(col("pv"), col("cv")), 6).as("sim"))
-    val q1 = denseScored.writeStream.format("memory").queryName("pd")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    try q1.awaitTermination() finally q1.stop()
+    val probes = graft.queries.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("probe_id")).filter(col("probe_id") % 100 === 7)
+    val (k1, b) = (1.2, 0.75)
+    val toks = docs.select(col("doc_id"),
+      filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+    val terms = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val postings = tf.join(dfreq, Seq("term")).join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"),
+        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          col("tf") * (k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("contrib"))
+    val probeTerms = docs.select(col("doc_id").as("probe_id"),
+        explode(array_distinct(filter(split(lower(col("text")), "[^a-z]+"), t => t =!= ""))).as("term"))
+      .join(broadcast(probes), Seq("probe_id"))
+    val dir = java.nio.file.Files.createTempDirectory("prof_docs")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
     val dSchema = spark.read.parquet(s"$sf/documents.parquet").schema
-    val probeTermStream = spark.readStream.schema(dSchema).parquet(staged("documents"))
+    val probeTermStream = spark.readStream.schema(dSchema).parquet(dir.toString)
       .filter(col("doc_id") % 100 === 7)
       .select(col("doc_id").as("probe_id"),
         explode(array_distinct(filter(split(lower(col("text")), "[^a-z]+"), t => t =!= ""))).as("term"))
-    val sparseScored = probeTermStream
-      .join(terms.join(broadcast(dfreq), Seq("term")), Seq("term"))
+      .join(broadcast(probes), Seq("probe_id"))
+    val scored = probeTermStream.join(postings, Seq("term"))
       .filter(col("doc_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("doc_id"))
-      .agg(round(sum(log(lit(nDocsV) / col("df"))), 6).as("score"))
-    val q2 = sparseScored.writeStream.format("memory").queryName("ps")
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    try q2.awaitTermination() finally q2.stop()
-    println("dense sink rows: " + spark.table("pd").count())
-    println("sparse sink rows: " + spark.table("ps").count())
-    // compare sinks to batch-side scored frames
-    val denseBatch = corpus.crossJoin(broadcast(
-        emb.select(col("doc_id").as("probe_id"), col("embedding").as("pv"))
-          .join(broadcast(probes.select(col("probe_id"))), Seq("probe_id"))))
-      .filter(col("doc_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("doc_id"),
-        round(Similarity.cosine(col("pv"), col("cv")), 6).as("sim"))
-    println("dense scored diff: " + spark.table("pd").exceptAll(denseBatch)
-      .unionAll(denseBatch.exceptAll(spark.table("pd"))).count())
-    val probeTerms2 = terms.join(probes, terms("doc_id") === col("probe_id"))
-      .select(col("probe_id"), col("term"))
-    val sparseBatch = probeTerms2
-      .join(terms.join(broadcast(dfreq), Seq("term")), Seq("term"))
-      .filter(col("doc_id") =!= col("probe_id"))
-      .groupBy(col("probe_id"), col("doc_id"))
-      .agg(round(sum(log(lit(nDocsV) / col("df"))), 6).as("score"))
-    val sdiff = spark.table("ps").exceptAll(sparseBatch)
-      .unionAll(sparseBatch.exceptAll(spark.table("ps")))
-    println("sparse scored diff: " + sdiff.count())
-    sdiff.orderBy("probe_id", "doc_id").show(30, false)
-    val fusedStream = Retrieval.rrfFuse(
-      Retrieval.rankTopK(spark.table("pd"), "sim", 20),
-      Retrieval.rankTopK(spark.table("ps"), "score", 20), 60, 10)
-    val fusedBatch = Retrieval.hybridRrf(docs, emb, probes)
-    val fdiff = fusedStream.exceptAll(fusedBatch).withColumn("side", lit("stream"))
-      .unionAll(fusedBatch.exceptAll(fusedStream).withColumn("side", lit("batch")))
-    println("fused diff: " + fdiff.count())
-    fdiff.orderBy("probe_id", "fused_rank", "side").show(40, false)
+      .agg(round(sum(col("contrib")), 6).as("score"))
+    val q = scored.writeStream.format("memory").queryName("pbm")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    println("sink rows: " + spark.table("pbm").count())
+    val streamRanked = Retrieval.rankTopK(spark.table("pbm"), "score", 20)
+      .select(col("probe_id"), col("r"), col("doc_id"), col("score"))
+    val batchRanked = Retrieval.bm25TopK(docs, probes, k = 20)
+      .select(col("probe_id"), col("r"), col("doc_id"), col("score").as("score"))
+    val registered = graft.SparkEntry.queries("stream_probe_bm25")(spark, sf)
+    println("registered query rows: " + registered.count())
+    val d1 = streamRanked.exceptAll(batchRanked).withColumn("side", lit("idx"))
+    val d2 = batchRanked.exceptAll(streamRanked).withColumn("side", lit("op"))
+    val diff = d1.unionAll(d2)
+    println("diff rows: " + diff.count())
+    diff.orderBy("probe_id", "r", "side").show(40, false)
     spark.stop()
   }
 }
