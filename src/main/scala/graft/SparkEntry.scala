@@ -13,7 +13,8 @@ object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
     Relational.defs ++ Etl.defs ++ TextQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ EmbeddingQueries.defs ++ StreamingQueries.defs
+      SimilarityQueries.defs ++ EmbeddingQueries.defs ++ CurationQueries.defs ++
+      StreamingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

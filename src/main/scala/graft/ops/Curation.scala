@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond filtering/dedup: importance-weighted
+  * data selection (DSIR), perplexity-tier bucketing (CCNet), and
+  * k-anonymity suppression. All operators are set-oriented with bounded
+  * driver traffic: the only collected structures are the hashed-feature
+  * weight table (≤ `buckets` rows) and per-(lang, bin) histograms —
+  * both constant-size in the corpus, so every shape here survives a
+  * 100 TB input unchanged.
+  *
+  * References (public methods, re-expressed Spark-first):
+  *   - DSIR: Xie et al., "Data Selection for Language Models via
+  *     Importance Resampling" (NeurIPS 2023) — hashed n-gram bag models
+  *     for the target/raw distributions, select by importance weight.
+  *   - CCNet: Wenzek et al., "CCNet: Extracting High Quality Monolingual
+  *     Datasets from Web Crawl Data" (LREC 2020) — per-language LM
+  *     perplexity tertiles (head / middle / tail).
+  */
+object Curation {
+
+  /** Engine-portable hashed feature bucket: first two hex chars of the
+    * token's md5 → 256 buckets. A string key keeps the draw identical in
+    * any engine that has md5, the same trick as the corpus samplers.
+    */
+  def hashBucket(tok: Column): Column = substring(md5(tok), 1, 2)
+
+  /** DSIR per-bucket log importance weights ln p_target(b) − ln p_raw(b)
+    * over hashed unigram buckets with add-half smoothing. `isTarget`
+    * marks the rows that define the target distribution (the
+    * high-quality domain sample); the raw distribution is the whole
+    * input. Output: (b, logw), at most 256 rows — broadcast it.
+    */
+  def dsirBucketWeights(
+      docs: DataFrame, textCol: String, isTarget: Column): DataFrame = {
+    val toks = docs.select(isTarget.as("is_t"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val bk = toks.select(col("is_t"), hashBucket(col("tok")).as("b"))
+    val counts = bk.groupBy(col("b"))
+      .agg(count(lit(1)).as("rc"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("tc"))
+    val totals = counts.agg(sum(col("rc")), sum(col("tc"))).first()
+    val (rTot, tTot) = (totals.getLong(0), totals.getLong(1))
+    // add-half smoothing over the full 256-bucket support
+    counts.select(col("b"),
+      (log((col("tc") + 0.5) / (tTot + 128.0))
+        - log((col("rc") + 0.5) / (rTot + 128.0))).as("logw"))
+  }
+
+  /** Per-document DSIR importance: sum of bucket log-weights over the
+    * document's tokens (the log of the product-of-ratios importance
+    * weight). The weight table joins broadcast; the heavy side is one
+    * explode + one aggregation keyed on the doc id.
+    */
+  def dsirScores(
+      docs: DataFrame, textCol: String, idCol: String,
+      weights: DataFrame): DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("b", hashBucket(col("tok")))
+      .join(broadcast(weights), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("logw")), 6).as("logw_sum"),
+        count(lit(1)).as("n_tokens"))
+
+  /** Fixed-point (micro-nat) variant of the weight table for exact
+    * integer scoring: logw quantized to CAST(ROUND(logw·10⁶) AS LONG).
+    * Integer sums are order-independent, so a streaming fold and a batch
+    * aggregation over the same tokens agree bit-for-bit — the same
+    * fixed-point trick as the impact-indexed BM25 tier.
+    */
+  def dsirMicroWeights(
+      docs: DataFrame, textCol: String, isTarget: Column): DataFrame =
+    dsirBucketWeights(docs, textCol, isTarget)
+      .select(col("b"), round(col("logw") * 1e6).cast("long").as("qw"))
+
+  /** CCNet-style perplexity-tier bucketing. Input: one row per doc with
+    * (idCol, langCol, score6) where score6 is a per-doc mean log-prob
+    * already rounded to 6 decimals (higher = more fluent). Docs are
+    * histogrammed into coarse score bins (round(score·10)), the
+    * per-language bin histogram — #langs × #bins rows, constant in
+    * corpus size — is ranked best-bin-first, and each bin lands in
+    *   head   if its whole bin fits in the best third,
+    *   tail   if it starts in the worst third,
+    *   middle otherwise,
+    * using integer cumulative counts only (no float boundary can flip
+    * between engines). Output adds (bin, ppl_bucket) per doc.
+    */
+  def pplBuckets(
+      scored: DataFrame, idCol: String, langCol: String,
+      scoreCol: String): DataFrame = {
+    val binned = scored.withColumn("bin",
+      round(col(scoreCol) * 10).cast("long"))
+    val hist = binned.groupBy(col(langCol), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    // tiny aggregated table: the window runs over #langs × #bins rows
+    val w = Window.partitionBy(col(langCol)).orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val n = Window.partitionBy(col(langCol))
+    val assigned = hist
+      .withColumn("cum_before", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(n))
+      .withColumn("ppl_bucket",
+        when((col("cum_before") + col("cnt")) * 3 <= col("n"), lit("head"))
+          .when(col("cum_before") * 3 >= col("n") * 2, lit("tail"))
+          .otherwise(lit("middle")))
+      .select(col(langCol), col("bin"), col("ppl_bucket"))
+    binned.join(broadcast(assigned), Seq(langCol, "bin"))
+  }
+
+  /** k-anonymity suppression: rows whose quasi-identifier combination
+    * has fewer than k members get every QI column replaced by "*". One
+    * aggregation on the QI key plus one join back — the group-size table
+    * shares the aggregation's partitioning, so no extra shuffle.
+    */
+  def kAnonymize(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    val sizes = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("qi_n"))
+    val joined = df.join(sizes, qiCols)
+    val suppressed = col("qi_n") < k
+    qiCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c,
+        when(suppressed, lit("*")).otherwise(col(c).cast("string")))
+    }.withColumn("suppressed", suppressed).drop("qi_n")
+  }
+}

@@ -171,30 +171,80 @@ object Multimodal {
     * row-major order. Near-duplicate images agree on most bits, so a
     * banded-Hamming join like SimHash's finds them without all-pairs.
     */
-  def averageHash(payload: Array[Byte]): Long = {
+  /** Decode + 8×8 nearest-neighbor downsample (channel 0), the shared
+    * front half of every perceptual hash here.
+    */
+  private def grid8(payload: Array[Byte]): Array[Int] = {
     val src = ImageIO.read(new ByteArrayInputStream(payload))
     require(src != null, "payload is not a decodable image")
     val raster = src.getRaster
     val (sw, sh) = (src.getWidth, src.getHeight)
     val g = new Array[Int](64)
-    var sum = 0L
     var y = 0
     while (y < 8) {
       val sy = (y.toLong * sh / 8).toInt
       var x = 0
       while (x < 8) {
-        val v = raster.getSample((x.toLong * sw / 8).toInt, sy, 0)
-        g(y * 8 + x) = v
-        sum += v
+        g(y * 8 + x) = raster.getSample((x.toLong * sw / 8).toInt, sy, 0)
         x += 1
       }
       y += 1
     }
+    g
+  }
+
+  def averageHash(payload: Array[Byte]): Long = {
+    val g = grid8(payload)
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += g(i); i += 1 }
     val mean = sum / 64.0
     var h = 0L
-    var i = 0
+    i = 0
     while (i < 64) { if (g(i) > mean) h |= (1L << i); i += 1 }
     h
+  }
+
+  /** 64-bit Walsh–Hadamard perceptual hash — the transform-domain
+    * sibling of [[averageHash]] (pHash family). The 8×8 grid is
+    * projected onto the 63 non-DC Walsh basis functions (sign at cell
+    * `i` for basis `u` = parity of popcount(i & u)); each hash bit
+    * records its coefficient's sign. Unlike a cosine-basis pHash, the
+    * ±1 basis is integer-exact end to end, so the SQL oracle replays
+    * the transform with bit_count arithmetic — no float threshold to
+    * flip a bit cross-engine. Bit 0 (the always-positive DC term) is
+    * left clear.
+    */
+  def walshHash(payload: Array[Byte]): Long = {
+    val g = grid8(payload)
+    var h = 0L
+    var u = 1
+    while (u < 64) {
+      var c = 0L
+      var i = 0
+      while (i < 64) {
+        c += (if ((Integer.bitCount(i & u) & 1) == 0) g(i) else -g(i))
+        i += 1
+      }
+      if (c > 0) h |= (1L << u)
+      u += 1
+    }
+    h
+  }
+
+  /** Per-partition wHash extraction, unsigned 32-bit halves like
+    * [[imageHashes]].
+    */
+  def walshHashes(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    ensureParallelism(df)
+      .select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val h = walshHash(payload)
+        (id, h >>> 32, h & 0xFFFFFFFFL)
+      })
+      .toDF(idCol, "whash_hi", "whash_lo")
   }
 
   /** Per-partition aHash extraction; the hash is emitted as two unsigned

@@ -131,6 +131,57 @@ object Etl {
       },
       Some(Shared.CdcOracle)),
 
+    // Incremental view maintenance (engine-native lakehouse extension):
+    // a grouped aggregate (count + sum per bucket) maintained from the
+    // CDC op log ALONE — old contributions come from a semi-join of the
+    // base against the delta's keys (point lookups, bucket/bloom-
+    // prunable at scale), never a rescan of the base table; the delta
+    // aggregate is ⊕-merged into the old view. At 100 TB this is the
+    // difference between touching the changed keys and re-aggregating
+    // the world. The oracle recomputes the view from the fully patched
+    // table, so the maintenance algebra (insert/update/delete, upsert
+    // on absent keys, group emptying) is verified end to end.
+    QueryDef("etl_ivm_agg",
+      (spark, sf) => {
+        import org.apache.spark.sql.expressions.Window
+        val (snapshot, log) = Shared.cdcScenario(spark, sf)
+        // compact the DELTA (latest op per key) — window over the log
+        // only, which is the small side by IVM's premise
+        val wSeq = Window.partitionBy(col("id")).orderBy(col("seq").desc)
+        val compacted = log.withColumn("rn", row_number().over(wSeq))
+          .filter(col("rn") === 1).drop("rn")
+        val mvOld = snapshot.groupBy((col("id") % 7).as("g"))
+          .agg(count(lit(1)).as("n"), sum(col("bal_cents")).as("s"))
+        val oldAff = snapshot
+          .join(compacted.select(col("id")), Seq("id"), "left_semi")
+          .groupBy((col("id") % 7).as("g"))
+          .agg(count(lit(1)).as("n_o"), sum(col("bal_cents")).as("s_o"))
+        val newAff = compacted.filter(col("op") =!= "D")
+          .groupBy((col("id") % 7).as("g"))
+          .agg(count(lit(1)).as("n_n"), sum(col("bal_cents")).as("s_n"))
+        val delta = oldAff.join(newAff, Seq("g"), "full_outer")
+        mvOld.join(delta, Seq("g"), "full_outer")
+          .na.fill(0L, Seq("n", "s", "n_o", "s_o", "n_n", "s_n"))
+          .select(col("g"),
+            (col("n") + col("n_n") - col("n_o")).as("n_members"),
+            (col("s") + col("s_n") - col("s_o")).as("bal_sum"))
+          .filter(col("n_members") > 0)
+          .orderBy(col("g"))
+      },
+      Some("""WITH snap AS (
+             |  SELECT c_custkey AS id, CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal
+             |  FROM customer WHERE c_custkey % 3 = 0),
+             |upd AS (
+             |  SELECT c_custkey AS id, CAST(ROUND(c_acctbal*100) AS BIGINT) + 100 AS bal
+             |  FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 10 <> 0),
+             |final AS (
+             |  SELECT COALESCE(u.id, s.id) AS id, COALESCE(u.bal, s.bal) AS bal
+             |  FROM snap s FULL OUTER JOIN upd u ON s.id = u.id
+             |  WHERE COALESCE(u.id, s.id) % 10 <> 0)
+             |SELECT id % 7 AS g, COUNT(*) AS n_members,
+             |  CAST(SUM(bal) AS BIGINT) AS bal_sum
+             |FROM final GROUP BY g ORDER BY g""".stripMargin)),
+
     // Generation time travel (engine-native lakehouse extension): the
     // parquet sink's retained generations stay readable after the
     // pointer flips, so an audit can read the pre-run snapshot (gen0),
@@ -1127,5 +1178,33 @@ object Etl {
              |SELECT c_custkey, c_nationkey, c_custkey
              |FROM customer WHERE c_custkey % 3 = 1
              |ORDER BY source_c_custkey""".stripMargin)),
+
+    // Encoding-drift canary (the round-12 lesson made a GATE): the
+    // driver has shipped `events.ts` as nanos-as-long, TIMESTAMP_NTZ
+    // and TIMESTAMP across regenerations; Tables.normalizeTs maps all
+    // three onto TimestampType at ingest. This query pins the
+    // POST-NORMALIZATION schema against a closed-form oracle, so the
+    // next silent testdata re-encoding fails loudly in one obvious
+    // place instead of scattering analysis errors across the
+    // event-time tier. TablesSpec covers the per-encoding unit paths;
+    // this covers the live testdata.
+    QueryDef("etl_events_schema",
+      (spark, sf) => {
+        import spark.implicits._
+        val ev = load(spark, sf, "events")
+        val nonEmpty = !ev.isEmpty
+        ev.schema.fields.toSeq
+          .map(f => (f.name, f.dataType.simpleString, nonEmpty))
+          .toDF("col_name", "dtype", "nonempty")
+          .orderBy(col("col_name"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('event_id', 'bigint', TRUE),
+             |  ('event_type', 'string', TRUE),
+             |  ('props', 'string', TRUE),
+             |  ('ts', 'timestamp', TRUE),
+             |  ('user_id', 'bigint', TRUE),
+             |  ('value', 'double', TRUE))
+             |AS t(col_name, dtype, nonempty) ORDER BY col_name""".stripMargin)),
   )
 }

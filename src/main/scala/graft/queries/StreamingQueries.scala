@@ -1129,5 +1129,147 @@ object StreamingQueries {
           .orderBy(col("probe_id"), col("r"))
       },
       Some(Shared.ProbeBm25Oracle)),
+
+    // Streaming DSIR scoring: the batch tier trains the hashed-unigram
+    // importance model (text_dsir_select); the stream scores each
+    // arriving document STATELESSLY against the frozen weight table —
+    // "score the crawl as it lands". Weights ship as fixed-point
+    // micro-nats (CAST(ROUND(logw·10⁶) AS LONG), ≤256 entries, a map
+    // literal in the plan), so the per-doc fold over the token array
+    // and the oracle's join+SUM are exact integer arithmetic — order-
+    // independent, no float parity risk — the impact-indexed BM25
+    // trick. Per-source rollup in complete mode keeps state bounded at
+    // #sources rows.
+    QueryDef("stream_dsir_select",
+      (spark, sf) => {
+        val docsStatic = load(spark, sf, "documents")
+        val qw = graft.ops.Curation
+          .dsirMicroWeights(docsStatic, "text", col("source") === "src0")
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val wMap = map(qw.flatMap { case (b, w) => Seq(lit(b), lit(w)) }: _*)
+        val schema = spark.read.parquet(path(sf, "documents")).schema
+        val docs = spark.readStream.schema(schema)
+          .parquet(stagedDir(spark, sf, "documents"))
+        val scored = docs.select(col("source"),
+          aggregate(
+            transform(split(col("text"), " "),
+              t => coalesce(element_at(wMap, substring(md5(t), 1, 2)), lit(0L))),
+            lit(0L), (acc, x) => acc + x).as("q_score"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val agg = scored.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("q_score") > 0, 1L).otherwise(0L)).as("n_selected"),
+            sum(col("q_score")).as("total_q"),
+            sum(col("n_tokens")).as("total_tokens"))
+        val table = s"stream_dsir_${counter.incrementAndGet()}"
+        val q = agg.writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        spark.table(table).orderBy(col("source"))
+      },
+      Some("""WITH bk AS (SELECT doc_id, source, substr(md5(tok),1,2) b FROM (
+             |    SELECT doc_id, source, unnest(string_split(text,' ')) tok FROM documents)),
+             |cnts AS (SELECT b, COUNT(*) rc,
+             |    COUNT(*) FILTER (WHERE source = 'src0') tc FROM bk GROUP BY b),
+             |tt AS (SELECT SUM(rc) r, SUM(tc) t FROM cnts),
+             |w AS (SELECT b, CAST(ROUND((
+             |    LN((tc + 0.5) / ((SELECT t FROM tt) + 128.0))
+             |    - LN((rc + 0.5) / ((SELECT r FROM tt) + 128.0))) * 1000000) AS BIGINT) qw
+             |  FROM cnts),
+             |ds AS (SELECT doc_id, source, SUM(qw) q, COUNT(*) nt
+             |  FROM bk JOIN w USING (b) GROUP BY doc_id, source)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  COUNT(*) FILTER (WHERE q > 0) AS n_selected,
+             |  CAST(SUM(q) AS BIGINT) AS total_q,
+             |  CAST(SUM(nt) AS BIGINT) AS total_tokens
+             |FROM ds GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Streaming k-anonymity: the batch QI census (group sizes over
+    // (lang, source, length-bucket)) freezes as the static side; each
+    // arriving document is suppressed or passed STATELESSLY by one
+    // broadcast stream-static join — privacy enforcement at ingest
+    // speed. Per-(source, suppressed) rollup in complete mode keeps
+    // state at ≤ 2·#sources rows.
+    QueryDef("stream_kanon",
+      (spark, sf) => {
+        val qi = Seq("lang", "source", "len_bucket")
+        val census = load(spark, sf, "documents")
+          .select(col("lang"), col("source"),
+            expr("n_chars div 500").cast("string").as("len_bucket"))
+          .groupBy(qi.map(col): _*).agg(count(lit(1)).as("qi_n"))
+        val schema = spark.read.parquet(path(sf, "documents")).schema
+        val docs = spark.readStream.schema(schema)
+          .parquet(stagedDir(spark, sf, "documents"))
+          .withColumn("len_bucket", expr("n_chars div 500").cast("string"))
+        val agg = docs.join(broadcast(census), qi)
+          .withColumn("suppressed", col("qi_n") < 5)
+          .groupBy(col("source"), col("suppressed"))
+          .agg(count(lit(1)).as("n_docs"))
+        val table = s"stream_ka_${counter.incrementAndGet()}"
+        val q = agg.writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        spark.table(table).orderBy(col("source"), col("suppressed"))
+      },
+      Some("""WITH q AS (SELECT doc_id, lang, source,
+             |    CAST(n_chars // 500 AS VARCHAR) len_bucket FROM documents),
+             |g AS (SELECT lang, source, len_bucket, COUNT(*) n
+             |  FROM q GROUP BY lang, source, len_bucket)
+             |SELECT q.source, n < 5 AS suppressed, COUNT(*) AS n_docs
+             |FROM q JOIN g USING (lang, source, len_bucket)
+             |GROUP BY q.source, suppressed
+             |ORDER BY source, suppressed""".stripMargin)),
+
+    // Streaming distribution-drift detection: the event stream's
+    // per-hour event-type distribution vs the corpus-wide reference,
+    // KL(window ‖ reference) per closed window — the monitor that
+    // catches a crawler or producer silently changing its mix. The
+    // windowed counts are the real streaming work (watermark + tumbling
+    // window, the stream_time_window machinery); KL is a deterministic
+    // epilogue over the #windows × #types result — integer counts in,
+    // one rounded double out, so the oracle replays it exactly.
+    QueryDef("stream_drift_kl",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "events")).schema
+        val raw = spark.readStream.schema(schema)
+          .parquet(stagedDir(spark, sf, "events"))
+        val events = Tables.normalizeTs(raw)
+        val counts = graft.streaming.StreamingIngest.windowedCounts(
+            events, "ts", watermarkDelay = "1 hour", windowLen = "1 hour")
+          .select(col("window_start").as("ws"), col("event_type"),
+            col("n_events").as("c"))
+        val table = s"stream_kl_${counter.incrementAndGet()}"
+        val q = counts.writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        val wc = spark.table(table)
+        val ev = load(spark, sf, "events")
+        val tot = ev.count()
+        val ref = ev.groupBy(col("event_type")).agg(count(lit(1)).as("rc"))
+        // per-window totals via a window fn over the already-aggregated
+        // (#windows × #types) result — no self-join on the memory view
+        // (conflicting-attribute hazard), no extra shuffle
+        val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("ws"))
+        wc.withColumn("n", sum(col("c")).over(wn))
+          .join(broadcast(ref), Seq("event_type"))
+          .groupBy(col("ws"), col("n"))
+          .agg(round(sum((col("c") / col("n")) *
+            log((col("c") / col("n")) / (col("rc") / lit(tot.toDouble)))), 6).as("kl"))
+          .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("n").cast("long").as("n_events"), col("kl"))
+          .orderBy(col("hour"))
+      },
+      Some("""WITH wc AS (SELECT date_trunc('hour', ts) ws, event_type, COUNT(*) c
+             |  FROM events GROUP BY 1, 2),
+             |ref AS (SELECT event_type, COUNT(*) rc FROM events GROUP BY 1),
+             |tot AS (SELECT COUNT(*) n FROM events),
+             |wn AS (SELECT ws, SUM(c) n FROM wc GROUP BY ws)
+             |SELECT strftime(wc.ws, '%Y-%m-%d %H:%M:%S') AS hour,
+             |  CAST(wn.n AS BIGINT) AS n_events,
+             |  ROUND(SUM((CAST(c AS DOUBLE) / wn.n) *
+             |    LN((CAST(c AS DOUBLE) / wn.n) /
+             |        (CAST(rc AS DOUBLE) / (SELECT n FROM tot)))), 6) AS kl
+             |FROM wc JOIN wn USING (ws) JOIN ref USING (event_type)
+             |GROUP BY wc.ws, wn.n ORDER BY hour""".stripMargin)),
   )
 }

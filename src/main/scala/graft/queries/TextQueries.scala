@@ -1143,6 +1143,34 @@ object TextQueries {
              |FROM g JOIN m USING (doc_id)
              |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Transform-domain perceptual hash (pHash family) through the real
+    // JDK decode path: 8×8 grid → 63 non-DC Walsh–Hadamard coefficients
+    // → sign bits. The ±1 basis keeps the whole transform in exact
+    // integer arithmetic (a cosine pHash would put a float threshold on
+    // every bit), so the oracle replays decode-downsample-transform
+    // from the generating formula with bit_count arithmetic.
+    QueryDef("mm_image_whash",
+      (spark, sf) => {
+        val d = Multimodal.syntheticGradientImages(
+          load(spark, sf, "documents").select(col("doc_id")), "doc_id")
+        Multimodal.walshHashes(d, "doc_id").orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT d.doc_id, y*8 + x AS idx,
+             |    (d.doc_id + 7*((x*(8 + d.doc_id%13))//8)
+             |       + 13*((y*(8 + d.doc_id%7))//8)) % 256 AS v
+             |  FROM documents d, range(8) r1(x), range(8) r2(y)),
+             |c AS (
+             |  SELECT g.doc_id, u.u,
+             |    SUM(v * (1 - 2*(bit_count(idx & u.u) % 2))) AS coef
+             |  FROM g, range(1, 64) u(u) GROUP BY g.doc_id, u.u)
+             |SELECT doc_id,
+             |  CAST(SUM(CASE WHEN coef > 0 AND u >= 32
+             |    THEN (CAST(1 AS BIGINT) << (u - 32)) ELSE 0 END) AS BIGINT) AS whash_hi,
+             |  CAST(SUM(CASE WHEN coef > 0 AND u < 32
+             |    THEN (CAST(1 AS BIGINT) << u) ELSE 0 END) AS BIGINT) AS whash_lo
+             |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Video-shaped frame sampling over a REAL multi-frame codec: the JDK
     // ships no MP4 decoder, but its GIF reader is a genuine animated
     // container codec — synthetic multi-frame GIFs round-trip exactly

@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  private lazy val docs = spark.read.parquet(s"$Sf/documents.parquet")
+
+  test("dsir weight table is bounded (≤256 buckets) and target-heavy buckets score positive") {
+    import spark.implicits._
+    // synthetic corpus where one token dominates the target slice and a
+    // second token dominates the raw remainder — the bucket carrying the
+    // target token must get a positive log weight, the raw one negative
+    val rows = (1L to 50L).map(i => (i, "alpha alpha alpha", true)) ++
+      (51L to 100L).map(i => (i, "omega omega omega", false))
+    val d = rows.toDF("doc_id", "text", "is_target")
+    val w = Curation.dsirBucketWeights(d, "text", col("is_target"))
+    assert(w.count() <= 256)
+    val byBucket = w.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val bAlpha = graft.ops.TestHashes.md5Prefix2("alpha")
+    val bOmega = graft.ops.TestHashes.md5Prefix2("omega")
+    assert(byBucket(bAlpha) > 0, s"target bucket weight ${byBucket(bAlpha)}")
+    assert(byBucket(bOmega) < 0, s"raw bucket weight ${byBucket(bOmega)}")
+    // micro-weight quantization preserves sign and is exactly round(w*1e6)
+    val qw = Curation.dsirMicroWeights(d, "text", col("is_target"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(qw(bAlpha) == math.round(byBucket(bAlpha) * 1e6))
+    assert(qw(bOmega) == math.round(byBucket(bOmega) * 1e6))
+  }
+
+  test("dsir scores rank a target-like doc above a raw-like doc") {
+    val w = Curation.dsirBucketWeights(docs, "text", col("source") === "src0")
+    val scored = Curation.dsirScores(docs, "text", "doc_id", w)
+    assert(scored.count() == docs.count())
+    // scores must not be constant: the hashed model separates sources
+    assert(scored.select(countDistinct(col("logw_sum"))).first().getLong(0) > 1)
+  }
+
+  test("ppl buckets: integer-thirds assignment is exhaustive, ordered, and engine-pure") {
+    import spark.implicits._
+    // 9 docs, one lang, scores -1.0 .. -9.0 → three clean tertiles
+    val scored = (1L to 9L).map(i => (i, "en", -i.toDouble)).toDF("id", "lang", "s")
+    val out = Curation.pplBuckets(scored, "id", "lang", "s")
+      .select(col("id"), col("ppl_bucket")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1L to 3L).forall(out(_) == "head"), s"$out")
+    assert((4L to 6L).forall(out(_) == "middle"), s"$out")
+    assert((7L to 9L).forall(out(_) == "tail"), s"$out")
+  }
+
+  test("ppl buckets: every doc gets exactly one bucket on the real corpus") {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val total = toks.count()
+    val c = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val sc = toks.join(c, Seq("tok")).groupBy(col("doc_id"))
+      .agg(round(avg(log(col("c").cast("double") / total)), 6).as("score6"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val out = Curation.pplBuckets(sc, "doc_id", "lang", "score6")
+    assert(out.count() == docs.count())
+    assert(out.filter(!col("ppl_bucket").isin("head", "middle", "tail")).count() == 0)
+  }
+
+  test("k-anonymity: no surviving QI combination smaller than k; suppressed rows fully starred") {
+    val qi = Seq("lang", "source", "len_bucket")
+    val d = docs.select(col("doc_id"), col("lang"), col("source"),
+      expr("n_chars div 500").cast("string").as("len_bucket"))
+    val out = Curation.kAnonymize(d, qi, k = 5)
+    val survivors = out.filter(!col("suppressed"))
+      .groupBy(qi.map(col): _*).agg(count(lit(1)).as("n"))
+    assert(survivors.filter(col("n") < 5).count() == 0)
+    val leaked = out.filter(col("suppressed") &&
+      (col("lang") =!= "*" || col("source") =!= "*" || col("len_bucket") =!= "*"))
+    assert(leaked.count() == 0)
+    assert(out.count() == d.count(), "suppression never drops rows")
+  }
+
+  test("curation funnel stages are monotonically non-increasing and chained") {
+    val out = graft.SparkEntry.queries("corpus_curation_funnel")(spark, Sf)
+      .collect().sortBy(_.getInt(0))
+    assert(out.length == 6)
+    val outs = out.map(_.getLong(3))
+    val ins = out.map(_.getLong(2))
+    assert(outs.zip(outs.tail).forall { case (a, b) => b <= a },
+      s"retention must not grow: ${outs.mkString(",")}")
+    // docs_in of stage i equals docs_out of stage i-1
+    assert(ins.tail.sameElements(outs.init), s"in=${ins.mkString(",")} out=${outs.mkString(",")}")
+  }
+}
+
+/** md5-prefix helper shared with the engine's hashBucket definition. */
+object TestHashes {
+  def md5Prefix2(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+  }
+}
