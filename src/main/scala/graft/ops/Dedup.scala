@@ -644,6 +644,34 @@ object Dedup {
       .filter(graft.functions.WithinEdit1(col("term_a"), col("term_b")))
   }
 
+  /** Entity resolution by symmetric-delete blocking (SymSpell, Garbe):
+    * link a record whose name lost one character to its original. Every
+    * record emits its 1-deletion variants (|name| keys); the candidate
+    * join pairs a variant against another record's EXACT name, so a
+    * (longer, shorter) pair meets iff the shorter string is literally
+    * one of the longer's deletes — guaranteed recall for one-deletion
+    * dirt with |name|+1 keys per record and never a per-block quadratic
+    * comparison (nation- or prefix-blocked ER degrades to O(block²)).
+    * Candidates verify through the native one-walk WithinEdit1.
+    * Output: (a_key, b_key, a_name, b_name), a = the longer/dirty side.
+    */
+  def symspellLinkPairs(
+      ents: DataFrame, keyCol: String, nameCol: String): DataFrame = {
+    val deletes = expr(
+      s"""transform(sequence(1, length($nameCol)),
+         |  p -> concat(substring($nameCol, 1, p - 1),
+         |              substring($nameCol, p + 1, length($nameCol) - p)))""".stripMargin)
+    val d1 = ensureParallelism(ents).select(col(keyCol).as("a_key"),
+      col(nameCol).as("a_name"), explode(array_distinct(deletes)).as("k"))
+    val d0 = ents.select(col(keyCol).as("b_key"),
+      col(nameCol).as("b_name"), col(nameCol).as("k"))
+    d1.join(d0, Seq("k"))
+      .filter(length(col("a_name")) === length(col("b_name")) + 1)
+      .filter(graft.functions.WithinEdit1(col("a_name"), col("b_name")))
+      .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"))
+      .distinct()
+  }
+
   /** Leading-window fingerprint: md5 of the first `k` whitespace tokens —
     * the cheap prefix signature crawl pipelines key incremental dedup on
     * (near-identical boilerplate pages share prefixes long before they

@@ -736,5 +736,47 @@ object DedupQueries {
           .orderBy(col("a"), col("b"))
       },
       Some(Shared.IncrementalFuzzyOracle)),
+
+    // Entity resolution / record linkage: a deterministic "dirty twin"
+    // of every 5th customer (one character dropped from the name at a
+    // key-derived position, re-keyed +10M) must link back to its
+    // original through SymSpell symmetric-delete blocking + the native
+    // WithinEdit1 verify — |name|+1 keys per record, one equi-join on
+    // the delete variant, never a per-block quadratic scan. Accidental
+    // links between near-identical clean names are part of the ER
+    // semantics and replay identically in the oracle (levenshtein = 1,
+    // length gap = 1).
+    QueryDef("er_symspell_match",
+      (spark, sf) => {
+        val c = load(spark, sf, "customer")
+          .select(col("c_custkey").as("key"), col("c_name").as("name"))
+        val dirty = c.filter(col("key") % 5 === 0)
+          .select((col("key") + 10000000L).as("key"),
+            expr("""concat(
+                substring(name, 1, cast(key % (length(name) - 2) as int) + 1),
+                substring(name, cast(key % (length(name) - 2) as int) + 3,
+                          length(name)))""").as("name"))
+        val ents = c.unionByName(dirty)
+        Dedup.symspellLinkPairs(ents, "key", "name")
+          .orderBy(col("a_key"), col("b_key"))
+      },
+      Some("""WITH ents AS (
+             |  SELECT c_custkey AS key, c_name AS name FROM customer
+             |  UNION ALL
+             |  SELECT c_custkey + 10000000,
+             |    substr(c_name, 1, c_custkey % (LENGTH(c_name) - 2) + 1)
+             |      || substr(c_name, c_custkey % (LENGTH(c_name) - 2) + 3)
+             |  FROM customer WHERE c_custkey % 5 = 0),
+             |dels AS (
+             |  SELECT key a_key, name a_name,
+             |    substr(name, 1, p) || substr(name, p + 2) AS k
+             |  FROM (SELECT key, name, unnest(range(0, LENGTH(name))) p FROM ents)),
+             |cand AS (
+             |  SELECT DISTINCT a_key, b.key b_key, a_name, b.name b_name
+             |  FROM dels JOIN ents b ON dels.k = b.name
+             |  WHERE LENGTH(a_name) = LENGTH(b.name) + 1
+             |    AND levenshtein(a_name, b.name) = 1)
+             |SELECT a_key, b_key, a_name, b_name FROM cand
+             |ORDER BY a_key, b_key""".stripMargin)),
   )
 }

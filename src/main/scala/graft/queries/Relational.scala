@@ -634,6 +634,32 @@ object Relational {
              |FROM t WHERE prev_type IS NOT NULL
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Exponentially time-decayed counters — the feature-store freshness
+    // metric ("recent activity counts double") as one scan + one
+    // aggregation. The decay weight is 2^(−hours_old), hours capped at
+    // 30: ages in integer micros (div, no fp), and every weight is a
+    // dyadic rational with ≤30 fraction bits, so partial sums stay
+    // EXACT doubles (≤53 significant bits at any realistic per-group
+    // count) — order-independent and bit-identical cross-engine with
+    // no rounding discipline needed. At scale this is a map-side
+    // partial agg on event_type; the reference timestamp is one scalar.
+    QueryDef("q_decay_counts",
+      (spark, sf) => {
+        val ev = load(spark, sf, "events")
+        val maxUs = ev.agg(max(expr("unix_micros(ts)"))).first().getLong(0)
+        ev.select(col("event_type"),
+            expr(s"least(($maxUs - unix_micros(ts)) div 3600000000, 30)").as("age_h"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(pow(lit(2.0), -col("age_h"))).as("decayed_weight"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH m AS (SELECT MAX(epoch_us(ts)) mx FROM events)
+             |SELECT event_type, COUNT(*) AS n_events,
+             |  SUM(power(2, -LEAST((((SELECT mx FROM m) - epoch_us(ts)) // 3600000000), 30)))
+             |    AS decayed_weight
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // CUBE grouping sets over two dimensions.
     QueryDef("q_cube",
       (spark, sf) => {

@@ -74,6 +74,31 @@ class CurationSpec extends SparkSpec {
     assert(out.count() == d.count(), "suppression never drops rows")
   }
 
+  test("symspell linkage: guaranteed recall for one-deletion dirt, no cross-length noise") {
+    import spark.implicits._
+    val ents = Seq(
+      (1L, "walter"), (2L, "water"),   // deletion pair ("walter" minus 'l')
+      (3L, "winter"), (4L, "wonter"),  // substitution (same length) — must NOT link
+      (5L, "apple"), (6L, "aple"),     // deletion pair (repeated-char collapse)
+      (7L, "zebra")                    // singleton
+    ).toDF("key", "name")
+    val pairs = Dedup.symspellLinkPairs(ents, "key", "name")
+      .select(col("a_key"), col("b_key")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (5L, 6L)), s"got $pairs")
+  }
+
+  test("decay counts: weights are exact dyadic sums (engine-order independent)") {
+    val out = graft.SparkEntry.queries("q_decay_counts")(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val w = r.getDouble(2)
+      // every weight is a multiple of 2^-30 and bounded by the count
+      assert(w > 0 && w <= r.getLong(1).toDouble)
+      assert((w * (1L << 30)) == math.rint(w * (1L << 30)), s"non-dyadic $w")
+    }
+  }
+
   test("curation funnel stages are monotonically non-increasing and chained") {
     val out = graft.SparkEntry.queries("corpus_curation_funnel")(spark, Sf)
       .collect().sortBy(_.getInt(0))
