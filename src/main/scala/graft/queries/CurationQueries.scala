@@ -265,5 +265,37 @@ object CurationQueries {
              |  COUNT(*) FILTER (WHERE has_pii) AS n_pii_docs
              |FROM base JOIN mf USING (doc_id)
              |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Lexicon blocklist filter — the rule tier every safety pipeline
+    // runs BEFORE any model-based scoring: hard-block terms reject the
+    // doc outright, soft-flag terms escalate at a threshold (≥3 hits).
+    // One codegen'd array-filter pass per category, no explode, no
+    // shuffle beyond the final ordering; integer hit counts replay
+    // exactly in SQL.
+    QueryDef("text_blocklist_filter",
+      (spark, sf) => {
+        val hard = Seq("dup", "leak")
+        val soft = Seq("slow", "big", "small")
+        def hits(words: Seq[String]) = size(filter(split(col("text"), " "),
+          t => t.isInCollection(words))).cast("long")
+        load(spark, sf, "documents")
+          .select(col("doc_id"), hits(hard).as("n_hard"), hits(soft).as("n_soft"))
+          .withColumn("verdict",
+            when(col("n_hard") > 0, lit("block"))
+              .when(col("n_soft") >= 3, lit("flag"))
+              .otherwise(lit("pass")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(string_split(text,' '),
+             |    t -> list_contains(['dup','leak'], t))) AS BIGINT) AS n_hard,
+             |  CAST(len(list_filter(string_split(text,' '),
+             |    t -> list_contains(['slow','big','small'], t))) AS BIGINT) AS n_soft,
+             |  CASE WHEN len(list_filter(string_split(text,' '),
+             |      t -> list_contains(['dup','leak'], t))) > 0 THEN 'block'
+             |    WHEN len(list_filter(string_split(text,' '),
+             |      t -> list_contains(['slow','big','small'], t))) >= 3 THEN 'flag'
+             |    ELSE 'pass' END AS verdict
+             |FROM documents ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -660,6 +660,27 @@ object Relational {
              |    AS decayed_weight
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Shuffle-planning skew report — the diagnostic a 100 TB operator
+    // runs BEFORE picking a join strategy: per-key frequency over the
+    // prospective shuffle key, hottest keys with integer permille
+    // share. One partial-agg'd groupBy + TakeOrdered; the total is a
+    // scalar. Feeding q_skew_salted_join's salting decision with
+    // measured (not guessed) hot keys is exactly this query.
+    QueryDef("q_skew_report",
+      (spark, sf) => {
+        val li = load(spark, sf, "lineitem")
+        val total = li.count()
+        li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+          .select(col("l_suppkey"), col("cnt"),
+            expr(s"(cnt * 1000) div $total").as("permille"))
+          .orderBy(col("cnt").desc, col("l_suppkey")).limit(10)
+      },
+      Some("""WITH t AS (SELECT COUNT(*) n FROM lineitem)
+             |SELECT l_suppkey, COUNT(*) AS cnt,
+             |  CAST(COUNT(*) * 1000 // (SELECT n FROM t) AS BIGINT) AS permille
+             |FROM lineitem GROUP BY l_suppkey
+             |ORDER BY cnt DESC, l_suppkey LIMIT 10""".stripMargin)),
+
     // CUBE grouping sets over two dimensions.
     QueryDef("q_cube",
       (spark, sf) => {

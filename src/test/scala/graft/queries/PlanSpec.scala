@@ -312,4 +312,26 @@ class PlanSpec extends SparkSpec {
     assert(scanOf(inList).metrics("numFiles").value == 3,
       "an IN-list predicate must prune the listing to its 3 files")
   }
+
+  test("DSIR: weight table broadcasts, selection is TakeOrdered (no global sort)") {
+    val p = planOf("text_dsir_select")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the ≤256-row weight table must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k selection must be TakeOrdered, not Sort+Limit:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("CCNet buckets: bin-assignment table broadcasts back to the doc side") {
+    val p = planOf("text_ccnet_buckets")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the #langs × #bins assignment must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("symspell linkage joins on the delete variant, never nested-loop") {
+    val p = planOf("er_symspell_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be the equi-join on the delete key:\n$p")
+  }
 }
