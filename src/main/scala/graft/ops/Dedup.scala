@@ -644,6 +644,33 @@ object Dedup {
       .filter(graft.functions.WithinEdit1(col("term_a"), col("term_b")))
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: C(A,B) = |A∩B| / min(|A|,
+    * |B|) over k-shingle sets. Jaccard misses a short doc embedded in a
+    * long one (the union dilutes it); containment is the measure crawl
+    * pipelines use for quote/wrapper detection. Same inverted-index
+    * shape as [[ngramJaccardPairs]] — shuffle keyed on the shingle,
+    * never all-pairs — with the size join switched to the min side.
+    */
+  def containmentPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int, minContainment: Double,
+      precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val sh = precomputedShingles.getOrElse(
+      shingleTable(df, textCol, idCol, k).persist())
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val a = sh.select(col(idCol).as("a"), col("shingle"))
+    val b = sh.select(col(idCol).as("b"), col("shingle"))
+    a.join(b, Seq("shingle")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("a"), col("n_shingles").as("na")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("n_shingles").as("nb")), Seq("b"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= minContainment)
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
+        col("containment"))
+  }
+
   /** Entity resolution by symmetric-delete blocking (SymSpell, Garbe):
     * link a record whose name lost one character to its original. Every
     * record emits its 1-deletion variants (|name| keys); the candidate

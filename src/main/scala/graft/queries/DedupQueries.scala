@@ -737,6 +737,32 @@ object DedupQueries {
       },
       Some(Shared.IncrementalFuzzyOracle)),
 
+    // Asymmetric containment near-dup pairs — the quote/wrapper
+    // detector Jaccard misses (a short doc inside a long one dilutes
+    // the union): C = inter / min(na, nb) ≥ 0.9 over the SAME shared
+    // shingle layout as the Jaccard family, one inverted-index join.
+    QueryDef("dedup_containment",
+      (spark, sf) => Dedup.containmentPairs(
+          load(spark, sf, "documents"), "text", "doc_id",
+          k = 5, minContainment = 0.9,
+          precomputedShingles = Some(sharedShingles(spark, sf)))
+        .orderBy(col("a"), col("b")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+             |idx AS (SELECT doc_id, unnest(range(len(t)-4)) i, t FROM toks WHERE len(t) >= 5),
+             |sh0 AS (SELECT doc_id, list_aggregate(t[i+1:i+5], 'string_agg', ' ') s FROM idx),
+             |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+             |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT s1.doc_id a, s2.doc_id b, COUNT(*) inter
+             |  FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT a, b, CAST(inter AS BIGINT) AS inter,
+             |  CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+             |  CAST(inter AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+             |FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+             |WHERE CAST(inter AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.9
+             |ORDER BY a, b""".stripMargin)),
+
     // Entity resolution / record linkage: a deterministic "dirty twin"
     // of every 5th customer (one character dropped from the name at a
     // key-derived position, re-keyed +10M) must link back to its

@@ -63,6 +63,47 @@ object EmbeddingQueries {
              |  CAST(len(list_filter(ql, x -> abs(x) = 127)) AS BIGINT) AS n_sat
              |FROM q ORDER BY vec_id""".stripMargin)),
 
+    // Per-dimension embedding health stats — the collapse/dead-dim
+    // detector an embedding pipeline monitors (a dimension whose
+    // variance pins near 0 carries no signal): count/sum/sum-of-squares
+    // per coordinate over the int8-quantized vectors, so the reductions
+    // are EXACT integers in any order; mean and variance are a fixed
+    // tree of scalar double ops on identical integers — deterministic
+    // cross-engine. One posexplode + one aggregation keyed on the
+    // dimension (64 groups — partial-agg'd, no skew).
+    QueryDef("emb_dim_stats",
+      (spark, sf) => {
+        val q = Embeddings.quantizeInt8(col("embedding"))
+        load(spark, sf, "embeddings")
+          .select(posexplode(q).as(Seq("dim", "qv")))
+          .groupBy(col("dim"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("qv").cast("long")).as("q_sum"),
+            sum((col("qv") * col("qv")).cast("long")).as("q_sumsq"))
+          .select(col("dim"), col("n"), col("q_sum"), col("q_sumsq"),
+            (col("q_sum").cast("double") / col("n")).as("mean"),
+            (col("q_sumsq").cast("double") / col("n")
+              - (col("q_sum").cast("double") / col("n"))
+                * (col("q_sum").cast("double") / col("n"))).as("variance"))
+          .orderBy(col("dim"))
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+             |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) ma FROM v),
+             |q AS (SELECT vec_id, list_transform(e, x ->
+             |    CASE WHEN ma = 0 THEN 0 ELSE CAST(round(x * 127.0 / ma) AS BIGINT) END) ql
+             |  FROM m),
+             |d AS (SELECT CAST(i AS INT) dim, ql[i + 1] qv
+             |  FROM q, range(64) r(i)),
+             |agg AS (SELECT dim, COUNT(*) n, SUM(qv) q_sum, SUM(qv * qv) q_sumsq
+             |  FROM d GROUP BY dim)
+             |SELECT dim, n, CAST(q_sum AS BIGINT) AS q_sum,
+             |  CAST(q_sumsq AS BIGINT) AS q_sumsq,
+             |  CAST(q_sum AS DOUBLE) / n AS mean,
+             |  CAST(q_sumsq AS DOUBLE) / n
+             |    - (CAST(q_sum AS DOUBLE) / n) * (CAST(q_sum AS DOUBLE) / n)
+             |    AS variance
+             |FROM agg ORDER BY dim""".stripMargin)),
+
     // Signed random projection 64 → 16 dims over 1e4-quantized
     // components: the whole projection is 64-bit integer arithmetic, so
     // every projected coordinate is oracled exactly (not via a bound).

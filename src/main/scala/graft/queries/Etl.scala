@@ -168,19 +168,7 @@ object Etl {
           .filter(col("n_members") > 0)
           .orderBy(col("g"))
       },
-      Some("""WITH snap AS (
-             |  SELECT c_custkey AS id, CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal
-             |  FROM customer WHERE c_custkey % 3 = 0),
-             |upd AS (
-             |  SELECT c_custkey AS id, CAST(ROUND(c_acctbal*100) AS BIGINT) + 100 AS bal
-             |  FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 10 <> 0),
-             |final AS (
-             |  SELECT COALESCE(u.id, s.id) AS id, COALESCE(u.bal, s.bal) AS bal
-             |  FROM snap s FULL OUTER JOIN upd u ON s.id = u.id
-             |  WHERE COALESCE(u.id, s.id) % 10 <> 0)
-             |SELECT id % 7 AS g, COUNT(*) AS n_members,
-             |  CAST(SUM(bal) AS BIGINT) AS bal_sum
-             |FROM final GROUP BY g ORDER BY g""".stripMargin)),
+      Some(Shared.IvmOracle)),
 
     // Generation time travel (engine-native lakehouse extension): the
     // parquet sink's retained generations stay readable after the

@@ -782,6 +782,45 @@ object Relational {
              |WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin),
       bench = true),
 
+    // As-of join with a staleness tolerance — the feature-join rule
+    // real feature stores enforce ("use the latest signal, but only if
+    // it is fresh enough"): the carried match is kept only when the
+    // gap is ≤ 48 h, else nulled. Same union+window linear shape as
+    // q_asof_join (one shuffle on the key, never a range join); the
+    // tolerance is a post-filter on the carried timestamp, and ages
+    // compare in integer micros. DuckDB replays it with its native
+    // ASOF JOIN + the same CASE.
+    QueryDef("q_asof_tolerance",
+      (spark, sf) => {
+        val ev = load(spark, sf, "events")
+        val tolUs = 48L * 3600L * 1000000L
+        graft.ops.Joins.asof(
+            left = ev.filter(col("event_type") === "error")
+              .select(col("event_id"), col("user_id"), col("ts")),
+            right = ev.filter(col("event_type") === "signup")
+              .select(col("user_id"), col("ts"), col("event_id").as("sid"),
+                col("ts").as("sts")),
+            partitionKey = "user_id", leftTime = "ts", rightTime = "ts",
+            valueCols = Map("sid" -> "signup_id", "sts" -> "signup_ts"))
+          .withColumn("age_us",
+            expr("unix_micros(ts) - unix_micros(signup_ts)"))
+          .select(col("event_id"), col("user_id"),
+            when(col("age_us") <= tolUs, col("signup_id")).as("fresh_signup_id"),
+            when(col("age_us") <= tolUs, expr("age_us div 3600000000"))
+              .as("age_h"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT e.event_id, e.user_id,
+             |  CASE WHEN epoch_us(e.ts) - epoch_us(s.ts) <= 172800000000
+             |    THEN s.sid END AS fresh_signup_id,
+             |  CASE WHEN epoch_us(e.ts) - epoch_us(s.ts) <= 172800000000
+             |    THEN (epoch_us(e.ts) - epoch_us(s.ts)) // 3600000000 END AS age_h
+             |FROM events e ASOF LEFT JOIN
+             |  (SELECT user_id, ts, event_id AS sid FROM events
+             |   WHERE event_type = 'signup') s
+             |  ON e.user_id = s.user_id AND e.ts >= s.ts
+             |WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin)),
+
     // Latest-record-per-key (the SCD "current snapshot" pattern):
     // each user's most recent event via a keyed row_number — one shuffle
     // on the key, no self-join against a max-ts aggregate.

@@ -227,6 +227,25 @@ object Shared {
       |WHERE COALESCE(u.id, s.id) % 10 <> 0
       |ORDER BY id""".stripMargin
 
+  /** One oracle for both IVM gates (`etl_ivm_agg`, `stream_ivm_agg`):
+    * the maintained view must equal a fresh aggregation of the fully
+    * patched table.
+    */
+  val IvmOracle: String =
+    """WITH snap AS (
+      |  SELECT c_custkey AS id, CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal
+      |  FROM customer WHERE c_custkey % 3 = 0),
+      |upd AS (
+      |  SELECT c_custkey AS id, CAST(ROUND(c_acctbal*100) AS BIGINT) + 100 AS bal
+      |  FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 10 <> 0),
+      |final AS (
+      |  SELECT COALESCE(u.id, s.id) AS id, COALESCE(u.bal, s.bal) AS bal
+      |  FROM snap s FULL OUTER JOIN upd u ON s.id = u.id
+      |  WHERE COALESCE(u.id, s.id) % 10 <> 0)
+      |SELECT id % 7 AS g, COUNT(*) AS n_members,
+      |  CAST(SUM(bal) AS BIGINT) AS bal_sum
+      |FROM final GROUP BY g ORDER BY g""".stripMargin
+
   /** One oracle for both hybrid-retrieval twins (`text_hybrid_rrf`
     * batch, `stream_hybrid_rrf` micro-batched probes): idf-overlap
     * lexical top-20 + exact-cosine dense top-20 per probe, RRF-fused

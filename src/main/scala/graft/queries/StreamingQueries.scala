@@ -463,6 +463,60 @@ object StreamingQueries {
       },
       Some(Shared.CdcOracle)),
 
+    // Streaming materialized-view maintenance: the IVM merge of
+    // etl_ivm_agg run from INSIDE foreachBatch — each arriving CDC
+    // micro-batch is compacted, its old contributions fetched through
+    // a keys-of-the-delta semi-join on the base, and the ⊕-delta is
+    // folded into the generation-pointer MV (read current gen → merge
+    // → flip a new gen, restart-safe like stream_cdc_apply). The view
+    // is never recomputed from the base; the gate is the same "equals
+    // a fresh aggregation of the fully patched table" oracle.
+    QueryDef("stream_ivm_agg",
+      (spark, sf) => {
+        import graft.spec.{IdField, LongId, MigrationSpec}
+        import org.apache.spark.sql.expressions.Window
+        val (snapshot, logDf) = Shared.cdcScenario(spark, sf)
+        val logDir = java.nio.file.Files.createTempDirectory("graft_ivm_log").toString
+        logDf.coalesce(1).write.mode("overwrite").parquet(logDir)
+        val base = java.nio.file.Files.createTempDirectory("graft_stream_ivm").toString
+        val theSpec = MigrationSpec("stream_ivm", source = "", sourceDriver = "stream",
+          destination = s"$base/mv", destinationDriver = "parquet",
+          sourceIds = Seq(IdField("g", LongId)),
+          destinationIds = Seq(IdField("g", LongId)))
+        val dest = new graft.drivers.ParquetDestinationDriver
+        dest.write(snapshot.groupBy((col("id") % 7).as("g"))
+          .agg(count(lit(1)).as("n"), sum(col("bal_cents")).as("s")), theSpec)
+        val stream = spark.readStream.schema(logDf.schema).parquet(logDir)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val wSeq = Window.partitionBy(col("id")).orderBy(col("seq").desc)
+            val compacted = batch.withColumn("rn", row_number().over(wSeq))
+              .filter(col("rn") === 1).drop("rn")
+            val oldAff = snapshot
+              .join(compacted.select(col("id")), Seq("id"), "left_semi")
+              .groupBy((col("id") % 7).as("g"))
+              .agg(count(lit(1)).as("n_o"), sum(col("bal_cents")).as("s_o"))
+            val newAff = compacted.filter(col("op") =!= "D")
+              .groupBy((col("id") % 7).as("g"))
+              .agg(count(lit(1)).as("n_n"), sum(col("bal_cents")).as("s_n"))
+            val cur = dest.snapshot(spark, theSpec).get
+            dest.write(cur
+              .join(oldAff.join(newAff, Seq("g"), "full_outer"), Seq("g"), "full_outer")
+              .na.fill(0L, Seq("n", "s", "n_o", "s_o", "n_n", "s_n"))
+              .select(col("g"),
+                (col("n") + col("n_n") - col("n_o")).as("n"),
+                (col("s") + col("s_n") - col("s_o")).as("s"))
+              .filter(col("n") > 0), theSpec)
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        dest.snapshot(spark, theSpec).get
+          .select(col("g"), col("n").as("n_members"), col("s").as("bal_sum"))
+          .orderBy(col("g"))
+      },
+      Some(Shared.IvmOracle)),
+
     // Streaming twin of the space-saving heavy hitters: the bounded-
     // memory top-k Aggregator runs as a complete-mode streaming
     // aggregate over the live token stream — with capacity ≫ k the

@@ -1191,6 +1191,38 @@ object TextQueries {
              |WHERE d.doc_id % 3 = 0 AND f < 2 + d.doc_id % 4 AND f % 2 = 0
              |ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // Scene-cut detection over the real animated-GIF codec: decode
+    // every frame, diff consecutive frame means per video (lag window
+    // keyed on the video id), count jumps ≥ 64 gray levels — the shot-
+    // boundary step of a video curation pipeline. The 40-per-frame
+    // gray ramp wraps mod 256, so cuts are exactly the wrap frames and
+    // the oracle replays decode + lag from the generating formula.
+    QueryDef("mm_scene_cuts",
+      (spark, sf) => {
+        val d = Multimodal.syntheticVideos(
+          load(spark, sf, "documents").filter(col("doc_id") % 3 === 1)
+            .select(col("doc_id")), "doc_id")
+        val frames = Multimodal.gifFrameSample(d, "doc_id", stride = 1)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+        frames.withColumn("prev", lag(col("mean_pixel"), 1).over(w))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            sum(when(abs(col("mean_pixel") - col("prev")) >= 64, 1L)
+              .otherwise(0L)).as("n_cuts"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH fr AS (
+             |  SELECT d.doc_id, f, CAST((d.doc_id*17 + f*40) % 256 AS DOUBLE) v
+             |  FROM documents d, range(6) r(f)
+             |  WHERE d.doc_id % 3 = 1 AND f < 2 + d.doc_id % 4),
+             |dif AS (SELECT doc_id, v,
+             |    LAG(v) OVER (PARTITION BY doc_id ORDER BY f) pv FROM fr)
+             |SELECT doc_id, COUNT(*) AS n_frames,
+             |  COUNT(*) FILTER (WHERE pv IS NOT NULL AND ABS(v - pv) >= 64)
+             |    AS n_cuts
+             |FROM dif GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Multimodal resize: decode → nearest-neighbor rescale → PNG
     // re-encode, then re-decode and measure. Constant-fill fixtures make
     // the round-trip SQL-verifiable: dimensions become the target, the

@@ -88,6 +88,19 @@ class CurationSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (5L, 6L)), s"got $pairs")
   }
 
+  test("containment catches an embedded doc that Jaccard misses") {
+    import spark.implicits._
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val short = (1 to 12).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, long), (2L, short)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(d, "text", "doc_id", k = 5, minContainment = 0.9)
+      .collect()
+    assert(cont.length == 1 && cont(0).getAs[Double]("containment") == 1.0,
+      s"embedded doc must hit containment 1.0: ${cont.mkString}")
+    val jac = Dedup.ngramJaccardPairs(d, "text", "doc_id", 5, 0.8).count()
+    assert(jac == 0, "Jaccard at 0.8 must miss the same pair (union dilution)")
+  }
+
   test("decay counts: weights are exact dyadic sums (engine-order independent)") {
     val out = graft.SparkEntry.queries("q_decay_counts")(spark, Sf).collect()
     assert(out.nonEmpty)
