@@ -9,6 +9,8 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
   import Tables._
+  import org.apache.spark.sql.streaming.Trigger
+  private val counter2 = new java.util.concurrent.atomic.AtomicInteger
 
   /** 5-token shingle table per sfDir, persisted and shared by the exact
     * and MinHash queries (both need it; computing it twice doubles the
@@ -786,23 +788,46 @@ object DedupQueries {
         Dedup.symspellLinkPairs(ents, "key", "name")
           .orderBy(col("a_key"), col("b_key"))
       },
-      Some("""WITH ents AS (
-             |  SELECT c_custkey AS key, c_name AS name FROM customer
-             |  UNION ALL
-             |  SELECT c_custkey + 10000000,
-             |    substr(c_name, 1, c_custkey % (LENGTH(c_name) - 2) + 1)
-             |      || substr(c_name, c_custkey % (LENGTH(c_name) - 2) + 3)
-             |  FROM customer WHERE c_custkey % 5 = 0),
-             |dels AS (
-             |  SELECT key a_key, name a_name,
-             |    substr(name, 1, p) || substr(name, p + 2) AS k
-             |  FROM (SELECT key, name, unnest(range(0, LENGTH(name))) p FROM ents)),
-             |cand AS (
-             |  SELECT DISTINCT a_key, b.key b_key, a_name, b.name b_name
-             |  FROM dels JOIN ents b ON dels.k = b.name
-             |  WHERE LENGTH(a_name) = LENGTH(b.name) + 1
-             |    AND levenshtein(a_name, b.name) = 1)
-             |SELECT a_key, b_key, a_name, b_name FROM cand
-             |ORDER BY a_key, b_key""".stripMargin)),
+      Some(Shared.SymspellOracle)),
+
+    // Streaming twin of the SymSpell linkage — master-data dedup at
+    // ingest: the CLEAN registry's deletion-variant index builds once
+    // as the static side; each ARRIVING dirty record joins it
+    // statelessly by its exact name (stream-static equi-join, append
+    // mode, no state store) and verifies through WithinEdit1. Same
+    // pair set, same oracle, as the batch gate.
+    QueryDef("stream_er_symspell",
+      (spark, sf) => {
+        val clean = load(spark, sf, "customer")
+          .select(col("c_custkey").as("a_key"), col("c_name").as("a_name"))
+        val deletes = expr(
+          """transform(sequence(1, length(a_name)),
+            |  p -> concat(substring(a_name, 1, p - 1),
+            |              substring(a_name, p + 1, length(a_name) - p)))""".stripMargin)
+        val index = clean.select(col("a_key"), col("a_name"),
+          explode(array_distinct(deletes)).as("k"))
+        val dirtyDir = java.nio.file.Files.createTempDirectory("graft_er_stream").toString
+        val dirty = load(spark, sf, "customer")
+          .filter(col("c_custkey") % 5 === 0)
+          .select((col("c_custkey") + 10000000L).as("b_key"),
+            expr("""concat(
+                substring(c_name, 1, cast(c_custkey % (length(c_name) - 2) as int) + 1),
+                substring(c_name, cast(c_custkey % (length(c_name) - 2) as int) + 3,
+                          length(c_name)))""").as("b_name"))
+        dirty.coalesce(1).write.mode("overwrite").parquet(dirtyDir)
+        val stream = spark.readStream
+          .schema(spark.read.parquet(dirtyDir).schema).parquet(dirtyDir)
+        val matched = stream.withColumn("k", col("b_name"))
+          .join(index, Seq("k"))
+          .filter(length(col("a_name")) === length(col("b_name")) + 1)
+          .filter(graft.functions.WithinEdit1(col("a_name"), col("b_name")))
+          .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"))
+        val table = s"stream_er_${counter2.incrementAndGet()}"
+        val q = matched.writeStream.format("memory").queryName(table)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        spark.table(table).distinct().orderBy(col("a_key"), col("b_key"))
+      },
+      Some(Shared.SymspellOracle)),
   )
 }

@@ -821,6 +821,33 @@ object Relational {
              |  ON e.user_id = s.user_id AND e.ts >= s.ts
              |WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin)),
 
+    // Interval-coverage analytics (the sweep the range-join family
+    // doesn't answer): per calendar day, how many lineitems were
+    // ordered but not yet shipped — each [orderdate, shipdate)
+    // interval explodes into its covered days (bounded fan-out, the
+    // fulfillment window) and a day-keyed count aggregates with
+    // map-side partials. No quadratic day×interval join, no global
+    // running-sum window.
+    QueryDef("q_interval_coverage",
+      (spark, sf) => {
+        val li = load(spark, sf, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate").cast("date").as("ship"))
+        val o = load(spark, sf, "orders")
+          .select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderdate").cast("date").as("odate"))
+        li.join(o, Seq("l_orderkey"))
+          .filter(col("ship") > col("odate"))
+          .select(explode(expr("sequence(odate, date_sub(ship, 1))")).as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("n_open"))
+          .orderBy(col("day"))
+      },
+      Some("""SELECT CAST(d AS DATE) AS day, COUNT(*) AS n_open FROM (
+             |  SELECT unnest(generate_series(CAST(o.o_orderdate AS DATE),
+             |      CAST(l.l_shipdate AS DATE) - 1, INTERVAL 1 DAY)) d
+             |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |  WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE)) t
+             |GROUP BY day ORDER BY day""".stripMargin)),
+
     // Latest-record-per-key (the SCD "current snapshot" pattern):
     // each user's most recent event via a keyed row_number — one shuffle
     // on the key, no self-join against a max-ts aggregate.

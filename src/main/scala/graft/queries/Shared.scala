@@ -227,6 +227,33 @@ object Shared {
       |WHERE COALESCE(u.id, s.id) % 10 <> 0
       |ORDER BY id""".stripMargin
 
+  /** One oracle for both SymSpell ER gates (`er_symspell_match` batch,
+    * `stream_er_symspell` arriving-records twin): every (longer,
+    * shorter) pair where the shorter name is a 1-deletion of the
+    * longer. All qualifying pairs are clean(18-char) → dirty(17-char)
+    * by construction, so the batch pair set IS the stream's
+    * clean-registry-vs-arriving-dirty match set.
+    */
+  val SymspellOracle: String =
+    """WITH ents AS (
+      |  SELECT c_custkey AS key, c_name AS name FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000,
+      |    substr(c_name, 1, c_custkey % (LENGTH(c_name) - 2) + 1)
+      |      || substr(c_name, c_custkey % (LENGTH(c_name) - 2) + 3)
+      |  FROM customer WHERE c_custkey % 5 = 0),
+      |dels AS (
+      |  SELECT key a_key, name a_name,
+      |    substr(name, 1, p) || substr(name, p + 2) AS k
+      |  FROM (SELECT key, name, unnest(range(0, LENGTH(name))) p FROM ents)),
+      |cand AS (
+      |  SELECT DISTINCT a_key, b.key b_key, a_name, b.name b_name
+      |  FROM dels JOIN ents b ON dels.k = b.name
+      |  WHERE LENGTH(a_name) = LENGTH(b.name) + 1
+      |    AND levenshtein(a_name, b.name) = 1)
+      |SELECT a_key, b_key, a_name, b_name FROM cand
+      |ORDER BY a_key, b_key""".stripMargin
+
   /** One oracle for both IVM gates (`etl_ivm_agg`, `stream_ivm_agg`):
     * the maintained view must equal a fresh aggregation of the fully
     * patched table.

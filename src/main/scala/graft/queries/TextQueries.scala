@@ -1191,6 +1191,30 @@ object TextQueries {
              |WHERE d.doc_id % 3 = 0 AND f < 2 + d.doc_id % 4 AND f % 2 = 0
              |ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // Fixed-N-per-class deterministic sampling ("give me 20 examples
+    // from every source"): the md5 draw defines an engine-independent
+    // total order inside each class and the engine's bounded-heap
+    // TopKPerKey takes the first 20 — partial heaps before the
+    // exchange, never a per-class window sort. The eval-set builder's
+    // sampling primitive.
+    QueryDef("text_per_source_sample",
+      (spark, sf) => graft.plans.GroupedTopK(
+          load(spark, sf, "documents")
+            .select(col("doc_id"), col("source"),
+              md5(concat(col("doc_id").cast("string"), lit("ps1"))).as("draw")),
+          keys = Seq("source"),
+          orderBy = Seq(("draw", true), ("doc_id", true)),
+          k = 20)
+        .select(col("source"), col("doc_id"), col("draw"))
+        .orderBy(col("source"), col("draw"), col("doc_id")),
+      Some("""SELECT source, doc_id, draw FROM (
+             |  SELECT source, doc_id,
+             |    md5(CAST(doc_id AS VARCHAR) || 'ps1') AS draw,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'ps1'), doc_id) AS rn
+             |  FROM documents) t
+             |WHERE rn <= 20 ORDER BY source, draw, doc_id""".stripMargin)),
+
     // Scene-cut detection over the real animated-GIF codec: decode
     // every frame, diff consecutive frame means per video (lag window
     // keyed on the video id), count jumps ≥ 64 gray levels — the shot-
