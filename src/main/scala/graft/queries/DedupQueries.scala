@@ -829,5 +829,99 @@ object DedupQueries {
         spark.table(table).distinct().orderBy(col("a_key"), col("b_key"))
       },
       Some(Shared.SymspellOracle)),
+
+    // Fellegi–Sunter probabilistic record linkage — the classic ER
+    // model the SymSpell gate's single-field exact-variant matching
+    // doesn't cover: multi-pass blocking proposes candidates, then each
+    // field comparison contributes an integer agreement/disagreement
+    // log-weight and the pair links when the summed score clears the
+    // threshold. Dirty twins of every 7th customer (one name char
+    // dropped at a key-derived position, balance shifted +7.77) must
+    // link back; near-identical clean pairs that genuinely agree on
+    // name-edit1 + balance replay identically in the oracle — FS false
+    // positives at a given threshold are part of the semantics. Scale
+    // shape: both blocking passes are EQUI-joins on bounded-occupancy
+    // keys — (nation, 100-dollar balance bucket) holds ~a dozen rows,
+    // (nation, 4-char name suffix) ~a couple — so candidate generation
+    // is O(Σ block²) with O(1) blocks, never an all-pairs scan; the
+    // multi-pass union dedups through one distinct; scoring is one
+    // joined projection with the native WithinEdit1 verify (no
+    // quadratic levenshtein over non-candidates).
+    QueryDef("er_fs_score",
+      (spark, sf) => {
+        val c = load(spark, sf, "customer")
+        val clean = c.select(col("c_custkey").as("key"), col("c_name").as("name"),
+          Shared.cents(col("c_acctbal")).as("bal"),
+          col("c_nationkey").cast("long").as("nat"), col("c_mktsegment").as("seg"))
+        val dirty = c.filter(col("c_custkey") % 7 === 0)
+          .select((col("c_custkey") + 20000000L).as("key"),
+            expr("""concat(
+                substring(c_name, 1, cast(c_custkey % 16 as int) + 1),
+                substring(c_name, cast(c_custkey % 16 as int) + 3,
+                          length(c_name)))""").as("name"),
+            (Shared.cents(col("c_acctbal")) + 777L).as("bal"),
+            col("c_nationkey").cast("long").as("nat"), col("c_mktsegment").as("seg"))
+        // +100000 shift keeps the bucket division on positive ground so
+        // Spark's truncating div and DuckDB's flooring // agree on
+        // negative balances.
+        val ents = clean.unionByName(dirty)
+          .withColumn("bb", expr("(bal + 100000) div 10000"))
+          .withColumn("sfx", expr("substring(name, length(name) - 3, 4)"))
+        def side(p: String) = ents.select(
+          col("key").as(s"${p}_key"), col("name").as(s"${p}_name"),
+          col("bal").as(s"${p}_bal"), col("nat").as(s"${p}_nat"),
+          col("seg").as(s"${p}_seg"), col("bb").as(s"${p}_bb"),
+          col("sfx").as(s"${p}_sfx"))
+        val a = side("a")
+        val b = side("b")
+        val cand = a.join(b, col("a_nat") === col("b_nat")
+              && col("a_bb") === col("b_bb") && col("a_key") < col("b_key"))
+          .select(col("a_key"), col("b_key"))
+          .unionByName(a.join(b, col("a_nat") === col("b_nat")
+              && col("a_sfx") === col("b_sfx") && col("a_key") < col("b_key"))
+            .select(col("a_key"), col("b_key")))
+          .distinct()
+        cand.join(a, Seq("a_key")).join(b, Seq("b_key"))
+          .withColumn("score",
+            when(graft.functions.WithinEdit1(col("a_name"), col("b_name")),
+              lit(24)).otherwise(lit(-18))
+              + when(abs(col("a_bal") - col("b_bal")) <= 1000, lit(18)).otherwise(lit(-12))
+              + when(col("a_seg") === col("b_seg"), lit(7)).otherwise(lit(-9))
+              + when(col("a_nat") === col("b_nat"), lit(5)).otherwise(lit(-11)))
+          .filter(col("score") >= 30)
+          .select(col("a_key"), col("b_key"), col("score").cast("long").as("score"))
+          .orderBy(col("a_key"), col("b_key"))
+      },
+      Some("""WITH ents AS (
+             |  SELECT c_custkey AS key, c_name AS name,
+             |    CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal,
+             |    CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg
+             |  FROM customer
+             |  UNION ALL
+             |  SELECT c_custkey + 20000000,
+             |    substr(c_name, 1, c_custkey % 16 + 1)
+             |      || substr(c_name, c_custkey % 16 + 3),
+             |    CAST(ROUND(c_acctbal*100) AS BIGINT) + 777,
+             |    CAST(c_nationkey AS BIGINT), c_mktsegment
+             |  FROM customer WHERE c_custkey % 7 = 0),
+             |k AS (SELECT key, name, bal, nat, seg,
+             |        (bal + 100000) // 10000 AS bb,
+             |        substr(name, LENGTH(name) - 3) AS sfx
+             |      FROM ents),
+             |cand AS (
+             |  SELECT a.key ak, b.key bk FROM k a JOIN k b
+             |    ON a.nat = b.nat AND a.bb = b.bb AND a.key < b.key
+             |  UNION
+             |  SELECT a.key, b.key FROM k a JOIN k b
+             |    ON a.nat = b.nat AND a.sfx = b.sfx AND a.key < b.key),
+             |scored AS (
+             |  SELECT ak AS a_key, bk AS b_key,
+             |    (CASE WHEN levenshtein(a.name, b.name) <= 1 THEN 24 ELSE -18 END)
+             |    + (CASE WHEN ABS(a.bal - b.bal) <= 1000 THEN 18 ELSE -12 END)
+             |    + (CASE WHEN a.seg = b.seg THEN 7 ELSE -9 END)
+             |    + (CASE WHEN a.nat = b.nat THEN 5 ELSE -11 END) AS score
+             |  FROM cand JOIN k a ON ak = a.key JOIN k b ON bk = b.key)
+             |SELECT a_key, b_key, CAST(score AS BIGINT) AS score
+             |FROM scored WHERE score >= 30 ORDER BY a_key, b_key""".stripMargin)),
   )
 }

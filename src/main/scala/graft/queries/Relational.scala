@@ -654,11 +654,7 @@ object Relational {
             sum(pow(lit(2.0), -col("age_h"))).as("decayed_weight"))
           .orderBy(col("event_type"))
       },
-      Some("""WITH m AS (SELECT MAX(epoch_us(ts)) mx FROM events)
-             |SELECT event_type, COUNT(*) AS n_events,
-             |  SUM(power(2, -LEAST((((SELECT mx FROM m) - epoch_us(ts)) // 3600000000), 30)))
-             |    AS decayed_weight
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+      Some(Shared.DecayOracle)),
 
     // Shuffle-planning skew report — the diagnostic a 100 TB operator
     // runs BEFORE picking a join strategy: per-key frequency over the
@@ -847,6 +843,46 @@ object Relational {
              |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
              |  WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE)) t
              |GROUP BY day ORDER BY day""".stripMargin)),
+
+    // Time-weighted average (TWAP): each event's value holds until the
+    // user's next event, so its weight is that holding duration (capped
+    // at 1 h so idle gaps don't dominate). One keyed lead window — the
+    // shuffle is on user_id only — then a 5-row aggregate. Integer
+    // cents × integer seconds keep both sums exact and order-
+    // independent; the average is one final double division of
+    // identical integers, bit-exact cross-engine.
+    QueryDef("q_twap",
+      (spark, sf) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        load(spark, sf, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts"), cents(col("value")).as("v_cents"),
+            expr("unix_micros(ts)").as("us"))
+          .withColumn("next_us", lead(col("us"), 1).over(w))
+          .filter(col("next_us").isNotNull)
+          .withColumn("dur_s", expr("least((next_us - us) div 1000000, 3600)"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("v_cents") * col("dur_s")).as("wsum"),
+            sum(col("dur_s")).as("dur_total"))
+          .withColumn("twap_cents",
+            col("wsum").cast("double") / col("dur_total"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, CAST(ROUND(value*100) AS BIGINT) v,
+             |    epoch_us(ts) us,
+             |    LEAD(epoch_us(ts)) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) nxt
+             |  FROM events),
+             |d AS (SELECT event_type, v,
+             |        LEAST((nxt - us) // 1000000, 3600) dur
+             |      FROM e WHERE nxt IS NOT NULL)
+             |SELECT event_type,
+             |  CAST(SUM(v * dur) AS BIGINT) AS wsum,
+             |  CAST(SUM(dur) AS BIGINT) AS dur_total,
+             |  CAST(SUM(v * dur) AS DOUBLE) / SUM(dur) AS twap_cents
+             |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Latest-record-per-key (the SCD "current snapshot" pattern):
     // each user's most recent event via a keyed row_number — one shuffle

@@ -258,6 +258,21 @@ object Shared {
     * the maintained view must equal a fresh aggregation of the fully
     * patched table.
     */
+  /** One oracle for both exact time-decayed counter gates
+    * (`q_decay_counts` batch, `stream_decay_counts` streaming fold):
+    * per-type half-life-decayed event mass relative to the corpus's
+    * latest instant, ages capped at 30 half-lives so every weight
+    * 2^-age_h is an exact dyadic rational and the double sum is
+    * order-independent IEEE arithmetic — hash-comparable across
+    * engines and across batch/stream evaluation orders.
+    */
+  val DecayOracle: String =
+    """WITH m AS (SELECT MAX(epoch_us(ts)) mx FROM events)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  SUM(power(2, -LEAST((((SELECT mx FROM m) - epoch_us(ts)) // 3600000000), 30)))
+      |    AS decayed_weight
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val IvmOracle: String =
     """WITH snap AS (
       |  SELECT c_custkey AS id, CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal

@@ -1325,5 +1325,36 @@ object StreamingQueries {
              |        (CAST(rc AS DOUBLE) / (SELECT n FROM tot)))), 6) AS kl
              |FROM wc JOIN wn USING (ws) JOIN ref USING (event_type)
              |GROUP BY wc.ws, wn.n ORDER BY hour""".stripMargin)),
+
+    // Streaming twin of the exact decayed counters (`q_decay_counts`):
+    // the reference instant freezes from one bounded batch scan (a
+    // scalar — the frozen-census pattern), then every arriving event
+    // folds its dyadic weight 2^-age_h into a per-type stateful
+    // aggregation in complete mode. Ages cap at 30 half-lives so each
+    // weight is an exact dyadic rational — the partial sums the state
+    // store accumulates across micro-batches are order-independent
+    // IEEE arithmetic, which is what makes a STREAMING fold of doubles
+    // hash-match the batch oracle at all. Same oracle as the batch
+    // gate.
+    QueryDef("stream_decay_counts",
+      (spark, sf) => {
+        val maxUs = load(spark, sf, "events")
+          .agg(max(expr("unix_micros(ts)"))).first().getLong(0)
+        val schema = spark.read.parquet(path(sf, "events")).schema
+        val raw = spark.readStream.schema(schema)
+          .parquet(stagedDir(spark, sf, "events"))
+        val agg = Tables.normalizeTs(raw)
+          .select(col("event_type"),
+            expr(s"least(($maxUs - unix_micros(ts)) div 3600000000, 30)").as("age_h"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(pow(lit(2.0), -col("age_h"))).as("decayed_weight"))
+        val table = s"stream_decay_${counter.incrementAndGet()}"
+        val q = agg.writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        spark.table(table).orderBy(col("event_type"))
+      },
+      Some(Shared.DecayOracle)),
   )
 }

@@ -943,6 +943,76 @@ object TextQueries {
       Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Theta/KMV sketch set-INTERSECTION — the set operation HLL can't
+    // do (HLL unions; intersection via inclusion-exclusion explodes the
+    // error): estimate |parts bought by BUILDING ∩ parts bought by
+    // MACHINERY| from the k=256 minimum xxhash64 values of the union,
+    // counting how many of those k live in both sets. Each side's
+    // distinct-part set reduces to ≤k hashes per partition before any
+    // exchange (TakeOrdered, no global sort); the whole sketch state
+    // that ever crosses the wire is k rows. Fewer than k distinct
+    // values ⇒ the sketch degrades to exact (every hash kept) — the
+    // sf0.001 regime, while sf0.01/0.1 genuinely estimate. Engines'
+    // hash sketches aren't comparable, so the gate is the
+    // q_approx_distinct shape: assert |est − exact| ≤ max(35%, 8)
+    // in-query and emit the exact sides, which DuckDB reproduces.
+    QueryDef("sketch_theta_intersect",
+      (spark, sf) => {
+        val k = 256
+        val cust = load(spark, sf, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val ords = load(spark, sf, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = load(spark, sf, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        def parts(seg: String) =
+          li.join(ords, li("l_orderkey") === ords("o_orderkey"))
+            .join(cust.filter(col("c_mktsegment") === seg),
+              ords("o_custkey") === col("c_custkey"))
+            .select(col("l_partkey")).distinct()
+        val tagged = parts("BUILDING")
+          .withColumn("in_a", lit(1)).withColumn("in_b", lit(0))
+          .unionByName(parts("MACHINERY")
+            .withColumn("in_a", lit(0)).withColumn("in_b", lit(1)))
+          .groupBy(col("l_partkey"))
+          .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+          .withColumn("h", xxhash64(col("l_partkey")))
+        val kmin = tagged.orderBy(col("h")).limit(k)
+        val stats = kmin.agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("in_a") * col("in_b")).as("m_both"),
+          max(col("h")).as("h_k"))
+        val exact = tagged.agg(
+          sum(col("in_a") * col("in_b")).cast("long").as("exact_common"),
+          sum(col("in_a")).cast("long").as("exact_a"),
+          sum(col("in_b")).cast("long").as("exact_b"))
+        // u_k: the kth hash as a fraction of the signed-64 domain.
+        stats.crossJoin(exact)
+          .withColumn("u_k",
+            (col("h_k").cast("double") + lit(9.223372036854776e18))
+              / lit(1.8446744073709552e19))
+          .withColumn("union_est",
+            when(col("n_kept") < k, col("n_kept").cast("double"))
+              .otherwise(lit((k - 1).toDouble) / col("u_k")))
+          .withColumn("inter_est",
+            col("m_both").cast("double") / col("n_kept") * col("union_est"))
+          .filter(abs(col("inter_est") - col("exact_common")) <=
+            greatest(col("exact_common") * 0.35, lit(8.0)))
+          .select(col("exact_common"), col("exact_a"), col("exact_b"))
+      },
+      Some("""WITH seg AS (
+             |  SELECT c.c_mktsegment seg, l.l_partkey p
+             |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |  JOIN customer c ON o.o_custkey = c.c_custkey
+             |  WHERE c.c_mktsegment IN ('BUILDING','MACHINERY')),
+             |a AS (SELECT DISTINCT p FROM seg WHERE seg = 'BUILDING'),
+             |b AS (SELECT DISTINCT p FROM seg WHERE seg = 'MACHINERY')
+             |SELECT
+             |  CAST((SELECT COUNT(*) FROM a JOIN b USING (p)) AS BIGINT)
+             |    AS exact_common,
+             |  CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS exact_a,
+             |  CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS exact_b""".stripMargin)),
+
     // Count-min sketch point counts (the third sketch tier next to HLL
     // cardinality and GK quantiles): fixed 4×1024 counter grid, merge =
     // element-wise add, so traffic is O(partitions) not O(distinct

@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Structural invariants for the FS-linkage / theta-sketch / TWAP
+  * additions — the properties the DuckDB hash oracle can't state
+  * directly (it only confirms equality, not WHY the answer is right).
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, Sf)
+
+  test("fs linkage: every emitted pair agrees on name within edit-1") {
+    // With weights (24/-18, 18/-12, 7/-9, 5/-11) and threshold 30, a
+    // name-disagreeing pair can reach at most -18+18+7+5 = 12 — so a
+    // single linked pair without edit-1 names means the scoring sum or
+    // the threshold regressed.
+    val linked = run("er_fs_score")
+    val c = Tables.load(spark, Sf, "customer")
+    val clean = c.select(col("c_custkey").as("key"), col("c_name").as("name"))
+    val dirty = c.filter(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") + 20000000L).as("key"),
+        expr("""concat(
+            substring(c_name, 1, cast(c_custkey % 16 as int) + 1),
+            substring(c_name, cast(c_custkey % 16 as int) + 3,
+                      length(c_name)))""").as("name"))
+    val names = clean.unionByName(dirty)
+    val joined = linked
+      .join(names.withColumnRenamed("key", "a_key").withColumnRenamed("name", "a_name"), Seq("a_key"))
+      .join(names.withColumnRenamed("key", "b_key").withColumnRenamed("name", "b_name"), Seq("b_key"))
+    val bad = joined.filter(!graft.functions.WithinEdit1(col("a_name"), col("b_name"))).count()
+    assert(bad === 0L)
+    assert(linked.count() > 0L)
+  }
+
+  test("fs linkage: dirty twins caught by an intact blocking key link at full score") {
+    // A twin is guaranteed to be a candidate when its balance bucket
+    // didn't cross (pass 1) or its name suffix survived the drop
+    // (pass 2). Every such twin must link to its original with the
+    // full agree-score 24+18+7+5 = 54.
+    val c = Tables.load(spark, Sf, "customer")
+    val twins = c.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("a_key"),
+        (col("c_custkey") + 20000000L).as("b_key"),
+        (round(col("c_acctbal") * 100).cast("long")).as("cents"),
+        (col("c_custkey") % 16 + 2).as("drop_pos"))
+      .filter(
+        // pass 1 intact: +777 stays inside the 10000-cent bucket
+        ((col("cents") + 100000) % 10000 < 10000 - 777) ||
+        // pass 2 intact: dropped position before the last-4 suffix
+        (col("drop_pos") < 15))
+    val linked = run("er_fs_score").filter(col("score") === 54)
+    val missed = twins.select(col("a_key"), col("b_key"))
+      .join(linked, Seq("a_key", "b_key"), "left_anti").count()
+    assert(missed === 0L)
+  }
+
+  test("theta sketch: below-k regime is exact and side cardinalities are true distincts") {
+    // sf0.001 has ~200 distinct parts per segment — under k=256 the
+    // sketch keeps every hash, the estimate IS the exact intersection,
+    // and the gate row must survive with the true side counts.
+    val row = run("sketch_theta_intersect").collect()
+    assert(row.length === 1)
+    val cust = Tables.load(spark, Sf, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val ords = Tables.load(spark, Sf, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(spark, Sf, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    def parts(seg: String) =
+      li.join(ords, li("l_orderkey") === ords("o_orderkey"))
+        .join(cust.filter(col("c_mktsegment") === seg),
+          ords("o_custkey") === col("c_custkey"))
+        .select(col("l_partkey")).distinct()
+    assert(row(0).getLong(1) === parts("BUILDING").count())
+    assert(row(0).getLong(2) === parts("MACHINERY").count())
+  }
+
+  test("twap: durations are capped holding gaps and rows drop exactly one per user") {
+    val ev = Tables.load(spark, Sf, "events")
+    val nEvents = ev.count()
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    // Independent recomputation of the total weighted mass via SQL.
+    ev.createOrReplaceTempView("twap_ev")
+    val ref = spark.sql(
+      """SELECT CAST(SUM(least((nxt - us) div 1000000, 3600)) AS LONG) dur,
+        |       COUNT(*) n FROM (
+        |  SELECT unix_micros(ts) us,
+        |    LEAD(unix_micros(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) nxt
+        |  FROM twap_ev) WHERE nxt IS NOT NULL""".stripMargin).collect()(0)
+    val got = run("q_twap")
+      .agg(sum(col("dur_total")).as("dur"), count(lit(1)).as("types")).collect()(0)
+    assert(got.getLong(0) === ref.getLong(0))
+    // every non-final event of every user contributes exactly one row
+    assert(ref.getLong(1) === nEvents - nUsers)
+  }
+}

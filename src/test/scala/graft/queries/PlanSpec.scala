@@ -334,4 +334,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"candidate generation must be the equi-join on the delete key:\n$p")
   }
+
+  test("fs linkage: both blocking passes are equi-joins, never all-pairs") {
+    val p = planOf("er_fs_score")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"FS candidate generation must join on the blocking keys:\n$p")
+  }
+
+  test("theta sketch: the k-min cut is TakeOrdered, never a global sort") {
+    val p = planOf("sketch_theta_intersect")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"k smallest hashes must come from TakeOrdered (per-partition heaps):\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("twap: one shuffle on user_id feeds the lead window") {
+    val p = planOf("q_twap")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"the window must partition by user_id:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }
