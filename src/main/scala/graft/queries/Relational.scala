@@ -752,6 +752,186 @@ object Relational {
              |FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-03'
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // DYNAMIC partition pruning — the runtime sibling of
+    // q_partition_pruning's static prune, and the flagship 100 TB scan
+    // economics feature: the set of hot days comes out of a subquery
+    // (top-5 days by purchase count), so no static predicate can prune
+    // the fact scan. Catalyst inserts a dynamicpruningexpression on the
+    // fact side's partition column (asserted in PlanSpec) and only the
+    // matching partition directories are ever listed/read — at 100 TB
+    // that is the difference between scanning 5 days and scanning all
+    // of them. Result must match the unpartitioned join.
+    QueryDef("q_dynamic_pruning",
+      (spark, sf) => {
+        val fact = spark.read.parquet(partitionedEventsDir(spark, sf))
+        val hot = load(spark, sf, "events")
+          .filter(col("event_type") === "purchase")
+          .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+          .groupBy(col("event_date")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("event_date")).limit(5)
+          .select(col("event_date"))
+        fact.join(hot, Seq("event_date"))
+          .groupBy(col("event_date"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("value_cents"))
+          .orderBy(col("event_date"), col("event_type"))
+      },
+      Some("""WITH hot AS (
+             |  SELECT strftime(ts, '%Y-%m-%d') AS event_date, COUNT(*) c
+             |  FROM events WHERE event_type = 'purchase'
+             |  GROUP BY 1 ORDER BY c DESC, event_date LIMIT 5)
+             |SELECT h.event_date, e.event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(ROUND(e.value*100) AS BIGINT)) AS BIGINT)
+             |    AS value_cents
+             |FROM events e JOIN hot h ON strftime(e.ts, '%Y-%m-%d') = h.event_date
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // OHLC resampling (time-series downsample): per (event_type, hour)
+    // bar with open/high/low/close in integer cents and the row count
+    // as volume. open/close pick the first/last event under the total
+    // (ts, event_id) order via min_by/max_by over a struct key — one
+    // shuffle on the bar key, no window sort, no self-join; high/low
+    // are plain min/max partials.
+    QueryDef("q_ohlc_bars",
+      (spark, sf) => {
+        load(spark, sf, "events")
+          .select(col("event_type"),
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            cents(col("value")).as("v"),
+            struct(col("ts"), col("event_id")).as("ord"))
+          .groupBy(col("event_type"), col("hour"))
+          .agg(
+            min_by(col("v"), col("ord")).as("open"),
+            max(col("v")).as("high"),
+            min(col("v")).as("low"),
+            max_by(col("v"), col("ord")).as("close"),
+            count(lit(1)).as("volume"))
+          .orderBy(col("event_type"), col("hour"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type,
+             |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             |    CAST(ROUND(value*100) AS BIGINT) v,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+             |      ORDER BY ts, event_id) rn_a,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+             |      ORDER BY ts DESC, event_id DESC) rn_d
+             |  FROM events)
+             |SELECT event_type, hour,
+             |  MAX(CASE WHEN rn_a = 1 THEN v END) AS open,
+             |  MAX(v) AS high, MIN(v) AS low,
+             |  MAX(CASE WHEN rn_d = 1 THEN v END) AS close,
+             |  COUNT(*) AS volume
+             |FROM e GROUP BY event_type, hour
+             |ORDER BY event_type, hour""".stripMargin)),
+
+    // Multi-touch revenue attribution: each purchase credited to the
+    // user's most recent preceding click/view (last-touch) and to their
+    // earliest touch on record (first-touch). ONE union + ONE keyed
+    // window computes both models — the running first/last with
+    // ignoreNulls over (ts, event_id) order — instead of two as-of
+    // joins; a single hash shuffle on user_id, linear at any scale.
+    // Purchases with no preceding touch land in the 'none' bucket, so
+    // revenue is conserved across the report (AnalyticsSpec pins it).
+    QueryDef("q_attribution",
+      (spark, sf) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ev = load(spark, sf, "events")
+          .filter(col("event_type").isin("click", "view", "purchase"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), cents(col("value")).as("cents"),
+            when(col("event_type").isin("click", "view"), col("event_type"))
+              .as("touch"))
+          .withColumn("last_t", last(col("touch"), ignoreNulls = true).over(w))
+          .withColumn("first_t", first(col("touch"), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+        // unpivot (model, touch) BEFORE aggregating: a union of two
+        // per-model aggregates would let column pruning clone the whole
+        // scan+window subtree into each branch — explode keeps it one.
+        ev.select(col("cents"),
+            explode(map(
+              lit("first"), coalesce(col("first_t"), lit("none")),
+              lit("last"), coalesce(col("last_t"), lit("none"))))
+              .as(Seq("model", "touch_type")))
+          .groupBy(col("model"), col("touch_type"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("cents")).as("revenue_cents"))
+          .orderBy(col("model"), col("touch_type"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CAST(ROUND(value*100) AS BIGINT) cents,
+             |    CASE WHEN event_type IN ('click','view') THEN event_type
+             |    END touch
+             |  FROM events WHERE event_type IN ('click','view','purchase')),
+             |w AS (
+             |  SELECT *,
+             |    last_value(touch IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) last_t,
+             |    first_value(touch IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) first_t
+             |  FROM ev),
+             |p AS (SELECT * FROM w WHERE event_type = 'purchase')
+             |SELECT model, touch_type, n_purchases,
+             |  CAST(revenue_cents AS BIGINT) AS revenue_cents FROM (
+             |  SELECT 'first' AS model, COALESCE(first_t,'none') AS touch_type,
+             |    COUNT(*) n_purchases, SUM(cents) AS revenue_cents
+             |  FROM p GROUP BY 2
+             |  UNION ALL
+             |  SELECT 'last', COALESCE(last_t,'none'),
+             |    COUNT(*), SUM(cents) FROM p GROUP BY 2)
+             |ORDER BY model, touch_type""".stripMargin)),
+
+    // RFM customer segmentation with EXACT quintiles at scale: the
+    // textbook formulation is three NTILE(5) windows with no partition
+    // key — a single-task global sort, the canonical 100 TB
+    // scale-killer. Rank.ntileExact computes the identical buckets
+    // distributed (range-partitioned sort + O(partitions) prefix
+    // offsets + integer NTILE arithmetic), and the DuckDB oracle runs
+    // the real NTILE over the same total order to prove bucket-exact
+    // equivalence. Recency is exact microseconds (no hour-boundary
+    // truncation ambiguity); every order carries a user_id tiebreak.
+    QueryDef("q_rfm",
+      (spark, sf) => {
+        val p = load(spark, sf, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("freq"),
+            sum(cents(col("value"))).as("mon"),
+            max(expr("unix_micros(ts)")).as("last_us"))
+        val mx = p.agg(max(col("last_us")).as("mx_us"))
+        val u = p.crossJoin(broadcast(mx))
+          .withColumn("rec_us", col("mx_us") - col("last_us"))
+        val r = graft.ops.Rank.ntileExact(u,
+          Seq(col("rec_us"), col("user_id")), 5, "r")
+        val f = graft.ops.Rank.ntileExact(r,
+          Seq(col("freq").desc, col("user_id")), 5, "f")
+        val m = graft.ops.Rank.ntileExact(f,
+          Seq(col("mon").desc, col("user_id")), 5, "m")
+        m.groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
+          .agg(count(lit(1)).as("n_users"), sum(col("mon")).as("revenue_cents"))
+          .orderBy(col("segment"))
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, COUNT(*) freq,
+             |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) mon,
+             |    MAX(epoch_us(ts)) last_us
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |u AS (SELECT *, (SELECT MAX(last_us) FROM p) - last_us rec_us
+             |      FROM p),
+             |t AS (SELECT user_id, mon,
+             |    NTILE(5) OVER (ORDER BY rec_us, user_id) r,
+             |    NTILE(5) OVER (ORDER BY freq DESC, user_id) f,
+             |    NTILE(5) OVER (ORDER BY mon DESC, user_id) m
+             |  FROM u)
+             |SELECT r*100 + f*10 + m AS segment, COUNT(*) AS n_users,
+             |  CAST(SUM(mon) AS BIGINT) AS revenue_cents
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // As-of join (operator Spark lacks): for each error event, the most
     // recent signup of the same user at-or-before its timestamp —
     // union + windowed last-value (one shuffle, linear), never a

@@ -1407,5 +1407,109 @@ object TextQueries {
           .orderBy(col("probe_id"), col("r"))
       },
       Some(Shared.ProbeBm25Oracle)),
+
+    // Per-source token-distribution divergence: Jensen–Shannon between
+    // each source's token distribution and the corpus reference — the
+    // BATCH corpus-mix audit next to the streaming per-window KL drift
+    // monitor (stream_drift_kl). All mass functions come from integer
+    // counts; the only floats are the final per-term ratios, and the
+    // scoring grid is (sources × vocab) — a bounded cross join of two
+    // aggregate frames, constant in corpus size, never a per-row
+    // cartesian. JS (unlike KL) is finite when a source is missing a
+    // corpus token, which is exactly the drifted-source case the audit
+    // exists to catch; 6-dp rounding is the drift-monitor discipline.
+    QueryDef("text_source_js_div",
+      (spark, sf) => {
+        val perSrc = load(spark, sf, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+        val srcTot = perSrc.groupBy(col("source")).agg(sum(col("c")).as("n"))
+        val corpus = perSrc.groupBy(col("tok")).agg(sum(col("c")).as("rc"))
+        val tot = corpus.agg(sum(col("rc"))).first().getLong(0)
+        srcTot.crossJoin(corpus)
+          .join(perSrc, Seq("source", "tok"), "left")
+          .na.fill(0L, Seq("c"))
+          .withColumn("p", col("c").cast("double") / col("n"))
+          .withColumn("q", col("rc").cast("double") / lit(tot.toDouble))
+          .withColumn("m", (col("p") + col("q")) / 2)
+          .withColumn("term",
+            when(col("p") > 0, col("p") * log(col("p") / col("m")) * 0.5)
+              .otherwise(lit(0.0))
+              + col("q") * log(col("q") / col("m")) * 0.5)
+          .groupBy(col("source"))
+          .agg(max(col("n")).cast("long").as("n_tokens"),
+            round(sum(col("term")), 6).as("js_div"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (SELECT source, unnest(string_split(text, ' ')) tok
+             |  FROM documents),
+             |ps AS (SELECT source, tok, COUNT(*) c FROM t GROUP BY 1, 2),
+             |st AS (SELECT source, SUM(c) n FROM ps GROUP BY 1),
+             |corp AS (SELECT tok, SUM(c) rc FROM ps GROUP BY 1),
+             |tot AS (SELECT SUM(rc) tt FROM corp),
+             |grid AS (SELECT st.source, st.n, corp.tok, corp.rc
+             |         FROM st CROSS JOIN corp),
+             |j AS (SELECT g.source, g.n, g.tok, g.rc, COALESCE(ps.c, 0) c
+             |      FROM grid g LEFT JOIN ps
+             |        ON ps.source = g.source AND ps.tok = g.tok),
+             |terms AS (SELECT source, n,
+             |    CAST(c AS DOUBLE) / n AS p,
+             |    CAST(rc AS DOUBLE) / (SELECT tt FROM tot) AS q
+             |  FROM j)
+             |SELECT source, CAST(MAX(n) AS BIGINT) AS n_tokens,
+             |  ROUND(SUM(CASE WHEN p > 0
+             |        THEN 0.5 * p * LN(p / ((p + q) / 2)) ELSE 0 END
+             |      + 0.5 * q * LN(q / ((p + q) / 2))), 6) AS js_div
+             |FROM terms GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Gopher/MassiveText repetition rules (Rae et al. 2021 §A1.1), the
+    // two the distinct-kgram ratio (text_repetition) can't express:
+    // top-2-gram coverage (share of bigram slots taken by the single
+    // most frequent bigram) and duplicate-2-gram coverage (share taken
+    // by any bigram occurring more than once). Inverted-index shape:
+    // explode bigrams -> count per (doc, gram) -> per-doc integer
+    // summary — two linear shuffles, no self-join. The thresholds are
+    // evaluated in PURE INTEGER cross-multiplication (5*maxc > n is
+    // top-frac > 0.20; 10*dup > 3*n is dup-frac > 0.30), so the gate
+    // has no float anywhere and replays engine-exact in the oracle.
+    QueryDef("text_repetition_gate",
+      (spark, sf) => {
+        val docs = load(spark, sf, "documents")
+        val perDoc = docs
+          .select(col("doc_id"),
+            explode(graft.ops.TextOps.shingles(col("text"), 2)).as("gram"))
+          .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"), max(col("c")).as("maxc"),
+            coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dup"))
+        docs.select(col("doc_id"), col("source"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("maxc") * 5 > col("n"), 1).otherwise(0)).as("top_flagged"),
+            sum(when(col("dup") * 10 > col("n") * 3, 1).otherwise(0)).as("dup_flagged"),
+            sum(when(col("maxc") * 5 > col("n") or
+              col("dup") * 10 > col("n") * 3, 1).otherwise(0)).as("any_flagged"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (SELECT doc_id, source, string_split(text, ' ') toks
+             |  FROM documents),
+             |g AS (SELECT doc_id,
+             |    unnest(list_transform(range(1, len(toks)),
+             |                          i -> toks[i] || ' ' || toks[i+1])) gram
+             |  FROM t),
+             |c AS (SELECT doc_id, gram, COUNT(*) c FROM g GROUP BY 1, 2),
+             |d AS (SELECT doc_id, SUM(c) n, MAX(c) maxc,
+             |    COALESCE(SUM(c) FILTER (c > 1), 0) dup
+             |  FROM c GROUP BY 1)
+             |SELECT t.source, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN maxc*5 > n THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS top_flagged,
+             |  CAST(SUM(CASE WHEN dup*10 > n*3 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS dup_flagged,
+             |  CAST(SUM(CASE WHEN maxc*5 > n OR dup*10 > n*3 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS any_flagged
+             |FROM t LEFT JOIN d USING (doc_id)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

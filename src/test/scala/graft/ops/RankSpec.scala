@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Exact distributed rank/ntile: the replacement for single-partition
+  * global windows must (a) match the sequential answer exactly on any
+  * partitioning, (b) reproduce SQL NTILE's fat-bucket-first sizing, and
+  * (c) never plan a SinglePartition exchange — that absence is the
+  * entire point of the operator.
+  */
+class RankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rankGlobal matches the sequential rank on a shuffled input") {
+    val n = 1000
+    val data = scala.util.Random.shuffle((1 to n).toList)
+      .map(i => (i.toLong, s"v$i"))
+    val df = data.toDF("k", "v").repartition(7)
+    val ranked = Rank.rankGlobal(df, Seq(col("k")), "r")
+      .select(col("k"), col("r")).as[(Long, Long)].collect().toMap
+    (1 to n).foreach(i => assert(ranked(i.toLong) == i.toLong,
+      s"rank of $i should be $i, got ${ranked(i.toLong)}"))
+  }
+
+  test("ntileOfRank reproduces NTILE fat-bucket-first sizing") {
+    // n = 13, b = 5: NTILE gives sizes 3,3,3,2,2.
+    val df = (1L to 13L).toDF("r")
+      .withColumn("t", Rank.ntileOfRank(col("r"), 13L, 5))
+    val sizes = df.groupBy("t").count().as[(Int, Long)].collect().toMap
+    assert(sizes == Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 2L, 5 -> 2L), sizes.toString)
+    // bucket assignment is monotone in rank
+    val byRank = df.orderBy("r").select("t").as[Int].collect()
+    assert(byRank.sameElements(byRank.sorted), byRank.mkString(","))
+  }
+
+  test("ntileExact plans no SinglePartition exchange") {
+    val df = (1 to 100).map(i => (i.toLong, i % 7)).toDF("k", "grp")
+    val tiled = Rank.ntileExact(df, Seq(col("grp"), col("k")), 4, "t")
+    val p = tiled.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      s"exact ntile must stay distributed:\n$p")
+    // and it still matches the window NTILE answer
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("grp"), col("k"))
+    val expected = df.withColumn("t", ntile(4).over(w))
+      .select(col("k"), col("t")).as[(Long, Int)].collect().toMap
+    val got = tiled.select(col("k"), col("t")).as[(Long, Int)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("attribution conserves purchase revenue across both models") {
+    val df = graft.SparkEntry.queries("q_attribution")(spark, Sf)
+      .groupBy(col("model")).agg(
+        sum(col("n_purchases")).as("n"), sum(col("revenue_cents")).as("rev"))
+      .as[(String, Long, Long)].collect()
+      .map { case (k, n, r) => k -> ((n, r)) }.toMap
+    val total = graft.queries.Tables.load(spark, Sf, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)), sum(round(col("value") * 100).cast("long")))
+      .as[(Long, Long)].head()
+    assert(df("first") == total && df("last") == total,
+      s"each model must account for every purchase exactly once: $df vs $total")
+  }
+}

@@ -354,4 +354,44 @@ class PlanSpec extends SparkSpec {
       s"the window must partition by user_id:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  test("dynamic partition pruning: runtime filter reaches the fact scan") {
+    // The hot-day set is only known at runtime (subquery LIMIT 5), so
+    // static pruning is impossible — the scan must carry a
+    // dynamicpruningexpression on the partition column. At 100 TB this
+    // is scan 5 directories vs scan all of them.
+    val df = graft.SparkEntry.queries("q_dynamic_pruning")(spark, Sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"fact scan must be pruned by a runtime (dynamic) partition filter:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("attribution: both models come from ONE keyed window pass") {
+    // first- and last-touch share the user_id window — one hash shuffle
+    // on user_id, never two as-of joins or an unkeyed window.
+    val p = planOf("q_attribution")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"window must partition by user_id:\n$p")
+    assert("Window \\[".r.findAllIn(p).size == 1 && !p.contains("SinglePartition"),
+      s"expected a single keyed Window operator:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"the unpivot must not clone the events scan per model:\n$p")
+  }
+
+  test("rfm: exact quintiles without any single-partition exchange") {
+    val p = planOf("q_rfm")
+    assert(!p.contains("SinglePartition"),
+      s"ntileExact must never collapse to one task:\n$p")
+    assert(!p.contains("Window"), s"no global window allowed:\n$p")
+  }
+
+  test("ohlc bars: min_by/max_by aggregate, no Window, one hash shuffle") {
+    // open/close come from min_by/max_by partials — a Window over
+    // (event_type, hour) would add a per-group sort the aggregate avoids.
+    val p = planOf("q_ohlc_bars")
+    assert(!p.contains("Window"), s"no window operator expected:\n$p")
+    assert("hashpartitioning\\(event_type".r.findAllIn(p).size >= 1,
+      s"one shuffle on the bar key:\n$p")
+  }
 }
