@@ -153,5 +153,40 @@ object EmbeddingQueries {
              |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs, CAST(dim AS INT) AS dim,
              |  CAST(SUM(qval) AS BIGINT) AS sum_q
              |FROM cell GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
+
+    // Distributed Gram matrix over the int8-quantized vectors — the
+    // X^T·X building block of PCA/covariance/whitening, restricted to
+    // the upper triangle of the first 16 dims (136 cells). Each row
+    // emits its 136 (i, j, q_i·q_j) products from a pure array
+    // expression and partial aggregation folds them to 136 partials
+    // per partition BEFORE the exchange — so the shuffle carries
+    // O(partitions × 136) rows at any corpus size, and the int8×int8
+    // products make every cell an exact integer sum in both engines.
+    // The full-dim production variant is the same shape (64×65/2 cells);
+    // 16 keeps the oracle's lateral-range replay proportionate.
+    QueryDef("emb_gram_matrix",
+      (spark, sf) => {
+        val q = Embeddings.quantizeInt8(col("embedding"))
+        load(spark, sf, "embeddings")
+          .select(explode(flatten(transform(sequence(lit(0), lit(15)), i =>
+            transform(sequence(i, lit(15)), j =>
+              struct(i.as("i"), j.as("j"),
+                (element_at(q, i + 1).cast("long") *
+                 element_at(q, j + 1).cast("long")).as("p")))))).as("cell"))
+          .groupBy(col("cell.i").as("i"), col("cell.j").as("j"))
+          .agg(sum(col("cell.p")).as("gram"), count(lit(1)).as("n_vecs"))
+          .orderBy(col("i"), col("j"))
+      },
+      Some("""WITH v AS (SELECT CAST(embedding AS DOUBLE[]) e FROM embeddings),
+             |m AS (SELECT e, list_max(list_transform(e, x -> abs(x))) ma FROM v),
+             |q AS (SELECT list_transform(e, x ->
+             |    CASE WHEN ma = 0 THEN 0 ELSE CAST(round(x * 127.0 / ma) AS BIGINT) END) ql
+             |  FROM m),
+             |cell AS (SELECT i, j, ql[i + 1] * ql[j + 1] AS p
+             |  FROM q, range(16) ri(i), range(16) rj(j) WHERE j >= i)
+             |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+             |  CAST(SUM(p) AS BIGINT) AS gram,
+             |  CAST(COUNT(*) AS BIGINT) AS n_vecs
+             |FROM cell GROUP BY i, j ORDER BY i, j""".stripMargin)),
   )
 }

@@ -808,22 +808,7 @@ object Relational {
             count(lit(1)).as("volume"))
           .orderBy(col("event_type"), col("hour"))
       },
-      Some("""WITH e AS (
-             |  SELECT event_type,
-             |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-             |    CAST(ROUND(value*100) AS BIGINT) v,
-             |    ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-             |      ORDER BY ts, event_id) rn_a,
-             |    ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-             |      ORDER BY ts DESC, event_id DESC) rn_d
-             |  FROM events)
-             |SELECT event_type, hour,
-             |  MAX(CASE WHEN rn_a = 1 THEN v END) AS open,
-             |  MAX(v) AS high, MIN(v) AS low,
-             |  MAX(CASE WHEN rn_d = 1 THEN v END) AS close,
-             |  COUNT(*) AS volume
-             |FROM e GROUP BY event_type, hour
-             |ORDER BY event_type, hour""".stripMargin)),
+      Some(Shared.OhlcOracle)),
 
     // Multi-touch revenue attribution: each purchase credited to the
     // user's most recent preceding click/view (last-touch) and to their
@@ -931,6 +916,39 @@ object Relational {
              |SELECT r*100 + f*10 + m AS segment, COUNT(*) AS n_users,
              |  CAST(SUM(mon) AS BIGINT) AS revenue_cents
              |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // EXACT global quantiles at scale — the third point of the quantile
+    // triangle: q_percentiles' percentile() buffers each group's whole
+    // value multiset in ONE aggregation buffer (exact but memory-bound:
+    // a 100 TB group OOMs the state), q_approx_quantile (GK) is
+    // bounded-memory but approximate; this is exact AND bounded — a
+    // distributed sort (Rank.rankGlobal: range shuffle + O(partitions)
+    // offsets) then rank selection, constant memory per task at any
+    // scale. Rank arithmetic is floor((n-1)·p/100)+1 (the "lower"
+    // interpolation point), replayed verbatim by the oracle's
+    // ROW_NUMBER join — no engine-specific quantile_disc semantics.
+    // Ties: sorting by value alone is enough — the rank-k VALUE is
+    // well-defined whatever order equal values land in.
+    QueryDef("q_exact_quantiles",
+      (spark, sf) => {
+        val s = load(spark, sf, "lineitem")
+          .select(cents(col("l_extendedprice")).as("v"))
+        val n = s.count()
+        val ranked = graft.ops.Rank.rankGlobal(s, Seq(col("v")), "rn")
+        val wanted = Seq(25, 50, 75, 90, 99).map(p => (p, (n - 1) * p / 100 + 1))
+        val targets = spark.createDataFrame(wanted).toDF("p", "rn")
+        ranked.join(broadcast(targets), "rn")
+          .select(col("p"), col("v").as("value_cents"))
+          .orderBy(col("p"))
+      },
+      Some("""WITH s AS (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) v
+             |  FROM lineitem),
+             |n AS (SELECT COUNT(*) c FROM s),
+             |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) rn FROM s),
+             |q AS (SELECT unnest([25, 50, 75, 90, 99]) p)
+             |SELECT q.p, r.v AS value_cents
+             |FROM q CROSS JOIN n JOIN r ON r.rn = (n.c - 1) * q.p // 100 + 1
+             |ORDER BY q.p""".stripMargin)),
 
     // As-of join (operator Spark lacks): for each error event, the most
     // recent signup of the same user at-or-before its timestamp —

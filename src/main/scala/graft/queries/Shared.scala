@@ -137,6 +137,30 @@ object Shared {
       |  CAST(SUM(u4) AS BIGINT) AS users_purchase
       |FROM pu""".stripMargin
 
+  /** One oracle for both OHLC twins (q_ohlc_bars / stream_ohlc_bars):
+    * per-(event_type, hour) open/high/low/close in integer cents with
+    * open/close picked under the total (ts, event_id) order. The bar
+    * definition lives here once so the batch min_by/max_by form and the
+    * streaming windowed aggregate cannot drift apart.
+    */
+  val OhlcOracle: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |    CAST(ROUND(value*100) AS BIGINT) v,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |      ORDER BY ts, event_id) rn_a,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |      ORDER BY ts DESC, event_id DESC) rn_d
+      |  FROM events)
+      |SELECT event_type, hour,
+      |  MAX(CASE WHEN rn_a = 1 THEN v END) AS open,
+      |  MAX(v) AS high, MIN(v) AS low,
+      |  MAX(CASE WHEN rn_d = 1 THEN v END) AS close,
+      |  COUNT(*) AS volume
+      |FROM e GROUP BY event_type, hour
+      |ORDER BY event_type, hour""".stripMargin
+
   // ---- unigram-LM Viterbi tokenizer (text_unigram_viterbi /
   //      stream_unigram_encode) ----------------------------------------
 

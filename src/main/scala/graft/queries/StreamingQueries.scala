@@ -1356,5 +1356,43 @@ object StreamingQueries {
         spark.table(table).orderBy(col("event_type"))
       },
       Some(Shared.DecayOracle)),
+
+    // Streaming OHLC bars — the live-market twin of q_ohlc_bars: the
+    // same per-(event_type, hour) open/high/low/close aggregate, built
+    // as a stateful windowed aggregation over the micro-batched event
+    // stream. min_by/max_by under the total (ts, event_id) struct order
+    // are order-commutative merges, so the state store's cross-batch
+    // combine is exact whatever order events arrive — which is why a
+    // STREAM can hash-match the batch bar oracle. Complete mode +
+    // AvailableNow drains the staged files; state is one small struct
+    // per live bar (bounded by #types × #hours).
+    QueryDef("stream_ohlc_bars",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "events")).schema
+        val raw = spark.readStream.schema(schema)
+          .parquet(stagedDir(spark, sf, "events"))
+        val agg = Tables.normalizeTs(raw)
+          .select(col("event_type"),
+            date_trunc("hour", col("ts")).as("bar"),
+            Shared.cents(col("value")).as("v"),
+            struct(col("ts"), col("event_id")).as("ord"))
+          .groupBy(col("event_type"), col("bar"))
+          .agg(
+            min_by(col("v"), col("ord")).as("open"),
+            max(col("v")).as("high"),
+            min(col("v")).as("low"),
+            max_by(col("v"), col("ord")).as("close"),
+            count(lit(1)).as("volume"))
+        val table = s"stream_ohlc_${counter.incrementAndGet()}"
+        val q = agg.writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        spark.table(table)
+          .select(col("event_type"),
+            date_format(col("bar"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("open"), col("high"), col("low"), col("close"), col("volume"))
+          .orderBy(col("event_type"), col("hour"))
+      },
+      Some(Shared.OhlcOracle)),
   )
 }

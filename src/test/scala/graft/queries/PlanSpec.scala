@@ -386,6 +386,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no global window allowed:\n$p")
   }
 
+  test("exact quantiles: rank selection, no single-partition stage, targets broadcast") {
+    val p = planOf("q_exact_quantiles")
+    assert(!p.contains("SinglePartition"),
+      s"rank path must stay distributed:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the 5-row target-rank table must broadcast:\n$p")
+    assert(!p.contains("Window"), s"no global window:\n$p")
+  }
+
+  test("gram matrix: explode feeds a partial aggregate, one hash exchange") {
+    // 136 cells/row fold to 136 partials per partition BEFORE the
+    // shuffle — the exchange must carry aggregated cells, not raw rows.
+    val p = planOf("emb_gram_matrix")
+    assert(p.contains("Generate explode"), s"expected explode:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"one aggregation exchange expected:\n$p")
+    assert("partial_sum".r.findAllIn(p).nonEmpty,
+      s"partial aggregation must run before the exchange:\n$p")
+  }
+
   test("ohlc bars: min_by/max_by aggregate, no Window, one hash shuffle") {
     // open/close come from min_by/max_by partials — a Window over
     // (event_type, hour) would add a per-group sort the aggregate avoids.
