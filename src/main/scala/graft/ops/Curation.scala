@@ -125,4 +125,20 @@ object Curation {
         when(suppressed, lit("*")).otherwise(col(c).cast("string")))
     }.withColumn("suppressed", suppressed).drop("qi_n")
   }
+
+  /** l-diversity audit — the attribute-disclosure check k-anonymity
+    * can't make: a QI group where every member shares one sensitive
+    * value leaks that value even at size ≥ k (Machanavajjhala et al.
+    * 2007, "l-Diversity: Privacy Beyond k-Anonymity"). Per QI group:
+    * size, distinct sensitive values, and the distinct-l flag. One
+    * aggregation keyed on the QI columns; count_distinct partials-
+    * and-merges like any declarative agg, so the report is one shuffle
+    * and O(#groups) rows at any corpus size.
+    */
+  def lDiversityReport(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame =
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("l_diverse", col("n_sensitive") >= l)
 }

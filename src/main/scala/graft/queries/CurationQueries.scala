@@ -106,6 +106,28 @@ object CurationQueries {
              |FROM q JOIN g USING (lang, source, len_bucket)
              |ORDER BY doc_id""".stripMargin)),
 
+    // l-diversity audit over the same quasi-identifier scheme the
+    // k-anonymity gate uses: a (lang, len_bucket) group can pass k≥5
+    // while every member comes from ONE source — size hides nothing
+    // about a shared sensitive attribute. Per-group report with the
+    // distinct-source count and the l≥3 flag; one aggregation keyed on
+    // the QI, O(#groups) output at any corpus size.
+    QueryDef("privacy_l_diversity",
+      (spark, sf) => {
+        val docs = load(spark, sf, "documents")
+          .select(col("lang"), col("source"),
+            expr("n_chars div 500").cast("string").as("len_bucket"))
+        Curation.lDiversityReport(docs, Seq("lang", "len_bucket"), "source", l = 3)
+          .orderBy(col("lang"), col("len_bucket"))
+      },
+      Some("""WITH q AS (SELECT lang, source,
+             |    CAST(n_chars // 500 AS VARCHAR) len_bucket FROM documents)
+             |SELECT lang, len_bucket, COUNT(*) AS n_docs,
+             |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sensitive,
+             |  COUNT(DISTINCT source) >= 3 AS l_diverse
+             |FROM q GROUP BY lang, len_bucket
+             |ORDER BY lang, len_bucket""".stripMargin)),
+
     // End-to-end curation funnel audit: per-stage retention through
     // holdout split → Gopher-style quality gate → langid → exact dedup
     // → eval decontamination, the pipeline-observability rollup every

@@ -845,31 +845,7 @@ object Relational {
             sum(col("cents")).as("revenue_cents"))
           .orderBy(col("model"), col("touch_type"))
       },
-      Some("""WITH ev AS (
-             |  SELECT user_id, ts, event_id, event_type,
-             |    CAST(ROUND(value*100) AS BIGINT) cents,
-             |    CASE WHEN event_type IN ('click','view') THEN event_type
-             |    END touch
-             |  FROM events WHERE event_type IN ('click','view','purchase')),
-             |w AS (
-             |  SELECT *,
-             |    last_value(touch IGNORE NULLS) OVER (
-             |      PARTITION BY user_id ORDER BY ts, event_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) last_t,
-             |    first_value(touch IGNORE NULLS) OVER (
-             |      PARTITION BY user_id ORDER BY ts, event_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) first_t
-             |  FROM ev),
-             |p AS (SELECT * FROM w WHERE event_type = 'purchase')
-             |SELECT model, touch_type, n_purchases,
-             |  CAST(revenue_cents AS BIGINT) AS revenue_cents FROM (
-             |  SELECT 'first' AS model, COALESCE(first_t,'none') AS touch_type,
-             |    COUNT(*) n_purchases, SUM(cents) AS revenue_cents
-             |  FROM p GROUP BY 2
-             |  UNION ALL
-             |  SELECT 'last', COALESCE(last_t,'none'),
-             |    COUNT(*), SUM(cents) FROM p GROUP BY 2)
-             |ORDER BY model, touch_type""".stripMargin)),
+      Some(Shared.AttributionOracle)),
 
     // RFM customer segmentation with EXACT quintiles at scale: the
     // textbook formulation is three NTILE(5) windows with no partition

@@ -137,6 +137,40 @@ object Shared {
       |  CAST(SUM(u4) AS BIGINT) AS users_purchase
       |FROM pu""".stripMargin
 
+  /** One oracle for both attribution twins (q_attribution /
+    * stream_attribution): per-purchase first/last preceding touch under
+    * the total (ts, event_id) order via IGNORE NULLS running windows,
+    * then (model, touch_type) revenue rollup. The attribution semantics
+    * live here once so the batch window form and the streaming per-user
+    * state machine cannot drift apart.
+    */
+  val AttributionOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CAST(ROUND(value*100) AS BIGINT) cents,
+      |    CASE WHEN event_type IN ('click','view') THEN event_type
+      |    END touch
+      |  FROM events WHERE event_type IN ('click','view','purchase')),
+      |w AS (
+      |  SELECT *,
+      |    last_value(touch IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) last_t,
+      |    first_value(touch IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) first_t
+      |  FROM ev),
+      |p AS (SELECT * FROM w WHERE event_type = 'purchase')
+      |SELECT model, touch_type, n_purchases,
+      |  CAST(revenue_cents AS BIGINT) AS revenue_cents FROM (
+      |  SELECT 'first' AS model, COALESCE(first_t,'none') AS touch_type,
+      |    COUNT(*) n_purchases, SUM(cents) AS revenue_cents
+      |  FROM p GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'last', COALESCE(last_t,'none'),
+      |    COUNT(*), SUM(cents) FROM p GROUP BY 2)
+      |ORDER BY model, touch_type""".stripMargin
+
   /** One oracle for both OHLC twins (q_ohlc_bars / stream_ohlc_bars):
     * per-(event_type, hour) open/high/low/close in integer cents with
     * open/close picked under the total (ts, event_id) order. The bar

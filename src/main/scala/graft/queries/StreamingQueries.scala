@@ -1394,5 +1394,62 @@ object StreamingQueries {
           .orderBy(col("event_type"), col("hour"))
       },
       Some(Shared.OhlcOracle)),
+
+    // Streaming multi-touch attribution — the live twin of
+    // q_attribution's running first/last window: per-user state is two
+    // strings (first/last touch so far) in the RocksDB store, each
+    // purchase emits its attribution the moment it arrives. The sink's
+    // completeness anchor is EXACT here: every purchase emits exactly
+    // one row, so the poll waits for sink count == purchase count
+    // before aggregating. Same oracle as the batch gate.
+    QueryDef("stream_attribution",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "events")).schema
+        val real = Tables.normalizeTs(spark.readStream.schema(schema)
+            .parquet(stagedDir(spark, sf, "events")))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+        val prevProvider = spark.conf
+          .getOption("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val attributed = graft.streaming.StreamingIngest.attributePurchases(
+            real, "ts", "user_id", "event_id", "event_type", "value")
+          val table = s"stream_attr_${counter.incrementAndGet()}"
+          withStatePartitions(spark, 8) {
+            val q = attributed.toDF().writeStream.format("memory")
+              .queryName(table)
+              .outputMode("append").trigger(Trigger.ProcessingTime(100L)).start()
+            try {
+              val expected = Tables.load(spark, sf, "events")
+                .filter(col("event_type") === "purchase").count()
+              val deadline = System.currentTimeMillis + 120000
+              var n = -1L
+              while (n != expected && System.currentTimeMillis < deadline) {
+                Thread.sleep(150)
+                n = spark.table(table).count()
+              }
+              if (n != expected) throw new IllegalStateException(
+                s"stream_attribution sink incomplete after 120s: " +
+                  s"$n of $expected purchases present")
+            } finally q.stop()
+          }
+          spark.table(table)
+            .select(col("cents"),
+              explode(map(
+                lit("first"), col("firstT"),
+                lit("last"), col("lastT")))
+                .as(Seq("model", "touch_type")))
+            .groupBy(col("model"), col("touch_type"))
+            .agg(count(lit(1)).as("n_purchases"),
+              sum(col("cents")).as("revenue_cents"))
+            .orderBy(col("model"), col("touch_type"))
+        } finally prevProvider match {
+          case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      },
+      Some(Shared.AttributionOracle)),
   )
 }

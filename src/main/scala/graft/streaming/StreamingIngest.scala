@@ -260,6 +260,81 @@ object StreamingIngest {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  /** One attributed purchase: the first/last click-or-view the user had
+    * made at the time of purchase ('none' when no touch preceded it). */
+  final case class AttributedPurchase(firstT: String, lastT: String, cents: Long)
+
+  /** Internal per-key state (public: Spark encoders need an accessible
+    * constructor for the state serializer). "" = no touch yet. */
+  final case class TouchState(first: String, last: String)
+
+  /** Streaming multi-touch attribution state machine — the live twin of
+    * the batch running first/last ignoreNulls window: per-user state is
+    * TWO strings (first and last touch type so far), each purchase emits
+    * its attribution at arrival. Events are (ts, event_id)-sorted within
+    * the batch; like [[FunnelProcessor]], cross-batch stragglers are the
+    * documented approximation the AvailableNow replay never hits. State
+    * is O(active users), not O(events), and needs no timer — touches
+    * never expire.
+    */
+  final class AttributionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long, Long, String, Long), AttributedPurchase] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var state: ValueState[TouchState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TouchState]("touch",
+        E.product[TouchState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[(Long, Long, Long, String, Long)],
+        timerValues: TimerValues): Iterator[AttributedPurchase] = {
+      var s = if (state.exists()) state.get() else TouchState("", "")
+      val out = List.newBuilder[AttributedPurchase]
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, tpe, cents) =>
+        if (tpe == "purchase")
+          out += AttributedPurchase(
+            if (s.first.isEmpty) "none" else s.first,
+            if (s.last.isEmpty) "none" else s.last, cents)
+        else
+          s = TouchState(if (s.first.isEmpty) tpe else s.first, tpe)
+      }
+      state.update(s)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[AttributedPurchase] =
+      Iterator.empty
+  }
+
+  /** Streaming attribution via the [[AttributionProcessor]]. Only the
+    * three relevant event types reach the shuffle.
+    */
+  def attributePurchases(
+      events: DataFrame,
+      tsCol: String,
+      userCol: String,
+      eventIdCol: String,
+      typeCol: String,
+      valueCol: String): Dataset[AttributedPurchase] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .filter(col(typeCol).isin("click", "view", "purchase"))
+      .select(col(userCol).cast("long"), unix_micros(col(tsCol)),
+        col(eventIdCol).cast("long"), col(typeCol),
+        round(col(valueCol) * 100).cast("long"))
+      .as[(Long, Long, Long, String, Long)]
+    typed.groupByKey(_._1)
+      .transformWithState(new AttributionProcessor,
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Streaming session windows with inactivity gap via the
     * [[SessionProcessor]]. Requires the RocksDB state store
     * (`spark.sql.streaming.stateStore.providerClass`), which

@@ -123,6 +123,18 @@ class CurationSpec extends SparkSpec {
     // docs_in of stage i equals docs_out of stage i-1
     assert(ins.tail.sameElements(outs.init), s"in=${ins.mkString(",")} out=${outs.mkString(",")}")
   }
+
+  test("l-diversity: a large single-source group fails where k-anonymity passes") {
+    import spark.implicits._
+    // 10 docs, one QI group, ONE sensitive value: k=5 passes, l=3 must not.
+    val homogeneous = (1 to 10).map(i => ("en", "0", "srcA")) ++
+      (1 to 10).map(i => ("de", "0", s"src${i % 4}"))
+    val df = homogeneous.toDF("lang", "len_bucket", "source")
+    val rep = Curation.lDiversityReport(df, Seq("lang", "len_bucket"), "source", l = 3)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .sortBy(_._1).toList
+    assert(rep == List(("de", 10L, 4L, true), ("en", 10L, 1L, false)), rep.toString)
+  }
 }
 
 /** md5-prefix helper shared with the engine's hashBucket definition. */
