@@ -1194,5 +1194,40 @@ object Etl {
              |  ('user_id', 'bigint', TRUE),
              |  ('value', 'double', TRUE))
              |AS t(col_name, dtype, nonempty) ORDER BY col_name""".stripMargin)),
+
+    // Source-side schema evolution: a long-lived dataset accretes
+    // columns across generations, and a reader must union the physical
+    // schemas without rewriting history. Generation 1 is (key, name);
+    // generation 2 adds comment_len. `mergeSchema` reconciles the
+    // footers at plan time — old files surface the new column as null,
+    // which the aggregate proves (exactly half the rows carry a
+    // length). Per-file footer merging is metadata-only; no data file
+    // is read twice or rewritten, so the pattern is free at 100 TB.
+    QueryDef("etl_schema_merge",
+      (spark, sf) => {
+        val dir = scratch("graft_schevo")
+        val nation = load(spark, sf, "nation")
+        nation.select(col("n_nationkey").cast("long").as("key"), col("n_name"))
+          .write.mode("overwrite").parquet(s"$dir/g1")
+        nation.select(col("n_nationkey").cast("long").as("key"), col("n_name"),
+            (col("n_regionkey") * 10 + length(col("n_name"))).cast("long")
+              .as("comment_len"))
+          .write.mode("overwrite").parquet(s"$dir/g2")
+        spark.read.option("mergeSchema", "true").parquet(s"$dir/g1", s"$dir/g2")
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("comment_len")).as("n_with_len"),
+            sum(col("comment_len")).as("sum_len"),
+            countDistinct(col("key")).as("n_keys"))
+      },
+      Some("""WITH both_gens AS (
+             |  SELECT n_nationkey AS key, NULL AS comment_len FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey, n_regionkey * 10 + LENGTH(n_name)
+             |  FROM nation)
+             |SELECT COUNT(*) AS n_rows,
+             |  COUNT(comment_len) AS n_with_len,
+             |  CAST(SUM(comment_len) AS BIGINT) AS sum_len,
+             |  CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys
+             |FROM both_gens""".stripMargin)),
   )
 }

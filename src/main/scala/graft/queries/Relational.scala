@@ -926,6 +926,105 @@ object Relational {
              |FROM q CROSS JOIN n JOIN r ON r.rn = (n.c - 1) * q.p // 100 + 1
              |ORDER BY q.p""".stripMargin)),
 
+    // CUSUM changepoint detection over the daily event series — the
+    // level-shift monitor a pipeline runs on ingest volume. The
+    // classic statistic cusum_k = Σ_{i≤k}(c_i − mean) needs float
+    // means; scaling by n_days makes it EXACT integers:
+    // dev_k = Σ_{i≤k}(c_i·n − total) = n·Σc_i − k·total. Per type: a
+    // keyed cumulative window over ~days rows (bounded groups), then
+    // max_by(|dev|, earliest-day tiebreak) picks the most likely
+    // changepoint. Integer end to end; one shuffle on (type, day), one
+    // on type.
+    QueryDef("q_changepoint",
+      (spark, sf) => {
+        val daily = load(spark, sf, "events")
+          .groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy(col("event_type"))
+        daily
+          .withColumn("n_days", count(lit(1)).over(tot))
+          .withColumn("total", sum(col("c")).over(tot))
+          .withColumn("dev", sum(col("c") * col("n_days") - col("total")).over(w))
+          .groupBy(col("event_type"))
+          .agg(
+            // tie on |dev| → earliest day: minimize (−|dev|, day)
+            min_by(col("day"), struct((-abs(col("dev"))).as("nd"), col("day")))
+              .as("peak_day"),
+            max(abs(col("dev"))).as("peak_dev"),
+            max(col("n_days")).as("n_days"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) c
+             |  FROM events GROUP BY 1, 2),
+             |t AS (
+             |  SELECT event_type, day, c,
+             |    COUNT(*) OVER (PARTITION BY event_type) n_days,
+             |    SUM(c) OVER (PARTITION BY event_type) total
+             |  FROM daily),
+             |s AS (
+             |  SELECT event_type, day, n_days,
+             |    SUM(c * n_days - total) OVER (
+             |      PARTITION BY event_type ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) dev
+             |  FROM t),
+             |r AS (
+             |  SELECT event_type, day, ABS(dev) adev, n_days,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type
+             |      ORDER BY ABS(dev) DESC, day) rn
+             |  FROM s)
+             |SELECT event_type, day AS peak_day,
+             |  CAST(adev AS BIGINT) AS peak_dev,
+             |  CAST(n_days AS BIGINT) AS n_days
+             |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
+    // Time-to-convert quantiles: per user, first signup → first
+    // purchase at-or-after it, then the EXACT p50/p90 of the conversion
+    // lag across converters — the funnel-latency metric next to
+    // q_funnel's stage counts. Durations are exact integer
+    // microseconds; the quantiles come from the same
+    // Rank.rankGlobal distributed sort + broadcast rank-target join as
+    // q_exact_quantiles (no single-partition window, no percentile
+    // buffer), so the metric stays exact AND bounded at 100 TB.
+    QueryDef("q_time_to_convert",
+      (spark, sf) => {
+        val ev = load(spark, sf, "events")
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id"))
+          .agg(min(expr("unix_micros(ts)")).as("su"))
+        val pu = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), expr("unix_micros(ts)").as("pu"))
+        val d = pu.join(su, "user_id")
+          .filter(col("pu") >= col("su"))
+          .groupBy(col("user_id"), col("su"))
+          .agg(min(col("pu")).as("first_pu"))
+          .select((col("first_pu") - col("su")).as("d"))
+        val n = d.count()
+        val ranked = graft.ops.Rank.rankGlobal(d, Seq(col("d")), "rn")
+        val targets = spark.createDataFrame(
+            Seq(50, 90).map(p => (p, (n - 1) * p / 100 + 1)))
+          .toDF("p", "rn")
+        ranked.join(broadcast(targets), "rn")
+          .select(col("p"), col("d").as("dur_us"), lit(n).as("n_converters"))
+          .orderBy(col("p"))
+      },
+      Some("""WITH su AS (SELECT user_id, MIN(epoch_us(ts)) su FROM events
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |pu AS (SELECT user_id, epoch_us(ts) p FROM events
+             |  WHERE event_type = 'purchase'),
+             |d AS (SELECT su.user_id, MIN(p) - su AS d
+             |  FROM su JOIN pu ON pu.user_id = su.user_id AND p >= su
+             |  GROUP BY su.user_id, su),
+             |n AS (SELECT COUNT(*) c FROM d),
+             |r AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d) rn FROM d),
+             |q AS (SELECT unnest([50, 90]) p)
+             |SELECT q.p, r.d AS dur_us, n.c AS n_converters
+             |FROM q CROSS JOIN n JOIN r ON r.rn = (n.c - 1) * q.p // 100 + 1
+             |ORDER BY q.p""".stripMargin)),
+
     // As-of join (operator Spark lacks): for each error event, the most
     // recent signup of the same user at-or-before its timestamp —
     // union + windowed last-value (one shuffle, linear), never a

@@ -386,6 +386,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no global window allowed:\n$p")
   }
 
+  test("changepoint: every window keyed by event_type, never unkeyed") {
+    // the CUSUM windows are per-type — an unkeyed formulation would put
+    // the whole daily series on one task
+    val p = planOf("q_changepoint")
+    assert(p.contains("hashpartitioning(event_type"),
+      s"windows must partition by event_type:\n$p")
+    assert(!p.contains("SinglePartition"), s"no one-task stage:\n$p")
+  }
+
   test("exact quantiles: rank selection, no single-partition stage, targets broadcast") {
     val p = planOf("q_exact_quantiles")
     assert(!p.contains("SinglePartition"),
