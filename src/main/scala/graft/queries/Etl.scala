@@ -1229,5 +1229,151 @@ object Etl {
              |  CAST(SUM(comment_len) AS BIGINT) AS sum_len,
              |  CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys
              |FROM both_gens""".stripMargin)),
+
+    // Generation GC: the retention half of the time-travel story
+    // (etl_time_travel proves old generations stay readable; this
+    // proves vacuum BOUNDS them). Three writes under keepGenerations=2:
+    // the oldest directory must be gone, the newest two readable, the
+    // current snapshot still exactly the last write, and time travel to
+    // the vacuumed generation must report absence, not garbage. Vacuum
+    // is O(#generations) directory deletes — pure metadata at any data
+    // size.
+    QueryDef("etl_vacuum",
+      (spark, sf) => {
+        import graft.drivers.ParquetDestinationDriver
+        import graft.spec.{IdField, LongId, MigrationSpec}
+        val dir = scratch("graft_vacuum") + "/dest"
+        val spec = MigrationSpec("vac", source = dir, sourceDriver = "parquet",
+          destination = dir, destinationDriver = "parquet",
+          sourceIds = Seq(IdField("n_nationkey", LongId)),
+          destinationIds = Seq(IdField("n_nationkey", LongId)))
+        val d = new ParquetDestinationDriver(keepGenerations = Some(2))
+        val nation = load(spark, sf, "nation")
+          .select(col("n_nationkey").cast("long"), col("n_name"))
+        // three generations of decreasing size: 25, 20, 15 rows
+        Seq(25, 20, 15).foreach(k =>
+          d.write(nation.filter(col("n_nationkey") < k), spec))
+        val retained = d.generations(spark, spec)
+        val currentRows = d.snapshot(spark, spec).map(_.count()).getOrElse(-1L)
+        val vacuumedReadable = d.snapshotAt(spark, spec, 0L).isDefined
+        val prevRows = d.snapshotAt(spark, spec, 1L).map(_.count()).getOrElse(-1L)
+        spark.createDataFrame(Seq((retained.size.toLong, retained.mkString(","),
+            currentRows, prevRows, vacuumedReadable)))
+          .toDF("n_retained", "retained", "current_rows", "prev_rows",
+            "gen0_readable")
+      },
+      Some("""SELECT CAST(2 AS BIGINT) AS n_retained, '1,2' AS retained,
+             |  (SELECT COUNT(*) FROM nation WHERE n_nationkey < 15)
+             |    AS current_rows,
+             |  (SELECT COUNT(*) FROM nation WHERE n_nationkey < 20)
+             |    AS prev_rows,
+             |  FALSE AS gen0_readable""".stripMargin)),
+
+    // Data-quality expectations (the Great-Expectations/Deequ-style
+    // constraint audit a pipeline runs before publishing a table): all
+    // row-level checks — key/date non-null, enum membership, value
+    // range, cross-column sanity — evaluate in ONE scan as summed flag
+    // columns unpivoted via explode(map(...)) (the q_attribution trick:
+    // a UNION of per-constraint aggregates would clone the scan per
+    // constraint); the one set-level check (key uniqueness) is its own
+    // keyed aggregate, unioned after. Integer counts end to end.
+    QueryDef("dq_expectations",
+      (spark, sf) => {
+        val o = load(spark, sf, "orders")
+        def bad(c: org.apache.spark.sql.Column) =
+          sum(when(c, 1L).otherwise(0L))
+        val rowLevel = o.agg(
+            count(lit(1)).as("n"),
+            bad(col("o_orderkey").isNull).as("null_key"),
+            bad(col("o_orderdate").isNull).as("null_date"),
+            bad(!col("o_orderstatus").isin("O", "F", "P")).as("bad_status"),
+            bad(col("o_totalprice") <= 0).as("bad_price"),
+            bad(col("o_orderdate") < to_timestamp(lit("1995-01-01"))).as("early_date"))
+          .select(col("n"), explode(map(
+            lit("null_key"), col("null_key"),
+            lit("null_date"), col("null_date"),
+            lit("bad_status"), col("bad_status"),
+            lit("bad_price"), col("bad_price"),
+            lit("early_date"), col("early_date")))
+            .as(Seq("constraint", "n_violations")))
+        val unique = o.groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("c"))
+          .agg(sum(col("c")).as("n"),
+            sum(col("c") - 1).as("n_violations"))
+          .select(col("n"), lit("dup_key").as("constraint"),
+            col("n_violations"))
+        rowLevel.unionByName(unique)
+          .select(col("constraint"), col("n"), col("n_violations"))
+          .orderBy(col("constraint"))
+      },
+      Some("""WITH row_level AS (
+             |  SELECT COUNT(*) n,
+             |    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) null_key,
+             |    SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) null_date,
+             |    SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+             |        THEN 1 ELSE 0 END) bad_status,
+             |    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) bad_price,
+             |    SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+             |        THEN 1 ELSE 0 END) early_date
+             |  FROM orders),
+             |uniq AS (
+             |  SELECT SUM(c) n, SUM(c - 1) dup_key
+             |  FROM (SELECT COUNT(*) c FROM orders GROUP BY o_orderkey)),
+             |un AS (
+             |  SELECT 'null_key' AS constraint, n, null_key v FROM row_level
+             |  UNION ALL SELECT 'null_date', n, null_date FROM row_level
+             |  UNION ALL SELECT 'bad_status', n, bad_status FROM row_level
+             |  UNION ALL SELECT 'bad_price', n, bad_price FROM row_level
+             |  UNION ALL SELECT 'early_date', n, early_date FROM row_level
+             |  UNION ALL SELECT 'dup_key', n, dup_key FROM uniq)
+             |SELECT "constraint", CAST(n AS BIGINT) AS n,
+             |  CAST(v AS BIGINT) AS n_violations
+             |FROM un ORDER BY "constraint"""".stripMargin)),
+
+    // Referential-integrity audit: orphan counts for every foreign key
+    // in the schema — each a null-safe LEFT ANTI join where the parent
+    // key side is the (broadcast-able) dimension. The per-relation
+    // aggregates are one row each, so the union is free; at 100 TB each
+    // audit is one scan of the child + one broadcast.
+    QueryDef("dq_referential",
+      (spark, sf) => {
+        def audit(rel: String, child: DataFrame, key: String,
+            parent: DataFrame, pkey: String) = {
+          val orphans = child.select(col(key))
+            .join(broadcast(parent.select(col(pkey).as(key))), Seq(key), "left_anti")
+            .count()
+          (rel, child.count(), orphans)
+        }
+        val rows = Seq(
+          audit("lineitem->orders", load(spark, sf, "lineitem"), "l_orderkey",
+            load(spark, sf, "orders"), "o_orderkey"),
+          audit("orders->customer", load(spark, sf, "orders"), "o_custkey",
+            load(spark, sf, "customer"), "c_custkey"),
+          audit("nation->region", load(spark, sf, "nation"), "n_regionkey",
+            load(spark, sf, "region"), "r_regionkey"),
+          audit("supplier->nation", load(spark, sf, "supplier"), "s_nationkey",
+            load(spark, sf, "nation"), "n_nationkey"))
+        spark.createDataFrame(rows)
+          .toDF("relation", "n_child_rows", "n_orphans")
+          .orderBy(col("relation"))
+      },
+      Some("""SELECT relation, CAST(n_child_rows AS BIGINT) AS n_child_rows,
+             |  CAST(n_orphans AS BIGINT) AS n_orphans FROM (
+             |  SELECT 'lineitem->orders' relation, COUNT(*) n_child_rows,
+             |    SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) n_orphans
+             |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |  UNION ALL
+             |  SELECT 'orders->customer', COUNT(*),
+             |    SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+             |  FROM orders r LEFT JOIN customer c ON r.o_custkey = c.c_custkey
+             |  UNION ALL
+             |  SELECT 'nation->region', COUNT(*),
+             |    SUM(CASE WHEN g.r_regionkey IS NULL THEN 1 ELSE 0 END)
+             |  FROM nation n LEFT JOIN region g ON n.n_regionkey = g.r_regionkey
+             |  UNION ALL
+             |  SELECT 'supplier->nation', COUNT(*),
+             |    SUM(CASE WHEN x.n_nationkey IS NULL THEN 1 ELSE 0 END)
+             |  FROM supplier s LEFT JOIN nation x ON s.s_nationkey = x.n_nationkey)
+             |ORDER BY relation""".stripMargin)),
   )
 }

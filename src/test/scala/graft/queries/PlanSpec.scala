@@ -386,6 +386,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no global window allowed:\n$p")
   }
 
+  test("dq expectations: five row-level checks share ONE scan of orders") {
+    // one scan for all summed row-level flags (explode-unpivot), one
+    // for the uniqueness aggregate — a per-constraint union would be 6
+    val p = planOf("dq_expectations")
+    assert("FileScan parquet".r.findAllIn(p).size == 2,
+      s"row-level constraints must not clone the scan:\n$p")
+  }
+
   test("changepoint: every window keyed by event_type, never unkeyed") {
     // the CUSUM windows are per-type — an unkeyed formulation would put
     // the whole daily series on one task
