@@ -215,6 +215,38 @@ final class ParquetDestinationDriver(
       .sorted
   }
 
+  /** Size-targeted small-file compaction — the OPTIMIZE half of the
+    * lakehouse maintenance story (etl_vacuum is the GC half): rewrite
+    * the CURRENT generation's data as a NEW generation bin-packed to
+    * `ceil(bytes / targetBytes)` files, and flip the pointer last.
+    * Because generations are immutable and `_CURRENT` flips atomically,
+    * compaction is read-safe by construction: a reader pinned to the
+    * fragmented generation keeps its files until vacuum. The data move
+    * is one round-robin exchange sized from MEASURED bytes (never a
+    * row-count guess — row width varies), metadata work is O(#files)
+    * listing on the driver. Returns (filesBefore, bytesBefore,
+    * filesAfter, expectedFilesAfter).
+    */
+  def compact(spark: SparkSession, spec: MigrationSpec,
+      targetBytes: Long): (Long, Long, Long, Long) = {
+    val base = UriSchemes.path(spec.destination)
+    def partFiles(gen: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val dir = new org.apache.hadoop.fs.Path(base, gen)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(dir).toSeq.filter(_.getPath.getName.startsWith("part-"))
+    }
+    val before = currentGen(spark, base)
+      .getOrElse(sys.error(s"compact: no current generation under $base"))
+    val stats = partFiles(before)
+    val bytes = stats.map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = snapshot(spark, spec)
+      .getOrElse(sys.error(s"compact: unreadable snapshot under $base"))
+    write(df.repartition(nOut), spec)
+    val after = currentGen(spark, base).get
+    (stats.size.toLong, bytes, partFiles(after).size.toLong, nOut.toLong)
+  }
+
   def write(df: DataFrame, spec: MigrationSpec): Unit = {
     val spark = df.sparkSession
     val base = UriSchemes.path(spec.destination)

@@ -86,6 +86,61 @@ object Dedup {
     out
   }
 
+  /** Prefix-filtered exact Jaccard pairs — the PPJoin-family candidate
+    * filter (Bayardo et al., "Scaling Up All Pairs Similarity Search";
+    * Xiao et al., PPJoin): order every document's shingles by a GLOBAL
+    * rarity order (ascending document frequency, shingle as tie-break)
+    * and index only each document's PREFIX — the first
+    * `n − ceil(τ·n) + 1` shingles. Any pair with Jaccard ≥ τ has
+    * overlap ≥ ceil(τ·max(na,nb)), which forces at least one common
+    * shingle inside BOTH prefixes under the shared order — so joining
+    * prefix-to-prefix is LOSSLESS: unlike the df-cut (which trades
+    * completeness for the hot-shingle bound), this surfaces exactly the
+    * τ-pair set while indexing only ~(1−τ) of each document's shingles,
+    * and hot shingles land in prefixes only for the documents where
+    * they are among the rarest — the candidate join's per-key fan-in
+    * shrinks precisely where the plain inverted index blows up.
+    *
+    * τ is passed as the rational `tauNum/tauDen` so the prefix length
+    * is exact integer arithmetic (`ceil(0.8·5)` in doubles is 5, not 4
+    * — 0.8 has no binary representation). Verification is the same
+    * exact full-table intersection as [[ngramJaccardPairs]]; output
+    * schema is identical.
+    */
+  def prefixJaccardPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int, tauNum: Int, tauDen: Int,
+      precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val sh = precomputedShingles.getOrElse(shingleTable(df, textCol, idCol, k).persist())
+    val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col(idCol))
+      .orderBy(col("df").asc, col("shingle").asc)
+    val byDoc = Window.partitionBy(col(idCol))
+    val prefix = sh.join(dfTab, Seq("shingle"))
+      .withColumn("pos", row_number().over(byRarity))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      // prefix length n − ceil(τ·n) + 1, ceil as (num·n + den − 1) div den
+      .filter(col("pos") <=
+        col("n") - expr(s"($tauNum * n + $tauDen - 1) div $tauDen") + 1)
+      .select(col(idCol), col("shingle"))
+    val a = prefix.select(col(idCol).as("a"), col("shingle"))
+    val b = prefix.select(col(idCol).as("b"), col("shingle"))
+    val cand = a.join(b, Seq("shingle")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val minJaccard = tauNum.toDouble / tauDen
+    cand
+      .join(sh.select(col(idCol).as("a"), col("shingle")), Seq("a"))
+      .join(sh.select(col(idCol).as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("a"), col("n_shingles").as("na")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("n_shingles").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("jaccard"))
+  }
+
   /** Exact substring-duplicate pairs: documents sharing ANY identical
     * k-token window (the window-fingerprint formulation of exact
     * substring dedup from the "Deduplicating Training Data Makes

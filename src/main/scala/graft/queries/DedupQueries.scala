@@ -123,6 +123,38 @@ object DedupQueries {
              |ORDER BY a, b""".stripMargin),
       bench = true),
 
+    // PPJoin-family prefix filtering — the LOSSLESS scale path for exact
+    // Jaccard pairs (vs the df-cut's completeness trade): each document
+    // indexes only its n−⌈τn⌉+1 globally-rarest shingles, and a τ-pair
+    // is guaranteed a common shingle inside both prefixes, so the
+    // candidate join touches ~20% of the shingle table at τ=0.8 while
+    // the result is bit-identical to the full inverted index. Same
+    // EXACT oracle as dedup_ngram_jaccard — completeness of the filter
+    // is driver-verified, not assumed. Prefix length in pure integer
+    // arithmetic (τ as 4/5; ceil(0.8·n) in doubles is wrong at n=5).
+    QueryDef("dedup_jaccard_prefix",
+      (spark, sf) => Dedup.prefixJaccardPairs(
+          load(spark, sf, "documents"), "text", "doc_id", k = 5,
+          tauNum = 4, tauDen = 5,
+          precomputedShingles = Some(sharedShingles(spark, sf)))
+        .orderBy(col("a"), col("b")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+             |idx AS (SELECT doc_id, unnest(range(len(t)-4)) i, t FROM toks WHERE len(t) >= 5),
+             |sh0 AS (SELECT doc_id, list_aggregate(t[i+1:i+5], 'string_agg', ' ') s FROM idx),
+             |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+             |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT s1.doc_id a, s2.doc_id b, COUNT(*) inter
+             |  FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT a, b, CAST(inter AS BIGINT) AS inter,
+             |  CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+             |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+             |FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+             |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+             |ORDER BY a, b""".stripMargin),
+      bench = true),
+
     // The df-cut form with a cut that BITES (this corpus' hottest
     // shingle df is 3, so the cap of 2 actually drops candidates —
     // dedup_ngram_jaccard's cap of 100 never does): candidate pairs

@@ -1269,6 +1269,48 @@ object Etl {
              |    AS prev_rows,
              |  FALSE AS gen0_readable""".stripMargin)),
 
+    // Small-file compaction (lakehouse OPTIMIZE): a 64-way-fragmented
+    // generation is rewritten bin-packed to 256 KiB-target files in a
+    // NEW generation — pointer flip last, so the fragmented snapshot
+    // stays readable throughout (asserted via time travel). The gates:
+    // post-compaction file count equals the byte-derived plan exactly
+    // and strictly shrinks; row count and exact cents total survive the
+    // rewrite; gen0 is intact. At 100 TB this is the nightly job that
+    // keeps scan task counts proportional to DATA, not to ingest
+    // micro-batch history — and it's measured-bytes-driven, so the same
+    // code packs correctly at any row width.
+    QueryDef("etl_compact_small_files",
+      (spark, sf) => {
+        import graft.drivers.ParquetDestinationDriver
+        import graft.spec.{IdField, LongId, MigrationSpec}
+        val dir = scratch("graft_compact") + "/dest"
+        val spec = MigrationSpec("cmp", source = dir, sourceDriver = "parquet",
+          destination = dir, destinationDriver = "parquet",
+          sourceIds = Seq(IdField("o_orderkey", LongId)),
+          destinationIds = Seq(IdField("o_orderkey", LongId)))
+        val d = new ParquetDestinationDriver()
+        val orders = load(spark, sf, "orders")
+          .select(col("o_orderkey").cast("long"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        d.write(orders.repartition(64), spec)
+        val (filesBefore, _, filesAfter, planned) =
+          d.compact(spark, spec, targetBytes = 256L * 1024)
+        val snap = d.snapshot(spark, spec).get
+          .agg(count(lit(1)).as("rows"), sum(col("cents")).as("total_cents"))
+          .collect()(0)
+        val gen0Rows = d.snapshotAt(spark, spec, 0L).map(_.count()).getOrElse(-1L)
+        spark.createDataFrame(Seq((filesBefore,
+            filesAfter == planned && filesAfter < filesBefore,
+            snap.getLong(0), snap.getLong(1), gen0Rows == snap.getLong(0))))
+          .toDF("files_before", "compact_ok", "rows", "total_cents",
+            "gen0_intact")
+      },
+      Some("""SELECT CAST(64 AS BIGINT) AS files_before, TRUE AS compact_ok,
+             |  CAST(COUNT(*) AS BIGINT) AS rows,
+             |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
+             |  TRUE AS gen0_intact
+             |FROM orders""".stripMargin)),
+
     // Data-quality expectations (the Great-Expectations/Deequ-style
     // constraint audit a pipeline runs before publishing a table): all
     // row-level checks — key/date non-null, enum membership, value
@@ -1375,5 +1417,39 @@ object Etl {
              |    SUM(CASE WHEN x.n_nationkey IS NULL THEN 1 ELSE 0 END)
              |  FROM supplier s LEFT JOIN nation x ON s.s_nationkey = x.n_nationkey)
              |ORDER BY relation""".stripMargin)),
+
+    // Freshness / completeness audit — the third leg of the dq tier
+    // (expectations = row constraints, referential = cross-table, this =
+    // arrival): per-stream lag behind the globally freshest event, volume
+    // in the trailing 24 h, and a staleness verdict. Lag is exact integer
+    // microsecond arithmetic (unix_micros both engines) floor-divided to
+    // seconds — no timezone or boundary-crossing semantics to disagree
+    // on. ONE scan + one agg on a bounded key domain; the global
+    // watermark is a 1-row broadcast, not a second pass per stream.
+    QueryDef("dq_freshness",
+      (spark, sf) => {
+        val e = load(spark, sf, "events")
+          .select(col("event_type"), col("ts"),
+            expr("unix_micros(ts)").as("us"))
+        val g = e.agg(max(col("us")).as("gus"))
+        e.crossJoin(broadcast(g))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), max(col("ts")).as("max_ts"),
+            max(col("us")).as("mus"), max(col("gus")).as("gus"),
+            sum(when(col("us") >= col("gus") - 86400000000L, 1L)
+              .otherwise(0L)).as("n_last_24h"))
+          .select(col("event_type"), col("n"), col("max_ts"),
+            expr("(gus - mus) div 1000000").as("lag_s"),
+            col("n_last_24h"),
+            (expr("(gus - mus) div 1000000") > 3600L).as("stale"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH g AS (SELECT MAX(epoch_us(ts)) AS gus FROM events)
+             |SELECT event_type, COUNT(*) AS n, MAX(ts) AS max_ts,
+             |  CAST((g.gus - MAX(epoch_us(ts))) // 1000000 AS BIGINT) AS lag_s,
+             |  CAST(SUM(CASE WHEN epoch_us(ts) >= g.gus - 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_last_24h,
+             |  ((g.gus - MAX(epoch_us(ts))) // 1000000) > 3600 AS stale
+             |FROM events CROSS JOIN g GROUP BY event_type, g.gus
+             |ORDER BY event_type""".stripMargin)),
   )
 }

@@ -1857,5 +1857,169 @@ object Relational {
            |${round(3)}
            |SELECT node, rank FROM r3 WHERE node % 31 = 0 ORDER BY node""".stripMargin
       }),
+
+    // UNPIVOT (wide→long melt) through the engine's native Dataset.unpivot
+    // — the inverse of q_pivot, and the API a user reaches for to turn a
+    // metrics-wide table back into (entity, metric, value) rows. Shape:
+    // one agg shuffle builds the wide table; the melt itself is a pure
+    // projection (Expand), no second exchange — at 100 TB the long form
+    // costs exactly the wide agg plus 3× projected rows.
+    QueryDef("q_unpivot",
+      (spark, sf) => {
+        val o = load(spark, sf, "orders")
+        val c = load(spark, sf, "customer")
+        val n = load(spark, sf, "nation")
+        val wide = o.join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            sum(when(col("o_orderstatus") === "F", cents(col("o_totalprice")))
+              .otherwise(0L)).as("F"),
+            sum(when(col("o_orderstatus") === "O", cents(col("o_totalprice")))
+              .otherwise(0L)).as("O"),
+            sum(when(col("o_orderstatus") === "P", cents(col("o_totalprice")))
+              .otherwise(0L)).as("P"))
+        wide.unpivot(Array(col("n_name")), Array(col("F"), col("O"), col("P")),
+            "o_orderstatus", "total_cents")
+          .orderBy(col("n_name"), col("o_orderstatus"))
+      },
+      Some("""WITH w AS (
+             |  SELECT n_name,
+             |    SUM(CASE WHEN o_orderstatus='F' THEN CAST(ROUND(o_totalprice*100) AS BIGINT) ELSE 0 END) AS f,
+             |    SUM(CASE WHEN o_orderstatus='O' THEN CAST(ROUND(o_totalprice*100) AS BIGINT) ELSE 0 END) AS o,
+             |    SUM(CASE WHEN o_orderstatus='P' THEN CAST(ROUND(o_totalprice*100) AS BIGINT) ELSE 0 END) AS p
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY n_name)
+             |SELECT n_name, s.st AS o_orderstatus,
+             |  CAST(CASE s.st WHEN 'F' THEN f WHEN 'O' THEN o ELSE p END AS BIGINT) AS total_cents
+             |FROM w CROSS JOIN (VALUES ('F'),('O'),('P')) s(st)
+             |ORDER BY n_name, o_orderstatus""".stripMargin)),
+
+    // Equi-width histogram profile of a money column — the distribution
+    // companion to q_profile_stats' scalar audit. Bin id is integer
+    // division of exact cents by a fixed $25k width: one agg shuffle on
+    // a bounded bin domain, codegen'd floor-div, no sort of the data.
+    QueryDef("q_histogram",
+      (spark, sf) => load(spark, sf, "orders")
+        .select(cents(col("o_totalprice")).as("c"))
+        .withColumn("bin", expr("c div 2500000"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("c")).as("min_cents"), max(col("c")).as("max_cents"))
+        .select(col("bin"), (col("bin") * 2500000L).as("lo_cents"),
+          col("n"), col("min_cents"), col("max_cents"))
+        .orderBy(col("bin")),
+      Some("""WITH c AS (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents FROM orders)
+             |SELECT cents // 2500000 AS bin, (cents // 2500000) * 2500000 AS lo_cents,
+             |  COUNT(*) AS n, MIN(cents) AS min_cents, MAX(cents) AS max_cents
+             |FROM c GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // Robust per-entity anomaly detection: median/MAD outlier flagging of
+    // each customer's order values — the z-score's (q_outlier_zscore)
+    // robust sibling, immune to the outliers it hunts. Exactness
+    // discipline: the LOWER median (element floor((n-1)/2) of the sorted
+    // list) in integer cents, so median, MAD, and the 3×MAD comparison
+    // are all integer arithmetic — no interpolation, bit-identical
+    // cross-engine. Scale shape: per-customer order counts are bounded
+    // (≤ tens), so sort_array(collect_list) is a bounded per-key buffer
+    // — one shuffle on o_custkey builds both medians, one co-partitioned
+    // join back flags rows; never a global or per-key window sort.
+    QueryDef("q_outlier_mad",
+      (spark, sf) => {
+        val v = load(spark, sf, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            cents(col("o_totalprice")).as("cents"))
+        val med = v.groupBy(col("o_custkey"))
+          .agg(sort_array(collect_list(col("cents"))).as("xs"),
+            count(lit(1)).as("n"))
+          .select(col("o_custkey"), col("n"),
+            expr("xs[CAST((n-1) div 2 AS INT)]").as("med"))
+        val dev = v.join(med, "o_custkey")
+          .withColumn("dev", abs(col("cents") - col("med")))
+        val mad = dev.groupBy(col("o_custkey"))
+          .agg(sort_array(collect_list(col("dev"))).as("ds"),
+            count(lit(1)).as("n2"))
+          .select(col("o_custkey"),
+            expr("ds[CAST((n2-1) div 2 AS INT)]").as("mad"))
+        dev.join(mad, "o_custkey")
+          .filter(col("n") >= 5 && col("mad") > 0 &&
+            col("dev") > col("mad") * 3)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("cents").as("total_cents"), col("med").as("med_cents"),
+            col("mad").as("mad_cents"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH v AS (SELECT o_custkey, o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+             |m AS (SELECT o_custkey, list_sort(list(cents)) AS xs, COUNT(*) AS n FROM v GROUP BY o_custkey),
+             |mm AS (SELECT o_custkey, n, xs[CAST((n-1)//2 AS INT) + 1] AS med FROM m),
+             |d AS (SELECT v.o_custkey, v.o_orderkey, v.cents, mm.med, mm.n, ABS(v.cents-mm.med) AS dev
+             |      FROM v JOIN mm USING(o_custkey)),
+             |md AS (SELECT o_custkey, list_sort(list(dev)) AS ds, COUNT(*) AS n2 FROM d GROUP BY o_custkey),
+             |mad AS (SELECT o_custkey, ds[CAST((n2-1)//2 AS INT) + 1] AS mad FROM md)
+             |SELECT d.o_orderkey, d.o_custkey, d.cents AS total_cents, d.med AS med_cents, mad.mad AS mad_cents
+             |FROM d JOIN mad USING(o_custkey)
+             |WHERE d.n >= 5 AND mad.mad > 0 AND d.dev > 3*mad.mad
+             |ORDER BY d.o_orderkey""".stripMargin)),
+
+    // Point-in-time feature lookup against an SCD2 dimension — the
+    // feature-store rule that makes training data leak-proof: each fact
+    // may only see dimension state STRICTLY OLDER than its label time
+    // (here, the customer's priority version as of 30 days before the
+    // order). Built on the same union+window as-of composition as
+    // q_asof_join (one o_custkey shuffle, never a range join); the dim
+    // first drops superseded same-day versions (max version per
+    // (custkey, valid_from)) so the as-of tie-break is deterministic in
+    // both engines. ~11% of facts fall before their customer's first
+    // version and correctly get NULL features.
+    QueryDef("q_pit_features",
+      (spark, sf) => {
+        val byTime = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val changes = load(spark, sf, "orders")
+          .withColumn("prev", lag(col("o_orderpriority"), 1).over(byTime))
+          .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+        val dim0 = changes.select(
+          col("o_custkey").as("custkey"),
+          col("o_orderpriority").as("priority"),
+          col("o_orderdate").as("valid_from"),
+          row_number().over(byTime).cast("int").as("version"))
+        val bySameDay = Window.partitionBy(col("custkey"), col("valid_from"))
+          .orderBy(col("version").desc)
+        val dim = dim0.withColumn("rn", row_number().over(bySameDay))
+          .filter(col("rn") === 1).drop("rn")
+        val fact = load(spark, sf, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_orderdate") - expr("INTERVAL 30 DAYS")).as("feature_ts"))
+        graft.ops.Joins.asof(
+            left = fact.withColumnRenamed("o_custkey", "custkey"),
+            right = dim,
+            partitionKey = "custkey", leftTime = "feature_ts",
+            rightTime = "valid_from",
+            valueCols = Map("priority" -> "feature_priority",
+              "version" -> "feature_version"))
+          .select(col("o_orderkey"), col("custkey").as("o_custkey"),
+            col("feature_priority"), col("feature_version"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH changes AS (
+             |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey FROM (
+             |    SELECT *, LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS prev FROM orders)
+             |  WHERE prev IS NULL OR prev <> o_orderpriority),
+             |dim0 AS (
+             |  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+             |    o_orderdate AS valid_from,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS version
+             |  FROM changes),
+             |dim AS (
+             |  SELECT custkey, priority, valid_from, version FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY custkey, valid_from ORDER BY version DESC) AS rn
+             |    FROM dim0) WHERE rn = 1),
+             |fact AS (SELECT o_orderkey, o_custkey, o_orderdate - INTERVAL 30 DAY AS feature_ts FROM orders)
+             |SELECT f.o_orderkey, f.o_custkey, d.priority AS feature_priority, d.version AS feature_version
+             |FROM fact f ASOF LEFT JOIN dim d
+             |  ON f.o_custkey = d.custkey AND f.feature_ts >= d.valid_from
+             |ORDER BY f.o_orderkey""".stripMargin)),
   )
 }
