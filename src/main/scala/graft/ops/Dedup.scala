@@ -102,8 +102,9 @@ object Dedup {
     * shrinks precisely where the plain inverted index blows up.
     *
     * τ is passed as the rational `tauNum/tauDen` so the prefix length
-    * is exact integer arithmetic (`ceil(0.8·5)` in doubles is 5, not 4
-    * — 0.8 has no binary representation). Verification is the same
+    * is exact integer arithmetic — `ceil` over a binary-inexact τ·n
+    * product is one rounding flip away from an off-by-one prefix (a
+    * silently lossy filter). Verification is the same
     * exact full-table intersection as [[ngramJaccardPairs]]; output
     * schema is identical.
     */

@@ -355,6 +355,92 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Deterministic synthetic speech-patterned WAV for id `id`: mono
+    * 16-bit PCM at 8 kHz, `24 + id%13` frames of 160 samples (20 ms)
+    * where frame `f` is "speech" (constant amplitude `1000 + id%500`)
+    * iff `(id + f) % 3 != 0` and near-silence (amplitude 10) otherwise
+    * — a 2-voiced/1-silent cadence whose per-frame energies have closed
+    * form, so the VAD verdict is oracle-replayable while the bytes
+    * still round-trip the real RIFF/WAV codec.
+    */
+  def syntheticSpeechWav(id: Long): Array[Byte] = {
+    val frames = 24 + (id % 13).toInt
+    val perFrame = 160
+    val pcm = new Array[Byte](frames * perFrame * 2)
+    var f = 0
+    while (f < frames) {
+      val amp = (if ((id + f) % 3 != 0) 1000 + (id % 500) else 10L).toShort
+      var i = 0
+      while (i < perFrame) {
+        val off = (f * perFrame + i) * 2
+        pcm(off) = (amp & 0xff).toByte
+        pcm(off + 1) = ((amp >> 8) & 0xff).toByte
+        i += 1
+      }
+      f += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, frames.toLong * perFrame)
+    val baos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Synthetic speech-cadence corpus keyed by `idCol` — [[syntheticAudio]]
+    * with the VAD-exercising waveform above.
+    */
+  def syntheticSpeech(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    ensureParallelism(df)
+      .select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(ids => ids.map(id => (id, syntheticSpeechWav(id))))
+      .toDF(idCol, "payload")
+      .withColumn("meta", metaFor("audio"))
+  }
+
+  /** Energy-based voice-activity detection — the speech-curation
+    * primitive that decides which audio is worth transcribing: decode
+    * the WAV, split into `frameSamples`-sample frames, mark a frame
+    * voiced when its mean |amplitude| clears `threshold`, and emit the
+    * per-clip verdict (frame counts + integer permille voiced ratio).
+    * Runs per-partition over the opaque payload column like every other
+    * decode op here — no driver traffic, no UDF, output columnar.
+    */
+  def vad(df: DataFrame, idCol: String,
+      frameSamples: Int = 160, threshold: Double = 100.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    ensureParallelism(df)
+      .select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(payload))
+        val bytes = try in.readAllBytes() finally in.close()
+        val nSamples = bytes.length / 2
+        val nFrames = nSamples / frameSamples
+        var voiced = 0L
+        var f = 0
+        while (f < nFrames) {
+          var sum = 0.0
+          var i = 0
+          while (i < frameSamples) {
+            val off = (f * frameSamples + i) * 2
+            val s = ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+            sum += math.abs(s.toInt)
+            i += 1
+          }
+          if (sum / frameSamples > threshold) voiced += 1
+          f += 1
+        }
+        (id, nFrames.toLong, voiced,
+          if (nFrames == 0) 0L else 1000L * voiced / nFrames)
+      })
+      .toDF(idCol, "n_frames", "voiced_frames", "voiced_permille")
+  }
+
   /** Materialize a synthetic WAV corpus keyed by `idCol`, generated
     * partition-parallel on executors — the audio twin of
     * [[syntheticImages]].

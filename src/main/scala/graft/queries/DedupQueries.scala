@@ -131,7 +131,7 @@ object DedupQueries {
     // the result is bit-identical to the full inverted index. Same
     // EXACT oracle as dedup_ngram_jaccard — completeness of the filter
     // is driver-verified, not assumed. Prefix length in pure integer
-    // arithmetic (τ as 4/5; ceil(0.8·n) in doubles is wrong at n=5).
+    // arithmetic (τ as the rational 4/5 — no float ceil near the edge).
     QueryDef("dedup_jaccard_prefix",
       (spark, sf) => Dedup.prefixJaccardPairs(
           load(spark, sf, "documents"), "text", "doc_id", k = 5,

@@ -188,5 +188,61 @@ object EmbeddingQueries {
              |  CAST(SUM(p) AS BIGINT) AS gram,
              |  CAST(COUNT(*) AS BIGINT) AS n_vecs
              |FROM cell GROUP BY i, j ORDER BY i, j""".stripMargin)),
+
+    // Distributed PCA direction by power iteration — the collapse/
+    // anisotropy probe run on real embedding fleets: ONE distributed
+    // pass reduces the exact int8 Gram matrix (the emb_gram_matrix
+    // map-side-combined shape, full 16×16 grid), then three power
+    // steps x_{k+1} = G·x_k run on the collected 16×16 — a bounded
+    // 256-cell collect, the centroid-budget pattern, O(1) at any corpus
+    // size. Every iterate is EXACT integer arithmetic (x2/x3 in
+    // BigInteger ↔ the oracle's HUGEINT); the per-component Rayleigh
+    // ratio x3_i/x2_i is one final double division of identical
+    // integers — the dominant eigenvalue with exact lineage.
+    QueryDef("emb_pca_power",
+      (spark, sf) => {
+        val q = Embeddings.quantizeInt8(col("embedding"))
+        val gramRows = load(spark, sf, "embeddings")
+          .select(explode(flatten(transform(sequence(lit(0), lit(15)), i =>
+            transform(sequence(lit(0), lit(15)), j =>
+              struct(i.as("i"), j.as("j"),
+                (element_at(q, i + 1).cast("long") *
+                 element_at(q, j + 1).cast("long")).as("p")))))).as("cell"))
+          .groupBy(col("cell.i").as("i"), col("cell.j").as("j"))
+          .agg(sum(col("cell.p")).as("g"))
+          .collect()
+        val dim = 16
+        val g = Array.ofDim[Long](dim, dim)
+        gramRows.foreach(r => g(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+        import java.math.BigInteger
+        def matvec(x: Array[BigInteger]): Array[BigInteger] =
+          Array.tabulate(dim)(i => (0 until dim)
+            .map(j => BigInteger.valueOf(g(i)(j)).multiply(x(j)))
+            .foldLeft(BigInteger.ZERO)(_.add(_)))
+        val x1 = matvec(Array.fill(dim)(BigInteger.ONE))
+        val x2 = matvec(x1)
+        val x3 = matvec(x2)
+        spark.createDataFrame((0 until dim).map(i =>
+            (i, x1(i).longValueExact, x3(i).doubleValue / x2(i).doubleValue)))
+          .toDF("i", "x1", "lambda_i")
+          .orderBy(col("i"))
+      },
+      Some("""WITH v AS (SELECT CAST(embedding AS DOUBLE[]) e FROM embeddings),
+             |m AS (SELECT e, list_max(list_transform(e, x -> abs(x))) ma FROM v),
+             |q AS (SELECT list_transform(e, x ->
+             |    CASE WHEN ma = 0 THEN 0 ELSE CAST(round(x * 127.0 / ma) AS BIGINT) END) ql
+             |  FROM m),
+             |cell AS (SELECT i, j, ql[i + 1] * ql[j + 1] AS p
+             |  FROM q, range(16) ri(i), range(16) rj(j)),
+             |g AS (SELECT i, j, SUM(p) AS g FROM cell GROUP BY i, j),
+             |x1 AS (SELECT i, SUM(g) AS x FROM g GROUP BY i),
+             |x2 AS (SELECT g.i, SUM(CAST(g.g AS HUGEINT) * x1.x) AS x
+             |  FROM g JOIN x1 ON g.j = x1.i GROUP BY g.i),
+             |x3 AS (SELECT g.i, SUM(CAST(g.g AS HUGEINT) * x2.x) AS x
+             |  FROM g JOIN x2 ON g.j = x2.i GROUP BY g.i)
+             |SELECT CAST(x1.i AS INT) AS i, CAST(x1.x AS BIGINT) AS x1,
+             |  CAST(x3.x AS DOUBLE) / CAST(x2.x AS DOUBLE) AS lambda_i
+             |FROM x1 JOIN x2 ON x1.i = x2.i JOIN x3 ON x1.i = x3.i
+             |ORDER BY i""".stripMargin)),
   )
 }

@@ -589,6 +589,42 @@ object StreamingQueries {
              |  1.5 * sqrt(CAST(CAST(n AS HUGEINT)*s2 - CAST(s AS HUGEINT)*s AS DOUBLE))
              |GROUP BY e.event_type ORDER BY event_type""".stripMargin)),
 
+    // Streaming twin of dq_freshness — the live arrival monitor: a
+    // complete-mode per-stream aggregate maintains (count, max event
+    // time) as micro-batches land, and the monitoring read computes
+    // each stream's lag behind the freshest arrival plus a staleness
+    // verdict from that tiny live state (5 rows — the post-stream read
+    // is the dashboard query, not a data pass). Exact integer
+    // microsecond arithmetic end to end, same oracle discipline as the
+    // batch gate.
+    QueryDef("stream_freshness",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "events")).schema
+        val stream = Tables.normalizeTs(
+            spark.readStream.schema(schema).parquet(stagedDir(spark, sf, "events")))
+          .select(col("event_type"), col("ts"),
+            expr("unix_micros(ts)").as("us"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), max(col("ts")).as("max_ts"),
+            max(col("us")).as("mus"))
+        val table = s"stream_fresh_${counter.incrementAndGet()}"
+        val q = stream.writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        val state = spark.table(table)
+        state.crossJoin(broadcast(state.agg(max(col("mus")).as("gus"))))
+          .select(col("event_type"), col("n"), col("max_ts"),
+            expr("(gus - mus) div 1000000").as("lag_s"),
+            (expr("(gus - mus) div 1000000") > 3600L).as("stale"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH g AS (SELECT MAX(epoch_us(ts)) AS gus FROM events)
+             |SELECT event_type, COUNT(*) AS n, MAX(ts) AS max_ts,
+             |  CAST((g.gus - MAX(epoch_us(ts))) // 1000000 AS BIGINT) AS lag_s,
+             |  ((g.gus - MAX(epoch_us(ts))) // 1000000) > 3600 AS stale
+             |FROM events CROSS JOIN g GROUP BY event_type, g.gus
+             |ORDER BY event_type""".stripMargin)),
+
     // Streaming twin of the count-min sketch: the same Aggregator runs
     // as a complete-mode streaming aggregate, monitoring the live token
     // stream's counts for a watchlist derived from the historical

@@ -1347,6 +1347,29 @@ object TextQueries {
              |  CAST(doc_id % 1000 AS DOUBLE) AS mean_abs_amplitude
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Energy-based voice-activity detection over real WAV bytes — the
+    // speech-data curation gate (keep clips with enough voiced audio):
+    // 20 ms frames, mean-|amplitude| threshold, per-clip voiced ratio in
+    // integer permille. The fixture's 2-voiced/1-silent cadence has
+    // closed-form frame energies, so the decode→frame→threshold verdict
+    // is replayed exactly by modular arithmetic in the oracle: silent
+    // frames are those with (doc_id + f) ≡ 0 (mod 3), i.e.
+    // floor((nf−1−r)/3)+1 of nf frames where r = (−doc_id) mod 3.
+    QueryDef("mm_audio_vad",
+      (spark, sf) => {
+        val d = Multimodal.syntheticSpeech(
+          load(spark, sf, "documents").select(col("doc_id")), "doc_id")
+        Multimodal.vad(d, "doc_id").orderBy(col("doc_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, 24 + doc_id % 13 AS nf, (3 - doc_id % 3) % 3 AS r
+             |  FROM documents),
+             |s AS (SELECT doc_id, nf, (nf - 1 - r) // 3 + 1 AS silent FROM p)
+             |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+             |  CAST(nf - silent AS BIGINT) AS voiced_frames,
+             |  CAST((1000 * (nf - silent)) // nf AS BIGINT) AS voiced_permille
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
     // Multimodal frame sampling: one video row → n frame rows with
     // deterministic frame offsets (stub duration = payload_bytes/8
     // frames) — the row-exploding decode shape. Frame timing arithmetic

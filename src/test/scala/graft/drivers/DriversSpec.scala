@@ -87,6 +87,26 @@ class DriversSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out/gen0").count() == 200)
   }
 
+  test("size-targeted compact: byte-derived file plan, data parity, old gen intact") {
+    import spark.implicits._
+    val dir = scratchDir("pq_sizecompact")
+    val s = mkSpec("n/a", s"$dir/out")
+    val d = new ParquetDestinationDriver
+    val data = (1L to 500L).map(i => (i, s"value_$i")).toDF("id", "v")
+    d.write(data.repartition(16), s)
+    val (before, bytes, after, planned) = d.compact(spark, s, targetBytes = 1L << 40)
+    assert(before == 16L && planned == 1L && after == 1L,
+      s"huge target packs to one file: before=$before after=$after planned=$planned")
+    assert(bytes > 0)
+    // snapshot content survives; the fragmented gen0 is still readable
+    assert(d.snapshot(spark, s).get.count() == 500)
+    assert(d.snapshotAt(spark, s, 0L).get.count() == 500)
+    // a second compact with a tiny target splits again per measured bytes
+    val (_, bytes2, after2, planned2) = d.compact(spark, s, targetBytes = math.max(1, bytes / 4))
+    assert(after2 == planned2 && after2 >= 2, s"tiny target must split: $after2")
+    assert(bytes2 > 0)
+  }
+
   test("generation vacuum keeps the newest N dirs; snapshot still reads after") {
     import spark.implicits._
     val dir = scratchDir("pq_vac")

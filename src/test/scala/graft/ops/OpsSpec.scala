@@ -976,4 +976,50 @@ class OpsSpec extends SparkSpec {
     // empty batch → empty result (bloom over zero rows must not NPE)
     assert(Dedup.incrementalNearDups(hist, batch.limit(0), "text", "doc_id").count() == 0)
   }
+
+  test("prefix-filtered Jaccard is lossless vs the full inverted index") {
+    val full = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 5, 0.8)
+      .select("a", "b", "inter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pref = Dedup.prefixJaccardPairs(docs, "text", "doc_id", 5, 4, 5)
+      .select("a", "b", "inter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full.nonEmpty, "corpus has planted near-dups")
+    assert(pref == full,
+      s"prefix filter must be lossless; missing=${full -- pref} extra=${pref -- full}")
+  }
+
+  test("prefix length arithmetic is exact rational ceil (n=5, tau=4/5)") {
+    import spark.implicits._
+    // two identical 9-token docs: n=5 shingles, prefix = 5 - ceil(4) + 1 = 2.
+    // The rational form (num·n + den − 1) div den is platform-independent,
+    // unlike ceil over a binary-inexact tau.
+    assert(5 - ((4 * 5 + 4) / 5) + 1 == 2)
+    val t = Seq((1L, "a b c d e f g h i"), (2L, "a b c d e f g h i"),
+      (3L, "q r s t u v w x y")).toDF("doc_id", "text")
+    val pairs = Dedup.prefixJaccardPairs(t, "text", "doc_id", 5, 4, 5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("energy VAD: closed-form cadence, all-voiced and all-silent clips") {
+    import spark.implicits._
+    val ids = Seq(0L, 7L, 38L).toDF("doc_id")
+    val out = Multimodal.vad(Multimodal.syntheticSpeech(ids, "doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def expected(id: Long) = {
+      val nf = 24 + (id % 13).toInt
+      val r = ((3 - id % 3) % 3).toInt
+      val silent = (nf - 1 - r) / 3 + 1
+      (nf.toLong, (nf - silent).toLong, 1000L * (nf - silent) / nf)
+    }
+    Seq(0L, 7L, 38L).foreach(id => assert(out(id) == expected(id), s"id=$id"))
+    // constant-amplitude fixtures: amp 0 → fully silent, amp 500 → fully voiced
+    val const = Seq(1000L, 1500L).toDF("doc_id") // amp = id % 1000 → 0 and 500
+    val cv = Multimodal.vad(Multimodal.syntheticAudio(const, "doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cv(1000L)._2 == 0L, "silence must have zero voiced frames")
+    assert(cv(1500L)._2 == cv(1500L)._1, "loud constant tone is all-voiced")
+  }
 }
