@@ -423,6 +423,48 @@ class PlanSpec extends SparkSpec {
       s"partial aggregation must run before the exchange:\n$p")
   }
 
+  test("unpivot: melt is a pure Expand projection after one agg, dims broadcast") {
+    val p = planOf("q_unpivot")
+    assert(p.contains("Expand"), s"Dataset.unpivot must plan as Expand:\n$p")
+    assert(p.contains("BroadcastExchange"), s"nation must broadcast:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"join + agg exchanges only — the melt itself must not shuffle:\n$p")
+  }
+
+  test("histogram: one hash exchange over partial aggregates") {
+    val p = planOf("q_histogram")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"one aggregation exchange expected:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"map-side combine must run before the exchange:\n$p")
+  }
+
+  test("MAD outliers: aggregate medians, no Window, no single-partition stage") {
+    val p = planOf("q_outlier_mad")
+    assert(!p.contains("Window"), s"bounded per-key buffers, never window sorts:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-partition exchange:\n$p")
+  }
+
+  test("PIT features: as-of composition stays equi-partitioned, never a range join") {
+    val p = planOf("q_pit_features")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"interval semantics must not plan as a range/cross join:\n$p")
+    assert(p.contains("Window"), s"the as-of carry is a keyed window:\n$p")
+  }
+
+  test("prefix Jaccard: every join is an equi-join (prefix index, verify, sizes)") {
+    val p = planOf("dedup_jaccard_prefix")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"prefix filtering must never degrade to all-pairs:\n$p")
+  }
+
+  test("freshness: the global watermark is a 1-row broadcast, not a second pass") {
+    val p = planOf("dq_freshness")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"global-max side must broadcast:\n$p")
+  }
+
   test("ohlc bars: min_by/max_by aggregate, no Window, one hash shuffle") {
     // open/close come from min_by/max_by partials — a Window over
     // (event_type, hour) would add a per-group sort the aggregate avoids.
