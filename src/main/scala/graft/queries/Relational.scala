@@ -1962,6 +1962,97 @@ object Relational {
              |WHERE d.n >= 5 AND mad.mad > 0 AND d.dev > 3*mad.mad
              |ORDER BY d.o_orderkey""".stripMargin)),
 
+    // Pearson correlation + OLS fit from ONE pass of exact integer sums
+    // — the statistical-profiling companion to q_profile_stats. The five
+    // sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) are exact 128-bit
+    // integers (decimal(38,0) ↔ HUGEINT), map-side combined like any
+    // sum; corr/slope/intercept are then a fixed double expression over
+    // IDENTICAL integers in both engines — same association order, so
+    // bit-identical results without trusting either engine's built-in
+    // corr() (whose float accumulation is partitioning-dependent).
+    QueryDef("q_corr_fit",
+      (spark, sf) => {
+        val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val li = load(spark, sf, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_quantity").cast("long").as("x"),
+            cents(col("l_extendedprice")).as("y"))
+        val s = li.groupBy(col("l_returnflag")).agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+          sum(dec(col("x")) * dec(col("x"))).as("sx2"),
+          sum(dec(col("y")) * dec(col("y"))).as("sy2"))
+        val num = (dec(col("n")) * col("sxy") - dec(col("sx")) * col("sy")).cast("double")
+        val dx = (dec(col("n")) * col("sx2") - dec(col("sx")) * col("sx")).cast("double")
+        val dy = (dec(col("n")) * col("sy2") - dec(col("sy")) * col("sy")).cast("double")
+        val slope = num / dx
+        s.select(col("l_returnflag"), col("n"),
+            (num / (sqrt(dx) * sqrt(dy))).as("corr"),
+            slope.as("slope"),
+            ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+              col("n").cast("double")).as("intercept"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH s AS (
+             |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) n,
+             |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) sx,
+             |    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) sy,
+             |    SUM(CAST(l_quantity AS HUGEINT) * CAST(ROUND(l_extendedprice*100) AS BIGINT)) sxy,
+             |    SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS BIGINT)) sx2,
+             |    SUM(CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS HUGEINT) * CAST(ROUND(l_extendedprice*100) AS BIGINT)) sy2
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE) /
+             |    (sqrt(CAST(CAST(n AS HUGEINT)*sx2 - CAST(sx AS HUGEINT)*sx AS DOUBLE)) *
+             |     sqrt(CAST(CAST(n AS HUGEINT)*sy2 - CAST(sy AS HUGEINT)*sy AS DOUBLE))) AS corr,
+             |  CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE) /
+             |    CAST(CAST(n AS HUGEINT)*sx2 - CAST(sx AS HUGEINT)*sx AS DOUBLE) AS slope,
+             |  (CAST(sy AS DOUBLE) - (CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE) /
+             |    CAST(CAST(n AS HUGEINT)*sx2 - CAST(sx AS HUGEINT)*sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+             |FROM s ORDER BY l_returnflag""".stripMargin)),
+
+    // Several COUNT(DISTINCT …) over different columns in one aggregate
+    // — the profiling query every BI layer emits, and a distinct plan
+    // class: Catalyst expands each row once per distinct column
+    // (Expand), then two-phase aggregates, so the scan runs ONCE and
+    // nothing collects per-group sets in memory.
+    QueryDef("q_multi_distinct",
+      (spark, sf) => load(spark, sf, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          countDistinct(col("o_orderdate")).as("n_dates"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+             |  CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS n_dates
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Higher-order array functions — aggregate/transform/filter lambdas
+    // running INSIDE codegen over a collected per-order array: the
+    // nested-data surface (array analytics without a second explode +
+    // shuffle round-trip). Per-order arrays are bounded (≤7 items), the
+    // one shuffle is the collect_list agg; every lambda is integer
+    // arithmetic replayed by DuckDB's list_* functions.
+    QueryDef("q_array_funcs",
+      (spark, sf) => load(spark, sf, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("q"))
+        .select(col("l_orderkey"), size(col("q")).as("n_items"),
+          expr("aggregate(q, 0L, (acc, x) -> acc + x)").as("qty_sum"),
+          expr("aggregate(transform(q, x -> x * x), 0L, (acc, x) -> acc + x)").as("sq_sum"),
+          size(expr("filter(q, x -> x > 25)")).as("n_big"))
+        .orderBy(col("l_orderkey")),
+      Some("""WITH a AS (
+             |  SELECT l_orderkey, list_sort(list(CAST(l_quantity AS BIGINT))) q
+             |  FROM lineitem GROUP BY l_orderkey)
+             |SELECT l_orderkey, CAST(len(q) AS INT) AS n_items,
+             |  CAST(list_aggregate(q, 'sum') AS BIGINT) AS qty_sum,
+             |  CAST(list_aggregate(list_transform(q, x -> x*x), 'sum') AS BIGINT) AS sq_sum,
+             |  CAST(len(list_filter(q, x -> x > 25)) AS INT) AS n_big
+             |FROM a ORDER BY l_orderkey""".stripMargin)),
+
     // Point-in-time feature lookup against an SCD2 dimension — the
     // feature-store rule that makes training data leak-proof: each fact
     // may only see dimension state STRICTLY OLDER than its label time

@@ -96,6 +96,36 @@ object StreamingQueries {
              |  FROM documents) t WHERE rn = 1
              |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Bounded-state streaming dedup — the production variant of
+    // stream_dedup: dropDuplicatesWithinWatermark keys state by
+    // (user, type, event day) and lets the watermark EVICT entries once
+    // no duplicate can still arrive, so state is O(active window), not
+    // O(all history) — the difference between a dedup that runs forever
+    // and one that OOMs the state store at 100 TB. The 45-day delay
+    // covers the corpus span, so the verdict here equals a global
+    // distinct and the oracle is exact.
+    QueryDef("stream_dedup_ttl",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "events")).schema
+        val raw = Tables.normalizeTs(
+          spark.readStream.schema(schema).parquet(stagedDir(spark, sf, "events")))
+        val deduped = raw
+          .withColumn("day", to_date(col("ts")))
+          .withWatermark("ts", "45 days")
+          .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+        val table = s"stream_ddttl_${counter.incrementAndGet()}"
+        val q = deduped.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_user_days"))
+          .writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        spark.table(table).orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  CAST(COUNT(DISTINCT (user_id, CAST(ts AS DATE))) AS BIGINT)
+             |    AS n_user_days
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Stream-static join: the unbounded stream enriched against a static
     // dimension (customer) — Catalyst broadcasts the dim into every
     // micro-batch, no state store involved; the third join class after
