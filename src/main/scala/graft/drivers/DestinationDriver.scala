@@ -247,6 +247,49 @@ final class ParquetDestinationDriver(
     (stats.size.toLong, bytes, partFiles(after).size.toLong, nOut.toLong)
   }
 
+  /** Write-audit-publish staging (the WAP pattern): write `df` as the
+    * next generation directory WITHOUT flipping `_CURRENT`, so auditors
+    * can read the candidate data (via [[snapshotAt]]) while every
+    * production reader still sees the published generation. Follow with
+    * [[publish]] on a clean audit or [[abortStaged]] on a dirty one.
+    * Staging is the same atomic-rename-free layout as [[write]] — the
+    * pointer flip IS the commit, so a crashed audit leaves nothing
+    * half-published. Non-bucketed sinks only (bucketed generations
+    * publish through the catalog).
+    */
+  def stage(df: DataFrame, spec: MigrationSpec): String = {
+    require(buckets.isEmpty, "WAP staging is for non-bucketed generation sinks")
+    val spark = df.sparkSession
+    val base = UriSchemes.path(spec.destination)
+    val next = s"gen${generations(spark, spec).lastOption.getOrElse(-1L) + 1}"
+    writePartitions.fold(df)(df.coalesce)
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/$next")
+    next
+  }
+
+  /** Publish a staged generation: flip `_CURRENT` to it (atomic commit). */
+  def publish(spark: SparkSession, spec: MigrationSpec, gen: String): Unit =
+    setCurrent(spark, UriSchemes.path(spec.destination), gen)
+
+  /** Abort a staged generation: delete its directory. Refuses to touch
+    * the published generation — only unpublished candidates die here.
+    */
+  def abortStaged(spark: SparkSession, spec: MigrationSpec, gen: String): Unit = {
+    val base = UriSchemes.path(spec.destination)
+    require(!currentGen(spark, base).contains(gen),
+      s"refusing to abort the PUBLISHED generation $gen")
+    val dir = new org.apache.hadoop.fs.Path(base, gen)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dir, true)
+  }
+
+  private def setCurrent(spark: SparkSession, base: String, gen: String): Unit = {
+    val f = currentFile(spark, base)
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(f, true)
+    try out.write(gen.getBytes("UTF-8")) finally out.close()
+  }
+
   def write(df: DataFrame, spec: MigrationSpec): Unit = {
     val spark = df.sparkSession
     val base = UriSchemes.path(spec.destination)
@@ -267,14 +310,14 @@ final class ParquetDestinationDriver(
           .option("path", s"$base/$next")
           .saveAsTable(catalogName(base, next))
     }
-    val f = currentFile(spark, base)
-    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(f, true)
-    try out.write(next.getBytes("UTF-8")) finally out.close()
+    setCurrent(spark, base, next)
     if (buckets.isDefined)
       prev.foreach(g => spark.sql(s"DROP TABLE IF EXISTS ${catalogName(base, g)}"))
-    keepGenerations.foreach(k => graft.mapper.GenerationVacuum.vacuum(
-      fs, new org.apache.hadoop.fs.Path(base), k))
+    keepGenerations.foreach { k =>
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.mapper.GenerationVacuum.vacuum(fs, basePath, k)
+    }
   }
 }
 

@@ -1311,6 +1311,60 @@ object Etl {
              |  TRUE AS gen0_intact
              |FROM orders""".stripMargin)),
 
+    // Write-audit-publish — the lakehouse deployment pattern that makes
+    // the dq tier OPERATIONAL: candidate data is staged as an
+    // unpublished generation, audited in place (row-constraint scan, the
+    // dq_expectations shape), and only a clean audit flips the pointer;
+    // a dirty batch is aborted with production readers never exposed.
+    // Here a poisoned batch (one negative-price row) stages, fails its
+    // audit, and aborts — snapshot still the baseline; then the clean
+    // full batch stages, passes, and publishes. The commit is the
+    // pointer flip, so audit cost is one scan of the staged data and
+    // abort is one directory delete — O(audit) + O(1) at any size.
+    QueryDef("etl_wap",
+      (spark, sf) => {
+        import graft.drivers.ParquetDestinationDriver
+        import graft.spec.{IdField, LongId, MigrationSpec}
+        val dir = scratch("graft_wap") + "/dest"
+        val spec = MigrationSpec("wap", source = dir, sourceDriver = "parquet",
+          destination = dir, destinationDriver = "parquet",
+          sourceIds = Seq(IdField("o_orderkey", LongId)),
+          destinationIds = Seq(IdField("o_orderkey", LongId)))
+        val d = new ParquetDestinationDriver()
+        val orders = load(spark, sf, "orders")
+          .select(col("o_orderkey").cast("long"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val baseline = orders.filter(col("o_orderkey") % 2 === 0)
+        d.write(baseline, spec)
+        def audit(gen: String): Boolean =
+          d.snapshotAt(spark, spec, gen.stripPrefix("gen").toLong).get
+            .filter(col("cents") <= 0 || col("o_orderkey").isNull)
+            .limit(1).count() == 0
+        // dirty candidate: full batch + one poisoned row
+        val dirty = orders.unionByName(
+          spark.range(1).select(lit(-1L).as("o_orderkey"), lit(-500L).as("cents")))
+        val g1 = d.stage(dirty, spec)
+        val dirtyClean = audit(g1)
+        if (!dirtyClean) d.abortStaged(spark, spec, g1)
+        val afterAbortRows = d.snapshot(spark, spec).get.count()
+        // clean candidate: the full batch
+        val g2 = d.stage(orders, spec)
+        val cleanOk = audit(g2)
+        if (cleanOk) d.publish(spark, spec, g2)
+        val fin = d.snapshot(spark, spec).get
+          .agg(count(lit(1)).as("rows"), sum(col("cents")).as("total_cents"))
+          .collect()(0)
+        val baseRows = baseline.count()
+        spark.createDataFrame(Seq((
+            !dirtyClean && afterAbortRows == baseRows,
+            cleanOk, fin.getLong(0), fin.getLong(1))))
+          .toDF("dirty_aborted", "clean_published", "rows", "total_cents")
+      },
+      Some("""SELECT TRUE AS dirty_aborted, TRUE AS clean_published,
+             |  CAST(COUNT(*) AS BIGINT) AS rows,
+             |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+             |FROM orders""".stripMargin)),
+
     // Data-quality expectations (the Great-Expectations/Deequ-style
     // constraint audit a pipeline runs before publishing a table): all
     // row-level checks — key/date non-null, enum membership, value

@@ -2011,6 +2011,26 @@ object Relational {
              |    CAST(CAST(n AS HUGEINT)*sx2 - CAST(sx AS HUGEINT)*sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
              |FROM s ORDER BY l_returnflag""".stripMargin)),
 
+    // Ordered string aggregation (LISTAGG/string_agg) — the report-
+    // building surface: per-group members concatenated in a DETERMINED
+    // order. Spark has no ordered listagg, so the engine composes
+    // sort_array(collect_list(…)) + concat_ws — per-group buffers
+    // bounded by group membership (suppliers per nation), one shuffle,
+    // and the explicit sort makes the result partitioning-independent
+    // where a bare collect_list would be nondeterministic.
+    QueryDef("q_string_agg",
+      (spark, sf) => load(spark, sf, "supplier")
+        .join(broadcast(load(spark, sf, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          concat_ws(",", sort_array(collect_list(col("s_name")))).as("suppliers"))
+        .orderBy(col("n_name")),
+      Some("""SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             |  string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
     // Several COUNT(DISTINCT …) over different columns in one aggregate
     // — the profiling query every BI layer emits, and a distinct plan
     // class: Catalyst expands each row once per distinct column

@@ -96,6 +96,41 @@ object StreamingQueries {
              |  FROM documents) t WHERE rn = 1
              |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // NATIVE session windows (session_window) — the engine-managed
+    // sibling of stream_sessionize's hand-rolled state machine: Spark
+    // merges per-user events into gap-bounded sessions in the state
+    // store itself, so session semantics come from the planner, not
+    // user code. Complete mode keeps every merged session live; the
+    // dashboard read folds them to per-user (sessions, events), which
+    // the oracle replays with exact integer-microsecond gap arithmetic
+    // (a new session starts when the gap reaches the 6 h bound).
+    QueryDef("stream_session_window",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "events")).schema
+        val raw = Tables.normalizeTs(
+          spark.readStream.schema(schema).parquet(stagedDir(spark, sf, "events")))
+        val sessions = raw
+          .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+          .agg(count(lit(1)).as("n_ev"))
+        val table = s"stream_sw_${counter.incrementAndGet()}"
+        val q = sessions.writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        spark.table(table)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"), sum(col("n_ev")).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) us FROM events),
+             |d AS (SELECT user_id,
+             |    us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS gap
+             |  FROM e)
+             |SELECT user_id,
+             |  CAST(1 + SUM(CASE WHEN gap >= 21600000000 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_sessions,
+             |  CAST(COUNT(*) AS BIGINT) AS n_events
+             |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Bounded-state streaming dedup — the production variant of
     // stream_dedup: dropDuplicatesWithinWatermark keys state by
     // (user, type, event day) and lets the watermark EVICT entries once

@@ -1013,6 +1013,37 @@ object TextQueries {
              |  CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS exact_a,
              |  CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS exact_b""".stripMargin)),
 
+    // MERGEABLE HLL sketches through the engine's Datasketches surface
+    // (hll_sketch_agg / hll_union_agg / hll_sketch_estimate) — the
+    // rollup story q_approx_distinct's scalar estimate can't tell:
+    // per-day sketches are built once, then ANY coarser rollup (here
+    // monthly) is a cheap sketch union, never a rescan of the raw data
+    // — the pre-aggregation pattern that makes distinct-count dashboards
+    // O(days × sketch) instead of O(data) per query. Gate: each merged
+    // estimate must sit within 8% of the exact count (HLL lgK=12 is
+    // ~1.6% RSE), or the month vanishes and the driver fails loudly;
+    // the oracle replays the exact side.
+    QueryDef("sketch_hll_merge",
+      (spark, sf) => {
+        val o = load(spark, sf, "orders")
+          .select(trunc(col("o_orderdate"), "month").as("month"),
+            to_date(col("o_orderdate")).as("day"), col("o_custkey"))
+        val daily = o.groupBy(col("month"), col("day"))
+          .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+        val monthly = daily.groupBy(col("month"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exact = o.groupBy(col("month"))
+          .agg(countDistinct(col("o_custkey")).as("n_exact"))
+        exact.join(monthly, Seq("month"))
+          .filter(abs(col("est") - col("n_exact")) <=
+            greatest(col("n_exact") * 0.08, lit(8.0)))
+          .select(col("month"), col("n_exact"))
+          .orderBy(col("month"))
+      },
+      Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+             |FROM orders GROUP BY 1 ORDER BY month""".stripMargin)),
+
     // Count-min sketch point counts (the third sketch tier next to HLL
     // cardinality and GK quantiles): fixed 4×1024 counter grid, merge =
     // element-wise add, so traffic is O(partitions) not O(distinct

@@ -107,6 +107,32 @@ class DriversSpec extends SparkSpec {
     assert(bytes2 > 0)
   }
 
+  test("WAP staging: stage never publishes, abort refuses the published gen") {
+    import spark.implicits._
+    val dir = scratchDir("pq_wap")
+    val s = mkSpec("n/a", s"$dir/out")
+    val d = new ParquetDestinationDriver
+    d.write(Seq((1L, "base")).toDF("id", "v"), s)
+    val g = d.stage(Seq((2L, "staged")).toDF("id", "v"), s)
+    assert(g == "gen1")
+    // readers still see the published baseline; auditors can read the stage
+    assert(d.snapshot(spark, s).get.head().getString(1) == "base")
+    assert(d.snapshotAt(spark, s, 1L).get.head().getString(1) == "staged")
+    // abort removes the candidate; the published gen is refused
+    d.abortStaged(spark, s, g)
+    assert(d.snapshotAt(spark, s, 1L).isEmpty)
+    intercept[IllegalArgumentException](d.abortStaged(spark, s, "gen0"))
+    // a fresh stage reuses the freed slot and publish flips atomically
+    val g2 = d.stage(Seq((3L, "v2")).toDF("id", "v"), s)
+    assert(g2 == "gen1")
+    d.publish(spark, s, g2)
+    assert(d.snapshot(spark, s).get.head().getString(1) == "v2")
+    // and a subsequent plain write continues the generation chain
+    d.write(Seq((4L, "v3")).toDF("id", "v"), s)
+    assert(d.snapshot(spark, s).get.head().getString(1) == "v3")
+    assert(d.generations(spark, s) == Seq(0L, 1L, 2L))
+  }
+
   test("generation vacuum keeps the newest N dirs; snapshot still reads after") {
     import spark.implicits._
     val dir = scratchDir("pq_vac")
