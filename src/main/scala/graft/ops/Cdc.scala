@@ -17,6 +17,36 @@ import org.apache.spark.sql.DataFrame
   */
 object Cdc {
 
+  /** Derive a change log by DIFFING two snapshots — the inverse of
+    * [[applyLog]] and the `table_changes`/generation-diff op a lakehouse
+    * exposes between any two retained generations: one co-partitioned
+    * full outer join on the key classifies every row as
+    * inserted / deleted / updated / unchanged (value comparison is
+    * null-safe per column). Output: key columns + `change`. The join is
+    * the only exchange; nothing is hashed row-wise on the driver, so
+    * the diff scales exactly like a join of the two snapshots.
+    */
+  def snapshotDiff(oldDf: org.apache.spark.sql.DataFrame,
+      newDf: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], valueCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val o = oldDf.select((keys ++ valueCols).map(col): _*)
+      .toDF(keys ++ valueCols.map("__o_" + _): _*)
+      .withColumn("__in_old", lit(1))
+    val n = newDf.select((keys ++ valueCols).map(col): _*)
+      .toDF(keys ++ valueCols.map("__n_" + _): _*)
+      .withColumn("__in_new", lit(1))
+    val joined = o.join(n, keys, "full_outer")
+    val changed = valueCols
+      .map(v => !(col(s"__o_$v") <=> col(s"__n_$v")))
+      .reduce(_ || _)
+    joined.select(keys.map(col) :+
+      when(col("__in_old").isNull, lit("inserted"))
+        .when(col("__in_new").isNull, lit("deleted"))
+        .when(changed, lit("updated"))
+        .otherwise(lit("unchanged")).as("change"): _*)
+  }
+
   /** Apply `log` to `snapshot`. `log` columns: `key`, the `seqCols`
     * (commit order — latest wins, ties broken by the later seq column),
     * `opCol` with values I/U/D, and the snapshot's payload columns

@@ -263,6 +263,41 @@ object Multimodal {
       .toDF(idCol, "ahash_hi", "ahash_lo")
   }
 
+  /** Perceptual near-duplicate image pairs — image dedup at corpus
+    * scale: every clip's 64-bit average hash is split into 4×16-bit
+    * BANDS, and candidates join on (band index, band value) — by
+    * pigeonhole, any pair within Hamming distance 3 differs in at most
+    * 3 bands and so MUST share one, making the banded join lossless for
+    * the ≤3 threshold while hashing-disjoint images never meet (the
+    * SimHash band trick applied to the image modality). Candidates are
+    * then verified exactly with two XOR popcounts. The shuffle key is
+    * the band, so cost tracks near-duplicate density, never N².
+    */
+  def nearDuplicateImages(df: DataFrame, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4 bands of 16 bits are lossless only for hamming <= 3")
+    val h = imageHashes(df, idCol)
+    val bands = h.select(col(idCol), explode(array(
+        struct(lit(0).as("b"), expr("ahash_lo % 65536").as("v")),
+        struct(lit(1).as("b"), expr("ahash_lo div 65536").as("v")),
+        struct(lit(2).as("b"), expr("ahash_hi % 65536").as("v")),
+        struct(lit(3).as("b"), expr("ahash_hi div 65536").as("v")))).as("band"))
+      .select(col(idCol), col("band.b").as("b"), col("band.v").as("v"))
+    val cand = bands.select(col(idCol).as("a"), col("b"), col("v"))
+      .join(bands.select(col(idCol).as("bb"), col("b"), col("v")), Seq("b", "v"))
+      .filter(col("a") < col("bb"))
+      .select(col("a"), col("bb").as("b_id")).distinct()
+    cand
+      .join(h.select(col(idCol).as("a"), col("ahash_hi").as("ha"),
+        col("ahash_lo").as("la")), Seq("a"))
+      .join(h.select(col(idCol).as("b_id"), col("ahash_hi").as("hb"),
+        col("ahash_lo").as("lb")), Seq("b_id"))
+      .withColumn("hamming",
+        bit_count(expr("ha ^ hb")) + bit_count(expr("la ^ lb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b_id").as("b"), col("hamming"))
+  }
+
   /** Gradient twin of [[syntheticPng]]: same `(8 + id%13) × (8 + id%7)`
     * geometry, but sample value `(id + 7x + 13y) % 256` at pixel (x, y)
     * on every channel — non-constant content, so downstream perceptual

@@ -1311,6 +1311,52 @@ object Etl {
              |  TRUE AS gen0_intact
              |FROM orders""".stripMargin)),
 
+    // Generation diff (table_changes): derive the change log BETWEEN two
+    // retained generations by one co-partitioned full-outer join — the
+    // audit/incremental-consumer op time travel makes possible (what
+    // changed since the snapshot I last read?). The scenario writes a
+    // baseline and an evolved generation with known modular insert/
+    // delete/update rules; the diff's per-class counts replay closed-
+    // form in the oracle. Cost is one join of the two snapshots — no
+    // row hashing on the driver, no full-history log required.
+    QueryDef("etl_snapshot_diff",
+      (spark, sf) => {
+        import graft.drivers.ParquetDestinationDriver
+        import graft.spec.{IdField, LongId, MigrationSpec}
+        val dir = scratch("graft_sdiff") + "/dest"
+        val spec = MigrationSpec("sdiff", source = dir, sourceDriver = "parquet",
+          destination = dir, destinationDriver = "parquet",
+          sourceIds = Seq(IdField("o_orderkey", LongId)),
+          destinationIds = Seq(IdField("o_orderkey", LongId)))
+        val d = new ParquetDestinationDriver()
+        val orders = load(spark, sf, "orders")
+          .select(col("o_orderkey").cast("long"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        d.write(orders.filter(col("o_orderkey") % 2 === 0), spec)
+        d.write(orders.filter(col("o_orderkey") % 3 =!= 0)
+          .withColumn("cents", when(col("o_orderkey") % 5 === 0,
+            col("cents") + 7).otherwise(col("cents"))), spec)
+        graft.ops.Cdc.snapshotDiff(
+            d.snapshotAt(spark, spec, 0L).get, d.snapshotAt(spark, spec, 1L).get,
+            keys = Seq("o_orderkey"), valueCols = Seq("cents"))
+          .groupBy(col("change")).agg(count(lit(1)).as("n"))
+          .orderBy(col("change"))
+      },
+      Some("""WITH k AS (SELECT o_orderkey AS key FROM orders)
+             |SELECT change, n FROM (
+             |  SELECT 'deleted' AS change, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM k WHERE key % 2 = 0 AND key % 3 = 0
+             |  UNION ALL
+             |  SELECT 'inserted', CAST(COUNT(*) AS BIGINT)
+             |  FROM k WHERE key % 2 = 1 AND key % 3 <> 0
+             |  UNION ALL
+             |  SELECT 'unchanged', CAST(COUNT(*) AS BIGINT)
+             |  FROM k WHERE key % 2 = 0 AND key % 3 <> 0 AND key % 5 <> 0
+             |  UNION ALL
+             |  SELECT 'updated', CAST(COUNT(*) AS BIGINT)
+             |  FROM k WHERE key % 2 = 0 AND key % 3 <> 0 AND key % 5 = 0)
+             |ORDER BY change""".stripMargin)),
+
     // Write-audit-publish — the lakehouse deployment pattern that makes
     // the dq tier OPERATIONAL: candidate data is staged as an
     // unpublished generation, audited in place (row-constraint scan, the

@@ -1378,6 +1378,36 @@ object TextQueries {
              |  CAST(doc_id % 1000 AS DOUBLE) AS mean_abs_amplitude
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Image near-dup pairs over the REAL decoded aHash: 4×16-bit banded
+    // candidate join (pigeonhole-lossless for Hamming ≤ 3) + exact XOR
+    // popcount verify — multimodal dedup as a first-class pair miner,
+    // not just a fingerprint column. The oracle recomputes every hash
+    // from the gradient formula and pairs by brute force, so BOTH the
+    // band completeness and the popcount verify are driver-checked.
+    QueryDef("mm_image_dedup",
+      (spark, sf) => {
+        val d = Multimodal.syntheticGradientImages(
+          load(spark, sf, "documents").select(col("doc_id")), "doc_id")
+        Multimodal.nearDuplicateImages(d, "doc_id")
+          .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH g AS (
+             |  SELECT d.doc_id, y*8 + x AS idx,
+             |    (d.doc_id + 7*((x*(8 + d.doc_id%13))//8)
+             |       + 13*((y*(8 + d.doc_id%7))//8)) % 256 AS v
+             |  FROM documents d, range(8) r1(x), range(8) r2(y)),
+             |m AS (SELECT doc_id, SUM(v)/64.0 mean FROM g GROUP BY doc_id),
+             |h AS (SELECT g.doc_id,
+             |  CAST(SUM(CASE WHEN v > mean AND idx >= 32 THEN power(2, idx-32) ELSE 0 END) AS BIGINT) AS hi,
+             |  CAST(SUM(CASE WHEN v > mean AND idx < 32 THEN power(2, idx) ELSE 0 END) AS BIGINT) AS lo
+             |  FROM g JOIN m USING (doc_id) GROUP BY g.doc_id)
+             |SELECT p.doc_id AS a, q.doc_id AS b,
+             |  CAST(bit_count(xor(p.hi, q.hi)) + bit_count(xor(p.lo, q.lo)) AS INT) AS hamming
+             |FROM h p JOIN h q ON p.doc_id < q.doc_id
+             |WHERE bit_count(xor(p.hi, q.hi)) + bit_count(xor(p.lo, q.lo)) <= 3
+             |ORDER BY a, b""".stripMargin)),
+
     // Energy-based voice-activity detection over real WAV bytes — the
     // speech-data curation gate (keep clips with enough voiced audio):
     // 20 ms frames, mean-|amplitude| threshold, per-clip voiced ratio in
