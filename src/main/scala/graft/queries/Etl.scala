@@ -1311,6 +1311,38 @@ object Etl {
              |  TRUE AS gen0_intact
              |FROM orders""".stripMargin)),
 
+    // In-flight pipeline metrics through the engine's Observation API —
+    // the dq counters a production write job publishes WITHOUT a second
+    // scan: observe() attaches metric aggregates to the write's own
+    // pass, so row count / money total / violation count come out of
+    // the sink action itself. The gate cross-checks the observed counts
+    // against the written data (read-back count parity), then emits the
+    // metrics for the oracle to recompute — proving the zero-extra-pass
+    // numbers equal the ground truth.
+    QueryDef("dq_observe",
+      (spark, sf) => {
+        val obs = new org.apache.spark.sql.Observation()
+        val out = scratch("graft_observe") + "/out"
+        val orders = load(spark, sf, "orders")
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .observe(obs, count(lit(1)).as("rows"),
+            sum(col("cents")).as("total_cents"),
+            sum(when(col("cents") <= 0, 1L).otherwise(0L)).as("bad_rows"))
+        orders.write.mode("overwrite").parquet(out)
+        val m = obs.get
+        val written = spark.read.parquet(out).count()
+        spark.createDataFrame(Seq((m("rows").asInstanceOf[Long],
+            m("total_cents").asInstanceOf[Long],
+            m("bad_rows").asInstanceOf[Long],
+            written == m("rows").asInstanceOf[Long])))
+          .toDF("rows", "total_cents", "bad_rows", "write_parity")
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS rows,
+             |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
+             |  CAST(0 AS BIGINT) AS bad_rows, TRUE AS write_parity
+             |FROM orders""".stripMargin)),
+
     // Generation diff (table_changes): derive the change log BETWEEN two
     // retained generations by one co-partitioned full-outer join — the
     // audit/incremental-consumer op time travel makes possible (what

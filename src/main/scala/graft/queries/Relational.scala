@@ -2011,6 +2011,48 @@ object Relational {
              |    CAST(CAST(n AS HUGEINT)*sx2 - CAST(sx AS HUGEINT)*sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
              |FROM s ORDER BY l_returnflag""".stripMargin)),
 
+    // Typed cogroup (KeyValueGroupedDataset.cogroup) — the Dataset API
+    // for per-key reconciliation logic that doesn't decompose into
+    // join+agg expressions: both sides co-partition on the key ONCE and
+    // the per-key lambda sees bounded iterators (1 order, ≤7 items), so
+    // arbitrary Scala reconciliation runs at join cost. Here it audits
+    // order headers against their line items (header cents vs summed
+    // item cents — TPC-H-style totals include tax/discount, so every
+    // order mismatches and the absolute drift is the signal), folded to
+    // a per-status report the oracle replays relationally.
+    QueryDef("q_typed_cogroup",
+      (spark, sf) => {
+        import spark.implicits._
+        val orders = load(spark, sf, "orders")
+          .select(col("o_orderkey").cast("long"), col("o_orderstatus"),
+            cents(col("o_totalprice")).as("t"))
+          .as[(Long, String, Long)]
+        val items = load(spark, sf, "lineitem")
+          .select(col("l_orderkey").cast("long"),
+            cents(col("l_extendedprice")).as("c"))
+          .as[(Long, Long)]
+        orders.groupByKey(_._1).cogroup(items.groupByKey(_._1)) {
+            (_, os, is) =>
+              val s = is.map(_._2).sum
+              os.map { case (_, st, t) => (st, t, s) }
+          }
+          .toDF("o_orderstatus", "t", "s")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(when(col("t") =!= col("s"), 1L).otherwise(0L)).as("n_mismatch"),
+            sum(abs(col("t") - col("s"))).as("sum_absdiff"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH li AS (SELECT l_orderkey, SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) s
+             |            FROM lineitem GROUP BY l_orderkey),
+             |j AS (SELECT o.o_orderstatus st, CAST(ROUND(o.o_totalprice*100) AS BIGINT) t,
+             |        COALESCE(li.s, 0) s
+             |      FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey)
+             |SELECT st AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CASE WHEN t <> s THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+             |  CAST(SUM(ABS(t - s)) AS BIGINT) AS sum_absdiff
+             |FROM j GROUP BY st ORDER BY st""".stripMargin)),
+
     // Ordered string aggregation (LISTAGG/string_agg) — the report-
     // building surface: per-group members concatenated in a DETERMINED
     // order. Spark has no ordered listagg, so the engine composes
