@@ -36,6 +36,49 @@ object SimilarityQueries {
              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
       bench = true),
 
+    // Matryoshka truncation (MRL-style nested embeddings): rank by the
+    // FIRST 16 of 64 dimensions — the cheap-tier retrieval a nested-
+    // representation fleet serves from ¼ of the vector bytes — and mark
+    // which truncated winners survive in the full-dimension top-k
+    // (`in_full_top5`, the per-neighbor truncation-quality signal).
+    // Both rankings replay exactly in the oracle (list slice + dot), so
+    // the quality audit is hash-verified, not a loose recall gate. Same
+    // broadcast-queries/one-scan economics as sim_cosine_topk.
+    QueryDef("sim_matryoshka_topk",
+      (spark, sf) => {
+        val emb = load(spark, sf, "embeddings")
+        val trunc = emb.withColumn("embedding", expr("slice(embedding, 1, 16)"))
+        val full = Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+          .select(col("query_id").as("fq"), col("neighbor_id").as("fn"))
+        Similarity.bruteForceTopK(
+            trunc, trunc.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+          .join(full, col("query_id") === col("fq") &&
+            col("neighbor_id") === col("fn"), "left")
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("sim"), 6).as("sim"),
+            col("fq").isNotNull.as("in_full_top5"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[])[1:16] qv,
+             |          CAST(embedding AS DOUBLE[]) qf
+             |          FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[])[1:16] cv,
+             |      CAST(embedding AS DOUBLE[]) cf FROM embeddings),
+             |scored AS (
+             |  SELECT query_id, neighbor_id,
+             |    list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim,
+             |    list_dot_product(qf, cf) / (sqrt(list_dot_product(qf, qf)) * sqrt(list_dot_product(cf, cf))) AS fsim
+             |  FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, sim,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY fsim DESC, neighbor_id) AS frank
+             |  FROM scored)
+             |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+             |  ROUND(sim, 6) AS sim, frank <= 5 AS in_full_top5
+             |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // Hard-negative mining (contrastive-training data prep): per query,
     // the 5 most-similar vectors with a DIFFERENT label — the
     // sim_cosine_topk shape plus a label predicate inside the scan, so
