@@ -1406,7 +1406,8 @@ object TextQueries {
              |  CAST(bit_count(xor(p.hi, q.hi)) + bit_count(xor(p.lo, q.lo)) AS INT) AS hamming
              |FROM h p JOIN h q ON p.doc_id < q.doc_id
              |WHERE bit_count(xor(p.hi, q.hi)) + bit_count(xor(p.lo, q.lo)) <= 3
-             |ORDER BY a, b""".stripMargin)),
+             |ORDER BY a, b""".stripMargin),
+      bench = true),
 
     // Energy-based voice-activity detection over real WAV bytes — the
     // speech-data curation gate (keep clips with enough voiced audio):
