@@ -142,6 +142,40 @@ object Dedup {
       .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("jaccard"))
   }
 
+  /** Winnowing fingerprint pairs (Schleimer/Wilkerson/Aiken's MOSS
+    * algorithm): hash every k-token gram, slide a window of `w`
+    * consecutive gram hashes over each document, and keep each window's
+    * MINIMAL hash — the classic guarantee: any verbatim overlap of at
+    * least `w + k − 1` tokens between two documents forces a SHARED
+    * selected fingerprint, while only ~1/w of grams are indexed (the
+    * density/guarantee dial the full window table doesn't have). Pairs
+    * then surface through the usual inverted-index join on the selected
+    * hashes, thresholded on shared-fingerprint count. md5 is the gram
+    * hash so the selection itself (a string-min) replays exactly in
+    * SQL. Per-document window sort is bounded by document length; the
+    * pair join's shuffle key is the fingerprint.
+    */
+  def winnowingPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int, minShared: Long): DataFrame = {
+    val grams = ensureParallelism(df)
+      .select(col(idCol),
+        posexplode(TextOps.shingles(col(textCol), k)).as(Seq("i", "gram")))
+      .withColumn("h", md5(col("gram")))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("i"))
+      .rowsBetween(-(w - 1), 0)
+    val fp = grams
+      .withColumn("mn", min(col("h")).over(win))
+      .withColumn("cnt", count(lit(1)).over(win))
+      .filter(col("cnt") === w && col("h") === col("mn"))
+      .select(col(idCol), col("h")).distinct()
+    val a = fp.select(col(idCol).as("a"), col("h"))
+    val b = fp.select(col(idCol).as("b"), col("h"))
+    a.join(b, Seq("h")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Exact substring-duplicate pairs: documents sharing ANY identical
     * k-token window (the window-fingerprint formulation of exact
     * substring dedup from the "Deduplicating Training Data Makes

@@ -155,6 +155,31 @@ object DedupQueries {
              |ORDER BY a, b""".stripMargin),
       bench = true),
 
+    // Winnowing (MOSS) fingerprint near-dup pairs — the density-tunable
+    // third fingerprinting family next to the full window table
+    // (dedup_substring) and the shingle inverted index: each sliding
+    // window of 4 gram hashes contributes only its minimum, so ~1/4 of
+    // grams are indexed with a HARD guarantee (shared spans of
+    // ≥ w+k−1 = 8 tokens always share a fingerprint). Selection is a
+    // string-min over md5, so the oracle replays the exact selection,
+    // not just the pairing.
+    QueryDef("dedup_winnowing",
+      (spark, sf) => Dedup.winnowingPairs(
+          load(spark, sf, "documents"), "text", "doc_id",
+          k = 5, w = 4, minShared = 3L)
+        .orderBy(col("a"), col("b")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+             |idx AS (SELECT doc_id, unnest(range(len(t)-4)) i, t FROM toks WHERE len(t) >= 5),
+             |g AS (SELECT doc_id, i, md5(list_aggregate(t[i+1:i+5], 'string_agg', ' ')) h FROM idx),
+             |w AS (SELECT doc_id, i, h,
+             |        MIN(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) mn,
+             |        COUNT(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) cnt
+             |      FROM g),
+             |fp AS (SELECT DISTINCT doc_id, h FROM w WHERE cnt = 4 AND h = mn)
+             |SELECT a.doc_id a, b.doc_id b, COUNT(*) AS shared
+             |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY a, b""".stripMargin)),
+
     // The df-cut form with a cut that BITES (this corpus' hottest
     // shingle df is 3, so the cap of 2 actually drops candidates —
     // dedup_ngram_jaccard's cap of 100 never does): candidate pairs

@@ -2011,6 +2011,61 @@ object Relational {
              |    CAST(CAST(n AS HUGEINT)*sx2 - CAST(sx AS HUGEINT)*sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
              |FROM s ORDER BY l_returnflag""".stripMargin)),
 
+    // Numeric band join (|x − y| ≤ ε) as a BUCKETED equi-join — the
+    // standard de-quadratification of a theta join: one side keys on
+    // its ε-bucket, the other explodes to its bucket ± 1, so every
+    // qualifying pair meets on exactly ONE bucket key (no dedup needed)
+    // and the shuffle is an equi-join on (nation, bucket), never a
+    // nested-loop. The residual |diff| filter inside the joined stage
+    // keeps semantics exact; the oracle replays the inequality
+    // directly. PlanSpec pins the no-BNLJ shape.
+    QueryDef("q_band_join",
+      (spark, sf) => {
+        val c = load(spark, sf, "customer")
+          .select(col("c_custkey").as("k"), col("c_nationkey").as("n"),
+            cents(col("c_acctbal")).as("b"))
+        val x = c.select(col("k").as("ka"), col("n"), col("b").as("ba"))
+          .withColumn("bk", expr("ba div 1000"))
+        val y = c.select(col("k").as("kb"), col("n"), col("b").as("bb"))
+          .withColumn("bk", explode(array(expr("bb div 1000 - 1"),
+            expr("bb div 1000"), expr("bb div 1000 + 1"))))
+        x.join(y, Seq("n", "bk"))
+          .filter(col("ka") < col("kb") && abs(col("ba") - col("bb")) <= 1000)
+          .select(col("ka").as("a"), col("kb").as("b"),
+            abs(col("ba") - col("bb")).as("diff_cents"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH c AS (SELECT c_custkey k, c_nationkey n,
+             |    CAST(ROUND(c_acctbal*100) AS BIGINT) b FROM customer)
+             |SELECT x.k AS a, y.k AS b, ABS(x.b - y.b) AS diff_cents
+             |FROM c x JOIN c y ON x.n = y.n AND x.k < y.k
+             |WHERE ABS(x.b - y.b) <= 1000 ORDER BY a, b""".stripMargin)),
+
+    // percent_rank / cume_dist — the normalized-rank window surface
+    // (score calibration, percentile labeling). Both are double
+    // divisions of identical small integers under the same tie
+    // semantics in both engines, so results are bit-exact without any
+    // rounding discipline. One shuffle on the nation key; per-nation
+    // sorts are the window's own (bounded key domain, balanced groups).
+    QueryDef("q_percent_rank_cume",
+      (spark, sf) => {
+        val byBal = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("bal"))
+        load(spark, sf, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            cents(col("c_acctbal")).as("bal"))
+          .select(col("c_custkey"), col("c_nationkey"),
+            percent_rank().over(byBal).as("pr"),
+            cume_dist().over(byBal).as("cd"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_nationkey,
+             |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+             |FROM (SELECT c_custkey, c_nationkey,
+             |        CAST(ROUND(c_acctbal*100) AS BIGINT) bal FROM customer)
+             |WINDOW w AS (PARTITION BY c_nationkey ORDER BY bal)
+             |ORDER BY c_custkey""".stripMargin)),
+
     // Typed cogroup (KeyValueGroupedDataset.cogroup) — the Dataset API
     // for per-key reconciliation logic that doesn't decompose into
     // join+agg expressions: both sides co-partition on the key ONCE and

@@ -465,6 +465,20 @@ class PlanSpec extends SparkSpec {
       s"global-max side must broadcast:\n$p")
   }
 
+  test("band join: bucketed equi-join on (nation, bucket), never nested-loop") {
+    val p = planOf("q_band_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"|x-y|<=eps must de-quadratify to a bucketed equi-join:\n$p")
+    assert(p.contains("Generate explode"),
+      s"the +/-1 bucket fan-out side must explode:\n$p")
+  }
+
+  test("winnowing: fingerprint pairing is an equi-join on the selected hash") {
+    val p = planOf("dedup_winnowing")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"pairs must meet on the fingerprint key:\n$p")
+  }
+
   test("ohlc bars: min_by/max_by aggregate, no Window, one hash shuffle") {
     // open/close come from min_by/max_by partials — a Window over
     // (event_type, hour) would add a per-group sort the aggregate avoids.
