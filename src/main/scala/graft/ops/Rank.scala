@@ -43,6 +43,47 @@ object Rank {
       }, schema)
   }
 
+  /** Append `outCol` = the EXCLUSIVE running maximum of long column
+    * `valueCol` under the total order `sortCols` (null for the first
+    * row) — `MAX(v) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING TO 1
+    * PRECEDING)` without the single-partition window it would plan as:
+    * the same range-shuffle + O(partitions) collect as [[rankGlobal]],
+    * with per-partition maxima broadcast as prefix seeds. The dominance
+    * primitive for skyline/Pareto queries.
+    */
+  def runningMaxExclusive(
+      df: DataFrame, sortCols: Seq[Column], valueCol: String,
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val ordered = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val rdd = ordered.rdd
+    val vIdx = ordered.schema.fieldIndex(valueCol)
+    val partMax = rdd.mapPartitionsWithIndex { case (pi, it) =>
+      var m = Long.MinValue
+      var any = false
+      it.foreach { r =>
+        if (!r.isNullAt(vIdx)) { any = true; m = math.max(m, r.getLong(vIdx)) }
+      }
+      Iterator(pi -> (if (any) Some(m) else None))
+    }.collect().sortBy(_._1).map(_._2)
+    val prefix = partMax.scanLeft(Option.empty[Long]) {
+      case (acc, cur) => (acc.toSeq ++ cur.toSeq).reduceOption((a, b) => math.max(a, b))
+    }
+    val offsets = spark.sparkContext.broadcast(prefix)
+    val schema = StructType(ordered.schema.fields :+
+      StructField(outCol, LongType, nullable = true))
+    spark.createDataFrame(
+      rdd.mapPartitionsWithIndex { case (pi, it) =>
+        var run: Option[Long] = offsets.value(pi)
+        it.map { row =>
+          val out = Row.fromSeq(row.toSeq :+ run.map(Long.box).orNull)
+          if (!row.isNullAt(vIdx))
+            run = Some(run.fold(row.getLong(vIdx))(math.max(_, row.getLong(vIdx))))
+          out
+        }
+      }, schema)
+  }
+
   /** SQL NTILE semantics from an exact rank: with n rows and b buckets,
     * the first n % b buckets hold n/b + 1 rows, the rest n/b. Pure
     * integer arithmetic — replayable verbatim by any SQL engine's

@@ -1311,6 +1311,43 @@ object Etl {
              |  TRUE AS gen0_intact
              |FROM orders""".stripMargin)),
 
+    // Dynamic partition overwrite — the INSERT OVERWRITE contract a
+    // partitioned lake table needs: rewriting ONE partition's data must
+    // replace only the partitions present in the incoming batch and
+    // leave every other directory untouched (static mode would wipe the
+    // whole table). The click partition is rewritten with doubled
+    // values under partitionOverwriteMode=dynamic (conf restored
+    // after); the read-back per-type totals prove click changed and the
+    // other four partitions survived byte-for-value. At 100 TB this is
+    // the daily-partition backfill path — IO proportional to the
+    // touched partition, not the table.
+    QueryDef("etl_dynamic_partition_overwrite",
+      (spark, sf) => {
+        val out = scratch("graft_dpo") + "/events"
+        val e = load(spark, sf, "events")
+          .select(col("event_type"), col("event_id"),
+            round(col("value") * 1000).cast("long").as("milli"))
+        e.write.partitionBy("event_type").mode("overwrite").parquet(out)
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try e.filter(col("event_type") === "click")
+          .withColumn("milli", col("milli") * 2)
+          .write.partitionBy("event_type").mode("overwrite").parquet(out)
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        spark.read.parquet(out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("milli")).as("sum_milli"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(ROUND(value*1000) AS BIGINT) *
+             |    CASE WHEN event_type = 'click' THEN 2 ELSE 1 END) AS BIGINT)
+             |    AS sum_milli
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // In-flight pipeline metrics through the engine's Observation API —
     // the dq counters a production write job publishes WITHOUT a second
     // scan: observe() attaches metric aggregates to the write's own

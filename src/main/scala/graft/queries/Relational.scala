@@ -2011,6 +2011,70 @@ object Relational {
              |    CAST(CAST(n AS HUGEINT)*sx2 - CAST(sx AS HUGEINT)*sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
              |FROM s ORDER BY l_returnflag""".stripMargin)),
 
+    // Skyline / Pareto frontier (maximize spend AND order count) — the
+    // multi-criteria shortlist query. After deduping to distinct
+    // (spend, count) points, a point survives iff its count beats the
+    // running maximum over all points with lexicographically greater
+    // (spend desc, count desc) order — which is exactly the dominator
+    // set once duplicates are removed. The running max is
+    // Rank.runningMaxExclusive: range-partitioned sort + O(partitions)
+    // prefix seeds, never the single-partition window the naive
+    // `MAX OVER (ORDER BY …)` plans as. The oracle replays the same
+    // exclusive-window formula over the same total order.
+    QueryDef("q_skyline",
+      (spark, sf) => {
+        val pts = load(spark, sf, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(cents(col("o_totalprice"))).as("spend_cents"),
+            count(lit(1)).as("n_orders"))
+          .groupBy(col("spend_cents"), col("n_orders"))
+          .agg(count(lit(1)).as("n_customers"))
+        graft.ops.Rank.runningMaxExclusive(pts,
+            Seq(col("spend_cents").desc, col("n_orders").desc),
+            "n_orders", "rm")
+          .filter(col("rm").isNull || col("n_orders") > col("rm"))
+          .select(col("spend_cents"), col("n_orders"), col("n_customers"))
+          .orderBy(col("spend_cents").desc)
+      },
+      Some("""WITH p AS (SELECT o_custkey, SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) spend,
+             |          COUNT(*) n FROM orders GROUP BY o_custkey),
+             |d AS (SELECT spend, n, CAST(COUNT(*) AS BIGINT) n_customers
+             |      FROM p GROUP BY spend, n),
+             |r AS (SELECT spend, n, n_customers,
+             |        MAX(n) OVER (ORDER BY spend DESC, n DESC
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) rm
+             |      FROM d)
+             |SELECT CAST(spend AS BIGINT) AS spend_cents,
+             |  CAST(n AS BIGINT) AS n_orders, n_customers
+             |FROM r WHERE rm IS NULL OR n > rm
+             |ORDER BY spend_cents DESC""".stripMargin)),
+
+    // Statistical mode per group with a DETERMINED tie-break (highest
+    // count, then lexicographically smallest value) — built from
+    // composable pieces instead of an engine mode() whose tie rules
+    // differ across engines. The window runs over the POST-AGGREGATION
+    // counts table (≤ nations × segments rows), so the per-group sort
+    // is trivially bounded at any corpus size.
+    QueryDef("q_mode_per_group",
+      (spark, sf) => {
+        val counts = load(spark, sf, "customer")
+          .groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("cnt"))
+        val byCount = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("cnt").desc, col("c_mktsegment"))
+        counts.withColumn("rn", row_number().over(byCount))
+          .filter(col("rn") === 1)
+          .select(col("c_nationkey"), col("c_mktsegment").as("mode_segment"),
+            col("cnt"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""WITH c AS (SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) cnt
+             |  FROM customer GROUP BY 1, 2)
+             |SELECT c_nationkey, c_mktsegment AS mode_segment, cnt FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+             |    ORDER BY cnt DESC, c_mktsegment) rn FROM c)
+             |WHERE rn = 1 ORDER BY c_nationkey""".stripMargin)),
+
     // Numeric band join (|x − y| ≤ ε) as a BUCKETED equi-join — the
     // standard de-quadratification of a theta join: one side keys on
     // its ε-bucket, the other explodes to its bucket ± 1, so every

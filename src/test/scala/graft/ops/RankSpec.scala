@@ -61,4 +61,19 @@ class RankSpec extends SparkSpec {
     assert(df("first") == total && df("last") == total,
       s"each model must account for every purchase exactly once: $df vs $total")
   }
+
+  test("runningMaxExclusive matches the sequential exclusive max, any partitioning") {
+    import spark.implicits._
+    val vals = Seq(5L, 3L, 9L, 1L, 9L, 2L, 7L, 10L, 4L, 6L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    for (parts <- Seq(1, 3, 7)) {
+      val df = vals.toDF("id", "v").repartition(parts)
+      val got = Rank.runningMaxExclusive(df, Seq(col("id")), "v", "rm")
+        .orderBy(col("id")).select("id", "rm").as[(Long, Option[Long])]
+        .collect().toSeq
+      val expect = vals.indices.map(i =>
+        (i.toLong, if (i == 0) None else Some(vals.take(i).map(_._2).max)))
+      assert(got == expect, s"parts=$parts: $got vs $expect")
+    }
+  }
 }
