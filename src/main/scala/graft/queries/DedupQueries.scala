@@ -464,6 +464,18 @@ object DedupQueries {
              |SELECT u AS doc_id, MIN(v) AS rep FROM reach GROUP BY u
              |ORDER BY doc_id""".stripMargin)),
 
+    // The 100 TB clustering path made FIRST-CLASS: collectThreshold=0
+    // forces the distributed hash-min label propagation (the path a
+    // billion-edge pair set takes) instead of the driver union-find
+    // fast path dedup_clusters exercises — same pair layout, same
+    // recursive-closure oracle, so the scale path is driver-certified
+    // every round, not just spec-asserted.
+    QueryDef("dedup_clusters_distributed",
+      (spark, sf) => Dedup.clusters(sharedPairs(spark, sf), collectThreshold = 0L),
+      Some("WITH RECURSIVE " + ClosureOracleCtes + """
+             |SELECT u AS doc_id, MIN(v) AS rep FROM reach GROUP BY u
+             |ORDER BY doc_id""".stripMargin)),
+
     // Quality-aware representative selection: per near-dup cluster,
     // keep the LONGEST member (ties: smaller id) — what real curation
     // keeps, vs dedup_corpus's min-id convention. One window over the
