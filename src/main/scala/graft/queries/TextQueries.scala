@@ -563,6 +563,63 @@ object TextQueries {
     // the token array and explode — per-row projection, no shuffle until
     // the count aggregates. PMI from exact integer counts with one
     // final log, rounded to 6 dp.
+    // Dunning log-likelihood-ratio collocations (G²) — the robust
+    // standard next to PMI (which over-rewards rare pairs): the full
+    // 2×2 contingency likelihood ratio from the SAME one-pass bigram
+    // counts, every cell an exact integer, the nine x·ln(x) terms one
+    // fixed double expression in both engines (rounded to 4 decimals —
+    // integer inputs keep cross-libm ln drift ~1e-10 against unit-scale
+    // scores). Ranks multiword expressions for tokenizer/phrase-mining
+    // pipelines where PMI's rare-pair bias fails.
+    QueryDef("text_collocation_llr",
+      (spark, sf) => {
+        val arr = split(col("text"), " ")
+        val bi = load(spark, sf, "documents")
+          .select(explode(arrays_zip(
+            slice(arr, lit(1), size(arr) - 1).as("x"),
+            slice(arr, lit(2), size(arr) - 1).as("y"))).as("p"))
+          .select(col("p.x").as("x"), col("p.y").as("y"))
+        val bc = bi.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+        val n = bc.agg(sum(col("c"))).head().getLong(0)
+        val lx = bc.groupBy(col("x")).agg(sum(col("c")).as("cx"))
+        val ry = bc.groupBy(col("y")).agg(sum(col("c")).as("cy"))
+        val llr = expr(
+          s"""2.0 * ((CASE WHEN c = 0 THEN 0.0 ELSE c * ln(c) END)
+             | + (CASE WHEN cx - c = 0 THEN 0.0 ELSE (cx - c) * ln(cx - c) END)
+             | + (CASE WHEN cy - c = 0 THEN 0.0 ELSE (cy - c) * ln(cy - c) END)
+             | + (CASE WHEN $n - cx - cy + c = 0 THEN 0.0 ELSE ($n - cx - cy + c) * ln($n - cx - cy + c) END)
+             | + $n * ln($n)
+             | - cx * ln(cx) - cy * ln(cy)
+             | - (CASE WHEN $n - cx = 0 THEN 0.0 ELSE ($n - cx) * ln($n - cx) END)
+             | - (CASE WHEN $n - cy = 0 THEN 0.0 ELSE ($n - cy) * ln($n - cy) END))""".stripMargin)
+        bc.filter(col("c") >= 5)
+          .join(lx, Seq("x")).join(ry, Seq("y"))
+          .select(col("x"), col("y"), col("c"), round(llr, 4).as("llr"))
+          .orderBy(col("x"), col("y"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text,' ')) tok,
+             |    generate_subscripts(string_split(text,' '), 1) pos
+             |  FROM documents),
+             |bi AS (
+             |  SELECT a.tok x, b.tok y FROM toks a JOIN toks b
+             |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+             |nn AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM bi),
+             |bc AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) c FROM bi GROUP BY x, y),
+             |lx AS (SELECT x, CAST(SUM(c) AS BIGINT) cx FROM bc GROUP BY x),
+             |ry AS (SELECT y, CAST(SUM(c) AS BIGINT) cy FROM bc GROUP BY y)
+             |SELECT bc.x, bc.y, bc.c,
+             |  ROUND(2.0 * ((CASE WHEN c = 0 THEN 0.0 ELSE c * ln(c) END)
+             |   + (CASE WHEN cx - c = 0 THEN 0.0 ELSE (cx - c) * ln(cx - c) END)
+             |   + (CASE WHEN cy - c = 0 THEN 0.0 ELSE (cy - c) * ln(cy - c) END)
+             |   + (CASE WHEN n - cx - cy + c = 0 THEN 0.0 ELSE (n - cx - cy + c) * ln(n - cx - cy + c) END)
+             |   + n * ln(n)
+             |   - cx * ln(cx) - cy * ln(cy)
+             |   - (CASE WHEN n - cx = 0 THEN 0.0 ELSE (n - cx) * ln(n - cx) END)
+             |   - (CASE WHEN n - cy = 0 THEN 0.0 ELSE (n - cy) * ln(n - cy) END)), 4) AS llr
+             |FROM bc JOIN lx USING (x) JOIN ry USING (y) CROSS JOIN nn
+             |WHERE c >= 5 ORDER BY x, y""".stripMargin)),
+
     QueryDef("text_bigram_pmi",
       (spark, sf) => {
         val arr = split(col("text"), " ")
