@@ -1587,6 +1587,42 @@ object Etl {
              |  FROM supplier s LEFT JOIN nation x ON s.s_nationkey = x.n_nationkey)
              |ORDER BY relation""".stripMargin)),
 
+    // Daily-volume anomaly monitor — the pipeline-health twin of the
+    // row-level dq checks: per-day arrival counts scored against the
+    // median/3×MAD band of the corpus' own daily history (robust to the
+    // very anomalies it hunts, unlike a mean/σ band). All-integer lower
+    // medians over the POST-AGGREGATION day table (bounded by calendar
+    // days, not data), every day emitted with its verdict so quiet
+    // periods still produce an auditable report.
+    QueryDef("dq_volume_anomaly",
+      (spark, sf) => {
+        val daily = load(spark, sf, "events")
+          .groupBy(to_date(col("ts")).as("event_day"))
+          .agg(count(lit(1)).as("n"))
+        val med = daily
+          .agg(sort_array(collect_list(col("n"))).as("xs"), count(lit(1)).as("nd"))
+          .select(expr("xs[CAST((nd-1) div 2 AS INT)]").as("med"))
+        val withMed = daily.crossJoin(broadcast(med))
+          .withColumn("dev", abs(col("n") - col("med")))
+        val mad = withMed
+          .agg(sort_array(collect_list(col("dev"))).as("ds"), count(lit(1)).as("nd"))
+          .select(expr("ds[CAST((nd-1) div 2 AS INT)]").as("mad"))
+        withMed.crossJoin(broadcast(mad))
+          .select(col("event_day"), col("n"), col("med"), col("mad"),
+            (col("mad") > 0 && col("dev") > col("mad") * 3).as("anomaly"))
+          .orderBy(col("event_day"))
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) event_day, CAST(COUNT(*) AS BIGINT) n
+             |  FROM events GROUP BY 1),
+             |m AS (SELECT list_sort(list(n)) xs, COUNT(*) nd FROM daily),
+             |med AS (SELECT xs[CAST((nd-1)//2 AS INT) + 1] med FROM m),
+             |d AS (SELECT event_day, n, med, ABS(n - med) dev FROM daily CROSS JOIN med),
+             |m2 AS (SELECT list_sort(list(dev)) ds, COUNT(*) nd FROM d),
+             |mad AS (SELECT ds[CAST((nd-1)//2 AS INT) + 1] mad FROM m2)
+             |SELECT event_day, n, med, mad,
+             |  (mad > 0 AND dev > 3*mad) AS anomaly
+             |FROM d CROSS JOIN mad ORDER BY event_day""".stripMargin)),
+
     // Freshness / completeness audit — the third leg of the dq tier
     // (expectations = row constraints, referential = cross-table, this =
     // arrival): per-stream lag behind the globally freshest event, volume

@@ -547,6 +547,44 @@ object Relational {
              |WHERE gate.dropped_frac <= $BasketDropBound
              |ORDER BY support DESC, p1, p2""".stripMargin)),
 
+    // Frequent 3-itemsets under the SAME enforced hot-basket cap as the
+    // pair miner — the Apriori step up: the three-way per-order
+    // self-join is bounded at C(cap,3) = 56 triples per order by the
+    // cap that q_basket_pairs already drives, so the classically
+    // explosive stage stays linear in orders at any scale. Same
+    // dropped-fraction emission gate, replayed by the oracle.
+    QueryDef("q_itemsets3",
+      (spark, sf) => {
+        val items = load(spark, sf, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val bsz = items.groupBy(col("l_orderkey")).agg(count(lit(1)).as("bsz"))
+        val kept = items
+          .join(bsz.filter(col("bsz") <= BasketCap), Seq("l_orderkey"))
+          .select(col("l_orderkey"), col("l_partkey"))
+        val triples = kept.as("a")
+          .join(kept.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+          .join(kept.as("c"), col("a.l_orderkey") === col("c.l_orderkey") &&
+            col("b.l_partkey") < col("c.l_partkey"))
+          .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"),
+            col("c.l_partkey").as("p3"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+        gateOnBasketDrop(spark, sf, triples)
+          .orderBy(desc("support"), col("p1"), col("p2"), col("p3"))
+      },
+      Some(s"""$CappedEdgeSql,
+             |t AS (
+             |  SELECT a.l_partkey p1, b.l_partkey p2, c.l_partkey p3,
+             |    COUNT(*) AS support
+             |  FROM kept a
+             |  JOIN kept b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  JOIN kept c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+             |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2)
+             |SELECT p1, p2, p3, support FROM t, gate
+             |WHERE gate.dropped_frac <= $BasketDropBound
+             |ORDER BY support DESC, p1, p2, p3""".stripMargin)),
+
     // Triangle counting on the co-purchase graph (edges = q_basket_pairs'
     // support ≥ 2 pairs), per-vertex. Degree-ordered orientation — every
     // edge directed from its lower-(degree, id) endpoint — makes each
