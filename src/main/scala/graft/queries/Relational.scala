@@ -2049,6 +2049,40 @@ object Relational {
              |    CAST(CAST(n AS HUGEINT)*sx2 - CAST(sx AS HUGEINT)*sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
              |FROM s ORDER BY l_returnflag""".stripMargin)),
 
+    // NOT IN vs NOT EXISTS under NULLs — the three-valued-logic trap
+    // every migration off hand-written SQL hits: one NULL in the NOT IN
+    // subquery makes the whole predicate UNKNOWN and the result EMPTY,
+    // while NOT EXISTS keeps its anti-join semantics. Both forms run
+    // through the engine's SQL surface against a customer list salted
+    // with an explicit NULL; the pair of counts (0, real orphan count)
+    // pins that the engine implements the standard — not the intuitive
+    // — semantics, and the oracle replays both verbatim.
+    QueryDef("q_not_in_nulls",
+      (spark, sf) => {
+        Tables.registerViews(spark, sf)
+        spark.sql(
+          """SELECT
+            |  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+            |     (SELECT c_custkey FROM customer
+            |      UNION ALL SELECT CAST(NULL AS BIGINT))) AS not_in_with_null,
+            |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+            |     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+            |      UNION ALL SELECT 1 WHERE CAST(NULL AS BIGINT) = o.o_custkey))
+            |    AS not_exists_with_null,
+            |  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+            |     (SELECT c_custkey FROM customer)) AS not_in_clean""".stripMargin)
+      },
+      Some("""SELECT
+             |  CAST((SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+             |     (SELECT c_custkey FROM customer
+             |      UNION ALL SELECT CAST(NULL AS BIGINT))) AS BIGINT) AS not_in_with_null,
+             |  CAST((SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+             |     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+             |      UNION ALL SELECT 1 WHERE CAST(NULL AS BIGINT) = o.o_custkey))
+             |    AS BIGINT) AS not_exists_with_null,
+             |  CAST((SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+             |     (SELECT c_custkey FROM customer)) AS BIGINT) AS not_in_clean""".stripMargin)),
+
     // Skyline / Pareto frontier (maximize spend AND order count) — the
     // multi-criteria shortlist query. After deduping to distinct
     // (spend, count) points, a point survives iff its count beats the

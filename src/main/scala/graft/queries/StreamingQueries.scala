@@ -690,6 +690,49 @@ object StreamingQueries {
              |FROM events CROSS JOIN g GROUP BY event_type, g.gus
              |ORDER BY event_type""".stripMargin)),
 
+    // Streaming twin of dq_volume_anomaly — the live pipeline-health
+    // monitor: a complete-mode per-day aggregate maintains arrival
+    // counts as micro-batches land, and the dashboard read scores each
+    // day against the median/3×MAD band of the accumulated history
+    // (the post-stream scoring runs over the bounded day table, the
+    // stream_freshness pattern). Same all-integer lower-median
+    // discipline and oracle as the batch gate.
+    QueryDef("stream_volume_anomaly",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "events")).schema
+        val daily = Tables.normalizeTs(
+            spark.readStream.schema(schema).parquet(stagedDir(spark, sf, "events")))
+          .groupBy(to_date(col("ts")).as("event_day"))
+          .agg(count(lit(1)).as("n"))
+        val table = s"stream_vol_${counter.incrementAndGet()}"
+        val q = daily.writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        val state = spark.table(table)
+        val med = state
+          .agg(sort_array(collect_list(col("n"))).as("xs"), count(lit(1)).as("nd"))
+          .select(expr("xs[CAST((nd-1) div 2 AS INT)]").as("med"))
+        val withMed = state.crossJoin(broadcast(med))
+          .withColumn("dev", abs(col("n") - col("med")))
+        val mad = withMed
+          .agg(sort_array(collect_list(col("dev"))).as("ds"), count(lit(1)).as("nd"))
+          .select(expr("ds[CAST((nd-1) div 2 AS INT)]").as("mad"))
+        withMed.crossJoin(broadcast(mad))
+          .select(col("event_day"), col("n"), col("med"), col("mad"),
+            (col("mad") > 0 && col("dev") > col("mad") * 3).as("anomaly"))
+          .orderBy(col("event_day"))
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) event_day, CAST(COUNT(*) AS BIGINT) n
+             |  FROM events GROUP BY 1),
+             |m AS (SELECT list_sort(list(n)) xs, COUNT(*) nd FROM daily),
+             |med AS (SELECT xs[CAST((nd-1)//2 AS INT) + 1] med FROM m),
+             |d AS (SELECT event_day, n, med, ABS(n - med) dev FROM daily CROSS JOIN med),
+             |m2 AS (SELECT list_sort(list(dev)) ds, COUNT(*) nd FROM d),
+             |mad AS (SELECT ds[CAST((nd-1)//2 AS INT) + 1] mad FROM m2)
+             |SELECT event_day, n, med, mad,
+             |  (mad > 0 AND dev > 3*mad) AS anomaly
+             |FROM d CROSS JOIN mad ORDER BY event_day""".stripMargin)),
+
     // Streaming twin of the count-min sketch: the same Aggregator runs
     // as a complete-mode streaming aggregate, monitoring the live token
     // stream's counts for a watchlist derived from the historical
