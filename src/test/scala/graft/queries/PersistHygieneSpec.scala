@@ -29,7 +29,8 @@ class PersistHygieneSpec extends SparkSpec {
     "dedup_incremental_fuzzy", // bloom-probed join over shared shingles
     "dedup_best_of_cluster", // shared pair layout consumer
     "sim_ann_ivfpq",         // trained codebooks (op-internal persists)
-    "text_bpe_train"         // iterative merge training
+    "text_bpe_train",        // iterative merge training
+    "dedup_clusters_distributed" // label-prop edge/label persists, op-released
   )
 
   test("steady state: a second run of a query adds no persistent RDDs") {
