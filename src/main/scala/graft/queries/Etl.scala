@@ -1380,6 +1380,47 @@ object Etl {
              |  CAST(0 AS BIGINT) AS bad_rows, TRUE AS write_parity
              |FROM orders""".stripMargin)),
 
+    // Generation history report (DESCRIBE HISTORY): per retained
+    // generation, row count and file count straight from the sink's
+    // layout — the introspection surface an operator reads before a
+    // time-travel, diff, vacuum, or compaction decision. Three writes
+    // with known shapes (coalesce-controlled file counts); listing is
+    // O(#generations × #files) driver metadata, rows one count per
+    // generation.
+    QueryDef("etl_generation_stats",
+      (spark, sf) => {
+        import graft.drivers.ParquetDestinationDriver
+        import graft.spec.{IdField, LongId, MigrationSpec}
+        val dir = scratch("graft_genstats") + "/dest"
+        val spec = MigrationSpec("gs", source = dir, sourceDriver = "parquet",
+          destination = dir, destinationDriver = "parquet",
+          sourceIds = Seq(IdField("n_nationkey", LongId)),
+          destinationIds = Seq(IdField("n_nationkey", LongId)))
+        val nation = load(spark, sf, "nation")
+          .select(col("n_nationkey").cast("long"), col("n_name"))
+        Seq(25 -> 1, 20 -> 2, 15 -> 3).foreach { case (k, parts) =>
+          // repartition wide first so the sink's writePartitions coalesce
+          // (which can only shrink) actually lands on `parts` files
+          new ParquetDestinationDriver(writePartitions = Some(parts))
+            .write(nation.filter(col("n_nationkey") < k).repartition(8), spec)
+        }
+        val d = new ParquetDestinationDriver()
+        val rows = d.generations(spark, spec).map { g =>
+          val snap = d.snapshotAt(spark, spec, g).get
+          val files = new java.io.File(s"$dir/gen$g").listFiles()
+            .count(_.getName.startsWith("part-"))
+          (g, snap.count(), files.toLong, g == 2L)
+        }
+        spark.createDataFrame(rows)
+          .toDF("generation", "rows", "files", "is_current")
+          .orderBy(col("generation"))
+      },
+      Some("""SELECT g AS generation,
+             |  CAST((SELECT COUNT(*) FROM nation WHERE n_nationkey < k) AS BIGINT) AS rows,
+             |  CAST(f AS BIGINT) AS files, (g = 2) AS is_current
+             |FROM (VALUES (0, 25, 1), (1, 20, 2), (2, 15, 3)) v(g, k, f)
+             |ORDER BY generation""".stripMargin)),
+
     // Generation diff (table_changes): derive the change log BETWEEN two
     // retained generations by one co-partitioned full-outer join — the
     // audit/incremental-consumer op time travel makes possible (what

@@ -2049,6 +2049,31 @@ object Relational {
              |    CAST(CAST(n AS HUGEINT)*sx2 - CAST(sx AS HUGEINT)*sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
              |FROM s ORDER BY l_returnflag""".stripMargin)),
 
+    // grouping() metadata flags over CUBE — the machine-readable
+    // companion to q_cube/q_grouping_sets' coalesce-to-'ALL' rendering:
+    // downstream consumers route on the grouping BITS (is this row a
+    // subtotal, and along which axis?) instead of string sentinels that
+    // collide with real values. Same one-Expand plan; flags are pure
+    // plan metadata, no extra pass.
+    QueryDef("q_grouping_flags",
+      (spark, sf) => load(spark, sf, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping(col("o_orderstatus")).as("g_st"),
+          grouping(col("o_orderpriority")).as("g_pr"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pr"),
+          col("g_st").cast("int").as("g_st"),
+          col("g_pr").cast("int").as("g_pr"), col("n"))
+        .orderBy(col("g_st"), col("g_pr"), col("st"), col("pr")),
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') st,
+             |  COALESCE(o_orderpriority, 'ALL') pr,
+             |  CAST(GROUPING(o_orderstatus) AS INT) g_st,
+             |  CAST(GROUPING(o_orderpriority) AS INT) g_pr,
+             |  CAST(COUNT(*) AS BIGINT) n
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY g_st, g_pr, st, pr""".stripMargin)),
+
     // NOT IN vs NOT EXISTS under NULLs — the three-valued-logic trap
     // every migration off hand-written SQL hits: one NULL in the NOT IN
     // subquery makes the whole predicate UNKNOWN and the result EMPTY,
