@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver keeps only a short stdout TAIL of `sbt runMain
+// graft.Bench` and parses the LAST line as JSON. Two sbt behaviors broke
+// that for 13 straight rounds: the `[success] Total time: ...` trailer
+// printed AFTER Bench's final summary line, and the `[info] ` prefix the
+// logger adds to forked-process output. Suppress the trailer globally and
+// route forked run output straight to stdout so Bench's compact summary
+// JSON is the literal, unprefixed final stdout line.
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

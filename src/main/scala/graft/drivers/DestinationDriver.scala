@@ -229,6 +229,12 @@ final class ParquetDestinationDriver(
     */
   def compact(spark: SparkSession, spec: MigrationSpec,
       targetBytes: Long): (Long, Long, Long, Long) = {
+    // Bucketed sinks fix their file count at the bucket count: write()
+    // repartitions by the bucket keys and ignores the byte-targeted
+    // repartition below, so the returned plan would be a lie. Fail loudly
+    // (same guard as stage()) rather than return a misleading tuple.
+    require(buckets.isEmpty,
+      "compact() is for non-bucketed generation sinks — bucketed layouts fix files at the bucket count")
     val base = UriSchemes.path(spec.destination)
     def partFiles(gen: String): Seq[org.apache.hadoop.fs.FileStatus] = {
       val dir = new org.apache.hadoop.fs.Path(base, gen)
@@ -294,10 +300,13 @@ final class ParquetDestinationDriver(
     val spark = df.sparkSession
     val base = UriSchemes.path(spec.destination)
     val prev = currentGen(spark, base)
-    val next = prev match {
-      case Some(g) => s"gen${g.stripPrefix("gen").toLong + 1}"
-      case None    => "gen0"
-    }
+    // Next generation comes from the DIRECTORY LISTING (max gen dir + 1),
+    // exactly as stage() derives it — never from the _CURRENT pointer.
+    // Deriving from the pointer silently reused a staged-but-unpublished
+    // WAP candidate's number: with gen0 published and gen1 staged,
+    // pointer+1 = gen1 and SaveMode.Overwrite destroyed the candidate a
+    // later audit/publish believed it was operating on.
+    val next = s"gen${generations(spark, spec).lastOption.getOrElse(-1L) + 1}"
     buckets match {
       case None =>
         writePartitions.fold(df)(df.coalesce)

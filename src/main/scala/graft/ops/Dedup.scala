@@ -154,6 +154,18 @@ object Dedup {
     * hash so the selection itself (a string-min) replays exactly in
     * SQL. Per-document window sort is bounded by document length; the
     * pair join's shuffle key is the fingerprint.
+    *
+    * The selected fingerprint SET is { min gram hash of each full
+    * window } — computed as the window-min attached to every window's
+    * ending row, then deduplicated by (doc, hash). This is exactly the
+    * hash set classic winnowing selects (position tie-breaking among
+    * equal minima changes which POSITION is recorded, never the hash
+    * value), and it is what the w+k−1 guarantee needs: a window wholly
+    * inside a verbatim overlap has identical gram hashes in both docs,
+    * hence an identical min. An earlier revision instead kept a gram
+    * only when it was the min of the one window ENDING at it, which
+    * silently selects nothing over runs of increasing hashes — that
+    * trailing-min sampling does NOT carry the guarantee.
     */
   def winnowingPairs(
       df: DataFrame, textCol: String, idCol: String,
@@ -167,8 +179,8 @@ object Dedup {
     val fp = grams
       .withColumn("mn", min(col("h")).over(win))
       .withColumn("cnt", count(lit(1)).over(win))
-      .filter(col("cnt") === w && col("h") === col("mn"))
-      .select(col(idCol), col("h")).distinct()
+      .filter(col("cnt") === w)
+      .select(col(idCol), col("mn").as("h")).distinct()
     val a = fp.select(col(idCol).as("a"), col("h"))
     val b = fp.select(col(idCol).as("b"), col("h"))
     a.join(b, Seq("h")).filter(col("a") < col("b"))

@@ -10,17 +10,50 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * input onto ONE task — the classic 100 TB scale-killer hiding behind
   * an innocent `row_number()`/`ntile()`. These helpers compute the
   * identical exact answer distributed: a range-partitioned sort (Spark's
-  * ordinary distributed sort machinery) plus a two-pass per-partition
-  * prefix count — pass 1 collects one Long per partition (O(partitions)
-  * driver traffic, ~KBs at any scale), pass 2 assigns ranks with the
-  * broadcast offsets. Same shape as the token-budget prefix sum in
+  * ordinary distributed sort machinery) plus an O(partitions)
+  * per-partition seed table (row-count prefix sums / prefix maxima)
+  * joined back broadcast. Same shape as the token-budget prefix sum in
   * [[TextOps.budgetSelect]], generalized to rank assignment.
+  *
+  * Two-job consistency (r13 advice): pass 1 (the seed collect) and
+  * pass 2 (the final mapPartitions) traverse the SAME RDD instance, so
+  * the range exchange's map stage runs ONCE — the DAGScheduler registers
+  * the shuffle output at the first job and SKIPS the map stage in the
+  * second, which therefore reads the identical shuffle files (the same
+  * guarantee a persist would buy, without pinning blocks the returned
+  * lazy plan has no owner to unpersist — see the no-self-persist
+  * precedent in [[Dedup.ngramJaccardPairs]]). The one path where the
+  * partitioning could still diverge — shuffle-output loss forcing a
+  * recompute of a nondeterministic input between the jobs — is guarded
+  * by a hard tripwire: pass 1 records each partition's row count and
+  * pass 2 re-counts as it streams, failing the task loudly on any
+  * mismatch instead of emitting silently corrupt seeds.
   *
   * Determinism contract: `sortCols` must be a total order (callers
   * append a unique tiebreak column); ranks are then reproducible across
   * partitionings and engines.
   */
 object Rank {
+
+  /** Wrap a partition's mapped output with the pass-1/pass-2
+    * consistency tripwire: count rows while streaming and fail the
+    * task if the partition does not hold exactly `expected` rows —
+    * i.e. if this evaluation's partitioning diverged from the one the
+    * broadcast seeds were computed from.
+    */
+  private def counted(
+      it: Iterator[Row], expected: Long, pi: Int, op: String)(
+      f: Iterator[Row] => Iterator[Row]): Iterator[Row] = {
+    var seen = 0L
+    f(it.map { r => seen += 1L; r }) ++ {
+      if (seen != expected)
+        sys.error(s"$op: partition $pi re-evaluated to $seen rows but its " +
+          s"broadcast seed was computed from $expected — the range shuffle " +
+          "was recomputed with a different row placement (nondeterministic " +
+          "input); rerun, or stabilize the input")
+      Iterator.empty
+    }
+  }
 
   /** Append `rankCol` = exact 1-based global rank under `sortCols`.
     * One range-shuffle + one O(partitions) collect; never a
@@ -29,17 +62,20 @@ object Rank {
   def rankGlobal(df: DataFrame, sortCols: Seq[Column], rankCol: String): DataFrame = {
     val spark = df.sparkSession
     val ordered = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
-    val rdd = ordered.rdd
+    val rdd = ordered.rdd // ONE instance: both jobs below share its shuffle
     // pass 1: per-partition row counts (the range shuffle is reused below)
     val counts = rdd.mapPartitionsWithIndex { case (pi, it) =>
       Iterator(pi -> it.size.toLong)
     }.collect().sortBy(_._1).map(_._2)
     val offsets = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
+    val expected = spark.sparkContext.broadcast(counts)
     val schema = StructType(ordered.schema.fields :+ StructField(rankCol, LongType))
     spark.createDataFrame(
       rdd.mapPartitionsWithIndex { case (pi, it) =>
-        var r = offsets.value(pi)
-        it.map { row => r += 1L; Row.fromSeq(row.toSeq :+ r) }
+        counted(it, expected.value(pi), pi, "rankGlobal") { rows =>
+          var r = offsets.value(pi)
+          rows.map { row => r += 1L; Row.fromSeq(row.toSeq :+ r) }
+        }
       }, schema)
   }
 
@@ -48,7 +84,8 @@ object Rank {
     * row) — `MAX(v) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING TO 1
     * PRECEDING)` without the single-partition window it would plan as:
     * the same range-shuffle + O(partitions) collect as [[rankGlobal]],
-    * with per-partition maxima broadcast as prefix seeds. The dominance
+    * with per-partition maxima broadcast as prefix seeds and the same
+    * re-count tripwire guarding the two-job consistency. The dominance
     * primitive for skyline/Pareto queries.
     */
   def runningMaxExclusive(
@@ -56,30 +93,35 @@ object Rank {
       outCol: String): DataFrame = {
     val spark = df.sparkSession
     val ordered = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
-    val rdd = ordered.rdd
+    val rdd = ordered.rdd // ONE instance: both jobs below share its shuffle
     val vIdx = ordered.schema.fieldIndex(valueCol)
-    val partMax = rdd.mapPartitionsWithIndex { case (pi, it) =>
+    val partStats = rdd.mapPartitionsWithIndex { case (pi, it) =>
       var m = Long.MinValue
       var any = false
+      var n = 0L
       it.foreach { r =>
+        n += 1L
         if (!r.isNullAt(vIdx)) { any = true; m = math.max(m, r.getLong(vIdx)) }
       }
-      Iterator(pi -> (if (any) Some(m) else None))
+      Iterator(pi -> ((if (any) Some(m) else None, n)))
     }.collect().sortBy(_._1).map(_._2)
-    val prefix = partMax.scanLeft(Option.empty[Long]) {
+    val prefix = partStats.map(_._1).scanLeft(Option.empty[Long]) {
       case (acc, cur) => (acc.toSeq ++ cur.toSeq).reduceOption((a, b) => math.max(a, b))
     }
     val offsets = spark.sparkContext.broadcast(prefix)
+    val expected = spark.sparkContext.broadcast(partStats.map(_._2))
     val schema = StructType(ordered.schema.fields :+
       StructField(outCol, LongType, nullable = true))
     spark.createDataFrame(
       rdd.mapPartitionsWithIndex { case (pi, it) =>
-        var run: Option[Long] = offsets.value(pi)
-        it.map { row =>
-          val out = Row.fromSeq(row.toSeq :+ run.map(Long.box).orNull)
-          if (!row.isNullAt(vIdx))
-            run = Some(run.fold(row.getLong(vIdx))(math.max(_, row.getLong(vIdx))))
-          out
+        counted(it, expected.value(pi), pi, "runningMaxExclusive") { rows =>
+          var run: Option[Long] = offsets.value(pi)
+          rows.map { row =>
+            val out = Row.fromSeq(row.toSeq :+ run.map(Long.box).orNull)
+            if (!row.isNullAt(vIdx))
+              run = Some(run.fold(row.getLong(vIdx))(math.max(_, row.getLong(vIdx))))
+            out
+          }
         }
       }, schema)
   }

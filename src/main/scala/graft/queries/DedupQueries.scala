@@ -160,9 +160,11 @@ object DedupQueries {
     // (dedup_substring) and the shingle inverted index: each sliding
     // window of 4 gram hashes contributes only its minimum, so ~1/4 of
     // grams are indexed with a HARD guarantee (shared spans of
-    // ≥ w+k−1 = 8 tokens always share a fingerprint). Selection is a
-    // string-min over md5, so the oracle replays the exact selection,
-    // not just the pairing.
+    // ≥ w+k−1 = 8 tokens always share a fingerprint — each full
+    // window contributes its min gram hash, and a window wholly inside
+    // a verbatim overlap has identical hashes in both docs). Selection
+    // is a string-min over md5, so the oracle replays the exact
+    // selection, not just the pairing.
     QueryDef("dedup_winnowing",
       (spark, sf) => Dedup.winnowingPairs(
           load(spark, sf, "documents"), "text", "doc_id",
@@ -175,7 +177,7 @@ object DedupQueries {
              |        MIN(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) mn,
              |        COUNT(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) cnt
              |      FROM g),
-             |fp AS (SELECT DISTINCT doc_id, h FROM w WHERE cnt = 4 AND h = mn)
+             |fp AS (SELECT DISTINCT doc_id, mn AS h FROM w WHERE cnt = 4)
              |SELECT a.doc_id a, b.doc_id b, COUNT(*) AS shared
              |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
              |GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY a, b""".stripMargin)),
