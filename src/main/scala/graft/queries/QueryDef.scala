@@ -2,9 +2,12 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** One verifiable query: a Spark implementation plus (usually) an
-  * equivalent DuckDB SQL oracle over the same parquet tables. Queries with
-  * no SQL-expressible oracle (sketches, LSH, ANN) get a rows-only check.
+/** One verifiable query: a Spark implementation plus an equivalent
+  * DuckDB SQL oracle over the same parquet tables. Every registered
+  * query carries a full oracle — operators whose raw output is not
+  * SQL-expressible (sketches, LSH, ANN) are gated through in-query
+  * error/recall bounds whose PASS/FAIL result IS SQL-replayable, so
+  * the registry has had zero rows-only entries since round 10.
   *
   * Numeric discipline for oracle parity: money/double aggregations are
   * computed in integer cents (`CAST(ROUND(x*100) AS BIGINT)`) so sums are
