@@ -404,6 +404,60 @@ object TextOps {
         EmailPattern, "[EMAIL]"),
       Ipv4Pattern, "[IP]")
 
+  /** Query parameters dropped by [[canonicalizeUrl]]: the standard
+    * tracking/click-id families whose presence forks one logical page
+    * into unbounded distinct URLs in a web crawl.
+    */
+  val TrackingParamPattern = "^(utm_[^=]*|gclid|fbclid|msclkid|ref)="
+
+  /** Canonical URL — the first stage of every web-corpus pipeline
+    * (URL-level exact dedup BEFORE content dedup; cf. CCNet/RefinedWeb):
+    *   - fragment stripped (`#…` never reaches the server);
+    *   - scheme and host lowercased (RFC 3986 §6.2.2.1 — case-insensitive
+    *     there, significant in path/query, which are preserved);
+    *   - default port dropped (`:80` for http, `:443` for https — but
+    *     KEPT when it is not that scheme's default, e.g. `https://h:80`);
+    *   - tracking params ([[TrackingParamPattern]]) removed, remaining
+    *     params kept in their original order, `?` dropped when none
+    *     survive;
+    *   - empty path → `/`, one trailing slash stripped from non-root
+    *     paths.
+    * Strings without a `scheme://` prefix pass through unchanged
+    * (relative references have no host to canonicalize). Pure built-in
+    * regexp/split/filter composition — scan-speed, no UDF, and every
+    * step replays verbatim as SQL regex in the oracle.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
+    val hostport = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?]*)", 1)
+    val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*(.*)$", 1)
+    val host = lower(regexp_replace(hostport, ":[0-9]+$", ""))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val portPart = when(keepPort, concat(lit(":"), port)).otherwise(lit(""))
+    val path0 = regexp_extract(rest, "^([^?]*)", 1)
+    val stripped = regexp_replace(path0, "/$", "")
+    val pathPart = when(stripped === "", lit("/")).otherwise(stripped)
+    val params = filter(split(regexp_extract(rest, "\\?(.*)$", 1), "&"),
+      p => p =!= "" && !p.rlike(TrackingParamPattern))
+    val queryPart = when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+      .otherwise(lit(""))
+    when(scheme === "", url)
+      .otherwise(concat(scheme, lit("://"), host, portPart, pathPart, queryPart))
+  }
+
+  /** Canonical host of an absolute URL ('' for relative references) —
+    * the aggregation key for per-host corpus profiles (host-level crawl
+    * budgets, quality gates, spam-domain cuts).
+    */
+  def urlHost(url: Column): Column =
+    lower(regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?]*)", 1),
+      ":[0-9]+$", ""))
+
   /** Per-category PII hit counts (on the raw text, independent of
     * redaction order). */
   def piiCounts(text: Column): Seq[(String, Column)] = Seq(

@@ -1035,5 +1035,30 @@ object DedupQueries {
              |  FROM cand JOIN k a ON ak = a.key JOIN k b ON bk = b.key)
              |SELECT a_key, b_key, CAST(score AS BIGINT) AS score
              |FROM scored WHERE score >= 30 ORDER BY a_key, b_key""".stripMargin)),
+
+    // URL-level exact dedup — the cheapest dedup stage and the one run
+    // FIRST on a web crawl (CCNet/RefinedWeb collapse recrawls/mirrors
+    // by canonical URL before any content fingerprinting): canonicalize
+    // (Shared.syntheticUrl + TextOps.canonicalizeUrl, oracle-replayed
+    // regex for regex), group by the canonical form, keep the smallest
+    // doc_id. One hash shuffle keyed on the canonical URL — the same
+    // shape as dedup_exact, so the 100 TB story is identical (shuffle
+    // carries one row per document, groups are host-page-bounded).
+    QueryDef("dedup_url",
+      (spark, sf) => load(spark, sf, "documents")
+        .select(col("doc_id"), Shared.syntheticUrl(col("doc_id")).as("url"))
+        .withColumn("canon_url", TextOps.canonicalizeUrl(col("url")))
+        .groupBy(col("canon_url"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+        .filter(col("n_docs") > 1)
+        .withColumn("drop_docs", col("n_docs") - 1)
+        .orderBy(col("canon_url")),
+      Some(s"""WITH urls AS (
+              |  SELECT doc_id, ${Shared.UrlSql} AS url FROM documents),
+              |c AS (${Shared.UrlCanonSql})
+              |SELECT canon AS canon_url, COUNT(*) AS n_docs,
+              |  MIN(doc_id) AS keep_doc, COUNT(*) - 1 AS drop_docs
+              |FROM c GROUP BY canon HAVING COUNT(*) > 1
+              |ORDER BY canon_url""".stripMargin)),
   )
 }

@@ -331,6 +331,97 @@ object Shared {
       |    AS decayed_weight
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- URL canonicalization scenario (text_url_* / dedup_url) --------
+
+  /** Deterministic synthetic crawl URL per document. The test corpus
+    * carries no URL column, so BOTH engines derive the same URL from
+    * `doc_id` — Spark through this Column, the oracle through
+    * [[UrlSql]] — exercising every canonicalization rule: cased
+    * schemes/hosts, default and non-default ports, trailing slashes,
+    * tracking and payload params, fragments. Variant digits come from
+    * md5 hex chars (identical in both engines) so the merged dimensions
+    * are independent of the page/id residues — a plain doc_id-modulus
+    * construction correlates every component through the CRT and
+    * collisions after canonicalization all but vanish.
+    */
+  def syntheticUrl(docId: Column): Column = {
+    val h = md5(docId.cast("string"))
+    def digit(i: Int, m: Int): Column = ascii(substring(h, i, 1)) % m
+    val scheme = when(digit(1, 4) === 0, "http").when(digit(1, 4) === 1, "HTTP")
+      .when(digit(1, 4) === 2, "https").otherwise("HTTPS")
+    val host = when(digit(2, 3) === 0, "Example.COM")
+      .when(digit(2, 3) === 1, "example.com").otherwise("CDN.Example.com")
+    val port = when(digit(3, 5) === 1, ":80").when(digit(3, 5) === 2, ":443")
+      .when(digit(3, 5) === 3, ":8080").otherwise("")
+    val path = concat(lit("/p"), (docId % 8).cast("string"))
+    val trail = when(digit(4, 2) === 0, "/").otherwise("")
+    val id = (docId % 5).cast("string")
+    val query = when(digit(5, 6) === 0, concat(lit("?utm_source=feed&id="), id))
+      .when(digit(5, 6) === 1, concat(lit("?id="), id, lit("&utm_campaign=x")))
+      .when(digit(5, 6) === 2, "?gclid=1")
+      .when(digit(5, 6) === 3, concat(lit("?id="), id))
+      .otherwise("")
+    val frag = when(digit(6, 2) === 0, "#sec").otherwise("")
+    concat(scheme, lit("://"), host, port, path, trail, query, frag)
+  }
+
+  /** [[syntheticUrl]] as a DuckDB expression over `doc_id`. */
+  val UrlSql: String =
+    """(CASE ascii(substr(md5(CAST(doc_id AS VARCHAR)),1,1))%4
+      |   WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' WHEN 2 THEN 'https' ELSE 'HTTPS' END)
+      | || '://' ||
+      |(CASE ascii(substr(md5(CAST(doc_id AS VARCHAR)),2,1))%3
+      |   WHEN 0 THEN 'Example.COM' WHEN 1 THEN 'example.com' ELSE 'CDN.Example.com' END)
+      | ||
+      |(CASE ascii(substr(md5(CAST(doc_id AS VARCHAR)),3,1))%5
+      |   WHEN 1 THEN ':80' WHEN 2 THEN ':443' WHEN 3 THEN ':8080' ELSE '' END)
+      | || '/p' || CAST(doc_id%8 AS VARCHAR) ||
+      |(CASE ascii(substr(md5(CAST(doc_id AS VARCHAR)),4,1))%2 WHEN 0 THEN '/' ELSE '' END)
+      | ||
+      |(CASE ascii(substr(md5(CAST(doc_id AS VARCHAR)),5,1))%6
+      |   WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id%5 AS VARCHAR)
+      |   WHEN 1 THEN '?id=' || CAST(doc_id%5 AS VARCHAR) || '&utm_campaign=x'
+      |   WHEN 2 THEN '?gclid=1'
+      |   WHEN 3 THEN '?id=' || CAST(doc_id%5 AS VARCHAR)
+      |   ELSE '' END)
+      | ||
+      |(CASE ascii(substr(md5(CAST(doc_id AS VARCHAR)),6,1))%2 WHEN 0 THEN '#sec' ELSE '' END)"""
+      .stripMargin.replace("\n", " ")
+
+  /** SQL replay of [[graft.ops.TextOps.canonicalizeUrl]] — a CTE body
+    * expecting a relation `urls(doc_id, url)` and yielding
+    * `(doc_id, url, canon)`. Each regex step mirrors the Column
+    * pipeline verbatim (RE2 and Java agree on every pattern used).
+    */
+  val UrlCanonSql: String =
+    """SELECT doc_id, url,
+      |  CASE WHEN scheme = '' THEN url ELSE
+      |    scheme || '://' || host ||
+      |    (CASE WHEN port <> '' AND NOT (scheme='http' AND port='80')
+      |               AND NOT (scheme='https' AND port='443')
+      |          THEN ':' || port ELSE '' END) ||
+      |    (CASE WHEN regexp_replace(path0, '/$', '') = '' THEN '/'
+      |          ELSE regexp_replace(path0, '/$', '') END) ||
+      |    (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+      |          ELSE '' END)
+      |  END AS canon
+      |FROM (
+      |  SELECT doc_id, url,
+      |    lower(regexp_replace(hostport, ':[0-9]+$', '')) AS host,
+      |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+      |    regexp_extract(rest, '^([^?]*)', 1) AS path0,
+      |    list_filter(string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|msclkid|ref)='))
+      |      AS params,
+      |    scheme
+      |  FROM (
+      |    SELECT doc_id, url,
+      |      lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+      |      regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?]*)', 1) AS hostport,
+      |      regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*(.*)$', 1) AS rest
+      |    FROM (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM urls)))"""
+      .stripMargin
+
   val IvmOracle: String =
     """WITH snap AS (
       |  SELECT c_custkey AS id, CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal

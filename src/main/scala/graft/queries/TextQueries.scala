@@ -1653,5 +1653,61 @@ object TextQueries {
              |    AS BIGINT) AS any_flagged
              |FROM t LEFT JOIN d USING (doc_id)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // URL canonicalization — the first stage of every web-corpus
+    // pipeline (CCNet/RefinedWeb dedup by canonical URL BEFORE content
+    // dedup). The corpus ships no URL column, so both engines derive
+    // the same synthetic crawl URL from doc_id (Shared.syntheticUrl /
+    // Shared.UrlSql — cased schemes/hosts, default + non-default ports,
+    // tracking params, trailing slashes, fragments) and the oracle
+    // replays TextOps.canonicalizeUrl's regex pipeline step for step
+    // (Shared.UrlCanonSql). Scan-speed per-row projection: no shuffle,
+    // no UDF — at 100 TB this runs at parquet-read speed.
+    QueryDef("text_url_canonicalize",
+      (spark, sf) => load(spark, sf, "documents")
+        .select(col("doc_id"), Shared.syntheticUrl(col("doc_id")).as("url"))
+        .withColumn("canon_url", TextOps.canonicalizeUrl(col("url")))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH urls AS (SELECT doc_id, ${Shared.UrlSql} AS url FROM documents),
+              |c AS (${Shared.UrlCanonSql})
+              |SELECT doc_id, url, canon AS canon_url FROM c
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Per-host corpus profile over the canonical URLs — the host-level
+    // rollup real crawls budget and gate on (host doc mass, distinct
+    // pages after canonicalization, dup pressure, token mass feeding
+    // the quality gates). One hash shuffle on the host key; token
+    // counting rides the same scan.
+    QueryDef("text_host_profile",
+      (spark, sf) => {
+        val docs = load(spark, sf, "documents")
+          .select(col("doc_id"), col("text"),
+            Shared.syntheticUrl(col("doc_id")).as("url"))
+          .withColumn("canon_url", TextOps.canonicalizeUrl(col("url")))
+          .withColumn("host", TextOps.urlHost(col("url")))
+        docs.groupBy(col("host"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("canon_url")).as("n_pages"),
+            (count(lit(1)) - countDistinct(col("canon_url"))).as("dup_docs"),
+            sum(TextOps.tokenCount(col("text")).cast("long")).as("tok_total"))
+          .withColumn("avg_toks",
+            col("tok_total").cast("double") / col("n_docs"))
+          .orderBy(col("host"))
+      },
+      Some(s"""WITH urls AS (
+              |  SELECT doc_id, ${Shared.UrlSql} AS url FROM documents),
+              |c AS (${Shared.UrlCanonSql}),
+              |j AS (SELECT c.doc_id, c.url, c.canon,
+              |    lower(regexp_replace(
+              |      regexp_extract(c.url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?]*)', 1),
+              |      ':[0-9]+$$', '')) AS host,
+              |    len(string_split(d.text, ' ')) AS toks
+              |  FROM c JOIN documents d USING (doc_id))
+              |SELECT host, COUNT(*) AS n_docs,
+              |  COUNT(DISTINCT canon) AS n_pages,
+              |  COUNT(*) - COUNT(DISTINCT canon) AS dup_docs,
+              |  CAST(SUM(toks) AS BIGINT) AS tok_total,
+              |  CAST(SUM(toks) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_toks
+              |FROM j GROUP BY host ORDER BY host""".stripMargin)),
   )
 }

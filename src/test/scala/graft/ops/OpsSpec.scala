@@ -1022,4 +1022,46 @@ class OpsSpec extends SparkSpec {
     assert(cv(1000L)._2 == 0L, "silence must have zero voiced frames")
     assert(cv(1500L)._2 == cv(1500L)._1, "loud constant tone is all-voiced")
   }
+
+  test("canonicalizeUrl: every RFC-case and tracking-param edge") {
+    import spark.implicits._
+    val cases = Seq(
+      // case folds there, preserved in path/query; fragment dropped
+      "HTTPS://Example.COM/A/B?Id=X#frag" -> "https://example.com/A/B?Id=X",
+      // default ports drop only for THEIR scheme
+      "http://Example.com:80/a" -> "http://example.com/a",
+      "https://example.com:443/a" -> "https://example.com/a",
+      "https://example.com:80/a" -> "https://example.com:80/a",
+      "http://example.com:443/a" -> "http://example.com:443/a",
+      "http://example.com:8080/a" -> "http://example.com:8080/a",
+      // tracking params: stripped anywhere, order of survivors kept,
+      // '?' dropped when none survive; ref= dies, referrer= lives
+      "http://h/p?utm_source=a&id=1&utm_campaign=b&z=2" -> "http://h/p?id=1&z=2",
+      "http://h/p?gclid=x&fbclid=y&msclkid=z&utm_=t" -> "http://h/p",
+      "http://h/p?ref=spam&referrer=ok" -> "http://h/p?referrer=ok",
+      // path normalization: empty -> '/', one trailing slash stripped,
+      // root stays root
+      "http://h" -> "http://h/",
+      "http://h/" -> "http://h/",
+      "http://h/a/b/" -> "http://h/a/b",
+      "http://h/?utm_source=x" -> "http://h/",
+      // no scheme:// -> relative reference, passes through untouched
+      "docs/readme.html" -> "docs/readme.html",
+      "mailto:a@b.c" -> "mailto:a@b.c")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), TextOps.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((in, want) <- cases)
+      assert(got(in) == want, s"canonicalizeUrl($in) = ${got(in)}, want $want")
+  }
+
+  test("syntheticUrl collides after canonicalization (the dedup_url scenario bites)") {
+    val urls = docs.select(col("doc_id"),
+      graft.queries.Shared.syntheticUrl(col("doc_id")).as("url"))
+      .withColumn("c", TextOps.canonicalizeUrl(col("url")))
+    val dups = urls.groupBy("c").count().filter(col("count") > 1).count()
+    assert(dups > 0, "scenario must produce canonical collisions at the smallest SF")
+    // and the canonical form is strictly coarser than the raw URLs
+    assert(urls.select("c").distinct().count() < urls.select("url").distinct().count())
+  }
 }
