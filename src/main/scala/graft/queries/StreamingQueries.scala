@@ -50,6 +50,92 @@ object StreamingQueries {
       dir.toString
     })
 
+  /** Events staged as `n` time-ordered parquet chunks (ascending
+    * modification times, so the file source replays them oldest-first
+    * one per micro-batch) — the staging for queries that prove
+    * WATERMARK EVICTION: state must be dropped while later chunks are
+    * still arriving, which a single-file single-batch staging can never
+    * show. Chunks are written from the normalized-ts frame so the
+    * stream schema is encoding-stable.
+    */
+  private val chunkedCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def stagedTimeChunks(spark: SparkSession, sf: String, n: Int): String =
+    chunkedCache.getOrElseUpdate(s"$sf/events/$n", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_chunks")
+      val df = Tables.normalizeTs(spark.read.parquet(path(sf, "events")))
+      val mm = df.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1) + 1L)
+      val step = math.max(1L, (hi - lo + n - 1) / n)
+      val base = System.currentTimeMillis() - n * 10000L
+      for (i <- 0 until n) {
+        val chunk = df.filter(unix_micros(col("ts")) >= lo + i * step &&
+          unix_micros(col("ts")) < lo + (i + 1) * step)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_chunk")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        part.foreach { p =>
+          val dst = dir.resolve(f"chunk_$i%03d.parquet")
+          java.nio.file.Files.move(p.toPath, dst)
+          // explicit ascending mtimes: the source's file ordering key
+          dst.toFile.setLastModified(base + i * 10000L)
+        }
+      }
+      dir.toString
+    })
+
+  /** The evicting OHLC pipeline shared by the `stream_ohlc_evicting`
+    * gate and the StreamingSpec eviction proof: watermarked UPDATE-mode
+    * hourly bars over the time-chunked staging, one chunk per
+    * micro-batch, so bars older than the advancing watermark are
+    * EVICTED from the state store mid-stream (complete-mode
+    * `stream_ohlc_bars` instead re-emits all state forever — fine for a
+    * bounded gate, unbounded on an infinite stream; THIS is the
+    * production shape). Each update emission strictly grows a bar's
+    * volume, so the memory sink folds to the final bar via
+    * max_by(volume) and the result hash-matches the batch oracle.
+    * Returns (folded bars, state rows evicted across the run, state
+    * rows still live at the end).
+    */
+  private[graft] def ohlcEvictingRun(
+      spark: SparkSession, sf: String): (org.apache.spark.sql.DataFrame, Long, Long) = {
+    val dir = stagedTimeChunks(spark, sf, 8)
+    val schema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val agg = raw
+      .select(col("event_type"), col("ts"),
+        Shared.cents(col("value")).as("v"),
+        struct(col("ts"), col("event_id")).as("ord"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+      .agg(
+        min_by(col("v"), col("ord")).as("open"),
+        max(col("v")).as("high"),
+        min(col("v")).as("low"),
+        max_by(col("v"), col("ord")).as("close"),
+        count(lit(1)).as("volume"))
+    val table = s"stream_ohlc_ev_${counter.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(table)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val progs = q.recentProgress.toSeq
+    val removed = progs.map(_.stateOperators.map(_.numRowsRemoved).sum).sum
+    val live = progs.reverse.find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    val folded = spark.table(table)
+      .groupBy(col("event_type"), col("w"))
+      .agg(max_by(struct(col("open"), col("high"), col("low"), col("close")),
+          col("volume")).as("f"),
+        max(col("volume")).as("volume"))
+      .select(col("event_type"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("f.open").as("open"), col("f.high").as("high"),
+        col("f.low").as("low"), col("f.close").as("close"), col("volume"))
+      .orderBy(col("event_type"), col("hour"))
+    (folded, removed, live)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("stream_time_window",
@@ -1537,6 +1623,21 @@ object StreamingQueries {
             col("open"), col("high"), col("low"), col("close"), col("volume"))
           .orderBy(col("event_type"), col("hour"))
       },
+      Some(Shared.OhlcOracle)),
+
+    // The EVICTING twin of stream_ohlc_bars: update mode + 1 h
+    // watermark over time-chunked staging (one chunk per micro-batch),
+    // so finalized bars leave the state store while the stream still
+    // runs — state is O(live bars within the watermark horizon), the
+    // shape that survives an infinite stream, where complete mode's
+    // state and re-emission grow with the time horizon. The memory
+    // sink's update emissions fold to final bars by max volume (each
+    // re-emission strictly grows a bar's volume), hash-matching the
+    // same batch oracle as the complete-mode twin. StreamingSpec
+    // proves rows were actually evicted mid-run (numRowsRemoved > 0,
+    // final live state ≪ total bars).
+    QueryDef("stream_ohlc_evicting",
+      (spark, sf) => ohlcEvictingRun(spark, sf)._1,
       Some(Shared.OhlcOracle)),
 
     // Streaming multi-touch attribution — the live twin of

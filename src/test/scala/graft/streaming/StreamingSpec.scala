@@ -151,4 +151,20 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, "A2"), (2L, "B"), (3L, "C")))
     assert(mapper.load(spark, sp).get.count() == 3)
   }
+
+  test("ohlc evicting twin: watermark drops bar state mid-run, results stay exact") {
+    val (folded, removed, live) = graft.queries.StreamingQueries.ohlcEvictingRun(spark, Sf)
+    val bars = folded.collect()
+    // eviction actually happened WHILE streaming (not just at the end),
+    // and the surviving state is the watermark-horizon tail, not history
+    assert(removed > 0, "watermark must evict finalized bar state")
+    assert(live < bars.length,
+      s"live state ($live) must be a tail of all ${bars.length} bars")
+    assert(removed + live >= bars.length,
+      "every bar must either be evicted or still live")
+    // the folded update emissions equal the batch bars, bar for bar
+    val batch = graft.SparkEntry.queries("q_ohlc_bars")(spark, Sf).collect()
+    assert(bars.sameElements(batch),
+      "evicting stream must reproduce the batch OHLC bars exactly")
+  }
 }
