@@ -487,4 +487,25 @@ class PlanSpec extends SparkSpec {
     assert("hashpartitioning\\(event_type".r.findAllIn(p).size >= 1,
       s"one shuffle on the bar key:\n$p")
   }
+
+  test("url canonicalize: scan-speed projection — no join, no aggregate, no UDF") {
+    // the canonicalizer is pure per-row expression work; the only
+    // exchange allowed is the final presentation sort
+    val p = planOf("text_url_canonicalize")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"per-row projection only:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      s"no UDFs in the canonicalizer:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"only the presentation sort may exchange:\n$p")
+  }
+
+  test("url dedup: one hash shuffle keyed on the canonical url, no Window") {
+    val p = planOf("dedup_url")
+    assert(p.contains("hashpartitioning(canon_url"),
+      s"the dedup shuffle key must be the canonical URL:\n$p")
+    assert(!p.contains("Window"), s"no window operator expected:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"map-side combine must run before the exchange:\n$p")
+  }
 }
