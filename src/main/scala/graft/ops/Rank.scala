@@ -55,11 +55,14 @@ object Rank {
     }
   }
 
-  /** Append `rankCol` = exact 1-based global rank under `sortCols`.
-    * One range-shuffle + one O(partitions) collect; never a
-    * single-partition exchange.
+  /** [[rankGlobal]] plus the exact total row count, read off pass 1's
+    * per-partition counts — so callers needing n (NTILE sizing) get it
+    * from the SAME evaluation that seeded the ranks, not a separate
+    * `df.count()` scan that re-evaluates the upstream a third time and
+    * could disagree with the ranked rows on a nondeterministic input.
     */
-  def rankGlobal(df: DataFrame, sortCols: Seq[Column], rankCol: String): DataFrame = {
+  def rankGlobalWithCount(
+      df: DataFrame, sortCols: Seq[Column], rankCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
     val ordered = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
     val rdd = ordered.rdd // ONE instance: both jobs below share its shuffle
@@ -70,14 +73,22 @@ object Rank {
     val offsets = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
     val expected = spark.sparkContext.broadcast(counts)
     val schema = StructType(ordered.schema.fields :+ StructField(rankCol, LongType))
-    spark.createDataFrame(
+    val out = spark.createDataFrame(
       rdd.mapPartitionsWithIndex { case (pi, it) =>
         counted(it, expected.value(pi), pi, "rankGlobal") { rows =>
           var r = offsets.value(pi)
           rows.map { row => r += 1L; Row.fromSeq(row.toSeq :+ r) }
         }
       }, schema)
+    (out, counts.sum)
   }
+
+  /** Append `rankCol` = exact 1-based global rank under `sortCols`.
+    * One range-shuffle + one O(partitions) collect; never a
+    * single-partition exchange.
+    */
+  def rankGlobal(df: DataFrame, sortCols: Seq[Column], rankCol: String): DataFrame =
+    rankGlobalWithCount(df, sortCols, rankCol)._1
 
   /** Append `outCol` = the EXCLUSIVE running maximum of long column
     * `valueCol` under the total order `sortCols` (null for the first
@@ -143,12 +154,12 @@ object Rank {
   }
 
   /** Append `tileCol` = exact NTILE(buckets) under `sortCols`,
-    * distributed. `n` is counted with one cheap aggregate (the sort
-    * shuffle dominates; at 100 TB the count is noise).
+    * distributed. `n` comes from the rank pass's own per-partition
+    * counts — no separate `df.count()` scan, and bucket sizing can
+    * never disagree with the evaluation that assigned the ranks.
     */
   def ntileExact(df: DataFrame, sortCols: Seq[Column], buckets: Int, tileCol: String): DataFrame = {
-    val n = df.count()
-    val ranked = rankGlobal(df, sortCols, s"__rank_$tileCol")
+    val (ranked, n) = rankGlobalWithCount(df, sortCols, s"__rank_$tileCol")
     ranked
       .withColumn(tileCol, ntileOfRank(col(s"__rank_$tileCol"), n, buckets))
       .drop(s"__rank_$tileCol")
