@@ -141,4 +141,28 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col(sensitiveCol)).as("n_sensitive"))
       .withColumn("l_diverse", col("n_sensitive") >= l)
+
+  /** Seeded discrete-Laplace noise for ε-DP count release (ε = ln 2):
+    * Z = G₁ − G₂ with G₁, G₂ iid Geometric(1/2) over {0, 1, …} — the
+    * classic construction of the two-sided geometric / discrete
+    * Laplace distribution, the exact-integer mechanism for counting
+    * queries (Ghosh–Roughgarden–Sundararajan's universally optimal
+    * mechanism). Each geometric sample is the leading-zero count of a
+    * uniform 32-bit word carved from md5(key ‖ salt): P(k leading
+    * zeros) = 2^−(k+1). Everything is integer bit arithmetic, so the
+    * noise replays bit-exact in any engine — "seeded DP", the
+    * reproducible-release variant (same key + salt ⇒ same noise; a
+    * fresh release epoch rotates the salt). Sensitivity-1 counts get
+    * ε = ln(1/α) with α = 1/2.
+    */
+  def dpGeometricNoise(key: Column, salt: String = "dp"): Column = {
+    val h = md5(concat(key.cast("string"), lit(salt)))
+    // leading zeros of the 32-bit word at hex offset `off`: bin() drops
+    // leading zero bits, ltrim handles the v = 0 word (32 zeros)
+    def lead0(off: Int): Column = {
+      val v = conv(substring(h, off, 8), 16, 10).cast("long")
+      lit(32) - length(ltrim(bin(v), "0"))
+    }
+    (lead0(1) - lead0(9)).cast("long")
+  }
 }

@@ -319,5 +319,33 @@ object CurationQueries {
              |      t -> list_contains(['slow','big','small'], t))) >= 3 THEN 'flag'
              |    ELSE 'pass' END AS verdict
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ε-DP count release (ε = ln 2) via the discrete-Laplace mechanism:
+    // per-type event counts plus Z = G₁ − G₂ (iid Geometric(1/2) from
+    // the leading-zero counts of two md5-derived 32-bit words — the
+    // Ghosh et al. universally optimal integer mechanism for
+    // sensitivity-1 counts). Seeded on (key ‖ salt), so the release is
+    // reproducible and the noise replays BIT-EXACT in the oracle —
+    // no float anywhere. A production release publishes dp_count only;
+    // the true count is emitted here because this is the mechanism's
+    // correctness gate. Aggregation + per-group projection: one hash
+    // shuffle, O(#groups) rows at any corpus size.
+    QueryDef("privacy_dp_counts",
+      (spark, sf) => load(spark, sf, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("dp_noise", Curation.dpGeometricNoise(col("event_type")))
+        .withColumn("dp_count", col("n_events") + col("dp_noise"))
+        .orderBy(col("event_type")),
+      Some("""WITH g AS (SELECT event_type, COUNT(*) n FROM events GROUP BY 1),
+             |z AS (SELECT event_type, n,
+             |    (32 - length(ltrim(bin(('0x' || substr(md5(event_type || 'dp'), 1, 8))::BIGINT), '0')))
+             |  - (32 - length(ltrim(bin(('0x' || substr(md5(event_type || 'dp'), 9, 8))::BIGINT), '0')))
+             |    AS zz
+             |  FROM g)
+             |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+             |  CAST(zz AS BIGINT) AS dp_noise,
+             |  CAST(n + zz AS BIGINT) AS dp_count
+             |FROM z ORDER BY event_type""".stripMargin)),
   )
 }
