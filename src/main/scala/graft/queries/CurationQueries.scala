@@ -337,15 +337,6 @@ object CurationQueries {
         .withColumn("dp_noise", Curation.dpGeometricNoise(col("event_type")))
         .withColumn("dp_count", col("n_events") + col("dp_noise"))
         .orderBy(col("event_type")),
-      Some("""WITH g AS (SELECT event_type, COUNT(*) n FROM events GROUP BY 1),
-             |z AS (SELECT event_type, n,
-             |    (32 - length(ltrim(bin(('0x' || substr(md5(event_type || 'dp'), 1, 8))::BIGINT), '0')))
-             |  - (32 - length(ltrim(bin(('0x' || substr(md5(event_type || 'dp'), 9, 8))::BIGINT), '0')))
-             |    AS zz
-             |  FROM g)
-             |SELECT event_type, CAST(n AS BIGINT) AS n_events,
-             |  CAST(zz AS BIGINT) AS dp_noise,
-             |  CAST(n + zz AS BIGINT) AS dp_count
-             |FROM z ORDER BY event_type""".stripMargin)),
+      Some(Shared.DpCountsOracle)),
   )
 }

@@ -331,6 +331,26 @@ object Shared {
       |    AS decayed_weight
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** One oracle for both DP-release twins (`privacy_dp_counts` batch,
+    * `stream_dp_counts` complete-mode stream): per-type counts plus the
+    * seeded discrete-Laplace noise — G₁ − G₂ from the leading-zero
+    * counts of two md5-derived 32-bit words (see
+    * [[graft.ops.Curation.dpGeometricNoise]]). All-integer, bit-exact
+    * in both engines; the twins must release identical counts, so the
+    * mechanism's SQL replay lives here once.
+    */
+  val DpCountsOracle: String =
+    """WITH g AS (SELECT event_type, COUNT(*) n FROM events GROUP BY 1),
+      |z AS (SELECT event_type, n,
+      |    (32 - length(ltrim(bin(('0x' || substr(md5(event_type || 'dp'), 1, 8))::BIGINT), '0')))
+      |  - (32 - length(ltrim(bin(('0x' || substr(md5(event_type || 'dp'), 9, 8))::BIGINT), '0')))
+      |    AS zz
+      |  FROM g)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+      |  CAST(zz AS BIGINT) AS dp_noise,
+      |  CAST(n + zz AS BIGINT) AS dp_count
+      |FROM z ORDER BY event_type""".stripMargin
+
   // ---- URL canonicalization scenario (text_url_* / dedup_url) --------
 
   /** Deterministic synthetic crawl URL per document. The test corpus

@@ -1587,6 +1587,32 @@ object StreamingQueries {
       },
       Some(Shared.DecayOracle)),
 
+    // Streaming DP count release — the continual-observation twin of
+    // privacy_dp_counts: per-type stateful counts in complete mode,
+    // each trigger's release re-noised through the SAME seeded
+    // discrete-Laplace mechanism (the noise is a pure projection of
+    // the group key + salt, so a stream release and a batch release of
+    // the same counts are identical — the property that makes seeded
+    // DP auditable). State is one long per event type; the dashboard
+    // read takes the final release. Same oracle as the batch gate.
+    QueryDef("stream_dp_counts",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "events")).schema
+        val raw = spark.readStream.schema(schema)
+          .parquet(stagedDir(spark, sf, "events"))
+        val agg = raw.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+        val table = s"stream_dp_${counter.incrementAndGet()}"
+        val q = agg.writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        spark.table(table)
+          .withColumn("dp_noise", graft.ops.Curation.dpGeometricNoise(col("event_type")))
+          .withColumn("dp_count", col("n_events") + col("dp_noise"))
+          .orderBy(col("event_type"))
+      },
+      Some(Shared.DpCountsOracle)),
+
     // Streaming OHLC bars — the live-market twin of q_ohlc_bars: the
     // same per-(event_type, hour) open/high/low/close aggregate, built
     // as a stateful windowed aggregation over the micro-batched event
