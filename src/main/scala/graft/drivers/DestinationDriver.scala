@@ -253,6 +253,35 @@ final class ParquetDestinationDriver(
     (stats.size.toLong, bytes, partFiles(after).size.toLong, nOut.toLong)
   }
 
+  /** Right-to-erasure propagation (GDPR art. 17 / CCPA delete): rewrite
+    * the current snapshot WITHOUT the rows matching `predicate` as a new
+    * generation (the pointer flip is the logical delete), then — because
+    * erasure is only REAL once the bytes are unreachable — purge every
+    * older generation so no retained snapshot can still serve the erased
+    * rows. `purge = false` keeps history (legal-hold mode) and leaves
+    * physical deletion to a later vacuum. The rewrite is one filtered
+    * scan-and-write (generations are immutable, so readers pinned to the
+    * pre-erasure generation stay consistent until the purge lands);
+    * the count pass is a single aggregate over the same snapshot.
+    * Returns (rowsBefore, rowsErased, rowsAfter).
+    */
+  def erase(spark: SparkSession, spec: MigrationSpec, predicate: org.apache.spark.sql.Column,
+      purge: Boolean = true): (Long, Long, Long) = {
+    require(buckets.isEmpty, "erasure on bucketed sinks goes through the catalog rewrite")
+    val snap = snapshot(spark, spec)
+      .getOrElse(sys.error("erase: no current generation"))
+    val a = snap.agg(count(lit(1)),
+      coalesce(sum(when(predicate, 1L).otherwise(0L)), lit(0L))).head()
+    val (before, hits) = (a.getLong(0), a.getLong(1))
+    write(snap.filter(!predicate), spec)
+    if (purge) {
+      val base = new org.apache.hadoop.fs.Path(UriSchemes.path(spec.destination))
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.mapper.GenerationVacuum.vacuum(fs, base, 1)
+    }
+    (before, hits, before - hits)
+  }
+
   /** Write-audit-publish staging (the WAP pattern): write `df` as the
     * next generation directory WITHOUT flipping `_CURRENT`, so auditors
     * can read the candidate data (via [[snapshotAt]]) while every

@@ -1311,6 +1311,51 @@ object Etl {
              |  TRUE AS gen0_intact
              |FROM orders""".stripMargin)),
 
+    // Right-to-erasure propagation (GDPR art. 17): filtered-rewrite of
+    // the current generation WITHOUT the subject's rows, pointer flip,
+    // then purge of all older generations — erasure is only real once
+    // the bytes are unreachable, which the gate verifies structurally
+    // (pre-erasure snapshot gone, only the post-erasure generation
+    // retained, zero erased keys readable). One filtered scan-and-write
+    // plus one counting aggregate: at 100 TB this is the same cost as
+    // any compaction rewrite, and partition pruning on a keyed layout
+    // would cut it further.
+    QueryDef("etl_erasure",
+      (spark, sf) => {
+        import graft.drivers.ParquetDestinationDriver
+        import graft.spec.{IdField, LongId, MigrationSpec}
+        val dir = scratch("graft_erasure") + "/dest"
+        val spec = MigrationSpec("gdpr", source = dir, sourceDriver = "parquet",
+          destination = dir, destinationDriver = "parquet",
+          sourceIds = Seq(IdField("id", LongId)),
+          destinationIds = Seq(IdField("id", LongId)))
+        val d = new ParquetDestinationDriver()
+        val users = load(spark, sf, "customer")
+          .select(col("c_custkey").cast("long").as("id"),
+            col("c_mktsegment").as("seg"),
+            round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+        d.write(users, spec)
+        val (before, erased, after) = d.erase(spark, spec, col("id") % 97 === 0)
+        val snap = d.snapshot(spark, spec).get
+        val leftover = snap.filter(col("id") % 97 === 0).count()
+        val idSum = snap.agg(coalesce(sum(col("id")), lit(0L))).head().getLong(0)
+        val gens = d.generations(spark, spec)
+        spark.createDataFrame(Seq((before, erased, after,
+            d.snapshotAt(spark, spec, 0L).isEmpty && gens == Seq(1L),
+            leftover == 0L, idSum)))
+          .toDF("rows_before", "rows_erased", "rows_after",
+            "history_purged", "no_erased_survivors", "id_sum_after")
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS rows_before,
+             |  CAST(SUM(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS rows_erased,
+             |  CAST(SUM(CASE WHEN c_custkey % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS rows_after,
+             |  TRUE AS history_purged, TRUE AS no_erased_survivors,
+             |  CAST(SUM(CASE WHEN c_custkey % 97 <> 0 THEN c_custkey ELSE 0 END) AS BIGINT)
+             |    AS id_sum_after
+             |FROM customer""".stripMargin)),
+
     // Dynamic partition overwrite — the INSERT OVERWRITE contract a
     // partitioned lake table needs: rewriting ONE partition's data must
     // replace only the partitions present in the incoming batch and

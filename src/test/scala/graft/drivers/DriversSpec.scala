@@ -442,4 +442,34 @@ class DriversSpec extends SparkSpec {
       properties = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
     assert(configured.read(spark, schemeSpec).count() == 2)
   }
+
+  test("erasure: legal-hold keeps history readable, purge makes erased rows unreachable") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = scratchDir("erasure") + "/dest"
+    val sp = mkSpec(dir, dir)
+    val d = new ParquetDestinationDriver()
+    d.write((1L to 100L).map(i => (i, s"u$i")).toDF("id", "name"), sp)
+
+    // legal-hold mode: logical delete only — old generation stays readable
+    val (b1, e1, a1) = d.erase(spark, sp, col("id") % 10 === 0, purge = false)
+    assert((b1, e1, a1) == ((100L, 10L, 90L)))
+    assert(d.snapshotAt(spark, sp, 0L).get.count() == 100,
+      "legal hold must keep the pre-erasure generation")
+    assert(d.snapshot(spark, sp).get.filter(col("id") % 10 === 0).count() == 0)
+
+    // purge mode: physical deletion — ONLY the post-erasure generation survives
+    // 14 multiples of 7 in 1..100, minus 70 (already erased) = 13
+    val (b2, e2, a2) = d.erase(spark, sp, col("id") % 7 === 0, purge = true)
+    assert((b2, e2, a2) == ((90L, 13L, 77L)))
+    assert(d.generations(spark, sp).size == 1, "purge must drop all older generations")
+    assert(d.snapshotAt(spark, sp, 0L).isEmpty && d.snapshotAt(spark, sp, 1L).isEmpty,
+      "pre-erasure bytes must be unreachable after purge")
+    assert(d.snapshot(spark, sp).get.count() == 77)
+
+    // bucketed sinks refuse (their rewrite goes through the catalog)
+    val bucketed = new ParquetDestinationDriver(buckets = Some(4))
+    assertThrows[IllegalArgumentException](
+      bucketed.erase(spark, sp, col("id") === 1L))
+  }
 }
