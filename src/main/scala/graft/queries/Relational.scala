@@ -302,6 +302,61 @@ object Relational {
              |SELECT o_custkey, 'only_big' AS tag FROM (SELECT * FROM big EXCEPT SELECT * FROM urgent)
              |ORDER BY tag, o_custkey""".stripMargin)),
 
+    // Bag-semantics set ops — the ALL variants q_set_ops' distinct forms
+    // can't express: INTERSECT ALL keeps min(m_a, m_b) copies per value
+    // and EXCEPT ALL max(0, m_a − m_b), the SQL-standard multiset
+    // algebra (Spark plans both as aggregates over a replication
+    // counter, no row explosion). The two input multisets OVERLAP
+    // (even-user rows with value > 50 sit in both), so the
+    // multiplicity arithmetic actually bites; results fold to
+    // per-type counts, proving the multiplicities, not just membership.
+    QueryDef("q_set_ops_all",
+      (spark, sf) => {
+        val e = load(spark, sf, "events")
+        val a = e.filter(col("user_id") % 2 === 0).select(col("event_type"))
+        val b = e.filter(col("value") > 50).select(col("event_type"))
+        val inter = a.intersectAll(b).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n")).withColumn("tag", lit("intersect_all"))
+        val exc = a.exceptAll(b).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n")).withColumn("tag", lit("except_all"))
+        inter.unionByName(exc)
+          .select(col("tag"), col("event_type"), col("n"))
+          .orderBy(col("tag"), col("event_type"))
+      },
+      Some("""WITH a AS (SELECT event_type FROM events WHERE user_id % 2 = 0),
+             |b AS (SELECT event_type FROM events WHERE value > 50),
+             |i AS (SELECT event_type FROM a INTERSECT ALL SELECT event_type FROM b),
+             |x AS (SELECT event_type FROM a EXCEPT ALL SELECT event_type FROM b)
+             |SELECT 'intersect_all' AS tag, event_type, COUNT(*) AS n FROM i GROUP BY 2
+             |UNION ALL
+             |SELECT 'except_all' AS tag, event_type, COUNT(*) AS n FROM x GROUP BY 2
+             |ORDER BY tag, event_type""".stripMargin)),
+
+    // Correlated LATERAL subquery — the SQL-surface form of per-group
+    // top-n (the DataFrame/TopKPerKey formulations are pinned
+    // elsewhere; this gates the SQL dialect itself): for every nation,
+    // its 2 richest customers via a correlated ORDER BY … LIMIT
+    // lateral. Identical text runs in both engines.
+    QueryDef("q_lateral_topn",
+      (spark, sf) => {
+        Tables.registerViews(spark, sf)
+        spark.sql(
+          """SELECT n.n_name, t.c_custkey, t.bal_cents
+            |FROM nation n,
+            |LATERAL (SELECT c_custkey,
+            |           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+            |         FROM customer WHERE c_nationkey = n.n_nationkey
+            |         ORDER BY bal_cents DESC, c_custkey LIMIT 2) t
+            |ORDER BY n.n_name, t.bal_cents DESC, t.c_custkey""".stripMargin)
+      },
+      Some("""SELECT n.n_name, t.c_custkey, t.bal_cents
+             |FROM nation n,
+             |LATERAL (SELECT c_custkey,
+             |           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+             |         FROM customer WHERE c_nationkey = n.n_nationkey
+             |         ORDER BY bal_cents DESC, c_custkey LIMIT 2) t
+             |ORDER BY n.n_name, t.bal_cents DESC, t.c_custkey""".stripMargin)),
+
     // Grouping sets via ROLLUP (region → nation → total).
     QueryDef("q_rollup",
       (spark, sf) => {

@@ -488,6 +488,19 @@ class PlanSpec extends SparkSpec {
       s"one shuffle on the bar key:\n$p")
   }
 
+  test("lateral top-n: decorrelates to WindowGroupLimit + broadcast, never a cartesian") {
+    // the correlated ORDER BY … LIMIT lateral must become the group-limit
+    // pushdown (partial per-partition top-2 BEFORE the shuffle) joined
+    // broadcast to nation — a per-nation loop would be a cartesian/BNLJ
+    val p = planOf("q_lateral_topn")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected the group-limit pushdown:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"nation must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no quadratic join:\n$p")
+  }
+
   test("url canonicalize: scan-speed projection — no join, no aggregate, no UDF") {
     // the canonicalizer is pure per-row expression work; the only
     // exchange allowed is the final presentation sort
