@@ -58,9 +58,25 @@ object StreamingQueries {
     * show. Chunks are written from the normalized-ts frame so the
     * stream schema is encoding-stable.
     */
+  /** With `sentinel = true`, two trailing chunks hold synthetic events
+    * 2 h and 4 h past the corpus maximum, whose only job is to advance
+    * the final watermark beyond every real event so append-mode
+    * operators (outer-join null emission, final windows) can flush the
+    * tail of their state before the bounded stream ends. Two, because
+    * eviction in batch k runs with the watermark committed after batch
+    * k−1 — the first sentinel advances, the second triggers the flush.
+    * The sentinels carry REAL event types (one 'error' + one 'purchase'
+    * row each): Catalyst pushes type filters BELOW the EventTimeWatermark
+    * node, so a row with a synthetic type would be dropped before the
+    * watermark ever observed it and the watermark would stall at the
+    * filtered stream's own maximum (observed: the last unmatched left
+    * row was never flushed). Consumers exclude sentinels by their
+    * negative `event_id` AFTER the join.
+    */
   private val chunkedCache = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def stagedTimeChunks(spark: SparkSession, sf: String, n: Int): String =
-    chunkedCache.getOrElseUpdate(s"$sf/events/$n", {
+  private def stagedTimeChunks(
+      spark: SparkSession, sf: String, n: Int, sentinel: Boolean = false): String =
+    chunkedCache.getOrElseUpdate(s"$sf/events/$n/$sentinel", {
       val dir = java.nio.file.Files.createTempDirectory("graft_stream_chunks")
       val df = Tables.normalizeTs(spark.read.parquet(path(sf, "events")))
       val mm = df.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
@@ -79,6 +95,30 @@ object StreamingQueries {
           java.nio.file.Files.move(p.toPath, dst)
           // explicit ascending mtimes: the source's file ordering key
           dst.toFile.setLastModified(base + i * 10000L)
+        }
+      }
+      if (sentinel) {
+        // TWO sentinel chunks: state eviction in batch k runs with the
+        // watermark committed after batch k−1, so the first sentinel only
+        // ADVANCES the watermark past the real data and the second one
+        // triggers the eviction pass that flushes the remaining state.
+        for (j <- 0 until 2) {
+          val row = df.limit(1)
+            .withColumn("event_type",
+              explode(array(lit("error"), lit("purchase"))))
+            .withColumn("event_id",
+              when(col("event_type") === "error", lit(-1L - 2 * j))
+                .otherwise(lit(-2L - 2 * j)))
+            .withColumn("ts",
+              expr(s"timestamp_micros(${hi - 1L} + ${7200000000L * (j + 1)})"))
+            .withColumn("user_id", lit(-1L))
+          val tmp = java.nio.file.Files.createTempDirectory("graft_chunk")
+          row.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = new java.io.File(tmp.toString).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+          val dst = dir.resolve(s"chunk_zzz_sentinel$j.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          dst.toFile.setLastModified(base + (n + j) * 10000L)
         }
       }
       dir.toString
@@ -530,6 +570,58 @@ object StreamingQueries {
              |  ON e.ts >= s.ts AND e.ts < s.ts + INTERVAL 15 MINUTE
              |WHERE e.event_type = 'error' AND s.event_type = 'signup'
              |ORDER BY e.event_id, signup_id""".stripMargin)),
+
+    // LEFT OUTER stream-stream join — the semantic the inner interval
+    // join can't show: an unmatched left row may only be emitted once
+    // the watermark PROVES no matching right row can still arrive
+    // (here: once it passes ts + 30 min). Equality on user_id keys the
+    // state store; both sides carry 1 h watermarks; the time-chunked
+    // staging advances the watermark mid-stream so null emissions
+    // happen progressively, and the sentinel chunk pushes the final
+    // watermark past every real event so the bounded stream flushes
+    // its tail — which is exactly why the result can hash-match the
+    // plain batch LEFT JOIN. Nulls are coalesced to -1 in both engines
+    // (a total order over a nullable key is engine-dependent).
+    QueryDef("stream_outer_join",
+      (spark, sf) => {
+        val dir = stagedTimeChunks(spark, sf, 8, sentinel = true)
+        val schema = spark.read.parquet(dir).schema
+        def raw = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        val errors = raw.withWatermark("ts", "1 hour")
+          .filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = raw.withWatermark("ts", "1 hour")
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"))
+        val joined = errors.join(purchases,
+          expr("user_id = p_user AND p_ts >= ts AND p_ts < ts + interval 30 minutes"),
+          "leftOuter")
+        val table = s"stream_oj_${counter.incrementAndGet()}"
+        withStatePartitions(spark, 8) {
+          // NO sentinel filter inside the stream: a predicate on the
+          // left side's columns is pushed below the EventTimeWatermark
+          // node, which would drop the sentinel rows before the
+          // watermark observed them and stall it at the real errors'
+          // maximum (observed: the last unmatched left never flushed).
+          // Sentinels flow through the join and are excluded from the
+          // BATCH read-back below instead.
+          val q = joined
+            .select(col("event_id"), coalesce(col("p_event_id"), lit(-1L)).as("p_event_id"))
+            .writeStream.format("memory").queryName(table)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          try q.awaitTermination() finally q.stop()
+        }
+        spark.table(table).filter(col("event_id") >= 0)
+          .orderBy(col("event_id"), col("p_event_id"))
+      },
+      Some("""SELECT e.event_id, COALESCE(p.event_id, -1) AS p_event_id
+             |FROM events e LEFT JOIN events p
+             |  ON e.user_id = p.user_id AND p.event_type = 'purchase'
+             |  AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 30 MINUTE
+             |WHERE e.event_type = 'error'
+             |ORDER BY e.event_id, p_event_id""".stripMargin)),
 
     // Streaming quality classification: the hashed linear classifier's
     // typed map runs unchanged inside micro-batches (stateless row
