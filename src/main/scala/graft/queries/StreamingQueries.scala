@@ -178,6 +178,59 @@ object StreamingQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Fault tolerance end to end: a watermarked append-mode hourly
+    // aggregation writing to the exactly-once PARQUET file sink is
+    // KILLED mid-stream (as soon as a batch has committed) and
+    // RESTARTED from its checkpoint; the restarted query resumes the
+    // RocksDB state and the sink's _spark_metadata manifest guarantees
+    // committed batches are neither lost nor doubled, so the final
+    // read-back hash-matches the batch oracle no matter where the kill
+    // landed. Sentinel chunks flush the final windows (their own
+    // past-corpus windows are cut at read-back — an in-stream filter
+    // would be pushed below the watermark node and starve it; see
+    // stream_outer_join). If the first run drains before the kill
+    // fires, the gate degrades to restart-with-nothing-pending, which
+    // must also be exact.
+    QueryDef("stream_recovery",
+      (spark, sf) => {
+        val dir = stagedTimeChunks(spark, sf, 8, sentinel = true)
+        val schema = spark.read.parquet(dir).schema
+        val maxUs = load(spark, sf, "events")
+          .agg(max(expr("unix_micros(ts)"))).first().getLong(0)
+        val ckpt = Tables.scratch("graft_recovery_ckpt")
+        val out = Tables.scratch("graft_recovery_out")
+        def start() = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(Shared.cents(col("value"))).as("value_cents"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        // run 1: kill after the first committed batch
+        val q1 = start()
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (q1.isActive && q1.lastProgress == null && System.nanoTime() < deadline)
+          Thread.sleep(25)
+        q1.stop()
+        q1.awaitTermination()
+        // run 2: recover from the checkpoint and drain
+        val q2 = start()
+        q2.awaitTermination()
+        spark.read.parquet(out)
+          .filter(expr(s"unix_micros(w.start) <= $maxUs")) // cut sentinel windows
+          .select(col("event_type"),
+            date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("n_events"), col("value_cents"))
+          .orderBy(col("event_type"), col("hour"))
+      },
+      Some("""SELECT event_type,
+             |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+             |FROM events GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin)),
+
     QueryDef("stream_time_window",
       (spark, sf) => {
         val schema = spark.read.parquet(path(sf, "events")).schema
