@@ -110,9 +110,18 @@ class PlanAudit extends SparkSpec {
     // 25-cell transition agg + orderBy
     "text_budget_select" -> 3,   // ONE range exchange for the total order
     // (prefix-sum passes add no shuffle) + final orderBy
-    "corpus_split_leakproof" -> 60) // docs ⋈ label map + the leak-gate's two
+    "corpus_split_leakproof" -> 60, // docs ⋈ label map + the leak-gate's two
     // probe joins re-reference the assignment lineage; shares
     // dedup_ngram_jaccard's shared-pair cache-state variance band
+    // round-14 additions
+    "text_url_canonicalize" -> 2, // scan-speed projection; orderBy only
+    "dedup_url" -> 3,            // canonical-URL agg + orderBy
+    "text_host_profile" -> 6,    // host agg w/ countDistinct (two-phase) + orderBy
+    "privacy_dp_counts" -> 3,    // type agg + orderBy (noise is a projection)
+    "q_set_ops_all" -> 10,       // two bag ops (each an agg) + per-branch
+    // fold aggs + union + orderBy
+    "q_lateral_topn" -> 4)       // WindowGroupLimit exchange + broadcast +
+    // orderBy (decorrelated lateral — PlanSpec pins the shape)
 
   // Queries whose only nested-loop joins are the recall/bound gates'
   // crossJoins against one-row aggregates (a broadcast of a scalar —
