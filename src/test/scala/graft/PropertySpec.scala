@@ -219,4 +219,75 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(salted != s1, "salt changes the draw")
   }
+
+  test("property: URL canonicalization is idempotent and structure-preserving") {
+    import graft.ops.TextOps
+    import spark.implicits._
+    val gen: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS", "ftp")
+      host <- Gen.oneOf("Example.COM", "example.com", "CDN.Example.com", "h")
+      port <- Gen.oneOf("", ":80", ":443", ":8080", ":65000")
+      segs <- Gen.choose(0, 3).flatMap(Gen.listOfN(_, idSeg))
+      trail <- Gen.oneOf("", "/")
+      params <- Gen.choose(0, 4).flatMap(Gen.listOfN(_, Gen.oneOf(
+        "utm_source=a", "utm_campaign=b", "gclid=1", "fbclid=2", "ref=r",
+        "id=7", "page=2", "q=x", "flag")))
+      frag <- Gen.oneOf("", "#sec", "#a/b?c")
+    } yield {
+      val path = segs.map("/" + _).mkString
+      val q = if (params.isEmpty) "" else "?" + params.mkString("&")
+      s"$scheme://$host$port$path$trail$q$frag"
+    }
+    val urls = samples(gen, 120).distinct
+    val df = urls.toDF("url")
+      .select(col("url"), TextOps.canonicalizeUrl(col("url")).as("c1"))
+      .select(col("url"), col("c1"), TextOps.canonicalizeUrl(col("c1")).as("c2"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    for ((u, c1, c2) <- df) {
+      assert(c1 == c2, s"idempotence: canon($u)=$c1 but canon(canon)=$c2")
+      assert(!c1.contains("#"), s"fragment must not survive: $u -> $c1")
+      assert(!c1.matches(".*[?&](utm_[^=]*|gclid|fbclid|msclkid|ref)=.*"),
+        s"tracking param survived: $u -> $c1")
+      val scheme = c1.takeWhile(_ != ':')
+      assert(scheme == scheme.toLowerCase, s"scheme case: $c1")
+      // the generated corpus is all absolute URLs: canon keeps scheme://
+      assert(c1.contains("://"), s"absolute form lost: $u -> $c1")
+    }
+  }
+
+  test("property: rankGlobal is a sort-consistent permutation under ties and nulls") {
+    import graft.ops.Rank
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 200)
+      ks <- Gen.listOfN(n, Gen.choose(0L, 20L)) // heavy ties by design
+    } yield ks
+    samples(gen, 6).foreach { ks =>
+      val df = ks.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("k", "uid").repartition(7)
+      // total order via the uid tiebreak (the documented contract)
+      val got = Rank.rankGlobal(df, Seq(col("k"), col("uid")), "r")
+        .select(col("k"), col("uid"), col("r"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.map(_._3).sorted.sameElements(1L to ks.size.toLong),
+        "ranks must be a permutation of 1..n")
+      val bySort = got.sortBy(t => (t._1, t._2)).map(_._3)
+      assert(bySort.sameElements(1L to ks.size.toLong),
+        "rank order must equal the sort order")
+    }
+  }
+
+  test("property: dp noise is word-width bounded and key-deterministic") {
+    import graft.ops.Curation
+    import spark.implicits._
+    val keys = samples(idSeg, 300).distinct
+    val once = keys.toDF("k")
+      .select(col("k"), Curation.dpGeometricNoise(col("k")).as("z"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val again = keys.toDF("k").repartition(5)
+      .select(col("k"), Curation.dpGeometricNoise(col("k")).as("z"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(once == again, "noise must be a pure function of the key")
+    assert(once.values.forall(z => z > -32 && z < 32), "two-sided geometric bound")
+  }
 }
