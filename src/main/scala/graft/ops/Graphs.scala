@@ -186,6 +186,77 @@ object Graphs {
     acc
   }
 
+  /** Single-source (or multi-source) cheapest paths by semi-naive
+    * Bellman–Ford: each round relaxes only the FRONTIER — the nodes
+    * whose tentative distance improved last round — against the edge
+    * table, so per-round shuffle traffic is the frontier's size, not
+    * the whole distance table's (the same datalog bound
+    * [[transitiveClosure]] gets for reachability, here on the
+    * (min, +) semiring). With non-negative integer weights the
+    * fixpoint is the exact shortest-path distance regardless of
+    * iteration order or partitioning — what makes an iterative
+    * numeric algorithm SQL-oracle-able bit-for-bit.
+    *
+    * Per round: one join of the frontier with the edge list (edges
+    * persisted once, their partitioning reused every round), one
+    * src-keyed partial-agg min shuffle, one merge-min against the
+    * accumulated distances. Lineage is truncated per round and
+    * checkpoints are GC'd two-phase, exactly like the other fixpoints;
+    * `maxIters` bounds runaway relaxation (a negative cycle, or a
+    * graph deeper than expected) and `strict` escalates truncation to
+    * an error — a silently unconverged distance table is a wrong
+    * answer, not a warning.
+    *
+    * `edges` columns: (src, dst, w) — w a non-negative long; distances
+    * flow from `sources` (node) BACKWARD along edges (dist(src) =
+    * min over src→dst of w + dist(dst)), the to-sink orientation;
+    * callers wanting from-source semantics pass reversed edges.
+    * Output: (node, dist) for every node that can reach a source.
+    */
+  def cheapestPaths(
+      edges: DataFrame, sources: DataFrame, maxIters: Int = 40,
+      strict: Boolean = true): DataFrame = {
+    val spark = edges.sparkSession
+    val gc = new CheckpointGC
+    val e = edges.select(col("src"), col("dst"), col("w")).persist()
+    var acc = gc.track(truncate(
+      sources.select(col("node"), lit(0L).as("dist")).distinct()))
+    var frontier = acc
+    var rounds = 0
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && rounds < maxIters) {
+      val cand = e
+        .join(frontier.select(col("node").as("dst"), col("dist")), "dst")
+        .select(col("src").as("node"), (col("w") + col("dist")).as("cand"))
+        .groupBy(col("node")).agg(min(col("cand")).as("cand"))
+      val improved = gc.track(truncate(
+        cand.join(acc, Seq("node"), "left")
+          .filter(col("dist").isNull || col("cand") < col("dist"))
+          .select(col("node"), col("cand").as("dist"))))
+      // improved strictly beats acc where both exist, so merge-min ==
+      // replace; one union+min agg keeps it a single shuffle
+      acc = gc.track(truncate(
+        acc.unionByName(improved).groupBy(col("node"))
+          .agg(min(col("dist")).as("dist"))))
+      frontierSize = improved.count()
+      frontier = improved
+      rounds += 1
+      gc.sweep(spark)
+    }
+    e.unpersist()
+    gc.finish(spark, acc)
+    if (frontierSize > 0) {
+      val msg =
+        s"Graphs.cheapestPaths: distances still improving after $maxIters " +
+          s"rounds ($frontierSize nodes pending) — unconverged (graph deeper " +
+          "than maxIters, or a negative-weight cycle). Raise maxIters (or " +
+          "pass strict = false for best-effort)."
+      if (strict) throw new IllegalStateException(msg)
+      else System.err.println(s"[graft] $msg")
+    }
+    acc
+  }
+
   /** Fixed-iteration PageRank in INTEGER micro-units (rank 1.0 =
     * 1,000,000): every step is integer division and integer sums, so the
     * result is bit-identical on any engine and any aggregation order —

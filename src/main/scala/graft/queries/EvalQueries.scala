@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Model-evaluation tier: the measurement loop every filter-model
+  * pipeline needs before it trusts a classifier at corpus scale —
+  * exact AUC, a precision/recall operating-point sweep, and score
+  * calibration. The model under test is the engine's hashed linear
+  * quality classifier ([[graft.ops.TextOps.hashedLinearScore]]) scored
+  * against the rule-based Gopher gate's keep decision as ground truth
+  * (the standard bootstrap: rules label, a model generalizes, eval
+  * decides whether the model may replace the rules).
+  *
+  * Everything is exact-integer sufficient statistics + one final double
+  * per metric, so every query carries a full DuckDB oracle:
+  *   - AUC via the Mann–Whitney rank-sum identity over the engine's
+  *     distributed exact rank ([[graft.ops.Rank.rankGlobal]] — a range-
+  *     partitioned sort, never a single-partition window), with exact
+  *     midrank tie handling in pure integers (2·U is an integer).
+  *   - PR sweep and calibration are one score-keyed aggregation each —
+  *     at 100 TB the corpus is scanned once, everything downstream
+  *     operates on the #distinct-scores / #bins frames.
+  */
+object EvalQueries {
+  import Tables.load
+
+  /** (doc_id, score, label) for the documents corpus, persisted once
+    * per sfDir and shared by the three eval gates (each consumes the
+    * same classifier pass + rule-gate pass; a per-call recompute would
+    * hash every token three times per round). Same deliberate
+    * corpus-keyed cache-ownership pattern as
+    * [[Shared.exactTokenCounts]].
+    */
+  private val labeledCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def labeled(spark: SparkSession, sf: String): DataFrame =
+    labeledCache.getOrElseUpdate(sf, {
+      val d = load(spark, sf, "documents")
+      val scores = graft.ops.TextOps.hashedLinearScore(d, "text", "doc_id")
+        .select(col("doc_id"), col("score"))
+      val maxFreq = d
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("max_tok"))
+      val base = d.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(array_distinct(filter(split(col("text"), " "),
+          t => t.isInCollection(graft.ops.TextOps.DefaultStopwords))))
+          .cast("long").as("ds"))
+      scores.join(base, Seq("doc_id")).join(maxFreq, Seq("doc_id"))
+        .select(col("doc_id"), col("score"),
+          (col("n_tokens") >= 50 && col("n_tokens") <= 100000L &&
+            col("n_chars") - col("n_tokens") + 1 >= col("n_tokens") * 3 &&
+            col("n_chars") - col("n_tokens") + 1 <= col("n_tokens") * 10 &&
+            col("ds") >= 2 &&
+            col("max_tok") * 5 <= col("n_tokens")).cast("long").as("label"))
+        .persist()
+    })
+
+  /** DuckDB replay of [[labeled]]: the FNV-1a/HUGEINT classifier-score
+    * CTE (identical text to the text_quality_classifier oracle) joined
+    * with the rule-gate replay (identical predicates to the
+    * text_quality_filters oracle), ending in
+    * `labeled(doc_id, score, label)`.
+    */
+  private val LabeledSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+      |),
+      |hashed AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS hs
+      |  FROM (
+      |    SELECT doc_id,
+      |      list_reduce(
+      |        list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |          [CAST(unicode(c) AS BIGINT) FOR c IN string_split_regex(t, '')]),
+      |        (acc, c) -> ((acc - (acc % 65536) +
+      |            CAST(xor(CAST(acc % 65536 AS BIGINT), c) AS HUGEINT))
+      |            * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+      |      ) AS h
+      |    FROM tok
+      |  )
+      |),
+      |sc AS (
+      |  SELECT doc_id, CAST(SUM(((hs & 63) * 37) % 21 - 10) AS BIGINT) AS score
+      |  FROM hashed GROUP BY doc_id
+      |),
+      |qbase AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text,' ')) AS BIGINT) n,
+      |    CAST(LENGTH(text) AS BIGINT) ch,
+      |    CAST(len(list_distinct(list_filter(string_split(text,' '),
+      |      t -> list_contains(['the','a','of','and','to','in'], t)))) AS BIGINT) ds
+      |  FROM documents),
+      |mf AS (
+      |  SELECT doc_id, MAX(c) AS max_tok FROM (
+      |    SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t) g
+      |  GROUP BY doc_id),
+      |labeled AS (
+      |  SELECT s.doc_id, s.score,
+      |    CAST((n >= 50 AND n <= 100000)
+      |      AND (ch - n + 1 >= n * 3 AND ch - n + 1 <= n * 10)
+      |      AND ds >= 2 AND max_tok * 5 <= n AS BIGINT) AS label
+      |  FROM sc s JOIN qbase USING (doc_id) JOIN mf USING (doc_id))""".stripMargin
+
+  /** PR-sweep operating points: fixed literal thresholds spanning the
+    * classifier's observed score range (sf0.01: [-115, 247], median
+    * ~41) with headroom either side. Literal-fixed (not quantiles) so
+    * the sweep is a stable contract across corpora and engines.
+    */
+  private[queries] val Thresholds: Seq[Int] =
+    Seq(-100, -50, -25, 0, 25, 50, 75, 100, 150, 200)
+
+  /** Calibration bin width (score units per bin, floor binning). */
+  private[queries] val CalibrationBin = 50
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Exact ROC AUC by the Mann–Whitney rank-sum identity: rank all
+    // scores under the total order (score, doc_id) with the engine's
+    // distributed exact rank, collapse to per-distinct-score
+    // (min-rank, count, positives) — ranks of a tie group are
+    // contiguous under that sort, so the group's midrank·2 is the
+    // integer 2·minr + cnt − 1 — and AUC = (2·R⁺ − n⁺(n⁺+1)) /
+    // (2·n⁺·n⁻) with exact tie handling. Everything up to the single
+    // final division is BIGINT (u2 is emitted for the oracle to check
+    // exactly); no single-partition window anywhere — the rank is a
+    // range-partitioned sort + O(partitions) offsets.
+    QueryDef("eval_auc",
+      (spark, sf) => {
+        val ranked = graft.ops.Rank.rankGlobal(
+          labeled(spark, sf), Seq(col("score"), col("doc_id")), "r")
+        ranked.groupBy(col("score"))
+          .agg(min(col("r")).as("minr"), count(lit(1)).as("cnt"),
+            sum(col("label")).as("posc"))
+          .agg(sum(col("posc")).as("n_pos"),
+            sum(col("cnt") - col("posc")).as("n_neg"),
+            sum(col("posc") * (col("minr") * 2 + col("cnt") - 1)).as("rp2"))
+          .select(col("n_pos"), col("n_neg"),
+            (col("rp2") - col("n_pos") * (col("n_pos") + 1)).as("u2"),
+            when(col("n_pos") > 0 && col("n_neg") > 0,
+              round((col("rp2") - col("n_pos") * (col("n_pos") + 1)) /
+                (col("n_pos") * col("n_neg") * 2.0), 6)).as("auc"))
+      },
+      Some(s"""$LabeledSql,
+             |ranked AS (
+             |  SELECT score, label,
+             |    RANK() OVER (ORDER BY score) AS minr,
+             |    COUNT(*) OVER (PARTITION BY score) AS cnt
+             |  FROM labeled),
+             |g AS (
+             |  SELECT score, MIN(minr) AS minr, COUNT(*) AS cnt,
+             |    SUM(label) AS posc
+             |  FROM ranked GROUP BY score),
+             |agg AS (
+             |  SELECT SUM(posc) AS n_pos, SUM(cnt - posc) AS n_neg,
+             |    SUM(posc * (minr * 2 + cnt - 1)) AS rp2
+             |  FROM g)
+             |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+             |  CAST(rp2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+             |  CASE WHEN n_pos > 0 AND n_neg > 0
+             |    THEN ROUND((rp2 - n_pos * (n_pos + 1)) / (n_pos * n_neg * 2.0), 6)
+             |  END AS auc
+             |FROM agg""".stripMargin)),
+
+    // Precision/recall/F1 sweep over fixed operating thresholds
+    // (predict positive at score ≥ t): the corpus collapses to a
+    // per-distinct-score (positives, negatives) frame in ONE shuffle;
+    // the #scores × #thresholds grid and the confusion counts live
+    // entirely on that tiny frame. Counts are exact BIGINTs; each
+    // metric is one division of two integers (bit-exact cross-engine),
+    // null where its denominator is empty.
+    QueryDef("eval_pr_curve",
+      (spark, sf) => {
+        val g = labeled(spark, sf).groupBy(col("score"))
+          .agg(sum(col("label")).as("posc"),
+            (count(lit(1)) - sum(col("label"))).as("negc"))
+        g.select(col("score"), col("posc"), col("negc"),
+            explode(array(Thresholds.map(lit): _*)).as("t"))
+          .groupBy(col("t"))
+          .agg(
+            sum(when(col("score") >= col("t"), col("posc")).otherwise(0L)).as("tp"),
+            sum(when(col("score") >= col("t"), col("negc")).otherwise(0L)).as("fp"),
+            sum(when(col("score") < col("t"), col("posc")).otherwise(0L)).as("fn"),
+            sum(when(col("score") < col("t"), col("negc")).otherwise(0L)).as("tn"))
+          .select(col("t"), col("tp"), col("fp"), col("fn"), col("tn"),
+            when(col("tp") + col("fp") > 0,
+              round(col("tp") / (col("tp") + col("fp")).cast("double"), 6))
+              .as("precision"),
+            when(col("tp") + col("fn") > 0,
+              round(col("tp") / (col("tp") + col("fn")).cast("double"), 6))
+              .as("recall"),
+            when(col("tp") * 2 + col("fp") + col("fn") > 0,
+              round(col("tp") * 2 /
+                (col("tp") * 2 + col("fp") + col("fn")).cast("double"), 6))
+              .as("f1"))
+          .orderBy(col("t"))
+      },
+      Some(s"""$LabeledSql,
+             |g AS (
+             |  SELECT score, SUM(label) AS posc, COUNT(*) - SUM(label) AS negc
+             |  FROM labeled GROUP BY score),
+             |x AS (
+             |  SELECT g.*, v.t FROM g CROSS JOIN (VALUES
+             |    ${Thresholds.map(t => s"($t)").mkString(",")}) v(t)),
+             |m AS (
+             |  SELECT t,
+             |    SUM(CASE WHEN score >= t THEN posc ELSE 0 END) AS tp,
+             |    SUM(CASE WHEN score >= t THEN negc ELSE 0 END) AS fp,
+             |    SUM(CASE WHEN score < t THEN posc ELSE 0 END) AS fn,
+             |    SUM(CASE WHEN score < t THEN negc ELSE 0 END) AS tn
+             |  FROM x GROUP BY t)
+             |SELECT CAST(t AS INT) AS t, CAST(tp AS BIGINT) AS tp,
+             |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+             |  CAST(tn AS BIGINT) AS tn,
+             |  CASE WHEN tp + fp > 0 THEN ROUND(tp / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+             |  CASE WHEN tp + fn > 0 THEN ROUND(tp / CAST(tp + fn AS DOUBLE), 6) END AS recall,
+             |  CASE WHEN tp * 2 + fp + fn > 0
+             |    THEN ROUND(tp * 2 / CAST(tp * 2 + fp + fn AS DOUBLE), 6) END AS f1
+             |FROM m ORDER BY t""".stripMargin)),
+
+    // Score calibration / reliability table: fixed-width score bins
+    // (floor division — FLOOR(score/50.0) is exact for integer scores,
+    // and matches across engines where a SQL `div` would not: SQL div
+    // truncates toward zero, DuckDB // floors), each bin reporting its
+    // population, empirical positive rate and mean score — the
+    // reliability-diagram input that says WHERE the classifier's score
+    // actually tracks the label. One score-keyed shuffle; integer
+    // sums; two single divisions per bin.
+    QueryDef("eval_calibration",
+      (spark, sf) => {
+        labeled(spark, sf)
+          .withColumn("bin",
+            floor(col("score") / lit(CalibrationBin.toDouble)).cast("long"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("cnt"), sum(col("label")).as("pos"),
+            sum(col("score")).as("ssum"))
+          .select(col("bin"), col("cnt"), col("pos"),
+            round(col("ssum") / col("cnt").cast("double"), 6).as("mean_score"),
+            round(col("pos") / col("cnt").cast("double"), 6).as("pos_rate"))
+          .orderBy(col("bin"))
+      },
+      Some(s"""$LabeledSql
+             |SELECT CAST(FLOOR(score / $CalibrationBin.0) AS BIGINT) AS bin,
+             |  CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(label) AS BIGINT) AS pos,
+             |  ROUND(SUM(score) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_score,
+             |  ROUND(SUM(label) / CAST(COUNT(*) AS DOUBLE), 6) AS pos_rate
+             |FROM labeled GROUP BY 1 ORDER BY bin""".stripMargin)),
+  )
+}

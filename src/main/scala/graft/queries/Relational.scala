@@ -2445,5 +2445,122 @@ object Relational {
              |FROM fact f ASOF LEFT JOIN dim d
              |  ON f.o_custkey = d.custkey AND f.feature_ts >= d.valid_from
              |ORDER BY f.o_orderkey""".stripMargin)),
+
+    // Weighted shortest paths (semi-naive Bellman–Ford) over a multi-
+    // path DAG derived from the part keys: every node p has TWO out-
+    // edges (p → p div 2 and p → p div 3, each with a deterministic
+    // small weight), so real route choice exists at every step and the
+    // min-cost answer is not just tree depth. The relaxation metric is
+    // the COMBINED integer w·64 + 1: because no shortest path has ≥ 64
+    // hops here, minimizing the combined metric IS the lexicographic
+    // (total weight, hop count) minimum — one Bellman–Ford run yields
+    // both, exactly, with deterministic tie-breaks. Per round the op
+    // shuffles only the improved frontier (ops/Graphs.scala); the
+    // oracle replays 24 unrolled relaxation rounds — a fixpoint by
+    // round ⌈log2(max key)⌉+1 ≈ 16 at sf0.1, so 24 covers every
+    // shipped SF with margin (keys up to 2^23).
+    QueryDef("q_cheapest_path",
+      (spark, sf) => {
+        val dists = fixpointCache.getOrElseUpdate(s"cheapest:$sf", {
+          val p = load(spark, sf, "part").filter(col("p_partkey") >= 1)
+          val edges = p.select(col("p_partkey").as("src"),
+              expr("p_partkey div 2").as("dst"),
+              ((lit(1) + col("p_partkey") % 7) * 64 + 1).cast("long").as("w"))
+            .unionByName(p.select(col("p_partkey").as("src"),
+              expr("p_partkey div 3").as("dst"),
+              ((lit(2) + col("p_partkey") % 5) * 64 + 1).cast("long").as("w")))
+          val sink = spark.range(1).select(lit(0L).as("node"))
+          graft.ops.Graphs.cheapestPaths(edges, sink)
+        })
+        dists
+          .filter(col("node") % 41 === 0)
+          .select(col("node"), expr("dist div 64").as("dist"),
+            (col("dist") % 64).cast("int").as("hops"))
+          .orderBy(col("node"))
+      },
+      Some {
+        // AS MATERIALIZED is load-bearing: each round references the
+        // previous one twice, and DuckDB's default CTE inlining would
+        // expand the 24-round chain exponentially (observed: file-handle
+        // exhaustion re-opening part.parquet 2^24 times)
+        def round(k: Int) =
+          s"""d$k AS MATERIALIZED (
+             |  SELECT node, MIN(dist) AS dist FROM (
+             |    SELECT node, dist FROM d${k - 1}
+             |    UNION ALL
+             |    SELECT e.src, e.w + d.dist FROM e JOIN d${k - 1} d ON e.dst = d.node)
+             |  GROUP BY node)""".stripMargin
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT CAST(p_partkey AS BIGINT) AS src, CAST(p_partkey // 2 AS BIGINT) AS dst,
+           |    CAST((1 + p_partkey % 7) * 64 + 1 AS BIGINT) AS w
+           |  FROM part WHERE p_partkey >= 1
+           |  UNION ALL
+           |  SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey // 3 AS BIGINT),
+           |    CAST((2 + p_partkey % 5) * 64 + 1 AS BIGINT)
+           |  FROM part WHERE p_partkey >= 1),
+           |d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+           |${(1 to 24).map(round).mkString(",\n")}
+           |SELECT node, dist // 64 AS dist, CAST(dist % 64 AS INT) AS hops
+           |FROM d24 WHERE node % 41 = 0 ORDER BY node""".stripMargin
+      }),
+
+    // Pearson chi-square test of independence (nation × order priority)
+    // — the categorical-association primitive behind feature selection
+    // and drift tests. Contingency cells, margins and N are exact
+    // integers; each cell's (O·N − R·C)²/(R·C) term is one fixed double
+    // expression (the diff is < 2^53, so its double square is the same
+    // IEEE value on every engine — no libm POW); the statistic is the
+    // term sum over a bounded #nations × #priorities frame, rounded to
+    // 4 dp, and Cramér's V is one sqrt of the already-rounded χ²/(N·k)
+    // so both engines root the identical double. Shape: one fact
+    // shuffle for the cells, margins re-aggregated from the tiny cell
+    // frame, broadcast joins back — at 100 TB the fact table is
+    // touched exactly once.
+    QueryDef("q_chi_square",
+      (spark, sf) => {
+        val cells = load(spark, sf, "orders")
+          .join(load(spark, sf, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(load(spark, sf, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("obs"))
+        val rt = cells.groupBy(col("n_name")).agg(sum(col("obs")).as("rt"))
+        val ct = cells.groupBy(col("o_orderpriority")).agg(sum(col("obs")).as("ct"))
+        val tot = cells.agg(sum(col("obs")).as("n"),
+          countDistinct(col("n_name")).as("r"),
+          countDistinct(col("o_orderpriority")).as("cc"))
+        val d = (col("obs") * col("n") - col("rt") * col("ct")).cast("double")
+        cells.join(broadcast(rt), Seq("n_name"))
+          .join(broadcast(ct), Seq("o_orderpriority"))
+          .crossJoin(broadcast(tot))
+          .select(col("n"), col("r"), col("cc"),
+            (d * d / (col("rt") * col("ct")).cast("double")).as("term"))
+          .groupBy(col("n"), col("r"), col("cc"))
+          .agg(sum(col("term")).as("s"))
+          .select(col("n"),
+            ((col("r") - 1) * (col("cc") - 1)).cast("int").as("dof"),
+            round(col("s") / col("n"), 4).as("chi2"),
+            round(sqrt(round(col("s") / col("n"), 4) /
+              (col("n") * least(col("r") - 1, col("cc") - 1))), 6).as("cramers_v"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT n_name, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS obs
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY 1, 2),
+             |rt AS (SELECT n_name, SUM(obs) AS rt FROM cells GROUP BY 1),
+             |ct AS (SELECT o_orderpriority, SUM(obs) AS ct FROM cells GROUP BY 1),
+             |tot AS (SELECT SUM(obs) AS n, COUNT(DISTINCT n_name) AS r,
+             |          COUNT(DISTINCT o_orderpriority) AS cc FROM cells),
+             |terms AS (
+             |  SELECT n, r, cc,
+             |    CAST(obs*n - rt*ct AS DOUBLE) * CAST(obs*n - rt*ct AS DOUBLE)
+             |      / CAST(rt*ct AS DOUBLE) AS term
+             |  FROM cells JOIN rt USING (n_name) JOIN ct USING (o_orderpriority)
+             |  CROSS JOIN tot)
+             |SELECT CAST(n AS BIGINT) AS n, CAST((r-1)*(cc-1) AS INT) AS dof,
+             |  ROUND(SUM(term)/n, 4) AS chi2,
+             |  ROUND(SQRT(ROUND(SUM(term)/n, 4) / (n * LEAST(r-1, cc-1))), 6) AS cramers_v
+             |FROM terms GROUP BY n, r, cc""".stripMargin)),
   )
 }

@@ -850,6 +850,35 @@ class OpsSpec extends SparkSpec {
       .head().getInt(0) <= 4)
   }
 
+  test("cheapest paths: multi-path min cost, unreachable absent, any partitioning") {
+    // 1→0 direct costs 10 but 1→2→0 costs 4; 3 reaches only via 1;
+    // 5→6 never reaches the sink and must not appear
+    val edges = spark.createDataFrame(Seq(
+      (1L, 0L, 10L), (1L, 2L, 1L), (2L, 0L, 3L), (3L, 1L, 2L), (5L, 6L, 1L)
+    )).toDF("src", "dst", "w")
+    val sink = spark.createDataFrame(Seq(Tuple1(0L))).toDF("node")
+    for (parts <- Seq(1, 4)) {
+      val out = Graphs.cheapestPaths(edges.repartition(parts), sink)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(0L -> 0L, 2L -> 3L, 1L -> 4L, 3L -> 6L),
+        s"parts=$parts: $out")
+    }
+  }
+
+  test("cheapest paths: strict mode throws when maxIters truncates") {
+    val chain = spark.createDataFrame((1L to 10L).map(i => (i, i - 1, 1L)))
+      .toDF("src", "dst", "w")
+    val sink = spark.createDataFrame(Seq(Tuple1(0L))).toDF("node")
+    val e = intercept[IllegalStateException] {
+      Graphs.cheapestPaths(chain, sink, maxIters = 3)
+    }
+    assert(e.getMessage.contains("unconverged"))
+    // best-effort returns distances correct up to the explored depth
+    val partial = Graphs.cheapestPaths(chain, sink, maxIters = 3, strict = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(partial == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L), partial.toString)
+  }
+
   test("animated GIF: multi-frame round-trip exact through the JDK codec") {
     val frames = Multimodal.decodeGifFrames(Multimodal.syntheticGif(7))
     assert(frames.size == 2 + 7 % 4)

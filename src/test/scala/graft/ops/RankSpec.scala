@@ -62,6 +62,29 @@ class RankSpec extends SparkSpec {
       s"each model must account for every purchase exactly once: $df vs $total")
   }
 
+  test("rank-sum AUC identity (eval_auc's pipeline) equals brute-force pair counting") {
+    // heavy-tie score set: 2·U from the midrank identity over rankGlobal
+    // must equal the direct count of 2·[s⁺>s⁻] + [s⁺=s⁻] over all pairs
+    val rng = new scala.util.Random(7)
+    val rows = (1L to 300L).map(i => (i, (rng.nextInt(9) - 4).toLong,
+      if (rng.nextBoolean()) 1L else 0L))
+    val df = rows.toDF("doc_id", "score", "label").repartition(5)
+    val ranked = Rank.rankGlobal(df, Seq(col("score"), col("doc_id")), "r")
+    val (nPos, nNeg, rp2) = ranked.groupBy(col("score"))
+      .agg(min(col("r")).as("minr"), count(lit(1)).as("cnt"),
+        sum(col("label")).as("posc"))
+      .agg(sum(col("posc")), sum(col("cnt") - col("posc")),
+        sum(col("posc") * (col("minr") * 2 + col("cnt") - 1)))
+      .as[(Long, Long, Long)].head()
+    val u2 = rp2 - nPos * (nPos + 1)
+    val pos = rows.filter(_._3 == 1L).map(_._2)
+    val neg = rows.filter(_._3 == 0L).map(_._2)
+    val brute = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    assert(nPos == pos.size && nNeg == neg.size)
+    assert(u2 == brute, s"2U midrank=$u2 brute=$brute")
+  }
+
   test("runningMaxExclusive matches the sequential exclusive max, any partitioning") {
     import spark.implicits._
     val vals = Seq(5L, 3L, 9L, 1L, 9L, 2L, 7L, 10L, 4L, 6L).zipWithIndex

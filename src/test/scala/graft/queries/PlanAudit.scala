@@ -120,8 +120,22 @@ class PlanAudit extends SparkSpec {
     "privacy_dp_counts" -> 3,    // type agg + orderBy (noise is a projection)
     "q_set_ops_all" -> 10,       // two bag ops (each an agg) + per-branch
     // fold aggs + union + orderBy
-    "q_lateral_topn" -> 4)       // WindowGroupLimit exchange + broadcast +
+    "q_lateral_topn" -> 4,       // WindowGroupLimit exchange + broadcast +
     // orderBy (decorrelated lateral — PlanSpec pins the shape)
+    // round-14 session-2 additions
+    "q_cheapest_path" -> 3,      // checkpointed final distances + filter + orderBy
+    "q_chi_square" -> 26,        // cells agg lineage prints once per textual
+    // reference (cells, rt, ct, tot) + margin re-aggs + final group agg
+    // (measured 20 — at runtime AQE collapses the identical cell
+    // subtrees to ReusedExchange, the q_triangle_count story)
+    "eval_auc" -> 4,             // rank output is a LogicalRDD (range-shuffle
+    // machinery lives behind it) + score agg + final one-group agg
+    "eval_pr_curve" -> 17,       // labeled lineage (classifier pass + rule-gate
+    // aggs + joins, printed until the shared cache materializes) +
+    // score agg + threshold agg + orderBy (measured 13 cold)
+    "eval_calibration" -> 16)    // labeled lineage (classifier pass + rule-gate
+    // aggs + joins, printed until the shared cache materializes) + bin
+    // agg + orderBy (measured 12 cold)
 
   // Queries whose only nested-loop joins are the recall/bound gates'
   // crossJoins against one-row aggregates (a broadcast of a scalar —
@@ -143,7 +157,9 @@ class PlanAudit extends SparkSpec {
     // |probes|·|corpus|, same economics as sim_cosine_topk's exact tier)
     "text_hybrid_rrf" -> 2,
     // the one-row (n_docs, avgdl) stats attach
-    "text_probe_bm25" -> 1)
+    "text_probe_bm25" -> 1,
+    // the one-row (n, r, cc) totals attach
+    "q_chi_square" -> 1)
 
   test("q_skew_aqe_join: AQE splits the hot partition (structural isSkewJoin)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
