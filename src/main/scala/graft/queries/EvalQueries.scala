@@ -35,7 +35,7 @@ object EvalQueries {
   private val labeledCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  private def labeled(spark: SparkSession, sf: String): DataFrame =
+  private[queries] def labeled(spark: SparkSession, sf: String): DataFrame =
     labeledCache.getOrElseUpdate(sf, {
       val d = load(spark, sf, "documents")
       val scores = graft.ops.TextOps.hashedLinearScore(d, "text", "doc_id")
@@ -118,6 +118,51 @@ object EvalQueries {
   /** Calibration bin width (score units per bin, floor binning). */
   private[queries] val CalibrationBin = 50
 
+  /** One oracle for both PR-sweep twins (eval_pr_curve and its
+    * streaming twin): the twins must stay result-identical, so the
+    * thresholds and metric formulas live here once.
+    */
+  private[queries] val PrCurveOracle: String =
+    s"""$LabeledSql,
+       |g AS (
+       |  SELECT score, SUM(label) AS posc, COUNT(*) - SUM(label) AS negc
+       |  FROM labeled GROUP BY score),
+       |x AS (
+       |  SELECT g.*, v.t FROM g CROSS JOIN (VALUES
+       |    ${Thresholds.map(t => s"($t)").mkString(",")}) v(t)),
+       |m AS (
+       |  SELECT t,
+       |    SUM(CASE WHEN score >= t THEN posc ELSE 0 END) AS tp,
+       |    SUM(CASE WHEN score >= t THEN negc ELSE 0 END) AS fp,
+       |    SUM(CASE WHEN score < t THEN posc ELSE 0 END) AS fn,
+       |    SUM(CASE WHEN score < t THEN negc ELSE 0 END) AS tn
+       |  FROM x GROUP BY t)
+       |SELECT CAST(t AS INT) AS t, CAST(tp AS BIGINT) AS tp,
+       |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+       |  CAST(tn AS BIGINT) AS tn,
+       |  CASE WHEN tp + fp > 0 THEN ROUND(tp / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+       |  CASE WHEN tp + fn > 0 THEN ROUND(tp / CAST(tp + fn AS DOUBLE), 6) END AS recall,
+       |  CASE WHEN tp * 2 + fp + fn > 0
+       |    THEN ROUND(tp * 2 / CAST(tp * 2 + fp + fn AS DOUBLE), 6) END AS f1
+       |FROM m ORDER BY t""".stripMargin
+
+  /** The confusion-counts → metrics projection shared by both PR-sweep
+    * twins (applied to a frame with t/tp/fp/fn/tn columns).
+    */
+  private[queries] def prMetrics(df: DataFrame): DataFrame =
+    df.select(col("t"), col("tp"), col("fp"), col("fn"), col("tn"),
+      when(col("tp") + col("fp") > 0,
+        round(col("tp") / (col("tp") + col("fp")).cast("double"), 6))
+        .as("precision"),
+      when(col("tp") + col("fn") > 0,
+        round(col("tp") / (col("tp") + col("fn")).cast("double"), 6))
+        .as("recall"),
+      when(col("tp") * 2 + col("fp") + col("fn") > 0,
+        round(col("tp") * 2 /
+          (col("tp") * 2 + col("fp") + col("fn")).cast("double"), 6))
+        .as("f1"))
+      .orderBy(col("t"))
+
   def defs: Seq[QueryDef] = Seq(
 
     // Exact ROC AUC by the Mann–Whitney rank-sum identity: rank all
@@ -179,49 +224,16 @@ object EvalQueries {
         val g = labeled(spark, sf).groupBy(col("score"))
           .agg(sum(col("label")).as("posc"),
             (count(lit(1)) - sum(col("label"))).as("negc"))
-        g.select(col("score"), col("posc"), col("negc"),
+        prMetrics(g.select(col("score"), col("posc"), col("negc"),
             explode(array(Thresholds.map(lit): _*)).as("t"))
           .groupBy(col("t"))
           .agg(
             sum(when(col("score") >= col("t"), col("posc")).otherwise(0L)).as("tp"),
             sum(when(col("score") >= col("t"), col("negc")).otherwise(0L)).as("fp"),
             sum(when(col("score") < col("t"), col("posc")).otherwise(0L)).as("fn"),
-            sum(when(col("score") < col("t"), col("negc")).otherwise(0L)).as("tn"))
-          .select(col("t"), col("tp"), col("fp"), col("fn"), col("tn"),
-            when(col("tp") + col("fp") > 0,
-              round(col("tp") / (col("tp") + col("fp")).cast("double"), 6))
-              .as("precision"),
-            when(col("tp") + col("fn") > 0,
-              round(col("tp") / (col("tp") + col("fn")).cast("double"), 6))
-              .as("recall"),
-            when(col("tp") * 2 + col("fp") + col("fn") > 0,
-              round(col("tp") * 2 /
-                (col("tp") * 2 + col("fp") + col("fn")).cast("double"), 6))
-              .as("f1"))
-          .orderBy(col("t"))
+            sum(when(col("score") < col("t"), col("negc")).otherwise(0L)).as("tn")))
       },
-      Some(s"""$LabeledSql,
-             |g AS (
-             |  SELECT score, SUM(label) AS posc, COUNT(*) - SUM(label) AS negc
-             |  FROM labeled GROUP BY score),
-             |x AS (
-             |  SELECT g.*, v.t FROM g CROSS JOIN (VALUES
-             |    ${Thresholds.map(t => s"($t)").mkString(",")}) v(t)),
-             |m AS (
-             |  SELECT t,
-             |    SUM(CASE WHEN score >= t THEN posc ELSE 0 END) AS tp,
-             |    SUM(CASE WHEN score >= t THEN negc ELSE 0 END) AS fp,
-             |    SUM(CASE WHEN score < t THEN posc ELSE 0 END) AS fn,
-             |    SUM(CASE WHEN score < t THEN negc ELSE 0 END) AS tn
-             |  FROM x GROUP BY t)
-             |SELECT CAST(t AS INT) AS t, CAST(tp AS BIGINT) AS tp,
-             |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
-             |  CAST(tn AS BIGINT) AS tn,
-             |  CASE WHEN tp + fp > 0 THEN ROUND(tp / CAST(tp + fp AS DOUBLE), 6) END AS precision,
-             |  CASE WHEN tp + fn > 0 THEN ROUND(tp / CAST(tp + fn AS DOUBLE), 6) END AS recall,
-             |  CASE WHEN tp * 2 + fp + fn > 0
-             |    THEN ROUND(tp * 2 / CAST(tp * 2 + fp + fn AS DOUBLE), 6) END AS f1
-             |FROM m ORDER BY t""".stripMargin)),
+      Some(PrCurveOracle)),
 
     // Score calibration / reliability table: fixed-width score bins
     // (floor division — FLOOR(score/50.0) is exact for integer scores,

@@ -2562,5 +2562,91 @@ object Relational {
              |  ROUND(SUM(term)/n, 4) AS chi2,
              |  ROUND(SQRT(ROUND(SUM(term)/n, 4) / (n * LEAST(r-1, cc-1))), 6) AS cramers_v
              |FROM terms GROUP BY n, r, cc""".stripMargin)),
+
+    // Two-proportion z-test (the A/B experiment readout): user-level
+    // conversion (any purchase of ≥ $150 — integer-cents comparison;
+    // plain any-purchase saturates this corpus and degenerates the
+    // test) split by the deterministic even/odd user_id assignment.
+    // The pooled z² collapses to the pure integer identity
+    // z² = (x_a·n_b − x_b·n_a)²·n / (n_a·n_b·x·(n−x)), so the α=0.05
+    // significance DECISION is an exact cross-multiplied integer
+    // comparison — z² ≥ 2401/625 with both sides integer, evaluated in
+    // DECIMAL(38)/HUGEINT because D²·n·625 overflows 64 bits — while
+    // the displayed z² is one fixed double expression. Degenerate
+    // designs (either arm empty, or 0%/100% pooled conversion) emit
+    // NULL z²/verdict on both engines instead of dividing by zero.
+    // Shape: one user-keyed agg (the only corpus shuffle), then a
+    // two-row parity frame does everything else.
+    QueryDef("q_ab_test",
+      (spark, sf) => {
+        val users = load(spark, sf, "events")
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase" &&
+              cents(col("value")) >= 15000L, 1L).otherwise(0L))
+            .as("converted"))
+        val g = users.groupBy((col("user_id") % 2 === 0).as("grp_a"))
+          .agg(count(lit(1)).as("n"), sum(col("converted")).as("x"))
+        val wide = g.agg(
+          sum(when(col("grp_a"), col("n")).otherwise(0L)).as("n_a"),
+          sum(when(col("grp_a"), col("x")).otherwise(0L)).as("x_a"),
+          sum(when(!col("grp_a"), col("n")).otherwise(0L)).as("n_b"),
+          sum(when(!col("grp_a"), col("x")).otherwise(0L)).as("x_b"))
+        val ok = col("n_a") > 0 && col("n_b") > 0 &&
+          col("x_a") + col("x_b") > 0 &&
+          col("x_a") + col("x_b") < col("n_a") + col("n_b")
+        wide.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+            when(col("n_a") > 0,
+              round(col("x_a") / col("n_a").cast("double"), 6)).as("rate_a"),
+            when(col("n_b") > 0,
+              round(col("x_b") / col("n_b").cast("double"), 6)).as("rate_b"),
+            when(ok, round(expr(
+              """CAST(x_a * n_b - x_b * n_a AS DOUBLE)
+                |  * CAST(x_a * n_b - x_b * n_a AS DOUBLE)
+                |  * (n_a + n_b)
+                |  / CAST(n_a * n_b * (x_a + x_b)
+                |         * (n_a + n_b - x_a - x_b) AS DOUBLE)""".stripMargin), 4))
+              .as("z2"),
+            when(ok, expr(
+              """CAST(CAST(x_a * n_b - x_b * n_a AS DECIMAL(38,0))
+                |  * (x_a * n_b - x_b * n_a) * (n_a + n_b) * 625
+                |  >= CAST(2401 AS DECIMAL(38,0)) * n_a * n_b * (x_a + x_b)
+                |     * (n_a + n_b - x_a - x_b) AS INT)""".stripMargin))
+              .as("significant"))
+      },
+      Some("""WITH users AS (
+             |  SELECT user_id,
+             |    MAX(CASE WHEN event_type = 'purchase'
+             |          AND CAST(ROUND(value * 100) AS BIGINT) >= 15000
+             |        THEN 1 ELSE 0 END) AS converted
+             |  FROM events GROUP BY user_id),
+             |g AS (
+             |  SELECT user_id % 2 = 0 AS grp_a, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(converted) AS BIGINT) AS x
+             |  FROM users GROUP BY 1),
+             |wide AS (
+             |  SELECT
+             |    SUM(CASE WHEN grp_a THEN n ELSE 0 END) AS n_a,
+             |    SUM(CASE WHEN grp_a THEN x ELSE 0 END) AS x_a,
+             |    SUM(CASE WHEN NOT grp_a THEN n ELSE 0 END) AS n_b,
+             |    SUM(CASE WHEN NOT grp_a THEN x ELSE 0 END) AS x_b
+             |  FROM g)
+             |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+             |  CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+             |  CASE WHEN n_a > 0 THEN ROUND(x_a / CAST(n_a AS DOUBLE), 6) END AS rate_a,
+             |  CASE WHEN n_b > 0 THEN ROUND(x_b / CAST(n_b AS DOUBLE), 6) END AS rate_b,
+             |  CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+             |         AND x_a + x_b < n_a + n_b THEN
+             |    ROUND(CAST(x_a * n_b - x_b * n_a AS DOUBLE)
+             |      * CAST(x_a * n_b - x_b * n_a AS DOUBLE)
+             |      * (n_a + n_b)
+             |      / CAST(n_a * n_b * (x_a + x_b)
+             |             * (n_a + n_b - x_a - x_b) AS DOUBLE), 4) END AS z2,
+             |  CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+             |         AND x_a + x_b < n_a + n_b THEN
+             |    CAST(CAST(x_a * n_b - x_b * n_a AS HUGEINT)
+             |      * (x_a * n_b - x_b * n_a) * (n_a + n_b) * 625
+             |      >= CAST(2401 AS HUGEINT) * n_a * n_b * (x_a + x_b)
+             |         * (n_a + n_b - x_a - x_b) AS INT) END AS significant
+             |FROM wide""".stripMargin)),
   )
 }

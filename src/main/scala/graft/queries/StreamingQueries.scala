@@ -1867,5 +1867,45 @@ object StreamingQueries {
         }
       },
       Some(Shared.AttributionOracle)),
+
+    // Streaming twin of eval_pr_curve: the classifier scores documents
+    // as they stream in (stateless scan-speed pass), labels come from
+    // the FROZEN batch rule-gate census via a stream-static broadcast
+    // join (the stream_kanon pattern — ground truth is a fixed
+    // reference, not a moving target), and the confusion counts
+    // accumulate in a complete-mode aggregate whose state is bounded by
+    // the fixed threshold grid (|thresholds| rows — watermark-free by
+    // construction). The metric projections run on the final batch
+    // table; thresholds, formulas and the oracle are shared with the
+    // batch twin, so the two cannot diverge.
+    QueryDef("stream_eval_prcurve",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "documents")).schema
+        val docs = spark.readStream.schema(schema)
+          .parquet(stagedDir(spark, sf, "documents"))
+        val scored = graft.ops.TextOps.hashedLinearScore(docs, "text", "doc_id")
+          .select(col("doc_id"), col("score"))
+        val labels = EvalQueries.labeled(spark, sf)
+          .select(col("doc_id"), col("label"))
+        val agg = scored.join(labels, Seq("doc_id"))
+          .select(col("score"), col("label"),
+            explode(array(EvalQueries.Thresholds.map(lit): _*)).as("t"))
+          .groupBy(col("t"))
+          .agg(
+            sum(when(col("score") >= col("t"), col("label")).otherwise(0L)).as("tp"),
+            sum(when(col("score") >= col("t"), lit(1L) - col("label"))
+              .otherwise(0L)).as("fp"),
+            sum(when(col("score") < col("t"), col("label")).otherwise(0L)).as("fn"),
+            sum(when(col("score") < col("t"), lit(1L) - col("label"))
+              .otherwise(0L)).as("tn"))
+        val table = s"stream_prc_${counter.incrementAndGet()}"
+        withStatePartitions(spark, 4) {
+          val q = agg.writeStream.format("memory").queryName(table)
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          try q.awaitTermination() finally q.stop()
+        }
+        EvalQueries.prMetrics(spark.table(table))
+      },
+      Some(EvalQueries.PrCurveOracle)),
   )
 }

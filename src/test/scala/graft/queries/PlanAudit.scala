@@ -133,9 +133,11 @@ class PlanAudit extends SparkSpec {
     "eval_pr_curve" -> 17,       // labeled lineage (classifier pass + rule-gate
     // aggs + joins, printed until the shared cache materializes) +
     // score agg + threshold agg + orderBy (measured 13 cold)
-    "eval_calibration" -> 16)    // labeled lineage (classifier pass + rule-gate
+    "eval_calibration" -> 16,    // labeled lineage (classifier pass + rule-gate
     // aggs + joins, printed until the shared cache materializes) + bin
     // agg + orderBy (measured 12 cold)
+    "q_ab_test" -> 5)            // user-keyed conversion agg + parity agg +
+    // one-row wide agg; no orderBy (single row)
 
   // Queries whose only nested-loop joins are the recall/bound gates'
   // crossJoins against one-row aggregates (a broadcast of a scalar —
