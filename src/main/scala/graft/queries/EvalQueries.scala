@@ -163,7 +163,107 @@ object EvalQueries {
         .as("f1"))
       .orderBy(col("t"))
 
+  /** DCG position discounts in integer micro-units: w_i =
+    * round(10⁶ / log₂(i+1)) for ranks 1..10, frozen as literals so BOTH
+    * engines consume the identical table and the NDCG pipeline runs
+    * with zero runtime floats until the single final division — the
+    * same trick that makes q_pagerank's float-y iteration exact.
+    */
+  private[queries] val NdcgDiscountsMicro: Seq[Long] = Seq(
+    1000000L, 630930L, 500000L, 430677L, 386853L,
+    356207L, 333333L, 315465L, 301030L, 289065L)
+
   def defs: Seq[QueryDef] = Seq(
+
+    // Ranking quality of the BM25 retrieval tier: NDCG@10 per probe,
+    // with graded relevance = the count of DISTINCT probe terms the doc
+    // contains (linear gain — exact, oracle-replayable, and
+    // discriminative on this corpus where matches run 3..27 against
+    // probe vocabularies of 16..27, so capped/quartile gradings
+    // saturate and collapse the metric to 1.0). DCG/IDCG
+    // are integer micro-unit sums (rel × frozen discount weights), so
+    // the only float is the final DCG/IDCG division. The ideal ranking
+    // never sorts whole candidate sets under a window: GroupedTopK's
+    // bounded heaps take the per-probe top-10 first, the row_number
+    // runs on ≤10 rows per probe. The BM25 ranking and its oracle CTEs
+    // are the ones the retrieval gates already verify.
+    QueryDef("eval_ndcg",
+      (spark, sf) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = load(spark, sf, "documents")
+        val probes = load(spark, sf, "embeddings")
+          .select(col("vec_id").as("probe_id"))
+          .filter(col("probe_id") % 100 === 7)
+        val ranked = graft.ops.Retrieval.bm25TopK(docs, probes, k = 10)
+          .select(col("probe_id"), col("doc_id"), col("r"))
+        val terms = docs.select(col("doc_id"),
+            explode(filter(split(lower(col("text")), "[^a-z]+"),
+              t => t =!= "")).as("term"))
+        val probeTerms = terms
+          .join(broadcast(probes), terms("doc_id") === col("probe_id"))
+          .select(col("probe_id"), col("term")).distinct()
+        val rels = terms.join(broadcast(probeTerms), Seq("term"))
+          .filter(col("doc_id") =!= col("probe_id"))
+          .groupBy(col("probe_id"), col("doc_id"))
+          .agg(countDistinct(col("term")).as("rel"))
+        def w(rank: org.apache.spark.sql.Column) =
+          NdcgDiscountsMicro.zipWithIndex.foldLeft(lit(0L)) {
+            case (acc, (wv, i)) => when(rank === (i + 1), lit(wv)).otherwise(acc)
+          }
+        val dcg = ranked.join(rels, Seq("probe_id", "doc_id"), "left")
+          .na.fill(0L, Seq("rel"))
+          .select(col("probe_id"), (col("rel") * w(col("r"))).as("g"))
+          .groupBy(col("probe_id")).agg(sum(col("g")).as("dcg_micro"))
+        val ideal = graft.plans.GroupedTopK(rels, Seq("probe_id"),
+          Seq(("rel", false), ("doc_id", true)), 10)
+        val iw = Window.partitionBy(col("probe_id"))
+          .orderBy(desc("rel"), col("doc_id"))
+        val idcg = ideal.withColumn("ir", row_number().over(iw))
+          .select(col("probe_id"), (col("rel") * w(col("ir"))).as("g"))
+          .groupBy(col("probe_id")).agg(sum(col("g")).as("idcg_micro"))
+        dcg.join(idcg, Seq("probe_id"))
+          .select(col("probe_id"), col("dcg_micro"), col("idcg_micro"),
+            round(col("dcg_micro") / col("idcg_micro").cast("double"), 6)
+              .as("ndcg"))
+          .orderBy(col("probe_id"))
+      },
+      Some {
+        val wmap = NdcgDiscountsMicro.zipWithIndex
+          .map { case (wv, i) => s"(${i + 1}, $wv)" }.mkString(",")
+        s"""${Shared.ProbeBm25ScoredCtes},
+           |ranked AS (
+           |  SELECT probe_id, doc_id, r FROM (
+           |    SELECT probe_id, doc_id,
+           |      ROW_NUMBER() OVER (PARTITION BY probe_id
+           |                         ORDER BY score DESC, doc_id) AS r
+           |    FROM scored)
+           |  WHERE r <= 10),
+           |rels AS (
+           |  SELECT pt.probe_id, t.doc_id,
+           |    CAST(COUNT(DISTINCT t.term) AS BIGINT) AS rel
+           |  FROM terms t JOIN probe_terms pt USING (term)
+           |  WHERE t.doc_id <> pt.probe_id
+           |  GROUP BY pt.probe_id, t.doc_id),
+           |wmap AS (SELECT * FROM (VALUES $wmap) w(r, wt)),
+           |dcg AS (
+           |  SELECT ranked.probe_id,
+           |    SUM(COALESCE(rel, 0) * wt) AS dcg_micro
+           |  FROM ranked JOIN wmap USING (r)
+           |  LEFT JOIN rels USING (probe_id, doc_id)
+           |  GROUP BY ranked.probe_id),
+           |ideal AS (
+           |  SELECT probe_id, SUM(rel * wt) AS idcg_micro FROM (
+           |    SELECT probe_id, rel,
+           |      ROW_NUMBER() OVER (PARTITION BY probe_id
+           |                         ORDER BY rel DESC, doc_id) AS r
+           |    FROM rels) i JOIN wmap USING (r)
+           |  WHERE r <= 10
+           |  GROUP BY probe_id)
+           |SELECT probe_id, CAST(dcg_micro AS BIGINT) AS dcg_micro,
+           |  CAST(idcg_micro AS BIGINT) AS idcg_micro,
+           |  ROUND(dcg_micro / CAST(idcg_micro AS DOUBLE), 6) AS ndcg
+           |FROM dcg JOIN ideal USING (probe_id) ORDER BY probe_id""".stripMargin
+      }),
 
     // Exact ROC AUC by the Mann–Whitney rank-sum identity: rank all
     // scores under the total order (score, doc_id) with the engine's

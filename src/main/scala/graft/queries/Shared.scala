@@ -543,12 +543,13 @@ object Shared {
       |  FROM fused)
       |WHERE fr <= 10 ORDER BY probe_id, fused_rank""".stripMargin
 
-  /** One oracle for both per-probe BM25 twins (`text_probe_bm25` batch,
-    * `stream_probe_bm25` streaming probes against the precomputed
-    * impact-indexed posting list): full BM25 (k1=1.2, b=0.75) of every
-    * probe document's term set, top-20 per probe, 6-dp rank keys.
+  /** The BM25 (k1=1.2, b=0.75) scoring replay as a CTE chain ending in
+    * `scored` (probe_id, doc_id, 6-dp score) — shared by
+    * [[ProbeBm25Oracle]] (the batch + streaming probe twins) and the
+    * eval_ndcg oracle, so the ranking the NDCG audit grades is exactly
+    * the ranking the retrieval gates verify.
     */
-  val ProbeBm25Oracle: String =
+  val ProbeBm25ScoredCtes: String =
     """WITH docs AS (
              |  SELECT doc_id,
              |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
@@ -588,11 +589,18 @@ object Shared {
              |  JOIN dl l ON l.doc_id = f.doc_id
              |  CROSS JOIN stats s
              |  GROUP BY f.probe_id, f.doc_id
-             |)
-             |SELECT probe_id, CAST(r AS INT) AS r, doc_id, score FROM (
-             |  SELECT probe_id, doc_id, score,
-             |    ROW_NUMBER() OVER (PARTITION BY probe_id
-             |                       ORDER BY score DESC, doc_id) AS r
-             |  FROM scored)
-             |WHERE r <= 20 ORDER BY probe_id, r""".stripMargin
+             |)""".stripMargin
+
+  /** One oracle for both per-probe BM25 twins (`text_probe_bm25` batch,
+    * `stream_probe_bm25` streaming probes against the precomputed
+    * impact-indexed posting list): top-20 per probe, 6-dp rank keys.
+    */
+  val ProbeBm25Oracle: String =
+    s"""$ProbeBm25ScoredCtes
+       |SELECT probe_id, CAST(r AS INT) AS r, doc_id, score FROM (
+       |  SELECT probe_id, doc_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                       ORDER BY score DESC, doc_id) AS r
+       |  FROM scored)
+       |WHERE r <= 20 ORDER BY probe_id, r""".stripMargin
 }

@@ -136,8 +136,11 @@ class PlanAudit extends SparkSpec {
     "eval_calibration" -> 16,    // labeled lineage (classifier pass + rule-gate
     // aggs + joins, printed until the shared cache materializes) + bin
     // agg + orderBy (measured 12 cold)
-    "q_ab_test" -> 5)            // user-keyed conversion agg + parity agg +
+    "q_ab_test" -> 5,            // user-keyed conversion agg + parity agg +
     // one-row wide agg; no orderBy (single row)
+    "eval_ndcg" -> 40)           // the full BM25 lineage (probe terms, df,
+    // tf, dl, stats — the text_probe_bm25 shape) + rels agg +
+    // GroupedTopK ideal + probe-keyed window + two micro-sums + join
 
   // Queries whose only nested-loop joins are the recall/bound gates'
   // crossJoins against one-row aggregates (a broadcast of a scalar —
@@ -161,7 +164,9 @@ class PlanAudit extends SparkSpec {
     // the one-row (n_docs, avgdl) stats attach
     "text_probe_bm25" -> 1,
     // the one-row (n, r, cc) totals attach
-    "q_chi_square" -> 1)
+    "q_chi_square" -> 1,
+    // bm25TopK's one-row (n_docs, avgdl) stats attach
+    "eval_ndcg" -> 1)
 
   test("q_skew_aqe_join: AQE splits the hot partition (structural isSkewJoin)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
