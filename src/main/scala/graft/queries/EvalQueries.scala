@@ -362,5 +362,133 @@ object EvalQueries {
              |  ROUND(SUM(score) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_score,
              |  ROUND(SUM(label) / CAST(COUNT(*) AS DOUBLE), 6) AS pos_rate
              |FROM labeled GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // Tokenizer fertility / compression audit: pieces-per-word and
+    // chars-per-piece per language under the engine's BPE merge list —
+    // the metric a tokenizer team watches per language before training
+    // (high fertility = the vocab under-serves that language). Scale
+    // shape: the corpus collapses to the (lang, word) frequency table
+    // ONCE; BPE encoding runs on the DISTINCT word table only (Heaps'
+    // law — the bpeTrain/unigramVocabCosts budget) and joins back by
+    // word. Everything is exact integers until the two final divisions;
+    // the oracle replays the ranked merges as the same nested
+    // single-pass replaces text_bpe_encode already proves equivalent.
+    QueryDef("eval_tokenizer_fertility",
+      (spark, sf) => {
+        import spark.implicits._
+        val words = load(spark, sf, "documents")
+          .select(col("lang"),
+            explode(filter(split(lower(col("text")), "[^a-z]+"),
+              t => t =!= "")).as("word"))
+        val wc = words.groupBy(col("lang"), col("word"))
+          .agg(count(lit(1)).as("freq"))
+        // the distinct is a 32-partition shuffle, so the typed encode
+        // pass below is already spread — no small-file respread needed
+        val enc = wc.select(col("word")).distinct()
+          .as[String]
+          .map { w =>
+            (w, graft.ops.Subword
+              .encodeBpe(w, graft.ops.Subword.DefaultMerges).length.toLong,
+              w.length.toLong)
+          }.toDF("word", "np", "nc")
+        wc.join(enc, Seq("word"))
+          .groupBy(col("lang"))
+          .agg(sum(col("freq")).as("n_words"),
+            sum(col("freq") * col("np")).as("n_pieces"),
+            sum(col("freq") * col("nc")).as("n_chars"))
+          .select(col("lang"), col("n_words"), col("n_pieces"), col("n_chars"),
+            round(col("n_pieces") / col("n_words").cast("double"), 6)
+              .as("fertility"),
+            round(col("n_chars") / col("n_pieces").cast("double"), 6)
+              .as("chars_per_piece"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val spaced = "regexp_replace(word, '(.)', ' \\1 ', 'g')"
+        val replaced = graft.ops.Subword.DefaultMerges.foldLeft(spaced) {
+          case (acc, (l, r)) => s"replace($acc, ' $l  $r ', ' $l$r ')"
+        }
+        s"""WITH toks AS (
+           |  SELECT lang, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+           |  FROM documents),
+           |wc AS (SELECT lang, word, COUNT(*) AS freq
+           |       FROM toks WHERE word <> '' GROUP BY 1, 2),
+           |enc AS (
+           |  SELECT word,
+           |    CAST(len(string_split(trim($replaced), '  ')) AS BIGINT) AS np,
+           |    CAST(len(word) AS BIGINT) AS nc
+           |  FROM (SELECT DISTINCT word FROM wc)),
+           |a AS (
+           |  SELECT lang, SUM(freq) AS n_words, SUM(freq * np) AS n_pieces,
+           |    SUM(freq * nc) AS n_chars
+           |  FROM wc JOIN enc USING (word) GROUP BY lang)
+           |SELECT lang, CAST(n_words AS BIGINT) AS n_words,
+           |  CAST(n_pieces AS BIGINT) AS n_pieces,
+           |  CAST(n_chars AS BIGINT) AS n_chars,
+           |  ROUND(n_pieces / CAST(n_words AS DOUBLE), 6) AS fertility,
+           |  ROUND(n_chars / CAST(n_pieces AS DOUBLE), 6) AS chars_per_piece
+           |FROM a ORDER BY lang""".stripMargin
+      }),
+
+    // Held-out LM perplexity per source: train the bigram LM on the
+    // deterministic 80% md5 split, score the held-out 20% with add-one
+    // smoothing over the train vocabulary (held-out text contains
+    // unseen bigrams by construction — the reason text_bigram_lm's
+    // unsmoothed in-corpus scorer can't do model eval), and report
+    // cross-entropy + perplexity per source. Counts and the smoothed
+    // ratio's terms are exact integers; the perplexity exponential is
+    // taken of the ALREADY-6dp-ROUNDED mean so both engines exp the
+    // identical double. One bigram shuffle for counts, one for the
+    // held-out join — the corpus is read once.
+    QueryDef("eval_lm_perplexity",
+      (spark, sf) => {
+        val arr = split(col("text"), " ")
+        val isTrain = graft.ops.TextOps.deterministicSample(
+          col("doc_id"), 0.8, salt = "lmeval")
+        val bi = load(spark, sf, "documents")
+          .select(col("doc_id"), col("source"), explode(arrays_zip(
+            slice(arr, lit(1), size(arr) - 1).as("x"),
+            slice(arr, lit(2), size(arr) - 1).as("y"))).as("p"))
+          .select(col("doc_id"), col("source"),
+            col("p.x").as("x"), col("p.y").as("y"))
+        val train = bi.filter(isTrain)
+        val bc = train.groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+        val cx = bc.groupBy(col("x")).agg(sum(col("cxy")).as("cx"))
+        val v = train.select(col("x").as("t"))
+          .unionByName(train.select(col("y").as("t"))).distinct().count()
+        bi.filter(!isTrain)
+          .join(bc, Seq("x", "y"), "left").na.fill(0L, Seq("cxy"))
+          .join(cx, Seq("x"), "left").na.fill(0L, Seq("cx"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(log((col("cxy") + 1).cast("double") /
+              (col("cx") + lit(v)))), 6).as("mean_logp"))
+          .withColumn("ppl", round(exp(-col("mean_logp")), 4))
+          .orderBy(col("source"))
+      },
+      Some {
+        val thr = f"${math.round(0.8 * 0xFFFFFFFFL)}%08x"
+        s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') t
+           |  FROM documents),
+           |idx AS (SELECT doc_id, source, unnest(range(len(t)-1)) i, t
+           |  FROM toks WHERE len(t) >= 2),
+           |b AS (SELECT doc_id, source, t[i+1] x, t[i+2] y FROM idx),
+           |tr AS (SELECT * FROM b
+           |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'lmeval'), 1, 8) < '$thr'),
+           |he AS (SELECT * FROM b
+           |  WHERE NOT substr(md5(CAST(doc_id AS VARCHAR) || 'lmeval'), 1, 8) < '$thr'),
+           |bc AS (SELECT x, y, COUNT(*) cxy FROM tr GROUP BY 1, 2),
+           |cx AS (SELECT x, SUM(cxy) cx FROM bc GROUP BY 1),
+           |v AS (SELECT COUNT(*) v FROM (SELECT x AS t FROM tr UNION SELECT y FROM tr)),
+           |sc AS (
+           |  SELECT h.source,
+           |    LN((COALESCE(bc.cxy, 0) + 1) /
+           |       CAST(COALESCE(cx.cx, 0) + (SELECT v FROM v) AS DOUBLE)) lp
+           |  FROM he h LEFT JOIN bc USING (x, y) LEFT JOIN cx USING (x))
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           |  ROUND(AVG(lp), 6) AS mean_logp,
+           |  ROUND(EXP(-ROUND(AVG(lp), 6)), 4) AS ppl
+           |FROM sc GROUP BY source ORDER BY source""".stripMargin
+      }),
   )
 }

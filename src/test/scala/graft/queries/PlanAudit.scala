@@ -138,9 +138,13 @@ class PlanAudit extends SparkSpec {
     // agg + orderBy (measured 12 cold)
     "q_ab_test" -> 5,            // user-keyed conversion agg + parity agg +
     // one-row wide agg; no orderBy (single row)
-    "eval_ndcg" -> 40)           // the full BM25 lineage (probe terms, df,
+    "eval_ndcg" -> 40,           // the full BM25 lineage (probe terms, df,
     // tf, dl, stats — the text_probe_bm25 shape) + rels agg +
     // GroupedTopK ideal + probe-keyed window + two micro-sums + join
+    "eval_tokenizer_fertility" -> 8, // (lang,word) agg + distinct-word
+    // encode pass + join back + lang agg + orderBy
+    "eval_lm_perplexity" -> 10)  // bigram explode feeds train counts +
+    // conditional totals + held-out joins + source agg + orderBy
 
   // Queries whose only nested-loop joins are the recall/bound gates'
   // crossJoins against one-row aggregates (a broadcast of a scalar —
