@@ -215,29 +215,62 @@ object Graphs {
     */
   def cheapestPaths(
       edges: DataFrame, sources: DataFrame, maxIters: Int = 40,
-      strict: Boolean = true): DataFrame = {
+      strict: Boolean = true): DataFrame =
+    relaxFixpoint(edges, sources, init = lit(0L),
+      combine = (w, d) => w + d, better = (cand, cur) => cand < cur,
+      merge = c => min(c), maxIters, strict, op = "cheapestPaths")
+
+  /** Widest (maximum-bottleneck) paths: the (max, min) semiring
+    * instance of the same semi-naive relaxation — width(node) = max
+    * over node→dst edges of min(w, width(dst)), sources start at
+    * Long.MaxValue (unconstrained). The capacity-planning twin of
+    * [[cheapestPaths]]: "what is the largest flow unit this node can
+    * push to the sink". Converges on any graph with finite widths
+    * (relaxation is monotone non-decreasing and bounded).
+    */
+  def widestPaths(
+      edges: DataFrame, sources: DataFrame, maxIters: Int = 40,
+      strict: Boolean = true): DataFrame =
+    relaxFixpoint(edges, sources, init = lit(Long.MaxValue),
+      combine = (w, d) => least(w, d), better = (cand, cur) => cand > cur,
+      merge = c => max(c), maxIters, strict, op = "widestPaths")
+
+  /** The shared semi-naive relaxation engine behind [[cheapestPaths]]
+    * and [[widestPaths]]: a path semiring plugs in as (combine = edge ⊗
+    * distance, merge = ⊕ aggregate, better = strict ⊕-improvement).
+    * Correct for any semiring whose relaxation is monotone and bounded
+    * (min/+ with non-negative weights, max/min with finite widths) —
+    * the frontier-only shuffle bound and the per-round checkpoint GC
+    * are semiring-independent.
+    */
+  private def relaxFixpoint(
+      edges: DataFrame, sources: DataFrame, init: org.apache.spark.sql.Column,
+      combine: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      better: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      merge: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      maxIters: Int, strict: Boolean, op: String): DataFrame = {
     val spark = edges.sparkSession
     val gc = new CheckpointGC
     val e = edges.select(col("src"), col("dst"), col("w")).persist()
     var acc = gc.track(truncate(
-      sources.select(col("node"), lit(0L).as("dist")).distinct()))
+      sources.select(col("node"), init.as("dist")).distinct()))
     var frontier = acc
     var rounds = 0
     var frontierSize = frontier.count()
     while (frontierSize > 0 && rounds < maxIters) {
       val cand = e
         .join(frontier.select(col("node").as("dst"), col("dist")), "dst")
-        .select(col("src").as("node"), (col("w") + col("dist")).as("cand"))
-        .groupBy(col("node")).agg(min(col("cand")).as("cand"))
+        .select(col("src").as("node"), combine(col("w"), col("dist")).as("cand"))
+        .groupBy(col("node")).agg(merge(col("cand")).as("cand"))
       val improved = gc.track(truncate(
         cand.join(acc, Seq("node"), "left")
-          .filter(col("dist").isNull || col("cand") < col("dist"))
+          .filter(col("dist").isNull || better(col("cand"), col("dist")))
           .select(col("node"), col("cand").as("dist"))))
-      // improved strictly beats acc where both exist, so merge-min ==
-      // replace; one union+min agg keeps it a single shuffle
+      // improved strictly beats acc where both exist, so merging is a
+      // replace; one union + ⊕-agg keeps it a single shuffle
       acc = gc.track(truncate(
         acc.unionByName(improved).groupBy(col("node"))
-          .agg(min(col("dist")).as("dist"))))
+          .agg(merge(col("dist")).as("dist"))))
       frontierSize = improved.count()
       frontier = improved
       rounds += 1
@@ -247,10 +280,11 @@ object Graphs {
     gc.finish(spark, acc)
     if (frontierSize > 0) {
       val msg =
-        s"Graphs.cheapestPaths: distances still improving after $maxIters " +
+        s"Graphs.$op: distances still improving after $maxIters " +
           s"rounds ($frontierSize nodes pending) — unconverged (graph deeper " +
-          "than maxIters, or a negative-weight cycle). Raise maxIters (or " +
-          "pass strict = false for best-effort)."
+          "than maxIters, or an unbounded relaxation, e.g. a negative-weight " +
+          "cycle under min/+). Raise maxIters (or pass strict = false for " +
+          "best-effort)."
       if (strict) throw new IllegalStateException(msg)
       else System.err.println(s"[graft] $msg")
     }

@@ -2504,6 +2504,58 @@ object Relational {
            |FROM d24 WHERE node % 41 = 0 ORDER BY node""".stripMargin
       }),
 
+    // Widest (maximum-bottleneck) paths over the same multi-path part
+    // DAG as q_cheapest_path, on the (max, min) semiring: width(node) =
+    // the largest per-edge capacity floor any route to the sink can
+    // sustain — the capacity-planning dual of min-cost routing, and the
+    // second semiring instance through ops/Graphs' shared semi-naive
+    // relaxation engine (proof the frontier-only iteration is
+    // semiring-generic, not a Bellman–Ford special case). Capacities
+    // are deterministic small integers; the oracle unrolls 24
+    // MAX(LEAST(...)) relaxation rounds, materialized for the same
+    // exponential-inlining reason as q_cheapest_path.
+    QueryDef("q_widest_path",
+      (spark, sf) => {
+        val widths = fixpointCache.getOrElseUpdate(s"widest:$sf", {
+          val p = load(spark, sf, "part").filter(col("p_partkey") >= 1)
+          val edges = p.select(col("p_partkey").as("src"),
+              expr("p_partkey div 2").as("dst"),
+              (lit(5) + col("p_partkey") % 11).cast("long").as("w"))
+            .unionByName(p.select(col("p_partkey").as("src"),
+              expr("p_partkey div 3").as("dst"),
+              (lit(3) + col("p_partkey") % 13).cast("long").as("w")))
+          val sink = spark.range(1).select(lit(0L).as("node"))
+          graft.ops.Graphs.widestPaths(edges, sink)
+        })
+        widths
+          .filter(col("node") % 43 === 0 && col("node") >= 1)
+          .select(col("node"), col("dist").cast("int").as("width"))
+          .orderBy(col("node"))
+      },
+      Some {
+        def round(k: Int) =
+          s"""d$k AS MATERIALIZED (
+             |  SELECT node, MAX(width) AS width FROM (
+             |    SELECT node, width FROM d${k - 1}
+             |    UNION ALL
+             |    SELECT e.src, LEAST(e.w, d.width)
+             |    FROM e JOIN d${k - 1} d ON e.dst = d.node)
+             |  GROUP BY node)""".stripMargin
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT CAST(p_partkey AS BIGINT) AS src, CAST(p_partkey // 2 AS BIGINT) AS dst,
+           |    CAST(5 + p_partkey % 11 AS BIGINT) AS w
+           |  FROM part WHERE p_partkey >= 1
+           |  UNION ALL
+           |  SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey // 3 AS BIGINT),
+           |    CAST(3 + p_partkey % 13 AS BIGINT)
+           |  FROM part WHERE p_partkey >= 1),
+           |d0 AS (SELECT CAST(0 AS BIGINT) AS node,
+           |       CAST(9223372036854775807 AS BIGINT) AS width),
+           |${(1 to 24).map(round).mkString(",\n")}
+           |SELECT node, CAST(width AS INT) AS width
+           |FROM d24 WHERE node % 43 = 0 AND node >= 1 ORDER BY node""".stripMargin
+      }),
+
     // Pearson chi-square test of independence (nation × order priority)
     // — the categorical-association primitive behind feature selection
     // and drift tests. Contingency cells, margins and N are exact

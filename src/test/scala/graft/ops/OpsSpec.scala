@@ -865,6 +865,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("widest paths: max-min bottleneck on multi-path, any partitioning") {
+    // 1→0 direct width 2; 1→2 (8) then 2→0 (5) bottlenecks at 5 — the
+    // wider route wins even though it is longer
+    val edges = spark.createDataFrame(Seq(
+      (1L, 0L, 2L), (1L, 2L, 8L), (2L, 0L, 5L), (3L, 1L, 4L)
+    )).toDF("src", "dst", "w")
+    val sink = spark.createDataFrame(Seq(Tuple1(0L))).toDF("node")
+    for (parts <- Seq(1, 4)) {
+      val out = Graphs.widestPaths(edges.repartition(parts), sink)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(0L -> Long.MaxValue, 2L -> 5L, 1L -> 5L, 3L -> 4L),
+        s"parts=$parts: $out")
+    }
+  }
+
   test("cheapest paths: strict mode throws when maxIters truncates") {
     val chain = spark.createDataFrame((1L to 10L).map(i => (i, i - 1, 1L)))
       .toDF("src", "dst", "w")

@@ -124,6 +124,7 @@ class PlanAudit extends SparkSpec {
     // orderBy (decorrelated lateral — PlanSpec pins the shape)
     // round-14 session-2 additions
     "q_cheapest_path" -> 3,      // checkpointed final distances + filter + orderBy
+    "q_widest_path" -> 3,        // same shape, (max, min) semiring
     "q_chi_square" -> 26,        // cells agg lineage prints once per textual
     // reference (cells, rt, ct, tot) + margin re-aggs + final group agg
     // (measured 20 — at runtime AQE collapses the identical cell
