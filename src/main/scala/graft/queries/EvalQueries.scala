@@ -430,6 +430,73 @@ object EvalQueries {
            |FROM a ORDER BY lang""".stripMargin
       }),
 
+    // kNN label-consistency audit of the embedding space: for a
+    // deterministic 5% query sample, the 5 nearest cosine neighbors
+    // (self excluded) vote on the label — majority with the total
+    // (count DESC, label ASC) tie-break — and per-true-label accuracy
+    // says whether the space actually clusters by label (the go/no-go
+    // check before trusting embedding dedup or ANN serving). Same
+    // broadcast-queries/one-corpus-scan economics as sim_cosine_topk
+    // (the sampled-query brute force IS the eval tier's serving shape);
+    // the vote argmax runs through GroupedTopK's bounded heaps.
+    // Integer votes + one final division; the oracle replays ranking
+    // and vote exactly.
+    QueryDef("eval_knn_accuracy",
+      (spark, sf) => {
+        val emb = load(spark, sf, "embeddings")
+        val labels = emb.select(col("vec_id"), col("label"))
+        val nn = graft.ops.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") % 20 === 3), "vec_id", "embedding",
+          k = 5)
+        val votes = nn
+          .join(labels.withColumnRenamed("vec_id", "neighbor_id"),
+            Seq("neighbor_id"))
+          .groupBy(col("query_id"), col("label"))
+          .agg(count(lit(1)).as("c"))
+        val pred = graft.plans.GroupedTopK(votes, Seq("query_id"),
+            Seq(("c", false), ("label", true)), 1)
+          .select(col("query_id"), col("label").as("pred"))
+        pred
+          .join(labels.select(col("vec_id").as("query_id"),
+            col("label").as("truth")), Seq("query_id"))
+          .groupBy(col("truth"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("pred") === col("truth"), 1L).otherwise(0L))
+              .as("correct"))
+          .select(col("truth"), col("n"), col("correct"),
+            round(col("correct") / col("n").cast("double"), 6).as("accuracy"))
+          .orderBy(col("truth"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv,
+             |    label AS truth
+             |  FROM embeddings WHERE vec_id % 20 = 3),
+             |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) cv,
+             |        label FROM embeddings),
+             |scored AS (
+             |  SELECT query_id, neighbor_id, label,
+             |    list_dot_product(qv, cv) /
+             |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+             |  FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+             |ranked AS (
+             |  SELECT query_id, label, ROW_NUMBER() OVER (
+             |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS r
+             |  FROM scored),
+             |votes AS (SELECT query_id, label, COUNT(*) AS c
+             |          FROM ranked WHERE r <= 5 GROUP BY 1, 2),
+             |pred AS (
+             |  SELECT query_id, label AS pred FROM (
+             |    SELECT query_id, label, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY c DESC, label) AS rn
+             |    FROM votes) WHERE rn = 1),
+             |e AS (SELECT q.truth, p.pred FROM pred p
+             |      JOIN q ON p.query_id = q.query_id)
+             |SELECT truth, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+             |  ROUND(SUM(CASE WHEN pred = truth THEN 1 ELSE 0 END)
+             |    / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+             |FROM e GROUP BY truth ORDER BY truth""".stripMargin)),
+
     // Held-out LM perplexity per source: train the bigram LM on the
     // deterministic 80% md5 split, score the held-out 20% with add-one
     // smoothing over the train vocabulary (held-out text contains

@@ -144,8 +144,10 @@ class PlanAudit extends SparkSpec {
     // GroupedTopK ideal + probe-keyed window + two micro-sums + join
     "eval_tokenizer_fertility" -> 8, // (lang,word) agg + distinct-word
     // encode pass + join back + lang agg + orderBy
-    "eval_lm_perplexity" -> 10)  // bigram explode feeds train counts +
+    "eval_lm_perplexity" -> 10,  // bigram explode feeds train counts +
     // conditional totals + held-out joins + source agg + orderBy
+    "eval_knn_accuracy" -> 10)   // brute topk (query broadcast, TopKPerKey)
+    // + label joins + vote agg + GroupedTopK argmax + truth agg + orderBy
 
   // Queries whose only nested-loop joins are the recall/bound gates'
   // crossJoins against one-row aggregates (a broadcast of a scalar —
@@ -171,7 +173,11 @@ class PlanAudit extends SparkSpec {
     // the one-row (n, r, cc) totals attach
     "q_chi_square" -> 1,
     // bm25TopK's one-row (n_docs, avgdl) stats attach
-    "eval_ndcg" -> 1)
+    "eval_ndcg" -> 1,
+    // bruteForceTopK's broadcast of the bounded query sample against
+    // the corpus scan — the deliberate eval/serving shape (work =
+    // |queries|·|corpus|), the sim_cosine_topk economics
+    "eval_knn_accuracy" -> 1)
 
   test("q_skew_aqe_join: AQE splits the hot partition (structural isSkewJoin)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
