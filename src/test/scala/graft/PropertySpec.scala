@@ -167,6 +167,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: semiring path fixpoints equal driver-side relaxation on random DAGs") {
+    import graft.ops.Graphs
+    import spark.implicits._
+    // random DAG sinking toward 0: every node i ≥ 1 gets 1–2 edges to
+    // strictly smaller targets, so both semirings converge; reference =
+    // naive driver-side relaxation to fixpoint
+    val gen = for {
+      n <- Gen.choose(3, 12)
+      edges <- Gen.sequence[Seq[(Long, Long, Long)], (Long, Long, Long)](
+        (1 to n).flatMap { i =>
+          Seq(for {
+            t <- Gen.choose(0, i - 1)
+            w <- Gen.choose(0L, 9L)
+          } yield (i.toLong, t.toLong, w))
+        })
+    } yield edges
+    def ref(edges: Seq[(Long, Long, Long)], init: Long,
+        combine: (Long, Long) => Long, better: (Long, Long) => Boolean): Map[Long, Long] = {
+      var d = Map(0L -> init)
+      var changed = true
+      while (changed) {
+        changed = false
+        for ((s, t, w) <- edges; dt <- d.get(t)) {
+          val c = combine(w, dt)
+          if (d.get(s).forall(cur => better(c, cur))) { d += (s -> c); changed = true }
+        }
+      }
+      d
+    }
+    val sink = spark.createDataFrame(Seq(Tuple1(0L))).toDF("node")
+    samples(gen, 4, seed = 99L).foreach { edges =>
+      val df = edges.toDF("src", "dst", "w")
+      val cheap = Graphs.cheapestPaths(df, sink)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cheap == ref(edges, 0L, _ + _, _ < _), s"min/+ on $edges")
+      val wide = Graphs.widestPaths(df, sink)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(wide == ref(edges, Long.MaxValue, math.min, _ > _),
+        s"max/min on $edges")
+    }
+  }
+
   test("property: exact dedup keeps exactly one survivor per fingerprint group") {
     import graft.ops.Dedup
     import spark.implicits._
