@@ -30,7 +30,9 @@ class PersistHygieneSpec extends SparkSpec {
     "dedup_best_of_cluster", // shared pair layout consumer
     "sim_ann_ivfpq",         // trained codebooks (op-internal persists)
     "text_bpe_train",        // iterative merge training
-    "dedup_clusters_distributed" // label-prop edge/label persists, op-released
+    "dedup_clusters_distributed", // label-prop edge/label persists, op-released
+    "q_cheapest_path",       // semiring fixpoint memo (edge persist op-released)
+    "eval_auc"               // shared labeled-scores cache (counted owner)
   )
 
   test("steady state: a second run of a query adds no persistent RDDs") {
