@@ -430,6 +430,57 @@ object EvalQueries {
            |FROM a ORDER BY lang""".stripMargin
       }),
 
+    // Spearman rank correlation between the learned quality score and
+    // raw document length — the confound audit ("is the classifier
+    // just measuring length?") every learned filter needs before it
+    // replaces a rule. Both rankings are exact distributed ranks under
+    // doc_id-tie-broken total orders (documented: the tie-broken
+    // Spearman variant, so the classic 1 − 6Σd²/(n(n²−1)) identity is
+    // exact); Σd² and n are BIGINTs the oracle checks exactly, ρ is
+    // one final division. Two range-shuffle rank passes + one doc_id
+    // join — no single-partition window anywhere.
+    QueryDef("eval_rank_correlation",
+      (spark, sf) => {
+        val base = labeled(spark, sf)
+          .join(load(spark, sf, "documents")
+            .select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("n_tokens")),
+            Seq("doc_id"))
+        val rx = graft.ops.Rank.rankGlobal(
+            base.select(col("doc_id"), col("score")),
+            Seq(col("score"), col("doc_id")), "rx")
+          .select(col("doc_id"), col("rx"))
+        val ry = graft.ops.Rank.rankGlobal(
+            base.select(col("doc_id"), col("n_tokens")),
+            Seq(col("n_tokens"), col("doc_id")), "ry")
+          .select(col("doc_id"), col("ry"))
+        rx.join(ry, Seq("doc_id"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("rx") - col("ry")) * (col("rx") - col("ry")))
+              .as("sum_d2"))
+          .select(col("n"), col("sum_d2"),
+            when(col("n") > 1,
+              round(lit(1.0) - col("sum_d2") * 6.0 /
+                (col("n") * (col("n") * col("n") - 1)), 6)).as("rho"))
+      },
+      Some(s"""$LabeledSql,
+             |base AS (
+             |  SELECT l.doc_id, l.score,
+             |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM labeled l JOIN documents d USING (doc_id)),
+             |rx AS (SELECT doc_id,
+             |    ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rx FROM base),
+             |ry AS (SELECT doc_id,
+             |    ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS ry FROM base),
+             |j AS (SELECT rx.rx, ry.ry FROM rx JOIN ry USING (doc_id))
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+             |  CASE WHEN COUNT(*) > 1 THEN
+             |    ROUND(1.0 - SUM((rx - ry) * (rx - ry)) * 6.0 /
+             |      (COUNT(*) * (COUNT(*) * COUNT(*) - 1)), 6)
+             |  END AS rho
+             |FROM j""".stripMargin)),
+
     // kNN label-consistency audit of the embedding space: for a
     // deterministic 5% query sample, the 5 nearest cosine neighbors
     // (self excluded) vote on the label — majority with the total

@@ -146,8 +146,10 @@ class PlanAudit extends SparkSpec {
     // encode pass + join back + lang agg + orderBy
     "eval_lm_perplexity" -> 10,  // bigram explode feeds train counts +
     // conditional totals + held-out joins + source agg + orderBy
-    "eval_knn_accuracy" -> 10)   // brute topk (query broadcast, TopKPerKey)
+    "eval_knn_accuracy" -> 10,   // brute topk (query broadcast, TopKPerKey)
     // + label joins + vote agg + GroupedTopK argmax + truth agg + orderBy
+    "eval_rank_correlation" -> 6) // two rank LogicalRDDs (range machinery
+    // behind them) + doc_id join + one-group agg
 
   // Queries whose only nested-loop joins are the recall/bound gates'
   // crossJoins against one-row aggregates (a broadcast of a scalar —
