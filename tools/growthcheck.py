@@ -50,6 +50,11 @@ def bench(sfdir):
 
 small = bench(SMALL)
 big = bench(BIG)
+# keep the raw per-query durations around for ledger/regression work —
+# the comparison below is lossy (ratios only)
+for tag, b in (("small", small), ("big", big)):
+    with open(f"/tmp/graft_growthcheck_{tag}.json", "w") as f:
+        json.dump(b, f)
 for tag, b in (("small", small), ("big", big)):
     if b.get("failed"):
         sys.exit(f"[growthcheck] {tag} bench had failures: {b['failed']}")
