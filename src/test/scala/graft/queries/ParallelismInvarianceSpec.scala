@@ -23,7 +23,13 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "text_budget_select", // distributed token prefix sum
     "text_pack_sequences",// per-shard greedy fold
     "q_running_distinct", // shared-exchange window pair
-    "dedup_clusters_distributed") // hash-min label propagation rounds
+    "dedup_clusters_distributed", // hash-min label propagation rounds
+    "eval_auc",           // rankGlobal midrank sums from partition seeds
+    "eval_rank_correlation") // two independent rankGlobal passes joined
+  // q_cheapest_path / q_widest_path are NOT here: their fixpoint frames
+  // are memoized per sfDir, so a second width would compare the cache
+  // against itself — OpsSpec pins the semiring ops' partitioning
+  // invariance directly (repartition(1) vs (4) on uncached inputs)
 
   private def collectAt(name: String, partitions: Int): Seq[Seq[Any]] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
