@@ -2504,6 +2504,64 @@ object Relational {
            |FROM d24 WHERE node % 41 = 0 ORDER BY node""".stripMargin
       }),
 
+    // Exponential smoothing (EWMA level tracking, α = 1/4) of the
+    // per-type hourly event-count series, with >50%-deviation anomaly
+    // counting — the classic online forecasting/monitoring primitive.
+    // The recurrence is INTEGER micro-units with floor division
+    // (level' = (x·10⁶ + 3·level) div 4), so the whole sequential fold
+    // is engine-exact; the per-type state (level, anomaly count, hour
+    // count) is PACKED into one BIGINT (level·2²⁸ + anoms·2¹⁴ + n,
+    // bounds documented) because DuckDB's list_reduce folds over a
+    // homogeneous list — the same list_prepend(sentinel) trick as the
+    // FNV hash oracle. Scale shape: one (type, hour) count shuffle,
+    // then per-type folds over bounded time-grid arrays (the state per
+    // key is the time horizon, not the data).
+    QueryDef("q_exp_smoothing",
+      (spark, sf) => {
+        val hourly = Tables.load(spark, sf, "events")
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .groupBy(col("event_type"), col("h"))
+          .agg(count(lit(1)).as("n"))
+        hourly.groupBy(col("event_type"))
+          .agg(expr("transform(sort_array(collect_list(struct(h, n))), x -> x.n)")
+            .as("s"))
+          .select(col("event_type"), expr(
+            """aggregate(s, -1L, (acc, x) -> CASE
+              |  WHEN acc < 0 THEN x * 1000000L * 268435456L + 1L
+              |  ELSE (x * 1000000L + 3L * (acc div 268435456L)) div 4L * 268435456L
+              |    + ((acc div 16384L) % 16384L
+              |       + IF(abs(x * 1000000L - acc div 268435456L) * 2L
+              |            > acc div 268435456L, 1L, 0L)) * 16384L
+              |    + (acc % 16384L + 1L)
+              |END)""".stripMargin).as("p"))
+          .select(col("event_type"),
+            (col("p") % 16384L).cast("int").as("n_hours"),
+            expr("p div 268435456L").as("level_micro"),
+            expr("(p div 16384L) % 16384L").as("n_anomalies"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |series AS (
+             |  SELECT event_type, list(CAST(n AS BIGINT) ORDER BY h) AS s
+             |  FROM hourly GROUP BY 1),
+             |folded AS (
+             |  SELECT event_type, list_reduce(
+             |    list_prepend(CAST(-1 AS BIGINT), s), (acc, x) -> CASE
+             |      WHEN acc < 0 THEN x * 1000000 * 268435456 + 1
+             |      ELSE (x * 1000000 + 3 * (acc // 268435456)) // 4 * 268435456
+             |        + ((acc // 16384) % 16384
+             |           + CASE WHEN abs(x * 1000000 - acc // 268435456) * 2
+             |                       > acc // 268435456 THEN 1 ELSE 0 END) * 16384
+             |        + (acc % 16384 + 1)
+             |    END) AS p
+             |  FROM series)
+             |SELECT event_type, CAST(p % 16384 AS INT) AS n_hours,
+             |  CAST(p // 268435456 AS BIGINT) AS level_micro,
+             |  CAST((p // 16384) % 16384 AS BIGINT) AS n_anomalies
+             |FROM folded ORDER BY event_type""".stripMargin)),
+
     // Widest (maximum-bottleneck) paths over the same multi-path part
     // DAG as q_cheapest_path, on the (max, min) semiring: width(node) =
     // the largest per-edge capacity floor any route to the sink can

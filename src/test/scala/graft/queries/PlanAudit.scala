@@ -148,8 +148,10 @@ class PlanAudit extends SparkSpec {
     // conditional totals + held-out joins + source agg + orderBy
     "eval_knn_accuracy" -> 10,   // brute topk (query broadcast, TopKPerKey)
     // + label joins + vote agg + GroupedTopK argmax + truth agg + orderBy
-    "eval_rank_correlation" -> 6) // two rank LogicalRDDs (range machinery
+    "eval_rank_correlation" -> 6, // two rank LogicalRDDs (range machinery
     // behind them) + doc_id join + one-group agg
+    "q_exp_smoothing" -> 4)      // (type, hour) count agg + per-type
+    // collect fold + orderBy
 
   // Queries whose only nested-loop joins are the recall/bound gates'
   // crossJoins against one-row aggregates (a broadcast of a scalar —
