@@ -2540,27 +2540,7 @@ object Relational {
             expr("(p div 16384L) % 16384L").as("n_anomalies"))
           .orderBy(col("event_type"))
       },
-      Some("""WITH hourly AS (
-             |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
-             |  FROM events GROUP BY 1, 2),
-             |series AS (
-             |  SELECT event_type, list(CAST(n AS BIGINT) ORDER BY h) AS s
-             |  FROM hourly GROUP BY 1),
-             |folded AS (
-             |  SELECT event_type, list_reduce(
-             |    list_prepend(CAST(-1 AS BIGINT), s), (acc, x) -> CASE
-             |      WHEN acc < 0 THEN x * 1000000 * 268435456 + 1
-             |      ELSE (x * 1000000 + 3 * (acc // 268435456)) // 4 * 268435456
-             |        + ((acc // 16384) % 16384
-             |           + CASE WHEN abs(x * 1000000 - acc // 268435456) * 2
-             |                       > acc // 268435456 THEN 1 ELSE 0 END) * 16384
-             |        + (acc % 16384 + 1)
-             |    END) AS p
-             |  FROM series)
-             |SELECT event_type, CAST(p % 16384 AS INT) AS n_hours,
-             |  CAST(p // 268435456 AS BIGINT) AS level_micro,
-             |  CAST((p // 16384) % 16384 AS BIGINT) AS n_anomalies
-             |FROM folded ORDER BY event_type""".stripMargin)),
+      Some(Shared.ExpSmoothingOracle)),
 
     // Widest (maximum-bottleneck) paths over the same multi-path part
     // DAG as q_cheapest_path, on the (max, min) semiring: width(node) =

@@ -543,6 +543,37 @@ object Shared {
       |  FROM fused)
       |WHERE fr <= 10 ORDER BY probe_id, fused_rank""".stripMargin
 
+  /** One oracle for both EWMA twins (`q_exp_smoothing` batch fold,
+    * `stream_exp_smoothing` incremental StatefulProcessor): the α = 1/4
+    * integer micro-unit recurrence over per-type hourly counts, state
+    * packed into one BIGINT so DuckDB's homogeneous list_reduce replays
+    * the fold (the FNV list_prepend trick). The twins must stay
+    * result-identical, so the packing layout and anomaly rule live here
+    * once.
+    */
+  val ExpSmoothingOracle: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |series AS (
+      |  SELECT event_type, list(CAST(n AS BIGINT) ORDER BY h) AS s
+      |  FROM hourly GROUP BY 1),
+      |folded AS (
+      |  SELECT event_type, list_reduce(
+      |    list_prepend(CAST(-1 AS BIGINT), s), (acc, x) -> CASE
+      |      WHEN acc < 0 THEN x * 1000000 * 268435456 + 1
+      |      ELSE (x * 1000000 + 3 * (acc // 268435456)) // 4 * 268435456
+      |        + ((acc // 16384) % 16384
+      |           + CASE WHEN abs(x * 1000000 - acc // 268435456) * 2
+      |                       > acc // 268435456 THEN 1 ELSE 0 END) * 16384
+      |        + (acc % 16384 + 1)
+      |    END) AS p
+      |  FROM series)
+      |SELECT event_type, CAST(p % 16384 AS INT) AS n_hours,
+      |  CAST(p // 268435456 AS BIGINT) AS level_micro,
+      |  CAST((p // 16384) % 16384 AS BIGINT) AS n_anomalies
+      |FROM folded ORDER BY event_type""".stripMargin
+
   /** The BM25 (k1=1.2, b=0.75) scoring replay as a CTE chain ending in
     * `scored` (probe_id, doc_id, 6-dp score) — shared by
     * [[ProbeBm25Oracle]] (the batch + streaming probe twins) and the

@@ -74,6 +74,7 @@ object StreamingQueries {
     * negative `event_id` AFTER the join.
     */
   private val chunkedCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val ewmaChunkCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private def stagedTimeChunks(
       spark: SparkSession, sf: String, n: Int, sentinel: Boolean = false): String =
     chunkedCache.getOrElseUpdate(s"$sf/events/$n/$sentinel", {
@@ -1907,5 +1908,87 @@ object StreamingQueries {
         EvalQueries.prMetrics(spark.table(table))
       },
       Some(EvalQueries.PrCurveOracle)),
+
+    // Streaming twin of q_exp_smoothing: the EWMA model updates
+    // INCREMENTALLY across micro-batches through a transformWithState
+    // StatefulProcessor — O(1) packed state per event type, each
+    // time-ordered chunk extending the current hour or folding
+    // completed hours, exactly the always-on monitoring shape. A
+    // sentinel chunk carrying one far-future row PER TYPE (the staging
+    // helper's sentinels cover only two types — here every type's
+    // trailing hour must close) triggers the single final emission and
+    // clears the state. transformWithState queries neither plan under
+    // AvailableNow nor quiesce under awaitTermination (the
+    // stream_sessionize lesson), so the drain is the short-period
+    // trigger + poll-until-every-type-landed pattern. Bit-identical to
+    // the batch fold (same integer recurrence, same packing), so the
+    // twins share one oracle.
+    QueryDef("stream_exp_smoothing",
+      (spark, sf) => {
+        val dir = ewmaChunkCache.getOrElseUpdate(sf, {
+          val chunks = stagedTimeChunks(spark, sf, 8)
+          val d = java.nio.file.Files.createTempDirectory("graft_ewma_chunks")
+          new java.io.File(chunks).listFiles()
+            .filter(_.getName.endsWith(".parquet")).foreach { f =>
+              val dst = d.resolve(f.getName)
+              java.nio.file.Files.copy(f.toPath, dst)
+              dst.toFile.setLastModified(f.lastModified)
+            }
+          val df = Tables.normalizeTs(spark.read.parquet(path(sf, "events")))
+          val hi = df.agg(max(unix_micros(col("ts")))).head().getLong(0)
+          val sent = df.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+            .select(lit(-1L).as("event_id"),
+              expr(s"timestamp_micros(${hi + 7200000000L})").as("ts"),
+              lit(-1L).as("user_id"), col("event_type"),
+              lit(0.0).as("value"), lit("{}").as("props"))
+          val tmp = java.nio.file.Files.createTempDirectory("graft_ewma_sent")
+          sent.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = new java.io.File(tmp.toString).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          val dst = d.resolve("chunk_zzz_sentinel.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          dst.toFile.setLastModified(
+            new java.io.File(chunks).listFiles().map(_.lastModified).max + 10000L)
+          d.toString
+        })
+        val df = Tables.normalizeTs(spark.read.parquet(path(sf, "events")))
+        val hi = df.agg(max(unix_micros(col("ts")))).head().getLong(0)
+        val sentinelHourFrom = hi / 3600000000L + 1L
+        val schema = spark.read.parquet(path(sf, "events")).schema
+        val stream = Tables.normalizeTs(spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir))
+        val prevProvider = spark.conf
+          .getOption("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val levels = graft.streaming.StreamingIngest
+            .ewmaLevels(stream, "ts", "event_type", sentinelHourFrom)
+          val table = s"stream_ewma_${counter.incrementAndGet()}"
+          val nTypes = df.select(col("event_type")).distinct().count()
+          withStatePartitions(spark, 4) {
+            val q = levels.toDF().writeStream.format("memory").queryName(table)
+              .outputMode("append").trigger(Trigger.ProcessingTime(100L)).start()
+            try {
+              // completeness anchor: exactly one final readout per type
+              // (the sentinel guarantees each type emits once)
+              val deadline = System.currentTimeMillis + 120000
+              while (spark.table(table).count() < nTypes &&
+                System.currentTimeMillis < deadline) Thread.sleep(150)
+            } finally q.stop()
+          }
+          spark.table(table)
+            .select(col("eventType").as("event_type"),
+              col("nHours").cast("int").as("n_hours"),
+              col("levelMicro").as("level_micro"),
+              col("nAnomalies").as("n_anomalies"))
+            .orderBy(col("event_type"))
+        } finally prevProvider match {
+          case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      },
+      Some(Shared.ExpSmoothingOracle)),
   )
 }

@@ -359,6 +359,95 @@ object StreamingIngest {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  /** Final EWMA readout for one event type (mirrors q_exp_smoothing's
+    * output row). */
+  final case class EwmaOut(eventType: String, nHours: Long,
+      levelMicro: Long, nAnomalies: Long)
+
+  /** Per-type EWMA state: the hour currently accumulating and the
+    * BIGINT-packed (level·2²⁸ + anomalies·2¹⁴ + hours) fold accumulator
+    * (−1 = no hour folded yet). Public for the state encoder. */
+  final case class EwmaState(pendingHour: Long, pendingN: Long, packed: Long)
+
+  /** Incremental exponential smoothing (α = 1/4, integer micro-units —
+    * the q_exp_smoothing recurrence verbatim) as a keyed
+    * `StatefulProcessor`: each micro-batch's events extend the
+    * current hour or fold completed hours into the packed accumulator,
+    * so the model updates ACROSS batches from O(1) state per key — the
+    * online form of the batch fold, and the shape an always-on
+    * monitoring pipeline runs. A sentinel event at/after
+    * `sentinelHourFrom` closes the trailing hour and emits the final
+    * readout (the stream_sessionize sentinel pattern — no timers, so
+    * AvailableNow drains normally); state is cleared on emission.
+    *
+    * Exactness contract: input chunks must arrive in non-overlapping
+    * ascending time ranges (the time-chunked staging guarantees it);
+    * rows are sorted within each batch, so the fold sees hours in the
+    * same order as the batch computation and the result is
+    * bit-identical to q_exp_smoothing's.
+    */
+  final class EwmaProcessor(sentinelHourFrom: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Long), EwmaOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var state: ValueState[EwmaState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[EwmaState]("ewma",
+        E.product[EwmaState], TTLConfig.NONE)
+
+    private def fold(packed: Long, x: Long): Long =
+      if (packed < 0) x * 1000000L * 268435456L + 1L
+      else {
+        val level = packed / 268435456L
+        val na = (packed / 16384L) % 16384L
+        val n = packed % 16384L
+        val newLevel = (x * 1000000L + 3L * level) / 4L
+        val anom = if (math.abs(x * 1000000L - level) * 2L > level) 1L else 0L
+        newLevel * 268435456L + (na + anom) * 16384L + (n + 1L)
+      }
+
+    override def handleInputRows(
+        key: String, rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[EwmaOut] = {
+      var s = if (state.exists()) state.get() else EwmaState(-1L, 0L, -1L)
+      var out = List.empty[EwmaOut]
+      rows.toSeq.map(_._2).sorted.foreach { tsMicros =>
+        val h = tsMicros / 3600000000L
+        if (h >= sentinelHourFrom) {
+          if (s.pendingHour >= 0) s = EwmaState(-1L, 0L, fold(s.packed, s.pendingN))
+          if (s.packed >= 0 && out.isEmpty)
+            out ::= EwmaOut(key, s.packed % 16384L, s.packed / 268435456L,
+              (s.packed / 16384L) % 16384L)
+        } else if (h == s.pendingHour) {
+          s = s.copy(pendingN = s.pendingN + 1L)
+        } else {
+          val packed = if (s.pendingHour >= 0) fold(s.packed, s.pendingN) else s.packed
+          s = EwmaState(h, 1L, packed)
+        }
+      }
+      if (out.nonEmpty) state.clear() else state.update(s)
+      out.iterator
+    }
+  }
+
+  /** Streaming EWMA level tracking via the [[EwmaProcessor]]. Requires
+    * the RocksDB state store, which `transformWithState` mandates.
+    */
+  def ewmaLevels(
+      events: DataFrame, tsCol: String, typeCol: String,
+      sentinelHourFrom: Long): Dataset[EwmaOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(typeCol), unix_micros(col(tsCol)))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new EwmaProcessor(sentinelHourFrom),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Continuous keyed ingestion: every micro-batch flows through the
     * batch executor's upsert merge (mapping table + orphan-free
     * incremental mode). Returns the started query; caller owns lifecycle.
