@@ -263,17 +263,25 @@ final class ParquetDestinationDriver(
     * scan-and-write (generations are immutable, so readers pinned to the
     * pre-erasure generation stay consistent until the purge lands);
     * the count pass is a single aggregate over the same snapshot.
-    * Returns (rowsBefore, rowsErased, rowsAfter).
+    * NULL semantics: a row where the predicate evaluates to NULL is
+    * RETAINED — erasure is strict three-valued-logic TRUE only.
+    * (A bare `filter(!predicate)` would silently drop NULL rows while
+    * the report counted them as retained — for a right-to-erasure API
+    * the report and the rewrite must agree row-for-row, so the rewrite
+    * keeps exactly the NOT-coalesce(pred, false) complement of what it
+    * counts.) Returns (rowsBefore, rowsErased, rowsAfter), with
+    * rowsAfter = rowsBefore − rowsErased by construction.
     */
   def erase(spark: SparkSession, spec: MigrationSpec, predicate: org.apache.spark.sql.Column,
       purge: Boolean = true): (Long, Long, Long) = {
     require(buckets.isEmpty, "erasure on bucketed sinks goes through the catalog rewrite")
     val snap = snapshot(spark, spec)
       .getOrElse(sys.error("erase: no current generation"))
+    val hit = coalesce(predicate, lit(false))
     val a = snap.agg(count(lit(1)),
-      coalesce(sum(when(predicate, 1L).otherwise(0L)), lit(0L))).head()
+      coalesce(sum(when(hit, 1L).otherwise(0L)), lit(0L))).head()
     val (before, hits) = (a.getLong(0), a.getLong(1))
-    write(snap.filter(!predicate), spec)
+    write(snap.filter(!hit), spec)
     if (purge) {
       val base = new org.apache.hadoop.fs.Path(UriSchemes.path(spec.destination))
       val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -151,11 +151,22 @@ object Curation {
     * uniform 32-bit word carved from md5(key ‖ salt): P(k leading
     * zeros) = 2^−(k+1). Everything is integer bit arithmetic, so the
     * noise replays bit-exact in any engine — "seeded DP", the
-    * reproducible-release variant (same key + salt ⇒ same noise; a
-    * fresh release epoch rotates the salt). Sensitivity-1 counts get
-    * ε = ln(1/α) with α = 1/2.
+    * reproducible-release variant (same key + salt ⇒ same noise).
+    * Sensitivity-1 counts get ε = ln(1/α) with α = 1/2.
+    *
+    * SECURITY CONTRACT: the ε-DP guarantee holds ONLY while `salt`
+    * stays secret. The noise is a deterministic function of
+    * (key, salt), so anyone who learns the salt can subtract the
+    * noise and recover the exact count. There is deliberately no
+    * default — the caller must supply a per-release secret and
+    * rotate it each release epoch (reusing a salt across releases
+    * composes the ε budgets of everything released under it).
+    * The `privacy_dp_counts`/`stream_dp_counts` correctness gates
+    * pass a fixed PUBLIC salt and emit the true count alongside the
+    * noised one — that is test-gate plumbing for bit-exact oracle
+    * replay, not a shape any production release may copy.
     */
-  def dpGeometricNoise(key: Column, salt: String = "dp"): Column = {
+  def dpGeometricNoise(key: Column, salt: String): Column = {
     val h = md5(concat(key.cast("string"), lit(salt)))
     // leading zeros of the 32-bit word at hex offset `off`: bin() drops
     // leading zero bits, ltrim handles the v = 0 word (32 zeros)

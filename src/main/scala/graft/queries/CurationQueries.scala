@@ -334,7 +334,10 @@ object CurationQueries {
       (spark, sf) => load(spark, sf, "events")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"))
-        .withColumn("dp_noise", Curation.dpGeometricNoise(col("event_type")))
+        // PUBLIC test-gate salt — only valid because this gate's job is
+        // bit-exact oracle replay; a production release supplies a secret
+        // rotated salt (see the SECURITY CONTRACT on dpGeometricNoise)
+        .withColumn("dp_noise", Curation.dpGeometricNoise(col("event_type"), "dp"))
         .withColumn("dp_count", col("n_events") + col("dp_noise"))
         .orderBy(col("event_type")),
       Some(Shared.DpCountsOracle)),

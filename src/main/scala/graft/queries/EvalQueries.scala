@@ -554,10 +554,21 @@ object EvalQueries {
     // unseen bigrams by construction — the reason text_bigram_lm's
     // unsmoothed in-corpus scorer can't do model eval), and report
     // cross-entropy + perplexity per source. Counts and the smoothed
-    // ratio's terms are exact integers; the perplexity exponential is
-    // taken of the ALREADY-6dp-ROUNDED mean so both engines exp the
+    // ratio's terms are exact integers. The one unavoidable float —
+    // Σ log p — is NOT an avg() over rows (partition-order-dependent
+    // in Spark): the held-out set is collapsed to its distinct
+    // (numerator, denominator) integer pairs, each pair contributes
+    // m·ln(num/den) once, and BOTH engines fold the per-source term
+    // list in ascending sorted order before the single 6-dp round.
+    // That makes each engine's sum deterministic and the two sums
+    // associate identically; the residual tolerance is libm-ln ulp
+    // variance on identical double inputs, absorbed by the 6-dp round
+    // (documented: this query is 6-dp tolerance-checked, not bit-exact
+    // in the integer-sufficient-statistics sense). The exponential is
+    // taken of the ALREADY-ROUNDED mean so both engines exp the
     // identical double. One bigram shuffle for counts, one for the
-    // held-out join — the corpus is read once.
+    // held-out join — the corpus is read once; the fold list is
+    // O(#distinct count-pairs per source), tiny by Zipf.
     QueryDef("eval_lm_perplexity",
       (spark, sf) => {
         val arr = split(col("text"), " ")
@@ -577,10 +588,17 @@ object EvalQueries {
         bi.filter(!isTrain)
           .join(bc, Seq("x", "y"), "left").na.fill(0L, Seq("cxy"))
           .join(cx, Seq("x"), "left").na.fill(0L, Seq("cx"))
+          .groupBy(col("source"),
+            (col("cxy") + 1).as("num"), (col("cx") + lit(v)).as("den"))
+          .agg(count(lit(1)).as("m"))
           .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_bigrams"),
-            round(avg(log((col("cxy") + 1).cast("double") /
-              (col("cx") + lit(v)))), 6).as("mean_logp"))
+          .agg(sum(col("m")).as("n_bigrams"),
+            sort_array(collect_list(col("m").cast("double") *
+              log(col("num").cast("double") / col("den").cast("double"))))
+              .as("terms"))
+          .select(col("source"), col("n_bigrams"),
+            round(expr("aggregate(terms, CAST(0.0 AS DOUBLE), (a, t) -> a + t)")
+              / col("n_bigrams"), 6).as("mean_logp"))
           .withColumn("ppl", round(exp(-col("mean_logp")), 4))
           .orderBy(col("source"))
       },
@@ -598,15 +616,21 @@ object EvalQueries {
            |bc AS (SELECT x, y, COUNT(*) cxy FROM tr GROUP BY 1, 2),
            |cx AS (SELECT x, SUM(cxy) cx FROM bc GROUP BY 1),
            |v AS (SELECT COUNT(*) v FROM (SELECT x AS t FROM tr UNION SELECT y FROM tr)),
-           |sc AS (
-           |  SELECT h.source,
-           |    LN((COALESCE(bc.cxy, 0) + 1) /
-           |       CAST(COALESCE(cx.cx, 0) + (SELECT v FROM v) AS DOUBLE)) lp
-           |  FROM he h LEFT JOIN bc USING (x, y) LEFT JOIN cx USING (x))
-           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           |  ROUND(AVG(lp), 6) AS mean_logp,
-           |  ROUND(EXP(-ROUND(AVG(lp), 6)), 4) AS ppl
-           |FROM sc GROUP BY source ORDER BY source""".stripMargin
+           |g AS (
+           |  SELECT h.source, COALESCE(bc.cxy, 0) + 1 AS num,
+           |    COALESCE(cx.cx, 0) + (SELECT v FROM v) AS den, COUNT(*) AS m
+           |  FROM he h LEFT JOIN bc USING (x, y) LEFT JOIN cx USING (x)
+           |  GROUP BY 1, 2, 3),
+           |s AS (
+           |  SELECT source, SUM(m) AS n_bigrams,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(
+           |      CAST(m AS DOUBLE) * LN(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))))),
+           |      (a, x) -> a + x) AS ssum
+           |  FROM g GROUP BY source)
+           |SELECT source, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           |  ROUND(ssum / n_bigrams, 6) AS mean_logp,
+           |  ROUND(EXP(-ROUND(ssum / n_bigrams, 6)), 4) AS ppl
+           |FROM s ORDER BY source""".stripMargin
       }),
   )
 }

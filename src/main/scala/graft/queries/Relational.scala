@@ -2526,7 +2526,18 @@ object Relational {
           .agg(expr("transform(sort_array(collect_list(struct(h, n))), x -> x.n)")
             .as("s"))
           .select(col("event_type"), expr(
+            // Strict-mode bound guard (the Graphs.relaxFixpoint
+            // discipline): the packing holds level·10⁶ < 2³⁵ (hourly
+            // count ≤ 34 000) and 14-bit n_hours/n_anomalies fields.
+            // Past the bounds the fold would wrap SILENTLY into the
+            // adjacent bit fields and still hash-match its equally
+            // wrapped oracle twin — so fail loudly instead.
             """aggregate(s, -1L, (acc, x) -> CASE
+              |  WHEN x > 34000L OR (acc >= 0 AND (acc % 16384L >= 16383L
+              |       OR (acc div 16384L) % 16384L >= 16383L))
+              |    THEN CAST(raise_error(CONCAT('q_exp_smoothing: packed-state ',
+              |      'bounds exceeded (hourly count <= 34000, n_hours/',
+              |      'n_anomalies < 16384) - widen the packing')) AS BIGINT)
               |  WHEN acc < 0 THEN x * 1000000L * 268435456L + 1L
               |  ELSE (x * 1000000L + 3L * (acc div 268435456L)) div 4L * 268435456L
               |    + ((acc div 16384L) % 16384L
@@ -2662,7 +2673,17 @@ object Relational {
     // significance DECISION is an exact cross-multiplied integer
     // comparison — z² ≥ 2401/625 with both sides integer, evaluated in
     // DECIMAL(38)/HUGEINT because D²·n·625 overflows 64 bits — while
-    // the displayed z² is one fixed double expression. Degenerate
+    // the displayed z² is one fixed double expression. The exact
+    // decision has a DOMAIN: D²·n·625 and 2401·n_a·n_b·x·(n−x) must
+    // fit 38 digits (worst case ≈ 625·n⁵/16, safe to ~10⁷ users per
+    // arm; adversarial inputs past that would overflow Spark decimals
+    // to NULL and emit no verdict while the docs promise one), and the
+    // BIGINT cross products x_a·n_b need |·| < 2⁶³. So the guard below
+    // FAILS LOUDLY (raise_error) outside a 10×-margined double
+    // pre-check instead of silently NULLing — the Graphs.relaxFixpoint
+    // strict-mode discipline. (DuckDB's 127-bit HUGEINT has the
+    // analogous ~1.7e38 bound; the guard never fires at gate scale so
+    // both engines emit identical values.) Degenerate
     // designs (either arm empty, or 0%/100% pooled conversion) emit
     // NULL z²/verdict on both engines instead of dividing by zero.
     // Shape: one user-keyed agg (the only corpus shuffle), then a
@@ -2697,10 +2718,21 @@ object Relational {
                 |         * (n_a + n_b - x_a - x_b) AS DOUBLE)""".stripMargin), 4))
               .as("z2"),
             when(ok, expr(
-              """CAST(CAST(x_a * n_b - x_b * n_a AS DECIMAL(38,0))
-                |  * (x_a * n_b - x_b * n_a) * (n_a + n_b) * 625
-                |  >= CAST(2401 AS DECIMAL(38,0)) * n_a * n_b * (x_a + x_b)
-                |     * (n_a + n_b - x_a - x_b) AS INT)""".stripMargin))
+              """CASE WHEN CAST(x_a AS DOUBLE) * n_b > 9e17
+                |    OR CAST(x_b AS DOUBLE) * n_a > 9e17
+                |    OR POW(CAST(x_a AS DOUBLE) * n_b
+                |           - CAST(x_b AS DOUBLE) * n_a, 2)
+                |       * (n_a + n_b) > 1e34
+                |    OR CAST(n_a AS DOUBLE) * n_b * (x_a + x_b)
+                |       * (n_a + n_b - x_a - x_b) > 1e34
+                |  THEN CAST(raise_error(CONCAT('q_ab_test: counts exceed the ',
+                |    'DECIMAL(38) exact-decision domain (~1e7 users/arm) - ',
+                |    'shard the experiment or decide on the z2 double')) AS INT)
+                |  ELSE CAST(CAST(x_a * n_b - x_b * n_a AS DECIMAL(38,0))
+                |    * (x_a * n_b - x_b * n_a) * (n_a + n_b) * 625
+                |    >= CAST(2401 AS DECIMAL(38,0)) * n_a * n_b * (x_a + x_b)
+                |       * (n_a + n_b - x_a - x_b) AS INT)
+                |END""".stripMargin))
               .as("significant"))
       },
       Some("""WITH users AS (

@@ -1753,7 +1753,9 @@ object StreamingQueries {
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()
         try q.awaitTermination() finally q.stop()
         spark.table(table)
-          .withColumn("dp_noise", graft.ops.Curation.dpGeometricNoise(col("event_type")))
+          // PUBLIC test-gate salt (bit-exact oracle replay) — production
+          // releases supply a secret rotated salt, see dpGeometricNoise
+          .withColumn("dp_noise", graft.ops.Curation.dpGeometricNoise(col("event_type"), "dp"))
           .withColumn("dp_count", col("n_events") + col("dp_noise"))
           .orderBy(col("event_type"))
       },

@@ -397,7 +397,13 @@ object StreamingIngest {
       state = getHandle.getValueState[EwmaState]("ewma",
         E.product[EwmaState], TTLConfig.NONE)
 
-    private def fold(packed: Long, x: Long): Long =
+    private def fold(packed: Long, x: Long): Long = {
+      // Strict-mode bound guard mirroring q_exp_smoothing's: past these
+      // bounds the packing wraps silently into adjacent bit fields, so
+      // fail loudly (level·10⁶ < 2³⁵ ⇒ hourly count ≤ 34 000; the two
+      // counters are 14-bit fields).
+      require(x <= 34000L,
+        s"EWMA packed state: hourly count $x > 34000 overflows the level field")
       if (packed < 0) x * 1000000L * 268435456L + 1L
       else {
         val level = packed / 268435456L
@@ -405,8 +411,11 @@ object StreamingIngest {
         val n = packed % 16384L
         val newLevel = (x * 1000000L + 3L * level) / 4L
         val anom = if (math.abs(x * 1000000L - level) * 2L > level) 1L else 0L
+        require(n + 1L < 16384L && na + anom < 16384L,
+          s"EWMA packed state: counter field overflow (n=$n, anomalies=$na)")
         newLevel * 268435456L + (na + anom) * 16384L + (n + 1L)
       }
+    }
 
     override def handleInputRows(
         key: String, rows: Iterator[(String, Long)],

@@ -324,10 +324,10 @@ class PropertySpec extends SparkSpec {
     import spark.implicits._
     val keys = samples(idSeg, 300).distinct
     val once = keys.toDF("k")
-      .select(col("k"), Curation.dpGeometricNoise(col("k")).as("z"))
+      .select(col("k"), Curation.dpGeometricNoise(col("k"), "dp").as("z"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val again = keys.toDF("k").repartition(5)
-      .select(col("k"), Curation.dpGeometricNoise(col("k")).as("z"))
+      .select(col("k"), Curation.dpGeometricNoise(col("k"), "dp").as("z"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(once == again, "noise must be a pure function of the key")
     assert(once.values.forall(z => z > -32 && z < 32), "two-sided geometric bound")

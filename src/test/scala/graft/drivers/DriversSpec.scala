@@ -472,4 +472,22 @@ class DriversSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       bucketed.erase(spark, sp, col("id") === 1L))
   }
+
+  test("erasure: NULL-predicate rows are retained, not silently dropped") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = scratchDir("erasure-null") + "/dest"
+    val sp = mkSpec(dir, dir)
+    val d = new ParquetDestinationDriver()
+    // email is NULL for ids 1..3 — a predicate on email is NULL there,
+    // which three-valued logic must treat as "do not erase"
+    d.write((1L to 10L).map(i =>
+        (i, if (i <= 3) null else s"u$i@ex.com")).toDF("id", "email"), sp)
+    val (b, e, a) = d.erase(spark, sp, col("email") === "u7@ex.com", purge = true)
+    assert((b, e, a) == ((10L, 1L, 9L)), s"($b, $e, $a)")
+    val back = d.snapshot(spark, sp).get
+    assert(back.count() == 9, "report and rewrite must agree row-for-row")
+    assert(back.filter(col("email").isNull).count() == 3,
+      "NULL-predicate rows must survive the rewrite")
+  }
 }

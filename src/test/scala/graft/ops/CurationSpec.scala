@@ -139,7 +139,7 @@ class CurationSpec extends SparkSpec {
   test("dp noise is the discrete Laplace: symmetric, P(0)≈1/3, geometric tail, deterministic") {
     import spark.implicits._
     val keys = (1 to 20000).map(i => s"key$i").toDF("k")
-    val z = keys.select(Curation.dpGeometricNoise(col("k")).as("z"))
+    val z = keys.select(Curation.dpGeometricNoise(col("k"), "dp").as("z"))
       .groupBy("z").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val n = 20000.0
     // Z = G1 - G2, Gi ~ Geom(1/2) gives discrete Laplace α = 1/2:
@@ -149,8 +149,8 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(z(1L).toDouble - z(-1L)) / n < 0.02, "symmetry")
     assert(z.keys.map(math.abs).max < 32, "geometric tail, never past the word width")
     // seeded: the same key always draws the same noise; a salt rotation redraws
-    val a = Seq("x").toDF("k").select(Curation.dpGeometricNoise(col("k")).as("z")).head.getLong(0)
-    val b = Seq("x").toDF("k").select(Curation.dpGeometricNoise(col("k")).as("z")).head.getLong(0)
+    val a = Seq("x").toDF("k").select(Curation.dpGeometricNoise(col("k"), "dp").as("z")).head.getLong(0)
+    val b = Seq("x").toDF("k").select(Curation.dpGeometricNoise(col("k"), "dp").as("z")).head.getLong(0)
     val c = Seq("x").toDF("k").select(Curation.dpGeometricNoise(col("k"), "epoch2").as("z")).head.getLong(0)
     assert(a == b, "same key + salt must redraw identically")
     // (different salt USUALLY differs; not asserted — equality is legal)
