@@ -32,6 +32,35 @@ object StreamingQueries {
     * the principle — state partitions are a first-class knob decoupled
     * from the batch shuffle width — is exactly what this helper encodes.
     */
+  /** Distributed stream/batch parity gate. The old form collected both
+    * ranked lists to the driver and compared Sets — bounded at
+    * k·|probes|, but |probes| scales with the corpus (1% of doc_ids),
+    * so at 100 TB the GATE (not the serving path) became a driver
+    * collect. Here each side's key projection is frozen ONCE with an
+    * eager localCheckpoint — preserving the single-evaluation
+    * determinism the float-rounding-boundary note demands (a lazy
+    * exceptAll over the original plans would re-evaluate the batch
+    * float aggregate inside each compare leg) — and the diff runs on
+    * the executors: same count + one empty exceptAll ⟺ multiset
+    * equality. The driver sees three scalars; the frozen blocks are
+    * dropped before returning (PersistHygieneSpec discipline — no
+    * per-query persist without an unpersist owner).
+    */
+  private def parityHolds(stream: DataFrame, batch: DataFrame): Boolean = {
+    def rddOf(df: DataFrame) =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+    val s = stream.localCheckpoint(true)
+    val b = batch.localCheckpoint(true)
+    try {
+      val n = s.count()
+      n > 0 && n == b.count() && s.exceptAll(b).isEmpty
+    } finally Seq(s, b).flatMap(rddOf(_))
+      .filter(_.getStorageLevel.isValid)
+      .foreach(_.unpersist(blocking = false))
+  }
+
   private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -1459,22 +1488,14 @@ object StreamingQueries {
           kFuse = 60, topOut = 10)
         val fusedBatch = Retrieval.hybridRrf(docs, emb,
           emb.select(col("doc_id").as("probe_id")).filter(col("probe_id") % 100 === 7))
-        // Evaluated ONCE per side (see stream_probe_bm25's gate note):
-        // a lazy exceptAll gate re-evaluates the batch fusion per leg,
-        // and float-rounding-boundary values can differ between
-        // independent evaluations. Both fused lists are ≤ topOut·|probes|
-        // rows — one bounded driver-side compare of the rank structure.
-        val sKeys = fusedStream
-          .select(col("probe_id"), col("fused_rank"), col("doc_id"),
-            col("dense_rank"), col("sparse_rank"))
-          .collect().map(r =>
-            (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4))).toSet
-        val bKeys = fusedBatch
-          .select(col("probe_id"), col("fused_rank"), col("doc_id"),
-            col("dense_rank"), col("sparse_rank"))
-          .collect().map(r =>
-            (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4))).toSet
-        val gated = if (sKeys == bKeys && sKeys.nonEmpty) fusedStream
+        // Parity gate, evaluated ONCE per side and compared on the
+        // EXECUTORS (see parityHolds — the driver sees three scalars,
+        // never the ≤ topOut·|probes| rank lists, which scale with the
+        // corpus at 100 TB).
+        val gateCols = Seq(col("probe_id"), col("fused_rank"), col("doc_id"),
+          col("dense_rank"), col("sparse_rank"))
+        val gated = if (parityHolds(fusedStream.select(gateCols: _*),
+            fusedBatch.select(gateCols: _*))) fusedStream
           else fusedStream.limit(0)
         gated
           .select(col("probe_id"), col("fused_rank"), col("doc_id"),
@@ -1539,19 +1560,17 @@ object StreamingQueries {
           .select(col("probe_id"), col("r"), col("doc_id"), col("score"))
         val batchRanked = Retrieval.bm25TopK(docs, probes, k = 20)
           .select(col("probe_id"), col("r"), col("doc_id"), col("score"))
-        // Parity gate, evaluated ONCE per side: a lazy exceptAll gate
-        // re-evaluates the batch ranking inside each leg of the compare,
-        // and independent evaluations of a float aggregate can disagree
-        // in the 6th decimal on a rounding-boundary value (partial-agg
-        // summation order), tripping the gate spuriously. Both ranked
-        // lists are ≤ k·|probes| rows by construction, so one bounded
-        // driver-side compare of the rank structure is the honest,
-        // deterministic form (the stream_ann_probe precedent).
-        val sKeys = streamRanked.select(col("probe_id"), col("r"), col("doc_id"))
-          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-        val bKeys = batchRanked.select(col("probe_id"), col("r"), col("doc_id"))
-          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-        val gated = if (sKeys == bKeys && sKeys.nonEmpty) streamRanked
+        // Parity gate, evaluated ONCE per side (each side frozen with an
+        // eager localCheckpoint — a lazy exceptAll over the original
+        // plans would re-evaluate the batch float aggregate inside each
+        // compare leg, and independent evaluations can disagree in the
+        // 6th decimal on a rounding-boundary value) and compared on the
+        // EXECUTORS: the ranked lists are ≤ k·|probes| rows, which
+        // scales with the corpus — see parityHolds.
+        val gated = if (parityHolds(
+            streamRanked.select(col("probe_id"), col("r"), col("doc_id")),
+            batchRanked.select(col("probe_id"), col("r"), col("doc_id"))))
+          streamRanked
           else streamRanked.limit(0)
         gated
           .select(col("probe_id"), col("r").cast("int").as("r"),
