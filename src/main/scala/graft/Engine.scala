@@ -53,9 +53,45 @@ final class Engine private (val spark: SparkSession, val dataDir: String) {
 
   /** SQL over the registered views with the engine functions available. */
   def sql(query: String): DataFrame = spark.sql(query)
+
+  /** Run a migration DAG through the ETL core — the facade's composition
+    * point between the engine's two halves (the query/curation operators
+    * and the reference-shaped migration executor). Resolves dependency
+    * order, registers every destination with the reference store (so any
+    * stage can `ctx.references`-lookup a sibling), and executes through
+    * [[graft.exec.MigrationExecutor.executeAll]] with real mapping
+    * tables under `mappingDir`. Returns the per-migration results plus
+    * the run's executor so the caller can `release()` its pinned caches
+    * once the results are consumed (the nightly-loop discipline).
+    */
+  def migrate(
+      migrations: Seq[graft.exec.Migration],
+      sources: graft.exec.Migration => graft.drivers.SourceDriver,
+      dests: graft.exec.Migration => graft.drivers.DestinationDriver,
+      mappingDir: String,
+      orphanPolicy: graft.exec.OrphanPolicy = graft.exec.KeepOrphans,
+      parallelism: Int = 1): Engine.MigrateRun = {
+    val mapper = new graft.mapper.MappingStore(mappingDir)
+    val refs = new graft.exec.ReferenceStore(mapper)
+    val executor = new graft.exec.MigrationExecutor(mapper, refs, orphanPolicy)
+    val results = executor.executeAll(spark, migrations,
+      sources,
+      m => { val d = dests(m); refs.register(m.spec, d); d },
+      parallelism)
+    Engine.MigrateRun(results, executor, mapper, refs)
+  }
 }
 
 object Engine {
+
+  /** One [[Engine.migrate]] run: per-migration results plus the owning
+    * executor/mapper/reference store for post-consumption release.
+    */
+  final case class MigrateRun(
+      results: Map[String, graft.exec.MigrationResult],
+      executor: graft.exec.MigrationExecutor,
+      mapper: graft.mapper.MappingStore,
+      references: graft.exec.ReferenceStore)
 
   private[graft] lazy val defs: Map[String, QueryDef] =
     SparkEntry.allDefs.map(d => d.name -> d).toMap

@@ -573,4 +573,86 @@ class ExecutorSpec extends SparkSpec {
         s"probe side alone re-partitions to the bucket count:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
+
+  // ---- the LLM curation pipeline through the ETL core (r14 verdict
+  // task 1): five dependent migrations, real mapping tables, upsert
+  // re-runs, orphan propagation ----
+
+  private def runCuration(base: String,
+      docs: org.apache.spark.sql.DataFrame,
+      policy: OrphanPolicy = KeepOrphans) = {
+    val docsPath = s"$base/docs_src"
+    docs.write.mode("overwrite").parquet(docsPath)
+    val dest = new ParquetDestinationDriver
+    graft.Engine(spark, Sf, attach = false).migrate(
+      CurationPipeline.migrations(base),
+      CurationPipeline.sources(docsPath, base, dest),
+      _ => dest,
+      mappingDir = s"$base/map",
+      orphanPolicy = policy)
+  }
+
+  private def mixRollup(run: graft.Engine.MigrateRun): Seq[(Long, Long, String, String)] =
+    run.results("llm_mix").finalSnapshot
+      .select(col("did"), col("src_doc_id"), col("source"), col("predicted_lang"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSeq.sorted
+
+  test("curation pipeline: re-run is idempotent — same ids, same corpus, zero orphans") {
+    val base = scratchDir("exec_llm")
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val run1 = runCuration(base, docs)
+    val out1 = mixRollup(run1)
+    assert(out1.nonEmpty, "pipeline must curate a non-empty corpus")
+    assert(run1.results.keySet == CurationPipeline.StageNames.toSet)
+    run1.executor.release()
+
+    // second run over the SAME source into the SAME destinations and
+    // mapping dir: every stage takes the upsert path — mapped ids are
+    // looked up, not re-generated; no stage reports orphans; the curated
+    // corpus is bit-identical.
+    val run2 = runCuration(base, docs)
+    val out2 = mixRollup(run2)
+    assert(out2 == out1, "re-run must reproduce the identical curated corpus")
+    CurationPipeline.StageNames.foreach { s =>
+      assert(run2.results(s).orphanCount == 0L, s"$s: re-run must see no orphans")
+    }
+    // the ingest mapping table kept its generated ids (one row per doc)
+    val ingestSpec = CurationPipeline.migrations(base).head.spec
+    assert(run2.mapper.load(spark, ingestSpec).get.count() == docs.count(),
+      "ingest mapping must stay one row per source doc across re-runs")
+    run2.executor.release()
+  }
+
+  test("curation pipeline: a shrunk source under PruneOrphans propagates deletions down the DAG") {
+    val base = scratchDir("exec_llm_prune")
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val run1 = runCuration(base, docs)
+    val full = mixRollup(run1)
+    run1.executor.release()
+
+    // re-run with half the corpus gone (GDPR-style source shrink): each
+    // stage's source is the previous stage's post-prune snapshot, so the
+    // deletion propagates end-to-end without any stage being told.
+    val kept = docs.filter(col("doc_id") % 2 === 0)
+    val run2 = runCuration(base, kept, PruneOrphans)
+    assert(run2.results("llm_ingest").orphanCount > 0,
+      "ingest must report the vanished docs as orphans")
+    val pruned = mixRollup(run2)
+    assert(pruned.nonEmpty && pruned.forall(_._2 % 2 == 0),
+      "no odd source doc may survive anywhere in the curated corpus")
+    // surviving ids are STABLE: every (did, doc) pair already existed in
+    // the full run's ingest mapping (ids looked up, never re-assigned)
+    val ingestSpec = CurationPipeline.migrations(base).head.spec
+    val mapped = run2.mapper.load(spark, ingestSpec).get
+      .select(col("source_doc_id").cast("long"), col("dest_did").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullByDoc = full.map(t => t._2 -> t._1).toMap
+    pruned.foreach { case (did, doc, _, _) =>
+      assert(mapped.get(doc).contains(did), s"doc $doc: did must come from the mapping")
+      fullByDoc.get(doc).foreach(origDid =>
+        assert(origDid == did, s"doc $doc: did must be stable across the prune re-run"))
+    }
+    run2.executor.release()
+  }
 }
