@@ -304,6 +304,13 @@ final class ParquetDestinationDriver(
     require(buckets.isEmpty, "WAP staging is for non-bucketed generation sinks")
     val spark = df.sparkSession
     val base = UriSchemes.path(spec.destination)
+    // same evolution contract as write() — a WAP candidate that could
+    // never publish must fail at stage time, not after the audit
+    currentGen(spark, base).foreach { g =>
+      SchemaEvolution.validateEvolution(
+        spark.read.parquet(s"$base/$g").schema, df.schema,
+        s"destination ${spec.name} ($base, published $g, staging)")
+    }
     val next = s"gen${generations(spark, spec).lastOption.getOrElse(-1L) + 1}"
     writePartitions.fold(df)(df.coalesce)
       .write.mode(SaveMode.Overwrite).parquet(s"$base/$next")
@@ -333,10 +340,46 @@ final class ParquetDestinationDriver(
     try out.write(gen.getBytes("UTF-8")) finally out.close()
   }
 
+  /** The published (CURRENT) generation's schema, if any — the
+    * authoritative "latest" schema evolution reconciles old reads to.
+    * One parquet footer read, no data scan.
+    */
+  def currentSchema(spark: SparkSession, spec: MigrationSpec): Option[org.apache.spark.sql.types.StructType] = {
+    val base = UriSchemes.path(spec.destination)
+    currentGen(spark, base).map(g => spark.read.parquet(s"$base/$g").schema)
+  }
+
+  /** Time travel ACROSS a schema boundary: read generation `gen` and
+    * reconcile it to the CURRENT generation's schema — columns added
+    * since `gen` come back as typed NULLs, columns widened since `gen`
+    * are up-cast (the lossless directions only, [[SchemaEvolution]]),
+    * columns dropped since `gen` are dropped from the old read, and the
+    * output column order is the current schema's — so an old snapshot
+    * joins/unions/diffs against the current one without per-generation
+    * schema plumbing. The raw per-generation read stays available via
+    * [[snapshotAt]].
+    */
+  def snapshotAtConformed(spark: SparkSession, spec: MigrationSpec, gen: Long): Option[DataFrame] =
+    for {
+      df <- snapshotAt(spark, spec, gen)
+      target <- currentSchema(spark, spec)
+    } yield SchemaEvolution.conform(df, target)
+
   def write(df: DataFrame, spec: MigrationSpec): Unit = {
     val spark = df.sparkSession
     val base = UriSchemes.path(spec.destination)
     val prev = currentGen(spark, base)
+    // Evolution contract, checked BEFORE any directory is created (a
+    // rejected write must not burn a generation number or leave a
+    // half-staged dir): columns present in BOTH the published schema and
+    // this write must keep their type or widen losslessly; adds and
+    // drops are legal (this is a snapshot sink — each generation is the
+    // new truth). The destination-side mirror of MappingStore.conform.
+    prev.foreach { g =>
+      SchemaEvolution.validateEvolution(
+        spark.read.parquet(s"$base/$g").schema, df.schema,
+        s"destination ${spec.name} ($base, published $g)")
+    }
     // Next generation comes from the DIRECTORY LISTING (max gen dir + 1),
     // exactly as stage() derives it — never from the _CURRENT pointer.
     // Deriving from the pointer silently reused a staged-but-unpublished
@@ -629,5 +672,75 @@ final class JdbcDestinationDriver(
         } finally conn.close()
       }
     }
+  }
+}
+
+/** Generation-sink schema evolution: the widen-or-fail-loudly contract
+  * of the mapping store's conform (`MappingStore.conform`,
+  * `/root/reference/src/DataMigration/DataMigrationMapper.php:189-257`),
+  * applied destination-side. Two halves:
+  *
+  *  - [[validateEvolution]] guards the WRITE: a column present in both
+  *    the published schema and the incoming one must keep its type or
+  *    change in a direction Catalyst can up-cast losslessly
+  *    (`Cast.canUpCast`, the ANSI store-assignment rule — int→long,
+  *    float→double, decimal widening, date→timestamp, atomic→string;
+  *    never narrowing); anything else is a
+  *    [[graft.spec.SchemaEvolutionException]] before a single byte
+  *    lands. Adds and drops are legal: each generation is a full
+  *    snapshot, so there is no partial-file merge problem.
+  *  - [[conform]] reconciles a READ: an old generation is projected to
+  *    the current schema (typed NULLs for since-added columns, up-casts
+  *    for since-widened ones, current column order), so time travel
+  *    across the boundary composes with joins/unions/diffs untouched.
+  *
+  * Scale shape: both halves are footer-level metadata work plus a
+  * per-row projection — no shuffle, no data rewrite; old generations
+  * are never migrated in place (the lakehouse rule: evolution is a
+  * read-side view, rewrite only on compaction).
+  */
+object SchemaEvolution {
+  import org.apache.spark.sql.catalyst.expressions.Cast
+  import org.apache.spark.sql.types.StructType
+
+  /** Throws [[graft.spec.SchemaEvolutionException]] when `incoming`
+    * changes a shared column in a non-widening direction.
+    */
+  def validateEvolution(published: StructType, incoming: StructType, what: String): Unit = {
+    val pub = published.fields.map(f => f.name -> f.dataType).toMap
+    val bad = incoming.fields.flatMap { f =>
+      pub.get(f.name) match {
+        case Some(old) if old != f.dataType && !Cast.canUpCast(old, f.dataType) =>
+          Some(s"${f.name}: ${old.simpleString} -> ${f.dataType.simpleString}")
+        case _ => None
+      }
+    }
+    if (bad.nonEmpty)
+      throw new graft.spec.SchemaEvolutionException(
+        s"$what: incompatible schema evolution (only lossless widening is " +
+          s"allowed for columns kept across generations): ${bad.mkString("; ")}")
+  }
+
+  /** Project `df` (an older generation) to `target` (the current
+    * schema): since-added columns become typed NULLs, since-widened
+    * columns up-cast, since-dropped columns drop, column order =
+    * `target`'s. Fails loudly if an old column cannot up-cast to its
+    * current type — which [[validateEvolution]] makes unreachable for
+    * generations written through this driver.
+    */
+  def conform(df: DataFrame, target: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    df.select(target.fields.toSeq.map { f =>
+      have.get(f.name) match {
+        case None => lit(null).cast(f.dataType).as(f.name)
+        case Some(t) if t == f.dataType => col(f.name)
+        case Some(t) if Cast.canUpCast(t, f.dataType) =>
+          col(f.name).cast(f.dataType).as(f.name)
+        case Some(t) => throw new graft.spec.SchemaEvolutionException(
+          s"conform: column ${f.name} cannot up-cast " +
+            s"${t.simpleString} -> ${f.dataType.simpleString}")
+      }
+    }: _*)
   }
 }

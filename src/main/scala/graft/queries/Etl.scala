@@ -758,6 +758,70 @@ object Etl {
              |  CAST(MAX(did) AS BIGINT) AS max_did
              |FROM mix GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Destination-side schema evolution across generations — the
+    // generation sink's analog of the mapping store's conform: gen0 is
+    // written with schema A (bal INT cents), gen1 with a WIDENED schema B
+    // (bal BIGINT + a new nation column); a narrowing write (bal back to
+    // INT) must be rejected BEFORE any directory lands (no burned
+    // generation number — the gate asserts exactly {gen0, gen1} remain);
+    // time travel across the boundary reads gen0 CONFORMED to the
+    // current schema (typed-NULL nation, up-cast bal) and full-outer
+    // diffs it against the current snapshot. Metadata-only evolution: no
+    // old bytes are rewritten.
+    QueryDef("etl_schema_evolution",
+      (spark, sf) => {
+        import Shared.cents
+        val base = scratch("graft_schemaevo") + "/dest"
+        val sp = MigrationSpec("schema_evo", source = "", sourceDriver = "inline",
+          destination = base, destinationDriver = "parquet",
+          sourceIds = Seq(IdField("id", LongId)),
+          destinationIds = Seq(IdField("id", LongId)))
+        val d = new ParquetDestinationDriver
+        val cust = load(spark, sf, "customer")
+        d.write(cust.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey").cast("long").as("id"),
+            cents(col("c_acctbal")).cast("int").as("bal")), sp)
+        d.write(cust.filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey").cast("long").as("id"),
+            cents(col("c_acctbal")).as("bal"),
+            col("c_nationkey").cast("long").as("nation")), sp)
+        val rejected = try {
+          d.write(cust.limit(1).select(col("c_custkey").cast("long").as("id"),
+            cents(col("c_acctbal")).cast("int").as("bal")), sp)
+          false
+        } catch { case _: graft.spec.SchemaEvolutionException => true }
+        val ok = rejected && d.generations(spark, sp) == Seq(0L, 1L)
+        val old = d.snapshotAtConformed(spark, sp, 0L).get
+        val cur = d.snapshot(spark, sp).get
+        old.select(col("id"), col("bal").as("bal0"), col("nation").as("nation0"))
+          .join(cur.select(col("id"), col("bal").as("bal1"),
+            col("nation").as("nation1")), Seq("id"), "full_outer")
+          .filter(lit(ok))
+          .select(col("id"), col("bal0"), col("bal1"),
+            col("nation0"), col("nation1"),
+            when(col("bal0").isNull, "added")
+              .when(col("bal1").isNull, "removed")
+              .otherwise("kept").as("status"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH g0 AS (
+             |  SELECT CAST(c_custkey AS BIGINT) id,
+             |    CAST(ROUND(c_acctbal * 100) AS INT) bal
+             |  FROM customer WHERE c_custkey % 3 = 0),
+             |g1 AS (
+             |  SELECT CAST(c_custkey AS BIGINT) id,
+             |    CAST(ROUND(c_acctbal * 100) AS BIGINT) bal,
+             |    CAST(c_nationkey AS BIGINT) nation
+             |  FROM customer WHERE c_custkey % 2 = 0)
+             |SELECT COALESCE(g0.id, g1.id) AS id,
+             |  CAST(g0.bal AS BIGINT) AS bal0, g1.bal AS bal1,
+             |  CAST(NULL AS BIGINT) AS nation0, g1.nation AS nation1,
+             |  CASE WHEN g0.id IS NULL THEN 'added'
+             |       WHEN g1.id IS NULL THEN 'removed'
+             |       ELSE 'kept' END AS status
+             |FROM g0 FULL OUTER JOIN g1 ON g0.id = g1.id
+             |ORDER BY id""".stripMargin)),
+
     // §2.2 JDBC (database) sink + §2.1 JDBC source: write through the
     // JDBC destination driver into embedded Derby, read back via the
     // arbitrary-SQL JDBC source — the DbalSourceDriver /

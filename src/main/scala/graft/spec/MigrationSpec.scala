@@ -52,6 +52,12 @@ class CircularDependencyException(msg: String) extends RuntimeException(msg)
 class MissingMigrationException(msg: String) extends RuntimeException(msg)
 class ExtendsMismatchException(msg: String) extends RuntimeException(msg)
 class EmptySourceException(msg: String) extends RuntimeException(msg)
+/** A destination write's schema is incompatible with the published
+  * generation's (a shared column changed to a non-widening type) — the
+  * destination-side analog of the mapping store's conform error
+  * (`DataMigrationMapper.php:189-257` ↔ `MappingStore.conform`).
+  */
+class SchemaEvolutionException(msg: String) extends RuntimeException(msg)
 class NonUniqueKeyException(msg: String) extends RuntimeException(msg)
 class NoMappingForIdsException(msg: String) extends RuntimeException(msg)
 

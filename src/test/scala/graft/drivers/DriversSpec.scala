@@ -473,6 +473,41 @@ class DriversSpec extends SparkSpec {
       bucketed.erase(spark, sp, col("id") === 1L))
   }
 
+  test("schema evolution: widen+add accepted, narrowing rejected pre-write, conform reconciles old generations") {
+    import graft.spec.SchemaEvolutionException
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = scratchDir("schema-evo") + "/dest"
+    val sp = mkSpec(dir, dir)
+    val d = new ParquetDestinationDriver
+    d.write(Seq((1, 10), (2, 20)).toDF("id", "v"), sp) // gen0: id INT, v INT
+    // widen v INT->LONG, add w — legal evolution
+    d.write(Seq((1L, 10L, "a"), (3L, 30L, "b")).toDF("id", "v", "w")
+      .select(col("id").cast("int"), col("v"), col("w")), sp)
+    // narrowing v back to INT must fail BEFORE any directory is created
+    intercept[SchemaEvolutionException](
+      d.write(Seq((9, 9)).toDF("id", "v"), sp))
+    // ... and the same contract guards WAP staging
+    intercept[SchemaEvolutionException](
+      d.stage(Seq((9, 9)).toDF("id", "v"), sp))
+    assert(d.generations(spark, sp) == Seq(0L, 1L),
+      "a rejected write must not burn a generation number")
+    // time travel across the boundary: raw gen0 keeps schema A ...
+    val raw = d.snapshotAt(spark, sp, 0L).get
+    assert(raw.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(raw.schema("v").dataType == org.apache.spark.sql.types.IntegerType)
+    // ... and the conformed read serves it under the evolved schema
+    val conf = d.snapshotAtConformed(spark, sp, 0L).get
+    assert(conf.schema.fieldNames.toSeq == Seq("id", "v", "w"))
+    assert(conf.schema("v").dataType == org.apache.spark.sql.types.LongType)
+    val rows = conf.orderBy("id").collect().map(r =>
+      (r.getInt(0), r.getLong(1), Option(r.getString(2)))).toSeq
+    assert(rows == Seq((1, 10L, None), (2, 20L, None)),
+      "since-added columns must come back as typed NULLs")
+    // conformed old unions with the current snapshot with no plumbing
+    assert(conf.unionByName(d.snapshot(spark, sp).get).count() == 4)
+  }
+
   test("erasure: NULL-predicate rows are retained, not silently dropped") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
