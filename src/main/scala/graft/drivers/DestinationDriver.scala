@@ -701,17 +701,32 @@ final class JdbcDestinationDriver(
   */
 object SchemaEvolution {
   import org.apache.spark.sql.catalyst.expressions.Cast
-  import org.apache.spark.sql.types.StructType
+  import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+
+  /** Nullability-normalized view of a type: parquet round-trips declare
+    * every container element/field nullable, so a frame written with
+    * `array<float> containsNull=false` reads back `containsNull=true` —
+    * a representation detail, not an evolution. Widening is judged on
+    * the normalized types.
+    */
+  private def normalized(t: DataType): DataType = t match {
+    case ArrayType(e, _) => ArrayType(normalized(e), containsNull = true)
+    case MapType(k, v, _) => MapType(normalized(k), normalized(v), valueContainsNull = true)
+    case s: StructType =>
+      StructType(s.fields.map(f => f.copy(dataType = normalized(f.dataType), nullable = true)))
+    case other => other
+  }
 
   /** Throws [[graft.spec.SchemaEvolutionException]] when `incoming`
     * changes a shared column in a non-widening direction.
     */
   def validateEvolution(published: StructType, incoming: StructType, what: String): Unit = {
-    val pub = published.fields.map(f => f.name -> f.dataType).toMap
+    val pub = published.fields.map(f => f.name -> normalized(f.dataType)).toMap
     val bad = incoming.fields.flatMap { f =>
+      val t = normalized(f.dataType)
       pub.get(f.name) match {
-        case Some(old) if old != f.dataType && !Cast.canUpCast(old, f.dataType) =>
-          Some(s"${f.name}: ${old.simpleString} -> ${f.dataType.simpleString}")
+        case Some(old) if old != t && !Cast.canUpCast(old, t) =>
+          Some(s"${f.name}: ${old.simpleString} -> ${t.simpleString}")
         case _ => None
       }
     }
@@ -730,16 +745,17 @@ object SchemaEvolution {
     */
   def conform(df: DataFrame, target: StructType): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val have = df.schema.fields.map(f => f.name -> normalized(f.dataType)).toMap
     df.select(target.fields.toSeq.map { f =>
+      val want = normalized(f.dataType)
       have.get(f.name) match {
         case None => lit(null).cast(f.dataType).as(f.name)
-        case Some(t) if t == f.dataType => col(f.name)
-        case Some(t) if Cast.canUpCast(t, f.dataType) =>
+        case Some(t) if t == want => col(f.name)
+        case Some(t) if Cast.canUpCast(t, want) =>
           col(f.name).cast(f.dataType).as(f.name)
         case Some(t) => throw new graft.spec.SchemaEvolutionException(
           s"conform: column ${f.name} cannot up-cast " +
-            s"${t.simpleString} -> ${f.dataType.simpleString}")
+            s"${t.simpleString} -> ${want.simpleString}")
       }
     }: _*)
   }

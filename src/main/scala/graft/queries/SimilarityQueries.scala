@@ -159,6 +159,88 @@ object SimilarityQueries {
           nlist = 16, nprobe = 6, m = 16, ksub = 32, rerankFactor = 8)),
       Some(RecallGateOracle)),
 
+    // Persisted ANN index, build half (the FAISS lifecycle: build once,
+    // probe many — no retrain per query run). The IVF coarse codebook +
+    // list assignments are written through the generation-pointer sink
+    // and read back; the gate asserts BIT-EXACT loaded-vs-fresh parity
+    // (parquet round-trips float/double exactly) on the assignments
+    // (in-plan symmetric exceptAll), the codebook (O(nlist) driver
+    // compare), and structural sanity (row count == corpus, every list
+    // id within range) — emitting the corpus id list only when all
+    // hold. A second REBUILT generation (nlist = 8) is published on the
+    // same store, so the probe gate below can time-travel past it.
+    QueryDef("sim_ann_index_build",
+      (spark, sf) => {
+        import graft.ops.AnnIndexStore
+        val (base, fresh, gen0, _) = builtIndex(spark, sf)
+        val loaded = AnnIndexStore.load(spark, base, Some(gen0))
+        val corpus = load(spark, sf, "embeddings")
+        val aCols = Seq(col("neighbor_id"), col("cv"), col("list"))
+        val l = loaded.assignments.select(aCols: _*)
+        val f = fresh.assignments.select(aCols: _*)
+        val parity = l.exceptAll(f).unionAll(f.exceptAll(l))
+          .agg(count(lit(1)).as("n_diff"))
+        val shape = loaded.assignments.agg(
+          count(lit(1)).as("n_assigned"),
+          min(col("list")).as("min_list"), max(col("list")).as("max_list"))
+        val nCorpus = corpus.count()
+        val codebookOk =
+          loaded.centroids.length == fresh.centroids.length &&
+            loaded.centroids.zip(fresh.centroids).forall {
+              case (a, b) => java.util.Arrays.equals(a, b)
+            }
+        corpus.select(col("vec_id")).crossJoin(parity).crossJoin(shape)
+          .filter(lit(codebookOk) && col("n_diff") === 0 &&
+            col("n_assigned") === nCorpus &&
+            col("min_list") >= 0 && col("max_list") < fresh.centroids.length)
+          .select(col("vec_id"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id FROM embeddings ORDER BY vec_id""")),
+
+    // Persisted ANN index, probe half: serving reads the artifact, never
+    // retrains. Two gates on one emission: (1) probing the CURRENT
+    // published index generation clears the IVF tier's recall bound
+    // against in-query brute force; (2) TIME TRAVEL — the gen-0 index,
+    // superseded by the rebuild above, is loaded by number and probed,
+    // and its rank structure must equal probing the fresh gen-0
+    // training structures exactly (in-plan symmetric exceptAll): an old
+    // index generation stays probeable after a rebuild until vacuum —
+    // rollback is a pointer flip, not a retrain.
+    QueryDef("sim_ann_index_probe",
+      (spark, sf) => {
+        import graft.ops.AnnIndexStore
+        val (base, fresh, gen0, _) = builtIndex(spark, sf)
+        val corpus = load(spark, sf, "embeddings")
+        val queries = corpus.filter(col("vec_id") < 10)
+        val k = 5
+        val current = AnnIndexStore.load(spark, base)
+        val served = AnnIndexStore.probe(current, queries, "vec_id", "embedding",
+          nprobe = 4, k = k)
+        val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k)
+        val hits = served.select(col("query_id"), col("neighbor_id"))
+          .join(exact.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+        val meanRecall = queries.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .agg(avg(coalesce(col("n_hits"), lit(0)) / k).as("mean_recall"))
+        val rankCols = Seq(col("query_id"), col("rank"), col("neighbor_id"))
+        val old = AnnIndexStore.probe(AnnIndexStore.load(spark, base, Some(gen0)),
+          queries, "vec_id", "embedding", nprobe = 4, k = k).select(rankCols: _*)
+        val freshRanked = AnnIndexStore.probe(fresh, queries, "vec_id", "embedding",
+          nprobe = 4, k = k).select(rankCols: _*)
+        val travelParity = old.exceptAll(freshRanked)
+          .unionAll(freshRanked.exceptAll(old))
+          .agg(count(lit(1)).as("n_diff"))
+        queries.select(col("vec_id").as("query_id"))
+          .crossJoin(meanRecall).crossJoin(travelParity)
+          .filter(col("mean_recall") >= 0.4 && col("n_diff") === 0)
+          .select(col("query_id"), lit(k).as("k"))
+          .orderBy(col("query_id"))
+      },
+      Some(RecallGateOracle)),
+
     // Residual IVF+PQ (FAISS IndexIVFPQ semantics): codes quantize
     // v − c_list, concentrating codebook resolution on within-list
     // variation — the property that keeps recall from sagging as nlist
@@ -173,6 +255,29 @@ object SimilarityQueries {
           residual = true)),
       Some(RecallGateOracle)),
   )
+
+  /** Memoized persisted-index store per sf (the upsertScenario
+    * precedent: both index gates share ONE build). gen0 = the nlist-16
+    * index the gates probe; a nlist-8 REBUILD is published on top so
+    * the current pointer sits past gen0 — time travel has a boundary to
+    * cross. The fresh gen-0 training structures ride along for parity
+    * checks (their plan re-evaluates deterministically: fixed centroids
+    * over the corpus parquet).
+    */
+  private val indexCache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, graft.ops.AnnIndexStore.Index, Long, Long)]
+
+  private def builtIndex(spark: org.apache.spark.sql.SparkSession, sf: String) =
+    indexCache.getOrElseUpdate(sf, {
+      import graft.ops.AnnIndexStore
+      val base = Tables.scratch("graft_annidx")
+      val corpus = load(spark, sf, "embeddings")
+      val (fresh, gen0) = AnnIndexStore.build(corpus, "vec_id", "embedding", base,
+        nlist = 16, iterations = 3)
+      val (_, gen1) = AnnIndexStore.build(corpus, "vec_id", "embedding", base,
+        nlist = 8, iterations = 3)
+      (base, fresh, gen0, gen1)
+    })
 
   /** Driver-checkable ANN self-check: run the ANN tier, score recall@k
     * per query against the in-query exact brute-force top-k, and emit one
