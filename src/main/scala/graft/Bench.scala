@@ -12,6 +12,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.scheduler.mode", "FAIR") // concurrent streams share fairly (stream_concurrent)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed generic warmup: JIT-compile the codegen/shuffle machinery so

@@ -2011,5 +2011,68 @@ object StreamingQueries {
         }
       },
       Some(Shared.ExpSmoothingOracle)),
+
+    // Concurrent streaming execution — a production engine runs MANY
+    // streams per session; the bench otherwise times every gate
+    // serially. Four existing streaming gates (complete-mode DP counts,
+    // min_by/max_by OHLC state, the transformWithState/RocksDB funnel,
+    // the stream-static PR-curve join) run CONCURRENTLY, each on its
+    // own thread in its own FAIR scheduler pool and — the isolation
+    // mechanism — in its own CHILD SESSION (`spark.newSession()`:
+    // shared SparkContext and block manager, but isolated SQLConf and
+    // temp catalog, so one gate's RocksDB-provider / state-partition
+    // conf overrides and memory-sink view names cannot leak into a
+    // sibling stream; checkpoints are per-query-unique already). Each
+    // stream's output is diffed against its BATCH TWIN inside its own
+    // session (symmetric exceptAll — the driver sees two scalars per
+    // stream), so emission proves concurrent outputs equal the
+    // serially-verified hashes, and the oracle is just the twin row
+    // counts. Scale: concurrency adds no shuffle — it interleaves the
+    // same per-stream work across the scheduler's pools.
+    QueryDef("stream_concurrent",
+      (spark, sf) => {
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        def fnOf(defs: Seq[QueryDef], n: String) = defs.find(_.name == n).get.fn
+        val gates: Seq[(String, (SparkSession, String) => DataFrame,
+            (SparkSession, String) => DataFrame)] = Seq(
+          ("stream_dp_counts", fnOf(defs, "stream_dp_counts"),
+            fnOf(CurationQueries.defs, "privacy_dp_counts")),
+          ("stream_ohlc_bars", fnOf(defs, "stream_ohlc_bars"),
+            fnOf(Relational.defs, "q_ohlc_bars")),
+          ("stream_funnel", fnOf(defs, "stream_funnel"),
+            fnOf(Relational.defs, "q_funnel")),
+          ("stream_eval_prcurve", fnOf(defs, "stream_eval_prcurve"),
+            fnOf(EvalQueries.defs, "eval_pr_curve")))
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(gates.size)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        val rows = try Await.result(Future.sequence(gates.map {
+            case (name, streamFn, batchFn) => Future {
+              val s = spark.newSession()
+              s.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft_$name")
+              try {
+                val out = streamFn(s, sf)
+                val twin = batchFn(s, sf)
+                val nRows = out.count()
+                val nDiff = out.exceptAll(twin).unionAll(twin.exceptAll(out)).count()
+                (name, nRows, nDiff)
+              } finally s.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+            }
+          }), Duration.Inf)
+          finally pool.shutdown()
+        import spark.implicits._
+        rows.toDF("gate", "n_rows", "n_diff")
+          .filter(col("n_diff") === 0)
+          .select(col("gate"), col("n_rows"))
+          .orderBy(col("gate"))
+      },
+      Some {
+        def n(oracle: String) = s"(SELECT COUNT(*) FROM (\n$oracle\n) t)"
+        s"""SELECT 'stream_dp_counts' AS gate, ${n(Shared.DpCountsOracle)} AS n_rows
+           |UNION ALL SELECT 'stream_eval_prcurve', ${n(EvalQueries.PrCurveOracle)}
+           |UNION ALL SELECT 'stream_funnel', ${n(Shared.FunnelOracle)}
+           |UNION ALL SELECT 'stream_ohlc_bars', ${n(Shared.OhlcOracle)}
+           |ORDER BY gate""".stripMargin
+      }),
   )
 }

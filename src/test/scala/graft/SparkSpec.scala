@@ -24,6 +24,8 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // fair pools: concurrent-stream tests give each stream its own pool
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

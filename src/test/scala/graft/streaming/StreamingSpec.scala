@@ -167,4 +167,46 @@ class StreamingSpec extends SparkSpec {
     assert(bars.sameElements(batch),
       "evicting stream must reproduce the batch OHLC bars exactly")
   }
+
+  test("concurrent streams in fair pools: isolated sessions, outputs equal their serial hashes, runs overlap") {
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val names = Seq("stream_dp_counts", "stream_ohlc_bars", "stream_funnel")
+    def canon(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    // serial reference run of each gate
+    val serial = names.map(n =>
+      n -> canon(graft.SparkEntry.queries(n)(spark, Sf))).toMap
+    // concurrent run: each gate on its own thread, own FAIR pool, own
+    // CHILD session (isolated SQLConf/temp catalog — stream_funnel's
+    // RocksDB provider override must not leak into its siblings)
+    val parentConfBefore = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(names.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val runs = try Await.result(Future.sequence(names.map { n => Future {
+        val s = spark.newSession()
+        s.sparkContext.setLocalProperty("spark.scheduler.pool", s"spec_$n")
+        val t0 = System.nanoTime()
+        try {
+          val out = canon(graft.SparkEntry.queries(n)(s, Sf))
+          (n, out, t0, System.nanoTime())
+        } finally s.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      }}), Duration.Inf)
+      finally pool.shutdown()
+    runs.foreach { case (n, out, _, _) =>
+      assert(out.nonEmpty && out == serial(n),
+        s"$n: concurrent output must equal the serial run's")
+    }
+    // the streams genuinely overlapped (not accidentally serialized):
+    // the latest start precedes the earliest finish
+    assert(runs.map(_._3).max < runs.map(_._4).min,
+      "all three streams must be in flight simultaneously at some instant")
+    // the funnel's provider override stayed in its child session: the
+    // parent session's conf is untouched by the concurrent run (earlier
+    // serial runs on the parent may have legitimately pinned a value)
+    assert(spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass") == parentConfBefore,
+      "per-stream conf must not leak into the parent session")
+  }
 }
