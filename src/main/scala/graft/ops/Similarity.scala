@@ -96,6 +96,45 @@ object Similarity {
         col(labelCol).as("qlabel")),
       k, candidateFilter = !(col("clabel") <=> col("qlabel")))
 
+  /** ColBERT-style late-interaction MaxSim retrieval: each vector is
+    * viewed as `nSub` contiguous sub-vectors of `subDim` dims ("token
+    * vectors"), and a candidate's score against a query is
+    * Σᵢ maxⱼ cos(qᵢ, cⱼ) — every query sub-vector matches its best
+    * candidate sub-vector independently, the interaction model that
+    * separates multi-aspect documents single-vector cosine conflates.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — queries broadcast,
+    * one corpus scan, the nSub² cosine grid evaluated INSIDE the scan
+    * stage as a single fused expression (no explode into a token table,
+    * which would multiply the shuffled row count by nSub), bounded-heap
+    * top-k. At full scale the same scoring expression drops onto an IVF
+    * probe join keyed by the FIRST sub-vector's list assignment.
+    *
+    * Determinism: each cosine is the fused sequential loop
+    * ([[graft.functions.CosineSim]]); `greatest` over the nSub
+    * candidates is order-free; the outer sum is a fixed left-assoc
+    * chain — bit-identical to an oracle that writes the same grid.
+    */
+  def maxSimTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nSub: Int = 4, subDim: Int = 16): DataFrame = {
+    require(nSub >= 1 && subDim >= 1, "nSub and subDim must be positive")
+    def subvecs(df: DataFrame, idAs: String, prefix: String) = df.select(
+      col(idCol).as(idAs) +:
+        (0 until nSub).map(i =>
+          slice(col(vecCol), i * subDim + 1, subDim).as(s"$prefix$i")): _*)
+    val c = subvecs(corpus, "neighbor_id", "cv")
+    val q = subvecs(queries, "query_id", "qv")
+    val score = (0 until nSub).map { i =>
+      greatest((0 until nSub).map(j => cosine(col(s"qv$i"), col(s"cv$j"))): _*)
+    }.reduceLeft(_ + _)
+    topKRanked(
+      c.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", score), k)
+  }
+
   /** `nBits` seeded random hyperplanes of dimension `dim`, as a literal
     * array-of-arrays column (broadcast with the plan).
     */

@@ -109,6 +109,24 @@ object SimilarityQueries {
              |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ROUND(sim, 6) AS sim
              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // Late-interaction MaxSim (ColBERT scoring model): each 64-dim
+    // vector viewed as 4 contiguous 16-dim "token vectors"; score =
+    // Σ_i max_j cos(q_i, c_j). The 4×4 cosine grid is one fused scan-
+    // stage expression (no explode), queries broadcast — the
+    // sim_cosine_topk economics with a richer interaction model. The
+    // oracle replays the identical grid, so this is a full hash oracle:
+    // greatest() is order-free and the outer sum is the same left-assoc
+    // chain of doubles in both engines.
+    QueryDef("sim_maxsim",
+      (spark, sf) => Similarity.maxSimTopK(
+          load(spark, sf, "embeddings"),
+          load(spark, sf, "embeddings").filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nSub = 4, subDim = 16)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("maxsim"))
+        .orderBy(col("query_id"), col("rank")),
+      Some(MaxSimOracle)),
+
     // ANN via IVF (inverted-file index): k-means lists + nprobe probing,
     // exact re-rank — the second scale path next to LSH. Clustering is
     // seeded-deterministic but not SQL-portable, so the gate emits the
@@ -314,4 +332,36 @@ object SimilarityQueries {
   private def RecallGateOracle: String =
     """SELECT vec_id AS query_id, 5 AS k FROM embeddings
       |WHERE vec_id < 10 ORDER BY query_id""".stripMargin
+
+  /** Generated MaxSim oracle: the same 4×4 sub-vector cosine grid the
+    * Spark side fuses into its scan stage, written out term by term.
+    * Each cosine is the sequential-order dot formulation every sim_*
+    * oracle uses; greatest() is order-free and the outer sum is the
+    * identical left-assoc chain, so the scores are bit-equal and the
+    * comparison is a full hash oracle.
+    */
+  private def MaxSimOracle: String = {
+    val nSub = 4; val subDim = 16
+    def sub(side: String, i: Int) =
+      s"CAST(embedding AS DOUBLE[])[${i * subDim + 1}:${(i + 1) * subDim}] $side$i"
+    def cos(i: Int, j: Int) =
+      s"list_dot_product(q$i, c$j) / (sqrt(list_dot_product(q$i, q$i)) * sqrt(list_dot_product(c$j, c$j)))"
+    val score = (0 until nSub)
+      .map(i => "greatest(" + (0 until nSub).map(j => cos(i, j)).mkString(", ") + ")")
+      .mkString(" + ")
+    val qCols = (0 until nSub).map(sub("q", _)).mkString(", ")
+    val cCols = (0 until nSub).map(sub("c", _)).mkString(", ")
+    s"""WITH q AS (SELECT vec_id AS query_id, $qCols
+       |          FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS neighbor_id, $cCols FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, $score AS sim
+       |  FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ROUND(sim, 6) AS maxsim
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 }
