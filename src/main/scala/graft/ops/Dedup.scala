@@ -339,6 +339,57 @@ object Dedup {
       .select(col("__id").as(idCol), col("clean_text"), col("n_kept"))
   }
 
+  /** Content-defined chunking (CDC) dedup statistics, word-granularity.
+    *
+    * Fixed-stride chunking ([[chunkDedup]]) is insertion-fragile: one
+    * added word shifts every later chunk boundary, so a near-copy with
+    * a single edit shares NO chunks with its original. CDC places
+    * boundaries by CONTENT — a word ends its chunk when its hash lands
+    * in a 1/16 residue class (mean chunk ≈ 16 words, the rsync/FastCDC
+    * idea at token granularity) — so an edit perturbs at most the two
+    * chunks adjacent to it and every other chunk still fingerprint-
+    * matches across the pair.
+    *
+    * Scale shape: the boundary flag is a per-word local decision
+    * (hash of the word alone — no neighbor context), evaluated in the
+    * explode stage; chunk assembly is a window partitioned by document
+    * (parallel across docs, never SinglePartition); cross-corpus dup
+    * detection is ONE shuffle keyed by chunk fingerprint. Nothing here
+    * grows super-linearly — hot fingerprints aggregate to counts, they
+    * never self-join.
+    *
+    * Returns per-document (doc_id, n_chunks, n_dup_chunks, dup_ratio)
+    * where a chunk is "dup" when its fingerprint occurs in ≥ 2 distinct
+    * documents.
+    */
+  def cdcChunkStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val words = ensureParallelism(df.filter(col(textCol).isNotNull))
+      .select(col(idCol).as("__id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("i", "word")))
+    // boundary when the word-hash's last hex nibble is 0 (p = 1/16)
+    val flagged = words.withColumn("f",
+      when(substring(md5(col("word")), 32, 1) === "0", 1L).otherwise(0L))
+    // chunk id = boundaries strictly BEFORE this word, so a boundary
+    // word closes the chunk it belongs to
+    val byPos = Window.partitionBy(col("__id")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = flagged
+      .withColumn("cid", coalesce(sum(col("f")).over(byPos), lit(0L)))
+      .groupBy(col("__id"), col("cid"))
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("i"), col("word")))),
+          s => s.getField("word")), " ")).as("fp"))
+    val dupFp = chunks.groupBy(col("fp"))
+      .agg(countDistinct(col("__id")).as("nd"))
+    chunks.join(dupFp, "fp")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("__id").as(idCol), col("n_chunks"), col("n_dup_chunks"),
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6)
+          .as("dup_ratio"))
+  }
+
   /** Source-level verbatim-overlap matrix: for every pair of groups
     * (data sources), the number of distinct k-shingles present in BOTH
     * — the corpus-analytics view of contamination ("did books leak

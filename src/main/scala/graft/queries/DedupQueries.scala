@@ -279,6 +279,38 @@ object DedupQueries {
              |FROM ranked WHERE rn = 1
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Content-defined chunking dedup (rsync/FastCDC at word
+    // granularity): a word ENDS its chunk when md5(word) lands in the
+    // 1/16 residue class, so boundaries follow content, not offsets —
+    // an insertion perturbs only its adjacent chunks, where the
+    // fixed-stride variant above loses every downstream chunk. Boundary
+    // flags are scan-local, chunk assembly is a per-document window,
+    // dup detection is one fingerprint shuffle (counts, never a
+    // fingerprint self-join).
+    QueryDef("dedup_cdc_chunks",
+      (spark, sf) => Dedup.cdcChunkStats(
+          load(spark, sf, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') t
+             |  FROM documents WHERE text IS NOT NULL),
+             |w AS (SELECT doc_id, unnest(range(len(t))) i, t FROM toks),
+             |flags AS (SELECT doc_id, i, t[i+1] AS word,
+             |  CASE WHEN substr(md5(t[i+1]), 32, 1) = '0' THEN 1 ELSE 0 END f
+             |  FROM w),
+             |cids AS (SELECT doc_id, i, word,
+             |  COALESCE(SUM(f) OVER (PARTITION BY doc_id ORDER BY i
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cid
+             |  FROM flags),
+             |chunks AS (SELECT doc_id, cid, md5(string_agg(word, ' ' ORDER BY i)) fp
+             |  FROM cids GROUP BY doc_id, cid),
+             |dup AS (SELECT fp, COUNT(DISTINCT doc_id) nd FROM chunks GROUP BY fp)
+             |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             |  CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+             |  ROUND(CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / COUNT(*), 6) AS dup_ratio
+             |FROM chunks c JOIN dup d USING (fp)
+             |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
+
     // Source-level contamination matrix: distinct 5-shingles shared
     // between every pair of data sources, with containment =
     // shared/min(|A|,|B|) — the corpus-analytics level above
