@@ -404,6 +404,28 @@ object TextOps {
         EmailPattern, "[EMAIL]"),
       Ipv4Pattern, "[IP]")
 
+  /** Main-content text from raw HTML markup — the first transform a
+    * web-crawl corpus passes through before any quality/dedup gate.
+    * Deliberately the honest regex tier (not a DOM parser): drop
+    * non-content BLOCKS with their contents (`<script>`, `<style>`,
+    * `<nav>` — code, CSS and chrome never belong in training text),
+    * then strip remaining tags to spaces and collapse whitespace.
+    * Scan-speed column composition; each step replays as the identical
+    * RE2 regex in the oracle.
+    */
+  def htmlBodyText(html: Column): Column = {
+    val noBlocks = Seq("script", "style", "nav").foldLeft(html)((c, t) =>
+      regexp_replace(c, s"(?s)<$t[^>]*>.*?</$t>", " "))
+    trim(regexp_replace(regexp_replace(noBlocks, "<[^>]+>", " "), "\\s+", " "))
+  }
+
+  /** All `href` targets in the markup (nav chrome included — the link
+    * graph wants every edge even where the text extractor drops the
+    * anchor's block). One vectorized regexp pass.
+    */
+  def htmlLinks(html: Column): Column =
+    regexp_extract_all(html, lit("href=\"([^\"]+)\""), lit(1))
+
   /** Query parameters dropped by [[canonicalizeUrl]]: the standard
     * tracking/click-id families whose presence forks one logical page
     * into unbounded distinct URLs in a web crawl.

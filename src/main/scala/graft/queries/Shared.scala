@@ -408,6 +408,32 @@ object Shared {
       |(CASE ascii(substr(md5(CAST(doc_id AS VARCHAR)),6,1))%2 WHEN 0 THEN '#sec' ELSE '' END)"""
       .stripMargin.replace("\n", " ")
 
+  /** Deterministic synthetic crawl PAGE per document: the corpus text
+    * wrapped in real HTML with the non-content blocks every extractor
+    * must drop (a `<style>` head, `<nav>` chrome with two links, an
+    * inline `<script>`) plus one in-content anchor pointing at the
+    * document's [[syntheticUrl]]. Both engines build the identical
+    * markup — Spark through this Column, the oracle through [[HtmlSql]]
+    * — so HTML extraction is a full hash oracle, not a rows gate.
+    */
+  def syntheticHtml(docId: Column, text: Column): Column = concat(
+    lit("<html><head><title>Doc "), docId.cast("string"),
+    lit("</title><style>p{margin:0}</style></head><body>" +
+      "<nav><a href=\"/home\">Home</a> <a href=\"/about\">About</a></nav>" +
+      "<script>track("), docId.cast("string"),
+    lit(")</script><p>"), text,
+    lit("</p><p>See <a href=\""), syntheticUrl(docId),
+    lit("\">source</a></p></body></html>"))
+
+  /** [[syntheticHtml]] as a DuckDB expression over `doc_id`, `text`. */
+  val HtmlSql: String =
+    s"""'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+       |'</title><style>p{margin:0}</style></head><body>' ||
+       |'<nav><a href="/home">Home</a> <a href="/about">About</a></nav>' ||
+       |'<script>track(' || CAST(doc_id AS VARCHAR) || ')</script><p>' ||
+       |text || '</p><p>See <a href="' || ($UrlSql) ||
+       |'">source</a></p></body></html>'""".stripMargin.replace("\n", " ")
+
   /** SQL replay of [[graft.ops.TextOps.canonicalizeUrl]] — a CTE body
     * expecting a relation `urls(doc_id, url)` and yielding
     * `(doc_id, url, canon)`. Each regex step mirrors the Column

@@ -1663,6 +1663,51 @@ object TextQueries {
     // replays TextOps.canonicalizeUrl's regex pipeline step for step
     // (Shared.UrlCanonSql). Scan-speed per-row projection: no shuffle,
     // no UDF — at 100 TB this runs at parquet-read speed.
+    // HTML main-content extraction over the synthetic crawl pages
+    // (Shared.syntheticHtml): script/style/nav blocks dropped with
+    // their contents, remaining tags stripped, whitespace collapsed;
+    // href targets harvested from the FULL markup (the link graph keeps
+    // nav edges the text extractor drops). Everything is one scan-stage
+    // regexp chain — no shuffle at all until the final ORDER BY — and
+    // every regex replays verbatim in the oracle, so the extraction is
+    // hash-verified end to end (lengths, ratio, links, text prefix).
+    QueryDef("text_html_extract",
+      (spark, sf) => load(spark, sf, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          Shared.syntheticHtml(col("doc_id"), col("text")).as("html"))
+        .select(col("doc_id"),
+          TextOps.htmlBodyText(col("html")).as("clean"),
+          TextOps.htmlLinks(col("html")).as("links"),
+          length(col("html")).cast("long").as("len_html"))
+        .select(col("doc_id"),
+          size(col("links")).cast("long").as("n_links"),
+          array_join(col("links"), " ").as("links"),
+          length(col("clean")).cast("long").as("len_clean"),
+          col("len_html"),
+          round(length(col("clean")).cast("double") / col("len_html"), 6)
+            .as("text_ratio"),
+          substring(col("clean"), 1, 60).as("clean_prefix"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH pages AS (SELECT doc_id, ${Shared.HtmlSql} AS html
+              |  FROM documents WHERE text IS NOT NULL),
+              |x AS (SELECT doc_id, html,
+              |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+              |    '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+              |    '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+              |    '(?s)<nav[^>]*>.*?</nav>', ' ', 'g'),
+              |    '<[^>]+>', ' ', 'g'),
+              |    '\\s+', ' ', 'g')) AS clean,
+              |  regexp_extract_all(html, 'href="([^"]+)"', 1) AS l
+              |  FROM pages)
+              |SELECT doc_id, CAST(len(l) AS BIGINT) AS n_links,
+              |  array_to_string(l, ' ') AS links,
+              |  CAST(len(clean) AS BIGINT) AS len_clean,
+              |  CAST(len(html) AS BIGINT) AS len_html,
+              |  ROUND(CAST(len(clean) AS DOUBLE) / len(html), 6) AS text_ratio,
+              |  substr(clean, 1, 60) AS clean_prefix
+              |FROM x ORDER BY doc_id""".stripMargin)),
+
     QueryDef("text_url_canonicalize",
       (spark, sf) => load(spark, sf, "documents")
         .select(col("doc_id"), Shared.syntheticUrl(col("doc_id")).as("url"))
