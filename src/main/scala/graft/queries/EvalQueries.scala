@@ -632,5 +632,108 @@ object EvalQueries {
            |  ROUND(EXP(-ROUND(ssum / n_bigrams, 6)), 4) AS ppl
            |FROM s ORDER BY source""".stripMargin
       }),
+
+    // Corpus-level BLEU-4 sufficient statistics — the generation-eval
+    // metric a distillation/translation pipeline computes between model
+    // output and references at corpus scale. The candidate here is a
+    // deterministic degradation of each reference (every 7th word
+    // dropped), so the whole metric is self-oracled. Per n ∈ 1..4 the
+    // engine shuffles (doc, n-gram) count frames once and clips
+    // candidate counts by reference counts (the modified-precision
+    // multiset intersection); outputs are exact BIGINT (mₙ, tₙ) plus
+    // per-n precisions, the 4-gram geometric mean via sqrt∘sqrt of a
+    // fixed-association product of exact-integer ratios (IEEE sqrt is
+    // correctly rounded — no libm ln/exp in the cross-engine path, the
+    // eval_lm_perplexity lesson), and the brevity-penalty EXPONENT
+    // 1 − ref/cand, leaving exp() to the consumer. At 100 TB each
+    // n-gram pass is one scan + one count shuffle; a production run
+    // persists the tokenized base across the four passes.
+    QueryDef("eval_bleu",
+      (spark, sf) => {
+        def grams(arr: org.apache.spark.sql.Column, n: Int) =
+          when(size(arr) >= n,
+            transform(sequence(lit(0), size(arr) - n),
+              j => array_join(slice(arr, j + 1, lit(n)), " ")))
+            .otherwise(array().cast("array<string>"))
+        val base = load(spark, sf, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), split(col("text"), " ").as("r"))
+          .withColumn("c", filter(col("r"), (_, i) => (i + 1) % 7 =!= 0))
+        def counts(src: String, n: Int) = base
+          .select(col("doc_id"), explode(grams(col(src), n)).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+        val perN = (1 to 4).map { n =>
+          counts("c", n).withColumnRenamed("cnt", "cc")
+            .join(counts("r", n).withColumnRenamed("cnt", "rc"),
+              Seq("doc_id", "g"), "left")
+            .agg(
+              sum(least(col("cc"), coalesce(col("rc"), lit(0L)))).as("m"),
+              sum(col("cc")).as("t"))
+            .select(lit(n).as("n"), col("m"), col("t"))
+        }.reduce(_ unionByName _)
+        val lens = base.agg(
+          sum(size(col("r"))).cast("long").as("ref_len"),
+          sum(size(col("c"))).cast("long").as("cand_len"))
+        def p(i: Int) = col(s"m$i").cast("double") / col(s"t$i")
+        val aggCols = (1 to 4).flatMap(i => Seq(
+          sum(when(col("n") === i, col("m"))).as(s"m$i"),
+          sum(when(col("n") === i, col("t"))).as(s"t$i")))
+        perN
+          .agg(aggCols.head, aggCols.tail: _*)
+          .crossJoin(lens)
+          .select(
+            (1 to 4).flatMap(i => Seq(col(s"m$i"), col(s"t$i"))) ++
+              Seq(col("ref_len"), col("cand_len")) ++
+              (1 to 4).map(i => round(p(i), 6).as(s"p$i")) ++
+              Seq(
+                round(sqrt(sqrt(p(1) * p(2) * p(3) * p(4))), 6).as("geo_p4"),
+                round(lit(1.0) -
+                  col("ref_len").cast("double") / col("cand_len"), 6)
+                  .as("bp_log")): _*)
+      },
+      Some {
+        val gramCtes = (1 to 4).flatMap { n =>
+          Seq(
+            s"""rg$n AS (
+               |  SELECT doc_id, list_aggregate(r[j+1:j+$n], 'string_agg', ' ') g,
+               |    COUNT(*) rc
+               |  FROM (SELECT doc_id, r, unnest(range(len(r)-${n - 1})) j
+               |        FROM base WHERE len(r) >= $n)
+               |  GROUP BY 1, 2)""".stripMargin,
+            s"""cg$n AS (
+               |  SELECT doc_id, list_aggregate(c[j+1:j+$n], 'string_agg', ' ') g,
+               |    COUNT(*) cc
+               |  FROM (SELECT doc_id, c, unnest(range(len(c)-${n - 1})) j
+               |        FROM base WHERE len(c) >= $n)
+               |  GROUP BY 1, 2)""".stripMargin,
+            s"""s$n AS (
+               |  SELECT $n AS n, SUM(LEAST(cg.cc, COALESCE(rg.rc, 0))) m,
+               |    SUM(cg.cc) t
+               |  FROM cg$n cg LEFT JOIN rg$n rg USING (doc_id, g))""".stripMargin)
+        }.mkString(",\n")
+        def p(i: Int) = s"(CAST(m$i AS DOUBLE) / t$i)"
+        s"""WITH d AS (SELECT doc_id, string_split(text, ' ') r
+           |  FROM documents WHERE text IS NOT NULL),
+           |w AS (SELECT doc_id, unnest(range(len(r))) i, r FROM d),
+           |cw AS (SELECT doc_id, i, r[i+1] word FROM w WHERE (i+1) % 7 <> 0),
+           |cl AS (SELECT doc_id, list(word ORDER BY i) c FROM cw GROUP BY doc_id),
+           |base AS (SELECT d.doc_id, d.r, cl.c FROM d JOIN cl USING (doc_id)),
+           |$gramCtes,
+           |stats AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+           |          UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4),
+           |agg AS (SELECT
+           |  ${(1 to 4).map(i =>
+               s"CAST(SUM(CASE WHEN n=$i THEN m END) AS BIGINT) m$i, " +
+               s"CAST(SUM(CASE WHEN n=$i THEN t END) AS BIGINT) t$i").mkString(",\n  ")}
+           |  FROM stats),
+           |lens AS (SELECT CAST(SUM(len(r)) AS BIGINT) ref_len,
+           |  CAST(SUM(len(c)) AS BIGINT) cand_len FROM base)
+           |SELECT ${(1 to 4).map(i => s"m$i, t$i").mkString(", ")},
+           |  ref_len, cand_len,
+           |  ${(1 to 4).map(i => s"ROUND(${p(i)}, 6) AS p$i").mkString(",\n  ")},
+           |  ROUND(sqrt(sqrt(${p(1)} * ${p(2)} * ${p(3)} * ${p(4)})), 6) AS geo_p4,
+           |  ROUND(1.0 - CAST(ref_len AS DOUBLE) / cand_len, 6) AS bp_log
+           |FROM agg, lens""".stripMargin
+      }),
   )
 }
