@@ -142,6 +142,46 @@ object Curation {
         countDistinct(col(sensitiveCol)).as("n_sensitive"))
       .withColumn("l_diverse", col("n_sensitive") >= l)
 
+  /** t-closeness audit — the distribution-disclosure check l-diversity
+    * can't make: a QI group can hold ≥ l distinct sensitive values yet
+    * still skew far from the corpus-wide distribution (90% of one
+    * source where the corpus holds 20%), leaking the attribute
+    * probabilistically (Li, Li & Venkatasubramanian 2007). For a
+    * categorical sensitive attribute the Earth Mover's Distance reduces
+    * to total-variation distance: EMD(g) = ½·Σᵥ |p_g(v) − p(v)|.
+    *
+    * Exact-integer form: with c = count(g,v), n = |g|, C = count(v),
+    * N = |corpus|, each term is |c·N − C·n| / (n·N), so the per-group
+    * numerator Σᵥ|c·N − C·n| is an exact BIGINT and the t ≤ 1/5 gate is
+    * the pure-integer comparison 5·Σ ≤ 2·n·N — no float enters the
+    * decision. Overflow bound: c·N ≤ N², safe in BIGINT to N ≈ 3×10⁹
+    * rows; beyond that widen to DECIMAL(38) (the q_ab_test pattern).
+    *
+    * Scale shape: one (QI, v) count shuffle; the group×value frame is
+    * #groups × #values — audit-sized, never corpus-sized — built by
+    * broadcasting the tiny global value histogram.
+    */
+  def tClosenessReport(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum >= 0 && tDen >= 1, "t must be a non-negative rational")
+    val qi = qiCols.map(col)
+    val gv = df.groupBy(qi :+ col(sensitiveCol): _*).agg(count(lit(1)).as("c"))
+    val g = gv.groupBy(qi: _*).agg(sum(col("c")).as("ng"))
+    val v = gv.groupBy(col(sensitiveCol)).agg(sum(col("c")).as("cv"))
+    val tot = gv.agg(sum(col("c")).as("nn"))
+    g.crossJoin(broadcast(v))
+      .join(gv, qiCols :+ sensitiveCol, "left").na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(tot))
+      .groupBy(qi :+ col("ng") :+ col("nn"): _*)
+      .agg(sum(abs(col("c") * col("nn") - col("cv") * col("ng"))).as("emd_num"))
+      .select(qi ++ Seq(
+        col("ng").as("n_docs"), col("emd_num"),
+        round(col("emd_num").cast("double") / (lit(2.0) * col("ng") * col("nn")), 6)
+          .as("emd"),
+        (col("emd_num") * tDen <= col("ng") * col("nn") * (2L * tNum))
+          .as("t_close")): _*)
+  }
+
   /** Seeded discrete-Laplace noise for ε-DP count release (ε = ln 2):
     * Z = G₁ − G₂ with G₁, G₂ iid Geometric(1/2) over {0, 1, …} — the
     * classic construction of the two-sided geometric / discrete

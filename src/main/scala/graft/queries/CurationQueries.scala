@@ -128,6 +128,40 @@ object CurationQueries {
              |FROM q GROUP BY lang, len_bucket
              |ORDER BY lang, len_bucket""".stripMargin)),
 
+    // t-closeness audit over the same QI scheme: a (lang, len_bucket)
+    // group can be l-diverse yet still skew far from the corpus-wide
+    // source mix — EMD (= total-variation for categorical) per group,
+    // as an exact BIGINT numerator plus a pure-integer t ≤ 1/5 gate
+    // (5·Σ|c·N − C·n| ≤ 2·n·N) so no float enters the decision. One
+    // (QI, source) count shuffle; the audit frame is #groups×#sources.
+    QueryDef("privacy_t_closeness",
+      (spark, sf) => {
+        val docs = load(spark, sf, "documents")
+          .select(col("lang"), col("source"),
+            expr("n_chars div 500").cast("string").as("len_bucket"))
+        Curation.tClosenessReport(docs, Seq("lang", "len_bucket"), "source",
+            tNum = 1, tDen = 5)
+          .orderBy(col("lang"), col("len_bucket"))
+      },
+      Some("""WITH q AS (SELECT lang, source,
+             |    CAST(n_chars // 500 AS VARCHAR) len_bucket FROM documents),
+             |gv AS (SELECT lang, len_bucket, source, COUNT(*) c
+             |  FROM q GROUP BY 1, 2, 3),
+             |g AS (SELECT lang, len_bucket, SUM(c) ng FROM gv GROUP BY 1, 2),
+             |v AS (SELECT source, SUM(c) cv FROM gv GROUP BY 1),
+             |tot AS (SELECT SUM(c) nn FROM gv),
+             |fx AS (SELECT g.lang, g.len_bucket, g.ng, v.source, v.cv,
+             |    COALESCE(gv.c, 0) c, (SELECT nn FROM tot) nn
+             |  FROM g CROSS JOIN v
+             |  LEFT JOIN gv USING (lang, len_bucket, source))
+             |SELECT lang, len_bucket, CAST(ng AS BIGINT) AS n_docs,
+             |  CAST(SUM(ABS(c * nn - cv * ng)) AS BIGINT) AS emd_num,
+             |  ROUND(CAST(SUM(ABS(c * nn - cv * ng)) AS DOUBLE)
+             |    / (2.0 * ng * nn), 6) AS emd,
+             |  SUM(ABS(c * nn - cv * ng)) * 5 <= ng * nn * 2 AS t_close
+             |FROM fx GROUP BY lang, len_bucket, ng, nn
+             |ORDER BY lang, len_bucket""".stripMargin)),
+
     // End-to-end curation funnel audit: per-stage retention through
     // holdout split → Gopher-style quality gate → langid → exact dedup
     // → eval decontamination, the pipeline-observability rollup every
