@@ -350,10 +350,10 @@ object Dedup {
     * chunks adjacent to it and every other chunk still fingerprint-
     * matches across the pair.
     *
-    * Scale shape: the boundary flag is a per-word local decision
-    * (hash of the word alone — no neighbor context), evaluated in the
-    * explode stage; chunk assembly is a window partitioned by document
-    * (parallel across docs, never SinglePartition); cross-corpus dup
+    * Scale shape: boundary decisions are per-word local (hash of the
+    * word alone — no neighbor context) and chunk assembly is one array
+    * fold ([[cdcChunkArray]]) — both evaluated INSIDE the scan stage,
+    * zero shuffles until the fingerprint aggregation; cross-corpus dup
     * detection is ONE shuffle keyed by chunk fingerprint. Nothing here
     * grows super-linearly — hot fingerprints aggregate to counts, they
     * never self-join.
@@ -362,23 +362,44 @@ object Dedup {
     * where a chunk is "dup" when its fingerprint occurs in ≥ 2 distinct
     * documents.
     */
-  def cdcChunkStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val words = ensureParallelism(df.filter(col(textCol).isNotNull))
+  /** A document's CDC chunks as an array column — ONE left-to-right
+    * fold over the token array, entirely inside the scan stage: a word
+    * whose hash lands in the boundary class closes the current chunk
+    * (itself included), the trailing partial chunk is kept. No window,
+    * no per-word shuffle — which also makes the chunker legal on
+    * streaming frames (windows are not), so the incremental twin uses
+    * the IDENTICAL expression.
+    */
+  def cdcChunkArray(text: Column): Column = {
+    def f(acc: Column, name: String) = acc.getField(name)
+    aggregate(
+      TextOps.tokens(text),
+      struct(array().cast("array<string>").as("chs"), lit("").as("cur")),
+      (acc, w) => {
+        val joined = when(f(acc, "cur") === "", w)
+          .otherwise(concat(f(acc, "cur"), lit(" "), w))
+        when(substring(md5(w), 32, 1) === "0",
+          struct(concat(f(acc, "chs"), array(joined)).as("chs"),
+            lit("").as("cur")))
+          .otherwise(struct(f(acc, "chs").as("chs"), joined.as("cur")))
+      },
+      acc => when(f(acc, "cur") === "" && size(f(acc, "chs")) > 0,
+        f(acc, "chs"))
+        .otherwise(concat(f(acc, "chs"), array(f(acc, "cur")))))
+  }
+
+  /** (doc `__id`, chunk fingerprint `fp`) rows for [[cdcChunkStats]] and
+    * its streaming twin — chunks materialize in the scan stage via
+    * [[cdcChunkArray]]; the explode emits ~1/16th of the word count.
+    */
+  def cdcChunkTable(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    ensureParallelism(df.filter(col(textCol).isNotNull))
       .select(col(idCol).as("__id"),
-        posexplode(TextOps.tokens(col(textCol))).as(Seq("i", "word")))
-    // boundary when the word-hash's last hex nibble is 0 (p = 1/16)
-    val flagged = words.withColumn("f",
-      when(substring(md5(col("word")), 32, 1) === "0", 1L).otherwise(0L))
-    // chunk id = boundaries strictly BEFORE this word, so a boundary
-    // word closes the chunk it belongs to
-    val byPos = Window.partitionBy(col("__id")).orderBy(col("i"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val chunks = flagged
-      .withColumn("cid", coalesce(sum(col("f")).over(byPos), lit(0L)))
-      .groupBy(col("__id"), col("cid"))
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("i"), col("word")))),
-          s => s.getField("word")), " ")).as("fp"))
+        explode(cdcChunkArray(col(textCol))).as("chunk"))
+      .select(col("__id"), md5(col("chunk")).as("fp"))
+
+  def cdcChunkStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val chunks = cdcChunkTable(df, textCol, idCol)
     val dupFp = chunks.groupBy(col("fp"))
       .agg(countDistinct(col("__id")).as("nd"))
     chunks.join(dupFp, "fp")

@@ -305,6 +305,49 @@ object StreamingQueries {
              |  FROM documents) t WHERE rn = 1
              |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Streaming CDC-chunk dedup — the sub-document sibling of
+    // stream_dedup: content-defined chunks materialize per arriving doc
+    // via the SAME scan-stage array fold the batch operator uses
+    // (Dedup.cdcChunkArray is window-free, hence streaming-legal), and
+    // chunk-level exact dedup is stateful dropDuplicates on
+    // (source, fp). Attributing a fingerprint to every source that
+    // carries it keeps the count arrival-order-independent — a plain
+    // dropDuplicates("fp") would credit a cross-source chunk to
+    // whichever file staged first.
+    QueryDef("stream_cdc_chunks",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "documents")).schema
+        val docs = spark.readStream.schema(schema)
+          .parquet(stagedDir(spark, sf, "documents"))
+        val chunks = docs.filter(col("text").isNotNull)
+          .select(col("source"),
+            explode(graft.ops.Dedup.cdcChunkArray(col("text"))).as("chunk"))
+          .withColumn("fp", md5(col("chunk")))
+          .dropDuplicates("source", "fp")
+        val table = s"stream_cdc_${counter.incrementAndGet()}"
+        val q = chunks.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_unique_chunks"))
+          .writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        spark.table(table).orderBy(col("source"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, source, string_split(text,' ') t
+             |  FROM documents WHERE text IS NOT NULL),
+             |w AS (SELECT doc_id, source, unnest(range(len(t))) i, t FROM toks),
+             |flags AS (SELECT doc_id, source, i, t[i+1] AS word,
+             |  CASE WHEN substr(md5(t[i+1]), 32, 1) = '0' THEN 1 ELSE 0 END f
+             |  FROM w),
+             |cids AS (SELECT doc_id, source, i, word,
+             |  COALESCE(SUM(f) OVER (PARTITION BY doc_id ORDER BY i
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cid
+             |  FROM flags),
+             |chunks AS (SELECT doc_id, source, cid,
+             |  md5(string_agg(word, ' ' ORDER BY i)) fp
+             |  FROM cids GROUP BY doc_id, source, cid)
+             |SELECT source, CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_chunks
+             |FROM chunks GROUP BY source ORDER BY source""".stripMargin)),
+
     // NATIVE session windows (session_window) — the engine-managed
     // sibling of stream_sessionize's hand-rolled state machine: Spark
     // merges per-user events into gap-bounded sessions in the state
