@@ -122,7 +122,12 @@ object EvalQueries {
     * streaming twin): the twins must stay result-identical, so the
     * thresholds and metric formulas live here once.
     */
-  private[queries] val PrCurveOracle: String =
+  /** The labeled → per-score frame → threshold grid → confusion-count
+    * CTE prefix shared by every PR-sweep consumer (eval_pr_curve, its
+    * streaming twin, eval_best_f1) — thresholds and confusion algebra
+    * live here once.
+    */
+  private[queries] val PrGridCtes: String =
     s"""$LabeledSql,
        |g AS (
        |  SELECT score, SUM(label) AS posc, COUNT(*) - SUM(label) AS negc
@@ -136,7 +141,10 @@ object EvalQueries {
        |    SUM(CASE WHEN score >= t THEN negc ELSE 0 END) AS fp,
        |    SUM(CASE WHEN score < t THEN posc ELSE 0 END) AS fn,
        |    SUM(CASE WHEN score < t THEN negc ELSE 0 END) AS tn
-       |  FROM x GROUP BY t)
+       |  FROM x GROUP BY t)""".stripMargin
+
+  private[queries] val PrCurveOracle: String =
+    s"""$PrGridCtes
        |SELECT CAST(t AS INT) AS t, CAST(tp AS BIGINT) AS tp,
        |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
        |  CAST(tn AS BIGINT) AS tn,
@@ -334,6 +342,53 @@ object EvalQueries {
             sum(when(col("score") < col("t"), col("negc")).otherwise(0L)).as("tn")))
       },
       Some(PrCurveOracle)),
+
+    // Operating-point selection: the threshold the PR sweep would
+    // actually deploy — argmax-F1 over the grid, ties to the lower
+    // threshold (favor recall). Selection orders by the UNROUNDED
+    // F1 double: one division of exact integers is bit-identical
+    // cross-engine, so the argmax is deterministic without comparing
+    // rounded values. Same one-shuffle economics as eval_pr_curve; the
+    // argmax runs on the 10-row grid.
+    QueryDef("eval_best_f1",
+      (spark, sf) => {
+        val g = labeled(spark, sf).groupBy(col("score"))
+          .agg(sum(col("label")).as("posc"),
+            (count(lit(1)) - sum(col("label"))).as("negc"))
+        val grid = g.select(col("score"), col("posc"), col("negc"),
+            explode(array(Thresholds.map(lit): _*)).as("t"))
+          .groupBy(col("t"))
+          .agg(
+            sum(when(col("score") >= col("t"), col("posc")).otherwise(0L)).as("tp"),
+            sum(when(col("score") >= col("t"), col("negc")).otherwise(0L)).as("fp"),
+            sum(when(col("score") < col("t"), col("posc")).otherwise(0L)).as("fn"),
+            sum(when(col("score") < col("t"), col("negc")).otherwise(0L)).as("tn"))
+        grid
+          .withColumn("f1x",
+            col("tp") * 2 / (col("tp") * 2 + col("fp") + col("fn")).cast("double"))
+          .orderBy(col("f1x").desc, col("t")).limit(1)
+          .select(col("t").as("best_t"),
+            col("tp"), col("fp"), col("fn"), col("tn"),
+            round(col("tp") / (col("tp") + col("fp")).cast("double"), 6)
+              .as("precision"),
+            round(col("tp") / (col("tp") + col("fn")).cast("double"), 6)
+              .as("recall"),
+            round(col("f1x"), 6).as("f1"),
+            round((col("tp") + col("tn")) /
+              (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"), 6)
+              .as("accuracy"))
+      },
+      Some(s"""$PrGridCtes,
+             |s AS (SELECT *, tp * 2 / CAST(tp * 2 + fp + fn AS DOUBLE) AS f1x
+             |  FROM m ORDER BY f1x DESC, t LIMIT 1)
+             |SELECT CAST(t AS INT) AS best_t, CAST(tp AS BIGINT) AS tp,
+             |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+             |  CAST(tn AS BIGINT) AS tn,
+             |  ROUND(tp / CAST(tp + fp AS DOUBLE), 6) AS precision,
+             |  ROUND(tp / CAST(tp + fn AS DOUBLE), 6) AS recall,
+             |  ROUND(f1x, 6) AS f1,
+             |  ROUND((tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy
+             |FROM s""".stripMargin)),
 
     // Score calibration / reliability table: fixed-width score bins
     // (floor division — FLOOR(score/50.0) is exact for integer scores,
