@@ -934,6 +934,47 @@ object DedupQueries {
              |WHERE ROUND(jaro_winkler_similarity(a_name, b_name), 4) >= 0.9
              |ORDER BY a_key, b_key""".stripMargin)),
 
+    // Edit-distance-2 linkage — the band SymSpell's single-delete index
+    // cannot reach (its variant join certifies edit ≤ 1 only): dirty
+    // twins drop TWO name characters at key-derived positions (both
+    // inside the suffix-preserving window), candidates block on the
+    // well-distributed 4-char name suffix, and the native levenshtein
+    // (built into BOTH engines) verifies dist ≤ 2. Blocking keeps the
+    // candidate set O(Σ block²) with digit-suffix-sized blocks; the
+    // full distance matrix never materializes.
+    QueryDef("er_levenshtein_join",
+      (spark, sf) => {
+        val clean = load(spark, sf, "customer")
+          .select(col("c_custkey").as("a_key"), col("c_name").as("a_name"))
+        // drop original positions p and p+2, p ∈ 4..11 — the trailing
+        // 4 chars survive, so suffix blocking has perfect recall here
+        val dirty = load(spark, sf, "customer")
+          .filter(col("c_custkey") % 5 === 0)
+          .select((col("c_custkey") + 20000000L).as("b_key"),
+            expr("""concat(
+                substring(c_name, 1, cast(c_custkey % 8 as int) + 3),
+                substring(c_name, cast(c_custkey % 8 as int) + 5, 1),
+                substring(c_name, cast(c_custkey % 8 as int) + 7))""").as("b_name"))
+        clean.withColumn("blk", expr("right(a_name, 4)"))
+          .join(dirty.withColumn("blk", expr("right(b_name, 4)")), Seq("blk"))
+          .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+          .filter(col("dist") <= 2)
+          .select(col("a_key"), col("b_key"), col("dist"))
+          .orderBy(col("a_key"), col("b_key"))
+      },
+      Some("""WITH clean AS (SELECT c_custkey a_key, c_name a_name FROM customer),
+             |dirty AS (
+             |  SELECT c_custkey + 20000000 b_key,
+             |    substr(c_name, 1, c_custkey % 8 + 3)
+             |      || substr(c_name, c_custkey % 8 + 5, 1)
+             |      || substr(c_name, c_custkey % 8 + 7) AS b_name
+             |  FROM customer WHERE c_custkey % 5 = 0)
+             |SELECT a_key, b_key,
+             |  CAST(levenshtein(a_name, b_name) AS INT) AS dist
+             |FROM clean JOIN dirty ON right(a_name, 4) = right(b_name, 4)
+             |WHERE levenshtein(a_name, b_name) <= 2
+             |ORDER BY a_key, b_key""".stripMargin)),
+
     // Streaming twin of the SymSpell linkage — master-data dedup at
     // ingest: the CLEAN registry's deletion-variant index builds once
     // as the static side; each ARRIVING dirty record joins it

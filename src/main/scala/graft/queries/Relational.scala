@@ -2770,5 +2770,43 @@ object Relational {
              |      >= CAST(2401 AS HUGEINT) * n_a * n_b * (x_a + x_b)
              |         * (n_a + n_b - x_a - x_b) AS INT) END AS significant
              |FROM wide""".stripMargin)),
+
+    // Leave-one-out target encoding — the standard categorical-feature
+    // transform for tabular ML: each order's nation is encoded as the
+    // mean order value of every OTHER order in that nation,
+    // (S − x)/(n − 1), so a row never sees its own target (the leakage
+    // that plain mean-encoding bakes in). Exact integer cents for S and
+    // x; one nation-keyed aggregation broadcast back onto the scan —
+    // the encoder table is |categories| rows at any corpus size.
+    // Singleton categories yield NULL (no peers to learn from).
+    QueryDef("q_target_encode",
+      (spark, sf) => {
+        val o = load(spark, sf, "orders").join(
+          load(spark, sf, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_nationkey").as("nation"),
+            expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
+        val enc = o.groupBy(col("nation"))
+          .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+        o.join(broadcast(enc), Seq("nation"))
+          .select(col("o_orderkey"), col("nation"), col("cents"),
+            when(col("n") > 1,
+              round((col("s") - col("cents")) /
+                ((col("n") - 1) * lit(100.0)), 6)).as("loo_avg_dollars"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey, c_nationkey AS nation,
+             |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |enc AS (SELECT nation, SUM(cents) s, COUNT(*) n
+             |  FROM o GROUP BY nation)
+             |SELECT o_orderkey, nation, cents,
+             |  CASE WHEN n > 1
+             |    THEN ROUND((s - cents) / ((n - 1) * 100.0), 6) END
+             |    AS loo_avg_dollars
+             |FROM o JOIN enc USING (nation)
+             |ORDER BY o_orderkey""".stripMargin)),
   )
 }
