@@ -1108,4 +1108,77 @@ class OpsSpec extends SparkSpec {
     // and the canonical form is strictly coarser than the raw URLs
     assert(urls.select("c").distinct().count() < urls.select("url").distinct().count())
   }
+
+  test("CDC chunks: lossless partition of every document") {
+    // joining a document's chunks back with single spaces must
+    // reconstruct the text exactly — chunking may never drop or merge
+    // characters (the property fixed-stride windows share, kept here
+    // under content-defined boundaries)
+    val bad = docs.filter(col("text").isNotNull)
+      .select(col("text"),
+        array_join(Dedup.cdcChunkArray(col("text")), " ").as("re"))
+      .filter(col("re") =!= col("text")).count()
+    assert(bad == 0)
+  }
+
+  test("CDC chunks: a mid-document insertion perturbs at most its own chunk") {
+    import spark.implicits._
+    val base = docs.filter(col("text").isNotNull)
+      .filter(size(split(col("text"), " ")) >= 40)
+      .select(col("text")).as[String].head()
+    val words = base.split(" ")
+    val edited = (words.take(words.length / 2) ++ Array("INSERTEDWORD") ++
+      words.drop(words.length / 2)).mkString(" ")
+    val Seq(c1, c2) = Seq(base, edited).toDF("text")
+      .select(Dedup.cdcChunkArray(col("text")).as("chs"))
+      .collect().toSeq.map(_.getSeq[String](0).toSet)
+    // non-boundary insert rewrites one chunk (1 lost, 1 gained); a
+    // boundary insert splits one chunk (1 lost, 2 gained). Fixed-stride
+    // chunking would shift EVERY downstream chunk instead.
+    assert((c1 -- c2).size <= 1, s"lost ${(c1 -- c2).size} chunks")
+    assert((c2 -- c1).size <= 2, s"gained ${(c2 -- c1).size} chunks")
+  }
+
+  test("MaxSim equals the hand-computed sub-vector interaction on a tiny corpus") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f, 1f, 0f, 0f, 0f)),
+      (3L, Array(1f, 1f, 0f, 0f, 0f, 0f, 1f, 1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    def maxsim(q: Array[Float], c: Array[Float]): Double =
+      (0 until 2).map { i =>
+        (0 until 2).map { j =>
+          cos(q.slice(i * 4, i * 4 + 4), c.slice(j * 4, j * 4 + 4))
+        }.max
+      }.sum
+    val got = Similarity.maxSimTopK(df, df.filter(col("vec_id") === 1L),
+        "vec_id", "embedding", k = 2, nSub = 2, subDim = 4)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    val q = vecs.head._2
+    for ((id, v) <- Seq(2L -> vecs(1)._2, 3L -> vecs(2)._2))
+      assert(math.abs(got(id) - maxsim(q, v)) < 1e-12,
+        s"maxsim($id): got ${got(id)}, want ${maxsim(q, v)}")
+  }
+
+  test("binary-Hamming ANN: an exact duplicate ranks first at distance 0") {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val dup = base.filter(col("vec_id") === 3L)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    val corpus = base.unionByName(dup)
+    val top = Similarity.binaryHammingTopK(
+        corpus, base.filter(col("vec_id") === 3L), "vec_id", "embedding", k = 3)
+      .orderBy(col("rank")).collect()
+    assert(top.head.getLong(2) == 500003L, "duplicate must rank first")
+    assert(top.head.getInt(3) == 0, "duplicate Hamming distance must be 0")
+    assert(math.abs(top.head.getDouble(4) - 1.0) < 1e-9,
+      "rerank cosine of the duplicate must be 1")
+    assert(top.map(_.getInt(3)).toSeq == top.map(_.getInt(3)).toSeq.sorted,
+      "results must be in ascending Hamming order")
+  }
 }
