@@ -300,6 +300,97 @@ final class ParquetDestinationDriver(
     * half-published. Non-bucketed sinks only (bucketed generations
     * publish through the catalog).
     */
+  /** Merge-on-read delta: append an UPSERT log segment against the
+    * published generation instead of rewriting it — the Hudi/Iceberg
+    * MOR write path. A copy-on-write `write()` costs O(|table|) per
+    * run; a delta costs O(|delta|), and readers pay a latest-wins
+    * reconcile ([[morSnapshot]]) until [[compactDeltas]] folds the log
+    * into the next COW generation. Deltas bind to the generation they
+    * were appended against (`mordelta_<gen>_<k>` — deliberately NOT a
+    * `gen*` name, which the vacuum/generation parsers own), so a
+    * pointer flip atomically retires the whole log: time travel to the
+    * old generation still sees its deltas via [[morSnapshot]] semantics
+    * frozen at compaction, and a vacuumed generation strands only
+    * dead log dirs. Delta indexes derive from the directory listing
+    * (the WAP lesson — never a cached counter). Schema may not evolve
+    * through a delta (that is a COW write's job): columns must match
+    * the published set and are conformed to its types.
+    *
+    * A delta must carry each key at most once (the executor's merged-
+    * snapshot uniqueness contract); duplicate keys WITHIN one delta
+    * would reconcile nondeterministically and are rejected with the
+    * same bounded probe `write()` paths use.
+    */
+  def appendDelta(df: DataFrame, spec: MigrationSpec): Long = {
+    require(buckets.isEmpty, "merge-on-read is for non-bucketed generation sinks")
+    val spark = df.sparkSession
+    val base = UriSchemes.path(spec.destination)
+    val gen = currentGen(spark, base).getOrElse(throw new IllegalStateException(
+      s"merge-on-read delta needs a published base generation at $base"))
+    val cur = spark.read.parquet(s"$base/$gen").schema
+    require(df.schema.fieldNames.sorted.sameElements(cur.fieldNames.sorted),
+      s"MOR delta columns [${df.schema.fieldNames.sorted.mkString(", ")}] must match " +
+        s"the published schema [${cur.fieldNames.sorted.mkString(", ")}] — " +
+        "schema evolution goes through write(), not the delta log")
+    val keyCols = spec.destinationIds.map(f => col(f.name))
+    if (df.groupBy(keyCols: _*).count().filter(col("count") > 1).limit(1).count() > 0)
+      throw new NonUniqueKeyException(
+        s"MOR delta for ${spec.name} carries a duplicate destination key")
+    val conformed = df.select(cur.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+    val k = deltaIndexes(spark, base, gen).lastOption.getOrElse(-1L) + 1
+    conformed.write.mode(SaveMode.Overwrite).parquet(s"$base/mordelta_${gen}_$k")
+    k
+  }
+
+  private def deltaIndexes(spark: SparkSession, base: String, gen: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.matches(s"mordelta_${gen}_\\d+"))
+      .map(_.stripPrefix(s"mordelta_${gen}_").toLong).sorted
+  }
+
+  /** The reconciled merge-on-read view: published generation ⊎ its
+    * delta log, latest segment wins per destination key. The reconcile
+    * is one window partitioned BY KEY (parallel, never SinglePartition)
+    * over base+deltas only — at 100 TB the log is the small side by
+    * MOR's premise, and compaction bounds how long the reconcile tax
+    * accrues. With an empty log this is exactly [[snapshot]].
+    */
+  def morSnapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] = {
+    require(buckets.isEmpty, "merge-on-read is for non-bucketed generation sinks")
+    val base = UriSchemes.path(spec.destination)
+    currentGen(spark, base).map { gen =>
+      val baseDf = spark.read.parquet(s"$base/$gen")
+      val ks = deltaIndexes(spark, base, gen)
+      if (ks.isEmpty) baseDf
+      else {
+        val segs = baseDf.withColumn("_seq", lit(0L)) +:
+          ks.map(k => spark.read.parquet(s"$base/mordelta_${gen}_$k")
+            .withColumn("_seq", lit(k + 1)))
+        val keyCols = spec.destinationIds.map(f => col(f.name))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols: _*).orderBy(col("_seq").desc)
+        segs.reduce(_ unionByName _)
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_seq", "_rn")
+      }
+    }
+  }
+
+  /** Fold the delta log into the next copy-on-write generation and flip
+    * the pointer — the OPTIMIZE step that stops the reconcile tax. The
+    * old generation and its (now frozen) log stay readable until
+    * vacuum. Returns the new generation number.
+    */
+  def compactDeltas(spark: SparkSession, spec: MigrationSpec): Long = {
+    val snap = morSnapshot(spark, spec).getOrElse(throw new IllegalStateException(
+      s"nothing to compact at ${spec.destination}"))
+    write(snap, spec)
+    generations(spark, spec).last
+  }
+
   def stage(df: DataFrame, spec: MigrationSpec): String = {
     require(buckets.isEmpty, "WAP staging is for non-bucketed generation sinks")
     val spark = df.sparkSession

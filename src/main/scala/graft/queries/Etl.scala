@@ -822,6 +822,56 @@ object Etl {
              |FROM g0 FULL OUTER JOIN g1 ON g0.id = g1.id
              |ORDER BY id""".stripMargin)),
 
+    // Merge-on-read (engine-native lakehouse extension): two upsert
+    // DELTAS appended against the base generation at O(|delta|) write
+    // cost each, reconciled at read by a latest-wins window per key,
+    // then compacted into the next COW generation. The gate proves the
+    // whole lifecycle distributed (exceptAll, no driver collects):
+    // reconciled view == compacted generation, and the delta log is
+    // retired by the pointer flip (post-compaction morSnapshot ==
+    // snapshot). Rows emit only when all three invariants hold.
+    QueryDef("etl_merge_on_read",
+      (spark, sf) => {
+        import Shared.cents
+        val base = scratch("graft_mor") + "/dest"
+        val sp = MigrationSpec("mor", source = "", sourceDriver = "inline",
+          destination = base, destinationDriver = "parquet",
+          sourceIds = Seq(IdField("id", LongId)),
+          destinationIds = Seq(IdField("id", LongId)))
+        val d = new ParquetDestinationDriver
+        val cust = load(spark, sf, "customer")
+        def slice(m: Int, plus: Int) = cust.filter(col("c_custkey") % m === 0)
+          .select(col("c_custkey").cast("long").as("id"),
+            (cents(col("c_acctbal")) + plus).as("bal"))
+        d.write(slice(3, 0), sp)
+        d.appendDelta(slice(4, 1), sp)
+        d.appendDelta(slice(6, 2), sp)
+        val mor = d.morSnapshot(spark, sp).get.localCheckpoint()
+        val gen = d.compactDeltas(spark, sp)
+        val compacted = d.snapshotAt(spark, sp, gen).get
+        val retired = d.morSnapshot(spark, sp).get
+        val ok = mor.exceptAll(compacted).isEmpty &&
+          compacted.exceptAll(mor).isEmpty &&
+          retired.exceptAll(compacted).isEmpty && gen == 1L
+        mor.filter(lit(ok)).orderBy(col("id"))
+      },
+      Some("""WITH segs AS (
+             |  SELECT CAST(c_custkey AS BIGINT) id,
+             |    CAST(ROUND(c_acctbal * 100) AS BIGINT) bal, 0 seq
+             |  FROM customer WHERE c_custkey % 3 = 0
+             |  UNION ALL
+             |  SELECT CAST(c_custkey AS BIGINT),
+             |    CAST(ROUND(c_acctbal * 100) AS BIGINT) + 1, 1
+             |  FROM customer WHERE c_custkey % 4 = 0
+             |  UNION ALL
+             |  SELECT CAST(c_custkey AS BIGINT),
+             |    CAST(ROUND(c_acctbal * 100) AS BIGINT) + 2, 2
+             |  FROM customer WHERE c_custkey % 6 = 0),
+             |r AS (SELECT id, bal,
+             |  ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq DESC) rn
+             |  FROM segs)
+             |SELECT id, bal FROM r WHERE rn = 1 ORDER BY id""".stripMargin)),
+
     // §2.2 JDBC (database) sink + §2.1 JDBC source: write through the
     // JDBC destination driver into embedded Derby, read back via the
     // arbitrary-SQL JDBC source — the DbalSourceDriver /

@@ -525,4 +525,38 @@ class DriversSpec extends SparkSpec {
     assert(back.filter(col("email").isNull).count() == 3,
       "NULL-predicate rows must survive the rewrite")
   }
+
+  test("merge-on-read: delta lifecycle, guards, and log retirement") {
+    import spark.implicits._
+    val dir = scratchDir("mor_life") + "/dest"
+    val sp = mkSpec("", dir, dstIds = Seq(IdField("id", LongId)))
+    val d = new ParquetDestinationDriver
+    // a delta against nothing must refuse
+    assertThrows[IllegalStateException](
+      d.appendDelta(Seq((1L, "a")).toDF("id", "v"), sp))
+    d.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), sp)
+    // schema may not evolve through the delta log
+    assertThrows[IllegalArgumentException](
+      d.appendDelta(Seq((1L, "a", 9L)).toDF("id", "v", "extra"), sp))
+    // duplicate keys within one delta reconcile nondeterministically
+    assertThrows[NonUniqueKeyException](
+      d.appendDelta(Seq((1L, "x"), (1L, "y")).toDF("id", "v"), sp))
+    assert(d.appendDelta(Seq((2L, "B"), (4L, "d")).toDF("id", "v"), sp) == 0L)
+    assert(d.appendDelta(Seq((2L, "BB")).toDF("id", "v"), sp) == 1L)
+    val mor = d.morSnapshot(spark, sp).get
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(mor == Map(1L -> "a", 2L -> "BB", 3L -> "c", 4L -> "d"),
+      s"latest-wins reconcile broken: $mor")
+    // base generation itself is untouched by the log
+    assert(d.snapshotAt(spark, sp, 0L).get.count() == 3)
+    val gen = d.compactDeltas(spark, sp)
+    assert(gen == 1L)
+    val compacted = d.snapshotAt(spark, sp, gen).get
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(compacted == mor, "compaction must materialize the reconciled view")
+    // pointer flip retires the log: the new generation reads clean
+    val after = d.morSnapshot(spark, sp).get
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == mor, "post-compaction morSnapshot must equal snapshot")
+  }
 }
