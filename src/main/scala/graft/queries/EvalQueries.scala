@@ -283,6 +283,72 @@ object EvalQueries {
     // final division is BIGINT (u2 is emitted for the oracle to check
     // exactly); no single-partition window anywhere — the rank is a
     // range-partitioned sort + O(partitions) offsets.
+    // MRR of the BM25 retrieval ranking — the "how deep is the first
+    // GOOD result" audit next to eval_ndcg's whole-ranking gain curve.
+    // "Relevant" is the integer containment test 2·rel ≥ |probe terms|
+    // (the candidate shares at least half the probe's distinct terms) —
+    // no float threshold. Per-probe first-relevant rank and reciprocal
+    // rank (one division); probes whose top-10 holds no relevant doc
+    // emit NULLs, counted rather than dropped. Same one-pass lineage
+    // and oracle CTEs the retrieval gates verify; the rank join touches
+    // ≤ 10 rows per probe.
+    QueryDef("eval_mrr",
+      (spark, sf) => {
+        val docs = load(spark, sf, "documents")
+        val probes = load(spark, sf, "embeddings")
+          .select(col("vec_id").as("probe_id"))
+          .filter(col("probe_id") % 100 === 7)
+        val ranked = graft.ops.Retrieval.bm25TopK(docs, probes, k = 10)
+          .select(col("probe_id"), col("doc_id"), col("r"))
+        val terms = docs.select(col("doc_id"),
+          explode(filter(split(lower(col("text")), "[^a-z]+"),
+            t => t =!= "")).as("term"))
+        val probeTerms = terms
+          .join(broadcast(probes), terms("doc_id") === col("probe_id"))
+          .select(col("probe_id"), col("term")).distinct()
+        val rels = terms.join(broadcast(probeTerms), Seq("term"))
+          .filter(col("doc_id") =!= col("probe_id"))
+          .groupBy(col("probe_id"), col("doc_id"))
+          .agg(countDistinct(col("term")).as("rel"))
+        val ptn = probeTerms.groupBy(col("probe_id"))
+          .agg(countDistinct(col("term")).as("npt"))
+        val first = ranked.join(rels, Seq("probe_id", "doc_id"))
+          .join(broadcast(ptn), Seq("probe_id"))
+          .filter(col("rel") * 2 >= col("npt"))
+          .groupBy(col("probe_id")).agg(min(col("r")).as("first_rel_rank"))
+        ptn.join(first, Seq("probe_id"), "left")
+          .select(col("probe_id"), col("npt"),
+            col("first_rel_rank").cast("int").as("first_rel_rank"),
+            round(lit(1.0) / col("first_rel_rank"), 6).as("rr"))
+          .orderBy(col("probe_id"))
+      },
+      Some(s"""${Shared.ProbeBm25ScoredCtes},
+             |ranked AS (
+             |  SELECT probe_id, doc_id, r FROM (
+             |    SELECT probe_id, doc_id,
+             |      ROW_NUMBER() OVER (PARTITION BY probe_id
+             |                         ORDER BY score DESC, doc_id) AS r
+             |    FROM scored)
+             |  WHERE r <= 10),
+             |rels AS (
+             |  SELECT pt.probe_id, t.doc_id,
+             |    CAST(COUNT(DISTINCT t.term) AS BIGINT) AS rel
+             |  FROM terms t JOIN probe_terms pt USING (term)
+             |  WHERE t.doc_id <> pt.probe_id
+             |  GROUP BY pt.probe_id, t.doc_id),
+             |ptn AS (SELECT probe_id, CAST(COUNT(DISTINCT term) AS BIGINT) npt
+             |  FROM probe_terms GROUP BY 1),
+             |fr AS (
+             |  SELECT r.probe_id, MIN(r.r) AS first_rel
+             |  FROM ranked r JOIN rels USING (probe_id, doc_id)
+             |  JOIN ptn USING (probe_id)
+             |  WHERE rel * 2 >= npt GROUP BY 1)
+             |SELECT ptn.probe_id, ptn.npt,
+             |  CAST(fr.first_rel AS INT) AS first_rel_rank,
+             |  ROUND(1.0 / fr.first_rel, 6) AS rr
+             |FROM ptn LEFT JOIN fr USING (probe_id)
+             |ORDER BY probe_id""".stripMargin)),
+
     QueryDef("eval_auc",
       (spark, sf) => {
         val ranked = graft.ops.Rank.rankGlobal(
