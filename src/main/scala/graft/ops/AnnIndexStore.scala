@@ -69,15 +69,39 @@ object AnnIndexStore {
     (Index(assigned, cents), gen)
   }
 
+  /** Incremental index maintenance — the answer to "vectors arrive
+    * hourly, the index rebuilds weekly": assign NEW vectors to the
+    * FROZEN published codebook (the identical nearest-centroid
+    * computation the build uses — no retrain, so existing assignments
+    * and probe plans are untouched) and append them as a merge-on-read
+    * delta on the assignments table ([[ParquetDestinationDriver.appendDelta]]).
+    * The write costs O(|new|); serving reads the reconciled view via
+    * `load(includeDeltas = true)`, and the next rebuild/compaction
+    * retires the log. Returns the delta index.
+    */
+  def append(newVecs: DataFrame, idCol: String, vecCol: String, base: String,
+      dest: ParquetDestinationDriver = new ParquetDestinationDriver): Long = {
+    val spark = newVecs.sparkSession
+    val idx = load(spark, base, dest = dest)
+    val assigned = Similarity
+      .ivfProbes(newVecs, idCol, vecCol, idx.centroids, nprobe = 1)
+      .select(col("query_id").as("neighbor_id"), col("qv").as("cv"), col("list"))
+    dest.appendDelta(assigned, spec(base, "assignments", "neighbor_id"))
+  }
+
   /** Load the CURRENT index generation, or a retained one (`gen`) for
     * time travel — an old index stays probeable after a rebuild until
-    * vacuumed.
+    * vacuumed. `includeDeltas` serves the merge-on-read view (current
+    * generation ⊎ [[append]]ed vectors); time travel always reads the
+    * plain generation (its log was frozen by the pointer flip).
     */
   def load(spark: SparkSession, base: String, gen: Option[Long] = None,
-      dest: ParquetDestinationDriver = new ParquetDestinationDriver): Index = {
+      dest: ParquetDestinationDriver = new ParquetDestinationDriver,
+      includeDeltas: Boolean = false): Index = {
     val aSpec = spec(base, "assignments", "neighbor_id")
     val cSpec = spec(base, "centroids", "list")
-    val assigned = gen.fold(dest.snapshot(spark, aSpec))(g => dest.snapshotAt(spark, aSpec, g))
+    val assigned = (if (includeDeltas && gen.isEmpty) dest.morSnapshot(spark, aSpec)
+      else gen.fold(dest.snapshot(spark, aSpec))(g => dest.snapshotAt(spark, aSpec, g)))
       .getOrElse(sys.error(s"AnnIndexStore: no assignments under $base (gen=$gen)"))
     val centRows = gen.fold(dest.snapshot(spark, cSpec))(g => dest.snapshotAt(spark, cSpec, g))
       .getOrElse(sys.error(s"AnnIndexStore: no centroids under $base (gen=$gen)"))

@@ -295,6 +295,57 @@ object SimilarityQueries {
       },
       Some(RecallGateOracle)),
 
+    // Persisted ANN index, incremental half: 90% of the corpus builds
+    // the index, the remaining 10% arrives later and is APPENDED — new
+    // vectors assigned to the frozen codebook (no retrain) and written
+    // as a merge-on-read delta at O(|new|) cost. Three gates on one
+    // emission: the reconciled view covers the whole corpus; every
+    // appended assignment equals the assign-time recompute against the
+    // frozen centroids (distributed exceptAll); probing the grown index
+    // still clears the recall bound vs full-corpus brute force.
+    QueryDef("sim_ann_index_append",
+      (spark, sf) => {
+        import graft.ops.AnnIndexStore
+        val corpus = load(spark, sf, "embeddings")
+        val sub = corpus.filter(col("vec_id") % 10 =!= 9)
+        val late = corpus.filter(col("vec_id") % 10 === 9)
+        val base = Tables.scratch("graft_annappend")
+        val (fresh, _) = AnnIndexStore.build(sub, "vec_id", "embedding", base,
+          nlist = 16, iterations = 3)
+        AnnIndexStore.append(late, "vec_id", "embedding", base)
+        val grown = AnnIndexStore.load(spark, base, includeDeltas = true)
+        val expected = Similarity
+          .ivfProbes(late, "vec_id", "embedding", fresh.centroids, nprobe = 1)
+          .select(col("query_id").as("neighbor_id"), col("list"))
+        val appended = grown.assignments
+          .join(late.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"))
+          .select(col("neighbor_id"), col("list"))
+        val assignParity = appended.exceptAll(expected)
+          .unionAll(expected.exceptAll(appended))
+          .agg(count(lit(1)).as("n_diff"))
+        val coverage = grown.assignments.agg(count(lit(1)).as("n_assigned"))
+        val nCorpus = corpus.count()
+        val k = 5
+        val queries = corpus.filter(col("vec_id") < 10)
+        val served = AnnIndexStore.probe(grown, queries, "vec_id", "embedding",
+          nprobe = 4, k = k)
+        val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k)
+        val hits = served.select(col("query_id"), col("neighbor_id"))
+          .join(exact.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+        val meanRecall = queries.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .agg(avg(coalesce(col("n_hits"), lit(0)) / k).as("mean_recall"))
+        queries.select(col("vec_id").as("query_id"))
+          .crossJoin(meanRecall).crossJoin(assignParity).crossJoin(coverage)
+          .filter(col("mean_recall") >= 0.4 && col("n_diff") === 0 &&
+            col("n_assigned") === nCorpus)
+          .select(col("query_id"), lit(k).as("k"))
+          .orderBy(col("query_id"))
+      },
+      Some(RecallGateOracle)),
+
     // Residual IVF+PQ (FAISS IndexIVFPQ semantics): codes quantize
     // v − c_list, concentrating codebook resolution on within-list
     // variation — the property that keeps recall from sagging as nlist
