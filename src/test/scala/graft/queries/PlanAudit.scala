@@ -150,7 +150,20 @@ class PlanAudit extends SparkSpec {
     // + label joins + vote agg + GroupedTopK argmax + truth agg + orderBy
     "eval_rank_correlation" -> 6, // two rank LogicalRDDs (range machinery
     // behind them) + doc_id join + one-group agg
-    "q_exp_smoothing" -> 4)      // (type, hour) count agg + per-type
+    "q_exp_smoothing" -> 4,      // (type, hour) count agg + per-type
+    // round-15 session-2 additions (digest-measured + headroom)
+    "sim_maxsim" -> 4,           // broadcast-query scan + TopKPerKey + rank window
+    "sim_binary_hamming" -> 8,   // packed scan + TopKPerKey + winner-broadcast rerank
+    "dedup_cdc_chunks" -> 9,     // chunk fp agg + dup-count agg + per-doc agg
+    "text_html_extract" -> 2,    // scan-speed regexp chain; orderBy only
+    "eval_bleu" -> 24,           // 4 × (cand⋈ref n-gram count aggs) + lens attach
+    "eval_best_f1" -> 20,        // the eval_pr_curve grid lineage (labeled
+    // classifier + rule-gate passes print per cache state, like
+    // eval_pr_curve's 17) + the 10-row argmax sort
+    "privacy_t_closeness" -> 13, // (QI,v) agg + group/value rollups + audit-frame agg
+    "er_levenshtein_join" -> 3,  // suffix-block equi-join + orderBy
+    "q_target_encode" -> 6,      // orders⋈customer + nation agg broadcast back
+    "eval_mrr" -> 45)            // full BM25 lineage (the eval_ndcg shape) + rels
     // collect fold + orderBy
 
   // Queries whose only nested-loop joins are the recall/bound gates'
@@ -181,7 +194,16 @@ class PlanAudit extends SparkSpec {
     // bruteForceTopK's broadcast of the bounded query sample against
     // the corpus scan — the deliberate eval/serving shape (work =
     // |queries|·|corpus|), the sim_cosine_topk economics
-    "eval_knn_accuracy" -> 1)
+    "eval_knn_accuracy" -> 1,
+    // the broadcast query-set scans of the late-interaction and
+    // binary-quantized tiers — the same deliberate serving shape
+    "sim_maxsim" -> 1, "sim_binary_hamming" -> 1,
+    // the one-row (ref_len, cand_len) totals attach
+    "eval_bleu" -> 1,
+    // the global value-histogram broadcast + the one-row N attach
+    "privacy_t_closeness" -> 2,
+    // bm25TopK's one-row (n_docs, avgdl) stats attach
+    "eval_mrr" -> 1)
 
   test("q_skew_aqe_join: AQE splits the hot partition (structural isSkewJoin)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
