@@ -1537,6 +1537,55 @@ object TextQueries {
     // scan only if they match a broadcast probe term; df/dl stats and
     // probe terms broadcast. Same 6-dp rank-key discipline as the RRF
     // tier, so the oracle replays ranks exactly.
+    // Exact phrase search over positional trigrams — the inverted-index
+    // operation bag-of-words BM25 cannot express (order matters): each
+    // probe's opening 3-word phrase must match three ADJACENT corpus
+    // positions. Adjacency is pre-joined into a positional trigram at
+    // the scan (sequence/slice expressions, no shuffle, positions kept
+    // exact — no filtered-array drift), and the tiny phrase table
+    // broadcasts, so the whole query is one scan + one broadcast join +
+    // one (probe, doc) aggregation. Emits occurrence counts and the
+    // first match position — all integers, fully hash-oracled.
+    QueryDef("text_phrase_search",
+      (spark, sf) => {
+        val docs = load(spark, sf, "documents")
+        val probes = load(spark, sf, "embeddings")
+          .select(col("vec_id").as("probe_id"))
+          .filter(col("probe_id") % 100 === 7)
+        val grams = docs
+          .filter(size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(0, size(split(text, ' ')) - 3),
+              |  i -> struct(i AS pos,
+              |    concat_ws(' ', slice(split(text, ' '), i + 1, 3)) AS g))"""
+              .stripMargin)).as("s"))
+          .select(col("doc_id"), col("s.pos").as("pos"), col("s.g").as("g"))
+        val phrases = docs
+          .join(broadcast(probes), col("doc_id") === col("probe_id"))
+          .filter(size(split(col("text"), " ")) >= 3)
+          .select(col("probe_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("phrase"))
+        grams.join(broadcast(phrases),
+            col("g") === col("phrase") && col("doc_id") =!= col("probe_id"))
+          .groupBy(col("probe_id"), col("doc_id"))
+          .agg(count(lit(1)).as("n_occ"), min(col("pos")).cast("long").as("first_pos"))
+          .orderBy(col("probe_id"), col("doc_id"))
+      },
+      Some("""WITH probes AS (SELECT vec_id probe_id FROM embeddings
+             |  WHERE vec_id % 100 = 7),
+             |toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+             |phr AS (SELECT probe_id, list_aggregate(t[1:3], 'string_agg', ' ') phrase
+             |  FROM toks JOIN probes ON doc_id = probe_id WHERE len(t) >= 3),
+             |sh AS (SELECT doc_id, unnest(range(len(t) - 2)) i, t
+             |  FROM toks WHERE len(t) >= 3),
+             |grams AS (SELECT doc_id, i,
+             |  list_aggregate(t[i+1:i+3], 'string_agg', ' ') g FROM sh)
+             |SELECT p.probe_id, g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ,
+             |  CAST(MIN(i) AS BIGINT) AS first_pos
+             |FROM grams g JOIN phr p ON g.g = p.phrase AND g.doc_id <> p.probe_id
+             |GROUP BY p.probe_id, g.doc_id
+             |ORDER BY probe_id, doc_id""".stripMargin)),
+
     QueryDef("text_probe_bm25",
       (spark, sf) => {
         val docs = load(spark, sf, "documents")
