@@ -2553,6 +2553,84 @@ object Relational {
       },
       Some(Shared.ExpSmoothingOracle)),
 
+    // Holt's double exponential smoothing (level + TREND, α = β = 1/4)
+    // over the same per-type hourly series as q_exp_smoothing — the
+    // EWMA sibling that doesn't lag a drifting series: the one-step
+    // forecast is level + trend, so sustained growth stops reading as
+    // a permanent anomaly. Same exact-integer discipline (micro-units,
+    // truncating integer division — Spark `div` and DuckDB `//` both
+    // truncate toward zero, verified, so the signed trend needs no
+    // bias trick), but the state rides a named_struct accumulator
+    // instead of q_exp_smoothing's bit-packed BIGINT. The ORACLE does
+    // the fold as a recursive CTE over the row-numbered series, NOT
+    // DuckDB list_reduce: list_reduce updates a struct accumulator's
+    // fields IN PLACE left-to-right, so the 'b' expression reads the
+    // already-updated 'l' (verified: 585937 where the functional fold
+    // gives 906250 on [10,2,30]) — a quirk no oracle should lean on.
+    // No silent-wrap risk: unpacked 64-bit fields hold counts to
+    // ~9·10¹² hours·10⁶; the fold still fails loudly past the
+    // documented 10⁹ hourly bound. Scale shape: one (type, hour) count
+    // shuffle, then per-type folds over bounded time-grid arrays.
+    QueryDef("q_holt_winters",
+      (spark, sf) => {
+        val hourly = Tables.load(spark, sf, "events")
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .groupBy(col("event_type"), col("h"))
+          .agg(count(lit(1)).as("n"))
+        hourly.groupBy(col("event_type"))
+          .agg(expr("transform(sort_array(collect_list(struct(h, n))), x -> x.n)")
+            .as("s"))
+          .select(col("event_type"), expr(
+            """aggregate(s,
+              |  named_struct('l', 0L, 'b', 0L, 'n', 0L, 'm', 0L),
+              |  (acc, x) -> CASE
+              |    WHEN x > 1000000000L THEN named_struct(
+              |      'l', CAST(raise_error('q_holt_winters: hourly count > 1e9 — micro-unit state would overflow') AS BIGINT),
+              |      'b', 0L, 'n', 0L, 'm', 0L)
+              |    WHEN acc.n = 0L THEN named_struct(
+              |      'l', x * 1000000L, 'b', 0L, 'n', 1L, 'm', 0L)
+              |    ELSE named_struct(
+              |      'l', (x * 1000000L + 3L * (acc.l + acc.b)) div 4L,
+              |      'b', ((x * 1000000L + 3L * (acc.l + acc.b)) div 4L
+              |            - acc.l + 3L * acc.b) div 4L,
+              |      'n', acc.n + 1L,
+              |      'm', acc.m + IF(abs(x * 1000000L - (acc.l + acc.b)) * 2L
+              |                      > abs(acc.l + acc.b), 1L, 0L))
+              |  END)""".stripMargin).as("p"))
+          .select(col("event_type"),
+            col("p.n").cast("int").as("n_hours"),
+            col("p.l").as("level_micro"),
+            col("p.b").as("trend_micro"),
+            col("p.m").as("n_anomalies"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH RECURSIVE hourly AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |idx AS MATERIALIZED (
+             |  SELECT event_type,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS i,
+             |    CAST(n AS BIGINT) AS x
+             |  FROM hourly),
+             |cnt AS (SELECT event_type, COUNT(*) AS len FROM idx GROUP BY 1),
+             |hw AS (
+             |  SELECT event_type, CAST(1 AS BIGINT) AS i,
+             |    x * 1000000 AS l, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS m
+             |  FROM idx WHERE i = 1
+             |  UNION ALL
+             |  SELECT w.event_type, w.i + 1,
+             |    (ix.x * 1000000 + 3 * (w.l + w.b)) // 4,
+             |    ((ix.x * 1000000 + 3 * (w.l + w.b)) // 4 - w.l + 3 * w.b) // 4,
+             |    w.m + CASE WHEN abs(ix.x * 1000000 - (w.l + w.b)) * 2
+             |                    > abs(w.l + w.b) THEN 1 ELSE 0 END
+             |  FROM hw w JOIN idx ix ON ix.event_type = w.event_type
+             |                       AND ix.i = w.i + 1)
+             |SELECT w.event_type, CAST(c.len AS INT) AS n_hours,
+             |  w.l AS level_micro, w.b AS trend_micro,
+             |  CAST(w.m AS BIGINT) AS n_anomalies
+             |FROM hw w JOIN cnt c USING (event_type) WHERE w.i = c.len
+             |ORDER BY event_type""".stripMargin)),
+
     // Widest (maximum-bottleneck) paths over the same multi-path part
     // DAG as q_cheapest_path, on the (max, min) semiring: width(node) =
     // the largest per-edge capacity floor any route to the sink can
