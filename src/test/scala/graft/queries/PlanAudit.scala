@@ -163,7 +163,9 @@ class PlanAudit extends SparkSpec {
     "privacy_t_closeness" -> 13, // (QI,v) agg + group/value rollups + audit-frame agg
     "er_levenshtein_join" -> 3,  // suffix-block equi-join + orderBy
     "q_target_encode" -> 6,      // orders⋈customer + nation agg broadcast back
-    "eval_mrr" -> 45)            // full BM25 lineage (the eval_ndcg shape) + rels
+    "eval_mrr" -> 45,            // full BM25 lineage (the eval_ndcg shape) + rels
+    "text_phrase_search" -> 6,   // positional-trigram scan + broadcast phrase join
+    "q_holt_winters" -> 5)       // (type, hour) count agg + per-type fold
     // collect fold + orderBy
 
   // Queries whose only nested-loop joins are the recall/bound gates'
