@@ -25,7 +25,11 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q_running_distinct", // shared-exchange window pair
     "dedup_clusters_distributed", // hash-min label propagation rounds
     "eval_auc",           // rankGlobal midrank sums from partition seeds
-    "eval_rank_correlation") // two independent rankGlobal passes joined
+    "eval_rank_correlation", // two independent rankGlobal passes joined
+    "q_holt_winters",     // sort_array(collect_list) must fix the fold order
+    "dedup_cdc_chunks",   // scan-stage chunk fold + fingerprint aggregation
+    "sim_binary_hamming", // bounded-heap top-k under integer-distance ties
+    "eval_bleu")          // clipped n-gram multiset sums across widths
   // q_cheapest_path / q_widest_path are NOT here: their fixpoint frames
   // are memoized per sfDir, so a second width would compare the cache
   // against itself — OpsSpec pins the semiring ops' partitioning

@@ -32,7 +32,9 @@ class PersistHygieneSpec extends SparkSpec {
     "text_bpe_train",        // iterative merge training
     "dedup_clusters_distributed", // label-prop edge/label persists, op-released
     "q_cheapest_path",       // semiring fixpoint memo (edge persist op-released)
-    "eval_auc"               // shared labeled-scores cache (counted owner)
+    "eval_auc",              // shared labeled-scores cache (counted owner)
+    "sim_ann_index_append"   // ivfIndex's training persist (op-released)
+                             // + fresh index build/append per run
   )
 
   test("steady state: a second run of a query adds no persistent RDDs") {
