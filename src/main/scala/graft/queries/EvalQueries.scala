@@ -856,5 +856,108 @@ object EvalQueries {
            |  ROUND(1.0 - CAST(ref_len AS DOUBLE) / cand_len, 6) AS bp_log
            |FROM agg, lens""".stripMargin
       }),
+
+    // Cohen's kappa between the deployed operating point (classifier
+    // score ≥ 25, the mid-grid threshold eval_best_f1 sweeps) and the
+    // rule gate, as two raters — chance-corrected agreement, the
+    // labeling-QA primitive that says whether model and rules agree
+    // beyond what their marginal keep-rates force. The 2×2 confusion
+    // cells are exact BIGINTs from ONE label-free aggregation of the
+    // shared labeled frame; kappa's closed form 2(ad−bc) /
+    // ((a+b)(b+d)+(a+c)(c+d)) runs on DECIMAL(38,0) (DuckDB HUGEINT)
+    // cross-products so the integers stay exact to n ≈ 10¹⁸ rows —
+    // far past 100 TB — and po/pe/kappa are each ONE final double
+    // division of exact integers (identical association order both
+    // engines; magnitudes < 2⁵³ at every shipped SF so the
+    // decimal→double conversions are exact). Scale shape: the corpus
+    // collapses map-side to 4 cells — one shuffle of 4 rows.
+    QueryDef("eval_cohens_kappa",
+      (spark, sf) => {
+        val cells = labeled(spark, sf)
+          .agg(
+            sum(when(col("score") >= 25 && col("label") === 1, 1L)
+              .otherwise(0L)).as("n11"),
+            sum(when(col("score") >= 25 && col("label") === 0, 1L)
+              .otherwise(0L)).as("n10"),
+            sum(when(col("score") < 25 && col("label") === 1, 1L)
+              .otherwise(0L)).as("n01"),
+            sum(when(col("score") < 25 && col("label") === 0, 1L)
+              .otherwise(0L)).as("n00"))
+        val d38 = "decimal(38,0)"
+        cells.select(col("n11"), col("n10"), col("n01"), col("n00"),
+          (col("n11") + col("n10") + col("n01") + col("n00")).as("n"),
+          round((col("n11") + col("n00")).cast("double") /
+            (col("n11") + col("n10") + col("n01") + col("n00")), 6).as("po"),
+          round(
+            ((col("n11") + col("n10")).cast(d38) * (col("n11") + col("n01")).cast(d38) +
+             (col("n01") + col("n00")).cast(d38) * (col("n10") + col("n00")).cast(d38))
+              .cast("double") /
+            ((col("n11") + col("n10") + col("n01") + col("n00")).cast(d38) *
+             (col("n11") + col("n10") + col("n01") + col("n00")).cast(d38))
+              .cast("double"), 6).as("pe"),
+          round(
+            (col("n11").cast(d38) * col("n00").cast(d38) -
+             col("n10").cast(d38) * col("n01").cast(d38)).cast("double") * 2.0 /
+            ((col("n11") + col("n10")).cast(d38) * (col("n10") + col("n00")).cast(d38) +
+             (col("n11") + col("n01")).cast(d38) * (col("n01") + col("n00")).cast(d38))
+              .cast("double"), 6).as("kappa"))
+      },
+      Some(s"""$LabeledSql,
+             |cells AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN score >= 25 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) n11,
+             |    CAST(SUM(CASE WHEN score >= 25 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) n10,
+             |    CAST(SUM(CASE WHEN score < 25 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) n01,
+             |    CAST(SUM(CASE WHEN score < 25 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) n00
+             |  FROM labeled)
+             |SELECT n11, n10, n01, n00,
+             |  n11 + n10 + n01 + n00 AS n,
+             |  ROUND(CAST(n11 + n00 AS DOUBLE) / (n11 + n10 + n01 + n00), 6) AS po,
+             |  ROUND(CAST(CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+             |           + CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS DOUBLE)
+             |    / CAST(CAST(n11 + n10 + n01 + n00 AS HUGEINT)
+             |           * (n11 + n10 + n01 + n00) AS DOUBLE), 6) AS pe,
+             |  ROUND(CAST(CAST(n11 AS HUGEINT) * n00
+             |           - CAST(n10 AS HUGEINT) * n01 AS DOUBLE) * 2.0
+             |    / CAST(CAST(n11 + n10 AS HUGEINT) * (n10 + n00)
+             |           + CAST(n11 + n01 AS HUGEINT) * (n01 + n00) AS DOUBLE), 6) AS kappa
+             |FROM cells""".stripMargin)),
+
+    // Class-conditional Brier score: the classifier score mapped to a
+    // probability on the fixed affine grid p = clamp(score+100, 0, 300)
+    // / 300 (the same literal-contract philosophy as the PR-sweep
+    // thresholds), squared-error'd against the rule label SEPARATELY
+    // for keeps and drops — the calibration loss that, unlike
+    // eval_calibration's reliability table, is a single number per
+    // class and strictly proper. All sufficient statistics are exact
+    // integers in 1/300 probability units: Σ(p·300 − 300·label)² is a
+    // BIGINT both engines agree on bit-for-bit (bound: scores clamp to
+    // [0,300], so each term ≤ 9·10⁴ — no overflow this side of 10¹⁴
+    // rows per class), and the Brier mean is ONE final division by
+    // n·300². Scale shape: map-side collapse to 2 rows — one 2-row
+    // shuffle, nothing else.
+    QueryDef("eval_brier",
+      (spark, sf) => {
+        labeled(spark, sf)
+          .select(col("label"),
+            (least(greatest(col("score") + 100, lit(0L)), lit(300L)) -
+              col("label") * 300L).as("e"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("e") * col("e")).as("sum_sq"))
+          .select(col("label"), col("n"), col("sum_sq"),
+            round(col("sum_sq") / (col("n") * 90000L).cast("double"), 6)
+              .as("brier"))
+          .orderBy(col("label"))
+      },
+      Some(s"""$LabeledSql,
+             |e AS (
+             |  SELECT label,
+             |    LEAST(GREATEST(score + 100, 0), 300) - label * 300 AS e
+             |  FROM labeled)
+             |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(e * e) AS BIGINT) AS sum_sq,
+             |  ROUND(SUM(e * e) / CAST(COUNT(*) * 90000 AS DOUBLE), 6) AS brier
+             |FROM e GROUP BY label ORDER BY label""".stripMargin)),
   )
 }

@@ -165,8 +165,11 @@ class PlanAudit extends SparkSpec {
     "q_target_encode" -> 6,      // orders⋈customer + nation agg broadcast back
     "eval_mrr" -> 45,            // full BM25 lineage (the eval_ndcg shape) + rels
     "text_phrase_search" -> 6,   // positional-trigram scan + broadcast phrase join
-    "q_holt_winters" -> 5)       // (type, hour) count agg + per-type fold
+    "q_holt_winters" -> 5,       // (type, hour) count agg + per-type fold
     // collect fold + orderBy
+    "eval_cohens_kappa" -> 17,   // labeled lineage (classifier + rule-gate
+    // passes print per cache state, the eval_pr_curve 17) + one-row cells agg
+    "eval_brier" -> 18)          // labeled lineage + per-label agg + orderBy
 
   // Queries whose only nested-loop joins are the recall/bound gates'
   // crossJoins against one-row aggregates (a broadcast of a scalar —
