@@ -2886,5 +2886,70 @@ object Relational {
              |    AS loo_avg_dollars
              |FROM o JOIN enc USING (nation)
              |ORDER BY o_orderkey""".stripMargin)),
+
+    // Exact COUNT DISTINCT via additive bitmaps (the Druid/ClickHouse
+    // bitmap-index pattern): customers are packed into 60-bit words
+    // (word = key div 60, bit = key mod 60 — 60 not 64, so no shift
+    // ever touches the sign bit and both engines' `<<` agree without
+    // leaning on two's-complement edge semantics), per-(nation, month)
+    // word bitmaps are BIT_OR aggregates, and the per-month distinct is
+    // Σ bit_count. The point of the shape: the NATION-level distinct is
+    // computed by OR-ing the month-level word bitmaps — the fact table
+    // is scanned ONCE, and every further rollup level is an O(#words)
+    // merge of mergeable partials, which is exactly what makes exact
+    // distinct affordable at 100 TB (count(distinct) re-scans facts per
+    // grouping level; bitmap partials re-aggregate like sums). The
+    // months_per_cust ratio (member-months over distinct members) is
+    // the one final double division. Word frames are |keyspace|/60 per
+    // group — bounded by the dimension, not the fact count.
+    QueryDef("q_bitmap_distinct",
+      (spark, sf) => {
+        val f = load(spark, sf, "orders")
+          .select(col("o_custkey"), col("o_orderdate"))
+          .join(load(spark, sf, "customer")
+            .select(col("c_custkey").as("o_custkey"),
+              col("c_nationkey").as("nation")), Seq("o_custkey"))
+          .select(col("nation"), trunc(col("o_orderdate"), "month").as("month"),
+            expr("o_custkey div 60").as("w"),
+            expr("shiftleft(1L, int(o_custkey % 60))").as("m"))
+        val wm = f.groupBy(col("nation"), col("month"), col("w"))
+          .agg(expr("bit_or(m)").as("bm"))
+        val monthly = wm.groupBy(col("nation"), col("month"))
+          .agg(sum(bit_count(col("bm")).cast("long")).as("d"))
+          .groupBy(col("nation"))
+          .agg(count(lit(1)).as("n_months"), sum(col("d")).as("member_months"))
+        val rollup = wm.groupBy(col("nation"), col("w"))
+          .agg(expr("bit_or(bm)").as("bm"))
+          .groupBy(col("nation"))
+          .agg(sum(bit_count(col("bm")).cast("long")).as("n_distinct"))
+        monthly.join(rollup, Seq("nation"))
+          .select(col("nation"), col("n_months"), col("member_months"),
+            col("n_distinct"),
+            round(col("member_months") / col("n_distinct").cast("double"), 6)
+              .as("months_per_cust"))
+          .orderBy(col("nation"))
+      },
+      Some("""WITH f AS (
+             |  SELECT c.c_nationkey AS nation,
+             |    date_trunc('month', o.o_orderdate) AS month,
+             |    o.o_custkey // 60 AS w,
+             |    (CAST(1 AS BIGINT) << CAST(o.o_custkey % 60 AS INT)) AS m
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+             |wm AS (SELECT nation, month, w, BIT_OR(m) AS bm
+             |       FROM f GROUP BY 1, 2, 3),
+             |monthly AS (SELECT nation, month,
+             |    SUM(CAST(bit_count(bm) AS BIGINT)) AS d
+             |  FROM wm GROUP BY 1, 2),
+             |mr AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_months,
+             |    CAST(SUM(d) AS BIGINT) AS member_months
+             |  FROM monthly GROUP BY 1),
+             |nw AS (SELECT nation, w, BIT_OR(bm) AS bm FROM wm GROUP BY 1, 2),
+             |nd AS (SELECT nation,
+             |    CAST(SUM(CAST(bit_count(bm) AS BIGINT)) AS BIGINT) AS n_distinct
+             |  FROM nw GROUP BY 1)
+             |SELECT nation, n_months, member_months, n_distinct,
+             |  ROUND(member_months / CAST(n_distinct AS DOUBLE), 6)
+             |    AS months_per_cust
+             |FROM mr JOIN nd USING (nation) ORDER BY nation""".stripMargin)),
   )
 }

@@ -169,7 +169,10 @@ class PlanAudit extends SparkSpec {
     // collect fold + orderBy
     "eval_cohens_kappa" -> 17,   // labeled lineage (classifier + rule-gate
     // passes print per cache state, the eval_pr_curve 17) + one-row cells agg
-    "eval_brier" -> 18)          // labeled lineage + per-label agg + orderBy
+    "eval_brier" -> 18,          // labeled lineage + per-label agg + orderBy
+    "q_bitmap_distinct" -> 14)   // orders⋈customer + (nation,month,word)
+    // bitmap agg (lineage prints per consumer) + month/nation rollups +
+    // 25-row result join + orderBy
 
   // Queries whose only nested-loop joins are the recall/bound gates'
   // crossJoins against one-row aggregates (a broadcast of a scalar —
