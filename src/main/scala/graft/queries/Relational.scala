@@ -2631,6 +2631,100 @@ object Relational {
              |FROM hw w JOIN cnt c USING (event_type) WHERE w.i = c.len
              |ORDER BY event_type""".stripMargin)),
 
+    // MACD-style crossover monitoring: a FAST (α = 1/2) and a SLOW
+    // (α = 1/8) EWMA of the per-type hourly series, counting the
+    // sign crossings of their difference — the trading-signal shape
+    // reused by ops teams as a regime-change detector (fast average
+    // punching through the slow one = trend reversal). Same exact-
+    // integer discipline as q_exp_smoothing/q_holt_winters: micro-unit
+    // levels, truncating integer division (both operands nonnegative
+    // here, so Spark `div` and DuckDB `//` agree trivially), a
+    // named_struct accumulator, and a loud guard past the documented
+    // 10⁹ hourly bound. Crossings count only strict sign OPPOSITION
+    // against the last nonzero sign (zeros neither count nor reset),
+    // so the count is insensitive to flat-touch ties. The oracle is a
+    // recursive-CTE fold (the q_holt_winters lesson: DuckDB's
+    // list_reduce mutates struct accumulators field-by-field in
+    // place). Scale shape: one (type, hour) count shuffle, then
+    // per-type folds over bounded time-grid arrays.
+    QueryDef("q_macd_signal",
+      (spark, sf) => {
+        val hourly = Tables.load(spark, sf, "events")
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .groupBy(col("event_type"), col("h"))
+          .agg(count(lit(1)).as("n"))
+        hourly.groupBy(col("event_type"))
+          .agg(expr("transform(sort_array(collect_list(struct(h, n))), x -> x.n)")
+            .as("s"))
+          .select(col("event_type"), expr(
+            """aggregate(s,
+              |  named_struct('f', 0L, 's', 0L, 'p', 0L, 'n', 0L, 'c', 0L),
+              |  (acc, x) -> CASE
+              |    WHEN x > 1000000000L THEN named_struct(
+              |      'f', CAST(raise_error('q_macd_signal: hourly count > 1e9 — micro-unit state would overflow') AS BIGINT),
+              |      's', 0L, 'p', 0L, 'n', 0L, 'c', 0L)
+              |    WHEN acc.n = 0L THEN named_struct(
+              |      'f', x * 1000000L, 's', x * 1000000L,
+              |      'p', 0L, 'n', 1L, 'c', 0L)
+              |    ELSE named_struct(
+              |      'f', (x * 1000000L + acc.f) div 2L,
+              |      's', (x * 1000000L + 7L * acc.s) div 8L,
+              |      'p', IF((x * 1000000L + acc.f) div 2L
+              |              = (x * 1000000L + 7L * acc.s) div 8L, acc.p,
+              |           IF((x * 1000000L + acc.f) div 2L
+              |              > (x * 1000000L + 7L * acc.s) div 8L, 1L, -1L)),
+              |      'n', acc.n + 1L,
+              |      'c', acc.c + IF(acc.p *
+              |           IF((x * 1000000L + acc.f) div 2L
+              |              = (x * 1000000L + 7L * acc.s) div 8L, 0L,
+              |           IF((x * 1000000L + acc.f) div 2L
+              |              > (x * 1000000L + 7L * acc.s) div 8L, 1L, -1L))
+              |           = -1L, 1L, 0L))
+              |  END)""".stripMargin).as("p"))
+          .select(col("event_type"),
+            col("p.n").cast("int").as("n_hours"),
+            col("p.f").as("fast_micro"),
+            col("p.s").as("slow_micro"),
+            (col("p.f") - col("p.s")).as("macd_micro"),
+            col("p.c").as("n_crossings"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH RECURSIVE hourly AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |idx AS MATERIALIZED (
+             |  SELECT event_type,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS i,
+             |    CAST(n AS BIGINT) AS x
+             |  FROM hourly),
+             |cnt AS (SELECT event_type, COUNT(*) AS len FROM idx GROUP BY 1),
+             |mc AS (
+             |  SELECT event_type, CAST(1 AS BIGINT) AS i,
+             |    x * 1000000 AS f, x * 1000000 AS s,
+             |    CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS c
+             |  FROM idx WHERE i = 1
+             |  UNION ALL
+             |  SELECT w.event_type, w.i + 1,
+             |    (ix.x * 1000000 + w.f) // 2,
+             |    (ix.x * 1000000 + 7 * w.s) // 8,
+             |    CASE WHEN (ix.x * 1000000 + w.f) // 2
+             |              = (ix.x * 1000000 + 7 * w.s) // 8 THEN w.p
+             |         WHEN (ix.x * 1000000 + w.f) // 2
+             |              > (ix.x * 1000000 + 7 * w.s) // 8 THEN 1 ELSE -1 END,
+             |    w.c + CASE WHEN w.p * (CASE
+             |        WHEN (ix.x * 1000000 + w.f) // 2
+             |             = (ix.x * 1000000 + 7 * w.s) // 8 THEN 0
+             |        WHEN (ix.x * 1000000 + w.f) // 2
+             |             > (ix.x * 1000000 + 7 * w.s) // 8 THEN 1
+             |        ELSE -1 END) = -1 THEN 1 ELSE 0 END
+             |  FROM mc w JOIN idx ix ON ix.event_type = w.event_type
+             |                       AND ix.i = w.i + 1)
+             |SELECT w.event_type, CAST(c2.len AS INT) AS n_hours,
+             |  w.f AS fast_micro, w.s AS slow_micro,
+             |  w.f - w.s AS macd_micro, w.c AS n_crossings
+             |FROM mc w JOIN cnt c2 USING (event_type) WHERE w.i = c2.len
+             |ORDER BY event_type""".stripMargin)),
+
     // Widest (maximum-bottleneck) paths over the same multi-path part
     // DAG as q_cheapest_path, on the (max, min) semiring: width(node) =
     // the largest per-edge capacity floor any route to the sink can

@@ -27,6 +27,7 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "eval_auc",           // rankGlobal midrank sums from partition seeds
     "eval_rank_correlation", // two independent rankGlobal passes joined
     "q_holt_winters",     // sort_array(collect_list) must fix the fold order
+    "q_macd_signal",      // same sorted-fold contract, crossover counter
     "dedup_cdc_chunks",   // scan-stage chunk fold + fingerprint aggregation
     "sim_binary_hamming", // bounded-heap top-k under integer-distance ties
     "eval_bleu")          // clipped n-gram multiset sums across widths
