@@ -291,6 +291,63 @@ object Graphs {
     acc
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly delete every
+    * node whose degree in the SURVIVING subgraph is below k, until a
+    * whole round deletes nothing — the standard bulk-synchronous
+    * formulation, and the third driver-side fixpoint shape next to the
+    * semi-naive relaxations (those shuffle a shrinking FRONTIER; peeling
+    * re-aggregates the shrinking SURVIVOR edge set, because a removal
+    * changes its neighbors' degrees, and converges in O(peel-depth)
+    * rounds — a structural property of the graph, not its size).
+    * Per round: one degree aggregation (map-side combined) + two
+    * semi-joins of the edge list against the survivor set; lineage is
+    * truncated per round and checkpoints GC'd two-phase like every
+    * other fixpoint here. Everything is exact integer counting — any
+    * engine peels to the identical core.
+    *
+    * `edges` columns: (a, b) — canonical undirected (one row per edge,
+    * a < b, no self-loops; the caller canonicalizes). Output:
+    * (node, degree) for every k-core member, degree measured INSIDE
+    * the core.
+    */
+  def kCore(
+      edges: DataFrame, k: Int, maxIters: Int = 30,
+      strict: Boolean = true): DataFrame = {
+    val spark = edges.sparkSession
+    val gc = new CheckpointGC
+    var e = gc.track(truncate(edges.select(col("a"), col("b")).distinct()))
+    var edgeCount = e.count()
+    var removed = if (edgeCount > 0) 1L else 0L
+    var rounds = 0
+    while (removed > 0 && rounds < maxIters) {
+      val survivors = e.select(col("a").as("u"))
+        .unionByName(e.select(col("b").as("u")))
+        .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("u"))
+      val next = gc.track(truncate(
+        e.join(survivors.withColumnRenamed("u", "a"), Seq("a"), "left_semi")
+          .join(survivors.withColumnRenamed("u", "b"), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))))
+      val nextCount = next.count()
+      removed = edgeCount - nextCount
+      edgeCount = nextCount
+      e = next
+      rounds += 1
+      gc.sweep(spark)
+    }
+    gc.finish(spark, e)
+    if (removed > 0) {
+      val msg =
+        s"Graphs.kCore: still peeling after $maxIters rounds ($removed edges " +
+          "removed in the last round) — result is NOT the k-core yet. Raise " +
+          "maxIters (or pass strict = false for best-effort)."
+      if (strict) throw new IllegalStateException(msg)
+      else System.err.println(s"[graft] $msg")
+    }
+    e.select(col("a").as("node")).unionByName(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Fixed-iteration PageRank in INTEGER micro-units (rank 1.0 =
     * 1,000,000): every step is integer division and integer sums, so the
     * result is bit-identical on any engine and any aggregation order —

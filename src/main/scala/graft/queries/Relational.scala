@@ -2777,6 +2777,66 @@ object Relational {
            |FROM d24 WHERE node % 43 = 0 AND node >= 1 ORDER BY node""".stripMargin
       }),
 
+    // 3-core of the part-division graph — the community/spam-farm
+    // primitive (a k-core survives only where every member keeps ≥ k
+    // in-core neighbors, so cores mark mutually-dense regions no
+    // single high-degree hub can fake). The graph is the familiar
+    // division DAG made undirected (p—p÷2, p—p÷3, plus p—p÷5 for
+    // every third p so degrees are HETEROGENEOUS — with uniform
+    // degrees peeling would be all-or-nothing; here round 1 peels the
+    // thin fringe and round 2 peels the nodes round 1 exposed, so the
+    // cascade is continuously exercised; measured fixpoint: 3 rounds
+    // at every shipped SF, ~39% of nodes peeled). Third fixpoint shape
+    // through ops/Graphs (after frontier relaxation and fixed-round
+    // power iteration): survivor-set peeling with per-round checkpoint
+    // GC. The oracle unrolls 8 materialized peel rounds (fixpoint + 5
+    // margin; peel depth is structural — it did not grow across the
+    // 100× SF span).
+    QueryDef("q_k_core",
+      (spark, sf) => {
+        val core = fixpointCache.getOrElseUpdate(s"kcore:$sf", {
+          val p = load(spark, sf, "part").filter(col("p_partkey") >= 1)
+          val raw = p.select(col("p_partkey").cast("long").as("x"),
+              expr("CAST(p_partkey div 2 AS BIGINT)").as("y"))
+            .unionByName(p.select(col("p_partkey").cast("long").as("x"),
+              expr("CAST(p_partkey div 3 AS BIGINT)").as("y")))
+            .unionByName(p.filter(col("p_partkey") % 3 === 0)
+              .select(col("p_partkey").cast("long").as("x"),
+                expr("CAST(p_partkey div 5 AS BIGINT)").as("y")))
+          val und = raw.filter(col("x") =!= col("y"))
+            .select(least(col("x"), col("y")).as("a"),
+              greatest(col("x"), col("y")).as("b"))
+          graft.ops.Graphs.kCore(und, k = 3)
+        })
+        core.orderBy(col("node"))
+      },
+      Some {
+        def round(r: Int) =
+          s"""s$r AS MATERIALIZED (
+             |  SELECT u FROM (
+             |    SELECT u, COUNT(*) c FROM (
+             |      SELECT a AS u FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
+             |    GROUP BY u) WHERE c >= 3),
+             |e$r AS MATERIALIZED (
+             |  SELECT a, b FROM e${r - 1}
+             |  WHERE a IN (SELECT u FROM s$r) AND b IN (SELECT u FROM s$r))""".stripMargin
+        s"""WITH e0 AS MATERIALIZED (
+           |  SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM (
+           |    SELECT CAST(p_partkey AS BIGINT) a, CAST(p_partkey // 2 AS BIGINT) b
+           |    FROM part WHERE p_partkey >= 1
+           |    UNION ALL
+           |    SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey // 3 AS BIGINT)
+           |    FROM part WHERE p_partkey >= 1
+           |    UNION ALL
+           |    SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey // 5 AS BIGINT)
+           |    FROM part WHERE p_partkey >= 1 AND p_partkey % 3 = 0)
+           |  WHERE a <> b),
+           |${(1 to 8).map(round).mkString(",\n")}
+           |SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+           |FROM (SELECT a AS u FROM e8 UNION ALL SELECT b FROM e8)
+           |GROUP BY u ORDER BY node""".stripMargin
+      }),
+
     // Pearson chi-square test of independence (nation × order priority)
     // — the categorical-association primitive behind feature selection
     // and drift tests. Contingency cells, margins and N are exact

@@ -894,6 +894,27 @@ class OpsSpec extends SparkSpec {
     assert(partial == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L), partial.toString)
   }
 
+  test("k-core: cascading peel to the known core, any partitioning") {
+    // triangle {1,2,3} + a pendant chain 3—4—5: the 2-core is exactly
+    // the triangle, and reaching it REQUIRES a cascade (round 1 peels
+    // leaf 5, which only then exposes 4 as a leaf for round 2)
+    val edges = spark.createDataFrame(Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L)
+    )).toDF("a", "b")
+    for (parts <- Seq(1, 4)) {
+      val out = Graphs.kCore(edges.repartition(parts), k = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"parts=$parts: $out")
+    }
+    // k above the max degree peels everything
+    assert(Graphs.kCore(edges, k = 4).count() == 0)
+    // strict mode throws when maxIters stops the peel mid-cascade
+    val e = intercept[IllegalStateException] {
+      Graphs.kCore(edges, k = 2, maxIters = 1)
+    }
+    assert(e.getMessage.contains("still peeling"))
+  }
+
   test("animated GIF: multi-frame round-trip exact through the JDK codec") {
     val frames = Multimodal.decodeGifFrames(Multimodal.syntheticGif(7))
     assert(frames.size == 2 + 7 % 4)

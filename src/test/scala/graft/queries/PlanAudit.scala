@@ -170,6 +170,7 @@ class PlanAudit extends SparkSpec {
     "eval_cohens_kappa" -> 17,   // labeled lineage (classifier + rule-gate
     // passes print per cache state, the eval_pr_curve 17) + one-row cells agg
     "eval_brier" -> 18,          // labeled lineage + per-label agg + orderBy
+    "q_k_core" -> 4,             // checkpointed core edges + degree agg + orderBy
     "q_macd_signal" -> 5,        // (type, hour) count agg + per-type fold
     // (the q_holt_winters shape) + orderBy
     "q_bitmap_distinct" -> 14)   // orders⋈customer + (nation,month,word)
