@@ -2604,32 +2604,7 @@ object Relational {
             col("p.m").as("n_anomalies"))
           .orderBy(col("event_type"))
       },
-      Some("""WITH RECURSIVE hourly AS (
-             |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
-             |  FROM events GROUP BY 1, 2),
-             |idx AS MATERIALIZED (
-             |  SELECT event_type,
-             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS i,
-             |    CAST(n AS BIGINT) AS x
-             |  FROM hourly),
-             |cnt AS (SELECT event_type, COUNT(*) AS len FROM idx GROUP BY 1),
-             |hw AS (
-             |  SELECT event_type, CAST(1 AS BIGINT) AS i,
-             |    x * 1000000 AS l, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS m
-             |  FROM idx WHERE i = 1
-             |  UNION ALL
-             |  SELECT w.event_type, w.i + 1,
-             |    (ix.x * 1000000 + 3 * (w.l + w.b)) // 4,
-             |    ((ix.x * 1000000 + 3 * (w.l + w.b)) // 4 - w.l + 3 * w.b) // 4,
-             |    w.m + CASE WHEN abs(ix.x * 1000000 - (w.l + w.b)) * 2
-             |                    > abs(w.l + w.b) THEN 1 ELSE 0 END
-             |  FROM hw w JOIN idx ix ON ix.event_type = w.event_type
-             |                       AND ix.i = w.i + 1)
-             |SELECT w.event_type, CAST(c.len AS INT) AS n_hours,
-             |  w.l AS level_micro, w.b AS trend_micro,
-             |  CAST(w.m AS BIGINT) AS n_anomalies
-             |FROM hw w JOIN cnt c USING (event_type) WHERE w.i = c.len
-             |ORDER BY event_type""".stripMargin)),
+      Some(Shared.HoltOracle)),
 
     // MACD-style crossover monitoring: a FAST (α = 1/2) and a SLOW
     // (α = 1/8) EWMA of the per-type hourly series, counting the

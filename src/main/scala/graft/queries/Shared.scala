@@ -569,6 +569,45 @@ object Shared {
       |  FROM fused)
       |WHERE fr <= 10 ORDER BY probe_id, fused_rank""".stripMargin
 
+  /** One oracle for both Holt twins (`q_holt_winters` batch fold,
+    * `stream_holt` incremental StatefulProcessor): level + trend double
+    * exponential smoothing, α = β = 1/4, integer micro-units with
+    * truncate-toward-zero division (Spark `div`, DuckDB `//` and Java
+    * `/` all agree — verified). The fold is a RECURSIVE CTE over the
+    * row-numbered per-type series, NOT list_reduce: DuckDB's
+    * list_reduce mutates a struct accumulator's fields in place
+    * left-to-right, so the 'b' expression would read the
+    * already-updated 'l'. The twins must stay result-identical, so
+    * the recurrence lives here once.
+    */
+  val HoltOracle: String =
+    """WITH RECURSIVE hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |idx AS MATERIALIZED (
+      |  SELECT event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS i,
+      |    CAST(n AS BIGINT) AS x
+      |  FROM hourly),
+      |cnt AS (SELECT event_type, COUNT(*) AS len FROM idx GROUP BY 1),
+      |hw AS (
+      |  SELECT event_type, CAST(1 AS BIGINT) AS i,
+      |    x * 1000000 AS l, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS m
+      |  FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT w.event_type, w.i + 1,
+      |    (ix.x * 1000000 + 3 * (w.l + w.b)) // 4,
+      |    ((ix.x * 1000000 + 3 * (w.l + w.b)) // 4 - w.l + 3 * w.b) // 4,
+      |    w.m + CASE WHEN abs(ix.x * 1000000 - (w.l + w.b)) * 2
+      |                    > abs(w.l + w.b) THEN 1 ELSE 0 END
+      |  FROM hw w JOIN idx ix ON ix.event_type = w.event_type
+      |                       AND ix.i = w.i + 1)
+      |SELECT w.event_type, CAST(c.len AS INT) AS n_hours,
+      |  w.l AS level_micro, w.b AS trend_micro,
+      |  CAST(w.m AS BIGINT) AS n_anomalies
+      |FROM hw w JOIN cnt c USING (event_type) WHERE w.i = c.len
+      |ORDER BY event_type""".stripMargin
+
   /** One oracle for both EWMA twins (`q_exp_smoothing` batch fold,
     * `stream_exp_smoothing` incremental StatefulProcessor): the α = 1/4
     * integer micro-unit recurrence over per-type hourly counts, state

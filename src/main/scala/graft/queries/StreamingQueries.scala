@@ -2055,6 +2055,82 @@ object StreamingQueries {
       },
       Some(Shared.ExpSmoothingOracle)),
 
+    // Streaming twin of q_holt_winters: level + TREND update
+    // incrementally across micro-batches through the HoltProcessor —
+    // the drift-tracking sibling of stream_exp_smoothing, same staged
+    // time-chunk corpus (shared cache), same sentinel drain pattern
+    // (transformWithState neither plans under AvailableNow nor
+    // quiesces under awaitTermination — short-period trigger +
+    // poll-until-every-type-landed). Bit-identical to the batch fold
+    // (same integer recurrence, Java `/` = Spark `div` = DuckDB `//`
+    // truncation), so the twins share one recursive-CTE oracle.
+    QueryDef("stream_holt",
+      (spark, sf) => {
+        val dir = ewmaChunkCache.getOrElseUpdate(sf, {
+          val chunks = stagedTimeChunks(spark, sf, 8)
+          val d = java.nio.file.Files.createTempDirectory("graft_ewma_chunks")
+          new java.io.File(chunks).listFiles()
+            .filter(_.getName.endsWith(".parquet")).foreach { f =>
+              val dst = d.resolve(f.getName)
+              java.nio.file.Files.copy(f.toPath, dst)
+              dst.toFile.setLastModified(f.lastModified)
+            }
+          val df = Tables.normalizeTs(spark.read.parquet(path(sf, "events")))
+          val hi = df.agg(max(unix_micros(col("ts")))).head().getLong(0)
+          val sent = df.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+            .select(lit(-1L).as("event_id"),
+              expr(s"timestamp_micros(${hi + 7200000000L})").as("ts"),
+              lit(-1L).as("user_id"), col("event_type"),
+              lit(0.0).as("value"), lit("{}").as("props"))
+          val tmp = java.nio.file.Files.createTempDirectory("graft_ewma_sent")
+          sent.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = new java.io.File(tmp.toString).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          val dst = d.resolve("chunk_zzz_sentinel.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          dst.toFile.setLastModified(
+            new java.io.File(chunks).listFiles().map(_.lastModified).max + 10000L)
+          d.toString
+        })
+        val df = Tables.normalizeTs(spark.read.parquet(path(sf, "events")))
+        val hi = df.agg(max(unix_micros(col("ts")))).head().getLong(0)
+        val sentinelHourFrom = hi / 3600000000L + 1L
+        val schema = spark.read.parquet(path(sf, "events")).schema
+        val stream = Tables.normalizeTs(spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir))
+        val prevProvider = spark.conf
+          .getOption("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val levels = graft.streaming.StreamingIngest
+            .holtLevels(stream, "ts", "event_type", sentinelHourFrom)
+          val table = s"stream_holt_${counter.incrementAndGet()}"
+          val nTypes = df.select(col("event_type")).distinct().count()
+          withStatePartitions(spark, 4) {
+            val q = levels.toDF().writeStream.format("memory").queryName(table)
+              .outputMode("append").trigger(Trigger.ProcessingTime(100L)).start()
+            try {
+              val deadline = System.currentTimeMillis + 120000
+              while (spark.table(table).count() < nTypes &&
+                System.currentTimeMillis < deadline) Thread.sleep(150)
+            } finally q.stop()
+          }
+          spark.table(table)
+            .select(col("eventType").as("event_type"),
+              col("nHours").cast("int").as("n_hours"),
+              col("levelMicro").as("level_micro"),
+              col("trendMicro").as("trend_micro"),
+              col("nAnomalies").as("n_anomalies"))
+            .orderBy(col("event_type"))
+        } finally prevProvider match {
+          case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      },
+      Some(Shared.HoltOracle)),
+
     // Concurrent streaming execution — a production engine runs MANY
     // streams per session; the bench otherwise times every gate
     // serially. Four existing streaming gates (complete-mode DP counts,

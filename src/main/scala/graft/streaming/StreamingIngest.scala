@@ -457,6 +457,96 @@ object StreamingIngest {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  /** Final Holt readout for one event type (mirrors q_holt_winters's
+    * output row). */
+  final case class HoltOut(eventType: String, nHours: Long,
+      levelMicro: Long, trendMicro: Long, nAnomalies: Long)
+
+  /** Per-type Holt state: the hour currently accumulating plus the
+    * UNPACKED (level, trend, hours, anomalies) accumulator — trend is
+    * signed, so no bit-packing (the q_holt_winters layout). n = 0 marks
+    * "no hour folded yet". Public for the state encoder. */
+  final case class HoltState(pendingHour: Long, pendingN: Long,
+      l: Long, b: Long, n: Long, m: Long)
+
+  /** Incremental Holt double exponential smoothing (α = β = 1/4,
+    * integer micro-units — the q_holt_winters recurrence verbatim;
+    * Java's `/` truncates toward zero exactly like Spark `div` and
+    * DuckDB `//`) as a keyed `StatefulProcessor`: the level+trend model
+    * updates ACROSS micro-batches from O(1) state per key. Sentinel
+    * handling, ordering contract and the emit-once/clear discipline are
+    * [[EwmaProcessor]]'s exactly; the trend field is what lets the
+    * one-step forecast level+trend track a drifting series without
+    * reading sustained growth as a permanent anomaly.
+    */
+  final class HoltProcessor(sentinelHourFrom: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Long), HoltOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var state: ValueState[HoltState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[HoltState]("holt",
+        E.product[HoltState], TTLConfig.NONE)
+
+    private def fold(s: HoltState, x: Long): HoltState = {
+      require(x <= 1000000000L,
+        s"Holt state: hourly count $x > 1e9 — micro-unit state would overflow")
+      if (s.n == 0L) s.copy(l = x * 1000000L, b = 0L, n = 1L, m = 0L)
+      else {
+        val l2 = (x * 1000000L + 3L * (s.l + s.b)) / 4L
+        val b2 = (l2 - s.l + 3L * s.b) / 4L
+        val anom =
+          if (math.abs(x * 1000000L - (s.l + s.b)) * 2L > math.abs(s.l + s.b)) 1L
+          else 0L
+        s.copy(l = l2, b = b2, n = s.n + 1L, m = s.m + anom)
+      }
+    }
+
+    override def handleInputRows(
+        key: String, rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[HoltOut] = {
+      var s = if (state.exists()) state.get()
+        else HoltState(-1L, 0L, 0L, 0L, 0L, 0L)
+      var out = List.empty[HoltOut]
+      rows.toSeq.map(_._2).sorted.foreach { tsMicros =>
+        val h = tsMicros / 3600000000L
+        if (h >= sentinelHourFrom) {
+          if (s.pendingHour >= 0) {
+            s = fold(s, s.pendingN).copy(pendingHour = -1L, pendingN = 0L)
+          }
+          if (s.n > 0 && out.isEmpty)
+            out ::= HoltOut(key, s.n, s.l, s.b, s.m)
+        } else if (h == s.pendingHour) {
+          s = s.copy(pendingN = s.pendingN + 1L)
+        } else {
+          val folded = if (s.pendingHour >= 0) fold(s, s.pendingN) else s
+          s = folded.copy(pendingHour = h, pendingN = 1L)
+        }
+      }
+      if (out.nonEmpty) state.clear() else state.update(s)
+      out.iterator
+    }
+  }
+
+  /** Streaming Holt level+trend tracking via the [[HoltProcessor]].
+    * Requires the RocksDB state store, which `transformWithState`
+    * mandates.
+    */
+  def holtLevels(
+      events: DataFrame, tsCol: String, typeCol: String,
+      sentinelHourFrom: Long): Dataset[HoltOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(typeCol), unix_micros(col(tsCol)))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new HoltProcessor(sentinelHourFrom),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Continuous keyed ingestion: every micro-batch flows through the
     * batch executor's upsert merge (mapping table + orphan-free
     * incremental mode). Returns the started query; caller owns lifecycle.
