@@ -857,6 +857,57 @@ object EvalQueries {
            |FROM agg, lens""".stripMargin
       }),
 
+    // Decile lift chart (gains-table input): documents ranked by
+    // classifier score DESCENDING under a doc_id-tie-broken total
+    // order through the distributed exact rank (range shuffle — no
+    // single-partition window), cut into ten exact-population deciles
+    // by integer arithmetic on the rank ((r−1)·10 div n — no quantile
+    // approximation), each reporting its population, positives, and
+    // lift over the base rate — the "is the top decile actually
+    // enriched" readout that decides whether score-ordered curation
+    // spends budget better than random. The base-rate attach is the
+    // canonical one-row scalar-gate broadcast; lift's numerator and
+    // denominator are exact BIGINT products (pos·tot_n < 2⁶³ to ~3·10⁹
+    // rows per cell — document past that) with ONE final division.
+    // Scale shape: one range-shuffle rank pass, one 10-row aggregation.
+    QueryDef("eval_lift_deciles",
+      (spark, sf) => {
+        val (ranked, n) = graft.ops.Rank.rankGlobalWithCount(
+          labeled(spark, sf)
+            .select(col("doc_id"), col("score"), col("label"))
+            .withColumn("negs", -col("score")),
+          Seq(col("negs"), col("doc_id")), "r")
+        val dec = ranked
+          .select(expr(s"CAST((r - 1) * 10 div ${n}L AS INT)").as("decile"),
+            col("label"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("cnt"), sum(col("label")).as("pos"))
+        val tot = dec.agg(sum(col("cnt")).as("tot_n"),
+          sum(col("pos")).as("tot_pos"))
+        dec.crossJoin(broadcast(tot))
+          .select(col("decile"), col("cnt"), col("pos"),
+            round(col("pos") / col("cnt").cast("double"), 6).as("pos_rate"),
+            round((col("pos") * col("tot_n")).cast("double") /
+              (col("cnt") * col("tot_pos")).cast("double"), 6).as("lift"))
+          .orderBy(col("decile"))
+      },
+      Some(s"""$LabeledSql,
+             |r AS (SELECT doc_id, score, label,
+             |  ROW_NUMBER() OVER (ORDER BY -score, doc_id) AS r FROM labeled),
+             |t AS (SELECT COUNT(*) AS n FROM labeled),
+             |d AS (SELECT CAST((r - 1) * 10 // (SELECT n FROM t) AS INT)
+             |        AS decile, label
+             |      FROM r),
+             |g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |        CAST(SUM(label) AS BIGINT) AS pos
+             |      FROM d GROUP BY 1),
+             |tot AS (SELECT SUM(cnt) AS tot_n, SUM(pos) AS tot_pos FROM g)
+             |SELECT decile, cnt, pos,
+             |  ROUND(pos / CAST(cnt AS DOUBLE), 6) AS pos_rate,
+             |  ROUND(CAST(pos * tot_n AS DOUBLE)
+             |    / CAST(cnt * tot_pos AS DOUBLE), 6) AS lift
+             |FROM g, tot ORDER BY decile""".stripMargin)),
+
     // Cohen's kappa between the deployed operating point (classifier
     // score ≥ 25, the mid-grid threshold eval_best_f1 sweeps) and the
     // rule gate, as two raters — chance-corrected agreement, the

@@ -26,6 +26,7 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "dedup_clusters_distributed", // hash-min label propagation rounds
     "eval_auc",           // rankGlobal midrank sums from partition seeds
     "eval_rank_correlation", // two independent rankGlobal passes joined
+    "eval_lift_deciles",  // rank-derived decile cuts from partition seeds
     "q_holt_winters",     // sort_array(collect_list) must fix the fold order
     "q_macd_signal",      // same sorted-fold contract, crossover counter
     "dedup_cdc_chunks",   // scan-stage chunk fold + fingerprint aggregation

@@ -167,6 +167,8 @@ class PlanAudit extends SparkSpec {
     "text_phrase_search" -> 6,   // positional-trigram scan + broadcast phrase join
     "q_holt_winters" -> 5,       // (type, hour) count agg + per-type fold
     // collect fold + orderBy
+    "eval_lift_deciles" -> 8,    // rank LogicalRDD (range machinery behind
+    // it) + decile agg + one-row totals attach + orderBy
     "eval_cohens_kappa" -> 17,   // labeled lineage (classifier + rule-gate
     // passes print per cache state, the eval_pr_curve 17) + one-row cells agg
     "eval_brier" -> 18,          // labeled lineage + per-label agg + orderBy
@@ -214,7 +216,9 @@ class PlanAudit extends SparkSpec {
     // the global value-histogram broadcast + the one-row N attach
     "privacy_t_closeness" -> 2,
     // bm25TopK's one-row (n_docs, avgdl) stats attach
-    "eval_mrr" -> 1)
+    "eval_mrr" -> 1,
+    // the one-row (tot_n, tot_pos) base-rate attach
+    "eval_lift_deciles" -> 1)
 
   test("q_skew_aqe_join: AQE splits the hot partition (structural isSkewJoin)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
