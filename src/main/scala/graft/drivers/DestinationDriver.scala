@@ -456,6 +456,73 @@ final class ParquetDestinationDriver(
       target <- currentSchema(spark, spec)
     } yield SchemaEvolution.conform(df, target)
 
+  /** Partition-SPEC evolution (the Iceberg headline feature, on the
+    * generation sink's terms): write the next generation hive-
+    * partitioned by `layout` — and because generations are immutable
+    * snapshots, evolving the spec between generations rewrites NO old
+    * bytes: gen N keeps its directories, gen N+1 gets the new ones, and
+    * every read prunes by the layout its own generation was written
+    * with (partition filters reach the directory listing, the thing
+    * that makes a 100 TB scan skip to one region's files). Layout
+    * columns must be STRING-typed: hive partition values live in
+    * directory names, and round-tripping any other type through name
+    * inference silently retypes the column (BIGINT out, INT back) —
+    * requiring strings makes the read schema a fixed point. The same
+    * evolution contract as [[write]] runs BEFORE any directory lands.
+    */
+  def writePartitioned(
+      df: DataFrame, spec: MigrationSpec, layout: Seq[String]): Unit = {
+    require(buckets.isEmpty && writePartitions.isEmpty,
+      "partition-spec layouts compose with neither bucketed generations nor a fixed file count")
+    require(layout.nonEmpty, "writePartitioned needs at least one layout column")
+    layout.foreach { c =>
+      require(df.schema(c).dataType == org.apache.spark.sql.types.StringType,
+        s"layout column $c must be STRING — hive partition values are directory " +
+          "names, and non-string types do not survive name inference")
+    }
+    val spark = df.sparkSession
+    val base = UriSchemes.path(spec.destination)
+    currentGen(spark, base).foreach { g =>
+      SchemaEvolution.validateEvolution(
+        spark.read.parquet(s"$base/$g").schema, df.schema,
+        s"destination ${spec.name} ($base, published $g, partitioned)")
+    }
+    val next = s"gen${generations(spark, spec).lastOption.getOrElse(-1L) + 1}"
+    df.write.mode(SaveMode.Overwrite).partitionBy(layout: _*)
+      .parquet(s"$base/$next")
+    setCurrent(spark, base, next)
+    keepGenerations.foreach { k =>
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.mapper.GenerationVacuum.vacuum(fs, basePath, k)
+    }
+  }
+
+  /** The hive layout (partition columns, outermost first) generation
+    * `gen` was written with — recovered from the directory structure
+    * (one `k=v` path walk, no data scan; empty for an unpartitioned
+    * generation). What lets a reader/compactor reason about EACH
+    * generation's spec after the spec has evolved.
+    */
+  def layoutOf(spark: SparkSession, spec: MigrationSpec, gen: Long): Seq[String] = {
+    val base = UriSchemes.path(spec.destination)
+    var dir = new org.apache.hadoop.fs.Path(base, s"gen$gen")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var descending = true
+    while (descending) {
+      fs.listStatus(dir).find(s =>
+          s.isDirectory && s.getPath.getName.contains("=")) match {
+        case Some(child) =>
+          out += child.getPath.getName.takeWhile(_ != '=')
+          dir = child.getPath
+        case None => descending = false
+      }
+    }
+    out.toSeq
+  }
+
   def write(df: DataFrame, spec: MigrationSpec): Unit = {
     val spark = df.sparkSession
     val base = UriSchemes.path(spec.destination)

@@ -822,6 +822,84 @@ object Etl {
              |FROM g0 FULL OUTER JOIN g1 ON g0.id = g1.id
              |ORDER BY id""".stripMargin)),
 
+    // Partition-SPEC evolution across generations (the Iceberg headline
+    // feature on the generation sink): gen0 is hive-partitioned by
+    // region alone; gen1 EVOLVES the spec to (region, quarter) — and
+    // because generations are immutable snapshots, the evolution
+    // rewrites zero old bytes: each generation keeps (and is read/pruned
+    // by) its own layout, recovered structurally via layoutOf (a k=v
+    // directory walk, no data scan — asserted for both gens in the
+    // emission gate). The output diffs one region's per-quarter rollup
+    // across the boundary: the current snapshot (two-level pruning —
+    // the region filter reaches the directory listing) against the
+    // time-traveled gen0 (one-level pruning, quarter still a data
+    // column). DriversSpec pins the pruned-scan shape structurally.
+    QueryDef("etl_partition_evolution",
+      (spark, sf) => {
+        import Shared.cents
+        val base = scratch("graft_partevo") + "/dest"
+        val sp = MigrationSpec("part_evo", source = "", sourceDriver = "inline",
+          destination = base, destinationDriver = "parquet",
+          sourceIds = Seq(IdField("id", LongId)),
+          destinationIds = Seq(IdField("id", LongId)))
+        val d = new ParquetDestinationDriver
+        val f = load(spark, sf, "orders")
+          .join(load(spark, sf, "customer")
+            .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+            Seq("o_custkey"))
+          .join(load(spark, sf, "nation")
+            .select(col("n_nationkey").as("c_nationkey"), col("n_regionkey")),
+            Seq("c_nationkey"))
+          .join(load(spark, sf, "region")
+            .select(col("r_regionkey").as("n_regionkey"),
+              col("r_name").as("region")), Seq("n_regionkey"))
+          .select(col("o_orderkey").cast("long").as("id"),
+            cents(col("o_totalprice")).as("cents"), col("region"),
+            concat(year(col("o_orderdate")).cast("string"), lit("Q"),
+              quarter(col("o_orderdate")).cast("string")).as("quarter"),
+            col("o_orderdate").as("od"))
+        d.writePartitioned(f.filter(col("od") < lit("1996-01-01")).drop("od"),
+          sp, Seq("region"))
+        d.writePartitioned(f.drop("od"), sp, Seq("region", "quarter"))
+        val ok = d.layoutOf(spark, sp, 0L) == Seq("region") &&
+          d.layoutOf(spark, sp, 1L) == Seq("region", "quarter") &&
+          d.generations(spark, sp) == Seq(0L, 1L)
+        val old = d.snapshotAt(spark, sp, 0L).get
+          .filter(col("region") === "ASIA")
+          .groupBy(col("quarter"))
+          .agg(count(lit(1)).as("n_old"), sum(col("cents")).as("cents_old"))
+        val cur = d.snapshot(spark, sp).get
+          .filter(col("region") === "ASIA")
+          .groupBy(col("quarter"))
+          .agg(count(lit(1)).as("n_cur"), sum(col("cents")).as("cents_cur"))
+        old.join(cur, Seq("quarter"), "full_outer")
+          .filter(lit(ok))
+          .select(col("quarter"), col("n_old"), col("cents_old"),
+            col("n_cur"), col("cents_cur"))
+          .orderBy(col("quarter"))
+      },
+      Some("""WITH f AS (
+             |  SELECT o_orderkey AS id,
+             |    CAST(ROUND(o_totalprice * 100) AS BIGINT) cents,
+             |    r_name AS region,
+             |    CAST(year(o_orderdate) AS VARCHAR) || 'Q' ||
+             |      CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+             |    o_orderdate AS od
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |    JOIN nation ON c_nationkey = n_nationkey
+             |    JOIN region ON n_regionkey = r_regionkey),
+             |og AS (SELECT quarter, CAST(COUNT(*) AS BIGINT) n_old,
+             |    CAST(SUM(cents) AS BIGINT) cents_old
+             |  FROM f WHERE od < DATE '1996-01-01' AND region = 'ASIA'
+             |  GROUP BY 1),
+             |cg AS (SELECT quarter, CAST(COUNT(*) AS BIGINT) n_cur,
+             |    CAST(SUM(cents) AS BIGINT) cents_cur
+             |  FROM f WHERE region = 'ASIA' GROUP BY 1)
+             |SELECT COALESCE(og.quarter, cg.quarter) AS quarter,
+             |  n_old, cents_old, n_cur, cents_cur
+             |FROM og FULL OUTER JOIN cg ON og.quarter = cg.quarter
+             |ORDER BY quarter""".stripMargin)),
+
     // Merge-on-read (engine-native lakehouse extension): two upsert
     // DELTAS appended against the base generation at O(|delta|) write
     // cost each, reconciled at read by a latest-wins window per key,

@@ -508,6 +508,44 @@ class DriversSpec extends SparkSpec {
     assert(conf.unionByName(d.snapshot(spark, sp).get).count() == 4)
   }
 
+  test("partition-spec evolution: per-generation layouts, pruned scans, guards") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = scratchDir("part-evo") + "/dest"
+    val sp = mkSpec(dir, dir)
+    val d = new ParquetDestinationDriver
+    val rows = Seq((1L, "east", "a", 10L), (2L, "west", "a", 20L),
+      (3L, "east", "b", 30L), (4L, "west", "b", 40L))
+      .toDF("id", "reg", "grp", "v")
+    d.writePartitioned(rows, sp, Seq("reg"))
+    d.writePartitioned(rows, sp, Seq("reg", "grp"))
+    assert(d.layoutOf(spark, sp, 0L) == Seq("reg"))
+    assert(d.layoutOf(spark, sp, 1L) == Seq("reg", "grp"))
+    // a plain (unpartitioned) generation reports an empty layout
+    // evolution guard still applies through the partitioned path:
+    // non-string layout columns are rejected before any write
+    intercept[IllegalArgumentException](
+      d.writePartitioned(rows, sp, Seq("v")))
+    assert(d.generations(spark, sp) == Seq(0L, 1L),
+      "a rejected partitioned write must not burn a generation number")
+    // pruned scan: the partition filter reaches the directory listing —
+    // the scan's partitionFilters are populated, and only one
+    // partition's files are read
+    val cur = d.snapshot(spark, sp).get.filter(col("reg") === "east")
+    val scans = cur.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      s"partition filter did not reach the scan:\n${cur.queryExecution.executedPlan}")
+    assert(cur.collect().map(_.getAs[Long]("id")).sorted.toSeq == Seq(1L, 3L))
+    // each generation reads by ITS OWN layout: gen0 still serves grp as
+    // a data column (one-level layout), with identical content
+    val old = d.snapshotAt(spark, sp, 0L).get
+    assert(old.filter(col("grp") === "b").count() == 2)
+    // string-typed layout columns round-trip the read schema exactly
+    assert(old.schema("reg").dataType == org.apache.spark.sql.types.StringType)
+  }
+
   test("erasure: NULL-predicate rows are retained, not silently dropped") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
