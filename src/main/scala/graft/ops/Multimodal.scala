@@ -423,6 +423,121 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** The deterministic "melody" of track `id` at absolute frame `f`:
+    * a nonlinear (quadratic-in-f with an id-dependent linear term)
+    * note sequence in [0, 8000) — nonlinearity matters, because a
+    * LINEAR note formula makes every track a time-shift alias of every
+    * other and constellation matching degenerates. Closed form, so the
+    * oracle replays the whole fingerprint pipeline by modular
+    * arithmetic while Spark decodes real RIFF/WAV bytes.
+    */
+  def melodyNote(id: Long, f: Int): Int =
+    ((id * 7 + f.toLong * f * 13 + (id % 31) * f) % 8000).toInt
+
+  /** Synthetic melody WAV: mono 16-bit PCM at 8 kHz, `nFrames` frames
+    * of 160 samples (20 ms), frame j carrying the constant amplitude
+    * [[melodyNote]](id, from + j) — ABSOLUTE frame indexing, so a clip
+    * (`from` > 0) is byte-for-byte an excerpt of its track's waveform.
+    * Constant-amplitude frames make the decoded per-frame mean
+    * |amplitude| recover the note EXACTLY through the real codec.
+    */
+  def syntheticMelodyWav(id: Long, from: Int, nFrames: Int): Array[Byte] = {
+    val perFrame = 160
+    val pcm = new Array[Byte](nFrames * perFrame * 2)
+    var j = 0
+    while (j < nFrames) {
+      val amp = melodyNote(id, from + j).toShort
+      var i = 0
+      while (i < perFrame) {
+        val off = (j * perFrame + i) * 2
+        pcm(off) = (amp & 0xff).toByte
+        pcm(off + 1) = ((amp >> 8) & 0xff).toByte
+        i += 1
+      }
+      j += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, nFrames.toLong * perFrame)
+    val baos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Full melody tracks keyed by `idCol`: 20 + id%5 frames from 0. */
+  def syntheticMelodies(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    ensureParallelism(df)
+      .select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, syntheticMelodyWav(id, 0, 20 + (id % 5).toInt))))
+      .toDF(idCol, "payload")
+      .withColumn("meta", metaFor("audio"))
+  }
+
+  /** 8-frame query clips keyed by `idCol`: an excerpt of the SAME id's
+    * track starting at frame id%8 (within every track length — tracks
+    * have ≥ 20 frames). The retrieval question "which track, at what
+    * offset" has the known answer (id, id%8).
+    */
+  def syntheticMelodyClips(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    ensureParallelism(df)
+      .select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, syntheticMelodyWav(id, (id % 8).toInt, 8))))
+      .toDF(idCol, "payload")
+      .withColumn("meta", metaFor("audio"))
+  }
+
+  /** Constellation landmark extraction (the Shazam shape, on this
+    * engine's deterministic terms): decode the WAV, recover each 20 ms
+    * frame's note as its mean |amplitude| (exact for constant-amplitude
+    * frames), and emit one landmark per anchor/target pair within
+    * `maxDt` frames — hash = note₁·24000 + note₂·3 + (Δt−1), anchored
+    * at the pair's first frame time. Runs per-partition over the opaque
+    * payload column like every decode op here: no driver traffic, no
+    * UDF; output is the (id, t, h) landmark table both the index side
+    * and the query side of matching consume. O(frames · maxDt)
+    * landmarks per clip — the index grows linearly with audio hours.
+    */
+  def audioLandmarks(df: DataFrame, idCol: String,
+      frameSamples: Int = 160, maxDt: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    ensureParallelism(df)
+      .select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(payload))
+        val bytes = try in.readAllBytes() finally in.close()
+        val nFrames = bytes.length / 2 / frameSamples
+        val notes = new Array[Long](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var sum = 0L
+          var i = 0
+          while (i < frameSamples) {
+            val off = (f * frameSamples + i) * 2
+            val s = ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+            sum += math.abs(s.toInt)
+            i += 1
+          }
+          notes(f) = sum / frameSamples
+          f += 1
+        }
+        for {
+          a <- 0 until nFrames
+          dt <- 1 to maxDt
+          if a + dt < nFrames
+        } yield (id, a, notes(a) * 24000L + notes(a + dt) * 3L + (dt - 1))
+      })
+      .toDF(idCol, "t", "h")
+  }
+
   /** Synthetic speech-cadence corpus keyed by `idCol` — [[syntheticAudio]]
     * with the VAD-exercising waveform above.
     */

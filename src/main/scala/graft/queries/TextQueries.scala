@@ -1489,6 +1489,73 @@ object TextQueries {
              |  CAST((1000 * (nf - silent)) // nf AS BIGINT) AS voiced_permille
              |FROM s ORDER BY doc_id""".stripMargin)),
 
+    // Audio fingerprint matching (the Shazam constellation shape):
+    // every document is a melody "track" (real WAV bytes through the
+    // JDK codec, notes in closed form), a 2% probe set of 8-frame
+    // CLIPS excerpts its track at a per-clip offset, and matching is
+    // landmark hashing — (note₁, note₂, Δt) pairs — joined clip→index
+    // with OFFSET-CONSISTENT voting: the winning (track, t_track −
+    // t_clip) cell is the identification. The vote argmax runs through
+    // the bounded-heap grouped-top-k. Scale shape: the landmark index
+    // is one decode scan (linear in audio hours); the clip side is
+    // probe-sized and travels by broadcast into the hash join; votes
+    // aggregate on (clip, track, offset) — never an all-pairs audio
+    // comparison. The oracle replays decode, landmarks, voting and the
+    // argmax entirely from the closed-form note formula.
+    QueryDef("mm_audio_fingerprint",
+      (spark, sf) => {
+        val docs = load(spark, sf, "documents").select(col("doc_id"))
+        val index = Multimodal.audioLandmarks(
+            Multimodal.syntheticMelodies(docs, "doc_id"), "doc_id")
+          .select(col("doc_id").as("track_id"), col("t").as("tt"), col("h"))
+        val clipLand = Multimodal.audioLandmarks(
+            Multimodal.syntheticMelodyClips(
+              docs.filter(col("doc_id") % 50 === 3), "doc_id"), "doc_id")
+          .select(col("doc_id").as("clip_id"), col("t").as("ct"), col("h"))
+        val votes = index.join(broadcast(clipLand), Seq("h"))
+          .groupBy(col("clip_id"), col("track_id"),
+            (col("tt") - col("ct")).as("t_offset"))
+          .agg(count(lit(1)).as("votes"))
+        graft.plans.GroupedTopK(votes, Seq("clip_id"),
+            Seq(("votes", false), ("track_id", true), ("t_offset", true)), 1)
+          .select(col("clip_id"), col("track_id"),
+            col("t_offset").cast("int").as("t_offset"), col("votes"))
+          .orderBy(col("clip_id"))
+      },
+      Some("""WITH tr AS (
+             |  SELECT doc_id AS track_id, f,
+             |    (doc_id*7 + f*f*13 + (doc_id%31)*f) % 8000 AS note
+             |  FROM documents, range(25) r(f)
+             |  WHERE f < 20 + doc_id % 5),
+             |tl AS (
+             |  SELECT a.track_id, a.f AS tt,
+             |    a.note * 24000 + b.note * 3 + (b.f - a.f - 1) AS h
+             |  FROM tr a JOIN tr b ON a.track_id = b.track_id
+             |    AND b.f - a.f BETWEEN 1 AND 3),
+             |cn AS (
+             |  SELECT doc_id AS clip_id, g,
+             |    (doc_id*7 + (doc_id%8+g)*(doc_id%8+g)*13
+             |      + (doc_id%31)*(doc_id%8+g)) % 8000 AS note
+             |  FROM documents, range(8) r(g)
+             |  WHERE doc_id % 50 = 3),
+             |cl AS (
+             |  SELECT a.clip_id, a.g AS ct,
+             |    a.note * 24000 + b.note * 3 + (b.g - a.g - 1) AS h
+             |  FROM cn a JOIN cn b ON a.clip_id = b.clip_id
+             |    AND b.g - a.g BETWEEN 1 AND 3),
+             |v AS (
+             |  SELECT c.clip_id, t.track_id, t.tt - c.ct AS t_offset,
+             |    COUNT(*) AS votes
+             |  FROM cl c JOIN tl t USING (h) GROUP BY 1, 2, 3),
+             |best AS (
+             |  SELECT * FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY clip_id
+             |      ORDER BY votes DESC, track_id, t_offset) rn FROM v)
+             |  WHERE rn = 1)
+             |SELECT clip_id, track_id, CAST(t_offset AS INT) AS t_offset,
+             |  CAST(votes AS BIGINT) AS votes
+             |FROM best ORDER BY clip_id""".stripMargin)),
+
     // Multimodal frame sampling: one video row → n frame rows with
     // deterministic frame offsets (stub duration = payload_bytes/8
     // frames) — the row-exploding decode shape. Frame timing arithmetic

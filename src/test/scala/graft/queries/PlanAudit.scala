@@ -167,6 +167,9 @@ class PlanAudit extends SparkSpec {
     "text_phrase_search" -> 6,   // positional-trigram scan + broadcast phrase join
     "q_holt_winters" -> 5,       // (type, hour) count agg + per-type fold
     // collect fold + orderBy
+    "mm_audio_fingerprint" -> 8, // two typed decode passes + broadcast
+    // landmark hash join + (clip,track,offset) vote agg + TopKPerKey
+    // final exchange + orderBy
     "eval_lift_deciles" -> 8,    // rank LogicalRDD (range machinery behind
     // it) + decile agg + one-row totals attach + orderBy
     "eval_cohens_kappa" -> 17,   // labeled lineage (classifier + rule-gate
