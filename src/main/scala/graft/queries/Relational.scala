@@ -727,6 +727,48 @@ object Relational {
              |FROM t WHERE prev_type IS NOT NULL
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Existential sequence mining over the event log — the directed
+    // "A happens before B" support table (the SPADE/funnel-discovery
+    // primitive, where q_event_transitions counts only ADJACENT steps
+    // and q_funnel checks one fixed path): for every ordered type pair,
+    // how many users did A strictly before B (first occurrences), out
+    // of how many had both at all. The corpus collapses to per-(user,
+    // type) first-touch rows in ONE user-keyed shuffle; the pair
+    // self-join runs co-partitioned on that key with fan-out bounded by
+    // |types|² per user (≤ 25 here — the event-type vocabulary, not the
+    // event count), and ties are excluded by the strict < both engines
+    // share. seq_share is the one final division.
+    QueryDef("q_seq_pairs",
+      (spark, sf) => {
+        val firsts = load(spark, sf, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(min(col("ts")).as("ft"))
+        firsts.select(col("user_id"), col("event_type").as("ta"),
+            col("ft").as("fa"))
+          .join(firsts.select(col("user_id"), col("event_type").as("tb"),
+            col("ft").as("fb")), Seq("user_id"))
+          .filter(col("ta") =!= col("tb"))
+          .groupBy(col("ta"), col("tb"))
+          .agg(count(lit(1)).as("n_both"),
+            sum(when(col("fa") < col("fb"), 1L).otherwise(0L)).as("n_seq"))
+          .select(col("ta"), col("tb"), col("n_both"), col("n_seq"),
+            round(col("n_seq") / col("n_both").cast("double"), 6)
+              .as("seq_share"))
+          .orderBy(col("ta"), col("tb"))
+      },
+      Some("""WITH firsts AS (
+             |  SELECT user_id, event_type, MIN(ts) AS ft
+             |  FROM events GROUP BY 1, 2)
+             |SELECT a.event_type AS ta, b.event_type AS tb,
+             |  CAST(COUNT(*) AS BIGINT) AS n_both,
+             |  CAST(SUM(CASE WHEN a.ft < b.ft THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_seq,
+             |  ROUND(SUM(CASE WHEN a.ft < b.ft THEN 1 ELSE 0 END)
+             |    / CAST(COUNT(*) AS DOUBLE), 6) AS seq_share
+             |FROM firsts a JOIN firsts b ON a.user_id = b.user_id
+             |  AND a.event_type <> b.event_type
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Exponentially time-decayed counters — the feature-store freshness
     // metric ("recent activity counts double") as one scan + one
     // aggregation. The decay weight is 2^(−hours_old), hours capped at
