@@ -727,6 +727,57 @@ object Relational {
              |FROM t WHERE prev_type IS NOT NULL
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Rolling OLS trend: the least-squares slope of each type's hourly
+    // count over its trailing 24 observed hours — the windowed
+    // regression feature ("how fast is this metric actually moving")
+    // that a single global fit (q_corr_fit) or an EWMA level can't
+    // give. All five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are
+    // exact BIGINTs accumulated in ONE type-partitioned window frame
+    // (five aggs share the exchange; never a single-partition window);
+    // x is the absolute epoch hour (~5·10⁵), so every cross-product
+    // stays < 10¹⁴ — documented headroom to 2⁶³. The slope is the one
+    // final double division of the closed-form numerator/denominator;
+    // partial windows (< 24 rows) are excluded so the frame size is a
+    // constant both engines agree on.
+    QueryDef("q_rolling_regression",
+      (spark, sf) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hx"))
+          .rowsBetween(-23, 0)
+        load(spark, sf, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("hx"))
+          .groupBy(col("event_type"), col("hx"))
+          .agg(count(lit(1)).as("y"))
+          .select(col("event_type"), col("hx"), col("y"),
+            count(lit(1)).over(w).as("n"),
+            sum(col("hx")).over(w).as("sx"),
+            sum(col("y")).over(w).as("sy"),
+            sum(col("hx") * col("y")).over(w).as("sxy"),
+            sum(col("hx") * col("hx")).over(w).as("sxx"))
+          .filter(col("n") === 24)
+          .select(col("event_type"), col("hx"), col("y"),
+            round((col("sxy") * 24 - col("sx") * col("sy")).cast("double") /
+              (col("sxx") * 24 - col("sx") * col("sx")), 6).as("slope"))
+          .orderBy(col("event_type"), col("hx"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS hx,
+             |    CAST(COUNT(*) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2),
+             |w AS (
+             |  SELECT event_type, hx, y,
+             |    COUNT(*) OVER win AS n,
+             |    SUM(hx) OVER win AS sx, SUM(y) OVER win AS sy,
+             |    SUM(hx * y) OVER win AS sxy, SUM(hx * hx) OVER win AS sxx
+             |  FROM hourly
+             |  WINDOW win AS (PARTITION BY event_type ORDER BY hx
+             |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+             |SELECT event_type, hx, y,
+             |  ROUND(CAST(sxy * 24 - sx * sy AS DOUBLE)
+             |    / (sxx * 24 - sx * sx), 6) AS slope
+             |FROM w WHERE n = 24 ORDER BY event_type, hx""".stripMargin)),
+
     // Existential sequence mining over the event log — the directed
     // "A happens before B" support table (the SPADE/funnel-discovery
     // primitive, where q_event_transitions counts only ADJACENT steps

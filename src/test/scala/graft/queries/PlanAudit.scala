@@ -167,6 +167,8 @@ class PlanAudit extends SparkSpec {
     "text_phrase_search" -> 6,   // positional-trigram scan + broadcast phrase join
     "q_holt_winters" -> 5,       // (type, hour) count agg + per-type fold
     // collect fold + orderBy
+    "q_rolling_regression" -> 4, // (type,hour) count agg + ONE type-keyed
+    // window exchange (five frame aggs share it) + orderBy
     "q_seq_pairs" -> 7,          // ONE (user,type) first-touch agg feeding a
     // co-partitioned self-join + 20-cell pair agg + orderBy
     "mm_audio_fingerprint" -> 8, // two typed decode passes + broadcast
