@@ -176,4 +176,91 @@ object Retrieval {
       k: Int = 20, kFuse: Int = 60, topOut: Int = 10): DataFrame =
     rrfFuse(denseTopK(emb, probeIds, k), sparseTopK(docs, probeIds, k),
       kFuse, topOut)
+
+  /** Maximal-Marginal-Relevance diversification of a per-probe
+    * candidate list: greedily select `kOut` of the candidates, each
+    * step taking argmax of wRel·rel − wDiv·max-similarity-to-selected
+    * (ties to the lower doc_id) — the re-ranking pass that stops a
+    * result page (or a RAG context window) from being five copies of
+    * the same document. Relevance is each candidate's score normalized
+    * by its probe's max (a division of two already-rounded doubles —
+    * deterministic); similarity is exact-integer term-set Jaccard.
+    *
+    * Scale shape: everything after candidate generation is bounded by
+    * the candidate lists, not the corpus — the pair-intersection join
+    * runs co-keyed on (probe, term) over ≤ k·|probes| candidate rows,
+    * and the greedy loop folds ONE collected row per probe (≤ k
+    * candidates + C(k,2) pair sims — bounded arrays, no driver
+    * traffic). `wRel`/`wDiv` are passed as literal doubles and must be
+    * written identically in any replaying oracle: deriving one from
+    * the other re-associates IEEE arithmetic (1 − 0.7 ≠ 0.3 in
+    * binary).
+    *
+    * `cands`: (probe_id, doc_id, score). `docTerms`: DISTINCT
+    * (doc_id, term). Output: (probe_id, sel_rank, doc_id, mmr).
+    */
+  def mmrDiversify(
+      cands: DataFrame, docTerms: DataFrame,
+      wRel: Double = 0.7, wDiv: Double = 0.3, kOut: Int = 5): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val ct = cands.select(col("probe_id"), col("doc_id"))
+      .join(docTerms.select(col("doc_id"), col("term")), Seq("doc_id"))
+    val sizes = ct.groupBy(col("probe_id"), col("doc_id"))
+      .agg(count(lit(1)).as("sz"))
+    val inter = ct.select(col("probe_id"), col("doc_id").as("xa"), col("term"))
+      .join(ct.select(col("probe_id"), col("doc_id").as("xb"), col("term")),
+        Seq("probe_id", "term"))
+      .filter(col("xa") < col("xb"))
+      .groupBy(col("probe_id"), col("xa"), col("xb"))
+      .agg(count(lit(1)).as("ia"))
+    val pairs = inter
+      .join(sizes.select(col("probe_id"), col("doc_id").as("xa"),
+        col("sz").as("sa")), Seq("probe_id", "xa"))
+      .join(sizes.select(col("probe_id"), col("doc_id").as("xb"),
+        col("sz").as("sb")), Seq("probe_id", "xb"))
+      .select(col("probe_id"), col("xa"), col("xb"),
+        (col("ia").cast("double") / (col("sa") + col("sb") - col("ia")))
+          .as("sim"))
+    val maxs = cands.groupBy(col("probe_id")).agg(max(col("score")).as("ms"))
+    val cl = cands.join(maxs, Seq("probe_id"))
+      .select(col("probe_id"), col("doc_id"),
+        (col("score") / col("ms")).as("rel"))
+      .groupBy(col("probe_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
+        col("rel").as("_2")))).as("cl"))
+    val pl = pairs.groupBy(col("probe_id"))
+      .agg(collect_list(struct(col("xa").as("_1"), col("xb").as("_2"),
+        col("sim").as("_3"))).as("pl"))
+    cl.join(pl, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("cl"),
+        coalesce(col("pl"),
+          expr("CAST(array() AS array<struct<_1:bigint,_2:bigint,_3:double>>)"))
+          .as("pl"))
+      .as[(Long, Seq[(Long, Double)], Seq[(Long, Long, Double)])]
+      .flatMap { case (probe, candList, pairList) =>
+        val sims = pairList
+          .flatMap { case (a, b, s) => Seq((a, b) -> s, (b, a) -> s) }.toMap
+        var remaining = candList
+        var selected = List.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, Long, Double)]
+        var k = 1
+        while (k <= kOut && remaining.nonEmpty) {
+          val best = remaining.map { case (doc, rel) =>
+            val maxSim =
+              if (selected.isEmpty) 0.0
+              else selected.iterator
+                .map(s => sims.getOrElse((doc, s), 0.0)).max
+            (doc, wRel * rel - wDiv * maxSim)
+          }.minBy { case (doc, m) => (-m, doc) }
+          out += ((probe, k, best._1, best._2))
+          selected ::= best._1
+          remaining = remaining.filterNot(_._1 == best._1)
+          k += 1
+        }
+        out.toSeq
+      }
+      .toDF("probe_id", "sel_rank", "doc_id", "mmr")
+  }
 }

@@ -1666,6 +1666,95 @@ object TextQueries {
       },
       Some(Shared.ProbeBm25Oracle)),
 
+    // MMR-diversified retrieval: the verified per-probe BM25 top-20 is
+    // greedily re-ranked to 5 results per probe by Maximal Marginal
+    // Relevance (0.7·relevance − 0.3·max-Jaccard-to-already-selected) —
+    // the serving pass that stops a result page or RAG context from
+    // being five near-copies. Relevance is the probe-normalized
+    // 6-dp-rounded BM25 score; diversity is exact-integer term-set
+    // Jaccard between CANDIDATES (a ≤C(20,2)-pair co-keyed join per
+    // probe, never doc×doc); the greedy loop folds one bounded
+    // collected row per probe. The oracle unrolls the 5 greedy steps
+    // as materialized CTEs with correlated max-sim subqueries — every
+    // selection argmax replayed exactly (identical literal weights
+    // both engines: 1 − 0.7 ≠ 0.3 in IEEE, so 0.3 is spelled, not
+    // derived).
+    QueryDef("text_mmr_diversify",
+      (spark, sf) => {
+        val docs = load(spark, sf, "documents")
+        val probes = load(spark, sf, "embeddings")
+          .select(col("vec_id").as("probe_id"))
+          .filter(col("probe_id") % 100 === 7)
+        val cands = graft.ops.Retrieval.bm25TopK(docs, probes, k = 20)
+          .select(col("probe_id"), col("doc_id"), col("score"))
+        val docTerms = docs.select(col("doc_id"),
+            explode(filter(split(lower(col("text")), "[^a-z]+"),
+              t => t =!= "")).as("term"))
+          .distinct()
+        graft.ops.Retrieval.mmrDiversify(cands, docTerms)
+          .select(col("probe_id"), col("sel_rank"), col("doc_id"),
+            round(col("mmr"), 6).as("mmr"))
+          .orderBy(col("probe_id"), col("sel_rank"))
+      },
+      Some {
+        def step(k: Int) =
+          s"""cand$k AS (
+             |  SELECT c.probe_id, c.doc_id, c.rel FROM rel c
+             |  WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} s
+             |    WHERE s.probe_id = c.probe_id AND s.doc_id = c.doc_id)),
+             |m$k AS (
+             |  SELECT c.probe_id, c.doc_id,
+             |    0.7 * c.rel - 0.3 * COALESCE((
+             |      SELECT MAX(s.sim) FROM sims s JOIN sel${k - 1} d
+             |        ON d.probe_id = s.probe_id AND s.xb = d.doc_id
+             |      WHERE s.probe_id = c.probe_id AND s.xa = c.doc_id), 0) AS mmr
+             |  FROM cand$k c),
+             |sel$k AS MATERIALIZED (
+             |  SELECT * FROM sel${k - 1}
+             |  UNION ALL
+             |  SELECT probe_id, $k AS sel_rank, doc_id, mmr FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+             |      ORDER BY mmr DESC, doc_id) rn FROM m$k) WHERE rn = 1)""".stripMargin
+        s"""${Shared.ProbeBm25ScoredCtes},
+           |top AS MATERIALIZED (
+           |  SELECT probe_id, doc_id, score FROM (
+           |    SELECT probe_id, doc_id, score, ROW_NUMBER() OVER (
+           |      PARTITION BY probe_id ORDER BY score DESC, doc_id) r
+           |    FROM scored) WHERE r <= 20),
+           |rel AS MATERIALIZED (
+           |  SELECT probe_id, doc_id,
+           |    score / MAX(score) OVER (PARTITION BY probe_id) AS rel
+           |  FROM top),
+           |cterm AS (
+           |  SELECT DISTINCT t.probe_id, t.doc_id, x.term
+           |  FROM top t JOIN (SELECT DISTINCT doc_id, term FROM terms) x
+           |    USING (doc_id)),
+           |sz AS (SELECT probe_id, doc_id, COUNT(*) sz FROM cterm GROUP BY 1, 2),
+           |inter AS (
+           |  SELECT a.probe_id, a.doc_id xa, b.doc_id xb, COUNT(*) ia
+           |  FROM cterm a JOIN cterm b ON a.probe_id = b.probe_id
+           |    AND a.term = b.term AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2, 3),
+           |sims0 AS (
+           |  SELECT i.probe_id, i.xa, i.xb,
+           |    CAST(ia AS DOUBLE) / (sa.sz + sb.sz - ia) AS sim
+           |  FROM inter i
+           |    JOIN sz sa ON sa.probe_id = i.probe_id AND sa.doc_id = i.xa
+           |    JOIN sz sb ON sb.probe_id = i.probe_id AND sb.doc_id = i.xb),
+           |sims AS MATERIALIZED (
+           |  SELECT probe_id, xa, xb, sim FROM sims0
+           |  UNION ALL
+           |  SELECT probe_id, xb, xa, sim FROM sims0),
+           |sel1 AS MATERIALIZED (
+           |  SELECT probe_id, 1 AS sel_rank, doc_id, 0.7 * rel AS mmr FROM (
+           |    SELECT probe_id, doc_id, rel, ROW_NUMBER() OVER (
+           |      PARTITION BY probe_id ORDER BY 0.7 * rel DESC, doc_id) rn
+           |    FROM rel) WHERE rn = 1),
+           |${(2 to 5).map(step).mkString(",\n")}
+           |SELECT probe_id, sel_rank, doc_id, ROUND(mmr, 6) AS mmr
+           |FROM sel5 ORDER BY probe_id, sel_rank""".stripMargin
+      }),
+
     // Per-source token-distribution divergence: Jensen–Shannon between
     // each source's token distribution and the corpus reference — the
     // BATCH corpus-mix audit next to the streaming per-window KL drift

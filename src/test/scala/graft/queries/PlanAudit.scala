@@ -167,6 +167,11 @@ class PlanAudit extends SparkSpec {
     "text_phrase_search" -> 6,   // positional-trigram scan + broadcast phrase join
     "q_holt_winters" -> 5,       // (type, hour) count agg + per-type fold
     // collect fold + orderBy
+    "text_mmr_diversify" -> 130, // the text_probe_bm25 lineage (probe terms,
+    // df, tf, stats — ~18 exchanges) prints once per textual reference:
+    // ct/sizes/inter/maxs/cl re-reference the candidate subtree ~6×
+    // (measured 107); at RUNTIME AQE collapses the identical subtrees
+    // to ReusedExchange — the q_triangle_count story
     "q_rolling_regression" -> 4, // (type,hour) count agg + ONE type-keyed
     // window exchange (five frame aggs share it) + orderBy
     "q_seq_pairs" -> 7,          // ONE (user,type) first-touch agg feeding a
@@ -225,7 +230,12 @@ class PlanAudit extends SparkSpec {
     // bm25TopK's one-row (n_docs, avgdl) stats attach
     "eval_mrr" -> 1,
     // the one-row (tot_n, tot_pos) base-rate attach
-    "eval_lift_deciles" -> 1)
+    "eval_lift_deciles" -> 1,
+    // bm25TopK's one-row (n_docs, avgdl) stats attach — printed once per
+    // textual reference of the candidate lineage (ct/sizes/inter/maxs/cl
+    // all re-print it; at runtime AQE collapses the identical subtrees
+    // to ReusedExchange — the q_triangle_count story)
+    "text_mmr_diversify" -> 8)
 
   test("q_skew_aqe_join: AQE splits the hot partition (structural isSkewJoin)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
