@@ -1833,6 +1833,87 @@ object Etl {
              |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
              |FROM orders""".stripMargin)),
 
+    // Bad-row quarantine routing — the ETL split dq_expectations only
+    // AUDITS: every input row either passes all row-level rules into
+    // the generation sink or lands in a quarantine sink carrying the
+    // FULL comma-joined list of violated rules (multi-violation rows
+    // keep every reason — triage needs them all). Dirt is injected
+    // deterministically (every 97th key loses its date, every 89th
+    // negates its price, every 83rd corrupts its status), so the
+    // routing decision, the reason strings and both sinks' contents
+    // are exactly SQL-replayable. The emission gate re-reads BOTH
+    // sinks and requires (a) the two row counts to partition the input
+    // and (b) zero rule violations in the published generation — the
+    // quarantine contract, proven on the readback, not the plan.
+    // One scan, one split, two writes; reasons build at scan speed.
+    QueryDef("etl_quarantine",
+      (spark, sf) => {
+        import Shared.cents
+        val base = scratch("graft_quarantine")
+        val sp = MigrationSpec("quarantine", source = "", sourceDriver = "inline",
+          destination = s"$base/dest", destinationDriver = "parquet",
+          sourceIds = Seq(IdField("id", LongId)),
+          destinationIds = Seq(IdField("id", LongId)))
+        val d = new ParquetDestinationDriver
+        val dirty = load(spark, sf, "orders").select(
+          col("o_orderkey").cast("long").as("id"),
+          when(col("o_orderkey") % 97 === 0, lit(null))
+            .otherwise(col("o_orderdate")).as("od"),
+          when(col("o_orderkey") % 89 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")).as("price"),
+          when(col("o_orderkey") % 83 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("status"))
+        val flagged = dirty.withColumn("reasons", concat_ws(",",
+          filter(array(
+            when(col("price") <= 0, "bad_price"),
+            when(!col("status").isin("O", "F", "P"), "bad_status"),
+            when(col("od").isNull, "null_date")), r => r.isNotNull)))
+        d.write(flagged.filter(col("reasons") === "")
+          .select(col("id"), cents(col("price")).as("cents"),
+            col("status"), col("od")), sp)
+        flagged.filter(col("reasons") =!= "")
+          .select(col("id"), cents(col("price")).as("cents"), col("reasons"))
+          .write.mode("overwrite").parquet(s"$base/quarantine")
+        val goodBack = d.snapshot(spark, sp).get
+        val badBack = spark.read.parquet(s"$base/quarantine")
+        val ok = goodBack.count() + badBack.count() == dirty.count() &&
+          goodBack.filter(col("cents") <= 0 ||
+            !col("status").isin("O", "F", "P") || col("od").isNull)
+            .count() == 0L
+        badBack.groupBy(col("reasons"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+          .unionByName(goodBack.agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).as("sum_cents"))
+            .select(lit("ok").as("reasons"), col("n_rows"), col("sum_cents")))
+          .filter(lit(ok))
+          .orderBy(col("reasons"))
+      },
+      Some("""WITH dirty AS (
+             |  SELECT o_orderkey AS id,
+             |    CASE WHEN o_orderkey % 97 = 0 THEN NULL
+             |         ELSE o_orderdate END AS od,
+             |    CASE WHEN o_orderkey % 89 = 0 THEN -o_totalprice
+             |         ELSE o_totalprice END AS price,
+             |    CASE WHEN o_orderkey % 83 = 0 THEN 'X'
+             |         ELSE o_orderstatus END AS status
+             |  FROM orders),
+             |flagged AS (
+             |  SELECT id, CAST(ROUND(price * 100) AS BIGINT) AS cents,
+             |    COALESCE(array_to_string(list_filter([
+             |      CASE WHEN price <= 0 THEN 'bad_price' END,
+             |      CASE WHEN status NOT IN ('O','F','P') THEN 'bad_status' END,
+             |      CASE WHEN od IS NULL THEN 'null_date' END],
+             |      r -> r IS NOT NULL), ','), '') AS reasons
+             |  FROM dirty),
+             |bad AS (SELECT reasons, CAST(COUNT(*) AS BIGINT) n_rows,
+             |    CAST(SUM(cents) AS BIGINT) sum_cents
+             |  FROM flagged WHERE reasons <> '' GROUP BY 1),
+             |good AS (SELECT 'ok' AS reasons, CAST(COUNT(*) AS BIGINT) n_rows,
+             |    CAST(SUM(cents) AS BIGINT) sum_cents
+             |  FROM flagged WHERE reasons = '')
+             |SELECT * FROM bad UNION ALL SELECT * FROM good
+             |ORDER BY reasons""".stripMargin)),
+
     // Data-quality expectations (the Great-Expectations/Deequ-style
     // constraint audit a pipeline runs before publishing a table): all
     // row-level checks — key/date non-null, enum membership, value
