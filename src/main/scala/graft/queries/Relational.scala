@@ -3173,5 +3173,180 @@ object Relational {
              |  ROUND(member_months / CAST(n_distinct AS DOUBLE), 6)
              |    AS months_per_cust
              |FROM mr JOIN nd USING (nation) ORDER BY nation""".stripMargin)),
+
+    // Autocorrelation function (ACF) of the hourly event-count series —
+    // the seasonality/persistence diagnostic behind lag selection for
+    // the EWMA/Holt/Holt-Winters forecasters above. The corpus
+    // collapses to per-(type, hour) counts in ONE fact shuffle; the
+    // dense spine (gaps count as zero — the calendar IS the series) and
+    // every lagged self-join then run on that tiny frame (|types| ×
+    // #hours rows, bounded by the calendar, not the corpus), so 100 TB
+    // of events costs exactly one aggregation scan no matter how many
+    // lags are probed. Pearson sufficient statistics are exact
+    // integers: the cross-product sums accumulate in DECIMAL(38,0)
+    // (DuckDB: HUGEINT — the q_ab_test precision discipline), exact to
+    // ~1e9 events/hour over a decade of hours, far past any real
+    // corpus. r is ONE final double expression with identical
+    // association order in both engines — a correctly-rounded IEEE
+    // divide/sqrt chain, no libm pow/log — and zero-variance windows
+    // emit NULL on both engines instead of dividing by zero.
+    QueryDef("q_autocorr",
+      (spark, sf) => {
+        val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val hourly = load(spark, sf, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("hx"))
+          .groupBy(col("event_type"), col("hx"))
+          .agg(count(lit(1)).as("y"))
+        val dense = hourly.groupBy(col("event_type"))
+          .agg(min(col("hx")).as("mn"), max(col("hx")).as("mx"))
+          .select(col("event_type"), explode(expr("sequence(mn, mx)")).as("hx"))
+          .join(hourly, Seq("event_type", "hx"), "left")
+          .select(col("event_type"), col("hx"),
+            coalesce(col("y"), lit(0L)).as("y"))
+        val lagDf = spark.range(1)
+          .select(explode(lit(Array(1L, 2L, 3L, 6L, 12L, 24L))).as("lag_h"))
+        val rhs = dense.select(col("event_type").as("et2"),
+          col("hx").as("h2"), col("y").as("yv"))
+        dense.crossJoin(broadcast(lagDf))
+          .join(rhs, col("event_type") === col("et2") &&
+            col("h2") === col("hx") + col("lag_h"))
+          .groupBy(col("event_type"), col("lag_h"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("y")).as("sx"), sum(col("yv")).as("sy"),
+            sum(dec(col("y")) * col("yv")).as("sxy"),
+            sum(dec(col("y")) * col("y")).as("sxx"),
+            sum(dec(col("yv")) * col("yv")).as("syy"))
+          .select(col("event_type"), col("lag_h"), col("n_pairs"),
+            when(dec(col("n_pairs")) * col("sxx") - dec(col("sx")) * col("sx") > 0 &&
+                dec(col("n_pairs")) * col("syy") - dec(col("sy")) * col("sy") > 0,
+              round((dec(col("n_pairs")) * col("sxy") -
+                  dec(col("sx")) * col("sy")).cast("double") /
+                sqrt((dec(col("n_pairs")) * col("sxx") -
+                    dec(col("sx")) * col("sx")).cast("double") *
+                  (dec(col("n_pairs")) * col("syy") -
+                    dec(col("sy")) * col("sy")).cast("double")), 6))
+              .as("acf"))
+          .orderBy(col("event_type"), col("lag_h"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type,
+             |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS hx,
+             |    CAST(COUNT(*) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2),
+             |bounds AS (
+             |  SELECT event_type, MIN(hx) AS mn, MAX(hx) AS mx
+             |  FROM hourly GROUP BY 1),
+             |dense AS (
+             |  SELECT s.event_type, s.hx, COALESCE(h.y, 0) AS y
+             |  FROM (SELECT event_type, unnest(generate_series(mn, mx)) AS hx
+             |        FROM bounds) s
+             |  LEFT JOIN hourly h
+             |    ON s.event_type = h.event_type AND s.hx = h.hx),
+             |lags AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag_h),
+             |pairs AS (
+             |  SELECT a.event_type, l.lag_h, a.y AS x, b.y AS yv
+             |  FROM dense a CROSS JOIN lags l
+             |  JOIN dense b ON b.event_type = a.event_type
+             |    AND b.hx = a.hx + l.lag_h),
+             |s AS (
+             |  SELECT event_type, lag_h, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(yv AS HUGEINT)) AS sy,
+             |    SUM(CAST(x AS HUGEINT) * yv) AS sxy,
+             |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             |    SUM(CAST(yv AS HUGEINT) * yv) AS syy
+             |  FROM pairs GROUP BY 1, 2)
+             |SELECT event_type, CAST(lag_h AS BIGINT) AS lag_h, n_pairs,
+             |  CASE WHEN n_pairs * sxx - sx * sx > 0
+             |         AND n_pairs * syy - sy * sy > 0 THEN
+             |    ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+             |      / SQRT(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+             |             * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+             |  END AS acf
+             |FROM s ORDER BY event_type, lag_h""".stripMargin)),
+
+    // Common-neighbor link prediction over the divisor graph (the same
+    // deterministic edge generator as q_k_core): for every NON-adjacent
+    // vertex pair at distance 2, the common-neighbor count and the
+    // neighborhood-Jaccard score cn / (deg_u + deg_v − cn) — the
+    // classic friend-of-friend recommender primitive. Shape: candidate
+    // pairs are enumerated through the shared middle vertex (ONE
+    // adjacency self-join co-partitioned on the wedge center, the
+    // q_triangle_count shape), existing edges are removed with a
+    // left_anti join, and degrees join back from a tiny per-vertex
+    // frame. The wedge fan-out is C(deg,2) per center — bounded here
+    // because the divisor graph has max degree ~11 by construction; a
+    // real 100 TB graph gets the cappedBasketEdges hub cut (cap +
+    // measured-drop gate) on the center vertex before pairing, never
+    // an uncapped hub explosion. All counts are exact integers; the
+    // score is the one final double division; TopK is a
+    // TakeOrderedAndProject (no global sort materialization) with a
+    // total (score desc, u, v) order both engines share.
+    QueryDef("q_common_neighbors",
+      (spark, sf) => {
+        val p = load(spark, sf, "part").filter(col("p_partkey") >= 1)
+        val raw = p.select(col("p_partkey").cast("long").as("x"),
+            expr("CAST(p_partkey div 2 AS BIGINT)").as("y"))
+          .unionByName(p.select(col("p_partkey").cast("long").as("x"),
+            expr("CAST(p_partkey div 3 AS BIGINT)").as("y")))
+          .unionByName(p.filter(col("p_partkey") % 3 === 0)
+            .select(col("p_partkey").cast("long").as("x"),
+              expr("CAST(p_partkey div 5 AS BIGINT)").as("y")))
+        val und = raw.filter(col("x") =!= col("y"))
+          .select(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b"))
+          .distinct()
+        val adj = und.select(col("a").as("u"), col("b").as("w"))
+          .unionByName(und.select(col("b").as("u"), col("a").as("w")))
+        val cn = adj.select(col("u"), col("w"))
+          .join(adj.select(col("u").as("v"), col("w")), Seq("w"))
+          .filter(col("u") < col("v"))
+          .groupBy(col("u"), col("v"))
+          .agg(count(lit(1)).as("cn"))
+          .join(und, col("u") === col("a") && col("v") === col("b"),
+            "left_anti")
+        val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        cn.join(deg.select(col("u"), col("deg").as("du")), Seq("u"))
+          .join(deg.select(col("u").as("v"), col("deg").as("dv")), Seq("v"))
+          .filter(col("cn") >= 2)
+          .select(col("u"), col("v"), col("cn"), col("du"), col("dv"),
+            round(col("cn").cast("double") /
+              (col("du") + col("dv") - col("cn")), 6).as("jaccard"))
+          .orderBy(col("jaccard").desc, col("u"), col("v"))
+          .limit(100)
+      },
+      Some("""WITH e0 AS (
+             |  SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM (
+             |    SELECT CAST(p_partkey AS BIGINT) a,
+             |      CAST(p_partkey // 2 AS BIGINT) b
+             |    FROM part WHERE p_partkey >= 1
+             |    UNION ALL
+             |    SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey // 3 AS BIGINT)
+             |    FROM part WHERE p_partkey >= 1
+             |    UNION ALL
+             |    SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey // 5 AS BIGINT)
+             |    FROM part WHERE p_partkey >= 1 AND p_partkey % 3 = 0)
+             |  WHERE a <> b),
+             |adj AS (
+             |  SELECT a AS u, b AS w FROM e0
+             |  UNION ALL SELECT b, a FROM e0),
+             |cn AS (
+             |  SELECT x.u, y.u AS v, CAST(COUNT(*) AS BIGINT) AS cn
+             |  FROM adj x JOIN adj y ON x.w = y.w AND x.u < y.u
+             |  GROUP BY 1, 2),
+             |nonadj AS (
+             |  SELECT c.* FROM cn c
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM e0 WHERE e0.a = c.u AND e0.b = c.v)),
+             |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+             |        FROM adj GROUP BY 1)
+             |SELECT n.u, n.v, n.cn, du.deg AS du, dv.deg AS dv,
+             |  ROUND(CAST(n.cn AS DOUBLE) / (du.deg + dv.deg - n.cn), 6)
+             |    AS jaccard
+             |FROM nonadj n
+             |JOIN deg du ON du.u = n.u
+             |JOIN deg dv ON dv.u = n.v
+             |WHERE n.cn >= 2
+             |ORDER BY jaccard DESC, n.u, n.v LIMIT 100""".stripMargin)),
   )
 }

@@ -187,9 +187,17 @@ class PlanAudit extends SparkSpec {
     "q_k_core" -> 4,             // checkpointed core edges + degree agg + orderBy
     "q_macd_signal" -> 5,        // (type, hour) count agg + per-type fold
     // (the q_holt_winters shape) + orderBy
-    "q_bitmap_distinct" -> 14)   // orders⋈customer + (nation,month,word)
+    "q_bitmap_distinct" -> 14,   // orders⋈customer + (nation,month,word)
     // bitmap agg (lineage prints per consumer) + month/nation rollups +
     // 25-row result join + orderBy
+    "q_autocorr" -> 10,          // ONE (type,hour) fact agg; the dense
+    // spine + lagged self-join + stats agg all run on the tiny hourly
+    // frame (its lineage prints per textual reference — runtime AQE
+    // collapses to ReusedExchange)
+    "q_common_neighbors" -> 17)  // divisor-graph adjacency re-printed per
+    // reference (wedge self-join ×2, degree frame ×2, anti-join edge
+    // set) + pair agg + TakeOrdered — runtime AQE reuses the one
+    // adjacency exchange
 
   // Queries whose only nested-loop joins are the recall/bound gates'
   // crossJoins against one-row aggregates (a broadcast of a scalar —
@@ -235,7 +243,10 @@ class PlanAudit extends SparkSpec {
     // textual reference of the candidate lineage (ct/sizes/inter/maxs/cl
     // all re-print it; at runtime AQE collapses the identical subtrees
     // to ReusedExchange — the q_triangle_count story)
-    "text_mmr_diversify" -> 8)
+    "text_mmr_diversify" -> 8,
+    // the broadcast of the 6-row lag frame against the tiny hourly
+    // spine — a bounded-constant fan-out, not a quadratic join
+    "q_autocorr" -> 1)
 
   test("q_skew_aqe_join: AQE splits the hot partition (structural isSkewJoin)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
