@@ -424,6 +424,23 @@ final class ParquetDestinationDriver(
     fs.delete(dir, true)
   }
 
+  /** Roll the published pointer back to a RETAINED older generation —
+    * the lakehouse undo button. The flip is the same atomic `_CURRENT`
+    * write as publish(): one driver-side metadata operation, no data
+    * moves, at any table size. Newer generations are NOT deleted — the
+    * abandoned branch stays time-travelable until an explicit vacuum,
+    * so a post-incident audit can still read what was rolled away —
+    * and because write()/stage() derive the next generation number
+    * from the directory listing (never from the pointer — the WAP-race
+    * rule), the first write after a rollback branches to max(gen)+1
+    * instead of silently overwriting the abandoned generation.
+    */
+  def rollback(spark: SparkSession, spec: MigrationSpec, gen: Long): Unit = {
+    require(generations(spark, spec).contains(gen),
+      s"cannot roll back to non-retained generation $gen")
+    setCurrent(spark, UriSchemes.path(spec.destination), s"gen$gen")
+  }
+
   private def setCurrent(spark: SparkSession, base: String, gen: String): Unit = {
     val f = currentFile(spark, base)
     val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -205,6 +205,65 @@ object Etl {
              |UNION ALL SELECT 'updated', COUNT(*), CAST(SUM(id) AS BIGINT) FROM updated
              |ORDER BY tag""".stripMargin)),
 
+    // Generation rollback (engine-native lakehouse extension): the undo
+    // button on the generation-pointer sink. `_CURRENT` flips back to a
+    // retained older generation with ONE atomic metadata write — no
+    // data moves at any table size — while the abandoned newer
+    // generation stays time-travelable until vacuum, and the next
+    // write() branches to max(gen)+1 (the directory listing, never the
+    // pointer, names the next generation — the WAP-race rule), so the
+    // abandoned branch is never silently overwritten. The gate proves
+    // the whole lifecycle: overwrite, rollback, a branched write
+    // derived from the rolled-back snapshot, the abandoned branch
+    // still readable, and the retained-generation ledger.
+    QueryDef("etl_rollback",
+      (spark, sf) => {
+        import graft.drivers.ParquetDestinationDriver
+        import graft.spec.{IdField, LongId, MigrationSpec}
+        val dir = scratch("graft_rollback") + "/dest"
+        val spec = MigrationSpec("rollback", source = dir,
+          sourceDriver = "parquet",
+          destination = dir, destinationDriver = "parquet",
+          sourceIds = Seq(IdField("id", LongId)),
+          destinationIds = Seq(IdField("id", LongId)))
+        val d = new ParquetDestinationDriver()
+        val cust = load(spark, sf, "customer")
+          .select(col("c_custkey").cast("long").as("id"))
+        d.write(cust.filter(col("id") % 3 === 0)
+          .withColumn("marker", lit("a")), spec)                  // gen0
+        d.write(cust.filter(col("id") % 2 === 0)
+          .withColumn("marker", lit("b")), spec)                  // gen1
+        d.rollback(spark, spec, 0L)                               // undo gen1
+        val branched = d.snapshot(spark, spec).get                // = gen0
+          .unionByName(cust
+            .filter(col("id") % 5 === 0 && col("id") % 3 =!= 0)
+            .withColumn("marker", lit("c")))
+        d.write(branched, spec)                                   // gen2
+        val stats = (df: DataFrame, tag: String) => df.agg(
+          lit(tag).as("tag"), count(lit(1)).as("n"),
+          sum(col("id")).as("id_sum"))
+        val gens = d.generations(spark, spec)
+        val ledger = spark.range(1).select(lit("history").as("tag"),
+          lit(gens.size.toLong).as("n"), lit(gens.sum).as("id_sum"))
+        stats(d.snapshot(spark, spec).get, "current")
+          .unionByName(stats(d.snapshotAt(spark, spec, 1).get,
+            "gen1_abandoned"))
+          .unionByName(ledger)
+          .orderBy(col("tag"))
+      },
+      Some("""WITH cur AS (
+             |  SELECT c_custkey AS id FROM customer
+             |  WHERE c_custkey % 3 = 0 OR c_custkey % 5 = 0),
+             |g1 AS (SELECT c_custkey AS id FROM customer
+             |       WHERE c_custkey % 2 = 0)
+             |SELECT 'current' AS tag, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(id) AS BIGINT) AS id_sum FROM cur
+             |UNION ALL
+             |SELECT 'gen1_abandoned', COUNT(*), CAST(SUM(id) AS BIGINT) FROM g1
+             |UNION ALL
+             |SELECT 'history', CAST(3 AS BIGINT), CAST(3 AS BIGINT)
+             |ORDER BY tag""".stripMargin)),
+
     // §2.3 orphan detection (left_anti): destination rows whose source
     // disappeared (`DataMigrationExecutor.php:368-382`).
     QueryDef("etl_orphan_detect",

@@ -597,4 +597,26 @@ class DriversSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(after == mor, "post-compaction morSnapshot must equal snapshot")
   }
+
+  test("rollback: pointer flips back, branch writes to max(gen)+1, abandoned gen readable") {
+    import spark.implicits._
+    val dir = scratchDir("pq_rollback")
+    val s = mkSpec("n/a", s"$dir/out")
+    val d = new ParquetDestinationDriver
+    d.write(Seq((1L, "a")).toDF("id", "v"), s)               // gen0
+    d.write(Seq((1L, "b"), (2L, "b")).toDF("id", "v"), s)    // gen1
+    // refuse a non-retained target — fail loudly, flip nothing
+    assertThrows[IllegalArgumentException](d.rollback(spark, s, 7L))
+    assert(d.snapshot(spark, s).get.count() == 2)
+    d.rollback(spark, s, 0L)
+    assert(d.snapshot(spark, s).get.collect().map(_.getString(1)).toSeq == Seq("a"))
+    // next write branches past the abandoned generation, never over it
+    d.write(Seq((1L, "a"), (3L, "c")).toDF("id", "v"), s)    // gen2
+    assert(d.generations(spark, s) == Seq(0L, 1L, 2L))
+    assert(d.snapshot(spark, s).get.orderBy("id").collect()
+      .map(_.getString(1)).toSeq == Seq("a", "c"))
+    // the rolled-away branch is still time-travelable until vacuum
+    assert(d.snapshotAt(spark, s, 1).get.orderBy("id").collect()
+      .map(_.getString(1)).toSeq == Seq("b", "b"))
+  }
 }
