@@ -2149,5 +2149,56 @@ object Etl {
              |  ((g.gus - MAX(epoch_us(ts))) // 1000000) > 3600 AS stale
              |FROM events CROSS JOIN g GROUP BY event_type, g.gus
              |ORDER BY event_type""".stripMargin)),
+
+    // Benford first-digit audit — the fraud/synthetic-data smell test
+    // on a money column: the observed first-significant-digit
+    // distribution of the order totals against Benford's law. The
+    // expected shares are the SAME integer ppm literals in both engines
+    // (log10(1+1/d)·1e6, summing to exactly 1 000 000), so no libm log
+    // is evaluated anywhere; observed shares are truncating integer
+    // division (Spark `div` ≡ DuckDB `//`), exact to ±1 ppm. Shape: ONE
+    // scan + a 9-key aggregate; the digit spine left-join keeps absent
+    // digits visible as zero rows and the 1-row total attaches as a
+    // broadcast scalar gate. obs·1e6 stays under 2⁶³ to ~9e12 orders —
+    // two decimal orders past a 100 TB order table.
+    QueryDef("dq_benford",
+      (spark, sf) => {
+        val obs = load(spark, sf, "orders")
+          .select(expr("CAST(substring(CAST(CAST(ROUND(o_totalprice*100)" +
+            " AS BIGINT) AS STRING), 1, 1) AS INT)").as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("obs"))
+        val n = obs.agg(sum(col("obs")).as("n"))
+        val expPpm = "CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091" +
+          " WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181" +
+          " WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153" +
+          " ELSE 45757 END"
+        spark.range(1, 10).select(col("id").cast("int").as("digit"))
+          .join(obs, Seq("digit"), "left")
+          .na.fill(0L, Seq("obs"))
+          .crossJoin(broadcast(n))
+          .select(col("digit"), col("obs"), expr(expPpm).as("exp_ppm"),
+            expr("obs * 1000000 div n").as("obs_ppm"),
+            (expr("obs * 1000000 div n") - expr(expPpm)).as("dev_ppm"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH obs AS (
+             |  SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice*100)
+             |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+             |    CAST(COUNT(*) AS BIGINT) AS obs
+             |  FROM orders GROUP BY 1),
+             |spine AS (SELECT unnest(generate_series(1, 9)) AS digit),
+             |n AS (SELECT SUM(obs) AS n FROM obs),
+             |f AS (
+             |  SELECT CAST(s.digit AS INT) AS digit,
+             |    COALESCE(o.obs, 0) AS obs,
+             |    CASE s.digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+             |      WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+             |      WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+             |      ELSE 45757 END AS exp_ppm,
+             |    COALESCE(o.obs, 0) * 1000000 // n.n AS obs_ppm
+             |  FROM spine s LEFT JOIN obs o ON s.digit = o.digit CROSS JOIN n)
+             |SELECT digit, obs, exp_ppm, CAST(obs_ppm AS BIGINT) AS obs_ppm,
+             |  CAST(obs_ppm - exp_ppm AS BIGINT) AS dev_ppm
+             |FROM f ORDER BY digit""".stripMargin)),
   )
 }
