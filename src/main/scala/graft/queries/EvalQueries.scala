@@ -1010,5 +1010,93 @@ object EvalQueries {
              |  CAST(SUM(e * e) AS BIGINT) AS sum_sq,
              |  ROUND(SUM(e * e) / CAST(COUNT(*) * 90000 AS DOUBLE), 6) AS brier
              |FROM e GROUP BY label ORDER BY label""".stripMargin)),
+
+    // Multi-class confusion report — the classification-report
+    // primitive (per-class precision/recall/F1 + the macro row) the
+    // binary AUC/PR gates above can't express. Model under test: the
+    // n-gram langid heuristic ([[graft.ops.TextOps.langIdHeuristic]]);
+    // truth: the corpus `lang` column. ONE corpus scan collapses to the
+    // (true, predicted) contingency cells; every metric is then pure
+    // integer arithmetic on that ≤|classes|² frame — tp/fp/fn exactly,
+    // ratios as truncating ppm divisions (Spark `div` ≡ DuckDB `//`),
+    // and F1 in its single-division integer form
+    // 2·tp·1e6 div (2·tp + fp + fn), never a ratio of ratios — so the
+    // report is bit-identical cross-engine with no libm anywhere.
+    // Classes the predictor never emits get NULL precision on both
+    // engines; the macro row averages coalesced-to-zero F1 over the
+    // true-class count (the conservative sklearn zero_division=0).
+    QueryDef("eval_confusion",
+      (spark, sf) => {
+        val cells = load(spark, sf, "documents")
+          .select(col("lang"),
+            graft.ops.TextOps.langIdHeuristic(col("text")).as("pred"))
+          .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+        val tp = cells.filter(col("lang") === col("pred"))
+          .groupBy(col("lang")).agg(sum(col("n")).as("tp"))
+        val truth = cells.groupBy(col("lang")).agg(sum(col("n")).as("tpfn"))
+        val pred = cells.groupBy(col("pred").as("lang"))
+          .agg(sum(col("n")).as("tpfp"))
+        val per = truth.join(tp, Seq("lang"), "left")
+          .join(pred, Seq("lang"), "left")
+          .na.fill(0L, Seq("tp", "tpfp"))
+          .select(col("lang").as("label"), col("tp"),
+            (col("tpfp") - col("tp")).as("fp"),
+            (col("tpfn") - col("tp")).as("fn"))
+          .select(col("label"), col("tp"), col("fp"), col("fn"),
+            when(col("tp") + col("fp") > 0,
+              expr("tp * 1000000 div (tp + fp)")).as("precision_ppm"),
+            expr("tp * 1000000 div (tp + fn)").as("recall_ppm"),
+            expr("2 * tp * 1000000 div (2 * tp + fp + fn)").as("f1_ppm"))
+        val macroRow = per.agg(lit("__macro__").as("label"),
+          sum(col("tp")).as("tp"), sum(col("fp")).as("fp"),
+          sum(col("fn")).as("fn"),
+          expr("sum(coalesce(precision_ppm, 0)) div count(1)")
+            .as("precision_ppm"),
+          expr("sum(recall_ppm) div count(1)").as("recall_ppm"),
+          expr("sum(f1_ppm) div count(1)").as("f1_ppm"))
+        per.unionByName(macroRow).orderBy(col("label"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT lang,
+             |    CASE
+             |      WHEN regexp_matches(lower(text), '[一-鿿]') THEN 'zh'
+             |      WHEN regexp_matches(lower(text), '[Ѐ-ӿ]') THEN 'ru'
+             |      WHEN regexp_matches(lower(text), '[áéíóúñ¿¡]') THEN 'es'
+             |      WHEN CAST(len(list_filter(string_split(lower(text),' '),
+             |          t -> list_contains(['the','a','of','and','to','in'], t)))
+             |          AS DOUBLE) / len(string_split(lower(text),' ')) > 0.02
+             |        THEN 'en'
+             |      ELSE 'unknown' END AS pred,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY 1, 2),
+             |tp AS (SELECT lang, SUM(n) AS tp FROM cells
+             |       WHERE lang = pred GROUP BY 1),
+             |truth AS (SELECT lang, SUM(n) AS tpfn FROM cells GROUP BY 1),
+             |pr AS (SELECT pred AS lang, SUM(n) AS tpfp FROM cells GROUP BY 1),
+             |per AS (
+             |  SELECT t.lang AS label,
+             |    CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+             |    CAST(COALESCE(pr.tpfp, 0) - COALESCE(tp.tp, 0) AS BIGINT) AS fp,
+             |    CAST(t.tpfn - COALESCE(tp.tp, 0) AS BIGINT) AS fn
+             |  FROM truth t LEFT JOIN tp ON t.lang = tp.lang
+             |  LEFT JOIN pr ON t.lang = pr.lang),
+             |scored AS (
+             |  SELECT label, tp, fp, fn,
+             |    CASE WHEN tp + fp > 0
+             |      THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT) END
+             |      AS precision_ppm,
+             |    CAST(tp * 1000000 // (tp + fn) AS BIGINT) AS recall_ppm,
+             |    CAST(2 * tp * 1000000 // (2 * tp + fp + fn) AS BIGINT) AS f1_ppm
+             |  FROM per)
+             |SELECT label, tp, fp, fn, precision_ppm, recall_ppm, f1_ppm
+             |FROM scored
+             |UNION ALL
+             |SELECT '__macro__', CAST(SUM(tp) AS BIGINT), CAST(SUM(fp) AS BIGINT),
+             |  CAST(SUM(fn) AS BIGINT),
+             |  CAST(SUM(COALESCE(precision_ppm, 0)) // COUNT(*) AS BIGINT),
+             |  CAST(SUM(recall_ppm) // COUNT(*) AS BIGINT),
+             |  CAST(SUM(f1_ppm) // COUNT(*) AS BIGINT)
+             |FROM scored
+             |ORDER BY label""".stripMargin)),
   )
 }

@@ -194,10 +194,15 @@ class PlanAudit extends SparkSpec {
     // spine + lagged self-join + stats agg all run on the tiny hourly
     // frame (its lineage prints per textual reference — runtime AQE
     // collapses to ReusedExchange)
-    "q_common_neighbors" -> 17)  // divisor-graph adjacency re-printed per
+    "q_common_neighbors" -> 17,  // divisor-graph adjacency re-printed per
     // reference (wedge self-join ×2, degree frame ×2, anti-join edge
     // set) + pair agg + TakeOrdered — runtime AQE reuses the one
     // adjacency exchange
+    "dq_benford" -> 7,           // ONE 9-key digit agg + the 1-row total
+    // attach + spine join + orderBy
+    "eval_confusion" -> 19)      // ONE (true,pred) cells agg whose lineage
+    // prints per consumer (tp/truth/pred rollups + the macro re-read);
+    // runtime AQE collapses the repeats to ReusedExchange
 
   // Queries whose only nested-loop joins are the recall/bound gates'
   // crossJoins against one-row aggregates (a broadcast of a scalar —
@@ -246,7 +251,9 @@ class PlanAudit extends SparkSpec {
     "text_mmr_diversify" -> 8,
     // the broadcast of the 6-row lag frame against the tiny hourly
     // spine — a bounded-constant fan-out, not a quadratic join
-    "q_autocorr" -> 1)
+    "q_autocorr" -> 1,
+    // the 1-row total-orders attach on the 9-row digit frame
+    "dq_benford" -> 1)
 
   test("q_skew_aqe_join: AQE splits the hot partition (structural isSkewJoin)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
