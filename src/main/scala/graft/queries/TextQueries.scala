@@ -1959,5 +1959,82 @@ object TextQueries {
               |  CAST(SUM(toks) AS BIGINT) AS tok_total,
               |  CAST(SUM(toks) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_toks
               |FROM j GROUP BY host ORDER BY host""".stripMargin)),
+
+    // TextRank keyword extraction — the unsupervised keyword primitive
+    // (Mihalcea & Tarau 2004): a PageRank fixpoint over the word
+    // co-occurrence graph, composed from two tiers this engine already
+    // verifies separately (scan-stage pair extraction + the exact
+    // integer PageRank of ops/Graphs). Adjacent-token pairs (content
+    // words: length ≥ 4, lowercased) are extracted as ONE array fold in
+    // the scan stage — zip_with against the shifted array, no window,
+    // no self-join — and the multiset of undirected edges feeds
+    // [[graft.ops.Graphs.pageRankInt]], whose per-row `rank div
+    // out_deg` contributions make edge MULTIPLICITY the edge weight, so
+    // this is weighted TextRank in exact micro-units with a fully
+    // unrolled SQL oracle (the q_pagerank discipline). TopK is a
+    // TakeOrderedAndProject over (rank desc, term) — no global sort.
+    // Scale: one corpus scan + the bounded vocabulary-sized fixpoint
+    // (#nodes = distinct content words ≪ corpus).
+    QueryDef("text_textrank_keywords",
+      (spark, sf) => {
+        val ranks = textrankCache.getOrElseUpdate(sf, {
+          val pairs = load(spark, sf, "documents")
+            .withColumn("arr", split(lower(col("text")), " "))
+            .select(explode(expr(
+              """filter(
+                |  zip_with(arr, slice(arr, 2, size(arr)),
+                |    (x, y) -> struct(x AS src, y AS dst)),
+                |  p -> p.dst IS NOT NULL AND length(p.src) >= 4
+                |    AND length(p.dst) >= 4 AND p.src <> p.dst)"""
+                .stripMargin)).as("p"))
+            .select(col("p.src").as("src"), col("p.dst").as("dst"))
+          val und = pairs.unionByName(
+            pairs.select(col("dst").as("src"), col("src").as("dst")))
+          graft.ops.Graphs.pageRankInt(und, iters = 3)
+        })
+        ranks.select(col("node").as("term"), col("rank"))
+          .orderBy(col("rank").desc, col("term"))
+          .limit(20)
+      },
+      Some {
+        def round(k: Int) =
+          s"""r$k AS (
+             |  SELECT n.node,
+             |    CAST(150000 + (850000 * COALESCE(s.in_sum, 0)) // 1000000 AS BIGINT) AS rank
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst AS node, SUM(r.rank // d.out_deg) AS in_sum
+             |    FROM e JOIN r${k - 1} r ON e.src = r.node
+             |           JOIN deg d ON e.src = d.src
+             |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+        s"""WITH toks AS (
+           |  SELECT string_split(lower(text), ' ') AS arr FROM documents),
+           |p0 AS (
+           |  SELECT unnest(list_filter(
+           |    list_transform(generate_series(1, len(arr) - 1),
+           |      i -> {'src': arr[i], 'dst': arr[i + 1]}),
+           |    p -> len(p.src) >= 4 AND len(p.dst) >= 4
+           |      AND p.src <> p.dst)) AS p
+           |  FROM toks),
+           |pairs AS (SELECT p.src AS src, p.dst AS dst FROM p0),
+           |e AS (SELECT src, dst FROM pairs
+           |      UNION ALL SELECT dst, src FROM pairs),
+           |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+           |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)}
+           |SELECT node AS term, rank FROM r3
+           |ORDER BY rank DESC, term LIMIT 20""".stripMargin
+      }),
   )
+
+  /** Final TextRank frames memoized per sfDir — each is an eager
+    * checkpoint whose pinned blocks ARE the data, so this cache is
+    * their declared storage owner (the Relational.fixpointCache
+    * precedent).
+    */
+  private val textrankCache =
+    scala.collection.concurrent.TrieMap
+      .empty[String, org.apache.spark.sql.DataFrame]
 }

@@ -200,9 +200,12 @@ class PlanAudit extends SparkSpec {
     // adjacency exchange
     "dq_benford" -> 7,           // ONE 9-key digit agg + the 1-row total
     // attach + spine join + orderBy
-    "eval_confusion" -> 19)      // ONE (true,pred) cells agg whose lineage
+    "eval_confusion" -> 19,      // ONE (true,pred) cells agg whose lineage
     // prints per consumer (tp/truth/pred rollups + the macro re-read);
     // runtime AQE collapses the repeats to ReusedExchange
+    "text_textrank_keywords" -> 1) // the fixpoint runs eagerly (checkpointed
+    // rounds, the q_pagerank story); the gate plan is the pinned final
+    // frame + TakeOrdered — zero exchanges measured, 1 for headroom
 
   // Queries whose only nested-loop joins are the recall/bound gates'
   // crossJoins against one-row aggregates (a broadcast of a scalar —
