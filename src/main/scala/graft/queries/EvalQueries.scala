@@ -1031,32 +1031,48 @@ object EvalQueries {
           .select(col("lang"),
             graft.ops.TextOps.langIdHeuristic(col("text")).as("pred"))
           .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
-        val tp = cells.filter(col("lang") === col("pred"))
-          .groupBy(col("lang")).agg(sum(col("n")).as("tp"))
-        val truth = cells.groupBy(col("lang")).agg(sum(col("n")).as("tpfn"))
-        val pred = cells.groupBy(col("pred").as("lang"))
-          .agg(sum(col("n")).as("tpfp"))
-        val per = truth.join(tp, Seq("lang"), "left")
-          .join(pred, Seq("lang"), "left")
-          .na.fill(0L, Seq("tp", "tpfp"))
-          .select(col("lang").as("label"), col("tp"),
-            (col("tpfp") - col("tp")).as("fp"),
-            (col("tpfn") - col("tp")).as("fn"))
-          .select(col("label"), col("tp"), col("fp"), col("fn"),
-            when(col("tp") + col("fp") > 0,
-              expr("tp * 1000000 div (tp + fp)")).as("precision_ppm"),
-            expr("tp * 1000000 div (tp + fn)").as("recall_ppm"),
-            expr("2 * tp * 1000000 div (2 * tp + fp + fn)").as("f1_ppm"))
-        val macroRow = per.agg(lit("__macro__").as("label"),
-          sum(col("tp")).as("tp"), sum(col("fp")).as("fp"),
-          sum(col("fn")).as("fn"),
-          expr("sum(coalesce(precision_ppm, 0)) div count(1)")
-            .as("precision_ppm"),
-          expr("sum(recall_ppm) div count(1)").as("recall_ppm"),
-          expr("sum(f1_ppm) div count(1)").as("f1_ppm"))
-        per.unionByName(macroRow).orderBy(col("label"))
+        confusionReport(cells)
       },
-      Some("""WITH cells AS (
+      Some(ConfusionOracle)),
+  )
+
+  /** (true, predicted, n) contingency cells → the classification
+    * report: per-class tp/fp/fn and truncating ppm precision/recall/F1
+    * plus the macro row. Pure integer arithmetic on the ≤|classes|²
+    * cells frame — shared by the batch gate and its incremental
+    * streaming twin (`stream_confusion`), which maintains the SAME
+    * cells with a complete-mode streaming aggregation and folds them
+    * through this identical report.
+    */
+  private[queries] def confusionReport(cells: DataFrame): DataFrame = {
+    val tp = cells.filter(col("lang") === col("pred"))
+      .groupBy(col("lang")).agg(sum(col("n")).as("tp"))
+    val truth = cells.groupBy(col("lang")).agg(sum(col("n")).as("tpfn"))
+    val pred = cells.groupBy(col("pred").as("lang"))
+      .agg(sum(col("n")).as("tpfp"))
+    val per = truth.join(tp, Seq("lang"), "left")
+      .join(pred, Seq("lang"), "left")
+      .na.fill(0L, Seq("tp", "tpfp"))
+      .select(col("lang").as("label"), col("tp"),
+        (col("tpfp") - col("tp")).as("fp"),
+        (col("tpfn") - col("tp")).as("fn"))
+      .select(col("label"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          expr("tp * 1000000 div (tp + fp)")).as("precision_ppm"),
+        expr("tp * 1000000 div (tp + fn)").as("recall_ppm"),
+        expr("2 * tp * 1000000 div (2 * tp + fp + fn)").as("f1_ppm"))
+    val macroRow = per.agg(lit("__macro__").as("label"),
+      sum(col("tp")).as("tp"), sum(col("fp")).as("fp"),
+      sum(col("fn")).as("fn"),
+      expr("sum(coalesce(precision_ppm, 0)) div count(1)")
+        .as("precision_ppm"),
+      expr("sum(recall_ppm) div count(1)").as("recall_ppm"),
+      expr("sum(f1_ppm) div count(1)").as("f1_ppm"))
+    per.unionByName(macroRow).orderBy(col("label"))
+  }
+
+  private[queries] val ConfusionOracle =
+    """WITH cells AS (
              |  SELECT lang,
              |    CASE
              |      WHEN regexp_matches(lower(text), '[一-鿿]') THEN 'zh'
@@ -1097,6 +1113,5 @@ object EvalQueries {
              |  CAST(SUM(recall_ppm) // COUNT(*) AS BIGINT),
              |  CAST(SUM(f1_ppm) // COUNT(*) AS BIGINT)
              |FROM scored
-             |ORDER BY label""".stripMargin)),
-  )
+             |ORDER BY label""".stripMargin
 }

@@ -2193,5 +2193,38 @@ object StreamingQueries {
            |UNION ALL SELECT 'stream_ohlc_bars', ${n(Shared.OhlcOracle)}
            |ORDER BY gate""".stripMargin
       }),
+
+    // Incremental model monitoring: the multi-class confusion report
+    // maintained from a STREAM of scored documents. The (true,
+    // predicted) contingency cells are the streaming state — a
+    // complete-mode aggregation over a ≤|classes|² key domain, so
+    // state is constant-bounded at any corpus size (the metric's
+    // sufficient statistics, not the corpus, live in the store) — and
+    // the report fold itself is the IDENTICAL batch algebra as
+    // eval_confusion ([[EvalQueries.confusionReport]]) applied to the
+    // final cells frame. Same oracle as the batch gate: stream/batch
+    // parity on the full classification report.
+    QueryDef("stream_confusion",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "documents")).schema
+        val docs = spark.readStream.schema(schema)
+          .parquet(stagedDir(spark, sf, "documents"))
+        val cells = docs.select(col("lang"),
+            graft.ops.TextOps.langIdHeuristic(col("text")).as("pred"))
+          .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+        val table = s"stream_conf_${counter.incrementAndGet()}"
+        val q = cells.writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        // freeze the ≤|classes|² cells off the memory sink before the
+        // report's self-joins — MemoryPlan leaves can't deduplicate
+        // attributes across a self-join, and the frame is bounded
+        // metadata (the metric's sufficient statistics), not corpus
+        val st = spark.table(table)
+        val frozen = spark.createDataFrame(
+          java.util.Arrays.asList(st.collect(): _*), st.schema)
+        EvalQueries.confusionReport(frozen)
+      },
+      Some(EvalQueries.ConfusionOracle)),
   )
 }
