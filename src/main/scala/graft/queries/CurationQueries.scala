@@ -375,5 +375,57 @@ object CurationQueries {
         .withColumn("dp_count", col("n_events") + col("dp_noise"))
         .orderBy(col("event_type")),
       Some(Shared.DpCountsOracle)),
+
+    // USER-level DP count release with contribution bounding — the
+    // step event-level DP (privacy_dp_counts) skips: one user may
+    // contribute thousands of events, so event-level noise does not
+    // hide a USER. Each user's per-type contribution is first capped
+    // at C = 8 (the clamp that fixes user-sensitivity to C, at the
+    // price of a measured bias — `dropped_excess` audits exactly what
+    // the cap removed), then the seeded discrete-Laplace noise is
+    // scaled by C (the granular geometric mechanism: support C·ℤ,
+    // adjacent support points differ by probability factor 2, and one
+    // user moves the capped sum by at most C — so the ε = ln 2 ratio
+    // bound holds at USER granularity). All integers, bit-exact
+    // replay; the same SECURITY CONTRACT as dpGeometricNoise applies —
+    // the public "dp" salt and the emitted true values are test-gate
+    // plumbing only. Shape: ONE (user, type) shuffle collapses the
+    // corpus, a bounded per-type rollup does the rest; noise is a
+    // scan-stage expression on the tiny release frame.
+    QueryDef("privacy_dp_user_level",
+      (spark, sf) => {
+        val cap = 8L
+        val per = load(spark, sf, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("m"))
+        per.select(col("event_type"),
+            least(col("m"), lit(cap)).as("c"),
+            (col("m") - least(col("m"), lit(cap))).as("excess"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("c")).as("capped_sum"),
+            sum(col("excess")).as("dropped_excess"))
+          .withColumn("dp_noise",
+            lit(cap) * Curation.dpGeometricNoise(col("event_type"), "dp"))
+          .withColumn("dp_count", col("capped_sum") + col("dp_noise"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH per AS (
+             |  SELECT user_id, event_type, COUNT(*) AS m
+             |  FROM events GROUP BY 1, 2),
+             |g AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+             |    CAST(SUM(LEAST(m, 8)) AS BIGINT) AS capped_sum,
+             |    CAST(SUM(m - LEAST(m, 8)) AS BIGINT) AS dropped_excess
+             |  FROM per GROUP BY 1),
+             |z AS (SELECT event_type, n_users, capped_sum, dropped_excess,
+             |    (32 - length(ltrim(bin(('0x' || substr(md5(event_type || 'dp'), 1, 8))::BIGINT), '0')))
+             |  - (32 - length(ltrim(bin(('0x' || substr(md5(event_type || 'dp'), 9, 8))::BIGINT), '0')))
+             |    AS zz
+             |  FROM g)
+             |SELECT event_type, n_users, capped_sum, dropped_excess,
+             |  CAST(8 * zz AS BIGINT) AS dp_noise,
+             |  CAST(capped_sum + 8 * zz AS BIGINT) AS dp_count
+             |FROM z ORDER BY event_type""".stripMargin)),
   )
 }
