@@ -3348,5 +3348,147 @@ object Relational {
              |JOIN deg dv ON dv.u = n.v
              |WHERE n.cn >= 2
              |ORDER BY jaccard DESC, n.u, n.v LIMIT 100""".stripMargin)),
+
+    // Markov-chain (removal-effect) attribution — the data-driven
+    // multi-touch model that first/last-touch (q_attribution) cannot
+    // express: user journeys become a first-order Markov chain over
+    // touchpoint states (START → channels → CONV/NULL, truncated at the
+    // first purchase), and each channel's credit is its REMOVAL EFFECT
+    // — how much the START-state absorption probability into CONV drops
+    // when every path through that channel is failed. Shape: the corpus
+    // collapses to per-user journeys in ONE user-keyed window pass;
+    // transition counts live on a ≤|types|² frame, and the absorption
+    // fold runs on that constant-size matrix — collected to the driver
+    // as bounded metadata (≤49 cells regardless of corpus size, the
+    // 16×16 Gram-matrix precedent), NEVER a corpus collect. The fold is
+    // 12 rounds of exact integer micro-unit arithmetic (Σ c·p div n,
+    // truncating division in both engines, all values non-negative so
+    // Scala /, Spark div and DuckDB // agree), so the iterative
+    // algorithm carries a full SQL oracle — the generic (removed ×
+    // state) unrolled fold, one round table per iteration. Overflow
+    // bound: Σ c·p ≤ n(s)·1e6, BIGINT-safe to ~9e12 journeys.
+    QueryDef("q_attribution_markov",
+      (spark, sf) => {
+        val ev = load(spark, sf, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+        val fp = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(min(struct(col("ts"), col("event_id"))).as("fp"))
+        val j = ev.join(fp, Seq("user_id"), "left")
+          .filter(col("event_type") =!= "purchase" &&
+            (col("fp").isNull ||
+              struct(col("ts"), col("event_id")) < col("fp")))
+          .withColumn("conv", col("fp").isNotNull)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val seq0 = j.withColumn("nxt", lead(col("event_type"), 1).over(w))
+          .withColumn("rn", row_number().over(w))
+        val inner = seq0.select(col("event_type").as("prev"),
+          coalesce(col("nxt"),
+            when(col("conv"), "CONV").otherwise("NULL")).as("nxt"))
+        val starts = seq0.filter(col("rn") === 1)
+          .select(lit("START").as("prev"), col("event_type").as("nxt"))
+        val direct = fp.join(j.select(col("user_id")).distinct(),
+            Seq("user_id"), "left_anti")
+          .select(lit("START").as("prev"), lit("CONV").as("nxt"))
+        val c = inner.unionByName(starts).unionByName(direct)
+          .groupBy(col("prev"), col("nxt")).agg(count(lit(1)).as("c"))
+          .collect().map(r =>
+            (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+        val nOut = c.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
+        val outs = c.groupBy(_._1).map { case (s, xs) =>
+          s -> xs.map(x => (x._2, x._3)) }
+        val states = (c.map(_._1) ++ c.map(_._2)).distinct
+        val channels = c.map(_._1).distinct.filter(_ != "START").sorted
+        def absorb(removed: Option[String]): Long = {
+          var p = states.map(s =>
+            s -> (if (s == "CONV") 1000000L else 0L)).toMap
+          for (_ <- 1 to 12) p = states.map { s =>
+            s -> (if (removed.contains(s)) 0L
+              else if (s == "CONV") 1000000L
+              else if (s == "NULL") 0L
+              else outs.get(s).fold(0L)(ts =>
+                ts.map { case (t, cnt) => cnt * p(t) }.sum / nOut(s)))
+          }.toMap
+          p.getOrElse("START", 0L)
+        }
+        val base = absorb(None)
+        val eff = channels.map(ch => (ch, absorb(Some(ch))))
+          .map { case (ch, pr) => (ch, base, pr, base - pr) }
+        val tot = eff.map(_._4).sum
+        val rows = eff.map { case (ch, b, pr, e) =>
+          (ch, b, pr, e,
+            if (tot > 0) java.lang.Long.valueOf(e * 1000000L / tot)
+            else null.asInstanceOf[java.lang.Long])
+        }
+        import spark.implicits._
+        rows.toDF("channel", "base_ppm", "removal_ppm", "effect_ppm",
+            "attribution_ppm")
+          .orderBy(col("channel"))
+      },
+      Some {
+        def round(k: Int) =
+          s"""p$k AS (
+             |  SELECT b.rm, b.s,
+             |    CAST(CASE WHEN b.s = b.rm THEN 0
+             |      WHEN b.s = 'CONV' THEN 1000000
+             |      WHEN b.s = 'NULL' THEN 0
+             |      ELSE COALESCE(a.v, 0) END AS BIGINT) AS p
+             |  FROM (SELECT rm, s FROM removals CROSS JOIN states) b
+             |  LEFT JOIN (
+             |    SELECT p.rm, c.prev AS s, SUM(c.c * p.p) // MAX(n.n) AS v
+             |    FROM c JOIN p${k - 1} p ON c.nxt = p.s
+             |    JOIN n ON n.prev = c.prev
+             |    GROUP BY p.rm, c.prev) a ON a.rm = b.rm AND a.s = b.s)"""
+            .stripMargin
+        s"""WITH fp AS MATERIALIZED (
+           |  SELECT user_id, MIN({'ts': ts, 'id': event_id}) AS fp
+           |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+           |j AS MATERIALIZED (
+           |  SELECT e.user_id, e.ts, e.event_id, e.event_type,
+           |    fp.user_id IS NOT NULL AS conv
+           |  FROM events e LEFT JOIN fp ON e.user_id = fp.user_id
+           |  WHERE e.event_type <> 'purchase'
+           |    AND (fp.fp IS NULL OR {'ts': e.ts, 'id': e.event_id} < fp.fp)),
+           |seq AS MATERIALIZED (
+           |  SELECT user_id, event_type, conv,
+           |    LEAD(event_type) OVER w AS nxt,
+           |    ROW_NUMBER() OVER w AS rn
+           |  FROM j WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |tr0 AS (
+           |  SELECT event_type AS prev,
+           |    COALESCE(nxt, CASE WHEN conv THEN 'CONV' ELSE 'NULL' END) AS nxt
+           |  FROM seq
+           |  UNION ALL SELECT 'START', event_type FROM seq WHERE rn = 1
+           |  UNION ALL SELECT 'START', 'CONV' FROM fp
+           |    WHERE user_id NOT IN (SELECT DISTINCT user_id FROM j)),
+           |c AS MATERIALIZED (
+           |  SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM tr0 GROUP BY 1, 2),
+           |n AS MATERIALIZED (SELECT prev, SUM(c) AS n FROM c GROUP BY 1),
+           |states AS MATERIALIZED (
+           |  SELECT prev AS s FROM c UNION SELECT nxt FROM c),
+           |removals AS MATERIALIZED (
+           |  SELECT 'none' AS rm
+           |  UNION ALL SELECT DISTINCT prev FROM c WHERE prev <> 'START'),
+           |p0 AS (
+           |  SELECT rm, s,
+           |    CAST(CASE WHEN s = 'CONV' THEN 1000000 ELSE 0 END AS BIGINT) AS p
+           |  FROM removals CROSS JOIN states),
+           |${(1 to 12).map(round).mkString(",\n")},
+           |fin AS (SELECT rm, p FROM p12 WHERE s = 'START'),
+           |base AS (SELECT p AS pb FROM fin WHERE rm = 'none'),
+           |eff AS (
+           |  SELECT rm AS channel, pb AS base_ppm, p AS removal_ppm,
+           |    pb - p AS effect_ppm
+           |  FROM fin CROSS JOIN base WHERE rm <> 'none'),
+           |tot AS (SELECT SUM(effect_ppm) AS te FROM eff)
+           |SELECT channel, base_ppm, removal_ppm, effect_ppm,
+           |  CASE WHEN te > 0
+           |    THEN CAST(effect_ppm * 1000000 // te AS BIGINT) END
+           |    AS attribution_ppm
+           |FROM eff CROSS JOIN tot ORDER BY channel""".stripMargin
+      }),
   )
 }

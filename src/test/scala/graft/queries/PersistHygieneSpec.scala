@@ -33,8 +33,10 @@ class PersistHygieneSpec extends SparkSpec {
     "dedup_clusters_distributed", // label-prop edge/label persists, op-released
     "q_cheapest_path",       // semiring fixpoint memo (edge persist op-released)
     "eval_auc",              // shared labeled-scores cache (counted owner)
-    "sim_ann_index_append"   // ivfIndex's training persist (op-released)
+    "sim_ann_index_append",  // ivfIndex's training persist (op-released)
                              // + fresh index build/append per run
+    "text_textrank_keywords" // pageRankInt fixpoint memoized in
+                             // textrankCache (counted owner — warmed pass 1)
   )
 
   test("steady state: a second run of a query adds no persistent RDDs") {

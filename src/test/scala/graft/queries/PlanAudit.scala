@@ -203,9 +203,13 @@ class PlanAudit extends SparkSpec {
     "eval_confusion" -> 19,      // ONE (true,pred) cells agg whose lineage
     // prints per consumer (tp/truth/pred rollups + the macro re-read);
     // runtime AQE collapses the repeats to ReusedExchange
-    "text_textrank_keywords" -> 1) // the fixpoint runs eagerly (checkpointed
+    "text_textrank_keywords" -> 1, // the fixpoint runs eagerly (checkpointed
     // rounds, the q_pagerank story); the gate plan is the pinned final
     // frame + TakeOrdered — zero exchanges measured, 1 for headroom
+    "privacy_dp_user_level" -> 4,  // ONE (user,type) agg + type rollup + sort
+    "q_attribution_markov" -> 2)   // the journey window pass runs during
+    // construction (transition matrix is bounded driver metadata); the
+    // gate plan is the tiny result relation + sort
 
   // Queries whose only nested-loop joins are the recall/bound gates'
   // crossJoins against one-row aggregates (a broadcast of a scalar —
