@@ -264,6 +264,76 @@ object Etl {
              |SELECT 'history', CAST(3 AS BIGINT), CAST(3 AS BIGINT)
              |ORDER BY tag""".stripMargin)),
 
+    // Multi-table atomic publish (engine-native lakehouse extension,
+    // [[graft.drivers.TxnPublish]]): a derived-table pair (rows +
+    // their per-nation rollup) must commit together or not at all.
+    // The gate runs the WORST case: both candidates staged, the
+    // write-ahead manifest made durable, then a simulated crash after
+    // only the FIRST pointer flip — and recovery rolls the transaction
+    // forward, so the cross-table invariant (rollup totals == row
+    // count) holds at the end. All transaction machinery is
+    // O(#participants) driver metadata; the staged data was already
+    // written once by the ordinary WAP path.
+    QueryDef("etl_txn_publish",
+      (spark, sf) => {
+        import graft.drivers.{ParquetDestinationDriver, TxnPublish}
+        import graft.spec.{IdField, LongId, MigrationSpec, StringId}
+        val base = scratch("graft_txn")
+        def mkSpec(name: String, dir: String, ids: Seq[IdField]) =
+          MigrationSpec(name, source = dir, sourceDriver = "parquet",
+            destination = dir, destinationDriver = "parquet",
+            sourceIds = ids, destinationIds = ids)
+        val specA = mkSpec("txn_rows", s"$base/a",
+          Seq(IdField("id", LongId)))
+        val specB = mkSpec("txn_rollup", s"$base/b",
+          Seq(IdField("nation", LongId)))
+        val d = new ParquetDestinationDriver()
+        val cust = load(spark, sf, "customer")
+          .select(col("c_custkey").cast("long").as("id"),
+            col("c_nationkey").cast("long").as("nation"))
+        def pair(p: org.apache.spark.sql.Column)
+            : (DataFrame, DataFrame) = {
+          val rows = cust.filter(p)
+          (rows, rows.groupBy(col("nation")).agg(count(lit(1)).as("cnt")))
+        }
+        val (a0, b0) = pair(col("id") % 3 === 0)
+        d.write(a0, specA); d.write(b0, specB)              // gen0 pair
+        val (a1, b1) = pair(col("id") % 2 === 0)
+        val gA = d.stage(a1, specA)                          // candidates
+        val gB = d.stage(b1, specB)
+        TxnPublish.prepare(spark,
+          Seq((d, specA, gA), (d, specB, gB)), s"$base/txn")
+        d.publish(spark, specA, gA)     // CRASH: only one flip landed
+        val recovered = TxnPublish.recover(spark, s"$base/txn",
+          Seq((d, specA), (d, specB)))  // rolls the txn FORWARD
+        val aStats = d.snapshot(spark, specA).get
+          .agg(count(lit(1)).as("n"), sum(col("id")).as("v"))
+          .select(lit("a").as("tag"), col("n"), col("v"))
+        val bStats = d.snapshot(spark, specB).get
+          .agg(count(lit(1)).as("n_rows"), sum(col("cnt")).as("total"))
+          .select(lit("b").as("tag"), col("n_rows").as("n"),
+            col("total").as("v"))
+        val aCnt = d.snapshot(spark, specA).get.count()
+        val bTot = d.snapshot(spark, specB).get
+          .agg(sum(col("cnt"))).collect()(0).getLong(0)
+        val txnRow = spark.range(1).select(lit("txn").as("tag"),
+          lit(recovered.toLong).as("n"),
+          lit(if (aCnt == bTot) 1L else 0L).as("v"))
+        aStats.unionByName(bStats).unionByName(txnRow)
+          .orderBy(col("tag"))
+      },
+      Some("""WITH a AS (
+             |  SELECT c_custkey AS id, c_nationkey AS nation
+             |  FROM customer WHERE c_custkey % 2 = 0)
+             |SELECT 'a' AS tag, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(id) AS BIGINT) AS v FROM a
+             |UNION ALL
+             |SELECT 'b', CAST(COUNT(DISTINCT nation) AS BIGINT),
+             |  CAST(COUNT(*) AS BIGINT) FROM a
+             |UNION ALL
+             |SELECT 'txn', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+             |ORDER BY tag""".stripMargin)),
+
     // §2.3 orphan detection (left_anti): destination rows whose source
     // disappeared (`DataMigrationExecutor.php:368-382`).
     QueryDef("etl_orphan_detect",

@@ -619,4 +619,29 @@ class DriversSpec extends SparkSpec {
     assert(d.snapshotAt(spark, s, 1).get.orderBy("id").collect()
       .map(_.getString(1)).toSeq == Seq("b", "b"))
   }
+
+  test("txn publish: manifest is the commit point; recovery rolls forward; strays fail loudly") {
+    import spark.implicits._
+    val dir = scratchDir("pq_txn")
+    val (sa, sb) = (mkSpec("n/a", s"$dir/a"), mkSpec("n/a", s"$dir/b"))
+    val d = new ParquetDestinationDriver
+    d.write(Seq((1L, "old")).toDF("id", "v"), sa)
+    d.write(Seq((1L, "old")).toDF("id", "v"), sb)
+    val (ga, gb) = (d.stage(Seq((1L, "new")).toDF("id", "v"), sa),
+      d.stage(Seq((1L, "new")).toDF("id", "v"), sb))
+    // nothing durable yet: recover is a no-op, staged gens invisible
+    assert(TxnPublish.recover(spark, s"$dir/txn", Seq((d, sa), (d, sb))) == 0)
+    assert(d.snapshot(spark, sa).get.collect()(0).getString(1) == "old")
+    // prepare then crash before ANY flip: recovery completes both
+    TxnPublish.prepare(spark, Seq((d, sa, ga), (d, sb, gb)), s"$dir/txn")
+    assert(TxnPublish.recover(spark, s"$dir/txn", Seq((d, sa), (d, sb))) == 1)
+    assert(d.snapshot(spark, sa).get.collect()(0).getString(1) == "new")
+    assert(d.snapshot(spark, sb).get.collect()(0).getString(1) == "new")
+    // second recover: manifest retired, nothing to redo
+    assert(TxnPublish.recover(spark, s"$dir/txn", Seq((d, sa), (d, sb))) == 0)
+    // a manifest naming an unknown destination must fail loudly
+    TxnPublish.prepare(spark, Seq((d, sb, gb)), s"$dir/txn")
+    assertThrows[IllegalStateException](
+      TxnPublish.recover(spark, s"$dir/txn", Seq((d, sa))))
+  }
 }
