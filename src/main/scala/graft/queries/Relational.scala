@@ -3349,6 +3349,76 @@ object Relational {
              |WHERE n.cn >= 2
              |ORDER BY jaccard DESC, n.u, n.v LIMIT 100""".stripMargin)),
 
+    // Hour-of-day seasonal index — the multiplicative seasonality
+    // profile (retail "hour curve") that complements the trend
+    // (q_rolling_regression), smoothing (q_exp_smoothing /
+    // q_holt_winters) and persistence (q_autocorr) diagnostics: for
+    // each event type and hour-of-day h, the ratio of the mean count
+    // in bucket h to the overall mean, in ppm. Built on the SAME dense
+    // calendar spine as q_autocorr (absent hours are zeros — the
+    // calendar is the series, so a quiet 3 AM deflates the index
+    // instead of vanishing), which one fact shuffle produces; the
+    // 24-bucket rollup is calendar-bounded. The index is one exact
+    // integer expression — (sum_h · N_hours · 1e6) div (n_h · S_total)
+    // — accumulated in DECIMAL(38,0)/HUGEINT (the q_autocorr
+    // discipline), exact far past any real corpus, and truncating
+    // division agrees across engines.
+    QueryDef("q_seasonality",
+      (spark, sf) => {
+        val hourly = load(spark, sf, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("hx"))
+          .groupBy(col("event_type"), col("hx"))
+          .agg(count(lit(1)).as("y"))
+        val dense = hourly.groupBy(col("event_type"))
+          .agg(min(col("hx")).as("mn"), max(col("hx")).as("mx"))
+          .select(col("event_type"), explode(expr("sequence(mn, mx)")).as("hx"))
+          .join(hourly, Seq("event_type", "hx"), "left")
+          .select(col("event_type"), col("hx"),
+            coalesce(col("y"), lit(0L)).as("y"))
+        val buckets = dense
+          .groupBy(col("event_type"), (col("hx") % 24).as("hod"))
+          .agg(count(lit(1)).as("n_hours"), sum(col("y")).as("sum_y"))
+        val totals = buckets.groupBy(col("event_type"))
+          .agg(sum(col("n_hours")).as("nn"), sum(col("sum_y")).as("ss"))
+        buckets.join(totals, Seq("event_type"))
+          .filter(col("ss") > 0)
+          .select(col("event_type"), col("hod"), col("n_hours"),
+            col("sum_y"),
+            expr("CAST(sum_y AS DECIMAL(38,0)) * nn * 1000000" +
+              " div (CAST(n_hours AS DECIMAL(38,0)) * ss)")
+              .cast("long").as("seasonal_ppm"))
+          .orderBy(col("event_type"), col("hod"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type,
+             |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS hx,
+             |    CAST(COUNT(*) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2),
+             |bounds AS (
+             |  SELECT event_type, MIN(hx) AS mn, MAX(hx) AS mx
+             |  FROM hourly GROUP BY 1),
+             |dense AS (
+             |  SELECT s.event_type, s.hx, COALESCE(h.y, 0) AS y
+             |  FROM (SELECT event_type, unnest(generate_series(mn, mx)) AS hx
+             |        FROM bounds) s
+             |  LEFT JOIN hourly h
+             |    ON s.event_type = h.event_type AND s.hx = h.hx),
+             |b AS (
+             |  SELECT event_type, hx % 24 AS hod,
+             |    CAST(COUNT(*) AS BIGINT) AS n_hours,
+             |    CAST(SUM(y) AS BIGINT) AS sum_y
+             |  FROM dense GROUP BY 1, 2),
+             |t AS (SELECT event_type, SUM(n_hours) AS nn, SUM(sum_y) AS ss
+             |      FROM b GROUP BY 1)
+             |SELECT b.event_type, b.hod, b.n_hours, b.sum_y,
+             |  CAST(CAST(b.sum_y AS HUGEINT) * t.nn * 1000000
+             |    // (CAST(b.n_hours AS HUGEINT) * t.ss) AS BIGINT)
+             |    AS seasonal_ppm
+             |FROM b JOIN t USING (event_type)
+             |WHERE t.ss > 0
+             |ORDER BY event_type, hod""".stripMargin)),
+
     // Markov-chain (removal-effect) attribution — the data-driven
     // multi-touch model that first/last-touch (q_attribution) cannot
     // express: user journeys become a first-order Markov chain over

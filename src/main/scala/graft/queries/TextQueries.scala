@@ -1960,6 +1960,33 @@ object TextQueries {
               |  CAST(SUM(toks) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_toks
               |FROM j GROUP BY host ORDER BY host""".stripMargin)),
 
+    // Weighted sampling without replacement — priority sampling
+    // (Duffield–Lund–Thorup): each document draws a deterministic
+    // 48-bit uniform u from md5(doc_id) and competes with key
+    // u div w (w = char length), so P(selected) scales with weight and
+    // the bottom-k by (key, doc_id) IS the weighted sample — the
+    // length-proportional pick a mixture builder wants when token
+    // budget, not doc count, is the resource. Contrast: text_sample is
+    // the UNIFORM hash sample; text_stratified/budget_select quota by
+    // group — this one is weight-proportional at the item level.
+    // Exact integer keys (truncating division agrees across engines),
+    // ONE scan, and the global bottom-k is a TakeOrderedAndProject —
+    // no global sort, no window, constant driver memory.
+    QueryDef("text_priority_sample",
+      (spark, sf) => load(spark, sf, "documents")
+        .select(col("doc_id"),
+          greatest(col("n_chars").cast("long"), lit(1L)).as("w"),
+          expr("conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)")
+            .cast("long").as("u"))
+        .select(col("doc_id"), col("w"), expr("u div w").as("pkey"))
+        .orderBy(col("pkey"), col("doc_id"))
+        .limit(200),
+      Some("""SELECT doc_id, GREATEST(CAST(n_chars AS BIGINT), 1) AS w,
+             |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+             |    // GREATEST(CAST(n_chars AS BIGINT), 1) AS pkey
+             |FROM documents
+             |ORDER BY pkey, doc_id LIMIT 200""".stripMargin)),
+
     // TextRank keyword extraction — the unsupervised keyword primitive
     // (Mihalcea & Tarau 2004): a PageRank fixpoint over the word
     // co-occurrence graph, composed from two tiers this engine already

@@ -207,9 +207,14 @@ class PlanAudit extends SparkSpec {
     // rounds, the q_pagerank story); the gate plan is the pinned final
     // frame + TakeOrdered — zero exchanges measured, 1 for headroom
     "privacy_dp_user_level" -> 4,  // ONE (user,type) agg + type rollup + sort
-    "q_attribution_markov" -> 2)   // the journey window pass runs during
+    "q_attribution_markov" -> 2,   // the journey window pass runs during
     // construction (transition matrix is bounded driver metadata); the
     // gate plan is the tiny result relation + sort
+    "q_seasonality" -> 9,          // ONE (type,hour) fact agg; spine +
+    // 24-bucket rollup + totals attach on the tiny hourly frame
+    // (lineage prints per reference — runtime AQE reuses)
+    "text_priority_sample" -> 1)   // scan-stage keys + TakeOrdered only
+    // (zero exchanges measured, 1 for headroom)
 
   // Queries whose only nested-loop joins are the recall/bound gates'
   // crossJoins against one-row aggregates (a broadcast of a scalar —
