@@ -975,6 +975,87 @@ object DedupQueries {
              |WHERE levenshtein(a_name, b_name) <= 2
              |ORDER BY a_key, b_key""".stripMargin)),
 
+    // Blocking-scheme evaluation — the ER-methodology audit (pairs
+    // completeness + reduction ratio, Christen's standard pair) that
+    // tells you whether a blocking key is SAFE before you trust any
+    // linkage built on it: er_levenshtein_join's suffix-4 scheme is
+    // scored against the scenario's known ground truth (every dirty
+    // row derives from exactly one clean row, b_key = a_key + 2e7 —
+    // truth is free by construction, the standard benchmark trick).
+    // Reduction ratio needs |clean|·|dirty|, a product that leaves
+    // BIGINT near ~3e9 rows per side, so the ratio is computed in
+    // DECIMAL(38,0)/HUGEINT (the q_ab_test discipline). Everything
+    // else is counting on the blocked candidate set — the SAME
+    // bounded join the linkage itself runs, never the quadratic
+    // pair space being measured. One row out, all exact integers.
+    QueryDef("er_blocking_eval",
+      (spark, sf) => {
+        val clean = load(spark, sf, "customer")
+          .select(col("c_custkey").as("a_key"), col("c_name").as("a_name"))
+        val dirty = load(spark, sf, "customer")
+          .filter(col("c_custkey") % 5 === 0)
+          .select((col("c_custkey") + 20000000L).as("b_key"),
+            expr("""concat(
+                substring(c_name, 1, cast(c_custkey % 8 as int) + 3),
+                substring(c_name, cast(c_custkey % 8 as int) + 5, 1),
+                substring(c_name, cast(c_custkey % 8 as int) + 7))""")
+              .as("b_name"))
+        val cand = clean.withColumn("blk", expr("right(a_name, 4)"))
+          .join(dirty.withColumn("blk", expr("right(b_name, 4)")), Seq("blk"))
+          .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+          .withColumn("truth",
+            (col("b_key") === col("a_key") + 20000000L).cast("long"))
+        val cs = cand.agg(count(lit(1)).as("n_cand"),
+          sum(col("truth")).as("blocked_true"),
+          sum(when(col("dist") <= 2, 1L).otherwise(0L)).as("n_matched"),
+          sum(when(col("dist") <= 2, col("truth")).otherwise(0L)).as("tp"))
+        val tot = clean.agg(count(lit(1)).as("n_clean"))
+          .crossJoin(dirty.agg(count(lit(1)).as("n_dirty")))
+        cs.crossJoin(tot)
+          .select(col("n_clean"), col("n_dirty"),
+            col("n_dirty").as("n_true"), col("n_cand"),
+            col("blocked_true"), col("n_matched"), col("tp"),
+            expr("blocked_true * 1000000 div n_dirty")
+              .as("completeness_ppm"),
+            expr("CAST(1000000 - CAST(n_cand AS DECIMAL(38,0)) * 1000000" +
+              " div (CAST(n_clean AS DECIMAL(38,0)) * n_dirty) AS BIGINT)")
+              .as("reduction_ppm"),
+            expr("tp * 1000000 div n_matched").as("precision_ppm"),
+            expr("tp * 1000000 div n_dirty").as("recall_ppm"))
+      },
+      Some("""WITH clean AS (SELECT c_custkey a_key, c_name a_name FROM customer),
+             |dirty AS (
+             |  SELECT c_custkey + 20000000 b_key,
+             |    substr(c_name, 1, c_custkey % 8 + 3)
+             |      || substr(c_name, c_custkey % 8 + 5, 1)
+             |      || substr(c_name, c_custkey % 8 + 7) AS b_name
+             |  FROM customer WHERE c_custkey % 5 = 0),
+             |cand AS (
+             |  SELECT a_key, b_key, levenshtein(a_name, b_name) AS dist,
+             |    CASE WHEN b_key = a_key + 20000000 THEN 1 ELSE 0 END AS truth
+             |  FROM clean JOIN dirty ON right(a_name, 4) = right(b_name, 4)),
+             |cs AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cand,
+             |    CAST(SUM(truth) AS BIGINT) AS blocked_true,
+             |    CAST(SUM(CASE WHEN dist <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_matched,
+             |    CAST(SUM(CASE WHEN dist <= 2 THEN truth ELSE 0 END) AS BIGINT)
+             |      AS tp
+             |  FROM cand),
+             |tot AS (
+             |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM clean) AS n_clean,
+             |    (SELECT CAST(COUNT(*) AS BIGINT) FROM dirty) AS n_dirty)
+             |SELECT n_clean, n_dirty, n_dirty AS n_true, n_cand,
+             |  blocked_true, n_matched, tp,
+             |  CAST(blocked_true * 1000000 // n_dirty AS BIGINT)
+             |    AS completeness_ppm,
+             |  CAST(1000000 - CAST(n_cand AS HUGEINT) * 1000000
+             |    // (CAST(n_clean AS HUGEINT) * n_dirty) AS BIGINT)
+             |    AS reduction_ppm,
+             |  CAST(tp * 1000000 // n_matched AS BIGINT) AS precision_ppm,
+             |  CAST(tp * 1000000 // n_dirty AS BIGINT) AS recall_ppm
+             |FROM cs CROSS JOIN tot""".stripMargin)),
+
     // Streaming twin of the SymSpell linkage — master-data dedup at
     // ingest: the CLEAN registry's deletion-variant index builds once
     // as the static side; each ARRIVING dirty record joins it

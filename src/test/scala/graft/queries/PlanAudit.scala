@@ -213,8 +213,10 @@ class PlanAudit extends SparkSpec {
     "q_seasonality" -> 9,          // ONE (type,hour) fact agg; spine +
     // 24-bucket rollup + totals attach on the tiny hourly frame
     // (lineage prints per reference — runtime AQE reuses)
-    "text_priority_sample" -> 1)   // scan-stage keys + TakeOrdered only
+    "text_priority_sample" -> 1,   // scan-stage keys + TakeOrdered only
     // (zero exchanges measured, 1 for headroom)
+    "er_blocking_eval" -> 7)       // the suffix-block equi-join + its
+    // one-row stats agg + the two 1-row totals attaches
 
   // Queries whose only nested-loop joins are the recall/bound gates'
   // crossJoins against one-row aggregates (a broadcast of a scalar —
@@ -265,7 +267,9 @@ class PlanAudit extends SparkSpec {
     // spine — a bounded-constant fan-out, not a quadratic join
     "q_autocorr" -> 1,
     // the 1-row total-orders attach on the 9-row digit frame
-    "dq_benford" -> 1)
+    "dq_benford" -> 1,
+    // the two 1-row totals attaches (cand stats × clean × dirty counts)
+    "er_blocking_eval" -> 2)
 
   test("q_skew_aqe_join: AQE splits the hot partition (structural isSkewJoin)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
