@@ -728,6 +728,44 @@ object Similarity {
     topKRanked(cand.withColumn("sim", cosine(col("qv"), col("cv"))), k)
   }
 
+  /** Range search (all neighbors within a cosine radius) for a probe
+    * set — the "every vector within τ of these queries" serving shape
+    * that top-k ANN cannot express (k is unknown; the answer IS the
+    * neighborhood). Candidates come from the same multi-band signature
+    * join as [[lshTopK]] (shuffle keyed on (band, bucket), per-probe
+    * work O(bucket), never a corpus × probes product); the exact fused
+    * [[cosine]] verify keeps pairs ≥ `minSim`, so emitted sims are
+    * always exact — banding only bounds WHICH pairs get scored, and
+    * recall is the tunable (bands × bits vs τ, the [[cosinePairs]]
+    * economics note applies verbatim).
+    */
+  def lshRange(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, minSim: Double,
+      dim: Int, bands: Int = 32, bitsPerBand: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, bands * bitsPerBand, seed)
+    def banded(df: DataFrame, id: String, vec: String): DataFrame =
+      signatures(df, id, vec, planes)
+        .select(col(id), col(vec),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("sig"), b * bitsPerBand)
+                .bitwiseAND((1L << bitsPerBand) - 1).as("bucket"))): _*)).as("bb"))
+        .select(col(id), col(vec), col("bb.band"), col("bb.bucket"))
+    val c = banded(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv")), "neighbor_id", "cv")
+    val q = banded(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")), "query_id", "qv")
+    c.join(q, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
+      .distinct()
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .filter(col("sim") >= minSim)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+  }
+
   /** Semantic dedup pairs, SemDeDup-style (Abbas et al. 2023): k-means
     * the corpus embeddings, then compare ONLY within each cluster with
     * exact cosine — the clustering turns an O(N²) all-pairs problem into

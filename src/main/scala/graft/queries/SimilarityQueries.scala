@@ -183,6 +183,66 @@ object SimilarityQueries {
           corpus, queries, "vec_id", "embedding", k = 5, dim = 64)),
       Some(RecallGateOracle)),
 
+    // RANGE search (every neighbor within a cosine radius,
+    // [[Similarity.lshRange]]) — the serving shape top-k cannot
+    // express: the answer is the τ-neighborhood itself, whatever its
+    // size. The gate measures the LSH path's recall against the exact
+    // truth (broadcast probe set × ONE corpus scan — the deliberate
+    // sim_cosine_topk serving economics) and emits the per-probe
+    // exact neighborhood SIZES only when recall ≥ 0.9, so the output
+    // is fully SQL-replayable while the approximate path is judged
+    // in-query. τ = 0.35 with 32×2-bit bands is the VERIFICATION
+    // configuration (this corpus's embeddings are near-orthogonal —
+    // τ ≥ 0.5 neighborhoods are empty — and low τ is LSH-hostile, the
+    // cosinePairs economics note): production dedup-grade radii
+    // (τ ≥ 0.8) run coarse 6–8-bit bands at true bucket cost.
+    QueryDef("sim_range_search",
+      (spark, sf) => {
+        val corpus = load(spark, sf, "embeddings")
+        val probes = corpus.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val tau = 0.35
+        val truth = corpus.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("sim", Similarity.cosine(col("qv"), col("embedding")))
+          .filter(col("sim") >= tau)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        val found = Similarity.lshRange(corpus, probes
+            .select(col("query_id").as("vec_id"), col("qv").as("embedding")),
+          "vec_id", "embedding", minSim = tau, dim = 64)
+          .select(col("query_id"), col("neighbor_id"))
+        val gate = truth.join(found, Seq("query_id", "neighbor_id"),
+            "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+          .select((col("n_true") === 0 ||
+            col("n_hit") * 10L >= col("n_true") * 9L).as("ok"))
+        probes.select(col("query_id"))
+          .join(truth.groupBy(col("query_id"))
+            .agg(count(lit(1)).as("n_neighbors")), Seq("query_id"), "left")
+          .na.fill(0L, Seq("n_neighbors"))
+          .crossJoin(broadcast(gate))
+          .filter(col("ok"))
+          .select(col("query_id"), col("n_neighbors"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+             |p AS (SELECT vec_id AS query_id, v AS qv FROM c
+             |      WHERE vec_id < 10),
+             |t AS (
+             |  SELECT p.query_id, c.vec_id AS neighbor_id
+             |  FROM p JOIN c ON c.vec_id <> p.query_id
+             |  WHERE list_dot_product(p.qv, c.v)
+             |    / (sqrt(list_dot_product(p.qv, p.qv))
+             |       * sqrt(list_dot_product(c.v, c.v))) >= 0.35)
+             |SELECT p.query_id,
+             |  CAST(COALESCE(n.n, 0) AS BIGINT) AS n_neighbors
+             |FROM p LEFT JOIN (
+             |  SELECT query_id, COUNT(*) AS n FROM t GROUP BY 1) n
+             |  USING (query_id)
+             |ORDER BY query_id""".stripMargin)),
+
     // ANN via product quantization + ADC + exact re-rank: the
     // memory-bound tier (m bytes per vector instead of 4·dim; pair
     // scoring is m table lookups). Knobs sized by a cross-SF recall

@@ -215,8 +215,11 @@ class PlanAudit extends SparkSpec {
     // (lineage prints per reference — runtime AQE reuses)
     "text_priority_sample" -> 1,   // scan-stage keys + TakeOrdered only
     // (zero exchanges measured, 1 for headroom)
-    "er_blocking_eval" -> 7)       // the suffix-block equi-join + its
+    "er_blocking_eval" -> 7,       // the suffix-block equi-join + its
     // one-row stats agg + the two 1-row totals attaches
+    "sim_range_search" -> 18)      // banded (band,bucket) candidate join
+    // + exact-truth lineage printed per reference (semi-join, totals,
+    // per-probe counts) + the recall gate attach — AQE reuses at runtime
 
   // Queries whose only nested-loop joins are the recall/bound gates'
   // crossJoins against one-row aggregates (a broadcast of a scalar —
@@ -269,7 +272,11 @@ class PlanAudit extends SparkSpec {
     // the 1-row total-orders attach on the 9-row digit frame
     "dq_benford" -> 1,
     // the two 1-row totals attaches (cand stats × clean × dirty counts)
-    "er_blocking_eval" -> 2)
+    "er_blocking_eval" -> 2,
+    // the broadcast of the bounded probe set against the corpus scan
+    // (the deliberate exact-truth serving shape, printed once per
+    // textual reference of the truth lineage) + the 1-row recall gate
+    "sim_range_search" -> 5)
 
   test("q_skew_aqe_join: AQE splits the hot partition (structural isSkewJoin)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
