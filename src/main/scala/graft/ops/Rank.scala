@@ -137,6 +137,58 @@ object Rank {
       }, schema)
   }
 
+  /** Append, for each long column in `valueCols` (nulls add 0), its
+    * INCLUSIVE running sum under the total order `sortCols` — the
+    * distributed cumulative-distribution primitive: `SUM(v) OVER
+    * (ORDER BY … ROWS UNBOUNDED PRECEDING)` without the
+    * single-partition window it would plan as. Same range shuffle +
+    * O(partitions) prefix-seed broadcast + re-count tripwire as
+    * [[rankGlobal]]; all columns share ONE pass, so a CDF pair (the
+    * KS-test shape) costs exactly one sort.
+    */
+  def runningSumsInclusive(
+      df: DataFrame, sortCols: Seq[Column], valueCols: Seq[String],
+      outSuffix: String = "_cum"): DataFrame = {
+    val spark = df.sparkSession
+    val ordered = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val rdd = ordered.rdd // ONE instance: both jobs below share its shuffle
+    val idxs = valueCols.map(ordered.schema.fieldIndex).toArray
+    val partStats = rdd.mapPartitionsWithIndex { case (pi, it) =>
+      val sums = Array.fill(idxs.length)(0L)
+      var n = 0L
+      it.foreach { r =>
+        n += 1L
+        var i = 0
+        while (i < idxs.length) {
+          if (!r.isNullAt(idxs(i))) sums(i) += r.getLong(idxs(i))
+          i += 1
+        }
+      }
+      Iterator(pi -> ((sums, n)))
+    }.collect().sortBy(_._1).map(_._2)
+    val prefixes = partStats.map(_._1).scanLeft(Array.fill(idxs.length)(0L)) {
+      (acc, cur) => acc.zip(cur).map { case (a, b) => a + b }
+    }
+    val offsets = spark.sparkContext.broadcast(prefixes)
+    val expected = spark.sparkContext.broadcast(partStats.map(_._2))
+    val schema = StructType(ordered.schema.fields ++
+      valueCols.map(c => StructField(c + outSuffix, LongType)))
+    spark.createDataFrame(
+      rdd.mapPartitionsWithIndex { case (pi, it) =>
+        counted(it, expected.value(pi), pi, "runningSumsInclusive") { rows =>
+          val run = offsets.value(pi).clone()
+          rows.map { row =>
+            var i = 0
+            while (i < idxs.length) {
+              if (!row.isNullAt(idxs(i))) run(i) += row.getLong(idxs(i))
+              i += 1
+            }
+            Row.fromSeq(row.toSeq ++ run.toSeq)
+          }
+        }
+      }, schema)
+  }
+
   /** SQL NTILE semantics from an exact rank: with n rows and b buckets,
     * the first n % b buckets hold n/b + 1 rows, the rest n/b. Pure
     * integer arithmetic — replayable verbatim by any SQL engine's

@@ -3349,6 +3349,83 @@ object Relational {
              |WHERE n.cn >= 2
              |ORDER BY jaccard DESC, n.u, n.v LIMIT 100""".stripMargin)),
 
+    // Two-sample Kolmogorov–Smirnov test — the distribution-drift
+    // primitive next to q_chi_square (categorical) and q_ab_test
+    // (proportions): does order value distribute differently for
+    // BUILDING-segment customers? D is the max CDF gap, computed
+    // EXACTLY: per-cents counts collapse the corpus in one shuffle,
+    // both groups' CDFs come from ONE distributed inclusive prefix-sum
+    // pass ([[graft.ops.Rank.runningSumsInclusive]] — a range-
+    // partitioned sort + O(partitions) seeds, never the
+    // single-partition window the textbook SQL plans), and the gap is
+    // the integer |c1·n2 − c2·n1| (implicitly scaled by n1·n2). The
+    // α=0.05 decision is the pure cross-multiplied integer comparison
+    // D_num²·10⁶ ≥ 1844164·(n1+n2)·n1·n2 (1.358² = 1.844164) in
+    // DECIMAL(38)/HUGEINT; its exact domain (D_num²·10⁶ inside 38
+    // digits) holds to ~5·10⁷ orders per side, and the guard below
+    // fails LOUDLY past a 10×-margined pre-check instead of silently
+    // NULLing (the q_ab_test discipline). Displayed D is the one final
+    // double division.
+    QueryDef("q_ks_test",
+      (spark, sf) => {
+        val j = load(spark, sf, "orders")
+          .join(load(spark, sf, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(cents(col("o_totalprice")).as("v"),
+            when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+              .as("g"))
+        val per = j.groupBy(col("v"))
+          .agg(sum(col("g")).as("n1"),
+            (count(lit(1)) - sum(col("g"))).as("n2"))
+        val tot = per.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+        val cum = graft.ops.Rank.runningSumsInclusive(
+          per, Seq(col("v")), Seq("n1", "n2"))
+        cum.crossJoin(broadcast(tot))
+          .select(col("t1"), col("t2"),
+            abs(col("n1_cum") * col("t2") - col("n2_cum") * col("t1"))
+              .as("gap"))
+          .groupBy(col("t1"), col("t2"))
+          .agg(max(col("gap")).as("d_num"))
+          .select(col("t1").as("n1"), col("t2").as("n2"), col("d_num"),
+            round(col("d_num").cast("double") /
+              (col("t1").cast("double") * col("t2")), 6).as("d"),
+            expr("""CASE WHEN CAST(d_num AS DOUBLE) * d_num > 1e31
+              |  OR CAST(t1 + t2 AS DOUBLE) * t1 * t2 > 1e31
+              |  THEN CAST(raise_error(CONCAT('q_ks_test: counts exceed ',
+              |    'the DECIMAL(38) exact-decision domain (~5e7 orders ',
+              |    'per side) - shard or decide on the double D')) AS INT)
+              |  ELSE CAST(CAST(d_num AS DECIMAL(38,0)) * d_num * 1000000
+              |    >= CAST(1844164 AS DECIMAL(38,0)) * (t1 + t2) * t1 * t2
+              |    AS INT)
+              |END""".stripMargin).as("significant"))
+      },
+      Some("""WITH j AS (
+             |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |per AS (
+             |  SELECT v, CAST(SUM(g) AS BIGINT) AS n1,
+             |    CAST(COUNT(*) - SUM(g) AS BIGINT) AS n2
+             |  FROM j GROUP BY v),
+             |tot AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1,
+             |               CAST(SUM(n2) AS BIGINT) AS t2 FROM per),
+             |cum AS (
+             |  SELECT v, SUM(n1) OVER w AS c1, SUM(n2) OVER w AS c2
+             |  FROM per
+             |  WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+             |gap AS (
+             |  SELECT t1, t2,
+             |    MAX(ABS(CAST(c1 AS BIGINT) * t2 - CAST(c2 AS BIGINT) * t1))
+             |      AS d_num
+             |  FROM cum CROSS JOIN tot GROUP BY t1, t2)
+             |SELECT t1 AS n1, t2 AS n2, CAST(d_num AS BIGINT) AS d_num,
+             |  ROUND(CAST(d_num AS DOUBLE)
+             |    / (CAST(t1 AS DOUBLE) * t2), 6) AS d,
+             |  CAST(CAST(d_num AS HUGEINT) * d_num * 1000000
+             |    >= CAST(1844164 AS HUGEINT) * (t1 + t2) * t1 * t2
+             |    AS INT) AS significant
+             |FROM gap""".stripMargin)),
+
     // Hour-of-day seasonal index — the multiplicative seasonality
     // profile (retail "hour curve") that complements the trend
     // (q_rolling_regression), smoothing (q_exp_smoothing /

@@ -99,4 +99,21 @@ class RankSpec extends SparkSpec {
       assert(got == expect, s"parts=$parts: $got vs $expect")
     }
   }
+
+  test("runningSumsInclusive matches the sequential CDF pair, any partitioning") {
+    import spark.implicits._
+    val vals = Seq((1L, 2L, 0L), (2L, 0L, 3L), (3L, 1L, 1L), (4L, 5L, 0L),
+      (5L, 0L, 0L), (6L, 2L, 7L))
+    for (parts <- Seq(1, 3, 5)) {
+      val df = vals.toDF("v", "a", "b").repartition(parts)
+      val got = Rank.runningSumsInclusive(df, Seq(col("v")), Seq("a", "b"))
+        .orderBy(col("v")).select("v", "a_cum", "b_cum")
+        .as[(Long, Long, Long)].collect().toSeq
+      val expect = vals.indices.map { i =>
+        val pre = vals.take(i + 1)
+        (vals(i)._1, pre.map(_._2).sum, pre.map(_._3).sum)
+      }
+      assert(got == expect, s"parts=$parts: $got vs $expect")
+    }
+  }
 }

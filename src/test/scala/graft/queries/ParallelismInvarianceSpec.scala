@@ -31,7 +31,9 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "q_macd_signal",      // same sorted-fold contract, crossover counter
     "dedup_cdc_chunks",   // scan-stage chunk fold + fingerprint aggregation
     "sim_binary_hamming", // bounded-heap top-k under integer-distance ties
-    "eval_bleu")          // clipped n-gram multiset sums across widths
+    "eval_bleu",          // clipped n-gram multiset sums across widths
+    "q_ks_test")          // runningSumsInclusive prefix seeds from
+                          // partition offsets
   // q_cheapest_path / q_widest_path are NOT here: their fixpoint frames
   // are memoized per sfDir, so a second width would compare the cache
   // against itself — OpsSpec pins the semiring ops' partitioning

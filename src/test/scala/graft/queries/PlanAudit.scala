@@ -217,9 +217,11 @@ class PlanAudit extends SparkSpec {
     // (zero exchanges measured, 1 for headroom)
     "er_blocking_eval" -> 7,       // the suffix-block equi-join + its
     // one-row stats agg + the two 1-row totals attaches
-    "sim_range_search" -> 18)      // banded (band,bucket) candidate join
+    "sim_range_search" -> 18,      // banded (band,bucket) candidate join
     // + exact-truth lineage printed per reference (semi-join, totals,
     // per-probe counts) + the recall gate attach — AQE reuses at runtime
+    "q_ks_test" -> 6)              // orders⋈customer + per-cents agg +
+    // the prefix-sum range exchange (LogicalRDD) + totals attach
 
   // Queries whose only nested-loop joins are the recall/bound gates'
   // crossJoins against one-row aggregates (a broadcast of a scalar —
@@ -276,7 +278,9 @@ class PlanAudit extends SparkSpec {
     // the broadcast of the bounded probe set against the corpus scan
     // (the deliberate exact-truth serving shape, printed once per
     // textual reference of the truth lineage) + the 1-row recall gate
-    "sim_range_search" -> 5)
+    "sim_range_search" -> 5,
+    // the 1-row group-totals attach on the per-cents CDF frame
+    "q_ks_test" -> 1)
 
   test("q_skew_aqe_join: AQE splits the hot partition (structural isSkewJoin)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
