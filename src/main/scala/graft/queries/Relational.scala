@@ -3349,6 +3349,87 @@ object Relational {
              |WHERE n.cn >= 2
              |ORDER BY jaccard DESC, n.u, n.v LIMIT 100""".stripMargin)),
 
+    // Kaplan–Meier survival curve — the censoring-aware time-to-churn
+    // estimator (the product-limit estimator, Kaplan & Meier 1958)
+    // that a naive churn rate gets wrong: users still active at the
+    // observation horizon are CENSORED (they leave the risk set
+    // without counting as churn), never "not churned yet" noise.
+    // Duration = days between a user's first and last event; churn =
+    // last activity more than 7 days before the corpus horizon. The
+    // corpus collapses in ONE user-keyed shuffle; the per-duration
+    // frame is calendar-bounded (≤ #distinct durations), and the
+    // product limit Ŝ(t) = Π (1 − dᵢ/nᵢ) folds over it in integer
+    // micro-units via a sorted-array aggregate (the q_holt_winters
+    // fold discipline — deterministic order, truncating division both
+    // engines; the oracle replays it as a recursive CTE). Risk sets
+    // come from the SAME fold (nᵢ = total − processed), so no suffix
+    // window is ever planned. sᵢ·nᵢ ≤ 10⁶·|users| keeps the fold
+    // BIGINT-exact to ~9·10¹² users.
+    QueryDef("q_survival",
+      (spark, sf) => {
+        val per = load(spark, sf, "events")
+          .groupBy(col("user_id"))
+          .agg(min(expr("unix_micros(ts)")).as("f"),
+            max(expr("unix_micros(ts)")).as("l"))
+        val gl = per.agg(max(col("l")).as("gmax"))
+        val byT = per.crossJoin(broadcast(gl))
+          .select(expr("(l - f) div 86400000000").as("t"),
+            when(col("l") < col("gmax") - 604800000000L, 1L)
+              .otherwise(0L).as("churn"))
+          .groupBy(col("t"))
+          .agg(count(lit(1)).as("n_at"), sum(col("churn")).as("d"))
+        val tot = byT.agg(sum(col("n_at")).as("tot"))
+        byT.crossJoin(broadcast(tot))
+          .groupBy(col("tot"))
+          .agg(expr("sort_array(collect_list(struct(t, n_at, d)))").as("xs"))
+          .select(explode(expr(
+            """aggregate(xs,
+              |  named_struct('cum', 0L, 's', 1000000L,
+              |    'out', CAST(array() AS
+              |      ARRAY<STRUCT<t: BIGINT, n_risk: BIGINT,
+              |                   d: BIGINT, s_ppm: BIGINT>>)),
+              |  (acc, x) -> named_struct(
+              |    'cum', acc.cum + x.n_at,
+              |    's', acc.s * (tot - acc.cum - x.d) div (tot - acc.cum),
+              |    'out', array_append(acc.out, named_struct(
+              |      't', x.t, 'n_risk', tot - acc.cum, 'd', x.d,
+              |      's_ppm', acc.s * (tot - acc.cum - x.d)
+              |        div (tot - acc.cum)))),
+              |  acc -> acc.out)""".stripMargin)).as("r"))
+          .select(col("r.t").as("t_days"), col("r.n_risk"), col("r.d"),
+            col("r.s_ppm"))
+          .orderBy(col("t_days"))
+      },
+      Some("""WITH RECURSIVE per AS (
+             |  SELECT user_id, MIN(epoch_us(ts)) AS f, MAX(epoch_us(ts)) AS l
+             |  FROM events GROUP BY 1),
+             |g AS (SELECT MAX(l) AS gmax FROM per),
+             |byt AS (
+             |  SELECT (l - f) // 86400000000 AS t,
+             |    CAST(COUNT(*) AS BIGINT) AS n_at,
+             |    CAST(SUM(CASE WHEN l < g.gmax - 604800000000 THEN 1
+             |             ELSE 0 END) AS BIGINT) AS d
+             |  FROM per CROSS JOIN g GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(n_at) AS BIGINT) AS tot FROM byt),
+             |ord AS (
+             |  SELECT t, n_at, d, ROW_NUMBER() OVER (ORDER BY t) AS rn
+             |  FROM byt),
+             |km(rn, cum, s) AS (
+             |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             |    CAST(1000000 AS BIGINT)
+             |  UNION ALL
+             |  SELECT o.rn, km.cum + o.n_at,
+             |    km.s * (tot.tot - km.cum - o.d) // (tot.tot - km.cum)
+             |  FROM km JOIN ord o ON o.rn = km.rn + 1 CROSS JOIN tot)
+             |SELECT o.t AS t_days,
+             |  CAST(tot.tot - prev.cum AS BIGINT) AS n_risk, o.d,
+             |  CAST(cur.s AS BIGINT) AS s_ppm
+             |FROM ord o
+             |JOIN km cur ON cur.rn = o.rn
+             |JOIN km prev ON prev.rn = o.rn - 1
+             |CROSS JOIN tot
+             |ORDER BY t_days""".stripMargin)),
+
     // Two-sample Kolmogorov–Smirnov test — the distribution-drift
     // primitive next to q_chi_square (categorical) and q_ab_test
     // (proportions): does order value distribute differently for

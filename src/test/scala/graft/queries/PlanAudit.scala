@@ -220,8 +220,11 @@ class PlanAudit extends SparkSpec {
     "sim_range_search" -> 18,      // banded (band,bucket) candidate join
     // + exact-truth lineage printed per reference (semi-join, totals,
     // per-probe counts) + the recall gate attach — AQE reuses at runtime
-    "q_ks_test" -> 6)              // orders⋈customer + per-cents agg +
+    "q_ks_test" -> 6,              // orders⋈customer + per-cents agg +
     // the prefix-sum range exchange (LogicalRDD) + totals attach
+    "q_survival" -> 14)            // ONE user-keyed agg whose lineage
+    // prints per reference (horizon attach, per-duration agg, totals,
+    // the fold) — runtime AQE reuses the user exchange
 
   // Queries whose only nested-loop joins are the recall/bound gates'
   // crossJoins against one-row aggregates (a broadcast of a scalar —
@@ -280,7 +283,10 @@ class PlanAudit extends SparkSpec {
     // textual reference of the truth lineage) + the 1-row recall gate
     "sim_range_search" -> 5,
     // the 1-row group-totals attach on the per-cents CDF frame
-    "q_ks_test" -> 1)
+    "q_ks_test" -> 1,
+    // the 1-row horizon + totals attaches (printed per reference of
+    // the per-duration lineage)
+    "q_survival" -> 3)
 
   test("q_skew_aqe_join: AQE splits the hot partition (structural isSkewJoin)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
