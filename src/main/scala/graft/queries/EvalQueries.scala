@@ -1011,6 +1011,50 @@ object EvalQueries {
              |  ROUND(SUM(e * e) / CAST(COUNT(*) * 90000 AS DOUBLE), 6) AS brier
              |FROM e GROUP BY label ORDER BY label""".stripMargin)),
 
+    // Average precision (area under the precision-recall curve, the
+    // ranking-quality summary eval_pr_curve's fixed grid cannot give):
+    // AP = (1/P)·Σ_{positives} precision@k under the total
+    // (score desc, doc_id) order. Both ingredients of every term —
+    // rank k and true-positive count tp@k — come from ONE distributed
+    // inclusive prefix-sum pass ([[graft.ops.Rank.runningSumsInclusive]]
+    // over a ones column and the label column; k IS the cumulative
+    // ones count), so no single-partition window and no second sort.
+    // Each term is the truncating integer tp·10⁶ div k — order-
+    // independent to SUM — and AP lands as one more truncating
+    // division, bit-identical cross-engine (the documented ±1e-6·P
+    // quantization is the price of an exact oracle for a sum of
+    // fractions). Ties break on doc_id, so precision@k is
+    // well-defined; term overflow needs tp ≤ 9·10¹².
+    QueryDef("eval_avg_precision",
+      (spark, sf) => {
+        val ranked = graft.ops.Rank.runningSumsInclusive(
+          labeled(spark, sf).withColumn("one", lit(1L)),
+          Seq(col("score").desc, col("doc_id")), Seq("one", "label"))
+        ranked.filter(col("label") === 1L)
+          .select(expr("label_cum * 1000000 div one_cum").as("term"),
+            col("label_cum"))
+          .agg(max(col("label_cum")).as("n_pos"),
+            sum(col("term")).as("sum_term_ppm"))
+          .select(col("n_pos"), col("sum_term_ppm"),
+            expr("sum_term_ppm div n_pos").as("ap_ppm"))
+      },
+      Some(s"""$LabeledSql,
+             |ranked AS (
+             |  SELECT label,
+             |    ROW_NUMBER() OVER w AS k,
+             |    SUM(label) OVER w AS tp
+             |  FROM labeled
+             |  WINDOW w AS (ORDER BY score DESC, doc_id
+             |               ROWS UNBOUNDED PRECEDING)),
+             |terms AS (
+             |  SELECT CAST(tp AS BIGINT) AS tp,
+             |    CAST(tp * 1000000 // k AS BIGINT) AS term
+             |  FROM ranked WHERE label = 1)
+             |SELECT CAST(MAX(tp) AS BIGINT) AS n_pos,
+             |  CAST(SUM(term) AS BIGINT) AS sum_term_ppm,
+             |  CAST(SUM(term) // MAX(tp) AS BIGINT) AS ap_ppm
+             |FROM terms""".stripMargin)),
+
     // Multi-class confusion report — the classification-report
     // primitive (per-class precision/recall/F1 + the macro row) the
     // binary AUC/PR gates above can't express. Model under test: the

@@ -2226,5 +2226,65 @@ object StreamingQueries {
         EvalQueries.confusionReport(frozen)
       },
       Some(EvalQueries.ConfusionOracle)),
+
+    // Live Benford monitor — dq_benford's first-digit fraud audit
+    // maintained on a STREAM of arriving orders: the 9-key digit
+    // census is the streaming state (complete-mode aggregation over a
+    // constant domain — the metric's sufficient statistics, never the
+    // corpus), and the final report applies the identical integer ppm
+    // algebra against the same literal Benford expectations. Shares
+    // the batch gate's oracle shape; the deviation a fraud monitor
+    // would alert on is computed continuously instead of at rest.
+    QueryDef("stream_benford",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "orders")).schema
+        val orders = spark.readStream.schema(schema)
+          .parquet(stagedDir(spark, sf, "orders"))
+        val obs = orders
+          .select(expr("CAST(substring(CAST(CAST(ROUND(o_totalprice*100)" +
+            " AS BIGINT) AS STRING), 1, 1) AS INT)").as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("obs"))
+        val table = s"stream_benford_${counter.incrementAndGet()}"
+        val q = obs.writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        val st = spark.table(table)
+        // ≤9-row census off the memory sink — bounded metadata freeze,
+        // the stream_confusion precedent
+        val cells = spark.createDataFrame(
+          java.util.Arrays.asList(st.collect(): _*), st.schema)
+        val n = cells.agg(sum(col("obs")).as("n"))
+        val expPpm = "CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091" +
+          " WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181" +
+          " WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153" +
+          " ELSE 45757 END"
+        spark.range(1, 10).select(col("id").cast("int").as("digit"))
+          .join(cells, Seq("digit"), "left")
+          .na.fill(0L, Seq("obs"))
+          .crossJoin(broadcast(n))
+          .select(col("digit"), col("obs"), expr(expPpm).as("exp_ppm"),
+            expr("obs * 1000000 div n").as("obs_ppm"),
+            (expr("obs * 1000000 div n") - expr(expPpm)).as("dev_ppm"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH obs AS (
+             |  SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice*100)
+             |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+             |    CAST(COUNT(*) AS BIGINT) AS obs
+             |  FROM orders GROUP BY 1),
+             |spine AS (SELECT unnest(generate_series(1, 9)) AS digit),
+             |n AS (SELECT SUM(obs) AS n FROM obs),
+             |f AS (
+             |  SELECT CAST(s.digit AS INT) AS digit,
+             |    COALESCE(o.obs, 0) AS obs,
+             |    CASE s.digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+             |      WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+             |      WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+             |      ELSE 45757 END AS exp_ppm,
+             |    COALESCE(o.obs, 0) * 1000000 // n.n AS obs_ppm
+             |  FROM spine s LEFT JOIN obs o ON s.digit = o.digit CROSS JOIN n)
+             |SELECT digit, obs, exp_ppm, CAST(obs_ppm AS BIGINT) AS obs_ppm,
+             |  CAST(obs_ppm - exp_ppm AS BIGINT) AS dev_ppm
+             |FROM f ORDER BY digit""".stripMargin)),
   )
 }

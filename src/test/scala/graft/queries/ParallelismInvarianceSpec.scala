@@ -32,8 +32,10 @@ class ParallelismInvarianceSpec extends SparkSpec {
     "dedup_cdc_chunks",   // scan-stage chunk fold + fingerprint aggregation
     "sim_binary_hamming", // bounded-heap top-k under integer-distance ties
     "eval_bleu",          // clipped n-gram multiset sums across widths
-    "q_ks_test")          // runningSumsInclusive prefix seeds from
+    "q_ks_test",          // runningSumsInclusive prefix seeds from
                           // partition offsets
+    "eval_avg_precision") // the same prefix-sum machinery ranking by
+                          // (score desc, doc_id)
   // q_cheapest_path / q_widest_path are NOT here: their fixpoint frames
   // are memoized per sfDir, so a second width would compare the cache
   // against itself — OpsSpec pins the semiring ops' partitioning

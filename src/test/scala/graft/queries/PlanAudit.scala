@@ -222,9 +222,11 @@ class PlanAudit extends SparkSpec {
     // per-probe counts) + the recall gate attach — AQE reuses at runtime
     "q_ks_test" -> 6,              // orders⋈customer + per-cents agg +
     // the prefix-sum range exchange (LogicalRDD) + totals attach
-    "q_survival" -> 14)            // ONE user-keyed agg whose lineage
+    "q_survival" -> 14,            // ONE user-keyed agg whose lineage
     // prints per reference (horizon attach, per-duration agg, totals,
     // the fold) — runtime AQE reuses the user exchange
+    "eval_avg_precision" -> 2)     // the prefix-sum range exchange
+    // (LogicalRDD) + the one-row AP agg
 
   // Queries whose only nested-loop joins are the recall/bound gates'
   // crossJoins against one-row aggregates (a broadcast of a scalar —
