@@ -3349,6 +3349,90 @@ object Relational {
              |WHERE n.cn >= 2
              |ORDER BY jaccard DESC, n.u, n.v LIMIT 100""".stripMargin)),
 
+    // Exact weighted median per group — the order statistic
+    // q_percentiles/q_exact_quantiles (row-weighted) cannot express:
+    // the price point at which half the shipped QUANTITY sits below.
+    // Corpus collapses to per-(flag, cents) weight sums in one
+    // shuffle; the cumulative weight runs in a PARTITIONED window
+    // (the group key keeps it distributed — never SinglePartition),
+    // and the lower weighted median is the deterministic integer rule
+    // min{v : 2·cumw(v) ≥ W}. All integers end to end.
+    QueryDef("q_weighted_median",
+      (spark, sf) => {
+        val per = load(spark, sf, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            cents(col("l_extendedprice")).as("v"),
+            col("l_quantity").cast("long").as("w"))
+          .groupBy(col("flag"), col("v")).agg(sum(col("w")).as("w"))
+        val wnd = Window.partitionBy(col("flag")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        per.select(col("flag"), col("v"),
+            sum(col("w")).over(wnd).as("cumw"),
+            sum(col("w")).over(Window.partitionBy(col("flag"))).as("tot"))
+          .filter(col("cumw") * 2 >= col("tot"))
+          .groupBy(col("flag"))
+          .agg(max(col("tot")).as("total_qty"),
+            min(col("v")).as("median_cents"))
+          .orderBy(col("flag"))
+      },
+      Some("""WITH per AS (
+             |  SELECT l_returnflag AS flag,
+             |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+             |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+             |  FROM lineitem GROUP BY 1, 2),
+             |c AS (
+             |  SELECT flag, v,
+             |    SUM(w) OVER (PARTITION BY flag ORDER BY v
+             |      ROWS UNBOUNDED PRECEDING) AS cumw,
+             |    SUM(w) OVER (PARTITION BY flag) AS tot
+             |  FROM per)
+             |SELECT flag, CAST(MAX(tot) AS BIGINT) AS total_qty,
+             |  CAST(MIN(v) AS BIGINT) AS median_cents
+             |FROM c WHERE cumw * 2 >= tot
+             |GROUP BY flag ORDER BY flag""".stripMargin)),
+
+    // Gaps-and-islands activity streaks — the consecutive-day
+    // engagement metric (DAU streaks) the sessionizer's 30-minute
+    // grain cannot express: per user, distinct active DAYS collapse in
+    // one shuffle, islands come from the classic day-number minus
+    // row-number constant (both computed in ONE user-partitioned
+    // window pass — distributed by the partition key), and per-user
+    // streak stats aggregate the island frame. Pure date/integer
+    // arithmetic; both engines count days since the same epoch.
+    QueryDef("q_streaks",
+      (spark, sf) => {
+        val days = load(spark, sf, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val isl = days
+          .select(col("user_id"), col("day"),
+            (expr("datediff(day, DATE'1970-01-01')") -
+              row_number().over(w)).as("grp"))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("len"))
+        isl.groupBy(col("user_id"))
+          .agg(max(col("len")).as("longest_streak"),
+            sum(col("len")).as("active_days"),
+            count(lit(1)).as("n_streaks"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |isl AS (
+             |  SELECT user_id,
+             |    (day - DATE '1970-01-01')
+             |      - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+             |      AS grp
+             |  FROM days),
+             |g AS (
+             |  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+             |  FROM isl GROUP BY 1, 2)
+             |SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+             |  CAST(SUM(len) AS BIGINT) AS active_days,
+             |  CAST(COUNT(*) AS BIGINT) AS n_streaks
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Kaplan–Meier survival curve — the censoring-aware time-to-churn
     // estimator (the product-limit estimator, Kaplan & Meier 1958)
     // that a naive churn rate gets wrong: users still active at the

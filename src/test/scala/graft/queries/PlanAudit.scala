@@ -225,8 +225,12 @@ class PlanAudit extends SparkSpec {
     "q_survival" -> 14,            // ONE user-keyed agg whose lineage
     // prints per reference (horizon attach, per-duration agg, totals,
     // the fold) — runtime AQE reuses the user exchange
-    "eval_avg_precision" -> 2)     // the prefix-sum range exchange
+    "eval_avg_precision" -> 2,     // the prefix-sum range exchange
     // (LogicalRDD) + the one-row AP agg
+    "q_weighted_median" -> 4,      // (flag,cents) agg + the PARTITIONED
+    // cumulative window + island agg + orderBy
+    "q_streaks" -> 4)              // distinct days + user window +
+    // island agg + orderBy
 
   // Queries whose only nested-loop joins are the recall/bound gates'
   // crossJoins against one-row aggregates (a broadcast of a scalar —
