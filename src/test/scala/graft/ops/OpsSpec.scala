@@ -243,6 +243,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("LSH range search: exact duplicates always found, nothing below the radius emitted") {
+    import spark.implicits._
+    // a duplicate vector collides with its twin in EVERY band (identical
+    // signature), so lshRange must find it at ANY banding configuration
+    val probe = emb.filter(col("vec_id") === 3L)
+      .select(lit(9999L).as("vec_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(probe)
+    for ((bands, bits) <- Seq((32, 2), (8, 8))) {
+      val got = Similarity.lshRange(corpus, probe, "vec_id", "embedding",
+        minSim = 0.99, dim = 64, bands = bands, bitsPerBand = bits)
+        .as[(Long, Long, Double)].collect()
+      assert(got.exists { case (q, n, s) => q == 9999L && n == 3L && s > 0.999 },
+        s"bands=$bands/bits=$bits: duplicate twin not found: ${got.toSeq}")
+      assert(got.forall(_._3 >= 0.99), "emitted a pair below the radius")
+    }
+    // radius semantics vs exact truth: on near-orthogonal vectors a high
+    // radius yields exactly the duplicate pair and nothing else
+    val all = Similarity.lshRange(corpus, probe, "vec_id", "embedding",
+      minSim = 0.99, dim = 64)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(all == Set(3L), s"expected only the planted twin, got $all")
+  }
+
   test("LSH ANN: recall@5 >= 0.5 vs brute force on the test corpus") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)

@@ -116,4 +116,14 @@ class RankSpec extends SparkSpec {
       assert(got == expect, s"parts=$parts: $got vs $expect")
     }
   }
+
+  test("runningSumsInclusive: null values add zero, never poison the prefix") {
+    import spark.implicits._
+    val df = Seq((1L, Some(2L)), (2L, None), (3L, Some(5L)), (4L, None))
+      .toDF("v", "a").repartition(3)
+    val got = Rank.runningSumsInclusive(df, Seq(col("v")), Seq("a"))
+      .orderBy(col("v")).select("v", "a_cum").as[(Long, Long)]
+      .collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 7L), (4L, 7L)), got.toString)
+  }
 }

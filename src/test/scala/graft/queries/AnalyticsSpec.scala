@@ -94,4 +94,36 @@ class AnalyticsSpec extends SparkSpec {
     // every non-final event of every user contributes exactly one row
     assert(ref.getLong(1) === nEvents - nUsers)
   }
+
+  test("markov attribution: removal never helps, shares partition the total") {
+    val rows = run("q_attribution_markov").collect()
+    assert(rows.nonEmpty)
+    val base = rows.map(_.getAs[Long]("base_ppm")).distinct
+    assert(base.size == 1, s"base_ppm must be the same on every row: $base")
+    for (r <- rows) {
+      // failing every path through a channel cannot INCREASE conversion
+      assert(r.getAs[Long]("removal_ppm") <= base.head,
+        s"${r.getAs[String]("channel")}: removal raised absorption")
+      assert(r.getAs[Long]("effect_ppm") ==
+        base.head - r.getAs[Long]("removal_ppm"))
+      val att = r.getAs[Long]("attribution_ppm")
+      assert(att >= 0L && att <= 1000000L)
+    }
+    // truncating shares must sum to ≤ 1e6 and land within one ULP per
+    // channel of it
+    val s = rows.map(_.getAs[Long]("attribution_ppm")).sum
+    assert(s <= 1000000L && s >= 1000000L - rows.length,
+      s"attribution shares sum to $s")
+  }
+
+  test("survival curve: S(t) is non-increasing from 1e6 and risk sets telescope") {
+    val rows = run("q_survival").orderBy(col("t_days")).collect()
+    assert(rows.nonEmpty)
+    val s = rows.map(_.getAs[Long]("s_ppm"))
+    assert(s.head <= 1000000L)
+    assert(s.zip(s.tail).forall { case (a, b) => b <= a }, s.toSeq.toString)
+    // each step's risk set shrinks by at least the step's OWN row count
+    val n = rows.map(_.getAs[Long]("n_risk"))
+    assert(n.zip(n.tail).forall { case (a, b) => b < a }, n.toSeq.toString)
+  }
 }
