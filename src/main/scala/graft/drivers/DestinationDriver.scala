@@ -137,13 +137,37 @@ private[drivers] object StagedCommit {
   *   side of the executor's orphan anti-join and update read-back joins
   *   carries its partitioning from the files, no exchange, no sort.
   */
+/** @param optimistic opt-in compare-and-swap publishing for MULTIPLE
+  *   CONCURRENT WRITERS sharing one destination. Without it, two
+  *   executors upserting the same table race last-wins: each merges
+  *   against the snapshot it read at run start, and the second pointer
+  *   flip silently drops every row the first committed (lost update).
+  *   With it, `snapshot()` records the generation it served as this
+  *   writer's BASE, and `write()` (a) claims its generation number
+  *   through an atomic create-no-overwrite marker so two stagers can
+  *   never clobber one directory, and (b) flips `_CURRENT` only if the
+  *   published generation still equals the base — the loser's candidate
+  *   is aborted and [[graft.spec.ConcurrentPublishException]] tells it
+  *   to re-read, re-merge, retry. One driver instance per writer
+  *   transaction, and every writer of a shared destination must opt in
+  *   (a non-optimistic writer bypasses the claim protocol).
+  */
 final class ParquetDestinationDriver(
     stubs: Boolean = false,
     keepGenerations: Option[Int] = None,
     writePartitions: Option[Int] = None,
-    buckets: Option[Int] = None) extends DestinationDriver {
+    buckets: Option[Int] = None,
+    optimistic: Boolean = false) extends DestinationDriver {
   require(writePartitions.isEmpty || buckets.isEmpty,
     "bucketed generations already fix the file count at the bucket count")
+  require(!optimistic || buckets.isEmpty,
+    "optimistic publishing is for non-bucketed generation sinks (bucketed publishes go through the catalog)")
+
+  /** The generation `snapshot()` last served per base path — the base an
+    * optimistic `write()` CASes against (None = observed-empty).
+    */
+  private val observedBase =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Long]]()
   override def supportsStubs: Boolean = stubs
   override def overwriteIsReadSafe: Boolean = true // generation pointer
   override def snapshotIsStableAcrossWrites: Boolean = true // old gens survive
@@ -170,7 +194,12 @@ final class ParquetDestinationDriver(
 
   def snapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] = {
     val base = UriSchemes.path(spec.destination)
-    currentGen(spark, base).map { g =>
+    val current = currentGen(spark, base)
+    // the moment of observation IS the CAS base: the executor merges
+    // against this snapshot, so this (not write time, by when a rival
+    // may already have published) is what the pointer must still equal
+    if (optimistic) observedBase.put(base, current.map(_.stripPrefix("gen").toLong))
+    current.map { g =>
       val dir = s"$base/$g"
       buckets match {
         case None => spark.read.parquet(dir)
@@ -202,6 +231,16 @@ final class ParquetDestinationDriver(
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) Some(spark.read.parquet(dir.toString)) else None
   }
+
+  /** The PUBLISHED generation number (what `_CURRENT` points at), if
+    * any — the observable commit epoch. Generation numbers are monotonic
+    * by the directory-listing rule (write/stage always take max+1), so
+    * comparing two published numbers orders two commits; [[TxnPublish]]'s
+    * recovery and the optimistic [[publishIfCurrent]] both lean on this.
+    */
+  def currentGeneration(spark: SparkSession, spec: MigrationSpec): Option[Long] =
+    currentGen(spark, UriSchemes.path(spec.destination))
+      .map(_.stripPrefix("gen").toLong)
 
   /** Retained generation numbers, oldest first. */
   def generations(spark: SparkSession, spec: MigrationSpec): Seq[Long] = {
@@ -338,7 +377,13 @@ final class ParquetDestinationDriver(
         s"MOR delta for ${spec.name} carries a duplicate destination key")
     val conformed = df.select(cur.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
     val k = deltaIndexes(spark, base, gen).lastOption.getOrElse(-1L) + 1
-    conformed.write.mode(SaveMode.Overwrite).parquet(s"$base/mordelta_${gen}_$k")
+    // ErrorIfExists, not Overwrite: the delta index comes from a
+    // non-atomic directory listing, so two concurrent appenders can
+    // compute the same k — Overwrite would let one delta silently
+    // clobber the other (a lost upsert segment). Failing loudly turns
+    // the collision into a visible retry, the same stance the WAP paths
+    // take on generation numbers.
+    conformed.write.mode(SaveMode.ErrorIfExists).parquet(s"$base/mordelta_${gen}_$k")
     k
   }
 
@@ -541,6 +586,7 @@ final class ParquetDestinationDriver(
   }
 
   def write(df: DataFrame, spec: MigrationSpec): Unit = {
+    if (optimistic) return writeOptimistic(df, spec)
     val spark = df.sparkSession
     val base = UriSchemes.path(spec.destination)
     val prev = currentGen(spark, base)
@@ -583,6 +629,93 @@ final class ParquetDestinationDriver(
       graft.mapper.GenerationVacuum.vacuum(fs, basePath, k)
     }
   }
+
+  /** The compare-and-swap write path (see the `optimistic` param doc).
+    * Protocol, all O(1)-file driver metadata around the one data write:
+    *
+    *   1. CLAIM — the generation number comes from the listing as usual,
+    *      but is made EXCLUSIVE by atomically creating `_claim_gen<n>`
+    *      with overwrite=false (create-no-overwrite is the filesystem's
+    *      CAS primitive); a rival that computed the same n fails the
+    *      create and takes n+1 — two stagers can never share a
+    *      directory, which SaveMode.Overwrite staging would otherwise
+    *      allow silently.
+    *   2. STAGE — write the candidate into its claimed directory.
+    *   3. CAS FLIP — advance the pointer only if the published
+    *      generation still equals the base `snapshot()` observed (what
+    *      this writer's merge consumed). Cross-process exclusivity comes
+    *      from `_cas_from_<base>`: each base value can be advanced-from
+    *      exactly once, ever, because only one writer can create that
+    *      marker; the per-base JVM lock makes check+flip atomic
+    *      in-process. The retained markers double as a commit audit log
+    *      (target generation recorded inside). A marker whose flip never
+    *      landed (crashed winner) is rolled FORWARD by the next
+    *      contender before it concedes — the TxnPublish redo stance.
+    *
+    * The loser's candidate is deleted and
+    * [[graft.spec.ConcurrentPublishException]] is thrown: correctness
+    * requires a re-merge against the winner's snapshot, which only the
+    * caller (executor re-run) can do.
+    */
+  private def writeOptimistic(df: DataFrame, spec: MigrationSpec): Unit = {
+    val spark = df.sparkSession
+    val base = UriSchemes.path(spec.destination)
+    val expected = Option(observedBase.get(base)).getOrElse(None)
+    expected.foreach { g =>
+      SchemaEvolution.validateEvolution(
+        spark.read.parquet(s"$base/gen$g").schema, df.schema,
+        s"destination ${spec.name} ($base, published gen$g, optimistic)")
+    }
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(basePath)
+    var n = generations(spark, spec).lastOption.getOrElse(-1L) + 1
+    var claimed = false
+    while (!claimed) {
+      try { fs.create(new org.apache.hadoop.fs.Path(base, s"_claim_gen$n"), false).close(); claimed = true }
+      catch { case _: java.io.IOException => n += 1 }
+    }
+    val next = s"gen$n"
+    writePartitions.fold(df)(df.coalesce)
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/$next")
+    def baseName(g: Option[Long]) = g.map(v => s"gen$v").getOrElse("none")
+    val casMarker = new org.apache.hadoop.fs.Path(base, s"_cas_from_${baseName(expected)}")
+    ParquetDestinationDriver.lockFor(base).synchronized {
+      var cur = currentGen(spark, base).map(_.stripPrefix("gen").toLong)
+      if (cur == expected && fs.exists(casMarker)) {
+        // a winner claimed this base but crashed before its flip: redo
+        // its flip (roll forward, never abandon), then concede below
+        val in = fs.open(casMarker)
+        val tgt = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+          finally in.close()
+        if (fs.exists(new org.apache.hadoop.fs.Path(base, tgt)))
+          setCurrent(spark, base, tgt)
+        cur = currentGen(spark, base).map(_.stripPrefix("gen").toLong)
+      }
+      val won = cur == expected && (try {
+        val out = fs.create(casMarker, false)
+        try out.write(next.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false })
+      if (!won) {
+        fs.delete(new org.apache.hadoop.fs.Path(base, next), true)
+        fs.delete(new org.apache.hadoop.fs.Path(base, s"_claim_gen$n"), false)
+        throw new graft.spec.ConcurrentPublishException(
+          s"optimistic publish of $next to $base lost: staged against ${baseName(expected)} " +
+            s"but the published generation is now ${baseName(cur)} — " +
+            "re-read the snapshot, re-merge, and retry")
+      }
+      setCurrent(spark, base, next)
+    }
+    keepGenerations.foreach(k => graft.mapper.GenerationVacuum.vacuum(fs, basePath, k))
+  }
+}
+
+object ParquetDestinationDriver {
+  // per-base in-process CAS lock (the cross-process half is the
+  // `_cas_from_*` marker protocol) — the MappingStore.lockFor pattern
+  private val locks = scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def lockFor(path: String): Object = locks.getOrElseUpdate(path, new Object)
 }
 
 /** CSV sink: header row, atomic commit — parity with

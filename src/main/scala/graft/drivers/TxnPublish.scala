@@ -67,7 +67,17 @@ object TxnPublish {
       parts: Seq[(ParquetDestinationDriver, MigrationSpec, String)],
       logDir: String, id: String): Unit = {
     parts.foreach { case (d, spec, gen) => d.publish(spark, spec, gen) }
-    f(spark, logDir).delete(new org.apache.hadoop.fs.Path(logDir, id), false)
+    // The manifest MUST die with the transaction: a manifest that
+    // outlives its completed flips is a live redo record, and a later
+    // recover() replaying it would re-flip pointers across whatever has
+    // been published since. The epoch guard in recover() defuses that
+    // replay, but a failed delete is still a broken invariant — fail
+    // loudly instead of leaving a zombie redo record on disk.
+    val wal = new org.apache.hadoop.fs.Path(logDir, id)
+    if (!f(spark, logDir).delete(wal, false))
+      throw new java.io.IOException(
+        s"txn $id: completed all pointer flips but could not retire the manifest $wal — " +
+          "remove it manually before the next recover()")
   }
 
   /** prepare + complete: the no-crash path. */
@@ -83,6 +93,21 @@ object TxnPublish {
     * completed. Unknown destinations in a manifest fail loudly: a
     * recovery that silently skips a participant would un-atomize the
     * transaction it exists to finish.
+    *
+    * Two guards keep the redo a REDO and never a rollback:
+    *   - epoch guard — generation numbers are monotonic (write/stage
+    *     derive them from the directory listing), so a participant whose
+    *     published generation is already >= the manifest's target has
+    *     either been flipped by this transaction or superseded by a
+    *     later publish; replaying the flip would move the pointer
+    *     BACKWARD past committed data. Such flips are skipped — which
+    *     also makes a zombie manifest (complete() crashed after all
+    *     flips but before the delete) harmless;
+    *   - staging guard — a flip whose target generation directory no
+    *     longer exists (aborted/vacuumed candidate) would leave the
+    *     pointer dangling and every subsequent snapshot() read failing
+    *     on a missing path. That state is unrecoverable-by-redo and
+    *     fails with a descriptive error instead of publishing it.
     */
   def recover(spark: SparkSession, logDir: String,
       participants: Seq[(ParquetDestinationDriver, MigrationSpec)]): Int = {
@@ -102,9 +127,21 @@ object TxnPublish {
         val Array(base, gen) = line.split("\t")
         val (d, spec) = byBase.getOrElse(base, throw new IllegalStateException(
           s"txn recovery: no registered participant for $base"))
-        d.publish(spark, spec, gen)
+        val target = gen.stripPrefix("gen").toLong
+        val alreadyAtOrPast = d.currentGeneration(spark, spec).exists(_ >= target)
+        if (!alreadyAtOrPast) {
+          val genDir = new org.apache.hadoop.fs.Path(base, gen)
+          if (!fs(spark, genDir).exists(genDir))
+            throw new IllegalStateException(
+              s"txn recovery (${st.getPath.getName}): staged generation $gen for $base " +
+                "is missing (aborted or vacuumed) — publishing it would leave the pointer " +
+                "dangling; resolve the manifest manually")
+          d.publish(spark, spec, gen)
+        }
       }
-      f.delete(st.getPath, false)
+      if (!f.delete(st.getPath, false))
+        throw new java.io.IOException(
+          s"txn recovery: could not retire manifest ${st.getPath} after replaying it")
     }
     wals.size
   }

@@ -57,15 +57,24 @@ object AnnIndexStore {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (assigned, cents) = Similarity.ivfIndex(corpus, idCol, vecCol, nlist, iterations)
-    // the write consumes `assigned` (derived from the corpus parquet —
+    // The two artifacts are one logical index — a codebook from build N
+    // paired with assignments from build M probes WRONG lists silently.
+    // So both tables stage first (data fully written, pointers
+    // untouched) and flip through a TxnPublish manifest: a crash between
+    // the flips is rolled forward by recover(), never left torn. The
+    // stage consumes `assigned` (derived from the corpus parquet —
     // stable input, safe to re-evaluate); centroids are already on the
-    // driver from training
-    dest.write(assigned, spec(base, "assignments", "neighbor_id"))
-    dest.write(
+    // driver from training.
+    val aSpec = spec(base, "assignments", "neighbor_id")
+    val cSpec = spec(base, "centroids", "list")
+    val gA = dest.stage(assigned, aSpec)
+    val gC = dest.stage(
       cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
         .toDF("list", "c"),
-      spec(base, "centroids", "list"))
-    val gen = dest.generations(spark, spec(base, "assignments", "neighbor_id")).last
+      cSpec)
+    graft.drivers.TxnPublish.commit(spark,
+      Seq((dest, aSpec, gA), (dest, cSpec, gC)), s"$base/_txn")
+    val gen = dest.generations(spark, aSpec).last
     (Index(assigned, cents), gen)
   }
 
@@ -100,6 +109,16 @@ object AnnIndexStore {
       includeDeltas: Boolean = false): Index = {
     val aSpec = spec(base, "assignments", "neighbor_id")
     val cSpec = spec(base, "centroids", "list")
+    if (gen.isEmpty) {
+      // torn-store tripwire (belt to build()'s TxnPublish braces): the
+      // two published generations must name the same build, or a probe
+      // would pair a codebook with another build's assignments and
+      // return plausible-but-wrong neighbors with no error
+      val (ga, gc) = (dest.currentGeneration(spark, aSpec), dest.currentGeneration(spark, cSpec))
+      require(ga == gc,
+        s"ANN index at $base is torn: assignments published at gen $ga but centroids at " +
+          s"gen $gc — run TxnPublish.recover on $base/_txn or rebuild before probing")
+    }
     val assigned = (if (includeDeltas && gen.isEmpty) dest.morSnapshot(spark, aSpec)
       else gen.fold(dest.snapshot(spark, aSpec))(g => dest.snapshotAt(spark, aSpec, g)))
       .getOrElse(sys.error(s"AnnIndexStore: no assignments under $base (gen=$gen)"))

@@ -152,19 +152,32 @@ object Similarity {
     */
   def binaryHammingTopK(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, dim: Int = 64): DataFrame = {
+    // the packer folds exactly `dim/32` 32-dim word slices — a vector of
+    // any other length would silently truncate (extra dims ignored) or
+    // pad (slice past the end folds fewer bits), yielding a plausible
+    // but WRONG Hamming ranking; so the word width is declared, and each
+    // row's length is asserted in the scan (raise_error, codegen'd)
+    require(dim > 0 && dim % 32 == 0,
+      s"binary sign-bit packing needs a positive multiple of 32 dims, got $dim")
+    val nWords = dim / 32
+    def checked(vec: Column): Column =
+      when(size(vec) === dim, vec).otherwise(raise_error(concat(
+        lit(s"binaryHammingTopK: expected $dim-dim vectors, found length "),
+        size(vec).cast("string"))))
     def word(vec: Column, w: Int): Column =
       aggregate(slice(vec, w * 32 + 1, 32), lit(0L),
         (acc, x) => acc * 2 + when(x >= 0, 1L).otherwise(0L))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      word(col(vecCol), 0).as("c0"), word(col(vecCol), 1).as("c1"))
-    val q = queries.select(col(idCol).as("query_id"),
-      word(col(vecCol), 0).as("q0"), word(col(vecCol), 1).as("q1"))
+    def packed(df: DataFrame, idAs: String, pfx: String): DataFrame =
+      df.select(col(idCol).as(idAs) +:
+        (0 until nWords).map(w => word(checked(col(vecCol)), w).as(s"$pfx$w")): _*)
+    val c = packed(corpus, "neighbor_id", "c")
+    val q = packed(queries, "query_id", "q")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("hamming",
-        (bit_count(col("q0").bitwiseXOR(col("c0"))) +
-          bit_count(col("q1").bitwiseXOR(col("c1")))).cast("int"))
+        (0 until nWords).map(w =>
+          bit_count(col(s"q$w").bitwiseXOR(col(s"c$w")))).reduce(_ + _).cast("int"))
     val top = graft.plans.GroupedTopK(
       scored.select(col("query_id"), col("neighbor_id"), col("hamming")),
       keys = Seq("query_id"),

@@ -58,6 +58,14 @@ class EmptySourceException(msg: String) extends RuntimeException(msg)
   * (`DataMigrationMapper.php:189-257` ↔ `MappingStore.conform`).
   */
 class SchemaEvolutionException(msg: String) extends RuntimeException(msg)
+/** An optimistic (compare-and-swap) publish lost its race: the
+  * destination's published generation moved past the base this writer
+  * staged against. The staged candidate has been aborted; the loser must
+  * RE-READ the (now newer) snapshot, re-merge, and retry — publishing
+  * anyway would silently drop every row the winner committed (the
+  * lost-update anomaly this exception exists to prevent).
+  */
+class ConcurrentPublishException(msg: String) extends RuntimeException(msg)
 class NonUniqueKeyException(msg: String) extends RuntimeException(msg)
 class NoMappingForIdsException(msg: String) extends RuntimeException(msg)
 

@@ -644,4 +644,81 @@ class DriversSpec extends SparkSpec {
     assertThrows[IllegalStateException](
       TxnPublish.recover(spark, s"$dir/txn", Seq((d, sa))))
   }
+
+  test("txn recovery: zombie manifest never rolls back past later publishes; missing staged gen fails loudly") {
+    import spark.implicits._
+    val dir = scratchDir("pq_txn_guards")
+    val sa = mkSpec("n/a", s"$dir/a")
+    val d = new ParquetDestinationDriver
+    d.write(Seq((1L, "v0")).toDF("id", "v"), sa) // gen0
+    val g1 = d.stage(Seq((1L, "v1")).toDF("id", "v"), sa)
+    // a manifest that OUTLIVES its completed transaction (failed delete /
+    // crash after all flips): complete the txn, then forge the zombie by
+    // re-preparing the identical manifest after later data has published
+    TxnPublish.commit(spark, Seq((d, sa, g1)), s"$dir/txn")
+    d.write(Seq((1L, "v2")).toDF("id", "v"), sa) // gen2, committed AFTER the txn
+    TxnPublish.prepare(spark, Seq((d, sa, g1)), s"$dir/txn") // the zombie
+    assert(TxnPublish.recover(spark, s"$dir/txn", Seq((d, sa))) == 1)
+    // epoch guard: the pointer must still be at gen2, not rolled back to gen1
+    assert(d.currentGeneration(spark, sa).contains(2L))
+    assert(d.snapshot(spark, sa).get.collect()(0).getString(1) == "v2")
+    // a manifest whose target generation was aborted/vacuumed: publishing
+    // it would leave the pointer dangling — recovery must refuse
+    TxnPublish.prepare(spark, Seq((d, sa, "gen9")), s"$dir/txn")
+    val e = intercept[IllegalStateException](
+      TxnPublish.recover(spark, s"$dir/txn", Seq((d, sa))))
+    assert(e.getMessage.contains("missing"))
+    assert(d.currentGeneration(spark, sa).contains(2L)) // pointer untouched
+  }
+
+  test("optimistic publish: concurrent writers cannot lose updates — loser aborts, re-merges, retries") {
+    import spark.implicits._
+    val dir = scratchDir("pq_cas")
+    val s = mkSpec("n/a", s"$dir/out")
+    new ParquetDestinationDriver().write(
+      Seq((1L, "base"), (2L, "base"), (3L, "base")).toDF("id", "v"), s) // gen0
+    val dA = new ParquetDestinationDriver(optimistic = true)
+    val dB = new ParquetDestinationDriver(optimistic = true)
+    // both writers read (and thereby observe) the SAME base generation
+    val snapA = dA.snapshot(spark, s).get
+    val snapB = dB.snapshot(spark, s).get
+    // A merges {2 -> a} against gen0 and wins the pointer
+    dA.write(snapA.withColumn("v", when(col("id") === 2, "a").otherwise(col("v"))), s)
+    assert(dA.currentGeneration(spark, s).contains(1L))
+    // B merges {3 -> b} against the SAME gen0 — a blind publish here
+    // would silently drop A's update; CAS must abort it instead
+    val mergedB = snapB.withColumn("v", when(col("id") === 3, "b").otherwise(col("v")))
+    assertThrows[ConcurrentPublishException](dB.write(mergedB, s))
+    // the loser's candidate is gone (no burned half-published directory)
+    assert(dB.generations(spark, s) == Seq(0L, 1L))
+    assert(dB.currentGeneration(spark, s).contains(1L))
+    // retry protocol: re-read (now A's gen1), re-merge, publish
+    val retryB = dB.snapshot(spark, s).get
+      .withColumn("v", when(col("id") === 3, "b").otherwise(col("v")))
+    dB.write(retryB, s)
+    assert(dB.snapshot(spark, s).get.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("base", "a", "b")) // BOTH updates survive
+    // true thread race over a fresh table: N writers, disjoint single-row
+    // upserts, retry-on-conflict — every row must land exactly once
+    val s2 = mkSpec("n/a", s"$dir/race")
+    new ParquetDestinationDriver().write(Seq((0L, "seed")).toDF("id", "v"), s2)
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        val d = new ParquetDestinationDriver(optimistic = true)
+        var done = false
+        while (!done) {
+          try {
+            val snap = d.snapshot(spark, s2).get
+            d.write(snap.unionByName(Seq((i.toLong, s"w$i")).toDF("id", "v")), s2)
+            done = true
+          } catch { case _: ConcurrentPublishException => () } // re-observe + retry
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val fin = new ParquetDestinationDriver().snapshot(spark, s2).get
+      .orderBy("id").collect()
+    assert(fin.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L),
+      "every concurrent upsert must survive — no lost updates")
+  }
 }
