@@ -334,6 +334,92 @@ object Etl {
              |SELECT 'txn', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
              |ORDER BY tag""".stripMargin)),
 
+    // Optimistic concurrency on the generation pointer
+    // (ParquetDestinationDriver optimistic=true): two executor runs
+    // upsert the SAME destination from overlapping snapshots — the
+    // lost-update anomaly TxnPublish cannot catch (it serializes
+    // distinct tables, not rival writers of one table). Writer B reads
+    // its snapshot, then writer A's ENTIRE run lands (the deterministic
+    // interleave: B's post-snapshot hook runs A to completion); B's
+    // publish must CAS-fail — its merge no longer contains A's rows —
+    // and the retry (re-read, re-merge through a fresh executor run)
+    // lands both writers' updates. The gate hashes the final corpus and
+    // pins exactly one conflict + the {seed, A, B-retry} generation
+    // ledger via a lit-guard filter. All CAS machinery is O(1) driver
+    // file metadata per publish — nothing table-sized.
+    QueryDef("etl_concurrent_writers",
+      (spark, sf) => {
+        val base = scratch("graft_cas_writers")
+        val theSpec = MigrationSpec("cas_upsert", source = "", sourceDriver = "inline",
+          destination = s"$base/dest", destinationDriver = "parquet",
+          sourceIds = Seq(IdField("c_custkey", LongId)),
+          destinationIds = Seq(IdField("id", LongId)))
+        val cust = load(spark, sf, "customer")
+        // seed generation: the %5 universe, untouched names
+        new ParquetDestinationDriver().write(
+          cust.filter(col("c_custkey") % 5 === 0)
+            .select(col("c_custkey").as("id"), col("c_name").as("name"),
+              lit("base").as("marker")), theSpec)
+        val mapper = new MappingStore(s"$base/map")
+        val refs = new ReferenceStore(mapper)
+        def mig(marker: String, shape: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          new Migration {
+            def spec: MigrationSpec = theSpec
+            def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+              src.select(col("c_custkey"), col("c_custkey").as("id"),
+                shape(col("c_name")).as("name"), lit(marker).as("marker"))
+          }
+        def src(mod: Int) = new SourceDriver {
+          def read(s: SparkSession, sp: MigrationSpec): DataFrame =
+            load(s, sf, "customer")
+              .filter(col("c_custkey") % 5 === 0 && col("c_custkey") % mod === 0)
+        }
+        val execA = new MigrationExecutor(mapper, refs, KeepOrphans)
+        val execB = new MigrationExecutor(mapper, refs, KeepOrphans)
+        val destA = new ParquetDestinationDriver(optimistic = true)
+        val destB = new ParquetDestinationDriver(optimistic = true)
+        // writer B's destination: after B reads (and observes) its
+        // snapshot, writer A's whole run executes — the interleave that
+        // makes a last-wins pointer silently drop A's rows
+        var fired = false
+        val interleaved = new DestinationDriver {
+          def snapshot(s: SparkSession, sp: MigrationSpec): Option[DataFrame] = {
+            val snap = destB.snapshot(s, sp)
+            if (!fired) {
+              fired = true
+              execA.execute(s, mig("a", upper), src(2), destA): Unit
+            }
+            snap
+          }
+          def write(df: DataFrame, sp: MigrationSpec): Unit = destB.write(df, sp)
+          override def overwriteIsReadSafe: Boolean = destB.overwriteIsReadSafe
+          override def snapshotIsStableAcrossWrites: Boolean = destB.snapshotIsStableAcrossWrites
+        }
+        var conflicts = 0
+        try execB.execute(spark, mig("b", lower), src(3), interleaved): Unit
+        catch { case _: ConcurrentPublishException =>
+          conflicts += 1
+          execB.execute(spark, mig("b", lower), src(3), destB): Unit // re-read + re-merge
+        }
+        val gens = destB.generations(spark, theSpec)
+        val ok = conflicts == 1 && gens == Seq(0L, 1L, 2L) &&
+          destB.currentGeneration(spark, theSpec).contains(2L)
+        releasing(execA, execB, refs)(
+          destB.snapshot(spark, theSpec).get
+            .filter(lit(ok))
+            .select(col("id"), col("name"), col("marker"))
+            .orderBy(col("id")))
+      },
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS id,
+             |  CASE WHEN c_custkey % 3 = 0 THEN lower(c_name)
+             |       WHEN c_custkey % 2 = 0 THEN upper(c_name)
+             |       ELSE c_name END AS name,
+             |  CASE WHEN c_custkey % 3 = 0 THEN 'b'
+             |       WHEN c_custkey % 2 = 0 THEN 'a'
+             |       ELSE 'base' END AS marker
+             |FROM customer WHERE c_custkey % 5 = 0
+             |ORDER BY id""".stripMargin)),
+
     // §2.3 orphan detection (left_anti): destination rows whose source
     // disappeared (`DataMigrationExecutor.php:368-382`).
     QueryDef("etl_orphan_detect",
