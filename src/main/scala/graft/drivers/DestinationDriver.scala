@@ -950,6 +950,23 @@ final class JdbcDestinationDriver(
         matched + s"""WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)"""
     }
     val schema = df.schema
+    // NULL bindings must carry the COLUMN's JDBC type, not Types.NULL —
+    // Derby (and other strict databases) reject an untyped NULL
+    // parameter ("data type '0' is not supported") the first time a
+    // nullable column actually holds one
+    val typeCodes: Map[String, Int] = {
+      import org.apache.spark.sql.types._
+      schema.fields.map(f => f.name -> (f.dataType match {
+        case LongType => java.sql.Types.BIGINT
+        case IntegerType => java.sql.Types.INTEGER
+        case DoubleType => java.sql.Types.DOUBLE
+        case FloatType => java.sql.Types.REAL
+        case BooleanType => java.sql.Types.BOOLEAN
+        case TimestampType => java.sql.Types.TIMESTAMP
+        case DateType => java.sql.Types.DATE
+        case _ => java.sql.Types.VARCHAR
+      })).toMap
+    }
     val bs = batchSize
     singleWriterIfEmbedded(df, url).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.nonEmpty) {
@@ -963,7 +980,7 @@ final class JdbcDestinationDriver(
             var p = 1
             def bind(c: String): Unit = {
               val v = row.getAs[Any](c)
-              if (v == null) ps.setNull(p, java.sql.Types.NULL)
+              if (v == null) ps.setNull(p, typeCodes(c))
               else ps.setObject(p, v)
               p += 1
             }

@@ -1453,6 +1453,71 @@ object Etl {
       Some("""SELECT n_nationkey, UPPER(n_name) AS name_upper
              |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
+    // flush=true THROUGH the JDBC MERGE sink — the reference's actual
+    // self-referencing shape (`/root/reference/src/Annotations/
+    // DataMigration.php:96-105` exists precisely so ORM rows written
+    // earlier in a run are visible to later rows): each customer row
+    // references its predecessor (id-10), the run is chunked 4 ways by
+    // key range, and chunk i's transform reads the predecessor's name
+    // BACK FROM THE DATABASE (JdbcDestinationDriver merge mode — per-
+    // chunk MERGE INTO, O(chunk) rows to the DB, never a truncate).
+    // A predecessor in the SAME chunk is not yet visible (NULL) — the
+    // oracle replays the exact chunk-boundary arithmetic
+    // (rank*nChunks/total, integer division) to pin that visibility
+    // frontier into the hash. Proves executeChunked's earlier-chunk
+    // visibility contract holds on a sink with NO stable snapshots
+    // (the barrier path), not just on generation-pointer parquet.
+    QueryDef("etl_jdbc_flush",
+      (spark, sf) => {
+        val db = scratch("graft_derby_flush") + "/db"
+        val url = s"jdbc:derby:$db;create=true"
+        val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+        val theSpec = MigrationSpec("jdbc_flush", source = url, sourceDriver = "jdbc",
+          destination = url, destinationDriver = "jdbc",
+          sourceIds = Seq(IdField("c_custkey", LongId)),
+          destinationIds = Seq(IdField("id", LongId)), flush = true)
+        val mapper = new MappingStore(scratch("graft_derby_flush") + "/map")
+        val exec = new MigrationExecutor(mapper, new ReferenceStore(mapper), KeepOrphans)
+        val d = new JdbcDestinationDriver("cust_flush", props, merge = true)
+        val mig = new Migration {
+          def spec: MigrationSpec = theSpec
+          def transform(src: DataFrame, ctx: TransformContext): DataFrame = {
+            val named = src.select(col("c_custkey"), col("c_custkey").as("id"),
+              col("c_name").as("name"))
+            ctx.snapshot match {
+              case Some(snap) => named.join(
+                  snap.select(col("id").as("pid"), col("name").as("prev_name")),
+                  named("id") - 10 === col("pid"), "left")
+                .select(col("c_custkey"), col("id"), col("name"), col("prev_name"))
+              case None => named.withColumn("prev_name", lit(null).cast("string"))
+            }
+          }
+        }
+        exec.executeChunked(spark, mig,
+          new SourceDriver {
+            def read(s: SparkSession, sp: MigrationSpec): DataFrame =
+              load(s, sf, "customer").filter(col("c_custkey") % 10 === 0)
+          },
+          d, numChunks = 4)
+        releasing(exec)(
+          new JdbcSourceDriver(
+            """SELECT "id", "name", "prev_name" FROM cust_flush""", None, props)
+            .read(spark, theSpec)
+            .select(col("id"), col("name"), col("prev_name"))
+            .orderBy(col("id")))
+      },
+      Some("""WITH u AS (
+             |  SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
+             |    ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS r
+             |  FROM customer WHERE c_custkey % 10 = 0),
+             |n AS (SELECT COUNT(*) AS total FROM u)
+             |SELECT u.id, u.name,
+             |  CASE WHEN u.r >= 1
+             |        AND (u.r - 1) * 4 // n.total < u.r * 4 // n.total
+             |       THEN p.name END AS prev_name
+             |FROM u CROSS JOIN n LEFT JOIN u p ON p.id = u.id - 10
+             |ORDER BY u.id""".stripMargin)),
+
     // §2.3 DB-generated destination ids, set-wise
     // (`DoctrineDestinationDriver.php:156-173`, SURVEY §7.4): transforms
     // that emit no dest id get max(existing) + dense row_number over the
