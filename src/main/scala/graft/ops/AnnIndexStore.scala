@@ -98,6 +98,31 @@ object AnnIndexStore {
     dest.appendDelta(assigned, spec(base, "assignments", "neighbor_id"))
   }
 
+  /** Fold the assignments' merge-on-read delta log into the next
+    * copy-on-write generation — the index's OPTIMIZE step, ending the
+    * per-probe reconcile tax that [[append]]s accrue. The centroids are
+    * re-staged unchanged (O(nlist) rows) so both artifact tables advance
+    * in lockstep through one TxnPublish transaction — the alignment
+    * invariant [[load]]'s torn-store tripwire enforces. The
+    * pre-compaction generation and its (now frozen) delta log stay
+    * probeable by number until vacuum — a recall regression hunt can
+    * replay the exact pre-compaction index. Returns the new generation.
+    */
+  def compact(spark: SparkSession, base: String,
+      dest: ParquetDestinationDriver = new ParquetDestinationDriver): Long = {
+    val aSpec = spec(base, "assignments", "neighbor_id")
+    val cSpec = spec(base, "centroids", "list")
+    val snap = dest.morSnapshot(spark, aSpec)
+      .getOrElse(sys.error(s"AnnIndexStore.compact: no assignments under $base"))
+    val cents = dest.snapshot(spark, cSpec)
+      .getOrElse(sys.error(s"AnnIndexStore.compact: no centroids under $base"))
+    val gA = dest.stage(snap, aSpec)
+    val gC = dest.stage(cents, cSpec)
+    graft.drivers.TxnPublish.commit(spark,
+      Seq((dest, aSpec, gA), (dest, cSpec, gC)), s"$base/_txn")
+    dest.generations(spark, aSpec).last
+  }
+
   /** Load the CURRENT index generation, or a retained one (`gen`) for
     * time travel — an old index stays probeable after a rebuild until
     * vacuumed. `includeDeltas` serves the merge-on-read view (current

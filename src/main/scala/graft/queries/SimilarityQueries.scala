@@ -406,6 +406,70 @@ object SimilarityQueries {
       },
       Some(RecallGateOracle)),
 
+    // Persisted ANN index, compaction half: after appends accumulate a
+    // merge-on-read delta log, AnnIndexStore.compact folds it into the
+    // next copy-on-write generation (centroids re-staged in lockstep
+    // through TxnPublish, keeping the two-table store aligned). Four
+    // gates on one emission: (1) probe ranks are IDENTICAL pre/post
+    // compaction (symmetric exceptAll — compaction is a physical
+    // reorganization, never a semantic change); (2) the PRE-compaction
+    // generation is still probeable by number and equals the fresh
+    // build's structures exactly (time travel across the compaction
+    // boundary); (3) the compacted view covers the whole corpus;
+    // (4) recall vs brute force still clears the tier bound.
+    QueryDef("sim_ann_index_compact",
+      (spark, sf) => {
+        import graft.ops.AnnIndexStore
+        val corpus = load(spark, sf, "embeddings")
+        val sub = corpus.filter(col("vec_id") % 10 =!= 9)
+        val late = corpus.filter(col("vec_id") % 10 === 9)
+        val base = Tables.scratch("graft_anncompact")
+        val (fresh, gen0) = AnnIndexStore.build(sub, "vec_id", "embedding", base,
+          nlist = 16, iterations = 3)
+        AnnIndexStore.append(late, "vec_id", "embedding", base)
+        val queries = corpus.filter(col("vec_id") < 10)
+        val k = 5
+        val rankCols = Seq(col("query_id"), col("rank"), col("neighbor_id"))
+        // plan pinned to gen0 + its delta log (both survive compaction)
+        val pre = AnnIndexStore.probe(
+          AnnIndexStore.load(spark, base, includeDeltas = true),
+          queries, "vec_id", "embedding", nprobe = 4, k = k).select(rankCols: _*)
+        val gen1 = AnnIndexStore.compact(spark, base)
+        val compacted = AnnIndexStore.load(spark, base)
+        val post = AnnIndexStore.probe(compacted, queries, "vec_id", "embedding",
+          nprobe = 4, k = k).select(rankCols: _*)
+        val compactParity = pre.exceptAll(post).unionAll(post.exceptAll(pre))
+          .agg(count(lit(1)).as("n_diff_compact"))
+        val old = AnnIndexStore.probe(AnnIndexStore.load(spark, base, Some(gen0)),
+          queries, "vec_id", "embedding", nprobe = 4, k = k).select(rankCols: _*)
+        val freshRanked = AnnIndexStore.probe(fresh, queries, "vec_id", "embedding",
+          nprobe = 4, k = k).select(rankCols: _*)
+        val travelParity = old.exceptAll(freshRanked)
+          .unionAll(freshRanked.exceptAll(old))
+          .agg(count(lit(1)).as("n_diff_travel"))
+        val coverage = compacted.assignments.agg(count(lit(1)).as("n_assigned"))
+        val nCorpus = corpus.count()
+        val served = AnnIndexStore.probe(compacted, queries, "vec_id", "embedding",
+          nprobe = 4, k = k)
+        val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k)
+        val hits = served.select(col("query_id"), col("neighbor_id"))
+          .join(exact.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+        val meanRecall = queries.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .agg(avg(coalesce(col("n_hits"), lit(0)) / k).as("mean_recall"))
+        queries.select(col("vec_id").as("query_id"))
+          .crossJoin(meanRecall).crossJoin(compactParity)
+          .crossJoin(travelParity).crossJoin(coverage)
+          .filter(col("mean_recall") >= 0.4 && col("n_diff_compact") === 0 &&
+            col("n_diff_travel") === 0 && col("n_assigned") === nCorpus &&
+            lit(gen1 == gen0 + 1))
+          .select(col("query_id"), lit(k).as("k"))
+          .orderBy(col("query_id"))
+      },
+      Some(RecallGateOracle)),
+
     // Residual IVF+PQ (FAISS IndexIVFPQ semantics): codes quantize
     // v − c_list, concentrating codebook resolution on within-list
     // variation — the property that keeps recall from sagging as nlist
