@@ -392,6 +392,41 @@ object DedupQueries {
              |ORDER BY a, b""".stripMargin),
       bench = true),
 
+    // MinHash dedup under a POWER-LAW key (Shared.skewedDocText): 10%
+    // of docs share one template — their 20 template-interior shingles
+    // are hot keys in every candidate/verify join — and the 1%
+    // byte-identical sub-cluster concentrates a whole LSH bucket on one
+    // (band, bucket) key per band. Template pairs sit at Jaccard ≈0.56
+    // (hot but below τ = 0.8), so the verified output is exactly the
+    // identical cluster's pairs at jaccard 1.0 — the oracle recomputes
+    // exact Jaccard over the same transformed corpus. The plan-level
+    // skew story (AQE splitting the hot bucket partition at cluster
+    // scale, sub-2× vs the uniform twin) is PlanAudit's structural
+    // test + the SkewTwinProbe numbers in BENCH_NOTES.
+    QueryDef("dedup_skewed",
+      (spark, sf) => Dedup.minHashVerifiedPairs(
+          load(spark, sf, "documents")
+            .withColumn("text", Shared.skewedDocText(col("doc_id"), col("text"))),
+          "text", "doc_id", shingleK = 5, minJaccard = 0.8)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("a"), col("b")),
+      Some(s"""WITH src AS (SELECT doc_id, ${Shared.SkewedDocSql} AS text FROM documents),
+             |toks AS (SELECT doc_id, string_split(text,' ') t FROM src),
+             |idx AS (SELECT doc_id, unnest(range(len(t)-4)) i, t FROM toks WHERE len(t) >= 5),
+             |sh0 AS (SELECT doc_id, list_aggregate(t[i+1:i+5], 'string_agg', ' ') s FROM idx),
+             |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+             |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT s1.doc_id a, s2.doc_id b, COUNT(*) inter
+             |  FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT a, b,
+             |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+             |FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+             |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+             |ORDER BY a, b""".stripMargin),
+      bench = true),
+
     // Embedding-cosine near-dup pairs, VERIFICATION TIER: LSH-band
     // candidates (32 bands × 2-bit random-hyperplane signatures —
     // per-pair miss ≈9e-8 at τ=0.4) + exact native-CosineSim verify,

@@ -60,6 +60,33 @@ object Etl {
     df
   }
 
+  /** Cold side of the skewed enrichment: one row per skew key (97
+    * customers). A plain filtered SCAN — AQE's OptimizeSkewedJoin
+    * pattern needs a Sort-over-shuffle-over-scan child; an aggregate
+    * here would break the rewrite (SkewProbe-learned, see
+    * q_skew_aqe_join's notes).
+    */
+  private[queries] def skewDim(cust: DataFrame): DataFrame =
+    cust.filter(col("c_custkey") < 97)
+      .select(col("c_custkey").cast("long").as("skew_key"),
+        col("c_nationkey").cast("long").as("region"))
+
+  /** The skewed-corpus enrichment join (hot key 0 ≈ 10% of events,
+    * Shared.skewedEventKey): the join inside etl_skewed_upsert's
+    * transform and the exact shape PlanAudit re-executes under
+    * skew-tuned AQE thresholds to prove the hot partition splits. The
+    * md5 pad keeps shuffle bytes tracking row counts (constant-key
+    * partitions otherwise compress the size signal away); the
+    * repartition(16) gives the fact side the >1 upstream map task real
+    * multi-split inputs have for free (splits are map-index ranges).
+    */
+  private[queries] def skewedEnrichment(ev: DataFrame, dim: DataFrame): DataFrame =
+    ev.select(col("event_id"),
+        Shared.skewedEventKey(col("event_id"), col("user_id")).as("skew_key"),
+        col("event_type"), md5(col("event_id").cast("string")).as("pad"))
+      .repartition(16)
+      .join(dim, Seq("skew_key"))
+
   private def runUpsertScenario(
       spark: SparkSession, sf: String,
       tag: String = "graft_upsert",
@@ -419,6 +446,69 @@ object Etl {
              |       ELSE 'base' END AS marker
              |FROM customer WHERE c_custkey % 5 = 0
              |ORDER BY id""".stripMargin)),
+
+    // Upsert merge under a POWER-LAW key: the migration's transform
+    // enriches every event through a join on Shared.skewedEventKey
+    // (key 0 owns ~10% of all rows — the hot-partition shape that
+    // stalls a 1000-executor stage on one straggler task), then flows
+    // through the full executor pipeline: seed snapshot, full-outer
+    // merge on unique event ids, orphan keep. Correctness is this hash
+    // gate; the PLAN property — AQE actually splitting the hot
+    // partition when thresholds are at data scale — is asserted
+    // structurally in PlanAudit over the identical skewedEnrichment
+    // shape, and the skew-vs-uniform wall-clock twin (sub-2×) is the
+    // SkewTwinProbe entry in BENCH_NOTES.
+    QueryDef("etl_skewed_upsert",
+      (spark, sf) => {
+        val base = scratch("graft_skewup")
+        val theSpec = MigrationSpec("skew_upsert", source = "", sourceDriver = "inline",
+          destination = s"$base/dest", destinationDriver = "parquet",
+          sourceIds = Seq(IdField("event_id", LongId)),
+          destinationIds = Seq(IdField("id", LongId)))
+        val mapper = new MappingStore(s"$base/map")
+        val exec = new MigrationExecutor(mapper, new ReferenceStore(mapper), KeepOrphans)
+        val dest = new ParquetDestinationDriver
+        val ev = load(spark, sf, "events")
+        // seed: %3 events, not yet enriched (region −1)
+        dest.write(ev.filter(col("event_id") % 3 === 0)
+          .select(col("event_id").as("id"),
+            Shared.skewedEventKey(col("event_id"), col("user_id")).as("skew_key"),
+            lit(-1L).as("region"), col("event_type"),
+            md5(col("event_id").cast("string")).as("pad"),
+            lit("old").as("marker")), theSpec)
+        val mig = new Migration {
+          def spec: MigrationSpec = theSpec
+          def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+            skewedEnrichment(src, skewDim(load(ctx.spark, sf, "customer")))
+              .select(col("event_id"), col("event_id").as("id"), col("skew_key"),
+                col("region"), col("event_type"), col("pad"), lit("new").as("marker"))
+        }
+        val res = exec.execute(spark, mig,
+          new SourceDriver {
+            def read(s: SparkSession, sp: MigrationSpec): DataFrame =
+              load(s, sf, "events").filter(col("event_id") % 2 === 0)
+          }, dest)
+        releasing(exec)(res.finalSnapshot
+          .select(col("id"), col("skew_key"), col("region"), col("event_type"),
+            col("pad"), col("marker"))
+          .orderBy(col("id")))
+      },
+      Some(s"""WITH dim AS (
+             |  SELECT CAST(c_custkey AS BIGINT) sk, CAST(c_nationkey AS BIGINT) region
+             |  FROM customer WHERE c_custkey < 97),
+             |inc AS (
+             |  SELECT CAST(event_id AS BIGINT) AS id,
+             |    ${Shared.SkewedEventKeySql} AS skew_key,
+             |    event_type, md5(CAST(event_id AS VARCHAR)) AS pad
+             |  FROM events WHERE event_id % 2 = 0)
+             |SELECT id, skew_key, region, event_type, pad, 'new' AS marker
+             |FROM inc JOIN dim ON skew_key = sk
+             |UNION ALL
+             |SELECT CAST(event_id AS BIGINT), ${Shared.SkewedEventKeySql},
+             |  CAST(-1 AS BIGINT), event_type, md5(CAST(event_id AS VARCHAR)), 'old'
+             |FROM events WHERE event_id % 3 = 0 AND event_id % 2 <> 0
+             |ORDER BY id""".stripMargin),
+      bench = true),
 
     // §2.3 orphan detection (left_anti): destination rows whose source
     // disappeared (`DataMigrationExecutor.php:368-382`).

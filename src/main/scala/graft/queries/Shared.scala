@@ -14,6 +14,56 @@ object Shared {
     */
   def cents(x: Column): Column = round(x * 100).cast("long")
 
+  // ---- skewed power-law corpus (dedup_skewed / etl_skewed_upsert) ----
+
+  /** 24-token template shared by the hot document family. */
+  val SkewTemplate: String =
+    "the quick brown fox jumps over the lazy dog while seven wizards brew " +
+      "strong coffee under bright morning light near quiet rivers at dawn"
+
+  /** Skewed near-duplicate corpus over `documents` — the power-law-key
+    * failure mode the 100 TB brief names, synthesized deterministically
+    * in BOTH engines: 10% of docs (doc_id % 10 == 0) share the 24-token
+    * [[SkewTemplate]] — their 20 template-interior shingles are the hot
+    * join keys — followed by an 8-token md5-derived unique tail; the 1%
+    * sub-cluster (doc_id % 100 == 0) carries one FIXED tail and is
+    * byte-identical (one LSH bucket holding a tenth of the hot family).
+    * Template pairs sit at Jaccard 20/36 ≈ 0.56 — hot in every candidate
+    * stage but below the τ = 0.8 verify bar — so the verified output is
+    * exactly the identical cluster's pairs, while the candidate/verify
+    * joins see the full skew.
+    */
+  def skewedDocText(docId: Column, text: Column): Column = {
+    val h = md5(docId.cast("string"))
+    val tail = concat_ws(" ",
+      (0 until 8).map(i => concat(lit("x"), substring(h, 1 + 2 * i, 2))): _*)
+    when(docId % 100 === 0,
+        lit(SkewTemplate + " alpha beta gamma delta epsilon zeta eta theta"))
+      .when(docId % 10 === 0, concat(lit(SkewTemplate + " "), tail))
+      .otherwise(text)
+  }
+
+  /** [[skewedDocText]] as a DuckDB expression over `doc_id`, `text`. */
+  val SkewedDocSql: String = {
+    val tail = (0 until 8)
+      .map(i => s"'x' || substr(md5(CAST(doc_id AS VARCHAR)),${1 + 2 * i},2)")
+      .mkString(" || ' ' || ")
+    s"""CASE WHEN doc_id % 100 = 0
+       |  THEN '$SkewTemplate alpha beta gamma delta epsilon zeta eta theta'
+       |WHEN doc_id % 10 = 0 THEN '$SkewTemplate ' || $tail
+       |ELSE text END""".stripMargin.replace("\n", " ")
+  }
+
+  /** Power-law event key: key 0 owns ~10% of all events, the remainder
+    * spreads over 96 cold keys. The upsert-merge skew scenario's key.
+    */
+  def skewedEventKey(eventId: Column, userId: Column): Column =
+    when(eventId % 10 === 0, lit(0L)).otherwise(pmod(userId, lit(96L)) + 1L)
+
+  /** [[skewedEventKey]] as a DuckDB expression. */
+  val SkewedEventKeySql: String =
+    "CAST(CASE WHEN event_id % 10 = 0 THEN 0 ELSE user_id % 96 + 1 END AS BIGINT)"
+
   // ---- count-min gate (text_countmin / stream_countmin) --------------
 
   /** The exact per-token counts of the documents corpus, persisted ONCE

@@ -323,6 +323,82 @@ class PlanAudit extends SparkSpec {
     }
   }
 
+  // shared with the two skew tests below: walk an adaptive plan through
+  // query-stage leaves and collect the sort-merge joins
+  private def skewSmjs(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.joins.SortMergeJoinExec] = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val adaptive = df.queryExecution.executedPlan.collectFirst {
+      case a: AdaptiveSparkPlanExec => a
+    }.getOrElse(fail(s"expected an adaptive plan:\n${df.queryExecution.executedPlan}"))
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    allNodes(adaptive.executedPlan)
+      .collect { case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+  }
+
+  test("etl_skewed_upsert enrichment: AQE splits the hot 10% key (structural isSkewJoin)") {
+    // the exact join shape inside etl_skewed_upsert's transform
+    // (Etl.skewedEnrichment over Shared.skewedEventKey — key 0 owns 10%
+    // of events), re-executed under data-scale skew thresholds; the
+    // correctness half is the hash gate, this is the plan half
+    val ev = Tables.load(spark, Sf, "events")
+    val dim = Etl.skewDim(Tables.load(spark, Sf, "customer"))
+    val df = Etl.skewedEnrichment(ev, dim)
+      .groupBy(org.apache.spark.sql.functions.col("event_type"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col("pad")).as("max_pad"))
+    // the suite session shuffles at 4 partitions — too coarse for a 10%
+    // key to dominate the median; run at production-like width (the
+    // same ratio fix the dedup test below applies)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try graft.ops.Joins.withSkewTunedAqe(spark, thresholdBytes = 1024) {
+      df.collect()
+      assert(skewSmjs(df).exists(_.isSkewJoin),
+        s"no skew-split SMJ in the enrichment plan:\n${df.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  test("dedup_skewed: the duplicate-cluster LSH bucket join splits under AQE at cluster scale") {
+    import org.apache.spark.sql.functions._
+    // A duplicate cluster lands ALL its rows on one (band, bucket) key
+    // per band — partition-level skew appears once the cluster is large
+    // next to the median shuffle partition (at 100 TB: a 10M-doc
+    // template family vs ~100k-row partitions). Reproduce that ratio at
+    // test scale: amplify the corpus 12× (6000 docs), make 10% of it
+    // byte-identical, and shuffle at 256 partitions so the hot bucket
+    // dominates its partition. The split must fire AND candidate recall
+    // must stay total (every identical pair found).
+    val docs = Tables.load(spark, Sf, "documents")
+      .select(explode(array((0 until 12).map(lit): _*)).as("rep"),
+        col("doc_id"), col("text"))
+      .select((col("doc_id") * 12 + col("rep")).as("doc_id"),
+        when((col("doc_id") * 12 + col("rep")) % 10 === 0,
+          lit(graft.queries.Shared.SkewTemplate)).otherwise(col("text")).as("text"))
+    val cluster = 6000 / 10
+    val cand = graft.ops.Dedup.minHashCandidates(docs, "text", "doc_id")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    try graft.ops.Joins.withSkewTunedAqe(spark, thresholdBytes = 1024) {
+      // collect() executes cand's OWN query execution — the plan the
+      // structural assertion below inspects (a derived .count() frame
+      // would execute a different QueryExecution)
+      val pairs = cand.collect()
+      val inCluster = pairs.count(r => r.getLong(0) % 10 == 0 && r.getLong(1) % 10 == 0)
+      assert(inCluster == cluster * (cluster - 1) / 2,
+        s"LSH must find every identical pair: $inCluster")
+      assert(skewSmjs(cand).exists(_.isSkewJoin),
+        "no skew-split SMJ in the bucket self-join plan")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   test("plan audit: no quadratic joins; shuffle counts within pinned ceilings") {
     for ((q, ceiling) <- ExchangeCeilings.toSeq.sortBy(_._1)) {
       val df = graft.SparkEntry.queries(q)(spark, Sf)
