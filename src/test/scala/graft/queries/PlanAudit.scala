@@ -447,4 +447,43 @@ class PlanAudit extends SparkSpec {
           "plan shape regressed between digest time and now, or the digest is stale")
     }
   }
+
+  test("plan-digest series: no structural regression vs the previous round's artifact") {
+    // The previous round's PLANS_r{N}.json is the FLOOR the current
+    // round must not regress below — the same rules tools/plandiff.py
+    // applies: flag a query whose exchange count grows >20% AND by more
+    // than one (one-exchange moves are planner jitter), or which gains
+    // a cartesian product / nested-loop join. Plans are deterministic,
+    // so this diff is the honest round-over-round regression signal on
+    // a VM whose wall clock carries a 1.7× noise band. Skips until two
+    // rounds of artifacts exist in the checkout.
+    val artifacts = new java.io.File(".").listFiles()
+      .filter(_.getName.matches("PLANS_r\\d+\\.json"))
+      .sortBy(f => f.getName.stripPrefix("PLANS_r").stripSuffix(".json").toInt)
+    assume(artifacts.length >= 2,
+      "need two rounds of PLANS_r*.json — tools/plandiff.py covers the manual case")
+    def parse(f: java.io.File): Map[String, (Int, Int, Int)] = {
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val entry =
+        """"([a-z0-9_]+)":\{"exchanges":(\d+),"cartesian":(\d+),"bnlj":(\d+)""".r
+      entry.findAllMatchIn(text)
+        .map(m => m.group(1) -> ((m.group(2).toInt, m.group(3).toInt, m.group(4).toInt)))
+        .toMap
+    }
+    val Array(prevF, curF) = artifacts.takeRight(2)
+    val (prev, cur) = (parse(prevF), parse(curF))
+    info(s"${prevF.getName} (${prev.size}) -> ${curF.getName} (${cur.size})")
+    val flagged = (prev.keySet & cur.keySet).toSeq.sorted.flatMap { q =>
+      val (eo, co, bo) = prev(q)
+      val (en, cn, bn) = cur(q)
+      val reasons = Seq(
+        Option.when(en > eo && (en - eo) > 1 && (en - eo) * 100 > 20 * math.max(eo, 1))(
+          s"exchanges $eo->$en"),
+        Option.when(cn > co)(s"cartesian $co->$cn"),
+        Option.when(bn > bo)(s"bnlj $bo->$bn")).flatten
+      if (reasons.nonEmpty) Some(s"$q: ${reasons.mkString("; ")}") else None
+    }
+    assert(flagged.isEmpty,
+      s"structural regressions vs ${prevF.getName}:\n${flagged.mkString("\n")}")
+  }
 }
