@@ -166,13 +166,20 @@ object CurationPipeline {
     * same destination driver the DAG writes with.
     */
   def sources(documentsPath: String, base: String,
+      dest: ParquetDestinationDriver): Migration => SourceDriver =
+    sourcesFrom(s => s.read.parquet(documentsPath), base, dest)
+
+  /** [[sources]] with an arbitrary corpus reader for the ingest stage —
+    * what the streaming pipeline uses to read its cumulative landed
+    * directory (recursive lookup, no glob).
+    */
+  def sourcesFrom(readDocs: SparkSession => DataFrame, base: String,
       dest: ParquetDestinationDriver): Migration => SourceDriver = {
     val prevOf = StageNames.zip(StageNames.drop(1)).map(_.swap).toMap
     val specsByName = migrations(base).map(m => m.spec.name -> m.spec).toMap
     m => m.spec.name match {
       case "llm_ingest" => new SourceDriver {
-        def read(s: SparkSession, sp: MigrationSpec): DataFrame =
-          s.read.parquet(documentsPath)
+        def read(s: SparkSession, sp: MigrationSpec): DataFrame = readDocs(s)
       }
       case n => new SourceDriver {
         val prev = specsByName(prevOf(n))

@@ -1019,49 +1019,7 @@ object Etl {
               max(col("did")).as("max_did"))
             .orderBy(col("source"), col("predicted_lang")))
       },
-      Some("""WITH ing AS (
-             |  SELECT doc_id, source, text,
-             |    ROW_NUMBER() OVER (ORDER BY doc_id) AS did,
-             |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
-             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-             |  FROM documents),
-             |dd AS (SELECT * FROM (
-             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY did) rn
-             |    FROM ing) t WHERE rn = 1),
-             |mf AS (SELECT doc_id, MAX(c) max_tok FROM (
-             |   SELECT doc_id, tok, COUNT(*) c FROM (
-             |     SELECT doc_id, unnest(string_split(text, ' ')) tok FROM dd) u
-             |   GROUP BY 1, 2) g GROUP BY 1),
-             |q AS (SELECT dd.* FROM dd
-             |  JOIN (SELECT doc_id, CAST(LENGTH(text) AS BIGINT) ch,
-             |          CAST(len(list_distinct(list_filter(string_split(text, ' '),
-             |            t -> list_contains(['the','a','of','and','to','in'], t)))) AS BIGINT) ds
-             |        FROM dd) f USING (doc_id)
-             |  JOIN mf USING (doc_id)
-             |  WHERE n_tokens BETWEEN 50 AND 100000
-             |    AND ch - n_tokens + 1 >= n_tokens * 3
-             |    AND ch - n_tokens + 1 <= n_tokens * 10
-             |    AND ds >= 2 AND max_tok * 5 <= n_tokens),
-             |l AS (SELECT *, CASE
-             |    WHEN regexp_matches(lower(text), '[一-鿿]') THEN 'zh'
-             |    WHEN regexp_matches(lower(text), '[Ѐ-ӿ]') THEN 'ru'
-             |    WHEN regexp_matches(lower(text), '[áéíóúñ¿¡]') THEN 'es'
-             |    WHEN CAST(len(list_filter(string_split(lower(text), ' '),
-             |        t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
-             |      / len(string_split(lower(text), ' ')) > 0.02 THEN 'en'
-             |    ELSE 'unknown' END AS predicted_lang FROM q),
-             |capn AS (SELECT MIN(c) cap FROM (
-             |    SELECT COUNT(*) c FROM l GROUP BY source) g),
-             |mix AS (SELECT * FROM (
-             |   SELECT *, ROW_NUMBER() OVER (PARTITION BY source
-             |     ORDER BY md5(CAST(doc_id AS VARCHAR) || 'mix'), doc_id) mrn
-             |   FROM l) t
-             |  WHERE mrn <= (SELECT cap FROM capn))
-             |SELECT source, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-             |  CAST(MIN(did) AS BIGINT) AS min_did,
-             |  CAST(MAX(did) AS BIGINT) AS max_did
-             |FROM mix GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+      Some(Shared.LlmCurationRollupSql)),
 
     // Destination-side schema evolution across generations — the
     // generation sink's analog of the mapping store's conform: gen0 is

@@ -102,6 +102,37 @@ object StreamingQueries {
     * row was never flushed). Consumers exclude sentinels by their
     * negative `event_id` AFTER the join.
     */
+  /** Documents staged as `n` doc_id-ordered chunks with ascending
+    * mtimes — batches ARRIVE in id order, so the streaming curation
+    * pipeline's mapping-assigned dense dids coincide with the one-shot
+    * batch assignment (rank by doc_id) and the stream's final state can
+    * hash against the batch pipeline's oracle.
+    */
+  private val docChunkCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def stagedDocChunks(spark: SparkSession, sf: String, n: Int): String =
+    docChunkCache.getOrElseUpdate(s"$sf/documents/$n", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_docs")
+      val df = spark.read.parquet(path(sf, "documents"))
+      val mm = df.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1) + 1L)
+      val step = math.max(1L, (hi - lo + n - 1) / n)
+      val base = System.currentTimeMillis() - n * 10000L
+      for (i <- 0 until n) {
+        val chunk = df.filter(col("doc_id") >= lo + i * step &&
+          col("doc_id") < lo + (i + 1) * step)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_chunk")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        part.foreach { p =>
+          val dst = dir.resolve(f"chunk_$i%03d.parquet")
+          java.nio.file.Files.move(p.toPath, dst)
+          dst.toFile.setLastModified(base + i * 10000L)
+        }
+      }
+      dir.toString
+    })
+
   private val chunkedCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private val ewmaChunkCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private def stagedTimeChunks(
@@ -207,6 +238,48 @@ object StreamingQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
+
+    // The engine's two flagship halves as ONE system
+    // (graft.streaming.StreamingCuration): documents arrive in three
+    // doc_id-ordered micro-batches; each batch lands idempotently
+    // (overwrite keyed by batchId) and drives the full 5-stage curation
+    // DAG through the SAME MigrationExecutor.executeAll the batch
+    // pipeline uses, mapping tables upserting across batches (stable
+    // mapping-assigned dids), downstream stages re-deriving under
+    // PruneOrphans. The defining property — final destination state
+    // byte-identical to the one-shot etl_llm_pipeline — is exactly what
+    // this gate hashes: the SAME oracle SQL (Shared.LlmCurationRollupSql)
+    // over the full corpus, with a lit-guard pinning the incrementality
+    // evidence (3 landed batches, 3 published generations per stage).
+    // Mid-DAG kill + restart exactly-once is StreamingSpec's
+    // "streaming curation" test.
+    QueryDef("stream_llm_pipeline",
+      (spark, sf) => {
+        import graft.streaming.StreamingCuration
+        val dir = stagedDocChunks(spark, sf, 3)
+        val base = Tables.scratch("graft_stream_llm")
+        val schema = spark.read.parquet(path(sf, "documents")).schema
+        val docs = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        val q = StreamingCuration.start(docs, base,
+          Tables.scratch("graft_stream_llm_ckpt"))
+        try q.awaitTermination() finally q.stop()
+        val dest = new graft.drivers.ParquetDestinationDriver
+        val cur = StreamingCuration.curated(spark, base, dest)
+          .getOrElse(sys.error("streaming curation produced no curated snapshot"))
+        val gens = StreamingCuration.stageGenerations(spark, base, dest)
+        val landed = Option(new java.io.File(s"$base/landed").listFiles())
+          .map(_.count(_.getName.startsWith("batch_"))).getOrElse(0)
+        val ok = landed == 3 && gens.size == 5 && gens.values.forall(_ == 3)
+        cur.filter(lit(ok))
+          .groupBy(col("source"), col("predicted_lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            min(col("did")).as("min_did"),
+            max(col("did")).as("max_did"))
+          .orderBy(col("source"), col("predicted_lang"))
+      },
+      Some(Shared.LlmCurationRollupSql)),
 
     // Fault tolerance end to end: a watermarked append-mode hourly
     // aggregation writing to the exactly-once PARQUET file sink is

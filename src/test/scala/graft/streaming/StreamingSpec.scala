@@ -209,4 +209,93 @@ class StreamingSpec extends SparkSpec {
       "spark.sql.streaming.stateStore.providerClass") == parentConfBefore,
       "per-stream conf must not leak into the parent session")
   }
+
+  test("streaming curation DAG: crash mid-DAG, restart from checkpoint — exactly-once final state") {
+    import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+    val base = scratchDir("stream_cur")
+    val ckpt = scratchDir("stream_cur_ckpt")
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+
+    // three doc_id-ordered chunks with ascending mtimes (the gate's
+    // arrival order — dids then coincide with the batch assignment)
+    val chunkDir = java.nio.file.Files.createTempDirectory("stream_cur_chunks")
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1) + 1L)
+    val step = math.max(1L, (hi - lo + 2) / 3)
+    val mtimeBase = System.currentTimeMillis() - 60000L
+    for (i <- 0 until 3) {
+      val tmp = java.nio.file.Files.createTempDirectory("stream_cur_chunk")
+      docs.filter(col("doc_id") >= lo + i * step && col("doc_id") < lo + (i + 1) * step)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = chunkDir.resolve(f"chunk_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtimeBase + i * 10000L)
+    }
+
+    // one-shot twin: the whole corpus as a single landed batch defines
+    // the state the crashed-and-recovered stream must converge to
+    val twinBase = scratchDir("stream_cur_twin")
+    docs.write.mode("overwrite").parquet(s"$twinBase/landed/batch_0")
+    StreamingCuration.runDag(spark, twinBase)
+    val expected = StreamingCuration.curated(spark, twinBase).get
+
+    // poisoned quality destination: the SECOND-ever quality write (=
+    // batch 1, with ingest+dedup already committed for that batch)
+    // throws once — a genuine mid-DAG crash; the replay passes through
+    val qualityWrites = new java.util.concurrent.atomic.AtomicInteger(0)
+    val dest = new ParquetDestinationDriver
+    val dests: Migration => graft.drivers.DestinationDriver = m =>
+      if (m.spec.name != "llm_quality") dest
+      else new graft.drivers.DestinationDriver {
+        def snapshot(s: org.apache.spark.sql.SparkSession, sp: MigrationSpec) =
+          dest.snapshot(s, sp)
+        def write(df: DataFrame, sp: MigrationSpec): Unit = {
+          if (qualityWrites.incrementAndGet() == 2)
+            throw new RuntimeException("injected mid-DAG crash")
+          dest.write(df, sp)
+        }
+        override def overwriteIsReadSafe: Boolean = dest.overwriteIsReadSafe
+        override def snapshotIsStableAcrossWrites: Boolean = dest.snapshotIsStableAcrossWrites
+      }
+    val schema = docs.schema
+    def startStream() = StreamingCuration.start(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(chunkDir.toString),
+      base, ckpt, Trigger.AvailableNow(), dests)
+
+    val q1 = startStream()
+    val ex = intercept[StreamingQueryException](q1.awaitTermination())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+        Option(c.getMessage).exists(_.contains("injected mid-DAG crash"))),
+      s"expected the injected crash, got: $ex")
+    // the crash landed MID-DAG: batch 1's ingest published a second
+    // generation while quality is still at its batch-0 generation
+    val stages = graft.exec.CurationPipeline.migrations(s"$base/stages")
+    def gens(name: String): Int =
+      dest.generations(spark, stages.find(_.spec.name == name).get.spec).size
+    assert(gens("llm_ingest") >= 2 && gens("llm_quality") == 1,
+      s"crash was not mid-DAG: ingest=${gens("llm_ingest")} quality=${gens("llm_quality")}")
+
+    // restart from the same checkpoint: batch 1 replays with the same
+    // id and files — landing is idempotent, the DAG re-merges
+    val q2 = startStream()
+    try q2.awaitTermination() finally q2.stop()
+
+    val got = StreamingCuration.curated(spark, base).get
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "recovered stream state must be byte-identical to the one-shot batch run")
+    // no duplicated landings (exactly-once at the bronze tier)
+    val landed = new java.io.File(s"$base/landed").listFiles()
+      .count(_.getName.startsWith("batch_"))
+    assert(landed == 3, s"expected 3 landed batches, found $landed")
+    // stable mapping-assigned dids: one mapping row per doc, dids dense
+    val (n, nd, lo2, hi2) = StreamingCuration.didShape(
+      dest.snapshot(spark, stages.head.spec).get)
+    assert(n == docs.count() && nd == n && lo2 == 1L && hi2 == n,
+      s"ingest dids must be dense 1..$n: ($n, $nd, $lo2, $hi2)")
+  }
 }
