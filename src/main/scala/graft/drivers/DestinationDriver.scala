@@ -669,11 +669,20 @@ final class ParquetDestinationDriver(
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(basePath)
-    var n = generations(spark, spec).lastOption.getOrElse(-1L) + 1
-    var claimed = false
-    while (!claimed) {
-      try { fs.create(new org.apache.hadoop.fs.Path(base, s"_claim_gen$n"), false).close(); claimed = true }
-      catch { case _: java.io.IOException => n += 1 }
+    // The claim loop runs under the per-base JVM lock: create-no-
+    // overwrite is atomic-exclusive on HDFS-like stores (the cross-
+    // process guarantee) but check-then-act on the LOCAL filesystem, so
+    // two in-process threads could otherwise both "create" the same
+    // marker and stage into one directory. Only the O(1) number claim
+    // is locked — the data write below runs unlocked.
+    var n = 0L
+    ParquetDestinationDriver.lockFor(base).synchronized {
+      n = generations(spark, spec).lastOption.getOrElse(-1L) + 1
+      var claimed = false
+      while (!claimed) {
+        try { fs.create(new org.apache.hadoop.fs.Path(base, s"_claim_gen$n"), false).close(); claimed = true }
+        catch { case _: java.io.IOException => n += 1 }
+      }
     }
     val next = s"gen$n"
     writePartitions.fold(df)(df.coalesce)

@@ -702,20 +702,25 @@ class DriversSpec extends SparkSpec {
     // upserts, retry-on-conflict — every row must land exactly once
     val s2 = mkSpec("n/a", s"$dir/race")
     new ParquetDestinationDriver().write(Seq((0L, "seed")).toDF("id", "v"), s2)
+    val threadErrors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = (1 to 4).map { i =>
       new Thread(() => {
-        val d = new ParquetDestinationDriver(optimistic = true)
-        var done = false
-        while (!done) {
-          try {
-            val snap = d.snapshot(spark, s2).get
-            d.write(snap.unionByName(Seq((i.toLong, s"w$i")).toDF("id", "v")), s2)
-            done = true
-          } catch { case _: ConcurrentPublishException => () } // re-observe + retry
-        }
+        try {
+          val d = new ParquetDestinationDriver(optimistic = true)
+          var done = false
+          while (!done) {
+            try {
+              val snap = d.snapshot(spark, s2).get
+              d.write(snap.unionByName(Seq((i.toLong, s"w$i")).toDF("id", "v")), s2)
+              done = true
+            } catch { case _: ConcurrentPublishException => () } // re-observe + retry
+          }
+        } catch { case t: Throwable => threadErrors.add(t) }
       })
     }
     threads.foreach(_.start()); threads.foreach(_.join())
+    assert(threadErrors.isEmpty,
+      s"writer thread died: ${Option(threadErrors.peek()).map(_.toString)}")
     val fin = new ParquetDestinationDriver().snapshot(spark, s2).get
       .orderBy("id").collect()
     assert(fin.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L),
