@@ -242,6 +242,68 @@ final class ParquetDestinationDriver(
     currentGen(spark, UriSchemes.path(spec.destination))
       .map(_.stripPrefix("gen").toLong)
 
+  /** Tag a RETAINED generation with a stable name — the Iceberg tag
+    * semantic on the generation sink: a named snapshot that (a) reads
+    * by name ([[snapshotAtTag]]) without anyone remembering generation
+    * numbers, (b) survives `keepGenerations` vacuums regardless of age
+    * (tag-protected — an N-newest policy that silently dropped a tagged
+    * baseline would make tags decorative), and (c) anchors rollback
+    * ([[rollbackToTag]]). Re-tagging an existing name MOVES the tag
+    * (Iceberg's replace-tag). One O(1) driver-side file per tag.
+    *
+    * Deliberate exception: [[erase]]'s purge does NOT honor tags —
+    * right-to-erasure means the bytes become unreachable everywhere,
+    * and a tag must not be able to retain erased rows.
+    */
+  def tag(spark: SparkSession, spec: MigrationSpec, name: String, gen: Long): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"tag name '$name' must be [A-Za-z0-9._-]+ (it becomes a file name)")
+    require(generations(spark, spec).contains(gen),
+      s"cannot tag non-retained generation $gen")
+    val base = UriSchemes.path(spec.destination)
+    val f = new org.apache.hadoop.fs.Path(base, s"_tag_$name")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(f, true)
+    try out.write(s"gen$gen".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** All tags: name → generation number. */
+  def tags(spark: SparkSession, spec: MigrationSpec): Map[String, Long] = {
+    val base = new org.apache.hadoop.fs.Path(UriSchemes.path(spec.destination))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) Map.empty
+    else fs.listStatus(base).toSeq
+      .filter(_.getPath.getName.startsWith("_tag_"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val gen =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+          finally in.close()
+        st.getPath.getName.stripPrefix("_tag_") -> gen.stripPrefix("gen").toLong
+      }.toMap
+  }
+
+  /** Delete a tag (the generation itself stays until vacuum). Loud on a
+    * missing tag — silently "dropping" a typo'd name hides mistakes.
+    */
+  def dropTag(spark: SparkSession, spec: MigrationSpec, name: String): Unit = {
+    val base = UriSchemes.path(spec.destination)
+    val f = new org.apache.hadoop.fs.Path(base, s"_tag_$name")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(f), s"no such tag: $name")
+    if (!fs.delete(f, false))
+      throw new java.io.IOException(s"could not delete tag $name at $f")
+  }
+
+  /** Read the generation a tag names (None if the tag does not exist). */
+  def snapshotAtTag(spark: SparkSession, spec: MigrationSpec, name: String): Option[DataFrame] =
+    tags(spark, spec).get(name).flatMap(g => snapshotAt(spark, spec, g))
+
+  /** [[rollback]] anchored by tag name instead of generation number. */
+  def rollbackToTag(spark: SparkSession, spec: MigrationSpec, name: String): Unit =
+    rollback(spark, spec, tags(spark, spec).getOrElse(name,
+      throw new IllegalArgumentException(s"no such tag: $name")))
+
   /** Retained generation numbers, oldest first. */
   def generations(spark: SparkSession, spec: MigrationSpec): Seq[Long] = {
     val base = new org.apache.hadoop.fs.Path(UriSchemes.path(spec.destination))
@@ -556,7 +618,8 @@ final class ParquetDestinationDriver(
     keepGenerations.foreach { k =>
       val basePath = new org.apache.hadoop.fs.Path(base)
       val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      graft.mapper.GenerationVacuum.vacuum(fs, basePath, k)
+      graft.mapper.GenerationVacuum.vacuum(fs, basePath, k,
+        tags(spark, spec).values.toSet) // tagged generations are immortal
     }
   }
 
@@ -626,7 +689,8 @@ final class ParquetDestinationDriver(
     keepGenerations.foreach { k =>
       val basePath = new org.apache.hadoop.fs.Path(base)
       val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      graft.mapper.GenerationVacuum.vacuum(fs, basePath, k)
+      graft.mapper.GenerationVacuum.vacuum(fs, basePath, k,
+        tags(spark, spec).values.toSet) // tagged generations are immortal
     }
   }
 
@@ -716,7 +780,8 @@ final class ParquetDestinationDriver(
       }
       setCurrent(spark, base, next)
     }
-    keepGenerations.foreach(k => graft.mapper.GenerationVacuum.vacuum(fs, basePath, k))
+    keepGenerations.foreach(k => graft.mapper.GenerationVacuum.vacuum(
+      fs, basePath, k, tags(spark, spec).values.toSet))
   }
 }
 

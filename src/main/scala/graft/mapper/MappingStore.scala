@@ -290,16 +290,23 @@ final class MappingStore(
   }
 }
 
-/** Shared generation-directory vacuum for generation-pointer stores. */
+/** Shared generation-directory vacuum for generation-pointer stores.
+  * `protected_` generations (named tags — the Iceberg tag semantic) are
+  * never deleted regardless of age: a vacuum that could silently drop a
+  * tagged baseline would make tags decorative.
+  */
 private[graft] object GenerationVacuum {
   def vacuum(fs: org.apache.hadoop.fs.FileSystem,
-      base: org.apache.hadoop.fs.Path, keep: Int): Unit = {
+      base: org.apache.hadoop.fs.Path, keep: Int,
+      protected_ : Set[Long] = Set.empty): Unit = {
     require(keep >= 1, "must keep at least the current generation")
     val gens = fs.listStatus(base).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen"))
       .map(s => (s.getPath.getName.stripPrefix("gen").toLong, s.getPath))
       .sortBy(_._1)
-    gens.dropRight(keep).foreach { case (_, p) => fs.delete(p, true) }
+    gens.dropRight(keep)
+      .filterNot { case (g, _) => protected_.contains(g) }
+      .foreach { case (_, p) => fs.delete(p, true) }
   }
 }
 

@@ -361,6 +361,70 @@ object Etl {
              |SELECT 'txn', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
              |ORDER BY tag""".stripMargin)),
 
+    // Named tags on the generation sink (the Iceberg tag semantic):
+    // tag a retained generation, read it BY NAME, survive N-newest
+    // vacuums regardless of age (tag-protected — untagged peers of the
+    // same age are reclaimed), anchor rollback by name, and lose
+    // protection the moment the tag drops. The gate choreographs the
+    // whole lifecycle — tag gen0 'baseline', write past it under
+    // keepGenerations=2 (vacuum reclaims untagged gen1/gen2 but never
+    // the baseline), roll back BY TAG, branch forward, drop the tag,
+    // and watch the next vacuum finally reclaim gen0 — folding each
+    // invariant into a lit-guard. All tag machinery is O(1) driver-side
+    // files; no data moves at any table size.
+    QueryDef("etl_tags",
+      (spark, sf) => {
+        val base = scratch("graft_tags") + "/dest"
+        val sp = MigrationSpec("tags", source = "", sourceDriver = "inline",
+          destination = base, destinationDriver = "parquet",
+          sourceIds = Seq(IdField("id", LongId)),
+          destinationIds = Seq(IdField("id", LongId)))
+        val d = new ParquetDestinationDriver(keepGenerations = Some(2))
+        val cust = load(spark, sf, "customer")
+        def gen(mod: Int) = cust.filter(col("c_custkey") % mod === 0)
+          .select(col("c_custkey").cast("long").as("id"))
+        d.write(gen(3), sp)                          // gen0
+        d.tag(spark, sp, "baseline", 0L)
+        val tagUnretained = try { d.tag(spark, sp, "bogus", 7L); false }
+          catch { case _: IllegalArgumentException => true }
+        d.write(gen(4), sp)                          // gen1 (keep {0,1})
+        d.write(gen(5), sp)                          // gen2: vacuum spares tagged gen0
+        d.write(gen(6), sp)                          // gen3: vacuum drops gen1 only
+        val protectedOk = d.generations(spark, sp) == Seq(0L, 2L, 3L)
+        // materialized NOW: gen0's files die in the post-dropTag vacuum
+        // below, and a lazy plan over them would read deleted files
+        val bs = d.snapshotAtTag(spark, sp, "baseline").get
+          .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum")).head()
+        val baseStats = spark.range(1)
+          .select(lit(bs.getLong(0)).as("n"), lit(bs.getLong(1)).as("id_sum"))
+        d.rollbackToTag(spark, sp, "baseline")
+        val rolledOk = d.currentGeneration(spark, sp).contains(0L)
+        d.write(gen(7), sp)                          // gen4 branches past gen3
+        d.dropTag(spark, sp, "baseline")
+        d.write(gen(8), sp)                          // gen5: gen0 now reclaimable
+        val endGens = d.generations(spark, sp)
+        val ok = tagUnretained && protectedOk && rolledOk &&
+          endGens == Seq(4L, 5L) && d.tags(spark, sp).isEmpty
+        val cur = d.snapshot(spark, sp).get
+          .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+        val ledger = spark.range(1).select(lit(endGens.size.toLong).as("n"),
+          lit(endGens.sum).as("id_sum"))
+        baseStats.select(lit("baseline").as("tag"), col("n"), col("id_sum"))
+          .unionByName(cur.select(lit("current").as("tag"), col("n"), col("id_sum")))
+          .unionByName(ledger.select(lit("history").as("tag"), col("n"), col("id_sum")))
+          .filter(lit(ok))
+          .orderBy(col("tag"))
+      },
+      Some("""SELECT 'baseline' AS tag, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(c_custkey) AS BIGINT) AS id_sum
+             |FROM customer WHERE c_custkey % 3 = 0
+             |UNION ALL
+             |SELECT 'current', COUNT(*), CAST(SUM(c_custkey) AS BIGINT)
+             |FROM customer WHERE c_custkey % 8 = 0
+             |UNION ALL
+             |SELECT 'history', CAST(2 AS BIGINT), CAST(9 AS BIGINT)
+             |ORDER BY tag""".stripMargin)),
+
     // Optimistic concurrency on the generation pointer
     // (ParquetDestinationDriver optimistic=true): two executor runs
     // upsert the SAME destination from overlapping snapshots — the

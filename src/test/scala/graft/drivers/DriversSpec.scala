@@ -671,6 +671,28 @@ class DriversSpec extends SparkSpec {
     assert(d.currentGeneration(spark, sa).contains(2L)) // pointer untouched
   }
 
+  test("tags: vacuum-protected, movable, loud on typos; erasure purge overrides protection") {
+    import spark.implicits._
+    val dir = scratchDir("pq_tags")
+    val s = mkSpec("n/a", s"$dir/out")
+    val d = new ParquetDestinationDriver(keepGenerations = Some(1))
+    d.write(Seq((1L, "v0")).toDF("id", "v"), s)        // gen0
+    d.tag(spark, s, "rel", 0L)
+    d.write(Seq((1L, "v1")).toDF("id", "v"), s)        // gen1; tagged gen0 survives keep=1
+    assert(d.generations(spark, s) == Seq(0L, 1L))
+    d.tag(spark, s, "rel", 1L)                          // re-tag MOVES the name
+    assert(d.tags(spark, s) == Map("rel" -> 1L))
+    d.write(Seq((1L, "v2")).toDF("id", "v"), s)        // gen2: gen0 lost protection, gen1 keeps it
+    assert(d.generations(spark, s) == Seq(1L, 2L))
+    assert(d.snapshotAtTag(spark, s, "rel").get.collect()(0).getString(1) == "v1")
+    assertThrows[IllegalArgumentException](d.dropTag(spark, s, "nope"))
+    // right-to-erasure: the purge reclaims even TAGGED generations — a
+    // tag must not be able to retain erased rows
+    d.erase(spark, s, col("v") === "v2")
+    assert(d.generations(spark, s).size == 1)
+    assert(d.snapshotAtTag(spark, s, "rel").isEmpty, "tagged gen must be gone after purge")
+  }
+
   test("optimistic publish: concurrent writers cannot lose updates — loser aborts, re-merges, retries") {
     import spark.implicits._
     val dir = scratchDir("pq_cas")
