@@ -470,6 +470,79 @@ object SimilarityQueries {
       },
       Some(RecallGateOracle)),
 
+    // ONLINE ANN serving — the persisted index's production read path:
+    // queries ARRIVE as a stream (three vec_id-striped micro-batches)
+    // and each batch probes the loaded CURRENT index inside
+    // foreachBatch, results landing idempotently per batchId. The
+    // codebook is driver-held (O(nlist·dim)) and broadcast into every
+    // batch's probe; the assignments side is the same list-keyed
+    // equi-join as batch serving — so streaming arrival changes COST
+    // (per-batch work ∝ batch size · corpus/nlist · nprobe), never
+    // RESULTS: the union of all batch outputs must equal the one-shot
+    // batch probe rank-for-rank (symmetric exceptAll) and clear the
+    // recall bound vs brute force. Completes the FAISS lifecycle:
+    // offline build (sim_ann_index_build), incremental append
+    // (_append), compaction (_compact), online serving (this gate).
+    QueryDef("stream_ann_probe",
+      (spark, sf) => {
+        import graft.ops.AnnIndexStore
+        import org.apache.spark.sql.streaming.Trigger
+        val (base, _, _, _) = builtIndex(spark, sf)
+        val corpus = load(spark, sf, "embeddings")
+        val queries = corpus.filter(col("vec_id") < 10)
+        val k = 5
+        // stage the arriving queries as 3 mtime-ordered chunk files
+        val qdir = java.nio.file.Files.createTempDirectory("graft_annserve_q")
+        val mtime = System.currentTimeMillis() - 60000L
+        for (i <- 0 until 3) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_annserve_c")
+          queries.filter(pmod(col("vec_id"), lit(3)) === i).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          new java.io.File(tmp.toString).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .foreach { p =>
+              val dst = qdir.resolve(f"chunk_$i%03d.parquet")
+              java.nio.file.Files.move(p.toPath, dst)
+              dst.toFile.setLastModified(mtime + i * 10000L)
+            }
+        }
+        val outBase = Tables.scratch("graft_annserve_out")
+        val index = AnnIndexStore.load(spark, base)
+        val q = spark.readStream.schema(queries.schema)
+          .option("maxFilesPerTrigger", "1").parquet(qdir.toString)
+          .writeStream
+          .option("checkpointLocation", Tables.scratch("graft_annserve_ckpt"))
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            if (!batch.isEmpty)
+              AnnIndexStore.probe(index, batch, "vec_id", "embedding",
+                  nprobe = 4, k = k)
+                .write.mode("overwrite").parquet(s"$outBase/batch_$id")
+          }.start()
+        try q.awaitTermination() finally q.stop()
+        val rankCols = Seq(col("query_id"), col("rank"), col("neighbor_id"))
+        val served = spark.read.option("recursiveFileLookup", "true")
+          .parquet(outBase).select(rankCols: _*)
+        val oneShot = AnnIndexStore.probe(index, queries, "vec_id", "embedding",
+          nprobe = 4, k = k).select(rankCols: _*)
+        val parity = served.exceptAll(oneShot).unionAll(oneShot.exceptAll(served))
+          .agg(count(lit(1)).as("n_diff"))
+        val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k)
+        val hits = served.select(col("query_id"), col("neighbor_id"))
+          .join(exact.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+        val meanRecall = queries.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .agg(avg(coalesce(col("n_hits"), lit(0)) / k).as("mean_recall"))
+        queries.select(col("vec_id").as("query_id"))
+          .crossJoin(meanRecall).crossJoin(parity)
+          .filter(col("mean_recall") >= 0.4 && col("n_diff") === 0)
+          .select(col("query_id"), lit(k).as("k"))
+          .orderBy(col("query_id"))
+      },
+      Some(RecallGateOracle)),
+
     // Residual IVF+PQ (FAISS IndexIVFPQ semantics): codes quantize
     // v − c_list, concentrating codebook resolution on within-list
     // variation — the property that keeps recall from sagging as nlist
