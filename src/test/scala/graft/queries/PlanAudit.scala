@@ -237,6 +237,10 @@ class PlanAudit extends SparkSpec {
   // constant cost at any scale, not a quadratic join), with the allowed
   // count per query. Everything else stays strictly nested-loop-free.
   private val ScalarGateJoins = Map(
+    // round-16: the index-compaction parity gate crosses four 1-row
+    // aggregates (compaction parity, travel parity, coverage, recall)
+    // onto the query list; the online-serving gate crosses two
+    "sim_ann_index_compact" -> 5, "stream_ann_probe" -> 3,
     "dedup_semantic" -> 1, "text_countmin" -> 1,
     // recall gate + candidate-ratio gate + the ratio's own
     // one-row-×-one-row (n_cand × n) join
@@ -292,7 +296,22 @@ class PlanAudit extends SparkSpec {
     "q_ks_test" -> 1,
     // the 1-row horizon + totals attaches (printed per reference of
     // the per-duration lineage)
-    "q_survival" -> 3)
+    "q_survival" -> 3,
+    // round-16 additions. The skew twins: hot-key scenarios stay
+    // ordinary keyed plans (the split is an AQE runtime rewrite, not
+    // extra exchanges); dedup_skewed carries the full verify lineage
+    // (bands + candidate join + shingle-intersection) like its
+    // minhash_lsh sibling. The eager executor/driver gates
+    // (etl_concurrent_writers, etl_jdbc_flush, etl_tags,
+    // stream_llm_pipeline) emit snapshot reads — near-flat plans.
+    "dedup_skewed" -> 24,
+    "etl_skewed_upsert" -> 8,
+    "etl_concurrent_writers" -> 2,
+    "etl_jdbc_flush" -> 2,
+    "etl_tags" -> 3,
+    "stream_llm_pipeline" -> 3,
+    "sim_ann_index_compact" -> 52,
+    "stream_ann_probe" -> 24)
 
   test("q_skew_aqe_join: AQE splits the hot partition (structural isSkewJoin)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
