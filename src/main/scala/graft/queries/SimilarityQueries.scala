@@ -483,7 +483,7 @@ object SimilarityQueries {
     // recall bound vs brute force. Completes the FAISS lifecycle:
     // offline build (sim_ann_index_build), incremental append
     // (_append), compaction (_compact), online serving (this gate).
-    QueryDef("stream_ann_probe",
+    QueryDef("stream_ann_index_serve",
       (spark, sf) => {
         import graft.ops.AnnIndexStore
         import org.apache.spark.sql.streaming.Trigger

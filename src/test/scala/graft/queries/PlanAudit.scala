@@ -240,7 +240,7 @@ class PlanAudit extends SparkSpec {
     // round-16: the index-compaction parity gate crosses four 1-row
     // aggregates (compaction parity, travel parity, coverage, recall)
     // onto the query list; the online-serving gate crosses two
-    "sim_ann_index_compact" -> 5, "stream_ann_probe" -> 3,
+    "sim_ann_index_compact" -> 5, "stream_ann_index_serve" -> 3,
     "dedup_semantic" -> 1, "text_countmin" -> 1,
     // recall gate + candidate-ratio gate + the ratio's own
     // one-row-×-one-row (n_cand × n) join
@@ -311,7 +311,7 @@ class PlanAudit extends SparkSpec {
     "etl_tags" -> 3,
     "stream_llm_pipeline" -> 3,
     "sim_ann_index_compact" -> 52,
-    "stream_ann_probe" -> 24)
+    "stream_ann_index_serve" -> 24)
 
   test("q_skew_aqe_join: AQE splits the hot partition (structural isSkewJoin)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
