@@ -304,6 +304,125 @@ final class ParquetDestinationDriver(
     rollback(spark, spec, tags(spark, spec).getOrElse(name,
       throw new IllegalArgumentException(s"no such tag: $name")))
 
+  // ---- branches (Iceberg/Nessie-style write isolation) --------------
+
+  /** Fork a named BRANCH from a retained generation — the write-side
+    * sibling of a tag: while a tag is a frozen name, a branch is a
+    * second, independently-advancing pointer. Writers target the branch
+    * ([[writeToBranch]]) while every production reader keeps following
+    * `_CURRENT`; when the experiment proves out, [[fastForward]]
+    * publishes the branch head to main in one atomic flip — the
+    * multi-write generalization of WAP (stage → audit → publish), whose
+    * single staged generation is just a one-commit branch.
+    *
+    * The branch records its BASE (the main generation it forked from):
+    * fast-forward is only legal while main still sits at that base —
+    * ancestry by construction, no history graph needed. If main moved,
+    * the merge conflicts loudly and the caller re-forks and re-applies
+    * (the optimistic-concurrency discipline, at branch granularity).
+    * Branch heads and bases are vacuum-protected like tags.
+    */
+  def createBranch(spark: SparkSession, spec: MigrationSpec, name: String, fromGen: Long): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"branch name '$name' must be [A-Za-z0-9._-]+ (it becomes a file name)")
+    require(generations(spark, spec).contains(fromGen),
+      s"cannot branch from non-retained generation $fromGen")
+    require(!branches(spark, spec).contains(name), s"branch $name already exists")
+    writeBranchFile(spark, spec, name, head = fromGen, base = fromGen)
+  }
+
+  /** All branches: name → (head generation, base generation). */
+  def branches(spark: SparkSession, spec: MigrationSpec): Map[String, (Long, Long)] = {
+    val base = new org.apache.hadoop.fs.Path(UriSchemes.path(spec.destination))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) Map.empty
+    else fs.listStatus(base).toSeq
+      .filter(_.getPath.getName.startsWith("_branch_"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val body =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+          finally in.close()
+        val Array(h, b) = body.split("\t")
+        st.getPath.getName.stripPrefix("_branch_") ->
+          ((h.stripPrefix("gen").toLong, b.stripPrefix("base:gen").toLong))
+      }.toMap
+  }
+
+  /** Read a branch's head snapshot. */
+  def snapshotAtBranch(spark: SparkSession, spec: MigrationSpec, name: String): Option[DataFrame] =
+    branches(spark, spec).get(name).flatMap { case (h, _) => snapshotAt(spark, spec, h) }
+
+  /** Write the next commit on a branch: a fresh generation directory
+    * (numbers stay globally unique — the shared listing rule), with the
+    * BRANCH pointer flipping instead of `_CURRENT`. Main readers see
+    * nothing; the branch's own history is linear by construction (one
+    * pointer, advanced by its writer). Schema evolution is validated
+    * against the branch head.
+    */
+  def writeToBranch(df: DataFrame, spec: MigrationSpec, name: String): Unit = {
+    require(buckets.isEmpty, "branches are for non-bucketed generation sinks")
+    val spark = df.sparkSession
+    val (head, branchBase) = branches(spark, spec).getOrElse(name,
+      throw new IllegalArgumentException(s"no such branch: $name"))
+    val basePath = UriSchemes.path(spec.destination)
+    SchemaEvolution.validateEvolution(
+      spark.read.parquet(s"$basePath/gen$head").schema, df.schema,
+      s"destination ${spec.name} ($basePath, branch $name head gen$head)")
+    val next = generations(spark, spec).lastOption.getOrElse(-1L) + 1
+    writePartitions.fold(df)(df.coalesce)
+      .write.mode(SaveMode.Overwrite).parquet(s"$basePath/gen$next")
+    writeBranchFile(spark, spec, name, head = next, base = branchBase)
+  }
+
+  /** Publish a branch to main: atomic `_CURRENT` flip to the branch
+    * head, legal only while main still sits at the branch's fork base
+    * (otherwise rows committed to main since the fork would silently
+    * vanish — the lost-update anomaly again). On conflict the caller
+    * re-forks from the new main and re-applies. The merged branch is
+    * deleted; its generations stay retained/time-travelable.
+    */
+  def fastForward(spark: SparkSession, spec: MigrationSpec, name: String): Long = {
+    val base = UriSchemes.path(spec.destination)
+    val (head, forkBase) = branches(spark, spec).getOrElse(name,
+      throw new IllegalArgumentException(s"no such branch: $name"))
+    ParquetDestinationDriver.lockFor(base).synchronized {
+      val cur = currentGeneration(spark, spec)
+      if (!cur.contains(forkBase))
+        throw new graft.spec.ConcurrentPublishException(
+          s"cannot fast-forward branch $name (forked from gen$forkBase): main has " +
+            s"moved to ${cur.fold("<empty>")(g => s"gen$g")} — re-fork and re-apply")
+      setCurrent(spark, base, s"gen$head")
+    }
+    dropBranch(spark, spec, name)
+    head
+  }
+
+  /** Delete a branch pointer (its generations stay until vacuum). */
+  def dropBranch(spark: SparkSession, spec: MigrationSpec, name: String): Unit = {
+    val f = new org.apache.hadoop.fs.Path(UriSchemes.path(spec.destination), s"_branch_$name")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(f), s"no such branch: $name")
+    if (!fs.delete(f, false))
+      throw new java.io.IOException(s"could not delete branch $name at $f")
+  }
+
+  /** Vacuum-immortal generations: every tag target plus every branch
+    * head AND fork base (a reclaimed base would break the branch's
+    * fast-forward ancestry check; a reclaimed head is the branch).
+    */
+  private def protectedGenerations(spark: SparkSession, spec: MigrationSpec): Set[Long] =
+    tags(spark, spec).values.toSet ++
+      branches(spark, spec).values.flatMap { case (h, b) => Seq(h, b) }
+
+  private def writeBranchFile(spark: SparkSession, spec: MigrationSpec,
+      name: String, head: Long, base: Long): Unit = {
+    val f = new org.apache.hadoop.fs.Path(UriSchemes.path(spec.destination), s"_branch_$name")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(f, true)
+    try out.write(s"gen$head\tbase:gen$base".getBytes("UTF-8")) finally out.close()
+  }
+
   /** Retained generation numbers, oldest first. */
   def generations(spark: SparkSession, spec: MigrationSpec): Seq[Long] = {
     val base = new org.apache.hadoop.fs.Path(UriSchemes.path(spec.destination))
@@ -619,7 +738,7 @@ final class ParquetDestinationDriver(
       val basePath = new org.apache.hadoop.fs.Path(base)
       val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       graft.mapper.GenerationVacuum.vacuum(fs, basePath, k,
-        tags(spark, spec).values.toSet) // tagged generations are immortal
+        protectedGenerations(spark, spec)) // tagged/branched generations are immortal
     }
   }
 
@@ -690,7 +809,7 @@ final class ParquetDestinationDriver(
       val basePath = new org.apache.hadoop.fs.Path(base)
       val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       graft.mapper.GenerationVacuum.vacuum(fs, basePath, k,
-        tags(spark, spec).values.toSet) // tagged generations are immortal
+        protectedGenerations(spark, spec)) // tagged/branched generations are immortal
     }
   }
 
@@ -781,7 +900,7 @@ final class ParquetDestinationDriver(
       setCurrent(spark, base, next)
     }
     keepGenerations.foreach(k => graft.mapper.GenerationVacuum.vacuum(
-      fs, basePath, k, tags(spark, spec).values.toSet))
+      fs, basePath, k, protectedGenerations(spark, spec)))
   }
 }
 

@@ -425,6 +425,63 @@ object Etl {
              |SELECT 'history', CAST(2 AS BIGINT), CAST(9 AS BIGINT)
              |ORDER BY tag""".stripMargin)),
 
+    // Named BRANCHES on the generation sink (the Nessie/Iceberg-branch
+    // semantic — multi-commit write isolation, where WAP's single
+    // staged generation is a one-commit special case): fork from main,
+    // commit twice on the branch while every main reader stays pinned,
+    // FAST-FORWARD main to the branch head in one atomic flip (legal
+    // only while main still sits at the fork base — ancestry by
+    // construction), and prove the conflict path: a branch whose base
+    // was overtaken by a later main commit must refuse to merge
+    // (re-fork and re-apply is the caller's move, the CAS discipline at
+    // branch granularity). All branch machinery is O(1) driver-side
+    // files; generation numbers stay globally unique via the shared
+    // listing rule.
+    QueryDef("etl_branches",
+      (spark, sf) => {
+        val base = scratch("graft_branches") + "/dest"
+        val sp = MigrationSpec("branches", source = "", sourceDriver = "inline",
+          destination = base, destinationDriver = "parquet",
+          sourceIds = Seq(IdField("id", LongId)),
+          destinationIds = Seq(IdField("id", LongId)))
+        val d = new ParquetDestinationDriver
+        val cust = load(spark, sf, "customer")
+        def rows(mod: Int, marker: String) =
+          cust.filter(col("c_custkey") % mod === 0)
+            .select(col("c_custkey").cast("long").as("id"), lit(marker).as("marker"))
+        d.write(rows(3, "main"), sp)                          // gen0 = main
+        d.createBranch(spark, sp, "exp", 0L)
+        // two commits on the branch; main readers never see them
+        d.writeToBranch(rows(4, "exp1"), sp, "exp")           // gen1 (head)
+        val mainStable = d.currentGeneration(spark, sp).contains(0L)
+        d.writeToBranch(rows(4, "exp2"), sp, "exp")           // gen2 (head)
+        val isolated = d.snapshot(spark, sp).get               // still gen0
+          .agg(count(lit(1))).head().getLong(0) ==
+          rows(3, "main").count()
+        val merged = d.fastForward(spark, sp, "exp")           // main -> gen2
+        val ffOk = merged == 2L && d.currentGeneration(spark, sp).contains(2L) &&
+          d.branches(spark, sp).isEmpty
+        // conflict path: fork, then main moves, merge must refuse
+        d.createBranch(spark, sp, "late", 2L)
+        d.writeToBranch(rows(5, "late1"), sp, "late")         // gen3
+        d.write(rows(6, "hot"), sp)                           // gen4: main overtakes
+        val conflicted = try { d.fastForward(spark, sp, "late"); false }
+          catch { case _: ConcurrentPublishException => true }
+        // re-fork from the new main and re-apply — the retry discipline
+        d.dropBranch(spark, sp, "late")
+        d.createBranch(spark, sp, "late2", 4L)
+        d.writeToBranch(rows(5, "late1"), sp, "late2")        // gen5
+        d.fastForward(spark, sp, "late2")                     // main -> gen5
+        val ok = mainStable && isolated && ffOk && conflicted &&
+          d.currentGeneration(spark, sp).contains(5L)
+        releasing()(
+          d.snapshot(spark, sp).get.filter(lit(ok))
+            .select(col("id"), col("marker")).orderBy(col("id")))
+      },
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS id, 'late1' AS marker
+             |FROM customer WHERE c_custkey % 5 = 0
+             |ORDER BY id""".stripMargin)),
+
     // Optimistic concurrency on the generation pointer
     // (ParquetDestinationDriver optimistic=true): two executor runs
     // upsert the SAME destination from overlapping snapshots — the

@@ -693,6 +693,31 @@ class DriversSpec extends SparkSpec {
     assert(d.snapshotAtTag(spark, s, "rel").isEmpty, "tagged gen must be gone after purge")
   }
 
+  test("branches: isolated commits, vacuum-protected heads and bases, duplicate/missing guards") {
+    import spark.implicits._
+    val dir = scratchDir("pq_branches")
+    val s = mkSpec("n/a", s"$dir/out")
+    val d = new ParquetDestinationDriver(keepGenerations = Some(1))
+    d.write(Seq((1L, "m0")).toDF("id", "v"), s)          // gen0
+    d.createBranch(spark, s, "b", 0L)
+    assertThrows[IllegalArgumentException](d.createBranch(spark, s, "b", 0L)) // duplicate
+    assertThrows[IllegalArgumentException](d.createBranch(spark, s, "c", 9L)) // unretained
+    d.writeToBranch(Seq((1L, "b1")).toDF("id", "v"), s, "b") // gen1 (branch head)
+    // a main write under keep=1 must spare the branch's head AND base
+    d.write(Seq((1L, "m2")).toDF("id", "v"), s)          // gen2
+    assert(d.generations(spark, s) == Seq(0L, 1L, 2L),
+      "branch head/base must be vacuum-immortal")
+    // main moved past the fork base: fast-forward must refuse
+    assertThrows[graft.spec.ConcurrentPublishException](d.fastForward(spark, s, "b"))
+    assert(d.currentGeneration(spark, s).contains(2L))
+    // branch still readable; dropping it releases protection
+    assert(d.snapshotAtBranch(spark, s, "b").get.collect()(0).getString(1) == "b1")
+    d.dropBranch(spark, s, "b")
+    assertThrows[IllegalArgumentException](d.dropBranch(spark, s, "b"))
+    d.write(Seq((1L, "m3")).toDF("id", "v"), s)          // gen3: 0/1 now reclaimable
+    assert(d.generations(spark, s) == Seq(3L))
+  }
+
   test("optimistic publish: concurrent writers cannot lose updates — loser aborts, re-merges, retries") {
     import spark.implicits._
     val dir = scratchDir("pq_cas")
