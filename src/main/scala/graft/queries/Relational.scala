@@ -2988,6 +2988,119 @@ object Relational {
     // NULL z²/verdict on both engines instead of dividing by zero.
     // Shape: one user-keyed agg (the only corpus shuffle), then a
     // two-row parity frame does everything else.
+    // Welch's unequal-variance two-sample t-test on MEANS — the
+    // continuous-metric sibling of q_ab_test's proportion z-test (the
+    // experimentation pair every metrics platform ships). Sufficient
+    // statistics are exact integers (n, Σcents, Σcents² per arm — one
+    // map-side-combined aggregate, O(1) driver rows at any corpus
+    // size); t² and the Welch–Satterthwaite df are each ONE double
+    // expression with identical text in both engines; and the
+    // significance verdict at α=0.05 is decided EXACTLY in integer
+    // arithmetic — t² ≥ 1.96² cross-multiplied to
+    // 625·d²·(n_a−1)(n_b−1) ≥ 2401·(A_a·n_b²(n_b−1) + A_b·n_a²(n_a−1))
+    // with A_i = n_i·Q_i − S_i² — in DECIMAL(38)/HUGEINT, with a
+    // raise_error domain tripwire (the q_ab_test discipline) where the
+    // cross-products would leave the exact-decision domain.
+    QueryDef("q_welch_ttest",
+      (spark, sf) => {
+        val wide = load(spark, sf, "customer")
+          .select((col("c_custkey") % 2 === 0).as("grp_a"),
+            cents(col("c_acctbal")).as("v"))
+          .agg(
+            sum(when(col("grp_a"), 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("grp_a"), col("v")).otherwise(0L)).as("s_a"),
+            sum(when(col("grp_a"), col("v") * col("v")).otherwise(0L)).as("q_a"),
+            sum(when(!col("grp_a"), 1L).otherwise(0L)).as("n_b"),
+            sum(when(!col("grp_a"), col("v")).otherwise(0L)).as("s_b"),
+            sum(when(!col("grp_a"), col("v") * col("v")).otherwise(0L)).as("q_b"))
+        val ok = col("n_a") > 1 && col("n_b") > 1
+        wide.select(col("n_a"), col("s_a"), col("q_a"),
+            col("n_b"), col("s_b"), col("q_b"),
+            (col("s_a") * col("n_b") - col("s_b") * col("n_a")).as("d_scaled"),
+            when(ok, round(expr(
+              """POW(CAST(s_a * n_b - s_b * n_a AS DOUBLE)
+                |      / (CAST(n_a AS DOUBLE) * n_b), 2)
+                |  / ((CAST(n_a AS DOUBLE) * q_a - CAST(s_a AS DOUBLE) * s_a)
+                |       / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1))
+                |     + (CAST(n_b AS DOUBLE) * q_b - CAST(s_b AS DOUBLE) * s_b)
+                |       / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)))""".stripMargin), 4))
+              .as("t2"),
+            when(ok, round(expr(
+              """POW((CAST(n_a AS DOUBLE) * q_a - CAST(s_a AS DOUBLE) * s_a)
+                |      / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1))
+                |    + (CAST(n_b AS DOUBLE) * q_b - CAST(s_b AS DOUBLE) * s_b)
+                |      / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)), 2)
+                |  / (POW((CAST(n_a AS DOUBLE) * q_a - CAST(s_a AS DOUBLE) * s_a)
+                |         / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1)), 2) / (n_a - 1)
+                |     + POW((CAST(n_b AS DOUBLE) * q_b - CAST(s_b AS DOUBLE) * s_b)
+                |           / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)), 2) / (n_b - 1))""".stripMargin), 2))
+              .as("df"),
+            when(ok, expr(
+              """CASE WHEN 625 * POW(CAST(s_a * n_b - s_b * n_a AS DOUBLE), 2)
+                |       * (n_a - 1) * (n_b - 1) > 1e36
+                |    OR 2401 * ((CAST(n_a AS DOUBLE) * q_a)
+                |         * n_b * n_b * (n_b - 1)
+                |       + (CAST(n_b AS DOUBLE) * q_b)
+                |         * n_a * n_a * (n_a - 1)) > 1e36
+                |  THEN CAST(raise_error(CONCAT('q_welch_ttest: statistics exceed ',
+                |    'the DECIMAL(38) exact-decision domain - shard the metric ',
+                |    'or decide on the t2 double')) AS INT)
+                |  ELSE CAST(
+                |    CAST(s_a * n_b - s_b * n_a AS DECIMAL(38,0))
+                |      * (s_a * n_b - s_b * n_a) * (n_a - 1) * (n_b - 1) * 625
+                |    >= CAST(2401 AS DECIMAL(38,0))
+                |      * ((CAST(n_a AS DECIMAL(38,0)) * q_a
+                |            - CAST(s_a AS DECIMAL(38,0)) * s_a) * n_b * n_b * (n_b - 1)
+                |         + (CAST(n_b AS DECIMAL(38,0)) * q_b
+                |            - CAST(s_b AS DECIMAL(38,0)) * s_b) * n_a * n_a * (n_a - 1))
+                |    AS INT) END""".stripMargin))
+              .as("significant"))
+      },
+      Some("""WITH wide AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN c_custkey % 2 = 0
+             |          THEN CAST(ROUND(c_acctbal*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_a,
+             |    CAST(SUM(CASE WHEN c_custkey % 2 = 0
+             |          THEN CAST(ROUND(c_acctbal*100) AS BIGINT)
+             |             * CAST(ROUND(c_acctbal*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS q_a,
+             |    CAST(SUM(CASE WHEN c_custkey % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |    CAST(SUM(CASE WHEN c_custkey % 2 <> 0
+             |          THEN CAST(ROUND(c_acctbal*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_b,
+             |    CAST(SUM(CASE WHEN c_custkey % 2 <> 0
+             |          THEN CAST(ROUND(c_acctbal*100) AS BIGINT)
+             |             * CAST(ROUND(c_acctbal*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS q_b
+             |  FROM customer)
+             |SELECT n_a, s_a, q_a, n_b, s_b, q_b,
+             |  CAST(s_a * n_b - s_b * n_a AS BIGINT) AS d_scaled,
+             |  CASE WHEN n_a > 1 AND n_b > 1 THEN
+             |    ROUND(POW(CAST(s_a * n_b - s_b * n_a AS DOUBLE)
+             |        / (CAST(n_a AS DOUBLE) * n_b), 2)
+             |      / ((CAST(n_a AS DOUBLE) * q_a - CAST(s_a AS DOUBLE) * s_a)
+             |           / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1))
+             |         + (CAST(n_b AS DOUBLE) * q_b - CAST(s_b AS DOUBLE) * s_b)
+             |           / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1))), 4) END AS t2,
+             |  CASE WHEN n_a > 1 AND n_b > 1 THEN
+             |    ROUND(POW((CAST(n_a AS DOUBLE) * q_a - CAST(s_a AS DOUBLE) * s_a)
+             |          / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1))
+             |        + (CAST(n_b AS DOUBLE) * q_b - CAST(s_b AS DOUBLE) * s_b)
+             |          / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)), 2)
+             |      / (POW((CAST(n_a AS DOUBLE) * q_a - CAST(s_a AS DOUBLE) * s_a)
+             |             / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1)), 2) / (n_a - 1)
+             |         + POW((CAST(n_b AS DOUBLE) * q_b - CAST(s_b AS DOUBLE) * s_b)
+             |               / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)), 2) / (n_b - 1)), 2)
+             |  END AS df,
+             |  CASE WHEN n_a > 1 AND n_b > 1 THEN
+             |    CAST(CAST(s_a * n_b - s_b * n_a AS HUGEINT)
+             |      * (s_a * n_b - s_b * n_a) * (n_a - 1) * (n_b - 1) * 625
+             |    >= CAST(2401 AS HUGEINT)
+             |      * ((CAST(n_a AS HUGEINT) * q_a
+             |            - CAST(s_a AS HUGEINT) * s_a) * n_b * n_b * (n_b - 1)
+             |         + (CAST(n_b AS HUGEINT) * q_b
+             |            - CAST(s_b AS HUGEINT) * s_b) * n_a * n_a * (n_a - 1))
+             |    AS INT) END AS significant
+             |FROM wide""".stripMargin)),
+
     QueryDef("q_ab_test",
       (spark, sf) => {
         val users = load(spark, sf, "events")
