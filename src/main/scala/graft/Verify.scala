@@ -7,15 +7,38 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER lets the SAME verify binary run under
+    // local-cluster[n,cores,memMB] — separate executor JVMs, real
+    // serialization + remote shuffle fetch — the multi-JVM proof that
+    // local[k] (executor threads sharing the driver JVM) cannot give.
+    // Requires SPARK_HOME so the in-process Workers can launch executors.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.scheduler.mode", "FAIR") // concurrent streams share fairly (stream_concurrent)
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      // Executor JVMs need the graft classes (they are not in SPARK_HOME/jars)
+      // and the same JDK17 --add-opens the driver runs with.
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+      builder
+        .config("spark.executor.extraClassPath",
+          new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+        .config("spark.executor.extraJavaOptions", addOpens)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // comma-separated substring filter, e.g. GRAFT_QUERY_FILTER=q_asof,stream_

@@ -3101,6 +3101,114 @@ object Relational {
              |    AS INT) END AS significant
              |FROM wide""".stripMargin)),
 
+    // CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013, public
+    // paper) — the standard pre-experiment covariate adjustment every
+    // experimentation platform runs before the test statistics
+    // (q_ab_test / q_welch_ttest / q_mann_whitney): each user's
+    // post-period metric y is adjusted by θ·(x − x̄) where x is the
+    // SAME user's pre-period activity and θ = cov(x,y)/var(x), shrinking
+    // between-user noise by exactly ρ² (the reported variance-reduction
+    // factor). The pre/post split is the corpus midpoint timestamp (one
+    // O(1) min/max agg broadcast back); per-user (x, y) counts are one
+    // user-keyed shuffle; every moment (n, Σx, Σy, Σx², Σy², Σxy + the
+    // per-arm sums) is an exact BIGINT from ONE map-side-combined
+    // aggregate, so the frame reaching the driver is a single row at
+    // any corpus size. θ, ρ², and the raw/adjusted arm differences are
+    // each ONE double expression with identical text in both engines
+    // (the arm-mean x̄ terms cancel in the adjusted difference —
+    // diff_adj = diff_raw − θ·(x̄_a − x̄_b) — so no nested rounding).
+    // Degenerate designs (an empty arm, or zero pre-period variance)
+    // emit NULL adjustments on both engines.
+    QueryDef("q_cuped",
+      (spark, sf) => {
+        val ev = load(spark, sf, "events")
+          .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+        val cut = ev.agg(expr("(MIN(us) + MAX(us)) div 2").as("cut"))
+        val per = ev.crossJoin(broadcast(cut))
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("us") < col("cut"), 1L).otherwise(0L)).as("x"),
+            sum(when(col("us") >= col("cut"), 1L).otherwise(0L)).as("y"))
+          .select((col("user_id") % 2 === 0).as("grp_a"), col("x"), col("y"))
+        val s = per.agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(when(col("grp_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("grp_a"), col("x")).otherwise(0L)).as("sx_a"),
+          sum(when(col("grp_a"), col("y")).otherwise(0L)).as("sy_a"),
+          sum(when(!col("grp_a"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(!col("grp_a"), col("x")).otherwise(0L)).as("sx_b"),
+          sum(when(!col("grp_a"), col("y")).otherwise(0L)).as("sy_b"))
+        val okVar = col("n_a") > 0 && col("n_b") > 0 &&
+          col("n") * col("sxx") - col("sx") * col("sx") > 0
+        s.select(col("n"), col("n_a"), col("n_b"),
+          col("sx"), col("sy"), col("sxy"),
+          when(okVar, round(expr(
+            """CAST(n * sxy - sx * sy AS DOUBLE)
+              |  / CAST(n * sxx - sx * sx AS DOUBLE)""".stripMargin), 6))
+            .as("theta"),
+          when(okVar && col("n") * col("syy") - col("sy") * col("sy") > 0,
+            round(expr(
+              """POW(CAST(n * sxy - sx * sy AS DOUBLE), 2)
+                |  / (CAST(n * sxx - sx * sx AS DOUBLE)
+                |     * CAST(n * syy - sy * sy AS DOUBLE))""".stripMargin), 6))
+            .as("var_reduction"),
+          when(col("n_a") > 0 && col("n_b") > 0, round(expr(
+            """CAST(sy_a AS DOUBLE) / n_a
+              |  - CAST(sy_b AS DOUBLE) / n_b""".stripMargin), 6))
+            .as("diff_raw"),
+          when(okVar, round(expr(
+            """CAST(sy_a AS DOUBLE) / n_a - CAST(sy_b AS DOUBLE) / n_b
+              |  - CAST(n * sxy - sx * sy AS DOUBLE)
+              |    / CAST(n * sxx - sx * sx AS DOUBLE)
+              |    * (CAST(sx_a AS DOUBLE) / n_a
+              |       - CAST(sx_b AS DOUBLE) / n_b)""".stripMargin), 6))
+            .as("diff_adj"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) AS us FROM events),
+             |cutoff AS (SELECT (MIN(us) + MAX(us)) // 2 AS cut FROM ev),
+             |per AS (
+             |  SELECT user_id % 2 = 0 AS grp_a,
+             |    CAST(SUM(CASE WHEN us < cut THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             |    CAST(SUM(CASE WHEN us >= cut THEN 1 ELSE 0 END) AS BIGINT) AS y
+             |  FROM ev CROSS JOIN cutoff GROUP BY user_id),
+             |s AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |    CAST(SUM(y * y) AS BIGINT) AS syy,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |    CAST(SUM(CASE WHEN grp_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN grp_a THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+             |    CAST(SUM(CASE WHEN grp_a THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+             |    CAST(SUM(CASE WHEN NOT grp_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |    CAST(SUM(CASE WHEN NOT grp_a THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+             |    CAST(SUM(CASE WHEN NOT grp_a THEN y ELSE 0 END) AS BIGINT) AS sy_b
+             |  FROM per)
+             |SELECT n, n_a, n_b, sx, sy, sxy,
+             |  CASE WHEN n_a > 0 AND n_b > 0 AND n * sxx - sx * sx > 0 THEN
+             |    ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS theta,
+             |  CASE WHEN n_a > 0 AND n_b > 0 AND n * sxx - sx * sx > 0
+             |      AND n * syy - sy * sy > 0 THEN
+             |    ROUND(POW(CAST(n * sxy - sx * sy AS DOUBLE), 2)
+             |      / (CAST(n * sxx - sx * sx AS DOUBLE)
+             |         * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             |  END AS var_reduction,
+             |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+             |    ROUND(CAST(sy_a AS DOUBLE) / n_a
+             |      - CAST(sy_b AS DOUBLE) / n_b, 6) END AS diff_raw,
+             |  CASE WHEN n_a > 0 AND n_b > 0 AND n * sxx - sx * sx > 0 THEN
+             |    ROUND(CAST(sy_a AS DOUBLE) / n_a - CAST(sy_b AS DOUBLE) / n_b
+             |      - CAST(n * sxy - sx * sy AS DOUBLE)
+             |        / CAST(n * sxx - sx * sx AS DOUBLE)
+             |        * (CAST(sx_a AS DOUBLE) / n_a
+             |           - CAST(sx_b AS DOUBLE) / n_b), 6) END AS diff_adj
+             |FROM s""".stripMargin)),
+
     QueryDef("q_ab_test",
       (spark, sf) => {
         val users = load(spark, sf, "events")
@@ -3703,6 +3811,125 @@ object Relational {
              |    >= CAST(1844164 AS HUGEINT) * (t1 + t2) * t1 * t2
              |    AS INT) AS significant
              |FROM gap""".stripMargin)),
+
+    // Mann–Whitney U (Wilcoxon rank-sum) test — the NONPARAMETRIC
+    // location test completing the experimentation suite (q_ab_test
+    // proportions, q_welch_ttest means, q_ks_test whole-distribution,
+    // q_chi_square categorical): do BUILDING-segment order values sit
+    // systematically higher/lower than the rest, judged on RANKS so no
+    // normality assumption? Exact everywhere: the corpus collapses to
+    // per-cents-value counts in one shuffle; tied-value average ranks
+    // come from ONE distributed inclusive prefix-sum pass
+    // ([[graft.ops.Rank.runningSumsInclusive]] — range sort +
+    // O(partitions) seeds, never a single-partition window) carried in
+    // DOUBLED units (avg rank of a t-way tie ending at cumulative c is
+    // (2c−t+1)/2, so 2·R₁ = Σ n₁(v)·(2c−t+1) is an exact BIGINT);
+    // U₁ doubled = 2R₁ − n₁(n₁+1). The normal-approximation z² (no
+    // continuity correction; tie-corrected variance) is ONE double
+    // expression — z² = 3n(n−1)d² / (n₁n₂W) with d = 2U₁ − n₁n₂ and
+    // W = (n+1)n(n−1) − Σ(t³−t) — and the α=0.05 verdict is decided
+    // EXACTLY by the cross-multiplied integer comparison
+    // 1875·n(n−1)·d² ≥ 2401·n₁n₂·W in DECIMAL(38)/HUGEINT, with the
+    // q_ab_test raise_error tripwire outside a 10×-margined domain
+    // pre-check. Tie cubes t³ are summed in DECIMAL(38) (a 2M-deep tie
+    // would wrap BIGINT); degenerate designs (an empty arm, or W = 0 —
+    // every observation tied) emit NULL z²/verdict on both engines.
+    QueryDef("q_mann_whitney",
+      (spark, sf) => {
+        val j = load(spark, sf, "orders")
+          .join(load(spark, sf, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(cents(col("o_totalprice")).as("v"),
+            when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+              .as("g"))
+        val per = j.groupBy(col("v"))
+          .agg(sum(col("g")).as("n1"),
+            (count(lit(1)) - sum(col("g"))).as("n2"))
+          .withColumn("t", col("n1") + col("n2"))
+        val cum = graft.ops.Rank.runningSumsInclusive(
+          per, Seq(col("v")), Seq("t"))
+        val stats = cum.agg(
+          sum(col("n1")).as("n1t"),
+          sum(col("n2")).as("n2t"),
+          sum(col("n1") * (col("t_cum") * 2 - col("t") + 1)).as("r1_x2"),
+          sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t"))
+            .cast("long").as("ties"))
+        stats.select(
+          col("n1t").as("n1"), col("n2t").as("n2"),
+          (col("r1_x2") - col("n1t") * (col("n1t") + 1)).as("u1_x2"),
+          col("ties"),
+          expr("""CASE WHEN n1t > 0 AND n2t > 0
+            |  AND CAST(n1t + n2t + 1 AS DOUBLE) * (n1t + n2t)
+            |      * (n1t + n2t - 1) - ties > 0 THEN
+            |  ROUND(POW(CAST(r1_x2 - n1t * (n1t + 1) - n1t * n2t AS DOUBLE), 2)
+            |      * 3 * (n1t + n2t) * (n1t + n2t - 1)
+            |    / (CAST(n1t AS DOUBLE) * n2t
+            |       * (CAST(n1t + n2t + 1 AS DOUBLE) * (n1t + n2t)
+            |          * (n1t + n2t - 1) - ties)), 4)
+            |END""".stripMargin).as("z2"),
+          expr("""CASE WHEN n1t <= 0 OR n2t <= 0
+            |    OR CAST(n1t + n2t + 1 AS DOUBLE) * (n1t + n2t)
+            |       * (n1t + n2t - 1) - ties <= 0 THEN CAST(NULL AS INT)
+            |  WHEN 1875 * POW(CAST(r1_x2 - n1t * (n1t + 1) - n1t * n2t
+            |        AS DOUBLE), 2) * (n1t + n2t) * (n1t + n2t - 1) > 1e36
+            |    OR 2401 * (CAST(n1t AS DOUBLE) * n2t)
+            |       * (CAST(n1t + n2t + 1 AS DOUBLE) * (n1t + n2t)
+            |          * (n1t + n2t - 1)) > 1e36
+            |  THEN CAST(raise_error(CONCAT('q_mann_whitney: counts exceed ',
+            |    'the DECIMAL(38) exact-decision domain - shard the metric ',
+            |    'or decide on the z2 double')) AS INT)
+            |  ELSE CAST(
+            |    CAST(1875 AS DECIMAL(38,0)) * (n1t + n2t) * (n1t + n2t - 1)
+            |      * (r1_x2 - n1t * (n1t + 1) - n1t * n2t)
+            |      * (r1_x2 - n1t * (n1t + 1) - n1t * n2t)
+            |    >= CAST(2401 AS DECIMAL(38,0)) * n1t * n2t
+            |      * (CAST(n1t + n2t + 1 AS DECIMAL(38,0)) * (n1t + n2t)
+            |         * (n1t + n2t - 1) - ties)
+            |    AS INT) END""".stripMargin).as("significant"))
+      },
+      Some("""WITH j AS (
+             |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |per AS (
+             |  SELECT v, CAST(SUM(g) AS BIGINT) AS n1,
+             |    CAST(COUNT(*) - SUM(g) AS BIGINT) AS n2,
+             |    CAST(COUNT(*) AS BIGINT) AS t
+             |  FROM j GROUP BY v),
+             |cum AS (
+             |  SELECT n1, n2, t,
+             |    CAST(SUM(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS t_cum
+             |  FROM per),
+             |stats AS (
+             |  SELECT CAST(SUM(n1) AS BIGINT) AS n1t,
+             |    CAST(SUM(n2) AS BIGINT) AS n2t,
+             |    CAST(SUM(n1 * (t_cum * 2 - t + 1)) AS BIGINT) AS r1_x2,
+             |    CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS BIGINT) AS ties
+             |  FROM cum)
+             |SELECT n1t AS n1, n2t AS n2,
+             |  CAST(r1_x2 - n1t * (n1t + 1) AS BIGINT) AS u1_x2, ties,
+             |  CASE WHEN n1t > 0 AND n2t > 0
+             |    AND CAST(n1t + n2t + 1 AS DOUBLE) * (n1t + n2t)
+             |        * (n1t + n2t - 1) - ties > 0 THEN
+             |    ROUND(POW(CAST(r1_x2 - n1t * (n1t + 1) - n1t * n2t AS DOUBLE), 2)
+             |        * 3 * (n1t + n2t) * (n1t + n2t - 1)
+             |      / (CAST(n1t AS DOUBLE) * n2t
+             |         * (CAST(n1t + n2t + 1 AS DOUBLE) * (n1t + n2t)
+             |            * (n1t + n2t - 1) - ties)), 4)
+             |  END AS z2,
+             |  CASE WHEN n1t <= 0 OR n2t <= 0
+             |      OR CAST(n1t + n2t + 1 AS DOUBLE) * (n1t + n2t)
+             |         * (n1t + n2t - 1) - ties <= 0 THEN CAST(NULL AS INT)
+             |    ELSE CAST(
+             |      CAST(1875 AS HUGEINT) * (n1t + n2t) * (n1t + n2t - 1)
+             |        * (r1_x2 - n1t * (n1t + 1) - n1t * n2t)
+             |        * (r1_x2 - n1t * (n1t + 1) - n1t * n2t)
+             |      >= CAST(2401 AS HUGEINT) * n1t * n2t
+             |        * (CAST(n1t + n2t + 1 AS HUGEINT) * (n1t + n2t)
+             |           * (n1t + n2t - 1) - ties)
+             |      AS INT) END AS significant
+             |FROM stats""".stripMargin)),
 
     // Hour-of-day seasonal index — the multiplicative seasonality
     // profile (retail "hour curve") that complements the trend
