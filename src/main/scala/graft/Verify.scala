@@ -35,7 +35,8 @@ object Verify {
         .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
       builder
         .config("spark.executor.extraClassPath",
-          new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+          new java.io.File(sys.env.getOrElse("GRAFT_CLASSES_DIR",
+            "target/scala-2.13/classes")).getAbsolutePath)
         .config("spark.executor.extraJavaOptions", addOpens)
     }
     val spark = builder.getOrCreate()

@@ -1054,16 +1054,26 @@ final class JdbcDestinationDriver(
         "resolved JDBC destination must be configured via " +
         "Migration.configureDestination returning new JdbcDestinationDriver(table)")
 
-  private def reader(spark: SparkSession, spec: MigrationSpec) = {
+  private def load(spark: SparkSession, spec: MigrationSpec): DataFrame = {
     requireTable(spec)
-    val r = spark.read.format("jdbc")
-      .option("url", UriSchemes.jdbcUrl(spec.destination)).option("dbtable", table)
-    properties.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }
+    val url = UriSchemes.jdbcUrl(spec.destination)
+    // Embedded Derby lives inside the driver JVM — executor JVMs can
+    // never boot it (single-JVM by Derby's design; proved by the
+    // local-cluster sweep). Route the read driver-side for embedded
+    // URLs only; every network database keeps the executor-side scan.
+    if (DriverLocalJdbc.isEmbedded(url))
+      DriverLocalJdbc.read(spark, url, s"SELECT * FROM $table",
+        properties.get("driver"))
+    else {
+      val r = spark.read.format("jdbc")
+        .option("url", url).option("dbtable", table)
+      properties.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+    }
   }
 
   def snapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] = {
     requireTable(spec) // outside the catch-all: misconfiguration must not read as "table absent"
-    try Some(reader(spark, spec).load())
+    try Some(load(spark, spec))
     catch { case _: Exception => None } // table absent yet
   }
 
@@ -1072,28 +1082,32 @@ final class JdbcDestinationDriver(
     if (merge) mergeWrite(df, spec)
     else {
       val url = UriSchemes.jdbcUrl(spec.destination)
-      val w = singleWriterIfEmbedded(df, url).write.format("jdbc")
-        .option("url", url).option("dbtable", table)
-        .option("batchsize", batchSize.toString)
-        .mode(SaveMode.Overwrite).option("truncate", "true")
-      properties.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }.save()
+      if (DriverLocalJdbc.isEmbedded(url)) {
+        // In-process database: overwrite = ensure table, clear, batch
+        // INSERT through ONE driver-side connection (toLocalIterator —
+        // one partition in driver memory at a time). Also sidesteps
+        // Derby's page-cache observer race under concurrent batch DML.
+        ensureTable(url, df.schema, keyCols = Nil)
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          try st.execute(s"DELETE FROM $table") finally st.close()
+        } finally conn.close()
+        val cols = df.schema.fields.map(_.name).toSeq
+        val insertSql = s"""INSERT INTO $table (${cols.map(c => s""""$c"""").mkString(", ")}) """ +
+          s"""VALUES (${cols.map(_ => "?").mkString(", ")})"""
+        import scala.jdk.CollectionConverters._
+        DriverLocalJdbc.execBatched(url, insertSql, df.toLocalIterator().asScala,
+          cols, typeCodes(df.schema), batchSize, properties.get("driver"))
+      } else {
+        val w = df.write.format("jdbc")
+          .option("url", url).option("dbtable", table)
+          .option("batchsize", batchSize.toString)
+          .mode(SaveMode.Overwrite).option("truncate", "true")
+        properties.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }.save()
+      }
     }
   }
-
-  /** Embedded Derby (`jdbc:derby:<path>`, no network host) is an
-    * in-process single-node store whose background page-cache observer
-    * chain races under concurrent batch DML from multiple connections —
-    * an internal Derby NPE (`BaseContainerHandle.deleteObserver` on a
-    * null owner) surfaced flakily under full-suite load. One writer
-    * connection is the honest shape there: in-process, extra
-    * connections buy no parallel I/O. Server endpoints (including
-    * Derby client/server `jdbc:derby://host/...`) keep the standard
-    * per-partition parallel connections.
-    */
-  private def singleWriterIfEmbedded(df: DataFrame, url: String): DataFrame =
-    if (url.startsWith("jdbc:derby:") && !url.startsWith("jdbc:derby://"))
-      df.coalesce(1)
-    else df
 
   private def sqlType(dt: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._
@@ -1109,10 +1123,52 @@ final class JdbcDestinationDriver(
     }
   }
 
-  /** Per-partition batched `MERGE INTO` (ANSI, Derby-compatible single-
-    * row source form), creating the table on first contact. Executors
-    * open their own connections — the standard distributed JDBC sink
-    * shape; `batchSize` rows per round trip.
+  /** CREATE TABLE from the frame's schema if absent (driver-side, once);
+    * `keyCols` non-empty adds the PRIMARY KEY clause the MERGE path
+    * needs.
+    */
+  private def ensureTable(url: String, schema: org.apache.spark.sql.types.StructType,
+      keyCols: Seq[String]): Unit = {
+    properties.get("driver").foreach(Class.forName)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val ddlCols = schema.fields
+        .map(f => s""""${f.name}" ${sqlType(f.dataType)}""").mkString(", ")
+      val pk = if (keyCols.isEmpty) ""
+        else s""", PRIMARY KEY (${keyCols.map(k => s""""$k"""").mkString(", ")})"""
+      val st = conn.createStatement()
+      try st.execute(s"CREATE TABLE $table ($ddlCols$pk)")
+      catch { case _: java.sql.SQLException => () } // exists
+      finally st.close()
+    } finally conn.close()
+  }
+
+  /** NULL bindings must carry the COLUMN's JDBC type, not Types.NULL —
+    * Derby (and other strict databases) reject an untyped NULL
+    * parameter ("data type '0' is not supported") the first time a
+    * nullable column actually holds one.
+    */
+  private def typeCodes(schema: org.apache.spark.sql.types.StructType): Map[String, Int] = {
+    import org.apache.spark.sql.types._
+    schema.fields.map(f => f.name -> (f.dataType match {
+      case LongType => java.sql.Types.BIGINT
+      case IntegerType => java.sql.Types.INTEGER
+      case DoubleType => java.sql.Types.DOUBLE
+      case FloatType => java.sql.Types.REAL
+      case BooleanType => java.sql.Types.BOOLEAN
+      case TimestampType => java.sql.Types.TIMESTAMP
+      case DateType => java.sql.Types.DATE
+      case _ => java.sql.Types.VARCHAR
+    })).toMap
+  }
+
+  /** Batched `MERGE INTO` (ANSI, Derby-compatible single-row source
+    * form), creating the table on first contact. For network databases
+    * executors open their own connections per partition — the standard
+    * distributed JDBC sink shape, `batchSize` rows per round trip. For
+    * EMBEDDED URLs the same statements run driver-side over
+    * `toLocalIterator` (an in-process database is reachable from
+    * exactly one JVM — see [[DriverLocalJdbc]]).
     */
   private def mergeWrite(df: DataFrame, spec: MigrationSpec): Unit = {
     val url = UriSchemes.jdbcUrl(spec.destination)
@@ -1120,19 +1176,7 @@ final class JdbcDestinationDriver(
     val cols = df.schema.fields.map(_.name).toSeq
     val nonKeys = cols.filterNot(keyCols.contains)
     val driverClass = properties.get("driver")
-    // ensure table exists (driver-side, once)
-    locally {
-      driverClass.foreach(Class.forName)
-      val conn = java.sql.DriverManager.getConnection(url)
-      try {
-        val ddlCols = df.schema.fields
-          .map(f => s""""${f.name}" ${sqlType(f.dataType)}""").mkString(", ")
-        val st = conn.createStatement()
-        try st.execute(s"""CREATE TABLE $table ($ddlCols, PRIMARY KEY (${keyCols.map(k => s""""$k"""").mkString(", ")}))""")
-        catch { case _: java.sql.SQLException => () } // exists
-        finally st.close()
-      } finally conn.close()
-    }
+    ensureTable(url, df.schema, keyCols)
     val mergeSql = {
       val on = keyCols.map(k => s"""t."$k" = ?""").mkString(" AND ")
       val set = nonKeys.map(c => s""""$c" = ?""").mkString(", ")
@@ -1142,52 +1186,16 @@ final class JdbcDestinationDriver(
       s"""MERGE INTO $table t USING SYSIBM.SYSDUMMY1 ON ($on) """ +
         matched + s"""WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)"""
     }
-    val schema = df.schema
-    // NULL bindings must carry the COLUMN's JDBC type, not Types.NULL —
-    // Derby (and other strict databases) reject an untyped NULL
-    // parameter ("data type '0' is not supported") the first time a
-    // nullable column actually holds one
-    val typeCodes: Map[String, Int] = {
-      import org.apache.spark.sql.types._
-      schema.fields.map(f => f.name -> (f.dataType match {
-        case LongType => java.sql.Types.BIGINT
-        case IntegerType => java.sql.Types.INTEGER
-        case DoubleType => java.sql.Types.DOUBLE
-        case FloatType => java.sql.Types.REAL
-        case BooleanType => java.sql.Types.BOOLEAN
-        case TimestampType => java.sql.Types.TIMESTAMP
-        case DateType => java.sql.Types.DATE
-        case _ => java.sql.Types.VARCHAR
-      })).toMap
-    }
+    val bindOrder = keyCols ++ nonKeys ++ cols // ON, UPDATE SET, INSERT VALUES
+    val codes = typeCodes(df.schema)
     val bs = batchSize
-    singleWriterIfEmbedded(df, url).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-      if (rows.nonEmpty) {
-        driverClass.foreach(Class.forName)
-        val conn = java.sql.DriverManager.getConnection(url)
-        conn.setAutoCommit(false)
-        try {
-          val ps = conn.prepareStatement(mergeSql)
-          var n = 0
-          rows.foreach { row =>
-            var p = 1
-            def bind(c: String): Unit = {
-              val v = row.getAs[Any](c)
-              if (v == null) ps.setNull(p, typeCodes(c))
-              else ps.setObject(p, v)
-              p += 1
-            }
-            keyCols.foreach(bind)    // ON
-            nonKeys.foreach(bind)    // UPDATE SET
-            cols.foreach(bind)       // INSERT VALUES
-            ps.addBatch()
-            n += 1
-            if (n % bs == 0) ps.executeBatch()
-          }
-          ps.executeBatch()
-          conn.commit()
-          ps.close()
-        } finally conn.close()
+    if (DriverLocalJdbc.isEmbedded(url)) {
+      import scala.jdk.CollectionConverters._
+      DriverLocalJdbc.execBatched(url, mergeSql, df.toLocalIterator().asScala,
+        bindOrder, codes, bs, driverClass)
+    } else {
+      df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        DriverLocalJdbc.execBatched(url, mergeSql, rows, bindOrder, codes, bs, driverClass)
       }
     }
   }

@@ -59,24 +59,30 @@ final class JdbcSourceDriver(
     countStatement: Option[String] = None,
     properties: Map[String, String] = Map.empty)
     extends SourceDriver {
+  // Embedded URLs (in-process Derby) are reachable from exactly one
+  // JVM — the driver's — so their statements execute driver-side (see
+  // [[DriverLocalJdbc]]); network databases keep the executor-side scan.
+  private def frame(spark: SparkSession, url: String, sql: String): DataFrame =
+    if (DriverLocalJdbc.isEmbedded(url))
+      DriverLocalJdbc.read(spark, url, sql, properties.get("driver"))
+    else {
+      val r = spark.read.format("jdbc").option("url", url).option("query", sql)
+      properties.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+    }
+
   def read(spark: SparkSession, spec: MigrationSpec): DataFrame = {
     require(statement.nonEmpty,
       s"JDBC source for ${spec.source} has no SQL statement — a scheme-resolved " +
         "JDBC source must be configured via Migration.configureSource returning " +
         "new JdbcSourceDriver(sql) (reference parity: DbalSourceDriver::setStatement)")
-    val r = spark.read.format("jdbc")
-      .option("url", UriSchemes.jdbcUrl(spec.source))
-      .option("query", statement)
-    properties.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+    frame(spark, UriSchemes.jdbcUrl(spec.source), statement)
   }
 
   override def count(spark: SparkSession, spec: MigrationSpec): Long =
     countStatement match {
       case Some(sql) =>
-        val r = spark.read.format("jdbc")
-          .option("url", UriSchemes.jdbcUrl(spec.source)).option("query", sql)
-        properties.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }
-          .load().head().get(0).asInstanceOf[Number].longValue()
+        frame(spark, UriSchemes.jdbcUrl(spec.source), sql)
+          .head().get(0).asInstanceOf[Number].longValue()
       case None => read(spark, spec).count()
     }
 }

@@ -11,7 +11,12 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 FILT = sys.argv[2] if len(sys.argv) > 2 else ""
 OUT = tempfile.mkdtemp(prefix="graft_verify_")
 
-CP = "/opt/spark/jars/*:target/scala-2.13/classes"
+# GRAFT_CLASSES_DIR: alternate compiled-classes dir (e.g. a snapshot copy,
+# so a long sweep is immune to a concurrent `sbt compile` swapping
+# classfiles under the running JVMs — required for local-cluster runs
+# where driver and executor JVMs load the dir independently).
+CLASSES = os.environ.get("GRAFT_CLASSES_DIR", "target/scala-2.13/classes")
+CP = "/opt/spark/jars/*:" + CLASSES
 ADD_OPENS = []
 for p in ["java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
           "java.base/java.io", "java.base/java.net", "java.base/java.nio", "java.base/java.util",
