@@ -3931,6 +3931,188 @@ object Relational {
              |      AS INT) END AS significant
              |FROM stats""".stripMargin)),
 
+    // Kruskal–Wallis H test — the k-SAMPLE extension of q_mann_whitney
+    // (one-way ANOVA on ranks): does order value distribute identically
+    // across ALL FIVE TPC-H market segments? Same exact machinery: one
+    // shuffle to per-cents-value counts pivoted into the five fixed
+    // segment columns, tied-value average ranks in doubled-integer
+    // units from the SAME single distributed prefix-sum pass
+    // ([[graft.ops.Rank.runningSumsInclusive]]), per-group doubled rank
+    // sums R_jd = Σ n_j(v)·(2c−t+1) as exact BIGINTs. The tie-corrected
+    // statistic H = 3(n−1)·(Σ R_jd²/n_j − n(n+1)²) / W (W as in
+    // q_mann_whitney) is ONE double expression with identical text in
+    // both engines — and unlike the two-sample tests the α=0.05
+    // verdict (χ²₍₄₎ ≥ 9.4877) compares that SAME bit-identical double,
+    // because clearing the five n_j denominators exactly would push the
+    // cross-products past DECIMAL(38) at corpus sizes the doubles
+    // handle fine (documented trade: identical expression text ⇒
+    // identical IEEE result ⇒ still engine-deterministic). Degenerate
+    // designs (any empty segment, or W = 0) emit NULL on both engines.
+    QueryDef("q_kruskal_wallis",
+      (spark, sf) => {
+        val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+          "HOUSEHOLD", "MACHINERY")
+        val j = load(spark, sf, "orders")
+          .join(load(spark, sf, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(cents(col("o_totalprice")).as("v"),
+            col("c_mktsegment").as("seg"))
+        val per = j.groupBy(col("v"))
+          .agg(count(lit(1)).as("t"),
+            segs.zipWithIndex.map { case (s, i) =>
+              sum(when(col("seg") === s, 1L).otherwise(0L)).as(s"g${i + 1}")
+            }: _*)
+        val cum = graft.ops.Rank.runningSumsInclusive(
+          per, Seq(col("v")), Seq("t"))
+        val stats = cum.agg(
+          sum(col("t")).as("nn"),
+          (segs.indices.map(i =>
+              sum(col(s"g${i + 1}")).as(s"n${i + 1}")) ++
+           segs.indices.map(i =>
+             sum(col(s"g${i + 1}") * (col("t_cum") * 2 - col("t") + 1))
+               .as(s"r${i + 1}")) ++
+           Seq(sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t"))
+             .cast("long").as("ties"))): _*)
+        val ok = segs.indices.map(i => col(s"n${i + 1}") > 0)
+          .reduce(_ && _) &&
+          expr("CAST(nn + 1 AS DOUBLE) * nn * (nn - 1) - ties") > 0
+        val hText =
+          """3 * (nn - 1)
+            |  * (POW(CAST(r1 AS DOUBLE), 2) / n1
+            |     + POW(CAST(r2 AS DOUBLE), 2) / n2
+            |     + POW(CAST(r3 AS DOUBLE), 2) / n3
+            |     + POW(CAST(r4 AS DOUBLE), 2) / n4
+            |     + POW(CAST(r5 AS DOUBLE), 2) / n5
+            |     - CAST(nn AS DOUBLE) * (nn + 1) * (nn + 1))
+            |  / (CAST(nn + 1 AS DOUBLE) * nn * (nn - 1) - ties)""".stripMargin
+        stats.select(col("nn").as("n") +:
+          (segs.indices.map(i => col(s"n${i + 1}")) ++
+           segs.indices.map(i => col(s"r${i + 1}")) ++
+           Seq(col("ties"),
+             when(ok, round(expr(hText), 4)).as("h"),
+             when(ok, expr(s"CAST($hText >= 9.4877 AS INT)"))
+               .as("significant"))): _*)
+      },
+      Some("""WITH j AS (
+             |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             |    c_mktsegment AS seg
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |per AS (
+             |  SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+             |    CAST(SUM(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS g1,
+             |    CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS g2,
+             |    CAST(SUM(CASE WHEN seg = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS g3,
+             |    CAST(SUM(CASE WHEN seg = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS g4,
+             |    CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS g5
+             |  FROM j GROUP BY v),
+             |cum AS (
+             |  SELECT t, g1, g2, g3, g4, g5,
+             |    CAST(SUM(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS t_cum
+             |  FROM per),
+             |stats AS (
+             |  SELECT CAST(SUM(t) AS BIGINT) AS nn,
+             |    CAST(SUM(g1) AS BIGINT) AS n1, CAST(SUM(g2) AS BIGINT) AS n2,
+             |    CAST(SUM(g3) AS BIGINT) AS n3, CAST(SUM(g4) AS BIGINT) AS n4,
+             |    CAST(SUM(g5) AS BIGINT) AS n5,
+             |    CAST(SUM(g1 * (t_cum * 2 - t + 1)) AS BIGINT) AS r1,
+             |    CAST(SUM(g2 * (t_cum * 2 - t + 1)) AS BIGINT) AS r2,
+             |    CAST(SUM(g3 * (t_cum * 2 - t + 1)) AS BIGINT) AS r3,
+             |    CAST(SUM(g4 * (t_cum * 2 - t + 1)) AS BIGINT) AS r4,
+             |    CAST(SUM(g5 * (t_cum * 2 - t + 1)) AS BIGINT) AS r5,
+             |    CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS BIGINT) AS ties
+             |  FROM cum)
+             |SELECT nn AS n, n1, n2, n3, n4, n5, r1, r2, r3, r4, r5, ties,
+             |  CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 AND n5 > 0
+             |      AND CAST(nn + 1 AS DOUBLE) * nn * (nn - 1) - ties > 0 THEN
+             |    ROUND(3 * (nn - 1)
+             |      * (POW(CAST(r1 AS DOUBLE), 2) / n1
+             |         + POW(CAST(r2 AS DOUBLE), 2) / n2
+             |         + POW(CAST(r3 AS DOUBLE), 2) / n3
+             |         + POW(CAST(r4 AS DOUBLE), 2) / n4
+             |         + POW(CAST(r5 AS DOUBLE), 2) / n5
+             |         - CAST(nn AS DOUBLE) * (nn + 1) * (nn + 1))
+             |      / (CAST(nn + 1 AS DOUBLE) * nn * (nn - 1) - ties), 4)
+             |  END AS h,
+             |  CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 AND n5 > 0
+             |      AND CAST(nn + 1 AS DOUBLE) * nn * (nn - 1) - ties > 0 THEN
+             |    CAST(3 * (nn - 1)
+             |      * (POW(CAST(r1 AS DOUBLE), 2) / n1
+             |         + POW(CAST(r2 AS DOUBLE), 2) / n2
+             |         + POW(CAST(r3 AS DOUBLE), 2) / n3
+             |         + POW(CAST(r4 AS DOUBLE), 2) / n4
+             |         + POW(CAST(r5 AS DOUBLE), 2) / n5
+             |         - CAST(nn AS DOUBLE) * (nn + 1) * (nn + 1))
+             |      / (CAST(nn + 1 AS DOUBLE) * nn * (nn - 1) - ties)
+             |      >= 9.4877 AS INT)
+             |  END AS significant
+             |FROM stats""".stripMargin)),
+
+    // Wald's sequential probability ratio test (SPRT, Wald 1945 —
+    // public) — the SEQUENTIAL member of the experimentation suite: an
+    // always-valid monitor that walks the event stream in event-time
+    // order accumulating the log-likelihood ratio for H₁: p=0.20 vs
+    // H₀: p=0.15 ("is the purchase rate at least 20%?") and stops at
+    // the first Wald boundary crossing (α=β=0.05 ⇒ ±ln 19). Engine-
+    // exact by construction: the per-trial LLR increments are the two
+    // HARDCODED integer micro-unit constants 287682 = ⌊10⁶·ln(.20/.15)⌉
+    // and −60625 = ⌊10⁶·ln(.80/.85)⌉, so the cumulative LLR is an exact
+    // integer sum (order-independent, retry-safe) and the boundary
+    // ±2944439 = ⌊10⁶·ln 19⌉ an exact integer comparison. The running
+    // LLR and trial index come from ONE distributed inclusive
+    // prefix-sum pass over the (ts, event_id) total order
+    // ([[graft.ops.Rank.runningSumsInclusive]] — never a single-
+    // partition window); the stopping point is a min_by over crossing
+    // rows. A stream that never crosses reports 'continue' (NULL
+    // decision stats) on both engines.
+    QueryDef("q_sprt",
+      (spark, sf) => {
+        val ev = load(spark, sf, "events")
+          .select(expr("unix_micros(ts)").as("us"), col("event_id"),
+            when(col("event_type") === "purchase", 287682L)
+              .otherwise(-60625L).as("inc"),
+            lit(1L).as("one"))
+        val cum = graft.ops.Rank.runningSumsInclusive(
+          ev, Seq(col("us"), col("event_id")), Seq("inc", "one"))
+        val tot = cum.agg(
+          max(col("one_cum")).as("n_total"),
+          max_by(col("inc_cum"), col("one_cum")).as("llr_final"))
+        val dec = cum
+          .filter(col("inc_cum") >= 2944439L || col("inc_cum") <= -2944439L)
+          .agg(min(col("one_cum")).as("n_decision"),
+            min_by(col("inc_cum"), col("one_cum")).as("llr_decision"))
+        tot.crossJoin(dec)
+          .select(col("n_total"), col("llr_final"),
+            col("n_decision"), col("llr_decision"),
+            expr("""CASE WHEN llr_decision >= 2944439 THEN 'accept_h1'
+              |  WHEN llr_decision <= -2944439 THEN 'accept_h0'
+              |  ELSE 'continue' END""".stripMargin).as("decision"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT epoch_us(ts) AS us, event_id,
+             |    CASE WHEN event_type = 'purchase' THEN 287682
+             |         ELSE -60625 END AS inc
+             |  FROM events),
+             |cum AS (
+             |  SELECT
+             |    CAST(SUM(inc) OVER (ORDER BY us, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS llr,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY us, event_id)
+             |      AS BIGINT) AS rn
+             |  FROM ev),
+             |tot AS (
+             |  SELECT CAST(MAX(rn) AS BIGINT) AS n_total,
+             |    CAST(MAX_BY(llr, rn) AS BIGINT) AS llr_final FROM cum),
+             |dec AS (
+             |  SELECT CAST(MIN(rn) AS BIGINT) AS n_decision,
+             |    CAST(MIN_BY(llr, rn) AS BIGINT) AS llr_decision
+             |  FROM cum WHERE llr >= 2944439 OR llr <= -2944439)
+             |SELECT n_total, llr_final, n_decision, llr_decision,
+             |  CASE WHEN llr_decision >= 2944439 THEN 'accept_h1'
+             |    WHEN llr_decision <= -2944439 THEN 'accept_h0'
+             |    ELSE 'continue' END AS decision
+             |FROM tot CROSS JOIN dec""".stripMargin)),
+
     // Hour-of-day seasonal index — the multiplicative seasonality
     // profile (retail "hour curve") that complements the trend
     // (q_rolling_regression), smoothing (q_exp_smoothing /
