@@ -135,6 +135,41 @@ object StreamingQueries {
 
   private val chunkedCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private val ewmaChunkCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Time-chunked events corpus (8 ascending non-overlapping ranges)
+    * plus a trailing sentinel chunk carrying one far-future row PER
+    * TYPE (every type's fold must close) — the shared staging for the
+    * incremental transformWithState gates (stream_exp_smoothing /
+    * stream_holt / stream_sprt). Built once per SF and cached.
+    */
+  private def ewmaChunkDir(spark: SparkSession, sf: String): String =
+    ewmaChunkCache.getOrElseUpdate(sf, {
+      val chunks = stagedTimeChunks(spark, sf, 8)
+      val d = java.nio.file.Files.createTempDirectory("graft_ewma_chunks")
+      new java.io.File(chunks).listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val dst = d.resolve(f.getName)
+          java.nio.file.Files.copy(f.toPath, dst)
+          dst.toFile.setLastModified(f.lastModified)
+        }
+      val df = Tables.normalizeTs(spark.read.parquet(path(sf, "events")))
+      val hi = df.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val sent = df.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+        .select(lit(-1L).as("event_id"),
+          expr(s"timestamp_micros(${hi + 7200000000L})").as("ts"),
+          lit(-1L).as("user_id"), col("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ewma_sent")
+      sent.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dst = d.resolve("chunk_zzz_sentinel.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(
+        new java.io.File(chunks).listFiles().map(_.lastModified).max + 10000L)
+      d.toString
+    })
   private def stagedTimeChunks(
       spark: SparkSession, sf: String, n: Int, sentinel: Boolean = false): String =
     chunkedCache.getOrElseUpdate(s"$sf/events/$n/$sentinel", {
@@ -2062,33 +2097,7 @@ object StreamingQueries {
     // twins share one oracle.
     QueryDef("stream_exp_smoothing",
       (spark, sf) => {
-        val dir = ewmaChunkCache.getOrElseUpdate(sf, {
-          val chunks = stagedTimeChunks(spark, sf, 8)
-          val d = java.nio.file.Files.createTempDirectory("graft_ewma_chunks")
-          new java.io.File(chunks).listFiles()
-            .filter(_.getName.endsWith(".parquet")).foreach { f =>
-              val dst = d.resolve(f.getName)
-              java.nio.file.Files.copy(f.toPath, dst)
-              dst.toFile.setLastModified(f.lastModified)
-            }
-          val df = Tables.normalizeTs(spark.read.parquet(path(sf, "events")))
-          val hi = df.agg(max(unix_micros(col("ts")))).head().getLong(0)
-          val sent = df.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
-            .select(lit(-1L).as("event_id"),
-              expr(s"timestamp_micros(${hi + 7200000000L})").as("ts"),
-              lit(-1L).as("user_id"), col("event_type"),
-              lit(0.0).as("value"), lit("{}").as("props"))
-          val tmp = java.nio.file.Files.createTempDirectory("graft_ewma_sent")
-          sent.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = new java.io.File(tmp.toString).listFiles()
-            .find(f => f.getName.startsWith("part-") &&
-              f.getName.endsWith(".parquet")).get
-          val dst = d.resolve("chunk_zzz_sentinel.parquet")
-          java.nio.file.Files.move(part.toPath, dst)
-          dst.toFile.setLastModified(
-            new java.io.File(chunks).listFiles().map(_.lastModified).max + 10000L)
-          d.toString
-        })
+        val dir = ewmaChunkDir(spark, sf)
         val df = Tables.normalizeTs(spark.read.parquet(path(sf, "events")))
         val hi = df.agg(max(unix_micros(col("ts")))).head().getLong(0)
         val sentinelHourFrom = hi / 3600000000L + 1L
@@ -2139,33 +2148,7 @@ object StreamingQueries {
     // truncation), so the twins share one recursive-CTE oracle.
     QueryDef("stream_holt",
       (spark, sf) => {
-        val dir = ewmaChunkCache.getOrElseUpdate(sf, {
-          val chunks = stagedTimeChunks(spark, sf, 8)
-          val d = java.nio.file.Files.createTempDirectory("graft_ewma_chunks")
-          new java.io.File(chunks).listFiles()
-            .filter(_.getName.endsWith(".parquet")).foreach { f =>
-              val dst = d.resolve(f.getName)
-              java.nio.file.Files.copy(f.toPath, dst)
-              dst.toFile.setLastModified(f.lastModified)
-            }
-          val df = Tables.normalizeTs(spark.read.parquet(path(sf, "events")))
-          val hi = df.agg(max(unix_micros(col("ts")))).head().getLong(0)
-          val sent = df.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
-            .select(lit(-1L).as("event_id"),
-              expr(s"timestamp_micros(${hi + 7200000000L})").as("ts"),
-              lit(-1L).as("user_id"), col("event_type"),
-              lit(0.0).as("value"), lit("{}").as("props"))
-          val tmp = java.nio.file.Files.createTempDirectory("graft_ewma_sent")
-          sent.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = new java.io.File(tmp.toString).listFiles()
-            .find(f => f.getName.startsWith("part-") &&
-              f.getName.endsWith(".parquet")).get
-          val dst = d.resolve("chunk_zzz_sentinel.parquet")
-          java.nio.file.Files.move(part.toPath, dst)
-          dst.toFile.setLastModified(
-            new java.io.File(chunks).listFiles().map(_.lastModified).max + 10000L)
-          d.toString
-        })
+        val dir = ewmaChunkDir(spark, sf)
         val df = Tables.normalizeTs(spark.read.parquet(path(sf, "events")))
         val hi = df.agg(max(unix_micros(col("ts")))).head().getLong(0)
         val sentinelHourFrom = hi / 3600000000L + 1L
@@ -2203,6 +2186,94 @@ object StreamingQueries {
         }
       },
       Some(Shared.HoltOracle)),
+
+    // Streaming per-type Wald SPRT monitors — the ALWAYS-VALID shape
+    // q_sprt's batch replay can only simulate: five independent
+    // sequential tests (one per event type, H₁: P(value ≥ 80) = 0.20
+    // vs H₀: 0.15) update O(1) keyed state ACROSS micro-batches
+    // through a transformWithState StatefulProcessor, each decision
+    // freezing at its boundary crossing MID-STREAM while totals keep
+    // accumulating. Exactness carries over verbatim: the same
+    // hardcoded integer micro-unit increments (287682 / −60625) make
+    // the fold exact integer addition in stream order (time-ordered
+    // chunks + within-batch sort), the same ±2944439 boundary is an
+    // exact comparison, and the oracle is the per-type windowed SQL
+    // replay of the identical fold. Sentinel drain, RocksDB provider
+    // swap and the poll-until-every-type pattern are
+    // stream_exp_smoothing's exactly. Slow-drifting types that never
+    // cross report 'continue' (NULL decision stats) — the honest
+    // sequential answer at small SFs.
+    QueryDef("stream_sprt",
+      (spark, sf) => {
+        val dir = ewmaChunkDir(spark, sf)
+        val df = Tables.normalizeTs(spark.read.parquet(path(sf, "events")))
+        val hi = df.agg(max(unix_micros(col("ts")))).head().getLong(0)
+        val sentinelFrom = (hi / 3600000000L + 1L) * 3600000000L
+        val schema = spark.read.parquet(path(sf, "events")).schema
+        val stream = Tables.normalizeTs(spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir))
+          .withColumn("inc",
+            when(Shared.cents(col("value")) >= 8000L, 287682L)
+              .otherwise(-60625L))
+        val prevProvider = spark.conf
+          .getOption("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val monitors = graft.streaming.StreamingIngest
+            .sprtMonitors(stream, "ts", "event_id", "event_type", "inc",
+              sentinelFrom, 2944439L)
+          val table = s"stream_sprt_${counter.incrementAndGet()}"
+          val nTypes = df.select(col("event_type")).distinct().count()
+          withStatePartitions(spark, 4) {
+            val q = monitors.toDF().writeStream.format("memory").queryName(table)
+              .outputMode("append").trigger(Trigger.ProcessingTime(100L)).start()
+            try {
+              val deadline = System.currentTimeMillis + 120000
+              while (spark.table(table).count() < nTypes &&
+                System.currentTimeMillis < deadline) Thread.sleep(150)
+            } finally q.stop()
+          }
+          spark.table(table)
+            .select(col("eventType").as("event_type"),
+              col("nTotal").as("n_total"), col("llrFinal").as("llr_final"),
+              col("nDecision").as("n_decision"),
+              col("llrDecision").as("llr_decision"), col("decision"))
+            .orderBy(col("event_type"))
+        } finally prevProvider match {
+          case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, epoch_us(ts) AS us, event_id,
+             |    CASE WHEN CAST(ROUND(value * 100) AS BIGINT) >= 8000
+             |         THEN 287682 ELSE -60625 END AS inc
+             |  FROM events),
+             |cum AS (
+             |  SELECT event_type,
+             |    CAST(SUM(inc) OVER (PARTITION BY event_type
+             |      ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS llr,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+             |      ORDER BY us, event_id) AS BIGINT) AS rn
+             |  FROM ev),
+             |tot AS (
+             |  SELECT event_type, CAST(MAX(rn) AS BIGINT) AS n_total,
+             |    CAST(MAX_BY(llr, rn) AS BIGINT) AS llr_final
+             |  FROM cum GROUP BY 1),
+             |dec AS (
+             |  SELECT event_type, CAST(MIN(rn) AS BIGINT) AS n_decision,
+             |    CAST(MIN_BY(llr, rn) AS BIGINT) AS llr_decision
+             |  FROM cum WHERE llr >= 2944439 OR llr <= -2944439
+             |  GROUP BY 1)
+             |SELECT t.event_type, t.n_total, t.llr_final,
+             |  d.n_decision, d.llr_decision,
+             |  CASE WHEN d.llr_decision >= 2944439 THEN 'accept_h1'
+             |    WHEN d.llr_decision <= -2944439 THEN 'accept_h0'
+             |    ELSE 'continue' END AS decision
+             |FROM tot t LEFT JOIN dec d ON t.event_type = d.event_type
+             |ORDER BY t.event_type""".stripMargin)),
 
     // Concurrent streaming execution — a production engine runs MANY
     // streams per session; the bench otherwise times every gate

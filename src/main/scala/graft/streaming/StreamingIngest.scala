@@ -547,6 +547,90 @@ object StreamingIngest {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  /** Final SPRT readout for one event type (None decision stats =
+    * boundary never crossed → 'continue'). */
+  final case class SprtOut(eventType: String, nTotal: Long, llrFinal: Long,
+      nDecision: Option[Long], llrDecision: Option[Long], decision: String)
+
+  /** Per-type SPRT monitor state: trials seen, cumulative LLR in
+    * micro-units, and the frozen decision point (nDec = -1 until a
+    * boundary is crossed). Public for the state encoder. */
+  final case class SprtState(n: Long, llr: Long, nDec: Long, llrDec: Long)
+
+  /** Incremental Wald SPRT (q_sprt's fold, per key) as a keyed
+    * `StatefulProcessor`: each micro-batch's trials extend an O(1)
+    * (n, llr, decision) state — the always-valid experiment monitor
+    * shape, decisions available MID-STREAM rather than at a fixed
+    * horizon. The LLR increments arrive as integer micro-units computed
+    * upstream (hardcoded ⌊10⁶·ln⌉ constants), so the fold is exact
+    * integer addition; the boundary test |llr| ≥ `boundaryMicro` is an
+    * exact integer comparison; and the decision point freezes at the
+    * FIRST crossing while totals keep accumulating (Wald's stopped
+    * process, reported next to the full-stream tally). Ordering
+    * contract, sentinel handling (a row at/after `sentinelFromMicros`
+    * triggers the single final emission) and the emit-once/clear
+    * discipline are [[EwmaProcessor]]'s exactly.
+    */
+  final class SprtProcessor(sentinelFromMicros: Long, boundaryMicro: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Long, Long, Long), SprtOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var state: ValueState[SprtState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SprtState]("sprt",
+        E.product[SprtState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[(String, Long, Long, Long)],
+        timerValues: TimerValues): Iterator[SprtOut] = {
+      var s = if (state.exists()) state.get() else SprtState(0L, 0L, -1L, 0L)
+      var out = List.empty[SprtOut]
+      // (type, us, event_id, incMicro) sorted on the (us, event_id)
+      // total order within the batch; chunks arrive in ascending
+      // non-overlapping time ranges, so the fold sees the stream order.
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, us, _, inc) =>
+        if (us >= sentinelFromMicros) {
+          if (out.isEmpty)
+            out ::= SprtOut(key, s.n, s.llr,
+              if (s.nDec >= 0) Some(s.nDec) else None,
+              if (s.nDec >= 0) Some(s.llrDec) else None,
+              if (s.nDec < 0) "continue"
+              else if (s.llrDec >= boundaryMicro) "accept_h1"
+              else "accept_h0")
+        } else {
+          val n = s.n + 1L
+          val llr = s.llr + inc
+          s = if (s.nDec < 0 &&
+              (llr >= boundaryMicro || llr <= -boundaryMicro))
+            SprtState(n, llr, n, llr)
+          else s.copy(n = n, llr = llr)
+        }
+      }
+      if (out.nonEmpty) state.clear() else state.update(s)
+      out.iterator
+    }
+  }
+
+  /** Streaming per-key SPRT via the [[SprtProcessor]]. `incCol` must
+    * already hold each trial's integer micro-unit LLR increment.
+    * Requires the RocksDB state store (transformWithState mandates it).
+    */
+  def sprtMonitors(
+      events: DataFrame, tsCol: String, idCol: String, typeCol: String,
+      incCol: String, sentinelFromMicros: Long,
+      boundaryMicro: Long): Dataset[SprtOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(typeCol), unix_micros(col(tsCol)), col(idCol), col(incCol))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SprtProcessor(sentinelFromMicros, boundaryMicro),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Continuous keyed ingestion: every micro-batch flows through the
     * batch executor's upsert merge (mapping table + orphan-free
     * incremental mode). Returns the started query; caller owns lifecycle.
