@@ -3101,6 +3101,54 @@ object Relational {
              |    AS INT) END AS significant
              |FROM wide""".stripMargin)),
 
+    // Sample-ratio-mismatch guardrail — the sanity check every
+    // experimentation platform runs BEFORE any treatment statistic
+    // (Fabijan et al. 2019, public): did the 50/50 user assignment
+    // actually land 50/50, or is the randomizer/logging pipeline
+    // dropping one arm? χ² goodness-of-fit with two equal-expected
+    // cells collapses to (n_a−n_b)²/n, so the entire test is exact
+    // integer arithmetic end to end: the α=0.001 SRM threshold
+    // (10.828 = χ²₍₁₎ at 0.001 — SRM pages use a stringent α because a
+    // positive means the EXPERIMENT is broken, not the metric) is the
+    // cross-multiplied comparison 1000·(n_a−n_b)² ≥ 10828·n in BIGINT
+    // (exact to ~9e14 users — no DECIMAL needed), plus the α=0.05
+    // verdict 625·(n_a−n_b)² ≥ 2401·n for symmetry with the suite.
+    // One user-keyed dedup shuffle, O(1) rows after.
+    QueryDef("q_srm_check",
+      (spark, sf) => {
+        val users = load(spark, sf, "events")
+          .select(col("user_id")).distinct()
+        val wide = users
+          .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("user_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_b"))
+        wide.select(col("n_a"), col("n_b"),
+          when(col("n_a") + col("n_b") > 0, round(expr(
+            """POW(CAST(n_a - n_b AS DOUBLE), 2) / (n_a + n_b)"""), 4))
+            .as("chi2"),
+          when(col("n_a") + col("n_b") > 0, expr(
+            "CAST(625 * (n_a - n_b) * (n_a - n_b) >= 2401 * (n_a + n_b) AS INT)"))
+            .as("mismatch_05"),
+          when(col("n_a") + col("n_b") > 0, expr(
+            "CAST(1000 * (n_a - n_b) * (n_a - n_b) >= 10828 * (n_a + n_b) AS INT)"))
+            .as("srm_alarm"))
+      },
+      Some("""WITH users AS (SELECT DISTINCT user_id FROM events),
+             |wide AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+             |  FROM users)
+             |SELECT n_a, n_b,
+             |  CASE WHEN n_a + n_b > 0 THEN
+             |    ROUND(POW(CAST(n_a - n_b AS DOUBLE), 2) / (n_a + n_b), 4) END AS chi2,
+             |  CASE WHEN n_a + n_b > 0 THEN
+             |    CAST(625 * (n_a - n_b) * (n_a - n_b) >= 2401 * (n_a + n_b) AS INT)
+             |  END AS mismatch_05,
+             |  CASE WHEN n_a + n_b > 0 THEN
+             |    CAST(1000 * (n_a - n_b) * (n_a - n_b) >= 10828 * (n_a + n_b) AS INT)
+             |  END AS srm_alarm
+             |FROM wide""".stripMargin)),
+
     // CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013, public
     // paper) — the standard pre-experiment covariate adjustment every
     // experimentation platform runs before the test statistics

@@ -227,6 +227,18 @@ class PlanAudit extends SparkSpec {
     // the fold) — runtime AQE reuses the user exchange
     "eval_avg_precision" -> 2,     // the prefix-sum range exchange
     // (LogicalRDD) + the one-row AP agg
+    // round-16 experimentation suite: the rank tests are one corpus
+    // join/agg + the prefix-sum range exchange (LogicalRDD); the
+    // moment tests are a single map-side-combined aggregate
+    "q_welch_ttest" -> 3,          // one pooled-moments agg
+    "q_mann_whitney" -> 6,         // orders⋈customer + per-cents agg +
+    // prefix-sum exchange + one-row stats agg
+    "q_kruskal_wallis" -> 6,       // same shape, five pivot columns
+    "q_cuped" -> 6,                // cutoff agg (1-row broadcast) +
+    // user-keyed agg + pooled-moments agg
+    "q_sprt" -> 6,                 // prefix-sum exchange + totals agg +
+    // crossing agg (tot × dec is two 1-row frames)
+    "q_srm_check" -> 4,            // user distinct + one 1-row agg
     "q_weighted_median" -> 4,      // (flag,cents) agg + the PARTITIONED
     // cumulative window + island agg + orderBy
     "q_streaks" -> 4)              // distinct days + user window +
@@ -241,6 +253,9 @@ class PlanAudit extends SparkSpec {
     // aggregates (compaction parity, travel parity, coverage, recall)
     // onto the query list; the online-serving gate crosses two
     "sim_ann_index_compact" -> 5, "stream_ann_index_serve" -> 3,
+    // round-16: q_cuped broadcasts the 1-row pre/post cutoff onto the
+    // corpus scan; q_sprt crosses its two 1-row (totals, decision) aggs
+    "q_cuped" -> 1, "q_sprt" -> 1,
     "dedup_semantic" -> 1, "text_countmin" -> 1,
     // recall gate + candidate-ratio gate + the ratio's own
     // one-row-×-one-row (n_cand × n) join
