@@ -1112,6 +1112,78 @@ object Relational {
              |FROM q CROSS JOIN n JOIN r ON r.rn = (n.c - 1) * q.p // 100 + 1
              |ORDER BY q.p""".stripMargin)),
 
+    // Quantile treatment effect — the DISTRIBUTIONAL read-out of the
+    // experimentation suite (mean tests hide tail effects; QTE at
+    // p10/p25/p50/p75/p90 shows WHERE the distribution moved): exact
+    // per-arm quantiles of order value for BUILDING-segment customers
+    // vs the rest, and their differences. The trick is ONE global
+    // range-sort for BOTH arms: ranking by (arm, value) makes each
+    // arm's rows a contiguous global-rank interval, so the within-arm
+    // rank-k target translates to global rank k + offset(arm) — the
+    // five target ranks per arm are computed from the one-row counts
+    // frame in GLOBAL rank space and broadcast-joined back, meaning no
+    // per-arm repartition, no corpus-wide cross join, no second sort.
+    // Rank arithmetic is q_exact_quantiles' lower-point formula in
+    // per-mille integers ((n_g−1)·pm div 1000 + 1 — truncating div
+    // agrees across engines); ties need no tiebreak because the rank-k
+    // VALUE is well-defined whatever order equal values land in.
+    // Degenerate designs (an empty arm) emit zero rows on both engines.
+    QueryDef("q_quantile_effect",
+      (spark, sf) => {
+        val j = load(spark, sf, "orders")
+          .join(load(spark, sf, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(cents(col("o_totalprice")).as("v"),
+            when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+              .as("g"))
+        val tots = j.agg(
+          sum(when(col("g") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"))
+        val targets = tots.filter(col("n0") > 0 && col("n1") > 0)
+          .select(explode(array(lit(100), lit(250), lit(500), lit(750),
+            lit(900))).as("pm"), col("n0"), col("n1"))
+          .select(col("pm"), explode(array(
+            struct(lit(0L).as("g"),
+              expr("(n0 - 1) * pm div 1000 + 1").as("rk")),
+            struct(lit(1L).as("g"),
+              expr("n0 + (n1 - 1) * pm div 1000 + 1").as("rk")))).as("a"))
+          .select(col("pm"), col("a.g").as("g"), col("a.rk").as("rk"))
+        val ranked = graft.ops.Rank.rankGlobal(j, Seq(col("g"), col("v")), "rk")
+          .select(col("v"), col("rk"))
+        ranked.join(broadcast(targets), "rk")
+          .groupBy(col("pm"))
+          .agg(max(when(col("g") === 1, col("v"))).as("q_building"),
+            max(when(col("g") === 0, col("v"))).as("q_rest"))
+          .select(col("pm"), col("q_building"), col("q_rest"),
+            (col("q_building") - col("q_rest")).as("qte_cents"))
+          .orderBy(col("pm"))
+      },
+      Some("""WITH j AS (
+             |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |tots AS (
+             |  SELECT CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+             |  FROM j),
+             |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY g, v) AS rk FROM j),
+             |p AS (SELECT unnest([100, 250, 500, 750, 900]) AS pm),
+             |t AS (
+             |  SELECT pm, CAST(0 AS BIGINT) AS g,
+             |    (n0 - 1) * pm // 1000 + 1 AS rk
+             |  FROM p CROSS JOIN tots WHERE n0 > 0 AND n1 > 0
+             |  UNION ALL
+             |  SELECT pm, CAST(1 AS BIGINT),
+             |    n0 + (n1 - 1) * pm // 1000 + 1
+             |  FROM p CROSS JOIN tots WHERE n0 > 0 AND n1 > 0),
+             |q AS (SELECT t.pm, t.g, r.v FROM t JOIN r ON r.rk = t.rk)
+             |SELECT pm,
+             |  CAST(MAX(CASE WHEN g = 1 THEN v END) AS BIGINT) AS q_building,
+             |  CAST(MAX(CASE WHEN g = 0 THEN v END) AS BIGINT) AS q_rest,
+             |  CAST(MAX(CASE WHEN g = 1 THEN v END)
+             |    - MAX(CASE WHEN g = 0 THEN v END) AS BIGINT) AS qte_cents
+             |FROM q GROUP BY pm ORDER BY pm""".stripMargin)),
+
     // CUSUM changepoint detection over the daily event series — the
     // level-shift monitor a pipeline runs on ingest volume. The
     // classic statistic cusum_k = Σ_{i≤k}(c_i − mean) needs float

@@ -239,6 +239,9 @@ class PlanAudit extends SparkSpec {
     "q_sprt" -> 6,                 // prefix-sum exchange + totals agg +
     // crossing agg (tot × dec is two 1-row frames)
     "q_srm_check" -> 4,            // user distinct + one 1-row agg
+    "q_quantile_effect" -> 8,      // orders⋈customer + rank range
+    // exchange (LogicalRDD) + targets lineage + pm agg + orderBy;
+    // targets broadcast-hash-join on rk, zero nested loops
     "q_weighted_median" -> 4,      // (flag,cents) agg + the PARTITIONED
     // cumulative window + island agg + orderBy
     "q_streaks" -> 4)              // distinct days + user window +
