@@ -4444,5 +4444,238 @@ object Relational {
            |    AS attribution_ppm
            |FROM eff CROSS JOIN tot ORDER BY channel""".stripMargin
       }),
+
+    // Delta-method inference for a RATIO metric under CLUSTERED
+    // randomization (Deng, Knoblich & Lu 2018, public) — the gap the
+    // per-user tests (q_welch_ttest / q_cuped) leave open: the metric
+    // here is revenue-per-ORDER but the randomization unit is the
+    // CUSTOMER, so per-order observations are correlated within a
+    // customer and the naive per-order variance is anticonservative.
+    // Sufficient statistics are exact per-arm BIGINTs over per-customer
+    // totals (k, Σy, Σm, Σy², Σm², Σym — ONE customer-keyed shuffle,
+    // then one map-side-combined 1-row aggregate); the delta-method
+    // variance  Var(R̂) = (σ_y² + R²σ_m² − 2Rσ_ym)/(k·m̄²)  and z² are
+    // each ONE expression built from +,-,*,/ ONLY on BIGINT-cast
+    // inputs — every step an IEEE-754 exact-rounded operation, so the
+    // doubles AND the α=0.05 verdict (z² vs 3.8416) are bit-identical
+    // cross-engine WITHOUT libm. (The cleared-denominator rational
+    // here is degree ~10 in the statistics and leaves DECIMAL(38), so
+    // unlike q_welch_ttest the decision rides the deterministic
+    // arithmetic-only double instead of exact integers.) Σy² is the
+    // domain ceiling and picks the metric GRANULARITY: per-customer
+    // revenue is summed in WHOLE DOLLARS (cents granularity already
+    // sums to 5.7e18 cents² at sf0.001 — the tripwire caught it), good
+    // to ~10⁶ customers at this corpus's revenue scale; beyond that an
+    // order-insensitive double shadow-sum trips raise_error at 4e18
+    // (2× under BIGINT wrap; the shadow's ±ulps are noise against that
+    // margin) so overflow is loud, never silent — the q_welch_ttest
+    // discipline, with "rescale to coarser units" as the remedy.
+    QueryDef("q_delta_ratio",
+      (spark, sf) => {
+        val per = load(spark, sf, "orders")
+          .select(col("o_custkey"),
+            round(col("o_totalprice")).cast("long").as("c"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("c")).as("y"), count(lit(1)).as("m"))
+          .select((col("o_custkey") % 2 === 0).as("grp_a"),
+            col("y"), col("m"))
+        def arm(nm: String, g: org.apache.spark.sql.Column) = Seq(
+          sum(when(g, 1L).otherwise(0L)).as(s"k_$nm"),
+          sum(when(g, col("y")).otherwise(0L)).as(s"sy_$nm"),
+          sum(when(g, col("m")).otherwise(0L)).as(s"sm_$nm"),
+          sum(when(g, col("y") * col("y")).otherwise(0L)).as(s"qy_$nm"),
+          sum(when(g, col("m") * col("m")).otherwise(0L)).as(s"qm_$nm"),
+          sum(when(g, col("y") * col("m")).otherwise(0L)).as(s"sym_$nm"),
+          sum(when(g, col("y").cast("double") * col("y")).otherwise(0.0))
+            .as(s"gy_$nm"))
+        val cols = arm("a", col("grp_a")) ++ arm("b", !col("grp_a"))
+        val s = per.agg(cols.head, cols.tail: _*)
+        val ok = col("k_a") > 1 && col("k_b") > 1 &&
+          col("sm_a") > 0 && col("sm_b") > 0
+        s.select(col("k_a"), col("sy_a"), col("sm_a"),
+          col("k_b"), col("sy_b"), col("sm_b"),
+          expr(Shared.DeltaRatioDomainGuard).as("domain_ok"),
+          when(ok, round(expr("CAST(sy_a AS DOUBLE) / sm_a"), 4))
+            .as("ratio_a"),
+          when(ok, round(expr("CAST(sy_b AS DOUBLE) / sm_b"), 4))
+            .as("ratio_b"),
+          when(ok && expr(Shared.DeltaRatioVarPos),
+            round(expr(Shared.DeltaRatioZ2), 4)).as("z2"),
+          when(ok && expr(Shared.DeltaRatioVarPos),
+            expr(s"CAST(${Shared.DeltaRatioZ2} >= 3.8416 AS INT)"))
+            .as("significant"))
+      },
+      Some(s"""WITH per AS (
+             |  SELECT o_custkey % 2 = 0 AS grp_a,
+             |    CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS y,
+             |    CAST(COUNT(*) AS BIGINT) AS m
+             |  FROM orders GROUP BY o_custkey),
+             |s AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN grp_a THEN 1 ELSE 0 END) AS BIGINT) AS k_a,
+             |    CAST(SUM(CASE WHEN grp_a THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+             |    CAST(SUM(CASE WHEN grp_a THEN m ELSE 0 END) AS BIGINT) AS sm_a,
+             |    CAST(SUM(CASE WHEN grp_a THEN y * y ELSE 0 END) AS BIGINT) AS qy_a,
+             |    CAST(SUM(CASE WHEN grp_a THEN m * m ELSE 0 END) AS BIGINT) AS qm_a,
+             |    CAST(SUM(CASE WHEN grp_a THEN y * m ELSE 0 END) AS BIGINT) AS sym_a,
+             |    SUM(CASE WHEN grp_a THEN CAST(y AS DOUBLE) * y ELSE 0 END) AS gy_a,
+             |    CAST(SUM(CASE WHEN NOT grp_a THEN 1 ELSE 0 END) AS BIGINT) AS k_b,
+             |    CAST(SUM(CASE WHEN NOT grp_a THEN y ELSE 0 END) AS BIGINT) AS sy_b,
+             |    CAST(SUM(CASE WHEN NOT grp_a THEN m ELSE 0 END) AS BIGINT) AS sm_b,
+             |    CAST(SUM(CASE WHEN NOT grp_a THEN y * y ELSE 0 END) AS BIGINT) AS qy_b,
+             |    CAST(SUM(CASE WHEN NOT grp_a THEN m * m ELSE 0 END) AS BIGINT) AS qm_b,
+             |    CAST(SUM(CASE WHEN NOT grp_a THEN y * m ELSE 0 END) AS BIGINT) AS sym_b,
+             |    SUM(CASE WHEN NOT grp_a THEN CAST(y AS DOUBLE) * y ELSE 0 END) AS gy_b
+             |  FROM per)
+             |SELECT k_a, sy_a, sm_a, k_b, sy_b, sm_b,
+             |  ${Shared.DeltaRatioDomainGuardDuck} AS domain_ok,
+             |  CASE WHEN k_a > 1 AND k_b > 1 AND sm_a > 0 AND sm_b > 0 THEN
+             |    ROUND(CAST(sy_a AS DOUBLE) / sm_a, 4) END AS ratio_a,
+             |  CASE WHEN k_a > 1 AND k_b > 1 AND sm_a > 0 AND sm_b > 0 THEN
+             |    ROUND(CAST(sy_b AS DOUBLE) / sm_b, 4) END AS ratio_b,
+             |  CASE WHEN k_a > 1 AND k_b > 1 AND sm_a > 0 AND sm_b > 0
+             |      AND ${Shared.DeltaRatioVarPos} THEN
+             |    ROUND(${Shared.DeltaRatioZ2}, 4) END AS z2,
+             |  CASE WHEN k_a > 1 AND k_b > 1 AND sm_a > 0 AND sm_b > 0
+             |      AND ${Shared.DeltaRatioVarPos} THEN
+             |    CAST(${Shared.DeltaRatioZ2} >= 3.8416 AS INT) END AS significant
+             |FROM s""".stripMargin)),
+
+    // Two-period difference-in-differences on the user panel — the
+    // quasi-experimental workhorse for launches WITHOUT randomization
+    // holdouts (Card & Krueger 1994 design, public). With both periods
+    // observed for every user, DiD collapses to a two-sample test on
+    // the per-user CHANGE Δ_u = post_u − pre_u (the panel identity:
+    // (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre) = Δ̄_t − Δ̄_c), so the
+    // entire machinery of q_welch_ttest applies verbatim to Δ —
+    // including the EXACT integer α=0.05 decision in DECIMAL(38)/
+    // HUGEINT with its raise_error domain tripwire. The pre/post split
+    // is the corpus midpoint timestamp (one O(1) min/max aggregate
+    // broadcast back — the q_cuped staging); per-user (pre, post)
+    // counts are ONE user-keyed shuffle; Δ moments are exact BIGINTs
+    // from one map-side-combined aggregate (|Δ| ≤ per-user events, so
+    // ΣΔ² is BIGINT-safe to ~10¹² users — no shadow-sum needed).
+    QueryDef("q_diff_in_diff",
+      (spark, sf) => {
+        val ev = load(spark, sf, "events")
+          .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+        val cut = ev.agg(expr("(MIN(us) + MAX(us)) div 2").as("cut"))
+        val per = ev.crossJoin(broadcast(cut))
+          .groupBy(col("user_id"))
+          .agg((sum(when(col("us") >= col("cut"), 1L).otherwise(0L)) -
+            sum(when(col("us") < col("cut"), 1L).otherwise(0L))).as("d"))
+          .select((col("user_id") % 2 === 0).as("grp_a"), col("d"))
+        val s = per.agg(
+          sum(when(col("grp_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("grp_a"), col("d")).otherwise(0L)).as("s_a"),
+          sum(when(col("grp_a"), col("d") * col("d")).otherwise(0L)).as("q_a"),
+          sum(when(!col("grp_a"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(!col("grp_a"), col("d")).otherwise(0L)).as("s_b"),
+          sum(when(!col("grp_a"), col("d") * col("d")).otherwise(0L)).as("q_b"))
+        // exact-integer positive-variance guard: n·q − s² ≥ 0 always,
+        // so the sum is 0 only when BOTH arms are constant — the one
+        // case where the t² denominator would divide by zero (and the
+        // engines' 1/0 conventions could diverge)
+        val ok = col("n_a") > 1 && col("n_b") > 1 &&
+          col("n_a") * col("q_a") - col("s_a") * col("s_a") +
+            col("n_b") * col("q_b") - col("s_b") * col("s_b") > 0
+        s.select(col("n_a"), col("s_a"), col("q_a"),
+          col("n_b"), col("s_b"), col("q_b"),
+          when(ok, round(expr(
+            "CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b"), 6))
+            .as("did"),
+          when(ok, round(expr(Shared.WelchT2), 4)).as("t2"),
+          when(ok, expr(Shared.WelchDecisionSpark)).as("significant"))
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) AS us FROM events),
+             |cutoff AS (SELECT (MIN(us) + MAX(us)) // 2 AS cut FROM ev),
+             |per AS (
+             |  SELECT user_id % 2 = 0 AS grp_a,
+             |    CAST(SUM(CASE WHEN us >= cut THEN 1 ELSE 0 END)
+             |      - SUM(CASE WHEN us < cut THEN 1 ELSE 0 END) AS BIGINT) AS d
+             |  FROM ev CROSS JOIN cutoff GROUP BY user_id),
+             |s AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN grp_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN grp_a THEN d ELSE 0 END) AS BIGINT) AS s_a,
+             |    CAST(SUM(CASE WHEN grp_a THEN d * d ELSE 0 END) AS BIGINT) AS q_a,
+             |    CAST(SUM(CASE WHEN NOT grp_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |    CAST(SUM(CASE WHEN NOT grp_a THEN d ELSE 0 END) AS BIGINT) AS s_b,
+             |    CAST(SUM(CASE WHEN NOT grp_a THEN d * d ELSE 0 END) AS BIGINT) AS q_b
+             |  FROM per)
+             |SELECT n_a, s_a, q_a, n_b, s_b, q_b,
+             |  CASE WHEN n_a > 1 AND n_b > 1
+             |      AND n_a * q_a - s_a * s_a + n_b * q_b - s_b * s_b > 0 THEN
+             |    ROUND(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b, 6)
+             |  END AS did,
+             |  CASE WHEN n_a > 1 AND n_b > 1
+             |      AND n_a * q_a - s_a * s_a + n_b * q_b - s_b * s_b > 0 THEN
+             |    ROUND(${Shared.WelchT2}, 4) END AS t2,
+             |  CASE WHEN n_a > 1 AND n_b > 1
+             |      AND n_a * q_a - s_a * s_a + n_b * q_b - s_b * s_b > 0 THEN
+             |    ${Shared.WelchDecisionDuck} END AS significant
+             |FROM s""".stripMargin)),
+
+    // Experiment PLANNING: minimum detectable effect and required
+    // sample size — the power arithmetic every platform runs BEFORE
+    // launching (standard two-proportion formula, e.g. Kohavi et al.
+    // 2020, public). Baseline conversion comes from the live corpus
+    // (user converted = any purchase event): exact integer counts from
+    // ONE user-keyed shuffle + a 1-row aggregate. The absolute MDE at
+    // α=0.05 / power 0.8 is (z_{.975}+z_{.8})·√(p̄(1−p̄)(1/n_a+1/n_b))
+    // — one expression whose only libm call is SQRT, which IEEE 754
+    // requires correctly rounded, so it is bit-identical cross-engine
+    // (the constant 2.801585 = 1.959964 + 0.841621 is squared by
+    // MULTIPLICATION, never POW). The required per-arm n to detect a
+    // 10% RELATIVE lift inverts the same formula; CEIL of a
+    // deterministic double, cast BIGINT on both engines.
+    QueryDef("q_power_mde",
+      (spark, sf) => {
+        val per = load(spark, sf, "events")
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("cv"))
+          .select((col("user_id") % 2 === 0).as("grp_a"), col("cv"))
+        val s = per.agg(
+          sum(when(col("grp_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("grp_a"), col("cv")).otherwise(0L)).as("x_a"),
+          sum(when(!col("grp_a"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(!col("grp_a"), col("cv")).otherwise(0L)).as("x_b"))
+        val ok = col("n_a") > 0 && col("n_b") > 0 &&
+          col("x_a") + col("x_b") > 0 &&
+          col("x_a") + col("x_b") < col("n_a") + col("n_b")
+        s.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+          when(col("n_a") + col("n_b") > 0,
+            expr("(x_a + x_b) * 1000000 div (n_a + n_b)")).as("p_pool_ppm"),
+          when(ok, round(expr(
+            s"${Shared.PowerMdeAbs} * 1000000"), 2)).as("mde_ppm"),
+          when(ok, expr(
+            s"CAST(CEIL(${Shared.PowerNReq10}) AS BIGINT)"))
+            .as("n_per_arm_rel10"))
+      },
+      Some(s"""WITH per AS (
+             |  SELECT user_id % 2 = 0 AS grp_a,
+             |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS cv
+             |  FROM events GROUP BY user_id),
+             |s AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN grp_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN grp_a THEN cv ELSE 0 END) AS BIGINT) AS x_a,
+             |    CAST(SUM(CASE WHEN NOT grp_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |    CAST(SUM(CASE WHEN NOT grp_a THEN cv ELSE 0 END) AS BIGINT) AS x_b
+             |  FROM per)
+             |SELECT n_a, x_a, n_b, x_b,
+             |  CASE WHEN n_a + n_b > 0 THEN
+             |    (x_a + x_b) * 1000000 // (n_a + n_b) END AS p_pool_ppm,
+             |  CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+             |      AND x_a + x_b < n_a + n_b THEN
+             |    ROUND(${Shared.PowerMdeAbs} * 1000000, 2) END AS mde_ppm,
+             |  CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+             |      AND x_a + x_b < n_a + n_b THEN
+             |    CAST(CEIL(${Shared.PowerNReq10}) AS BIGINT)
+             |  END AS n_per_arm_rel10
+             |FROM s""".stripMargin)),
   )
 }

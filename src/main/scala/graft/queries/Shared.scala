@@ -803,4 +803,108 @@ object Shared {
        |                       ORDER BY score DESC, doc_id) AS r
        |  FROM scored)
        |WHERE r <= 20 ORDER BY probe_id, r""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Experimentation-suite shared expression texts. Each is ONE SQL
+  // fragment valid verbatim in BOTH Spark SQL and DuckDB, so the two
+  // engines evaluate literally the same operation sequence on the same
+  // exact-integer inputs (IEEE-754 +,-,*,/ and SQRT are exact-rounded,
+  // hence bit-identical results; POW appears only inside ROUND'd
+  // display columns, the q_welch_ttest precedent).
+
+  /** Welch t² on exact moments (n_a,s_a,q_a,n_b,s_b,q_b). */
+  val WelchT2: String =
+    """POW(CAST(s_a * n_b - s_b * n_a AS DOUBLE)
+      |      / (CAST(n_a AS DOUBLE) * n_b), 2)
+      |  / ((CAST(n_a AS DOUBLE) * q_a - CAST(s_a AS DOUBLE) * s_a)
+      |       / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1))
+      |     + (CAST(n_b AS DOUBLE) * q_b - CAST(s_b AS DOUBLE) * s_b)
+      |       / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)))""".stripMargin
+
+  /** Exact integer α=0.05 Welch decision (t² ≥ 1.96² cross-multiplied)
+    * in Spark DECIMAL(38,0), with the raise_error domain tripwire
+    * where the cross-products would leave the 38-digit exact domain —
+    * extracted verbatim from q_welch_ttest so panel tests (DiD) reuse
+    * the identical decision arithmetic.
+    */
+  val WelchDecisionSpark: String =
+    """CASE WHEN 625 * POW(CAST(s_a * n_b - s_b * n_a AS DOUBLE), 2)
+      |       * (n_a - 1) * (n_b - 1) > 1e36
+      |    OR 2401 * ((CAST(n_a AS DOUBLE) * q_a)
+      |         * n_b * n_b * (n_b - 1)
+      |       + (CAST(n_b AS DOUBLE) * q_b)
+      |         * n_a * n_a * (n_a - 1)) > 1e36
+      |  THEN CAST(raise_error(CONCAT('welch decision: statistics exceed ',
+      |    'the DECIMAL(38) exact-decision domain - shard the metric ',
+      |    'or decide on the t2 double')) AS INT)
+      |  ELSE CAST(
+      |    CAST(s_a * n_b - s_b * n_a AS DECIMAL(38,0))
+      |      * (s_a * n_b - s_b * n_a) * (n_a - 1) * (n_b - 1) * 625
+      |    >= CAST(2401 AS DECIMAL(38,0))
+      |      * ((CAST(n_a AS DECIMAL(38,0)) * q_a
+      |            - CAST(s_a AS DECIMAL(38,0)) * s_a) * n_b * n_b * (n_b - 1)
+      |         + (CAST(n_b AS DECIMAL(38,0)) * q_b
+      |            - CAST(s_b AS DECIMAL(38,0)) * s_b) * n_a * n_a * (n_a - 1))
+      |    AS INT) END""".stripMargin
+
+  /** The same exact decision in DuckDB HUGEINT (127-bit — overflow
+    * raises loudly there, so no tripwire branch is needed). */
+  val WelchDecisionDuck: String =
+    """CAST(CAST(s_a * n_b - s_b * n_a AS HUGEINT)
+      |  * (s_a * n_b - s_b * n_a) * (n_a - 1) * (n_b - 1) * 625
+      |>= CAST(2401 AS HUGEINT)
+      |  * ((CAST(n_a AS HUGEINT) * q_a
+      |        - CAST(s_a AS HUGEINT) * s_a) * n_b * n_b * (n_b - 1)
+      |     + (CAST(n_b AS HUGEINT) * q_b
+      |        - CAST(s_b AS HUGEINT) * s_b) * n_a * n_a * (n_a - 1))
+      |AS INT)""".stripMargin
+
+  /** Delta-method per-arm variance of the ratio Σy/Σm over k_x
+    * clusters, from the exact BIGINT stats (k,sy,sm,qy,qm,sym)_x —
+    * (σ_y² + R²σ_m² − 2Rσ_ym)/(k·m̄²) as ONE +,-,*,/ expression. */
+  private def deltaRatioVar(x: String): String =
+    s"""((CAST(qy_$x AS DOUBLE) - CAST(sy_$x AS DOUBLE) * sy_$x / k_$x)
+       |   + (CAST(sy_$x AS DOUBLE) / sm_$x) * (CAST(sy_$x AS DOUBLE) / sm_$x)
+       |     * (CAST(qm_$x AS DOUBLE) - CAST(sm_$x AS DOUBLE) * sm_$x / k_$x)
+       |   - 2 * (CAST(sy_$x AS DOUBLE) / sm_$x)
+       |     * (CAST(sym_$x AS DOUBLE) - CAST(sy_$x AS DOUBLE) * sm_$x / k_$x))
+       | / (k_$x - 1) / k_$x
+       | / (CAST(sm_$x AS DOUBLE) / k_$x) / (CAST(sm_$x AS DOUBLE) / k_$x)"""
+      .stripMargin
+
+  /** Positive-variance guard for the delta-method z² denominator. */
+  val DeltaRatioVarPos: String =
+    s"(${deltaRatioVar("a")} + ${deltaRatioVar("b")}) > 0"
+
+  /** Delta-method z² for the two-arm ratio difference. */
+  val DeltaRatioZ2: String =
+    s"""(CAST(sy_a AS DOUBLE) / sm_a - CAST(sy_b AS DOUBLE) / sm_b)
+       | * (CAST(sy_a AS DOUBLE) / sm_a - CAST(sy_b AS DOUBLE) / sm_b)
+       | / (${deltaRatioVar("a")} + ${deltaRatioVar("b")})""".stripMargin
+
+  /** Σy² BIGINT-wrap tripwire on the order-insensitive double shadow
+    * sums gy_a/gy_b (Spark raise_error / DuckDB error variants). */
+  val DeltaRatioDomainGuard: String =
+    """CASE WHEN gy_a > 4e18 OR gy_b > 4e18
+      |THEN CAST(raise_error('q_delta_ratio: sum of squared cluster totals approaches BIGINT wrap - rescale the metric') AS INT)
+      |ELSE 1 END""".stripMargin
+  val DeltaRatioDomainGuardDuck: String =
+    """CASE WHEN gy_a > 4e18 OR gy_b > 4e18
+      |THEN CAST(error('q_delta_ratio: sum of squared cluster totals approaches BIGINT wrap - rescale the metric') AS INT)
+      |ELSE 1 END""".stripMargin
+
+  /** Pooled conversion p̄ from exact per-arm counts (n_a,x_a,n_b,x_b). */
+  val PowerPPool: String = "(CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))"
+
+  /** Absolute MDE at α=0.05 / power 0.8 — SQRT is the only libm call
+    * and IEEE 754 requires it correctly rounded; 2.801585 =
+    * z_{0.975} + z_{0.8} is squared by multiplication, never POW. */
+  val PowerMdeAbs: String =
+    s"2.801585 * SQRT($PowerPPool * (1 - $PowerPPool) * (1.0 / n_a + 1.0 / n_b))"
+
+  /** Required per-arm n to detect a 10% relative lift at the same
+    * design point (formula inverted; CEIL'd by the caller). */
+  val PowerNReq10: String =
+    s"""2 * $PowerPPool * (1 - $PowerPPool) * (2.801585 * 2.801585)
+       | / ((0.1 * $PowerPPool) * (0.1 * $PowerPPool))""".stripMargin
 }

@@ -239,6 +239,10 @@ class PlanAudit extends SparkSpec {
     "q_sprt" -> 6,                 // prefix-sum exchange + totals agg +
     // crossing agg (tot × dec is two 1-row frames)
     "q_srm_check" -> 4,            // user distinct + one 1-row agg
+    "q_delta_ratio" -> 4,          // customer-keyed agg + pooled 1-row agg
+    "q_diff_in_diff" -> 6,         // cutoff agg (1-row broadcast) +
+    // user-keyed agg + pooled-moments agg (the q_cuped shape)
+    "q_power_mde" -> 4,            // user-keyed agg + one 1-row agg
     "q_quantile_effect" -> 8,      // orders⋈customer + rank range
     // exchange (LogicalRDD) + targets lineage + pm agg + orderBy;
     // targets broadcast-hash-join on rk, zero nested loops
@@ -259,6 +263,8 @@ class PlanAudit extends SparkSpec {
     // round-16: q_cuped broadcasts the 1-row pre/post cutoff onto the
     // corpus scan; q_sprt crosses its two 1-row (totals, decision) aggs
     "q_cuped" -> 1, "q_sprt" -> 1,
+    // q_diff_in_diff broadcasts the same 1-row pre/post cutoff
+    "q_diff_in_diff" -> 1,
     "dedup_semantic" -> 1, "text_countmin" -> 1,
     // recall gate + candidate-ratio gate + the ratio's own
     // one-row-×-one-row (n_cand × n) join
