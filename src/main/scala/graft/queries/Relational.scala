@@ -4572,13 +4572,10 @@ object Relational {
           sum(when(!col("grp_a"), 1L).otherwise(0L)).as("n_b"),
           sum(when(!col("grp_a"), col("d")).otherwise(0L)).as("s_b"),
           sum(when(!col("grp_a"), col("d") * col("d")).otherwise(0L)).as("q_b"))
-        // exact-integer positive-variance guard: n·q − s² ≥ 0 always,
-        // so the sum is 0 only when BOTH arms are constant — the one
-        // case where the t² denominator would divide by zero (and the
-        // engines' 1/0 conventions could diverge)
+        // Shared.WelchVarPos: exact positive-variance guard (DECIMAL —
+        // s² leaves BIGINT long before the decision domain does)
         val ok = col("n_a") > 1 && col("n_b") > 1 &&
-          col("n_a") * col("q_a") - col("s_a") * col("s_a") +
-            col("n_b") * col("q_b") - col("s_b") * col("s_b") > 0
+          expr(Shared.WelchVarPos)
         s.select(col("n_a"), col("s_a"), col("q_a"),
           col("n_b"), col("s_b"), col("q_b"),
           when(ok, round(expr(
@@ -4606,14 +4603,14 @@ object Relational {
              |  FROM per)
              |SELECT n_a, s_a, q_a, n_b, s_b, q_b,
              |  CASE WHEN n_a > 1 AND n_b > 1
-             |      AND n_a * q_a - s_a * s_a + n_b * q_b - s_b * s_b > 0 THEN
+             |      AND ${Shared.WelchVarPos} THEN
              |    ROUND(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b, 6)
              |  END AS did,
              |  CASE WHEN n_a > 1 AND n_b > 1
-             |      AND n_a * q_a - s_a * s_a + n_b * q_b - s_b * s_b > 0 THEN
+             |      AND ${Shared.WelchVarPos} THEN
              |    ROUND(${Shared.WelchT2}, 4) END AS t2,
              |  CASE WHEN n_a > 1 AND n_b > 1
-             |      AND n_a * q_a - s_a * s_a + n_b * q_b - s_b * s_b > 0 THEN
+             |      AND ${Shared.WelchVarPos} THEN
              |    ${Shared.WelchDecisionDuck} END AS significant
              |FROM s""".stripMargin)),
 
@@ -4677,5 +4674,298 @@ object Relational {
              |    CAST(CEIL(${Shared.PowerNReq10}) AS BIGINT)
              |  END AS n_per_arm_rel10
              |FROM s""".stripMargin)),
+
+    // Poisson bootstrap CI (Chamandy, Muralidharan, Najmi & Naidu 2012,
+    // public Google paper) — THE bootstrap that works at 100 TB:
+    // instead of materializing B independent n-row resamples
+    // (impossible when n doesn't fit anywhere), every unit gets an
+    // independent Poisson(1) weight per replicate, and a resample mean
+    // is Σw·y/Σw. Weights here are DETERMINISTIC: an md5 word per
+    // (customer, replicate) mapped through integer inverse-CDF
+    // thresholds (Shared.PoissonThresholds — pure BIGINT comparisons,
+    // bit-exact in both engines; the w≥8 tail, mass ≈ 1e-5, is
+    // truncated and disclosed). Shape: the corpus collapses to
+    // per-customer totals first (ONE keyed shuffle), the ×64 replicate
+    // fan-out happens on that reduced frame and feeds a 64-group
+    // map-side-combined aggregate — shuffle volume is 64·partitions
+    // rows no matter the corpus — and the percentile CI is two order
+    // statistics (ranks 2 and 63 ≈ 2.5%/97.5%) of a 64-row frame (the
+    // single-partition window is over B rows, never the corpus).
+    // Replicate means are exact-integer ratios → one IEEE division →
+    // bit-identical doubles; ties in the sort are broken by replicate
+    // id. Metric in whole dollars (the q_delta_ratio granularity).
+    QueryDef("q_bootstrap_ci",
+      (spark, sf) => {
+        val per = load(spark, sf, "orders")
+          .select(col("o_custkey"),
+            round(col("o_totalprice")).cast("long").as("c"))
+          .groupBy(col("o_custkey")).agg(sum(col("c")).as("y"))
+        val reps = per
+          .select(col("o_custkey"), col("y"),
+            explode(expr("sequence(0, 63)")).as("b"))
+          .withColumn("v", conv(substring(md5(concat(
+            col("o_custkey").cast("string"), lit(":"),
+            col("b").cast("string"), lit("boot"))), 1, 8), 16, 10)
+            .cast("long"))
+          .withColumn("w", expr(Shared.PoissonWeightSql))
+        val means = reps.groupBy(col("b"))
+          .agg(sum(col("w") * col("y")).as("sw"), sum(col("w")).as("cw"))
+          .filter(col("cw") > 0)
+          .select(col("b"),
+            (col("sw").cast("double") / col("cw")).as("mb"))
+        val ranked = means.withColumn("rn", row_number().over(
+          Window.orderBy(col("mb"), col("b"))))
+        val ci = ranked.agg(
+          max(when(col("rn") === 2, col("mb"))).as("lo"),
+          max(when(col("rn") === 63, col("mb"))).as("hi"),
+          count(lit(1)).as("b_count"))
+        val full = per.agg(count(lit(1)).as("n_users"),
+          sum(col("y")).as("sy"))
+        full.crossJoin(ci).select(col("n_users"), col("b_count"),
+          round(col("sy").cast("double") / col("n_users"), 4)
+            .as("mean_full"),
+          round(col("lo"), 4).as("boot_lo"),
+          round(col("hi"), 4).as("boot_hi"))
+      },
+      Some(s"""WITH per AS (
+             |  SELECT o_custkey,
+             |    CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+             |  FROM orders GROUP BY o_custkey),
+             |reps AS (
+             |  SELECT b, y,
+             |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':'
+             |      || CAST(b AS VARCHAR) || 'boot'), 1, 8))::BIGINT AS v
+             |  FROM per CROSS JOIN (SELECT unnest(range(64)) AS b)),
+             |wt AS (
+             |  SELECT b, y, ${Shared.PoissonWeightSql} AS w FROM reps),
+             |means AS (
+             |  SELECT b, CAST(CAST(SUM(w * y) AS BIGINT) AS DOUBLE)
+             |      / CAST(SUM(w) AS BIGINT) AS mb
+             |  FROM wt GROUP BY b HAVING SUM(w) > 0),
+             |ranked AS (
+             |  SELECT mb, ROW_NUMBER() OVER (ORDER BY mb, b) AS rn
+             |  FROM means),
+             |ci AS (
+             |  SELECT MAX(CASE WHEN rn = 2 THEN mb END) AS lo,
+             |    MAX(CASE WHEN rn = 63 THEN mb END) AS hi,
+             |    CAST(COUNT(*) AS BIGINT) AS b_count
+             |  FROM ranked),
+             |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             |    CAST(SUM(y) AS BIGINT) AS sy FROM per)
+             |SELECT n_users, b_count,
+             |  ROUND(CAST(sy AS DOUBLE) / n_users, 4) AS mean_full,
+             |  ROUND(lo, 4) AS boot_lo, ROUND(hi, 4) AS boot_hi
+             |FROM f CROSS JOIN ci""".stripMargin)),
+
+    // Group-sequential testing with O'Brien–Fleming boundaries — the
+    // OTHER standard sequential design next to q_sprt's fully-
+    // sequential Wald test: K = 4 interim looks at equally-spaced
+    // calendar times, each applying the pooled two-proportion z² with
+    // a look-specific boundary that spends almost no α early (z₁ =
+    // 4.048) and ≈ the fixed-horizon 1.96 at the final look. Look
+    // membership is "observed BY the look": a user counts once their
+    // first event is ≤ the cut, a conversion once the first purchase
+    // is ≤ the cut — so look 4 equals the fixed-horizon test on the
+    // full corpus. Per-look rejection is an EXACT integer decision:
+    // 10⁶·D²·n ≥ C_k·n_a·n_b·x·(n−x) in DECIMAL(38)/HUGEINT with the
+    // q_ab_test raise_error tripwire at the 38-digit domain edge
+    // (C_k = Shared.ObfBoundsE6, exact 10⁶-scaled squares of the
+    // public boundary values). Shape: ONE user-keyed shuffle → ×4
+    // look fan-out on the per-user frame into a 4-group map-side-
+    // combined aggregate; everything after lives on a 4-row frame
+    // (its single-partition window is constant-size by construction).
+    QueryDef("q_obrien_fleming",
+      (spark, sf) => {
+        val ev = load(spark, sf, "events")
+          .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+            col("event_type"))
+        val bounds = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        val per = ev.groupBy(col("user_id"))
+          .agg(min(col("us")).as("first_us"),
+            min(when(col("event_type") === "purchase", col("us")))
+              .as("conv_us"))
+          .select((col("user_id") % 2 === 0).as("grp_a"),
+            col("first_us"), col("conv_us"))
+        val looks = per.crossJoin(broadcast(bounds))
+          .select(col("grp_a"), col("first_us"), col("conv_us"),
+            explode(expr("sequence(1, 4)")).as("look"),
+            col("mn"), col("mx"))
+          .withColumn("cut", expr("mn + (mx - mn) * look div 4"))
+        val g = looks.groupBy(col("look")).agg(
+          sum(when(col("grp_a") && col("first_us") <= col("cut"), 1L)
+            .otherwise(0L)).as("n_a"),
+          sum(when(col("grp_a") && col("conv_us") <= col("cut"), 1L)
+            .otherwise(0L)).as("x_a"),
+          sum(when(!col("grp_a") && col("first_us") <= col("cut"), 1L)
+            .otherwise(0L)).as("n_b"),
+          sum(when(!col("grp_a") && col("conv_us") <= col("cut"), 1L)
+            .otherwise(0L)).as("x_b"))
+          .withColumn("bound_e6", expr(
+            s"element_at(array(${Shared.ObfBoundsE6.mkString(", ")}), look)"))
+        val ok = col("n_a") > 0 && col("n_b") > 0 &&
+          col("x_a") + col("x_b") > 0 &&
+          col("x_a") + col("x_b") < col("n_a") + col("n_b")
+        val scored = g.select(col("look"), col("n_a"), col("x_a"),
+          col("n_b"), col("x_b"), col("bound_e6"),
+          when(ok, round(expr(
+            """POW(CAST(x_a * n_b - x_b * n_a AS DOUBLE), 2) * (n_a + n_b)
+              |  / (CAST(n_a AS DOUBLE) * n_b * (x_a + x_b)
+              |     * (n_a + n_b - x_a - x_b))""".stripMargin), 4)).as("z2"),
+          when(ok, expr(
+            """CASE WHEN 1000000 * POW(CAST(x_a * n_b - x_b * n_a AS DOUBLE), 2)
+              |       * (n_a + n_b) > 1e36
+              |    OR CAST(bound_e6 AS DOUBLE) * n_a * n_b * (x_a + x_b)
+              |       * (n_a + n_b - x_a - x_b) > 1e36
+              |  THEN CAST(raise_error(CONCAT('q_obrien_fleming: counts exceed ',
+              |    'the DECIMAL(38) exact-decision domain - decide on the ',
+              |    'z2 double')) AS INT)
+              |  ELSE CAST(
+              |    CAST(x_a * n_b - x_b * n_a AS DECIMAL(38,0))
+              |      * (x_a * n_b - x_b * n_a) * (n_a + n_b) * 1000000
+              |    >= CAST(bound_e6 AS DECIMAL(38,0)) * n_a * n_b
+              |      * (x_a + x_b) * (n_a + n_b - x_a - x_b)
+              |    AS INT) END""".stripMargin)).as("reject"))
+        scored.withColumn("stopped",
+          max(coalesce(col("reject"), lit(0))).over(
+            Window.orderBy(col("look"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .orderBy(col("look"))
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+             |bounds AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM ev),
+             |per AS (
+             |  SELECT user_id % 2 = 0 AS grp_a, MIN(us) AS first_us,
+             |    MIN(CASE WHEN event_type = 'purchase' THEN us END) AS conv_us
+             |  FROM ev GROUP BY user_id),
+             |looks AS (
+             |  SELECT grp_a, first_us, conv_us, look,
+             |    mn + (mx - mn) * look // 4 AS cut
+             |  FROM per CROSS JOIN bounds
+             |  CROSS JOIN (SELECT unnest(range(1, 5)) AS look)),
+             |g AS (
+             |  SELECT look,
+             |    CAST(SUM(CASE WHEN grp_a AND first_us <= cut
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN grp_a AND conv_us <= cut
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+             |    CAST(SUM(CASE WHEN NOT grp_a AND first_us <= cut
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |    CAST(SUM(CASE WHEN NOT grp_a AND conv_us <= cut
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS x_b,
+             |    list_extract([${Shared.ObfBoundsE6.mkString(", ")}], look)
+             |      AS bound_e6
+             |  FROM looks GROUP BY look),
+             |scored AS (
+             |  SELECT look, n_a, x_a, n_b, x_b, bound_e6,
+             |    CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+             |        AND x_a + x_b < n_a + n_b THEN
+             |      ROUND(POW(CAST(x_a * n_b - x_b * n_a AS DOUBLE), 2) * (n_a + n_b)
+             |        / (CAST(n_a AS DOUBLE) * n_b * (x_a + x_b)
+             |           * (n_a + n_b - x_a - x_b)), 4) END AS z2,
+             |    CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+             |        AND x_a + x_b < n_a + n_b THEN
+             |      CAST(CAST(x_a * n_b - x_b * n_a AS HUGEINT)
+             |          * (x_a * n_b - x_b * n_a) * (n_a + n_b) * 1000000
+             |        >= CAST(bound_e6 AS HUGEINT) * n_a * n_b
+             |          * (x_a + x_b) * (n_a + n_b - x_a - x_b) AS INT)
+             |    END AS reject
+             |  FROM g)
+             |SELECT look, n_a, x_a, n_b, x_b, bound_e6, z2, reject,
+             |  MAX(COALESCE(reject, 0)) OVER (ORDER BY look
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stopped
+             |FROM scored ORDER BY look""".stripMargin)),
+
+    // Winsorized-metric test — the heavy-tail discipline every revenue
+    // experiment applies before a means test (a single whale order
+    // dominates Var(mean) and destroys power; capping at exact global
+    // percentiles bounds the influence of any one observation). The
+    // P1/P99 caps are EXACT order statistics from ONE distributed
+    // range-sort (ops/Rank.rankGlobal — the q_exact_quantiles
+    // machinery, constant memory per task at any scale), broadcast
+    // back as a 1-row frame onto a second corpus pass that clamps and
+    // aggregates — no per-group value buffering anywhere. The capped
+    // metric is tested with the EXACT integer Welch decision
+    // (Shared.WelchDecision*) on HECTODOLLAR units — the decision
+    // domain scales as n⁴·E[y²], and at this corpus's ~\$150k order
+    // values whole dollars already trip the DECIMAL(38) tripwire at
+    // sf0.1; hundreds keep the exact decision valid to ~10⁶ orders
+    // per arm (caps stay in cents for display; y = clamped cents div
+    // 10000, truncating division on non-negative prices agrees across
+    // engines). The
+    // per-ORDER unit is deliberate — the clustered-unit correction
+    // lives in q_delta_ratio; this gate isolates the tail-robustness
+    // step.
+    QueryDef("q_winsorized_mean",
+      (spark, sf) => {
+        val s0 = load(spark, sf, "orders")
+          .select(col("o_custkey"), cents(col("o_totalprice")).as("v"))
+        val n = s0.count()
+        val ranked = graft.ops.Rank.rankGlobal(
+          s0.select(col("v")), Seq(col("v")), "rn")
+        val wanted = Seq(10, 990).map(pm => (pm, (n - 1) * pm / 1000 + 1))
+        val targets = spark.createDataFrame(wanted).toDF("pm", "rn")
+        val caps = ranked.join(broadcast(targets), "rn")
+          .agg(max(when(col("pm") === 10, col("v"))).as("lo"),
+            max(when(col("pm") === 990, col("v"))).as("hi"))
+        val w = s0.crossJoin(broadcast(caps))
+          .select(col("lo"), col("hi"),
+            (col("o_custkey") % 2 === 0).as("grp_a"),
+            expr("least(greatest(v, lo), hi) div 10000").as("y"))
+        val st = w.groupBy(col("lo"), col("hi")).agg(
+          sum(when(col("grp_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("grp_a"), col("y")).otherwise(0L)).as("s_a"),
+          sum(when(col("grp_a"), col("y") * col("y")).otherwise(0L)).as("q_a"),
+          sum(when(!col("grp_a"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(!col("grp_a"), col("y")).otherwise(0L)).as("s_b"),
+          sum(when(!col("grp_a"), col("y") * col("y")).otherwise(0L)).as("q_b"))
+        val ok = col("n_a") > 1 && col("n_b") > 1 &&
+          expr(Shared.WelchVarPos)
+        st.select(col("lo").as("lo_cents"), col("hi").as("hi_cents"),
+          col("n_a"), col("s_a"), col("q_a"),
+          col("n_b"), col("s_b"), col("q_b"),
+          when(col("n_a") > 0, round(
+            col("s_a").cast("double") / col("n_a"), 4)).as("wins_mean_hd_a"),
+          when(col("n_b") > 0, round(
+            col("s_b").cast("double") / col("n_b"), 4)).as("wins_mean_hd_b"),
+          when(ok, round(expr(Shared.WelchT2), 4)).as("t2"),
+          when(ok, expr(Shared.WelchDecisionSpark)).as("significant"))
+      },
+      Some(s"""WITH s AS (
+             |  SELECT o_custkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS v
+             |  FROM orders),
+             |n AS (SELECT COUNT(*) AS c FROM s),
+             |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM s),
+             |caps AS (
+             |  SELECT MAX(CASE WHEN pm = 10 THEN r.v END) AS lo,
+             |    MAX(CASE WHEN pm = 990 THEN r.v END) AS hi
+             |  FROM (SELECT unnest([10, 990]) AS pm) p CROSS JOIN n
+             |  JOIN r ON r.rn = (n.c - 1) * p.pm // 1000 + 1),
+             |w AS (
+             |  SELECT lo, hi, o_custkey % 2 = 0 AS grp_a,
+             |    LEAST(GREATEST(v, lo), hi) // 10000 AS y
+             |  FROM s CROSS JOIN caps),
+             |st AS (
+             |  SELECT lo, hi,
+             |    CAST(SUM(CASE WHEN grp_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN grp_a THEN y ELSE 0 END) AS BIGINT) AS s_a,
+             |    CAST(SUM(CASE WHEN grp_a THEN y * y ELSE 0 END) AS BIGINT) AS q_a,
+             |    CAST(SUM(CASE WHEN NOT grp_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |    CAST(SUM(CASE WHEN NOT grp_a THEN y ELSE 0 END) AS BIGINT) AS s_b,
+             |    CAST(SUM(CASE WHEN NOT grp_a THEN y * y ELSE 0 END) AS BIGINT) AS q_b
+             |  FROM w GROUP BY lo, hi)
+             |SELECT lo AS lo_cents, hi AS hi_cents,
+             |  n_a, s_a, q_a, n_b, s_b, q_b,
+             |  CASE WHEN n_a > 0 THEN
+             |    ROUND(CAST(s_a AS DOUBLE) / n_a, 4) END AS wins_mean_hd_a,
+             |  CASE WHEN n_b > 0 THEN
+             |    ROUND(CAST(s_b AS DOUBLE) / n_b, 4) END AS wins_mean_hd_b,
+             |  CASE WHEN n_a > 1 AND n_b > 1
+             |      AND ${Shared.WelchVarPos} THEN
+             |    ROUND(${Shared.WelchT2}, 4) END AS t2,
+             |  CASE WHEN n_a > 1 AND n_b > 1
+             |      AND ${Shared.WelchVarPos} THEN
+             |    ${Shared.WelchDecisionDuck} END AS significant
+             |FROM st""".stripMargin)),
   )
 }

@@ -847,6 +847,16 @@ object Shared {
       |            - CAST(s_b AS DECIMAL(38,0)) * s_b) * n_a * n_a * (n_a - 1))
       |    AS INT) END""".stripMargin
 
+  /** Exact positive-variance guard on the pooled Welch moments —
+    * n·q − s² ≥ 0 always, so the sum is 0 only when both arms are
+    * constant (the one case where t²'s denominator divides by zero).
+    * DECIMAL(38,0) because s² leaves BIGINT long before the decision
+    * domain does; the text is valid verbatim in both engines. */
+  val WelchVarPos: String =
+    """CAST(n_a AS DECIMAL(38,0)) * q_a - CAST(s_a AS DECIMAL(38,0)) * s_a
+      | + CAST(n_b AS DECIMAL(38,0)) * q_b
+      | - CAST(s_b AS DECIMAL(38,0)) * s_b > 0""".stripMargin
+
   /** The same exact decision in DuckDB HUGEINT (127-bit — overflow
     * raises loudly there, so no tripwire branch is needed). */
   val WelchDecisionDuck: String =
@@ -907,4 +917,29 @@ object Shared {
   val PowerNReq10: String =
     s"""2 * $PowerPPool * (1 - $PowerPPool) * (2.801585 * 2.801585)
        | / ((0.1 * $PowerPPool) * (0.1 * $PowerPPool))""".stripMargin
+
+  /** Poisson(1) inverse-CDF thresholds at 2³² scale: a uniform 32-bit
+    * word v (an md5 word — the dpGeometricNoise recipe) maps to the
+    * bootstrap weight w = Σ_k 1[v ≥ T_k] ∈ {0..7}, where
+    * T_k = ⌊CDF_Poisson(1)(k)·2³²⌋. Pure integer comparisons — the
+    * weights replay bit-exact in both engines. Truncation at 7 drops
+    * P(X ≥ 8) ≈ 1.0e-5 of the tail mass (disclosed; immaterial next
+    * to bootstrap noise at any n). */
+  val PoissonThresholds: Seq[Long] = Seq(
+    1580030168L, 3160060337L, 3950075421L, 4213413783L,
+    4279248373L, 4292415291L, 4294609777L)
+
+  /** The same weight as a SQL fragment over a column named `v` —
+    * identical text in both engines. */
+  val PoissonWeightSql: String = PoissonThresholds
+    .map(t => s"CASE WHEN v >= $t THEN 1 ELSE 0 END")
+    .mkString("(", "\n       + ", ")")
+
+  /** O'Brien–Fleming two-sided α=0.05 group-sequential boundaries for
+    * K = 4 equally-spaced looks (Jennison & Turnbull, public
+    * textbook values z = 4.048, 2.862, 2.337, 2.024), squared and
+    * scaled by 10⁶ — exact integers (3-decimal literals square to
+    * 6 decimals), so each look's rejection is an exact cross-
+    * multiplied integer comparison. */
+  val ObfBoundsE6: Seq[Long] = Seq(16386304L, 8191044L, 5461569L, 4096576L)
 }

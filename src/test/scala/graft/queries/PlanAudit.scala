@@ -243,6 +243,12 @@ class PlanAudit extends SparkSpec {
     "q_diff_in_diff" -> 6,         // cutoff agg (1-row broadcast) +
     // user-keyed agg + pooled-moments agg (the q_cuped shape)
     "q_power_mde" -> 4,            // user-keyed agg + one 1-row agg
+    "q_bootstrap_ci" -> 7,         // customer agg + 64-group replicate
+    // agg + B-row rank window + two 1-row (ci, full) aggs
+    "q_obrien_fleming" -> 7,       // bounds agg (1-row broadcast) +
+    // user agg + 4-group look agg + 4-row window + orderBy
+    "q_winsorized_mean" -> 8,      // rank range exchange (LogicalRDD) +
+    // caps agg + clamp-pass pooled agg (+ lineage reprints)
     "q_quantile_effect" -> 8,      // orders⋈customer + rank range
     // exchange (LogicalRDD) + targets lineage + pm agg + orderBy;
     // targets broadcast-hash-join on rk, zero nested loops
@@ -265,6 +271,11 @@ class PlanAudit extends SparkSpec {
     "q_cuped" -> 1, "q_sprt" -> 1,
     // q_diff_in_diff broadcasts the same 1-row pre/post cutoff
     "q_diff_in_diff" -> 1,
+    // q_bootstrap_ci crosses its two 1-row (full, ci) frames;
+    // q_obrien_fleming broadcasts the 1-row ts bounds;
+    // q_winsorized_mean broadcasts the 1-row P1/P99 caps
+    "q_bootstrap_ci" -> 1, "q_obrien_fleming" -> 1,
+    "q_winsorized_mean" -> 1,
     "dedup_semantic" -> 1, "text_countmin" -> 1,
     // recall gate + candidate-ratio gate + the ratio's own
     // one-row-×-one-row (n_cand × n) join
