@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Geospatial capability surface: grid-cell bucketed spatial joins —
+  * the planar analog of geohash/S2 indexing every large-scale spatial
+  * pipeline uses. The reference delegates geometry to its backing
+  * store; here the join itself is the operator under test.
+  *
+  * Coordinates are SYNTHETIC but deterministic: integer 10⁻⁴-degree
+  * units derived from md5 words (the dpGeometricNoise recipe,
+  * `ops/Curation.scala:209`), shifted non-negative so truncating
+  * division agrees across engines. The corpus has no native lat/lon;
+  * md5 derivation makes the geometry oracle-replayable bit-exact.
+  *
+  * Candidate generation is LOSSLESS by construction: with cell size
+  * C = R, two points within L2 distance R differ by ≤ 1 in each cell
+  * coordinate, so probing the 3×3 neighbor ring finds every true
+  * match — the DuckDB oracle verifies against an INDEPENDENT plain
+  * theta-join (O(n·m) is fine at oracle scale), so a lossy ring would
+  * fail the gate rather than hide.
+  *
+  * 100 TB shape: both sides shuffle ONCE on (cx, cy); per-cell work is
+  * occupancy-bounded (9 cells per probe), never all-pairs. Grid
+  * resolution R is the knob trading ring width for cell occupancy;
+  * pathological cell skew is AQE skew-join territory (the
+  * q_skew_aqe_join precedent).
+  */
+object GeoQueries {
+  import Tables._
+
+  /** 10° search radius in 10⁻⁴-degree units; also the grid cell size
+    * (C = R is what makes the 3×3 ring lossless). Sized so the gate
+    * BITES at sf0.001 (≈ a dozen true pairs among 150 customers on
+    * the 120°×360° domain — a tighter radius returns zero rows and
+    * verifies nothing). */
+  private val R = 100000L
+
+  /** 32-bit md5 word of (key ‖ salt) — uniform, oracle-replayable. */
+  private def word(c: Column, salt: String): Column =
+    conv(substring(md5(concat(c.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Customer points on the [0,120°)×[0,360°) integer grid. */
+  private def custPts(spark: SparkSession, sf: String): DataFrame =
+    load(spark, sf, "customer").select(col("c_custkey"),
+      (word(col("c_custkey"), "clat") % 1200000L).as("lat"),
+      (word(col("c_custkey"), "clon") % 3600000L).as("lon"))
+
+  private def suppPts(spark: SparkSession, sf: String): DataFrame =
+    load(spark, sf, "supplier").select(col("s_suppkey"),
+      (word(col("s_suppkey"), "slat") % 1200000L).as("slat"),
+      (word(col("s_suppkey"), "slon") % 3600000L).as("slon"))
+
+  /** (supplier, customer, d²) candidate pairs within R: suppliers
+    * explode into their 3×3 cell ring, ONE keyed join on (cx, cy),
+    * exact integer L2 filter — no cartesian anywhere. */
+  private def pairsWithinR(spark: SparkSession, sf: String): DataFrame = {
+    val cust = custPts(spark, sf)
+      .withColumn("cx", expr(s"lat div $R"))
+      .withColumn("cy", expr(s"lon div $R"))
+    val ring = suppPts(spark, sf)
+      .select(col("s_suppkey"), col("slat"), col("slon"),
+        explode(expr("sequence(-1, 1)")).as("dx"))
+      .select(col("s_suppkey"), col("slat"), col("slon"), col("dx"),
+        explode(expr("sequence(-1, 1)")).as("dy"))
+      .select(col("s_suppkey"), col("slat"), col("slon"),
+        expr(s"slat div $R + dx").as("cx"),
+        expr(s"slon div $R + dy").as("cy"))
+    ring.join(cust, Seq("cx", "cy"))
+      .withColumn("d2",
+        (col("slat") - col("lat")) * (col("slat") - col("lat")) +
+          (col("slon") - col("lon")) * (col("slon") - col("lon")))
+      .filter(col("d2") <= lit(R * R))
+  }
+
+  /** Shared oracle CTEs: points + the INDEPENDENT theta-join pairs. */
+  private val OraclePts: String =
+    s"""WITH c AS (
+       |  SELECT c_custkey,
+       |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'clat'), 1, 8))::BIGINT
+       |      % 1200000 AS lat,
+       |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'clon'), 1, 8))::BIGINT
+       |      % 3600000 AS lon
+       |  FROM customer),
+       |sp AS (
+       |  SELECT s_suppkey,
+       |    ('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || 'slat'), 1, 8))::BIGINT
+       |      % 1200000 AS slat,
+       |    ('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || 'slon'), 1, 8))::BIGINT
+       |      % 3600000 AS slon
+       |  FROM supplier)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Radius join: for every supplier, how many customers sit within
+    // R, and how close is the nearest — the "stores near me" /
+    // coverage-analysis primitive. LEFT join keeps zero-match
+    // suppliers (n_within = 0, min_d2 NULL on both engines).
+    QueryDef("q_geo_cell_join",
+      (spark, sf) => {
+        val agg = pairsWithinR(spark, sf)
+          .groupBy(col("s_suppkey"))
+          .agg(count(lit(1)).as("m"), min(col("d2")).as("md"))
+        suppPts(spark, sf).select(col("s_suppkey"))
+          .join(agg, Seq("s_suppkey"), "left")
+          .select(col("s_suppkey"),
+            coalesce(col("m"), lit(0L)).as("n_within"),
+            col("md").as("min_d2"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some(s"""$OraclePts
+             |SELECT sp.s_suppkey,
+             |  CAST(COUNT(c.c_custkey) AS BIGINT) AS n_within,
+             |  CAST(MIN((sp.slat - c.lat) * (sp.slat - c.lat)
+             |    + (sp.slon - c.lon) * (sp.slon - c.lon)) AS BIGINT) AS min_d2
+             |FROM sp LEFT JOIN c
+             |  ON (sp.slat - c.lat) * (sp.slat - c.lat)
+             |     + (sp.slon - c.lon) * (sp.slon - c.lon) <= ${R * R}
+             |GROUP BY sp.s_suppkey ORDER BY sp.s_suppkey""".stripMargin)),
+
+    // Radius-bounded k-nearest-neighbors (k = 5): the grid-kNN first
+    // pass every spatial serving stack runs (a full kNN would widen
+    // the ring until k found; the bounded variant is the disclosed
+    // semantics here and the common case — beyond-R neighbors are
+    // "no result"). Per-probe ranking is a KEYED window (partitioned
+    // by supplier — never a global sort); ties break on c_custkey.
+    QueryDef("q_geo_knn",
+      (spark, sf) => pairsWithinR(spark, sf)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("s_suppkey"))
+            .orderBy(col("d2"), col("c_custkey"))))
+        .filter(col("rnk") <= 5)
+        .select(col("s_suppkey"), col("rnk"), col("c_custkey"), col("d2"))
+        .orderBy(col("s_suppkey"), col("rnk")),
+      Some(s"""$OraclePts,
+             |p AS (
+             |  SELECT sp.s_suppkey, c.c_custkey,
+             |    (sp.slat - c.lat) * (sp.slat - c.lat)
+             |      + (sp.slon - c.lon) * (sp.slon - c.lon) AS d2
+             |  FROM sp JOIN c
+             |    ON (sp.slat - c.lat) * (sp.slat - c.lat)
+             |       + (sp.slon - c.lon) * (sp.slon - c.lon) <= ${R * R})
+             |SELECT s_suppkey, CAST(rnk AS INT) AS rnk, c_custkey, d2 FROM (
+             |  SELECT s_suppkey, c_custkey, d2,
+             |    ROW_NUMBER() OVER (PARTITION BY s_suppkey
+             |                       ORDER BY d2, c_custkey) AS rnk
+             |  FROM p)
+             |WHERE rnk <= 5 ORDER BY s_suppkey, rnk""".stripMargin)),
+
+    // Cell-density heatmap: top-20 densest grid cells — the
+    // aggregation face of the same grid (geohash rollup). ONE keyed
+    // shuffle on (cx, cy); ties break on the cell coordinates.
+    QueryDef("q_geo_density",
+      (spark, sf) => custPts(spark, sf)
+        .select(expr(s"lat div $R").as("cx"), expr(s"lon div $R").as("cy"))
+        .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("cx"), col("cy"))
+        .limit(20),
+      Some(s"""$OraclePts
+             |SELECT lat // $R AS cx, lon // $R AS cy,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM c GROUP BY 1, 2
+             |ORDER BY n DESC, cx, cy LIMIT 20""".stripMargin)),
+  )
+}

@@ -249,6 +249,11 @@ class PlanAudit extends SparkSpec {
     // user agg + 4-group look agg + 4-row window + orderBy
     "q_winsorized_mean" -> 8,      // rank range exchange (LogicalRDD) +
     // caps agg + clamp-pass pooled agg (+ lineage reprints)
+    "q_geo_cell_join" -> 7,        // (cx,cy) cell join + supplier agg +
+    // left attach + orderBy; ring side broadcasts at gate scale
+    "q_geo_knn" -> 7,              // cell join + per-supplier rank
+    // window + orderBy
+    "q_geo_density" -> 3,          // one (cx,cy) agg + top-20 sort
     "q_quantile_effect" -> 8,      // orders⋈customer + rank range
     // exchange (LogicalRDD) + targets lineage + pm agg + orderBy;
     // targets broadcast-hash-join on rk, zero nested loops
