@@ -3204,22 +3204,7 @@ object Relational {
             "CAST(1000 * (n_a - n_b) * (n_a - n_b) >= 10828 * (n_a + n_b) AS INT)"))
             .as("srm_alarm"))
       },
-      Some("""WITH users AS (SELECT DISTINCT user_id FROM events),
-             |wide AS (
-             |  SELECT
-             |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-             |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
-             |  FROM users)
-             |SELECT n_a, n_b,
-             |  CASE WHEN n_a + n_b > 0 THEN
-             |    ROUND(POW(CAST(n_a - n_b AS DOUBLE), 2) / (n_a + n_b), 4) END AS chi2,
-             |  CASE WHEN n_a + n_b > 0 THEN
-             |    CAST(625 * (n_a - n_b) * (n_a - n_b) >= 2401 * (n_a + n_b) AS INT)
-             |  END AS mismatch_05,
-             |  CASE WHEN n_a + n_b > 0 THEN
-             |    CAST(1000 * (n_a - n_b) * (n_a - n_b) >= 10828 * (n_a + n_b) AS INT)
-             |  END AS srm_alarm
-             |FROM wide""".stripMargin)),
+      Some(Shared.SrmOracle)),
 
     // CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013, public
     // paper) — the standard pre-experiment covariate adjustment every
@@ -4965,7 +4950,152 @@ object Relational {
              |    ROUND(${Shared.WelchT2}, 4) END AS t2,
              |  CASE WHEN n_a > 1 AND n_b > 1
              |      AND ${Shared.WelchVarPos} THEN
-             |    ${Shared.WelchDecisionDuck} END AS significant
+             |                 |    ${Shared.WelchDecisionDuck} END AS significant
+             |FROM st""".stripMargin)),
+
+    // Item-item collaborative filtering — the classic recommender
+    // candidate generator (Linden, Smith & York 2003, public Amazon
+    // paper): top-3 neighbors per part by co-purchase COSINE
+    // support/√(c₁·c₂), which downweights globally popular items the
+    // raw support ranking (q_basket_pairs) over-promotes. Reuses the
+    // hot-basket-capped universe (BasketCap + the dropped-fraction
+    // emission gate — the quadratic stage stays bounded at any corpus
+    // pathology); per-item counts and the pair self-join share ONE
+    // l_orderkey exchange; symmetrization is a union of the canonical
+    // p1<p2 edges, and per-item ranking is a KEYED window. Cosine is
+    // one exact-rounded SQRT+divide on exact integers — bit-identical
+    // cross-engine — with neighbor-id tiebreak.
+    QueryDef("q_item_cf",
+      (spark, sf) => {
+        val items = load(spark, sf, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val bsz = items.groupBy(col("l_orderkey")).agg(count(lit(1)).as("bsz"))
+        val kept = items
+          .join(bsz.filter(col("bsz") <= BasketCap), Seq("l_orderkey"))
+          .select(col("l_orderkey"), col("l_partkey"))
+        val cnt = kept.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+        val edges = kept.as("a").join(kept.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+        val sym = edges
+          .select(col("p1").as("item"), col("p2").as("nb"), col("support"))
+          .unionByName(edges
+            .select(col("p2").as("item"), col("p1").as("nb"), col("support")))
+        val scored = sym
+          .join(cnt.select(col("l_partkey").as("item"), col("c").as("ci")),
+            Seq("item"))
+          .join(cnt.select(col("l_partkey").as("nb"), col("c").as("cn")),
+            Seq("nb"))
+          .withColumn("cosine",
+            expr("support / SQRT(CAST(ci AS DOUBLE) * cn)"))
+        val top = scored.withColumn("rnk", row_number().over(
+            Window.partitionBy(col("item"))
+              .orderBy(col("cosine").desc, col("nb"))))
+          .filter(col("rnk") <= 3)
+          .select(col("item"), col("rnk"), col("nb").as("neighbor"),
+            col("support"), round(col("cosine"), 6).as("cosine"))
+          .orderBy(col("item"), col("rnk"))
+        gateOnBasketDrop(spark, sf, top)
+      },
+      Some(s"""$CappedEdgeSql,
+             |cnt AS (
+             |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM kept GROUP BY 1),
+             |sym AS (
+             |  SELECT p1 AS item, p2 AS nb, support FROM e
+             |  UNION ALL SELECT p2, p1, support FROM e),
+             |sc AS (
+             |  SELECT item, nb, CAST(support AS BIGINT) AS support,
+             |    support / SQRT(CAST(ci.c AS DOUBLE) * cn.c) AS cosine
+             |  FROM sym
+             |  JOIN cnt ci ON ci.l_partkey = item
+             |  JOIN cnt cn ON cn.l_partkey = nb),
+             |top AS (
+             |  SELECT item, nb, support, cosine,
+             |    ROW_NUMBER() OVER (PARTITION BY item
+             |                       ORDER BY cosine DESC, nb) AS rnk
+             |  FROM sc)
+             |SELECT item, CAST(rnk AS INT) AS rnk, nb AS neighbor,
+             |  support, ROUND(cosine, 6) AS cosine
+             |FROM top CROSS JOIN gate
+             |WHERE rnk <= 3 AND dropped_frac <= $BasketDropBound
+             |ORDER BY item, rnk""".stripMargin)),
+
+    // Cox–Stuart trend test on the daily ingest series — the exact
+    // nonparametric "is this metric drifting" monitor (Cox & Stuart
+    // 1955, public): pair day i with day i+⌈nd/2⌉, count strict
+    // increases vs decreases (ties dropped, the standard treatment),
+    // and test the sign counts against a fair coin. The two-cell
+    // z² = (S₊−S₋)²/(S₊+S₋) decision at α=0.05 is the exact integer
+    // comparison 625·D² ≥ 2401·n (the q_srm_check arithmetic — BIGINT
+    // exact to ~9e14 pairs). Shape: ONE (day) shuffle collapses the
+    // corpus; the index window and the offset self-join run on the
+    // day frame, bounded by the calendar horizon, never the corpus.
+    QueryDef("q_cox_stuart",
+      (spark, sf) => {
+        val daily = load(spark, sf, "events")
+          .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("n"))
+        val idx = daily.withColumn("i",
+          row_number().over(Window.orderBy(col("d"))))
+        val tot = idx.agg(count(lit(1)).as("nd"))
+          .select(col("nd"), expr("nd div 2").as("m"),
+            expr("nd - nd div 2").as("off"))
+        val paired = idx.as("x").crossJoin(broadcast(tot))
+          .join(idx.as("y"), col("y.i") === col("x.i") + col("off"))
+          .filter(col("x.i") <= col("m"))
+          .select(col("nd"), col("x.n").as("xn"), col("y.n").as("yn"))
+        val st = paired.groupBy(col("nd")).agg(
+          sum(when(col("yn") > col("xn"), 1L).otherwise(0L)).as("s_plus"),
+          sum(when(col("yn") < col("xn"), 1L).otherwise(0L)).as("s_minus"))
+        val n = col("s_plus") + col("s_minus")
+        st.select(col("nd"), col("s_plus"), col("s_minus"),
+          when(n > 0, round(expr(
+            """POW(CAST(s_plus - s_minus AS DOUBLE), 2)
+              |  / (s_plus + s_minus)""".stripMargin), 4)).as("z2"),
+          when(n > 0, expr(
+            """CAST(625 * (s_plus - s_minus) * (s_plus - s_minus)
+              |  >= 2401 * (s_plus + s_minus) AS INT)""".stripMargin))
+            .as("significant"),
+          expr(
+            """CASE WHEN s_plus + s_minus = 0
+              |    OR 625 * (s_plus - s_minus) * (s_plus - s_minus)
+              |       < 2401 * (s_plus + s_minus) THEN 'none'
+              |  WHEN s_plus > s_minus THEN 'increasing'
+              |  ELSE 'decreasing' END""".stripMargin).as("trend"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1),
+             |idx AS (SELECT n, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily),
+             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+             |    CAST(COUNT(*) // 2 AS BIGINT) AS m,
+             |    CAST(COUNT(*) - COUNT(*) // 2 AS BIGINT) AS off
+             |  FROM idx),
+             |p AS (
+             |  SELECT nd, x.n AS xn, y.n AS yn
+             |  FROM idx x CROSS JOIN tot
+             |  JOIN idx y ON y.i = x.i + off
+             |  WHERE x.i <= m),
+             |st AS (
+             |  SELECT nd,
+             |    CAST(SUM(CASE WHEN yn > xn THEN 1 ELSE 0 END) AS BIGINT) AS s_plus,
+             |    CAST(SUM(CASE WHEN yn < xn THEN 1 ELSE 0 END) AS BIGINT) AS s_minus
+             |  FROM p GROUP BY nd)
+             |SELECT nd, s_plus, s_minus,
+             |  CASE WHEN s_plus + s_minus > 0 THEN
+             |    ROUND(POW(CAST(s_plus - s_minus AS DOUBLE), 2)
+             |      / (s_plus + s_minus), 4) END AS z2,
+             |  CASE WHEN s_plus + s_minus > 0 THEN
+             |    CAST(625 * (s_plus - s_minus) * (s_plus - s_minus)
+             |      >= 2401 * (s_plus + s_minus) AS INT) END AS significant,
+             |  CASE WHEN s_plus + s_minus = 0
+             |      OR 625 * (s_plus - s_minus) * (s_plus - s_minus)
+             |         < 2401 * (s_plus + s_minus) THEN 'none'
+             |    WHEN s_plus > s_minus THEN 'increasing'
+             |    ELSE 'decreasing' END AS trend
              |FROM st""".stripMargin)),
   )
 }

@@ -918,6 +918,28 @@ object Shared {
     s"""2 * $PowerPPool * (1 - $PowerPPool) * (2.801585 * 2.801585)
        | / ((0.1 * $PowerPPool) * (0.1 * $PowerPPool))""".stripMargin
 
+  /** One oracle for both SRM twins (`q_srm_check` batch,
+    * `stream_srm` complete-mode streaming monitor): the χ² two-cell
+    * sample-ratio-mismatch check over distinct users, exact integer
+    * decisions at α=0.05 and the stringent α=0.001 SRM alarm. */
+  val SrmOracle: String =
+    """WITH users AS (SELECT DISTINCT user_id FROM events),
+      |wide AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM users)
+      |SELECT n_a, n_b,
+      |  CASE WHEN n_a + n_b > 0 THEN
+      |    ROUND(POW(CAST(n_a - n_b AS DOUBLE), 2) / (n_a + n_b), 4) END AS chi2,
+      |  CASE WHEN n_a + n_b > 0 THEN
+      |    CAST(625 * (n_a - n_b) * (n_a - n_b) >= 2401 * (n_a + n_b) AS INT)
+      |  END AS mismatch_05,
+      |  CASE WHEN n_a + n_b > 0 THEN
+      |    CAST(1000 * (n_a - n_b) * (n_a - n_b) >= 10828 * (n_a + n_b) AS INT)
+      |  END AS srm_alarm
+      |FROM wide""".stripMargin
+
   /** Poisson(1) inverse-CDF thresholds at 2³² scale: a uniform 32-bit
     * word v (an md5 word — the dpGeometricNoise recipe) maps to the
     * bootstrap weight w = Σ_k 1[v ≥ T_k] ∈ {0..7}, where

@@ -2430,5 +2430,42 @@ object StreamingQueries {
              |SELECT digit, obs, exp_ppm, CAST(obs_ppm AS BIGINT) AS obs_ppm,
              |  CAST(obs_ppm - exp_ppm AS BIGINT) AS dev_ppm
              |FROM f ORDER BY digit""".stripMargin)),
+
+    // Streaming twin of q_srm_check — the assignment-health guardrail
+    // running ON the live event stream, where an SRM is actually
+    // caught (waiting for the batch read-out means shipping a broken
+    // experiment for a day). A complete-mode per-user aggregate
+    // maintains the distinct-user state as micro-batches land (state
+    // bounded by distinct users — the stream_volume_anomaly state
+    // discipline), and the dashboard read computes the two-cell chi^2
+    // with the SAME exact integer decisions as the batch gate
+    // (alpha=0.05 mismatch + the stringent alpha=0.001 SRM alarm).
+    // Oracle: Shared.SrmOracle, shared verbatim with q_srm_check.
+    QueryDef("stream_srm",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "events")).schema
+        val perUser = Tables.normalizeTs(
+            spark.readStream.schema(schema)
+              .parquet(stagedDir(spark, sf, "events")))
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        val table = s"stream_srm_${counter.incrementAndGet()}"
+        val q = perUser.writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        val wide = spark.table(table).agg(
+          sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("user_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_b"))
+        wide.select(col("n_a"), col("n_b"),
+          when(col("n_a") + col("n_b") > 0, round(expr(
+            """POW(CAST(n_a - n_b AS DOUBLE), 2) / (n_a + n_b)"""), 4))
+            .as("chi2"),
+          when(col("n_a") + col("n_b") > 0, expr(
+            "CAST(625 * (n_a - n_b) * (n_a - n_b) >= 2401 * (n_a + n_b) AS INT)"))
+            .as("mismatch_05"),
+          when(col("n_a") + col("n_b") > 0, expr(
+            "CAST(1000 * (n_a - n_b) * (n_a - n_b) >= 10828 * (n_a + n_b) AS INT)"))
+            .as("srm_alarm"))
+      },
+      Some(Shared.SrmOracle)),
   )
 }

@@ -254,6 +254,16 @@ class PlanAudit extends SparkSpec {
     "q_geo_knn" -> 7,              // cell join + per-supplier rank
     // window + orderBy
     "q_geo_density" -> 3,          // one (cx,cy) agg + top-20 sort
+    "q_item_cf" -> 45,             // the capped-basket universe's
+    // lineage prints once per textual reference — the pair self-join
+    // references kept 2x and each symmetrized cnt join re-references
+    // it (measured 37; runtime AQE collapses the identical subtrees
+    // to ReusedExchange — the q_triangle_count story); the real
+    // structure is ONE l_orderkey exchange + pair agg + cnt joins +
+    // keyed rank window + orderBy
+    "q_cox_stuart" -> 9,           // one day agg whose lineage prints
+    // per textual reference (idx twice via the self-join, tot once) +
+    // day-frame window + offset self-join + sign agg (measured 8)
     "q_quantile_effect" -> 8,      // orders⋈customer + rank range
     // exchange (LogicalRDD) + targets lineage + pm agg + orderBy;
     // targets broadcast-hash-join on rk, zero nested loops
@@ -281,6 +291,9 @@ class PlanAudit extends SparkSpec {
     // q_winsorized_mean broadcasts the 1-row P1/P99 caps
     "q_bootstrap_ci" -> 1, "q_obrien_fleming" -> 1,
     "q_winsorized_mean" -> 1,
+    // q_item_cf applies the basket dropped-fraction emission gate once;
+    // q_cox_stuart broadcasts its 1-row (nd, m, off) day-count frame
+    "q_item_cf" -> 1, "q_cox_stuart" -> 1,
     "dedup_semantic" -> 1, "text_countmin" -> 1,
     // recall gate + candidate-ratio gate + the ratio's own
     // one-row-×-one-row (n_cand × n) join
