@@ -5097,5 +5097,131 @@ object Relational {
              |    WHEN s_plus > s_minus THEN 'increasing'
              |    ELSE 'decreasing' END AS trend
              |FROM st""".stripMargin)),
+    // Mann–Kendall trend test on the daily ingest series — the
+    // rank-based standard (Mann 1945, Kendall's S; public) that the
+    // sign-pair Cox–Stuart screen refines: ALL C(nd,2) day pairs vote
+    // sign(n_j − n_i), variance carries the exact tie correction, and
+    // the continuity-corrected decision is EXACT integer arithmetic:
+    // 18·Var(S) = nd(nd−1)(2nd+5) − Σt(t−1)(2t+5), reject at α=0.05
+    // iff 11250·(|S|−1)² ≥ 2401·var18 (= 625·18 cross-multiplied —
+    // BIGINT-safe to ~10⁵ days). The day-pair quadratic is bounded by
+    // the CALENDAR HORIZON (30 days → 435 pairs here), never the
+    // corpus: one day shuffle collapses everything first. Pair
+    // generation explodes sequence(1,i) with a strict i2<i filter —
+    // Spark's sequence(1,0) DESCENDS, so the naive sequence(1,i−1)
+    // would fabricate a (1,0) pair at i=1 — then joins back KEYED on
+    // the index (hash join, no nested loop).
+    QueryDef("q_mann_kendall",
+      (spark, sf) => {
+        val daily = load(spark, sf, "events")
+          .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("n"))
+        val idx = daily.withColumn("i",
+          row_number().over(Window.orderBy(col("d")))).select("i", "n")
+        val pairs = idx.select(col("i").as("j"), col("n").as("nj"),
+            explode(expr("sequence(1, i)")).as("i2"))
+          .filter(col("i2") < col("j"))
+          .join(idx.withColumnRenamed("n", "ni"), col("i2") === col("i"))
+        val sAgg = pairs.agg(
+          sum(when(col("nj") > col("ni"), 1L)
+            .when(col("nj") < col("ni"), -1L).otherwise(0L)).as("s"))
+        val ties = idx.groupBy(col("n")).agg(count(lit(1)).as("t"))
+          .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+            .as("tc"))
+        val nd = idx.agg(count(lit(1)).as("nd"))
+        val st = sAgg.crossJoin(broadcast(nd)).crossJoin(broadcast(ties))
+          .select(col("nd"), col("s"),
+            expr("nd * (nd - 1) * (2 * nd + 5) - tc").as("var18"))
+        st.select(col("nd"), col("s"), col("var18"),
+          when(col("var18") > 0, round(expr(
+            """CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1) / SQRT(var18 / 18.0)
+              |  WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / SQRT(var18 / 18.0)
+              |  ELSE 0.0 END""".stripMargin), 4)).as("z"),
+          when(col("var18") > 0, expr(
+            """CAST(s <> 0 AND 11250 * (ABS(s) - 1) * (ABS(s) - 1)
+              |  >= 2401 * var18 AS INT)""".stripMargin)).as("significant"),
+          expr(
+            """CASE WHEN var18 <= 0 OR s = 0
+              |    OR 11250 * (ABS(s) - 1) * (ABS(s) - 1) < 2401 * var18
+              |  THEN 'none'
+              |  WHEN s > 0 THEN 'increasing' ELSE 'decreasing' END"""
+              .stripMargin).as("trend"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1),
+             |idx AS (SELECT n, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily),
+             |p AS (
+             |  SELECT a.n AS ni, b.n AS nj
+             |  FROM idx a JOIN idx b ON a.i < b.i),
+             |sa AS (
+             |  SELECT CAST(SUM(CASE WHEN nj > ni THEN 1
+             |    WHEN nj < ni THEN -1 ELSE 0 END) AS BIGINT) AS s
+             |  FROM p),
+             |ties AS (
+             |  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tc
+             |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM idx GROUP BY n)),
+             |st AS (
+             |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM idx) AS nd, s,
+             |    (SELECT CAST(COUNT(*) AS BIGINT) FROM idx)
+             |      * ((SELECT COUNT(*) FROM idx) - 1)
+             |      * (2 * (SELECT COUNT(*) FROM idx) + 5) - tc AS var18
+             |  FROM sa CROSS JOIN ties)
+             |SELECT nd, s, CAST(var18 AS BIGINT) AS var18,
+             |  CASE WHEN var18 > 0 THEN
+             |    ROUND(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1) / SQRT(var18 / 18.0)
+             |      WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / SQRT(var18 / 18.0)
+             |      ELSE 0.0 END, 4) END AS z,
+             |  CASE WHEN var18 > 0 THEN
+             |    CAST(s <> 0 AND 11250 * (ABS(s) - 1) * (ABS(s) - 1)
+             |      >= 2401 * var18 AS INT) END AS significant,
+             |  CASE WHEN var18 <= 0 OR s = 0
+             |      OR 11250 * (ABS(s) - 1) * (ABS(s) - 1) < 2401 * var18
+             |    THEN 'none'
+             |    WHEN s > 0 THEN 'increasing' ELSE 'decreasing' END AS trend
+             |FROM st""".stripMargin)),
+
+    // Theil–Sen slope — Mann–Kendall's companion ESTIMATOR (Theil
+    // 1950, Sen 1968; public): the median of all C(nd,2) pairwise
+    // slopes (n_j−n_i)/(j−i), robust to ~29% outlier days where OLS
+    // (q_rolling_regression) breaks on one. Each slope is ONE
+    // exact-rounded IEEE division of exact integers → bit-identical
+    // doubles; the lower median is an ORDER STATISTIC (rank
+    // (cnt+1) div 2 with (slope, i, j) total order), so no engine
+    // quantile semantics are involved. Same calendar-horizon-bounded
+    // pair frame as q_mann_kendall (435 rows at nd = 30) — the
+    // single-partition rank window is over pairs of DAYS, never rows.
+    QueryDef("q_theil_sen",
+      (spark, sf) => {
+        val daily = load(spark, sf, "events")
+          .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("n"))
+        val idx = daily.withColumn("i",
+          row_number().over(Window.orderBy(col("d")))).select("i", "n")
+        val pairs = idx.select(col("i").as("j"), col("n").as("nj"),
+            explode(expr("sequence(1, i)")).as("i2"))
+          .filter(col("i2") < col("j"))
+          .join(idx.withColumnRenamed("n", "ni"), col("i2") === col("i"))
+          .select(col("i"), col("j"), col("ni"), col("nj"),
+            expr("CAST(nj - ni AS DOUBLE) / (j - i)").as("slope"))
+        val ranked = pairs.withColumn("rn", row_number().over(
+          Window.orderBy(col("slope"), col("i"), col("j"))))
+        val cnt = pairs.agg(count(lit(1)).as("n_pairs"))
+        ranked.crossJoin(broadcast(cnt))
+          .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+          .select(col("n_pairs"), round(col("slope"), 6).as("median_slope"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1),
+             |idx AS (SELECT n, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily),
+             |p AS (
+             |  SELECT a.i AS i, b.i AS j,
+             |    CAST(b.n - a.n AS DOUBLE) / (b.i - a.i) AS slope
+             |  FROM idx a JOIN idx b ON a.i < b.i),
+             |r AS (
+             |  SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, i, j) AS rn
+             |  FROM p),
+             |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p)
+             |SELECT n_pairs, ROUND(slope, 6) AS median_slope
+             |FROM r CROSS JOIN c WHERE rn = (n_pairs + 1) // 2""".stripMargin)),
   )
 }

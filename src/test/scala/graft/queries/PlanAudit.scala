@@ -261,6 +261,10 @@ class PlanAudit extends SparkSpec {
     // to ReusedExchange — the q_triangle_count story); the real
     // structure is ONE l_orderkey exchange + pair agg + cnt joins +
     // keyed rank window + orderBy
+    "q_mann_kendall" -> 14,        // day agg lineage reprints (pair
+    // join 2x, ties, nd) + S/tie/count aggs on the day frame
+    "q_theil_sen" -> 13,           // same day-pair staging + slope
+    // rank window + count agg
     "q_cox_stuart" -> 9,           // one day agg whose lineage prints
     // per textual reference (idx twice via the self-join, tot once) +
     // day-frame window + offset self-join + sign agg (measured 8)
@@ -294,6 +298,10 @@ class PlanAudit extends SparkSpec {
     // q_item_cf applies the basket dropped-fraction emission gate once;
     // q_cox_stuart broadcasts its 1-row (nd, m, off) day-count frame
     "q_item_cf" -> 1, "q_cox_stuart" -> 1,
+    // q_mann_kendall crosses its two 1-row (nd, tie-correction)
+    // frames onto the 1-row S aggregate; q_theil_sen crosses the
+    // 1-row pair count onto the rank frame
+    "q_mann_kendall" -> 2, "q_theil_sen" -> 1,
     "dedup_semantic" -> 1, "text_countmin" -> 1,
     // recall gate + candidate-ratio gate + the ratio's own
     // one-row-×-one-row (n_cand × n) join
