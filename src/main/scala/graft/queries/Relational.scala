@@ -5223,5 +5223,211 @@ object Relational {
              |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p)
              |SELECT n_pairs, ROUND(slope, 6) AS median_slope
              |FROM r CROSS JOIN c WHERE rn = (n_pairs + 1) // 2""".stripMargin)),
+    // Ljung–Box portmanteau test (Ljung & Box 1978, public) on the
+    // daily ingest series — "is what's left after the trend monitors
+    // (q_mann_kendall / q_cox_stuart) just white noise, or is there
+    // autocorrelation structure?" — the residual-diagnostics step of
+    // every forecasting pipeline. Autocorrelations are computed on the
+    // EXACT integer centered series a_t = nd·x_t − S (scaling by nd
+    // clears the mean without floats): r_k = Σa_t·a_{t+k} / Σa_t², so
+    // each lag's numerator and the common denominator are exact
+    // BIGINTs (|a_t| ≤ nd·x_max — safe to ~10⁸-event days at nd = 30).
+    // The seven per-lag numerators are PIVOTED onto one row so that
+    // Q = nd(nd+2)·Σ_k r_k²/(nd−k) is a single expression with an
+    // EXPLICIT left-to-right addition order — a SUM() over double
+    // terms would let each engine add in its own order and break
+    // bit-parity; spelled-out addition is IEEE-deterministic. The
+    // α=0.05 verdict vs χ²₍₇₎ = 14.067 rides that deterministic
+    // double (q_delta_ratio precedent: the cleared-denominator
+    // rational needs num², ~10²⁷ here, past comfortable DECIMAL(38)
+    // headroom once multiplied by the seven (nd−k) factors). Shape:
+    // ONE day shuffle; the lag joins explode k = 1..7 on the 30-row
+    // day frame and join back KEYED on the index.
+    QueryDef("q_ljung_box",
+      (spark, sf) => {
+        val daily = load(spark, sf, "events")
+          .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
+        val idx = daily.withColumn("i",
+          row_number().over(Window.orderBy(col("d")))).select("i", "x")
+        val tot = idx.agg(count(lit(1)).as("nd"), sum(col("x")).as("s"))
+        val a = idx.crossJoin(broadcast(tot))
+          .select(col("i"), col("nd"),
+            (col("nd") * col("x") - col("s")).as("a"))
+        val den = a.agg(sum(col("a") * col("a")).as("den"),
+          max(col("nd")).as("nd"))
+        val lagged = a.select(col("i"), col("a"),
+            explode(expr("sequence(1, 7)")).as("k"))
+          .join(a.select(col("i").as("i2"), col("a").as("a2")),
+            col("i2") === col("i") + col("k"))
+          .groupBy(col("k")).agg(sum(col("a") * col("a2")).as("num"))
+        val pivCols = (1 to 7).map(k =>
+          max(when(col("k") === k, col("num"))).as(s"n$k"))
+        val wide = lagged.agg(pivCols.head, pivCols.tail: _*)
+        val rs = (1 to 7).map(k => s"CAST(n$k AS DOUBLE) / den")
+          .mkString(" + ")
+        val ts = (1 to 7).map(k =>
+          s"(CAST(n$k AS DOUBLE) / den) * (CAST(n$k AS DOUBLE) / den) / (nd - $k)")
+          .mkString("(", "\n              + ", ")")
+        wide.crossJoin(broadcast(den))
+          .select(col("nd"),
+            round(expr(rs), 6).as("r_sum"),
+            round(expr(s"nd * (nd + 2.0) * $ts"), 4).as("q_stat"),
+            expr(s"CAST(nd * (nd + 2.0) * $ts >= 14.067 AS INT)")
+              .as("autocorrelated"))
+      },
+      Some {
+        val rs = (1 to 7).map(k => s"CAST(n$k AS DOUBLE) / den")
+          .mkString(" + ")
+        val ts = (1 to 7).map(k =>
+          s"(CAST(n$k AS DOUBLE) / den) * (CAST(n$k AS DOUBLE) / den) / (nd - $k)")
+          .mkString("(", "\n              + ", ")")
+        val piv = (1 to 7).map(k =>
+          s"CAST(MAX(CASE WHEN k = $k THEN num END) AS BIGINT) AS n$k")
+          .mkString(",\n             ")
+        s"""WITH daily AS (
+           |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+           |  FROM events GROUP BY 1),
+           |idx AS (SELECT x, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily),
+           |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+           |    CAST(SUM(x) AS BIGINT) AS s FROM idx),
+           |a AS (
+           |  SELECT i, nd, CAST(nd * x - s AS BIGINT) AS a
+           |  FROM idx CROSS JOIN tot),
+           |den AS (SELECT CAST(SUM(a * a) AS BIGINT) AS den,
+           |    MAX(nd) AS nd FROM a),
+           |lagged AS (
+           |  SELECT k, CAST(SUM(b.a * c.a) AS BIGINT) AS num
+           |  FROM a b
+           |  CROSS JOIN (SELECT unnest(range(1, 8)) AS k)
+           |  JOIN a c ON c.i = b.i + k
+           |  GROUP BY k),
+           |wide AS (
+           |  SELECT $piv
+           |  FROM lagged)
+           |SELECT nd,
+           |  ROUND($rs, 6) AS r_sum,
+           |  ROUND(nd * (nd + 2.0) * $ts, 4) AS q_stat,
+           |  CAST(nd * (nd + 2.0) * $ts >= 14.067 AS INT) AS autocorrelated
+           |FROM wide CROSS JOIN den""".stripMargin
+      }),
+
+    // Covariate balance check (standardized mean difference) — the
+    // OTHER pre-experiment guardrail next to q_srm_check: even with a
+    // healthy sample ratio, a broken randomizer can correlate
+    // assignment with a pre-treatment covariate; |SMD| ≤ 0.1 is the
+    // public rule of thumb (Austin 2009). Exact integer moments of
+    // account balance (cents) per arm from ONE map-side-combined
+    // aggregate; SMD = (m_a − m_b)/√((v_a+v_b)/2) is one expression
+    // whose only libm call is the correctly-rounded SQRT —
+    // bit-identical cross-engine — and the balance verdict compares
+    // that deterministic double against the 0.1 literal.
+    QueryDef("q_smd_balance",
+      (spark, sf) => {
+        val s = load(spark, sf, "customer")
+          .select((col("c_custkey") % 2 === 0).as("grp_a"),
+            cents(col("c_acctbal")).as("v"))
+          .agg(
+            sum(when(col("grp_a"), 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("grp_a"), col("v")).otherwise(0L)).as("s_a"),
+            sum(when(col("grp_a"), col("v") * col("v")).otherwise(0L)).as("q_a"),
+            sum(when(!col("grp_a"), 1L).otherwise(0L)).as("n_b"),
+            sum(when(!col("grp_a"), col("v")).otherwise(0L)).as("s_b"),
+            sum(when(!col("grp_a"), col("v") * col("v")).otherwise(0L)).as("q_b"))
+        val ok = col("n_a") > 1 && col("n_b") > 1 &&
+          expr(Shared.WelchVarPos)
+        s.select(col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+          when(ok, round(expr(Shared.SmdExpr), 6)).as("smd"),
+          when(ok, expr(
+            s"CAST(${Shared.SmdExpr} <= 0.1 AND ${Shared.SmdExpr} >= -0.1 AS INT)"))
+            .as("balanced"))
+      },
+      Some(s"""WITH s AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN c_custkey % 2 = 0
+             |          THEN CAST(ROUND(c_acctbal*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_a,
+             |    CAST(SUM(CASE WHEN c_custkey % 2 = 0
+             |          THEN CAST(ROUND(c_acctbal*100) AS BIGINT)
+             |             * CAST(ROUND(c_acctbal*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS q_a,
+             |    CAST(SUM(CASE WHEN c_custkey % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |    CAST(SUM(CASE WHEN c_custkey % 2 <> 0
+             |          THEN CAST(ROUND(c_acctbal*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_b,
+             |    CAST(SUM(CASE WHEN c_custkey % 2 <> 0
+             |          THEN CAST(ROUND(c_acctbal*100) AS BIGINT)
+             |             * CAST(ROUND(c_acctbal*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS q_b
+             |  FROM customer)
+             |SELECT n_a, s_a, n_b, s_b,
+             |  CASE WHEN n_a > 1 AND n_b > 1 AND ${Shared.WelchVarPos} THEN
+             |    ROUND(${Shared.SmdExpr}, 6) END AS smd,
+             |  CASE WHEN n_a > 1 AND n_b > 1 AND ${Shared.WelchVarPos} THEN
+             |    CAST(${Shared.SmdExpr} <= 0.1 AND ${Shared.SmdExpr} >= -0.1 AS INT)
+             |  END AS balanced
+             |FROM s""".stripMargin)),
+
+    // Page–Hinkley drift detector over the daily series — the
+    // sequential level-shift alarm (Page 1954, public; the CUSUM
+    // sibling q_changepoint locates a shift retrospectively, PH ALARMS
+    // online). Reformulated in EXACT integers so the sequential state
+    // replays bit-identically: the running mean is the truncating
+    // division S_i div i (disclosed integer variant — counts are
+    // non-negative so the engines' truncation agrees), the drift
+    // allowance δ is 5% of the global daily mean and the alarm
+    // threshold λ is 2× that mean — both derived from the 1-row
+    // totals, no tuning floats. m_t and its running minimum are
+    // integer window aggregates over the 30-row day frame (bounded by
+    // the calendar horizon, never the corpus); alarm fires when
+    // m_t − min_{s≤t} m_s > λ.
+    QueryDef("q_page_hinkley",
+      (spark, sf) => {
+        val daily = load(spark, sf, "events")
+          .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
+        val w = Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val idx = daily
+          .withColumn("i", row_number().over(Window.orderBy(col("d"))))
+          .withColumn("si", sum(col("x")).over(w))
+        val tot = daily.agg(sum(col("x")).as("s"), count(lit(1)).as("nd"))
+          .select(expr("(s div nd) div 20").as("delta"),
+            expr("(s div nd) * 2").as("lambda"))
+        val dev = idx.crossJoin(broadcast(tot))
+          .withColumn("devt", col("x") - expr("si div i") - col("delta"))
+        val m = dev.withColumn("mt", sum(col("devt")).over(w))
+        m.withColumn("mmin", min(col("mt")).over(w))
+          .select(col("d"), col("x"), col("mt"),
+            (col("mt") - col("mmin")).as("gap"), col("lambda"),
+            (col("mt") - col("mmin") > col("lambda")).as("alarm"))
+          .orderBy(col("d"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1),
+             |idx AS (
+             |  SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS i,
+             |    SUM(x) OVER (ORDER BY d
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS si
+             |  FROM daily),
+             |tot AS (
+             |  SELECT (SUM(x) // COUNT(*)) // 20 AS delta,
+             |    (SUM(x) // COUNT(*)) * 2 AS lambda
+             |  FROM daily),
+             |dev AS (
+             |  SELECT d, x, i, si, delta, lambda,
+             |    x - si // i - delta AS devt
+             |  FROM idx CROSS JOIN tot),
+             |m AS (
+             |  SELECT d, x, lambda,
+             |    SUM(devt) OVER (ORDER BY d
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
+             |  FROM dev),
+             |mm AS (
+             |  SELECT d, x, lambda, mt,
+             |    MIN(mt) OVER (ORDER BY d
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mmin
+             |  FROM m)
+             |SELECT d, x, CAST(mt AS BIGINT) AS mt,
+             |  CAST(mt - mmin AS BIGINT) AS gap,
+             |  CAST(lambda AS BIGINT) AS lambda,
+             |  (mt - mmin > lambda) AS alarm
+             |FROM mm ORDER BY d""".stripMargin)),
   )
 }

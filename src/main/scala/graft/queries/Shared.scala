@@ -918,6 +918,18 @@ object Shared {
     s"""2 * $PowerPPool * (1 - $PowerPPool) * (2.801585 * 2.801585)
        | / ((0.1 * $PowerPPool) * (0.1 * $PowerPPool))""".stripMargin
 
+  /** Standardized mean difference on the pooled Welch moments
+    * (n_*, s_*, q_*) — (m_a − m_b)/√((v_a+v_b)/2) as one expression
+    * whose only libm call is the IEEE-correctly-rounded SQRT;
+    * variances use the double-cast n·q − s² form (s² leaves BIGINT
+    * at this corpus's cents scale). */
+  val SmdExpr: String =
+    """(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+      |  / SQRT(((CAST(n_a AS DOUBLE) * q_a - CAST(s_a AS DOUBLE) * s_a)
+      |            / (CAST(n_a AS DOUBLE) * (n_a - 1))
+      |          + (CAST(n_b AS DOUBLE) * q_b - CAST(s_b AS DOUBLE) * s_b)
+      |            / (CAST(n_b AS DOUBLE) * (n_b - 1))) / 2)""".stripMargin
+
   /** One oracle for both SRM twins (`q_srm_check` batch,
     * `stream_srm` complete-mode streaming monitor): the χ² two-cell
     * sample-ratio-mismatch check over distinct users, exact integer

@@ -261,6 +261,11 @@ class PlanAudit extends SparkSpec {
     // to ReusedExchange — the q_triangle_count story); the real
     // structure is ONE l_orderkey exchange + pair agg + cnt joins +
     // keyed rank window + orderBy
+    "q_ljung_box" -> 20,           // centered day frame's lineage
+    // reprints (lag self-join 2x, den, tot) + 7-lag agg + pivot
+    "q_smd_balance" -> 3,          // one pooled-moments agg
+    "q_page_hinkley" -> 6,         // day agg + day-frame windows +
+    // totals broadcast + orderBy
     "q_mann_kendall" -> 14,        // day agg lineage reprints (pair
     // join 2x, ties, nd) + S/tie/count aggs on the day frame
     "q_theil_sen" -> 13,           // same day-pair staging + slope
@@ -302,6 +307,11 @@ class PlanAudit extends SparkSpec {
     // frames onto the 1-row S aggregate; q_theil_sen crosses the
     // 1-row pair count onto the rank frame
     "q_mann_kendall" -> 2, "q_theil_sen" -> 1,
+    // q_ljung_box crosses the 1-row totals onto the day frame (its
+    // lineage reprints once per a-frame reference) and the 1-row
+    // denominator onto the pivot; q_page_hinkley broadcasts its 1-row
+    // (delta, lambda) totals
+    "q_ljung_box" -> 4, "q_page_hinkley" -> 1,
     "dedup_semantic" -> 1, "text_countmin" -> 1,
     // recall gate + candidate-ratio gate + the ratio's own
     // one-row-×-one-row (n_cand × n) join
