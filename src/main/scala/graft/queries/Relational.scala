@@ -4816,50 +4816,7 @@ object Relational {
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .orderBy(col("look"))
       },
-      Some(s"""WITH ev AS (
-             |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
-             |bounds AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM ev),
-             |per AS (
-             |  SELECT user_id % 2 = 0 AS grp_a, MIN(us) AS first_us,
-             |    MIN(CASE WHEN event_type = 'purchase' THEN us END) AS conv_us
-             |  FROM ev GROUP BY user_id),
-             |looks AS (
-             |  SELECT grp_a, first_us, conv_us, look,
-             |    mn + (mx - mn) * look // 4 AS cut
-             |  FROM per CROSS JOIN bounds
-             |  CROSS JOIN (SELECT unnest(range(1, 5)) AS look)),
-             |g AS (
-             |  SELECT look,
-             |    CAST(SUM(CASE WHEN grp_a AND first_us <= cut
-             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-             |    CAST(SUM(CASE WHEN grp_a AND conv_us <= cut
-             |      THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
-             |    CAST(SUM(CASE WHEN NOT grp_a AND first_us <= cut
-             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-             |    CAST(SUM(CASE WHEN NOT grp_a AND conv_us <= cut
-             |      THEN 1 ELSE 0 END) AS BIGINT) AS x_b,
-             |    list_extract([${Shared.ObfBoundsE6.mkString(", ")}], look)
-             |      AS bound_e6
-             |  FROM looks GROUP BY look),
-             |scored AS (
-             |  SELECT look, n_a, x_a, n_b, x_b, bound_e6,
-             |    CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0
-             |        AND x_a + x_b < n_a + n_b THEN
-             |      ROUND(POW(CAST(x_a * n_b - x_b * n_a AS DOUBLE), 2) * (n_a + n_b)
-             |        / (CAST(n_a AS DOUBLE) * n_b * (x_a + x_b)
-             |           * (n_a + n_b - x_a - x_b)), 4) END AS z2,
-             |    CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0
-             |        AND x_a + x_b < n_a + n_b THEN
-             |      CAST(CAST(x_a * n_b - x_b * n_a AS HUGEINT)
-             |          * (x_a * n_b - x_b * n_a) * (n_a + n_b) * 1000000
-             |        >= CAST(bound_e6 AS HUGEINT) * n_a * n_b
-             |          * (x_a + x_b) * (n_a + n_b - x_a - x_b) AS INT)
-             |    END AS reject
-             |  FROM g)
-             |SELECT look, n_a, x_a, n_b, x_b, bound_e6, z2, reject,
-             |  MAX(COALESCE(reject, 0)) OVER (ORDER BY look
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stopped
-             |FROM scored ORDER BY look""".stripMargin)),
+      Some(Shared.ObfOracle)),
 
     // Winsorized-metric test — the heavy-tail discipline every revenue
     // experiment applies before a means test (a single whale order
@@ -5398,36 +5355,6 @@ object Relational {
             (col("mt") - col("mmin") > col("lambda")).as("alarm"))
           .orderBy(col("d"))
       },
-      Some("""WITH daily AS (
-             |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
-             |  FROM events GROUP BY 1),
-             |idx AS (
-             |  SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS i,
-             |    SUM(x) OVER (ORDER BY d
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS si
-             |  FROM daily),
-             |tot AS (
-             |  SELECT (SUM(x) // COUNT(*)) // 20 AS delta,
-             |    (SUM(x) // COUNT(*)) * 2 AS lambda
-             |  FROM daily),
-             |dev AS (
-             |  SELECT d, x, i, si, delta, lambda,
-             |    x - si // i - delta AS devt
-             |  FROM idx CROSS JOIN tot),
-             |m AS (
-             |  SELECT d, x, lambda,
-             |    SUM(devt) OVER (ORDER BY d
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
-             |  FROM dev),
-             |mm AS (
-             |  SELECT d, x, lambda, mt,
-             |    MIN(mt) OVER (ORDER BY d
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mmin
-             |  FROM m)
-             |SELECT d, x, CAST(mt AS BIGINT) AS mt,
-             |  CAST(mt - mmin AS BIGINT) AS gap,
-             |  CAST(lambda AS BIGINT) AS lambda,
-             |  (mt - mmin > lambda) AS alarm
-             |FROM mm ORDER BY d""".stripMargin)),
+      Some(Shared.PageHinkleyOracle)),
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -2467,5 +2468,122 @@ object StreamingQueries {
             .as("srm_alarm"))
       },
       Some(Shared.SrmOracle)),
+
+    // Streaming twin of q_page_hinkley — the Page-Hinkley alarm is a
+    // NATIVELY streaming statistic (it exists to fire online, mid-
+    // stream); here the daily state accumulates as a complete-mode
+    // aggregate while micro-batches land (state bounded by the
+    // calendar horizon) and the dashboard read replays the exact
+    // integer sequential recurrence over the bounded day table — the
+    // stream_volume_anomaly staging, the batch gate's oracle verbatim
+    // (Shared.PageHinkleyOracle).
+    QueryDef("stream_page_hinkley",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "events")).schema
+        val daily = Tables.normalizeTs(
+            spark.readStream.schema(schema)
+              .parquet(stagedDir(spark, sf, "events")))
+          .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
+        val table = s"stream_ph_${counter.incrementAndGet()}"
+        val q = daily.writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        val day = spark.table(table)
+        val w = Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val idx = day
+          .withColumn("i", row_number().over(Window.orderBy(col("d"))))
+          .withColumn("si", sum(col("x")).over(w))
+        val tot = day.agg(sum(col("x")).as("s"), count(lit(1)).as("nd"))
+          .select(expr("(s div nd) div 20").as("delta"),
+            expr("(s div nd) * 2").as("lambda"))
+        val dev = idx.crossJoin(broadcast(tot))
+          .withColumn("devt", col("x") - expr("si div i") - col("delta"))
+        val m = dev.withColumn("mt", sum(col("devt")).over(w))
+        m.withColumn("mmin", min(col("mt")).over(w))
+          .select(col("d"), col("x"), col("mt"),
+            (col("mt") - col("mmin")).as("gap"), col("lambda"),
+            (col("mt") - col("mmin") > col("lambda")).as("alarm"))
+          .orderBy(col("d"))
+      },
+      Some(Shared.PageHinkleyOracle)),
+
+    // Streaming twin of q_obrien_fleming — the interim-analysis
+    // read-out AGAINST LIVE STATE: per-user (first event, first
+    // purchase) state accumulates as a complete-mode aggregate (state
+    // bounded by distinct users — the stream_srm discipline), and the
+    // dashboard read derives the four calendar looks and their EXACT
+    // integer boundary decisions from that state exactly as the batch
+    // gate does (Shared.ObfOracle verbatim). This is how a group-
+    // sequential design actually runs: the state is always current,
+    // each look is a read.
+    QueryDef("stream_obrien_fleming",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "events")).schema
+        val perUser = Tables.normalizeTs(
+            spark.readStream.schema(schema)
+              .parquet(stagedDir(spark, sf, "events")))
+          .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+            col("event_type"))
+          .groupBy(col("user_id"))
+          .agg(min(col("us")).as("first_us"),
+            min(when(col("event_type") === "purchase", col("us")))
+              .as("conv_us"),
+            max(col("us")).as("last_us"))
+        val table = s"stream_obf_${counter.incrementAndGet()}"
+        val q = perUser.writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        val st = spark.table(table)
+        val bounds = st.agg(min(col("first_us")).as("mn"),
+          max(col("last_us")).as("mx"))
+        val per = st.select((col("user_id") % 2 === 0).as("grp_a"),
+          col("first_us"), col("conv_us"))
+        val looks = per.crossJoin(broadcast(bounds))
+          .select(col("grp_a"), col("first_us"), col("conv_us"),
+            explode(expr("sequence(1, 4)")).as("look"),
+            col("mn"), col("mx"))
+          .withColumn("cut", expr("mn + (mx - mn) * look div 4"))
+        val g = looks.groupBy(col("look")).agg(
+          sum(when(col("grp_a") && col("first_us") <= col("cut"), 1L)
+            .otherwise(0L)).as("n_a"),
+          sum(when(col("grp_a") && col("conv_us") <= col("cut"), 1L)
+            .otherwise(0L)).as("x_a"),
+          sum(when(!col("grp_a") && col("first_us") <= col("cut"), 1L)
+            .otherwise(0L)).as("n_b"),
+          sum(when(!col("grp_a") && col("conv_us") <= col("cut"), 1L)
+            .otherwise(0L)).as("x_b"))
+          .withColumn("bound_e6", expr(
+            s"element_at(array(${Shared.ObfBoundsE6.mkString(", ")}), look)"))
+        val ok = col("n_a") > 0 && col("n_b") > 0 &&
+          col("x_a") + col("x_b") > 0 &&
+          col("x_a") + col("x_b") < col("n_a") + col("n_b")
+        val scored = g.select(col("look"), col("n_a"), col("x_a"),
+          col("n_b"), col("x_b"), col("bound_e6"),
+          when(ok, round(expr(
+            """POW(CAST(x_a * n_b - x_b * n_a AS DOUBLE), 2) * (n_a + n_b)
+              |  / (CAST(n_a AS DOUBLE) * n_b * (x_a + x_b)
+              |     * (n_a + n_b - x_a - x_b))""".stripMargin), 4)).as("z2"),
+          when(ok, expr(
+            """CASE WHEN 1000000 * POW(CAST(x_a * n_b - x_b * n_a AS DOUBLE), 2)
+              |       * (n_a + n_b) > 1e36
+              |    OR CAST(bound_e6 AS DOUBLE) * n_a * n_b * (x_a + x_b)
+              |       * (n_a + n_b - x_a - x_b) > 1e36
+              |  THEN CAST(raise_error(CONCAT('stream_obrien_fleming: counts ',
+              |    'exceed the DECIMAL(38) exact-decision domain - decide on ',
+              |    'the z2 double')) AS INT)
+              |  ELSE CAST(
+              |    CAST(x_a * n_b - x_b * n_a AS DECIMAL(38,0))
+              |      * (x_a * n_b - x_b * n_a) * (n_a + n_b) * 1000000
+              |    >= CAST(bound_e6 AS DECIMAL(38,0)) * n_a * n_b
+              |      * (x_a + x_b) * (n_a + n_b - x_a - x_b)
+              |    AS INT) END""".stripMargin)).as("reject"))
+        scored.withColumn("stopped",
+          max(coalesce(col("reject"), lit(0))).over(
+            Window.orderBy(col("look"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .orderBy(col("look"))
+      },
+      Some(Shared.ObfOracle)),
   )
 }
