@@ -5356,5 +5356,181 @@ object Relational {
           .orderBy(col("d"))
       },
       Some(Shared.PageHinkleyOracle)),
+    // Benjamini–Hochberg FDR control across the per-metric tests —
+    // the multiple-testing step (Benjamini & Hochberg 1995, public)
+    // every experimentation platform needs once it reads out more
+    // than one metric: each event type's conversion gets the pooled
+    // two-proportion z², tests are ranked by evidence, and rank i is
+    // compared against the χ²₁ quantile at i·α/m (m = 5 metrics,
+    // α = 0.05 → the public table constants 6.6349 … 3.8415, scaled
+    // ×10⁴ to exact integers). Every per-rank decision is EXACT
+    // integer arithmetic in DECIMAL(38)/HUGEINT (the q_obrien_fleming
+    // pattern, with its raise_error domain tripwire); the BH cutoff
+    // (largest passing rank; everything above it rejected) is a
+    // window over the 5-row metric frame. Ranking uses ord =
+    // CASE ok THEN z² ELSE −1 — a never-NULL double — because the
+    // engines' NULL-ordering defaults differ; z² itself is
+    // IEEE-deterministic on the exact counts. Shape: one
+    // (user, type) distinct + one user distinct, then 5-row frames.
+    QueryDef("q_bh_fdr",
+      (spark, sf) => {
+        val ev = load(spark, sf, "events")
+        val users = ev.select(col("user_id")).distinct()
+          .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("user_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_b"))
+        val byType = ev.select(col("user_id"), col("event_type")).distinct()
+          .groupBy(col("event_type"))
+          .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("x_a"),
+            sum(when(col("user_id") % 2 =!= 0, 1L).otherwise(0L)).as("x_b"))
+        val t = byType.crossJoin(broadcast(users))
+        val ok = col("n_a") > 0 && col("n_b") > 0 &&
+          col("x_a") + col("x_b") > 0 &&
+          col("x_a") + col("x_b") < col("n_a") + col("n_b")
+        val z2txt =
+          """POW(CAST(x_a * n_b - x_b * n_a AS DOUBLE), 2) * (n_a + n_b)
+            |  / (CAST(n_a AS DOUBLE) * n_b * (x_a + x_b)
+            |     * (n_a + n_b - x_a - x_b))""".stripMargin
+        val scored = t.select(col("event_type"),
+            col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+            when(ok, round(expr(z2txt), 4)).as("z2"),
+            when(ok, expr(z2txt)).otherwise(lit(-1.0)).as("ord"))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("ord").desc, col("event_type"))))
+          .withColumn("bh_threshold_e4", expr(
+            "element_at(array(66349, 54119, 47093, 42179, 38415), rank)"))
+          .withColumn("passed", expr(
+            """CASE WHEN ord < 0 THEN 0
+              |  WHEN 10000 * POW(CAST(x_a * n_b - x_b * n_a AS DOUBLE), 2)
+              |       * (n_a + n_b) > 1e36
+              |    OR CAST(bh_threshold_e4 AS DOUBLE) * n_a * n_b
+              |       * (x_a + x_b) * (n_a + n_b - x_a - x_b) > 1e36
+              |  THEN CAST(raise_error(CONCAT('q_bh_fdr: counts exceed the ',
+              |    'DECIMAL(38) exact-decision domain - decide on the z2 ',
+              |    'double')) AS INT)
+              |  ELSE CAST(
+              |    CAST(x_a * n_b - x_b * n_a AS DECIMAL(38,0))
+              |      * (x_a * n_b - x_b * n_a) * (n_a + n_b) * 10000
+              |    >= CAST(bh_threshold_e4 AS DECIMAL(38,0)) * n_a * n_b
+              |      * (x_a + x_b) * (n_a + n_b - x_a - x_b)
+              |    AS INT) END""".stripMargin))
+        val w = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        scored
+          .withColumn("bh_cutoff", coalesce(
+            max(when(col("passed") === 1, col("rank"))).over(
+              Window.orderBy(col("rank")).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)),
+            lit(0)))
+          .select(col("event_type"), col("rank"),
+            col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+            when(col("ord") >= 0, col("z2")).as("z2"),
+            col("bh_threshold_e4"), col("passed"),
+            (col("rank") <= col("bh_cutoff")).cast("int").as("rejected"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH users AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+             |  FROM (SELECT DISTINCT user_id FROM events)),
+             |bytype AS (
+             |  SELECT event_type,
+             |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+             |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+             |  FROM (SELECT DISTINCT user_id, event_type FROM events)
+             |  GROUP BY event_type),
+             |t AS (SELECT * FROM bytype CROSS JOIN users),
+             |scored AS (
+             |  SELECT event_type, n_a, x_a, n_b, x_b,
+             |    CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+             |        AND x_a + x_b < n_a + n_b THEN
+             |      ROUND(POW(CAST(x_a * n_b - x_b * n_a AS DOUBLE), 2) * (n_a + n_b)
+             |        / (CAST(n_a AS DOUBLE) * n_b * (x_a + x_b)
+             |           * (n_a + n_b - x_a - x_b)), 4) END AS z2,
+             |    CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+             |        AND x_a + x_b < n_a + n_b THEN
+             |      POW(CAST(x_a * n_b - x_b * n_a AS DOUBLE), 2) * (n_a + n_b)
+             |        / (CAST(n_a AS DOUBLE) * n_b * (x_a + x_b)
+             |           * (n_a + n_b - x_a - x_b))
+             |    ELSE -1.0 END AS ord
+             |  FROM t),
+             |ranked AS (
+             |  SELECT *, ROW_NUMBER() OVER (ORDER BY ord DESC, event_type) AS rank,
+             |    list_extract([66349, 54119, 47093, 42179, 38415],
+             |      CAST(ROW_NUMBER() OVER (ORDER BY ord DESC, event_type) AS INT))
+             |      AS bh_threshold_e4
+             |  FROM scored),
+             |dec AS (
+             |  SELECT *,
+             |    CASE WHEN ord < 0 THEN 0
+             |      ELSE CAST(
+             |        CAST(x_a * n_b - x_b * n_a AS HUGEINT)
+             |          * (x_a * n_b - x_b * n_a) * (n_a + n_b) * 10000
+             |        >= CAST(bh_threshold_e4 AS HUGEINT) * n_a * n_b
+             |          * (x_a + x_b) * (n_a + n_b - x_a - x_b) AS INT) END AS passed
+             |  FROM ranked),
+             |cut AS (SELECT COALESCE(MAX(CASE WHEN passed = 1 THEN rank END), 0)
+             |    AS bh_cutoff FROM dec)
+             |SELECT event_type, CAST(rank AS INT) AS rank,
+             |  n_a, x_a, n_b, x_b,
+             |  CASE WHEN ord >= 0 THEN z2 END AS z2,
+             |  CAST(bh_threshold_e4 AS INT) AS bh_threshold_e4, passed,
+             |  CAST(rank <= bh_cutoff AS INT) AS rejected
+             |FROM dec CROSS JOIN cut ORDER BY rank""".stripMargin)),
+
+    // Gini coefficient of per-customer revenue — the concentration
+    // profile ("what share of revenue do the top customers hold") a
+    // data card reports for any heavy-tailed column, and the
+    // motivation for q_winsorized_mean's capping. The closed form on
+    // sorted values G = (2Σi·y₍ᵢ₎ − (n+1)Σy)/(n·Σy) is EXACT integers
+    // end to end: the global sort is the distributed Rank primitive
+    // (range shuffle + O(partitions) offsets, constant task memory at
+    // any scale — never a single-partition window), whole-dollar
+    // units keep Σi·y in BIGINT to ~10⁶ customers, and an
+    // order-insensitive double shadow-sum trips raise_error at 4e18
+    // (the q_delta_ratio discipline). Tie order is irrelevant: equal
+    // values contribute the same sum under any permutation. One final
+    // IEEE division → bit-identical G.
+    QueryDef("q_gini",
+      (spark, sf) => {
+        val per = load(spark, sf, "orders")
+          .select(col("o_custkey"),
+            round(col("o_totalprice")).cast("long").as("c"))
+          .groupBy(col("o_custkey")).agg(sum(col("c")).as("y"))
+        val ranked = graft.ops.Rank.rankGlobal(
+          per, Seq(col("y"), col("o_custkey")), "i")
+        val s = ranked.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(col("i") * col("y")).as("siy"),
+          sum(col("i").cast("double") * col("y")).as("shadow"))
+        s.select(col("n").as("n_users"), col("sy").as("total_rev"),
+          expr(
+            """CASE WHEN shadow > 4e18
+              |THEN CAST(raise_error('q_gini: rank-weighted revenue sum approaches BIGINT wrap - rescale the metric') AS INT)
+              |ELSE 1 END""".stripMargin).as("domain_ok"),
+          when(col("n") > 0 && col("sy") > 0, round(expr(
+            """(2.0 * siy - (CAST(n AS DOUBLE) + 1) * sy)
+              |  / (CAST(n AS DOUBLE) * sy)""".stripMargin), 6)).as("gini"))
+      },
+      Some("""WITH per AS (
+             |  SELECT o_custkey,
+             |    CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+             |  FROM orders GROUP BY o_custkey),
+             |r AS (
+             |  SELECT y, ROW_NUMBER() OVER (ORDER BY y, o_custkey) AS i
+             |  FROM per),
+             |s AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(i * y) AS BIGINT) AS siy,
+             |    SUM(CAST(i AS DOUBLE) * y) AS shadow
+             |  FROM r)
+             |SELECT n AS n_users, sy AS total_rev,
+             |  CASE WHEN shadow > 4e18
+             |  THEN CAST(error('q_gini: rank-weighted revenue sum approaches BIGINT wrap - rescale the metric') AS INT)
+             |  ELSE 1 END AS domain_ok,
+             |  CASE WHEN n > 0 AND sy > 0 THEN
+             |    ROUND((2.0 * siy - (CAST(n AS DOUBLE) + 1) * sy)
+             |      / (CAST(n AS DOUBLE) * sy), 6) END AS gini
+             |FROM s""".stripMargin)),
   )
 }

@@ -261,6 +261,10 @@ class PlanAudit extends SparkSpec {
     // to ReusedExchange — the q_triangle_count story); the real
     // structure is ONE l_orderkey exchange + pair agg + cnt joins +
     // keyed rank window + orderBy
+    "q_bh_fdr" -> 8,               // (user,type) distinct + user
+    // distinct + 5-row rank window + cutoff window + orderBy
+    "q_gini" -> 4,                 // customer agg + rank range
+    // exchange (LogicalRDD) + one 1-row moments agg
     "q_ljung_box" -> 20,           // centered day frame's lineage
     // reprints (lag self-join 2x, den, tot) + 7-lag agg + pivot
     "q_smd_balance" -> 3,          // one pooled-moments agg
@@ -312,6 +316,9 @@ class PlanAudit extends SparkSpec {
     // denominator onto the pivot; q_page_hinkley broadcasts its 1-row
     // (delta, lambda) totals
     "q_ljung_box" -> 4, "q_page_hinkley" -> 1,
+    // q_bh_fdr broadcasts the 1-row per-arm user totals onto the
+    // 5-row metric frame
+    "q_bh_fdr" -> 1,
     "dedup_semantic" -> 1, "text_countmin" -> 1,
     // recall gate + candidate-ratio gate + the ratio's own
     // one-row-×-one-row (n_cand × n) join
