@@ -4907,7 +4907,7 @@ object Relational {
              |    ROUND(${Shared.WelchT2}, 4) END AS t2,
              |  CASE WHEN n_a > 1 AND n_b > 1
              |      AND ${Shared.WelchVarPos} THEN
-             |                 |    ${Shared.WelchDecisionDuck} END AS significant
+             |    ${Shared.WelchDecisionDuck} END AS significant
              |FROM st""".stripMargin)),
 
     // Item-item collaborative filtering — the classic recommender

@@ -126,4 +126,111 @@ class AnalyticsSpec extends SparkSpec {
     val n = rows.map(_.getAs[Long]("n_risk"))
     assert(n.zip(n.tail).forall { case (a, b) => b < a }, n.toSeq.toString)
   }
+
+  // ---- round-16 experimentation/diagnostics additions: the
+  // structural invariants behind the oracle-matched numbers ----
+
+  test("obrien-fleming: cumulative looks, decreasing boundaries, monotone stop") {
+    val rows = run("q_obrien_fleming").collect()
+    assert(rows.length === 4)
+    def seq(c: String) = rows.map(_.getAs[Long](c)).toSeq
+    // users and conversions only accumulate as the looks advance
+    for (c <- Seq("n_a", "x_a", "n_b", "x_b")) {
+      val v = seq(c)
+      assert(v.zip(v.tail).forall { case (a, b) => a <= b }, s"$c: $v")
+    }
+    val b = rows.map(_.getAs[Int]("bound_e6").toLong).toSeq
+    assert(b === Seq(16386304L, 8191044L, 5461569L, 4096576L))
+    val stopped = rows.map(_.getAs[Int]("stopped")).toSeq
+    assert(stopped.zip(stopped.tail).forall { case (a, bb) => a <= bb })
+  }
+
+  test("poisson bootstrap: 64 replicates, point estimate inside the percentile CI") {
+    val r = run("q_bootstrap_ci").collect().head
+    assert(r.getAs[Long]("b_count") === 64L)
+    val (lo, hi, m) = (r.getAs[Double]("boot_lo"),
+      r.getAs[Double]("boot_hi"), r.getAs[Double]("mean_full"))
+    // deterministic md5 weights: on this fixed corpus the full-sample
+    // mean sits strictly inside the 2.5%/97.5% order statistics
+    assert(lo < m && m < hi, s"$lo / $m / $hi")
+  }
+
+  test("winsorized test: caps ordered and both arm means inside the caps") {
+    val r = run("q_winsorized_mean").collect().head
+    val (lo, hi) = (r.getAs[Long]("lo_cents"), r.getAs[Long]("hi_cents"))
+    assert(lo < hi)
+    for (c <- Seq("wins_mean_hd_a", "wins_mean_hd_b")) {
+      val m = r.getAs[Double](c)
+      assert(m >= lo / 10000.0 - 1 && m <= hi / 10000.0, s"$c = $m")
+    }
+  }
+
+  test("geo cell join: ring candidates reproduce the brute-force distance join") {
+    // independent in-engine brute force (the oracle already checks
+    // cross-engine; this pins the ring's losslessness inside Spark)
+    import org.apache.spark.sql.functions.{conv => fconv}
+    def word(t: String, k: String, salt: String) =
+      fconv(substring(md5(concat(col(k).cast("string"), lit(salt))), 1, 8),
+        16, 10).cast("long")
+    val c = Tables.load(spark, Sf, "customer").select(col("c_custkey"),
+      (word("c", "c_custkey", "clat") % 1200000L).as("lat"),
+      (word("c", "c_custkey", "clon") % 3600000L).as("lon"))
+    val sp = Tables.load(spark, Sf, "supplier").select(col("s_suppkey"),
+      (word("s", "s_suppkey", "slat") % 1200000L).as("slat"),
+      (word("s", "s_suppkey", "slon") % 3600000L).as("slon"))
+    val brute = sp.crossJoin(c)
+      .withColumn("d2",
+        (col("slat") - col("lat")) * (col("slat") - col("lat")) +
+          (col("slon") - col("lon")) * (col("slon") - col("lon")))
+      .filter(col("d2") <= 100000L * 100000L)
+      .groupBy(col("s_suppkey")).agg(count(lit(1)).as("bf"))
+    val ring = run("q_geo_cell_join").filter(col("n_within") > 0)
+    val mism = ring.join(brute, Seq("s_suppkey"), "full_outer")
+      .filter(coalesce(col("n_within"), lit(0L)) =!= coalesce(col("bf"), lit(0L)))
+      .count()
+    assert(mism === 0L)
+  }
+
+  test("mann-kendall: S bounded by the pair count and variance positive") {
+    val r = run("q_mann_kendall").collect().head
+    val nd = r.getAs[Long]("nd")
+    val s = r.getAs[Long]("s")
+    assert(math.abs(s) <= nd * (nd - 1) / 2)
+    assert(r.getAs[Long]("var18") > 0)
+  }
+
+  test("bh fdr: thresholds decrease and the rejected set is a rank prefix") {
+    val rows = run("q_bh_fdr").collect()
+    assert(rows.length === 5)
+    val th = rows.map(_.getAs[Int]("bh_threshold_e4")).toSeq
+    assert(th === Seq(66349, 54119, 47093, 42179, 38415))
+    val rej = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Int]("rejected"))
+    // once a rank is not rejected, no later rank may be (prefix rule)
+    assert(rej.zip(rej.tail).forall { case (a, b) => a >= b }, rej.toSeq.toString)
+  }
+
+  test("gini: inside [0, 1) on a positive-revenue corpus") {
+    val g = run("q_gini").collect().head.getAs[Double]("gini")
+    assert(g >= 0.0 && g < 1.0, g.toString)
+  }
+
+  test("item cf: cosines in (0, 1], neighbors ranked consistently") {
+    val rows = run("q_item_cf").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val cs = r.getAs[Double]("cosine"); cs > 0.0 && cs <= 1.0 })
+    // within an item, rank order matches descending cosine
+    rows.groupBy(_.getAs[Long]("item")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cosine"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("page-hinkley: gap non-negative, alarm iff gap clears lambda") {
+    val rows = run("q_page_hinkley").collect()
+    assert(rows.length === 30)
+    assert(rows.forall(_.getAs[Long]("gap") >= 0L))
+    assert(rows.forall { r =>
+      r.getAs[Boolean]("alarm") === (r.getAs[Long]("gap") > r.getAs[Long]("lambda")) })
+  }
 }
