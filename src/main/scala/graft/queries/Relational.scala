@@ -5532,5 +5532,94 @@ object Relational {
              |    ROUND((2.0 * siy - (CAST(n AS DOUBLE) + 1) * sy)
              |      / (CAST(n AS DOUBLE) * sy), 6) END AS gini
              |FROM s""".stripMargin)),
+    // Rolling-origin forecast backtest — the evaluation loop behind
+    // every capacity-planning forecast (Hyndman & Athanasopoulos,
+    // public textbook): hold out the final 7 days, score naive
+    // (ŷ_t = y_{t−1}) against seasonal-naive (ŷ_t = y_{t−7}) on the
+    // holdout, and scale by the in-sample naive MAE (the MASE
+    // denominator — unit-free, comparable across series). Absolute
+    // errors are exact integer |y − ŷ|; MAE ratios are scaled to ppm
+    // by truncating integer division (both engines agree on
+    // non-negative operands), so model selection is an EXACT integer
+    // argmin — no float anywhere. Both models are scored on the
+    // COMMON-SUPPORT frame (days with both a 1-day and a 7-day lag,
+    // i ≥ 8) so neither gets free days the other lacks — disclosed;
+    // the in-sample MASE denominator uses the same support. Shape:
+    // ONE day shuffle; lag lookups are keyed self-joins on the 30-row
+    // day frame (bounded by the calendar horizon, never the corpus).
+    QueryDef("q_forecast_backtest",
+      (spark, sf) => {
+        val daily = load(spark, sf, "events")
+          .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("y"))
+        val idx = daily.withColumn("i",
+          row_number().over(Window.orderBy(col("d")))).select("i", "y")
+        val tot = idx.agg(count(lit(1)).as("nd"))
+        val holdout = 7L
+        val j1 = idx.as("c").join(idx.as("p1"),
+            col("p1.i") === col("c.i") - 1)
+          .join(idx.as("p7"), col("p7.i") === col("c.i") - 7)
+          .crossJoin(broadcast(tot))
+          .select(col("c.i").as("i"), col("nd"),
+            abs(col("c.y") - col("p1.y")).as("e1"),
+            abs(col("c.y") - col("p7.y")).as("e7"))
+        val sc = j1.agg(
+          max(col("nd")).as("nd"),
+          sum(when(col("i") > col("nd") - holdout, 1L).otherwise(0L))
+            .as("n_test"),
+          sum(when(col("i") > col("nd") - holdout, col("e1")).otherwise(0L))
+            .as("sae_naive"),
+          sum(when(col("i") > col("nd") - holdout, col("e7")).otherwise(0L))
+            .as("sae_snaive"),
+          sum(when(col("i") <= col("nd") - holdout, 1L).otherwise(0L))
+            .as("n_train"),
+          sum(when(col("i") <= col("nd") - holdout, col("e1")).otherwise(0L))
+            .as("sae_insample"))
+        sc.select(col("nd"), col("n_test"), col("n_train"),
+          col("sae_naive"), col("sae_snaive"), col("sae_insample"),
+          when(col("sae_insample") > 0 && col("n_test") > 0 &&
+            col("n_train") > 0, expr(
+            "sae_naive * n_train * 1000000 div (sae_insample * n_test)"))
+            .as("mase_naive_ppm"),
+          when(col("sae_insample") > 0 && col("n_test") > 0 &&
+            col("n_train") > 0, expr(
+            "sae_snaive * n_train * 1000000 div (sae_insample * n_test)"))
+            .as("mase_snaive_ppm"),
+          when(col("n_test") > 0, expr(
+            """CASE WHEN sae_snaive < sae_naive THEN 'seasonal_naive'
+              |  WHEN sae_naive < sae_snaive THEN 'naive'
+              |  ELSE 'tie' END""".stripMargin)).as("winner"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+             |  FROM events GROUP BY 1),
+             |idx AS (SELECT y, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily),
+             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM idx),
+             |j1 AS (
+             |  SELECT c.i AS i, nd,
+             |    ABS(c.y - p1.y) AS e1, ABS(c.y - p7.y) AS e7
+             |  FROM idx c
+             |  JOIN idx p1 ON p1.i = c.i - 1
+             |  JOIN idx p7 ON p7.i = c.i - 7
+             |  CROSS JOIN tot),
+             |sc AS (
+             |  SELECT MAX(nd) AS nd,
+             |    CAST(SUM(CASE WHEN i > nd - 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+             |    CAST(SUM(CASE WHEN i > nd - 7 THEN e1 ELSE 0 END) AS BIGINT) AS sae_naive,
+             |    CAST(SUM(CASE WHEN i > nd - 7 THEN e7 ELSE 0 END) AS BIGINT) AS sae_snaive,
+             |    CAST(SUM(CASE WHEN i <= nd - 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+             |    CAST(SUM(CASE WHEN i <= nd - 7 THEN e1 ELSE 0 END) AS BIGINT) AS sae_insample
+             |  FROM j1)
+             |SELECT nd, n_test, n_train, sae_naive, sae_snaive, sae_insample,
+             |  CASE WHEN sae_insample > 0 AND n_test > 0 AND n_train > 0 THEN
+             |    sae_naive * n_train * 1000000 // (sae_insample * n_test)
+             |  END AS mase_naive_ppm,
+             |  CASE WHEN sae_insample > 0 AND n_test > 0 AND n_train > 0 THEN
+             |    sae_snaive * n_train * 1000000 // (sae_insample * n_test)
+             |  END AS mase_snaive_ppm,
+             |  CASE WHEN n_test > 0 THEN
+             |    CASE WHEN sae_snaive < sae_naive THEN 'seasonal_naive'
+             |      WHEN sae_naive < sae_snaive THEN 'naive'
+             |      ELSE 'tie' END END AS winner
+             |FROM sc""".stripMargin)),
   )
 }

@@ -261,6 +261,8 @@ class PlanAudit extends SparkSpec {
     // to ReusedExchange — the q_triangle_count story); the real
     // structure is ONE l_orderkey exchange + pair agg + cnt joins +
     // keyed rank window + orderBy
+    "q_forecast_backtest" -> 12,   // day agg lineage reprints (three
+    // keyed self-joins on the day frame) + score agg
     "q_bh_fdr" -> 8,               // (user,type) distinct + user
     // distinct + 5-row rank window + cutoff window + orderBy
     "q_gini" -> 4,                 // customer agg + rank range
@@ -319,6 +321,8 @@ class PlanAudit extends SparkSpec {
     // q_bh_fdr broadcasts the 1-row per-arm user totals onto the
     // 5-row metric frame
     "q_bh_fdr" -> 1,
+    // q_forecast_backtest broadcasts its 1-row day-count frame
+    "q_forecast_backtest" -> 1,
     "dedup_semantic" -> 1, "text_countmin" -> 1,
     // recall gate + candidate-ratio gate + the ratio's own
     // one-row-×-one-row (n_cand × n) join
