@@ -5621,5 +5621,95 @@ object Relational {
              |      WHEN sae_naive < sae_snaive THEN 'naive'
              |      ELSE 'tie' END END AS winner
              |FROM sc""".stripMargin)),
+    // Off-policy evaluation by inverse propensity scoring — the
+    // counterfactual read-out (Horvitz–Thompson / Li et al. 2011,
+    // public) that turns LOGGED interaction data into an estimate of a
+    // NEW policy's value without an experiment: each logged event is
+    // reweighted by 1/p(action) when the target policy would have
+    // chosen the same action. Logging propensities here are the
+    // corpus's own empirical action distribution in exact ppm (the
+    // randomized-logging assumption is disclosed — this gate scores
+    // the ESTIMATOR's arithmetic, not a real bandit); the target
+    // policy is a deterministic user rule (even users → 'purchase',
+    // odd → 'view'), so everything replays. Per-event terms are
+    // truncating integer divisions r·10⁶ div p_ppm (order-independent
+    // to SUM — the eval_avg_precision quantization discipline, error
+    // ≤ 1e-6·r per event, disclosed); both the IPS mean and the
+    // self-normalized SNIPS ratio are one final division. Shape: one
+    // 5-row propensity aggregate broadcast onto a single fact scan.
+    QueryDef("q_ips_eval",
+      (spark, sf) => {
+        val ev = load(spark, sf, "events")
+          .select(col("user_id"), col("event_type"),
+            cents(col("value")).as("r"))
+        val tot = ev.agg(count(lit(1)).as("n"))
+        val prop = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(tot))
+          .select(col("event_type"),
+            expr("cnt * 1000000 div n").as("p_ppm"))
+        val scored = ev.join(broadcast(prop), Seq("event_type"))
+          .crossJoin(broadcast(tot))
+          .withColumn("matched", expr(
+            """CASE WHEN (user_id % 2 = 0 AND event_type = 'purchase')
+              |  OR (user_id % 2 <> 0 AND event_type = 'view')
+              |THEN 1 ELSE 0 END""".stripMargin))
+          .select(col("n"),
+            col("matched"),
+            when(col("p_ppm") > 0,
+              expr("matched * (r * 1000000 div p_ppm)")).otherwise(0L)
+              .as("w_r"),
+            when(col("p_ppm") > 0,
+              expr("matched * (1000000000000 div p_ppm)")).otherwise(0L)
+              .as("w_1"))
+        scored.groupBy(col("n")).agg(
+            sum(col("matched")).as("n_matched"),
+            sum(col("w_r")).as("sum_wr"),
+            sum(col("w_1")).as("sum_w1"))
+          .select(col("n"), col("n_matched"),
+            expr("n_matched * 1000000 div n").as("match_rate_ppm"),
+            col("sum_wr"), col("sum_w1"),
+            when(col("n") > 0, round(expr(
+              "CAST(sum_wr AS DOUBLE) / n"), 4)).as("ips_value_cents"),
+            when(col("sum_w1") > 0, round(expr(
+              "CAST(sum_wr AS DOUBLE) * 1000000 / sum_w1"), 4))
+              .as("snips_value_cents"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type,
+             |    CAST(ROUND(value*100) AS BIGINT) AS r
+             |  FROM events),
+             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev),
+             |prop AS (
+             |  SELECT event_type,
+             |    CAST(COUNT(*) AS BIGINT) * 1000000 // (SELECT n FROM tot)
+             |      AS p_ppm
+             |  FROM ev GROUP BY event_type),
+             |scored AS (
+             |  SELECT n,
+             |    CASE WHEN (user_id % 2 = 0 AND ev.event_type = 'purchase')
+             |      OR (user_id % 2 <> 0 AND ev.event_type = 'view')
+             |    THEN 1 ELSE 0 END AS matched,
+             |    CASE WHEN p_ppm > 0 THEN
+             |      CASE WHEN (user_id % 2 = 0 AND ev.event_type = 'purchase')
+             |        OR (user_id % 2 <> 0 AND ev.event_type = 'view')
+             |      THEN 1 ELSE 0 END * (r * 1000000 // p_ppm) ELSE 0 END AS w_r,
+             |    CASE WHEN p_ppm > 0 THEN
+             |      CASE WHEN (user_id % 2 = 0 AND ev.event_type = 'purchase')
+             |        OR (user_id % 2 <> 0 AND ev.event_type = 'view')
+             |      THEN 1 ELSE 0 END * (1000000000000 // p_ppm) ELSE 0 END AS w_1
+             |  FROM ev JOIN prop ON ev.event_type = prop.event_type
+             |  CROSS JOIN tot)
+             |SELECT n,
+             |  CAST(SUM(matched) AS BIGINT) AS n_matched,
+             |  CAST(SUM(matched) * 1000000 // n AS BIGINT) AS match_rate_ppm,
+             |  CAST(SUM(w_r) AS BIGINT) AS sum_wr,
+             |  CAST(SUM(w_1) AS BIGINT) AS sum_w1,
+             |  CASE WHEN n > 0 THEN
+             |    ROUND(CAST(SUM(w_r) AS DOUBLE) / n, 4) END AS ips_value_cents,
+             |  CASE WHEN SUM(w_1) > 0 THEN
+             |    ROUND(CAST(SUM(w_r) AS DOUBLE) * 1000000 / SUM(w_1), 4)
+             |  END AS snips_value_cents
+             |FROM scored GROUP BY n""".stripMargin)),
   )
 }

@@ -261,6 +261,8 @@ class PlanAudit extends SparkSpec {
     // to ReusedExchange — the q_triangle_count story); the real
     // structure is ONE l_orderkey exchange + pair agg + cnt joins +
     // keyed rank window + orderBy
+    "q_ips_eval" -> 9,             // 5-row propensity agg (broadcast)
+    // + one fact-scan agg + totals broadcast
     "q_forecast_backtest" -> 12,   // day agg lineage reprints (three
     // keyed self-joins on the day frame) + score agg
     "q_bh_fdr" -> 8,               // (user,type) distinct + user
@@ -323,6 +325,9 @@ class PlanAudit extends SparkSpec {
     "q_bh_fdr" -> 1,
     // q_forecast_backtest broadcasts its 1-row day-count frame
     "q_forecast_backtest" -> 1,
+    // q_ips_eval broadcasts the 1-row event total onto the propensity
+    // frame and the fact scan (its lineage reprints once per reference)
+    "q_ips_eval" -> 3,
     "dedup_semantic" -> 1, "text_countmin" -> 1,
     // recall gate + candidate-ratio gate + the ratio's own
     // one-row-×-one-row (n_cand × n) join
