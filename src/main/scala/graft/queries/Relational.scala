@@ -5711,5 +5711,86 @@ object Relational {
              |    ROUND(CAST(SUM(w_r) AS DOUBLE) * 1000000 / SUM(w_1), 4)
              |  END AS snips_value_cents
              |FROM scored GROUP BY n""".stripMargin)),
+    // Doubly robust off-policy evaluation (Dudík, Langford & Li 2011,
+    // public) — the estimator that stays consistent if EITHER the
+    // reward model or the propensities are right: V_DR = (1/n)·Σ[
+    // q̂(π(x)) + 1[a = π(x)]·(r − q̂(a))/p(a) ]. The reward model q̂ is
+    // the per-action mean reward in exact MILLICENT units
+    // (sum·1000 div cnt — one 5-row aggregate shared with the ppm
+    // propensities); the correction term divides a SIGNED integer by
+    // p_ppm — fine cross-engine because BOTH engines truncate integer
+    // division toward zero (verified: −7 div 2 = −3 in Spark, DuckDB
+    // and Scala alike; the non-negative-only convention elsewhere in
+    // this repo is a simplification, not a requirement). Same
+    // disclosed setting as q_ips_eval: empirical-propensity logging,
+    // deterministic parity policy — the gate scores the estimator
+    // arithmetic. One fact scan + a broadcast 5-row model frame.
+    QueryDef("q_dr_eval",
+      (spark, sf) => {
+        val ev = load(spark, sf, "events")
+          .select(col("user_id"), col("event_type"),
+            cents(col("value")).as("r"))
+        val tot = ev.agg(count(lit(1)).as("n"))
+        val model = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"), sum(col("r")).as("sr"))
+          .crossJoin(broadcast(tot))
+          .select(col("event_type"),
+            expr("cnt * 1000000 div n").as("p_ppm"),
+            expr("sr * 1000 div cnt").as("q_mc"))
+        val pi = expr(
+          "CASE WHEN user_id % 2 = 0 THEN 'purchase' ELSE 'view' END")
+        val scored = ev.withColumn("pi_a", pi)
+          .join(broadcast(model.select(col("event_type"),
+            col("p_ppm"), col("q_mc"))), Seq("event_type"))
+          .join(broadcast(model.select(col("event_type").as("pi_a"),
+            col("q_mc").as("q_pi_mc"))), Seq("pi_a"))
+          .crossJoin(broadcast(tot))
+          .select(col("n"), col("q_pi_mc"),
+            when(col("p_ppm") > 0 && col("event_type") === col("pi_a"),
+              expr("(r * 1000 - q_mc) * 1000000 div p_ppm"))
+              .otherwise(0L).as("corr_mc"))
+        scored.groupBy(col("n")).agg(
+            sum(col("q_pi_mc")).as("sum_dm_mc"),
+            sum(col("corr_mc")).as("sum_corr_mc"))
+          .select(col("n"),
+            when(col("n") > 0, round(expr(
+              "CAST(sum_dm_mc AS DOUBLE) / n / 1000"), 4))
+              .as("dm_value_cents"),
+            when(col("n") > 0, round(expr(
+              "(CAST(sum_dm_mc AS DOUBLE) + CAST(sum_corr_mc AS DOUBLE) / 1000000) / n / 1000"), 4))
+              .as("dr_value_cents"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type,
+             |    CAST(ROUND(value*100) AS BIGINT) AS r
+             |  FROM events),
+             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev),
+             |model AS (
+             |  SELECT event_type,
+             |    CAST(COUNT(*) AS BIGINT) * 1000000 // (SELECT n FROM tot)
+             |      AS p_ppm,
+             |    CAST(SUM(r) AS BIGINT) * 1000 // CAST(COUNT(*) AS BIGINT)
+             |      AS q_mc
+             |  FROM ev GROUP BY event_type),
+             |scored AS (
+             |  SELECT n, pim.q_mc AS q_pi_mc,
+             |    CASE WHEN m.p_ppm > 0 AND ev.event_type =
+             |      CASE WHEN user_id % 2 = 0 THEN 'purchase' ELSE 'view' END
+             |    THEN (r * 1000 - m.q_mc) * 1000000 // m.p_ppm
+             |    ELSE 0 END AS corr_mc
+             |  FROM ev
+             |  JOIN model m ON ev.event_type = m.event_type
+             |  JOIN model pim ON pim.event_type =
+             |    CASE WHEN user_id % 2 = 0 THEN 'purchase' ELSE 'view' END
+             |  CROSS JOIN tot)
+             |SELECT n,
+             |  CASE WHEN n > 0 THEN
+             |    ROUND(CAST(SUM(q_pi_mc) AS DOUBLE) / n / 1000, 4)
+             |  END AS dm_value_cents,
+             |  CASE WHEN n > 0 THEN
+             |    ROUND((CAST(SUM(q_pi_mc) AS DOUBLE)
+             |      + CAST(SUM(corr_mc) AS DOUBLE) / 1000000) / n / 1000, 4)
+             |  END AS dr_value_cents
+             |FROM scored GROUP BY n""".stripMargin)),
   )
 }

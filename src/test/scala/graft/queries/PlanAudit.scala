@@ -261,6 +261,8 @@ class PlanAudit extends SparkSpec {
     // to ReusedExchange — the q_triangle_count story); the real
     // structure is ONE l_orderkey exchange + pair agg + cnt joins +
     // keyed rank window + orderBy
+    "q_dr_eval" -> 13,             // shared 5-row model agg (its
+    // lineage reprints per broadcast reference) + one fact-scan agg
     "q_ips_eval" -> 9,             // 5-row propensity agg (broadcast)
     // + one fact-scan agg + totals broadcast
     "q_forecast_backtest" -> 12,   // day agg lineage reprints (three
@@ -327,7 +329,7 @@ class PlanAudit extends SparkSpec {
     "q_forecast_backtest" -> 1,
     // q_ips_eval broadcasts the 1-row event total onto the propensity
     // frame and the fact scan (its lineage reprints once per reference)
-    "q_ips_eval" -> 3,
+    "q_ips_eval" -> 3, "q_dr_eval" -> 3,
     "dedup_semantic" -> 1, "text_countmin" -> 1,
     // recall gate + candidate-ratio gate + the ratio's own
     // one-row-×-one-row (n_cand × n) join
