@@ -233,4 +233,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.forall { r =>
       r.getAs[Boolean]("alarm") === (r.getAs[Long]("gap") > r.getAs[Long]("lambda")) })
   }
+
+  test("forecast backtest: 7-day holdout, 16-day common-support train, winner matches errors") {
+    val r = run("q_forecast_backtest").collect().head
+    assert(r.getAs[Long]("nd") === 30L)
+    assert(r.getAs[Long]("n_test") === 7L)
+    assert(r.getAs[Long]("n_train") === 16L) // common support i in 8..23
+    val (sn, ss) = (r.getAs[Long]("sae_naive"), r.getAs[Long]("sae_snaive"))
+    val expected = if (ss < sn) "seasonal_naive" else if (sn < ss) "naive" else "tie"
+    assert(r.getAs[String]("winner") === expected)
+  }
+
+  test("off-policy pair: sane supports and DR anchored on the direct-method value") {
+    val ips = run("q_ips_eval").collect().head
+    assert(ips.getAs[Long]("n_matched") > 0L &&
+      ips.getAs[Long]("n_matched") < ips.getAs[Long]("n"))
+    assert(ips.getAs[Double]("ips_value_cents") > 0.0)
+    assert(ips.getAs[Double]("snips_value_cents") > 0.0)
+    val dr = run("q_dr_eval").collect().head
+    val (dm, drv) = (dr.getAs[Double]("dm_value_cents"),
+      dr.getAs[Double]("dr_value_cents"))
+    // the correction is a mean-zero-ish residual reweighting on this
+    // near-uniform logging corpus: DR must stay within 2x of DM (a
+    // blowup means the propensity division or units regressed)
+    assert(dm > 0.0 && drv > 0.0 && drv < 2 * dm && drv > dm / 2,
+      s"dm=$dm dr=$drv")
+  }
 }
