@@ -75,6 +75,27 @@ trait DestinationDriver {
     }
 }
 
+/** A destination that can absorb keyed micro-batch DELTAS without
+  * rewriting its full state — the contract
+  * [[graft.exec.MigrationExecutor.executeDelta]] needs: `appendDelta`
+  * lands O(batch) bytes as a merge-on-read log segment, `morSnapshot`
+  * serves the reconciled view (published generation ⊎ delta log,
+  * latest segment wins per destination key). The parquet
+  * generation-pointer sink implements it natively; test harnesses wrap
+  * one with failure injection.
+  */
+trait DeltaDestination extends DestinationDriver {
+  /** Append a keyed delta (each destination key at most once); returns
+    * the log segment index. Replays of the same delta land new segments
+    * with the same keys — idempotent under `morSnapshot`'s latest-wins
+    * reconcile.
+    */
+  def appendDelta(df: DataFrame, spec: MigrationSpec): Long
+
+  /** The reconciled state: published snapshot merged with the delta log. */
+  def morSnapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame]
+}
+
 private[drivers] object DestPath {
   def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -157,7 +178,7 @@ final class ParquetDestinationDriver(
     keepGenerations: Option[Int] = None,
     writePartitions: Option[Int] = None,
     buckets: Option[Int] = None,
-    optimistic: Boolean = false) extends DestinationDriver {
+    optimistic: Boolean = false) extends DestinationDriver with DeltaDestination {
   require(writePartitions.isEmpty || buckets.isEmpty,
     "bucketed generations already fix the file count at the bucket count")
   require(!optimistic || buckets.isEmpty,
@@ -566,6 +587,16 @@ final class ParquetDestinationDriver(
     // take on generation numbers.
     conformed.write.mode(SaveMode.ErrorIfExists).parquet(s"$base/mordelta_${gen}_$k")
     k
+  }
+
+  /** The current generation's delta-log segment indexes — observability
+    * for incremental pipelines (how many micro-batch deltas have landed
+    * since the last compaction/COW write). Empty when nothing is
+    * published or the log is empty.
+    */
+  def deltaSegments(spark: SparkSession, spec: MigrationSpec): Seq[Long] = {
+    val base = UriSchemes.path(spec.destination)
+    currentGen(spark, base).map(g => deltaIndexes(spark, base, g)).getOrElse(Seq.empty)
   }
 
   private def deltaIndexes(spark: SparkSession, base: String, gen: String): Seq[Long] = {

@@ -99,8 +99,11 @@ object CurationPipeline {
         def transform(src: DataFrame, ctx: TransformContext): DataFrame =
           graft.plans.GroupedTopK(src, keys = Seq("fp"),
               orderBy = Seq(("did", true)), k = 1)
+            // fp stays in the survivor table: the dedup state doubles as
+            // the historical fingerprint set the incremental path
+            // anti-joins new batches against (downstream stages drop it)
             .select(col("did"), col("src_doc_id"), col("source"),
-              col("text"), col("n_tokens"))
+              col("text"), col("n_tokens"), col("fp"))
       },
       // quality gate: the integer-exact rule set of text_quality_filters
       // (token-count band, 3..10 avg word length via cross-multiplied
@@ -159,6 +162,50 @@ object CurationPipeline {
               col("text"), col("n_tokens"), col("predicted_lang"))
         }
       })
+  }
+
+  /** The stage set for INCREMENTAL (micro-batch delta) execution —
+    * identical to [[migrations]] except the dedup stage, the one whose
+    * batch transform is only correct over the full universe. Ingest,
+    * quality and langid are per-document functions: applied to a delta
+    * they produce exactly the delta of their full-corpus output.
+    * Dedup over a delta alone would miss cross-batch duplicates, so the
+    * incremental variant checks survivors-within-the-batch against the
+    * HISTORICAL fingerprint set (its own reconciled state, handed in as
+    * `ctx.snapshot` by [[MigrationExecutor.executeDelta]]).
+    *
+    * Correctness hinges on arrival order: dids are assigned densely in
+    * batch order, so every historical did < every delta did, and
+    * "fp seen before this batch" ⇔ "this doc loses the global min-did
+    * race" — the incremental survivor set equals the batch pipeline's.
+    * Replay safety: history rows carrying one of THIS batch's own dids
+    * (a crashed earlier attempt) are excluded before the fingerprint
+    * anti-join, so a replayed batch recomputes the identical delta.
+    *
+    * Scale shape: the history is never shuffled — the batch's
+    * fingerprints broadcast into a semi-join that reduces the history
+    * scan to the handful of colliding rows, and both anti-joins
+    * broadcast the (small) batch side.
+    */
+  def incrementalMigrations(base: String): Seq[Migration] = {
+    val batch = migrations(base)
+    val batchDedup = batch(1)
+    batch.updated(1, new Migration {
+      def spec: MigrationSpec = batchDedup.spec
+      def transform(src: DataFrame, ctx: TransformContext): DataFrame = {
+        val inBatch = batchDedup.transform(src, ctx)
+        ctx.snapshot match {
+          case None => inBatch
+          case Some(hist) =>
+            val batchFps = src.select(col("fp")).distinct()
+            val collisions = hist
+              .join(broadcast(batchFps), Seq("fp"), "left_semi")
+              .join(broadcast(src.select(col("did"))), Seq("did"), "left_anti")
+              .select(col("fp")).distinct()
+            inBatch.join(broadcast(collisions), Seq("fp"), "left_anti")
+        }
+      }
+    })
   }
 
   /** Stage sources: ingest reads the corpus parquet; every later stage

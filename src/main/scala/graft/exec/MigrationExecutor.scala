@@ -246,6 +246,75 @@ final class MigrationExecutor(
       persistedMerged, incoming.select(destIdCols.map(col): _*))
   }
 
+  /** Incremental (delta) execution — the O(batch) path for streaming /
+    * micro-batch pipelines. The source is a DELTA of new or changed rows,
+    * NOT the full universe, so there is no orphan pass (absence from a
+    * delta means nothing — the [[IgnoreOrphans]] rationale) and the
+    * destination absorbs the batch as a merge-on-read log segment
+    * ([[graft.drivers.DeltaDestination.appendDelta]]) instead of
+    * rewriting its state: bytes moved per batch are O(batch), while
+    * `morSnapshot` keeps serving the full reconciled view.
+    *
+    * Same machinery as [[execute]] where it matters: declared id
+    * columns are cast per IdField, the transform sees the reconciled
+    * history as `ctx.snapshot`, destination ids resolve through the
+    * mapping table with dense generated ids extending the reconciled
+    * max ([[assignGeneratedIds]]), and mappings are recorded per batch.
+    *
+    * Replay safety (exactly-once under foreachBatch retries): mappings
+    * are recorded BEFORE the data append — the one ordering that makes
+    * a crash between the two harmless. A replayed batch resolves its
+    * ids through the mapping (never re-generating past rows it already
+    * wrote), recomputes the same delta, and re-appends it; the
+    * destination's latest-wins-per-key reconcile folds the duplicate
+    * segment away. (`record` itself is an atomic generation-pointer
+    * upsert, so a crash mid-record leaves the old table.) The reverse
+    * order would re-generate FRESH ids on replay — the same doc alive
+    * under two keys.
+    *
+    * Returned result: `migrated` = delta rows written, `finalSnapshot` =
+    * the persisted delta body (NOT the full view — incremental callers
+    * chain stage deltas), orphans empty by definition.
+    */
+  def executeDelta(
+      spark: SparkSession,
+      migration: Migration,
+      source: SourceDriver,
+      dest: graft.drivers.DeltaDestination): MigrationResult = {
+    val spec = migration.spec
+    val destIdCols = spec.destinationIds.map(_.name)
+    require(dest.snapshotIsStableAcrossWrites,
+      s"executeDelta needs stable history snapshots (generation pointers) for ${spec.name}")
+
+    val raw = source.read(spark, spec)
+    val keyed = spec.sourceIds.foldLeft(raw)((df, f) =>
+      df.withColumn(f.name, col(f.name).cast(f.idType.sparkType)))
+    val snapshot = dest.morSnapshot(spark, spec)
+    val ctx = new TransformContext(spark, spec, snapshot, references)
+    val transformed = migration.transform(keyed, ctx)
+
+    val hasNaturalIds = destIdCols.forall(transformed.columns.contains)
+    val incoming = pin((
+      if (hasNaturalIds) transformed
+      else assignGeneratedIds(mapper.lookupDest(transformed, spec), spec, snapshot)
+    ).persist())
+
+    val mappingRows = incoming.select(
+      spec.sourceIds.map(f => col(f.name).as(s"${MappingStore.SourcePrefix}${f.name}")) ++
+        spec.destinationIds.map(f => col(f.name).as(s"${MappingStore.DestPrefix}${f.name}")): _*)
+    mapper.record(spark, spec, mappingRows, MappingStore.StatusMigrated)
+
+    val body = pin(incoming.select(
+      (destIdCols ++ transformedValueCols(incoming, spec)).map(col): _*).persist())
+    val written = body.count()
+    if (snapshot.isEmpty) dest.write(body, spec) // first batch publishes the base generation
+    else if (written > 0) { dest.appendDelta(body, spec); () }
+
+    val emptyOrphans = body.limit(0).select(destIdCols.map(col): _*)
+    MigrationResult(written, emptyOrphans, 0L, body,
+      incoming.select(destIdCols.map(col): _*))
+  }
+
   /** Chunked execution — the set-oriented form of the reference's
     * `flush=true` per-row flushing
     * (`/root/reference/src/Annotations/DataMigration.php:96-105`,

@@ -278,17 +278,23 @@ object StreamingQueries {
     // The engine's two flagship halves as ONE system
     // (graft.streaming.StreamingCuration): documents arrive in three
     // doc_id-ordered micro-batches; each batch lands idempotently
-    // (overwrite keyed by batchId) and drives the full 5-stage curation
-    // DAG through the SAME MigrationExecutor.executeAll the batch
-    // pipeline uses, mapping tables upserting across batches (stable
-    // mapping-assigned dids), downstream stages re-deriving under
-    // PruneOrphans. The defining property — final destination state
+    // (overwrite keyed by batchId) and DELTA-PROPAGATES through the
+    // 5-stage curation DAG — the four per-document stages process ONLY
+    // the batch's rows (MigrationExecutor.executeDelta: mapping-assigned
+    // dids extend the historical id space, dedup anti-joins the batch
+    // against its historical fingerprint state, O(batch) merge-on-read
+    // appends), and only the genuinely global mix stage recomputes over
+    // the langid state. The defining property — final destination state
     // byte-identical to the one-shot etl_llm_pipeline — is exactly what
     // this gate hashes: the SAME oracle SQL (Shared.LlmCurationRollupSql)
     // over the full corpus, with a lit-guard pinning the incrementality
-    // evidence (3 landed batches, 3 published generations per stage).
-    // Mid-DAG kill + restart exactly-once is StreamingSpec's
-    // "streaming curation" test.
+    // evidence: 3 landed batches, 3 mix generations, and the recorded
+    // per-batch metrics proving O(batch) — each batch's ingest processed
+    // EXACTLY that batch's landed rows (summing to the corpus: every doc
+    // processed once across the run, no cumulative re-derivation), and
+    // no downstream per-document stage ever processed more rows than its
+    // batch delivered. Mid-DAG kill + restart exactly-once is
+    // StreamingSpec's "streaming curation" test.
     QueryDef("stream_llm_pipeline",
       (spark, sf) => {
         import graft.streaming.StreamingCuration
@@ -303,10 +309,26 @@ object StreamingQueries {
         val dest = new graft.drivers.ParquetDestinationDriver
         val cur = StreamingCuration.curated(spark, base, dest)
           .getOrElse(sys.error("streaming curation produced no curated snapshot"))
-        val gens = StreamingCuration.stageGenerations(spark, base, dest)
+        val mixGens = dest.generations(spark,
+          graft.exec.CurationPipeline.migrations(s"$base/stages").last.spec).size
         val landed = Option(new java.io.File(s"$base/landed").listFiles())
           .map(_.count(_.getName.startsWith("batch_"))).getOrElse(0)
-        val ok = landed == 3 && gens.size == 5 && gens.values.forall(_ == 3)
+        // O(batch) evidence: the recorded per-stage processed-row counts
+        val metrics = StreamingCuration.batchMetrics(spark, base)
+          .collect().map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("stage"),
+            r.getAs[Long]("input_rows"))).toSeq
+        val ingestIn = metrics.collect { case (b, "llm_ingest", n) => b -> n }.toMap
+        val landedCounts = (0L until 3L).map(b =>
+          b -> spark.read.parquet(s"$base/landed/batch_$b").count()).toMap
+        val perDoc = Set("llm_dedup", "llm_quality", "llm_langid")
+        val corpusN = spark.read.parquet(path(sf, "documents")).count()
+        val oBatch =
+          landedCounts.forall { case (b, n) => ingestIn.get(b).contains(n) } &&
+          ingestIn.values.sum == corpusN &&
+          metrics.collect { case (b, s, n) if perDoc(s) => n <= ingestIn(b) }
+            .forall(identity) &&
+          metrics.count { case (_, s, _) => perDoc(s) } == 9
+        val ok = landed == 3 && mixGens == 3 && oBatch
         cur.filter(lit(ok))
           .groupBy(col("source"), col("predicted_lang"))
           .agg(count(lit(1)).as("n_docs"),

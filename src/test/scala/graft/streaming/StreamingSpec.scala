@@ -241,21 +241,29 @@ class StreamingSpec extends SparkSpec {
     StreamingCuration.runDag(spark, twinBase)
     val expected = StreamingCuration.curated(spark, twinBase).get
 
-    // poisoned quality destination: the SECOND-ever quality write (=
-    // batch 1, with ingest+dedup already committed for that batch)
-    // throws once — a genuine mid-DAG crash; the replay passes through
+    // poisoned quality destination: the SECOND-ever quality commit —
+    // batch 0 publishes the base generation via write(), so batch 1's
+    // delta append is commit #2, with ingest+dedup deltas already
+    // committed for that batch — throws once: a genuine mid-DAG crash.
+    // The replay passes through.
     val qualityWrites = new java.util.concurrent.atomic.AtomicInteger(0)
     val dest = new ParquetDestinationDriver
     val dests: Migration => graft.drivers.DestinationDriver = m =>
       if (m.spec.name != "llm_quality") dest
-      else new graft.drivers.DestinationDriver {
+      else new graft.drivers.DeltaDestination {
+        private def trip(): Unit =
+          if (qualityWrites.incrementAndGet() == 2)
+            throw new RuntimeException("injected mid-DAG crash")
         def snapshot(s: org.apache.spark.sql.SparkSession, sp: MigrationSpec) =
           dest.snapshot(s, sp)
         def write(df: DataFrame, sp: MigrationSpec): Unit = {
-          if (qualityWrites.incrementAndGet() == 2)
-            throw new RuntimeException("injected mid-DAG crash")
-          dest.write(df, sp)
+          trip(); dest.write(df, sp)
         }
+        def appendDelta(df: DataFrame, sp: MigrationSpec): Long = {
+          trip(); dest.appendDelta(df, sp)
+        }
+        def morSnapshot(s: org.apache.spark.sql.SparkSession, sp: MigrationSpec) =
+          dest.morSnapshot(s, sp)
         override def overwriteIsReadSafe: Boolean = dest.overwriteIsReadSafe
         override def snapshotIsStableAcrossWrites: Boolean = dest.snapshotIsStableAcrossWrites
       }
@@ -272,13 +280,16 @@ class StreamingSpec extends SparkSpec {
     assert(causes(ex).exists(c =>
         Option(c.getMessage).exists(_.contains("injected mid-DAG crash"))),
       s"expected the injected crash, got: $ex")
-    // the crash landed MID-DAG: batch 1's ingest published a second
-    // generation while quality is still at its batch-0 generation
+    // the crash landed MID-DAG: batch 1's ingest delta is committed
+    // (base generation + ≥1 merge-on-read segment) while quality is
+    // still at its batch-0 base generation with an empty delta log
     val stages = graft.exec.CurationPipeline.migrations(s"$base/stages")
-    def gens(name: String): Int =
-      dest.generations(spark, stages.find(_.spec.name == name).get.spec).size
-    assert(gens("llm_ingest") >= 2 && gens("llm_quality") == 1,
-      s"crash was not mid-DAG: ingest=${gens("llm_ingest")} quality=${gens("llm_quality")}")
+    def stageSpec(name: String) = stages.find(_.spec.name == name).get.spec
+    def deltas(name: String): Int = dest.deltaSegments(spark, stageSpec(name)).size
+    assert(deltas("llm_ingest") >= 1 && deltas("llm_quality") == 0 &&
+        dest.generations(spark, stageSpec("llm_quality")).size == 1,
+      s"crash was not mid-DAG: ingest deltas=${deltas("llm_ingest")} " +
+        s"quality deltas=${deltas("llm_quality")}")
 
     // restart from the same checkpoint: batch 1 replays with the same
     // id and files — landing is idempotent, the DAG re-merges
@@ -292,10 +303,24 @@ class StreamingSpec extends SparkSpec {
     val landed = new java.io.File(s"$base/landed").listFiles()
       .count(_.getName.startsWith("batch_"))
     assert(landed == 3, s"expected 3 landed batches, found $landed")
-    // stable mapping-assigned dids: one mapping row per doc, dids dense
+    // stable mapping-assigned dids: one mapping row per doc, dids dense —
+    // over the RECONCILED ingest state (base generation ⊎ delta log;
+    // latest-wins folds the crashed batch's replayed segment away)
     val (n, nd, lo2, hi2) = StreamingCuration.didShape(
-      dest.snapshot(spark, stages.head.spec).get)
+      dest.morSnapshot(spark, stages.head.spec).get)
     assert(n == docs.count() && nd == n && lo2 == 1L && hi2 == n,
       s"ingest dids must be dense 1..$n: ($n, $nd, $lo2, $hi2)")
+    // O(batch) evidence survived the crash/replay: per-batch ingest
+    // processed rows equal that batch's landed rows and sum to the corpus
+    val metrics = StreamingCuration.batchMetrics(spark, base)
+      .filter(col("stage") === "llm_ingest")
+      .collect().map(r => r.getAs[Long]("batch_id") -> r.getAs[Long]("input_rows")).toMap
+    assert(metrics.keySet == Set(0L, 1L, 2L) && metrics.values.sum == n,
+      s"per-batch ingest metrics must cover 3 batches summing to $n: $metrics")
+    (0L until 3L).foreach { b =>
+      val landedN = spark.read.parquet(s"$base/landed/batch_$b").count()
+      assert(metrics(b) == landedN,
+        s"batch $b: ingest processed ${metrics(b)} rows, landed $landedN — not O(batch)")
+    }
   }
 }
