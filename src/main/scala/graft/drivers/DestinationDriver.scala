@@ -610,10 +610,13 @@ final class ParquetDestinationDriver(
 
   /** The reconciled merge-on-read view: published generation ⊎ its
     * delta log, latest segment wins per destination key. The reconcile
-    * is one window partitioned BY KEY (parallel, never SinglePartition)
-    * over base+deltas only — at 100 TB the log is the small side by
-    * MOR's premise, and compaction bounds how long the reconcile tax
-    * accrues. With an empty log this is exactly [[snapshot]].
+    * NEVER shuffles the base: only the log (the small side by MOR's
+    * premise) goes through a keyed window, and the base is anti-joined
+    * against the log's key set — a broadcast-sized build at any real
+    * log size, with AQE falling back to a shuffle join if the log has
+    * outgrown broadcast (at which point compaction is overdue).
+    * Compaction bounds how long the reconcile tax accrues. With an
+    * empty log this is exactly [[snapshot]].
     */
   def morSnapshot(spark: SparkSession, spec: MigrationSpec): Option[DataFrame] = {
     require(buckets.isEmpty, "merge-on-read is for non-bucketed generation sinks")
@@ -623,15 +626,18 @@ final class ParquetDestinationDriver(
       val ks = deltaIndexes(spark, base, gen)
       if (ks.isEmpty) baseDf
       else {
-        val segs = baseDf.withColumn("_seq", lit(0L)) +:
-          ks.map(k => spark.read.parquet(s"$base/mordelta_${gen}_$k")
-            .withColumn("_seq", lit(k + 1)))
         val keyCols = spec.destinationIds.map(f => col(f.name))
+        val keyNames = spec.destinationIds.map(_.name)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCols: _*).orderBy(col("_seq").desc)
-        segs.reduce(_ unionByName _)
+        val logLatest = ks
+          .map(k => spark.read.parquet(s"$base/mordelta_${gen}_$k")
+            .withColumn("_seq", lit(k + 1)))
+          .reduce(_ unionByName _)
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_seq", "_rn")
+        baseDf.join(logLatest.select(keyNames.map(col): _*), keyNames, "left_anti")
+          .unionByName(logLatest)
       }
     }
   }

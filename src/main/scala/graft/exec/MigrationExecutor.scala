@@ -296,7 +296,21 @@ final class MigrationExecutor(
     val hasNaturalIds = destIdCols.forall(transformed.columns.contains)
     val incoming = pin((
       if (hasNaturalIds) transformed
-      else assignGeneratedIds(mapper.lookupDest(transformed, spec), spec, snapshot)
+      else {
+        // high-water mark off the MAPPING table, not the reconciled
+        // destination view: the mapping is narrow (id tuples only), is
+        // recorded before every data append (so it can only be AHEAD of
+        // the state, never behind — exactly right to avoid id reuse
+        // after a crash), and reading it costs one column scan instead
+        // of reconciling the delta log
+        val maxExisting: Long = mapper.load(spark, spec)
+          .map(_.agg(max(col(s"${MappingStore.DestPrefix}${destIdCols.head}"))
+            .cast("long")).head() match {
+              case r if r.isNullAt(0) => 0L
+              case r                  => r.getLong(0)
+            }).getOrElse(0L)
+        assignGeneratedIdsFrom(mapper.lookupDest(transformed, spec), spec, maxExisting)
+      }
     ).persist())
 
     val mappingRows = incoming.select(
@@ -304,8 +318,10 @@ final class MigrationExecutor(
         spec.destinationIds.map(f => col(f.name).as(s"${MappingStore.DestPrefix}${f.name}")): _*)
     mapper.record(spark, spec, mappingRows, MappingStore.StatusMigrated)
 
-    val body = pin(incoming.select(
-      (destIdCols ++ transformedValueCols(incoming, spec)).map(col): _*).persist())
+    // body is a narrow projection of the persisted `incoming` — a second
+    // persist would only duplicate the cache
+    val body = incoming.select(
+      (destIdCols ++ transformedValueCols(incoming, spec)).map(col): _*)
     val written = body.count()
     if (snapshot.isEmpty) dest.write(body, spec) // first batch publishes the base generation
     else if (written > 0) { dest.appendDelta(body, spec); () }
@@ -485,6 +501,23 @@ final class MigrationExecutor(
     */
   private[exec] def assignGeneratedIds(
       mapped: DataFrame, spec: MigrationSpec, snapshot: Option[DataFrame]): DataFrame = {
+    require(spec.destinationIds.size == 1,
+      "generated ids supported for single-column destination keys")
+    val idCol = spec.destinationIds.head.name
+    val maxExisting: Long = snapshot
+      .map(_.agg(max(col(idCol)).cast("long")).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r                  => r.getLong(0)
+      }).getOrElse(0L)
+    assignGeneratedIdsFrom(mapped, spec, maxExisting)
+  }
+
+  /** [[assignGeneratedIds]] with the id-space high-water mark supplied by
+    * the caller — the delta path reads it off the (narrow) mapping table
+    * instead of aggregating the reconciled destination view.
+    */
+  private[exec] def assignGeneratedIdsFrom(
+      mapped: DataFrame, spec: MigrationSpec, maxExisting: Long): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     require(spec.destinationIds.size == 1,
@@ -493,11 +526,6 @@ final class MigrationExecutor(
     val idCol = idField.name
     val destCol = s"${MappingStore.DestPrefix}$idCol"
     val spark = mapped.sparkSession
-    val maxExisting: Long = snapshot
-      .map(_.agg(max(col(idCol)).cast("long")).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r                  => r.getLong(0)
-      }).getOrElse(0L)
     // mapped rows keep their ids across re-runs; only unmapped rows rank
     val have = mapped.filter(col(destCol).isNotNull)
       .withColumn(idCol, col(destCol).cast(idField.idType.sparkType))

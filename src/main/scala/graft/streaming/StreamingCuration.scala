@@ -120,16 +120,18 @@ object StreamingCuration {
     val landed = spark.read.parquet(s"$base/landed/batch_$batchId").persist()
     try {
       var delta: DataFrame = landed
+      var deltaRows: Option[Long] = None // stage k's counted output = k+1's input
       migs.init.foreach { m =>
         val d = deltaDest(m)
         refs.register(m.spec, d)
         val stageIn = delta
-        val inRows = stageIn.count()
+        val inRows = deltaRows.getOrElse(stageIn.count())
         val res = executor.executeDelta(spark, m, new SourceDriver {
           def read(s: SparkSession, sp: MigrationSpec): DataFrame = stageIn
         }, d)
         metrics += ((batchId, m.spec.name, inRows, res.migrated))
         delta = res.finalSnapshot // the persisted stage delta, next stage's input
+        deltaRows = Some(res.migrated)
       }
       val mix = migs.last
       val mixDest = destFor(mix)
