@@ -38,6 +38,13 @@ object GeoQueries {
     * verifies nothing). */
   private val R = 100000L
 
+  /** Domain extent in cells: lat ∈ [0,120°) → 12 cells, lon ∈ [0,360°)
+    * → 36. Ring generation clamps to these bounds so no dead
+    * (never-matching, out-of-domain) candidate rows enter the shuffle —
+    * ~1/12 of unclamped ring volume at this R. */
+  private val LatCells = 1200000L / R
+  private val LonCells = 3600000L / R
+
   /** 32-bit md5 word of (key ‖ salt) — uniform, oracle-replayable. */
   private def word(c: Column, salt: String): Column =
     conv(substring(md5(concat(c.cast("string"), lit(salt))), 1, 8), 16, 10)
@@ -63,12 +70,11 @@ object GeoQueries {
       .withColumn("cy", expr(s"lon div $R"))
     val ring = suppPts(spark, sf)
       .select(col("s_suppkey"), col("slat"), col("slon"),
-        explode(expr("sequence(-1, 1)")).as("dx"))
-      .select(col("s_suppkey"), col("slat"), col("slon"), col("dx"),
-        explode(expr("sequence(-1, 1)")).as("dy"))
-      .select(col("s_suppkey"), col("slat"), col("slon"),
-        expr(s"slat div $R + dx").as("cx"),
-        expr(s"slon div $R + dy").as("cy"))
+        explode(expr(s"sequence(greatest(0L, slat div $R - 1), " +
+          s"least(${LatCells - 1}L, slat div $R + 1))")).as("cx"))
+      .select(col("s_suppkey"), col("slat"), col("slon"), col("cx"),
+        explode(expr(s"sequence(greatest(0L, slon div $R - 1), " +
+          s"least(${LonCells - 1}L, slon div $R + 1))")).as("cy"))
     ring.join(cust, Seq("cx", "cy"))
       .withColumn("d2",
         (col("slat") - col("lat")) * (col("slat") - col("lat")) +

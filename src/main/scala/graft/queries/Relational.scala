@@ -4842,11 +4842,14 @@ object Relational {
       (spark, sf) => {
         val s0 = load(spark, sf, "orders")
           .select(col("o_custkey"), cents(col("o_totalprice")).as("v"))
-        val n = s0.count()
         val ranked = graft.ops.Rank.rankGlobal(
           s0.select(col("v")), Seq(col("v")), "rn")
-        val wanted = Seq(10, 990).map(pm => (pm, (n - 1) * pm / 1000 + 1))
-        val targets = spark.createDataFrame(wanted).toDF("pm", "rn")
+        // rank targets stay IN-PLAN (a 1-row count aggregate exploded
+        // against the two per-mille literals, as the oracle's CTE does)
+        // — no eager driver-side count job outside the lazy DAG
+        val targets = s0.agg(count(lit(1)).as("c"))
+          .select(explode(expr("array(10, 990)")).as("pm"), col("c"))
+          .select(col("pm"), expr("(c - 1) * pm div 1000 + 1").as("rn"))
         val caps = ranked.join(broadcast(targets), "rn")
           .agg(max(when(col("pm") === 10, col("v"))).as("lo"),
             max(when(col("pm") === 990, col("v"))).as("hi"))
@@ -5225,11 +5228,17 @@ object Relational {
         val ts = (1 to 7).map(k =>
           s"(CAST(n$k AS DOUBLE) / den) * (CAST(n$k AS DOUBLE) / den) / (nd - $k)")
           .mkString("(", "\n              + ", ")")
+        // den = 0 (every day identical) must be an explicit NULL on both
+        // engines: Spark's Divide yields NULL on /0 while DuckDB's IEEE
+        // float ops yield inf/NaN — the positive-variance guard the
+        // sibling queries (WelchVarPos, DeltaRatioVarPos) use
         wide.crossJoin(broadcast(den))
           .select(col("nd"),
-            round(expr(rs), 6).as("r_sum"),
-            round(expr(s"nd * (nd + 2.0) * $ts"), 4).as("q_stat"),
-            expr(s"CAST(nd * (nd + 2.0) * $ts >= 14.067 AS INT)")
+            when(col("den") > 0, round(expr(rs), 6)).as("r_sum"),
+            when(col("den") > 0,
+              round(expr(s"nd * (nd + 2.0) * $ts"), 4)).as("q_stat"),
+            when(col("den") > 0,
+              expr(s"CAST(nd * (nd + 2.0) * $ts >= 14.067 AS INT)"))
               .as("autocorrelated"))
       },
       Some {
@@ -5262,9 +5271,12 @@ object Relational {
            |  SELECT $piv
            |  FROM lagged)
            |SELECT nd,
-           |  ROUND($rs, 6) AS r_sum,
-           |  ROUND(nd * (nd + 2.0) * $ts, 4) AS q_stat,
-           |  CAST(nd * (nd + 2.0) * $ts >= 14.067 AS INT) AS autocorrelated
+           |  CASE WHEN den > 0 THEN ROUND($rs, 6) END AS r_sum,
+           |  CASE WHEN den > 0
+           |    THEN ROUND(nd * (nd + 2.0) * $ts, 4) END AS q_stat,
+           |  CASE WHEN den > 0
+           |    THEN CAST(nd * (nd + 2.0) * $ts >= 14.067 AS INT)
+           |  END AS autocorrelated
            |FROM wide CROSS JOIN den""".stripMargin
       }),
 
@@ -5396,8 +5408,16 @@ object Relational {
             when(ok, expr(z2txt)).otherwise(lit(-1.0)).as("ord"))
           .withColumn("rank", row_number().over(
             Window.orderBy(col("ord").desc, col("event_type"))))
+          // the chi-square(1) thresholds are tabulated for m = 5 ranked
+          // metrics (alpha*i/m for i=1..5); a 6th event_type would read
+          // past the array and silently NULL out its decision — trip the
+          // same loud domain guard the DECIMAL overflow path uses
           .withColumn("bh_threshold_e4", expr(
-            "element_at(array(66349, 54119, 47093, 42179, 38415), rank)"))
+            """CASE WHEN rank > 5 THEN CAST(raise_error(CONCAT(
+              |  'q_bh_fdr: thresholds tabulated for m=5 metrics, got rank ',
+              |  CAST(rank AS STRING), ' - retabulate alpha*i/m')) AS INT)
+              |ELSE element_at(array(66349, 54119, 47093, 42179, 38415), rank)
+              |END""".stripMargin))
           .withColumn("passed", expr(
             """CASE WHEN ord < 0 THEN 0
               |  WHEN 10000 * POW(CAST(x_a * n_b - x_b * n_a AS DOUBLE), 2)
