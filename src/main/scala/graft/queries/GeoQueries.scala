@@ -82,6 +82,129 @@ object GeoQueries {
       .filter(col("d2") <= lit(R * R))
   }
 
+  /** True (ring-widening) kNN: probe the Chebyshev ring of width `w`,
+    * confirm suppliers whose k-th candidate sits within w·R — on the
+    * integer grid any point OUTSIDE ring w is STRICTLY farther than w·R,
+    * so those top-k are final — and double w for the unconfirmed rest.
+    * Terminates in ≤ ⌈log₂ 36⌉ + 1 = 7 rounds (w = 1,2,4,…,36; the last
+    * ring spans the whole domain, where "ranked top-k" is uncondition-
+    * ally final even for probes with < k reachable customers). The
+    * bounded driver loop holds only O(1) per-round bookkeeping; every
+    * round is one keyed (cx,cy) join + one per-supplier window over the
+    * (shrinking) unconfirmed probe set — the empty-neighborhood case
+    * that silently returned < k under the radius-bounded variant
+    * (q_geo_knn) now widens until k found.
+    */
+  private def knnFull(spark: SparkSession, sf: String, k: Int): DataFrame = {
+    val cust = custPts(spark, sf)
+      .withColumn("cx", expr(s"lat div $R"))
+      .withColumn("cy", expr(s"lon div $R"))
+    val maxW = math.max(LatCells, LonCells).toInt
+    var remaining = suppPts(spark, sf)
+    var out: Option[DataFrame] = None
+    var w = 1
+    var done = false
+    while (!done) {
+      val pairs = remaining
+        .select(col("s_suppkey"), col("slat"), col("slon"),
+          explode(expr(s"sequence(greatest(0L, slat div $R - $w), " +
+            s"least(${LatCells - 1}L, slat div $R + $w))")).as("cx"))
+        .select(col("s_suppkey"), col("slat"), col("slon"), col("cx"),
+          explode(expr(s"sequence(greatest(0L, slon div $R - $w), " +
+            s"least(${LonCells - 1}L, slon div $R + $w))")).as("cy"))
+        .join(cust, Seq("cx", "cy"))
+        .withColumn("d2",
+          (col("slat") - col("lat")) * (col("slat") - col("lat")) +
+            (col("slon") - col("lon")) * (col("slon") - col("lon")))
+      val ranked = pairs.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("s_suppkey"))
+            .orderBy(col("d2"), col("c_custkey"))))
+        .filter(col("rnk") <= k)
+      val wr2 = w.toLong * w.toLong * R * R
+      val confirmedKeys =
+        if (w >= maxW) remaining.select(col("s_suppkey"))
+        else ranked.groupBy(col("s_suppkey"))
+          .agg(sum(when(col("d2") <= wr2, 1L).otherwise(0L)).as("sure"))
+          .filter(col("sure") >= k).select(col("s_suppkey"))
+      val finished = ranked
+        .join(confirmedKeys, Seq("s_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("rnk"), col("c_custkey"), col("d2"))
+        .persist()
+      finished.count(): Unit
+      out = Some(out.fold(finished)(_.unionByName(finished)))
+      if (w >= maxW) done = true
+      else {
+        val next = remaining
+          .join(confirmedKeys, Seq("s_suppkey"), "left_anti").persist()
+        if (next.isEmpty) done = true
+        remaining = next
+        w = math.min(w * 2, maxW)
+      }
+    }
+    out.get.orderBy(col("s_suppkey"), col("rnk"))
+  }
+
+  /** Fixed-count hot cluster for the skewed-grid gate: the first
+    * `HotCust` customers / `HotSupp` suppliers collapse into grid cell
+    * (5,5) (spread uniformly WITHIN the cell so rows stay
+    * incompressible — AQE's skew detection keys on partition BYTES).
+    * Absolute counts, not fractions: the hot cell's candidate mass is
+    * constant as the corpus scales, so the gate stays sublinear in
+    * growthcheck while the cell stays ~30-60× the median occupancy at
+    * the tested SFs — exactly the "popular city" shape of real geo
+    * workloads.
+    */
+  private val HotCust = 1000L
+  private val HotSupp = 100L
+
+  private def skewCustPts(spark: SparkSession, sf: String): DataFrame =
+    load(spark, sf, "customer").select(col("c_custkey"),
+      when(col("c_custkey") <= HotCust,
+          lit(5L * R) + word(col("c_custkey"), "hlat") % R)
+        .otherwise(word(col("c_custkey"), "clat") % 1200000L).as("lat"),
+      when(col("c_custkey") <= HotCust,
+          lit(5L * R) + word(col("c_custkey"), "hlon") % R)
+        .otherwise(word(col("c_custkey"), "clon") % 3600000L).as("lon"),
+      md5(col("c_custkey").cast("string")).as("pad"))
+
+  private def skewSuppPts(spark: SparkSession, sf: String): DataFrame =
+    load(spark, sf, "supplier").select(col("s_suppkey"),
+      when(col("s_suppkey") <= HotSupp,
+          lit(5L * R) + word(col("s_suppkey"), "hslat") % R)
+        .otherwise(word(col("s_suppkey"), "slat") % 1200000L).as("slat"),
+      when(col("s_suppkey") <= HotSupp,
+          lit(5L * R) + word(col("s_suppkey"), "hslon") % R)
+        .otherwise(word(col("s_suppkey"), "slon") % 3600000L).as("slon"))
+
+  /** The skewed radius join — shared by the gate and PlanAudit's
+    * structural isSkewJoin assertion. repartition(16) on the customer
+    * side for the same reason q_skew_aqe_join carries it: AQE skew
+    * splits are map-index ranges, and the tiny single-file test scan
+    * must present >1 upstream map task the way any real multi-split
+    * input does.
+    */
+  private[queries] def skewedPairsRollup(spark: SparkSession, sf: String): DataFrame = {
+    val cust = skewCustPts(spark, sf).repartition(16)
+      .withColumn("cx", expr(s"lat div $R"))
+      .withColumn("cy", expr(s"lon div $R"))
+    val ring = skewSuppPts(spark, sf)
+      .select(col("s_suppkey"), col("slat"), col("slon"),
+        explode(expr(s"sequence(greatest(0L, slat div $R - 1), " +
+          s"least(${LatCells - 1}L, slat div $R + 1))")).as("cx"))
+      .select(col("s_suppkey"), col("slat"), col("slon"), col("cx"),
+        explode(expr(s"sequence(greatest(0L, slon div $R - 1), " +
+          s"least(${LonCells - 1}L, slon div $R + 1))")).as("cy"))
+    ring.join(cust, Seq("cx", "cy"))
+      .withColumn("d2",
+        (col("slat") - col("lat")) * (col("slat") - col("lat")) +
+          (col("slon") - col("lon")) * (col("slon") - col("lon")))
+      .filter(col("d2") <= lit(R * R))
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_within"), min(col("d2")).as("min_d2"),
+        max(col("pad")).as("max_pad"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Shared oracle CTEs: points + the INDEPENDENT theta-join pairs. */
   private val OraclePts: String =
     s"""WITH c AS (
@@ -155,6 +278,70 @@ object GeoQueries {
              |                       ORDER BY d2, c_custkey) AS rnk
              |  FROM p)
              |WHERE rnk <= 5 ORDER BY s_suppkey, rnk""".stripMargin)),
+
+    // TRUE kNN (ring-widening): unlike the radius-bounded q_geo_knn, a
+    // probe in an empty neighborhood widens its ring (w doubling,
+    // ≤ 7 bounded rounds) until k are CONFIRMED — a candidate set is
+    // final once the k-th sits within w·R, since everything outside
+    // ring w is strictly farther on the integer grid. The oracle is the
+    // INDEPENDENT full theta-join kNN (no grid, no radius), so any
+    // confirmation-logic error fails the hash rather than hiding.
+    QueryDef("q_geo_knn_full",
+      (spark, sf) => knnFull(spark, sf, k = 5),
+      Some(s"""$OraclePts,
+             |p AS (
+             |  SELECT sp.s_suppkey, c.c_custkey,
+             |    (sp.slat - c.lat) * (sp.slat - c.lat)
+             |      + (sp.slon - c.lon) * (sp.slon - c.lon) AS d2
+             |  FROM sp CROSS JOIN c)
+             |SELECT s_suppkey, CAST(rnk AS INT) AS rnk, c_custkey, d2 FROM (
+             |  SELECT s_suppkey, c_custkey, d2,
+             |    ROW_NUMBER() OVER (PARTITION BY s_suppkey
+             |                       ORDER BY d2, c_custkey) AS rnk
+             |  FROM p)
+             |WHERE rnk <= 5 ORDER BY s_suppkey, rnk""".stripMargin)),
+
+    // Skewed grid — the "popular city" shape: a fixed-size hot cluster
+    // (1000 customers + 100 suppliers in ONE cell) makes the (cx,cy)
+    // shuffle partition 30-60× the median at the tested SFs. The gate
+    // hashes the radius rollup against an independent theta-join on the
+    // SAME skewed points; the PLAN property — AQE's OptimizeSkewedJoin
+    // actually splitting the hot partition — is asserted structurally
+    // in PlanAudit (the etl_skewed_upsert pattern). The md5 pad rides
+    // through max() so hot-partition shuffle bytes track row counts
+    // (constant-key partitions otherwise compress away the size signal
+    // skew detection keys on). Absolute hot counts keep the gate
+    // sublinear in growthcheck: candidate mass in the hot cell is
+    // constant as the corpus scales.
+    QueryDef("q_geo_skew_join",
+      (spark, sf) => skewedPairsRollup(spark, sf),
+      Some {
+        def pt(key: String, hotN: Long, hs: String, cs: String,
+            hotBase: Long, m: Long): String =
+          s"""CASE WHEN $key <= $hotN THEN $hotBase +
+             |    ('0x' || substr(md5(CAST($key AS VARCHAR) || '$hs'), 1, 8))::BIGINT % $R
+             |  ELSE ('0x' || substr(md5(CAST($key AS VARCHAR) || '$cs'), 1, 8))::BIGINT % $m
+             |  END""".stripMargin.replace("\n", " ")
+        s"""WITH c AS (
+           |  SELECT c_custkey,
+           |    ${pt("c_custkey", HotCust, "hlat", "clat", 5L * R, 1200000L)} AS lat,
+           |    ${pt("c_custkey", HotCust, "hlon", "clon", 5L * R, 3600000L)} AS lon,
+           |    md5(CAST(c_custkey AS VARCHAR)) AS pad
+           |  FROM customer),
+           |sp AS (
+           |  SELECT s_suppkey,
+           |    ${pt("s_suppkey", HotSupp, "hslat", "slat", 5L * R, 1200000L)} AS slat,
+           |    ${pt("s_suppkey", HotSupp, "hslon", "slon", 5L * R, 3600000L)} AS slon
+           |  FROM supplier)
+           |SELECT sp.s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_within,
+           |  CAST(MIN((sp.slat - c.lat) * (sp.slat - c.lat)
+           |    + (sp.slon - c.lon) * (sp.slon - c.lon)) AS BIGINT) AS min_d2,
+           |  MAX(c.pad) AS max_pad
+           |FROM sp JOIN c
+           |  ON (sp.slat - c.lat) * (sp.slat - c.lat)
+           |     + (sp.slon - c.lon) * (sp.slon - c.lon) <= ${R * R}
+           |GROUP BY sp.s_suppkey ORDER BY sp.s_suppkey""".stripMargin
+      }),
 
     // Cell-density heatmap: top-20 densest grid cells — the
     // aggregation face of the same grid (geohash rollup). ONE keyed

@@ -400,7 +400,13 @@ class PlanAudit extends SparkSpec {
     "etl_tags" -> 3,
     "stream_llm_pipeline" -> 3,
     "sim_ann_index_compact" -> 52,
-    "stream_ann_index_serve" -> 24)
+    "stream_ann_index_serve" -> 24,
+    // round-17 additions. knn_full's textual plan is the union of ≤7
+    // ring-widening rounds (each persisted+counted at run time, so the
+    // lineage the digest prints far overcounts what re-executes);
+    // the skew gate is one ring join + rollup over repartitioned input.
+    "q_geo_knn_full" -> 80,
+    "q_geo_skew_join" -> 9)
 
   test("q_skew_aqe_join: AQE splits the hot partition (structural isSkewJoin)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
@@ -471,6 +477,23 @@ class PlanAudit extends SparkSpec {
       df.collect()
       assert(skewSmjs(df).exists(_.isSkewJoin),
         s"no skew-split SMJ in the enrichment plan:\n${df.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  test("q_geo_skew_join: the hot grid cell splits under AQE (structural isSkewJoin)") {
+    // the exact (cx,cy) ring join inside the gate, re-executed under
+    // data-scale skew thresholds: the fixed 1000-customer hot cell must
+    // present as an oversized shuffle partition and be split by
+    // OptimizeSkewedJoin — the alternative treatment to occupancy-driven
+    // grid refinement, proven the same way etl_skewed_upsert is. The
+    // correctness half is the hash gate (independent theta-join oracle).
+    val df = graft.queries.GeoQueries.skewedPairsRollup(spark, Sf)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try graft.ops.Joins.withSkewTunedAqe(spark, thresholdBytes = 1024) {
+      df.collect()
+      assert(skewSmjs(df).exists(_.isSkewJoin),
+        s"no skew-split SMJ in the geo ring-join plan:\n${df.queryExecution.executedPlan}")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
