@@ -15,13 +15,30 @@ object Bench {
       .config("spark.scheduler.mode", "FAIR") // concurrent streams share fairly (stream_concurrent)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed generic warmup: JIT-compile the codegen/shuffle machinery so
-    // the first timed query doesn't absorb JVM cold-start (no query-result
+    // Generic warmup: JIT-compile the codegen/shuffle machinery so the
+    // first timed query doesn't absorb JVM cold-start (no query-result
     // caching happens here — it touches none of the benchmark tables).
+    val warmT0 = System.nanoTime()
     spark.range(2000000L).selectExpr("sum(id * 2)", "count(distinct id % 97)").collect()
     spark.range(100000L).toDF("a").join(spark.range(1000L).toDF("b"), // warm join paths
       org.apache.spark.sql.functions.col("a") === org.apache.spark.sql.functions.col("b"))
       .count()
+    val warmupS = (System.nanoTime() - warmT0) / 1e9
+    // Host-load calibration probe (r16 verdict: the bench series drifted
+    // 1.65× on host noise with nothing to normalize by). A fixed
+    // CPU+shuffle workload, measured POST-JIT as the min of 3
+    // back-to-back runs, emitted on both JSON lines: legs divide
+    // per-query seconds by the ratio of their calibration constants to
+    // separate "the host was slow" from "the code got slower". The
+    // warmup block's own (JIT-dominated) time is emitted too — it
+    // tracks cold-start conditions, not steady-state load.
+    val calibrationS = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(8000000L)
+        .selectExpr("id % 10007 AS k", "id AS v")
+        .groupBy("k").sum("v").selectExpr("sum(`sum(v)`)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val flaky = scala.collection.mutable.ListBuffer.empty[String]
     // comma-separated substring filter (same contract as Verify) — for
@@ -119,7 +136,8 @@ object Bench {
     // JSON object, greppable from the full log), and the FINAL line is a
     // compact summary — total, failure markers, and only the top-15
     // slowest per-query times — sized to fit any tail window.
-    println(s"""{"diag":"bench_full","queries":$qs,"starts":$st,"persisted_rdds":$pr,"failed":$fj,"flaky":$fl,"order":"$order","sf":"$sfDir"}""")
+    val calib = s""""calibration_s":${math.round(calibrationS * 1000) / 1000.0},"warmup_s":${math.round(warmupS * 1000) / 1000.0}"""
+    println(s"""{"diag":"bench_full","queries":$qs,"starts":$st,"persisted_rdds":$pr,"failed":$fj,"flaky":$fl,$calib,"order":"$order","sf":"$sfDir"}""")
     val slowest = results.sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
       .mkString("{", ",", "}")
@@ -131,7 +149,7 @@ object Bench {
         (if (l.size > 20) Seq("\"...+" + (l.size - 20) + "\"") else Nil))
         .mkString("[", ",", "]")
     // a timed exception is not a measurement — surface failures explicitly
-    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"queries":$slowest,"failed":${capped(failed.toSeq)},"flaky":${capped(flaky.toSeq)},"order":"$order","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"queries":$slowest,"failed":${capped(failed.toSeq)},"flaky":${capped(flaky.toSeq)},$calib,"order":"$order","sf":"$sfDir"}""")
     spark.stop()
   }
 }
