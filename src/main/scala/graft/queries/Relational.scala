@@ -5928,5 +5928,153 @@ object Relational {
              |      + CAST(SUM(corr_mc) AS DOUBLE) / 1000000) / n / 1000, 4)
              |  END AS dr_value_cents
              |FROM scored GROUP BY n""".stripMargin)),
+
+    // Doubly-robust evaluation with a COVARIATE-AWARE reward model (r16
+    // verdict task 7): q_dr_eval's q̂ is a flat per-action mean, which
+    // concedes DR's whole point — the direct-method term should absorb
+    // context. Users are binned into activity deciles from one pass
+    // (event count per user, ranked by the distributed Rank primitive —
+    // never a single-partition window — decile = (rank-1)*10 div
+    // n_users), and q̂ / the behavior propensity are fitted per
+    // (action, decile): ~50 exact-integer-millicent rows, still one
+    // broadcast frame. A decile lacking the target action contributes
+    // q̂ = 0 (LEFT join + coalesce, identical on both engines —
+    // disclosed, the standard unknown-context convention). The FLAT
+    // model's DM/DR ride along so the output shows the gap the
+    // covariate model buys. Shape: one user_id shuffle to attach
+    // deciles, one corpus pass, O(1)-row output.
+    QueryDef("q_dr_eval_binned",
+      (spark, sf) => {
+        val ev = load(spark, sf, "events")
+          .select(col("user_id"), col("event_type"),
+            cents(col("value")).as("r"))
+        val users = ev.groupBy(col("user_id")).agg(count(lit(1)).as("activity"))
+        val (rankedU, nu) = graft.ops.Rank.rankGlobalWithCount(
+          users, Seq(col("activity"), col("user_id")), "rn")
+        val deciled = rankedU.select(col("user_id"),
+          expr(s"(rn - 1) * 10 div $nu").as("dec"))
+        val evd = ev.join(deciled, Seq("user_id"))
+        val tot = ev.agg(count(lit(1)).as("n"))
+        // binned model: q̂ and propensity per (action, decile)
+        val byTd = evd.groupBy(col("event_type"), col("dec"))
+          .agg(count(lit(1)).as("cnt"), sum(col("r")).as("sr"))
+        val byD = byTd.groupBy(col("dec")).agg(sum(col("cnt")).as("cnt_d"))
+        val model = byTd.join(byD, Seq("dec"))
+          .select(col("event_type"), col("dec"),
+            expr("cnt * 1000000 div cnt_d").as("p_ppm"),
+            expr("sr * 1000 div cnt").as("q_mc"))
+        // flat model (the q_dr_eval baseline, riding along for the gap)
+        val flat = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("fcnt"), sum(col("r")).as("fsr"))
+          .crossJoin(broadcast(tot))
+          .select(col("event_type"),
+            expr("fcnt * 1000000 div n").as("fp_ppm"),
+            expr("fsr * 1000 div fcnt").as("fq_mc"))
+        val pi = expr(
+          "CASE WHEN user_id % 2 = 0 THEN 'purchase' ELSE 'view' END")
+        val scored = evd.withColumn("pi_a", pi)
+          .join(broadcast(model), Seq("event_type", "dec"))
+          .join(broadcast(model.select(col("event_type").as("pi_a"),
+            col("dec"), col("q_mc").as("q_pi_mc"))), Seq("pi_a", "dec"), "left")
+          .join(broadcast(flat), Seq("event_type"))
+          .join(broadcast(flat.select(col("event_type").as("pi_a"),
+            col("fq_mc").as("fq_pi_mc")).drop("fp_ppm")), Seq("pi_a"))
+          .crossJoin(broadcast(tot))
+          .select(col("n"),
+            coalesce(col("q_pi_mc"), lit(0L)).as("q_pi_mc"),
+            col("fq_pi_mc"),
+            when(col("p_ppm") > 0 && col("event_type") === col("pi_a"),
+              expr("(r * 1000 - q_mc) * 1000000 div p_ppm"))
+              .otherwise(0L).as("corr_mc"),
+            when(col("fp_ppm") > 0 && col("event_type") === col("pi_a"),
+              expr("(r * 1000 - fq_mc) * 1000000 div fp_ppm"))
+              .otherwise(0L).as("fcorr_mc"))
+        scored.groupBy(col("n")).agg(
+            sum(col("q_pi_mc")).as("sdm"), sum(col("corr_mc")).as("scorr"),
+            sum(col("fq_pi_mc")).as("fsdm"), sum(col("fcorr_mc")).as("fscorr"))
+          .select(col("n"),
+            when(col("n") > 0, round(expr(
+              "CAST(sdm AS DOUBLE) / n / 1000"), 4)).as("dm_binned_cents"),
+            when(col("n") > 0, round(expr(
+              "(CAST(sdm AS DOUBLE) + CAST(scorr AS DOUBLE) / 1000000) / n / 1000"), 4))
+              .as("dr_binned_cents"),
+            when(col("n") > 0, round(expr(
+              "CAST(fsdm AS DOUBLE) / n / 1000"), 4)).as("dm_flat_cents"),
+            when(col("n") > 0, round(expr(
+              "(CAST(fsdm AS DOUBLE) + CAST(fscorr AS DOUBLE) / 1000000) / n / 1000"), 4))
+              .as("dr_flat_cents"),
+            when(col("n") > 0, round(expr(
+              "CAST(sdm - fsdm AS DOUBLE) / n / 1000"), 4)).as("dm_gap_cents"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type,
+             |    CAST(ROUND(value*100) AS BIGINT) AS r
+             |  FROM events),
+             |users AS (
+             |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS activity
+             |  FROM ev GROUP BY 1),
+             |nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM users),
+             |deciled AS (
+             |  SELECT user_id,
+             |    (ROW_NUMBER() OVER (ORDER BY activity, user_id) - 1) * 10
+             |      // (SELECT nu FROM nu) AS dec
+             |  FROM users),
+             |evd AS (SELECT ev.*, dec FROM ev JOIN deciled USING (user_id)),
+             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev),
+             |btd AS (
+             |  SELECT event_type, dec, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |    CAST(SUM(r) AS BIGINT) AS sr
+             |  FROM evd GROUP BY 1, 2),
+             |bd AS (SELECT dec, CAST(SUM(cnt) AS BIGINT) AS cnt_d
+             |  FROM btd GROUP BY 1),
+             |model AS (
+             |  SELECT event_type, dec, cnt * 1000000 // cnt_d AS p_ppm,
+             |    sr * 1000 // cnt AS q_mc
+             |  FROM btd JOIN bd USING (dec)),
+             |flat AS (
+             |  SELECT event_type,
+             |    CAST(COUNT(*) AS BIGINT) * 1000000 // (SELECT n FROM tot)
+             |      AS fp_ppm,
+             |    CAST(SUM(r) AS BIGINT) * 1000 // CAST(COUNT(*) AS BIGINT)
+             |      AS fq_mc
+             |  FROM ev GROUP BY event_type),
+             |scored AS (
+             |  SELECT n,
+             |    COALESCE(pim.q_mc, 0) AS q_pi_mc,
+             |    fpim.fq_mc AS fq_pi_mc,
+             |    CASE WHEN m.p_ppm > 0 AND evd.event_type = evd.pi_a
+             |      THEN (r * 1000 - m.q_mc) * 1000000 // m.p_ppm
+             |      ELSE 0 END AS corr_mc,
+             |    CASE WHEN f.fp_ppm > 0 AND evd.event_type = evd.pi_a
+             |      THEN (r * 1000 - f.fq_mc) * 1000000 // f.fp_ppm
+             |      ELSE 0 END AS fcorr_mc
+             |  FROM (SELECT *,
+             |      CASE WHEN user_id % 2 = 0 THEN 'purchase' ELSE 'view' END
+             |        AS pi_a
+             |    FROM evd) evd
+             |  JOIN model m ON evd.event_type = m.event_type AND evd.dec = m.dec
+             |  LEFT JOIN model pim ON pim.event_type = evd.pi_a AND pim.dec = evd.dec
+             |  JOIN flat f ON evd.event_type = f.event_type
+             |  JOIN flat fpim ON fpim.event_type = evd.pi_a
+             |  CROSS JOIN tot)
+             |SELECT n,
+             |  CASE WHEN n > 0 THEN
+             |    ROUND(CAST(SUM(q_pi_mc) AS DOUBLE) / n / 1000, 4)
+             |  END AS dm_binned_cents,
+             |  CASE WHEN n > 0 THEN
+             |    ROUND((CAST(SUM(q_pi_mc) AS DOUBLE)
+             |      + CAST(SUM(corr_mc) AS DOUBLE) / 1000000) / n / 1000, 4)
+             |  END AS dr_binned_cents,
+             |  CASE WHEN n > 0 THEN
+             |    ROUND(CAST(SUM(fq_pi_mc) AS DOUBLE) / n / 1000, 4)
+             |  END AS dm_flat_cents,
+             |  CASE WHEN n > 0 THEN
+             |    ROUND((CAST(SUM(fq_pi_mc) AS DOUBLE)
+             |      + CAST(SUM(fcorr_mc) AS DOUBLE) / 1000000) / n / 1000, 4)
+             |  END AS dr_flat_cents,
+             |  CASE WHEN n > 0 THEN
+             |    ROUND(CAST(SUM(q_pi_mc) - SUM(fq_pi_mc) AS DOUBLE) / n / 1000, 4)
+             |  END AS dm_gap_cents
+             |FROM scored GROUP BY n""".stripMargin)),
   )
 }
