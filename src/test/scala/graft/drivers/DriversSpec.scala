@@ -773,4 +773,105 @@ class DriversSpec extends SparkSpec {
     assert(fin.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L),
       "every concurrent upsert must survive — no lost updates")
   }
+
+  test("optimistic publish: TWO JAVA PROCESSES contend on one destination — serialized union, loser retried") {
+    // etl_concurrent_writers races two threads in ONE JVM, where the
+    // per-base JVM lock alone could mask a broken cross-process
+    // protocol. Here two real JVMs (graft.tools.CasWriterProbe) upsert
+    // the same seeded destination; a _snap_* file handshake inside each
+    // writer's snapshot() pins the interleave — both observe gen0
+    // before either writes — so the filesystem CAS markers are the ONLY
+    // thing standing between this test and a lost update.
+    val base = scratchDir("cas_xjvm")
+    val theSpec = MigrationSpec("cas_upsert", source = "", sourceDriver = "inline",
+      destination = s"$base/dest", destinationDriver = "parquet",
+      sourceIds = Seq(IdField("c_custkey", LongId)),
+      destinationIds = Seq(IdField("id", LongId)))
+    val cust = spark.read.parquet(s"$Sf/customer.parquet")
+    val d = new ParquetDestinationDriver
+    d.write(cust.filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        lit("base").as("marker")), theSpec)
+
+    // launch the two writers with this JVM's own java + add-opens set
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString).filter(_.startsWith("--add-opens"))
+      .toSeq match {
+        case Nil => // sbt may pass them as --add-opens=<mod>; fall back to the known set
+          Seq("java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
+            "java.base/java.io", "java.base/java.net", "java.base/java.nio", "java.base/java.util",
+            "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
+            "java.base/sun.nio.ch", "java.base/sun.nio.cs", "java.base/sun.security.action",
+            "java.base/sun.util.calendar").flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+        case opens => opens
+      }
+    val cp = "/opt/spark/jars/*:target/scala-2.13/classes"
+    def launch(marker: String, mod: Int): (Process, java.io.File) = {
+      val out = java.io.File.createTempFile(s"cas_$marker", ".out")
+      val pb = new ProcessBuilder(
+        (Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g", "-cp", cp,
+          "graft.tools.CasWriterProbe", base, Sf, marker, mod.toString)): _*)
+      pb.redirectOutput(out)
+      pb.redirectErrorStream(false)
+      (pb.start(), out)
+    }
+    val (pa, oa) = launch("a", 2)
+    val (pb2, ob) = launch("b", 3)
+    assert(pa.waitFor(180, java.util.concurrent.TimeUnit.SECONDS) &&
+      pb2.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), {
+        pa.destroyForcibly(); pb2.destroyForcibly()
+        "writer processes must finish within 180s"
+      })
+    assert(pa.exitValue() == 0 && pb2.exitValue() == 0,
+      s"writers must exit 0: a=${pa.exitValue()} b=${pb2.exitValue()}")
+    def parse(f: java.io.File): (String, Int, Long) = {
+      val line = scala.io.Source.fromFile(f).getLines()
+        .find(_.startsWith("""{"marker"""")).getOrElse(fail(s"no JSON line in $f"))
+      val m = """\{"marker":"(\w)","conflicts":(\d+),"final_gen":(\d+)\}""".r
+        .findFirstMatchIn(line).getOrElse(fail(s"unparseable: $line"))
+      (m.group(1), m.group(2).toInt, m.group(3).toLong)
+    }
+    val results = Seq(parse(oa), parse(ob))
+    // exactly one writer lost its CAS and retried
+    assert(results.map(_._2).sorted == Seq(0, 1),
+      s"exactly one cross-process conflict expected: $results")
+
+    // the generation log: seed + winner + loser's retry, pointer at max;
+    // the _cas_from_gen0 audit marker names the WINNER's generation
+    val gens = d.generations(spark, theSpec)
+    assert(gens.size == 3 && gens.head == 0L &&
+      d.currentGeneration(spark, theSpec).contains(gens.max),
+      s"generation log must be seed + 2 serialized publishes: $gens")
+    val fs = new org.apache.hadoop.fs.Path(s"$base/dest")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$base/dest", "_cas_from_gen0"))
+    val winnerGen = (try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+      finally in.close()).stripPrefix("gen").toLong
+    val loserMarker = results.find(_._2 == 1).get._1
+    val winnerMarker = results.find(_._2 == 0).get._1
+    assert(results.find(_._1 == winnerMarker).get._3 >= winnerGen,
+      "winner must have published the gen its CAS marker records")
+
+    // final state = the SERIALIZED union: loser's transform applied on
+    // top of the winner's published state — byte-exact expectation
+    def shaped(marker: String, c: org.apache.spark.sql.Column) =
+      if (marker == "a") upper(c) else lower(c)
+    def modOf(marker: String) = if (marker == "a") 2 else 3
+    val expected = cust.filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey").as("id"),
+        when(col("c_custkey") % modOf(loserMarker) === 0,
+            shaped(loserMarker, col("c_name")))
+          .when(col("c_custkey") % modOf(winnerMarker) === 0,
+            shaped(winnerMarker, col("c_name")))
+          .otherwise(col("c_name")).as("name"),
+        when(col("c_custkey") % modOf(loserMarker) === 0, lit(loserMarker))
+          .when(col("c_custkey") % modOf(winnerMarker) === 0, lit(winnerMarker))
+          .otherwise(lit("base")).as("marker"))
+    val got = d.snapshot(spark, theSpec).get.select("id", "name", "marker")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      s"final state must be the serialized union (loser=$loserMarker last)")
+  }
 }
