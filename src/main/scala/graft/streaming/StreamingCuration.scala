@@ -188,8 +188,12 @@ object StreamingCuration {
     dest.snapshot(spark,
       CurationPipeline.migrations(s"$base/stages").last.spec)
 
-  /** Per-stage generation counts — the incrementality evidence (each
-    * completed batch publishes one generation per stage).
+  /** Per-stage generation counts. Under [[runDag]] (full re-derivation)
+    * every batch publishes one generation per stage; under
+    * [[runDagIncremental]] only the mix stage does — the per-document
+    * stages land merge-on-read deltas instead (see
+    * [[ParquetDestinationDriver.deltaSegments]] and the
+    * `metrics/batch_*` processed-row evidence).
     */
   def stageGenerations(spark: SparkSession, base: String,
       dest: ParquetDestinationDriver = new ParquetDestinationDriver): Map[String, Int] =
