@@ -14,7 +14,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     Relational.defs ++ Etl.defs ++ TextQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ EmbeddingQueries.defs ++ CurationQueries.defs ++
-      EvalQueries.defs ++ GeoQueries.defs ++ StreamingQueries.defs
+      EvalQueries.defs ++ GeoQueries.defs ++ InferenceQueries.defs ++
+      StreamingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -83,13 +83,27 @@ object CasWriterProbe {
     val mapper = new MappingStore(s"$base/map_$marker")
     val refs = new graft.exec.ReferenceStore(mapper)
     val exec = new MigrationExecutor(mapper, refs, KeepOrphans)
+    // Retry-until-published, the real optimistic-concurrency contract:
+    // a single retry is NOT enough cross-process — the loser's re-read
+    // can land in the window after the winner created its CAS marker
+    // but before the pointer flip, where the loser rolls the winner
+    // forward (the redo stance) and must concede a SECOND time before
+    // it finally observes the advanced pointer. Progress is guaranteed
+    // (each concession means a rival published), so the bound is just
+    // a tripwire against protocol livelock.
     var conflicts = 0
     try {
-      try exec.execute(spark, mig, src, sync): Unit
-      catch {
-        case _: ConcurrentPublishException =>
-          conflicts += 1
-          exec.execute(spark, mig, src, dest): Unit // re-read + re-merge + retry
+      var published = false
+      var drv = sync: DestinationDriver
+      while (!published) {
+        try { exec.execute(spark, mig, src, drv): Unit; published = true }
+        catch {
+          case _: ConcurrentPublishException =>
+            conflicts += 1
+            require(conflicts <= 10,
+              s"writer $marker conceded 10 times against one rival - livelock")
+            drv = dest // re-read + re-merge + retry (no barrier on retries)
+        }
       }
     } finally { exec.release(); refs.release() }
     val finalGen = dest.currentGeneration(spark, theSpec).getOrElse(-1L)

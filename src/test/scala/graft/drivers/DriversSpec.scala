@@ -808,24 +808,30 @@ class DriversSpec extends SparkSpec {
         case opens => opens
       }
     val cp = "/opt/spark/jars/*:target/scala-2.13/classes"
-    def launch(marker: String, mod: Int): (Process, java.io.File) = {
+    def launch(marker: String, mod: Int): (Process, java.io.File, java.io.File) = {
       val out = java.io.File.createTempFile(s"cas_$marker", ".out")
+      val err = java.io.File.createTempFile(s"cas_$marker", ".err")
       val pb = new ProcessBuilder(
         (Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g", "-cp", cp,
           "graft.tools.CasWriterProbe", base, Sf, marker, mod.toString)): _*)
       pb.redirectOutput(out)
-      pb.redirectErrorStream(false)
-      (pb.start(), out)
+      pb.redirectError(err)
+      (pb.start(), out, err)
     }
-    val (pa, oa) = launch("a", 2)
-    val (pb2, ob) = launch("b", 3)
+    val (pa, oa, ea) = launch("a", 2)
+    val (pb2, ob, eb) = launch("b", 3)
     assert(pa.waitFor(180, java.util.concurrent.TimeUnit.SECONDS) &&
       pb2.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), {
         pa.destroyForcibly(); pb2.destroyForcibly()
         "writer processes must finish within 180s"
       })
+    def errTail(f: java.io.File): String = {
+      val lines = scala.io.Source.fromFile(f).getLines().toSeq
+      lines.drop(math.max(0, lines.size - 30)).mkString("\n")
+    }
     assert(pa.exitValue() == 0 && pb2.exitValue() == 0,
-      s"writers must exit 0: a=${pa.exitValue()} b=${pb2.exitValue()}")
+      s"writers must exit 0: a=${pa.exitValue()} b=${pb2.exitValue()}\n" +
+        s"--- a stderr tail ---\n${errTail(ea)}\n--- b stderr tail ---\n${errTail(eb)}")
     def parse(f: java.io.File): (String, Int, Long) = {
       val line = scala.io.Source.fromFile(f).getLines()
         .find(_.startsWith("""{"marker"""")).getOrElse(fail(s"no JSON line in $f"))
@@ -834,9 +840,13 @@ class DriversSpec extends SparkSpec {
       (m.group(1), m.group(2).toInt, m.group(3).toLong)
     }
     val results = Seq(parse(oa), parse(ob))
-    // exactly one writer lost its CAS and retried
-    assert(results.map(_._2).sorted == Seq(0, 1),
-      s"exactly one cross-process conflict expected: $results")
+    // exactly one writer wins the pinned first round; the loser retries
+    // until published and may concede MORE than once (its re-read can
+    // land between the winner's CAS-marker create and pointer flip,
+    // where it rolls the winner forward and concedes again — the probe
+    // documents the window)
+    assert(results.map(_._2).min == 0 && results.map(_._2).max >= 1,
+      s"one clean winner and one retried loser expected: $results")
 
     // the generation log: seed + winner + loser's retry, pointer at max;
     // the _cas_from_gen0 audit marker names the WINNER's generation
@@ -850,7 +860,7 @@ class DriversSpec extends SparkSpec {
     val winnerGen = (try new String(
         org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
       finally in.close()).stripPrefix("gen").toLong
-    val loserMarker = results.find(_._2 == 1).get._1
+    val loserMarker = results.find(_._2 >= 1).get._1
     val winnerMarker = results.find(_._2 == 0).get._1
     assert(results.find(_._1 == winnerMarker).get._3 >= winnerGen,
       "winner must have published the gen its CAS marker records")
