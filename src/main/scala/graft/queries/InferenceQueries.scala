@@ -20,6 +20,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * graded exemplary in r16.
   */
 object InferenceQueries {
+  import Shared.cents
   import Tables._
 
   def defs: Seq[QueryDef] = Seq(
@@ -337,5 +338,347 @@ object InferenceQueries {
              |      >= CAST(2371932 AS HUGEINT) * ssw * (k - 1) AS INT)
              |    END AS significant
              |FROM fin""".stripMargin)),
+
+    // TOST equivalence test — the readout a difference test CANNOT
+    // give: "these arms are the SAME to within ±δ" (two one-sided
+    // Welch tests, both must reject at α=0.05 → 90% CI inside the
+    // margin). Metric and split mirror q_welch_ttest exactly
+    // (customer acctbal in whole DOLLARS — cents would push the
+    // squared margin term δ²·n_a²·n_b² past the 38-digit domain by
+    // sf0.1; custkey parity is a null split, so equivalence is the
+    // TRUE verdict once n shrinks the 90% CI inside δ = $150, which
+    // happens exactly at the largest SF — the gate's verdict flips
+    // with n, the decision semantics under test; the two-sided Welch
+    // `different` verdict rides along
+    // to show the two questions are not complements). Each one-sided
+    // decision is exact: with d = s_a·n_b − s_b·n_a and
+    // m = δ·n_a·n_b, t_lo > 1.645 ⇔ (d+m) > 0 AND
+    // 40000·(d+m)²·(n_a−1)(n_b−1) ≥ 108241·(A_a·n_b²(n_b−1) +
+    // A_b·n_a²(n_a−1)) (1.645² = 108241/40000 in lowest terms;
+    // A_i = n_i·q_i − s_i², the q_welch_ttest algebra with the
+    // margin folded into the numerator before squaring), evaluated
+    // in DECIMAL(38)/HUGEINT behind the standard loud 1e36 pre-check.
+    // Shape: one map-side-combined aggregate to a single moments row.
+    QueryDef("q_tost_equivalence",
+      (spark, sf) => {
+        val m = 150L // ±$150 equivalence margin, in whole dollars
+        val wide = load(spark, sf, "customer")
+          .select((col("c_custkey") % 2 === 0).as("grp_a"),
+            round(col("c_acctbal")).cast("long").as("v"))
+          .agg(
+            sum(when(col("grp_a"), 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("grp_a"), col("v")).otherwise(0L)).as("s_a"),
+            sum(when(col("grp_a"), col("v") * col("v")).otherwise(0L)).as("q_a"),
+            sum(when(!col("grp_a"), 1L).otherwise(0L)).as("n_b"),
+            sum(when(!col("grp_a"), col("v")).otherwise(0L)).as("s_b"),
+            sum(when(!col("grp_a"), col("v") * col("v")).otherwise(0L)).as("q_b"))
+        def oneSided(num: String): String =
+          s"""CASE WHEN 40000 * POW(CAST($num AS DOUBLE), 2)
+             |       * (n_a - 1) * (n_b - 1) > 1e36
+             |    OR 108241 * ((CAST(n_a AS DOUBLE) * q_a)
+             |         * n_b * n_b * (n_b - 1)
+             |       + (CAST(n_b AS DOUBLE) * q_b)
+             |         * n_a * n_a * (n_a - 1)) > 1e36
+             |  THEN CAST(raise_error(CONCAT('q_tost_equivalence: statistics ',
+             |    'exceed the DECIMAL(38) exact-decision domain - shard the ',
+             |    'metric or decide on the t double')) AS INT)
+             |  WHEN ($num) <= 0 THEN 0
+             |  ELSE CAST(
+             |    CAST($num AS DECIMAL(38,0)) * ($num)
+             |      * (n_a - 1) * (n_b - 1) * 40000
+             |    >= CAST(108241 AS DECIMAL(38,0))
+             |      * ((CAST(n_a AS DECIMAL(38,0)) * q_a
+             |            - CAST(s_a AS DECIMAL(38,0)) * s_a) * n_b * n_b * (n_b - 1)
+             |         + (CAST(n_b AS DECIMAL(38,0)) * q_b
+             |            - CAST(s_b AS DECIMAL(38,0)) * s_b) * n_a * n_a * (n_a - 1))
+             |    AS INT) END""".stripMargin
+        val ok = col("n_a") > 1 && col("n_b") > 1
+        wide
+          .withColumn("lo_ok", when(ok, expr(
+            oneSided(s"s_a * n_b - s_b * n_a + $m * n_a * n_b"))))
+          .withColumn("hi_ok", when(ok, expr(
+            oneSided(s"$m * n_a * n_b - (s_a * n_b - s_b * n_a)"))))
+          .select(col("n_a"), col("n_b"), lit(m).as("margin_dollars"),
+            when(ok, round(expr(
+              """CAST(s_a * n_b - s_b * n_a AS DOUBLE)
+                |  / (CAST(n_a AS DOUBLE) * n_b)""".stripMargin), 4))
+              .as("diff_dollars"),
+            when(ok, expr(s"CAST(lo_ok = 1 AND hi_ok = 1 AS INT)"))
+              .as("equivalent"),
+            when(ok, expr(Shared.WelchDecisionSpark)).as("different"))
+      },
+      Some(s"""WITH wide AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN c_custkey % 2 = 0
+             |      THEN CAST(ROUND(c_acctbal) AS BIGINT)
+             |      ELSE 0 END) AS BIGINT) AS s_a,
+             |    CAST(SUM(CASE WHEN c_custkey % 2 = 0
+             |      THEN CAST(ROUND(c_acctbal) AS BIGINT)
+             |        * CAST(ROUND(c_acctbal) AS BIGINT)
+             |      ELSE 0 END) AS BIGINT) AS q_a,
+             |    CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 0 ELSE 1 END)
+             |      AS BIGINT) AS n_b,
+             |    CAST(SUM(CASE WHEN c_custkey % 2 <> 0
+             |      THEN CAST(ROUND(c_acctbal) AS BIGINT)
+             |      ELSE 0 END) AS BIGINT) AS s_b,
+             |    CAST(SUM(CASE WHEN c_custkey % 2 <> 0
+             |      THEN CAST(ROUND(c_acctbal) AS BIGINT)
+             |        * CAST(ROUND(c_acctbal) AS BIGINT)
+             |      ELSE 0 END) AS BIGINT) AS q_b
+             |  FROM customer),
+             |sided AS (
+             |  SELECT *,
+             |    CASE WHEN s_a * n_b - s_b * n_a + 150 * n_a * n_b <= 0
+             |      THEN 0
+             |      ELSE CAST(
+             |        CAST(s_a * n_b - s_b * n_a + 150 * n_a * n_b
+             |          AS HUGEINT)
+             |          * (s_a * n_b - s_b * n_a + 150 * n_a * n_b)
+             |          * (n_a - 1) * (n_b - 1) * 40000
+             |        >= CAST(108241 AS HUGEINT)
+             |          * ((CAST(n_a AS HUGEINT) * q_a
+             |                - CAST(s_a AS HUGEINT) * s_a)
+             |              * n_b * n_b * (n_b - 1)
+             |             + (CAST(n_b AS HUGEINT) * q_b
+             |                - CAST(s_b AS HUGEINT) * s_b)
+             |              * n_a * n_a * (n_a - 1)) AS INT) END AS lo_ok,
+             |    CASE WHEN 150 * n_a * n_b - (s_a * n_b - s_b * n_a) <= 0
+             |      THEN 0
+             |      ELSE CAST(
+             |        CAST(150 * n_a * n_b - (s_a * n_b - s_b * n_a)
+             |          AS HUGEINT)
+             |          * (150 * n_a * n_b - (s_a * n_b - s_b * n_a))
+             |          * (n_a - 1) * (n_b - 1) * 40000
+             |        >= CAST(108241 AS HUGEINT)
+             |          * ((CAST(n_a AS HUGEINT) * q_a
+             |                - CAST(s_a AS HUGEINT) * s_a)
+             |              * n_b * n_b * (n_b - 1)
+             |             + (CAST(n_b AS HUGEINT) * q_b
+             |                - CAST(s_b AS HUGEINT) * s_b)
+             |              * n_a * n_a * (n_a - 1)) AS INT) END AS hi_ok
+             |  FROM wide)
+             |SELECT n_a, n_b, CAST(150 AS BIGINT) AS margin_dollars,
+             |  CASE WHEN n_a > 1 AND n_b > 1 THEN
+             |    ROUND(CAST(s_a * n_b - s_b * n_a AS DOUBLE)
+             |      / (CAST(n_a AS DOUBLE) * n_b), 4)
+             |  END AS diff_dollars,
+             |  CASE WHEN n_a > 1 AND n_b > 1 THEN
+             |    CAST(lo_ok = 1 AND hi_ok = 1 AS INT)
+             |  END AS equivalent,
+             |  CASE WHEN n_a > 1 AND n_b > 1 THEN
+             |    ${Shared.WelchDecisionDuck.replace("\n", "\n             |    ")}
+             |  END AS different
+             |FROM sided""".stripMargin)),
+
+    // Stratified confounder adjustment — the DESIGN-BASED causal
+    // estimate next to q_dr_eval_binned's model-based one: customers
+    // who ever placed an URGENT-priority order show a large naive
+    // revenue gap versus those who never did, but treatment propensity
+    // is mechanically confounded by order COUNT (more orders → more
+    // chances of ≥1 urgent). Stratifying on the confounder (order-count
+    // decile from the distributed Rank primitive) and averaging
+    // within-stratum arm gaps weighted by stratum size removes the
+    // mechanical part; the output shows naive vs adjusted side by side.
+    // Strata missing an arm are excluded and COUNTED (n_strata_used —
+    // the standard positivity disclosure). Exact integers end-to-end:
+    // millicent within-stratum means by truncating division (both
+    // operands non-negative), one signed truncating division at the
+    // end (Spark div and DuckDB // both truncate toward zero —
+    // verified, the q_dr_eval precedent). Shape: one o_custkey
+    // shuffle, one rank pass over customers, O(10) stratum rows.
+    QueryDef("q_propensity_strata",
+      (spark, sf) => {
+        val per = load(spark, sf, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(cents(col("o_totalprice"))).as("sy"),
+            max(when(col("o_orderpriority") === "1-URGENT", 1L)
+              .otherwise(0L)).as("t"))
+        val (ranked, nu) = graft.ops.Rank.rankGlobalWithCount(
+          per, Seq(col("cnt"), col("o_custkey")), "rn")
+        val byS = ranked
+          .select(expr(s"(rn - 1) * 10 div $nu").as("dec"),
+            col("t"), col("cnt"), col("sy"))
+          .groupBy(col("dec"))
+          .agg(sum(col("t")).as("n1"),
+            sum(col("t") * col("sy")).as("sy1"),
+            (count(lit(1)) - sum(col("t"))).as("n0"),
+            sum((lit(1L) - col("t")) * col("sy")).as("sy0"))
+        byS.agg(
+            sum(col("n1") + col("n0")).as("n_cust"),
+            sum(col("n1")).as("treated"),
+            sum(col("sy1")).as("ty"), sum(col("sy0")).as("cy"),
+            sum(when(col("n1") > 0 && col("n0") > 0, 1L).otherwise(0L))
+              .as("n_strata_used"),
+            sum(when(col("n1") > 0 && col("n0") > 0,
+              col("n1") + col("n0")).otherwise(0L)).as("n_used"),
+            sum(when(col("n1") > 0 && col("n0") > 0,
+              (col("n1") + col("n0")) *
+                (expr("sy1 * 1000 div n1") - expr("sy0 * 1000 div n0")))
+              .otherwise(0L)).as("contrib_mc"))
+          .select(col("n_cust"), col("treated"), col("n_strata_used"),
+            expr("""CASE WHEN treated > 0 AND n_cust > treated
+              |  THEN ROUND(CAST(ty * 1000 div treated
+              |    - cy * 1000 div (n_cust - treated) AS DOUBLE) / 100000, 4)
+              |END""".stripMargin).as("naive_diff_dollars"),
+            expr("""CASE WHEN n_used > 0
+              |  THEN ROUND(CAST(contrib_mc div n_used AS DOUBLE) / 100000, 4)
+              |END""".stripMargin).as("adjusted_diff_dollars"))
+      },
+      Some("""WITH per AS (
+             |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS sy,
+             |    CAST(MAX(CASE WHEN o_orderpriority = '1-URGENT'
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS t
+             |  FROM orders GROUP BY 1),
+             |nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM per),
+             |deciled AS (
+             |  SELECT t, sy,
+             |    (ROW_NUMBER() OVER (ORDER BY cnt, o_custkey) - 1) * 10
+             |      // (SELECT nu FROM nu) AS dec
+             |  FROM per),
+             |bys AS (
+             |  SELECT dec, CAST(SUM(t) AS BIGINT) AS n1,
+             |    CAST(SUM(t * sy) AS BIGINT) AS sy1,
+             |    CAST(COUNT(*) - SUM(t) AS BIGINT) AS n0,
+             |    CAST(SUM((1 - t) * sy) AS BIGINT) AS sy0
+             |  FROM deciled GROUP BY 1),
+             |agg AS (
+             |  SELECT CAST(SUM(n1 + n0) AS BIGINT) AS n_cust,
+             |    CAST(SUM(n1) AS BIGINT) AS treated,
+             |    CAST(SUM(sy1) AS BIGINT) AS ty,
+             |    CAST(SUM(sy0) AS BIGINT) AS cy,
+             |    CAST(SUM(CASE WHEN n1 > 0 AND n0 > 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_strata_used,
+             |    CAST(SUM(CASE WHEN n1 > 0 AND n0 > 0 THEN n1 + n0
+             |      ELSE 0 END) AS BIGINT) AS n_used,
+             |    CAST(SUM(CASE WHEN n1 > 0 AND n0 > 0 THEN (n1 + n0)
+             |      * (sy1 * 1000 // n1 - sy0 * 1000 // n0)
+             |      ELSE 0 END) AS BIGINT) AS contrib_mc
+             |  FROM bys)
+             |SELECT n_cust, treated, n_strata_used,
+             |  CASE WHEN treated > 0 AND n_cust > treated
+             |    THEN ROUND(CAST(ty * 1000 // treated
+             |      - cy * 1000 // (n_cust - treated) AS DOUBLE) / 100000, 4)
+             |  END AS naive_diff_dollars,
+             |  CASE WHEN n_used > 0
+             |    THEN ROUND(CAST(contrib_mc // n_used AS DOUBLE) / 100000, 4)
+             |  END AS adjusted_diff_dollars
+             |FROM agg""".stripMargin)),
+
+    // Deterministic randomization (permutation) test — the
+    // assumption-free significance readout next to the layer's
+    // parametric (Welch/ANOVA) and rank (Mann-Whitney) tests: is the
+    // parity split's per-user revenue gap larger than chance relabels
+    // produce? 199 relabelings assign each user by an md5 word
+    // (user:perm:shuffle — the q_bootstrap_ci determinism recipe;
+    // replayable bit-exact in both engines), each permutation's
+    // |mean gap| in exact µcents via truncating division; the p-value
+    // is the standard (1 + #{perm ≥ observed}) / (R+1) with
+    // single-arm permutations dropped and counted. Shape: ONE user
+    // shuffle, a 199-way in-mapper explode feeding a map-side-combined
+    // (perm, arm) aggregate — 400 partial rows, embarrassingly
+    // parallel, zero driver loops at any corpus size.
+    QueryDef("q_permutation_test",
+      (spark, sf) => {
+        val per = load(spark, sf, "events")
+          .groupBy(col("user_id"))
+          .agg(sum(cents(col("value"))).as("y"))
+        val obs = per
+          .agg(
+            sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("user_id") % 2 === 0, col("y")).otherwise(0L))
+              .as("s1"),
+            sum(when(col("user_id") % 2 =!= 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("user_id") % 2 =!= 0, col("y")).otherwise(0L))
+              .as("s0"))
+          .select(col("n1"), col("n0"),
+            expr("""CASE WHEN n1 > 0 AND n0 > 0
+              |  THEN ABS(s1 * 1000000 div n1 - s0 * 1000000 div n0)
+              |END""".stripMargin).as("obs_uc"))
+        val perms = per
+          .select(col("user_id"), col("y"),
+            explode(expr("sequence(1, 199)")).as("p"))
+          .withColumn("g", (conv(substring(md5(concat(
+            col("user_id").cast("string"), lit(":"),
+            col("p").cast("string"), lit("shuffle"))), 1, 8), 16, 10)
+            .cast("long") % 2).cast("long"))
+          .groupBy(col("p"))
+          .agg(sum(col("g")).as("pn1"), sum(col("g") * col("y")).as("ps1"),
+            (count(lit(1)) - sum(col("g"))).as("pn0"),
+            sum((lit(1L) - col("g")) * col("y")).as("ps0"))
+          .select(
+            when(col("pn1") > 0 && col("pn0") > 0,
+              expr("ABS(ps1 * 1000000 div pn1 - ps0 * 1000000 div pn0)"))
+              .as("stat_uc"))
+        perms.crossJoin(broadcast(obs))
+          .agg(max(col("n1")).as("n_a"), max(col("n0")).as("n_b"),
+            max(col("obs_uc")).as("obs_uc"),
+            sum(when(col("stat_uc").isNotNull, 1L).otherwise(0L))
+              .as("r_valid"),
+            sum(when(col("stat_uc") >= col("obs_uc"), 1L).otherwise(0L))
+              .as("n_ge"))
+          .select(col("n_a"), col("n_b"), col("r_valid"),
+            round(col("obs_uc").cast("double") / 100000000L, 4)
+              .as("obs_diff_dollars"),
+            expr("""CASE WHEN r_valid > 0 AND obs_uc IS NOT NULL
+              |  THEN (1 + n_ge) * 1000 div (r_valid + 1)
+              |END""".stripMargin).as("p_permille"))
+      },
+      Some("""WITH per AS (
+             |  SELECT user_id,
+             |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             |      AS y
+             |  FROM events GROUP BY 1),
+             |obs AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n1,
+             |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN y ELSE 0 END)
+             |      AS BIGINT) AS s1,
+             |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n0,
+             |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN y ELSE 0 END)
+             |      AS BIGINT) AS s0
+             |  FROM per),
+             |obs2 AS (
+             |  SELECT n1, n0,
+             |    CASE WHEN n1 > 0 AND n0 > 0
+             |      THEN ABS(s1 * 1000000 // n1 - s0 * 1000000 // n0)
+             |    END AS obs_uc
+             |  FROM obs),
+             |reps AS (
+             |  SELECT p, y,
+             |    ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+             |      || CAST(p AS VARCHAR) || 'shuffle'), 1, 8))::BIGINT % 2
+             |      AS g
+             |  FROM per CROSS JOIN (SELECT unnest(range(1, 200)) AS p)),
+             |perms AS (
+             |  SELECT p, CAST(SUM(g) AS BIGINT) AS pn1,
+             |    CAST(SUM(g * y) AS BIGINT) AS ps1,
+             |    CAST(COUNT(*) - SUM(g) AS BIGINT) AS pn0,
+             |    CAST(SUM((1 - g) * y) AS BIGINT) AS ps0
+             |  FROM reps GROUP BY p),
+             |stats AS (
+             |  SELECT CASE WHEN pn1 > 0 AND pn0 > 0
+             |    THEN ABS(ps1 * 1000000 // pn1 - ps0 * 1000000 // pn0)
+             |  END AS stat_uc
+             |  FROM perms)
+             |SELECT MAX(n1) AS n_a, MAX(n0) AS n_b,
+             |  CAST(SUM(CASE WHEN stat_uc IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS r_valid,
+             |  ROUND(CAST(MAX(obs_uc) AS DOUBLE) / 100000000, 4)
+             |    AS obs_diff_dollars,
+             |  CASE WHEN SUM(CASE WHEN stat_uc IS NOT NULL THEN 1 ELSE 0 END) > 0
+             |    AND MAX(obs_uc) IS NOT NULL
+             |    THEN CAST((1 + SUM(CASE WHEN stat_uc >= obs_uc
+             |        THEN 1 ELSE 0 END))
+             |      * 1000 // (SUM(CASE WHEN stat_uc IS NOT NULL
+             |        THEN 1 ELSE 0 END) + 1) AS BIGINT)
+             |  END AS p_permille
+             |FROM stats CROSS JOIN obs2""".stripMargin)),
   )
 }
