@@ -680,5 +680,72 @@ object InferenceQueries {
              |        THEN 1 ELSE 0 END) + 1) AS BIGINT)
              |  END AS p_permille
              |FROM stats CROSS JOIN obs2""".stripMargin)),
+
+    // STL-style decomposition of the daily event series — the
+    // diagnostic VIEW the drift tests (Mann-Kendall, Page-Hinkley,
+    // q_seasonality) decide over, completing the time-series family:
+    // trend = centered 7-day moving average, seasonal = day-of-week
+    // mean of the detrended series, remainder = what's left. All
+    // integer-exact at a ×7 scale (dev = cnt·7 − trend₇ avoids any
+    // division until display; the one signed truncating division —
+    // day-of-week mean of possibly-negative deviations — is identical
+    // in both engines, verified). Days are epoch-day BIGINTs
+    // (micros div 86400000000) so no date-type semantics can diverge;
+    // edge days without the full ±3-day window are dropped (nw = 7),
+    // the standard centered-MA convention. The moving average is an
+    // OFFSET-EXPLODE + equi-join (each day contributes to its 7
+    // neighbors), never a |Δday| ≤ 3 theta-join — the registry's
+    // zero-cartesian discipline. Shape: one day shuffle (calendar-
+    // bounded frame), one 7× in-mapper explode, one broadcast of 7
+    // day-of-week rows.
+    QueryDef("q_stl_decompose",
+      (spark, sf) => {
+        val daily = load(spark, sf, "events")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val contrib = daily
+          .select(col("day").as("src"), col("cnt").as("cnt2"),
+            explode(expr("sequence(-3L, 3L)")).as("off"))
+          .select((col("src") + col("off")).as("day"), col("cnt2"))
+        val tr = daily.join(contrib, Seq("day"))
+          .groupBy(col("day"), col("cnt"))
+          .agg(count(lit(1)).as("nw"), sum(col("cnt2")).as("t7"))
+          .filter(col("nw") === 7)
+        val dev = tr.select(col("day"), col("cnt"), col("t7"),
+          (col("cnt") * 7 - col("t7")).as("dev"),
+          (col("day") % 7).as("dow"))
+        val seas = dev.groupBy(col("dow"))
+          .agg(expr("sum(dev) div count(1)").as("seas7"))
+        dev.join(broadcast(seas), Seq("dow"))
+          .select(col("day"), col("cnt"),
+            round(col("t7").cast("double") / 7, 4).as("trend"),
+            round(col("seas7").cast("double") / 7, 4).as("seasonal"),
+            round((col("dev") - col("seas7")).cast("double") / 7, 4)
+              .as("residual"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT epoch_us(ts) // 86400000000 AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1),
+             |contrib AS (
+             |  SELECT day + off AS day, cnt AS cnt2
+             |  FROM daily CROSS JOIN
+             |    (SELECT unnest(range(-3, 4)) AS off)),
+             |tr AS (
+             |  SELECT daily.day, daily.cnt,
+             |    COUNT(*) AS nw, CAST(SUM(cnt2) AS BIGINT) AS t7
+             |  FROM daily JOIN contrib USING (day) GROUP BY 1, 2),
+             |dev AS (
+             |  SELECT day, cnt, t7, cnt * 7 - t7 AS dev, day % 7 AS dow
+             |  FROM tr WHERE nw = 7),
+             |seas AS (
+             |  SELECT dow, CAST(SUM(dev) // COUNT(*) AS BIGINT) AS seas7
+             |  FROM dev GROUP BY 1)
+             |SELECT day, cnt,
+             |  ROUND(CAST(t7 AS DOUBLE) / 7, 4) AS trend,
+             |  ROUND(CAST(seas7 AS DOUBLE) / 7, 4) AS seasonal,
+             |  ROUND(CAST(dev - seas7 AS DOUBLE) / 7, 4) AS residual
+             |FROM dev JOIN seas USING (dow) ORDER BY day""".stripMargin)),
   )
 }

@@ -1688,20 +1688,7 @@ object Relational {
             row_number().over(byVersion).as("version"))
           .orderBy(col("o_custkey"), col("version"))
       },
-      Some("""WITH changes AS (
-             |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
-             |  FROM (
-             |    SELECT *, LAG(o_orderpriority) OVER (PARTITION BY o_custkey
-             |      ORDER BY o_orderdate, o_orderkey) AS prev
-             |    FROM orders)
-             |  WHERE prev IS NULL OR prev <> o_orderpriority)
-             |SELECT o_custkey, o_orderpriority AS priority,
-             |  o_orderdate AS valid_from,
-             |  LEAD(o_orderdate) OVER w AS valid_to,
-             |  CAST(ROW_NUMBER() OVER w AS INT) AS version
-             |FROM changes
-             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-             |ORDER BY o_custkey, version""".stripMargin)),
+      Some(Shared.Scd2Oracle)),
 
     // Running DISTINCT count per window — Spark (like most engines)
     // rejects COUNT(DISTINCT) OVER, so the engine composes it: a lag

@@ -979,6 +979,26 @@ object Shared {
 
   /** One oracle for both O'Brien-Fleming twins (q_obrien_fleming batch,
     * stream_obrien_fleming interim read-out over live per-user state). */
+  /** One oracle for both SCD2 twins: `q_scd2_history` (batch window
+    * composition over the full order history) and `stream_scd2` (the
+    * same history maintained INCREMENTALLY from date-ordered CDC
+    * chunks through the merge-on-read delta log). */
+  val Scd2Oracle: String =
+    """WITH changes AS (
+      |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      |  FROM (
+      |    SELECT *, LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS prev
+      |    FROM orders)
+      |  WHERE prev IS NULL OR prev <> o_orderpriority)
+      |SELECT o_custkey, o_orderpriority AS priority,
+      |  o_orderdate AS valid_from,
+      |  LEAD(o_orderdate) OVER w AS valid_to,
+      |  CAST(ROW_NUMBER() OVER w AS INT) AS version
+      |FROM changes
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, version""".stripMargin
+
   val ObfOracle: String =
     s"""WITH ev AS (
              |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
