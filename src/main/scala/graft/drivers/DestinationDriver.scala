@@ -711,6 +711,54 @@ final class ParquetDestinationDriver(
     try out.write(gen.getBytes("UTF-8")) finally out.close()
   }
 
+  /** SHALLOW CLONE: publish a new destination whose gen0 references the
+    * source's CURRENT generation files without rewriting a byte — the
+    * lakehouse zero-copy-clone pattern (dev/test forks, what-if
+    * branches at table scale). The data files are HARDLINKED on a
+    * local/POSIX filesystem (one metadata op per file, O(files) not
+    * O(bytes) — on an object store this would be a manifest of source
+    * paths instead); if the filesystem refuses links the clone falls
+    * back to a copy and reports it. From gen0 on, the clone is an
+    * ordinary generation-pointer destination: its writes land gen1+
+    * in its OWN base, never touching the source (parquet generation
+    * files are immutable once published, so shared blocks are safe —
+    * the same immutability time travel already relies on), and the
+    * source's vacuum must simply retain the cloned generation as it
+    * retains any time-travel-reachable one. A `_cloned_from` marker
+    * records provenance for audits. Returns true when every file was
+    * linked (zero bytes copied).
+    */
+  def shallowClone(spark: SparkSession, src: MigrationSpec, dst: MigrationSpec): Boolean = {
+    val srcBase = UriSchemes.path(src.destination)
+    val gen = currentGen(spark, srcBase).getOrElse(throw new IllegalStateException(
+      s"shallow clone needs a published source generation at $srcBase"))
+    val dstBase = UriSchemes.path(dst.destination)
+    require(currentGen(spark, dstBase).isEmpty,
+      s"shallow clone target $dstBase already has a published generation")
+    val from = java.nio.file.Paths.get(srcBase, gen)
+    val to = java.nio.file.Paths.get(dstBase, "gen0")
+    java.nio.file.Files.createDirectories(to)
+    var allLinked = true
+    val files = java.nio.file.Files.list(from)
+    try files.iterator().forEachRemaining { p =>
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val target = to.resolve(p.getFileName.toString)
+        try { java.nio.file.Files.createLink(target, p): Unit }
+        catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            java.nio.file.Files.copy(p, target,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+            allLinked = false
+        }
+      }
+    } finally files.close()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dstBase, "_cloned_from"),
+      s"$srcBase/$gen".getBytes("UTF-8")): Unit
+    setCurrent(spark, dstBase, "gen0")
+    allLinked
+  }
+
   /** The published (CURRENT) generation's schema, if any — the
     * authoritative "latest" schema evolution reconciles old reads to.
     * One parquet footer read, no data scan.

@@ -2590,5 +2590,66 @@ object Etl {
              |SELECT digit, obs, exp_ppm, CAST(obs_ppm AS BIGINT) AS obs_ppm,
              |  CAST(obs_ppm - exp_ppm AS BIGINT) AS dev_ppm
              |FROM f ORDER BY digit""".stripMargin)),
+
+    // SHALLOW CLONE — the zero-copy table fork every lakehouse ships
+    // (dev/test forks, what-if branches): the clone's gen0 HARDLINKS
+    // the source's published files (O(files) metadata ops, zero bytes
+    // moved — an object-store deployment writes a manifest instead),
+    // then the two destinations evolve independently: an upsert to the
+    // clone lands gen1 in the clone's own base while the source stays
+    // byte-identical, safe because published generation files are
+    // immutable (the invariant time travel already rests on). The gate
+    // proves the full lifecycle in one SQL-replayable frame: source
+    // state after the clone's divergent write (unchanged), clone state
+    // (diverged), and the zero-copy bit itself (raise_error if the
+    // filesystem silently fell back to copying — the in-query
+    // assertion pattern the ANN/sketch gates use).
+    QueryDef("etl_shallow_clone",
+      (spark, sf) => {
+        import graft.drivers.ParquetDestinationDriver
+        import graft.spec.{IdField, LongId, MigrationSpec}
+        val root = scratch("graft_clone")
+        def mkSpec(name: String) = MigrationSpec(name, source = "",
+          sourceDriver = "inline",
+          destination = s"$root/$name", destinationDriver = "parquet",
+          sourceIds = Seq(IdField("id", LongId)),
+          destinationIds = Seq(IdField("id", LongId)))
+        val srcSpec = mkSpec("src")
+        val cloneSpec = mkSpec("clone")
+        val d = new ParquetDestinationDriver()
+        val seed = load(spark, sf, "customer")
+          .filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey").cast("long").as("id"),
+            Shared.cents(col("c_acctbal")).as("bal_cents"))
+        d.write(seed, srcSpec)
+        val zeroCopy = d.shallowClone(spark, srcSpec, cloneSpec)
+        // diverge the CLONE: +$10 to every even id (read clone, upsert)
+        val diverged = d.snapshot(spark, cloneSpec).get
+          .select(col("id"),
+            when(col("id") % 2 === 0, col("bal_cents") + 1000L)
+              .otherwise(col("bal_cents")).as("bal_cents"))
+        d.write(diverged, cloneSpec)
+        val out = d.snapshot(spark, srcSpec).get
+          .select(lit("src").as("side"), col("id"), col("bal_cents"))
+          .unionByName(d.snapshot(spark, cloneSpec).get
+            .select(lit("clone").as("side"), col("id"), col("bal_cents")))
+        out.withColumn("zero_copy",
+            when(lit(zeroCopy), lit(1)).otherwise(expr(
+              "raise_error('etl_shallow_clone: filesystem fell back to " +
+                "copying - the clone moved bytes')")))
+          .orderBy(col("side"), col("id"))
+      },
+      Some("""WITH seed AS (
+             |  SELECT CAST(c_custkey AS BIGINT) AS id,
+             |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+             |  FROM customer WHERE c_custkey % 3 = 0)
+             |SELECT 'clone' AS side, id,
+             |  CASE WHEN id % 2 = 0 THEN bal_cents + 1000
+             |       ELSE bal_cents END AS bal_cents,
+             |  1 AS zero_copy
+             |FROM seed
+             |UNION ALL
+             |SELECT 'src', id, bal_cents, 1 FROM seed
+             |ORDER BY side, id""".stripMargin)),
   )
 }

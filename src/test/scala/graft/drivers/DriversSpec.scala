@@ -774,6 +774,47 @@ class DriversSpec extends SparkSpec {
       "every concurrent upsert must survive — no lost updates")
   }
 
+  test("shallow clone: zero-copy gen0, independent divergence, source untouched") {
+    import spark.implicits._
+    val root = scratchDir("clone")
+    def spec(name: String) = mkSpec("n/a", s"$root/$name",
+      Seq(IdField("id", LongId)), Seq(IdField("id", LongId)))
+    val (src, cln) = (spec("src"), spec("cln"))
+    val d = new ParquetDestinationDriver()
+    d.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), src)
+    assert(d.shallowClone(spark, src, cln),
+      "local filesystem must hardlink, not copy")
+    // zero-copy proof: every clone data file shares its inode (link
+    // count 2) with the source generation's file
+    val cloneDir = java.nio.file.Paths.get(s"$root/cln", "gen0")
+    val parts = java.nio.file.Files.list(cloneDir).iterator()
+    var sawParquet = false
+    parts.forEachRemaining { p =>
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        sawParquet = true
+        val links = java.nio.file.Files.getAttribute(p, "unix:nlink")
+          .asInstanceOf[Number].intValue()
+        assert(links >= 2, s"$p must be a hardlink into the source gen")
+      }
+    }
+    assert(sawParquet, "clone gen0 must contain parquet data files")
+    // provenance marker names the source generation
+    val prov = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/cln", "_cloned_from")), "UTF-8")
+    assert(prov.endsWith("/src/gen0"), s"provenance: $prov")
+    // clone diverges in its own base; source stays byte-identical
+    d.write(d.snapshot(spark, cln).get
+      .withColumn("v", concat(col("v"), lit("!"))), cln)
+    assert(d.snapshot(spark, cln).get.orderBy("id").collect()
+      .map(_.getString(1)).toSeq == Seq("a!", "b!", "c!"))
+    assert(d.snapshot(spark, src).get.orderBy("id").collect()
+      .map(_.getString(1)).toSeq == Seq("a", "b", "c"))
+    assert(d.generations(spark, src) == Seq(0L), "source log untouched")
+    assert(d.generations(spark, cln) == Seq(0L, 1L))
+    // a second clone onto a published base must refuse
+    assertThrows[IllegalArgumentException](d.shallowClone(spark, src, cln))
+  }
+
   test("optimistic publish: TWO JAVA PROCESSES contend on one destination — serialized union, loser retried") {
     // etl_concurrent_writers races two threads in ONE JVM, where the
     // per-base JVM lock alone could mask a broken cross-process
