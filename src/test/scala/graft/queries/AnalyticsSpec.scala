@@ -259,4 +259,106 @@ class AnalyticsSpec extends SparkSpec {
     assert(dm > 0.0 && drv > 0.0 && drv < 2 * dm && drv > dm / 2,
       s"dm=$dm dr=$drv")
   }
+
+  test("log-rank: deaths conserved across arms and E1 inside [0, total deaths]") {
+    val r = run("q_logrank").collect().head
+    val (o1, o2) = (r.getAs[Long]("o1"), r.getAs[Long]("o2"))
+    val converted = Tables.load(spark, Sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().count()
+    assert(o1 + o2 === converted,
+      "every converting user dies exactly once in the log-rank frame")
+    val e1 = r.getAs[Double]("e1")
+    assert(e1 >= 0.0 && e1 <= (o1 + o2).toDouble)
+    assert(Option(r.getAs[Double]("chi2")).forall(_ >= 0.0))
+  }
+
+  test("anova: nonnegative sums of squares, eta2 in [0,1], parts ≈ total SS") {
+    val r = run("q_anova_f").collect().head
+    val (ssb, ssw) = (r.getAs[Long]("ssb"), r.getAs[Long]("ssw"))
+    assert(ssb >= -5L && ssw >= 0L, // SSB ≥ 0 up to k truncations of < 1
+      s"ssb=$ssb ssw=$ssw")
+    val eta2 = r.getAs[Double]("eta2")
+    assert(eta2 >= 0.0 && eta2 <= 1.0)
+    // SSB + SSW must reconstruct the total sum of squares (doubles,
+    // loose tolerance — the query's truncations are < k+1 absolute)
+    val tot = Tables.load(spark, Sf, "orders")
+      .select(round(col("o_totalprice")).cast("long").as("x"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("q")).head()
+    val (n, s, q) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val totalSS = q.toDouble - s.toDouble * s / n
+    assert(math.abs((ssb + ssw).toDouble - totalSS) < 10.0,
+      s"ssb+ssw=${ssb + ssw} vs totalSS=$totalSS")
+  }
+
+  test("mcnemar: discordant pairs bounded by n; chi2 null only when b+c=0") {
+    val r = run("q_mcnemar").collect().head
+    val (n, b, c) = (r.getAs[Long]("n"), r.getAs[Long]("b"), r.getAs[Long]("c"))
+    assert(b >= 0 && c >= 0 && b + c <= n)
+    assert(r.getAs[Long]("acc_a_ppm") <= 1000000L &&
+      r.getAs[Long]("acc_b_ppm") <= 1000000L)
+    assert((Option(r.getAs[Double]("chi2")).isEmpty) === (b + c == 0))
+  }
+
+  test("tost: a point estimate outside the margin can never declare equivalence") {
+    // theorem: |Δ| ≥ δ ⇒ one of the two one-sided numerators is ≤ 0
+    val r = run("q_tost_equivalence").collect().head
+    val diff = r.getAs[Double]("diff_dollars")
+    val m = r.getAs[Long]("margin_dollars").toDouble
+    if (math.abs(diff) >= m)
+      assert(r.getAs[Int]("equivalent") === 0)
+  }
+
+  test("permutation test: p bounded by the permutation count") {
+    val r = run("q_permutation_test").collect().head
+    val rv = r.getAs[Long]("r_valid")
+    assert(rv > 0 && rv <= 199)
+    val p = r.getAs[Long]("p_permille")
+    // min possible p = (1+0)*1000 div (rv+1); max = 1000
+    assert(p >= 1000L / (rv + 1) && p <= 1000L)
+  }
+
+  test("propensity strata: arms partition the cohort; all deciles usable here") {
+    val r = run("q_propensity_strata").collect().head
+    val (n, t) = (r.getAs[Long]("n_cust"), r.getAs[Long]("treated"))
+    assert(t > 0 && t < n, "both arms must be populated")
+    assert(r.getAs[Long]("n_strata_used") <= 10L)
+    // on this corpus the mechanical confounder inflates the naive gap:
+    // adjustment must shrink it (the gate's whole demonstration)
+    assert(math.abs(r.getAs[Double]("adjusted_diff_dollars")) <
+      math.abs(r.getAs[Double]("naive_diff_dollars")))
+  }
+
+  test("stl: trend + seasonal + residual reconstructs the series exactly") {
+    val rows = run("q_stl_decompose").collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val sum = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("residual")
+      assert(math.abs(sum - r.getAs[Long]("cnt")) < 1e-3,
+        s"day ${r.getAs[Long]("day")}: $sum != ${r.getAs[Long]("cnt")}")
+    }
+  }
+
+  test("scd2 stream: versions contiguous, valid_to chains to the next valid_from") {
+    val hist = run("stream_scd2")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("version"))
+    val checked = hist
+      .withColumn("next_ver", lead(col("version"), 1).over(w))
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+    assert(checked.filter(col("next_ver").isNotNull &&
+      col("next_ver") =!= col("version") + 1).count() === 0L,
+      "version numbers must be dense per customer")
+    assert(checked.filter(col("next_from").isNotNull &&
+      col("valid_to") =!= col("next_from")).count() === 0L,
+      "each closed version must end where its successor begins")
+    assert(checked.filter(col("next_ver").isNull &&
+      col("valid_to").isNotNull).count() === 0L,
+      "exactly the last version per customer stays open")
+    assert(hist.filter(col("version") === 1).count() ===
+      hist.select(col("o_custkey")).distinct().count(),
+      "every customer starts at version 1")
+  }
 }
