@@ -357,5 +357,107 @@ object GeoQueries {
              |  CAST(COUNT(*) AS BIGINT) AS n
              |FROM c GROUP BY 1, 2
              |ORDER BY n DESC, cx, cy LIMIT 20""".stripMargin)),
+
+    // Grid-density clustering (GDBSCAN/STING family): dense cells
+    // (occupancy ≥ θ = max(2, m + 2⌊√m⌋) with m the mean cell
+    // occupancy — the Poisson two-sigma cut, adaptive so STRUCTURE
+    // survives as the fixed domain densifies: a constant θ degenerates
+    // to one continent past sf0.01, a 2m cut exceeds the max occupancy
+    // once m is large; SQRT on integers is IEEE exact-rounded and the
+    // explicit FLOOR makes the integer cut identical in both engines —
+    // a bare double→BIGINT cast would TRUNCATE in Spark but ROUND in
+    // DuckDB) that touch — 8-adjacency —
+    // merge into clusters,
+    // labeled by their minimum cell id; points outside dense cells are
+    // noise. The DBSCAN idea with the grid as the density estimator:
+    // candidate generation stays the ONE (cx, cy) shuffle, and the
+    // connectivity graph lives on CELLS, so the component computation
+    // is bounded by the 432-cell grid at ANY corpus size — the
+    // 100 TB-safe way to get density clusters without a point-level
+    // epsilon graph, whose size grows with the corpus squared on a
+    // fixed domain. Components come from the shared
+    // [[graft.ops.Dedup.clusters]] min-label machinery (driver
+    // union-find under its gated threshold — 432 nodes here — with the
+    // distributed label-propagation fallback above it); the oracle
+    // recomputes them INDEPENDENTLY: a recursive-CTE min-label walk
+    // over a theta-joined adjacency, the independent-oracle discipline
+    // of the other geo gates. As the corpus densifies on the fixed
+    // domain, the ABSOLUTE occupancy grows — θ tracks it, disclosed,
+    // and the noise row keeps the gate non-empty at every SF. With
+    // the adaptive θ the cluster count stays O(10) at every SF —
+    // singleton hot cells at sf0.001, merged hot regions above.
+    QueryDef("q_geo_grid_cluster",
+      (spark, sf) => {
+        val cells = custPts(spark, sf)
+          .select(expr(s"lat div $R").as("cx"), expr(s"lon div $R").as("cy"))
+          .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("npts"))
+        val theta = cells.agg(greatest(lit(2L), expr(
+          s"sum(npts) div ${LatCells * LonCells} + 2 * CAST(FLOOR(SQRT(CAST(" +
+            s"sum(npts) div ${LatCells * LonCells} AS DOUBLE))) AS BIGINT)"))
+          .as("theta"))
+        val dense = cells.crossJoin(broadcast(theta))
+          .filter(col("npts") >= col("theta"))
+          .select((col("cx") * LonCells + col("cy")).as("cell"),
+            col("cx"), col("cy"), col("npts"))
+        val ring = dense
+          .select(col("cell"), col("cx"), col("cy"),
+            explode(expr(s"sequence(greatest(0L, cx - 1), " +
+              s"least(${LatCells - 1}L, cx + 1))")).as("nx"))
+          .select(col("cell"), col("nx"), col("cy"),
+            explode(expr(s"sequence(greatest(0L, cy - 1), " +
+              s"least(${LonCells - 1}L, cy + 1))")).as("ny"))
+          .select(col("cell"), (col("nx") * LonCells + col("ny")).as("ncell"))
+          .filter(col("cell") < col("ncell"))
+        val pairs = ring
+          .join(dense.select(col("cell").as("ncell")), Seq("ncell"))
+          .select(col("cell").as("a"), col("ncell").as("b"))
+        val labels = graft.ops.Dedup.clusters(pairs, idCol = "cell")
+        val clustered = dense.join(labels, Seq("cell"), "left")
+          .select(coalesce(col("rep"), col("cell")).as("cluster"),
+            col("npts"))
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_cells"), sum(col("npts")).as("n_points"))
+        val tot = cells.agg(sum(col("npts")).as("total"))
+        val densePts = dense.agg(coalesce(sum(col("npts")), lit(0L)).as("dp"))
+        val noise = tot.crossJoin(broadcast(densePts))
+          .select(lit(-1L).as("cluster"), lit(0L).as("n_cells"),
+            (col("total") - col("dp")).as("n_points"))
+        clustered.unionByName(noise).orderBy(col("cluster"))
+      },
+      Some(s"""${OraclePts.replace("WITH c AS", "WITH RECURSIVE c AS")},
+             |cells AS (
+             |  SELECT lat // $R AS cx, lon // $R AS cy,
+             |    CAST(COUNT(*) AS BIGINT) AS npts
+             |  FROM c GROUP BY 1, 2),
+             |theta AS (
+             |  SELECT GREATEST(2, SUM(npts) // ${LatCells * LonCells}
+             |    + 2 * CAST(FLOOR(SQRT(CAST(SUM(npts) // ${LatCells * LonCells}
+             |      AS DOUBLE))) AS BIGINT)) AS theta FROM cells),
+             |dense AS (
+             |  SELECT cx * $LonCells + cy AS cell, cx, cy, npts
+             |  FROM cells CROSS JOIN theta WHERE npts >= theta),
+             |edges AS (
+             |  SELECT d.cell AS a, n.cell AS b
+             |  FROM dense d JOIN dense n
+             |    ON abs(d.cx - n.cx) <= 1 AND abs(d.cy - n.cy) <= 1
+             |    AND d.cell < n.cell),
+             |walk(cell, lbl) AS (
+             |  SELECT cell, cell FROM dense
+             |  UNION
+             |  SELECT CASE WHEN e.a = w.cell THEN e.b ELSE e.a END, w.lbl
+             |  FROM walk w JOIN edges e ON e.a = w.cell OR e.b = w.cell),
+             |lbl AS (SELECT cell, MIN(lbl) AS rep FROM walk GROUP BY cell),
+             |clus AS (
+             |  SELECT rep AS cluster, CAST(COUNT(*) AS BIGINT) AS n_cells,
+             |    CAST(SUM(npts) AS BIGINT) AS n_points
+             |  FROM dense JOIN lbl USING (cell) GROUP BY rep),
+             |noise AS (
+             |  SELECT CAST(-1 AS BIGINT) AS cluster,
+             |    CAST(0 AS BIGINT) AS n_cells,
+             |    (SELECT CAST(SUM(npts) AS BIGINT) FROM cells)
+             |      - COALESCE((SELECT CAST(SUM(npts) AS BIGINT) FROM dense),
+             |        0) AS n_points)
+             |SELECT * FROM clus UNION ALL SELECT * FROM noise
+             |ORDER BY cluster""".stripMargin)),
   )
 }
