@@ -747,5 +747,164 @@ object InferenceQueries {
              |  ROUND(CAST(seas7 AS DOUBLE) / 7, 4) AS seasonal,
              |  ROUND(CAST(dev - seas7 AS DOUBLE) / 7, 4) AS residual
              |FROM dev JOIN seas USING (dow) ORDER BY day""".stripMargin)),
+
+    // Fleiss' κ — MULTI-rater agreement, the r>2 generalization of
+    // eval_cohens_kappa: three deterministic rules "rate" every
+    // lineitem as returned/kept (discount ≥ 0.05, quantity ≥ 25,
+    // tax ≥ 0.04 — parquet-double comparisons, identical across
+    // engines), and κ asks how much they agree beyond chance. With
+    // r = 3 raters and 2 categories the whole statistic is ONE exact
+    // rational: per item s ∈ {0..3} positive votes contribute
+    // A += s(s−1) + (3−s)(2−s) pairwise agreements; with C = Σs,
+    // κ = (3·A·N − 2(C² + (3N−C)²)) / (2(9N² − C² − (3N−C)²)) — the
+    // common-denominator algebra of P̄ = A/6N and
+    // P̄ₑ = (C² + (3N−C)²)/9N². Emitted as κ in ppm by one signed
+    // truncating division (identical div/// semantics, verified) in
+    // DECIMAL(38)/HUGEINT (3AN·10⁶ leaves BIGINT near N ≈ 10⁶ rows),
+    // plus the benchmark "moderate agreement" flag κ ≥ 0.4 as the
+    // cross-multiplied integer 5·num ≥ 2·den. One scan, one counts
+    // row, nothing else moves.
+    QueryDef("q_fleiss_kappa",
+      (spark, sf) => {
+        load(spark, sf, "lineitem")
+          .select((when(col("l_discount") >= 0.05, 1L).otherwise(0L) +
+            when(col("l_quantity") >= 25.0, 1L).otherwise(0L) +
+            when(col("l_tax") >= 0.04, 1L).otherwise(0L)).as("s"))
+          .agg(count(lit(1)).as("n"), sum(col("s")).as("c"),
+            sum(col("s") * (col("s") - 1) +
+              (lit(3L) - col("s")) * (lit(2L) - col("s"))).as("a"))
+          .select(col("n"), col("c"), col("a"),
+            expr("""CASE WHEN CAST(a AS DOUBLE) * n * 3000000 > 1e36
+              |    OR CAST(n AS DOUBLE) * n * 18000000 > 1e36
+              |  THEN CAST(raise_error(CONCAT('q_fleiss_kappa: counts ',
+              |    'exceed the DECIMAL(38) exact domain - shard')) AS INT)
+              |  ELSE 1 END""".stripMargin).as("domain_ok"),
+            expr("""CASE WHEN 9 * CAST(n AS DECIMAL(38,0)) * n
+              |    - CAST(c AS DECIMAL(38,0)) * c
+              |    - CAST(3 * n - c AS DECIMAL(38,0)) * (3 * n - c) > 0
+              |  THEN (3 * CAST(a AS DECIMAL(38,0)) * n * 1000000
+              |      - 2000000 * (CAST(c AS DECIMAL(38,0)) * c
+              |        + CAST(3 * n - c AS DECIMAL(38,0)) * (3 * n - c)))
+              |    div (2 * (9 * CAST(n AS DECIMAL(38,0)) * n
+              |      - CAST(c AS DECIMAL(38,0)) * c
+              |      - CAST(3 * n - c AS DECIMAL(38,0)) * (3 * n - c)))
+              |END""".stripMargin).as("kappa_ppm"))
+          .select(col("n"), col("c").as("pos_votes"), col("a").as("agreements"),
+            col("kappa_ppm"),
+            round(col("kappa_ppm").cast("double") / 1e6, 4).as("kappa"),
+            expr("""CASE WHEN kappa_ppm IS NULL THEN 0
+              |  ELSE CAST(kappa_ppm * 5 >= 2000000 AS INT)
+              |END""".stripMargin).as("moderate"))
+      },
+      Some("""WITH t AS (
+             |  SELECT (CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END
+             |    + CASE WHEN l_quantity >= 25.0 THEN 1 ELSE 0 END
+             |    + CASE WHEN l_tax >= 0.04 THEN 1 ELSE 0 END) AS s
+             |  FROM lineitem),
+             |agg AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(s) AS BIGINT) AS c,
+             |    CAST(SUM(s * (s - 1) + (3 - s) * (2 - s)) AS BIGINT) AS a
+             |  FROM t),
+             |k AS (
+             |  SELECT n, c, a,
+             |    CASE WHEN 9 * CAST(n AS HUGEINT) * n
+             |        - CAST(c AS HUGEINT) * c
+             |        - CAST(3 * n - c AS HUGEINT) * (3 * n - c) > 0
+             |      THEN CAST((3 * CAST(a AS HUGEINT) * n * 1000000
+             |          - 2000000 * (CAST(c AS HUGEINT) * c
+             |            + CAST(3 * n - c AS HUGEINT) * (3 * n - c)))
+             |        // (2 * (9 * CAST(n AS HUGEINT) * n
+             |          - CAST(c AS HUGEINT) * c
+             |          - CAST(3 * n - c AS HUGEINT) * (3 * n - c)))
+             |        AS BIGINT)
+             |    END AS kappa_ppm
+             |  FROM agg)
+             |SELECT n, c AS pos_votes, a AS agreements, kappa_ppm,
+             |  ROUND(CAST(kappa_ppm AS DOUBLE) / 1e6, 4) AS kappa,
+             |  CASE WHEN kappa_ppm IS NULL THEN 0
+             |    ELSE CAST(kappa_ppm * 5 >= 2000000 AS INT)
+             |  END AS moderate
+             |FROM k""".stripMargin)),
+
+    // Cochran's Q — do the THREE rules' accuracies differ, judged on
+    // the matched design (every rule scores the SAME rows)? The k > 2
+    // generalization of q_mcnemar, completing the paired-comparison
+    // pair. With G_j = per-rule correct counts and L_i = per-row
+    // number of correct rules, Q = 2·(3ΣG² − (ΣG)²)/(3ΣL − ΣL²) ~ χ²₂;
+    // the α=0.05 decision is the exact cross-multiplied integer
+    // comparison 2·(3ΣG²−(ΣG)²)·10⁶ ≥ 5991465·(3ΣL−ΣL²)
+    // (5.991465 = χ²₂(0.05)) in DECIMAL(38)/HUGEINT. Truth and rules
+    // mirror q_mcnemar's (A, B) plus rule C on tax. One scan to a
+    // single sufficient-statistics row.
+    QueryDef("q_cochran_q",
+      (spark, sf) => {
+        load(spark, sf, "lineitem")
+          .select((col("l_returnflag") === "R").as("y"),
+            (col("l_discount") >= 0.05).as("pa"),
+            (col("l_quantity") >= 25.0).as("pb"),
+            (col("l_tax") >= 0.04).as("pc"))
+          .select(
+            when(col("pa") === col("y"), 1L).otherwise(0L).as("ca"),
+            when(col("pb") === col("y"), 1L).otherwise(0L).as("cb"),
+            when(col("pc") === col("y"), 1L).otherwise(0L).as("cc"))
+          .select(col("ca"), col("cb"), col("cc"),
+            (col("ca") + col("cb") + col("cc")).as("l"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("ca")).as("g1"), sum(col("cb")).as("g2"),
+            sum(col("cc")).as("g3"),
+            sum(col("l")).as("sl"), sum(col("l") * col("l")).as("sl2"))
+          .select(col("n"), col("g1"), col("g2"), col("g3"),
+            expr("""CASE WHEN 3 * sl - sl2 > 0
+              |  THEN ROUND(2.0 * (3.0 * (CAST(g1 AS DOUBLE) * g1
+              |      + CAST(g2 AS DOUBLE) * g2 + CAST(g3 AS DOUBLE) * g3)
+              |    - CAST(g1 + g2 + g3 AS DOUBLE) * (g1 + g2 + g3))
+              |    / (3 * sl - sl2), 4)
+              |END""".stripMargin).as("q_stat"),
+            expr("""CASE WHEN CAST(g1 AS DOUBLE) * g1 * 6000000 > 1e36
+              |  THEN CAST(raise_error(CONCAT('q_cochran_q: counts exceed ',
+              |    'the DECIMAL(38) exact-decision domain - shard')) AS INT)
+              |  WHEN 3 * sl - sl2 <= 0 THEN 0
+              |  ELSE CAST(
+              |    2000000 * (3 * (CAST(g1 AS DECIMAL(38,0)) * g1
+              |        + CAST(g2 AS DECIMAL(38,0)) * g2
+              |        + CAST(g3 AS DECIMAL(38,0)) * g3)
+              |      - CAST(g1 + g2 + g3 AS DECIMAL(38,0)) * (g1 + g2 + g3))
+              |    >= CAST(5991465 AS DECIMAL(38,0)) * (3 * sl - sl2)
+              |    AS INT) END""".stripMargin).as("significant"))
+      },
+      Some("""WITH t AS (
+             |  SELECT
+             |    CASE WHEN (l_discount >= 0.05) = (l_returnflag = 'R')
+             |      THEN 1 ELSE 0 END AS ca,
+             |    CASE WHEN (l_quantity >= 25.0) = (l_returnflag = 'R')
+             |      THEN 1 ELSE 0 END AS cb,
+             |    CASE WHEN (l_tax >= 0.04) = (l_returnflag = 'R')
+             |      THEN 1 ELSE 0 END AS cc
+             |  FROM lineitem),
+             |agg AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(ca) AS BIGINT) AS g1,
+             |    CAST(SUM(cb) AS BIGINT) AS g2,
+             |    CAST(SUM(cc) AS BIGINT) AS g3,
+             |    CAST(SUM(ca + cb + cc) AS BIGINT) AS sl,
+             |    CAST(SUM((ca + cb + cc) * (ca + cb + cc)) AS BIGINT) AS sl2
+             |  FROM t)
+             |SELECT n, g1, g2, g3,
+             |  CASE WHEN 3 * sl - sl2 > 0
+             |    THEN ROUND(2.0 * (3.0 * (CAST(g1 AS DOUBLE) * g1
+             |        + CAST(g2 AS DOUBLE) * g2 + CAST(g3 AS DOUBLE) * g3)
+             |      - CAST(g1 + g2 + g3 AS DOUBLE) * (g1 + g2 + g3))
+             |      / (3 * sl - sl2), 4)
+             |  END AS q_stat,
+             |  CASE WHEN 3 * sl - sl2 <= 0 THEN 0
+             |    ELSE CAST(
+             |      2000000 * (3 * (CAST(g1 AS HUGEINT) * g1
+             |          + CAST(g2 AS HUGEINT) * g2
+             |          + CAST(g3 AS HUGEINT) * g3)
+             |        - CAST(g1 + g2 + g3 AS HUGEINT) * (g1 + g2 + g3))
+             |      >= CAST(5991465 AS HUGEINT) * (3 * sl - sl2)
+             |      AS INT) END AS significant
+             |FROM agg""".stripMargin)),
   )
 }
