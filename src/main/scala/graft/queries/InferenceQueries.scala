@@ -23,6 +23,71 @@ object InferenceQueries {
   import Shared.cents
   import Tables._
 
+  /** The log-rank read-out over a per-user survival frame
+    * (user_id, f, l, conv in epoch micros) — shared by the batch gate
+    * and its live complete-mode twin (`stream_logrank`), so the two
+    * compute literally the same plan tail on their respective states.
+    */
+  private[queries] def logrankReadout(per: DataFrame): DataFrame = {
+    val byT = per
+      .select(expr(
+        "(coalesce(conv, l) - f) div 3600000000").as("t"),
+        expr("CAST(user_id % 2 = 0 AS BIGINT)").as("g1"),
+        when(col("conv").isNotNull, 1L).otherwise(0L).as("death"))
+      .groupBy(col("t"))
+      .agg(sum(col("g1")).as("n1_at"),
+        (count(lit(1)) - sum(col("g1"))).as("n2_at"),
+        sum(col("death") * col("g1")).as("d1"),
+        sum(col("death") * (lit(1L) - col("g1"))).as("d2"))
+    val tot = byT.agg(sum(col("n1_at")).as("t1"),
+      sum(col("n2_at")).as("t2"))
+    val cum = graft.ops.Rank.runningSumsInclusive(
+      byT, Seq(col("t")), Seq("n1_at", "n2_at"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("d1"), col("d2"), col("t1"), col("t2"),
+        (col("t1") - col("n1_at_cum") + col("n1_at")).as("r1"),
+        (col("t2") - col("n2_at_cum") + col("n2_at")).as("r2"))
+      .groupBy(col("t1"), col("t2"))
+      .agg(sum(col("d1")).as("o1"), sum(col("d2")).as("o2"),
+        sum(expr(
+          """CASE WHEN d1 + d2 > 0 AND r1 + r2 > 0
+            |  THEN CAST(d1 + d2 AS DECIMAL(38,0)) * r1 * 1000000
+            |    div (r1 + r2)
+            |  ELSE 0 END""".stripMargin)).as("e1_e6"),
+        sum(expr(
+          """CASE WHEN d1 + d2 > 0 AND r1 + r2 > 1
+            |  THEN CAST(d1 + d2 AS DECIMAL(38,0)) * r1 * r2
+            |      * (r1 + r2 - d1 - d2) * 1000000
+            |    div (CAST(r1 + r2 AS DECIMAL(38,0)) * (r1 + r2)
+            |      * (r1 + r2 - 1))
+            |  ELSE 0 END""".stripMargin)).as("v_e6"))
+      .select(col("t1").as("n_a"), col("t2").as("n_b"),
+        col("o1"), col("o2"),
+        round(col("e1_e6").cast("double") / 1e6, 4).as("e1"),
+        expr("""CASE WHEN v_e6 > 0
+          |  THEN ROUND(CAST(o1 * 1000000 - e1_e6 AS DOUBLE)
+          |    * (o1 * 1000000 - e1_e6)
+          |    / (CAST(v_e6 AS DOUBLE) * 1000000), 4)
+          |END""".stripMargin).as("chi2"),
+        expr("""CASE WHEN t1 + t2 > 40000000
+          |  THEN CAST(raise_error(CONCAT('q_logrank: at-risk counts ',
+          |    'exceed the DECIMAL(38) exact-decision domain ',
+          |    '(~4e7 users) - decide on the chi2 double')) AS INT)
+          |  WHEN v_e6 > 0
+          |  THEN CAST(CAST(o1 * 1000000 - e1_e6 AS DECIMAL(38,0))
+          |    * (o1 * 1000000 - e1_e6)
+          |    >= CAST(3841459 AS DECIMAL(38,0)) * v_e6 AS INT)
+          |  ELSE 0 END""".stripMargin).as("significant"))
+  }
+
+  /** The per-user survival frame the read-out consumes. */
+  private[queries] def survivalPer(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(min(expr("unix_micros(ts)")).as("f"),
+        max(expr("unix_micros(ts)")).as("l"),
+        min(when(col("event_type") === "purchase",
+          expr("unix_micros(ts)"))).as("conv"))
+
   def defs: Seq[QueryDef] = Seq(
 
     // Log-rank test — the STANDARD two-group survival comparison next
@@ -51,122 +116,8 @@ object InferenceQueries {
     // shuffle → per-user rows, one tiny per-duration agg, one
     // range-partitioned prefix pass, one final fold to a single row.
     QueryDef("q_logrank",
-      (spark, sf) => {
-        val per = load(spark, sf, "events")
-          .groupBy(col("user_id"))
-          .agg(min(expr("unix_micros(ts)")).as("f"),
-            max(expr("unix_micros(ts)")).as("l"),
-            min(when(col("event_type") === "purchase",
-              expr("unix_micros(ts)"))).as("conv"))
-        val byT = per
-          .select(expr(
-            "(coalesce(conv, l) - f) div 3600000000").as("t"),
-            expr("CAST(user_id % 2 = 0 AS BIGINT)").as("g1"),
-            when(col("conv").isNotNull, 1L).otherwise(0L).as("death"))
-          .groupBy(col("t"))
-          .agg(sum(col("g1")).as("n1_at"),
-            (count(lit(1)) - sum(col("g1"))).as("n2_at"),
-            sum(col("death") * col("g1")).as("d1"),
-            sum(col("death") * (lit(1L) - col("g1"))).as("d2"))
-        val tot = byT.agg(sum(col("n1_at")).as("t1"),
-          sum(col("n2_at")).as("t2"))
-        val cum = graft.ops.Rank.runningSumsInclusive(
-          byT, Seq(col("t")), Seq("n1_at", "n2_at"))
-        cum.crossJoin(broadcast(tot))
-          .select(col("d1"), col("d2"), col("t1"), col("t2"),
-            (col("t1") - col("n1_at_cum") + col("n1_at")).as("r1"),
-            (col("t2") - col("n2_at_cum") + col("n2_at")).as("r2"))
-          .groupBy(col("t1"), col("t2"))
-          .agg(sum(col("d1")).as("o1"), sum(col("d2")).as("o2"),
-            sum(expr(
-              """CASE WHEN d1 + d2 > 0 AND r1 + r2 > 0
-                |  THEN CAST(d1 + d2 AS DECIMAL(38,0)) * r1 * 1000000
-                |    div (r1 + r2)
-                |  ELSE 0 END""".stripMargin)).as("e1_e6"),
-            sum(expr(
-              """CASE WHEN d1 + d2 > 0 AND r1 + r2 > 1
-                |  THEN CAST(d1 + d2 AS DECIMAL(38,0)) * r1 * r2
-                |      * (r1 + r2 - d1 - d2) * 1000000
-                |    div (CAST(r1 + r2 AS DECIMAL(38,0)) * (r1 + r2)
-                |      * (r1 + r2 - 1))
-                |  ELSE 0 END""".stripMargin)).as("v_e6"))
-          .select(col("t1").as("n_a"), col("t2").as("n_b"),
-            col("o1"), col("o2"),
-            round(col("e1_e6").cast("double") / 1e6, 4).as("e1"),
-            expr("""CASE WHEN v_e6 > 0
-              |  THEN ROUND(CAST(o1 * 1000000 - e1_e6 AS DOUBLE)
-              |    * (o1 * 1000000 - e1_e6)
-              |    / (CAST(v_e6 AS DOUBLE) * 1000000), 4)
-              |END""".stripMargin).as("chi2"),
-            expr("""CASE WHEN t1 + t2 > 40000000
-              |  THEN CAST(raise_error(CONCAT('q_logrank: at-risk counts ',
-              |    'exceed the DECIMAL(38) exact-decision domain ',
-              |    '(~4e7 users) - decide on the chi2 double')) AS INT)
-              |  WHEN v_e6 > 0
-              |  THEN CAST(CAST(o1 * 1000000 - e1_e6 AS DECIMAL(38,0))
-              |    * (o1 * 1000000 - e1_e6)
-              |    >= CAST(3841459 AS DECIMAL(38,0)) * v_e6 AS INT)
-              |  ELSE 0 END""".stripMargin).as("significant"))
-      },
-      Some("""WITH per AS (
-             |  SELECT user_id, MIN(epoch_us(ts)) AS f, MAX(epoch_us(ts)) AS l,
-             |    MIN(CASE WHEN event_type = 'purchase'
-             |      THEN epoch_us(ts) END) AS conv
-             |  FROM events GROUP BY 1),
-             |byt AS (
-             |  SELECT (COALESCE(conv, l) - f) // 3600000000 AS t,
-             |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
-             |      AS BIGINT) AS n1_at,
-             |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
-             |      AS BIGINT) AS n2_at,
-             |    CAST(SUM(CASE WHEN user_id % 2 = 0
-             |      AND conv IS NOT NULL THEN 1 ELSE 0 END)
-             |      AS BIGINT) AS d1,
-             |    CAST(SUM(CASE WHEN user_id % 2 <> 0
-             |      AND conv IS NOT NULL THEN 1 ELSE 0 END)
-             |      AS BIGINT) AS d2
-             |  FROM per GROUP BY 1),
-             |tot AS (SELECT CAST(SUM(n1_at) AS BIGINT) AS t1,
-             |               CAST(SUM(n2_at) AS BIGINT) AS t2 FROM byt),
-             |cum AS (
-             |  SELECT t, n1_at, n2_at, d1, d2,
-             |    SUM(n1_at) OVER w AS c1, SUM(n2_at) OVER w AS c2
-             |  FROM byt
-             |  WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)),
-             |terms AS (
-             |  SELECT d1, d2, t1, t2,
-             |    t1 - c1 + n1_at AS r1, t2 - c2 + n2_at AS r2
-             |  FROM cum CROSS JOIN tot),
-             |agg AS (
-             |  SELECT t1, t2,
-             |    CAST(SUM(d1) AS BIGINT) AS o1,
-             |    CAST(SUM(d2) AS BIGINT) AS o2,
-             |    CAST(SUM(CASE WHEN d1 + d2 > 0 AND r1 + r2 > 0
-             |      THEN CAST(CAST(d1 + d2 AS HUGEINT) * r1 * 1000000
-             |        // (r1 + r2) AS BIGINT)
-             |      ELSE 0 END) AS BIGINT) AS e1_e6,
-             |    CAST(SUM(CASE WHEN d1 + d2 > 0 AND r1 + r2 > 1
-             |      THEN CAST(CAST(d1 + d2 AS HUGEINT) * r1 * r2
-             |          * (r1 + r2 - d1 - d2) * 1000000
-             |        // (CAST(r1 + r2 AS HUGEINT) * (r1 + r2)
-             |          * (r1 + r2 - 1)) AS BIGINT)
-             |      ELSE 0 END) AS BIGINT) AS v_e6
-             |  FROM terms GROUP BY t1, t2)
-             |SELECT t1 AS n_a, t2 AS n_b, o1, o2,
-             |  ROUND(CAST(e1_e6 AS DOUBLE) / 1e6, 4) AS e1,
-             |  CASE WHEN v_e6 > 0
-             |    THEN ROUND(CAST(o1 * 1000000 - e1_e6 AS DOUBLE)
-             |      * (o1 * 1000000 - e1_e6)
-             |      / (CAST(v_e6 AS DOUBLE) * 1000000), 4)
-             |  END AS chi2,
-             |  CASE WHEN t1 + t2 > 40000000
-             |    THEN CAST(error('q_logrank: at-risk counts exceed the exact-decision domain') AS INT)
-             |    WHEN v_e6 > 0
-             |    THEN CAST(CAST(o1 * 1000000 - e1_e6 AS HUGEINT)
-             |      * (o1 * 1000000 - e1_e6)
-             |      >= CAST(3841459 AS HUGEINT) * v_e6 AS INT)
-             |    ELSE 0 END AS significant
-             |FROM agg""".stripMargin)),
+      (spark, sf) => logrankReadout(survivalPer(load(spark, sf, "events"))),
+      Some(Shared.LogrankOracle)),
 
     // McNemar's test — the PAIRED-classifier comparison the eval_*
     // family (confusion, AUC, best-F1) leaves open: two rules score

@@ -999,6 +999,69 @@ object Shared {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, version""".stripMargin
 
+  /** One oracle for both log-rank twins (`q_logrank` batch,
+    * `stream_logrank` live complete-mode survival monitor). */
+  val LogrankOracle: String =
+    """WITH per AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS f, MAX(epoch_us(ts)) AS l,
+      |    MIN(CASE WHEN event_type = 'purchase'
+      |      THEN epoch_us(ts) END) AS conv
+      |  FROM events GROUP BY 1),
+      |byt AS (
+      |  SELECT (COALESCE(conv, l) - f) // 3600000000 AS t,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n1_at,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS n2_at,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0
+      |      AND conv IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS d1,
+      |    CAST(SUM(CASE WHEN user_id % 2 <> 0
+      |      AND conv IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS d2
+      |  FROM per GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n1_at) AS BIGINT) AS t1,
+      |               CAST(SUM(n2_at) AS BIGINT) AS t2 FROM byt),
+      |cum AS (
+      |  SELECT t, n1_at, n2_at, d1, d2,
+      |    SUM(n1_at) OVER w AS c1, SUM(n2_at) OVER w AS c2
+      |  FROM byt
+      |  WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)),
+      |terms AS (
+      |  SELECT d1, d2, t1, t2,
+      |    t1 - c1 + n1_at AS r1, t2 - c2 + n2_at AS r2
+      |  FROM cum CROSS JOIN tot),
+      |agg AS (
+      |  SELECT t1, t2,
+      |    CAST(SUM(d1) AS BIGINT) AS o1,
+      |    CAST(SUM(d2) AS BIGINT) AS o2,
+      |    CAST(SUM(CASE WHEN d1 + d2 > 0 AND r1 + r2 > 0
+      |      THEN CAST(CAST(d1 + d2 AS HUGEINT) * r1 * 1000000
+      |        // (r1 + r2) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS e1_e6,
+      |    CAST(SUM(CASE WHEN d1 + d2 > 0 AND r1 + r2 > 1
+      |      THEN CAST(CAST(d1 + d2 AS HUGEINT) * r1 * r2
+      |          * (r1 + r2 - d1 - d2) * 1000000
+      |        // (CAST(r1 + r2 AS HUGEINT) * (r1 + r2)
+      |          * (r1 + r2 - 1)) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS v_e6
+      |  FROM terms GROUP BY t1, t2)
+      |SELECT t1 AS n_a, t2 AS n_b, o1, o2,
+      |  ROUND(CAST(e1_e6 AS DOUBLE) / 1e6, 4) AS e1,
+      |  CASE WHEN v_e6 > 0
+      |    THEN ROUND(CAST(o1 * 1000000 - e1_e6 AS DOUBLE)
+      |      * (o1 * 1000000 - e1_e6)
+      |      / (CAST(v_e6 AS DOUBLE) * 1000000), 4)
+      |  END AS chi2,
+      |  CASE WHEN t1 + t2 > 40000000
+      |    THEN CAST(error('q_logrank: at-risk counts exceed the exact-decision domain') AS INT)
+      |    WHEN v_e6 > 0
+      |    THEN CAST(CAST(o1 * 1000000 - e1_e6 AS HUGEINT)
+      |      * (o1 * 1000000 - e1_e6)
+      |      >= CAST(3841459 AS HUGEINT) * v_e6 AS INT)
+      |    ELSE 0 END AS significant
+      |FROM agg""".stripMargin
+
   val ObfOracle: String =
     s"""WITH ev AS (
              |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events),

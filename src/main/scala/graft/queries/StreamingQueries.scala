@@ -2608,6 +2608,35 @@ object StreamingQueries {
       },
       Some(Shared.ObfOracle)),
 
+    // Live log-rank survival monitor — q_logrank's two-arm
+    // time-to-conversion comparison maintained over the stream: the
+    // per-user survival frame (first event, last event, first
+    // purchase) accumulates as a complete-mode aggregate while
+    // micro-batches land (state = one row per user, the natural
+    // survival-state shape), and the dashboard read applies the batch
+    // gate's EXACT read-out plan tail (InferenceQueries.logrankReadout
+    // — the shared risk-set prefix pass and the DECIMAL(38) χ²₁
+    // decision) to the sink. Batch oracle verbatim
+    // (Shared.LogrankOracle) — the stream_srm/stream_sprt pattern.
+    QueryDef("stream_logrank",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "events")).schema
+        val per = Tables.normalizeTs(
+            spark.readStream.schema(schema)
+              .parquet(stagedDir(spark, sf, "events")))
+          .groupBy(col("user_id"))
+          .agg(min(expr("unix_micros(ts)")).as("f"),
+            max(expr("unix_micros(ts)")).as("l"),
+            min(when(col("event_type") === "purchase",
+              expr("unix_micros(ts)"))).as("conv"))
+        val table = s"stream_logrank_${counter.incrementAndGet()}"
+        val q = per.writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        InferenceQueries.logrankReadout(spark.table(table))
+      },
+      Some(Shared.LogrankOracle)),
+
     // Streaming SCD2 history maintenance — q_scd2_history's slowly-
     // changing-dimension table kept current from a CDC-shaped stream
     // instead of recomputed from the full order history. Orders arrive
