@@ -341,6 +341,25 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("growth accounting: the ledger identity actives = new + retained + resurrected") {
+    val ledger = run("q_growth_accounting")
+    val actives = Tables.load(spark, Sf, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("actives"))
+    val bad = ledger.join(actives, Seq("day"))
+      .filter(col("n_new") + col("n_retained") + col("n_resurrected")
+        =!= col("actives")).count()
+    assert(bad === 0L, "every active user must be classified exactly once")
+    // total churn ≤ total activity days; every user churns at most
+    // once per gap, and the final churn past the horizon is dropped
+    val sums = ledger.agg(sum(col("n_churned")).as("ch"),
+      sum(col("n_new") + col("n_retained") + col("n_resurrected"))
+        .as("act")).head()
+    assert(sums.getLong(0) <= sums.getLong(1))
+  }
+
   test("scd2 stream: versions contiguous, valid_to chains to the next valid_from") {
     val hist = run("stream_scd2")
     import org.apache.spark.sql.expressions.Window
