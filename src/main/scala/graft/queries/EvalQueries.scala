@@ -201,7 +201,7 @@ object EvalQueries {
         val docs = load(spark, sf, "documents")
         val probes = load(spark, sf, "embeddings")
           .select(col("vec_id").as("probe_id"))
-          .filter(col("probe_id") % 100 === 7)
+          .filter(col("probe_id") % 100 === 7 && col("probe_id") < 2000)
         val ranked = graft.ops.Retrieval.bm25TopK(docs, probes, k = 10)
           .select(col("probe_id"), col("doc_id"), col("r"))
         val terms = docs.select(col("doc_id"),
@@ -297,7 +297,7 @@ object EvalQueries {
         val docs = load(spark, sf, "documents")
         val probes = load(spark, sf, "embeddings")
           .select(col("vec_id").as("probe_id"))
-          .filter(col("probe_id") % 100 === 7)
+          .filter(col("probe_id") % 100 === 7 && col("probe_id") < 2000)
         val ranked = graft.ops.Retrieval.bm25TopK(docs, probes, k = 10)
           .select(col("probe_id"), col("doc_id"), col("r"))
         val terms = docs.select(col("doc_id"),

@@ -605,7 +605,7 @@ object Shared {
       |),
       |probes AS (
       |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
-      |  FROM embeddings WHERE vec_id % 100 = 7
+      |  FROM embeddings WHERE vec_id % 100 = 7 AND vec_id < 2000
       |),
       |corpus AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS cv
       |           FROM embeddings),
@@ -761,7 +761,7 @@ object Shared {
              |                 AVG(dl) AS avgdl FROM dl),
              |terms AS (SELECT doc_id, unnest(toks) AS term FROM docs),
              |probes AS (SELECT vec_id AS probe_id FROM embeddings
-             |           WHERE vec_id % 100 = 7),
+             |           WHERE vec_id % 100 = 7 AND vec_id < 2000),
              |probe_terms AS (
              |  SELECT DISTINCT p.probe_id, t.term
              |  FROM probes p JOIN terms t ON t.doc_id = p.probe_id

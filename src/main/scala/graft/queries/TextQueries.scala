@@ -1591,7 +1591,7 @@ object TextQueries {
         val emb = load(spark, sf, "embeddings")
           .select(col("vec_id").as("doc_id"), col("embedding"))
         val probes = emb.select(col("doc_id").as("probe_id"))
-          .filter(col("probe_id") % 100 === 7)
+          .filter(col("probe_id") % 100 === 7 && col("probe_id") < 2000)
         graft.ops.Retrieval.hybridRrf(docs, emb, probes)
           .orderBy(col("probe_id"), col("fused_rank"))
       },
@@ -1618,7 +1618,7 @@ object TextQueries {
         val docs = load(spark, sf, "documents")
         val probes = load(spark, sf, "embeddings")
           .select(col("vec_id").as("probe_id"))
-          .filter(col("probe_id") % 100 === 7)
+          .filter(col("probe_id") % 100 === 7 && col("probe_id") < 2000)
         val grams = docs
           .filter(size(split(col("text"), " ")) >= 3)
           .select(col("doc_id"), explode(expr(
@@ -1639,7 +1639,7 @@ object TextQueries {
           .orderBy(col("probe_id"), col("doc_id"))
       },
       Some("""WITH probes AS (SELECT vec_id probe_id FROM embeddings
-             |  WHERE vec_id % 100 = 7),
+             |  WHERE vec_id % 100 = 7 AND vec_id < 2000),
              |toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
              |phr AS (SELECT probe_id, list_aggregate(t[1:3], 'string_agg', ' ') phrase
              |  FROM toks JOIN probes ON doc_id = probe_id WHERE len(t) >= 3),
@@ -1658,7 +1658,7 @@ object TextQueries {
         val docs = load(spark, sf, "documents")
         val probes = load(spark, sf, "embeddings")
           .select(col("vec_id").as("probe_id"))
-          .filter(col("probe_id") % 100 === 7)
+          .filter(col("probe_id") % 100 === 7 && col("probe_id") < 2000)
         graft.ops.Retrieval.bm25TopK(docs, probes, k = 20)
           .select(col("probe_id"), col("r").cast("int").as("r"),
             col("doc_id"), col("score"))
@@ -1684,7 +1684,7 @@ object TextQueries {
         val docs = load(spark, sf, "documents")
         val probes = load(spark, sf, "embeddings")
           .select(col("vec_id").as("probe_id"))
-          .filter(col("probe_id") % 100 === 7)
+          .filter(col("probe_id") % 100 === 7 && col("probe_id") < 2000)
         val cands = graft.ops.Retrieval.bm25TopK(docs, probes, k = 20)
           .select(col("probe_id"), col("doc_id"), col("score"))
         val docTerms = docs.select(col("doc_id"),
