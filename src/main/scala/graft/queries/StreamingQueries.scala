@@ -84,9 +84,26 @@ object StreamingQueries {
   private def stagedDir(spark: SparkSession, sf: String, table: String): String =
     stagedCache.getOrElseUpdate(s"$sf/$table", {
       val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$table")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(path(sf, table)),
-        dir.resolve(s"$table.parquet"))
+      val src = java.nio.file.Paths.get(path(sf, table))
+      if (java.nio.file.Files.isDirectory(src)) {
+        // multi-file table (e.g. the ScaleUp sf1-equivalent corpus):
+        // stage every part file — Files.copy on the directory itself
+        // would stage an EMPTY directory entry, and the file source
+        // would silently run the whole gate on zero input (the r17
+        // sf1-leg lesson: three gates "finished" in 0.1 s and
+        // stream_funnel starved its sink poller)
+        var staged = 0
+        val it = java.nio.file.Files.list(src)
+        try it.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.endsWith(".parquet") &&
+              java.nio.file.Files.isRegularFile(p)) {
+            java.nio.file.Files.copy(p, dir.resolve(p.getFileName.toString)): Unit
+            staged += 1
+          }
+        } finally it.close()
+        require(staged > 0, s"no parquet part files under $src")
+      } else
+        java.nio.file.Files.copy(src, dir.resolve(s"$table.parquet")): Unit
       dir.toString
     })
 
