@@ -857,5 +857,179 @@ object InferenceQueries {
              |      >= CAST(5991465 AS HUGEINT) * (3 * sl - sl2)
              |      AS INT) END AS significant
              |FROM agg""".stripMargin)),
+
+    // Mood's median test — the ROBUST k-group location test beside
+    // q_anova_f (parametric means) and q_kruskal_wallis (ranks): does
+    // the share of orders ABOVE the global median price differ across
+    // the five priority classes? The global lower median comes off the
+    // distributed Rank primitive (rank (N+1) div 2 in the value order —
+    // never a single-partition window); the 2×k χ² collapses
+    // algebraically to Σ_g (a_g·N − n_g·A)²/n_g ≥ χ²₄(0.05)·A·B with
+    // A/B the above/not-above totals — per-group truncating division
+    // (non-negative operands) then ONE cross-multiplied DECIMAL(38)/
+    // HUGEINT comparison, with the q_anova_f df₁ guard (k must be 5)
+    // and loud domain tripwire. One value shuffle for the median, one
+    // group agg, a 1-row decision.
+    QueryDef("q_median_test",
+      (spark, sf) => {
+        val o = load(spark, sf, "orders")
+          .select(col("o_orderpriority").as("g"), col("o_orderkey"),
+            round(col("o_totalprice")).cast("long").as("x"))
+        val (ranked, n) = graft.ops.Rank.rankGlobalWithCount(
+          o, Seq(col("x"), col("o_orderkey")), "rn")
+        val med = ranked.filter(col("rn") === (n + 1) / 2)
+          .select(col("x").as("m"))
+        val byG = o.crossJoin(broadcast(med))
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("n_g"),
+            sum(when(col("x") > col("m"), 1L).otherwise(0L)).as("a_g"))
+        val tot = byG.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+          sum(col("a_g")).as("a"))
+        byG.crossJoin(broadcast(tot))
+          .groupBy(col("k"), col("n"), col("a"))
+          .agg(sum(expr(
+            """(CAST(a_g AS DECIMAL(38,0)) * n - CAST(n_g AS DECIMAL(38,0)) * a)
+              |  * (CAST(a_g AS DECIMAL(38,0)) * n
+              |    - CAST(n_g AS DECIMAL(38,0)) * a) div n_g"""
+              .stripMargin)).as("num"))
+          .select(col("k"), col("n"), col("a"),
+            expr("""CASE WHEN a > 0 AND a < n
+              |  THEN ROUND(CAST(num AS DOUBLE)
+              |    / (CAST(a AS DOUBLE) * (n - a)), 4)
+              |END""".stripMargin).as("chi2"),
+            expr("""CASE WHEN k <> 5
+              |  THEN CAST(raise_error(CONCAT('q_median_test: critical ',
+              |    'value is fixed for df=4 (5 priority classes)')) AS INT)
+              |  WHEN CAST(num AS DOUBLE) * 1000000 > 1e36
+              |  THEN CAST(raise_error(CONCAT('q_median_test: statistics ',
+              |    'exceed the DECIMAL(38) exact-decision domain')) AS INT)
+              |  WHEN a = 0 OR a = n THEN 0
+              |  ELSE CAST(CAST(num AS DECIMAL(38,0)) * 1000000
+              |    >= CAST(9487729 AS DECIMAL(38,0)) * a * (n - a) AS INT)
+              |  END""".stripMargin).as("significant"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderpriority AS g, o_orderkey,
+             |    CAST(ROUND(o_totalprice) AS BIGINT) AS x
+             |  FROM orders),
+             |ranked AS (
+             |  SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_orderkey) AS rn,
+             |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+             |  FROM o),
+             |med AS (SELECT x AS m FROM ranked WHERE rn = (n + 1) // 2),
+             |byg AS (
+             |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+             |    CAST(SUM(CASE WHEN x > m THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS a_g
+             |  FROM o CROSS JOIN med GROUP BY g),
+             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             |    CAST(SUM(n_g) AS BIGINT) AS n,
+             |    CAST(SUM(a_g) AS BIGINT) AS a FROM byg),
+             |agg AS (
+             |  SELECT k, n, a,
+             |    CAST(SUM((CAST(a_g AS HUGEINT) * n
+             |        - CAST(n_g AS HUGEINT) * a)
+             |      * (CAST(a_g AS HUGEINT) * n
+             |        - CAST(n_g AS HUGEINT) * a) // n_g) AS BIGINT) AS num
+             |  FROM byg CROSS JOIN tot GROUP BY k, n, a)
+             |SELECT k, n, a,
+             |  CASE WHEN a > 0 AND a < n
+             |    THEN ROUND(CAST(num AS DOUBLE)
+             |      / (CAST(a AS DOUBLE) * (n - a)), 4)
+             |  END AS chi2,
+             |  CASE WHEN k <> 5
+             |    THEN CAST(error('q_median_test: critical value is fixed for df=4') AS INT)
+             |    WHEN a = 0 OR a = n THEN 0
+             |    ELSE CAST(CAST(num AS HUGEINT) * 1000000
+             |      >= CAST(9487729 AS HUGEINT) * a * (n - a) AS INT)
+             |    END AS significant
+             |FROM agg""".stripMargin)),
+
+    // Wald–Wolfowitz runs test — IS the daily event series random
+    // noise around its median, or does it trend/oscillate? The
+    // sequential-randomness diagnostic the drift family (Mann-Kendall
+    // monotone trend, Ljung-Box autocorrelation, Page-Hinkley mean
+    // shift) lacks: too FEW runs of above/below-median days = trending,
+    // too MANY = oscillating. Days at exactly the median drop (the
+    // standard tie rule, disclosed); the day sequence is calendar-
+    // bounded, so the sign-change count folds over ONE sorted struct
+    // array (the q_survival pattern). With n1/n2 signs, m = n1·n2 and
+    // R runs, the two-sided z² decision is the pure BIGINT comparison
+    // (R·n − n − 2m)²·(n−1)·10⁶ ≥ 3841459·2m·(2m−n) — everything is
+    // calendar-scale, so no DECIMAL is even needed; degenerate sign
+    // splits (2m ≤ n) emit 0.
+    QueryDef("q_runs_test",
+      (spark, sf) => {
+        val daily = load(spark, sf, "events")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val med = daily
+          .groupBy().agg(expr(
+            "element_at(sort_array(collect_list(cnt)), " +
+              "CAST((count(1) + 1) div 2 AS INT))").as("m"))
+        daily.crossJoin(broadcast(med))
+          .filter(col("cnt") =!= col("m"))
+          .select(col("day"),
+            when(col("cnt") > col("m"), 1L).otherwise(0L).as("s"))
+          .groupBy().agg(
+            count(lit(1)).as("n"),
+            sum(col("s")).as("n1"),
+            expr("""aggregate(sort_array(collect_list(struct(day, s))),
+              |  named_struct('last', CAST(-1 AS BIGINT), 'runs', 0L),
+              |  (acc, x) -> named_struct(
+              |    'last', x.s,
+              |    'runs', acc.runs + IF(x.s = acc.last, 0L, 1L)),
+              |  acc -> acc.runs)""".stripMargin).as("r"))
+          .select(col("n"), col("n1"), (col("n") - col("n1")).as("n2"),
+            col("r"),
+            expr("""CASE WHEN n > 1 AND 2 * n1 * (n - n1) > n
+              |  THEN ROUND(CAST(r * n - n - 2 * n1 * (n - n1) AS DOUBLE)
+              |    * (r * n - n - 2 * n1 * (n - n1)) * (n - 1)
+              |    / (2.0 * n1 * (n - n1)
+              |      * (2 * n1 * (n - n1) - n) ), 4)
+              |END""".stripMargin).as("z2"),
+            expr("""CASE WHEN n <= 1 OR 2 * n1 * (n - n1) <= n THEN 0
+              |  ELSE CAST(
+              |    (r * n - n - 2 * n1 * (n - n1))
+              |      * (r * n - n - 2 * n1 * (n - n1)) * (n - 1) * 1000000
+              |    >= 3841459 * 2 * n1 * (n - n1)
+              |      * (2 * n1 * (n - n1) - n) AS INT)
+              |  END""".stripMargin).as("significant"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT epoch_us(ts) // 86400000000 AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1),
+             |med AS (
+             |  SELECT list_sort(list(cnt))[(COUNT(*) + 1) // 2] AS m
+             |  FROM daily),
+             |signs AS (
+             |  SELECT day, CASE WHEN cnt > m THEN 1 ELSE 0 END AS s
+             |  FROM daily CROSS JOIN med WHERE cnt <> m),
+             |runs AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(s) AS BIGINT) AS n1,
+             |    CAST(1 + SUM(chg) AS BIGINT) AS r
+             |  FROM (
+             |    SELECT s, CASE WHEN LAG(s) OVER (ORDER BY day) IS NULL
+             |        THEN 0
+             |      WHEN LAG(s) OVER (ORDER BY day) <> s THEN 1
+             |      ELSE 0 END AS chg
+             |    FROM signs))
+             |SELECT n, n1, n - n1 AS n2, r,
+             |  CASE WHEN n > 1 AND 2 * n1 * (n - n1) > n
+             |    THEN ROUND(CAST(r * n - n - 2 * n1 * (n - n1) AS DOUBLE)
+             |      * (r * n - n - 2 * n1 * (n - n1)) * (n - 1)
+             |      / (2.0 * n1 * (n - n1)
+             |        * (2 * n1 * (n - n1) - n) ), 4)
+             |  END AS z2,
+             |  CASE WHEN n <= 1 OR 2 * n1 * (n - n1) <= n THEN 0
+             |    ELSE CAST(
+             |      (r * n - n - 2 * n1 * (n - n1))
+             |        * (r * n - n - 2 * n1 * (n - n1)) * (n - 1) * 1000000
+             |      >= 3841459 * 2 * n1 * (n - n1)
+             |        * (2 * n1 * (n - n1) - n) AS INT)
+             |    END AS significant
+             |FROM runs""".stripMargin)),
   )
 }

@@ -13,6 +13,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * friendly) and verified against a DuckDB oracle.
   */
 object Relational {
+
+  /** The growth-accounting ledger over a distinct (user_id, day)
+    * activity frame — shared by the batch gate and its live
+    * complete-mode twin (`stream_growth`), so both compute the same
+    * read-out plan tail on their respective states.
+    */
+  private[queries] def growthLedger(act: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+    val flagged = act
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("next", lead(col("day"), 1).over(w))
+    val classed = flagged.groupBy(col("day")).agg(
+      sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("prev") === col("day") - 1, 1L).otherwise(0L))
+        .as("n_retained"),
+      sum(when(col("prev").isNotNull && col("prev") < col("day") - 1,
+        1L).otherwise(0L)).as("n_resurrected"))
+    val churn = flagged
+      .filter(col("next").isNull || col("next") > col("day") + 1)
+      .select((col("day") + 1).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
+    val horizon = act.agg(max(col("day")).as("maxd"))
+    classed.join(churn, Seq("day"), "full_outer")
+      .crossJoin(broadcast(horizon))
+      .filter(col("day") <= col("maxd"))
+      .select(col("day"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .withColumn("quick_ratio",
+        when(col("n_churned") > 0, round(
+          (col("n_new") + col("n_resurrected")).cast("double") /
+            col("n_churned"), 4)))
+      .orderBy(col("day"))
+  }
   import Tables._
 
   /** Integer cents: exact, order-independent sums in both engines. */
@@ -6077,79 +6115,11 @@ object Relational {
     // Churn days past the observation horizon are dropped for a
     // closed ledger (disclosed).
     QueryDef("q_growth_accounting",
-      (spark, sf) => {
-        val act = load(spark, sf, "events")
+      (spark, sf) => growthLedger(
+        load(spark, sf, "events")
           .select(col("user_id"),
             expr("unix_micros(ts) div 86400000000").as("day"))
-          .distinct()
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id")).orderBy(col("day"))
-        val flagged = act
-          .withColumn("prev", lag(col("day"), 1).over(w))
-          .withColumn("next", lead(col("day"), 1).over(w))
-        val classed = flagged.groupBy(col("day")).agg(
-          sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
-          sum(when(col("prev") === col("day") - 1, 1L).otherwise(0L))
-            .as("n_retained"),
-          sum(when(col("prev").isNotNull && col("prev") < col("day") - 1,
-            1L).otherwise(0L)).as("n_resurrected"))
-        val churn = flagged
-          .filter(col("next").isNull || col("next") > col("day") + 1)
-          .select((col("day") + 1).as("day"))
-          .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
-        val horizon = act.agg(max(col("day")).as("maxd"))
-        classed.join(churn, Seq("day"), "full_outer")
-          .crossJoin(broadcast(horizon))
-          .filter(col("day") <= col("maxd"))
-          .select(col("day"),
-            coalesce(col("n_new"), lit(0L)).as("n_new"),
-            coalesce(col("n_retained"), lit(0L)).as("n_retained"),
-            coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
-            coalesce(col("n_churned"), lit(0L)).as("n_churned"))
-          .withColumn("quick_ratio",
-            when(col("n_churned") > 0, round(
-              (col("n_new") + col("n_resurrected")).cast("double") /
-                col("n_churned"), 4)))
-          .orderBy(col("day"))
-      },
-      Some("""WITH act AS (
-             |  SELECT DISTINCT user_id,
-             |    epoch_us(ts) // 86400000000 AS day
-             |  FROM events),
-             |flagged AS (
-             |  SELECT user_id, day,
-             |    LAG(day) OVER w AS prev, LEAD(day) OVER w AS next
-             |  FROM act
-             |  WINDOW w AS (PARTITION BY user_id ORDER BY day)),
-             |classed AS (
-             |  SELECT day,
-             |    CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
-             |      AS BIGINT) AS n_new,
-             |    CAST(SUM(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END)
-             |      AS BIGINT) AS n_retained,
-             |    CAST(SUM(CASE WHEN prev IS NOT NULL AND prev < day - 1
-             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
-             |  FROM flagged GROUP BY day),
-             |churn AS (
-             |  SELECT day + 1 AS day, CAST(COUNT(*) AS BIGINT) AS n_churned
-             |  FROM flagged
-             |  WHERE next IS NULL OR next > day + 1
-             |  GROUP BY day + 1),
-             |horizon AS (SELECT MAX(day) AS maxd FROM act),
-             |ledger AS (
-             |  SELECT COALESCE(c.day, ch.day) AS day,
-             |    COALESCE(n_new, 0) AS n_new,
-             |    COALESCE(n_retained, 0) AS n_retained,
-             |    COALESCE(n_resurrected, 0) AS n_resurrected,
-             |    COALESCE(n_churned, 0) AS n_churned
-             |  FROM classed c FULL OUTER JOIN churn ch ON c.day = ch.day)
-             |SELECT day, n_new, n_retained, n_resurrected, n_churned,
-             |  CASE WHEN n_churned > 0
-             |    THEN ROUND(CAST(n_new + n_resurrected AS DOUBLE)
-             |      / n_churned, 4)
-             |  END AS quick_ratio
-             |FROM ledger CROSS JOIN horizon
-             |WHERE day <= maxd
-             |ORDER BY day""".stripMargin)),
+          .distinct()),
+      Some(Shared.GrowthOracle)),
   )
 }

@@ -1062,6 +1062,49 @@ object Shared {
       |    ELSE 0 END AS significant
       |FROM agg""".stripMargin
 
+  /** One oracle for both growth-accounting twins (`q_growth_accounting`
+    * batch ledger, `stream_growth` live complete-mode activity state). */
+  val GrowthOracle: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, day,
+      |    LAG(day) OVER w AS prev, LEAD(day) OVER w AS next
+      |  FROM act
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |classed AS (
+      |  SELECT day,
+      |    CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_new,
+      |    CAST(SUM(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_retained,
+      |    CAST(SUM(CASE WHEN prev IS NOT NULL AND prev < day - 1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      |  FROM flagged GROUP BY day),
+      |churn AS (
+      |  SELECT day + 1 AS day, CAST(COUNT(*) AS BIGINT) AS n_churned
+      |  FROM flagged
+      |  WHERE next IS NULL OR next > day + 1
+      |  GROUP BY day + 1),
+      |horizon AS (SELECT MAX(day) AS maxd FROM act),
+      |ledger AS (
+      |  SELECT COALESCE(c.day, ch.day) AS day,
+      |    COALESCE(n_new, 0) AS n_new,
+      |    COALESCE(n_retained, 0) AS n_retained,
+      |    COALESCE(n_resurrected, 0) AS n_resurrected,
+      |    COALESCE(n_churned, 0) AS n_churned
+      |  FROM classed c FULL OUTER JOIN churn ch ON c.day = ch.day)
+      |SELECT day, n_new, n_retained, n_resurrected, n_churned,
+      |  CASE WHEN n_churned > 0
+      |    THEN ROUND(CAST(n_new + n_resurrected AS DOUBLE)
+      |      / n_churned, 4)
+      |  END AS quick_ratio
+      |FROM ledger CROSS JOIN horizon
+      |WHERE day <= maxd
+      |ORDER BY day""".stripMargin
+
   val ObfOracle: String =
     s"""WITH ev AS (
              |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events),

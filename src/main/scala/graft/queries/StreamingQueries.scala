@@ -2635,6 +2635,32 @@ object StreamingQueries {
       },
       Some(Shared.ObfOracle)),
 
+    // Live growth-accounting dashboard — q_growth_accounting's daily
+    // new/retained/resurrected/churned ledger maintained over the
+    // stream: distinct (user, day) activity accumulates as a
+    // complete-mode aggregate (state bounded by users × the calendar
+    // horizon — the natural DAU-state shape) and the dashboard read
+    // applies the batch gate's exact ledger read-out
+    // (Relational.growthLedger) to the sink. Batch oracle verbatim
+    // (Shared.GrowthOracle) — the stream_srm pattern.
+    QueryDef("stream_growth",
+      (spark, sf) => {
+        val schema = spark.read.parquet(path(sf, "events")).schema
+        val act = Tables.normalizeTs(
+            spark.readStream.schema(schema)
+              .parquet(stagedDir(spark, sf, "events")))
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n"))
+        val table = s"stream_growth_${counter.incrementAndGet()}"
+        val q = act.writeStream.format("memory").queryName(table)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        Relational.growthLedger(
+          spark.table(table).select(col("user_id"), col("day")))
+      },
+      Some(Shared.GrowthOracle)),
+
     // Live log-rank survival monitor — q_logrank's two-arm
     // time-to-conversion comparison maintained over the stream: the
     // per-user survival frame (first event, last event, first
