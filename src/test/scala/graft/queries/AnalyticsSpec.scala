@@ -360,6 +360,50 @@ class AnalyticsSpec extends SparkSpec {
     assert(sums.getLong(0) <= sums.getLong(1))
   }
 
+  test("fleiss kappa bounded; cochran per-rule corrects sum to the per-row totals") {
+    val fk = run("q_fleiss_kappa").collect().head
+    val k = fk.getAs[Double]("kappa")
+    assert(k >= -1.0 && k <= 1.0)
+    // the three rules are independent of each other by construction —
+    // agreement beyond chance should be near zero on this corpus
+    assert(math.abs(k) < 0.2, s"kappa=$k")
+    val cq = run("q_cochran_q").collect().head
+    val fromRules = cq.getAs[Long]("g1") + cq.getAs[Long]("g2") +
+      cq.getAs[Long]("g3")
+    // recompute ΣL independently: it must equal Σ per-rule corrects
+    val sl = Tables.load(spark, Sf, "lineitem").select(
+      (when((col("l_discount") >= 0.05) === (col("l_returnflag") === "R"), 1L).otherwise(0L) +
+        when((col("l_quantity") >= 25.0) === (col("l_returnflag") === "R"), 1L).otherwise(0L) +
+        when((col("l_tax") >= 0.04) === (col("l_returnflag") === "R"), 1L).otherwise(0L)).as("l"))
+      .agg(sum(col("l"))).head().getLong(0)
+    assert(fromRules === sl)
+  }
+
+  test("median test splits near half; runs test counts are internally consistent") {
+    val mt = run("q_median_test").collect().head
+    val (n, a) = (mt.getAs[Long]("n"), mt.getAs[Long]("a"))
+    assert(a > 0 && a <= n / 2, // strictly-above the LOWER median ≤ n/2
+      s"a=$a n=$n")
+    assert(Option(mt.getAs[Double]("chi2")).forall(_ >= 0.0))
+    val rt = run("q_runs_test").collect().head
+    val (rn, n1, n2, r) = (rt.getAs[Long]("n"), rt.getAs[Long]("n1"),
+      rt.getAs[Long]("n2"), rt.getAs[Long]("r"))
+    assert(n1 + n2 === rn)
+    assert(r >= 1 && r <= rn, s"runs=$r of $rn")
+  }
+
+  test("grid clustering: points partition into clusters + noise") {
+    val rows = run("q_geo_grid_cluster").collect()
+    val total = Tables.load(spark, Sf, "customer").count()
+    assert(rows.map(_.getAs[Long]("n_points")).sum === total,
+      "every customer lands in exactly one cluster or the noise row")
+    val noise = rows.filter(_.getAs[Long]("cluster") == -1L)
+    assert(noise.length === 1 && noise.head.getAs[Long]("n_cells") === 0L)
+    rows.filterNot(_.getAs[Long]("cluster") == -1L).foreach { r =>
+      assert(r.getAs[Long]("n_cells") >= 1L && r.getAs[Long]("n_points") >= 2L)
+    }
+  }
+
   test("scd2 stream: versions contiguous, valid_to chains to the next valid_from") {
     val hist = run("stream_scd2")
     import org.apache.spark.sql.expressions.Window
