@@ -945,6 +945,113 @@ object InferenceQueries {
              |    END AS significant
              |FROM agg""".stripMargin)),
 
+    // Brown–Forsythe test — are the five priority classes' price
+    // SPREADS equal? The robust variance-homogeneity check run before
+    // trusting q_anova_f's pooled-variance premise (the
+    // Levene-with-medians variant — the form practitioners actually
+    // use, robust to the heavy price tails). Mechanically it IS the
+    // one-way ANOVA applied to z = |x − median_g|: per-group exact
+    // lower medians via one group-keyed rank window (partitioned by g
+    // — never single-partition), then the q_anova_f sufficient-moment
+    // fold and the same cross-multiplied χ²₄/4 decision in
+    // DECIMAL(38)/HUGEINT with the df₁ guard. Dollars units, one
+    // value shuffle + one group agg.
+    QueryDef("q_brown_forsythe",
+      (spark, sf) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("x"), col("o_orderkey"))
+        val o = load(spark, sf, "orders")
+          .select(col("o_orderpriority").as("g"), col("o_orderkey"),
+            round(col("o_totalprice")).cast("long").as("x"))
+        val ranked = o.withColumn("rn", row_number().over(w))
+          .withColumn("n_g", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+        val med = ranked.filter(col("rn") === expr("(n_g + 1) div 2"))
+          .select(col("g"), col("x").as("m"))
+        val z = o.join(broadcast(med), Seq("g"))
+          .select(col("g"), abs(col("x") - col("m")).as("z"))
+        val byG = z.groupBy(col("g"))
+          .agg(count(lit(1)).as("n_g"), sum(col("z")).as("s_g"),
+            sum(col("z") * col("z")).as("q_g"))
+        val tot = byG.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+          sum(col("s_g")).as("s"))
+        byG.crossJoin(broadcast(tot))
+          .groupBy(col("k"), col("n"), col("s"))
+          .agg(
+            sum(expr(
+              """(CAST(n_g AS DECIMAL(38,0)) * q_g
+                |  - CAST(s_g AS DECIMAL(38,0)) * s_g) div n_g"""
+                .stripMargin)).as("ssw"),
+            sum(expr("CAST(s_g AS DECIMAL(38,0)) * s_g div n_g"))
+              .as("ssb_raw"))
+          .select(col("k"), col("n"),
+            (col("ssb_raw") - expr("CAST(s AS DECIMAL(38,0)) * s div n"))
+              .as("ssb"), col("ssw"))
+          .select(col("k"), col("n"), col("ssb"), col("ssw"),
+            expr("""CASE WHEN ssw > 0 AND n > k
+              |  THEN ROUND(CAST(ssb AS DOUBLE) * (n - k)
+              |    / (CAST(ssw AS DOUBLE) * (k - 1)), 4)
+              |END""".stripMargin).as("f_stat"),
+            expr("""CASE WHEN k <> 5
+              |  THEN CAST(raise_error(CONCAT('q_brown_forsythe: critical ',
+              |    'value is fixed for df1=4 (5 priority classes)')) AS INT)
+              |  WHEN CAST(ssb AS DOUBLE) * (n - k) * 1000000 > 1e36
+              |    OR CAST(ssw AS DOUBLE) * (k - 1) * 2371932 > 1e36
+              |  THEN CAST(raise_error(CONCAT('q_brown_forsythe: sums of ',
+              |    'squares exceed the DECIMAL(38) exact-decision domain'))
+              |    AS INT)
+              |  WHEN ssw <= 0 OR n <= k THEN 0
+              |  ELSE CAST(CAST(ssb AS DECIMAL(38,0)) * (n - k) * 1000000
+              |    >= CAST(2371932 AS DECIMAL(38,0)) * ssw * (k - 1) AS INT)
+              |  END""".stripMargin).as("spreads_differ"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderpriority AS g, o_orderkey,
+             |    CAST(ROUND(o_totalprice) AS BIGINT) AS x
+             |  FROM orders),
+             |ranked AS (
+             |  SELECT g, x,
+             |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, o_orderkey)
+             |      AS rn,
+             |    CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n_g
+             |  FROM o),
+             |med AS (SELECT g, x AS m FROM ranked WHERE rn = (n_g + 1) // 2),
+             |z AS (
+             |  SELECT o.g, ABS(x - m) AS z FROM o JOIN med ON o.g = med.g),
+             |byg AS (
+             |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+             |    CAST(SUM(z) AS BIGINT) AS s_g,
+             |    CAST(SUM(z * z) AS BIGINT) AS q_g
+             |  FROM z GROUP BY g),
+             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             |    CAST(SUM(n_g) AS BIGINT) AS n,
+             |    CAST(SUM(s_g) AS BIGINT) AS s FROM byg),
+             |agg AS (
+             |  SELECT k, n, s,
+             |    CAST(SUM((CAST(n_g AS HUGEINT) * q_g
+             |        - CAST(s_g AS HUGEINT) * s_g) // n_g) AS BIGINT)
+             |      AS ssw,
+             |    CAST(SUM(CAST(s_g AS HUGEINT) * s_g // n_g) AS BIGINT)
+             |      AS ssb_raw
+             |  FROM byg CROSS JOIN tot GROUP BY k, n, s),
+             |fin AS (
+             |  SELECT k, n,
+             |    ssb_raw - CAST(CAST(s AS HUGEINT) * s // n AS BIGINT)
+             |      AS ssb, ssw
+             |  FROM agg)
+             |SELECT k, n, ssb, ssw,
+             |  CASE WHEN ssw > 0 AND n > k
+             |    THEN ROUND(CAST(ssb AS DOUBLE) * (n - k)
+             |      / (CAST(ssw AS DOUBLE) * (k - 1)), 4)
+             |  END AS f_stat,
+             |  CASE WHEN k <> 5
+             |    THEN CAST(error('q_brown_forsythe: critical value is fixed for df1=4') AS INT)
+             |    WHEN ssw <= 0 OR n <= k THEN 0
+             |    ELSE CAST(CAST(ssb AS HUGEINT) * (n - k) * 1000000
+             |      >= CAST(2371932 AS HUGEINT) * ssw * (k - 1) AS INT)
+             |    END AS spreads_differ
+             |FROM fin""".stripMargin)),
+
     // Wald–Wolfowitz runs test — IS the daily event series random
     // noise around its median, or does it trend/oscillate? The
     // sequential-randomness diagnostic the drift family (Mann-Kendall
