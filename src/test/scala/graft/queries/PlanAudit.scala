@@ -406,7 +406,26 @@ class PlanAudit extends SparkSpec {
     // lineage the digest prints far overcounts what re-executes);
     // the skew gate is one ring join + rollup over repartitioned input.
     "q_geo_knn_full" -> 80,
-    "q_geo_skew_join" -> 9)
+    "q_geo_skew_join" -> 9,
+    // round-17 session-2 additions — every nested loop is a 1-row
+    // scalar-gate broadcast (totals/median/theta/horizon/observed
+    // attaches), counted as printed in the textual lineage:
+    // log-rank twins cross the 1-row per-arm totals onto the
+    // per-duration frame
+    "q_logrank" -> 1, "stream_logrank" -> 1,
+    // the 1-row (k, n, s) moments attach
+    "q_anova_f" -> 1, "q_brown_forsythe" -> 1,
+    // the 1-row global-median crossJoin + the 1-row totals attach
+    // (median lineage reprints once per reference)
+    "q_median_test" -> 3,
+    // the 1-row daily-median attach
+    "q_runs_test" -> 1,
+    // the 1-row observed-statistic attach on the permutation frame
+    "q_permutation_test" -> 1,
+    // the 1-row horizon attach on the ledger
+    "q_growth_accounting" -> 1, "stream_growth" -> 1,
+    // the 1-row theta + totals + dense-points attaches
+    "q_geo_grid_cluster" -> 3)
 
   test("q_skew_aqe_join: AQE splits the hot partition (structural isSkewJoin)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
@@ -604,7 +623,21 @@ class PlanAudit extends SparkSpec {
     val Array(prevF, curF) = artifacts.takeRight(2)
     val (prev, cur) = (parse(prevF), parse(curF))
     info(s"${prevF.getName} (${prev.size}) -> ${curF.getName} (${cur.size})")
-    val flagged = (prev.keySet & cur.keySet).toSeq.sorted.flatMap { q =>
+    // Adjudicated plan-shape changes: deliberate re-plans whose
+    // round-over-round exchange delta is the IMPROVEMENT, not a
+    // regression. Each entry names the change; remove it once the
+    // baseline artifact has caught up (the next round's diff compares
+    // two post-change artifacts and the entry goes stale).
+    val adjudicated = Map(
+      // r16→r17: morSnapshot re-planned to a log-only window +
+      // anti-join so the reconcile NEVER shuffles the published base —
+      // the append gate's textual lineage gains exchanges on the small
+      // delta-log side while the base scan stops exchanging (the r16
+      // verdict's incremental-path work, same session as the
+      // DeltaDestination contract).
+      "sim_ann_index_append" -> "morSnapshot log-only reconcile")
+    val flagged = (prev.keySet & cur.keySet -- adjudicated.keySet)
+      .toSeq.sorted.flatMap { q =>
       val (eo, co, bo) = prev(q)
       val (en, cn, bn) = cur(q)
       val reasons = Seq(
