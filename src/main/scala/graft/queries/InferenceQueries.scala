@@ -945,6 +945,110 @@ object InferenceQueries {
              |    END AS significant
              |FROM agg""".stripMargin)),
 
+    // Kaplan–Meier with GREENWOOD confidence bands — the survival
+    // family's uncertainty read-out (q_survival gives the point curve,
+    // q_logrank the two-arm comparison; a practitioner acts on the
+    // BAND): time-to-first-purchase in hours (the framing with a death
+    // per converting user; censored-at-last-event users shrink the
+    // risk set without stepping the curve — the same fold term, d = 0).
+    // One sorted-struct fold (the q_survival pattern; the frame is
+    // calendar-bounded) accumulates the exact ppm KM product AND the
+    // exact Greenwood sum Σ d/(r(r−d)) in 10⁻¹² units by truncating
+    // division; the displayed 95% band S·(1 ± 1.96·√G) clamps to [0,1]
+    // as ONE double expression with identical text in both engines
+    // (SQRT is IEEE exact-rounded). A loud tripwire bounds the fold's
+    // BIGINT domain at 3·10⁶ users (d·10¹² approaches the wrap past
+    // it) — shard or re-unit beyond, the q_holt_winters discipline.
+    QueryDef("q_survival_ci",
+      (spark, sf) => {
+        val byT = survivalPer(load(spark, sf, "events"))
+          .select(expr(
+            "(coalesce(conv, l) - f) div 3600000000").as("t"),
+            when(col("conv").isNotNull, 1L).otherwise(0L).as("death"))
+          .groupBy(col("t"))
+          .agg(count(lit(1)).as("n_at"), sum(col("death")).as("d"))
+        val tot = byT.agg(sum(col("n_at")).as("tot"))
+        byT.crossJoin(broadcast(tot))
+          .groupBy(col("tot"))
+          .agg(expr("sort_array(collect_list(struct(t, n_at, d)))").as("xs"))
+          .select(col("tot"), explode(expr(
+            """aggregate(xs,
+              |  named_struct('cum', 0L, 's', 1000000L, 'g', 0L,
+              |    'out', CAST(array() AS
+              |      ARRAY<STRUCT<t: BIGINT, n_risk: BIGINT, d: BIGINT,
+              |                   s_ppm: BIGINT, g_e12: BIGINT>>)),
+              |  (acc, x) -> named_struct(
+              |    'cum', acc.cum + x.n_at,
+              |    's', IF(tot > 3000000,
+              |      CAST(raise_error(CONCAT('q_survival_ci: risk sets ',
+              |        'exceed the exact Greenwood domain (~3e6 users) - ',
+              |        're-unit the accumulator')) AS BIGINT),
+              |      acc.s * (tot - acc.cum - x.d) div (tot - acc.cum)),
+              |    'g', acc.g + IF(tot - acc.cum > x.d,
+              |      x.d * 1000000000000L div
+              |        ((tot - acc.cum) * (tot - acc.cum - x.d)), 0L),
+              |    'out', array_append(acc.out, named_struct(
+              |      't', x.t, 'n_risk', tot - acc.cum, 'd', x.d,
+              |      's_ppm', acc.s * (tot - acc.cum - x.d)
+              |        div (tot - acc.cum),
+              |      'g_e12', acc.g + IF(tot - acc.cum > x.d,
+              |        x.d * 1000000000000L div
+              |          ((tot - acc.cum) * (tot - acc.cum - x.d)), 0L)))),
+              |  acc -> acc.out)""".stripMargin)).as("r"))
+          .select(col("r.t").as("t_hours"), col("r.n_risk"), col("r.d"),
+            col("r.s_ppm"), col("r.g_e12"),
+            expr("""ROUND(GREATEST(0.0, CAST(s_ppm AS DOUBLE) / 1000000
+              |  * (1.0 - 1.96 * SQRT(CAST(g_e12 AS DOUBLE) / 1e12))), 6)"""
+              .stripMargin).as("lo95"),
+            expr("""ROUND(LEAST(1.0, CAST(s_ppm AS DOUBLE) / 1000000
+              |  * (1.0 + 1.96 * SQRT(CAST(g_e12 AS DOUBLE) / 1e12))), 6)"""
+              .stripMargin).as("hi95"))
+          .filter(col("d") > 0) // band steps only — censor-only rows
+          .orderBy(col("t_hours"))
+      },
+      Some("""WITH RECURSIVE per AS (
+             |  SELECT user_id, MIN(epoch_us(ts)) AS f, MAX(epoch_us(ts)) AS l,
+             |    MIN(CASE WHEN event_type = 'purchase'
+             |      THEN epoch_us(ts) END) AS conv
+             |  FROM events GROUP BY 1),
+             |byt AS (
+             |  SELECT (COALESCE(conv, l) - f) // 3600000000 AS t,
+             |    CAST(COUNT(*) AS BIGINT) AS n_at,
+             |    CAST(SUM(CASE WHEN conv IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS d
+             |  FROM per GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(n_at) AS BIGINT) AS tot FROM byt),
+             |ord AS (
+             |  SELECT t, n_at, d, ROW_NUMBER() OVER (ORDER BY t) AS rn
+             |  FROM byt),
+             |km(rn, cum, s, g) AS (
+             |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             |    CAST(1000000 AS BIGINT), CAST(0 AS BIGINT)
+             |  UNION ALL
+             |  SELECT o.rn, km.cum + o.n_at,
+             |    km.s * (tot.tot - km.cum - o.d) // (tot.tot - km.cum),
+             |    km.g + CASE WHEN tot.tot - km.cum > o.d
+             |      THEN o.d * 1000000000000 //
+             |        ((tot.tot - km.cum) * (tot.tot - km.cum - o.d))
+             |      ELSE 0 END
+             |  FROM km JOIN ord o ON o.rn = km.rn + 1 CROSS JOIN tot)
+             |SELECT o.t AS t_hours,
+             |  CAST(tot.tot - prev.cum AS BIGINT) AS n_risk, o.d,
+             |  CAST(cur.s AS BIGINT) AS s_ppm,
+             |  CAST(cur.g AS BIGINT) AS g_e12,
+             |  ROUND(GREATEST(0.0, CAST(cur.s AS DOUBLE) / 1000000
+             |    * (1.0 - 1.96 * SQRT(CAST(cur.g AS DOUBLE) / 1e12))), 6)
+             |    AS lo95,
+             |  ROUND(LEAST(1.0, CAST(cur.s AS DOUBLE) / 1000000
+             |    * (1.0 + 1.96 * SQRT(CAST(cur.g AS DOUBLE) / 1e12))), 6)
+             |    AS hi95
+             |FROM ord o
+             |JOIN km cur ON cur.rn = o.rn
+             |JOIN km prev ON prev.rn = o.rn - 1
+             |CROSS JOIN tot
+             |WHERE o.d > 0
+             |ORDER BY t_hours""".stripMargin)),
+
     // Brown–Forsythe test — are the five priority classes' price
     // SPREADS equal? The robust variance-homogeneity check run before
     // trusting q_anova_f's pooled-variance premise (the

@@ -404,6 +404,21 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("survival ci: bands bracket the curve, survival monotone non-increasing") {
+    val rows = run("q_survival_ci").collect()
+    assert(rows.length > 0)
+    var lastS = Long.MaxValue
+    rows.foreach { r =>
+      val s = r.getAs[Long]("s_ppm")
+      assert(s <= lastS, "KM survival must be non-increasing")
+      lastS = s
+      val sd = s.toDouble / 1e6
+      assert(r.getAs[Double]("lo95") <= sd + 1e-9 &&
+        sd <= r.getAs[Double]("hi95") + 1e-9)
+      assert(r.getAs[Long]("g_e12") >= 0L)
+    }
+  }
+
   test("scd2 stream: versions contiguous, valid_to chains to the next valid_from") {
     val hist = run("stream_scd2")
     import org.apache.spark.sql.expressions.Window

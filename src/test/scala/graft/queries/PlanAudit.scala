@@ -425,7 +425,9 @@ class PlanAudit extends SparkSpec {
     // the 1-row horizon attach on the ledger
     "q_growth_accounting" -> 1, "stream_growth" -> 1,
     // the 1-row theta + totals + dense-points attaches
-    "q_geo_grid_cluster" -> 3)
+    "q_geo_grid_cluster" -> 3,
+    // the 1-row total-users attach on the per-duration KM fold
+    "q_survival_ci" -> 1)
 
   test("q_skew_aqe_join: AQE splits the hot partition (structural isSkewJoin)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
