@@ -739,19 +739,38 @@ final class ParquetDestinationDriver(
     val to = java.nio.file.Paths.get(dstBase, "gen0")
     java.nio.file.Files.createDirectories(to)
     var allLinked = true
-    val files = java.nio.file.Files.list(from)
-    try files.iterator().forEachRemaining { p =>
-      if (java.nio.file.Files.isRegularFile(p)) {
-        val target = to.resolve(p.getFileName.toString)
-        try { java.nio.file.Files.createLink(target, p): Unit }
-        catch {
-          case _: UnsupportedOperationException | _: java.io.IOException =>
-            java.nio.file.Files.copy(p, target,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-            allLinked = false
+    // A clone must not race the SOURCE's vacuum: the generation read
+    // above is only stable while the source retains it (the same
+    // retention contract time travel relies on). If a concurrent
+    // publish+vacuum deletes files mid-clone, the link degrades to the
+    // copy path and the copy then throws — in that case the partial,
+    // never-pointed gen0 is best-effort deleted so a failed clone
+    // leaves no orphaned half-built generation behind (r17 advice).
+    try {
+      val files = java.nio.file.Files.list(from)
+      try files.iterator().forEachRemaining { p =>
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val target = to.resolve(p.getFileName.toString)
+          try { java.nio.file.Files.createLink(target, p): Unit }
+          catch {
+            case _: UnsupportedOperationException | _: java.io.IOException =>
+              java.nio.file.Files.copy(p, target,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+              allLinked = false
+          }
         }
-      }
-    } finally files.close()
+      } finally files.close()
+    } catch {
+      case e: Throwable =>
+        try {
+          val part = java.nio.file.Files.list(to)
+          try part.iterator().forEachRemaining(p =>
+            java.nio.file.Files.deleteIfExists(p): Unit)
+          finally part.close()
+          java.nio.file.Files.deleteIfExists(to): Unit
+        } catch { case _: java.io.IOException => () } // cleanup is best-effort
+        throw e
+    }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dstBase, "_cloned_from"),
       s"$srcBase/$gen".getBytes("UTF-8")): Unit

@@ -1166,9 +1166,11 @@ object InferenceQueries {
     // bounded, so the sign-change count folds over ONE sorted struct
     // array (the q_survival pattern). With n1/n2 signs, m = n1·n2 and
     // R runs, the two-sided z² decision is the pure BIGINT comparison
-    // (R·n − n − 2m)²·(n−1)·10⁶ ≥ 3841459·2m·(2m−n) — everything is
-    // calendar-scale, so no DECIMAL is even needed; degenerate sign
-    // splits (2m ≤ n) emit 0.
+    // (R·n − n − 2m)²·(n−1)·10⁶ ≥ 3841459·2m·(2m−n) — exact in BIGINT
+    // only while the n⁵-order left side stays under 2⁶³ (n ≤ ~517
+    // days), so a raise_error tripwire at n > 500 degrades loudly if
+    // the calendar horizon ever widens (the sibling gates' standard
+    // guard); degenerate sign splits (2m ≤ n) emit 0.
     QueryDef("q_runs_test",
       (spark, sf) => {
         val daily = load(spark, sf, "events")
@@ -1199,7 +1201,11 @@ object InferenceQueries {
               |    / (2.0 * n1 * (n - n1)
               |      * (2 * n1 * (n - n1) - n) ), 4)
               |END""".stripMargin).as("z2"),
-            expr("""CASE WHEN n <= 1 OR 2 * n1 * (n - n1) <= n THEN 0
+            expr("""CASE WHEN n > 500
+              |  THEN CAST(raise_error(CONCAT('q_runs_test: day count ',
+              |    'exceeds the BIGINT exact-decision domain (n^5 term) - ',
+              |    'route the comparison through DECIMAL(38)')) AS INT)
+              |  WHEN n <= 1 OR 2 * n1 * (n - n1) <= n THEN 0
               |  ELSE CAST(
               |    (r * n - n - 2 * n1 * (n - n1))
               |      * (r * n - n - 2 * n1 * (n - n1)) * (n - 1) * 1000000
@@ -1234,7 +1240,9 @@ object InferenceQueries {
              |      / (2.0 * n1 * (n - n1)
              |        * (2 * n1 * (n - n1) - n) ), 4)
              |  END AS z2,
-             |  CASE WHEN n <= 1 OR 2 * n1 * (n - n1) <= n THEN 0
+             |  CASE WHEN n > 500
+             |    THEN CAST(error('q_runs_test: day count exceeds the BIGINT exact-decision domain (n^5 term) - route the comparison through DECIMAL(38)') AS INT)
+             |    WHEN n <= 1 OR 2 * n1 * (n - n1) <= n THEN 0
              |    ELSE CAST(
              |      (r * n - n - 2 * n1 * (n - n1))
              |        * (r * n - n - 2 * n1 * (n - n1)) * (n - 1) * 1000000

@@ -45,8 +45,13 @@ object Prof {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
     val docs = graft.queries.Tables.load(spark, sf, "documents")
+    // Same fixed probe budget as the eval/streaming gates (ids ≡ 7 mod
+    // 100 below the sf0.1 population bound) — without the < 2000 cap
+    // this diagnostics tool would examine a corpus-scaled probe set
+    // that diverges from what the gates run above sf0.1.
     val probes = graft.queries.Tables.load(spark, sf, "embeddings")
-      .select(col("vec_id").as("probe_id")).filter(col("probe_id") % 100 === 7)
+      .select(col("vec_id").as("probe_id"))
+      .filter(col("probe_id") % 100 === 7 && col("probe_id") < 2000)
     val (k1, b) = (1.2, 0.75)
     val toks = docs.select(col("doc_id"),
       filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("toks"))
@@ -71,7 +76,7 @@ object Prof {
       dir.resolve("documents.parquet"))
     val dSchema = spark.read.parquet(s"$sf/documents.parquet").schema
     val probeTermStream = spark.readStream.schema(dSchema).parquet(dir.toString)
-      .filter(col("doc_id") % 100 === 7)
+      .filter(col("doc_id") % 100 === 7 && col("doc_id") < 2000)
       .select(col("doc_id").as("probe_id"),
         explode(array_distinct(filter(split(lower(col("text")), "[^a-z]+"), t => t =!= ""))).as("term"))
       .join(broadcast(probes), Seq("probe_id"))

@@ -627,9 +627,11 @@ class PlanAudit extends SparkSpec {
     info(s"${prevF.getName} (${prev.size}) -> ${curF.getName} (${cur.size})")
     // Adjudicated plan-shape changes: deliberate re-plans whose
     // round-over-round exchange delta is the IMPROVEMENT, not a
-    // regression. Each entry names the change; remove it once the
-    // baseline artifact has caught up (the next round's diff compares
-    // two post-change artifacts and the entry goes stale).
+    // regression. Each entry is KEYED TO THE BASELINE ARTIFACT it
+    // excuses (prev-artifact filename, query) so the exemption
+    // self-expires the moment the diff compares two post-change
+    // artifacts — a stale entry can never mask a real future
+    // regression on the same query (r17 advice).
     val adjudicated = Map(
       // r16→r17: morSnapshot re-planned to a log-only window +
       // anti-join so the reconcile NEVER shuffles the published base —
@@ -637,8 +639,10 @@ class PlanAudit extends SparkSpec {
       // delta-log side while the base scan stops exchanging (the r16
       // verdict's incremental-path work, same session as the
       // DeltaDestination contract).
-      "sim_ann_index_append" -> "morSnapshot log-only reconcile")
-    val flagged = (prev.keySet & cur.keySet -- adjudicated.keySet)
+      ("PLANS_r16.json", "sim_ann_index_append") -> "morSnapshot log-only reconcile")
+    val exempt = adjudicated.keySet.collect {
+      case (base, q) if base == prevF.getName => q }
+    val flagged = (prev.keySet & cur.keySet -- exempt)
       .toSeq.sorted.flatMap { q =>
       val (eo, co, bo) = prev(q)
       val (en, cn, bn) = cur(q)
