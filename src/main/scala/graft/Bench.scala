@@ -44,8 +44,16 @@ object Bench {
     // comma-separated substring filter (same contract as Verify) — for
     // ad-hoc timing of a query subset; the driver runs unfiltered
     val filter = sys.env.get("GRAFT_QUERY_FILTER")
+    // complement filter: GRAFT_BENCH_EXCLUDE drops matching entries —
+    // the demotion mechanism for gates that are certificates priced at
+    // ORACLE scale (dedup_semantic, corpus_curation_semantic: exact
+    // all-pairs tiers, 23×/43× at the sf1 decade). Driver SFs run
+    // everything unfiltered; decade+ legs exclude the exact tiers and
+    // the *_sampled certificates carry the scale story (BENCH_NOTES).
+    val exclude = sys.env.get("GRAFT_BENCH_EXCLUDE")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
-      filter.forall(_.split(',').exists(f => f.nonEmpty && name.contains(f))) }
+      filter.forall(_.split(',').exists(f => f.nonEmpty && name.contains(f))) &&
+        !exclude.exists(_.split(',').exists(f => f.nonEmpty && name.contains(f))) }
     // GRAFT_BENCH_ORDER=reverse runs the suite Z→A: a second pass in
     // reversed order separates "this tier is slow" from "whatever runs
     // at the END of a 170-query suite is slow" (accumulated JVM/storage
@@ -148,8 +156,14 @@ object Bench {
       (l.take(20).map("\"" + _ + "\"") ++
         (if (l.size > 20) Seq("\"...+" + (l.size - 20) + "\"") else Nil))
         .mkString("[", ",", "]")
+    // n_queries counts every TIMED row; the shared-layout entry is not a
+    // registry query, so the registry count and the extra rows are named
+    // explicitly — series comparisons stay exact (r17 verdict task 8:
+    // BENCH_r17's 406 vs the 405-query registry was this one row).
+    val extras = layoutEntries.map(_._1)
+    val ex = extras.map("\"" + _ + "\"").mkString("[", ",", "]")
     // a timed exception is not a measurement — surface failures explicitly
-    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"queries":$slowest,"failed":${capped(failed.toSeq)},"flaky":${capped(flaky.toSeq)},$calib,"order":"$order","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"n_registry":${results.size - extras.size},"extra_entries":$ex,"queries":$slowest,"failed":${capped(failed.toSeq)},"flaky":${capped(flaky.toSeq)},$calib,"order":"$order","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -794,18 +794,7 @@ object Similarity {
   def semanticPairs(
       corpus: DataFrame, idCol: String, vecCol: String, minSim: Double,
       nClusters: Int = 16, nProbe: Int = 2, iterations: Int = 3): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val vecs = ensureParallelism(corpus.select(col(idCol).cast("long"), col(vecCol)))
-      .as[(Long, Array[Float])].persist()
-    val cents = kmeansCentroids(vecs, nClusters, iterations)
-    // soft assignment: each vector lands in its nProbe nearest clusters,
-    // recovering pairs that straddle a cluster boundary (the classic
-    // single-assignment recall leak) at nProbe× the candidate cost
-    val assigned = vecs
-      .flatMap { case (id, v) => nearest(v, cents, nProbe).map(c => (id, c)) }
-      .toDF("id", "cluster")
-    vecs.unpersist()
+    val assigned = clusterAssignments(corpus, idCol, vecCol, nClusters, nProbe, iterations)
     // candidates on cheap (id, id) longs first, vectors attached once per
     // surviving pair — same shape as cosinePairs' LSH candidate join
     val cand = assigned.select(col("id").as("a"), col("cluster"))
@@ -816,6 +805,75 @@ object Similarity {
     cand
       .join(v.select(col(idCol).as("a"), col(vecCol).as("va")), Seq("a"))
       .join(v.select(col(idCol).as("b"), col(vecCol).as("vb")), Seq("b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= minSim)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
+  /** The soft k-means assignment underlying [[semanticPairs]], exposed
+    * on its own: every vector lands in its `nProbe` nearest clusters
+    * (recovering pairs that straddle a cluster boundary — the classic
+    * single-assignment recall leak — at nProbe× the candidate cost).
+    * Returns (`id`, `cluster`) with one row per (vector, probe).
+    *
+    * Public because the assignment IS the recall story: [[semanticPairs]]
+    * emits a true pair (exact verify never drops one above τ) iff its
+    * two vectors share ≥ 1 assigned cluster — so a recall CERTIFICATE
+    * only needs these assignments joined against a truth pair sample,
+    * never the per-cluster candidate join (the certificate stays
+    * O(corpus) + O(sample) while the serving path keeps its own
+    * economics).
+    */
+  def clusterAssignments(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, nProbe: Int, iterations: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = ensureParallelism(corpus.select(col(idCol).cast("long"), col(vecCol)))
+      .as[(Long, Array[Float])].persist()
+    val cents = kmeansCentroids(vecs, nClusters, iterations)
+    val assigned = vecs
+      .flatMap { case (id, v) => nearest(v, cents, nProbe).map(c => (id, c)) }
+      .toDF("id", "cluster")
+    vecs.unpersist()
+    assigned
+  }
+
+  /** Deterministic stratified sample of the UNORDERED PAIR SPACE at a
+    * fixed expected pair budget, without ever enumerating it: each id
+    * hashes (md5 first word — replays bit-exact in DuckDB via the
+    * `('0x' || substr(md5(id),1,8))::BIGINT` pattern) into one of
+    * B = max(1, ⌊n²/(2·pairBudget)⌋) strata, and the sample is every
+    * within-stratum pair — an equi-join on the stratum key, expected
+    * mass B·(n/B)²/2 = pairBudget REGARDLESS of n (at small n, B=1 and
+    * the sample degenerates to the full pair space — the exact tier).
+    * A cluster sample of pairs, not i.i.d. pairs (two pairs sharing a
+    * vector co-occur) — disclosed; the per-pair inclusion probability
+    * is uniform (1/B), so recall estimated on the sample is unbiased.
+    *
+    * Returns (`a`, `b`, `sim`) for sampled pairs with exact cosine ≥
+    * `minSim` — the SAMPLED TRUTH a scale path's recall is certified
+    * against, at O(pairBudget) cost at any corpus size.
+    */
+  def sampledExactPairs(
+      corpus: DataFrame, idCol: String, vecCol: String, minSim: Double,
+      pairBudget: Long): DataFrame = {
+    val nAgg = corpus.agg(count(lit(1)).cast("double").as("n_corpus"))
+    // B from n via double math (n² overflows BIGINT near 3e9 ids;
+    // doubles are exact here — n² / 2P stays far under 2⁵³ for any
+    // corpus that fits a cluster) — floored, min 1, identical text in
+    // the DuckDB oracle.
+    val s = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(nAgg))
+      .withColumn("nb", greatest(lit(1L),
+        floor(col("n_corpus") * col("n_corpus") / lit(2.0 * pairBudget)).cast("long")))
+      .withColumn("st",
+        conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % col("nb"))
+      .select(col("id"), col("v"), col("st"))
+    s.select(col("id").as("a"), col("v").as("va"), col("st"))
+      .join(s.select(col("id").as("b"), col("v").as("vb"), col("st")), Seq("st"))
+      .filter(col("a") < col("b"))
       .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") >= minSim)
       .select(col("a"), col("b"), col("sim"))

@@ -715,6 +715,50 @@ class OpsSpec extends SparkSpec {
     assert(run(3) == multi, "seeded clustering is deterministic")
   }
 
+  test("sampled semantic certificate: truth is the exact set restricted to strata; Wilson CI covers the exact tier's recall") {
+    // The r17-verdict task-1 contract, asserted where the exact tier is
+    // still computable (driver SFs): (1) the stratified pair sample is
+    // EXACTLY the all-pairs truth restricted to within-stratum pairs —
+    // no pair outside the exact set, sims identical; (2) the Wilson 95%
+    // CI of the scale path's SAMPLED recall covers its FULL recall —
+    // the number the sampled gate exists to certify once all-pairs is
+    // unaffordable. sf0.1 is the interesting leg (B = 10, a real 10%
+    // sample); at sf0.001/sf0.01 B = 1 and the sample degenerates to
+    // the full pair space (coverage is then trivial — the estimate IS
+    // the exact number, also asserted).
+    def leg(sfDir: String): Unit = {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val exact = Similarity.cosinePairs(e, "vec_id", "embedding", dim = 64, minSim = 0.4)
+        .select("a", "b", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val sample = Similarity.sampledExactPairs(e, "vec_id", "embedding", 0.4, 200000L)
+        .select("a", "b", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(sample.keySet.subsetOf(exact.keySet), s"$sfDir: sampled pair outside the exact set")
+      assert(sample.forall { case (k, s) => math.abs(exact(k) - s) < 1e-12 },
+        s"$sfDir: sampled sims must be the exact sims")
+      val nVec = e.count()
+      val assign = Similarity.clusterAssignments(e, "vec_id", "embedding",
+          nClusters = math.max(16, (nVec / 500).toInt), nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def found(p: (Long, Long)): Boolean =
+        assign(p._1).intersect(assign(p._2)).nonEmpty
+      val fullRecall = exact.keySet.count(found).toDouble / exact.size
+      val m = sample.size.toDouble
+      val p = sample.keySet.count(found) / m
+      val z2 = 3.841459
+      val half = math.sqrt(z2) * math.sqrt(p * (1 - p) / m + z2 / (4 * m * m))
+      val (lo, hi) = ((p + z2 / (2 * m) - half) / (1 + z2 / m),
+        (p + z2 / (2 * m) + half) / (1 + z2 / m))
+      assert(lo <= fullRecall && fullRecall <= hi,
+        s"$sfDir: Wilson CI [$lo, $hi] (p=$p, m=$m) must cover full recall $fullRecall")
+      info(f"$sfDir: full recall $fullRecall%.4f, sampled $p%.4f, CI [$lo%.4f, $hi%.4f], m=${m.toInt}")
+    }
+    leg("/root/testdata/sf0.001")
+    leg("/root/testdata/sf0.1")
+  }
+
   test("embeddings: normalize yields unit norm; zero vector stays zero") {
     import spark.implicits._
     val norms = emb.select(
