@@ -617,9 +617,14 @@ object EvalQueries {
       (spark, sf) => {
         val emb = load(spark, sf, "embeddings")
         val labels = emb.select(col("vec_id"), col("label"))
+        // Fixed probe panel (the r17 decade-leg contract): ids ≡ 3
+        // (mod 20) BELOW the sf0.1 population bound — a no-op at every
+        // driver SF, but at sf1+ it pins the broadcast side instead of
+        // letting the probe×corpus product grow quadratically (the
+        // eval_ndcg bug class; caught here by the structural BNLJ audit)
         val nn = graft.ops.Similarity.bruteForceTopK(
-          emb, emb.filter(col("vec_id") % 20 === 3), "vec_id", "embedding",
-          k = 5)
+          emb, emb.filter(col("vec_id") % 20 === 3 && col("vec_id") < 2000),
+          "vec_id", "embedding", k = 5)
         val votes = nn
           .join(labels.withColumnRenamed("vec_id", "neighbor_id"),
             Seq("neighbor_id"))
@@ -642,7 +647,7 @@ object EvalQueries {
       Some("""WITH q AS (
              |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv,
              |    label AS truth
-             |  FROM embeddings WHERE vec_id % 20 = 3),
+             |  FROM embeddings WHERE vec_id % 20 = 3 AND vec_id < 2000),
              |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) cv,
              |        label FROM embeddings),
              |scored AS (

@@ -551,6 +551,156 @@ class PlanAudit extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
+  // ── Structural BNLJ audit (r17 verdict task 2) ────────────────────
+  // The integer ceilings above say HOW MANY nested-loop joins a query
+  // may plan; nothing asserted WHAT they broadcast — a future
+  // non-scalar BNLJ sneaking in under an existing ceiling would pass.
+  // These helpers bound the build side's cardinality structurally.
+
+  /** Conservative static upper bound on a physical subtree's output
+    * rows: ungrouped aggregates are 1 row, local relations and limits
+    * are their literal sizes, joins multiply, unions add, and anything
+    * unrecognized (scans, generates, grouped aggregates) is unbounded
+    * (None). Sound by construction — it never claims a bound it cannot
+    * prove, so the audit can only over-flag, never under-flag.
+    */
+  private def boundedRows(p: org.apache.spark.sql.execution.SparkPlan): Option[Long] = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.joins._
+    p match {
+      case q: adaptive.QueryStageExec => boundedRows(q.plan)
+      case r: exchange.ReusedExchangeExec => boundedRows(r.child)
+      case a: aggregate.BaseAggregateExec =>
+        if (a.groupingExpressions.isEmpty) Some(1L) else None
+      case l: LocalTableScanExec => Some(l.rows.size.toLong)
+      case r: RangeExec => Some(r.numElements.toLong)
+      case l: GlobalLimitExec => Some(l.limit.toLong)
+      case l: LocalLimitExec => Some(l.limit.toLong)
+      case l: CollectLimitExec => Some(l.limit.toLong)
+      case t: TakeOrderedAndProjectExec => Some(t.limit.toLong)
+      case j: BaseJoinExec =>
+        for (a <- boundedRows(j.left); b <- boundedRows(j.right))
+          yield math.max(1L, a) * math.max(1L, b)
+      case j: CartesianProductExec =>
+        for (a <- boundedRows(j.left); b <- boundedRows(j.right))
+          yield math.max(1L, a) * math.max(1L, b)
+      case u: UnionExec =>
+        val bs = u.children.map(boundedRows)
+        if (bs.forall(_.isDefined)) Some(bs.flatten.sum) else None
+      case e: ExpandExec => boundedRows(e.child).map(_ * e.projections.size)
+      case g: GenerateExec => g.generator match {
+        // explode of a LITERAL array (q_autocorr's 6-lag frame) is a
+        // provable ×|array| multiplier; any data-driven generator is not
+        case org.apache.spark.sql.catalyst.expressions.Explode(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              arr: org.apache.spark.sql.catalyst.util.ArrayData, _)) =>
+          boundedRows(g.child).map(_ * math.max(1, arr.numElements()))
+        case _ => None
+      }
+      case _ if p.children.size == 1 => boundedRows(p.children.head)
+      case _ => None
+    }
+  }
+
+  /** Does the subtree cap its cardinality with a literal range filter —
+    * the pinned probe-budget shape (`probe_id % 100 = 7 AND probe_id <
+    * 2000`)? A full-corpus broadcast has no such literal bound, so a
+    * regression from "fixed probe panel" to "corpus-scaled probes"
+    * loses the cap and fails the audit.
+    */
+  private def literalCapped(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+    def smallLit(e: Expression): Boolean = e.collectFirst {
+      case LessThan(_, Literal(v: Number, _)) if v.longValue <= 4096 => ()
+      case LessThanOrEqual(_, Literal(v: Number, _)) if v.longValue <= 4096 => ()
+    }.isDefined
+    def nodes(q: SparkPlan): Seq[SparkPlan] = q match {
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => s +: nodes(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r +: nodes(r.child)
+      case _ => q +: q.children.flatMap(nodes)
+    }
+    nodes(p).exists {
+      case f: FilterExec => smallLit(f.condition)
+      case s: FileSourceScanExec => s.dataFilters.exists(smallLit)
+      case _ => false
+    }
+  }
+
+  /** Classify every BroadcastNestedLoopJoin's BUILD side in a physical
+    * plan: SCALAR(n) = provably ≤ 64 rows ([[boundedRows]]), CAPPED = a
+    * literal-range-bounded probe set ([[literalCapped]]), UNBOUNDED =
+    * neither — the class a quadratic regression lands in.
+    */
+  private def classifyBnljs(plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    def nodes(q: SparkPlan): Seq[SparkPlan] = q match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a +: nodes(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => s +: nodes(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r +: nodes(r.child)
+      case _ => q +: q.children.flatMap(nodes)
+    }
+    nodes(plan).collect { case j: BroadcastNestedLoopJoinExec => j }.map { j =>
+      val build = if (j.buildSide == BuildLeft) j.left else j.right
+      boundedRows(build) match {
+        case Some(n) if n <= 64 => s"SCALAR($n)"
+        case Some(n) => s"BOUNDED($n)"
+        case None if literalCapped(build) => "CAPPED"
+        case None => "UNBOUNDED"
+      }
+    }
+  }
+
+  // Residual exemptions for broadcasts whose tiny cardinality is
+  // DATA-dependent (no static proof exists), each with the semantic
+  // bound spelled out — everything else must prove its build side:
+  private val DataBoundedBroadcasts = Map(
+    // the global-median frame (a row_number-equality filter on a custom
+    // rank operator — exactly 1 row by rn uniqueness) and the per-
+    // priority-class frame (5 rows — the k<>5 raise_error tripwire in
+    // the query itself guards the domain)
+    "q_median_test" -> 2,
+    // the global sensitive-value histogram: rows = |value domain| (the
+    // t-closeness reference distribution — domain-sized by definition,
+    // rounded cents buckets in this corpus)
+    "privacy_t_closeness" -> 1)
+
+  test("structural BNLJ audit: every nested-loop broadcast proves a bounded build side, a literal cap, or a named data bound") {
+    val violations = scala.collection.mutable.ListBuffer.empty[String]
+    for (q <- ScalarGateJoins.keys.toSeq.sorted) {
+      val df = graft.SparkEntry.queries(q)(spark, Sf)
+      val classes = classifyBnljs(df.queryExecution.executedPlan)
+      if (classes.nonEmpty) info(s"$q: ${classes.mkString(", ")}")
+      val unbounded = classes.count(_ == "UNBOUNDED")
+      if (unbounded > DataBoundedBroadcasts.getOrElse(q, 0))
+        violations += s"$q: $unbounded unproven nested-loop broadcasts (${classes.mkString(", ")})"
+    }
+    assert(violations.isEmpty,
+      s"nested-loop joins with no structural bound on the broadcast side:\n${violations.mkString("\n")}")
+  }
+
+  test("structural BNLJ audit fires on a seeded non-scalar mutation") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, Sf, "documents").select("doc_id", "lang")
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet").select("vec_id")
+    // the mutation a ceiling-only audit would miss: a FULL-SCAN
+    // broadcast nested-looped onto another table under an existing
+    // per-query ceiling — must classify UNBOUNDED
+    val mutant = docs.crossJoin(broadcast(emb))
+    assert(classifyBnljs(mutant.queryExecution.executedPlan) == Seq("UNBOUNDED"),
+      "a full-scan broadcast must be flagged")
+    // positive controls: the two legitimate shapes must NOT be flagged
+    val scalarGate = docs.crossJoin(broadcast(emb.agg(count(lit(1)).as("n"))))
+    assert(classifyBnljs(scalarGate.queryExecution.executedPlan) == Seq("SCALAR(1)"),
+      "a 1-row aggregate broadcast is the allowed scalar-gate shape")
+    val capped = docs.crossJoin(broadcast(emb.filter(col("vec_id") % 100 === 7 && col("vec_id") < 2000)))
+    assert(classifyBnljs(capped.queryExecution.executedPlan) == Seq("CAPPED"),
+      "a literal-capped probe broadcast is the allowed serving shape")
+  }
+
   test("plan audit: no quadratic joins; shuffle counts within pinned ceilings") {
     for ((q, ceiling) <- ExchangeCeilings.toSeq.sortBy(_._1)) {
       val df = graft.SparkEntry.queries(q)(spark, Sf)
