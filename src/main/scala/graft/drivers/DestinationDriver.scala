@@ -193,6 +193,8 @@ final class ParquetDestinationDriver(
   override def overwriteIsReadSafe: Boolean = true // generation pointer
   override def snapshotIsStableAcrossWrites: Boolean = true // old gens survive
 
+  private val TombstoneCol = ParquetDestinationDriver.TombstoneCol
+
   private def currentFile(spark: SparkSession, base: String) =
     new org.apache.hadoop.fs.Path(base, "_CURRENT")
 
@@ -589,6 +591,38 @@ final class ParquetDestinationDriver(
     k
   }
 
+  /** Incremental DELETE: land a TOMBSTONE delta segment carrying only
+    * the destination-key columns plus a `_tombstone` marker — O(deleted
+    * keys) bytes, never a state rewrite. [[morSnapshot]]'s latest-wins
+    * reconcile drops a key whose winning segment is a tombstone (an
+    * upsert landing later resurrects it — segment order is the truth),
+    * and [[compactDeltas]] folds deletions away permanently. Replays
+    * are idempotent: a duplicate tombstone segment reconciles to the
+    * same view. This is the prune half of the delta path's orphan
+    * reconcile ([[graft.exec.MigrationExecutor.reconcileDeltaOrphans]]) —
+    * the reference's prune disposition (`DataMigrationExecutor.php:
+    * 368-382`) without rewriting 100 TB of published state.
+    */
+  def appendTombstones(keys: DataFrame, spec: MigrationSpec): Long = {
+    require(buckets.isEmpty, "merge-on-read is for non-bucketed generation sinks")
+    val spark = keys.sparkSession
+    val base = UriSchemes.path(spec.destination)
+    val gen = currentGen(spark, base).getOrElse(throw new IllegalStateException(
+      s"tombstones need a published base generation at $base"))
+    val keyFields = spec.destinationIds
+    require(keyFields.forall(f => keys.columns.contains(f.name)),
+      s"tombstone frame must carry the destination key columns [${keyFields.map(_.name).mkString(", ")}]")
+    val conformed = keys
+      .select(keyFields.map(f => col(f.name).cast(f.idType.sparkType)): _*)
+      .distinct()
+      .withColumn(TombstoneCol, lit(true))
+    val k = deltaIndexes(spark, base, gen).lastOption.getOrElse(-1L) + 1
+    // same collision stance as appendDelta: ErrorIfExists turns a
+    // concurrent-appender index race into a visible retry
+    conformed.write.mode(SaveMode.ErrorIfExists).parquet(s"$base/mordelta_${gen}_$k")
+    k
+  }
+
   /** The current generation's delta-log segment indexes — observability
     * for incremental pipelines (how many micro-batch deltas have landed
     * since the last compaction/COW write). Empty when nothing is
@@ -630,14 +664,31 @@ final class ParquetDestinationDriver(
         val keyNames = spec.destinationIds.map(_.name)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCols: _*).orderBy(col("_seq").desc)
+        // A segment is either an upsert delta (full row schema) or a
+        // TOMBSTONE segment ([[appendTombstones]]: key columns + a
+        // `_tombstone` marker, value columns synthesized as NULL here —
+        // they never surface: a winning tombstone DELETES the key).
+        // Latest-wins first, THEN the tombstone filter, so an upsert
+        // re-arriving after a delete resurrects the key and a delete
+        // after an upsert removes it — segment order is the truth.
         val logLatest = ks
-          .map(k => spark.read.parquet(s"$base/mordelta_${gen}_$k")
-            .withColumn("_seq", lit(k + 1)))
+          .map { k =>
+            val seg = spark.read.parquet(s"$base/mordelta_${gen}_$k")
+            val full = baseDf.schema.fields.foldLeft(
+              if (seg.columns.contains(TombstoneCol)) seg
+              else seg.withColumn(TombstoneCol, lit(false))) { (df, f) =>
+              if (df.columns.contains(f.name)) df
+              else df.withColumn(f.name, lit(null).cast(f.dataType))
+            }
+            full.select(baseDf.schema.fieldNames.map(col).toSeq :+ col(TombstoneCol): _*)
+              .withColumn("_seq", lit(k + 1))
+          }
           .reduce(_ unionByName _)
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_seq", "_rn")
         baseDf.join(logLatest.select(keyNames.map(col): _*), keyNames, "left_anti")
-          .unionByName(logLatest)
+          .unionByName(logLatest.filter(!col(TombstoneCol)).drop(TombstoneCol)
+            .select(baseDf.schema.fieldNames.map(col).toSeq: _*))
       }
     }
   }
@@ -1013,6 +1064,9 @@ object ParquetDestinationDriver {
   // `_cas_from_*` marker protocol) — the MappingStore.lockFor pattern
   private val locks = scala.collection.concurrent.TrieMap.empty[String, Object]
   private def lockFor(path: String): Object = locks.getOrElseUpdate(path, new Object)
+
+  /** Marker column of a tombstone delta segment ([[ParquetDestinationDriver.appendTombstones]]). */
+  val TombstoneCol = "_tombstone"
 }
 
 /** CSV sink: header row, atomic commit — parity with

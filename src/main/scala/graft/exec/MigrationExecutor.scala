@@ -331,6 +331,78 @@ final class MigrationExecutor(
       incoming.select(destIdCols.map(col): _*))
   }
 
+  /** Periodic orphan reconciliation for the incremental path — the
+    * closing half of [[executeDelta]]'s IgnoreOrphans stance (r17
+    * verdict task 3). A delta batch says nothing about ABSENCE, so the
+    * per-batch path never reports orphans; run at the caller's cadence
+    * (every N batches, nightly, before compaction), this reconcile
+    * restores the reference's orphan semantics
+    * (`DataMigrationExecutor.php:368-382`) without ever rescanning
+    * history: destination keys in the reconciled view whose mapped
+    * source key does NOT appear in `recentKeys` — the union of
+    * source-id tuples seen within the caller's retention horizon — are
+    * orphans, surfaced through the SAME keep/prune policy as the batch
+    * path:
+    *
+    *   - [[PruneOrphans]]: deleted O(orphans) via a tombstone delta
+    *     segment ([[graft.drivers.ParquetDestinationDriver.appendTombstones]]),
+    *     never a state rewrite;
+    *   - [[KeepOrphans]]: reported and recorded in the mapping table
+    *     (all-NULL-source bookkeeping rows, `Executor.php:320-326`);
+    *   - [[IgnoreOrphans]]: nothing reported.
+    *
+    * Kill/restart-safe: the reconcile derives only from published state
+    * (the MOR view + the mapping table + the caller's durable
+    * recent-key horizon), and a replayed prune appends a duplicate
+    * tombstone segment that latest-wins-reconciles to the identical
+    * view. A key whose delta re-arrives AFTER a prune is resurrected by
+    * its later upsert segment — segment order is the truth.
+    */
+  def reconcileDeltaOrphans(
+      spark: SparkSession,
+      migration: Migration,
+      recentKeys: DataFrame,
+      dest: graft.drivers.DeltaDestination): MigrationResult = {
+    val spec = migration.spec
+    val destIdCols = spec.destinationIds.map(_.name)
+    val snap = dest.morSnapshot(spark, spec).getOrElse(throw new IllegalStateException(
+      s"orphan reconcile needs a published destination for ${spec.name}"))
+    val keyedRecent = spec.sourceIds.foldLeft(
+      recentKeys.select(spec.sourceIds.map(f => col(f.name)): _*))((df, f) =>
+      df.withColumn(f.name, col(f.name).cast(f.idType.sparkType)))
+    // resolve recent source keys to destination keys through the same
+    // mapping the batches' rows took; unmapped recents (keys arriving
+    // for the first time mid-horizon) resolve to NULL and drop out of
+    // the anti-join's right side harmlessly
+    val recentDest = mapper.lookupDest(keyedRecent, spec)
+      .select(spec.destinationIds.map(f => col(s"${MappingStore.DestPrefix}${f.name}").as(f.name)): _*)
+    val snapKeys = snap.select(destIdCols.map(col): _*)
+    val orphans = pin(snapKeys
+      .join(recentDest, joinCond(snapKeys, recentDest, destIdCols), "left_anti")
+      .persist())
+    val orphanCount = orphans.count()
+    orphanPolicy match {
+      case PruneOrphans if orphanCount > 0 =>
+        dest match {
+          case p: graft.drivers.ParquetDestinationDriver =>
+            p.appendTombstones(orphans, spec); ()
+          case other => throw new IllegalStateException(
+            s"prune-on-reconcile needs a tombstone-capable sink, got ${other.getClass.getName}")
+        }
+      case KeepOrphans if orphanCount > 0 =>
+        mapper.recordOrphansKept(spark, spec,
+          orphans.select(spec.destinationIds.map(f =>
+            col(f.name).as(s"${MappingStore.DestPrefix}${f.name}")): _*))
+      case _ => ()
+    }
+    val reported =
+      if (orphanPolicy == IgnoreOrphans) orphans.limit(0) else orphans
+    MigrationResult(0L, reported,
+      if (orphanPolicy == IgnoreOrphans) 0L else orphanCount,
+      dest.morSnapshot(spark, spec).get,
+      orphans.limit(0))
+  }
+
   /** Chunked execution — the set-oriented form of the reference's
     * `flush=true` per-row flushing
     * (`/root/reference/src/Annotations/DataMigration.php:96-105`,

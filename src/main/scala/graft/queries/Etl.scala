@@ -1557,6 +1557,68 @@ object Etl {
       Some("""SELECT c_custkey AS id, 'new' AS marker FROM customer
              |WHERE c_custkey % 2 = 0 ORDER BY id""".stripMargin)),
 
+    // §2.3 orphan semantics ON THE INCREMENTAL PATH (r17 verdict task
+    // 3): executeDelta never reports orphans (absence from a delta
+    // means nothing), so a delta-fed destination silently diverges from
+    // the reference's orphan contract (`DataMigrationExecutor.php:
+    // 368-382`) until reconciled. This gate drives four CDC-style delta
+    // batches (customer activity sliced by o_orderkey % 4) through
+    // executeDelta, then runs reconcileDeltaOrphans under PruneOrphans
+    // with a two-batch retention horizon: destination keys whose source
+    // never appeared in batches 2-3 are orphans, deleted O(orphans) via
+    // a TOMBSTONE delta segment (never a state rewrite — the 100 TB
+    // prune). The emitted snapshot is each survivor's latest-batch row,
+    // which DuckDB replays exactly; a reconcile that misses orphans (or
+    // prunes a live key) flips the hash. Replay safety (duplicate
+    // tombstone segments reconcile to the same view; a later upsert
+    // resurrects a pruned key) is ExecutorSpec's reconcile test.
+    QueryDef("etl_delta_orphans",
+      (spark, sf) => {
+        val base = scratch("graft_delta_orphans")
+        val spec = MigrationSpec(
+          name = "cust_activity_delta",
+          source = "", sourceDriver = "inline",
+          destination = s"$base/dest", destinationDriver = "parquet",
+          sourceIds = Seq(IdField("o_custkey", LongId)),
+          destinationIds = Seq(IdField("id", LongId)))
+        val mapper = new MappingStore(s"$base/map")
+        val exec = new MigrationExecutor(mapper, new ReferenceStore(mapper), PruneOrphans)
+        val dest = new ParquetDestinationDriver
+        val theSpec = spec
+        def batch(i: Int): DataFrame = load(spark, sf, "orders")
+          .filter(col("o_orderkey") % 4 === i)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("o_custkey"), lit(i).as("last_batch"), col("cnt"))
+        val migration = new Migration {
+          def spec: MigrationSpec = theSpec
+          def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+            src.select(col("o_custkey"), col("o_custkey").as("id"),
+              col("last_batch"), col("cnt"))
+        }
+        (0 to 3).foreach { i =>
+          exec.executeDelta(spark, migration, new SourceDriver {
+            def read(s: SparkSession, sp: MigrationSpec): DataFrame = batch(i)
+          }, dest): Unit
+        }
+        val recent = load(spark, sf, "orders")
+          .filter(col("o_orderkey") % 4 >= 2)
+          .select(col("o_custkey")).distinct()
+        val res = exec.reconcileDeltaOrphans(spark, migration, recent, dest)
+        releasing(exec)(
+          res.finalSnapshot.select(col("id"), col("last_batch"), col("cnt"))
+            .orderBy(col("id")))
+      },
+      Some("""WITH per AS (
+             |  SELECT o_custkey AS id, CAST(o_orderkey % 4 AS INT) AS b,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM orders GROUP BY 1, 2),
+             |last AS (SELECT id, MAX(b) AS b FROM per GROUP BY 1),
+             |recent AS (SELECT DISTINCT id FROM per WHERE b >= 2)
+             |SELECT p.id, p.b AS last_batch, p.cnt
+             |FROM per p JOIN last USING (id, b) JOIN recent USING (id)
+             |ORDER BY p.id""".stripMargin)),
+
     // §2.3 `extends`: a second-pass migration shares the parent's mapping
     // table (`Annotations/DataMigration.php:107-113`,
     // `DataMigrationExecutor.php:172-175`) — after parent (even keys) and

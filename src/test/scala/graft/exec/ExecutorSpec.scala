@@ -455,6 +455,41 @@ class ExecutorSpec extends SparkSpec {
     assert(back == Map(501L -> Some(1L), 502L -> Some(2L), 999L -> None))
   }
 
+  test("delta orphan reconcile: prune tombstones replay-idempotent; later upsert resurrects; compaction folds deletes") {
+    import spark.implicits._
+    val (base, _, _, exec) = fixture(PruneOrphans)
+    val sp = mkSpec(base)
+    val dest = new ParquetDestinationDriver
+    val m = natural(sp)
+    def deltaOf(rows: (Long, String)*): SourceDriver = inlineSource { s =>
+      import s.implicits._; rows.toSeq.toDF("src_id", "v") }
+    def ids(): Seq[Long] =
+      dest.morSnapshot(spark, sp).get.select("id").as[Long].collect().sorted.toSeq
+    exec.executeDelta(spark, m, deltaOf(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"), dest)
+    exec.executeDelta(spark, m, deltaOf(3L -> "c2", 4L -> "d2"), dest)
+    // retention horizon = the last batch's keys → 1, 2 are orphans
+    val recent = Seq(3L, 4L).toDF("src_id")
+    val r1 = exec.reconcileDeltaOrphans(spark, m, recent, dest)
+    assert(r1.orphanCount == 2)
+    assert(r1.orphans.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(ids() == Seq(3L, 4L), "pruned keys must leave the reconciled view")
+    // REPLAY (crash between tombstone append and caller ack): the
+    // duplicate reconcile finds nothing new and the view is unchanged
+    val r2 = exec.reconcileDeltaOrphans(spark, m, recent, dest)
+    assert(r2.orphanCount == 0)
+    assert(ids() == Seq(3L, 4L))
+    // a delta re-delivering a pruned key RESURRECTS it — segment order
+    // is the truth (the kill/restart story: late retries stay safe)
+    exec.executeDelta(spark, m, deltaOf(1L -> "a3"), dest)
+    assert(ids() == Seq(1L, 3L, 4L))
+    assert(dest.morSnapshot(spark, sp).get
+      .filter(col("id") === 1).select("v").as[String].head() == "A3")
+    // compaction folds tombstones into the next generation permanently
+    dest.compactDeltas(spark, sp)
+    assert(ids() == Seq(1L, 3L, 4L))
+    exec.release()
+  }
+
   test("repeated orphan-keep runs accumulate distinct orphan rows, never wipe earlier ones") {
     import spark.implicits._
     val (base, mapper, _, _) = fixture()
