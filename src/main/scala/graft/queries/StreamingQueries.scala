@@ -2708,9 +2708,11 @@ object StreamingQueries {
     // window oracle VERBATIM (Shared.Scd2Oracle) — incremental
     // maintenance proven equivalent to recomputation, the same
     // standard the incremental curation flagship meets. Chunk staging
-    // collects the distinct order DATES (calendar-bounded, ~2.4k rows
-    // at any SF) to pick non-splitting cut points — gate scaffolding,
-    // not the operator.
+    // splits the calendar linearly from one min/max agg (any monotone
+    // non-date-splitting cut yields the same final table) — gate
+    // scaffolding, not the operator. AnalyticsSpec additionally pins
+    // the engine-internal equivalence: this gate's output must equal
+    // q_scd2_history's batch recomputation row-for-row.
     QueryDef("stream_scd2",
       (spark, sf) => {
         import graft.spec.{IdField, LongId, MigrationSpec}
@@ -2719,25 +2721,32 @@ object StreamingQueries {
           .select(col("o_custkey"), col("o_orderkey"),
             col("o_orderdate"), col("o_orderpriority"))
         val dir = java.nio.file.Files.createTempDirectory("graft_scd2_chunks")
-        // cut points as 'yyyy-MM-dd …' strings (lexicographic =
-        // chronological) — robust to the parquet TIMESTAMP vs
-        // TIMESTAMP_NTZ read difference across driver corpora
-        val days = orders.select(col("o_orderdate").cast("string"))
-          .distinct().orderBy(col("o_orderdate")).collect()
-          .map(_.getString(0))
+        // Chunk cut points: any deterministic MONOTONE date→chunk map
+        // that never splits a date across chunks yields the same final
+        // SCD2 table (the oracle recomputes from the full history), so
+        // the cheap one wins — a single min/max agg and a linear
+        // calendar split, instead of collecting every distinct date.
+        // String prefix parse is robust to the parquet TIMESTAMP vs
+        // TIMESTAMP_NTZ read difference across driver corpora.
         val nCh = 4
-        val cuts = (1 until nCh)
-          .map(i => days(math.min(days.length - 1, i * days.length / nCh)))
+        val b0 = orders.agg(min(col("o_orderdate")).cast("string").as("mn"),
+          max(col("o_orderdate")).cast("string").as("mx")).head()
+        val d0 = java.time.LocalDate.parse(b0.getString(0).take(10))
+        val span = java.time.LocalDate.parse(b0.getString(1).take(10)).toEpochDay -
+          d0.toEpochDay
         val mt0 = System.currentTimeMillis() - nCh * 10000L
+        // ONE partitioned write stages all chunks (vs nCh separate
+        // filter+coalesce passes — the r17 decade leg priced this gate's
+        // scaffolding at ~half its wall time); repartition on the chunk
+        // label gives one file per chunk directory
+        val chunkOf = least(lit(nCh - 1),
+          floor(datediff(col("o_orderdate"), lit(d0.toString)) * nCh / (span + 1))
+            .cast("int"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_scd2_c")
+        orders.withColumn("chunk", chunkOf).repartition(col("chunk"))
+          .write.partitionBy("chunk").mode("overwrite").parquet(tmp.toString)
         for (i <- 0 until nCh) {
-          val loOk = if (i == 0) lit(true)
-            else col("o_orderdate").cast("string") >= lit(cuts(i - 1))
-          val hiOk = if (i == nCh - 1) lit(true)
-            else col("o_orderdate").cast("string") < lit(cuts(i))
-          val tmp = java.nio.file.Files.createTempDirectory("graft_scd2_c")
-          orders.filter(loOk && hiOk).coalesce(1)
-            .write.mode("overwrite").parquet(tmp.toString)
-          new java.io.File(tmp.toString).listFiles()
+          new java.io.File(tmp.toString, s"chunk=$i").listFiles()
             .find(f => f.getName.startsWith("part-") &&
               f.getName.endsWith(".parquet"))
             .foreach { p =>
@@ -2768,45 +2777,52 @@ object StreamingQueries {
           .option("maxFilesPerTrigger", "1").parquet(dir.toString)
         val q = raw.writeStream
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            val wb = Window.partitionBy(col("o_custkey"))
-              .orderBy(col("o_orderdate"), col("o_orderkey"))
-            val changes = b
-              .withColumn("prev", lag(col("o_orderpriority"), 1).over(wb))
-              .filter(col("prev").isNull ||
-                col("prev") =!= col("o_orderpriority"))
-              .select(col("o_custkey"),
-                col("o_orderpriority").as("priority"),
-                col("o_orderdate"), col("o_orderkey"))
-              .withColumn("bv", row_number().over(wb))
-            val open = dest.morSnapshot(spark, theSpec).get
+            // ONE window pass (r17 verdict task 4 — the old shape paid
+            // two window chains + two joins + a groupBy per batch): the
+            // open version of each arriving customer joins the batch as
+            // a SYNTHETIC FIRST ROW (okey −1; its valid_from predates
+            // every batch date because chunks never split or reorder
+            // dates), and the standard SCD2 composition over the unioned
+            // sequence produces everything at once — lag-compression
+            // drops batch rows continuing the open priority, lead gives
+            // the re-emitted open row its closing valid_to (or leaves it
+            // open — an idempotent same-key re-emission), and versions
+            // extend the open counter via a per-customer max window.
+            val opens = dest.morSnapshot(spark, theSpec).get
               .filter(col("valid_to").isNull)
-              .join(changes.select(col("o_custkey")).distinct(),
+              .join(b.select(col("o_custkey")).distinct(),
                 Seq("o_custkey"), "left_semi")
-              .select(col("o_custkey"), col("priority").as("open_prio"),
-                col("valid_from").as("open_from"),
-                col("version").as("open_ver"))
-            val real = changes.join(open, Seq("o_custkey"), "left")
-              .filter(col("bv") > 1 || col("open_prio").isNull ||
-                col("open_prio") =!= col("priority"))
-            val versioned = real
-              .withColumn("version",
-                (coalesce(col("open_ver"), lit(0)) + row_number().over(wb))
-                  .cast("int"))
-              .withColumn("valid_to",
-                lead(col("o_orderdate"), 1).over(wb).cast("timestamp"))
               .select(col("o_custkey"), col("priority"),
+                col("valid_from"), lit(-1L).as("o_orderkey"),
+                col("version").as("open_ver"))
+            val rows = b.select(col("o_custkey"),
+                col("o_orderpriority").as("priority"),
                 col("o_orderdate").cast("timestamp").as("valid_from"),
-                col("valid_to"), col("version"))
-            val closes = open.join(
-                versioned.groupBy(col("o_custkey"))
-                  .agg(min(col("valid_from")).as("next_from")),
-                Seq("o_custkey"))
-              .select(col("o_custkey"), col("open_prio").as("priority"),
-                col("open_from").as("valid_from"),
-                col("next_from").as("valid_to"),
-                col("open_ver").cast("int").as("version"))
-            val delta = closes.unionByName(versioned)
-            if (!delta.isEmpty) dest.appendDelta(delta, theSpec): Unit
+                col("o_orderkey"), lit(null).cast("int").as("open_ver"))
+              .unionByName(opens)
+            val wb = Window.partitionBy(col("o_custkey"))
+              .orderBy(col("valid_from"), col("o_orderkey"))
+            val wk = Window.partitionBy(col("o_custkey"))
+            val delta = rows
+              .withColumn("prev", lag(col("priority"), 1).over(wb))
+              .filter(col("open_ver").isNotNull ||
+                col("prev").isNull || col("prev") =!= col("priority"))
+              .withColumn("rn", row_number().over(wb))
+              .withColumn("base", max(col("open_ver")).over(wk))
+              .withColumn("version",
+                coalesce(col("open_ver"),
+                  coalesce(col("base"), lit(0)) + col("rn") -
+                    when(col("base").isNotNull, 1).otherwise(0)).cast("int"))
+              .withColumn("valid_to", lead(col("valid_from"), 1).over(wb))
+              .select(col("o_custkey"), col("priority"),
+                col("valid_from"), col("valid_to"), col("version"))
+              // persisted: the delta plan otherwise executes three times
+              // per batch (emptiness probe, appendDelta's duplicate-key
+              // probe, the segment write) — and it hangs off morSnapshot,
+              // whose reconcile re-runs per execution
+              .persist()
+            try { if (delta.count() > 0) dest.appendDelta(delta, theSpec): Unit }
+            finally { delta.unpersist(); () }
           }
           .option("checkpointLocation", s"$base/ckpt")
           .trigger(Trigger.AvailableNow()).start()
