@@ -90,12 +90,21 @@ final class YamlSourceDriver extends SourceDriver {
           .load(accepted.toIndexedSeq: _*)
           .select(col("content"))
           .as[Array[Byte]]
-        val bodyJson: Dataset[String] = raw.map { content =>
+        val bodyJson: Dataset[String] = raw.flatMap { content =>
+          // loadAll, matching the reader: consolidated files carry one
+          // document per entity and every document must feed the schema
           val yaml = new org.yaml.snakeyaml.Yaml()
-          val doc = yaml.load[java.util.Map[String, Object]](new String(content, "UTF-8"))
-          val body = new java.util.LinkedHashMap[String, Object]()
-          if (doc != null) body.putAll(doc)
-          new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(body)
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          import scala.jdk.CollectionConverters._
+          yaml.loadAll(new String(content, "UTF-8")).asScala.map { doc =>
+            val body = new java.util.LinkedHashMap[String, Object]()
+            doc match {
+              case m: java.util.Map[_, _] =>
+                body.putAll(m.asInstanceOf[java.util.Map[String, Object]])
+              case _ => ()
+            }
+            mapper.writeValueAsString(body)
+          }.toSeq
         }
         // ids are path metadata, not body fields — exclude id-named
         // keys in case a foreign writer left them in
@@ -142,13 +151,27 @@ object YamlSourceDriver {
   *
   * Each partition writes its rows' files independently through the Hadoop
   * FS API, so the write parallelizes across executors; the reference
-  * writes one file per entity too, just serially. The millions-of-tiny-
-  * files hazard at 100 TB is inherent to this layout (SURVEY §7.4) — the
-  * Parquet sink is the scale path.
+  * writes one file per entity too, just serially.
+  *
+  * == The millions-of-tiny-files guard (SURVEY §7.4, r17 verdict task 5) ==
+  * The per-entity layout melts a namenode at 100×, so the sink now
+  * BOUNDS it: a write of more than `maxEntities` rows (param; default
+  * from `spark.graft.yaml.maxEntities`, else 1,000,000; ≤ 0 disables)
+  * fails loudly BEFORE creating a single file, and the error names the
+  * escape hatch — `consolidate = true`, which writes ONE multi-document
+  * YAML stream per path PREFIX (the leading n−1 ids keep encoding the
+  * path; the last id travels INSIDE each document): file count drops
+  * from |entities| to |prefixes|. A consolidated tree rereads through
+  * the same [[graft.sources.YamlFileFormat]] machinery (loadAll — one
+  * row per document) by declaring the prefix ids as the tree's ids:
+  * `src.read(spark, spec.copy(sourceIds = spec.sourceIds.init))`
+  * surfaces the last id as an ordinary body column, and prefix-id
+  * filters still prune the file listing.
   */
 final class YamlDestinationDriver(
     indent: Int = 2, refs: Boolean = false,
-    refsInclude: Seq[String] = Nil, refsExclude: Seq[String] = Nil)
+    refsInclude: Seq[String] = Nil, refsExclude: Seq[String] = Nil,
+    maxEntities: Option[Long] = None, consolidate: Boolean = false)
     extends DestinationDriver {
   override def supportsStubs: Boolean = false
 
@@ -167,9 +190,72 @@ final class YamlDestinationDriver(
     val shareRefs = refs
     val incRes = refsInclude
     val excRes = refsExclude
-    val confBc = df.sparkSession.sparkContext.broadcast(
+    val spark = df.sparkSession
+    // file-count guard: fail loudly BEFORE the first file lands (the
+    // count is one columnar pass — nothing next to per-row fs.create)
+    val cap = maxEntities.orElse(
+      spark.conf.getOption("spark.graft.yaml.maxEntities").map(_.toLong))
+      .getOrElse(1000000L)
+    if (cap > 0 && !consolidate) {
+      val n = df.count()
+      if (n > cap) throw new IllegalStateException(
+        s"YAML per-entity sink refuses $n entities (cap $cap): one file per " +
+          "entity at this count is a small-files outage. Raise the cap " +
+          "(maxEntities param / spark.graft.yaml.maxEntities; <= 0 disables) " +
+          "only if the filesystem can take it, or write consolidated " +
+          "multi-document files per path prefix (consolidate = true); the " +
+          "Parquet sink remains the scale path.")
+    }
+    val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
-        df.sparkSession.sparkContext.hadoopConfiguration))
+        spark.sparkContext.hadoopConfiguration))
+    if (consolidate) {
+      require(idNames.size >= 2,
+        "consolidated YAML needs >= 2 id levels: the leading ids form the " +
+          "file path, the last id travels inside each document")
+      val prefix = idNames.init
+      val lastId = idNames.last
+      // each prefix's entities land in ONE task (repartition on the
+      // prefix), sorted so a prefix's documents are consecutive and the
+      // file order is deterministic (last id ascending)
+      df.repartition(prefix.map(col): _*)
+        .sortWithinPartitions(idNames.map(col): _*)
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          val conf = confBc.value.value
+          val opts = new org.yaml.snakeyaml.DumperOptions()
+          opts.setDefaultFlowStyle(org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
+          opts.setIndent(ind)
+          opts.setExplicitStart(true) // each document opens with `---`
+          val yaml = new org.yaml.snakeyaml.Yaml(opts)
+          val inc = incRes.map(java.util.regex.Pattern.compile)
+          val exc = excRes.map(java.util.regex.Pattern.compile)
+          var curKey: Seq[String] = null
+          var out: org.apache.hadoop.fs.FSDataOutputStream = null
+          try {
+            rows.foreach { row =>
+              val prefVals = prefix.map(n => String.valueOf(row.getAs[Any](n)))
+              if (prefVals != curKey) {
+                if (out != null) out.close()
+                val p = new org.apache.hadoop.fs.Path(
+                  base, YamlPathCodec.pathFromIds(prefVals))
+                out = p.getFileSystem(conf).create(p, true)
+                curKey = prefVals
+              }
+              val body = new java.util.LinkedHashMap[String, Object]()
+              body.put(lastId, YamlDestinationDriver.toJava(row.getAs[Any](lastId)))
+              bodyCols.foreach(c =>
+                body.put(c, YamlDestinationDriver.toJava(row.getAs[Any](c))))
+              val doc: Object =
+                if (shareRefs)
+                  YamlDestinationDriver.shareSubtrees(
+                    body, new java.util.HashMap[Object, Object](), "", inc, exc)
+                else body
+              out.write(yaml.dump(doc).getBytes("UTF-8"))
+            }
+          } finally if (out != null) out.close()
+        }
+      return
+    }
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       val conf = confBc.value.value
       val opts = new org.yaml.snakeyaml.DumperOptions()

@@ -763,6 +763,40 @@ object Etl {
              |  CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
              |FROM nation ORDER BY n_regionkey, n_nationkey""".stripMargin)),
 
+    // §2.2 consolidated YAML layout (r17 verdict task 5 — the escape
+    // hatch from the per-entity small-files hazard): ONE multi-document
+    // file per path prefix (region), each document carrying the last id
+    // (nationkey) inline, reread through the SAME YamlFileFormat
+    // machinery by declaring the prefix as the tree's ids — the last id
+    // surfaces as an ordinary body column, prefix filters still prune
+    // the listing. File count: |regions|, not |nations|. The cap guard
+    // itself (per-entity write > maxEntities fails loudly) is
+    // DriversSpec's test.
+    QueryDef("etl_yaml_consolidated",
+      (spark, sf) => {
+        val base = scratch("graft_yaml_cons")
+        val spec = MigrationSpec("yaml_cons", source = s"$base/out", sourceDriver = "yaml",
+          destination = s"$base/out", destinationDriver = "yaml",
+          sourceIds = Seq(IdField("n_regionkey", LongId), IdField("n_nationkey", LongId)),
+          destinationIds = Seq(IdField("n_regionkey", LongId), IdField("n_nationkey", LongId)))
+        val nation = load(spark, sf, "nation")
+          .select(col("n_regionkey").cast("long"), col("n_nationkey").cast("long"), col("n_name"))
+        new YamlDestinationDriver(consolidate = true).write(nation, spec)
+        // one file per region on disk — the layout the write exists for
+        val files = new java.io.File(s"$base/out").listFiles()
+          .count(_.getName.endsWith(".yaml"))
+        val regions = nation.select(col("n_regionkey")).distinct().count()
+        require(files == regions,
+          s"consolidated layout must write one file per prefix: $files files, $regions regions")
+        new YamlSourceDriver().read(spark, spec.copy(sourceIds = spec.sourceIds.init))
+          .select(col("n_regionkey"), col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name"))
+          .orderBy(col("n_regionkey"), col("n_nationkey"))
+      },
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+             |  CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+             |FROM nation ORDER BY n_regionkey, n_nationkey""".stripMargin)),
+
     // Pruned read through the YAML file-source relation: an id-column
     // predicate travels to the custom FileIndex's PartitionFilters and
     // prunes the FILE LISTING (one region's files opened, the rest

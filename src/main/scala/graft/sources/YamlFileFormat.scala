@@ -225,13 +225,31 @@ final class YamlFileFormat extends FileFormat with Serializable {
         } finally in.close()
       // snakeyaml's Yaml is NOT thread-safe and cheap to build — per
       // file; the mapper and the schema-compiled JacksonParser are
-      // expensive and shared across every file the task reads
-      val doc = new org.yaml.snakeyaml.Yaml()
-        .load[java.util.Map[String, Object]](new String(bytes, "UTF-8"))
-      val json = holder.mapper.writeValueAsString(
-        if (doc == null) new java.util.LinkedHashMap[String, Object]() else doc)
-      holder.parser
-        .parse[String](json, CreateJacksonParser.string, UTF8String.fromString).iterator
+      // expensive and shared across every file the task reads.
+      // loadAll: a file is a YAML STREAM — one document per entity in
+      // the per-entity layout, many in the consolidated layout
+      // (YamlDestinationDriver consolidate=true); single-doc files
+      // yield exactly one document, so the classic layout is unchanged.
+      val docs = new org.yaml.snakeyaml.Yaml()
+        .loadAll(new String(bytes, "UTF-8")).iterator()
+      new Iterator[InternalRow] {
+        private var cur: Iterator[InternalRow] = Iterator.empty
+        @annotation.tailrec
+        private def advance(): Boolean =
+          if (cur.hasNext) true
+          else if (!docs.hasNext) false
+          else {
+            val doc = docs.next()
+            val json = holder.mapper.writeValueAsString(
+              if (doc == null) new java.util.LinkedHashMap[String, Object]() else doc)
+            cur = holder.parser
+              .parse[String](json, CreateJacksonParser.string, UTF8String.fromString)
+              .iterator
+            advance()
+          }
+        override def hasNext: Boolean = advance()
+        override def next(): InternalRow = { advance(); cur.next() }
+      }
     }
   }
 }

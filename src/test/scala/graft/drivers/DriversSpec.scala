@@ -173,6 +173,43 @@ class DriversSpec extends SparkSpec {
     assert(back.filter(col("grp") === "group2").select("name").head().getString(0) == "file3")
   }
 
+  test("YAML sink cap trips loudly above maxEntities; consolidated layout is the escape hatch") {
+    import spark.implicits._
+    val dir = scratchDir("yaml_cap")
+    val ids = Seq(IdField("grp", StringId), IdField("name", StringId))
+    val s = mkSpec(s"$dir/out", s"$dir/out", ids, ids)
+    val df = (1 to 10).map(i => (s"g${i % 2}", s"f$i", s"v$i"))
+      .toDF("grp", "name", "field1")
+    // cap below the row count: the write must fail BEFORE creating files
+    val e = intercept[IllegalStateException] {
+      new YamlDestinationDriver(maxEntities = Some(5L)).write(df, s)
+    }
+    assert(e.getMessage.contains("cap 5") && e.getMessage.contains("consolidate"),
+      s"error must name the cap and the escape hatch: ${e.getMessage}")
+    assert(!new java.io.File(s"$dir/out").exists() ||
+      new java.io.File(s"$dir/out").listFiles().isEmpty,
+      "no files may land when the cap trips")
+    // escape hatch: consolidated write is exempt from the per-entity cap
+    // (file count is |prefixes|), documents carry the last id inline
+    new YamlDestinationDriver(maxEntities = Some(5L), consolidate = true).write(df, s)
+    val files = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".yaml")).map(_.getName).sorted
+    assert(files.toSeq == Seq("g0.yaml", "g1.yaml"),
+      s"one multi-document file per prefix: ${files.mkString(", ")}")
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/out/g0.yaml")), "UTF-8")
+    assert(body.contains("name:"), "last id travels inside each document")
+    assert(body.linesIterator.count(_.startsWith("---")) == 5,
+      "one explicit document start per entity")
+    // reread through the same machinery: prefix ids declare the tree,
+    // the last id surfaces as a body column
+    val back = new YamlSourceDriver().read(spark, s.copy(sourceIds = s.sourceIds.init))
+    assert(back.count() == 10)
+    assert(back.columns.toSet == Set("grp", "name", "field1"))
+    assert(back.filter(col("grp") === "g1" && col("name") === "f3")
+      .select("field1").head().getString(0) == "v3")
+  }
+
   test("YAML source reads a RELATIVE root (UriSchemes path shape)") {
     // regression: the depth check must compare against the FS-qualified
     // root — a bare relative root never prefix-matched the qualified
