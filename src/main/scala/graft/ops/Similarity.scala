@@ -824,6 +824,21 @@ object Similarity {
     * O(corpus) + O(sample) while the serving path keeps its own
     * economics).
     */
+  /** Above this cluster count, assignment routes through a coarse
+    * layer; below it, exhaustive assignment is cheap and exact. 64
+    * clusters ⟺ a ~32k-vector corpus under the n/500 sizing rule, so
+    * every driver-SF gate stays on the exact path (bit-identical
+    * results) and the routed path carries sf10+.
+    */
+  private val RoutedAssignmentThreshold = 64
+
+  /** Training-sample cap: k-means centroids converge on a sample long
+    * before the full corpus adds information (standard practice —
+    * sklearn/faiss train IVF on bounded samples). md5-style
+    * deterministic id sampling, so centroids are reproducible.
+    */
+  private val KmeansTrainCap = 20000L
+
   def clusterAssignments(
       corpus: DataFrame, idCol: String, vecCol: String,
       nClusters: Int, nProbe: Int, iterations: Int = 3): DataFrame = {
@@ -831,12 +846,98 @@ object Similarity {
     import spark.implicits._
     val vecs = ensureParallelism(corpus.select(col(idCol).cast("long"), col(vecCol)))
       .as[(Long, Array[Float])].persist()
-    val cents = kmeansCentroids(vecs, nClusters, iterations)
-    val assigned = vecs
-      .flatMap { case (id, v) => nearest(v, cents, nProbe).map(c => (id, c)) }
-      .toDF("id", "cluster")
+    // == The 100 TB shape (the r18 sf10 probe's named watch item) ==
+    // Exhaustive assignment is O(n·k), and k scales with n to keep
+    // cluster size bounded — O(n²/500) across decades. Above the
+    // threshold: (a) centroids train on a deterministic hashed-id
+    // sample (O(cap·k) — k-means gains nothing from the tail), and
+    // (b) vectors route through ⌈√k⌉ COARSE centroids (a driver-side
+    // Lloyd over the k fine centroids — k×dim doubles, trivially
+    // small): nearest `coarseProbe` cells, then nProbe fine clusters
+    // among those cells' members — O(n·√k) instead of O(n·k). Routing
+    // can miss a fine cluster in an unprobed cell; the sampled-recall
+    // certificates (Wilson-bounded) price exactly that, and the
+    // driver-SF gates never route (k ≤ 64 there), so their results
+    // are bit-identical to the exhaustive path.
+    val n = vecs.count()
+    val trainVecs =
+      if (n <= KmeansTrainCap) vecs
+      else {
+        val step = math.max(1L, n / KmeansTrainCap)
+        // Fibonacci-hash id scramble (odd multiplier — bijective on
+        // Long), deterministic and order-free
+        vecs.filter(p => math.floorMod(p._1 * 0x9E3779B97F4A7C15L, step) == 0L)
+      }
+    val cents = kmeansCentroids(trainVecs, nClusters, iterations)
+    val assigned =
+      if (nClusters <= RoutedAssignmentThreshold) {
+        vecs.flatMap { case (id, v) => nearest(v, cents, nProbe).map(c => (id, c)) }
+          .toDF("id", "cluster")
+      } else {
+        val kCoarse = math.ceil(math.sqrt(nClusters.toDouble)).toInt
+        val coarse = driverKmeans(cents, kCoarse, 5)
+        // coarse cell -> indexes of its member fine centroids
+        val members: Array[Array[Int]] = {
+          val m = Array.fill(kCoarse)(scala.collection.mutable.ArrayBuffer.empty[Int])
+          cents.indices.foreach { i =>
+            m(nearestDouble(cents(i), coarse, 1).head) += i
+          }
+          m.map(_.toArray)
+        }
+        val coarseProbe = 3
+        vecs.flatMap { case (id, v) =>
+          val cells = nearest(v, coarse, coarseProbe)
+          val cand = cells.flatMap(members(_))
+          val d2 = cand.map { ci =>
+            val c = cents(ci)
+            var s = 0.0; var j = 0
+            while (j < c.length && j < v.length) { val d = v(j) - c(j); s += d * d; j += 1 }
+            (s, ci)
+          }
+          d2.sortBy { case (dd, i) => (dd, i) }.take(nProbe).map(p => (id, p._2))
+        }.toDF("id", "cluster")
+      }
+    // no persist on the output: cents is a driver-side value captured by
+    // the closure, the sample filter is a pure id hash, so a recompute
+    // after vecs.unpersist() replays deterministically (the pre-routing
+    // behavior — callers cache if they re-read)
     vecs.unpersist()
     assigned
+  }
+
+  /** Deterministic driver-side Lloyd over a SMALL point set (the k fine
+    * centroids — k×dim doubles): index-order init, fixed iterations,
+    * empty cells keep their previous centroid.
+    */
+  private def driverKmeans(
+      points: Array[Array[Double]], k: Int, iterations: Int): Array[Array[Double]] = {
+    var cents = points.take(k).map(_.clone())
+    (1 to iterations).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](points.head.length))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        val c = nearestDouble(p, cents, 1).head
+        var j = 0; while (j < p.length) { sums(c)(j) += p(j); j += 1 }
+        counts(c) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    cents
+  }
+
+  /** [[nearest]] for double vectors (the coarse layer works on centroid
+    * points, not corpus floats).
+    */
+  private def nearestDouble(
+      v: Array[Double], cents: Array[Array[Double]], n: Int): Seq[Int] = {
+    val d2 = cents.map { c =>
+      var s = 0.0; var j = 0
+      while (j < c.length && j < v.length) { val d = v(j) - c(j); s += d * d; j += 1 }
+      s
+    }
+    d2.zipWithIndex.sortBy { case (dd, i) => (dd, i) }.take(n).map(_._2).toSeq
   }
 
   /** Deterministic stratified sample of the UNORDERED PAIR SPACE at a
