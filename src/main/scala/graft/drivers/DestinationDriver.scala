@@ -571,6 +571,9 @@ final class ParquetDestinationDriver(
     val gen = currentGen(spark, base).getOrElse(throw new IllegalStateException(
       s"merge-on-read delta needs a published base generation at $base"))
     val cur = spark.read.parquet(s"$base/$gen").schema
+    require(!cur.fieldNames.contains(TombstoneCol),
+      s"published schema at $base carries a data column named $TombstoneCol — " +
+        "reserved for tombstone delta segments; rename it")
     require(df.schema.fieldNames.sorted.sameElements(cur.fieldNames.sorted),
       s"MOR delta columns [${df.schema.fieldNames.sorted.mkString(", ")}] must match " +
         s"the published schema [${cur.fieldNames.sorted.mkString(", ")}] — " +
@@ -610,6 +613,9 @@ final class ParquetDestinationDriver(
     val gen = currentGen(spark, base).getOrElse(throw new IllegalStateException(
       s"tombstones need a published base generation at $base"))
     val keyFields = spec.destinationIds
+    require(!spark.read.parquet(s"$base/$gen").schema.fieldNames.contains(TombstoneCol),
+      s"published schema at $base carries a data column named $TombstoneCol — " +
+        "reserved for tombstone delta segments; rename it")
     require(keyFields.forall(f => keys.columns.contains(f.name)),
       s"tombstone frame must carry the destination key columns [${keyFields.map(_.name).mkString(", ")}]")
     val conformed = keys

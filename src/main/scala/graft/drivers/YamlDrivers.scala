@@ -215,6 +215,16 @@ final class YamlDestinationDriver(
           "file path, the last id travels inside each document")
       val prefix = idNames.init
       val lastId = idNames.last
+      // the same file-count cap, applied to what consolidation actually
+      // creates: one file per PREFIX — a high-cardinality prefix melts
+      // the namenode exactly like the per-entity layout would
+      if (cap > 0) {
+        val nPrefixes = df.select(prefix.map(col): _*).distinct().count()
+        if (nPrefixes > cap) throw new IllegalStateException(
+          s"consolidated YAML sink refuses $nPrefixes prefix files (cap $cap): " +
+            "coarsen the path prefix or raise the cap (maxEntities param / " +
+            "spark.graft.yaml.maxEntities; <= 0 disables)")
+      }
       // each prefix's entities land in ONE task (repartition on the
       // prefix), sorted so a prefix's documents are consecutive and the
       // file order is deterministic (last id ascending)
