@@ -367,6 +367,12 @@ final class MigrationExecutor(
     val destIdCols = spec.destinationIds.map(_.name)
     val snap = dest.morSnapshot(spark, spec).getOrElse(throw new IllegalStateException(
       s"orphan reconcile needs a published destination for ${spec.name}"))
+    // IgnoreOrphans discards everything the reconcile would compute —
+    // skip the snapshot/mapping/anti-join work entirely
+    if (orphanPolicy == IgnoreOrphans) {
+      val none = snap.limit(0).select(destIdCols.map(col): _*)
+      return MigrationResult(0L, none, 0L, snap, none)
+    }
     val keyedRecent = spec.sourceIds.foldLeft(
       recentKeys.select(spec.sourceIds.map(f => col(f.name)): _*))((df, f) =>
       df.withColumn(f.name, col(f.name).cast(f.idType.sparkType)))

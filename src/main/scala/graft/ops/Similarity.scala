@@ -887,7 +887,12 @@ object Similarity {
         val coarseProbe = 3
         vecs.flatMap { case (id, v) =>
           val cells = nearest(v, coarse, coarseProbe)
-          val cand = cells.flatMap(members(_))
+          val cand0 = cells.flatMap(members(_))
+          // driverKmeans keeps empty cells' stale centroids, so all
+          // probed cells CAN be memberless — fall back to exhaustive
+          // for that vector rather than silently dropping it from
+          // every downstream pairing (r18 review finding)
+          val cand = if (cand0.nonEmpty) cand0 else cents.indices.toSeq
           val d2 = cand.map { ci =>
             val c = cents(ci)
             var s = 0.0; var j = 0

@@ -57,6 +57,48 @@ object DedupQueries {
     sharedShingles(spark, sf).count() + sharedPairs(spark, sf).count() +
       sharedWindows(spark, sf).count()
 
+  /** ONE body for both sampled semantic certificates (dedup_semantic_
+    * sampled and its curation twin — a single definition so threshold,
+    * sizing rule and Wilson formula can never drift between them):
+    * stratified sampled truth (Similarity.sampledExactPairs, fixed 200k
+    * pair budget), scale-path recall certified from the soft cluster
+    * ASSIGNMENTS (nClusters = max(16, n/500), nProbe 3), emission gated
+    * on the Wilson 95% LOWER bound ≥ 0.7. The bound is computed EAGERLY
+    * as a scalar — truth and assignments persist for exactly that
+    * computation and are released before the lazy result leaves (the
+    * PersistHygiene contract), truth is re-derived once at evaluation,
+    * and the emitted plan carries no certificate crossJoin at all. An
+    * empty sampled truth passes vacuously (both engines emit nothing).
+    */
+  private def sampledSemanticCertificate(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val truth = graft.ops.Similarity.sampledExactPairs(
+      e, "vec_id", "embedding", minSim = 0.4, pairBudget = 200000L).persist()
+    val nVec = e.count() // parquet metadata count — sizes nClusters
+    val assign = graft.ops.Similarity.clusterAssignments(
+      e, "vec_id", "embedding",
+      nClusters = math.max(16, (nVec / 500).toInt), nProbe = 3).persist()
+    val hits = truth.select(col("a"), col("b"))
+      .join(assign.select(col("id").as("a"), col("cluster")), Seq("a"))
+      .join(assign.select(col("id").as("b"), col("cluster")), Seq("b", "cluster"))
+      .select(col("a"), col("b")).distinct()
+    val certRow = truth.select(col("a"), col("b"))
+      .join(hits.withColumn("hit", lit(1)), Seq("a", "b"), "left")
+      .agg(avg(coalesce(col("hit"), lit(0))).as("p"),
+        count(lit(1)).cast("double").as("m"))
+      .select(expr("""(p + 3.841459/(2*m)
+        |  - sqrt(3.841459) * sqrt(p*(1-p)/m + 3.841459/(4*m*m)))
+        |  / (1 + 3.841459/m)""".stripMargin).as("wilson_lower"))
+      .head()
+    val wilsonLower = if (certRow.isNullAt(0)) 1.0 else certRow.getDouble(0)
+    assign.unpersist()
+    truth.unpersist()
+    val out =
+      if (wilsonLower >= 0.7) truth else truth.limit(0)
+    out.select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Shared oracle fragment: 5-shingle τ≥0.8 near-dup pairs and their
     * connected-component fixpoint (`edges`/`reach`) — ONE definition
     * for every oracle that consumes the cluster structure
@@ -554,30 +596,7 @@ object DedupQueries {
     // so the recall estimate is unbiased. AnalyticsSpec asserts the
     // CI covers the exact tier's measured recall at driver SFs.
     QueryDef("dedup_semantic_sampled",
-      (spark, sf) => {
-        val e = load(spark, sf, "embeddings")
-        val truth = graft.ops.Similarity.sampledExactPairs(
-          e, "vec_id", "embedding", minSim = 0.4, pairBudget = 200000L)
-        val nVec = e.count() // parquet metadata count — sizes nClusters
-        val assign = graft.ops.Similarity.clusterAssignments(
-          e, "vec_id", "embedding",
-          nClusters = math.max(16, (nVec / 500).toInt), nProbe = 3)
-        val hits = truth.select(col("a"), col("b"))
-          .join(assign.select(col("id").as("a"), col("cluster")), Seq("a"))
-          .join(assign.select(col("id").as("b"), col("cluster")), Seq("b", "cluster"))
-          .select(col("a"), col("b")).distinct()
-        val cert = truth.select(col("a"), col("b"))
-          .join(hits.withColumn("hit", lit(1)), Seq("a", "b"), "left")
-          .agg(avg(coalesce(col("hit"), lit(0))).as("p"),
-            count(lit(1)).cast("double").as("m"))
-          .select(expr("""(p + 3.841459/(2*m)
-            |  - sqrt(3.841459) * sqrt(p*(1-p)/m + 3.841459/(4*m*m)))
-            |  / (1 + 3.841459/m)""".stripMargin).as("wilson_lower"))
-        truth.crossJoin(broadcast(cert))
-          .filter(col("wilson_lower") >= 0.7)
-          .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
-          .orderBy(col("a"), col("b"))
-      },
+      (spark, sf) => sampledSemanticCertificate(load(spark, sf, "embeddings")),
       Some("""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
              |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM c),
              |bb AS (SELECT GREATEST(1, CAST(FLOOR(n * n / 400000.0) AS BIGINT)) AS nb FROM nn),
@@ -867,36 +886,15 @@ object DedupQueries {
     // SFs; THIS gate is what scales — B is computed from the kept
     // count, the truth is exact cosine within strata (DuckDB replays
     // the kept filter + strata bit-exact), and the scale path's recall
-    // is certified via cluster assignments at a Wilson-bounded 0.8,
+    // is certified via cluster assignments at a Wilson-bounded 0.7,
     // never a candidate join. Output is the sampled truth pair set.
     QueryDef("corpus_curation_semantic_sampled",
       (spark, sf) => {
         val d = load(spark, sf, "documents")
         val kept = graft.ops.TextOps.hashedLinearScore(d, "text", "doc_id")
           .filter(col("keep") === 1).select(col("doc_id"))
-        val keptEmb = load(spark, sf, "embeddings")
-          .join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"))
-        val truth = graft.ops.Similarity.sampledExactPairs(
-          keptEmb, "vec_id", "embedding", minSim = 0.4, pairBudget = 200000L)
-        val nVec = keptEmb.count()
-        val assign = graft.ops.Similarity.clusterAssignments(
-          keptEmb, "vec_id", "embedding",
-          nClusters = math.max(16, (nVec / 500).toInt), nProbe = 3)
-        val hits = truth.select(col("a"), col("b"))
-          .join(assign.select(col("id").as("a"), col("cluster")), Seq("a"))
-          .join(assign.select(col("id").as("b"), col("cluster")), Seq("b", "cluster"))
-          .select(col("a"), col("b")).distinct()
-        val cert = truth.select(col("a"), col("b"))
-          .join(hits.withColumn("hit", lit(1)), Seq("a", "b"), "left")
-          .agg(avg(coalesce(col("hit"), lit(0))).as("p"),
-            count(lit(1)).cast("double").as("m"))
-          .select(expr("""(p + 3.841459/(2*m)
-            |  - sqrt(3.841459) * sqrt(p*(1-p)/m + 3.841459/(4*m*m)))
-            |  / (1 + 3.841459/m)""".stripMargin).as("wilson_lower"))
-        truth.crossJoin(broadcast(cert))
-          .filter(col("wilson_lower") >= 0.7)
-          .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
-          .orderBy(col("a"), col("b"))
+        sampledSemanticCertificate(load(spark, sf, "embeddings")
+          .join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id")))
       },
       Some("""WITH RECURSIVE tok AS (
              |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents

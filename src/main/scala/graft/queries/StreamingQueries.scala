@@ -2746,7 +2746,10 @@ object StreamingQueries {
         orders.withColumn("chunk", chunkOf).repartition(col("chunk"))
           .write.partitionBy("chunk").mode("overwrite").parquet(tmp.toString)
         for (i <- 0 until nCh) {
-          new java.io.File(tmp.toString, s"chunk=$i").listFiles()
+          // an empty chunk writes no partition directory (a sparse or
+          // single-date corpus) — it simply contributes no file
+          Option(new java.io.File(tmp.toString, s"chunk=$i").listFiles())
+            .getOrElse(Array.empty)
             .find(f => f.getName.startsWith("part-") &&
               f.getName.endsWith(".parquet"))
             .foreach { p =>

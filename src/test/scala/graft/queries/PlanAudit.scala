@@ -578,12 +578,15 @@ class PlanAudit extends SparkSpec {
       case l: LocalLimitExec => Some(l.limit.toLong)
       case l: CollectLimitExec => Some(l.limit.toLong)
       case t: TakeOrderedAndProjectExec => Some(t.limit.toLong)
+      // (a+1)·(b+1) is sound for EVERY join type: inner/semi ≤ a·b,
+      // outer ≤ a·b + a + b — a bare product would under-bound a
+      // full-outer of two bounded sides
       case j: BaseJoinExec =>
         for (a <- boundedRows(j.left); b <- boundedRows(j.right))
-          yield math.max(1L, a) * math.max(1L, b)
+          yield (a + 1) * (b + 1)
       case j: CartesianProductExec =>
         for (a <- boundedRows(j.left); b <- boundedRows(j.right))
-          yield math.max(1L, a) * math.max(1L, b)
+          yield (a + 1) * (b + 1)
       case u: UnionExec =>
         val bs = u.children.map(boundedRows)
         if (bs.forall(_.isDefined)) Some(bs.flatten.sum) else None
@@ -597,7 +600,18 @@ class PlanAudit extends SparkSpec {
           boundedRows(g.child).map(_ * math.max(1, arr.numElements()))
         case _ => None
       }
-      case _ if p.children.size == 1 => boundedRows(p.children.head)
+      // single-child pass-through ONLY for provably row-preserving (or
+      // row-reducing) operators — a blanket fall-through would certify a
+      // row-EXPANDING typed flatMap (MapPartitionsExec) or Sample at its
+      // child's bound (r18 review finding)
+      case _: ProjectExec | _: FilterExec | _: SortExec | _: CoalesceExec |
+           _: WholeStageCodegenExec | _: InputAdapter |
+           _: org.apache.spark.sql.execution.window.WindowExec |
+           _: org.apache.spark.sql.execution.exchange.Exchange |
+           _: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec |
+           _: org.apache.spark.sql.execution.CollectMetricsExec |
+           _: org.apache.spark.sql.execution.SubqueryExec =>
+        boundedRows(p.children.head)
       case _ => None
     }
   }
@@ -609,11 +623,26 @@ class PlanAudit extends SparkSpec {
     * loses the cap and fails the audit.
     */
   private def literalCapped(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
-    import org.apache.spark.sql.catalyst.expressions.{Expression, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression, LessThan, LessThanOrEqual, Literal}
     import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    // the pinned probe shape ONLY: an id ATTRIBUTE under an INTEGRAL
+    // literal in [1, 4096]. Anything looser would let an incidental
+    // range filter launder an unbounded broadcast — `sim < 0.9` has
+    // Literal(0.9).longValue == 0, `rand() < 0.01` likewise, and
+    // neither bounds cardinality (r18 review finding).
+    def attrSide(e: Expression): Boolean = e match {
+      case _: Attribute => true
+      case Cast(c, _, _, _) => attrSide(c)
+      case _ => false
+    }
     def smallLit(e: Expression): Boolean = e.collectFirst {
-      case LessThan(_, Literal(v: Number, _)) if v.longValue <= 4096 => ()
-      case LessThanOrEqual(_, Literal(v: Number, _)) if v.longValue <= 4096 => ()
+      case LessThan(a, Literal(v: Number, t))
+        if attrSide(a) && Seq(ByteType, ShortType, IntegerType, LongType).contains(t) &&
+          v.longValue >= 1 && v.longValue <= 4096 => ()
+      case LessThanOrEqual(a, Literal(v: Number, t))
+        if attrSide(a) && Seq(ByteType, ShortType, IntegerType, LongType).contains(t) &&
+          v.longValue >= 1 && v.longValue <= 4096 => ()
     }.isDefined
     def nodes(q: SparkPlan): Seq[SparkPlan] = q match {
       case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => s +: nodes(s.plan)
