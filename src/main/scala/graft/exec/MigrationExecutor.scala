@@ -401,10 +401,9 @@ final class MigrationExecutor(
             col(f.name).as(s"${MappingStore.DestPrefix}${f.name}")): _*))
       case _ => ()
     }
-    val reported =
-      if (orphanPolicy == IgnoreOrphans) orphans.limit(0) else orphans
-    MigrationResult(0L, reported,
-      if (orphanPolicy == IgnoreOrphans) 0L else orphanCount,
+    // IgnoreOrphans already early-returned above — everything past the
+    // anti-join runs under Keep/Prune only
+    MigrationResult(0L, orphans, orphanCount,
       dest.morSnapshot(spark, spec).get,
       orphans.limit(0))
   }

@@ -2817,6 +2817,13 @@ object StreamingQueries {
                   coalesce(col("base"), lit(0)) + col("rn") -
                     when(col("base").isNotNull, 1).otherwise(0)).cast("int"))
               .withColumn("valid_to", lead(col("valid_from"), 1).over(wb))
+              // an open row whose valid_to STAYS null after this batch is
+              // bit-identical to the row already in the destination (same
+              // key/priority/valid_from/version) — re-emitting it appends
+              // a redundant delta segment per no-op batch; drop it (the
+              // re-emission with a non-null valid_to is the one that
+              // closes the open row and must stay)
+              .filter(col("open_ver").isNull || col("valid_to").isNotNull)
               .select(col("o_custkey"), col("priority"),
                 col("valid_from"), col("valid_to"), col("version"))
               // persisted: the delta plan otherwise executes three times

@@ -230,8 +230,16 @@ final class YamlFileFormat extends FileFormat with Serializable {
       // the per-entity layout, many in the consolidated layout
       // (YamlDestinationDriver consolidate=true); single-doc files
       // yield exactly one document, so the classic layout is unchanged.
-      val docs = new org.yaml.snakeyaml.Yaml()
+      val parsed = new org.yaml.snakeyaml.Yaml()
         .loadAll(new String(bytes, "UTF-8")).iterator()
+      // an empty or whitespace-only file is an EMPTY stream under
+      // loadAll where the old single-doc load returned one null
+      // document — restore that: the entity exists (its ids derive
+      // from the path), its body is all-null, so foreign-written
+      // placeholder files don't silently vanish from reads
+      val docs: java.util.Iterator[Object] =
+        if (parsed.hasNext) parsed
+        else java.util.Collections.singletonList(null: Object).iterator()
       new Iterator[InternalRow] {
         private var cur: Iterator[InternalRow] = Iterator.empty
         @annotation.tailrec

@@ -558,110 +558,199 @@ class PlanAudit extends SparkSpec {
   // These helpers bound the build side's cardinality structurally.
 
   /** Conservative static upper bound on a physical subtree's output
-    * rows: ungrouped aggregates are 1 row, local relations and limits
-    * are their literal sizes, joins multiply, unions add, and anything
-    * unrecognized (scans, generates, grouped aggregates) is unbounded
-    * (None). Sound by construction — it never claims a bound it cannot
-    * prove, so the audit can only over-flag, never under-flag.
+    * rows: ungrouped aggregates are 1 row, grouped aggregates and
+    * semi/anti joins are row-reducing (≤ their input / left input),
+    * local relations and limits are their literal sizes, joins multiply,
+    * unions add, and anything unrecognized (scans, data-driven
+    * generates) is unbounded (None). Sound by construction — it never
+    * claims a bound it cannot prove — EXCEPT under `idContract`, where
+    * one extra leaf rule applies: a literal range filter `c < N`
+    * (N ≤ 4096) on a DECLARED probe-id column ([[ProbeIdColumns]] —
+    * dense, unique, non-negative ids in their base tables) sitting on a
+    * pure scan spine ([[scanSpine]] — no joins/generates below, so each
+    * input row is one base-table row and id uniqueness holds) bounds the
+    * subtree by N. That is the pinned probe-panel shape and nothing
+    * else: `n_tokens < 512` fails the column contract, `sim < 0.9` and
+    * `rand() < 0.01` fail the integral-literal check, and a capped
+    * probe set JOINED to a corpus fails the spine check (the filter's
+    * bound stops at the join, whose other side must then prove its own
+    * bound) — the r18 launder holes, each now closed structurally.
     */
-  private def boundedRows(p: org.apache.spark.sql.execution.SparkPlan): Option[Long] = {
+  private def boundedRows(
+      p: org.apache.spark.sql.execution.SparkPlan,
+      idContract: Boolean = false): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
     import org.apache.spark.sql.execution._
     import org.apache.spark.sql.execution.joins._
     p match {
-      case q: adaptive.QueryStageExec => boundedRows(q.plan)
-      case r: exchange.ReusedExchangeExec => boundedRows(r.child)
+      case q: adaptive.QueryStageExec => boundedRows(q.plan, idContract)
+      case r: exchange.ReusedExchangeExec => boundedRows(r.child, idContract)
       case a: aggregate.BaseAggregateExec =>
-        if (a.groupingExpressions.isEmpty) Some(1L) else None
+        // a grouped aggregate emits at most one row per input row
+        if (a.groupingExpressions.isEmpty) Some(1L)
+        else boundedRows(a.child, idContract)
       case l: LocalTableScanExec => Some(l.rows.size.toLong)
       case r: RangeExec => Some(r.numElements.toLong)
       case l: GlobalLimitExec => Some(l.limit.toLong)
       case l: LocalLimitExec => Some(l.limit.toLong)
       case l: CollectLimitExec => Some(l.limit.toLong)
       case t: TakeOrderedAndProjectExec => Some(t.limit.toLong)
-      // (a+1)·(b+1) is sound for EVERY join type: inner/semi ≤ a·b,
-      // outer ≤ a·b + a + b — a bare product would under-bound a
-      // full-outer of two bounded sides
+      case f: FilterExec =>
+        val child = boundedRows(f.child, idContract)
+        val cap =
+          if (idContract && scanSpine(f.child)) idCapLit(f.condition) else None
+        (child, cap) match {
+          case (Some(a), Some(b)) => Some(math.min(a, b))
+          case (a, b) => a.orElse(b)
+        }
+      case s: FileSourceScanExec if idContract =>
+        // the pushed-down twin of the FilterExec case (the scan IS the spine)
+        val caps = s.dataFilters.flatMap(idCapLit)
+        if (caps.nonEmpty) Some(caps.min) else None
+      // semi/anti joins emit at most their left input — sound for any
+      // right side, so a bounded probe set anti-joined to a corpus
+      // stays bounded
+      case j: BaseJoinExec if j.joinType == LeftSemi || j.joinType == LeftAnti =>
+        boundedRows(j.left, idContract)
       case j: BaseJoinExec =>
-        for (a <- boundedRows(j.left); b <- boundedRows(j.right))
+        val prod = for (a <- boundedRows(j.left, idContract);
+                        b <- boundedRows(j.right, idContract))
           yield (a + 1) * (b + 1)
+        // under the id contract, an INNER equi-join whose key on a
+        // scan-spine side is that side's probe-id column (unique by the
+        // dense-id contract) emits at most the OTHER side's rows —
+        // min() beats the product for probe⋈probe-vector frames, whose
+        // (a+1)(b+1) otherwise explodes a 2000-row panel to 4·10⁶
+        val (lk, rk) = j match {
+          case h: HashJoin => (h.leftKeys, h.rightKeys)
+          case s: SortMergeJoinExec => (s.leftKeys, s.rightKeys)
+          case _ => (Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression],
+                     Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression])
+        }
+        def idKey(ks: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+          ks.exists {
+            case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
+              ProbeIdColumns(a.name)
+            case _ => false
+          }
+        val viaUnique =
+          if (!idContract || j.joinType != org.apache.spark.sql.catalyst.plans.Inner) None
+          else Seq(
+            if (scanSpine(j.left) && idKey(lk)) boundedRows(j.right, idContract) else None,
+            if (scanSpine(j.right) && idKey(rk)) boundedRows(j.left, idContract) else None
+          ).flatten.minOption
+        // (a+1)·(b+1) stays sound for EVERY join type: inner ≤ a·b,
+        // outer ≤ a·b + a + b — a bare product would under-bound a
+        // full-outer of two bounded sides
+        (prod ++ viaUnique).minOption
       case j: CartesianProductExec =>
-        for (a <- boundedRows(j.left); b <- boundedRows(j.right))
+        for (a <- boundedRows(j.left, idContract); b <- boundedRows(j.right, idContract))
           yield (a + 1) * (b + 1)
       case u: UnionExec =>
-        val bs = u.children.map(boundedRows)
+        val bs = u.children.map(boundedRows(_, idContract))
         if (bs.forall(_.isDefined)) Some(bs.flatten.sum) else None
-      case e: ExpandExec => boundedRows(e.child).map(_ * e.projections.size)
+      case e: ExpandExec => boundedRows(e.child, idContract).map(_ * e.projections.size)
       case g: GenerateExec => g.generator match {
         // explode of a LITERAL array (q_autocorr's 6-lag frame) is a
         // provable ×|array| multiplier; any data-driven generator is not
         case org.apache.spark.sql.catalyst.expressions.Explode(
             org.apache.spark.sql.catalyst.expressions.Literal(
               arr: org.apache.spark.sql.catalyst.util.ArrayData, _)) =>
-          boundedRows(g.child).map(_ * math.max(1, arr.numElements()))
+          boundedRows(g.child, idContract).map(_ * math.max(1, arr.numElements()))
         case _ => None
       }
       // single-child pass-through ONLY for provably row-preserving (or
       // row-reducing) operators — a blanket fall-through would certify a
       // row-EXPANDING typed flatMap (MapPartitionsExec) or Sample at its
       // child's bound (r18 review finding)
-      case _: ProjectExec | _: FilterExec | _: SortExec | _: CoalesceExec |
+      case _: ProjectExec | _: SortExec | _: CoalesceExec |
            _: WholeStageCodegenExec | _: InputAdapter |
            _: org.apache.spark.sql.execution.window.WindowExec |
            _: org.apache.spark.sql.execution.exchange.Exchange |
            _: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec |
            _: org.apache.spark.sql.execution.CollectMetricsExec |
            _: org.apache.spark.sql.execution.SubqueryExec =>
-        boundedRows(p.children.head)
+        boundedRows(p.children.head, idContract)
       case _ => None
     }
   }
 
-  /** Does the subtree cap its cardinality with a literal range filter —
-    * the pinned probe-budget shape (`probe_id % 100 = 7 AND probe_id <
-    * 2000`)? A full-corpus broadcast has no such literal bound, so a
-    * regression from "fixed probe panel" to "corpus-scaled probes"
-    * loses the cap and fails the audit.
+  /** Probe-panel columns under the dense-id contract: unique,
+    * non-negative, gap-free ids in their base tables (`documents.doc_id`,
+    * `embeddings.vec_id`, and their panel aliases), so `c < N` over
+    * base-table rows bounds cardinality by N. A literal cap on any OTHER
+    * column certifies nothing — `n_tokens < 512` selects an unbounded
+    * corpus fraction (the r18 CAPPED launder hole).
     */
-  private def literalCapped(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+  private val ProbeIdColumns = Set("doc_id", "vec_id", "probe_id", "query_id")
+
+  /** The smallest qualifying probe-id cap in a filter condition:
+    * `id_col < N` (or `≤ N−1`) with an integral literal in [1, 4096].
+    */
+  private def idCapLit(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Long] = {
     import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression, LessThan, LessThanOrEqual, Literal}
-    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    // the pinned probe shape ONLY: an id ATTRIBUTE under an INTEGRAL
-    // literal in [1, 4096]. Anything looser would let an incidental
-    // range filter launder an unbounded broadcast — `sim < 0.9` has
-    // Literal(0.9).longValue == 0, `rand() < 0.01` likewise, and
-    // neither bounds cardinality (r18 review finding).
-    def attrSide(e: Expression): Boolean = e match {
-      case _: Attribute => true
-      case Cast(c, _, _, _) => attrSide(c)
-      case _ => false
+    def attrName(x: Expression): Option[String] = x match {
+      case a: Attribute => Some(a.name)
+      case Cast(c, _, _, _) => attrName(c)
+      case _ => None
     }
-    def smallLit(e: Expression): Boolean = e.collectFirst {
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    val caps = e.collect {
       case LessThan(a, Literal(v: Number, t))
-        if attrSide(a) && Seq(ByteType, ShortType, IntegerType, LongType).contains(t) &&
-          v.longValue >= 1 && v.longValue <= 4096 => ()
+        if integral(t) && attrName(a).exists(ProbeIdColumns) &&
+          v.longValue >= 1 && v.longValue <= 4096 => v.longValue
       case LessThanOrEqual(a, Literal(v: Number, t))
-        if attrSide(a) && Seq(ByteType, ShortType, IntegerType, LongType).contains(t) &&
-          v.longValue >= 1 && v.longValue <= 4096 => ()
-    }.isDefined
-    def nodes(q: SparkPlan): Seq[SparkPlan] = q match {
-      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => s +: nodes(s.plan)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r +: nodes(r.child)
-      case _ => q +: q.children.flatMap(nodes)
+        if integral(t) && attrName(a).exists(ProbeIdColumns) &&
+          v.longValue >= 0 && v.longValue <= 4095 => v.longValue + 1
     }
-    nodes(p).exists {
-      case f: FilterExec => smallLit(f.condition)
-      case s: FileSourceScanExec => s.dataFilters.exists(smallLit)
+    if (caps.nonEmpty) Some(caps.min) else None
+  }
+
+  /** Is every row of this subtree one base-table row? True only for a
+    * leaf scan reached exclusively through row-preserving/reducing
+    * single-child operators — the precondition for a probe-id cap to
+    * bound cardinality (below a join or generate, filtered ids are no
+    * longer unique).
+    */
+  private def scanSpine(q: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution._
+    q match {
+      case _: FileSourceScanExec | _: RowDataSourceScanExec |
+           _: LocalTableScanExec | _: RangeExec => true
+      case s: adaptive.QueryStageExec => scanSpine(s.plan)
+      case r: exchange.ReusedExchangeExec => scanSpine(r.child)
+      case _: ProjectExec | _: FilterExec | _: SortExec | _: CoalesceExec |
+           _: WholeStageCodegenExec | _: InputAdapter |
+           _: exchange.Exchange | _: adaptive.AQEShuffleReadExec =>
+        scanSpine(q.children.head)
       case _ => false
     }
   }
 
   /** Classify every BroadcastNestedLoopJoin's BUILD side in a physical
-    * plan: SCALAR(n) = provably ≤ 64 rows ([[boundedRows]]), CAPPED = a
-    * literal-range-bounded probe set ([[literalCapped]]), UNBOUNDED =
-    * neither — the class a quadratic regression lands in.
+    * plan: SCALAR(n) = provably ≤ 64 rows ([[boundedRows]] under the
+    * probe-id contract), BOUNDED(n) = provably ≤ n ≤ 10⁴ (the pinned
+    * probe-panel budget), BOUNDED!(n) = provable but over the ceiling
+    * (a limit-product bomb — a violation even though finite), UNBOUNDED
+    * = no proof — the class a quadratic regression lands in.
     */
-  private def classifyBnljs(plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+  private val BoundedBuildCeiling = 10000L
+  private def classifyBnljs(plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+    bnljBuilds(plan).map { build =>
+      boundedRows(build, idContract = true) match {
+        case Some(n) if n <= 64 => s"SCALAR($n)"
+        case Some(n) if n <= BoundedBuildCeiling => s"BOUNDED($n)"
+        case Some(n) => s"BOUNDED!($n)"
+        case None => "UNBOUNDED"
+      }
+    }
+
+  /** The build-side subtrees of every BNLJ in the plan, in plan order. */
+  private def bnljBuilds(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     import org.apache.spark.sql.catalyst.optimizer.BuildLeft
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
@@ -672,46 +761,103 @@ class PlanAudit extends SparkSpec {
       case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r +: nodes(r.child)
       case _ => q +: q.children.flatMap(nodes)
     }
-    nodes(plan).collect { case j: BroadcastNestedLoopJoinExec => j }.map { j =>
-      val build = if (j.buildSide == BuildLeft) j.left else j.right
-      boundedRows(build) match {
-        case Some(n) if n <= 64 => s"SCALAR($n)"
-        case Some(n) => s"BOUNDED($n)"
-        case None if literalCapped(build) => "CAPPED"
-        case None => "UNBOUNDED"
-      }
+    nodes(plan).collect { case j: BroadcastNestedLoopJoinExec =>
+      if (j.buildSide == BuildLeft) j.left else j.right
     }
   }
 
-  // Residual exemptions for broadcasts whose tiny cardinality is
-  // DATA-dependent (no static proof exists), each with the semantic
-  // bound spelled out — everything else must prove its build side:
-  private val DataBoundedBroadcasts = Map(
-    // the global-median frame (a row_number-equality filter on a custom
-    // rank operator — exactly 1 row by rn uniqueness) and the per-
-    // priority-class frame (5 rows — the k<>5 raise_error tripwire in
-    // the query itself guards the domain)
-    "q_median_test" -> 2,
-    // the global sensitive-value histogram: rows = |value domain| (the
-    // t-closeness reference distribution — domain-sized by definition,
-    // rounded cents buckets in this corpus)
-    "privacy_t_closeness" -> 1)
+  /** Every node of a physical subtree, descending through AQE wrappers. */
+  private def planNodes(q: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = q match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      a +: planNodes(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => s +: planNodes(s.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r +: planNodes(r.child)
+    case _ => q +: q.children.flatMap(planNodes)
+  }
 
-  test("structural BNLJ audit: every nested-loop broadcast proves a bounded build side, a literal cap, or a named data bound") {
+  // Residual exemptions for broadcasts whose tiny cardinality is
+  // DATA-dependent (no static proof exists). Each entry carries a
+  // SELF-EXPIRING structural justification (r18 verdict task 8): a
+  // predicate over (whole plan, the UNBOUNDED build subtrees) that
+  // reads the in-query tripwire the exemption rests on — if a rewrite
+  // removes the tripwire, the predicate fails and the exemption lapses,
+  // so the query must re-prove its build sides.
+  private val DataBoundedBroadcasts: Map[String,
+      (Int, (org.apache.spark.sql.execution.SparkPlan,
+             Seq[org.apache.spark.sql.execution.SparkPlan]) => Boolean, String)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, RaiseError}
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def hasRaiseError(plan: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      planNodes(plan).exists(_.expressions.exists(_.exists(_.isInstanceOf[RaiseError])))
+    def groupedOn(build: org.apache.spark.sql.execution.SparkPlan, key: String): Boolean =
+      planNodes(build).exists {
+        case a: BaseAggregateExec => a.groupingExpressions.nonEmpty &&
+          a.groupingExpressions.forall(_.references.forall(_.name == key))
+        case _ => false
+      }
+    def rnEqualityFilter(build: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      planNodes(build).exists {
+        case f: FilterExec => f.condition.exists {
+          case EqualTo(a: Attribute, _) => a.name == "rn"
+          case EqualTo(_, a: Attribute) => a.name == "rn"
+          case _ => false
+        }
+        case _ => false
+      }
+    Map(
+      // q_median_test broadcasts (a) the global-median frame — a
+      // row_number-equality filter on the Rank primitive, exactly 1 row
+      // by rn uniqueness — and (b) the per-priority-class frame, 5 rows
+      // guarded by the k<>5 raise_error tripwire. Justification read
+      // structurally: the plan still carries a raise_error, and every
+      // unproven build is either the rn-selector or a frame grouped on g.
+      "q_median_test" -> ((2,
+        (plan, builds) => hasRaiseError(plan) &&
+          builds.forall(b => rnEqualityFilter(b) || groupedOn(b, "g")),
+        "rn-unique median row + k<>5 raise_error-guarded class frame")),
+      // privacy_t_closeness broadcasts the global sensitive-value
+      // histogram: rows = |source domain| by the groupBy(source) that
+      // builds it — domain-sized by definition. Justification: every
+      // unproven build IS a grouped-on-source aggregate.
+      "privacy_t_closeness" -> ((1,
+        (_, builds) => builds.forall(groupedOn(_, "source")),
+        "domain-sized reference histogram (groupBy on the sensitive column)")))
+  }
+
+  test("structural BNLJ audit: every nested-loop broadcast proves a bounded build side, a probe-id cap, or a justified data bound") {
     val violations = scala.collection.mutable.ListBuffer.empty[String]
     for (q <- ScalarGateJoins.keys.toSeq.sorted) {
       val df = graft.SparkEntry.queries(q)(spark, Sf)
-      val classes = classifyBnljs(df.queryExecution.executedPlan)
+      val plan = df.queryExecution.executedPlan
+      val builds = bnljBuilds(plan)
+      val classes = classifyBnljs(plan)
       if (classes.nonEmpty) info(s"$q: ${classes.mkString(", ")}")
-      val unbounded = classes.count(_ == "UNBOUNDED")
-      if (unbounded > DataBoundedBroadcasts.getOrElse(q, 0))
-        violations += s"$q: $unbounded unproven nested-loop broadcasts (${classes.mkString(", ")})"
+      val unboundedBuilds = builds.zip(classes)
+        .collect { case (b, "UNBOUNDED") => b }
+      val allowance = DataBoundedBroadcasts.get(q) match {
+        case Some((n, justified, rationale)) =>
+          if (justified(plan, unboundedBuilds)) n
+          else {
+            violations += s"$q: exemption LAPSED — the justifying " +
+              s"tripwire ($rationale) is no longer in the plan"
+            0
+          }
+        case None => 0
+      }
+      if (unboundedBuilds.size > allowance)
+        violations += s"$q: ${unboundedBuilds.size} unproven nested-loop broadcasts (${classes.mkString(", ")})"
+      // a provable-but-huge build side is a violation too: BOUNDED(10^10)
+      // from a limit×limit product is still a 10^10-row broadcast
+      classes.filter(_.startsWith("BOUNDED!")).foreach(c =>
+        violations += s"$q: nested-loop broadcast over the $BoundedBuildCeiling-row ceiling ($c)")
     }
     assert(violations.isEmpty,
       s"nested-loop joins with no structural bound on the broadcast side:\n${violations.mkString("\n")}")
   }
 
-  test("structural BNLJ audit fires on a seeded non-scalar mutation") {
+  test("structural BNLJ audit fires on every seeded mutation class") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, Sf, "documents").select("doc_id", "lang")
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet").select("vec_id")
@@ -721,13 +867,45 @@ class PlanAudit extends SparkSpec {
     val mutant = docs.crossJoin(broadcast(emb))
     assert(classifyBnljs(mutant.queryExecution.executedPlan) == Seq("UNBOUNDED"),
       "a full-scan broadcast must be flagged")
-    // positive controls: the two legitimate shapes must NOT be flagged
+    // the r18 CAPPED launder hole: a small integral literal on a
+    // NON-probe-id column (`n_tokens < 512` over the full corpus) must
+    // NOT certify the build side
+    val launder = docs.crossJoin(broadcast(
+      Tables.load(spark, Sf, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+        .filter(col("n_tokens") < 512)))
+    assert(classifyBnljs(launder.queryExecution.executedPlan) == Seq("UNBOUNDED"),
+      "a literal cap on a non-id column must not certify the broadcast")
+    // the join-launder shape (r18 ADVICE): a genuinely capped probe set
+    // fanned out against a full corpus on a NON-unique key must not
+    // inherit the cap. (Joining on the corpus's own id column is not a
+    // launder — Catalyst propagates the id cap to the corpus scan and
+    // the broadcast is genuinely bounded; the launder needs a key the
+    // contract says nothing about.)
+    val joinLaunder = docs.crossJoin(broadcast(
+      emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") % 2).cast("string").as("parity"))
+        .join(Tables.load(spark, Sf, "documents")
+          .select(col("doc_id"), (col("doc_id") % 2).cast("string").as("parity")),
+          Seq("parity"))))
+    val jlClasses = classifyBnljs(joinLaunder.queryExecution.executedPlan)
+    assert(jlClasses == Seq("UNBOUNDED"),
+      s"a capped probe joined to a corpus must not classify as capped: $jlClasses")
+    // the limit-product bomb: provably bounded but enormous — must be
+    // flagged by the BOUNDED ceiling, not waved through
+    val bomb = docs.crossJoin(broadcast(
+      docs.limit(100000).select(col("doc_id").as("a"))
+        .crossJoin(docs.limit(100000).select(col("doc_id").as("b")))))
+    val bombClasses = classifyBnljs(bomb.queryExecution.executedPlan)
+    assert(bombClasses.nonEmpty && bombClasses.last.startsWith("BOUNDED!"),
+      s"a bounded-but-huge limit product must exceed the ceiling: $bombClasses")
+    // positive controls: the legitimate shapes must NOT be flagged
     val scalarGate = docs.crossJoin(broadcast(emb.agg(count(lit(1)).as("n"))))
     assert(classifyBnljs(scalarGate.queryExecution.executedPlan) == Seq("SCALAR(1)"),
       "a 1-row aggregate broadcast is the allowed scalar-gate shape")
     val capped = docs.crossJoin(broadcast(emb.filter(col("vec_id") % 100 === 7 && col("vec_id") < 2000)))
-    assert(classifyBnljs(capped.queryExecution.executedPlan) == Seq("CAPPED"),
-      "a literal-capped probe broadcast is the allowed serving shape")
+    assert(classifyBnljs(capped.queryExecution.executedPlan) == Seq("BOUNDED(2000)"),
+      "a probe-id-capped broadcast is the allowed serving shape (bounded by its cap)")
   }
 
   test("plan audit: no quadratic joins; shuffle counts within pinned ceilings") {
