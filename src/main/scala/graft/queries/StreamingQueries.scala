@@ -2841,5 +2841,117 @@ object StreamingQueries {
           .orderBy(col("o_custkey"), col("version"))
       },
       Some(Shared.Scd2Oracle)),
+
+    // Kill/restart safety for the incremental ORPHAN RECONCILE (r18
+    // verdict task 5 — replay-idempotence was pinned only in
+    // ExecutorSpec, same-JVM, no real restart). Three CDC windows
+    // (orders sliced by o_orderkey % 3, coalesced per customer) stream
+    // through executeDelta one file per trigger; the first ingestion
+    // run is KILLED as soon as a batch commits (the stream_recovery
+    // harness pattern) and a RESTARTED run — fresh executor/mapper
+    // objects over the same durable paths, resuming the checkpoint —
+    // drains the rest, replaying any uncommitted batch (mappings are
+    // recorded before data appends, duplicate segments latest-wins-fold
+    // away). Then reconcileDeltaOrphans runs under PruneOrphans with a
+    // last-window retention horizon: its tombstone segment LANDS but
+    // the process "dies" before acking (the result is discarded), and a
+    // second restarted executor replays the reconcile from published
+    // state alone — the replay must find nothing left to prune and
+    // serve the identical survivor view, which DuckDB replays exactly.
+    // A reconcile that double-prunes, resurrects tombstoned keys, or
+    // loses a batch across the kill flips the hash.
+    QueryDef("stream_orphan_reconcile",
+      (spark, sf) => {
+        import graft.drivers.{ParquetDestinationDriver, SourceDriver}
+        import graft.exec._
+        import graft.mapper.MappingStore
+        import graft.spec.{IdField, LongId, MigrationSpec}
+        // stage the three windows as one file per trigger, ascending mtimes
+        val dir = java.nio.file.Files.createTempDirectory("graft_orc_chunks")
+        val mt0 = System.currentTimeMillis() - 100000L
+        val orders = load(spark, sf, "orders")
+        for (i <- 0 until 3) {
+          val w = orders.filter(col("o_orderkey") % 3 === i)
+            .groupBy(col("o_custkey"))
+            .agg(count(lit(1)).as("cnt"))
+            .select(col("o_custkey"), lit(i).as("last_batch"), col("cnt"))
+          val tmp = java.nio.file.Files.createTempDirectory("graft_orc_tmp")
+          w.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          new java.io.File(tmp.toString).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .foreach { p =>
+              val dst = dir.resolve(f"batch_$i%03d.parquet")
+              java.nio.file.Files.move(p.toPath, dst)
+              dst.toFile.setLastModified(mt0 + i * 10000L): Unit
+            }
+        }
+        val base = java.nio.file.Files.createTempDirectory("graft_orc").toString
+        val theSpec = MigrationSpec("orc_delta", source = "", sourceDriver = "stream",
+          destination = s"$base/dest", destinationDriver = "parquet",
+          sourceIds = Seq(IdField("o_custkey", LongId)),
+          destinationIds = Seq(IdField("id", LongId)))
+        // a "restarted process" = fresh executor + mapper over the same
+        // durable paths — no in-JVM state survives between legs
+        def freshExec(): MigrationExecutor = {
+          val mapper = new MappingStore(s"$base/map")
+          new MigrationExecutor(mapper, new ReferenceStore(mapper), PruneOrphans)
+        }
+        val mig = new Migration {
+          def spec: MigrationSpec = theSpec
+          def transform(src: DataFrame, ctx: TransformContext): DataFrame =
+            src.select(col("o_custkey"), col("o_custkey").as("id"),
+              col("last_batch"), col("cnt"))
+        }
+        val schema = spark.read.parquet(dir.toString).schema
+        def start(exec: MigrationExecutor) =
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+            .parquet(dir.toString)
+            .writeStream
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              exec.executeDelta(spark, mig, new SourceDriver {
+                def read(s: SparkSession, sp: MigrationSpec): DataFrame = b
+              }, new ParquetDestinationDriver): Unit
+              exec.release() // per-batch pins: the delta is written
+            }
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+        // leg 1: kill after the first committed batch
+        val q1 = start(freshExec())
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (q1.isActive && q1.lastProgress == null && System.nanoTime() < deadline)
+          Thread.sleep(25)
+        q1.stop()
+        q1.awaitTermination()
+        // leg 2: restart from the checkpoint and drain
+        val q2 = start(freshExec())
+        try q2.awaitTermination() finally q2.stop()
+        // reconcile #1: tombstones land, then the process "dies" before
+        // the ack — the result is discarded, nothing in-JVM survives
+        val horizon = orders.filter(col("o_orderkey") % 3 === 2)
+          .select(col("o_custkey")).distinct()
+        val dest = new ParquetDestinationDriver
+        val execA = freshExec()
+        execA.reconcileDeltaOrphans(spark, mig, horizon, dest): Unit
+        execA.release()
+        // reconcile #2 (the restart's replay): recomputed from published
+        // state alone — must be a no-op prune serving the same view
+        val execB = freshExec()
+        val res = execB.reconcileDeltaOrphans(spark, mig, horizon, dest)
+        val replayPrunes = res.orphanCount
+        execB.release()
+        res.finalSnapshot
+          .filter(lit(replayPrunes) === 0L) // replay found leftovers ⇒ empty ⇒ hash fails
+          .select(col("id"), col("last_batch"), col("cnt"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH per AS (
+             |  SELECT o_custkey AS id, CAST(o_orderkey % 3 AS INT) AS b,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM orders GROUP BY 1, 2),
+             |last AS (SELECT id, MAX(b) AS b FROM per GROUP BY 1),
+             |recent AS (SELECT DISTINCT id FROM per WHERE b = 2)
+             |SELECT p.id, p.b AS last_batch, p.cnt
+             |FROM per p JOIN last USING (id, b) JOIN recent USING (id)
+             |ORDER BY p.id""".stripMargin)),
   )
 }
