@@ -839,6 +839,20 @@ object Similarity {
     */
   private val KmeansTrainCap = 20000L
 
+  /** Soft-assignment breadth for the semantic-dedup scale path: 3 soft
+    * clusters per vector up to k = 400 (every shipped SF through sf10 —
+    * those results stay bit-identical), growing ∝ √k above (the
+    * faiss-style nprobe ∝ √nlist rule). Why it must grow: nClusters
+    * scales n/500 to bound the per-cluster quadratic, so clusters get
+    * FINER with the corpus and a fixed breadth loses moderately-similar
+    * pairs — the r19 sf100 probe measured sampled recall 0.70→0.74
+    * (Wilson lower < 0.7, certificate refusing to certify) with breadth
+    * pinned at 3, and 0.86+ once breadth scales. Certificate cost is
+    * O(n·breadth) assignment rows joined to a 200k-pair sample — linear.
+    */
+  def scaledNProbe(nClusters: Int): Int =
+    math.max(3, math.ceil(3.0 * math.sqrt(nClusters / 400.0)).toInt)
+
   def clusterAssignments(
       corpus: DataFrame, idCol: String, vecCol: String,
       nClusters: Int, nProbe: Int, iterations: Int = 3): DataFrame = {
@@ -884,7 +898,15 @@ object Similarity {
           }
           m.map(_.toArray)
         }
-        val coarseProbe = 3
+        // probe enough coarse cells that the examined fine-centroid
+        // FRACTION stays ~15% as k grows: a fixed 3-cell probe is 3/20
+        // cells at k=400 but 3/64 at k=4000, and the r19 sf100 probe
+        // measured exactly that recall cliff (sampled recall 0.70,
+        // Wilson lower 0.635 < 0.7 — the certificate refused to
+        // certify). kCoarse/6 restores the fraction; at kCoarse ≤ 20
+        // (k ≤ 400: every driver SF, sf1, sf10) it stays 3 — those
+        // results are bit-identical to the shipped decade probes.
+        val coarseProbe = math.max(3, kCoarse / 6)
         vecs.flatMap { case (id, v) =>
           val cells = nearest(v, coarse, coarseProbe)
           val cand0 = cells.flatMap(members(_))

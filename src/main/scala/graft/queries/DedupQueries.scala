@@ -93,30 +93,37 @@ object DedupQueries {
     * as a scalar, and the emitted plan reads the SAME persisted truth
     * frame (r18 verdict task 3 — the old shape unpersisted truth and
     * re-derived it at evaluation, doubling the certificate's dominant
-    * cost). The persisted truth's owner is the per-(sf,variant) memo
-    * below — the PersistHygiene pattern every shared layout here uses:
-    * pass 1 warms it (≤ pairBudget rows — a few MB at any corpus size),
-    * steady-state passes add nothing. `persistInput` persists `e` across
+    * cost). The persisted truth's OWNER is the per-(sf,variant) slot
+    * below: each call releases the previous call's truth and pins its
+    * own (≤ pairBudget rows — a few MB at any corpus size), so storage
+    * is steady-state (one entry per variant, replaced — never
+    * accumulating) and every call still pays the full certificate cost
+    * honestly (a getOrElseUpdate memo would make the bench's
+    * best-of-two time a cache hit). `persistInput` persists `e` across
     * the truth/count/assignment consumers — worth it only when `e` is a
     * computed frame (the curated twin's quality-filter join); the raw
     * twin's `e` is a bare parquet read whose count is a metadata-only
     * job and whose rescans are plain columnar scans. An empty sampled
     * truth passes vacuously (both engines emit nothing).
     */
-  private val certCache = scala.collection.concurrent.TrieMap
+  private val certTruthSlot = scala.collection.concurrent.TrieMap
     .empty[String, org.apache.spark.sql.DataFrame]
   private def sampledSemanticCertificate(
       cacheKey: String,
       mkInput: => org.apache.spark.sql.DataFrame,
-      persistInput: Boolean): org.apache.spark.sql.DataFrame =
-    certCache.getOrElseUpdate(cacheKey, {
+      persistInput: Boolean): org.apache.spark.sql.DataFrame = {
+      certTruthSlot.remove(cacheKey).foreach(_.unpersist())
       val e = if (persistInput) mkInput.persist() else mkInput
       val truth = graft.ops.Similarity.sampledExactPairs(
         e, "vec_id", "embedding", minSim = 0.4, pairBudget = 200000L).persist()
       val nVec = e.count() // raw twin: parquet metadata count — sizes nClusters
+      val kc = math.max(16, (nVec / 500).toInt)
       val assign = graft.ops.Similarity.clusterAssignments(
         e, "vec_id", "embedding",
-        nClusters = math.max(16, (nVec / 500).toInt), nProbe = 3).persist()
+        // breadth scales ∝ √k above the shipped decades (= 3 at every
+        // driver SF and both probe decades — bit-identical there); see
+        // Similarity.scaledNProbe for the sf100 recall measurement
+        nClusters = kc, nProbe = graft.ops.Similarity.scaledNProbe(kc)).persist()
       val hits = truth.select(col("a"), col("b"))
         .join(assign.select(col("id").as("a"), col("cluster")), Seq("a"))
         .join(assign.select(col("id").as("b"), col("cluster")), Seq("b", "cluster"))
@@ -133,11 +140,11 @@ object DedupQueries {
       assign.unpersist()
       if (persistInput) { e.unpersist(); () } // release the input; truth stays persisted
       val out =
-        if (wilsonLower >= 0.7) truth
+        if (wilsonLower >= 0.7) { certTruthSlot.put(cacheKey, truth); truth }
         else { truth.unpersist(); truth.limit(0) }
       out.select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
         .orderBy(col("a"), col("b"))
-    })
+    }
 
   /** Shared oracle fragment: 5-shingle τ≥0.8 near-dup pairs and their
     * connected-component fixpoint (`edges`/`reach`) — ONE definition
