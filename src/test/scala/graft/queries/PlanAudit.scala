@@ -598,7 +598,7 @@ class PlanAudit extends SparkSpec {
       case f: FilterExec =>
         val child = boundedRows(f.child, idContract)
         val cap =
-          if (idContract && scanSpine(f.child)) idCapLit(f.condition) else None
+          if (idContract && scanSpine(f.child)) idCapThroughSpine(f) else None
         (child, cap) match {
           case (Some(a), Some(b)) => Some(math.min(a, b))
           case (a, b) => a.orElse(b)
@@ -685,27 +685,83 @@ class PlanAudit extends SparkSpec {
   private val ProbeIdColumns = Set("doc_id", "vec_id", "probe_id", "query_id")
 
   /** The smallest qualifying probe-id cap in a filter condition:
-    * `id_col < N` (or `≤ N−1`) with an integral literal in [1, 4096].
+    * `id_col < N` (or `≤ N−1`) with an integral literal in [1, 4096],
+    * where the capped attribute's NAME is a declared probe-id column.
     */
   private def idCapLit(
-      e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Long] = {
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Long] =
+    idCapCands(e).filter { case (a, _) => ProbeIdColumns(a.name) }
+      .map(_._2).minOption
+
+  /** All `attr < literal` / `attr ≤ literal` shapes in a condition with
+    * an integral literal in the probe-budget range, as (attr, row cap).
+    */
+  private def idCapCands(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[(org.apache.spark.sql.catalyst.expressions.Attribute, Long)] = {
     import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression, LessThan, LessThanOrEqual, Literal}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    def attrName(x: Expression): Option[String] = x match {
-      case a: Attribute => Some(a.name)
-      case Cast(c, _, _, _) => attrName(c)
+    def attrOf(x: Expression): Option[Attribute] = x match {
+      case a: Attribute => Some(a)
+      case Cast(c, _, _, _) => attrOf(c)
       case _ => None
     }
     val integral = Set[org.apache.spark.sql.types.DataType](
       ByteType, ShortType, IntegerType, LongType)
-    val caps = e.collect {
+    e.collect {
       case LessThan(a, Literal(v: Number, t))
-        if integral(t) && attrName(a).exists(ProbeIdColumns) &&
-          v.longValue >= 1 && v.longValue <= 4096 => v.longValue
+        if integral(t) && attrOf(a).isDefined &&
+          v.longValue >= 1 && v.longValue <= 4096 => (attrOf(a).get, v.longValue)
       case LessThanOrEqual(a, Literal(v: Number, t))
-        if integral(t) && attrName(a).exists(ProbeIdColumns) &&
-          v.longValue >= 0 && v.longValue <= 4095 => v.longValue + 1
+        if integral(t) && attrOf(a).isDefined &&
+          v.longValue >= 0 && v.longValue <= 4095 => (attrOf(a).get, v.longValue + 1)
     }
+  }
+
+  /** PROVENANCE form of the filter cap (the stronger of the r18
+    * verdict's two contract options): the capped attribute must trace —
+    * by exprId, through pass-through aliases only — down the spine to a
+    * LEAF SCAN column whose name is a declared probe-id column. Catalyst
+    * already substitutes aliases when it pushes predicates, so most
+    * rename-launders (`n_chars AS vec_id`) never reach this check with
+    * the id name intact; the trace closes the residual (a filter pinned
+    * above an un-collapsed rename, e.g. behind a non-deterministic
+    * projection).
+    */
+  private def idCapThroughSpine(
+      f: org.apache.spark.sql.execution.FilterExec): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast}
+    import org.apache.spark.sql.execution._
+    def trace(a: Attribute, p: SparkPlan): Boolean = p match {
+      case s: FileSourceScanExec =>
+        s.output.exists(o => o.exprId == a.exprId && ProbeIdColumns(o.name))
+      case s: RowDataSourceScanExec =>
+        s.output.exists(o => o.exprId == a.exprId && ProbeIdColumns(o.name))
+      case l: LocalTableScanExec =>
+        l.output.exists(o => o.exprId == a.exprId && ProbeIdColumns(o.name))
+      case pr: ProjectExec =>
+        pr.projectList.collectFirst {
+          case al: Alias if al.exprId == a.exprId => al.child match {
+            case c: Attribute => Some(c)
+            case Cast(c: Attribute, _, _, _) => Some(c)
+            case _ => None // alias of a computed expression — not the base id
+          }
+          case at: Attribute if at.exprId == a.exprId => Some(at)
+        }.flatten match {
+          case Some(next) => trace(next, pr.child)
+          case None => false
+        }
+      case s: adaptive.QueryStageExec => trace(a, s.plan)
+      case r: exchange.ReusedExchangeExec => trace(a, r.child)
+      case _: FilterExec | _: SortExec | _: CoalesceExec |
+           _: WholeStageCodegenExec | _: InputAdapter |
+           _: exchange.Exchange | _: adaptive.AQEShuffleReadExec =>
+        trace(a, p.children.head)
+      case _ => false
+    }
+    val caps = idCapCands(f.condition)
+      .filter { case (a, _) => ProbeIdColumns(a.name) && trace(a, f.child) }
+      .map(_._2)
     if (caps.nonEmpty) Some(caps.min) else None
   }
 
@@ -876,6 +932,17 @@ class PlanAudit extends SparkSpec {
         .filter(col("n_tokens") < 512)))
     assert(classifyBnljs(launder.queryExecution.executedPlan) == Seq("UNBOUNDED"),
       "a literal cap on a non-id column must not certify the broadcast")
+    // the rename launder: a NON-id column aliased TO an id name behind a
+    // non-deterministic projection (which pins the filter above the
+    // rename — deterministic renames are substituted away by predicate
+    // pushdown before the physical plan exists) must not certify: the
+    // exprId trace ends at a scan column named n_chars, not an id
+    val rename = docs.crossJoin(broadcast(
+      Tables.load(spark, Sf, "documents")
+        .select(col("n_chars").cast("long").as("vec_id"), rand().as("r"))
+        .filter(col("vec_id") < 512).drop("r")))
+    assert(classifyBnljs(rename.queryExecution.executedPlan) == Seq("UNBOUNDED"),
+      "an id-named alias of a non-id column must not certify the broadcast")
     // the join-launder shape (r18 ADVICE): a genuinely capped probe set
     // fanned out against a full corpus on a NON-unique key must not
     // inherit the cap. (Joining on the corpus's own id column is not a
