@@ -867,12 +867,14 @@ object Similarity {
     // sample (O(cap·k) — k-means gains nothing from the tail), and
     // (b) vectors route through ⌈√k⌉ COARSE centroids (a driver-side
     // Lloyd over the k fine centroids — k×dim doubles, trivially
-    // small): nearest `coarseProbe` cells, then nProbe fine clusters
-    // among those cells' members — O(n·√k) instead of O(n·k). Routing
-    // can miss a fine cluster in an unprobed cell; the sampled-recall
-    // certificates (Wilson-bounded) price exactly that, and the
-    // driver-SF gates never route (k ≤ 64 there), so their results
-    // are bit-identical to the exhaustive path.
+    // small): nearest `coarseProbe` = ⌈√kCoarse⌉ ≈ k^(1/4) cells, then
+    // nProbe fine clusters among those cells' ~√k-sized member lists —
+    // O(n·k^(3/4)) candidate distances instead of O(n·k), still
+    // sub-linear in k. Routing can miss a fine cluster in an unprobed
+    // cell; the sampled-recall certificates (Wilson-bounded) price
+    // exactly that, and the driver-SF gates never route (k ≤ 64
+    // there), so their results are bit-identical to the exhaustive
+    // path.
     val n = vecs.count()
     val trainVecs =
       if (n <= KmeansTrainCap) vecs
@@ -898,15 +900,17 @@ object Similarity {
           }
           m.map(_.toArray)
         }
-        // probe enough coarse cells that the examined fine-centroid
-        // FRACTION stays ~15% as k grows: a fixed 3-cell probe is 3/20
-        // cells at k=400 but 3/64 at k=4000, and the r19 sf100 probe
-        // measured exactly that recall cliff (sampled recall 0.70,
-        // Wilson lower 0.635 < 0.7 — the certificate refused to
-        // certify). kCoarse/6 restores the fraction; at kCoarse ≤ 20
-        // (k ≤ 400: every driver SF, sf1, sf10) it stays 3 — those
-        // results are bit-identical to the shipped decade probes.
-        val coarseProbe = math.max(3, kCoarse / 6)
+        // ⌈√kCoarse⌉ cells, floor 3: a FIXED 3-cell probe is 15% of
+        // cells at k=400 but 4.7% at k=4000 — the r19 sf100 probe
+        // measured that recall cliff directly (sampled recall 0.70,
+        // Wilson lower 0.635 < 0.7, certificate refusing to certify),
+        // while a constant FRACTION (kCoarse/6) is Θ(k) candidates —
+        // the linear scan the routing exists to avoid. √kCoarse keeps
+        // candidates at k^(3/4) (sub-linear) and measured Wilson 0.873
+        // at sf100 / 0.722 at sf10 (CertProbe, with scaledNProbe
+        // breadth; the constant-3 alternative reads 0.748 at sf100 —
+        // passing but thin).
+        val coarseProbe = math.max(3, math.ceil(math.sqrt(kCoarse.toDouble)).toInt)
         vecs.flatMap { case (id, v) =>
           val cells = nearest(v, coarse, coarseProbe)
           val cand0 = cells.flatMap(members(_))

@@ -88,7 +88,9 @@ object DedupQueries {
     * sizing rule and Wilson formula can never drift between them):
     * stratified sampled truth (Similarity.sampledExactPairs, fixed 200k
     * pair budget), scale-path recall certified from the soft cluster
-    * ASSIGNMENTS (nClusters = max(16, n/500), nProbe 3), emission gated
+    * ASSIGNMENTS (nClusters = max(16, n/500), breadth =
+    * Similarity.scaledNProbe(k) — 3 at every shipped SF, ∝√k above
+    * k = 400), emission gated
     * on the Wilson 95% LOWER bound ≥ 0.7. The bound is computed EAGERLY
     * as a scalar, and the emitted plan reads the SAME persisted truth
     * frame (r18 verdict task 3 — the old shape unpersisted truth and

@@ -74,4 +74,25 @@ object Tables {
     d.mkdirs()
     d.toString
   }
+
+  /** Stage `df` as ONE parquet part file at `dir/fileName` with an
+    * explicit modification time — the file-streaming-source staging
+    * idiom (ascending mtimes are the source's replay order, one file
+    * per micro-batch under maxFilesPerTrigger=1). An empty frame
+    * writes no part file and stages nothing. One definition for the
+    * five call sites that previously each hand-rolled the
+    * write-find-move-stamp sequence (r19 self-review finding).
+    */
+  private[graft] def writeChunkFile(
+      df: DataFrame, dir: java.nio.file.Path, fileName: String, mtime: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chunk")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    new java.io.File(tmp.toString).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .foreach { p =>
+        val dst = dir.resolve(fileName)
+        java.nio.file.Files.move(p.toPath, dst)
+        dst.toFile.setLastModified(mtime): Unit
+      }
+  }
 }

@@ -148,15 +148,7 @@ object StreamingQueries {
       for (i <- 0 until n) {
         val chunk = df.filter(col("doc_id") >= lo + i * step &&
           col("doc_id") < lo + (i + 1) * step)
-        val tmp = java.nio.file.Files.createTempDirectory("graft_chunk")
-        chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = new java.io.File(tmp.toString).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        part.foreach { p =>
-          val dst = dir.resolve(f"chunk_$i%03d.parquet")
-          java.nio.file.Files.move(p.toPath, dst)
-          dst.toFile.setLastModified(base + i * 10000L)
-        }
+        Tables.writeChunkFile(chunk, dir, f"chunk_$i%03d.parquet", base + i * 10000L)
       }
       dir.toString
     })
@@ -210,16 +202,8 @@ object StreamingQueries {
       for (i <- 0 until n) {
         val chunk = df.filter(unix_micros(col("ts")) >= lo + i * step &&
           unix_micros(col("ts")) < lo + (i + 1) * step)
-        val tmp = java.nio.file.Files.createTempDirectory("graft_chunk")
-        chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = new java.io.File(tmp.toString).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        part.foreach { p =>
-          val dst = dir.resolve(f"chunk_$i%03d.parquet")
-          java.nio.file.Files.move(p.toPath, dst)
-          // explicit ascending mtimes: the source's file ordering key
-          dst.toFile.setLastModified(base + i * 10000L)
-        }
+        // explicit ascending mtimes: the source's file ordering key
+        Tables.writeChunkFile(chunk, dir, f"chunk_$i%03d.parquet", base + i * 10000L)
       }
       if (sentinel) {
         // TWO sentinel chunks: state eviction in batch k runs with the
@@ -236,13 +220,8 @@ object StreamingQueries {
             .withColumn("ts",
               expr(s"timestamp_micros(${hi - 1L} + ${7200000000L * (j + 1)})"))
             .withColumn("user_id", lit(-1L))
-          val tmp = java.nio.file.Files.createTempDirectory("graft_chunk")
-          row.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = new java.io.File(tmp.toString).listFiles()
-            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-          val dst = dir.resolve(s"chunk_zzz_sentinel$j.parquet")
-          java.nio.file.Files.move(part.toPath, dst)
-          dst.toFile.setLastModified(base + (n + j) * 10000L)
+          Tables.writeChunkFile(row, dir, s"chunk_zzz_sentinel$j.parquet",
+            base + (n + j) * 10000L)
         }
       }
       dir.toString
@@ -2875,15 +2854,7 @@ object StreamingQueries {
             .groupBy(col("o_custkey"))
             .agg(count(lit(1)).as("cnt"))
             .select(col("o_custkey"), lit(i).as("last_batch"), col("cnt"))
-          val tmp = java.nio.file.Files.createTempDirectory("graft_orc_tmp")
-          w.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          new java.io.File(tmp.toString).listFiles()
-            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-            .foreach { p =>
-              val dst = dir.resolve(f"batch_$i%03d.parquet")
-              java.nio.file.Files.move(p.toPath, dst)
-              dst.toFile.setLastModified(mt0 + i * 10000L): Unit
-            }
+          Tables.writeChunkFile(w, dir, f"batch_$i%03d.parquet", mt0 + i * 10000L)
         }
         val base = java.nio.file.Files.createTempDirectory("graft_orc").toString
         val theSpec = MigrationSpec("orc_delta", source = "", sourceDriver = "stream",

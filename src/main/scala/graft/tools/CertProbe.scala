@@ -36,7 +36,9 @@ object CertProbe {
       .select(col("a"), col("b")).distinct().count()
     val p = if (m == 0) Double.NaN else hits.toDouble / m
     val z2 = 3.841459
-    val wilson = if (m == 0) Double.NaN else
+    // m = 0 mirrors production's vacuous pass (certRow.isNullAt -> 1.0),
+    // NOT a gate failure — the distinction this probe exists to make
+    val wilson = if (m == 0) 1.0 else
       (p + z2 / (2.0 * m) - math.sqrt(z2) *
         math.sqrt(p * (1 - p) / m + z2 / (4.0 * m * m))) / (1 + z2 / m)
     println(f"[cert] sf=$sf nVec=$nVec k=${math.max(16, (nVec / 500).toInt)} " +

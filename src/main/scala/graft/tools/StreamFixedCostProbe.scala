@@ -47,15 +47,8 @@ object StreamFixedCostProbe {
       for (i <- 0 until n) {
         val chunk = df.filter(unix_micros(col("ts")) >= lo + i * step &&
           unix_micros(col("ts")) < lo + (i + 1) * step)
-        val tmp = java.nio.file.Files.createTempDirectory("graft_fcp_tmp")
-        chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        new java.io.File(tmp.toString).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .foreach { p =>
-            val dst = dir.resolve(f"chunk_$i%03d.parquet")
-            java.nio.file.Files.move(p.toPath, dst)
-            dst.toFile.setLastModified(base + i * 10000L): Unit
-          }
+        graft.queries.Tables.writeChunkFile(
+          chunk, dir, f"chunk_$i%03d.parquet", base + i * 10000L)
       }
       for (j <- 0 until 2) { // sentinels, as in stagedTimeChunks
         val row = df.limit(1)
@@ -64,15 +57,8 @@ object StreamFixedCostProbe {
             when(col("event_type") === "error", lit(-1L - 2 * j)).otherwise(lit(-2L - 2 * j)))
           .withColumn("ts", expr(s"timestamp_micros(${hi - 1L} + ${7200000000L * (j + 1)})"))
           .withColumn("user_id", lit(-1L))
-        val tmp = java.nio.file.Files.createTempDirectory("graft_fcp_tmp")
-        row.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        new java.io.File(tmp.toString).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .foreach { p =>
-            val dst = dir.resolve(f"chunk_zz$j.parquet")
-            java.nio.file.Files.move(p.toPath, dst)
-            dst.toFile.setLastModified(base + (n + j) * 10000L): Unit
-          }
+        graft.queries.Tables.writeChunkFile(
+          row, dir, s"chunk_zz$j.parquet", base + (n + j) * 10000L)
       }
       dir.toString
     }

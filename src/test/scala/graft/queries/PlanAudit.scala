@@ -627,17 +627,22 @@ class PlanAudit extends SparkSpec {
           case _ => (Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression],
                      Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression])
         }
-        def idKey(ks: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+        // the key must TRACE to the spine side's base id column (exprId
+        // provenance, same primitive as the filter cap) — a name-only
+        // check would accept `(n_chars % 2).as("vec_id")` as a unique
+        // key (r19 self-review finding)
+        def idKey(ks: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+                  side: org.apache.spark.sql.execution.SparkPlan) =
           ks.exists {
             case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
-              ProbeIdColumns(a.name)
+              ProbeIdColumns(a.name) && tracesToBaseId(a, side)
             case _ => false
           }
         val viaUnique =
           if (!idContract || j.joinType != org.apache.spark.sql.catalyst.plans.Inner) None
           else Seq(
-            if (scanSpine(j.left) && idKey(lk)) boundedRows(j.right, idContract) else None,
-            if (scanSpine(j.right) && idKey(rk)) boundedRows(j.left, idContract) else None
+            if (scanSpine(j.left) && idKey(lk, j.left)) boundedRows(j.right, idContract) else None,
+            if (scanSpine(j.right) && idKey(rk, j.right)) boundedRows(j.left, idContract) else None
           ).flatten.minOption
         // (a+1)·(b+1) stays sound for EVERY join type: inner ≤ a·b,
         // outer ≤ a·b + a + b — a bare product would under-bound a
@@ -695,20 +700,29 @@ class PlanAudit extends SparkSpec {
 
   /** All `attr < literal` / `attr ≤ literal` shapes in a condition with
     * an integral literal in the probe-budget range, as (attr, row cap).
+    * Matched ONLY at the top level of And-conjuncts: a range predicate
+    * under Or/Not does not enforce the bound it names (`vec_id < 10 OR
+    * lang = 'en'` selects nearly the whole corpus — the r19 self-review
+    * finding), so collecting from anywhere in the tree would certify
+    * un-enforced caps.
     */
   private def idCapCands(
       e: org.apache.spark.sql.catalyst.expressions.Expression)
       : Seq[(org.apache.spark.sql.catalyst.expressions.Attribute, Long)] = {
-    import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, Expression, LessThan, LessThanOrEqual, Literal}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     def attrOf(x: Expression): Option[Attribute] = x match {
       case a: Attribute => Some(a)
       case Cast(c, _, _, _) => attrOf(c)
       case _ => None
     }
+    def conjuncts(x: Expression): Seq[Expression] = x match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
     val integral = Set[org.apache.spark.sql.types.DataType](
       ByteType, ShortType, IntegerType, LongType)
-    e.collect {
+    conjuncts(e).collect {
       case LessThan(a, Literal(v: Number, t))
         if integral(t) && attrOf(a).isDefined &&
           v.longValue >= 1 && v.longValue <= 4096 => (attrOf(a).get, v.longValue)
@@ -730,6 +744,20 @@ class PlanAudit extends SparkSpec {
     */
   private def idCapThroughSpine(
       f: org.apache.spark.sql.execution.FilterExec): Option[Long] = {
+    val caps = idCapCands(f.condition)
+      .filter { case (a, _) => ProbeIdColumns(a.name) && tracesToBaseId(a, f.child) }
+      .map(_._2)
+    if (caps.nonEmpty) Some(caps.min) else None
+  }
+
+  /** Does attribute `a` trace — by exprId, through pass-through aliases
+    * only — down to a LEAF SCAN column whose name is a declared probe-id
+    * column? The provenance primitive behind both the filter cap and the
+    * inner-join uniqueness rule.
+    */
+  private def tracesToBaseId(
+      a0: org.apache.spark.sql.catalyst.expressions.Attribute,
+      p0: org.apache.spark.sql.execution.SparkPlan): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast}
     import org.apache.spark.sql.execution._
     def trace(a: Attribute, p: SparkPlan): Boolean = p match {
@@ -759,10 +787,7 @@ class PlanAudit extends SparkSpec {
         trace(a, p.children.head)
       case _ => false
     }
-    val caps = idCapCands(f.condition)
-      .filter { case (a, _) => ProbeIdColumns(a.name) && trace(a, f.child) }
-      .map(_._2)
-    if (caps.nonEmpty) Some(caps.min) else None
+    trace(a0, p0)
   }
 
   /** Is every row of this subtree one base-table row? True only for a
@@ -943,6 +968,24 @@ class PlanAudit extends SparkSpec {
         .filter(col("vec_id") < 512).drop("r")))
     assert(classifyBnljs(rename.queryExecution.executedPlan) == Seq("UNBOUNDED"),
       "an id-named alias of a non-id column must not certify the broadcast")
+    // the disjunct launder: an id cap under OR does not enforce itself
+    // (`vec_id < 10 OR lang = 'en'` is nearly the whole corpus) — caps
+    // must only be read off top-level And-conjuncts
+    val disjunct = docs.crossJoin(broadcast(
+      Tables.load(spark, Sf, "documents").select("doc_id", "lang")
+        .filter(col("doc_id") < 10 || col("lang") === "en").drop("lang")))
+    assert(classifyBnljs(disjunct.queryExecution.executedPlan) == Seq("UNBOUNDED"),
+      "an id cap under a disjunction must not certify the broadcast")
+    // the fake-unique join key: a computed 2-valued column aliased to an
+    // id name joined to a bounded frame — the name matches, the exprId
+    // trace must refuse (output is ~half the corpus per probe row)
+    val fakeKey = docs.crossJoin(broadcast(
+      Tables.load(spark, Sf, "documents")
+        .select((col("n_chars") % 2).cast("long").as("vec_id"), col("source"))
+        .join(emb.limit(8).select((col("vec_id") % 2).as("vec_id")), Seq("vec_id"))))
+    val fkClasses = classifyBnljs(fakeKey.queryExecution.executedPlan)
+    assert(fkClasses == Seq("UNBOUNDED"),
+      s"an id-named computed join key must not bound the join at the probe side: $fkClasses")
     // the join-launder shape (r18 ADVICE): a genuinely capped probe set
     // fanned out against a full corpus on a NON-unique key must not
     // inherit the cap. (Joining on the corpus's own id column is not a
