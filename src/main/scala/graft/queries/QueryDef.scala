@@ -84,15 +84,29 @@ object Tables {
     * write-find-move-stamp sequence (r19 self-review finding).
     */
   private[graft] def writeChunkFile(
-      df: DataFrame, dir: java.nio.file.Path, fileName: String, mtime: Long): Unit = {
+      df: DataFrame, dir: java.nio.file.Path, fileName: String, mtime: Long,
+      required: Boolean = false): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_chunk")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    new java.io.File(tmp.toString).listFiles()
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .foreach { p =>
-        val dst = dir.resolve(fileName)
-        java.nio.file.Files.move(p.toPath, dst)
-        dst.toFile.setLastModified(mtime): Unit
-      }
+    val part = {
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      new java.io.File(tmp.toString).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    }
+    // `required` distinguishes SENTINEL chunks (a missing file silently
+    // starves a watermark and mis-attributes the failure to the query
+    // under test — fail loudly at staging instead) from data chunks
+    // (an empty range legitimately stages nothing)
+    require(part.isDefined || !required,
+      s"staging produced no part file for required chunk $fileName")
+    part.foreach { p =>
+      val dst = dir.resolve(fileName)
+      java.nio.file.Files.move(p.toPath, dst)
+      dst.toFile.setLastModified(mtime): Unit
+    }
+    // drop the write debris (_SUCCESS, .crc) and the temp dir itself —
+    // the inline copies this helper replaced leaked one dir per chunk
+    Option(new java.io.File(tmp.toString).listFiles())
+      .foreach(_.foreach(f => f.delete(): Unit))
+    java.nio.file.Files.deleteIfExists(tmp): Unit
   }
 }

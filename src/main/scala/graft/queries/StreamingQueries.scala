@@ -179,15 +179,9 @@ object StreamingQueries {
           expr(s"timestamp_micros(${hi + 7200000000L})").as("ts"),
           lit(-1L).as("user_id"), col("event_type"),
           lit(0.0).as("value"), lit("{}").as("props"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ewma_sent")
-      sent.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = new java.io.File(tmp.toString).listFiles()
-        .find(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet")).get
-      val dst = d.resolve("chunk_zzz_sentinel.parquet")
-      java.nio.file.Files.move(part.toPath, dst)
-      dst.toFile.setLastModified(
-        new java.io.File(chunks).listFiles().map(_.lastModified).max + 10000L)
+      Tables.writeChunkFile(sent, d, "chunk_zzz_sentinel.parquet",
+        new java.io.File(chunks).listFiles().map(_.lastModified).max + 10000L,
+        required = true)
       d.toString
     })
   private def stagedTimeChunks(
@@ -221,7 +215,7 @@ object StreamingQueries {
               expr(s"timestamp_micros(${hi - 1L} + ${7200000000L * (j + 1)})"))
             .withColumn("user_id", lit(-1L))
           Tables.writeChunkFile(row, dir, s"chunk_zzz_sentinel$j.parquet",
-            base + (n + j) * 10000L)
+            base + (n + j) * 10000L, required = true)
         }
       }
       dir.toString

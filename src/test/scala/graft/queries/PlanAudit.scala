@@ -604,8 +604,14 @@ class PlanAudit extends SparkSpec {
           case (a, b) => a.orElse(b)
         }
       case s: FileSourceScanExec if idContract =>
-        // the pushed-down twin of the FilterExec case (the scan IS the spine)
-        val caps = s.dataFilters.flatMap(idCapLit)
+        // the pushed-down twin of the FilterExec case (the scan IS the
+        // spine) — same base-table location requirement as the trace: a
+        // derived artifact can carry a repeated id-named column
+        val caps = s.dataFilters.flatMap(idCapCands).collect {
+          case (a, cap) if ProbeIdColumns(a.name) &&
+            baseTableOf(a.name).exists(t =>
+              s.relation.location.rootPaths.forall(_.toString.contains(t))) => cap
+        }
         if (caps.nonEmpty) Some(caps.min) else None
       // semi/anti joins emit at most their left input — sound for any
       // right side, so a bounded probe set anti-joined to a corpus
@@ -689,14 +695,16 @@ class PlanAudit extends SparkSpec {
     */
   private val ProbeIdColumns = Set("doc_id", "vec_id", "probe_id", "query_id")
 
-  /** The smallest qualifying probe-id cap in a filter condition:
-    * `id_col < N` (or `≤ N−1`) with an integral literal in [1, 4096],
-    * where the capped attribute's NAME is a declared probe-id column.
+  /** The base table whose scan declares each id dense-unique (`probe_id`
+    * / `query_id` are panel ALIASES — they never appear as leaf-scan
+    * columns, so a cap on them must reach a base id through the alias
+    * trace).
     */
-  private def idCapLit(
-      e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Long] =
-    idCapCands(e).filter { case (a, _) => ProbeIdColumns(a.name) }
-      .map(_._2).minOption
+  private def baseTableOf(col: String): Option[String] = col match {
+    case "doc_id" => Some("documents")
+    case "vec_id" => Some("embeddings")
+    case _ => None
+  }
 
   /** All `attr < literal` / `attr ≤ literal` shapes in a condition with
     * an integral literal in the probe-budget range, as (attr, row cap).
@@ -761,12 +769,17 @@ class PlanAudit extends SparkSpec {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast}
     import org.apache.spark.sql.execution._
     def trace(a: Attribute, p: SparkPlan): Boolean = p match {
+      // ONLY a file scan of the base table that declares the id — a
+      // derived parquet artifact can carry a REPEATED doc_id/vec_id
+      // column (the shingle/pair write-backs), so a bare name match at
+      // any leaf would extend the uniqueness contract to frames that
+      // break it (r19 self-review finding). The base table is named in
+      // the scan's location path (staged streaming copies keep the
+      // table name in their dir/file names).
       case s: FileSourceScanExec =>
-        s.output.exists(o => o.exprId == a.exprId && ProbeIdColumns(o.name))
-      case s: RowDataSourceScanExec =>
-        s.output.exists(o => o.exprId == a.exprId && ProbeIdColumns(o.name))
-      case l: LocalTableScanExec =>
-        l.output.exists(o => o.exprId == a.exprId && ProbeIdColumns(o.name))
+        s.output.exists(o => o.exprId == a.exprId && ProbeIdColumns(o.name)) &&
+          baseTableOf(a.name).exists(t =>
+            s.relation.location.rootPaths.forall(_.toString.contains(t)))
       case pr: ProjectExec =>
         pr.projectList.collectFirst {
           case al: Alias if al.exprId == a.exprId => al.child match {
@@ -968,6 +981,18 @@ class PlanAudit extends SparkSpec {
         .filter(col("vec_id") < 512).drop("r")))
     assert(classifyBnljs(rename.queryExecution.executedPlan) == Seq("UNBOUNDED"),
       "an id-named alias of a non-id column must not certify the broadcast")
+    // the derived-scan launder: a scratch parquet whose doc_id column is
+    // REPEATED (one row per token here) breaks the dense-unique contract
+    // a base-table scan carries, so an id cap on it must not certify —
+    // the location check refuses any path that isn't the base table's
+    val derivedDir = Tables.scratch("graft_audit_derived")
+    Tables.load(spark, Sf, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .write.mode("overwrite").parquet(derivedDir)
+    val derived = docs.crossJoin(broadcast(
+      spark.read.parquet(derivedDir).filter(col("doc_id") < 100)))
+    assert(classifyBnljs(derived.queryExecution.executedPlan) == Seq("UNBOUNDED"),
+      "an id cap on a derived (non-base-table) scan must not certify the broadcast")
     // the disjunct launder: an id cap under OR does not enforce itself
     // (`vec_id < 10 OR lang = 'en'` is nearly the whole corpus) — caps
     // must only be read off top-level And-conjuncts

@@ -224,14 +224,9 @@ class StreamingSpec extends SparkSpec {
     val step = math.max(1L, (hi - lo + 2) / 3)
     val mtimeBase = System.currentTimeMillis() - 60000L
     for (i <- 0 until 3) {
-      val tmp = java.nio.file.Files.createTempDirectory("stream_cur_chunk")
-      docs.filter(col("doc_id") >= lo + i * step && col("doc_id") < lo + (i + 1) * step)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = new java.io.File(tmp.toString).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-      val dst = chunkDir.resolve(f"chunk_$i%03d.parquet")
-      java.nio.file.Files.move(part.toPath, dst)
-      dst.toFile.setLastModified(mtimeBase + i * 10000L)
+      graft.queries.Tables.writeChunkFile(
+        docs.filter(col("doc_id") >= lo + i * step && col("doc_id") < lo + (i + 1) * step),
+        chunkDir, f"chunk_$i%03d.parquet", mtimeBase + i * 10000L, required = true)
     }
 
     // one-shot twin: the whole corpus as a single landed batch defines
