@@ -108,13 +108,13 @@ object DedupQueries {
     * job and whose rescans are plain columnar scans. An empty sampled
     * truth passes vacuously (both engines emit nothing).
     */
-  private val certTruthSlot = scala.collection.concurrent.TrieMap
+  private[graft] val certTruthSlot = scala.collection.concurrent.TrieMap
     .empty[String, org.apache.spark.sql.DataFrame]
-  private def sampledSemanticCertificate(
+  private[graft] def sampledSemanticCertificate(
       cacheKey: String,
       mkInput: => org.apache.spark.sql.DataFrame,
-      persistInput: Boolean): org.apache.spark.sql.DataFrame = {
-      certTruthSlot.remove(cacheKey).foreach(_.unpersist())
+      persistInput: Boolean,
+      minWilson: Double = 0.7): org.apache.spark.sql.DataFrame = {
       val e = if (persistInput) mkInput.persist() else mkInput
       val truth = graft.ops.Similarity.sampledExactPairs(
         e, "vec_id", "embedding", minSim = 0.4, pairBudget = 200000L).persist()
@@ -141,9 +141,19 @@ object DedupQueries {
       val wilsonLower = if (certRow.isNullAt(0)) 1.0 else certRow.getDouble(0)
       assign.unpersist()
       if (persistInput) { e.unpersist(); () } // release the input; truth stays persisted
+      // swap-on-emit, not remove-then-put: `put` returns the replaced
+      // frame, so the one unpersisted is ALWAYS the one that left the
+      // slot — two concurrent calls on the same key can never both
+      // leave a frame persisted with only one tracked (r19 advice). A
+      // non-emitting certificate releases BOTH its own truth and any
+      // stale slot entry, so failure leaves nothing pinned for the key.
       val out =
-        if (wilsonLower >= 0.7) { certTruthSlot.put(cacheKey, truth); truth }
-        else { truth.unpersist(); truth.limit(0) }
+        if (wilsonLower >= minWilson) {
+          certTruthSlot.put(cacheKey, truth).foreach(_.unpersist()); truth
+        } else {
+          certTruthSlot.remove(cacheKey).foreach(_.unpersist())
+          truth.unpersist(); truth.limit(0)
+        }
       out.select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
         .orderBy(col("a"), col("b"))
     }

@@ -101,12 +101,22 @@ object Tables {
     part.foreach { p =>
       val dst = dir.resolve(fileName)
       java.nio.file.Files.move(p.toPath, dst)
-      dst.toFile.setLastModified(mtime): Unit
+      // ascending mtimes ARE the file source's replay order — a silent
+      // false here (perms, FS quirks) scrambles ordering into a
+      // confusing downstream watermark failure, so fail at the cause
+      require(dst.toFile.setLastModified(mtime),
+        s"setLastModified($mtime) failed for staged chunk $dst")
     }
-    // drop the write debris (_SUCCESS, .crc) and the temp dir itself —
-    // the inline copies this helper replaced leaked one dir per chunk
-    Option(new java.io.File(tmp.toString).listFiles())
-      .foreach(_.foreach(f => f.delete(): Unit))
-    java.nio.file.Files.deleteIfExists(tmp): Unit
+    // drop the write debris (_SUCCESS, .crc, and any leftover
+    // _temporary/ dir from an interrupted write) and the temp dir
+    // itself — the inline copies this helper replaced leaked one dir
+    // per chunk. Recursive + non-fatal: File.delete() fails on a
+    // non-empty subdirectory, and a dirty temp dir must never mask the
+    // real write failure with a DirectoryNotEmptyException.
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(f => java.nio.file.Files.deleteIfExists(f): Unit)
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 }

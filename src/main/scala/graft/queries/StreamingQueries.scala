@@ -2820,12 +2820,15 @@ object StreamingQueries {
     // ExecutorSpec, same-JVM, no real restart). Three CDC windows
     // (orders sliced by o_orderkey % 3, coalesced per customer) stream
     // through executeDelta one file per trigger; the first ingestion
-    // run is KILLED as soon as a batch commits (the stream_recovery
-    // harness pattern) and a RESTARTED run — fresh executor/mapper
-    // objects over the same durable paths, resuming the checkpoint —
-    // drains the rest, replaying any uncommitted batch (mappings are
-    // recorded before data appends, duplicate segments latest-wins-fold
-    // away). Then reconcileDeltaOrphans runs under PruneOrphans with a
+    // run sees ONLY window 0 before the process "dies" (windows 1/2
+    // arrive while it is down — the deterministic kill point, replacing
+    // an earlier stop()-vs-drain race that could leave the resume path
+    // unexercised on a fast run), and a RESTARTED run — fresh
+    // executor/mapper objects over the same durable paths, resuming the
+    // checkpoint — drains the backlog (mappings are recorded before
+    // data appends, duplicate segments latest-wins-fold away); a batch
+    // counter proves the restart actually processed the backlog or the
+    // gate emits empty. Then reconcileDeltaOrphans runs under PruneOrphans with a
     // last-window retention horizon: its tombstone segment LANDS but
     // the process "dies" before acking (the result is discarded), and a
     // second restarted executor replays the reconcile from published
@@ -2843,13 +2846,20 @@ object StreamingQueries {
         val dir = java.nio.file.Files.createTempDirectory("graft_orc_chunks")
         val mt0 = System.currentTimeMillis() - 100000L
         val orders = load(spark, sf, "orders")
-        for (i <- 0 until 3) {
+        def stage(i: Int): Unit = {
           val w = orders.filter(col("o_orderkey") % 3 === i)
             .groupBy(col("o_custkey"))
             .agg(count(lit(1)).as("cnt"))
             .select(col("o_custkey"), lit(i).as("last_batch"), col("cnt"))
           Tables.writeChunkFile(w, dir, f"batch_$i%03d.parquet", mt0 + i * 10000L)
         }
+        // leg 1 sees ONLY window 0 — windows 1/2 land between the legs,
+        // so the restart DETERMINISTICALLY has work left. The previous
+        // shape staged all three and raced stop() against the drain: a
+        // fast leg 1 could finish everything, leaving the checkpoint-
+        // resume/replay path this gate exists to pin silently
+        // unexercised while the hash still matched (r19 advice).
+        stage(0)
         val base = java.nio.file.Files.createTempDirectory("graft_orc").toString
         val theSpec = MigrationSpec("orc_delta", source = "", sourceDriver = "stream",
           destination = s"$base/dest", destinationDriver = "parquet",
@@ -2868,7 +2878,8 @@ object StreamingQueries {
               col("last_batch"), col("cnt"))
         }
         val schema = spark.read.parquet(dir.toString).schema
-        def start(exec: MigrationExecutor) =
+        def start(exec: MigrationExecutor,
+                  batches: java.util.concurrent.atomic.AtomicInteger) =
           spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
             .parquet(dir.toString)
             .writeStream
@@ -2877,19 +2888,25 @@ object StreamingQueries {
                 def read(s: SparkSession, sp: MigrationSpec): DataFrame = b
               }, new ParquetDestinationDriver): Unit
               exec.release() // per-batch pins: the delta is written
+              batches.incrementAndGet(): Unit
             }
             .option("checkpointLocation", s"$base/ckpt")
             .trigger(Trigger.AvailableNow()).start()
-        // leg 1: kill after the first committed batch
-        val q1 = start(freshExec())
-        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-        while (q1.isActive && q1.lastProgress == null && System.nanoTime() < deadline)
-          Thread.sleep(25)
-        q1.stop()
-        q1.awaitTermination()
-        // leg 2: restart from the checkpoint and drain
-        val q2 = start(freshExec())
+        // leg 1: the "killed" run — drains window 0, then the process
+        // "dies" (AvailableNow terminates; windows 1/2 don't exist yet)
+        val leg1Batches = new java.util.concurrent.atomic.AtomicInteger
+        val q1 = start(freshExec(), leg1Batches)
+        try q1.awaitTermination() finally q1.stop()
+        stage(1); stage(2)
+        // leg 2: restart from the checkpoint and drain the backlog —
+        // the batch counter makes the resume coverage VISIBLE: if the
+        // restart processed nothing, the gate emits empty and the
+        // driver's rows/hash check flips (instead of silently passing
+        // on leg 1's work alone)
+        val leg2Batches = new java.util.concurrent.atomic.AtomicInteger
+        val q2 = start(freshExec(), leg2Batches)
         try q2.awaitTermination() finally q2.stop()
+        val resumedBatches = leg2Batches.get()
         // reconcile #1: tombstones land, then the process "dies" before
         // the ack — the result is discarded, nothing in-JVM survives
         val horizon = orders.filter(col("o_orderkey") % 3 === 2)
@@ -2906,6 +2923,7 @@ object StreamingQueries {
         execB.release()
         res.finalSnapshot
           .filter(lit(replayPrunes) === 0L) // replay found leftovers ⇒ empty ⇒ hash fails
+          .filter(lit(resumedBatches) >= 2) // restart processed nothing ⇒ resume path unexercised ⇒ hash fails
           .select(col("id"), col("last_batch"), col("cnt"))
           .orderBy(col("id"))
       },

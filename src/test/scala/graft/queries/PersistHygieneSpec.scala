@@ -39,6 +39,40 @@ class PersistHygieneSpec extends SparkSpec {
                              // textrankCache (counted owner — warmed pass 1)
   )
 
+  test("certificate truth slot: steady state pins at most one frame per " +
+      "variant; a non-emitting certificate leaves nothing pinned") {
+    // isolate on a test-only variant key so the production "|raw" /
+    // "|curated" slots (owned by the registry gates) are untouched
+    val key = s"$Sf|hygiene_test"
+    val mkInput = Tables.load(spark, Sf, "embeddings")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // emitting certificate (driver-SF Wilson is well above 0.7): pins
+    // exactly its truth frame in the slot
+    DedupQueries.sampledSemanticCertificate(key, mkInput, persistInput = false)
+      .queryExecution.toRdd.foreach(_ => ())
+    assert(DedupQueries.certTruthSlot.contains(key))
+    val afterFirst = spark.sparkContext.getPersistentRDDs.keySet
+    // second emitting run: swap-on-emit — the replaced truth is
+    // released, so storage does NOT grow across repeated certificates
+    DedupQueries.sampledSemanticCertificate(key, mkInput, persistInput = false)
+      .queryExecution.toRdd.foreach(_ => ())
+    val afterSecond = spark.sparkContext.getPersistentRDDs.keySet
+    assert(afterSecond.size <= afterFirst.size,
+      s"certificate re-run grew storage ${afterFirst.size} -> " +
+        s"${afterSecond.size}: the replaced truth frame was not released")
+    // seeded FAILING certificate (unattainable Wilson bound): must
+    // release its own truth AND the stale slot entry — nothing pinned
+    val out = DedupQueries.sampledSemanticCertificate(
+      key, mkInput, persistInput = false, minWilson = 1.01)
+    assert(out.count() == 0L, "a failing certificate must emit empty")
+    assert(!DedupQueries.certTruthSlot.contains(key),
+      "a failing certificate left a frame in the slot")
+    val afterFail = spark.sparkContext.getPersistentRDDs.keySet
+    val leaked = afterFail -- before
+    assert(leaked.isEmpty,
+      s"failing certificate leaked persistent RDD(s) ${leaked.mkString(",")}")
+  }
+
   test("steady state: a second run of a query adds no persistent RDDs") {
     for (name <- representatives) {
       val fn = graft.SparkEntry.queries(name)

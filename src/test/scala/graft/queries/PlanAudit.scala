@@ -610,7 +610,7 @@ class PlanAudit extends SparkSpec {
         val caps = s.dataFilters.flatMap(idCapCands).collect {
           case (a, cap) if ProbeIdColumns(a.name) &&
             baseTableOf(a.name).exists(t =>
-              s.relation.location.rootPaths.forall(_.toString.contains(t))) => cap
+              isBaseTableLocation(s.relation.location, t)) => cap
         }
         if (caps.nonEmpty) Some(caps.min) else None
       // semi/anti joins emit at most their left input — sound for any
@@ -706,6 +706,25 @@ class PlanAudit extends SparkSpec {
     case _ => None
   }
 
+  /** EXACT base-table location contract: every rootPath's TERMINAL
+    * component must be the base table itself — the `<t>.parquet`
+    * file/dir of an sf corpus, or a staged streaming copy
+    * (`graft_stream_<t><tmpSuffix>` temp dirs, verbatim part-file
+    * copies of the base table). The previous substring match
+    * (`path.contains(t)`) accepted ANY path containing the table name —
+    * a derived artifact written to e.g. `/tmp/graft_documents_tokens/`
+    * carries a REPEATED doc_id yet would have certified a BNLJ build
+    * side, re-opening the derived-scan launder via path naming (r19
+    * advice / verdict task 3a).
+    */
+  private def isBaseTableLocation(
+      loc: org.apache.spark.sql.execution.datasources.FileIndex,
+      t: String): Boolean =
+    loc.rootPaths.nonEmpty && loc.rootPaths.forall { p =>
+      val name = p.getName
+      name == s"$t.parquet" || name.matches(s"graft_stream_$t\\d+")
+    }
+
   /** All `attr < literal` / `attr ≤ literal` shapes in a condition with
     * an integral literal in the probe-budget range, as (attr, row cap).
     * Matched ONLY at the top level of And-conjuncts: a range predicate
@@ -773,13 +792,12 @@ class PlanAudit extends SparkSpec {
       // derived parquet artifact can carry a REPEATED doc_id/vec_id
       // column (the shingle/pair write-backs), so a bare name match at
       // any leaf would extend the uniqueness contract to frames that
-      // break it (r19 self-review finding). The base table is named in
-      // the scan's location path (staged streaming copies keep the
-      // table name in their dir/file names).
+      // break it (r19 self-review finding). The location check is the
+      // EXACT terminal-name contract ([[isBaseTableLocation]]) — the
+      // base `<t>.parquet` or a `graft_stream_<t>` staged copy.
       case s: FileSourceScanExec =>
         s.output.exists(o => o.exprId == a.exprId && ProbeIdColumns(o.name)) &&
-          baseTableOf(a.name).exists(t =>
-            s.relation.location.rootPaths.forall(_.toString.contains(t)))
+          baseTableOf(a.name).exists(t => isBaseTableLocation(s.relation.location, t))
       case pr: ProjectExec =>
         pr.projectList.collectFirst {
           case al: Alias if al.exprId == a.exprId => al.child match {
@@ -798,6 +816,67 @@ class PlanAudit extends SparkSpec {
            _: WholeStageCodegenExec | _: InputAdapter |
            _: exchange.Exchange | _: adaptive.AQEShuffleReadExec =>
         trace(a, p.children.head)
+      case _ => false
+    }
+    trace(a0, p0)
+  }
+
+  /** Does attribute `a` trace — by exprId, through pass-through
+    * aliases, (partial) aggregates' grouping outputs, and joins — to a
+    * LEAF SCAN column named `colName` on the `table` base location?
+    * The exemption-side provenance primitive (r19 verdict task 3b):
+    * unlike [[tracesToBaseId]] it may cross aggregates and joins,
+    * because the property it certifies is DOMAIN membership (the
+    * grouped values are drawn from the base column's domain), not row
+    * uniqueness. A rewrite that groups on a COMPUTED source-like
+    * column (URL-level concat, hash) ends the trace at an alias of a
+    * non-attribute and fails.
+    */
+  private def tracesToBaseColumn(
+      a0: org.apache.spark.sql.catalyst.expressions.Attribute,
+      p0: org.apache.spark.sql.execution.SparkPlan,
+      colName: String, table: String): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast}
+    import org.apache.spark.sql.execution._
+    def trace(a: Attribute, p: SparkPlan): Boolean = p match {
+      case s: FileSourceScanExec =>
+        s.output.exists(o => o.exprId == a.exprId && o.name == colName) &&
+          isBaseTableLocation(s.relation.location, table)
+      case pr: ProjectExec =>
+        pr.projectList.collectFirst {
+          case al: Alias if al.exprId == a.exprId => al.child match {
+            case c: Attribute => Some(c)
+            case Cast(c: Attribute, _, _, _) => Some(c)
+            case _ => None
+          }
+          case at: Attribute if at.exprId == a.exprId => Some(at)
+        }.flatten match {
+          case Some(next) => trace(next, pr.child)
+          case None => false
+        }
+      case ag: aggregate.BaseAggregateExec =>
+        // a grouping key passes through a (partial) aggregate unchanged
+        ag.groupingExpressions.exists {
+          case at: Attribute => at.exprId == a.exprId
+          case al: Alias => al.exprId == a.exprId
+          case _ => false
+        } && {
+          val under = ag.groupingExpressions.collectFirst {
+            case at: Attribute if at.exprId == a.exprId => at
+            case al: Alias if al.exprId == a.exprId => al.child
+          }
+          under match {
+            case Some(at: Attribute) => trace(at, ag.child)
+            case _ => false
+          }
+        }
+      case j: joins.BaseJoinExec =>
+        // provenance crosses a join into whichever side carries the attr
+        j.children.filter(_.outputSet.exists(_.exprId == a.exprId))
+          .exists(trace(a, _))
+      case s: adaptive.QueryStageExec => trace(a, s.plan)
+      case r: exchange.ReusedExchangeExec => trace(a, r.child)
+      case _ if p.children.size == 1 => trace(a, p.children.head)
       case _ => false
     }
     trace(a0, p0)
@@ -891,6 +970,27 @@ class PlanAudit extends SparkSpec {
           a.groupingExpressions.forall(_.references.forall(_.name == key))
         case _ => false
       }
+    // the PROVENANCE form (r19 verdict task 3b): the grouping key must
+    // not merely be NAMED `key` — it must trace by exprId to the base
+    // table's leaf-scan column, so a rewrite that groups on a
+    // high-cardinality source-LIKE derivation (URL-level concat, hash)
+    // lapses the exemption instead of broadcasting millions of rows
+    def groupedOnBase(build: org.apache.spark.sql.execution.SparkPlan,
+                      key: String, table: String): Boolean =
+      planNodes(build).exists {
+        case a: BaseAggregateExec => a.groupingExpressions.nonEmpty &&
+          a.groupingExpressions.forall {
+            case at: Attribute =>
+              at.name == key && tracesToBaseColumn(at, a.child, key, table)
+            case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+              al.name == key && (al.child match {
+                case at: Attribute => tracesToBaseColumn(at, a.child, key, table)
+                case _ => false
+              })
+            case _ => false
+          }
+        case _ => false
+      }
     def rnEqualityFilter(build: org.apache.spark.sql.execution.SparkPlan): Boolean =
       planNodes(build).exists {
         case f: FilterExec => f.condition.exists {
@@ -914,10 +1014,12 @@ class PlanAudit extends SparkSpec {
       // privacy_t_closeness broadcasts the global sensitive-value
       // histogram: rows = |source domain| by the groupBy(source) that
       // builds it — domain-sized by definition. Justification: every
-      // unproven build IS a grouped-on-source aggregate.
+      // unproven build IS an aggregate grouped on the BASE
+      // documents.source column (provenance-traced, so a source-LIKE
+      // derived key cannot keep the exemption alive).
       "privacy_t_closeness" -> ((1,
-        (_, builds) => builds.forall(groupedOn(_, "source")),
-        "domain-sized reference histogram (groupBy on the sensitive column)")))
+        (_, builds) => builds.forall(groupedOnBase(_, "source", "documents")),
+        "domain-sized reference histogram (groupBy on the base sensitive column)")))
   }
 
   test("structural BNLJ audit: every nested-loop broadcast proves a bounded build side, a probe-id cap, or a justified data bound") {
@@ -993,6 +1095,19 @@ class PlanAudit extends SparkSpec {
       spark.read.parquet(derivedDir).filter(col("doc_id") < 100)))
     assert(classifyBnljs(derived.queryExecution.executedPlan) == Seq("UNBOUNDED"),
       "an id cap on a derived (non-base-table) scan must not certify the broadcast")
+    // the path-naming launder (r19 advice): the SAME derived artifact,
+    // but written under a dir whose path CONTAINS the base-table name —
+    // the old substring location check accepted it; the exact
+    // terminal-name contract must refuse
+    val namedDir = Tables.scratch("graft_documents_tokens")
+    assert(namedDir.contains("documents"), "mutation precondition")
+    Tables.load(spark, Sf, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .write.mode("overwrite").parquet(namedDir)
+    val pathLaunder = docs.crossJoin(broadcast(
+      spark.read.parquet(namedDir).filter(col("doc_id") < 100)))
+    assert(classifyBnljs(pathLaunder.queryExecution.executedPlan) == Seq("UNBOUNDED"),
+      "a derived scan whose PATH contains the base-table name must not certify the broadcast")
     // the disjunct launder: an id cap under OR does not enforce itself
     // (`vec_id < 10 OR lang = 'en'` is nearly the whole corpus) — caps
     // must only be read off top-level And-conjuncts
@@ -1034,6 +1149,26 @@ class PlanAudit extends SparkSpec {
     val bombClasses = classifyBnljs(bomb.queryExecution.executedPlan)
     assert(bombClasses.nonEmpty && bombClasses.last.startsWith("BOUNDED!"),
       s"a bounded-but-huge limit product must exceed the ceiling: $bombClasses")
+    // the exemption launder (r19 verdict task 3b): privacy_t_closeness's
+    // data-bound exemption must LAPSE when the histogram groups on a
+    // source-LIKE derived key (URL-level cardinality) instead of the
+    // base documents.source column — name alone must not keep it alive
+    locally {
+      val (_, justified, _) = DataBoundedBroadcasts("privacy_t_closeness")
+      val genuine = docs.crossJoin(broadcast(
+        Tables.load(spark, Sf, "documents").groupBy(col("source"))
+          .agg(count(lit(1)).as("n"))))
+      val gPlan = genuine.queryExecution.executedPlan
+      assert(justified(gPlan, bnljBuilds(gPlan)),
+        "the genuine base-column histogram must satisfy the exemption")
+      val derivedKey = docs.crossJoin(broadcast(
+        Tables.load(spark, Sf, "documents")
+          .select(concat(col("source"), lit("/"), col("doc_id")).as("source"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n"))))
+      val dPlan = derivedKey.queryExecution.executedPlan
+      assert(!justified(dPlan, bnljBuilds(dPlan)),
+        "a histogram grouped on a DERIVED source-named key must lapse the exemption")
+    }
     // positive controls: the legitimate shapes must NOT be flagged
     val scalarGate = docs.crossJoin(broadcast(emb.agg(count(lit(1)).as("n"))))
     assert(classifyBnljs(scalarGate.queryExecution.executedPlan) == Seq("SCALAR(1)"),
