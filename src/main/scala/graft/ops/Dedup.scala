@@ -86,6 +86,64 @@ object Dedup {
     out
   }
 
+  /** BOUNDED near-dup EDGE set for cluster consumers (r19 verdict task
+    * 1 — the last scale-killer): connected components only need a
+    * spanning subgraph of each duplicate clique, never all C(m,2)
+    * verified pairs, but [[ngramJaccardPairs]] materializes the full
+    * pair set — quadratic in clique size (the sf10 LayoutProbe measured
+    * 108.6× pair rows for 10× docs on a replica-heavy corpus; ~2.5 B
+    * rows projected at sf100). Here each shingle bucket contributes
+    * only its sorted-by-id NEIGHBOR CHAIN — candidates `(mᵢ, mᵢ₊ⱼ)` for
+    * j ≤ `maxLead` — so candidate volume is O(shingle rows · maxLead),
+    * linear in the corpus, and the hot-shingle quadratic blow-up the
+    * df-cut exists for cannot occur AT ALL on this path (a d-member
+    * bucket emits O(d) rows, not O(d²)). Every candidate is then
+    * verified with the same exact full-table intersection as
+    * [[ngramJaccardPairs]], so emitted edges are a SUBSET of the true
+    * τ-pair set: components over them can only split, never merge.
+    *
+    * Why components still match in practice: a true τ ≥ 0.8 pair shares
+    * ~all of its shingles, so the two docs co-occur in dozens of
+    * buckets and are chain-adjacent (or within `maxLead`) in any bucket
+    * not interleaved by `maxLead` unrelated docs — for EVERY shared
+    * bucket to hide the pair, each must independently interleave, and a
+    * duplicate clique is connected by any spanning subset of its edges
+    * anyway. The residual risk (an adversarially interleaved pair
+    * splitting a component) is priced by the sampled
+    * component-equivalence certificate in the cluster gates (Wilson
+    * lower bound ≥ 0.95 on sampled-truth-pair component agreement), the
+    * same machinery as the semantic certificates. Output schema matches
+    * [[ngramJaccardPairs]].
+    */
+  def ngramJaccardEdgesBounded(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int, minJaccard: Double,
+      precomputedShingles: Option[DataFrame] = None,
+      maxLead: Int = 2): DataFrame = {
+    val sh = precomputedShingles.getOrElse(shingleTable(df, textCol, idCol, k).persist())
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val w = Window.partitionBy(col("shingle")).orderBy(col("a"))
+    val chained = sh.select(col("shingle"), col(idCol).as("a"))
+    val cand = (1 to maxLead).map { j =>
+      chained.withColumn("b", lead(col("a"), j).over(w))
+        .filter(col("b").isNotNull)
+        .select(col("a"), col("b"))
+    }.reduce(_ unionByName _).distinct()
+    // exact intersection over the FULL shingle table — identical
+    // verification to ngramJaccardPairs' df-cut path
+    val inter = cand
+      .join(sh.select(col(idCol).as("a"), col("shingle")), Seq("a"))
+      .join(sh.select(col(idCol).as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("a"), col("n_shingles").as("na")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("n_shingles").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("jaccard"))
+  }
+
   /** Prefix-filtered exact Jaccard pairs — the PPJoin-family candidate
     * filter (Bayardo et al., "Scaling Up All Pairs Similarity Search";
     * Xiao et al., PPJoin): order every document's shingles by a GLOBAL

@@ -853,6 +853,25 @@ object Similarity {
   def scaledNProbe(nClusters: Int): Int =
     math.max(3, math.ceil(3.0 * math.sqrt(nClusters / 400.0)).toInt)
 
+  /** Cluster-count sizing rule for the semantic-dedup scale path:
+    * k = max(16, min(n/500, ⌊n^(4/7)⌋)). The linear n/500 term bounds
+    * the per-cluster verify quadratic (Σ sizes² ≈ n²/k) and is the
+    * shipped rule at every SF below the crossover — n/500 < n^(4/7)
+    * for n ≲ 2.05 M, so every driver SF and the sf1/sf10 probe decades
+    * stay bit-identical. Past the crossover, letting k keep growing
+    * linearly makes the ROUTED assignment (O(n·k^(3/4)) candidate
+    * distances — see [[clusterAssignments]]) the dominant term at
+    * O(n^(7/4)) — the asymptote the r19 verdict named (measured 7.8×
+    * for 10× data at sf100, fourth decade projecting ~56×). n^(4/7)
+    * BALANCES the two costs: assignment n·k^(3/4) = n^(10/7) =
+    * per-cluster verify n²/k — both sub-O(n^(7/4)), so neither term
+    * runs away at the next decade. Floor (not round): monotone, and
+    * one cluster of slack never matters at k ≈ 4000.
+    */
+  def scaledClusterCount(n: Long): Int =
+    math.max(16L, math.min(n / 500,
+      math.floor(math.pow(n.toDouble, 4.0 / 7.0)).toLong)).toInt
+
   def clusterAssignments(
       corpus: DataFrame, idCol: String, vecCol: String,
       nClusters: Int, nProbe: Int, iterations: Int = 3): DataFrame = {

@@ -26,7 +26,7 @@ object CertProbe {
       e, "vec_id", "embedding", minSim = 0.4, pairBudget = 200000L).persist()
     val m = truth.count()
     val nVec = e.count()
-    val kc = math.max(16, (nVec / 500).toInt)
+    val kc = graft.ops.Similarity.scaledClusterCount(nVec)
     val assign = graft.ops.Similarity.clusterAssignments(
       e, "vec_id", "embedding",
       nClusters = kc, nProbe = graft.ops.Similarity.scaledNProbe(kc)).persist()
@@ -41,7 +41,7 @@ object CertProbe {
     val wilson = if (m == 0) 1.0 else
       (p + z2 / (2.0 * m) - math.sqrt(z2) *
         math.sqrt(p * (1 - p) / m + z2 / (4.0 * m * m))) / (1 + z2 / m)
-    println(f"[cert] sf=$sf nVec=$nVec k=${math.max(16, (nVec / 500).toInt)} " +
+    println(f"[cert] sf=$sf nVec=$nVec k=${graft.ops.Similarity.scaledClusterCount(nVec)} " +
       f"truth=$m hits=$hits p=$p%.4f wilson_lower=$wilson%.4f emits=${wilson >= 0.7}")
     assign.unpersist(); truth.unpersist()
     spark.stop()

@@ -38,6 +38,14 @@ object LayoutProbe {
     }
     val sh = graft.ops.Dedup.shingleTable(docs, "text", "doc_id", 5).persist(tier)
     timed("shingles")(sh.count())
+    // the bounded EDGE layout (r20: the production cluster path) — its
+    // row count against `pairs` below IS the task-1 economics claim:
+    // edges grow ~linearly with the corpus while the full pair set is
+    // output-quadratic in clique size
+    val edges = graft.ops.Dedup.ngramJaccardEdgesBounded(
+      docs, "text", "doc_id", k = 5, minJaccard = 0.8,
+      precomputedShingles = Some(sh)).persist(tier)
+    timed("edges")(edges.count()): Unit
     if (!noPairs) {
       val pairs = graft.ops.Dedup.ngramJaccardPairs(
         docs, "text", "doc_id", k = 5, minJaccard = 0.8,

@@ -98,6 +98,44 @@ class OpsSpec extends SparkSpec {
     assert(cut == uncut, s"missing=${uncut -- cut} extra=${cut -- uncut}")
   }
 
+  test("bounded edges: verified subset of the full pair set, identical components, linear per-bucket candidates") {
+    import spark.implicits._
+    val full = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 5, 0.8)
+      .select("a", "b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bounded = Dedup.ngramJaccardEdgesBounded(docs, "text", "doc_id", 5, 0.8)
+      .select("a", "b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full.nonEmpty, "corpus has planted near-dups")
+    // every bounded edge is exact-verified, so it must appear in the
+    // full τ-pair set with the identical Jaccard — subset, never a merge
+    assert((bounded -- full).isEmpty, s"phantom edges: ${bounded -- full}")
+    // components over the spanning subgraph equal the full closure's
+    val pairsDf = full.toSeq.toDF("a", "b", "j").select(col("a"), col("b"))
+    val edgesDf = bounded.toSeq.toDF("a", "b", "j").select(col("a"), col("b"))
+    val compFull = Dedup.clusters(pairsDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val compBounded = Dedup.clusters(edgesDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(compBounded == compFull,
+      s"component split: ${compFull.toSet -- compBounded.toSet}")
+    // the scale property the operator exists for: a CLIQUE of m docs
+    // sharing every shingle emits O(m·maxLead) distinct chain edges,
+    // never the C(m,2) pair set — and the chain still spans the clique
+    val m = 40
+    val clique = (0 until m)
+      .map(i => (i.toLong, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
+      .toDF("doc_id", "text")
+    val cliqueEdges = Dedup.ngramJaccardEdgesBounded(clique, "text", "doc_id", 5, 0.8)
+    val nEdges = cliqueEdges.count()
+    assert(nEdges <= 2L * (m - 1),
+      s"clique emitted $nEdges edges — expected ≤ ${2 * (m - 1)} (maxLead·(m−1)), not C($m,2)")
+    val cliqueComp = Dedup.clusters(cliqueEdges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cliqueComp.size == m && cliqueComp.values.forall(_ == 0L),
+      "chain edges must span the whole clique into one component")
+  }
+
   test("dedup clusters: chains collapse to one component labeled by min id (both paths)") {
     import spark.implicits._
     // components: {1,2,3} via chain 1-2, 2-3; {7,9}; singleton-free (only
@@ -739,7 +777,7 @@ class OpsSpec extends SparkSpec {
         s"$sfDir: sampled sims must be the exact sims")
       val nVec = e.count()
       val assign = Similarity.clusterAssignments(e, "vec_id", "embedding",
-          nClusters = math.max(16, (nVec / 500).toInt), nProbe = 3)
+          nClusters = graft.ops.Similarity.scaledClusterCount(nVec), nProbe = 3)
         .collect().map(r => (r.getLong(0), r.getInt(1)))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       def found(p: (Long, Long)): Boolean =

@@ -27,7 +27,9 @@ class PersistHygieneSpec extends SparkSpec {
     "q_transitive_closure",  // fixpoint with lineage truncation
     "q_pagerank",            // fixpoint with lineage truncation
     "dedup_incremental_fuzzy", // bloom-probed join over shared shingles
-    "dedup_best_of_cluster", // shared pair layout consumer
+    "dedup_best_of_cluster", // shared bounded-edge layout consumer
+    "dedup_clusters_certificate", // trunc/cd op-released; truth slot-owned
+                             // (swap-on-emit — warmed pass 1)
     "sim_ann_ivfpq",         // trained codebooks (op-internal persists)
     "text_bpe_train",        // iterative merge training
     "dedup_clusters_distributed", // label-prop edge/label persists, op-released
