@@ -93,7 +93,8 @@ object Dedup {
     * pair set — quadratic in clique size (the sf10 LayoutProbe measured
     * 108.6× pair rows for 10× docs on a replica-heavy corpus; ~2.5 B
     * rows projected at sf100). Here each shingle bucket contributes
-    * only its sorted-by-id NEIGHBOR CHAIN — candidates `(mᵢ, mᵢ₊ⱼ)` for
+    * only its SORTED-SIGNATURE NEIGHBOR CHAIN — members ordered by a
+    * per-document MinHash-style signature, candidates `(mᵢ, mᵢ₊ⱼ)` for
     * j ≤ `maxLead` — so candidate volume is O(shingle rows · maxLead),
     * linear in the corpus, and the hot-shingle quadratic blow-up the
     * df-cut exists for cannot occur AT ALL on this path (a d-member
@@ -103,13 +104,15 @@ object Dedup {
     * τ-pair set: components over them can only split, never merge.
     *
     * Why components still match in practice: a true τ ≥ 0.8 pair shares
-    * ~all of its shingles, so the two docs co-occur in dozens of
-    * buckets and are chain-adjacent (or within `maxLead`) in any bucket
-    * not interleaved by `maxLead` unrelated docs — for EVERY shared
-    * bucket to hide the pair, each must independently interleave, and a
-    * duplicate clique is connected by any spanning subset of its edges
-    * anyway. The residual risk (an adversarially interleaved pair
-    * splitting a component) is priced by the sampled
+    * ~all of its shingles — including, with probability ≥ τ, the
+    * MINIMUM shingle hash that is the sort signature — so the two docs
+    * co-occur in dozens of buckets and sit adjacent (or within
+    * `maxLead`) in signature order; for EVERY shared bucket to hide the
+    * pair, each must independently interleave `maxLead` docs between
+    * two near-identical signatures, and a duplicate clique is connected
+    * by any spanning subset of its edges anyway. The residual risk (an
+    * adversarially interleaved pair splitting a component) is priced by
+    * the sampled
     * component-equivalence certificate in the cluster gates (Wilson
     * lower bound ≥ 0.95 on sampled-truth-pair component agreement), the
     * same machinery as the semantic certificates. Output schema matches
@@ -122,13 +125,39 @@ object Dedup {
       maxLead: Int = 2): DataFrame = {
     val sh = precomputedShingles.getOrElse(shingleTable(df, textCol, idCol, k).persist())
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
-    val w = Window.partitionBy(col("shingle")).orderBy(col("a"))
-    val chained = sh.select(col("shingle"), col(idCol).as("a"))
-    val cand = (1 to maxLead).map { j =>
+    // SORTED-SIGNATURE chain, not sorted-id: bucket members are ordered
+    // by each document's MinHash-style signature (min over its shingle
+    // hashes — one extra groupBy + a doc-keyed join), so documents that
+    // genuinely resemble each other sit ADJACENT and the chain edge
+    // between them verifies. Raw id order measurably fails on
+    // replica-structured corpora: the sf10 probe found ~10k true pairs
+    // split because id order interleaves each strong-similarity group
+    // with members of its weaker sibling groups (chain candidates all
+    // cross groups, all fail the τ verify, and the strong pairs — a
+    // full id-span apart — never become candidates). A J ≥ τ pair
+    // shares its minimum shingle hash with probability ≥ τ, so
+    // signature order is locality-sensitive exactly where the chain
+    // needs it; ties (identical signature = near-identical docs) break
+    // by id.
+    val sig = sh.groupBy(col(idCol))
+      .agg(min(xxhash64(col("shingle"))).as("__sig"))
+    val chained = sh.join(sig, Seq(idCol))
+      .select(col("shingle"), col(idCol).as("a"), col("__sig"))
+    // TWO orderings per bucket — signature AND raw id — because they
+    // fail on different pairs (sf10 probe: id order splits 9.9k true
+    // pairs, signature order 59k, largely disjoint failure sets: id
+    // order interleaves strong-similarity groups, signature order
+    // separates id-adjacent same-group members). The union is still
+    // O(bucket · 2·maxLead) candidates, and every candidate is
+    // exact-verified, so extra candidates only ADD true edges.
+    val orderings = Seq(
+      Window.partitionBy(col("shingle")).orderBy(col("__sig"), col("a")),
+      Window.partitionBy(col("shingle")).orderBy(col("a")))
+    val cand = (for (w <- orderings; j <- 1 to maxLead) yield {
       chained.withColumn("b", lead(col("a"), j).over(w))
         .filter(col("b").isNotNull)
-        .select(col("a"), col("b"))
-    }.reduce(_ unionByName _).distinct()
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+    }).reduce(_ unionByName _).distinct()
     // exact intersection over the FULL shingle table — identical
     // verification to ngramJaccardPairs' df-cut path
     val inter = cand
@@ -582,12 +611,18 @@ object Dedup {
 
   /** Duplicate-cluster resolution: near-dup PAIRS → connected components,
     * labeling every member with the minimum doc id of its component (the
-    * canonical representative a dedup pipeline keeps). Hash-min label
-    * propagation: start with label = own id, repeatedly take the min
-    * label over neighbors, stop when no label changes. Each iteration is
-    * one shuffle keyed on the doc id and the loop runs O(component
-    * diameter) times — near-dup clusters are shallow (pairs/chains), so
-    * this converges in a handful of passes even at corpus scale, where a
+    * canonical representative a dedup pipeline keeps). MERGE/COMPRESS
+    * label propagation (Shiloach–Vishkin style): each outer round takes
+    * the min over own + neighbors' labels (one edge-keyed shuffle),
+    * then POINTER-JUMPS the label forest to its fixpoint
+    * (rep(u) ← rep(rep(u)), label-table-sized self-joins — no edge
+    * traffic) so every node points at its component tree's root before
+    * the next merge; outer rounds are O(log n) regardless of component
+    * diameter. The compression is load-bearing since the bounded edge
+    * layout deliberately reduces cliques to spanning CHAINS whose
+    * diameter is linear in clique size — plain neighbor-min needs
+    * O(diameter) rounds, and even single-jump hash-min measurably
+    * crawled on the sf10 probe's path components. At corpus scale a
     * driver-side union-find over billions of edges would be impossible.
     *
     * `pairs` carries columns (`a`, `b`); output: (idCol, `rep`), one row
@@ -605,7 +640,7 @@ object Dedup {
     * conf, which takes precedence over the parameter.
     */
   def clusters(
-      pairs: DataFrame, idCol: String = "doc_id", maxIterations: Int = 20,
+      pairs: DataFrame, idCol: String = "doc_id", maxIterations: Int = 50,
       collectThreshold: Long = 1000000L): DataFrame = {
     val confThreshold = pairs.sparkSession.conf
       .getOption("graft.clusters.collectThreshold").map(_.toLong)
@@ -643,23 +678,100 @@ object Dedup {
       return parent.keys.toSeq.map(u => (u, find(u))).toDF(idCol, "rep")
         .orderBy(col(idCol))
     }
-    var labels = edges.select(col("u")).distinct()
-      .select(col("u"), col("u").as("rep")).persist()
+    // Each round TRUNCATES LINEAGE with an eager checkpoint
+    // (Graphs.truncate — local by default, RELIABLE under the
+    // checkpoint-dir conf) + the two-phase CheckpointGC, exactly the
+    // transitiveClosure discipline. Without it the label frame's plan
+    // is a union-of-join tree doubling per round: at the sf10 probe
+    // decade (26.6 M-pair graph) the DRIVER never finished — not the
+    // shuffles, the per-action formatted-plan machinery
+    // (SparkListenerSQLExecutionStart's explainString) walking an
+    // exponentially self-similar tree. Executor-side cost was linear;
+    // the driver was the scale bottleneck, which is exactly what
+    // lineage truncation exists for.
+    val spark = pairs.sparkSession
+    val gc = new Graphs.CheckpointGC
+    // Spark 4's localCheckpoint CARRIES the origin plan's statistics
+    // onto the new LogicalRDD leaf (rewriteStatsAndConstraints) — and
+    // under the jump SELF-JOIN the carried sizeInBytes SQUARES every
+    // round (bits double), overflowing BigInteger near round 25 (the
+    // sf10 probe hit `BigInteger would overflow supported range` inside
+    // Dataset.checkpoint once pointer jumping pushed convergence past
+    // the old cap). A periodic rebuild over the SAME checkpointed
+    // blocks (createDataFrame over the materialized rows) resets leaf
+    // stats to the default estimate; every 8 rounds bounds carried
+    // stats at ~2⁸·63 bits while paying the row-conversion pass only
+    // 1/8th of the rounds.
+    var lastCk: DataFrame = null
+    def reTrunc(df: DataFrame, hard: Boolean): DataFrame = {
+      val ck = gc.track(Graphs.truncate(df))
+      lastCk = ck
+      if (hard) spark.createDataFrame(ck.rdd, ck.schema) else ck
+    }
+    var truncs = 0
+    def reTruncAuto(df: DataFrame): DataFrame = {
+      truncs += 1
+      reTrunc(df, hard = truncs % 8 == 0)
+    }
+    var labels = reTrunc(edges.select(col("u")).distinct()
+      .select(col("u"), col("u").as("rep")), hard = false)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIterations) {
-      // candidate label per node: min over own label and neighbors' labels
+      // Shiloach–Vishkin-style round: (1) MERGE — every node takes the
+      // min over its own label and its neighbors' labels (one edge-keyed
+      // shuffle); (2) COMPRESS — pointer-jump the label FOREST to its
+      // fixpoint (rep(u) ← min(rep(u), rep(rep(u))), label-table-sized
+      // self-joins only, no edge traffic) so every node points at its
+      // tree's root before the next merge. Plain neighbor-min converges
+      // in O(component diameter) rounds, and even single-jump hash-min
+      // measurably crawled on the sf10 probe's spanning-chain components
+      // (4 labels still moving after 50 rounds — long paths with
+      // adversarial id order defeat the per-round halving heuristic).
+      // With full compression each merge round operates on ROOTS, so
+      // outer rounds are O(log n) regardless of diameter; compression
+      // itself re-halves pointer depth per jump and the depth a single
+      // merge round can create is small, so the inner loop settles in a
+      // couple of passes. Reps are always member ids (init rep = u,
+      // mins of member labels), so the jump's self-join key resolves.
       val viaNeighbors = edges
         .join(labels.select(col("u").as("v"), col("rep")), Seq("v"))
         .select(col("u"), col("rep"))
-      val next = labels.unionByName(viaNeighbors)
+      val merged = labels.unionByName(viaNeighbors)
         .groupBy(col("u")).agg(min(col("rep")).as("rep"))
-        .persist()
+      // HOOK (the Shiloach–Vishkin tree-hooking step): each node's
+      // PREVIOUS root learns the min of its members' merged labels —
+      // without it, a smaller label arriving at a tree's LEAF never
+      // flows up to the root, compression spreads nothing, and the min
+      // still walks the component one tree-hop per round (measured: 2
+      // labels still moving after 50 merge+compress rounds at sf10)
+      val hook = merged
+        .join(labels.withColumnRenamed("rep", "proot"), Seq("u"))
+        .select(col("proot").as("u"), col("rep"))
+      var next = reTruncAuto(merged.unionByName(hook)
+        .groupBy(col("u")).agg(min(col("rep")).as("rep")))
+      var innerChanged = 1L
+      var inner = 0
+      while (innerChanged > 0 && inner < 40) {
+        val jumped = reTruncAuto(next
+          .join(next.select(col("u").as("rep"), col("rep").as("rep2")), Seq("rep"))
+          .select(col("u"),
+            least(col("rep"), col("rep2")).as("rep")))
+        innerChanged = jumped.join(next.withColumnRenamed("rep", "prev"), Seq("u"))
+          .filter(col("rep") =!= col("prev")).count()
+        next = jumped
+        inner += 1
+        // no sweep inside the compression loop: the OUTER change count
+        // below still reads the previous round's labels, and sweeping
+        // twice here would delete its blocks first (the two-phase GC's
+        // "superseded is read exactly one sweep later" contract is per
+        // OUTER round)
+      }
       changed = next.join(labels.withColumnRenamed("rep", "prev"), Seq("u"))
         .filter(col("rep") =!= col("prev")).count()
-      labels.unpersist()
       labels = next
       i += 1
+      gc.sweep(spark)
     }
     if (changed > 0)
       System.err.println(
@@ -667,6 +779,7 @@ object Dedup {
           s"($changed labels still moving) — component diameter exceeds the cap; " +
           "labels are an upper approximation. Raise maxIterations.")
     edges.unpersist()
+    gc.finish(spark, lastCk)
     labels.select(col("u").as(idCol), col("rep")).orderBy(col(idCol))
   }
 

@@ -35,7 +35,7 @@ object Graphs {
     * edit. The SparkContext checkpoint dir is registered on first use
     * per configured value.
     */
-  private def truncate(df: DataFrame): DataFrame = {
+  private[ops] def truncate(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val dir = spark.conf.getOption(CheckpointDirKey)
       .orElse(sys.env.get("GRAFT_CHECKPOINT_DIR")).filter(_.nonEmpty)
@@ -65,7 +65,7 @@ object Graphs {
     * still tracked except the returned frame's own files. Net: at most
     * two rounds of checkpoints live at any instant, one at exit.
     */
-  private final class CheckpointGC {
+  private[ops] final class CheckpointGC {
     private var pending: List[String] = Nil // superseded at next sweep
     private var current: List[String] = Nil // created since last sweep
     // the LOCAL-checkpoint twin of the file lists: localCheckpoint(true)

@@ -122,6 +122,12 @@ object DedupQueries {
     * job and whose rescans are plain columnar scans. An empty sampled
     * truth passes vacuously (both engines emit nothing).
     */
+  /** Memo for the distributed-clustering gate's fixpoint result (the
+    * counted owner of its kept lineage-truncation checkpoint).
+    */
+  private val distClustersCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.DataFrame]
+
   private[graft] val certTruthSlot = scala.collection.concurrent.TrieMap
     .empty[String, org.apache.spark.sql.DataFrame]
   private[graft] def sampledSemanticCertificate(
@@ -705,9 +711,14 @@ object DedupQueries {
     // billion-edge pair set takes) instead of the driver union-find
     // fast path dedup_clusters exercises — same pair layout, same
     // recursive-closure oracle, so the scale path is driver-certified
-    // every round, not just spec-asserted.
+    // every round, not just spec-asserted. Memoized per sf (the
+    // q_transitive_closure fixpoint idiom): the label-prop result is
+    // checkpoint-backed (lineage truncation — r20), and the memo is the
+    // kept checkpoint's counted owner, so repeated runs reuse ONE frame
+    // instead of stacking one pinned checkpoint per run.
     QueryDef("dedup_clusters_distributed",
-      (spark, sf) => Dedup.clusters(sharedClusterEdges(spark, sf), collectThreshold = 0L),
+      (spark, sf) => distClustersCache.getOrElseUpdate(sf,
+        Dedup.clusters(sharedClusterEdges(spark, sf), collectThreshold = 0L)),
       Some("WITH RECURSIVE " + ClosureOracleCtes + """
              |SELECT u AS doc_id, MIN(v) AS rep FROM reach GROUP BY u
              |ORDER BY doc_id""".stripMargin)),

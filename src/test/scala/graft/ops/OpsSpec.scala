@@ -160,6 +160,21 @@ class OpsSpec extends SparkSpec {
     } finally spark.conf.unset("graft.clusters.collectThreshold")
   }
 
+  test("distributed clusters: a 200-node chain converges under the round cap (pointer jumping)") {
+    import spark.implicits._
+    // the bounded-edge layout reduces an m-clique to a spanning chain of
+    // diameter ~m — plain neighbor-min label propagation needs O(m)
+    // rounds and silently emitted an "upper approximation" past the
+    // 20-round cap (the sf10 probe measured 300k split labels); pointer
+    // jumping must converge in O(log m)
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.clusters(chain, collectThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 200 && labels.values.forall(_ == 0L),
+      s"chain did not collapse to one min-labeled component: " +
+        s"${labels.values.toSet.size} distinct reps")
+  }
+
   test("leakproof split: cluster members move together; total, deterministic, partition-independent") {
     import spark.implicits._
     val docs = spark.range(1, 101).select(col("id").as("doc_id"))
