@@ -124,7 +124,6 @@ object Dedup {
       precomputedShingles: Option[DataFrame] = None,
       maxLead: Int = 2): DataFrame = {
     val sh = precomputedShingles.getOrElse(shingleTable(df, textCol, idCol, k).persist())
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
     // SORTED-SIGNATURE chain, not sorted-id: bucket members are ordered
     // by each document's MinHash-style signature (min over its shingle
     // hashes — one extra groupBy + a doc-keyed join), so documents that
@@ -141,8 +140,22 @@ object Dedup {
     // by id.
     val sig = sh.groupBy(col(idCol))
       .agg(min(xxhash64(col("shingle"))).as("__sig"))
-    val chained = sh.join(sig, Seq(idCol))
-      .select(col("shingle"), col(idCol).as("a"), col("__sig"))
+    // the entire edge layout runs in 64-BIT HASHED shingle space: the
+    // window sorts and verification joins are the disk-heaviest steps
+    // of the layout (the sf100 leg exhausted a 58 GB tmp on
+    // string-keyed sorts/shuffles), and a 64-bit key cuts sort records
+    // to three longs and shuffle rows to two. A bucket-key collision
+    // merely MERGES two buckets (extra candidates, screened by
+    // verification); an intersection-count collision (two DIFFERENT
+    // shared shingles hashing equal within one pair) overcounts |∩| by
+    // 1 with probability ~s²·2⁻⁶⁴ per pair — orders of magnitude below
+    // the component-equivalence certificate's sampling error, and the
+    // driver-SF oracles recompute string-exact Jaccard, so a collision
+    // that ever mattered would flip a gate loudly rather than pass
+    // silently.
+    val shh = sh.select(col(idCol), xxhash64(col("shingle")).as("hs")).distinct()
+    val chained = shh.join(sig, Seq(idCol))
+      .select(col("hs"), col(idCol).as("a"), col("__sig"))
     // TWO orderings per bucket — signature AND raw id — because they
     // fail on different pairs (sf10 probe: id order splits 9.9k true
     // pairs, signature order 59k, largely disjoint failure sets: id
@@ -151,18 +164,19 @@ object Dedup {
     // O(bucket · 2·maxLead) candidates, and every candidate is
     // exact-verified, so extra candidates only ADD true edges.
     val orderings = Seq(
-      Window.partitionBy(col("shingle")).orderBy(col("__sig"), col("a")),
-      Window.partitionBy(col("shingle")).orderBy(col("a")))
+      Window.partitionBy(col("hs")).orderBy(col("__sig"), col("a")),
+      Window.partitionBy(col("hs")).orderBy(col("a")))
     val cand = (for (w <- orderings; j <- 1 to maxLead) yield {
       chained.withColumn("b", lead(col("a"), j).over(w))
         .filter(col("b").isNotNull)
         .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
     }).reduce(_ unionByName _).distinct()
-    // exact intersection over the FULL shingle table — identical
-    // verification to ngramJaccardPairs' df-cut path
+    val sizes = shh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    // intersection over the FULL hashed shingle table — the same join
+    // shape as ngramJaccardPairs' df-cut verification, on 16-byte rows
     val inter = cand
-      .join(sh.select(col(idCol).as("a"), col("shingle")), Seq("a"))
-      .join(sh.select(col(idCol).as("b"), col("shingle")), Seq("b", "shingle"))
+      .join(shh.select(col(idCol).as("a"), col("hs")), Seq("a"))
+      .join(shh.select(col(idCol).as("b"), col("hs")), Seq("b", "hs"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col(idCol).as("a"), col("n_shingles").as("na")), Seq("a"))
