@@ -158,7 +158,13 @@ final class MappingStore(
         // satisfy. The semantic delta only touches degenerate null-keyed
         // probe rows: under `===` they map to nothing instead of matching
         // orphan bookkeeping rows — ids are key columns, so real probes
-        // are non-null.
+        // are non-null. (The mapping SIDE does hold null-keyed rows —
+        // recordOrphansKept writes source_*=NULL bookkeeping rows through
+        // writeGen's bucketBy on those same columns — but a null-keyed
+        // probe matching them is not behavior any caller relies on:
+        // lookupDest resolves real source rows, whose key columns the
+        // executor casts/extracts as non-null. Do not "fix" this to `<=>`;
+        // it would forfeit the bucket-join elision for no semantic gain.)
         val cond = spec.sourceIds
           .map(f => if (buckets.isDefined) df(f.name) === mapped(s"$SourcePrefix${f.name}")
                     else df(f.name) <=> mapped(s"$SourcePrefix${f.name}"))

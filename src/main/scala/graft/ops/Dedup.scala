@@ -731,7 +731,9 @@ object Dedup {
       .select(col("u"), col("u").as("rep")), hard = false)
     var changed = 1L
     var i = 0
+    val logRounds = spark.conf.getOption("graft.clusters.logRounds").contains("true")
     while (changed > 0 && i < maxIterations) {
+      val roundT0 = System.nanoTime()
       // Shiloach–Vishkin-style round: (1) MERGE — every node takes the
       // min over its own label and its neighbors' labels (one edge-keyed
       // shuffle); (2) COMPRESS — pointer-jump the label FOREST to its
@@ -773,16 +775,30 @@ object Dedup {
             least(col("rep"), col("rep2")).as("rep")))
         innerChanged = jumped.join(next.withColumnRenamed("rep", "prev"), Seq("u"))
           .filter(col("rep") =!= col("prev")).count()
+        // `jumped` is an EAGER checkpoint and the change count above was
+        // the last read of `next` (the outer change count compares the
+        // FINAL inner frame against `labels`) — release it NOW instead
+        // of holding every inner jump until the round's sweep (r20
+        // advice: peak pinned storage was O(inner jumps × |labels|);
+        // targeted release caps it at ~2 inner frames). No full sweep
+        // here: the OUTER change count still reads the previous round's
+        // `labels`, whose blocks a second sweep would delete — the
+        // two-phase "superseded is read one sweep later" contract stays
+        // per OUTER round, and release() never touches `labels`.
+        gc.release(spark, next)
         next = jumped
         inner += 1
-        // no sweep inside the compression loop: the OUTER change count
-        // below still reads the previous round's labels, and sweeping
-        // twice here would delete its blocks first (the two-phase GC's
-        // "superseded is read exactly one sweep later" contract is per
-        // OUTER round)
       }
       changed = next.join(labels.withColumnRenamed("rep", "prev"), Seq("u"))
         .filter(col("rep") =!= col("prev")).count()
+      // opt-in per-round instrumentation (graft.clusters.logRounds):
+      // the decade-series probes read rounds-to-converge and per-round
+      // wall from stderr — the O(log n) outer-bound evidence with the
+      // checkpoint overhead included (r20 verdict task 5)
+      if (logRounds)
+        System.err.println(f"[clusters] round=${i + 1} " +
+          f"wall=${(System.nanoTime() - roundT0) / 1e9}%.2f s " +
+          f"innerJumps=$inner changed=$changed")
       labels = next
       i += 1
       gc.sweep(spark)

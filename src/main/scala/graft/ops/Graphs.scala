@@ -114,6 +114,26 @@ object Graphs {
       currentRdds = Nil
     }
 
+    /** Immediate, targeted release of ONE tracked checkpoint the caller
+      * can prove dead (r20 advice: the label-compression loop's inner
+      * jumps — up to 40 per outer round — all stayed pinned until the
+      * round's sweep, so peak storage was O(inner jumps × |labels|)).
+      * Frees the frame's file/blocks now and drops them from the
+      * tracked lists; everything else keeps the two-phase contract.
+      */
+    def release(spark: org.apache.spark.sql.SparkSession, df: DataFrame): Unit = {
+      fileOf(df).foreach { p =>
+        delete(spark, List(p))
+        pending = pending.filterNot(_ == p)
+        current = current.filterNot(_ == p)
+      }
+      rddOf(df).foreach { r =>
+        r.unpersist(blocking = false)
+        pendingRdds = pendingRdds.filterNot(_.id == r.id)
+        currentRdds = currentRdds.filterNot(_.id == r.id)
+      }
+    }
+
     def finish(spark: org.apache.spark.sql.SparkSession, keep: DataFrame): Unit = {
       val keepFile = fileOf(keep)
       delete(spark, (pending ++ current).filterNot(keepFile.contains))

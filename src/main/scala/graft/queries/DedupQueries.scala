@@ -93,8 +93,22 @@ object DedupQueries {
     * source of two rounds of phantom "regressions").
     */
   def warmSharedLayouts(spark: org.apache.spark.sql.SparkSession, sf: String): Long =
-    sharedShingles(spark, sf).count() + sharedClusterEdges(spark, sf).count() +
-      sharedWindows(spark, sf).count()
+    warmShingles(spark, sf) + warmEdges(spark, sf) + warmWindows(spark, sf)
+
+  /** Individually warmable components (r20 verdict task 4: the combined
+    * entry re-baselined +46% when the edge layout replaced the pair
+    * build, and nothing localized WHICH stage moved — the bench times
+    * each stage as its own entry so regressions attribute to a stage,
+    * with the combined entry kept as their sum). Order matters: edges
+    * consume the shingle cache, so warmShingles must run (or be run by
+    * warmEdges' own sharedShingles call) first.
+    */
+  def warmShingles(spark: org.apache.spark.sql.SparkSession, sf: String): Long =
+    sharedShingles(spark, sf).count()
+  def warmEdges(spark: org.apache.spark.sql.SparkSession, sf: String): Long =
+    sharedClusterEdges(spark, sf).count()
+  def warmWindows(spark: org.apache.spark.sql.SparkSession, sf: String): Long =
+    sharedWindows(spark, sf).count()
 
   /** ONE body for both sampled semantic certificates (dedup_semantic_
     * sampled and its curation twin — a single definition so threshold,

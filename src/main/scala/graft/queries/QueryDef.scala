@@ -113,10 +113,14 @@ object Tables {
     // per chunk. Recursive + non-fatal: File.delete() fails on a
     // non-empty subdirectory, and a dirty temp dir must never mask the
     // real write failure with a DirectoryNotEmptyException.
+    // Files.walk holds directory handles until closed — leaked fds
+    // under repeated chunk staging (r20 advice), so close it in finally
     try {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(f => java.nio.file.Files.deleteIfExists(f): Unit)
+      finally walk.close()
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 }

@@ -25,8 +25,13 @@ object Inspect {
     if (explain) fn(spark, sfDir).explain("formatted")
     (1 to 2).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[$name] run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+      // noop sink (optimization guide §1.4): computes every column of
+      // every row and discards it — a bare count() lets Catalyst prune
+      // the projection (a regex query times as a parquet row count)
+      spark.sparkContext.setJobDescription(s"inspect: $name run$i")
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      spark.sparkContext.setJobDescription(null)
+      println(f"[$name] run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s (noop sink)")
     }
     spark.stop()
   }

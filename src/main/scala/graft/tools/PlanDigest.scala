@@ -27,6 +27,43 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDigest {
 
+  /** Structural counts of the operators that would EXECUTE —
+    * (exchanges, cartesian products, broadcast nested-loop joins) —
+    * walking the physical tree through AQE wrappers and query stages.
+    * An InMemoryTableScan is a LEAF: its cached build plan ran (at
+    * most) once when the cache materialized, and Spark 4's
+    * InMemoryRelation rendering prints that build plan IN FULL — both
+    * the `== Final Plan ==` and `== Initial Plan ==` sections, once
+    * per textual reference — so a toString `"Exchange"` count measures
+    * print multiplicity × cache state, not work (r20:
+    * corpus_split_leakproof read 159 textual against a ceiling of 60
+    * with the layout warmed, and a different number cold — the audit's
+    * verdict flipped with cache state, its own defect). A
+    * ReusedExchange is a leaf too: the exchange it points at is
+    * counted where it is planned, and at runtime it executes once.
+    */
+  def executingCounts(p: org.apache.spark.sql.execution.SparkPlan): (Int, Int, Int) = {
+    import org.apache.spark.sql.execution._
+    var ex = 0; var cart = 0; var bnlj = 0
+    def walk(q: SparkPlan): Unit = q match {
+      case a: adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: adaptive.QueryStageExec => walk(s.plan)
+      case _: exchange.ReusedExchangeExec => ()
+      case _: columnar.InMemoryTableScanExec => ()
+      case _ =>
+        q match {
+          case _: exchange.ShuffleExchangeLike | _: exchange.BroadcastExchangeLike =>
+            ex += 1
+          case _: joins.CartesianProductExec => cart += 1
+          case _: joins.BroadcastNestedLoopJoinExec => bnlj += 1
+          case _ => ()
+        }
+        q.children.foreach(walk)
+    }
+    walk(p)
+    (ex, cart, bnlj)
+  }
+
   /** Operator-name histogram of a rendered plan. A line's operator is
     * the first identifier after the tree-drawing prefix and the
     * whole-stage-codegen `*(n)` tag.
@@ -57,21 +94,29 @@ object PlanDigest {
       .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // digest against the MATERIALIZED shared layouts — the state every
+    // consumer executes in (the bench's layout_shared_shingles entry
+    // warms them first); cold digests measured cache state, not
+    // structure (r21)
+    try graft.queries.DedupQueries.warmSharedLayouts(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[plandigest] layout warm failed: ${e.getMessage}")
+    }
     val selected = graft.SparkEntry.queries.toSeq.sortBy(_._1).filter {
       case (name, _) =>
         filter.forall(_.split(',').exists(f => f.nonEmpty && name.contains(f)))
     }
     val entries = selected.map { case (name, fn) =>
       val body = try {
-        // final-plan section only — executed AQE plans print an
-        // "== Initial Plan ==" tail that would double-count operators
-        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
-          .split("== Initial Plan ==")(0)
+        val plan = fn(spark, sfDir).queryExecution.executedPlan
+        // structural counts of what would EXECUTE (r21 — see
+        // executingCounts: the old toString count measured cached
+        // lineage print multiplicity); the op histogram stays textual
+        // (final-plan section only) as a shape fingerprint
+        val (ex, cart, bnlj) = executingCounts(plan)
+        val p = plan.toString.split("== Initial Plan ==")(0)
         val ops = opCounts(p).toSeq.sortBy(_._1)
           .map { case (k, v) => s"${jsonStr(k)}:$v" }.mkString("{", ",", "}")
-        val ex = "Exchange".r.findAllIn(p).size
-        val cart = "CartesianProduct".r.findAllIn(p).size
-        val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
         s"""{"exchanges":$ex,"cartesian":$cart,"bnlj":$bnlj,"ops":$ops}"""
       } catch {
         case e: Throwable =>

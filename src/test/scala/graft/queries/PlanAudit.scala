@@ -110,9 +110,15 @@ class PlanAudit extends SparkSpec {
     // 25-cell transition agg + orderBy
     "text_budget_select" -> 3,   // ONE range exchange for the total order
     // (prefix-sum passes add no shuffle) + final orderBy
-    "corpus_split_leakproof" -> 60, // docs ⋈ label map + the leak-gate's two
-    // probe joins re-reference the assignment lineage; shares
-    // dedup_ngram_jaccard's shared-pair cache-state variance band
+    "corpus_split_leakproof" -> 16, // RE-PINNED r21 under executing-
+    // structural counting against the materialized edge layout (the
+    // state the bench runs in): docs ⋈ label map + the leak-gate's two
+    // probe joins on the cached edges measure 9; headroom to 16 stays
+    // below the ~37 a cold (unmaterialized) edge lineage plans, so the
+    // seeded-mutation test below keeps the ceiling honest. (The old 60
+    // was pinned r14 against the textual count of the PAIR layout's
+    // printed lineage — r20's bounded-edge rewiring printed 159 and
+    // the audit's verdict flipped with cache state.)
     // round-14 additions
     "text_url_canonicalize" -> 2, // scan-speed projection; orderBy only
     "dedup_url" -> 3,            // canonical-URL agg + orderBy
@@ -1179,20 +1185,84 @@ class PlanAudit extends SparkSpec {
   }
 
   test("plan audit: no quadratic joins; shuffle counts within pinned ceilings") {
+    // Audit against the MATERIALIZED shared layouts — the state every
+    // consumer executes in (the bench's layout_shared_shingles entry
+    // warms them before any dedup query runs). Cold, a persisted-but-
+    // unmaterialized layout prints its full lineage once per textual
+    // reference, so the exchange count measures print multiplicity ×
+    // whichever suites ran earlier in the JVM, not plan structure
+    // (r20: corpus_split_leakproof printed 159 "Exchange"s vs 9 that
+    // would execute — and the audit's verdict flipped with cache
+    // state, its own defect). Warming is idempotent, making the audit
+    // deterministic; the cold-lineage failure mode is covered by the
+    // seeded-mutation test below.
+    DedupQueries.warmSharedLayouts(spark, Sf)
     for ((q, ceiling) <- ExchangeCeilings.toSeq.sortBy(_._1)) {
       val df = graft.SparkEntry.queries(q)(spark, Sf)
-      val p = df.queryExecution.executedPlan.toString
-      assert(!p.contains("CartesianProduct"),
-        s"$q must not plan a cartesian product:\n$p")
-      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      // STRUCTURAL counts of what would execute (r21,
+      // PlanDigest.executingCounts — shared with the digest artifact so
+      // live audit and artifact can never disagree): the old
+      // `toString`-substring count included the cached build plans that
+      // Spark 4 renders in full under every InMemoryRelation reference
+      // (Final + Initial sections), so it measured print multiplicity ×
+      // cache state, not work. Ceilings pinned under the old textual
+      // count remain sound upper bounds (executing ⊆ printed).
+      val (shuffles, cart, bnlj) = graft.tools.PlanDigest
+        .executingCounts(df.queryExecution.executedPlan)
+      lazy val p = df.queryExecution.executedPlan.toString
+      assert(cart == 0, s"$q must not plan a cartesian product:\n$p")
       val allowed = ScalarGateJoins.getOrElse(q, 0)
       assert(bnlj <= allowed,
         s"$q plans $bnlj nested-loop joins (allowed: $allowed scalar-gate joins):\n$p")
-      val shuffles = "Exchange".r.findAllIn(p).size
       info(s"$q: exchanges=$shuffles (ceiling $ceiling)")
       assert(shuffles <= ceiling,
         s"$q plans $shuffles exchanges, ceiling $ceiling — structural plan regression:\n$p")
     }
+  }
+
+  test("corpus_split_leakproof audits the materialized layout; the ceiling fires on a cold lineage") {
+    import org.apache.spark.sql.functions._
+    // (a) Cache-state independence, positive half: after warming, the
+    // gate's plan consumes the edge layout through InMemoryTableScan —
+    // the bounded-edge lineage (signature groupBy + dual window
+    // orderings + hashed verify joins) is materialized, not re-planned
+    // per textual reference.
+    DedupQueries.warmSharedLayouts(spark, Sf)
+    val warmPlan = graft.SparkEntry.queries("corpus_split_leakproof")(spark, Sf)
+      .queryExecution.executedPlan
+    assert(warmPlan.toString.contains("InMemoryTableScan"),
+      s"the warmed gate must read the materialized edge layout:\n$warmPlan")
+    assert(graft.tools.PlanDigest.executingCounts(warmPlan)._1 <=
+      ExchangeCeilings("corpus_split_leakproof"),
+      "the warmed gate must sit under its pinned ceiling")
+    // (b) Seeded mutation: the SAME gate shape over an UNmaterialized
+    // edge frame (the state a dropped persist/warm contract would
+    // leave) plans the bounded layout's full lineage once per
+    // reference — three references (split input + two leak-probe
+    // joins) — and must blow the pinned ceiling, proving the audit
+    // fires on exactly the r20 failure mode. The threshold literal is
+    // 0.79, not the gate's 0.8: CacheManager substitutes by LOGICAL
+    // PLAN equality, so an identically-parameterized "cold" frame
+    // silently resolves to the warmed cache (measured: identical
+    // counts) and would mutate nothing.
+    val docs = Tables.load(spark, Sf, "documents")
+    val coldEdges = graft.ops.Dedup.ngramJaccardEdgesBounded(
+      docs, "text", "doc_id", k = 5, minJaccard = 0.79)
+    val assign = graft.ops.Dedup.leakproofSplit(
+      docs, coldEdges, valRate = 0.1, testRate = 0.1, salt = "split9")
+    val leaks = coldEdges
+      .join(assign.select(col("doc_id").as("a"), col("split").as("__sa")), Seq("a"))
+      .join(assign.select(col("doc_id").as("b"), col("split").as("__sb")), Seq("b"))
+      .filter(col("__sa") =!= col("__sb"))
+      .agg(count(lit(1)).as("__leaks"))
+    val coldPlan = assign.crossJoin(broadcast(leaks))
+      .filter(col("__leaks") === 0).drop("__leaks")
+      .orderBy(col("doc_id"))
+      .queryExecution.executedPlan
+    assert(graft.tools.PlanDigest.executingCounts(coldPlan)._1 >
+      ExchangeCeilings("corpus_split_leakproof"),
+      "a cold (unmaterialized) edge lineage must exceed the pinned ceiling — " +
+        "otherwise the ceiling could not catch a dropped shared-layout persist")
   }
 
   test("plan-digest artifact (PLANS_r*.json) agrees with the pinned ceilings") {
