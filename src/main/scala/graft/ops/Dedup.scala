@@ -166,11 +166,22 @@ object Dedup {
     val orderings = Seq(
       Window.partitionBy(col("hs")).orderBy(col("__sig"), col("a")),
       Window.partitionBy(col("hs")).orderBy(col("a")))
-    val cand = (for (w <- orderings; j <- 1 to maxLead) yield {
-      chained.withColumn("b", lead(col("a"), j).over(w))
+    // ONE window pass per ordering (r21, guide §1.2 step 1): all
+    // maxLead lead() columns share a window spec, so Spark computes
+    // them in a single partition-sort — the old per-(ordering, j)
+    // branches planned 2·maxLead separate Window operators (4 sorts of
+    // the full chained table at maxLead=2; the candidate phase is the
+    // layout's dominant cost at the probe decades — 382 s of the sf100
+    // leg). The explode unpacks the leads back to candidate rows; the
+    // candidate SET is identical, so verified edges are bit-identical.
+    val cand = orderings.map { w =>
+      val leads = (1 to maxLead).map(j => lead(col("a"), j).over(w).as(s"__b$j"))
+      chained.select(col("a") +: leads: _*)
+        .select(col("a"),
+          explode(array((1 to maxLead).map(j => col(s"__b$j")): _*)).as("b"))
         .filter(col("b").isNotNull)
         .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-    }).reduce(_ unionByName _).distinct()
+    }.reduce(_ unionByName _).distinct()
     val sizes = shh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
     // intersection over the FULL hashed shingle table — the same join
     // shape as ngramJaccardPairs' df-cut verification, on 16-byte rows

@@ -1406,10 +1406,34 @@ object Relational {
         val o = load(spark, sf, "orders")
           .select(col("o_orderkey").as("l_orderkey"),
             col("o_orderdate").cast("date").as("odate"))
-        li.join(o, Seq("l_orderkey"))
+        val iv = li.join(o, Seq("l_orderkey"))
           .filter(col("ship") > col("odate"))
-          .select(explode(expr("sequence(odate, date_sub(ship, 1))")).as("day"))
-          .groupBy(col("day")).agg(count(lit(1)).as("n_open"))
+        // SWEEP-LINE, not per-day explode (r21, guide §1.2 step 1 /
+        // §2.3): the old shape generated one row per open interval-day
+        // (~rows × avg interval length — tens of millions at sf0.1,
+        // linear in data × days at scale) only to count them per day.
+        // An interval [odate, ship) is +1 at odate and −1 at ship, so
+        // n_open(day) is the running sum of per-day deltas over the
+        // dense day spine: the heavy side shrinks to 2 rows per
+        // interval with map-side partial aggregation (day cardinality =
+        // calendar horizon, so partials collapse per partition), and
+        // the cumulative window runs on the calendar-sized spine — a
+        // bounded frame at ANY corpus size, same scale argument as the
+        // day-keyed stat gates. Result provably identical: n_open(day)
+        // = #{intervals: odate ≤ day < ship} = Σ_{d ≤ day} delta(d),
+        // and days with zero open intervals (which the explode never
+        // emitted) are dropped by the n_open > 0 filter.
+        val deltas = iv.select(col("odate").as("day"), lit(1L).as("d"))
+          .unionByName(iv.select(col("ship").as("day"), lit(-1L).as("d")))
+          .groupBy(col("day")).agg(sum(col("d")).as("delta"))
+        val spine = iv
+          .agg(min(col("odate")).as("lo"), max(date_sub(col("ship"), 1)).as("hi"))
+          .select(explode(expr("sequence(lo, hi)")).as("day"))
+        spine.join(deltas, Seq("day"), "left")
+          .withColumn("n_open",
+            sum(coalesce(col("delta"), lit(0L))).over(Window.orderBy(col("day"))))
+          .filter(col("n_open") > 0)
+          .select(col("day"), col("n_open"))
           .orderBy(col("day"))
       },
       Some("""SELECT CAST(d AS DATE) AS day, COUNT(*) AS n_open FROM (

@@ -21,7 +21,21 @@ object Inspect {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val fn = SparkEntry.queries(name)
+    // pseudo-name for the shared bounded-edge layout (not a registry
+    // query — the bench times it via warmEdges): run1 warms a local
+    // shingle staging table, so run2 isolates the edge build itself
+    var inspectShingles: org.apache.spark.sql.DataFrame = null
+    val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      if (name == "layout_edges_frame") { (s, sf) =>
+        if (inspectShingles == null) {
+          inspectShingles = graft.ops.Dedup.shingleTable(
+            graft.queries.Tables.load(s, sf, "documents"), "text", "doc_id", 5).persist()
+          inspectShingles.count()
+        }
+        graft.ops.Dedup.ngramJaccardEdgesBounded(
+          graft.queries.Tables.load(s, sf, "documents"), "text", "doc_id",
+          k = 5, minJaccard = 0.8, precomputedShingles = Some(inspectShingles))
+      } else SparkEntry.queries(name)
     if (explain) fn(spark, sfDir).explain("formatted")
     (1 to 2).foreach { i =>
       val t0 = System.nanoTime()
