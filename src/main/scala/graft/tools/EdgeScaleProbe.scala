@@ -49,12 +49,18 @@ object EdgeScaleProbe {
         val orderings = Seq(
           Window.partitionBy(col("hs")).orderBy(col("__sig"), col("a")),
           Window.partitionBy(col("hs")).orderBy(col("a")))
-        val cand = (for (w <- orderings; j <- 1 to 2) yield {
-          chained.withColumn("b", lead(col("a"), j).over(w))
+        // r21: one window pass per ordering (all leads share the spec),
+        // mirroring Dedup.ngramJaccardEdgesBounded's restructure —
+        // candidate SET unchanged
+        val cand = orderings.map { w =>
+          val leads = (1 to 2).map(j => lead(col("a"), j).over(w).as(s"__b$j"))
+          chained.select(col("a") +: leads: _*)
+            .select(col("a"),
+              explode(array((1 to 2).map(j => col(s"__b$j")): _*)).as("b"))
             .filter(col("b").isNotNull)
             .select(least(col("a"), col("b")).as("a"),
               greatest(col("a"), col("b")).as("b"))
-        }).reduce(_ unionByName _).distinct()
+        }.reduce(_ unionByName _).distinct()
         cand.write.mode("overwrite").parquet(candDir)
         val n = spark.read.parquet(candDir).count()
         println(f"[edgescale] phase=cand sf=$sf candidates=$n " +
