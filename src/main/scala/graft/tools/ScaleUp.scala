@@ -45,10 +45,17 @@ object ScaleUp {
       df.withColumn("rep", explode(expr(s"sequence(0L, ${factor - 1}L)")))
     def span(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
-    def write(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[scaleup] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
-    }
+    // GRAFT_SCALEUP_TABLES: optional comma list restricting which tables
+    // are written (e.g. "documents" for an edge-layout-only decade leg —
+    // amplifying 600 M lineitem rows to probe a documents-only operator
+    // wastes minutes and GBs). Unlisted tables are skipped entirely.
+    val only = sys.env.get("GRAFT_SCALEUP_TABLES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def write(df: DataFrame, name: String): Unit =
+      if (only.forall(_.contains(name))) {
+        df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+        println(s"[scaleup] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+      } else println(s"[scaleup] $name: skipped (GRAFT_SCALEUP_TABLES)")
 
     // fixed dims copy through
     Seq("region", "nation", "part").foreach { t =>
