@@ -78,6 +78,39 @@ object StreamingQueries {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Scale-ADAPTIVE state/shuffle width for the streaming gates (r21
+    * verdict task 1). Inheriting the session's batch width couples the
+    * state-store count to the CORE count, which the r21 scaling block
+    * measured as wrong in both directions: at sf0.1 three gates ran ~2×
+    * faster on 8 cores than 32 (each stateful operator opens+commits one
+    * state store per partition per micro-batch — 32 stores for
+    * kilobytes of state is pure fixed cost), while at 100 TB a
+    * core-count-sized width would under-partition state. So the width
+    * derives from the CORPUS VOLUME (~32 MB of source data per state
+    * partition — state is a bounded projection of the source), floored
+    * at 4 so tiny corpora still exercise real multi-partition state
+    * machinery, and capped at 4× the session's configured width so a
+    * misconfigured session can't explode the store count. Trigger
+    * counts, watermarks and kill/restart semantics are untouched — the
+    * same micro-batches run, each over fewer state partitions.
+    * `GRAFT_STREAM_SHUFFLE_PARTITIONS` overrides for A/B probes.
+    */
+  private val corpusBytesCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def corpusBytes(sf: String): Long =
+    corpusBytesCache.getOrElseUpdate(sf, {
+      def sz(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(sz).sum
+      sz(new java.io.File(sf))
+    })
+  private[graft] def adaptivePartitions(spark: SparkSession, sf: String): Int =
+    sys.env.get("GRAFT_STREAM_SHUFFLE_PARTITIONS").map(_.toInt).getOrElse {
+      val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val perPartition = 32L << 20
+      val byData = ((corpusBytes(sf) + perPartition - 1) / perPartition).toInt
+      math.max(4, math.min(byData, math.max(4, 4 * width)))
+    }
+
   /** The file streaming source lists a *directory*; the corpus tables are
     * single parquet files — stage a per-sf copy once.
     */
@@ -273,7 +306,20 @@ object StreamingQueries {
     (folded, removed, live)
   }
 
-  val defs: Seq[QueryDef] = Seq(
+  /** The registry view: every streaming gate runs under the adaptive
+    * state width (see [[adaptivePartitions]]) — the whole gate body,
+    * including its foreachBatch batch jobs and staging, executes with
+    * the volume-derived shuffle width; the session's batch width is
+    * restored before the returned (tiny, ordered) result frame runs.
+    */
+  lazy val defs: Seq[QueryDef] = rawDefs.map { d =>
+    d.copy(fn = (spark, sf) =>
+      withStatePartitions(spark, adaptivePartitions(spark, sf)) {
+        d.fn(spark, sf)
+      })
+  }
+
+  private lazy val rawDefs: Seq[QueryDef] = Seq(
 
     // The engine's two flagship halves as ONE system
     // (graft.streaming.StreamingCuration): documents arrive in three
@@ -649,7 +695,7 @@ object StreamingQueries {
             real.unionByName(sentinels), "ts", "user_id", "value",
             gapSeconds = 1800, stateTimeoutMs = 3600L * 1000)
           val table = s"stream_sess_${counter.incrementAndGet()}"
-          withStatePartitions(spark, 8) {
+          withStatePartitions(spark, adaptivePartitions(spark, sf)) {
             val q = sessions.toDF().writeStream.format("memory").queryName(table)
               .outputMode("append")
               .trigger(Trigger.ProcessingTime(100L)).start()
@@ -722,7 +768,7 @@ object StreamingQueries {
         val agg = corpusWins.join(bench, Seq("w"))
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated_windows"))
         val table = s"stream_dc_${counter.incrementAndGet()}"
-        withStatePartitions(spark, 8) {
+        withStatePartitions(spark, adaptivePartitions(spark, sf)) {
           val q = agg.writeStream.format("memory").queryName(table)
             .outputMode("complete").trigger(Trigger.AvailableNow()).start()
           try q.awaitTermination() finally q.stop()
@@ -768,7 +814,7 @@ object StreamingQueries {
           .groupBy(col("a"), col("b"))
           .agg(count(lit(1)).as("inter"), max(col("na")).as("na"), max(col("nb")).as("nb"))
         val table = s"stream_if_${counter.incrementAndGet()}"
-        withStatePartitions(spark, 8) {
+        withStatePartitions(spark, adaptivePartitions(spark, sf)) {
           val q = inter.writeStream.format("memory").queryName(table)
             .outputMode("complete").trigger(Trigger.AvailableNow()).start()
           try q.awaitTermination() finally q.stop()
@@ -814,7 +860,7 @@ object StreamingQueries {
         val joined = errors.join(signups,
           expr("bucket = s_bucket AND ts >= s_ts AND ts < s_ts + interval 15 minutes"))
         val table = s"stream_ij_${counter.incrementAndGet()}"
-        withStatePartitions(spark, 8) {
+        withStatePartitions(spark, adaptivePartitions(spark, sf)) {
           val q = joined.select(col("event_id"), col("signup_id"))
             .writeStream.format("memory").queryName(table)
             .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -856,7 +902,7 @@ object StreamingQueries {
           expr("user_id = p_user AND p_ts >= ts AND p_ts < ts + interval 30 minutes"),
           "leftOuter")
         val table = s"stream_oj_${counter.incrementAndGet()}"
-        withStatePartitions(spark, 8) {
+        withStatePartitions(spark, adaptivePartitions(spark, sf)) {
           // NO sentinel filter inside the stream: a predicate on the
           // left side's columns is pushed below the EventTimeWatermark
           // node, which would drop the sentinel rows before the
@@ -1258,7 +1304,7 @@ object StreamingQueries {
             real, "ts", "user_id", "event_id", "event_type",
             Seq("signup", "view", "click", "purchase"))
           val table = s"stream_funnel_${counter.incrementAndGet()}"
-          withStatePartitions(spark, 8) {
+          withStatePartitions(spark, adaptivePartitions(spark, sf)) {
             // transformWithState queries do not quiesce under
             // awaitTermination (see StreamingSpec / stream_sessionize):
             // run a short-period trigger and poll the sink until the
@@ -1332,7 +1378,7 @@ object StreamingQueries {
           val filled = graft.streaming.StreamingIngest.gapFill(
             real, "ts", "user_id", "event_id", "reading_cents")
           val table = s"stream_gf_${counter.incrementAndGet()}"
-          withStatePartitions(spark, 8) {
+          withStatePartitions(spark, adaptivePartitions(spark, sf)) {
             // transformWithState queries do not quiesce under
             // awaitTermination (see stream_funnel): short-period
             // trigger + poll, anchored on the exact expected row count
@@ -2029,7 +2075,7 @@ object StreamingQueries {
           val attributed = graft.streaming.StreamingIngest.attributePurchases(
             real, "ts", "user_id", "event_id", "event_type", "value")
           val table = s"stream_attr_${counter.incrementAndGet()}"
-          withStatePartitions(spark, 8) {
+          withStatePartitions(spark, adaptivePartitions(spark, sf)) {
             val q = attributed.toDF().writeStream.format("memory")
               .queryName(table)
               .outputMode("append").trigger(Trigger.ProcessingTime(100L)).start()
@@ -2095,7 +2141,7 @@ object StreamingQueries {
             sum(when(col("score") < col("t"), lit(1L) - col("label"))
               .otherwise(0L)).as("tn"))
         val table = s"stream_prc_${counter.incrementAndGet()}"
-        withStatePartitions(spark, 4) {
+        withStatePartitions(spark, adaptivePartitions(spark, sf)) {
           val q = agg.writeStream.format("memory").queryName(table)
             .outputMode("complete").trigger(Trigger.AvailableNow()).start()
           try q.awaitTermination() finally q.stop()
@@ -2136,7 +2182,7 @@ object StreamingQueries {
             .ewmaLevels(stream, "ts", "event_type", sentinelHourFrom)
           val table = s"stream_ewma_${counter.incrementAndGet()}"
           val nTypes = df.select(col("event_type")).distinct().count()
-          withStatePartitions(spark, 4) {
+          withStatePartitions(spark, adaptivePartitions(spark, sf)) {
             val q = levels.toDF().writeStream.format("memory").queryName(table)
               .outputMode("append").trigger(Trigger.ProcessingTime(100L)).start()
             try {
@@ -2187,7 +2233,7 @@ object StreamingQueries {
             .holtLevels(stream, "ts", "event_type", sentinelHourFrom)
           val table = s"stream_holt_${counter.incrementAndGet()}"
           val nTypes = df.select(col("event_type")).distinct().count()
-          withStatePartitions(spark, 4) {
+          withStatePartitions(spark, adaptivePartitions(spark, sf)) {
             val q = levels.toDF().writeStream.format("memory").queryName(table)
               .outputMode("append").trigger(Trigger.ProcessingTime(100L)).start()
             try {
@@ -2248,7 +2294,7 @@ object StreamingQueries {
               sentinelFrom, 2944439L)
           val table = s"stream_sprt_${counter.incrementAndGet()}"
           val nTypes = df.select(col("event_type")).distinct().count()
-          withStatePartitions(spark, 4) {
+          withStatePartitions(spark, adaptivePartitions(spark, sf)) {
             val q = monitors.toDF().writeStream.format("memory").queryName(table)
               .outputMode("append").trigger(Trigger.ProcessingTime(100L)).start()
             try {
