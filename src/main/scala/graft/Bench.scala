@@ -73,8 +73,37 @@ object Bench {
     // neither the first dedup query (arbitrary) nor hidden in warmup
     // (flattering): total stays honest, per-query times stay comparable.
     // Skipped when a filter selects no dedup queries (nothing would read it).
+    val dedupSelected = selected.exists(_._1.startsWith("dedup"))
+    val selNames = selected.map(_._1).toSet
+    // r22: shared retrieval layouts (BM25 ranking / impact index /
+    // hybrid fusion — see RetrievalLayouts) get the same treatment as
+    // the dedup layout stages: warmed only when a consumer is selected,
+    // timed as their own named entries, included in `total`.
+    val bm25ScoreConsumers = Set("text_probe_bm25", "text_mmr_diversify",
+      "eval_ndcg", "eval_mrr", "stream_probe_bm25")
+    val hybridConsumers = Set("text_hybrid_rrf", "stream_hybrid_rrf")
+    // order matters: the ranked scores derive from the impact index, so
+    // the index warms first (and is needed whenever scores are)
+    val retrievalStages = Seq[(String, () => Long)](
+      "layout_bm25_index" ->
+        (() => graft.queries.RetrievalLayouts.warmBm25Index(spark, sfDir)),
+      "layout_bm25_scores" ->
+        (() => graft.queries.RetrievalLayouts.warmBm25Scores(spark, sfDir)),
+      "layout_probe_rels" ->
+        (() => graft.queries.RetrievalLayouts.warmProbeRels(spark, sfDir)),
+      "layout_hybrid_fused" ->
+        (() => graft.queries.RetrievalLayouts.warmHybridFused(spark, sfDir)))
+      .filter {
+        case ("layout_bm25_index", _) => // scores/rels/terms derive from it
+          selNames.exists(bm25ScoreConsumers) ||
+            selNames.contains("stream_hybrid_rrf")
+        case ("layout_bm25_scores", _) => selNames.exists(bm25ScoreConsumers)
+        case ("layout_probe_rels", _) =>
+          selNames.contains("eval_ndcg") || selNames.contains("eval_mrr")
+        case _ => selNames.exists(hybridConsumers)
+      }
     val layoutEntries =
-      if (!selected.exists(_._1.startsWith("dedup"))) Seq.empty
+      if (!dedupSelected && retrievalStages.isEmpty) Seq.empty
       else {
         // r21 (r20 verdict task 4): the combined entry moved +46% when
         // the edge layout replaced the pair build and nothing localized
@@ -84,27 +113,46 @@ object Bench {
         // SUM, so the series stays comparable while regressions
         // attribute to a stage. Stage order mirrors warmSharedLayouts
         // (edges consume the shingle cache).
-        val stages = Seq[(String, () => Long)](
-          "layout_shingles" -> (() => graft.queries.DedupQueries.warmShingles(spark, sfDir)),
-          "layout_edges" -> (() => graft.queries.DedupQueries.warmEdges(spark, sfDir)),
-          "layout_windows" -> (() => graft.queries.DedupQueries.warmWindows(spark, sfDir)))
+        val dedupStages =
+          if (!dedupSelected) Seq.empty
+          else Seq[(String, () => Long)](
+            "layout_shingles" -> (() => graft.queries.DedupQueries.warmShingles(spark, sfDir)),
+            "layout_edges" -> (() => graft.queries.DedupQueries.warmEdges(spark, sfDir)),
+            "layout_windows" -> (() => graft.queries.DedupQueries.warmWindows(spark, sfDir)))
+        val stages = dedupStages ++ retrievalStages
+        val dedupNames = dedupStages.map(_._1).toSet
         val t0all = System.nanoTime()
-        starts("layout_shared_shingles") = (t0all - benchEpoch) / 1e9
+        if (dedupSelected)
+          starts("layout_shared_shingles") = (t0all - benchEpoch) / 1e9
+        // r21 ADVICE: once a stage fails, later stages of the SAME
+        // lineage would run cache-less retries and their walls are not
+        // measurements — skip dependents (dedup stages chain; the
+        // retrieval stages are independent of them and of each other)
+        var dedupDead = false
         val timed = stages.map { case (name, warm) =>
           val t0 = System.nanoTime()
           starts(name) = (t0 - benchEpoch) / 1e9
-          try warm()
-          catch { case e: Throwable =>
-            failed += name
-            if (!failed.contains("layout_shared_shingles"))
-              failed += "layout_shared_shingles"
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          }
+          val skip = dedupDead && dedupNames(name)
+          if (!skip) {
+            try warm()
+            catch { case e: Throwable =>
+              failed += name
+              if (dedupNames(name)) {
+                dedupDead = true
+                if (!failed.contains("layout_shared_shingles"))
+                  failed += "layout_shared_shingles"
+              }
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            }
+          } else failed += name
           persisted(name) = spark.sparkContext.getPersistentRDDs.size
           name -> (System.nanoTime() - t0) / 1e9
         }
-        persisted("layout_shared_shingles") = spark.sparkContext.getPersistentRDDs.size
-        timed :+ ("layout_shared_shingles" -> timed.map(_._2).sum)
+        val dedupTimed = timed.filter(t => dedupNames(t._1))
+        if (dedupSelected) {
+          persisted("layout_shared_shingles") = spark.sparkContext.getPersistentRDDs.size
+          timed :+ ("layout_shared_shingles" -> dedupTimed.map(_._2).sum)
+        } else timed
       }
     // Best-of-N (default 2): this shared VM's run-to-run noise reaches
     // 1.7× (BENCH_NOTES), so a single sample regularly reads as a

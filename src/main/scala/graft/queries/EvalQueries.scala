@@ -198,22 +198,15 @@ object EvalQueries {
     QueryDef("eval_ndcg",
       (spark, sf) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = load(spark, sf, "documents")
-        val probes = load(spark, sf, "embeddings")
-          .select(col("vec_id").as("probe_id"))
-          .filter(col("probe_id") % 100 === 7 && col("probe_id") < 2000)
-        val ranked = graft.ops.Retrieval.bm25TopK(docs, probes, k = 10)
+        // r <= 10 of the shared persisted top-20 ≡ bm25TopK(k = 10):
+        // the per-probe order is total (6-dp score desc, unique doc_id),
+        // so the prefix rows and their ranks are identical (r22,
+        // RetrievalLayouts)
+        val ranked = RetrievalLayouts.bm25Top20(spark, sf)
+          .filter(col("r") <= 10)
           .select(col("probe_id"), col("doc_id"), col("r"))
-        val terms = docs.select(col("doc_id"),
-            explode(filter(split(lower(col("text")), "[^a-z]+"),
-              t => t =!= "")).as("term"))
-        val probeTerms = terms
-          .join(broadcast(probes), terms("doc_id") === col("probe_id"))
-          .select(col("probe_id"), col("term")).distinct()
-        val rels = terms.join(broadcast(probeTerms), Seq("term"))
-          .filter(col("doc_id") =!= col("probe_id"))
-          .groupBy(col("probe_id"), col("doc_id"))
-          .agg(countDistinct(col("term")).as("rel"))
+        // shared integer relevance labels (exact — see RetrievalLayouts)
+        val rels = RetrievalLayouts.probeRels(spark, sf)
         def w(rank: org.apache.spark.sql.Column) =
           NdcgDiscountsMicro.zipWithIndex.foldLeft(lit(0L)) {
             case (acc, (wv, i)) => when(rank === (i + 1), lit(wv)).otherwise(acc)
@@ -294,24 +287,13 @@ object EvalQueries {
     // ≤ 10 rows per probe.
     QueryDef("eval_mrr",
       (spark, sf) => {
-        val docs = load(spark, sf, "documents")
-        val probes = load(spark, sf, "embeddings")
-          .select(col("vec_id").as("probe_id"))
-          .filter(col("probe_id") % 100 === 7 && col("probe_id") < 2000)
-        val ranked = graft.ops.Retrieval.bm25TopK(docs, probes, k = 10)
+        // prefix of the shared top-20 — same equivalence as eval_ndcg
+        val ranked = RetrievalLayouts.bm25Top20(spark, sf)
+          .filter(col("r") <= 10)
           .select(col("probe_id"), col("doc_id"), col("r"))
-        val terms = docs.select(col("doc_id"),
-          explode(filter(split(lower(col("text")), "[^a-z]+"),
-            t => t =!= "")).as("term"))
-        val probeTerms = terms
-          .join(broadcast(probes), terms("doc_id") === col("probe_id"))
-          .select(col("probe_id"), col("term")).distinct()
-        val rels = terms.join(broadcast(probeTerms), Seq("term"))
-          .filter(col("doc_id") =!= col("probe_id"))
-          .groupBy(col("probe_id"), col("doc_id"))
-          .agg(countDistinct(col("term")).as("rel"))
-        val ptn = probeTerms.groupBy(col("probe_id"))
-          .agg(countDistinct(col("term")).as("npt"))
+        // shared integer relevance labels (exact — see RetrievalLayouts)
+        val rels = RetrievalLayouts.probeRels(spark, sf)
+        val ptn = RetrievalLayouts.probeTermCounts(spark, sf)
         val first = ranked.join(rels, Seq("probe_id", "doc_id"))
           .join(broadcast(ptn), Seq("probe_id"))
           .filter(col("rel") * 2 >= col("npt"))

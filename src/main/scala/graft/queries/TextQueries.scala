@@ -1587,12 +1587,9 @@ object TextQueries {
     // DuckDB replays ranks and fused scores exactly.
     QueryDef("text_hybrid_rrf",
       (spark, sf) => {
-        val docs = load(spark, sf, "documents")
-        val emb = load(spark, sf, "embeddings")
-          .select(col("vec_id").as("doc_id"), col("embedding"))
-        val probes = emb.select(col("doc_id").as("probe_id"))
-          .filter(col("probe_id") % 100 === 7 && col("probe_id") < 2000)
-        graft.ops.Retrieval.hybridRrf(docs, emb, probes)
+        // shared persisted fusion (r22): identical hybridRrf lineage in
+        // stream_hybrid_rrf's parity twin — see RetrievalLayouts
+        RetrievalLayouts.hybridFused(spark, sf)
           .orderBy(col("probe_id"), col("fused_rank"))
       },
       Some(Shared.HybridRrfOracle)),
@@ -1655,11 +1652,9 @@ object TextQueries {
 
     QueryDef("text_probe_bm25",
       (spark, sf) => {
-        val docs = load(spark, sf, "documents")
-        val probes = load(spark, sf, "embeddings")
-          .select(col("vec_id").as("probe_id"))
-          .filter(col("probe_id") % 100 === 7 && col("probe_id") < 2000)
-        graft.ops.Retrieval.bm25TopK(docs, probes, k = 20)
+        // shared persisted ranking (r22): the identical bm25TopK lineage
+        // was re-executed by five consumers per run — see RetrievalLayouts
+        RetrievalLayouts.bm25Top20(spark, sf)
           .select(col("probe_id"), col("r").cast("int").as("r"),
             col("doc_id"), col("score"))
           .orderBy(col("probe_id"), col("r"))
@@ -1681,16 +1676,12 @@ object TextQueries {
     // derived).
     QueryDef("text_mmr_diversify",
       (spark, sf) => {
-        val docs = load(spark, sf, "documents")
-        val probes = load(spark, sf, "embeddings")
-          .select(col("vec_id").as("probe_id"))
-          .filter(col("probe_id") % 100 === 7 && col("probe_id") < 2000)
-        val cands = graft.ops.Retrieval.bm25TopK(docs, probes, k = 20)
+        val cands = RetrievalLayouts.bm25Top20(spark, sf)
           .select(col("probe_id"), col("doc_id"), col("score"))
-        val docTerms = docs.select(col("doc_id"),
-            explode(filter(split(lower(col("text")), "[^a-z]+"),
-              t => t =!= "")).as("term"))
-          .distinct()
+        // the impact index holds exactly one row per (term, doc) — it IS
+        // the distinct terms table (r22, RetrievalLayouts)
+        val docTerms = RetrievalLayouts.bm25ImpactIndex(spark, sf)
+          .select(col("doc_id"), col("term"))
         graft.ops.Retrieval.mmrDiversify(cands, docTerms)
           .select(col("probe_id"), col("sel_rank"), col("doc_id"),
             round(col("mmr"), 6).as("mmr"))

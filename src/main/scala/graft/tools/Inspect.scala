@@ -36,6 +36,16 @@ object Inspect {
           graft.queries.Tables.load(s, sf, "documents"), "text", "doc_id",
           k = 5, minJaccard = 0.8, precomputedShingles = Some(inspectShingles))
       } else SparkEntry.queries(name)
+    // GRAFT_WARM_RETRIEVAL=1: materialize the shared retrieval layouts
+    // first (the state the bench's layout_bm25_* entries establish), so
+    // the explained consumer plan shows the InMemoryTableScan it
+    // actually executes in the suite, not the one-time build lineage
+    if (sys.env.get("GRAFT_WARM_RETRIEVAL").contains("1")) {
+      graft.queries.RetrievalLayouts.warmBm25Index(spark, sfDir): Unit
+      graft.queries.RetrievalLayouts.warmBm25Scores(spark, sfDir): Unit
+      graft.queries.RetrievalLayouts.warmProbeRels(spark, sfDir): Unit
+      graft.queries.RetrievalLayouts.warmHybridFused(spark, sfDir): Unit
+    }
     if (explain) fn(spark, sfDir).explain("formatted")
     (1 to 2).foreach { i =>
       val t0 = System.nanoTime()
