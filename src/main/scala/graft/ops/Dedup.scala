@@ -728,16 +728,26 @@ object Dedup {
     // stats at ~2⁸·63 bits while paying the row-conversion pass only
     // 1/8th of the rounds.
     var lastCk: DataFrame = null
+    // hard-rebuilt wrappers carry a derived, non-persisted RDD — release
+    // on the wrapper would be a silent no-op (r21 ADVICE), so remember
+    // which checkpoint frame each wrapper rides on and release THAT
+    val wrapperCk = new java.util.IdentityHashMap[DataFrame, DataFrame]
     def reTrunc(df: DataFrame, hard: Boolean): DataFrame = {
       val ck = gc.track(Graphs.truncate(df))
       lastCk = ck
-      if (hard) spark.createDataFrame(ck.rdd, ck.schema) else ck
+      if (hard) {
+        val w = spark.createDataFrame(ck.rdd, ck.schema)
+        wrapperCk.put(w, ck): Unit
+        w
+      } else ck
     }
     var truncs = 0
     def reTruncAuto(df: DataFrame): DataFrame = {
       truncs += 1
       reTrunc(df, hard = truncs % 8 == 0)
     }
+    def releaseFrame(df: DataFrame): Unit =
+      gc.release(spark, Option(wrapperCk.remove(df)).getOrElse(df))
     var labels = reTrunc(edges.select(col("u")).distinct()
       .select(col("u"), col("u").as("rep")), hard = false)
     var changed = 1L
@@ -795,8 +805,10 @@ object Dedup {
         // here: the OUTER change count still reads the previous round's
         // `labels`, whose blocks a second sweep would delete — the
         // two-phase "superseded is read one sweep later" contract stays
-        // per OUTER round, and release() never touches `labels`.
-        gc.release(spark, next)
+        // per OUTER round, and release() never touches `labels`. On
+        // hard-trunc iterations the wrapper is mapped back to its
+        // underlying checkpoint so the release is never a no-op.
+        releaseFrame(next)
         next = jumped
         inner += 1
       }

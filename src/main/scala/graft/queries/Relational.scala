@@ -1394,11 +1394,25 @@ object Relational {
 
     // Interval-coverage analytics (the sweep the range-join family
     // doesn't answer): per calendar day, how many lineitems were
-    // ordered but not yet shipped — each [orderdate, shipdate)
-    // interval explodes into its covered days (bounded fan-out, the
-    // fulfillment window) and a day-keyed count aggregates with
-    // map-side partials. No quadratic day×interval join, no global
-    // running-sum window.
+    // ordered but not yet shipped. SWEEP-LINE (r21, guide §1.2 step 1 /
+    // §2.3): an interval [odate, ship) is +1 at odate and −1 at ship,
+    // so n_open(day) is the running sum of per-day deltas — the heavy
+    // side is 2 rows per interval collapsing under map-side partial
+    // aggregation to ≤ calendar-horizon cardinality. r22 (r21 verdict
+    // task 4): the r21 shape evaluated the lineitem⋈orders subtree
+    // THREE times (two union branches + a spine min/max agg); now each
+    // interval emits both endpoint deltas through one 2-element explode
+    // and the dense day spine is gone entirely — the cumulative window
+    // runs over the DISTINCT DELTA DAYS only, and each [day, next_day)
+    // stretch re-expands to its covered days with its constant n_open
+    // (a delta-days-bounded explode). ONE scan+join subtree in the
+    // plan. The single unpartitioned window is INTENTIONAL and bounded:
+    // its input is at most the calendar horizon (distinct endpoint
+    // days), never the corpus. Result provably identical: n_open(day) =
+    // #{intervals: odate ≤ day < ship} = Σ_{d ≤ day} delta(d); the
+    // running sum is constant inside [dᵢ, dᵢ₊₁); days past the last
+    // delta day have n_open = 0 (every +1 has its −1); zero-coverage
+    // days are dropped by the n_open > 0 filter exactly as before.
     QueryDef("q_interval_coverage",
       (spark, sf) => {
         val li = load(spark, sf, "lineitem")
@@ -1408,32 +1422,18 @@ object Relational {
             col("o_orderdate").cast("date").as("odate"))
         val iv = li.join(o, Seq("l_orderkey"))
           .filter(col("ship") > col("odate"))
-        // SWEEP-LINE, not per-day explode (r21, guide §1.2 step 1 /
-        // §2.3): the old shape generated one row per open interval-day
-        // (~rows × avg interval length — tens of millions at sf0.1,
-        // linear in data × days at scale) only to count them per day.
-        // An interval [odate, ship) is +1 at odate and −1 at ship, so
-        // n_open(day) is the running sum of per-day deltas over the
-        // dense day spine: the heavy side shrinks to 2 rows per
-        // interval with map-side partial aggregation (day cardinality =
-        // calendar horizon, so partials collapse per partition), and
-        // the cumulative window runs on the calendar-sized spine — a
-        // bounded frame at ANY corpus size, same scale argument as the
-        // day-keyed stat gates. Result provably identical: n_open(day)
-        // = #{intervals: odate ≤ day < ship} = Σ_{d ≤ day} delta(d),
-        // and days with zero open intervals (which the explode never
-        // emitted) are dropped by the n_open > 0 filter.
-        val deltas = iv.select(col("odate").as("day"), lit(1L).as("d"))
-          .unionByName(iv.select(col("ship").as("day"), lit(-1L).as("d")))
+        val deltas = iv.select(explode(array(
+            struct(col("odate").as("day"), lit(1L).as("d")),
+            struct(col("ship").as("day"), lit(-1L).as("d")))).as("e"))
+          .select(col("e.day").as("day"), col("e.d").as("d"))
           .groupBy(col("day")).agg(sum(col("d")).as("delta"))
-        val spine = iv
-          .agg(min(col("odate")).as("lo"), max(date_sub(col("ship"), 1)).as("hi"))
-          .select(explode(expr("sequence(lo, hi)")).as("day"))
-        spine.join(deltas, Seq("day"), "left")
-          .withColumn("n_open",
-            sum(coalesce(col("delta"), lit(0L))).over(Window.orderBy(col("day"))))
-          .filter(col("n_open") > 0)
-          .select(col("day"), col("n_open"))
+        val w = Window.orderBy(col("day"))
+        deltas
+          .withColumn("n_open", sum(col("delta")).over(w))
+          .withColumn("next_day", lead(col("day"), 1).over(w))
+          .filter(col("n_open") > 0 && col("next_day").isNotNull)
+          .select(explode(expr("sequence(day, date_sub(next_day, 1))")).as("day"),
+            col("n_open"))
           .orderBy(col("day"))
       },
       Some("""SELECT CAST(d AS DATE) AS day, COUNT(*) AS n_open FROM (

@@ -117,6 +117,20 @@ object StreamingCuration {
         s"for ${m.spec.name}, got ${other.getClass.getName}")
     }
     val metrics = scala.collection.mutable.ListBuffer.empty[(Long, String, Long, Long)]
+    // opt-in per-stage wall attribution (graft.curation.logStages) — the
+    // r21 verdict's task 3: the gate's 20+ s was a single aggregate with
+    // nothing localizing WHICH stage costs what; probes read these
+    // stderr lines (BENCH_NOTES r22), production would emit them as
+    // metrics. Timing-only: no behavior depends on it.
+    val logStages = spark.conf.getOption("graft.curation.logStages").contains("true")
+    def timed[T](stage: String)(body: => T): T =
+      if (!logStages) body
+      else {
+        val t0 = System.nanoTime()
+        try body
+        finally System.err.println(f"[curation] batch=$batchId stage=$stage " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     val landed = spark.read.parquet(s"$base/landed/batch_$batchId").persist()
     try {
       var delta: DataFrame = landed
@@ -126,9 +140,9 @@ object StreamingCuration {
         refs.register(m.spec, d)
         val stageIn = delta
         val inRows = deltaRows.getOrElse(stageIn.count())
-        val res = executor.executeDelta(spark, m, new SourceDriver {
+        val res = timed(m.spec.name)(executor.executeDelta(spark, m, new SourceDriver {
           def read(s: SparkSession, sp: MigrationSpec): DataFrame = stageIn
-        }, d)
+        }, d))
         metrics += ((batchId, m.spec.name, inRows, res.migrated))
         delta = res.finalSnapshot // the persisted stage delta, next stage's input
         deltaRows = Some(res.migrated)
@@ -139,9 +153,9 @@ object StreamingCuration {
       val langid = migs(3)
       val langidState = deltaDest(langid).morSnapshot(spark, langid.spec)
         .getOrElse(sys.error("incremental curation: no langid state for mix"))
-      val mixRes = executor.execute(spark, mix, new SourceDriver {
+      val mixRes = timed(mix.spec.name)(executor.execute(spark, mix, new SourceDriver {
         def read(s: SparkSession, sp: MigrationSpec): DataFrame = langidState
-      }, mixDest)
+      }, mixDest))
       metrics += ((batchId, mix.spec.name, langidState.count(), mixRes.migrated))
       val sp = spark
       import sp.implicits._
