@@ -1031,36 +1031,52 @@ object DedupQueries {
         val d = load(spark, sf, "documents")
         val kept = graft.ops.TextOps.hashedLinearScore(d, "text", "doc_id")
           .filter(col("keep") === 1).select(col("doc_id"))
+        // r22 (guide §1.2 step 1 — don't compute things twice): the
+        // lazy composition evaluated the classifier-filtered embedding
+        // frame four times (exact pairs, banded candidates, verify,
+        // ratio count) and the exact N²·dim cosine tier TWICE (recall
+        // join + the clusters run). The shared subtrees are persisted
+        // for the duration of the query and released before it returns
+        // (PersistHygieneSpec contract); the two economics scalars fold
+        // eagerly from the persisted frames — identical expressions, so
+        // the NULL→vacuous-truth handling is unchanged (zero exact
+        // pairs: recall avg over no rows → holds; ≤1 kept vector:
+        // 0-divisor ratio → holds) — and gate the emission as literals.
         val keptEmb = load(spark, sf, "embeddings")
           .join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"))
-        val pairs = graft.ops.Similarity.cosinePairs(
-          keptEmb, "vec_id", "embedding", dim = 64, minSim = 0.4)
-        val candCut = graft.ops.Similarity.bandCandidates(
-          keptEmb, "vec_id", "embedding", dim = 64, bands = 10, bitsPerBand = 6)
-        val cut = graft.ops.Similarity.verifyPairs(
-          keptEmb, "vec_id", "embedding", candCut, 0.4)
-        val recall = pairs.select(col("a"), col("b"))
-          .join(cut.select(col("a"), col("b"), lit(1).as("hit")), Seq("a", "b"), "left")
-          .agg(avg(coalesce(col("hit"), lit(0))).as("recall"))
-        val ratio = candCut.agg(count(lit(1)).cast("double").as("n_cand"))
-          .crossJoin(keptEmb.agg(count(lit(1)).cast("double").as("n")))
-          .select((col("n_cand") / (col("n") * (col("n") - 1) / 2)).as("cand_ratio"))
-        val drops = Dedup.clusters(pairs.select(col("a"), col("b")))
-          .filter(col("doc_id") =!= col("rep")).select(col("doc_id"))
-        val survivors = d.join(kept, Seq("doc_id"))
-          .join(drops, Seq("doc_id"), "left_anti")
-        graft.ops.TextOps.temperatureMixSample(
-            survivors, "doc_id", "lang", scale = 3.0, salt = "cur7")
-          .crossJoin(recall).crossJoin(ratio)
-          // vacuous truth, not NULL: zero exact pairs makes recall an
-          // avg over no rows (NULL), and ≤1 kept vector makes the ratio
-          // 0/0 (NULL) — both mean the economics bound holds trivially,
-          // and a NULL-propagating filter would empty a result the
-          // oracle still populates
-          .filter(coalesce(col("recall"), lit(1.0)) >= 0.35 &&
-            coalesce(col("cand_ratio"), lit(0.0)) <= 0.25)
-          .select(col("doc_id"), col("lang"))
-          .orderBy(col("doc_id"))
+          .persist()
+        try {
+          val pairs = graft.ops.Similarity.cosinePairs(
+            keptEmb, "vec_id", "embedding", dim = 64, minSim = 0.4).persist()
+          val candCut = graft.ops.Similarity.bandCandidates(
+            keptEmb, "vec_id", "embedding", dim = 64, bands = 10, bitsPerBand = 6)
+            .persist()
+          try {
+            val cut = graft.ops.Similarity.verifyPairs(
+              keptEmb, "vec_id", "embedding", candCut, 0.4)
+            val recallRow = pairs.select(col("a"), col("b"))
+              .join(cut.select(col("a"), col("b"), lit(1).as("hit")),
+                Seq("a", "b"), "left")
+              .agg(avg(coalesce(col("hit"), lit(0))).as("recall")).head()
+            val recallV = if (recallRow.isNullAt(0)) 1.0 else recallRow.getDouble(0)
+            val ratioRow = candCut.agg(count(lit(1)).cast("double").as("n_cand"))
+              .crossJoin(keptEmb.agg(count(lit(1)).cast("double").as("n")))
+              .select((col("n_cand") / (col("n") * (col("n") - 1) / 2))
+                .as("cand_ratio")).head()
+            val ratioV = if (ratioRow.isNullAt(0)) 0.0 else ratioRow.getDouble(0)
+            // clusters() checkpoints its labels, so `drops` survives the
+            // unpersists below with truncated lineage
+            val drops = Dedup.clusters(pairs.select(col("a"), col("b")))
+              .filter(col("doc_id") =!= col("rep")).select(col("doc_id"))
+            val survivors = d.join(kept, Seq("doc_id"))
+              .join(drops, Seq("doc_id"), "left_anti")
+            graft.ops.TextOps.temperatureMixSample(
+                survivors, "doc_id", "lang", scale = 3.0, salt = "cur7")
+              .filter(lit(recallV) >= 0.35 && lit(ratioV) <= 0.25)
+              .select(col("doc_id"), col("lang"))
+              .orderBy(col("doc_id"))
+          } finally { pairs.unpersist(blocking = false); candCut.unpersist(blocking = false) }
+        } finally keptEmb.unpersist(blocking = false)
       },
       Some("""WITH RECURSIVE tok AS (
              |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
